@@ -1,0 +1,265 @@
+"""Hierarchical spatial cell index (quadtree Morton cells).
+
+This is the engine's H3/S2 analog, built from scratch (no native geo libs
+in the image): a level-``res`` cell is a square of the 2^res × 2^res grid
+over (lon ∈ [-180,180], lat ∈ [-90,90]) in fixed-point integer space, and
+its cell ID is
+
+    cell_id = (1 << (2*res)) | morton(ix_lon, iy_lat)
+
+The leading 1-bit makes IDs self-delimiting across resolutions (like S2):
+``parent(cell) = cell >> 2``, children = ``[cell<<2, cell<<2 + 4)``, and a
+cell's ID is a strict binary prefix of all its descendants — so sorting by
+cell ID gives the space-filling-curve clustering the north rule's
+"per-partition sorted cell-ID arrays" needs, and range predicates
+``[cell << 2k, (cell+1) << 2k)`` prune descendants.
+
+Two implementations, same math:
+- ``cell_id_expr``: pure Catalyst column expressions (shift/mask Morton
+  spread — ~12 JVM ops, whole-stage-codegen'd; zero Python in the hot path);
+- NumPy mirrors used driver-side for polygon covers / kNN rings and inside
+  vectorized pandas UDFs.
+
+Everything is exact int64 arithmetic; no floats touch the index.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from osmflat_rs_spark.functions.geo import COORD_SCALE
+
+#: max resolution such that 2*res+1 <= 61 bits (signed int64 safe)
+MAX_RES = 30
+
+_LON_SPAN = 360 * COORD_SCALE
+_LAT_SPAN = 180 * COORD_SCALE
+_LON_OFF = 180 * COORD_SCALE
+_LAT_OFF = 90 * COORD_SCALE
+
+# ---------------------------------------------------------------------------
+# Spark column-expression implementation (JVM-side)
+# ---------------------------------------------------------------------------
+
+
+def _spread_bits_expr(x: Column) -> Column:
+    """Interleave-spread a 31-bit int into even bit positions (5 shift/mask
+    steps — the classic bit-twiddling Morton spread)."""
+    x = x.bitwiseAND(F.lit(0x7FFFFFFF))
+    x = (x.bitwiseOR(F.shiftleft(x, 16))).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
+    x = (x.bitwiseOR(F.shiftleft(x, 8))).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+    x = (x.bitwiseOR(F.shiftleft(x, 4))).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+    x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(0x3333333333333333))
+    x = (x.bitwiseOR(F.shiftleft(x, 1))).bitwiseAND(F.lit(0x5555555555555555))
+    return x
+
+
+def _quantize_expr(fixed: Column, offset: int, span: int, res: int) -> Column:
+    q = F.floor(((fixed.cast("long") + F.lit(offset)) * F.lit(1 << res)) / F.lit(span)).cast("long")
+    return F.greatest(F.lit(0).cast("long"), F.least(F.lit((1 << res) - 1).cast("long"), q))
+
+
+def cell_id_expr(lat_fixed: Column, lon_fixed: Column, res: int) -> Column:
+    """Cell ID column for fixed-point integer lat/lon at resolution ``res``.
+
+    Pure JVM expression — shows up inside WholeStageCodegen; this is the
+    hot-path encoder used by ingest and the spatial joins.
+    """
+    assert 0 <= res <= MAX_RES
+    ix = _quantize_expr(lon_fixed, _LON_OFF, _LON_SPAN, res)
+    iy = _quantize_expr(lat_fixed, _LAT_OFF, _LAT_SPAN, res)
+    z = _spread_bits_expr(ix).bitwiseOR(F.shiftleft(_spread_bits_expr(iy), 1))
+    return F.shiftleft(F.lit(1).cast("long"), 2 * res).bitwiseOR(z)
+
+
+def parent_expr(cell: Column, steps: int = 1) -> Column:
+    """Coarser ancestor cell (``steps`` levels up)."""
+    return F.shiftright(cell, 2 * steps)
+
+
+# ---------------------------------------------------------------------------
+# NumPy mirror (identical math; used driver-side and inside pandas UDFs)
+# ---------------------------------------------------------------------------
+
+
+def _spread_bits_np(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64) & np.uint64(0x7FFFFFFF)
+    x = (x | (x << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x3333333333333333)
+    x = (x | (x << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return x
+
+
+def _compact_bits_np(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64) & np.uint64(0x5555555555555555)
+    x = (x | (x >> np.uint64(1))) & np.uint64(0x3333333333333333)
+    x = (x | (x >> np.uint64(2))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    x = (x | (x >> np.uint64(4))) & np.uint64(0x00FF00FF00FF00FF)
+    x = (x | (x >> np.uint64(8))) & np.uint64(0x0000FFFF0000FFFF)
+    x = (x | (x >> np.uint64(16))) & np.uint64(0x00000000FFFFFFFF)
+    return x
+
+
+def quantize_np(fixed: np.ndarray, offset: int, span: int, res: int) -> np.ndarray:
+    q = ((fixed.astype(np.int64) + np.int64(offset)) * np.int64(1 << res)) // np.int64(span)
+    return np.clip(q, 0, (1 << res) - 1)
+
+
+def grid_coords_np(lat_fixed: np.ndarray, lon_fixed: np.ndarray, res: int) -> tuple[np.ndarray, np.ndarray]:
+    ix = quantize_np(np.asarray(lon_fixed), _LON_OFF, _LON_SPAN, res)
+    iy = quantize_np(np.asarray(lat_fixed), _LAT_OFF, _LAT_SPAN, res)
+    return ix, iy
+
+
+def cell_id_np(lat_fixed: np.ndarray, lon_fixed: np.ndarray, res: int) -> np.ndarray:
+    ix, iy = grid_coords_np(lat_fixed, lon_fixed, res)
+    return cell_from_grid_np(ix, iy, res)
+
+
+def cell_from_grid_np(ix: np.ndarray, iy: np.ndarray, res: int) -> np.ndarray:
+    z = _spread_bits_np(np.asarray(ix)) | (_spread_bits_np(np.asarray(iy)) << np.uint64(1))
+    return ((np.uint64(1) << np.uint64(2 * res)) | z).astype(np.int64)
+
+
+def cell_to_grid_np(cell: np.ndarray, res: int) -> tuple[np.ndarray, np.ndarray]:
+    z = np.asarray(cell).astype(np.uint64) & ((np.uint64(1) << np.uint64(2 * res)) - np.uint64(1))
+    ix = _compact_bits_np(z).astype(np.int64)
+    iy = _compact_bits_np(z >> np.uint64(1)).astype(np.int64)
+    return ix, iy
+
+
+def cell_res(cell: int) -> int:
+    return (int(cell).bit_length() - 1) // 2
+
+
+def cell_bounds_fixed(cell: int, res: int) -> tuple[int, int, int, int]:
+    """(lat_min, lat_max, lon_min, lon_max) of the cell in fixed-point ints
+    (half-open on the max side, matching the floor quantization)."""
+    ix, iy = cell_to_grid_np(np.array([cell]), res)
+    ix, iy = int(ix[0]), int(iy[0])
+    lon_min = -(_LON_OFF) + _ceil_div(ix * _LON_SPAN, 1 << res)
+    lon_max = -(_LON_OFF) + _ceil_div((ix + 1) * _LON_SPAN, 1 << res) - 1
+    lat_min = -(_LAT_OFF) + _ceil_div(iy * _LAT_SPAN, 1 << res)
+    lat_max = -(_LAT_OFF) + _ceil_div((iy + 1) * _LAT_SPAN, 1 << res) - 1
+    return lat_min, lat_max, lon_min, lon_max
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -((-a) // b)
+
+
+# ---------------------------------------------------------------------------
+# Covers (driver-side, for the broadcast polygon / query-point side)
+# ---------------------------------------------------------------------------
+
+
+def bbox_cover(
+    lat_min: int, lat_max: int, lon_min: int, lon_max: int, res: int
+) -> np.ndarray:
+    """All cells at ``res`` intersecting the fixed-point bbox (superset
+    cover — the coarse phase of the two-phase spatial join)."""
+    ix0, iy0 = grid_coords_np(np.array([lat_min]), np.array([lon_min]), res)
+    ix1, iy1 = grid_coords_np(np.array([lat_max]), np.array([lon_max]), res)
+    ixs = np.arange(int(ix0[0]), int(ix1[0]) + 1, dtype=np.int64)
+    iys = np.arange(int(iy0[0]), int(iy1[0]) + 1, dtype=np.int64)
+    gx, gy = np.meshgrid(ixs, iys)
+    return cell_from_grid_np(gx.ravel(), gy.ravel(), res)
+
+
+def polygon_cover(xs: np.ndarray, ys: np.ndarray, res: int) -> np.ndarray:
+    """Cells at ``res`` that intersect the polygon (lon=xs, lat=ys,
+    fixed-point ints, implicit closure).
+
+    Exact cover = (cells crossed by any boundary edge: grid supercover)
+    ∪ (cells whose center is inside: a cell intersecting the polygon but
+    not crossed by the boundary lies entirely inside it). No false
+    negatives — the guarantee the two-phase join's correctness rests on.
+    """
+    from osmflat_rs_spark.functions.pip import points_in_polygon
+
+    xs = np.asarray(xs, dtype=np.int64)
+    ys = np.asarray(ys, dtype=np.int64)
+    candidates = bbox_cover(int(ys.min()), int(ys.max()), int(xs.min()), int(xs.max()), res)
+    n = 1 << res
+    cix, ciy = cell_to_grid_np(candidates, res)
+
+    # boundary supercover: walk each edge on the grid
+    boundary: set[tuple[int, int]] = set()
+    ixv, iyv = grid_coords_np(ys, xs, res)
+    m = len(xs)
+    for e in range(m):
+        x0, y0 = int(ixv[e]), int(iyv[e])
+        x1, y1 = int(ixv[(e + 1) % m]), int(iyv[(e + 1) % m])
+        boundary.update(_grid_supercover(xs[e], ys[e], xs[(e + 1) % m], ys[(e + 1) % m], res))
+        boundary.add((x0, y0))
+        boundary.add((x1, y1))
+
+    # interior: candidate cells whose center lies inside
+    clat = np.array([(_cell_center(iy, _LAT_OFF, _LAT_SPAN, res)) for iy in ciy], dtype=np.int64)
+    clon = np.array([(_cell_center(ix, _LON_OFF, _LON_SPAN, res)) for ix in cix], dtype=np.int64)
+    inside = points_in_polygon(clon, clat, xs, ys)
+
+    keep = inside | np.array([(int(a), int(b)) in boundary for a, b in zip(cix, ciy)])
+    del n
+    return candidates[keep]
+
+
+def _cell_center(i: int, off: int, span: int, res: int) -> int:
+    return -(off) + (2 * int(i) + 1) * span // (2 << res)
+
+
+def _grid_supercover(x0: int, y0: int, x1: int, y1: int, res: int) -> set[tuple[int, int]]:
+    """All grid cells a segment passes through (conservative integer DDA:
+    steps along the dominant axis at 2x cell frequency plus corner fill)."""
+    ix0, iy0 = grid_coords_np(np.array([y0]), np.array([x0]), res)
+    ix1, iy1 = grid_coords_np(np.array([y1]), np.array([x1]), res)
+    steps = int(max(abs(int(ix1[0]) - int(ix0[0])), abs(int(iy1[0]) - int(iy0[0])))) * 2 + 1
+    t = np.linspace(0.0, 1.0, steps + 1)
+    sx = np.round(np.int64(x0) + t * (np.int64(x1) - np.int64(x0))).astype(np.int64)
+    sy = np.round(np.int64(y0) + t * (np.int64(y1) - np.int64(y0))).astype(np.int64)
+    gx, gy = grid_coords_np(sy, sx, res)
+    out: set[tuple[int, int]] = set()
+    for a, b in zip(gx, gy):
+        out.add((int(a), int(b)))
+        # conservative: add 4-neighborhood of each sample to close diagonal gaps
+        out.add((int(a) + 1, int(b)))
+        out.add((int(a) - 1, int(b)))
+        out.add((int(a), int(b) + 1))
+        out.add((int(a), int(b) - 1))
+    lim = (1 << res) - 1
+    return {(x, y) for x, y in out if 0 <= x <= lim and 0 <= y <= lim}
+
+
+def disk_cover(lat_fixed: int, lon_fixed: int, radius_m: float, res: int) -> np.ndarray:
+    """Cells intersecting the bbox that circumscribes a geodesic disk —
+    the kNN ring-expansion primitive. Conservative (bbox ⊇ disk)."""
+    import math
+
+    dlat = int(math.ceil(radius_m / 111_320.0 * COORD_SCALE))
+    lat_deg = lat_fixed / COORD_SCALE
+    coslat = max(0.01, math.cos(math.radians(lat_deg)))
+    dlon = int(math.ceil(radius_m / (111_320.0 * coslat) * COORD_SCALE))
+    return bbox_cover(
+        max(-_LAT_OFF, lat_fixed - dlat),
+        min(_LAT_OFF - 1, lat_fixed + dlat),
+        max(-_LON_OFF, lon_fixed - dlon),
+        min(_LON_OFF - 1, lon_fixed + dlon),
+        res,
+    )
+
+
+def pick_cover_res(lat_span_fixed: int, lon_span_fixed: int, target_cells: int = 256) -> int:
+    """Choose a cover resolution so a bbox of the given span yields roughly
+    ``target_cells`` cells — the knob balancing join fan-out (finer res →
+    fewer false candidates, more cover rows)."""
+    import math
+
+    span = max(1, max(lat_span_fixed, lon_span_fixed))
+    world = _LON_SPAN
+    per_axis = max(1.0, math.sqrt(target_cells))
+    res = int(math.log2(world / span * per_axis)) if span < world else 0
+    return max(0, min(MAX_RES, res))

@@ -1,0 +1,103 @@
+"""Geodesic + map-projection scalar functions, as Catalyst column
+expressions (JVM-side, whole-stage-codegen'd — no Python in the hot path).
+
+Reference semantics reproduced:
+- fixed-point integer coordinates, scale 1e7 (``flatdata/osm.flatdata:16-19``;
+  consumers divide to degrees, ``osmflat/examples/road-length.rs:24-30``);
+- haversine great-circle meters with WGS84 mean radius 6_372_797.560856
+  and the exact formula term order of ``osmflat/examples/road-length.rs:32-42``;
+- geo→pixel affine transform with y-inversion
+  (``osmflat/examples/render-roads.rs:71-81``);
+- web-mercator slippy-map tiling (north-rule extension, generalizing the
+  raster transform).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: fixed-point coordinate scale (digits after the decimal point = 7);
+#: mirrors the archive-level ``Header.coord_scale`` of the reference.
+COORD_SCALE = 10_000_000
+
+#: WGS84 mean earth radius used by the reference's haversine
+#: (osmflat/examples/road-length.rs:33).
+EARTH_RADIUS_M = 6_372_797.560856
+
+
+def to_degrees(fixed: Column) -> Column:
+    """Fixed-point int coordinate → degrees (double)."""
+    return fixed.cast("double") / F.lit(float(COORD_SCALE))
+
+
+def haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in meters between two (degree) coordinates.
+
+    Pinned to the term order of the reference implementation
+    (road-length.rs:32-42):
+        d_lat/2, d_lon/2, a = sin²+cos·cos·sin², 2·asin(√a)·R
+    so doubles agree bit-for-bit with a NumPy model using the same order.
+    """
+    lat1r = F.radians(lat1)
+    lat2r = F.radians(lat2)
+    dlat_half = (F.radians(lat2) - F.radians(lat1)) / F.lit(2.0)
+    dlon_half = (F.radians(lon2) - F.radians(lon1)) / F.lit(2.0)
+    a = F.sin(dlat_half) * F.sin(dlat_half) + F.cos(lat1r) * F.cos(lat2r) * F.sin(dlon_half) * F.sin(dlon_half)
+    return F.lit(2.0) * F.asin(F.sqrt(a)) * F.lit(EARTH_RADIUS_M)
+
+
+def haversine_m_fixed(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Haversine over fixed-point integer coordinate columns."""
+    return haversine_m(to_degrees(lat1), to_degrees(lon1), to_degrees(lat2), to_degrees(lon2))
+
+
+def sq_euclid_fixed(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Exact integer squared euclidean distance in fixed-point space.
+
+    Used where cross-engine bit-exactness matters (kNN tie-breaking,
+    oracle comparison) — pure int64 arithmetic, no floats anywhere.
+    """
+    dlat = (lat2 - lat1).cast("long")
+    dlon = (lon2 - lon1).cast("long")
+    return dlat * dlat + dlon * dlon
+
+
+def affine_pixel(
+    coord: Column, c_min: Column | float, c_max: Column | float, extent: int, invert: bool = False
+) -> Column:
+    """Geo → integer pixel on a raster of ``extent`` pixels.
+
+    ``px = floor((c - min) * (extent-1) / (max - min))`` with optional
+    y-inversion (raster origin top-left), clamped to [0, extent-1].
+    Mirrors render-roads.rs:71-81.
+    """
+    span = (F.lit(c_max) if not isinstance(c_max, Column) else c_max) - (
+        F.lit(c_min) if not isinstance(c_min, Column) else c_min
+    )
+    lo = F.lit(c_min) if not isinstance(c_min, Column) else c_min
+    px = F.floor((coord - lo) * F.lit(float(extent - 1)) / span).cast("int")
+    px = F.greatest(F.lit(0), F.least(F.lit(extent - 1), px))
+    if invert:
+        px = F.lit(extent - 1) - px
+    return px
+
+
+def mercator_tile_x(lon_deg: Column, zoom: int) -> Column:
+    """Slippy-map tile X at ``zoom`` (OSM wiki formula), clamped."""
+    n = float(1 << zoom)
+    tx = F.floor((lon_deg + F.lit(180.0)) / F.lit(360.0) * F.lit(n)).cast("long")
+    return F.greatest(F.lit(0).cast("long"), F.least(F.lit((1 << zoom) - 1).cast("long"), tx))
+
+
+def mercator_tile_y(lat_deg: Column, zoom: int) -> Column:
+    """Slippy-map tile Y at ``zoom``; lat clamped to web-mercator range."""
+    n = float(1 << zoom)
+    lat = F.greatest(F.lit(-85.05112878), F.least(F.lit(85.05112878), lat_deg))
+    latr = F.radians(lat)
+    ty = F.floor(
+        (F.lit(1.0) - F.log(F.tan(latr) + F.lit(1.0) / F.cos(latr)) / F.lit(3.141592653589793))
+        / F.lit(2.0)
+        * F.lit(n)
+    ).cast("long")
+    return F.greatest(F.lit(0).cast("long"), F.least(F.lit((1 << zoom) - 1).cast("long"), ty))

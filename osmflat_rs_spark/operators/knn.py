@@ -1,0 +1,114 @@
+"""kNN lookup via cell-ring expansion + per-query top-k window.
+
+North-rule operator (no reference analog — the reference's only lookup
+structure is the id dictionary, osmflatc/src/ids.rs:96-158; this is its
+spatial generalization).
+
+Algorithm (exact, guaranteed):
+1. start with a disk cover of radius r around each query point (cells at
+   the points' index resolution);
+2. equi-join points on cell (cover side broadcast — queries are few
+   relative to points), exact haversine via a vectorized NumPy pandas UDF
+   (bit-identical to the model oracle's kernel);
+3. per-query top-k by (dist, point_id) with ``row_number() <= k``;
+4. a query is *settled* when it found ≥k candidates AND its kth distance
+   ≤ r (nothing outside the covered disk can beat rank k). Unsettled
+   queries double r and repeat — a driver loop over a shrinking query
+   set, ≤ O(log) rounds.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from osmflat_rs_spark.functions import cells
+from osmflat_rs_spark.functions.geo import COORD_SCALE
+
+
+@F.pandas_udf(T.DoubleType())
+def haversine_np_udf(lat1: pd.Series, lon1: pd.Series, lat2: pd.Series, lon2: pd.Series) -> pd.Series:
+    """NumPy haversine over fixed-point int columns — same formula order as
+    oracle.haversine_np so ranking ties are bit-exact cross-checks."""
+    import numpy as np
+
+    from osmflat_rs_spark.functions.geo import COORD_SCALE as S
+    from osmflat_rs_spark.functions.geo import EARTH_RADIUS_M as R
+
+    a1 = lat1.to_numpy(dtype="float64") / S
+    o1 = lon1.to_numpy(dtype="float64") / S
+    a2 = lat2.to_numpy(dtype="float64") / S
+    o2 = lon2.to_numpy(dtype="float64") / S
+    lat1r = np.radians(a1)
+    lat2r = np.radians(a2)
+    dlat_half = (np.radians(a2) - np.radians(a1)) / 2.0
+    dlon_half = (np.radians(o2) - np.radians(o1)) / 2.0
+    a = np.sin(dlat_half) * np.sin(dlat_half) + np.cos(lat1r) * np.cos(lat2r) * np.sin(dlon_half) * np.sin(
+        dlon_half
+    )
+    return pd.Series(2.0 * np.arcsin(np.sqrt(a)) * R)
+
+
+def knn_join(
+    points: DataFrame,
+    queries: pd.DataFrame,  # columns: query_id, lat, lon (fixed-point ints)
+    k: int = 5,
+    res: int = 14,
+    init_radius_m: float = 500.0,
+    max_rounds: int = 12,
+) -> DataFrame:
+    """→ DataFrame(query_id, rank, node_idx, dist_m), rank 1..k by
+    (dist, node_idx) — exact kNN, tie-broken deterministically."""
+    spark = points.sparkSession
+    pts = points.select(
+        F.col("node_idx"), F.col("lat").cast("long"), F.col("lon").cast("long")
+    ).withColumn("cell", cells.cell_id_expr(F.col("lat"), F.col("lon"), res))
+    pts = pts.persist()
+
+    pending = queries.copy()
+    radius = {qid: init_radius_m for qid in pending["query_id"]}
+    settled_parts: list[pd.DataFrame] = []
+
+    for _ in range(max_rounds):
+        if pending.empty:
+            break
+        cover_rows = []
+        for q in pending.itertuples():
+            for c in cells.disk_cover(int(q.lat), int(q.lon), radius[q.query_id], res):
+                cover_rows.append((q.query_id, int(q.lat), int(q.lon), int(c)))
+        cover = spark.createDataFrame(
+            cover_rows, schema="query_id string, q_lat long, q_lon long, cell long"
+        )
+        cand = pts.join(F.broadcast(cover), "cell").withColumn(
+            "dist_m", haversine_np_udf("q_lat", "q_lon", "lat", "lon")
+        )
+        w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col("node_idx").asc())
+        topk = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "node_idx", "dist_m")
+        )
+        pdf = topk.toPandas()
+        # settled: k results and kth dist within the guaranteed radius
+        kth = pdf.groupby("query_id").agg(n=("rank", "size"), kd=("dist_m", "max"))
+        done = set(
+            qid for qid, row in kth.iterrows() if row["n"] >= k and row["kd"] <= radius[qid]
+        )
+        if not pdf.empty and done:
+            settled_parts.append(pdf[pdf["query_id"].isin(done)])
+        pending = pending[~pending["query_id"].isin(done)]
+        for qid in pending["query_id"]:
+            radius[qid] *= 2.0
+    else:
+        if not pending.empty:
+            raise RuntimeError(f"knn did not settle for queries: {list(pending['query_id'])}")
+
+    pts.unpersist()
+    out = (
+        pd.concat(settled_parts, ignore_index=True)
+        if settled_parts
+        else pd.DataFrame(columns=["query_id", "rank", "node_idx", "dist_m"])
+    )
+    return spark.createDataFrame(out, schema="query_id string, rank int, node_idx long, dist_m double")

@@ -1,0 +1,132 @@
+"""Raster / vector tiling operators.
+
+``raster_assign`` re-expresses the reference's Bresenham renderer
+(osmflat/examples/render-roads.rs:71-81 affine transform, :132-155 line
+rasterization) as a DataFrame pipeline: integer affine pixel transform →
+consecutive-pair window → line expansion as a pure JVM array expression
+(``sequence`` + ``transform`` — whole-stage-codegen'd, zero Python) →
+explode → distinct.
+
+``tile_assign`` generalizes it to web-mercator slippy tiles at a fixed
+zoom (north-rule raster↔vector assignment): per-vertex tile via a
+vectorized NumPy pandas UDF (bit-identical to the oracle's kernel), then
+the same DDA expansion on the tile grid.
+
+Line spec: symmetric integer DDA, round-half-up both axes, endpoints
+exact (deviation from the reference's error-accumulator form is pinned in
+oracle.dda_line — engine and oracle implement the identical closed form).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from osmflat_rs_spark.functions.geo import COORD_SCALE
+
+RASTER_W = 512
+RASTER_H = 512
+TILE_ZOOM = 14
+
+
+def dda_points_expr(x0: Column, y0: Column, x1: Column, y1: Column) -> Column:
+    """array<struct<x:long, y:long>> of the integer line raster between two
+    grid points — closed-form DDA, all int64 JVM arithmetic:
+        p_i = p0 + sign * ((2*|d|*i + m) div (2*m)),  i = 0..m,
+        m = max(|dx|, |dy|).
+    """
+    adx = F.abs(x1 - x0)
+    ady = F.abs(y1 - y0)
+    sx = F.when(x1 >= x0, F.lit(1)).otherwise(F.lit(-1)).cast("long")
+    sy = F.when(y1 >= y0, F.lit(1)).otherwise(F.lit(-1)).cast("long")
+    m = F.greatest(adx, ady)
+    line = F.transform(
+        F.sequence(F.lit(0).cast("long"), m),
+        lambda i: F.struct(
+            (x0 + sx * ((F.lit(2) * adx * i + m).cast("long") / (F.lit(2) * m)).cast("long")).alias("x"),
+            (y0 + sy * ((F.lit(2) * ady * i + m).cast("long") / (F.lit(2) * m)).cast("long")).alias("y"),
+        ),
+    )
+    single = F.array(F.struct(x0.cast("long").alias("x"), y0.cast("long").alias("y")))
+    return F.when(m == 0, single).otherwise(line)
+
+
+def _segments(coords: DataFrame, id_col: str) -> DataFrame:
+    """(id, pos, gx, gy) → consecutive grid pairs via lead() (SURVEY W3)."""
+    w = Window.partitionBy(id_col).orderBy("pos")
+    return (
+        coords.withColumn("x1", F.lead("gx").over(w))
+        .withColumn("y1", F.lead("gy").over(w))
+        .filter(F.col("x1").isNotNull())
+    )
+
+
+def raster_assign(road_coords: DataFrame, bbox: tuple[int, int, int, int]) -> DataFrame:
+    """road_coords: (way_idx, pos, lat, lon) fully-resolved road vertices;
+    bbox: (min_lat, max_lat, min_lon, max_lon) fixed-point ints.
+    → distinct (way_idx, x, y) Bresenham-family pixels on RASTER_W×H."""
+    min_lat, max_lat, min_lon, max_lon = (int(v) for v in bbox)
+    lat_span = max(1, max_lat - min_lat)
+    lon_span = max(1, max_lon - min_lon)
+    px = ((F.col("lon") - F.lit(min_lon)) * F.lit(RASTER_W - 1) / F.lit(lon_span)).cast("long")
+    py = F.lit(RASTER_H - 1) - ((F.col("lat") - F.lit(min_lat)) * F.lit(RASTER_H - 1) / F.lit(lat_span)).cast(
+        "long"
+    )
+    # NOTE: (a*b)/c on longs in Spark yields double — exact here because
+    # |a*b| < 2^53; for planet-scale rasters switch to expr("a*b div c").
+    pix = road_coords.select(
+        "way_idx",
+        "pos",
+        F.floor(px).cast("long").alias("gx"),
+        F.floor(py).cast("long").alias("gy"),
+    )
+    seg = _segments(pix, "way_idx")
+    return (
+        seg.select(
+            "way_idx", F.explode(dda_points_expr(F.col("gx"), F.col("gy"), F.col("x1"), F.col("y1"))).alias("p")
+        )
+        .select("way_idx", F.col("p.x").cast("int").alias("x"), F.col("p.y").cast("int").alias("y"))
+        .distinct()
+    )
+
+
+@F.pandas_udf(T.StructType([T.StructField("tx", T.LongType()), T.StructField("ty", T.LongType())]))
+def _tile_udf(lat_fixed: pd.Series, lon_fixed: pd.Series) -> pd.DataFrame:
+    """Vectorized slippy-tile encoding (same NumPy ops as oracle.tile_xy)."""
+    import numpy as np
+
+    zoom = TILE_ZOOM
+    n = 1 << zoom
+    lon = lon_fixed.to_numpy("float64") / COORD_SCALE
+    lat = lat_fixed.to_numpy("float64") / COORD_SCALE
+    tx = np.floor((lon + 180.0) / 360.0 * n).astype("int64")
+    latc = np.clip(lat, -85.05112878, 85.05112878)
+    latr = np.radians(latc)
+    ty = np.floor((1.0 - np.log(np.tan(latr) + 1.0 / np.cos(latr)) / np.pi) / 2.0 * n).astype("int64")
+    return pd.DataFrame(
+        {"tx": np.clip(tx, 0, n - 1), "ty": np.clip(ty, 0, n - 1)}
+    )
+
+
+def tile_assign(road_coords: DataFrame, zoom: int = TILE_ZOOM) -> DataFrame:
+    """→ distinct (way_idx, zoom, tile_x, tile_y) touched (DDA on the tile
+    grid between consecutive vertex tiles)."""
+    assert zoom == TILE_ZOOM, "zoom is compiled into the vectorized UDF"
+    tiles = road_coords.select(
+        "way_idx", "pos", _tile_udf(F.col("lat"), F.col("lon")).alias("t")
+    ).select("way_idx", "pos", F.col("t.tx").alias("gx"), F.col("t.ty").alias("gy"))
+    seg = _segments(tiles, "way_idx")
+    return (
+        seg.select(
+            "way_idx", F.explode(dda_points_expr(F.col("gx"), F.col("gy"), F.col("x1"), F.col("y1"))).alias("p")
+        )
+        .select(
+            "way_idx",
+            F.lit(zoom).alias("zoom"),
+            F.col("p.x").alias("tile_x"),
+            F.col("p.y").alias("tile_y"),
+        )
+        .distinct()
+    )

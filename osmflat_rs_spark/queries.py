@@ -1,0 +1,230 @@
+"""The reference example queries (SURVEY §2/§5 acceptance suite) as
+DataFrame plans over the ingested columnar tables.
+
+Each function mirrors one reference program; tag semantics are expressed
+with higher-order array functions (``exists`` / ``filter`` / ``aggregate``)
+— the Spark restatement of the byte-predicate closures in
+osmflat/src/tags.rs:35-84 — so the hot path stays inside
+whole-stage-codegen with zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osmflat_rs_spark.fixtures import UNWANTED_HIGHWAYS
+from osmflat_rs_spark.functions.geo import COORD_SCALE, EARTH_RADIUS_M
+
+
+def _exists_tag(k: str, v: str | None = None):
+    if v is None:
+        return F.exists("tags", lambda t: t["key"] == k)
+    return F.exists("tags", lambda t: (t["key"] == k) & (t["value"] == v))
+
+
+def _find_tag(k: str):
+    """First tag value for key (find_tag, osmflat/src/tags.rs:59-63).
+    F.get (not element_at): null-safe on empty arrays under ANSI mode."""
+    return F.get(F.filter("tags", lambda t: t["key"] == k), 0)["value"]
+
+
+def counts(t: dict[str, DataFrame]) -> DataFrame:
+    """count.rs:15-17 — entity cardinalities."""
+    return (
+        t["nodes"].select(F.lit("node").alias("entity_type"))
+        .unionByName(t["ways"].select(F.lit("way").alias("entity_type")))
+        .unionByName(t["relations"].select(F.lit("relation").alias("entity_type")))
+        .groupBy("entity_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def cities(t: dict[str, DataFrame]) -> DataFrame:
+    """cities.rs:25-40 — place=city nodes with parseable population;
+    try-cast skip semantics via a digits-only guard (usize::parse)."""
+    pop = _find_tag("population")
+    return (
+        t["nodes"]
+        .filter(_exists_tag("place", "city"))
+        .select(
+            _find_tag("name").alias("name"),
+            F.when(pop.rlike("^[0-9]+$"), pop.cast("long")).alias("population"),
+        )
+        .filter(F.col("name").isNotNull() & F.col("population").isNotNull())
+    )
+
+
+def pub_names(t: dict[str, DataFrame]) -> DataFrame:
+    """pub-names.rs:22-38 — nodes ∪ ways with amenity=pub; ordered addr:*
+    tags concatenated (U1 union + P10 key-prefix filter)."""
+    def side(df: DataFrame, source: str) -> DataFrame:
+        return (
+            df.filter(_exists_tag("amenity", "pub"))
+            .select(
+                F.lit(source).alias("source"),
+                F.col("osm_id"),
+                F.coalesce(_find_tag("name"), F.lit("unknown pub name")).alias("name"),
+                F.array_join(
+                    F.transform(
+                        F.filter("tags", lambda tg: tg["key"].startswith("addr:")),
+                        lambda tg: F.concat(tg["key"], F.lit("="), tg["value"]),
+                    ),
+                    "|",
+                ).alias("addr_tags"),
+            )
+        )
+
+    return side(t["nodes"], "node").unionByName(side(t["ways"], "way"))
+
+
+def _haversine_arr(c1, c2):
+    """Haversine between two struct<lat,lon> fixed-point elements — inline
+    expression form usable inside zip_with (formula order of geo.haversine_m)."""
+    la1 = F.radians(c1["lat"].cast("double") / F.lit(float(COORD_SCALE)))
+    la2 = F.radians(c2["lat"].cast("double") / F.lit(float(COORD_SCALE)))
+    dlat_half = (la2 - la1) / F.lit(2.0)
+    dlon_half = (
+        F.radians(c2["lon"].cast("double") / F.lit(float(COORD_SCALE)))
+        - F.radians(c1["lon"].cast("double") / F.lit(float(COORD_SCALE)))
+    ) / F.lit(2.0)
+    a = F.sin(dlat_half) * F.sin(dlat_half) + F.cos(la1) * F.cos(la2) * F.sin(dlon_half) * F.sin(dlon_half)
+    return F.lit(2.0) * F.asin(F.sqrt(a)) * F.lit(EARTH_RADIUS_M)
+
+
+def way_lengths(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-highway-way length (road-length.rs:44-89): explode refs → join
+    nodes (THE hot FK join, SURVEY J5) → re-assemble ordered coord array →
+    in-row pairwise haversine fold (deterministic sequential order, the
+    Spark analog of the reference's fold_options) with NULL-poisoning."""
+    highways = t["ways"].filter(_exists_tag("highway")).select("way_idx", "refs")
+    exploded = highways.select("way_idx", F.explode("refs").alias("r")).select(
+        "way_idx", F.col("r.pos").alias("pos"), F.col("r.node_idx").alias("node_idx")
+    )
+    joined = exploded.join(
+        t["nodes"].select("node_idx", "lat", "lon"), "node_idx", "left"
+    )
+    coords = joined.groupBy("way_idx").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("pos"), F.col("lat"), F.col("lon")))
+        ).alias("coords"),
+        # null-poisoning: any unresolved ref (null node_idx → null lat after
+        # the left join) poisons the way (fold_options semantics)
+        F.sum(F.when(F.col("node_idx").isNull() | F.col("lat").isNull(), 1).otherwise(0)).alias("n_bad"),
+    )
+    n = F.size("coords")
+    pair_dists = F.zip_with(
+        F.slice("coords", 1, n - 1), F.slice("coords", 2, n - 1), _haversine_arr
+    )
+    # sequential left fold — deterministic float accumulation order
+    length = F.aggregate(pair_dists, F.lit(0.0), lambda acc, x: acc + x)
+    return coords.select(
+        "way_idx",
+        F.when(F.col("n_bad") > 0, F.lit(None)).otherwise(length).alias("length_m"),
+    )
+
+
+def road_length(t: dict[str, DataFrame]) -> DataFrame:
+    """Σ lengths of non-poisoned highway ways, meters (A2 global sum)."""
+    return way_lengths(t).agg(F.sum("length_m").alias("total_m"))
+
+
+def road_coords(t: dict[str, DataFrame]) -> DataFrame:
+    """(way_idx, pos, lat, lon) of renderable roads: way_filter of
+    render-roads.rs:99-120 (∃ highway tag with value ∉ 9 unwanted) AND
+    fully resolved (forall refs non-null — null-propagation P13, checked
+    in-row, no join needed)."""
+    roads = t["ways"].filter(
+        F.exists("tags", lambda tg: (tg["key"] == "highway") & ~tg["value"].isin(UNWANTED_HIGHWAYS))
+        & F.forall("refs", lambda r: r["node_idx"].isNotNull())
+    )
+    exploded = roads.select("way_idx", F.explode("refs").alias("r")).select(
+        "way_idx", F.col("r.pos").alias("pos"), F.col("r.node_idx").alias("node_idx")
+    )
+    return exploded.join(t["nodes"].select("node_idx", "lat", "lon"), "node_idx").select(
+        "way_idx", "pos", "lat", "lon"
+    )
+
+
+def bbox(t: dict[str, DataFrame]) -> DataFrame:
+    """render-roads.rs:55-69 — 4-way min/max over renderable road coords."""
+    return road_coords(t).agg(
+        F.min("lat").alias("min_lat"),
+        F.max("lat").alias("max_lat"),
+        F.min("lon").alias("min_lon"),
+        F.max("lon").alias("max_lon"),
+    )
+
+
+def classify(t: dict[str, DataFrame]) -> DataFrame:
+    """render-features.rs:163-233 — order-dependent CASE classification.
+
+    Way: first highway/waterway tag in array order decides; waterway width
+    parse failure poisons (the `.ok()?`). Relation: the two-flag automaton
+    reduces to completion-time arithmetic over first tag positions:
+    t_park = max(pos_mp, pos_park), t_water = max(pos_mp, pos_lake),
+    earliest completion wins, tie → Park (checked first in the source).
+    """
+    keys = F.transform("tags", lambda tg: tg["key"])
+    pos_h = F.array_position(keys, "highway")
+    pos_w = F.array_position(keys, "waterway")
+    hval = _find_tag("highway")
+    width_tag = F.get(
+        F.filter("tags", lambda tg: (tg["key"] == "width") | (tg["key"] == "maxwidth")), 0
+    )["value"]
+    way_cat = (
+        F.when(
+            (pos_h > 0) & ((pos_w == 0) | (pos_h < pos_w)),
+            F.when(hval.isin(UNWANTED_HIGHWAYS), F.lit(None)).otherwise(F.lit("Road")),
+        )
+        .when(
+            pos_w > 0,
+            F.when(width_tag.isNull(), F.lit("River")).when(
+                width_tag.rlike("^[0-9]+$"), F.lit("River")
+            ),  # unparseable width → NULL (poison)
+        )
+    )
+    way_width = F.when(
+        (pos_w > 0) & ((pos_h == 0) | (pos_w < pos_h)),
+        F.when(width_tag.isNull(), F.lit(1)).otherwise(
+            F.when(width_tag.rlike("^[0-9]+$"), width_tag.cast("long"))
+        ),
+    )
+    ways = (
+        t["ways"]
+        .filter(F.size("refs") >= 3)
+        .select(
+            F.lit("way").alias("source"),
+            F.col("way_idx").alias("feature_idx"),
+            way_cat.alias("category"),
+            way_width.alias("width"),
+        )
+        .filter(F.col("category").isNotNull())
+    )
+
+    kv = F.transform("tags", lambda tg: F.concat(tg["key"], F.lit("="), tg["value"]))
+    pos_mp = F.array_position(kv, "type=multipolygon")
+    pos_park = F.least(
+        *[
+            F.when(F.array_position(kv, lit_kv) > 0, F.array_position(kv, lit_kv))
+            for lit_kv in ["leisure=park", "landuse=recreation_ground", "landuse=forest"]
+        ]
+    )
+    pos_lake = F.when(F.array_position(kv, "water=lake") > 0, F.array_position(kv, "water=lake"))
+    t_park = F.when((pos_mp > 0) & pos_park.isNotNull(), F.greatest(pos_mp, pos_park))
+    t_water = F.when((pos_mp > 0) & pos_lake.isNotNull(), F.greatest(pos_mp, pos_lake))
+    rel_cat = (
+        F.when(t_park.isNotNull() & (t_water.isNull() | (t_park <= t_water)), F.lit("Park"))
+        .when(t_water.isNotNull(), F.lit("Water"))
+    )
+    rels = (
+        t["relations"]
+        .select(
+            F.lit("relation").alias("source"),
+            F.col("relation_idx").alias("feature_idx"),
+            rel_cat.alias("category"),
+            F.lit(None).cast("long").alias("width"),
+        )
+        .filter(F.col("category").isNotNull())
+    )
+    return ways.unionByName(rels)

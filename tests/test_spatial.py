@@ -1,0 +1,47 @@
+"""Spatial operator golden tests: two-phase PIP join and kNN vs
+brute-force oracles (north-rule extensions)."""
+
+import pytest
+
+from osmflat_rs_spark import oracle
+from osmflat_rs_spark.operators.knn import knn_join
+from osmflat_rs_spark.operators.spatial_join import pip_join
+from tests.util import assert_frames_equal, normalize
+
+
+def test_pip_join_exact(tables, model, poly_df, poly_pdf):
+    got = pip_join(tables["nodes"], poly_df)
+    want = oracle.q_pip_join(model, poly_pdf)
+    assert len(want) > 0
+    assert_frames_equal(got, want, ["polygon_id", "node_idx"])
+
+
+def test_pip_join_salted_invariant(tables, model, poly_df, poly_pdf):
+    """Salting must not change results (only the physical layout)."""
+    got = pip_join(tables["nodes"], poly_df, salt=4)
+    want = oracle.q_pip_join(model, poly_pdf)
+    assert_frames_equal(got, want, ["polygon_id", "node_idx"])
+
+
+def test_pip_join_res_invariant(tables, model, poly_df, poly_pdf):
+    """Cover resolution is a performance knob, not a semantic one."""
+    want = oracle.q_pip_join(model, poly_pdf)
+    for res in (8, 12):
+        got = pip_join(tables["nodes"], poly_df, cover_res=res)
+        assert_frames_equal(got, want, ["polygon_id", "node_idx"])
+
+
+def test_knn_exact(tables, model):
+    queries = oracle.generate_query_points()
+    got = knn_join(tables["nodes"], queries, k=5)
+    want = oracle.q_knn(model, queries, k=5)
+    assert len(want) == 20 * 5
+    assert_frames_equal(got, want, ["query_id", "rank", "node_idx", "dist_m"])
+
+
+def test_knn_small_radius_still_exact(tables, model):
+    """Force many expansion rounds — results must be identical."""
+    queries = oracle.generate_query_points().head(5)
+    got = knn_join(tables["nodes"], queries, k=5, init_radius_m=10.0)
+    want = oracle.q_knn(model, queries.reset_index(drop=True), k=5)
+    assert_frames_equal(got, want, ["query_id", "rank", "node_idx", "dist_m"])
