@@ -1,0 +1,156 @@
+"""Benchmark harness.
+
+Default mode: run the headline query suite at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric", "value" (total sec), "unit": "sec",
+"queries": {name: sec}, "sf", "docs_per_sec", ...}.
+
+The primary BASELINE.json metric (documents/sec for spatial-join + tiling
+over the interleaved-doc table) is measured by the ``docs_pipeline``
+entry: synthesize the FIXTURES.md docs table scaled to the SF, ingest it
+(span parse → columnar tables), run the two-phase PIP join against the 25
+fixture polygons AND z14 tile assignment, and count processed docs/sec.
+
+Scaling mode (``--scaling``): re-runs the suite in two subprocesses at
+local[N] and local[4N] (default N = CPUS/4) on the same input and reports
+throughput at both + efficiency = (thr_4N / thr_N) / 4 — the sandbox
+evidence for the north rule's two-cluster-size criterion (no real cluster
+here). Results are appended to BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "pip_events",
+    "knn_events",
+    "cell_index_events",
+    "tile_events",
+    "raster_events",
+    "road_length_users",
+    "q1_pricing",
+    "revenue_by_nation",
+    "topk_orders_segment",
+    "minhash_pairs_docs",
+    "ngram_jaccard_docs",
+    "simhash_docs",
+    "ann_topk",
+    "embedding_neardup",
+    "lang_id_docs",
+]
+
+
+def _force(df) -> int:
+    """Fully execute a plan without driver-side materialization."""
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_suite(cpus: int, sf_dir: str) -> dict:
+    import __spark_entry__ as entry
+    from osmflat_rs_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=max(8, cpus))
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        _force(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # --- the primary metric: interleaved-docs spatial-join + tiling ------
+    from osmflat_rs_spark.fixtures import (
+        docs_to_spark,
+        generate_docs,
+        generate_polygons,
+        polygons_to_spark,
+    )
+    from osmflat_rs_spark.ingest import ingest
+    from osmflat_rs_spark import queries as refq
+    from osmflat_rs_spark.operators.spatial_join import pip_join
+    from osmflat_rs_spark.operators.tiling import tile_assign
+
+    sf = _sf_of(sf_dir)
+    scale = max(1, int(round((sf if sf > 0 else 0.1) / 0.01)))  # FIXTURES base ≈ sf0.01
+    pdf, _ = generate_docs(n_nodes=2000 * scale, n_ways=300 * scale, n_rels=50 * scale)
+    n_docs = len(pdf)
+    docs = docs_to_spark(spark, pdf).repartition(cpus)
+    polys = polygons_to_spark(spark, generate_polygons())
+    t0 = time.time()
+    t = ingest(docs)
+    nodes = t["nodes"].persist()
+    nodes.count()
+    _force(pip_join(nodes, polys))
+    _force(tile_assign(refq.road_coords({"nodes": nodes, "ways": t["ways"]})))
+    dt = time.time() - t0
+    timings["docs_pipeline"] = round(dt, 3)
+    docs_per_sec = n_docs / dt
+
+    spark.stop()
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "headline suite wall-clock (spatial join + tiling + dedup + ANN + TPC-H-ish)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "n_docs": n_docs,
+        "docs_per_sec": round(docs_per_sec, 1),
+    }
+
+
+def main():
+    if "--scaling" in sys.argv:
+        lo = max(2, CPUS // 4)
+        results = {}
+        for c in (lo, CPUS):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--cpus", str(c)],
+                capture_output=True,
+                text=True,
+                env={**os.environ, "SPARK_GRAFT_CPUS": str(c)},
+                timeout=3600,
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            results[c] = json.loads(line)
+        thr = {c: results[c]["n_docs"] / results[c]["queries"]["docs_pipeline"] for c in results}
+        eff = (thr[CPUS] / thr[lo]) / (CPUS / lo)
+        summary = {
+            "metric": "scaling efficiency (docs/sec, local[%d] -> local[%d])" % (lo, CPUS),
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "throughput": {str(c): round(thr[c], 1) for c in thr},
+            "suite_sec": {str(c): results[c]["value"] for c in results},
+            "sf": results[CPUS]["sf"],
+        }
+        print(json.dumps(summary))
+        return
+
+    if "--cpus" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
+    else:
+        cpus = CPUS
+    print(json.dumps(run_suite(cpus, SF_DIR)))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,121 @@
+"""Approximate-nearest-neighbor operators over embedding columns.
+
+- ``cosine_topk``: exact brute-force baseline — broadcast the (small)
+  query set against the corpus, dot products via aggregate/zip_with HOFs
+  (JVM-side sequential fold), per-query top-k window. This is the
+  correctness oracle and the right plan when |queries| is small (the
+  corpus is scanned once, map-side only).
+- ``srp_bucketed_topk``: the scale path — signed-random-projection (SRP)
+  LSH buckets from deterministic md5-derived hyperplanes; candidates are
+  corpus rows sharing ≥1 of the query's buckets, then exact re-rank.
+  Recall < 1 by construction (tunable via n_planes/n_tables).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def _with_cosine(joined: DataFrame) -> DataFrame:
+    return joined.withColumn(
+        "cosine",
+        _dot(F.col("va"), F.col("vb"))
+        / (
+            F.sqrt(_dot(F.col("va"), F.col("va")))
+            * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+        ),
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_digits: int | None = 5,
+) -> DataFrame:
+    """→ (query_id, rank, vec_id, cosine): exact brute-force top-k;
+    ranking on the rounded cosine (cross-engine determinism) with vec_id
+    tie-break."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("va")
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("vb"))
+    joined = _with_cosine(c.crossJoin(F.broadcast(q)))
+    cos = F.round(F.col("cosine"), round_digits) if round_digits is not None else F.col("cosine")
+    w = Window.partitionBy("query_id").orderBy(cos.desc(), F.col("vec_id").asc())
+    return (
+        joined.withColumn("c2", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", F.col("c2").alias("cosine"))
+    )
+
+
+def _srp_buckets(vec_col, n_planes: int, n_tables: int, dim: int):
+    """SRP bucket ids: hyperplane t,p has deterministic ±1 weights
+    w[d] = sign(md5_int(t,p,d)); bucket bit = 1 iff Σ w[d]·v[d] > 0."""
+    from osmflat_rs_spark.operators.dedup import md5_int60
+
+    buckets = []
+    for t in range(n_tables):
+        acc = F.lit(0).cast("long")
+        for p in range(n_planes):
+            proj = F.aggregate(
+                F.zip_with(
+                    vec_col,
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(dim - 1)),
+                        lambda d: F.when(
+                            md5_int60(F.concat_ws(":", F.lit(t), F.lit(p), d.cast("string")))
+                            .bitwiseAND(F.lit(1))
+                            == 1,
+                            F.lit(1.0),
+                        ).otherwise(F.lit(-1.0)),
+                    ),
+                    lambda x, w_: x * w_,
+                ),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+            acc = acc + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+        buckets.append(F.struct(F.lit(t).alias("table"), acc.alias("bucket")))
+    return F.array(*buckets)
+
+
+def srp_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """LSH-bucketed ANN: candidates share ≥1 (table, bucket) with the
+    query; exact cosine re-rank of candidates only. Shuffle key is the
+    bucket id — at 10^12 rows this replaces the full-scan crossJoin with
+    a bounded bucket join."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("vb")
+    ).withColumn("bk", F.explode(_srp_buckets(F.col("vb"), n_planes, n_tables, dim)))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("va")
+    ).withColumn("bk", F.explode(_srp_buckets(F.col("va"), n_planes, n_tables, dim)))
+    cand = c.join(F.broadcast(q), "bk").select("query_id", "va", "vec_id", "vb").distinct()
+    joined = _with_cosine(cand)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )

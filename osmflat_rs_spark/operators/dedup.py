@@ -1,0 +1,233 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hot paths are JVM-side column expressions (md5/conv/regexp/array HOFs
+— whole-stage-codegen'd); no Python UDFs anywhere. Hash functions are
+md5-derived 60-bit ints (``conv(substr(md5(x),1,15),16,10)``) so an
+external SQL engine (DuckDB oracle) can reproduce them bit-for-bat —
+cross-engine determinism is part of the operator contract.
+
+Scale notes (10^12 docs):
+- exact dedup: one hash-shuffle on the digest (map-side combine free);
+- minhash-LSH: signatures are per-row (no shuffle), candidate generation
+  shuffles on band-hash (bounded fan-out = n_bands rows/doc), verification
+  joins only candidate pairs — never all-pairs;
+- banding parameters (n_hashes, n_bands) choose the jaccard recall curve:
+  P(candidate) = 1 - (1 - j^(n/b))^b.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def md5_int60(col) -> "F.Column":
+    """Deterministic 60-bit integer hash, reproducible in ANSI SQL as
+    ('0x' || substr(md5(x),1,15))::bigint."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def words_expr(text_col) -> "F.Column":
+    """Lowercased whitespace tokenization (regexp_split_to_array analog)."""
+    return F.split(F.lower(text_col), r"\s+")
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups by content digest → (dup_group, n_docs,
+    min_doc_id). One shuffle on the digest; partial agg map-side."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("dup_group"), F.col(id_col))
+        .groupBy("dup_group")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("min_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def doc_words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, w) exploded word stream (pos 0-based)."""
+    return df.select(
+        F.col(id_col).alias("_id"), F.posexplode(words_expr(F.col(text_col))).alias("pos", "w")
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """k-word shingles via lead() windows over the word stream —
+    row-oriented so the identical construction is expressible in the SQL
+    oracle. Docs shorter than k words yield their full text as one shingle."""
+    w = Window.partitionBy("_id").orderBy("pos")
+    dw = doc_words(df, id_col, text_col)
+    parts = [F.col("w")] + [F.lead("w", i).over(w) for i in range(1, k)]
+    sh = dw.select("_id", F.concat_ws(" ", *parts).alias("shingle"), *[
+        F.lead("w", i).over(w).alias(f"_l{i}") for i in range(1, k)
+    ]).filter(F.col(f"_l{k-1}").isNotNull()).select("_id", "shingle")
+    short = (
+        df.select(F.col(id_col).alias("_id"), F.lower(F.col(text_col)).alias("shingle"))
+        .join(sh.select("_id").distinct(), "_id", "left_anti")
+    )
+    return sh.unionByName(short).distinct()
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 8, k: int = 3
+) -> DataFrame:
+    """(id, sig_0..sig_{n-1}): min over shingles of seed-prefixed md5 ints."""
+    sh = shingles(df, id_col, text_col, k)
+    aggs = [
+        F.min(md5_int60(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig_{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, n_hashes: int = 8, n_bands: int = 4) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing ≥1 band — the bucket-join.
+    Shuffle key = (band index, band hash); hot buckets are bounded by
+    band-width choice, and the pair join never materializes non-candidates."""
+    rows_per_band = n_hashes // n_bands
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(
+            sigs.select(
+                "_id", F.lit(b).alias("band"), F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("bh")
+            )
+        )
+    allb = bands[0]
+    for b in bands[1:]:
+        allb = allb.unionByName(b)
+    left = allb.select("band", "bh", F.col("_id").alias("id_a"))
+    right = allb.select("band", "bh", F.col("_id").alias("id_b"))
+    return (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_for_pairs(
+    df: DataFrame, pairs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Exact word-set jaccard for candidate pairs → (id_a, id_b, jaccard)."""
+    ws = doc_words(df, id_col, text_col).select("_id", "w").distinct()
+    sizes = ws.groupBy("_id").agg(F.count("*").alias("n"))
+    inter = (
+        pairs.join(ws.select(F.col("_id").alias("id_a"), "w"), "id_a")
+        .join(ws.select(F.col("_id").alias("id_b"), F.col("w").alias("w2")), "id_b")
+        .filter(F.col("w") == F.col("w2"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col("_id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.coalesce(F.col("inter"), F.lit(0)).cast("double")
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("inter"), F.lit(0))).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → minhash → band bucket
+    join → exact jaccard verification ≥ threshold. The candidate step IS
+    part of the operator semantics (banded recall), making the whole
+    pipeline deterministic and SQL-reproducible."""
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, k)
+    cand = lsh_candidate_pairs(sigs, n_hashes, n_bands)
+    jac = jaccard_for_pairs(df, cand, id_col, text_col)
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, bucket_col: str, threshold: float = 0.6
+) -> DataFrame:
+    """All-pairs exact word-set jaccard WITHIN a bucket column (e.g.
+    source/domain) — the bounded-blocking exact variant. Never use
+    unbucketed at scale; the bucket is the blocking key."""
+    ws = (
+        df.select(F.col(id_col).alias("_id"), F.col(bucket_col).alias("_bk"), words_expr(F.col(text_col)).alias("ws"))
+        .select("_id", "_bk", F.explode(F.array_distinct("ws")).alias("w"))
+    )
+    sizes = ws.groupBy("_id", "_bk").agg(F.count("*").alias("n"))
+    pairs = (
+        sizes.select(F.col("_bk"), F.col("_id").alias("id_a"), F.col("n").alias("na"))
+        .join(sizes.select(F.col("_bk"), F.col("_id").alias("id_b"), F.col("n").alias("nb")), "_bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    inter = (
+        ws.select("_bk", F.col("_id").alias("id_a"), "w")
+        .join(ws.select("_bk", F.col("_id").alias("id_b"), "w"), ["_bk", "w"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.coalesce(F.col("inter"), F.lit(0)).cast("double")
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("inter"), F.lit(0))).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """Per-doc SimHash over distinct words: bit j set iff the signed vote
+    Σ ±1 (sign = word-hash bit j) is positive. Pure column arithmetic."""
+    ws = doc_words(df, id_col, text_col).select("_id", "w").distinct().withColumn("h", md5_int60(F.col("w")))
+    votes = ws.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(bits)
+        ]
+    )
+    sh = F.lit(0).cast("long")
+    for j in range(bits):
+        sh = sh + F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return votes.select(F.col("_id"), sh.alias("simhash"))
+
+
+def embedding_cosine_pairs(
+    df: DataFrame, id_col: str, vec_col: str, bucket_col: str, threshold: float = 0.9
+) -> DataFrame:
+    """Near-dup pairs by cosine similarity within a bucket (blocking key).
+    Dot products via aggregate/zip_with HOFs — JVM-side, sequential fold
+    (deterministic float order)."""
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(bucket_col).alias("_bk"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("norm", F.sqrt(F.aggregate(F.zip_with("v", "v", lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x)))
+    a = v.select("_bk", F.col("_id").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
+    b = v.select("_bk", F.col("_id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    return (
+        a.join(b, "_bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+            / (F.col("na") * F.col("nb")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
