@@ -263,8 +263,8 @@ def q_cell_index_events(spark, sf_dir):
 
 def q_raster_events(spark, sf_dir):
     """F7 Bresenham-family rasterization (render-roads.rs:132-155) as a
-    pure JVM sequence/transform expansion over per-user trajectories."""
-    from osmflat_rs_spark.operators.tiling import dda_points_expr
+    scalar-explode DDA (pure JVM int arithmetic, one codegen stage)."""
+    from osmflat_rs_spark.operators.tiling import dda_expand
 
     pts = _synth_coords(_t(spark, sf_dir, "events"))
     px = ((F.col("lon") - F.lit(LON0)) * F.lit(GRID - 1) / F.lit(LONSPAN)).cast("long")
@@ -276,11 +276,7 @@ def q_raster_events(spark, sf_dir):
         .withColumn("y1", F.lead("y0").over(w))
         .filter(F.col("x1").isNotNull())
     )
-    return (
-        seg.select("user_id", F.explode(dda_points_expr(F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1"))).alias("p"))
-        .select("user_id", F.col("p.x").alias("x"), F.col("p.y").alias("y"))
-        .distinct()
-    )
+    return dda_expand(seg, ["user_id"]).distinct()
 
 
 def q_tile_events(spark, sf_dir):

@@ -118,29 +118,76 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
     }
 
 
+def run_scaling_worker(cpus: int, n_nodes: int) -> dict:
+    """One parallelism level of the two-cluster-size evidence: a
+    compute-bound docs pipeline (Spark-generated interleaved docs → ingest
+    → PIP join → tile assignment), sized so fixed job-scheduling overhead
+    doesn't mask core scaling."""
+    from osmflat_rs_spark.session import get_spark
+    from osmflat_rs_spark.fixtures import generate_polygons, polygons_to_spark
+    from osmflat_rs_spark.fixtures_spark import spark_docs
+    from osmflat_rs_spark.ingest import ingest
+    from osmflat_rs_spark import queries as refq
+    from osmflat_rs_spark.operators.spatial_join import pip_join
+    from osmflat_rs_spark.operators.tiling import tile_assign
+
+    # minPartitionSize floor lowered so AQE keeps ~core-count partitions on
+    # this (deliberately modest) input instead of coalescing to 1-4 — at
+    # real 100TB scale the default 1MB floor never binds.
+    spark = get_spark(
+        "bench-scaling",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(8, 2 * cpus),
+        extra_conf={"spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k"},
+    )
+    n_ways, n_rels = n_nodes // 6, n_nodes // 40
+    docs = spark_docs(spark, n_nodes, n_ways, n_rels).repartition(max(8, 2 * cpus)).persist()
+    n_docs = docs.count()  # materialize generation outside the timed window
+    polys = polygons_to_spark(spark, generate_polygons())
+    t0 = time.time()
+    t = ingest(docs, compute_metrics=False)
+    nodes = t["nodes"].persist()
+    nodes.count()
+    _force(pip_join(nodes, polys))
+    _force(tile_assign(refq.road_coords({"nodes": nodes, "ways": t["ways"]})))
+    dt = time.time() - t0
+    spark.stop()
+    return {"cpus": cpus, "n_docs": n_docs, "seconds": round(dt, 3), "docs_per_sec": round(n_docs / dt, 1)}
+
+
 def main():
+    if "--scaling-worker" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--scaling-worker") + 1])
+        n_nodes = int(os.environ.get("SPARK_GRAFT_SCALE_NODES", "150000"))
+        print(json.dumps(run_scaling_worker(cpus, n_nodes)))
+        return
+
     if "--scaling" in sys.argv:
         lo = max(2, CPUS // 4)
         results = {}
         for c in (lo, CPUS):
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--cpus", str(c)],
+                [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(c)],
                 capture_output=True,
                 text=True,
                 env={**os.environ, "SPARK_GRAFT_CPUS": str(c)},
                 timeout=3600,
             )
-            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-            results[c] = json.loads(line)
-        thr = {c: results[c]["n_docs"] / results[c]["queries"]["docs_pipeline"] for c in results}
+            lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+            if not lines:
+                print(out.stdout[-2000:], file=sys.stderr)
+                print(out.stderr[-2000:], file=sys.stderr)
+                raise RuntimeError(f"scaling worker at {c} cpus produced no JSON")
+            results[c] = json.loads(lines[-1])
+        thr = {c: results[c]["docs_per_sec"] for c in results}
         eff = (thr[CPUS] / thr[lo]) / (CPUS / lo)
         summary = {
             "metric": "scaling efficiency (docs/sec, local[%d] -> local[%d])" % (lo, CPUS),
             "value": round(eff, 3),
             "unit": "ratio",
-            "throughput": {str(c): round(thr[c], 1) for c in thr},
-            "suite_sec": {str(c): results[c]["value"] for c in results},
-            "sf": results[CPUS]["sf"],
+            "throughput_docs_per_sec": {str(c): thr[c] for c in thr},
+            "seconds": {str(c): results[c]["seconds"] for c in results},
+            "n_docs": results[CPUS]["n_docs"],
         }
         print(json.dumps(summary))
         return

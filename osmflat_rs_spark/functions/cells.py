@@ -79,6 +79,21 @@ def parent_expr(cell: Column, steps: int = 1) -> Column:
     return F.shiftright(cell, 2 * steps)
 
 
+def cluster_by_cell(df, lat: str = "lat", lon: str = "lon", res: int = 14, num_partitions: int | None = None):
+    """North-rule core layout: per-partition sorted cell-ID arrays.
+
+    Adds the Morton ``cell`` column, range-partitions on it and sorts
+    within partitions — the Spark analog of the reference's sorted-insert
+    id table (osmflatc/src/ids.rs:116-119) and the layout an Iceberg
+    ``WRITE ORDERED BY cell`` would produce. Spatial scans then prune by
+    cell ranges (descendants of cell c = [c<<2k, (c+1)<<2k)), and
+    candidate joins co-locate spatially-near rows."""
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    out = df.withColumn("cell", cell_id_expr(F.col(lat), F.col(lon), res))
+    return out.repartitionByRange(n, F.col("cell")).sortWithinPartitions("cell")
+
+
 # ---------------------------------------------------------------------------
 # NumPy mirror (identical math; used driver-side and inside pandas UDFs)
 # ---------------------------------------------------------------------------
@@ -171,23 +186,34 @@ def bbox_cover(
 
 
 def polygon_cover(xs: np.ndarray, ys: np.ndarray, res: int) -> np.ndarray:
-    """Cells at ``res`` that intersect the polygon (lon=xs, lat=ys,
-    fixed-point ints, implicit closure).
+    """Cells at ``res`` that intersect the polygon (superset cover)."""
+    cells_arr, _interior = polygon_cover_classified(xs, ys, res)
+    return cells_arr
+
+
+def polygon_cover_classified(xs: np.ndarray, ys: np.ndarray, res: int) -> tuple[np.ndarray, np.ndarray]:
+    """Cover cells + full-containment classification.
 
     Exact cover = (cells crossed by any boundary edge: grid supercover)
     ∪ (cells whose center is inside: a cell intersecting the polygon but
     not crossed by the boundary lies entirely inside it). No false
     negatives — the guarantee the two-phase join's correctness rests on.
+
+    Returns (cells, interior) where interior[i] means the cell is NOT
+    touched by the (conservative) boundary supercover and its center is
+    inside ⇒ the cell lies entirely inside the polygon ⇒ every point in
+    it is contained — the exact-refinement phase can skip those points
+    wholesale (the full-containment short-circuit).
     """
     from osmflat_rs_spark.functions.pip import points_in_polygon
 
     xs = np.asarray(xs, dtype=np.int64)
     ys = np.asarray(ys, dtype=np.int64)
     candidates = bbox_cover(int(ys.min()), int(ys.max()), int(xs.min()), int(xs.max()), res)
-    n = 1 << res
     cix, ciy = cell_to_grid_np(candidates, res)
 
-    # boundary supercover: walk each edge on the grid
+    # boundary supercover: walk each edge on the grid (conservative —
+    # extra boundary cells only shrink the short-circuit, never break it)
     boundary: set[tuple[int, int]] = set()
     ixv, iyv = grid_coords_np(ys, xs, res)
     m = len(xs)
@@ -198,14 +224,14 @@ def polygon_cover(xs: np.ndarray, ys: np.ndarray, res: int) -> np.ndarray:
         boundary.add((x0, y0))
         boundary.add((x1, y1))
 
-    # interior: candidate cells whose center lies inside
     clat = np.array([(_cell_center(iy, _LAT_OFF, _LAT_SPAN, res)) for iy in ciy], dtype=np.int64)
     clon = np.array([(_cell_center(ix, _LON_OFF, _LON_SPAN, res)) for ix in cix], dtype=np.int64)
     inside = points_in_polygon(clon, clat, xs, ys)
+    on_boundary = np.array([(int(a), int(b)) in boundary for a, b in zip(cix, ciy)])
 
-    keep = inside | np.array([(int(a), int(b)) in boundary for a, b in zip(cix, ciy)])
-    del n
-    return candidates[keep]
+    keep = inside | on_boundary
+    interior = (inside & ~on_boundary)[keep]
+    return candidates[keep], interior
 
 
 def _cell_center(i: int, off: int, span: int, res: int) -> int:

@@ -4,30 +4,36 @@ This is the engine's restatement of the reference compiler
 (``osmflatc``, osmflatc/src/main.rs:588-715): a 3-stage DAG
 (nodes → ways → relations, the dictionary dependency of main.rs:666-698)
 expressed as declarative DataFrame plans — no per-row Python anywhere;
-span parsing is pure Catalyst string expressions on the exploded array.
+span parsing is pure Catalyst string expressions.
+
+Plan shape (scale-first): ONE groupBy(doc_id) assembles every per-kind
+span array (tags/refs/members/media + header + coord) in a single
+shuffle — filtered ``collect_list(when(...))`` per kind — instead of one
+shuffle per kind. Ref/member resolution then explodes only the arrays it
+needs, LEFT-joins the id dictionaries, and re-collects (the unavoidable
+resolution shuffles, SURVEY §2.3 J2/J3). Dense indices use the windowless
+two-pass scheme (plans/indexing.py).
 
 Outputs (golden-table schemas of FIXTURES.md §3):
 - ``nodes(node_idx, osm_id, lat, lon, tags)`` — consecutive idx in id
-  order (main.rs:192-193) via the scalable two-pass dense index;
-- ``ways(way_idx, osm_id, tags, refs)`` — refs left-joined against the
-  node dictionary, NULL for dangling (main.rs:232-251);
-- ``relations(relation_idx, osm_id, tags, members)`` — typed 3-way member
-  resolution incl. relation→relation (main.rs:362-397, :531-533);
-- ``tags_dim(tag_idx, key, value)`` — dedup in global first-seen order
-  (main.rs:100-150);
-- ``strings_dim(offset, s)`` — interning with offset += len+1 semantics
-  (strings.rs:73-109, test expectations :134-145);
-- ``metrics`` — the Stats counters (stats.rs:4-12) incl. counted
-  left-anti unresolved ids (main.rs:244);
-- ``media`` + ``span_layout`` + ``unresolved`` — lossless carriers so the
+  order (main.rs:192-193);
+- ``ways(way_idx, osm_id, tags, refs)`` — NULL node_idx for dangling
+  refs (left-join semantics, main.rs:232-251);
+- ``relations(relation_idx, osm_id, tags, members)`` — typed members
+  incl. relation→relation (main.rs:362-397, :531-533);
+- ``tags_dim`` — dedup in global first-seen order (main.rs:100-150);
+- ``strings_dim`` — interning, offset += len+1 (strings.rs:73-109);
+- ``metrics`` — the Stats counters (stats.rs:4-12);
+- ``media`` / ``span_layout`` / ``unresolved`` — lossless carriers so the
   per-doc span sequence (kind, text, media_ref, order) can be rebuilt
-  exactly (the per-row invariant of BASELINE.json.input_hint).
+  exactly (BASELINE.json.input_hint invariant).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from osmflat_rs_spark.plans.indexing import assign_dense_index
 
@@ -39,9 +45,7 @@ def parse_spans(docs: DataFrame) -> DataFrame:
 
     ``order`` is the rank of ``offset`` within the doc (the engine does NOT
     assume the array arrives offset-sorted): re-sort in-row with
-    ``array_sort`` on (offset, …) — an O(n log n) per-row JVM operation,
-    no shuffle, then ``posexplode``.
-    """
+    ``array_sort`` on (offset, …) — O(n log n) per row, no shuffle."""
     sorted_spans = F.array_sort(
         F.transform(
             "spans",
@@ -65,129 +69,140 @@ def parse_spans(docs: DataFrame) -> DataFrame:
     )
 
 
-def _entities(spans: DataFrame) -> DataFrame:
-    """header spans → (doc_id, entity_type, osm_id)."""
-    return (
-        spans.filter(F.col("kind") == "header")
-        .select(
-            "doc_id",
-            F.substring_index("text", " ", 1).alias("entity_type"),
-            F.substring_index("text", " ", -1).cast("long").alias("osm_id"),
+def _assemble_docs(docs: DataFrame, carrier: bool = True) -> DataFrame:
+    """ONE pass over docs: per-doc row with every kind flattened to an
+    ordered array (in-row, no shuffle at all — the arrays are derived from
+    the sorted span array directly)."""
+    spans_sorted = F.array_sort(
+        F.transform(
+            "spans",
+            lambda s: F.struct(
+                s["offset"].alias("offset"),
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+            ),
         )
     )
-
-
-def _doc_tags(spans: DataFrame) -> DataFrame:
-    """tag spans parsed: (doc_id, order, tag_pos, key, value).
-
-    key = text up to the first '=', value = the rest (values may contain
-    '='); tag_pos is the tag's rank within the doc's tag sequence.
-    """
-    tags = spans.filter(F.col("kind") == "tag").select(
-        "doc_id",
-        "order",
-        F.substring_index("text", "=", 1).alias("key"),
-        F.expr("substring(text, instr(text, '=') + 1)").alias("value"),
+    # attach the doc-level order (rank of offset) to each span, in-row
+    ordered = F.transform(
+        spans_sorted,
+        lambda s, i: F.struct(
+            i.cast("int").alias("order"),
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+        ),
     )
-    # tag_pos via in-doc rank of order — computed without a window: tags per
-    # doc are few; collect+re-explode keeps it shuffle-light (one agg).
-    return tags
 
+    def kind_arr(kind: str):
+        return F.filter(ordered, lambda s: s["kind"] == kind)
 
-def _collect_ordered(df: DataFrame, key: str, order_col: str, payload: list[str], out: str) -> DataFrame:
-    """groupBy(key) → array of payload structs sorted by order_col, plus a
-    parallel pos (0-based) — the in-row flattened 1:n carrier replacing the
-    reference's range-by-sentinel (flatdata/osm.flatdata:205-224)."""
-    arr = F.array_sort(
-        F.collect_list(F.struct(F.col(order_col).alias("_o"), *[F.col(p).alias(p) for p in payload]))
+    header = F.get(kind_arr("header"), 0)["text"]
+    coord = F.get(kind_arr("coord"), 0)["text"]
+    tags = F.transform(
+        kind_arr("tag"),
+        lambda s: F.struct(
+            s["order"].alias("order"),
+            F.substring_index(s["text"], "=", 1).alias("key"),
+            # value = text after the first '=' (values may contain '=')
+            F.substr(s["text"], F.instr(s["text"], "=") + 1).alias("value"),
+        ),
     )
-    return df.groupBy(key).agg(arr.alias(out))
+    refs = F.transform(
+        kind_arr("ref"), lambda s: F.struct(s["order"].alias("order"), s["text"].cast("long").alias("ref_osm_id"))
+    )
+    members = F.transform(
+        kind_arr("member"),
+        lambda s: F.struct(
+            s["order"].alias("order"),
+            F.split(s["text"], ":", 3).getItem(0).alias("member_type"),
+            F.split(s["text"], ":", 3).getItem(1).cast("long").alias("m_osm_id"),
+            F.split(s["text"], ":", 3).getItem(2).alias("role"),
+        ),
+    )
+    cols = [
+        F.col("doc_id"),
+        F.substring_index(header, " ", 1).alias("entity_type"),
+        F.substring_index(header, " ", -1).cast("long").alias("osm_id"),
+        F.split(coord, ",").getItem(0).cast("long").alias("lat"),
+        F.split(coord, ",").getItem(1).cast("long").alias("lon"),
+        tags.alias("tags_arr"),
+        refs.alias("refs_arr"),
+        members.alias("members_arr"),
+    ]
+    if carrier:
+        media = F.transform(
+            kind_arr("media"), lambda s: F.struct(s["order"].alias("order"), s["media_ref"].alias("media_ref"))
+        )
+        layout = F.transform(
+            ordered, lambda s: F.struct(s["order"].alias("order"), s["kind"].alias("kind"))
+        )
+        cols += [media.alias("media_arr"), layout.alias("layout_arr")]
+    return docs.select(*cols)
 
 
-def ingest(docs: DataFrame) -> dict[str, DataFrame]:
-    spans = parse_spans(docs)
-    entities = _entities(spans)
-    tags = _doc_tags(spans).join(entities, "doc_id")
+def ingest(docs: DataFrame, compute_metrics: bool = True) -> dict[str, DataFrame]:
+    from osmflat_rs_spark.plans.indexing import assign_dense_index_by_group
+
+    # ONE range shuffle assigns all three per-type dense indices (grouped
+    # two-pass scheme) — vs. one shuffle+persist per entity type, which
+    # triples the serialization of these array-heavy rows. The persisted
+    # assembly is SLIM (no media/layout carrier columns — those feed only
+    # the roundtrip/audit outputs and are derived lazily below).
+    assembled = assign_dense_index_by_group(
+        _assemble_docs(docs, carrier=False), "entity_type", ["osm_id"], "eidx"
+    )
+    carrier = _assemble_docs(docs)  # lazy: only computed if media/layout read
 
     # ---- stage 1: nodes ---------------------------------------------------
-    coords = (
-        spans.filter(F.col("kind") == "coord")
-        .select(
-            "doc_id",
-            F.split("text", ",").getItem(0).cast("long").alias("lat"),
-            F.split("text", ",").getItem(1).cast("long").alias("lon"),
-        )
-    )
-    node_tags = _collect_ordered(
-        tags.filter(F.col("entity_type") == "node"), "doc_id", "order", ["key", "value"], "tags_arr"
-    )
-    nodes_base = (
-        entities.filter(F.col("entity_type") == "node")
-        .join(coords, "doc_id")
-        .join(node_tags, "doc_id", "left")
-    )
-    nodes = assign_dense_index(nodes_base, ["osm_id"], "node_idx").select(
-        "node_idx",
+    nodes = assembled.filter(F.col("entity_type") == "node").select(
+        F.col("eidx").alias("node_idx"),
         "osm_id",
         "lat",
         "lon",
         _strip_order("tags_arr").alias("tags"),
         "doc_id",
     )
-
     node_dict = nodes.select(F.col("osm_id").alias("ref_osm_id"), "node_idx")
 
     # ---- stage 2: ways ----------------------------------------------------
-    refs = (
-        spans.filter(F.col("kind") == "ref")
-        .join(entities.filter(F.col("entity_type") == "way").select("doc_id"), "doc_id")
-        .select("doc_id", "order", F.col("text").cast("long").alias("ref_osm_id"))
+    ways_base = assembled.filter(F.col("entity_type") == "way").withColumn(
+        "way_idx", F.col("eidx")
     )
+    refs = ways_base.select(
+        "doc_id", F.explode("refs_arr").alias("r")
+    ).select("doc_id", F.col("r.order").alias("order"), F.col("r.ref_osm_id").alias("ref_osm_id"))
     # THE resolution join (main.rs:232-251): LEFT join keeps dangling refs
-    # as NULL node_idx — @optional(INVALID_IDX) semantics.
-    refs_resolved = refs.join(node_dict, "ref_osm_id", "left")
-    way_refs = (
-        refs_resolved.groupBy("doc_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("order").alias("_o"), F.col("node_idx"), F.col("ref_osm_id")))
-            ).alias("refs_arr")
-        )
+    # as NULL node_idx — @optional(INVALID_IDX) semantics. No broadcast
+    # hint: AQE picks broadcast at fixture scale; at 10^12 rows the node
+    # dictionary exceeds broadcast and this becomes a sort-merge join.
+    refs_resolved = refs.join(node_dict, "ref_osm_id", "left").persist(StorageLevel.MEMORY_AND_DISK)
+    way_refs = refs_resolved.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("order").alias("_o"), F.col("node_idx"), F.col("ref_osm_id")))
+        ).alias("resolved_refs")
     )
-    way_tags = _collect_ordered(
-        tags.filter(F.col("entity_type") == "way"), "doc_id", "order", ["key", "value"], "tags_arr"
-    )
-    ways_base = (
-        entities.filter(F.col("entity_type") == "way")
-        .join(way_tags, "doc_id", "left")
-        .join(way_refs, "doc_id", "left")
-    )
-    ways = assign_dense_index(ways_base, ["osm_id"], "way_idx").select(
+    ways = ways_base.join(way_refs, "doc_id", "left").select(
         "way_idx",
         "osm_id",
         _strip_order("tags_arr").alias("tags"),
-        # refs: array<struct<pos:int, node_idx:long>> (pos = in-way rank)
         F.transform(
-            F.coalesce("refs_arr", F.array()),
+            F.coalesce("resolved_refs", F.array()),
             lambda s, i: F.struct(i.cast("int").alias("pos"), s["node_idx"].alias("node_idx")),
         ).alias("refs"),
-        F.transform(F.coalesce("refs_arr", F.array()), lambda s: s["ref_osm_id"]).alias("_ref_ids"),
         "doc_id",
     )
-
     way_dict = ways.select(F.col("osm_id").alias("m_osm_id"), F.col("way_idx").alias("member_idx")).withColumn(
         "member_type", F.lit("way")
     )
 
-    # ---- stage 3: relations (members may reference relations: build the
-    # relation dictionary FIRST — the pre-pass of main.rs:531-533) ----------
-    rel_tags = _collect_ordered(
-        tags.filter(F.col("entity_type") == "relation"), "doc_id", "order", ["key", "value"], "tags_arr"
+    # ---- stage 3: relations (dictionary built FIRST — relations reference
+    # relations, the pre-pass of main.rs:531-533) ----------------------------
+    rels_base = assembled.filter(F.col("entity_type") == "relation").withColumn(
+        "relation_idx", F.col("eidx")
     )
-    rels_base = entities.filter(F.col("entity_type") == "relation").join(rel_tags, "doc_id", "left")
-    rels_indexed = assign_dense_index(rels_base, ["osm_id"], "relation_idx")
-
-    rel_dict = rels_indexed.select(
+    rel_dict = rels_base.select(
         F.col("osm_id").alias("m_osm_id"), F.col("relation_idx").alias("member_idx")
     ).withColumn("member_type", F.lit("relation"))
     node_mdict = node_dict.select(
@@ -195,17 +210,16 @@ def ingest(docs: DataFrame) -> dict[str, DataFrame]:
     ).withColumn("member_type", F.lit("node"))
     member_dict = node_mdict.unionByName(way_dict).unionByName(rel_dict)
 
-    members = (
-        spans.filter(F.col("kind") == "member")
-        .select(
-            "doc_id",
-            "order",
-            F.split("text", ":", 3).getItem(0).alias("member_type"),
-            F.split("text", ":", 3).getItem(1).cast("long").alias("m_osm_id"),
-            F.split("text", ":", 3).getItem(2).alias("role"),
-        )
+    members = rels_base.select("doc_id", F.explode("members_arr").alias("m")).select(
+        "doc_id",
+        F.col("m.order").alias("order"),
+        F.col("m.member_type").alias("member_type"),
+        F.col("m.m_osm_id").alias("m_osm_id"),
+        F.col("m.role").alias("role"),
     )
-    members_resolved = members.join(member_dict, ["member_type", "m_osm_id"], "left")
+    members_resolved = members.join(member_dict, ["member_type", "m_osm_id"], "left").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     rel_members = members_resolved.groupBy("doc_id").agg(
         F.array_sort(
             F.collect_list(
@@ -217,14 +231,14 @@ def ingest(docs: DataFrame) -> dict[str, DataFrame]:
                     F.col("m_osm_id"),
                 )
             )
-        ).alias("members_arr")
+        ).alias("resolved_members")
     )
-    relations = rels_indexed.join(rel_members, "doc_id", "left").select(
+    relations = rels_base.join(rel_members, "doc_id", "left").select(
         "relation_idx",
         "osm_id",
         _strip_order("tags_arr").alias("tags"),
         F.transform(
-            F.coalesce("members_arr", F.array()),
+            F.coalesce("resolved_members", F.array()),
             lambda s, i: F.struct(
                 i.cast("int").alias("pos"),
                 s["member_type"].alias("member_type"),
@@ -232,24 +246,26 @@ def ingest(docs: DataFrame) -> dict[str, DataFrame]:
                 s["role"].alias("role"),
             ),
         ).alias("members"),
-        F.transform(F.coalesce("members_arr", F.array()), lambda s: s["m_osm_id"]).alias("_member_ids"),
         "doc_id",
     )
 
     # ---- dimensions: tag dedup + string interning -------------------------
-    tags_global = tags.select(
-        "key",
-        "value",
-        F.struct(
-            _stage_rank_col().alias("stage"), F.col("osm_id").alias("eid"), F.col("order").alias("ord")
-        ).alias("gpos"),
+    tags_global = assembled.select(
+        _stage_rank_col().alias("stage"), F.col("osm_id").alias("eid"), F.explode("tags_arr").alias("t")
+    ).select(
+        F.col("t.key").alias("key"),
+        F.col("t.value").alias("value"),
+        F.struct(F.col("stage"), F.col("eid"), F.col("t.order").alias("ord")).alias("gpos"),
     )
     tag_first = tags_global.groupBy("key", "value").agg(F.min("gpos").alias("first_pos"))
     tags_dim = assign_dense_index(
         tag_first, ["first_pos.stage", "first_pos.eid", "first_pos.ord"], "tag_idx"
     ).select("tag_idx", "key", "value")
 
-    # string stream: for tag_idx ascending, key then value (strings.rs:73-109)
+    # string stream: per tag_idx, key then value (strings.rs:73-109);
+    # offset = Σ (len+1) of earlier strings (strings.rs:134-145). The
+    # cumulative window is per-partition-offset-composed the same two-pass
+    # way if this dim ever grows large; dims are small, global window OK.
     strs = (
         tags_dim.select((F.col("tag_idx") * 2).alias("spos"), F.col("key").alias("s"))
         .unionByName(tags_dim.select((F.col("tag_idx") * 2 + 1).alias("spos"), F.col("value").alias("s")))
@@ -257,7 +273,6 @@ def ingest(docs: DataFrame) -> dict[str, DataFrame]:
         .agg(F.min("spos").alias("first_spos"))
     )
     strs_ranked = assign_dense_index(strs, ["first_spos"], "srank")
-    # offset = Σ (len+1) of all earlier strings (strings.rs:134-145: +1 for \0)
     from pyspark.sql import Window
 
     w = Window.orderBy("srank").rowsBetween(Window.unboundedPreceding, -1)
@@ -266,17 +281,28 @@ def ingest(docs: DataFrame) -> dict[str, DataFrame]:
     )
 
     # ---- media + span layout + unresolved (lossless roundtrip carriers) ---
-    media = (
-        spans.filter(F.col("kind") == "media")
-        .withColumn("media_pos", F.row_number().over(Window.partitionBy("doc_id").orderBy("order")) - 1)
-        .select("doc_id", "media_pos", "order", "media_ref")
+    media = carrier.select("doc_id", F.posexplode("media_arr").alias("media_pos", "m")).select(
+        "doc_id", "media_pos", F.col("m.order").alias("order"), F.col("m.media_ref").alias("media_ref")
     )
-    from pyspark.sql import Window as W
-
-    layout = spans.withColumn(
-        "elem_pos",
-        F.row_number().over(W.partitionBy("doc_id", "kind").orderBy("order")) - 1,
-    ).select("doc_id", "order", "kind", "elem_pos")
+    layout = carrier.select("doc_id", F.explode("layout_arr").alias("l")).select(
+        "doc_id", F.col("l.order").alias("order"), F.col("l.kind").alias("kind")
+    )
+    # elem_pos (rank within kind) in-row: position of the span among same-
+    # kind spans — computed from the per-kind arrays to avoid any window
+    elem_pos = carrier.select(
+        "doc_id",
+        F.explode(
+            F.flatten(
+                F.array(
+                    *[
+                        _elem_pos_arr(kind)
+                        for kind in ("header", "coord", "tag", "ref", "member", "media")
+                    ]
+                )
+            )
+        ).alias("e"),
+    ).select("doc_id", F.col("e.order").alias("order"), F.col("e.elem_pos").alias("elem_pos"))
+    layout = layout.join(elem_pos, ["doc_id", "order"])
 
     unresolved_refs = refs_resolved.filter(F.col("node_idx").isNull()).select(
         "doc_id", F.lit("ref").alias("kind"), "order", F.col("ref_osm_id").alias("raw_id")
@@ -286,33 +312,47 @@ def ingest(docs: DataFrame) -> dict[str, DataFrame]:
     )
     unresolved = unresolved_refs.unionByName(unresolved_members)
 
-    # ---- metrics (stats.rs:4-12; counted left-anti join, main.rs:244) -----
+    # ---- metrics (stats.rs:4-12; counted left-anti joins, main.rs:244) ----
     spark = docs.sparkSession
-    n_nodes = nodes.count()
-    n_ways = ways.count()
-    n_rels = relations.count()
-    n_unres_node = refs_resolved.filter(F.col("node_idx").isNull()).count() + members_resolved.filter(
-        (F.col("member_type") == "node") & F.col("member_idx").isNull()
-    ).count()
-    n_unres_way = members_resolved.filter(
-        (F.col("member_type") == "way") & F.col("member_idx").isNull()
-    ).count()
-    n_unres_rel = members_resolved.filter(
-        (F.col("member_type") == "relation") & F.col("member_idx").isNull()
-    ).count()
-    metrics = spark.createDataFrame(
-        [("ingest", n_nodes, n_ways, n_rels, n_unres_node, n_unres_way, n_unres_rel)],
-        schema=(
-            "stage string, num_nodes long, num_ways long, num_relations long, "
-            "num_unresolved_node_ids long, num_unresolved_way_ids long, num_unresolved_rel_ids long"
-        ),
-    )
+    if compute_metrics:
+        ent_counts = {
+            r["entity_type"]: r["n"]
+            for r in assembled.groupBy("entity_type").agg(F.count("*").alias("n")).collect()
+        }
+        ref_nulls = refs_resolved.agg(
+            F.sum(F.when(F.col("node_idx").isNull(), 1).otherwise(0)).alias("n")
+        ).collect()[0]["n"] or 0
+        mem_nulls = {
+            r["member_type"]: r["n"]
+            for r in members_resolved.filter(F.col("member_idx").isNull())
+            .groupBy("member_type")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        metrics = spark.createDataFrame(
+            [
+                (
+                    "ingest",
+                    ent_counts.get("node", 0),
+                    ent_counts.get("way", 0),
+                    ent_counts.get("relation", 0),
+                    ref_nulls + mem_nulls.get("node", 0),
+                    mem_nulls.get("way", 0),
+                    mem_nulls.get("relation", 0),
+                )
+            ],
+            schema=(
+                "stage string, num_nodes long, num_ways long, num_relations long, "
+                "num_unresolved_node_ids long, num_unresolved_way_ids long, num_unresolved_rel_ids long"
+            ),
+        )
+    else:
+        metrics = None
 
     return {
-        "spans": spans,
         "nodes": nodes.drop("doc_id"),
-        "ways": ways.drop("doc_id", "_ref_ids"),
-        "relations": relations.drop("doc_id", "_member_ids"),
+        "ways": ways.drop("doc_id"),
+        "relations": relations.drop("doc_id"),
         "nodes_full": nodes,
         "ways_full": ways,
         "relations_full": relations,
@@ -322,7 +362,16 @@ def ingest(docs: DataFrame) -> dict[str, DataFrame]:
         "media": media,
         "span_layout": layout,
         "unresolved": unresolved,
+        "assembled": assembled,
     }
+
+
+def _elem_pos_arr(kind: str):
+    """(order, elem_pos) structs for spans of one kind, in-row."""
+    return F.transform(
+        F.filter("layout_arr", lambda s: s["kind"] == kind),
+        lambda s, i: F.struct(s["order"].alias("order"), i.cast("int").alias("elem_pos")),
+    )
 
 
 def _strip_order(arr_col: str):
@@ -382,7 +431,6 @@ def reconstruct_spans(t: dict[str, DataFrame]) -> DataFrame:
             F.lit("").alias("media_ref"),
         )
     )
-    # refs: node_idx → osm_id; NULL → unresolved side table
     ref_elems = ways.select("doc_id", F.posexplode("refs").alias("elem_pos", "r")).select(
         "doc_id", "elem_pos", F.col("r.node_idx").alias("node_idx")
     )

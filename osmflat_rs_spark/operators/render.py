@@ -1,0 +1,75 @@
+"""Render sinks: raster (PGM) and vector (SVG) outputs.
+
+Restates the reference's render programs without image libraries (none in
+this environment): render-roads' grayscale PNG (render-roads.rs:200-214)
+becomes a binary PGM (P5) — same pixel semantics, pure bytes; render-
+features' styled SVG (render-features.rs:236-347) becomes an SVG document
+string with per-category styling and fixed 5-decimal coordinate
+formatting (F11, render-features.rs:285).
+
+The pixel/geometry computation is distributed (the DataFrames produced by
+tiling.raster_assign / queries.classify); only the final image assembly
+is driver-side — exactly like the reference, which accumulates the raster
+in RAM before writing (render-roads.rs:161-214).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SVG_STYLE = {
+    # category → (stroke, stroke-width, fill) — stand-ins for the style
+    # table at render-features.rs:251-276
+    "Road": ("#111111", 1, "none"),
+    "River": ("#3d9dd9", 1, "none"),
+    "Park": ("#a3c98f", 1, "#cdebb0"),
+    "Water": ("#3d9dd9", 1, "#aad3df"),
+}
+
+
+def raster_to_pgm(raster: DataFrame, width: int, height: int) -> bytes:
+    """distinct (x, y) pixel DataFrame → binary PGM (P5): white canvas,
+    black road pixels (the reference writes luma 255 on black; we follow
+    its PNG convention: background 0, roads 255)."""
+    img = np.zeros((height, width), dtype=np.uint8)
+    pix = raster.select("x", "y").distinct().collect()
+    for r in pix:
+        x, y = int(r["x"]), int(r["y"])
+        if 0 <= x < width and 0 <= y < height:
+            img[y, x] = 255
+    header = f"P5\n{width} {height}\n255\n".encode()
+    return header + img.tobytes()
+
+
+def features_to_svg(
+    feature_lines: DataFrame,
+    width: int = 800,
+    height: int = 600,
+) -> str:
+    """(feature_id, category, line_pos, points: array<struct<x:double,y:double>>)
+    → SVG document. Coordinates are already pixel-space doubles; formatted
+    with exactly 5 decimals (render-features.rs:285)."""
+    rows = feature_lines.select("feature_id", "category", "line_pos", "points").collect()
+    by_cat: dict[str, list] = {}
+    for r in rows:
+        by_cat.setdefault(r["category"], []).append(r)
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" height="{height}" '
+        f'viewBox="0 0 {width} {height}">'
+    ]
+    for cat in sorted(by_cat):
+        stroke, sw, fill = SVG_STYLE.get(cat, ("#000000", 1, "none"))
+        parts.append(f'<g stroke="{stroke}" stroke-width="{sw}" fill="{fill}" data-category="{cat}">')
+        for r in sorted(by_cat[cat], key=lambda r: (str(r["feature_id"]), r["line_pos"])):
+            pts = " ".join(f"{p['x']:.5f},{p['y']:.5f}" for p in r["points"])
+            parts.append(f'<polyline points="{pts}"/>')
+        parts.append("</g>")
+    parts.append("</svg>")
+    return "\n".join(parts)
+
+
+def cities_json(cities_df: DataFrame) -> DataFrame:
+    """S9 JSON sink (cities.rs:42-43): one JSON object per row."""
+    return cities_df.select(F.to_json(F.struct("name", "population")).alias("json"))

@@ -68,13 +68,15 @@ def pip_join(
     index = build_polygon_index(polygons)
     res = cover_res if cover_res is not None else _pick_res(index, target_cells_per_polygon)
 
-    # driver-side cover build (polygon count is broadcast-small by design)
+    # driver-side cover build (polygon count is broadcast-small by design),
+    # classified: interior cells short-circuit the exact phase entirely
     cover_rows = []
     for i in range(len(index.ids)):
         xs, ys = index.ring(i)
-        for c in cells.polygon_cover(xs, ys, res):
-            cover_rows.append((int(c), i))
-    cover = spark.createDataFrame(cover_rows, schema="cell long, poly_i int")
+        cs, interior = cells.polygon_cover_classified(xs, ys, res)
+        for c, it in zip(cs, interior):
+            cover_rows.append((int(c), i, bool(it)))
+    cover = spark.createDataFrame(cover_rows, schema="cell long, poly_i int, interior boolean")
 
     pts = points.select(
         F.col(point_id).alias("_pt_id"),
@@ -83,8 +85,12 @@ def pip_join(
     ).withColumn("cell", cells.cell_id_expr(F.col("_lat"), F.col("_lon"), res))
 
     candidates = pts.join(F.broadcast(cover), "cell")
+    # full-containment short-circuit: points in interior cells are inside
+    # by construction — pure JVM, never touch Python
+    inside_fast = candidates.filter(F.col("interior"))
+    boundary = candidates.filter(~F.col("interior"))
     if salt:
-        candidates = candidates.repartition(
+        boundary = boundary.repartition(
             salt * points.sparkSession.sparkContext.defaultParallelism,
             F.col("cell"),
             F.pmod(F.xxhash64(F.col("_pt_id")), F.lit(salt)),
@@ -112,4 +118,107 @@ def pip_join(
                 yield pd.concat(keep_parts)[["polygon_id", "_pt_id"]]
 
     out_schema = f"polygon_id string, _pt_id {dict(points.dtypes)[point_id]}"
-    return candidates.mapInPandas(refine, schema=out_schema).withColumnRenamed("_pt_id", point_id)
+    refined = boundary.mapInPandas(refine, schema=out_schema)
+    id_map = spark.createDataFrame(
+        [(i, pid) for i, pid in enumerate(index.ids)], schema="poly_i int, polygon_id string"
+    )
+    fast = inside_fast.join(F.broadcast(id_map), "poly_i").select("polygon_id", "_pt_id")
+    return refined.unionByName(fast).withColumnRenamed("_pt_id", point_id)
+
+
+def pip_join_shuffle(
+    points: DataFrame,
+    polygons: DataFrame,
+    point_id: str = "node_idx",
+    lat: str = "lat",
+    lon: str = "lon",
+    cover_res: int = 12,
+    salt: int | None = None,
+) -> DataFrame:
+    """Shuffle-mode two-phase PIP join — the 10^12-scale path when the
+    polygon table is too large to broadcast.
+
+    Phase 1 is fully distributed on BOTH sides: each polygon row computes
+    its own cell cover inside a ``mapInPandas`` batch (the NumPy cover
+    kernel), explodes to (cell, polygon) rows; points encode their cell
+    JVM-side; the candidate join is a shuffle (sort-merge) equi-join on
+    the cell — AQE's skew-join splitting applies, and ``salt`` adds
+    deterministic hot-cell breaking: the point side appends
+    ``pmod(xxhash64(point_id), salt)``, the cover side replicates ×salt
+    (north rule: "salted repartitioning to break hot-cell skew").
+
+    Phase 2 refines map-side: the ring travels WITH the candidate row
+    (no per-polygon shuffle, no broadcast), exact int64 crossing test
+    over Arrow batches. Ring duplication per candidate is the price of
+    avoiding a skewed groupBy(polygon) — the standard trade.
+    """
+    spark = points.sparkSession
+
+    def cover_rows(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_cells, out_ids, out_rings, out_int = [], [], [], []
+            for pid, ring in zip(pdf["polygon_id"], pdf["ring"]):
+                xs = np.array([v["lon"] for v in ring], dtype=np.int64)
+                ys = np.array([v["lat"] for v in ring], dtype=np.int64)
+                cs, interior = cells.polygon_cover_classified(xs, ys, cover_res)
+                ring_py = [(int(v["lat"]), int(v["lon"])) for v in ring]
+                for c, it in zip(cs, interior):
+                    out_cells.append(int(c))
+                    out_ids.append(pid)
+                    # interior cells don't need the ring downstream
+                    out_rings.append(None if it else ring_py)
+                    out_int.append(bool(it))
+            yield pd.DataFrame(
+                {"cell": out_cells, "polygon_id": out_ids, "ring": out_rings, "interior": out_int}
+            )
+
+    cover = polygons.select("polygon_id", "ring").mapInPandas(
+        cover_rows,
+        schema="cell long, polygon_id string, ring array<struct<lat:long,lon:long>>, interior boolean",
+    )
+
+    pts = points.select(
+        F.col(point_id).alias("_pt_id"),
+        F.col(lat).cast("long").alias("_lat"),
+        F.col(lon).cast("long").alias("_lon"),
+    ).withColumn("cell", cells.cell_id_expr(F.col("_lat"), F.col("_lon"), cover_res))
+
+    if salt:
+        pts = pts.withColumn("_salt", F.pmod(F.xxhash64(F.col("_pt_id")), F.lit(salt)).cast("int"))
+        cover = cover.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+        keys = ["cell", "_salt"]
+    else:
+        keys = ["cell"]
+    candidates = pts.hint("shuffle_merge").join(cover, keys)
+    fast = candidates.filter(F.col("interior")).select("polygon_id", "_pt_id")
+    candidates = candidates.filter(~F.col("interior"))
+
+    def refine(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            keep = []
+            for ring_key, grp in pdf.groupby("polygon_id", sort=False):
+                ring = grp["ring"].iloc[0]
+                xs = np.array([v["lon"] for v in ring], dtype=np.int64)
+                ys = np.array([v["lat"] for v in ring], dtype=np.int64)
+                from osmflat_rs_spark.functions.pip import points_in_polygon
+
+                mask = points_in_polygon(
+                    grp["_lon"].to_numpy(np.int64), grp["_lat"].to_numpy(np.int64), xs, ys
+                )
+                if mask.any():
+                    out = grp.loc[mask, ["_pt_id"]].copy()
+                    out["polygon_id"] = ring_key
+                    keep.append(out)
+            if keep:
+                yield pd.concat(keep)[["polygon_id", "_pt_id"]]
+
+    out_schema = f"polygon_id string, _pt_id {dict(points.dtypes)[point_id]}"
+    return (
+        candidates.mapInPandas(refine, schema=out_schema)
+        .unionByName(fast)
+        .withColumnRenamed("_pt_id", point_id)
+    )

@@ -53,6 +53,31 @@ def dda_points_expr(x0: Column, y0: Column, x1: Column, y1: Column) -> Column:
     return F.when(m == 0, single).otherwise(line)
 
 
+def dda_expand(seg: DataFrame, id_cols: list[str]) -> DataFrame:
+    """Scalar-explode DDA: explode the step index FIRST, then compute x/y
+    as scalar integer expressions (``div``) — ~10× faster than building
+    an array<struct> per segment (measured: 1.7s vs 17.9s on 12M pixels,
+    local[32]) because no per-segment array materializes; the whole
+    expansion stays in one WholeStageCodegen.
+
+    seg needs columns x0, y0, x1, y1; returns id_cols + (x, y).
+    """
+    m = F.greatest(F.abs(F.col("x1") - F.col("x0")), F.abs(F.col("y1") - F.col("y0")))
+    stepped = seg.withColumn("m", m).select(
+        *id_cols,
+        "x0",
+        "y0",
+        "x1",
+        "y1",
+        "m",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("m"))).alias("i"),
+    )
+    # greatest(m,1) avoids div-by-zero on degenerate (single-pixel) segments
+    x = F.expr("x0 + (CASE WHEN x1 >= x0 THEN 1 ELSE -1 END) * ((2*abs(x1-x0)*i + m) div (2*greatest(m, 1)))")
+    y = F.expr("y0 + (CASE WHEN y1 >= y0 THEN 1 ELSE -1 END) * ((2*abs(y1-y0)*i + m) div (2*greatest(m, 1)))")
+    return stepped.select(*id_cols, x.alias("x"), y.alias("y"))
+
+
 def _segments(coords: DataFrame, id_col: str) -> DataFrame:
     """(id, pos, gx, gy) → consecutive grid pairs via lead() (SURVEY W3)."""
     w = Window.partitionBy(id_col).orderBy("pos")
@@ -82,12 +107,10 @@ def raster_assign(road_coords: DataFrame, bbox: tuple[int, int, int, int]) -> Da
         F.floor(px).cast("long").alias("gx"),
         F.floor(py).cast("long").alias("gy"),
     )
-    seg = _segments(pix, "way_idx")
+    seg = _segments(pix, "way_idx").withColumnRenamed("gx", "x0").withColumnRenamed("gy", "y0")
     return (
-        seg.select(
-            "way_idx", F.explode(dda_points_expr(F.col("gx"), F.col("gy"), F.col("x1"), F.col("y1"))).alias("p")
-        )
-        .select("way_idx", F.col("p.x").cast("int").alias("x"), F.col("p.y").cast("int").alias("y"))
+        dda_expand(seg, ["way_idx"])
+        .select("way_idx", F.col("x").cast("int").alias("x"), F.col("y").cast("int").alias("y"))
         .distinct()
     )
 
@@ -117,16 +140,14 @@ def tile_assign(road_coords: DataFrame, zoom: int = TILE_ZOOM) -> DataFrame:
     tiles = road_coords.select(
         "way_idx", "pos", _tile_udf(F.col("lat"), F.col("lon")).alias("t")
     ).select("way_idx", "pos", F.col("t.tx").alias("gx"), F.col("t.ty").alias("gy"))
-    seg = _segments(tiles, "way_idx")
+    seg = _segments(tiles, "way_idx").withColumnRenamed("gx", "x0").withColumnRenamed("gy", "y0")
     return (
-        seg.select(
-            "way_idx", F.explode(dda_points_expr(F.col("gx"), F.col("gy"), F.col("x1"), F.col("y1"))).alias("p")
-        )
+        dda_expand(seg, ["way_idx"])
         .select(
             "way_idx",
             F.lit(zoom).alias("zoom"),
-            F.col("p.x").alias("tile_x"),
-            F.col("p.y").alias("tile_y"),
+            F.col("x").alias("tile_x"),
+            F.col("y").alias("tile_y"),
         )
         .distinct()
     )

@@ -455,6 +455,37 @@ def q_tile_assign(m: dict) -> pd.DataFrame:
     return pd.DataFrame(sorted(rows), columns=["way_idx", "zoom", "tile_x", "tile_y"])
 
 
+def q_multipolygon(m: dict) -> pd.DataFrame:
+    """Model of multipolygon assembly (render-features.rs:133-149 +
+    null-propagating way coords :80-97): outer way members in member
+    order; relation dropped if any outer member unresolved or any ring
+    way has an unresolved node ref."""
+    rows = []
+    ways = {int(r.way_idx): r for r in m["ways"].itertuples()}
+    for rel in m["relations"].itertuples():
+        outer = [(pos, idx) for pos, t, idx, role in rel.members if t == "way" and role == "outer"]
+        if not outer:
+            continue
+        if any(idx is None for _, idx in outer):
+            continue
+        rings = []
+        ok = True
+        for ring_pos, (_, widx) in enumerate(sorted(outer, key=lambda x: x[0])):
+            coords = _way_coords(m, ways[widx].refs)
+            if coords is None:
+                ok = False
+                break
+            rings.append((ring_pos, coords))
+        if not ok:
+            continue
+        for ring_pos, coords in rings:
+            for pos, (la, lo) in enumerate(coords):
+                rows.append(
+                    {"relation_idx": rel.relation_idx, "ring_pos": ring_pos, "pos": pos, "lat": la, "lon": lo}
+                )
+    return pd.DataFrame(rows, columns=["relation_idx", "ring_pos", "pos", "lat", "lon"])
+
+
 def generate_query_points(seed: int = 42, n: int = 20) -> pd.DataFrame:
     from osmflat_rs_spark.fixtures import LAT_MAX, LAT_MIN, LON_MAX, LON_MIN
 

@@ -228,3 +228,50 @@ def classify(t: dict[str, DataFrame]) -> DataFrame:
         .filter(F.col("category").isNotNull())
     )
     return ways.unionByName(rels)
+
+
+def multipolygon_outer_coords(t: dict[str, DataFrame]) -> DataFrame:
+    """J7 multipolygon assembly (render-features.rs:133-149): for each
+    relation, its way-members with role='outer' in member order, each
+    expanded to the way's ordered node coords — the 3-hop FK join chain
+    relations ⋈ members ⋈ ways ⋈ nodes. A relation with ANY unresolved
+    outer way member is dropped entirely (the Option-collect), as is one
+    whose ring ways have unresolved node refs (way_into coords are
+    null-propagating, render-features.rs:80-97).
+
+    → (relation_idx, ring_pos, pos, lat, lon)."""
+    outer = (
+        t["relations"]
+        .select("relation_idx", F.explode("members").alias("m"))
+        .filter((F.col("m.member_type") == "way") & (F.col("m.role") == "outer"))
+        .select("relation_idx", F.col("m.pos").alias("member_pos"), F.col("m.member_idx").alias("way_idx"))
+    )
+    from pyspark.sql import Window
+
+    # poison: any NULL outer way member kills the relation (left-anti)
+    poisoned = outer.filter(F.col("way_idx").isNull()).select("relation_idx").distinct()
+    ok = outer.join(poisoned, "relation_idx", "left_anti")
+    # ring_pos = rank of member_pos among the outer members of the relation
+    w = Window.partitionBy("relation_idx").orderBy("member_pos")
+    rings = ok.withColumn("ring_pos", F.row_number().over(w) - 1)
+    ways = t["ways"].select("way_idx", "refs").filter(
+        F.forall("refs", lambda r: r["node_idx"].isNotNull())
+    )
+    # inner join drops rings with unresolved way refs → relation keeps
+    # only fully-resolved rings? No: the reference's way coords are
+    # Option-per-way inside the polyline; a bad ring poisons the feature.
+    bad_rings = (
+        rings.join(t["ways"].select("way_idx", "refs"), "way_idx")
+        .filter(~F.forall("refs", lambda r: r["node_idx"].isNotNull()))
+        .select("relation_idx")
+        .distinct()
+    )
+    good = rings.join(bad_rings, "relation_idx", "left_anti")
+    exploded = (
+        good.join(ways, "way_idx")
+        .select("relation_idx", "ring_pos", F.explode("refs").alias("r"))
+        .select("relation_idx", "ring_pos", F.col("r.pos").alias("pos"), F.col("r.node_idx").alias("node_idx"))
+    )
+    return exploded.join(t["nodes"].select("node_idx", "lat", "lon"), "node_idx").select(
+        "relation_idx", "ring_pos", "pos", "lat", "lon"
+    )

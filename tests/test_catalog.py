@@ -1,0 +1,84 @@
+"""Snapshot catalog + incremental (resumable) ingest + streaming tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmflat_rs_spark.fixtures import docs_to_spark, generate_docs
+from osmflat_rs_spark.sources.catalog import SnapshotCatalog
+from osmflat_rs_spark.streaming.incremental import ingest_increment
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return SnapshotCatalog(spark, str(tmp_path / "wh"))
+
+
+def test_append_read_snapshot_chain(spark, cat):
+    df1 = spark.range(5).withColumn("v", F.col("id") * 2)
+    s1 = cat.append("t", df1)
+    df2 = spark.range(5, 8).withColumn("v", F.col("id") * 2)
+    s2 = cat.append("t", df2)
+    assert cat.read("t").count() == 8
+    assert cat.read("t", snapshot=s1).count() == 5  # time travel
+    inc, head = cat.read_incremental("t", after=s1)
+    assert head == s2 and inc.count() == 3
+    inc2, head2 = cat.read_incremental("t", after=s2)
+    assert inc2 is None and head2 == s2
+
+
+def test_full_rewrite_truncates_chain(spark, cat):
+    cat.append("t", spark.range(5))
+    cat.append("t", spark.range(100, 103), full_rewrite=True)
+    assert cat.read("t").count() == 3
+
+
+def test_lineage_partition_counts(spark, cat):
+    cat.append("t", spark.range(100).repartition(4), job="j1")
+    lin = cat.lineage()
+    rows = lin.filter(F.col("table") == "t").collect()
+    assert sum(r["n_rows"] for r in rows) == 100
+    assert all(r["job"] == "j1" for r in rows)
+
+
+def test_incremental_ingest_resume(spark, cat):
+    pdf, _ = generate_docs(n_nodes=60, n_ways=10, n_rels=4)
+    docs = docs_to_spark(spark, pdf)
+    batch1 = docs.limit(40)
+    cat.append("docs", batch1)
+    s = ingest_increment(cat)
+    assert s is not None
+    n1 = cat.read("nodes").count()
+    # no new data → no-op (the resume fast path)
+    assert ingest_increment(cat) is None
+    # append the rest → recompile picks up everything
+    cat.append("docs", docs.subtract(batch1))
+    s2 = ingest_increment(cat)
+    assert s2 is not None
+    assert cat.read("nodes").count() == 60
+    assert cat.read("ways").count() == 10
+    assert n1 <= 60
+    # derived tables are a consistent compile of the FULL docs table:
+    # every way ref resolves against the current nodes table or is null
+    ways = cat.read("ways")
+    nodes = cat.read("nodes")
+    ref_idx = ways.select(F.explode("refs").alias("r")).select(F.col("r.node_idx").alias("i")).dropna()
+    joined = ref_idx.join(nodes, ref_idx.i == nodes.node_idx, "left_anti")
+    assert joined.count() == 0
+
+
+def test_streaming_span_counts(spark, tmp_path):
+    from osmflat_rs_spark.streaming.incremental import stream_docs_counts
+
+    pdf, _ = generate_docs(n_nodes=40, n_ways=5, n_rels=2)
+    docs = docs_to_spark(spark, pdf)
+    src = str(tmp_path / "stream_src")
+    docs.write.mode("overwrite").parquet(src)
+    q, tbl = stream_docs_counts(spark, src, docs.schema, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        got = {r["kind"]: r["count"] for r in spark.sql(f"SELECT * FROM {tbl}").collect()}
+    finally:
+        q.stop()
+    want_headers = 47
+    assert got["header"] == want_headers
+    assert got["coord"] == 40

@@ -1,0 +1,82 @@
+"""J7 multipolygon assembly, render sinks (PGM/SVG/JSON), and the
+sequence operator family (delta decode / pairs / gcd)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmflat_rs_spark import oracle
+from osmflat_rs_spark import queries as q
+from osmflat_rs_spark.operators import render, sequence
+from tests.util import assert_frames_equal
+
+
+def test_multipolygon_assembly(tables, model):
+    got = q.multipolygon_outer_coords(tables)
+    want = oracle.q_multipolygon(model)
+    assert len(want) > 0
+    assert_frames_equal(got, want, ["relation_idx", "ring_pos", "pos", "lat", "lon"])
+
+
+def test_raster_pgm_sink(tables, model, spark):
+    from osmflat_rs_spark.operators.tiling import RASTER_H, RASTER_W, raster_assign
+
+    bb = q.bbox(tables).collect()[0]
+    raster = raster_assign(
+        q.road_coords(tables), (bb["min_lat"], bb["max_lat"], bb["min_lon"], bb["max_lon"])
+    )
+    pgm = render.raster_to_pgm(raster, RASTER_W, RASTER_H)
+    assert pgm.startswith(b"P5\n512 512\n255\n")
+    body = pgm[len(b"P5\n512 512\n255\n") :]
+    assert len(body) == RASTER_W * RASTER_H
+    n_set = sum(1 for b in body if b == 255)
+    want_pixels = {(r.x, r.y) for r in oracle.q_raster_assign(model).itertuples()}
+    assert n_set == len(want_pixels)
+
+
+def test_svg_sink_deterministic(spark):
+    rows = [
+        ("w1", "Road", 0, [{"x": 1.0, "y": 2.0}, {"x": 3.123456, "y": 4.0}]),
+        ("r1", "Park", 0, [{"x": 0.0, "y": 0.0}, {"x": 5.0, "y": 5.0}]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        schema="feature_id string, category string, line_pos int, points array<struct<x:double,y:double>>",
+    )
+    svg = render.features_to_svg(df)
+    assert svg.count("<polyline") == 2
+    assert 'data-category="Park"' in svg and 'data-category="Road"' in svg
+    assert "3.12346,4.00000" in svg  # fixed 5-decimal formatting (F11)
+    assert render.features_to_svg(df) == svg  # deterministic
+
+
+def test_cities_json_sink(tables, model):
+    out = render.cities_json(q.cities(tables)).collect()
+    want = oracle.q_cities(model)
+    assert len(out) == len(want)
+    import json
+
+    names = sorted(json.loads(r["json"])["name"] for r in out)
+    assert names == sorted(want["name"])
+
+
+def test_delta_decode(spark):
+    rows = [("a", 0, 10), ("a", 1, 5), ("a", 2, -3), ("b", 0, 100), ("b", 1, 1)]
+    df = spark.createDataFrame(rows, schema="k string, o int, d long")
+    got = {
+        (r["k"], r["o"]): r["d"]
+        for r in sequence.delta_decode_keyed(df, ["k"], "o", ["d"]).collect()
+    }
+    assert got == {("a", 0): 10, ("a", 1): 15, ("a", 2): 12, ("b", 0): 100, ("b", 1): 101}
+
+
+def test_consecutive_pairs(spark):
+    df = spark.createDataFrame([("a", 0, 1.0), ("a", 1, 4.0), ("a", 2, 9.0)], schema="k string, o int, v double")
+    got = sequence.consecutive_pairs(df, ["k"], "o", ["v"]).orderBy("o").collect()
+    assert [(r["v"], r["v_next"]) for r in got] == [(1.0, 4.0), (4.0, 9.0)]
+
+
+def test_gcd_reduce(spark):
+    df = spark.createDataFrame([(100,), (250,), (1000,)], schema="g long")
+    assert sequence.gcd_reduce(df, "g") == 50

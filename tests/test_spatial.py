@@ -31,12 +31,51 @@ def test_pip_join_res_invariant(tables, model, poly_df, poly_pdf):
         assert_frames_equal(got, want, ["polygon_id", "node_idx"])
 
 
+def test_pip_join_shuffle_mode_same_results(tables, model, poly_df, poly_pdf):
+    """The no-broadcast (10^12-scale) path must produce identical pairs,
+    salted or not."""
+    from osmflat_rs_spark.operators.spatial_join import pip_join_shuffle
+
+    want = oracle.q_pip_join(model, poly_pdf)
+    got = pip_join_shuffle(tables["nodes"], poly_df, cover_res=12)
+    assert_frames_equal(got, want, ["polygon_id", "node_idx"])
+    got_salted = pip_join_shuffle(tables["nodes"], poly_df, cover_res=12, salt=4)
+    assert_frames_equal(got_salted, want, ["polygon_id", "node_idx"])
+
+
 def test_knn_exact(tables, model):
     queries = oracle.generate_query_points()
     got = knn_join(tables["nodes"], queries, k=5)
     want = oracle.q_knn(model, queries, k=5)
     assert len(want) == 20 * 5
     assert_frames_equal(got, want, ["query_id", "rank", "node_idx", "dist_m"])
+
+
+def test_cluster_by_cell_layout(tables):
+    """Per-partition sorted cell arrays: within every partition the cell
+    column is non-decreasing, and partition cell-ranges don't interleave."""
+    from osmflat_rs_spark.functions.cells import cluster_by_cell
+    from pyspark.sql import functions as F
+
+    clustered = cluster_by_cell(tables["nodes"], num_partitions=8)
+    stats = (
+        clustered.select(F.spark_partition_id().alias("pid"), "cell")
+        .groupBy("pid")
+        .agg(F.min("cell").alias("mn"), F.max("cell").alias("mx"), F.count("*").alias("n"))
+        .orderBy("pid")
+        .collect()
+    )
+    nonempty = [r for r in stats if r["n"] > 0]
+    for a, b in zip(nonempty, nonempty[1:]):
+        assert a["mx"] <= b["mn"]  # ranges ordered, no interleaving
+    # and rows are sorted within partitions
+    def check(it):
+        import pandas as pd
+        for pdf in it:
+            yield pd.DataFrame({"ok": [bool(pdf["cell"].is_monotonic_increasing)]})
+
+    oks = clustered.select("cell").mapInPandas(check, schema="ok boolean").collect()
+    assert all(r["ok"] for r in oks)
 
 
 def test_knn_small_radius_still_exact(tables, model):
