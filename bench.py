@@ -149,7 +149,7 @@ def run_scaling_worker(cpus: int, n_nodes: int) -> dict:
     nodes = t["nodes"].persist()
     nodes.count()
     _force(pip_join(nodes, polys))
-    _force(tile_assign(refq.road_coords({"nodes": nodes, "ways": t["ways"]})))
+    _force(tile_assign(refq.road_coords({"nodes": nodes, "ways": t["ways"]}), jvm_tiles=True))
     dt = time.time() - t0
     spark.stop()
     return {"cpus": cpus, "n_docs": n_docs, "seconds": round(dt, 3), "docs_per_sec": round(n_docs / dt, 1)}

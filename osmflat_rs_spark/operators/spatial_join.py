@@ -60,10 +60,17 @@ def pip_join(
     lon: str = "lon",
     cover_res: int | None = None,
     salt: int | None = None,
-    target_cells_per_polygon: int = 256,
+    target_cells_per_polygon: int = 4096,
 ) -> DataFrame:
     """→ DataFrame(polygon_id, <point_id>) — exact containment pairs
-    (boundary inclusive), bit-equal to the model oracle."""
+    (boundary inclusive), bit-equal to the model oracle.
+
+    ``target_cells_per_polygon`` sizes the cover resolution: finer covers
+    mean more interior cells (which short-circuit JVM-side) and fewer
+    points per boundary cell (which is what the Python exact phase pays
+    for). Measured at 1.5M points / 25 polygons: res 14 → 1.12M boundary
+    candidates, res 18 → 117k. Cover stays broadcast-small (≤ ~50k rows).
+    """
     spark = points.sparkSession
     index = build_polygon_index(polygons)
     res = cover_res if cover_res is not None else _pick_res(index, target_cells_per_polygon)

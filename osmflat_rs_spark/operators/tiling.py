@@ -133,13 +133,29 @@ def _tile_udf(lat_fixed: pd.Series, lon_fixed: pd.Series) -> pd.DataFrame:
     )
 
 
-def tile_assign(road_coords: DataFrame, zoom: int = TILE_ZOOM) -> DataFrame:
+def tile_assign(road_coords: DataFrame, zoom: int = TILE_ZOOM, jvm_tiles: bool = False) -> DataFrame:
     """→ distinct (way_idx, zoom, tile_x, tile_y) touched (DDA on the tile
-    grid between consecutive vertex tiles)."""
+    grid between consecutive vertex tiles).
+
+    ``jvm_tiles=False`` (default) computes tile coords with the NumPy
+    pandas UDF — bit-identical to the model oracle (the golden path).
+    ``jvm_tiles=True`` uses the pure column-expression form (geo.py) —
+    zero Python, preferred at scale; may differ from the NumPy kernel
+    only when trig lands within 1 ulp of a tile boundary."""
     assert zoom == TILE_ZOOM, "zoom is compiled into the vectorized UDF"
-    tiles = road_coords.select(
-        "way_idx", "pos", _tile_udf(F.col("lat"), F.col("lon")).alias("t")
-    ).select("way_idx", "pos", F.col("t.tx").alias("gx"), F.col("t.ty").alias("gy"))
+    if jvm_tiles:
+        from osmflat_rs_spark.functions.geo import mercator_tile_x, mercator_tile_y, to_degrees
+
+        tiles = road_coords.select(
+            "way_idx",
+            "pos",
+            mercator_tile_x(to_degrees(F.col("lon")), zoom).alias("gx"),
+            mercator_tile_y(to_degrees(F.col("lat")), zoom).alias("gy"),
+        )
+    else:
+        tiles = road_coords.select(
+            "way_idx", "pos", _tile_udf(F.col("lat"), F.col("lon")).alias("t")
+        ).select("way_idx", "pos", F.col("t.tx").alias("gx"), F.col("t.ty").alias("gy"))
     seg = _segments(tiles, "way_idx").withColumnRenamed("gx", "x0").withColumnRenamed("gy", "y0")
     return (
         dda_expand(seg, ["way_idx"])
