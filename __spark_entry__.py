@@ -190,6 +190,35 @@ def q_json_k_events(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
+def q_cube_events(spark, sf_dir):
+    """Grouping sets (CUBE) — beyond the reference (no cube there), needed
+    for a complete OLAP surface. dow aligned: Spark dayofweek-1 == DuckDB
+    date_part('dow') (0=Sunday)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("dow", (F.dayofweek("ts") - 1).cast("long"))
+        .cube("event_type", "dow")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+
+
+def q_anti_join_users(spark, sf_dir):
+    """Left-anti join (EXCEPT semantics): users who signed up but never
+    purchased — the counted anti-join family (SURVEY J9)."""
+    e = _t(spark, sf_dir, "events")
+    signup = e.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    purchase = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return signup.join(purchase, "user_id", "left_anti")
+
+
+def q_semi_join_users(spark, sf_dir):
+    """Left-semi join (INTERSECT semantics): users with both."""
+    e = _t(spark, sf_dir, "events")
+    signup = e.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    purchase = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return signup.join(purchase, "user_id", "left_semi")
+
+
 def q_bbox_events(spark, sf_dir):
     """A4 4-way min/max bounds (render-roads.rs:55-69)."""
     pts = _synth_coords(_t(spark, sf_dir, "events"))
@@ -582,6 +611,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_names": q_union_names,
         "filter_parts_notin": q_filter_parts_notin,
         "json_k_events": q_json_k_events,
+        "cube_events": q_cube_events,
+        "anti_join_users": q_anti_join_users,
+        "semi_join_users": q_semi_join_users,
         "bbox_events": q_bbox_events,
         "road_length_users": q_road_length_users,
         "pip_events": q_pip_events,
@@ -662,6 +694,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1), '') AS BIGINT) AS k
             FROM events
             WHERE CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1), '') AS BIGINT) IS NOT NULL
+        """,
+        "cube_events": """
+            SELECT event_type, CAST(date_part('dow', ts) AS BIGINT) AS dow,
+                   COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+            FROM events GROUP BY CUBE (event_type, CAST(date_part('dow', ts) AS BIGINT))
+        """,
+        "anti_join_users": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+            EXCEPT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "semi_join_users": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+            INTERSECT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
         """,
         "bbox_events": f"""
             SELECT MIN(lat) AS min_lat, MAX(lat) AS max_lat, MIN(lon) AS min_lon, MAX(lon) AS max_lon

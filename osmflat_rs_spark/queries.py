@@ -230,6 +230,77 @@ def classify(t: dict[str, DataFrame]) -> DataFrame:
     return ways.unionByName(rels)
 
 
+def debug_dump(t: dict[str, DataFrame], types: str = "nwr", num: int | None = None) -> DataFrame:
+    """debug.rs:120-205 — formatted dump of the first ``num`` entities of
+    the selected types (ordered take-first-N, SURVEY W5/O4), coordinates in
+    degrees (P1), tags as k=v lists."""
+    from osmflat_rs_spark.functions.geo import COORD_SCALE
+
+    tag_str = F.array_join(F.transform("tags", lambda tg: F.concat(tg["key"], F.lit("="), tg["value"])), ",")
+    parts = []
+    if "n" in types:
+        parts.append(
+            t["nodes"].select(
+                F.lit("node").alias("source"),
+                F.col("node_idx").alias("idx"),
+                F.concat(
+                    F.lit("Node{id="),
+                    F.col("osm_id"),
+                    F.lit(", lat="),
+                    F.format_number(F.col("lat") / F.lit(float(COORD_SCALE)), 7),
+                    F.lit(", lon="),
+                    F.format_number(F.col("lon") / F.lit(float(COORD_SCALE)), 7),
+                    F.lit(", tags=["),
+                    tag_str,
+                    F.lit("]}"),
+                ).alias("text"),
+            )
+        )
+    if "w" in types:
+        refs_str = F.array_join(
+            F.transform("refs", lambda r: F.coalesce(r["node_idx"].cast("string"), F.lit("None"))), ","
+        )
+        parts.append(
+            t["ways"].select(
+                F.lit("way").alias("source"),
+                F.col("way_idx").alias("idx"),
+                F.concat(
+                    F.lit("Way{id="), F.col("osm_id"), F.lit(", tags=["), tag_str,
+                    F.lit("], nodes=["), refs_str, F.lit("]}"),
+                ).alias("text"),
+            )
+        )
+    if "r" in types:
+        mem_str = F.array_join(
+            F.transform(
+                "members",
+                lambda m: F.concat_ws(
+                    ":", m["member_type"], F.coalesce(m["member_idx"].cast("string"), F.lit("None")), m["role"]
+                ),
+            ),
+            ",",
+        )
+        parts.append(
+            t["relations"].select(
+                F.lit("relation").alias("source"),
+                F.col("relation_idx").alias("idx"),
+                F.concat(
+                    F.lit("Relation{id="), F.col("osm_id"), F.lit(", tags=["), tag_str,
+                    F.lit("], members=["), mem_str, F.lit("]}"),
+                ).alias("text"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    if num is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("source").orderBy("idx")
+        out = out.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= num).drop("_rn")
+    return out
+
+
 def multipolygon_outer_coords(t: dict[str, DataFrame]) -> DataFrame:
     """J7 multipolygon assembly (render-features.rs:133-149): for each
     relation, its way-members with role='outer' in member order, each

@@ -61,6 +61,21 @@ def test_cities_json_sink(tables, model):
     assert names == sorted(want["name"])
 
 
+def test_debug_dump(tables, model):
+    got = q.debug_dump(tables, types="nw", num=3).collect()
+    assert len(got) == 6  # 3 nodes + 3 ways
+    node0 = next(r for r in got if r["source"] == "node" and r["idx"] == 0)
+    n0 = model["nodes"].iloc[0]
+    assert f"id={n0.osm_id}" in node0["text"]
+    assert f"{n0.lat / 1e7:.7f}" in node0["text"].replace(",", "")  # degree formatting
+    way0 = next(r for r in got if r["source"] == "way" and r["idx"] == 0)
+    w0 = model["ways"].iloc[0]
+    assert f"id={w0.osm_id}" in way0["text"]
+    # unresolved refs print as None (INVALID_IDX semantics)
+    if any(i is None for _, i in w0.refs):
+        assert "None" in way0["text"]
+
+
 def test_delta_decode(spark):
     rows = [("a", 0, 10), ("a", 1, 5), ("a", 2, -3), ("b", 0, 100), ("b", 1, 1)]
     df = spark.createDataFrame(rows, schema="k string, o int, d long")
