@@ -142,7 +142,7 @@ def _assemble_docs(docs: DataFrame, carrier: bool = True) -> DataFrame:
     return docs.select(*cols)
 
 
-def ingest(docs: DataFrame, compute_metrics: bool = True) -> dict[str, DataFrame]:
+def ingest(docs: DataFrame, compute_metrics: bool = True, with_dims: bool = True) -> dict[str, DataFrame]:
     from osmflat_rs_spark.plans.indexing import assign_dense_index_by_group
 
     # ONE range shuffle assigns all three per-type dense indices (grouped
@@ -250,35 +250,11 @@ def ingest(docs: DataFrame, compute_metrics: bool = True) -> dict[str, DataFrame
     )
 
     # ---- dimensions: tag dedup + string interning -------------------------
-    tags_global = assembled.select(
-        _stage_rank_col().alias("stage"), F.col("osm_id").alias("eid"), F.explode("tags_arr").alias("t")
-    ).select(
-        F.col("t.key").alias("key"),
-        F.col("t.value").alias("value"),
-        F.struct(F.col("stage"), F.col("eid"), F.col("t.order").alias("ord")).alias("gpos"),
-    )
-    tag_first = tags_global.groupBy("key", "value").agg(F.min("gpos").alias("first_pos"))
-    tags_dim = assign_dense_index(
-        tag_first, ["first_pos.stage", "first_pos.eid", "first_pos.ord"], "tag_idx"
-    ).select("tag_idx", "key", "value")
-
-    # string stream: per tag_idx, key then value (strings.rs:73-109);
-    # offset = Σ (len+1) of earlier strings (strings.rs:134-145). The
-    # cumulative window is per-partition-offset-composed the same two-pass
-    # way if this dim ever grows large; dims are small, global window OK.
-    strs = (
-        tags_dim.select((F.col("tag_idx") * 2).alias("spos"), F.col("key").alias("s"))
-        .unionByName(tags_dim.select((F.col("tag_idx") * 2 + 1).alias("spos"), F.col("value").alias("s")))
-        .groupBy("s")
-        .agg(F.min("spos").alias("first_spos"))
-    )
-    strs_ranked = assign_dense_index(strs, ["first_spos"], "srank")
-    from pyspark.sql import Window
-
-    w = Window.orderBy("srank").rowsBetween(Window.unboundedPreceding, -1)
-    strings_dim = strs_ranked.select(
-        F.coalesce(F.sum(F.length("s") + 1).over(w), F.lit(0)).cast("long").alias("offset"), "s"
-    )
+    # (index assignment is eager — driver-side offset collects — so dim
+    # construction is skippable for pipelines that don't consume dims)
+    tags_dim = strings_dim = None
+    if with_dims:
+        tags_dim, strings_dim = _build_dims(assembled)
 
     # ---- media + span layout + unresolved (lossless roundtrip carriers) ---
     media = carrier.select("doc_id", F.posexplode("media_arr").alias("media_pos", "m")).select(
@@ -364,6 +340,40 @@ def ingest(docs: DataFrame, compute_metrics: bool = True) -> dict[str, DataFrame
         "unresolved": unresolved,
         "assembled": assembled,
     }
+
+
+def _build_dims(assembled: DataFrame):
+    tags_global = assembled.select(
+        _stage_rank_col().alias("stage"), F.col("osm_id").alias("eid"), F.explode("tags_arr").alias("t")
+    ).select(
+        F.col("t.key").alias("key"),
+        F.col("t.value").alias("value"),
+        F.struct(F.col("stage"), F.col("eid"), F.col("t.order").alias("ord")).alias("gpos"),
+    )
+    tag_first = tags_global.groupBy("key", "value").agg(F.min("gpos").alias("first_pos"))
+    tags_dim = assign_dense_index(
+        tag_first, ["first_pos.stage", "first_pos.eid", "first_pos.ord"], "tag_idx"
+    ).select("tag_idx", "key", "value")
+
+    # string stream: per tag_idx, key then value (strings.rs:73-109);
+    # offset = Σ (len+1) of earlier strings (strings.rs:134-145). The
+    # cumulative window is per-partition-offset-composed the same two-pass
+    # way if this dim ever grows large; dims are small, global window OK.
+    strs = (
+        tags_dim.select((F.col("tag_idx") * 2).alias("spos"), F.col("key").alias("s"))
+        .unionByName(tags_dim.select((F.col("tag_idx") * 2 + 1).alias("spos"), F.col("value").alias("s")))
+        .groupBy("s")
+        .agg(F.min("spos").alias("first_spos"))
+    )
+    strs_ranked = assign_dense_index(strs, ["first_spos"], "srank")
+    from pyspark.sql import Window
+
+    w = Window.orderBy("srank").rowsBetween(Window.unboundedPreceding, -1)
+    strings_dim = strs_ranked.select(
+        F.coalesce(F.sum(F.length("s") + 1).over(w), F.lit(0)).cast("long").alias("offset"), "s"
+    )
+
+    return tags_dim, strings_dim
 
 
 def _elem_pos_arr(kind: str):

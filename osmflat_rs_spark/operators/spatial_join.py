@@ -11,6 +11,12 @@ int64 crossing-number kernel over Arrow batches (``mapInPandas``), using
 the broadcast ``PolygonIndex`` (the analog of the reference's broadcast
 id-dictionary join, osmflatc/src/ids.rs:96-158 → SURVEY §2.3 J1).
 
+The shape follows published partition-based spatial join designs (PBSM /
+MapReduce spatial merge joins; interior/boundary cell classification as in
+raster-interval approximations of polygon joins — see PAPERS.md), adapted
+to Catalyst: cover cells are the partition function, AQE owns the physical
+join choice.
+
 Scale design:
 - polygon side broadcast (dims are small relative to 10^12 points) → the
   join is map-side, NO shuffle of the point table at all;
