@@ -51,6 +51,75 @@ def haversine_np_udf(lat1: pd.Series, lon1: pd.Series, lat2: pd.Series, lon2: pd
     return pd.Series(2.0 * np.arcsin(np.sqrt(a)) * R)
 
 
+def knn_join_bulk(
+    points: DataFrame,
+    queries: DataFrame,  # (query_id, lat, lon) fixed-point — can be huge
+    k: int = 5,
+    res: int = 14,
+    radius_m: float = 1000.0,
+) -> DataFrame:
+    """Fully-distributed kNN for LARGE query sets — no driver loop, no
+    per-round collect (contrast: ``knn_join`` below iterates driver-side,
+    right for dozens of queries, wrong for millions).
+
+    One candidate pass: each query explodes to its disk-cover cells
+    (vectorized in ``mapInPandas``), equi-joins points on cell, exact
+    NumPy haversine, per-query top-k window. Queries whose kth distance
+    exceeds ``radius_m`` (no exactness guarantee) or with <k candidates
+    fall back to an exact broadcast scan — correct for ANY radius choice;
+    ``radius_m`` only tunes how much work takes the fast path."""
+    spark = points.sparkSession
+    pts = points.select(
+        F.col("node_idx"), F.col("lat").cast("long"), F.col("lon").cast("long")
+    ).withColumn("cell", cells.cell_id_expr(F.col("lat"), F.col("lon"), res))
+
+    def gen_cover(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"query_id": [], "q_lat": [], "q_lon": [], "cell": []}
+            for qid, la, lo in zip(pdf["query_id"], pdf["lat"], pdf["lon"]):
+                for c in cells.disk_cover(int(la), int(lo), radius_m, res):
+                    rows["query_id"].append(qid)
+                    rows["q_lat"].append(int(la))
+                    rows["q_lon"].append(int(lo))
+                    rows["cell"].append(int(c))
+            yield pd.DataFrame(rows)
+
+    cover = queries.select("query_id", "lat", "lon").mapInPandas(
+        gen_cover, schema="query_id string, q_lat long, q_lon long, cell long"
+    )
+    cand = pts.join(cover, "cell").withColumn(
+        "dist_m", haversine_np_udf("q_lat", "q_lon", "lat", "lon")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col("node_idx").asc())
+    topk = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "node_idx", "dist_m")
+    )
+    settled_stats = topk.groupBy("query_id").agg(
+        F.count("*").alias("n"), F.max("dist_m").alias("kd")
+    )
+    ok_ids = settled_stats.filter((F.col("n") >= k) & (F.col("kd") <= F.lit(radius_m))).select("query_id")
+    fast = topk.join(ok_ids, "query_id", "left_semi")
+
+    # exact fallback for unsettled queries (rare when radius_m is sane):
+    # broadcast the unsettled query rows against the full point table
+    unsettled = queries.join(ok_ids, "query_id", "left_anti").select(
+        "query_id", F.col("lat").alias("q_lat"), F.col("lon").alias("q_lon")
+    )
+    slow_cand = pts.crossJoin(F.broadcast(unsettled)).withColumn(
+        "dist_m", haversine_np_udf("q_lat", "q_lon", "lat", "lon")
+    )
+    slow = (
+        slow_cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "node_idx", "dist_m")
+    )
+    return fast.unionByName(slow)
+
+
 def knn_join(
     points: DataFrame,
     queries: pd.DataFrame,  # columns: query_id, lat, lon (fixed-point ints)

@@ -68,6 +68,33 @@ def test_dense_index_has_no_single_partition_sort(spark):
     assert [r["idx"] for r in rows] == list(range(len(rows)))
 
 
+def test_bucketed_join_has_no_exchange(spark, tables, tmp_path):
+    """Both sides bucketed by the FK key → the hot way→nodes join plans
+    with NO Exchange (the 10^12-row co-location strategy, SURVEY J1/J5)."""
+    from pyspark.sql import functions as F
+
+    from osmflat_rs_spark.sources.bucketed import write_bucketed
+
+    nodes = tables["nodes"].select("node_idx", "lat", "lon")
+    refs = tables["ways"].select("way_idx", F.explode("refs").alias("r")).select(
+        "way_idx", F.col("r.node_idx").alias("node_idx")
+    ).dropna()
+    write_bucketed(nodes, "b_nodes", "node_idx", 8, path=str(tmp_path / "b_nodes"))
+    write_bucketed(refs, "b_refs", "node_idx", 8, path=str(tmp_path / "b_refs"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_refs").join(spark.table("b_nodes"), "node_idx")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle on either side
+        assert joined.count() == refs.join(nodes, "node_idx").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_nodes")
+        spark.sql("DROP TABLE IF EXISTS b_refs")
+
+
 def test_spark_docs_generator_ingests(spark):
     """The distributed (pure-JVM) docs generator produces a valid carrier
     table: ingest yields consistent tables, refs mostly resolve, dangling

@@ -78,6 +78,21 @@ def test_cluster_by_cell_layout(tables):
     assert all(r["ok"] for r in oks)
 
 
+def test_knn_bulk_matches_oracle(tables, model, spark):
+    """The driver-loop-free bulk kNN must equal the oracle, including when
+    the radius forces the exact-fallback path for every query."""
+    from osmflat_rs_spark.operators.knn import knn_join_bulk
+
+    queries = oracle.generate_query_points()
+    qdf = spark.createDataFrame(queries)
+    want = oracle.q_knn(model, queries, k=5)
+    got = knn_join_bulk(tables["nodes"], qdf, k=5, radius_m=1500.0)
+    assert_frames_equal(got, want, ["query_id", "rank", "node_idx", "dist_m"])
+    # tiny radius → all queries take the fallback; still exact
+    got2 = knn_join_bulk(tables["nodes"], qdf, k=5, radius_m=5.0)
+    assert_frames_equal(got2, want, ["query_id", "rank", "node_idx", "dist_m"])
+
+
 def test_knn_small_radius_still_exact(tables, model):
     """Force many expansion rounds — results must be identical."""
     queries = oracle.generate_query_points().head(5)

@@ -19,12 +19,12 @@ DOCS = [
 
 
 @pytest.fixture(scope="module")
-def docs_df(spark):
+def small_docs_df(spark):
     return spark.createDataFrame(DOCS, schema="doc_id long, text string, src string")
 
 
-def test_exact_dedup(docs_df):
-    got = dedup.exact_dedup(docs_df, "doc_id", "text").collect()
+def test_exact_dedup(small_docs_df):
+    got = dedup.exact_dedup(small_docs_df, "doc_id", "text").collect()
     assert len(got) == 1
     assert got[0]["n_docs"] == 2 and got[0]["min_doc_id"] == 1
 
@@ -35,8 +35,8 @@ def test_shingles_short_doc(spark):
     assert [(r["_id"], r["shingle"]) for r in got] == [(1, "one two")]
 
 
-def test_minhash_finds_near_dups(docs_df):
-    pairs = dedup.minhash_dedup(docs_df, "doc_id", "text", threshold=0.5).collect()
+def test_minhash_finds_near_dups(small_docs_df):
+    pairs = dedup.minhash_dedup(small_docs_df, "doc_id", "text", threshold=0.5).collect()
     found = {(r["id_a"], r["id_b"]) for r in pairs}
     assert (1, 4) in found  # exact dup always survives
     assert (1, 2) in found or (2, 4) in found  # 8/10 word overlap
@@ -44,8 +44,8 @@ def test_minhash_finds_near_dups(docs_df):
         assert r["jaccard"] >= 0.5
 
 
-def test_ngram_jaccard_blocked(docs_df):
-    pairs = dedup.ngram_jaccard_pairs(docs_df, "doc_id", "text", "src", threshold=0.6).collect()
+def test_ngram_jaccard_blocked(small_docs_df):
+    pairs = dedup.ngram_jaccard_pairs(small_docs_df, "doc_id", "text", "src", threshold=0.6).collect()
     found = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
     # distinct word sets: 8 each ("the" dedups), 7 shared → 7/9
     assert found[(1, 2)] == pytest.approx(7 / 9)
@@ -53,24 +53,24 @@ def test_ngram_jaccard_blocked(docs_df):
     assert (1, 3) not in found
 
 
-def test_simhash_similar_docs_close(docs_df):
-    got = {r["_id"]: r["simhash"] for r in dedup.simhash(docs_df, "doc_id", "text").collect()}
+def test_simhash_similar_docs_close(small_docs_df):
+    got = {r["_id"]: r["simhash"] for r in dedup.simhash(small_docs_df, "doc_id", "text").collect()}
     assert got[1] == got[4]  # identical text → identical simhash
     ham_12 = bin(got[1] ^ got[2]).count("1")
     ham_13 = bin(got[1] ^ got[3]).count("1")
     assert ham_12 < ham_13  # near-dup closer than unrelated
 
 
-def test_lang_id(docs_df):
-    got = {r["doc_id"]: r["lang_pred"] for r in textops.lang_id(docs_df, "doc_id", "text").collect()}
+def test_lang_id(small_docs_df):
+    got = {r["doc_id"]: r["lang_pred"] for r in textops.lang_id(small_docs_df, "doc_id", "text").collect()}
     assert got[1] == "en" and got[5] == "de" and got[6] == "fr"
 
 
-def test_quality_and_tokens(docs_df):
-    q = {r["doc_id"]: r for r in textops.quality_score(docs_df, "doc_id", "text").collect()}
+def test_quality_and_tokens(small_docs_df):
+    q = {r["doc_id"]: r for r in textops.quality_score(small_docs_df, "doc_id", "text").collect()}
     assert q[1]["n_words"] == 9
     assert q[1]["distinct_ratio"] == pytest.approx(8 / 9)
-    t = {r["doc_id"]: r for r in textops.token_count(docs_df, "doc_id", "text").collect()}
+    t = {r["doc_id"]: r for r in textops.token_count(small_docs_df, "doc_id", "text").collect()}
     assert t[1]["n_ws_tokens"] == 9 and t[1]["n_bpeish"] == 9
 
 
@@ -134,6 +134,20 @@ def test_multimodal_plumbing(spark):
     # stub guard: real decode path must raise loudly
     with pytest.raises(Exception, match="NotImplementedError|codecs"):
         multimodal.extract_features(media, fake=False).collect()
+
+
+def test_media_pipeline_from_ingest(tables):
+    """End-to-end multimodal path: the ingest ``media`` table (interleaved
+    media spans) → synthesized binary payloads → Arrow-batched feature
+    extraction; every media span of the corpus flows through."""
+    media_refs = tables["media"].select("media_ref")
+    n_refs = media_refs.count()
+    assert n_refs > 0
+    media = multimodal.synthesize_media(media_refs)
+    feats = multimodal.extract_features(media, fake=True)
+    assert feats.count() == n_refs
+    row = feats.first()
+    assert row["media_type"] in ("node", "way", "relation")
 
 
 def test_frame_sample(spark):
