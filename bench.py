@@ -166,7 +166,7 @@ def main():
         return
 
     if "--scaling" in sys.argv:
-        lo = max(2, CPUS // 4)
+        lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", max(2, CPUS // 4)))
         results = {}
         for c in (lo, CPUS):
             out = subprocess.run(
