@@ -32,7 +32,11 @@ TILE_ZOOM = 14
 
 
 def dda_points_expr(x0: Column, y0: Column, x1: Column, y1: Column) -> Column:
-    """array<struct<x:long, y:long>> of the integer line raster between two
+    """Spec-form (array-building) DDA — kept as the readable reference of
+    the line formula; the operators use the 10× faster scalar-explode
+    ``dda_expand`` below. Same closed form, identical pixels.
+
+    array<struct<x:long, y:long>> of the integer line raster between two
     grid points — closed-form DDA, all int64 JVM arithmetic:
         p_i = p0 + sign * ((2*|d|*i + m) div (2*m)),  i = 0..m,
         m = max(|dx|, |dy|).
