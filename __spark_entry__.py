@@ -48,6 +48,11 @@ HEX_RING = [
 
 KNN_QUERIES = [(f"q{i:02d}", 524_200_000 + i * 173_000, 132_500_000 + i * 317_000) for i in range(10)]
 KNN_K = 5
+# fixed-point-unit radius for the sqeuclid cell cover: expected 5th-NN
+# distance at the sparsest gate SF (sf0.001, ~1k events in the synth
+# window) is ~113k units; 400k gives a >3x margin (settledness asserted
+# in tests/test_spatial.py::test_knn_gate_settled at both gate SFs)
+KNN_RADIUS_FIXED = 400_000
 
 _SW_EN = ["the", "a", "of", "and", "to", "in", "is"]
 _SW_DE = ["der", "die", "das", "und", "ist", "ein"]
@@ -261,20 +266,30 @@ def q_pip_events(spark, sf_dir):
 
 
 def q_knn_events(spark, sf_dir):
-    """kNN with exact integer squared-euclid metric + (d2, id) tie-break —
-    broadcast query side, map-side candidate generation, top-k window."""
+    """kNN through the engine's fully-distributed cell-cover operator
+    (``knn_join_bulk``): exact integer squared-euclid metric, pure-JVM
+    distance, cell equi-join — NO full-corpus crossJoin anywhere in the
+    plan (exact_fallback=False; settledness at the gate radius is
+    asserted in tests). Tie-break (d2, id) matches the SQL oracle, which
+    stays the brute-force formulation (valid because the operator is
+    exact when settled)."""
+    _prep(spark)
+    from osmflat_rs_spark.operators.knn import knn_join_bulk
+
     pts = _synth_coords(_t(spark, sf_dir, "events")).select("event_id", "lat", "lon")
-    q = spark.createDataFrame(KNN_QUERIES, schema="query_id string, qlat long, qlon long")
-    d2 = (F.col("lat") - F.col("qlat")) * (F.col("lat") - F.col("qlat")) + (
-        F.col("lon") - F.col("qlon")
-    ) * (F.col("lon") - F.col("qlon"))
-    w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("event_id").asc())
-    return (
-        pts.crossJoin(F.broadcast(q))
-        .withColumn("d2", d2.cast("long"))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= KNN_K)
-        .select("query_id", "rnk", "event_id", "d2")
+    q = spark.createDataFrame(KNN_QUERIES, schema="query_id string, lat long, lon long")
+    out = knn_join_bulk(
+        pts,
+        q,
+        k=KNN_K,
+        res=CELL_RES,
+        radius_m=KNN_RADIUS_FIXED,
+        metric="sqeuclid",
+        id_col="event_id",
+        exact_fallback=False,
+    )
+    return out.select(
+        "query_id", F.col("rank").alias("rnk"), "event_id", F.col("dist_m").alias("d2")
     )
 
 
@@ -541,16 +556,14 @@ def _minhash_sql(threshold: float = 0.5) -> str:
     )
     return f"""
 WITH {_words_cte()},
-nw AS (SELECT doc_id, COUNT(*) AS nwords FROM words GROUP BY doc_id),
-sh_long AS (
-  SELECT doc_id AS _id, w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos)
-           || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS shingle,
-         lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS l2
-  FROM words),
-sh1 AS (SELECT DISTINCT _id, shingle FROM sh_long WHERE l2 IS NOT NULL),
-sh_short AS (SELECT d.doc_id AS _id, lower(d.text) AS shingle FROM documents d
-             JOIN nw ON nw.doc_id = d.doc_id WHERE nw.nwords < 3),
-sh AS (SELECT * FROM sh1 UNION SELECT * FROM sh_short),
+base AS (SELECT doc_id, lower(text) AS ltext,
+                regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents),
+sh AS (SELECT doc_id AS _id,
+              unnest(CASE WHEN len(ws) >= 3
+                     THEN list_transform(generate_series(0, len(ws) - 3),
+                                         i -> array_to_string(list_slice(ws, i + 1, i + 3), ' '))
+                     ELSE [ltext] END) AS shingle
+       FROM base),
 hashed AS (SELECT _id, shingle, i, {h} AS h FROM sh, generate_series(0, 7) t(i)),
 sigs AS (SELECT _id, {sig_cols} FROM hashed GROUP BY _id),
 bands AS ({band_rows}),

@@ -34,10 +34,33 @@ def points_in_polygon(px: np.ndarray, py: np.ndarray, xs: np.ndarray, ys: np.nda
     py = np.asarray(py, dtype=np.int64)
     xs = np.asarray(xs, dtype=np.int64)
     ys = np.asarray(ys, dtype=np.int64)
+    _assert_domain(px, py, xs, ys)
     out = np.zeros(px.shape[0], dtype=bool)
     for s in range(0, px.shape[0], _CHUNK):
         out[s : s + _CHUNK] = _pip_chunk(px[s : s + _CHUNK], py[s : s + _CHUNK], xs, ys)
     return out
+
+
+_LON_BOUND = 1_800_000_000  # ±180° fixed-point
+_LAT_BOUND = 900_000_000  # ±90° fixed-point
+
+
+def _assert_domain(px, py, xs, ys) -> None:
+    """Exactness precondition (asserted, not assumed): inputs must be
+    WGS84 fixed-point, |lon| ≤ 180°·SCALE and |lat| ≤ 90°·SCALE. Within
+    that domain every product in the kernel is a (lon-delta ≤ 3.6e9) ×
+    (lat-delta ≤ 1.8e9) ≤ 6.48e18 < 2^63 (exact int64), and the one
+    subtraction that can exceed 2^63 (``cross``) wraps mod 2^64 with
+    |true value| ≤ 1.296e19 < 2^64, so its ``== 0`` test cannot alias a
+    nonzero value. Outside the domain int64 overflow would be silent —
+    hence the check (ADVICE r01: the old comment promised a fallback
+    that never existed; the real invariant is this domain restriction)."""
+    for arr, bound in ((px, _LON_BOUND), (xs, _LON_BOUND), (py, _LAT_BOUND), (ys, _LAT_BOUND)):
+        if arr.size and int(np.abs(arr).max()) > bound:
+            raise ValueError(
+                f"points_in_polygon: coordinate {int(np.abs(arr).max())} outside the "
+                f"±{bound} WGS84 fixed-point domain the exact int64 kernel requires"
+            )
 
 
 def _pip_chunk(px: np.ndarray, py: np.ndarray, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
@@ -48,21 +71,20 @@ def _pip_chunk(px: np.ndarray, py: np.ndarray, xs: np.ndarray, ys: np.ndarray) -
     p_x = px[None, :]  # (1, N)
     p_y = py[None, :]
 
-    # object dtype not needed: coords ≤ 1.8e9, cross products ≤ ~1.3e19 can
-    # overflow int64 (9.2e18) for antipodal edges; normalize by working in
-    # edge-relative deltas (≤ 3.6e9) × point deltas (≤ 3.6e9) ≈ 1.3e19 —
-    # so guard by downscaling: fixed-point inputs here are span-limited in
-    # practice, but to stay exact for any input, compute in float128-free
-    # int64 after splitting: use Python-int fallback only on overflow risk.
     dxe = (x2 - x1).astype(np.int64)
     dye = (y2 - y1).astype(np.int64)
     dxp = (p_x - x1).astype(np.int64)
     dyp = (p_y - y1).astype(np.int64)
 
-    cross = dxe * dyp - dye * dxp  # sign decides side; exact while |values| < 2^63
+    # Each product is (lon-delta ≤ 3.6e9) × (lat-delta ≤ 1.8e9) ≤ 6.48e18
+    # < 2^63 — exact int64 (domain asserted in _assert_domain). Collinearity
+    # is tested as product EQUALITY, never as a sign of a difference, so no
+    # wraparound reasoning is needed anywhere in the kernel.
+    lhs = dxe * dyp  # dxe*(py-y1)
+    rhs = dye * dxp  # dye*(px-x1)
 
     # boundary: collinear AND within the segment's bbox
-    on_line = cross == 0
+    on_line = lhs == rhs
     within = (
         (np.minimum(x1, x2) <= p_x)
         & (p_x <= np.maximum(x1, x2))
@@ -76,8 +98,6 @@ def _pip_chunk(px: np.ndarray, py: np.ndarray, xs: np.ndarray, ys: np.ndarray) -
     straddles = (y1 > p_y) != (y2 > p_y)
     # point is strictly left of the edge at ray height:
     #   px < x1 + (py-y1) * dxe/dye  ⟺  sign-aware integer compare
-    lhs = dxe * dyp  # dxe*(py-y1)
-    rhs = dye * dxp  # dye*(px-x1)
     left = np.where(dye > 0, rhs < lhs, rhs > lhs)
     crossings = (straddles & left).sum(axis=0)
 
@@ -91,10 +111,12 @@ def convex_contains(px: np.ndarray, py: np.ndarray, xs: np.ndarray, ys: np.ndarr
     py = np.asarray(py, dtype=np.int64)[None, :]
     xs = np.asarray(xs, dtype=np.int64)
     ys = np.asarray(ys, dtype=np.int64)
+    _assert_domain(px.ravel(), py.ravel(), xs, ys)
     x1, y1 = xs[:, None], ys[:, None]
     x2, y2 = np.roll(xs, -1)[:, None], np.roll(ys, -1)[:, None]
-    cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
-    return (cross >= 0).all(axis=0)
+    # cross ≥ 0 tested as product comparison (each side exact int64; a
+    # subtraction could wrap past 2^63 and flip the sign)
+    return ((x2 - x1) * (py - y1) >= (y2 - y1) * (px - x1)).all(axis=0)
 
 
 @dataclass

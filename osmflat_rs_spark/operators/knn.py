@@ -57,6 +57,9 @@ def knn_join_bulk(
     k: int = 5,
     res: int = 14,
     radius_m: float = 1000.0,
+    metric: str = "haversine",
+    id_col: str = "node_idx",
+    exact_fallback: bool = True,
 ) -> DataFrame:
     """Fully-distributed kNN for LARGE query sets — no driver loop, no
     per-round collect (contrast: ``knn_join`` below iterates driver-side,
@@ -64,22 +67,43 @@ def knn_join_bulk(
 
     One candidate pass: each query explodes to its disk-cover cells
     (vectorized in ``mapInPandas``), equi-joins points on cell, exact
-    NumPy haversine, per-query top-k window. Queries whose kth distance
-    exceeds ``radius_m`` (no exactness guarantee) or with <k candidates
-    fall back to an exact broadcast scan — correct for ANY radius choice;
-    ``radius_m`` only tunes how much work takes the fast path."""
+    distance, per-query top-k window. Queries whose kth distance exceeds
+    ``radius_m`` (no exactness guarantee) or with <k candidates fall back
+    to an exact broadcast scan — correct for ANY radius choice; ``radius_m``
+    only tunes how much work takes the fast path.
+
+    ``metric``:
+      - ``"haversine"`` — geodesic meters (vectorized NumPy pandas UDF;
+        ``radius_m`` in meters; cover = geodesic-disk bbox, cells.disk_cover);
+      - ``"sqeuclid"`` — EXACT int64 squared euclidean distance in
+        fixed-point coordinate units, pure JVM expression (no Python on
+        the hot path; ``radius_m`` in fixed-point units; cover = the
+        ±radius bbox, which is an exact superset of the metric disk).
+        Settled test compares kth d² ≤ radius².
+
+    ``exact_fallback=False`` drops the brute-force rescue branch from the
+    plan entirely — use when settledness is guaranteed/asserted (e.g. the
+    driver gate, which verifies it in tests): the whole plan is then the
+    cell equi-join with zero full-corpus scans."""
     spark = points.sparkSession
     pts = points.select(
-        F.col("node_idx"), F.col("lat").cast("long"), F.col("lon").cast("long")
+        F.col(id_col).alias("_nid"), F.col("lat").cast("long"), F.col("lon").cast("long")
     ).withColumn("cell", cells.cell_id_expr(F.col("lat"), F.col("lon"), res))
 
     def gen_cover(batches):
         import pandas as pd
 
+        r_int = int(radius_m)
         for pdf in batches:
             rows = {"query_id": [], "q_lat": [], "q_lon": [], "cell": []}
             for qid, la, lo in zip(pdf["query_id"], pdf["lat"], pdf["lon"]):
-                for c in cells.disk_cover(int(la), int(lo), radius_m, res):
+                if metric == "sqeuclid":
+                    cover_cells = cells.bbox_cover(
+                        int(la) - r_int, int(la) + r_int, int(lo) - r_int, int(lo) + r_int, res
+                    )
+                else:
+                    cover_cells = cells.disk_cover(int(la), int(lo), radius_m, res)
+                for c in cover_cells:
                     rows["query_id"].append(qid)
                     rows["q_lat"].append(int(la))
                     rows["q_lon"].append(int(lo))
@@ -89,19 +113,30 @@ def knn_join_bulk(
     cover = queries.select("query_id", "lat", "lon").mapInPandas(
         gen_cover, schema="query_id string, q_lat long, q_lon long, cell long"
     )
-    cand = pts.join(cover, "cell").withColumn(
-        "dist_m", haversine_np_udf("q_lat", "q_lon", "lat", "lon")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col("node_idx").asc())
+
+    def with_dist(df: DataFrame) -> DataFrame:
+        if metric == "sqeuclid":
+            d2 = (F.col("lat") - F.col("q_lat")) * (F.col("lat") - F.col("q_lat")) + (
+                F.col("lon") - F.col("q_lon")
+            ) * (F.col("lon") - F.col("q_lon"))
+            return df.withColumn("dist_m", d2.cast("long"))
+        return df.withColumn("dist_m", haversine_np_udf("q_lat", "q_lon", "lat", "lon"))
+
+    settle_bound = float(radius_m) ** 2 if metric == "sqeuclid" else float(radius_m)
+    cand = with_dist(pts.join(cover, "cell"))
+    w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col("_nid").asc())
     topk = (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "node_idx", "dist_m")
+        .select("query_id", "rank", "_nid", "dist_m")
     )
+    if not exact_fallback:
+        return topk.withColumnRenamed("_nid", id_col)
+
     settled_stats = topk.groupBy("query_id").agg(
         F.count("*").alias("n"), F.max("dist_m").alias("kd")
     )
-    ok_ids = settled_stats.filter((F.col("n") >= k) & (F.col("kd") <= F.lit(radius_m))).select("query_id")
+    ok_ids = settled_stats.filter((F.col("n") >= k) & (F.col("kd") <= F.lit(settle_bound))).select("query_id")
     fast = topk.join(ok_ids, "query_id", "left_semi")
 
     # exact fallback for unsettled queries (rare when radius_m is sane):
@@ -109,15 +144,15 @@ def knn_join_bulk(
     unsettled = queries.join(ok_ids, "query_id", "left_anti").select(
         "query_id", F.col("lat").alias("q_lat"), F.col("lon").alias("q_lon")
     )
-    slow_cand = pts.crossJoin(F.broadcast(unsettled)).withColumn(
-        "dist_m", haversine_np_udf("q_lat", "q_lon", "lat", "lon")
+    slow_cand = with_dist(
+        pts.crossJoin(F.broadcast(unsettled)).select("_nid", "lat", "lon", "query_id", "q_lat", "q_lon")
     )
     slow = (
         slow_cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "node_idx", "dist_m")
+        .select("query_id", "rank", "_nid", "dist_m")
     )
-    return fast.unionByName(slow)
+    return fast.unionByName(slow).withColumnRenamed("_nid", id_col)
 
 
 def knn_join(

@@ -89,3 +89,155 @@ def test_pip_matches_scalar_oracle(ring, pts):
     got = points_in_polygon(px, py, xs, ys)
     want = [pip_scalar(int(a), int(b), list(zip(xs.tolist(), ys.tolist()))) for a, b in zip(px, py)]
     assert got.tolist() == want
+
+
+# ---------------------------------------------------------------------------
+# disk_cover: bbox ⊇ geodesic disk (ADVICE r01 high — poleward Δlon extreme)
+# ---------------------------------------------------------------------------
+
+
+def _destination(lat_deg, lon_deg, bearing_deg, dist_m):
+    """Spherical destination point on the haversine sphere."""
+    import math
+
+    from osmflat_rs_spark.functions.geo import EARTH_RADIUS_M
+
+    c = dist_m / EARTH_RADIUS_M
+    p1 = math.radians(lat_deg)
+    l1 = math.radians(lon_deg)
+    th = math.radians(bearing_deg)
+    p2 = math.asin(math.sin(p1) * math.cos(c) + math.cos(p1) * math.sin(c) * math.cos(th))
+    l2 = l1 + math.atan2(
+        math.sin(th) * math.sin(c) * math.cos(p1), math.cos(c) - math.sin(p1) * math.sin(p2)
+    )
+    return math.degrees(p2), math.degrees(l2)
+
+
+@pytest.mark.parametrize(
+    "lat_deg,lon_deg,radius_m",
+    [
+        (52.5, 13.4, 256_000.0),  # the ADVICE r01 counterexample
+        (52.5, 13.4, 1_000_000.0),
+        (80.0, -30.0, 500_000.0),  # high latitude — cos shrinks fast poleward
+        (-67.0, 170.0, 800_000.0),
+        (0.0, 0.0, 50_000.0),
+        (52.4, 13.2, 500.0),  # the knn-scale radii
+        (52.4, 13.2, 128_000.0),
+    ],
+)
+def test_disk_cover_contains_geodesic_disk(lat_deg, lon_deg, radius_m):
+    """Every point at haversine distance ≤ r from the center must land in
+    a covered cell — the superset property knn's 'settled ⇒ exact'
+    guarantee rests on. Samples the disk boundary densely (the extreme-
+    longitude point lies poleward of the center) plus interior rings."""
+    from osmflat_rs_spark.oracle import haversine_np
+
+    res = 12
+    lat_fx, lon_fx = int(round(lat_deg * COORD_SCALE)), int(round(lon_deg * COORD_SCALE))
+    cover = set(int(c) for c in cells.disk_cover(lat_fx, lon_fx, radius_m, res))
+    for frac in (1.0, 0.999, 0.9, 0.5):
+        for b in range(0, 3600, 25):  # 144 bearings
+            dlat, dlon = _destination(lat_deg, lon_deg, b / 10.0, radius_m * frac)
+            plat, plon = int(round(dlat * COORD_SCALE)), int(round(dlon * COORD_SCALE))
+            if abs(plat) >= 90 * COORD_SCALE or abs(plon) >= 180 * COORD_SCALE:
+                continue  # wrapped past the antimeridian/pole — out of bbox domain
+            d = float(haversine_np(lat_fx / COORD_SCALE, lon_fx / COORD_SCALE,
+                                   plat / COORD_SCALE, plon / COORD_SCALE))
+            if d > radius_m:
+                continue  # int rounding pushed the sample outside the disk
+            pc = int(cells.cell_id_np(np.array([plat]), np.array([plon]), res)[0])
+            assert pc in cover, f"bearing {b/10} frac {frac}: point {plat},{plon} d={d} escaped bbox"
+
+
+# ---------------------------------------------------------------------------
+# exact grid supercover (VERDICT r01 "What's wrong" #2)
+# ---------------------------------------------------------------------------
+
+
+def test_supercover_diagonal_through_corner():
+    """A segment passing exactly through a grid corner touches all 4 cells."""
+    res = 3  # 8x8 grid; cell spans: lon 450_000_000/2^... use world spans
+    span_x = 360 * COORD_SCALE // (1 << res)
+    span_y = 180 * COORD_SCALE // (1 << res)
+    # corner between cells (3,3),(4,3),(3,4),(4,4): x = -OFF + 4*span_x
+    cx = -180 * COORD_SCALE + 4 * span_x
+    cy = -90 * COORD_SCALE + 4 * span_y
+    got = cells._grid_supercover(cx - span_x // 2, cy - span_y // 2,
+                                 cx + span_x // 2, cy + span_y // 2, res)
+    for cell in [(3, 3), (4, 4), (3, 4), (4, 3)]:
+        assert cell in got, f"{cell} missing from corner-crossing supercover {got}"
+
+
+def test_supercover_along_gridline_touches_both_rows():
+    res = 4
+    span_y = 180 * COORD_SCALE // (1 << res)
+    y = -90 * COORD_SCALE + 5 * span_y  # exactly on the row-4/row-5 boundary
+    got = cells._grid_supercover(-1_000_000, y, 1_000_000, y, res)
+    rows = {iy for _, iy in got}
+    assert {4, 5} <= rows, f"gridline segment must touch both adjacent rows, got {rows}"
+
+
+@given(
+    st.integers(min_value=-(1 << 40), max_value=1 << 40),
+    st.integers(min_value=-(1 << 40), max_value=1 << 40),
+    st.integers(min_value=-(1 << 22), max_value=1 << 22),
+    st.integers(min_value=-(1 << 22), max_value=1 << 22),
+    st.integers(min_value=8, max_value=24),
+)
+@settings(max_examples=150, deadline=None)
+def test_supercover_superset_of_dense_samples(x0, y0, dx, dy, res):
+    """Quantized dense float samples along the segment always land in the
+    exact supercover (no sampled-point escape — including thin slivers)."""
+    x0 = max(-180 * COORD_SCALE, min(180 * COORD_SCALE - 1, x0))
+    y0 = max(-90 * COORD_SCALE, min(90 * COORD_SCALE - 1, y0))
+    x1 = max(-180 * COORD_SCALE, min(180 * COORD_SCALE - 1, x0 + dx))
+    y1 = max(-90 * COORD_SCALE, min(90 * COORD_SCALE - 1, y0 + dy))
+    got = cells._grid_supercover(x0, y0, x1, y1, res)
+    t = np.linspace(0.0, 1.0, 1000)
+    sx = np.round(x0 + t * (x1 - x0)).astype(np.int64)
+    sy = np.round(y0 + t * (y1 - y0)).astype(np.int64)
+    gx, gy = cells.grid_coords_np(sy, sx, res)
+    missing = {(int(a), int(b)) for a, b in zip(gx, gy)} - got
+    # rounded samples can sit 0.5 units off the true segment — allow only
+    # cells whose exact membership a 1-unit perturbation explains
+    for mx, my in missing:
+        neighbors = {(mx + ddx, my + ddy) for ddx in (-1, 0, 1) for ddy in (-1, 0, 1)}
+        assert neighbors & got, f"sampled cell {(mx, my)} nowhere near supercover"
+
+
+@pytest.mark.parametrize("seed", [3, 17, 202])
+def test_interior_cells_of_sliver_polygons_fully_inside(seed):
+    """Adversarial slivers: long thin triangles steered through cell
+    corners. Property: every cell classified 'interior' by
+    polygon_cover_classified contains NO point outside the polygon —
+    the silent-false-positive class the sampled supercover risked."""
+    rng = np.random.default_rng(seed)
+    res = 14
+    span_x = 360 * COORD_SCALE / (1 << res)
+    span_y = 180 * COORD_SCALE / (1 << res)
+    for _ in range(20):
+        # anchor at a random grid corner; sliver extends several cells
+        gx = int(rng.integers(100, (1 << res) - 100))
+        gy = int(rng.integers(100, (1 << res) - 100))
+        ax = int(-180 * COORD_SCALE + gx * span_x)
+        ay = int(-90 * COORD_SCALE + gy * span_y)
+        ex = ax + int(rng.integers(3, 9) * span_x) + int(rng.integers(-3, 4))
+        ey = ay + int(rng.integers(3, 9) * span_y) + int(rng.integers(-3, 4))
+        thin = int(rng.integers(1, max(2, int(span_y) // 3)))
+        xs = np.array([ax, ex, ex + thin], dtype=np.int64)
+        ys = np.array([ay, ey, ey + thin], dtype=np.int64)
+        cover, interior = cells.polygon_cover_classified(xs, ys, res)
+        for cell, it in zip(cover, interior):
+            if not it:
+                continue
+            lat0, lat1, lon0, lon1 = cells.cell_bounds_fixed(int(cell), res)
+            k = 7
+            glon, glat = np.meshgrid(
+                np.linspace(lon0, lon1, k).astype(np.int64),
+                np.linspace(lat0, lat1, k).astype(np.int64),
+            )
+            inside = points_in_polygon(glon.ravel(), glat.ravel(), xs, ys)
+            assert inside.all(), (
+                f"seed {seed}: interior-classified cell {int(cell)} has points "
+                f"outside the sliver polygon"
+            )

@@ -99,3 +99,61 @@ def test_knn_small_radius_still_exact(tables, model):
     got = knn_join(tables["nodes"], queries, k=5, init_radius_m=10.0)
     want = oracle.q_knn(model, queries.reset_index(drop=True), k=5)
     assert_frames_equal(got, want, ["query_id", "rank", "node_idx", "dist_m"])
+
+
+def test_knn_bulk_sqeuclid_matches_bruteforce(tables, spark):
+    """The exact integer sqeuclid metric path (pure-JVM distance) must
+    equal a NumPy brute-force oracle with the same (d2, id) tie-break."""
+    import numpy as np
+    import pandas as pd
+
+    from osmflat_rs_spark.operators.knn import knn_join_bulk
+
+    pts = tables["nodes"].select("node_idx", "lat", "lon").toPandas()
+    queries = oracle.generate_query_points().head(8)
+    qdf = spark.createDataFrame(queries)
+    got = knn_join_bulk(
+        tables["nodes"], qdf, k=5, radius_m=3_000_000, metric="sqeuclid"
+    )
+    rows = []
+    for q in queries.itertuples():
+        d2 = (pts["lat"].to_numpy() - q.lat) ** 2 + (pts["lon"].to_numpy() - q.lon) ** 2
+        order = np.lexsort((pts["node_idx"].to_numpy(), d2))[:5]
+        for r, j in enumerate(order, start=1):
+            rows.append((q.query_id, r, int(pts["node_idx"].iloc[j]), int(d2[j])))
+    want = pd.DataFrame(rows, columns=["query_id", "rank", "node_idx", "dist_m"])
+    assert_frames_equal(got, want, ["query_id", "rank", "node_idx", "dist_m"])
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_knn_gate_settled(sf_dir):
+    """q_knn_events runs with exact_fallback=False; this asserts the
+    precondition that makes that sound: at the gate radius every query
+    finds ≥k candidates with d2 ≤ radius² inside the bbox cover."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as e
+
+    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id"]).to_pandas()
+    lat = e.LAT0 + (t["event_id"].to_numpy(np.int64) * e.A_LAT) % e.LATSPAN
+    lon = e.LON0 + (t["event_id"].to_numpy(np.int64) * e.A_LON) % e.LONSPAN
+    r = e.KNN_RADIUS_FIXED
+    for _qid, qla, qlo in e.KNN_QUERIES:
+        d2 = (lat - qla) ** 2 + (lon - qlo) ** 2
+        n_inside = int((d2 <= r * r).sum())
+        assert n_inside >= e.KNN_K, (
+            f"{_qid} at {sf_dir}: only {n_inside} points within radius "
+            f"{r} — gate would silently drop rows without the fallback"
+        )
+
+
+def test_knn_gate_plan_has_no_crossjoin(spark):
+    """VERDICT r01 fix #2: the gate's plan must be the cell equi-join —
+    no full-corpus CartesianProduct / BroadcastNestedLoopJoin anywhere."""
+    import __spark_entry__ as e
+
+    df = e.q_knn_events(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan[:4000]
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
