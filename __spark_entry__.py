@@ -153,6 +153,21 @@ def q_lead_delta_events(spark, sf_dir):
     )
 
 
+def q_delta_decode_blocks(spark, sf_dir):
+    """W1 block-local vectorized delta decode (np.cumsum per block over
+    Arrow batches — the reference's per-PBF-block running += shape,
+    osmflatc/src/main.rs:188-207). Exact int64: deltas derived from
+    event_id so both engines accumulate identical integers."""
+    _prep(spark)
+    from osmflat_rs_spark.operators.sequence import delta_decode_blocks
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", (F.col("event_id") % 1000).cast("long").alias("run")
+    )
+    out = delta_decode_blocks(e, "user_id", ["ts", "event_id"], ["run"])
+    return out.select("event_id", "run")
+
+
 def q_dense_index_orders(spark, sf_dir):
     """W4 deterministic dense index via the scalable two-pass scheme
     (main.rs:192-193 invariant)."""
@@ -620,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "topk_orders_segment": q_topk_orders_segment,
         "lead_delta_events": q_lead_delta_events,
+        "delta_decode_blocks": q_delta_decode_blocks,
         "dense_index_orders": q_dense_index_orders,
         "union_names": q_union_names,
         "filter_parts_notin": q_filter_parts_notin,
@@ -689,6 +705,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT event_id,
                      LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) - value AS next_delta
               FROM events) WHERE next_delta IS NOT NULL
+        """,
+        "delta_decode_blocks": """
+            SELECT event_id,
+                   SUM(event_id % 1000) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                              ROWS UNBOUNDED PRECEDING) AS run
+            FROM events
         """,
         "dense_index_orders": (
             "SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS idx FROM orders"

@@ -45,12 +45,17 @@ def parse_spans(docs: DataFrame) -> DataFrame:
 
     ``order`` is the rank of ``offset`` within the doc (the engine does NOT
     assume the array arrives offset-sorted): re-sort in-row with
-    ``array_sort`` on (offset, …) — O(n log n) per row, no shuffle."""
+    ``array_sort`` on (offset, original array position) — O(n log n) per
+    row, no shuffle. The position tie-break pins the total order for
+    duplicate offsets to the input sequence, matching the model oracle's
+    STABLE sort on offset (ADVICE r01: the old struct order broke offset
+    ties on kind/text, silently diverging from the oracle)."""
     sorted_spans = F.array_sort(
         F.transform(
             "spans",
-            lambda s: F.struct(
+            lambda s, i: F.struct(
                 s["offset"].alias("offset"),
+                i.alias("_apos"),
                 s["kind"].alias("kind"),
                 s["text"].alias("text"),
                 s["media_ref"].alias("media_ref"),
@@ -72,12 +77,14 @@ def parse_spans(docs: DataFrame) -> DataFrame:
 def _assemble_docs(docs: DataFrame, carrier: bool = True) -> DataFrame:
     """ONE pass over docs: per-doc row with every kind flattened to an
     ordered array (in-row, no shuffle at all — the arrays are derived from
-    the sorted span array directly)."""
+    the sorted span array directly). Offset ties break by original array
+    position (stable order, same rule as ``parse_spans`` / the oracle)."""
     spans_sorted = F.array_sort(
         F.transform(
             "spans",
-            lambda s: F.struct(
+            lambda s, i: F.struct(
                 s["offset"].alias("offset"),
+                i.alias("_apos"),
                 s["kind"].alias("kind"),
                 s["text"].alias("text"),
                 s["media_ref"].alias("media_ref"),
@@ -142,8 +149,13 @@ def _assemble_docs(docs: DataFrame, carrier: bool = True) -> DataFrame:
     return docs.select(*cols)
 
 
-def ingest(docs: DataFrame, compute_metrics: bool = True, with_dims: bool = True) -> dict[str, DataFrame]:
-    from osmflat_rs_spark.plans.indexing import assign_dense_index_by_group
+def ingest(
+    docs: DataFrame,
+    compute_metrics: bool = True,
+    with_dims: bool = True,
+    audit: bool = True,
+) -> dict[str, DataFrame]:
+    from osmflat_rs_spark.plans.indexing import assign_dense_index_by_group, audit_dense_index
 
     # ONE range shuffle assigns all three per-type dense indices (grouped
     # two-pass scheme) — vs. one shuffle+persist per entity type, which
@@ -153,6 +165,11 @@ def ingest(docs: DataFrame, compute_metrics: bool = True, with_dims: bool = True
     assembled = assign_dense_index_by_group(
         _assemble_docs(docs, carrier=False), "entity_type", ["osm_id"], "eidx"
     )
+    if audit:
+        # one vectorized no-shuffle pass over the persisted assembly: the
+        # eidx must tile 0..n_g-1 per entity type in storage order —
+        # guards the local-counter/stage-fusion invariant (indexing.py)
+        audit_dense_index(assembled, "eidx", group_col="entity_type")
     carrier = _assemble_docs(docs)  # lazy: only computed if media/layout read
 
     # ---- stage 1: nodes ---------------------------------------------------
@@ -356,21 +373,20 @@ def _build_dims(assembled: DataFrame):
     ).select("tag_idx", "key", "value")
 
     # string stream: per tag_idx, key then value (strings.rs:73-109);
-    # offset = Σ (len+1) of earlier strings (strings.rs:134-145). The
-    # cumulative window is per-partition-offset-composed the same two-pass
-    # way if this dim ever grows large; dims are small, global window OK.
+    # offset = Σ (len+1) of earlier strings (strings.rs:134-145), computed
+    # with the scalable two-pass exclusive prefix sum — no global
+    # single-partition window (the distinct-string dim is NOT small at
+    # web scale; VERDICT r01 missing #6).
+    from osmflat_rs_spark.plans.indexing import exclusive_prefix_sum
+
     strs = (
         tags_dim.select((F.col("tag_idx") * 2).alias("spos"), F.col("key").alias("s"))
         .unionByName(tags_dim.select((F.col("tag_idx") * 2 + 1).alias("spos"), F.col("value").alias("s")))
         .groupBy("s")
         .agg(F.min("spos").alias("first_spos"))
     )
-    strs_ranked = assign_dense_index(strs, ["first_spos"], "srank")
-    from pyspark.sql import Window
-
-    w = Window.orderBy("srank").rowsBetween(Window.unboundedPreceding, -1)
-    strings_dim = strs_ranked.select(
-        F.coalesce(F.sum(F.length("s") + 1).over(w), F.lit(0)).cast("long").alias("offset"), "s"
+    strings_dim = exclusive_prefix_sum(strs, "first_spos", F.length("s") + 1, "offset").select(
+        "offset", "s"
     )
 
     return tags_dim, strings_dim

@@ -97,20 +97,49 @@ def srp_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    n_planes: int = 8,
-    n_tables: int = 4,
+    n_planes: int = 6,
+    n_tables: int = 8,
     dim: int = 64,
+    probes: int = 1,
 ) -> DataFrame:
     """LSH-bucketed ANN: candidates share ≥1 (table, bucket) with the
     query; exact cosine re-rank of candidates only. Shuffle key is the
     bucket id — at 10^12 rows this replaces the full-scan crossJoin with
-    a bounded bucket join."""
+    a bounded bucket join.
+
+    ``probes`` = query-side multiprobe Hamming radius: with probes=1 each
+    query also looks in the n_planes buckets one bit-flip away (corpus
+    stays at one row per table — the probe fan-out is on the SMALL side).
+    Defaults (6 planes × 8 tables × 1 probe) give measured recall@5 ≈
+    0.9-1.0 on the fixture embeddings vs the brute-force baseline
+    (tests/test_training_ops.py::test_srp_recall_floor, 3 query seeds;
+    recorded in COVERAGE.md). Recall theory: per table
+    P = q^p + probes·C(p,1)·q^(p-1)(1-q), q = 1 - θ/π."""
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("vb")
     ).withColumn("bk", F.explode(_srp_buckets(F.col("vb"), n_planes, n_tables, dim)))
-    q = queries.select(
+    qbase = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("va")
-    ).withColumn("bk", F.explode(_srp_buckets(F.col("va"), n_planes, n_tables, dim)))
+    ).withColumn("_bks", _srp_buckets(F.col("va"), n_planes, n_tables, dim))
+    if probes >= 1:
+        probe_arr = F.flatten(
+            F.transform(
+                F.col("_bks"),
+                lambda s: F.array(
+                    F.struct(s["table"].alias("table"), s["bucket"].alias("bucket")),
+                    *[
+                        F.struct(
+                            s["table"].alias("table"),
+                            s["bucket"].bitwiseXOR(F.lit(1 << j)).cast("long").alias("bucket"),
+                        )
+                        for j in range(n_planes)
+                    ],
+                ),
+            )
+        )
+    else:
+        probe_arr = F.col("_bks")
+    q = qbase.withColumn("bk", F.explode(probe_arr)).drop("_bks")
     cand = c.join(F.broadcast(q), "bk").select("query_id", "va", "vec_id", "vb").distinct()
     joined = _with_cosine(cand)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())

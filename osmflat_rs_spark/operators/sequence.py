@@ -31,6 +31,30 @@ def delta_decode_keyed(
     return out
 
 
+def delta_decode_blocks(
+    df: DataFrame, block_col: str, order_cols: list[str], delta_cols: list[str]
+) -> DataFrame:
+    """Block-local VECTORIZED delta decode — the reference's actual shape:
+    osmflatc decodes id/lat/lon delta streams per PBF block with a running
+    ``+=`` (osmflatc/src/main.rs:188-207). Here: ``groupBy(block)`` +
+    ``applyInPandas`` with ``np.cumsum`` per block — ONE shuffle on the
+    block key, one Arrow batch + one vectorized cumsum per block (no
+    per-row window machinery; SURVEY §2.5 W1's promised form, the
+    ``delta_decode_keyed`` window variant remains for the general case).
+
+    Ordering inside a block follows ``order_cols`` (stable sort), so
+    results are deterministic and equal to the keyed-window form."""
+    schema = df.schema
+
+    def decode(pdf):
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        for c in delta_cols:
+            pdf[c] = pdf[c].cumsum()
+        return pdf
+
+    return df.groupBy(block_col).applyInPandas(decode, schema=schema)
+
+
 def consecutive_pairs(df: DataFrame, key_cols: list[str], order_col: str, cols: list[str]) -> DataFrame:
     """zip(xs, xs.skip(1)) — lead() per column, last row dropped (W3,
     road-length.rs:80 tuple_windows)."""

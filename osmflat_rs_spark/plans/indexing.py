@@ -69,6 +69,55 @@ def assign_dense_index(
     )
 
 
+def exclusive_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    weight_col,
+    out_col: str = "offset",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``out_col`` = Σ weight over all rows strictly before this one in
+    ``order_col`` order — the scalable form of
+    ``SUM(w) OVER (ORDER BY o ROWS UNBOUNDED PRECEDING ... -1)``, whose
+    naive plan collapses to ONE partition (a non-starter for a large
+    distinct-string dimension at web scale; reference semantics:
+    osmflatc/src/strings.rs:134-145 offset += len+1).
+
+    Same two-pass composition as ``assign_dense_index``: range-partition
+    by the order key (ONE shuffle), per-partition weight totals →
+    driver-side exclusive prefix (#partitions values), then an
+    intra-partition running sum via a window partitioned by the physical
+    partition id — every window partition is bounded by the range split,
+    never global. ``weight_col`` may be a Column expression."""
+    import pyspark.sql.functions as _F
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    w_col = weight_col if not isinstance(weight_col, str) else _F.col(weight_col)
+    part = (
+        df.repartitionByRange(n_part, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("_w", w_col.cast("long"))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    totals = {r["_pid"]: r["t"] for r in part.groupBy("_pid").agg(F.sum("_w").alias("t")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid] or 0
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], schema="_pid int, _offset long"
+    )
+    w = Window.partitionBy("_pid").orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        part.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, (F.coalesce(F.sum("_w").over(w), F.lit(0)) + F.col("_offset")).cast("long"))
+        .drop("_pid", "_offset", "_w")
+    )
+
+
 def assign_dense_index_by_group(
     df: DataFrame,
     group_col: str,
@@ -123,3 +172,73 @@ def assign_dense_index_by_group(
         .withColumn(out_col, (F.col("_local") - F.col("_lstart") + F.col("_goffset")).cast("long"))
         .drop("_pid", "_goffset", "_lstart", "_local")
     )
+
+
+def audit_dense_index(
+    indexed: DataFrame,
+    out_col: str,
+    group_col: str | None = None,
+) -> int:
+    """Full-order audit of a dense index assignment — guards the
+    ``monotonically_increasing_id``-follows-``sortWithinPartitions``
+    invariant both assigners lean on (an AQE/stage-boundary change could
+    silently scramble indices; VERDICT r01 "What's wrong" #6).
+
+    One vectorized pass (``mapInPandas``, NO shuffle): in storage order —
+    which IS the sorted order the two-pass scheme produced — every
+    maximal same-group run of rows must carry consecutive indices; the
+    tiny run summaries (first, last, n) come back to the driver, which
+    sorts each group's runs by first index and asserts they tile
+    0..n_g-1 exactly (any duplicate, gap, or scramble breaks the tiling).
+    Returns the total row count; raises AssertionError on violation.
+
+    Cost: one scan of the (persisted) indexed frame + a collect of
+    O(#partitions × #groups) rows — cheap enough to stay on by default
+    in ingest."""
+    import numpy as np
+    import pandas as pd
+
+    gcol = group_col
+    cols = ([gcol] if gcol else []) + [out_col]
+    slim = indexed.select(*cols)
+
+    def summarize(batches):
+        runs: list[tuple] = []
+        for pdf in batches:
+            idx_all = pdf[out_col].to_numpy(np.int64)
+            if len(idx_all) == 0:
+                continue
+            if gcol:
+                gvals = pdf[gcol].to_numpy()
+                cut = np.flatnonzero(gvals[1:] != gvals[:-1]) + 1
+                bounds = [0, *cut.tolist(), len(gvals)]
+            else:
+                bounds = [0, len(idx_all)]
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                idx = idx_all[s:e]
+                ok = bool((np.diff(idx) == 1).all()) if len(idx) > 1 else True
+                g = str(gvals[s]) if gcol else ""
+                runs.append((g, int(idx[0]), int(idx[-1]), int(e - s), ok))
+        if runs:
+            yield pd.DataFrame(runs, columns=["g", "first", "last", "n", "ok"])
+
+    summary = slim.mapInPandas(
+        summarize, schema="g string, first long, last long, n long, ok boolean"
+    ).collect()
+    by_group: dict[str, list] = {}
+    total = 0
+    for r in summary:
+        assert r["ok"], f"dense-index audit: non-consecutive indices inside a run of group {r['g']!r}"
+        assert r["last"] - r["first"] + 1 == r["n"], f"dense-index audit: run length mismatch in {r['g']!r}"
+        by_group.setdefault(r["g"], []).append((r["first"], r["last"]))
+        total += r["n"]
+    for g, rs in by_group.items():
+        rs.sort()
+        expect = 0
+        for first, lastv in rs:
+            assert first == expect, (
+                f"dense-index audit: group {g!r} runs do not tile 0..n-1 — expected next "
+                f"index {expect}, found run starting at {first}"
+            )
+            expect = lastv + 1
+    return total

