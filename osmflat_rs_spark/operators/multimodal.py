@@ -2,12 +2,16 @@
 
 Media payloads are opaque ``binary`` columns with typed metadata structs;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
-``mapInPandas`` operators. The image/audio codecs are NOT in this
-container, so the decode kernels are STUBS: ``decode_image`` raises
-``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic fake decoder (seeded by the content digest) produces stable
-"pixel statistics" — the Spark-side plumbing (schema, batching,
-partitioning, UDF signatures) is real and tested; only the codec is fake.
+``mapInPandas`` operators.
+
+Decode paths (``extract_features``):
+- ``fake=True``: deterministic digest-seeded pseudo-decoder (the stable
+  test path — exercises all the Spark plumbing with zero codec deps);
+- ``fake=False``: REAL decode — built-in pure-NumPy decoders for binary
+  PNM (P5 grayscale / P6 RGB) and uncompressed 24-bit BMP (zero
+  dependencies), falling back to PIL for other formats when importable
+  (import-guarded; this container has no PIL, so unsupported formats
+  raise ``NotImplementedError`` naming the integration point).
 """
 
 from __future__ import annotations
@@ -49,25 +53,96 @@ def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
     return rng.randint(0, 256, size=(min(height, 32), min(width, 32)), dtype=np.uint8)
 
 
+def _parse_pnm(payload: bytes) -> np.ndarray:
+    """Binary PNM decode (P5 grayscale / P6 RGB, maxval ≤ 255) — pure
+    NumPy, no deps. Returns a uint8 grayscale (BT.601 luma for RGB)."""
+    tokens: list[bytes] = []
+    i = 0
+    # header = 4 whitespace-separated tokens (magic, w, h, maxval) with
+    # '#' comments; raw pixel data starts after ONE whitespace byte
+    while len(tokens) < 4:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(payload[i:j])
+        i = j
+    i += 1  # the single whitespace after maxval
+    magic, w, h, maxval = tokens[0], int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if maxval > 255:
+        raise NotImplementedError("16-bit PNM not supported by the built-in decoder")
+    if magic == b"P5":
+        return np.frombuffer(payload, np.uint8, count=w * h, offset=i).reshape(h, w).copy()
+    if magic == b"P6":
+        rgb = np.frombuffer(payload, np.uint8, count=w * h * 3, offset=i).reshape(h, w, 3)
+        luma = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+        return np.clip(np.round(luma), 0, 255).astype(np.uint8)
+    raise NotImplementedError(f"PNM magic {magic!r} not supported")
+
+
+def _parse_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER, bottom-up) — pure NumPy."""
+    import struct
+
+    off = struct.unpack_from("<I", payload, 10)[0]
+    w = struct.unpack_from("<i", payload, 18)[0]
+    h = struct.unpack_from("<i", payload, 22)[0]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("built-in BMP decoder supports uncompressed 24-bit only")
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, np.uint8, count=stride * h, offset=off).reshape(h, stride)
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    if flip:
+        bgr = bgr[::-1]
+    luma = 0.299 * bgr[:, :, 2] + 0.587 * bgr[:, :, 1] + 0.114 * bgr[:, :, 0]
+    return np.clip(np.round(luma), 0, 255).astype(np.uint8)
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Real image decode → uint8 grayscale. Built-in pure-NumPy PNM/BMP
+    first (zero deps); anything else goes through PIL when available."""
+    if payload[:2] in (b"P5", b"P6"):
+        return _parse_pnm(payload)
+    if payload[:2] == b"BM":
+        return _parse_bmp(payload)
+    try:
+        import io
+
+        from PIL import Image  # type: ignore[import-not-found]
+    except ImportError as exc:
+        raise NotImplementedError(
+            "payload is neither PNM nor BMP and PIL is not installed in this "
+            "environment — install Pillow or supply PNM/BMP payloads"
+        ) from exc
+    return np.asarray(Image.open(io.BytesIO(payload)).convert("L"), dtype=np.uint8)
+
+
 def extract_features(media: DataFrame, fake: bool = False, n_feat: int = 8) -> DataFrame:
     """decode → per-image stats + a small feature vector, Arrow-batched.
 
-    Real decode is stubbed (no codec libs in this image): fake=False
-    raises NotImplementedError at execution time — the guard documents the
-    integration point; fake=True runs the deterministic fake decoder."""
+    ``fake=True`` runs the deterministic digest-seeded pseudo-decoder
+    (stable test path); ``fake=False`` runs the real decoders
+    (``decode_image``: built-in PNM/BMP, PIL fallback)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            if not fake:
-                raise NotImplementedError(
-                    "image/audio codecs not available in this environment; "
-                    "pass fake=True for the deterministic stub decoder"
-                )
             lumas, feats = [], []
             for payload, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
-                img = _fake_decode(bytes(payload), int(w), int(h))
+                if fake:
+                    img = _fake_decode(bytes(payload), int(w), int(h))
+                else:
+                    img = decode_image(bytes(payload))
                 lumas.append(float(img.mean()))
                 hist = np.histogram(img, bins=n_feat, range=(0, 256))[0]
                 feats.append((hist / max(1, img.size)).astype(np.float32))
@@ -77,6 +152,32 @@ def extract_features(media: DataFrame, fake: bool = False, n_feat: int = 8) -> D
             yield out
 
     return media.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+def synthesize_media_real(df: DataFrame, media_ref_col: str = "media_ref") -> DataFrame:
+    """Like ``synthesize_media`` but the payload is a REAL binary P6 PPM
+    (digest-seeded deterministic pixels, width/height matching the
+    header) — lets the real-decode path run end-to-end with zero codec
+    dependencies."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = {"media_ref": [], "media_type": [], "width": [], "height": [], "payload": []}
+            for ref in pdf[media_ref_col]:
+                seed = int.from_bytes(hashlib.md5(str(ref).encode()).digest()[:4], "big")
+                rng = np.random.RandomState(seed)
+                w, h = int(rng.randint(4, 24)), int(rng.randint(4, 24))
+                pix = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+                rows["media_ref"].append(ref)
+                rows["media_type"].append(str(ref).split("/")[2] if str(ref).count("/") >= 2 else "image")
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["payload"].append(f"P6\n{w} {h}\n255\n".encode() + pix.tobytes())
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(media_ref_col)).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:

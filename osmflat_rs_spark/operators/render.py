@@ -29,18 +29,53 @@ SVG_STYLE = {
 }
 
 
-def raster_to_pgm(raster: DataFrame, width: int, height: int) -> bytes:
-    """distinct (x, y) pixel DataFrame → binary PGM (P5): white canvas,
-    black road pixels (the reference writes luma 255 on black; we follow
-    its PNG convention: background 0, roads 255)."""
+def _raster_array(raster: DataFrame, width: int, height: int) -> np.ndarray:
+    """distinct (x, y) pixel DataFrame → uint8 canvas (background 0, road
+    pixels 255 — the reference's luma convention, render-roads.rs:161-214).
+    Pixel computation is distributed; only the bounded-size image
+    assembles on the driver (same shape as the reference's in-RAM raster)."""
     img = np.zeros((height, width), dtype=np.uint8)
-    pix = raster.select("x", "y").distinct().collect()
-    for r in pix:
-        x, y = int(r["x"]), int(r["y"])
-        if 0 <= x < width and 0 <= y < height:
-            img[y, x] = 255
+    pix = raster.select("x", "y").distinct().toPandas()
+    xs = pix["x"].to_numpy(np.int64)
+    ys = pix["y"].to_numpy(np.int64)
+    keep = (xs >= 0) & (xs < width) & (ys >= 0) & (ys < height)
+    img[ys[keep], xs[keep]] = 255
+    return img
+
+
+def raster_to_pgm(raster: DataFrame, width: int, height: int) -> bytes:
+    """Binary PGM (P5) raster sink."""
+    img = _raster_array(raster, width, height)
     header = f"P5\n{width} {height}\n255\n".encode()
     return header + img.tobytes()
+
+
+def raster_to_png(raster: DataFrame, width: int, height: int) -> bytes:
+    """8-bit grayscale PNG raster sink — the reference's actual artifact
+    (render-roads.rs:200-214 writes PNG). Stdlib-only encoder: zlib
+    deflate over filter-0 scanlines + CRC-32 chunk framing per the PNG
+    spec; no image libraries required."""
+    import struct
+    import zlib
+
+    img = _raster_array(raster, width, height)
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(height))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IEND", b"")
+    )
 
 
 def features_to_svg(

@@ -145,3 +145,42 @@ def test_audit_dense_index_accepts_and_rejects(spark, tables):
     )
     with _pytest.raises(AssertionError):
         audit_dense_index(bad, "idx")
+
+
+def test_raster_png_sink_roundtrip(tables, spark):
+    """The PNG sink (S10 — the reference's actual artifact) must encode
+    the exact same pixels as the PGM sink: parse the chunks, inflate,
+    strip filter-0 bytes, compare."""
+    import struct
+    import zlib
+
+    from osmflat_rs_spark.operators.render import raster_to_pgm, raster_to_png
+
+    df = spark.createDataFrame(
+        [(int(x), int(y)) for x in range(0, 16, 3) for y in range(0, 12, 2)],
+        schema="x long, y long",
+    )
+    w, h = 16, 12
+    png = raster_to_png(df, w, h)
+    pgm = raster_to_pgm(df, w, h)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    # walk chunks
+    i, idat = 8, b""
+    seen = []
+    while i < len(png):
+        (ln,) = struct.unpack(">I", png[i : i + 4])
+        tag = png[i + 4 : i + 8]
+        data = png[i + 8 : i + 8 + ln]
+        (crc,) = struct.unpack(">I", png[i + 8 + ln : i + 12 + ln])
+        assert crc == (zlib.crc32(tag + data) & 0xFFFFFFFF)
+        seen.append(tag)
+        if tag == b"IHDR":
+            pw, ph, depth, ctype = struct.unpack(">IIBB", data[:10])
+            assert (pw, ph, depth, ctype) == (w, h, 8, 0)
+        if tag == b"IDAT":
+            idat += data
+        i += 12 + ln
+    assert seen[0] == b"IHDR" and seen[-1] == b"IEND"
+    raw = zlib.decompress(idat)
+    pixels = b"".join(raw[y * (w + 1) + 1 : (y + 1) * (w + 1)] for y in range(h))
+    assert pixels == pgm[len(f"P5\n{w} {h}\n255\n") :]

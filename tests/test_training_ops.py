@@ -177,3 +177,60 @@ def test_srp_recall_floor(spark):
         approx = {(r["query_id"], r["vec_id"]) for r in srp_bucketed_topk(emb, q, k=5, dim=64).collect()}
         recalls.append(len(exact & approx) / len(exact))
     assert all(r >= 0.8 for r in recalls), f"recall@5 below floor: {recalls}"
+
+
+def test_multimodal_real_decode_builtin_ppm(spark):
+    """fake=False runs end-to-end with zero codec deps on real P6 PPM
+    payloads; mean_luma must equal a local re-decode of the same bytes."""
+    refs = spark.createDataFrame(
+        [(f"media://node/{i}/0.ppm",) for i in range(8)], schema="media_ref string"
+    )
+    media = multimodal.synthesize_media_real(refs)
+    got = {r["media_ref"]: r for r in multimodal.extract_features(media, fake=False).collect()}
+    assert len(got) == 8
+    for r in media.collect():
+        img = multimodal.decode_image(bytes(r["payload"]))
+        assert img.shape == (r["height"], r["width"])
+        assert abs(got[r["media_ref"]]["mean_luma"] - float(img.mean())) < 1e-9
+        assert len(got[r["media_ref"]]["feat"]) == 8
+
+
+def test_decode_image_builtin_bmp_and_p5():
+    """Built-in decoders: hand-built 24-bit BMP (bottom-up, padded rows)
+    and P5 PGM with a header comment decode to the exact pixels."""
+    import struct
+
+    # 3x2 P5 with comment
+    pix = np.array([[0, 128, 255], [10, 20, 30]], dtype=np.uint8)
+    p5 = b"P5\n# a comment\n3 2\n255\n" + pix.tobytes()
+    assert (multimodal.decode_image(p5) == pix).all()
+
+    # 2x2 24-bit BMP, bottom-up, stride padded to 8 bytes
+    bgr = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]], dtype=np.uint8
+    )  # rows as stored (bottom-up): file row 0 = image row 1
+    stride = 8
+    body = b"".join(bgr[y].tobytes() + b"\x00\x00" for y in range(2))
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    )
+    img = multimodal.decode_image(header + body)
+    assert img.shape == (2, 2)
+    # top-left of the IMAGE = last stored row's first pixel = BGR(0,0,255) = red
+    assert img[0, 0] == np.clip(np.round(0.299 * 255), 0, 255)
+
+
+def test_decode_image_pil_fallback():
+    """Other formats route through PIL when present; skip cleanly when not."""
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    import io
+
+    from PIL import Image
+
+    im = Image.new("L", (4, 3), color=77)
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    img = multimodal.decode_image(buf.getvalue())
+    assert img.shape == (3, 4) and (img == 77).all()
