@@ -74,11 +74,36 @@ def parse_spans(docs: DataFrame) -> DataFrame:
     )
 
 
+def _keyed(docs: DataFrame) -> DataFrame:
+    """docs + parsed (entity_type, osm_id) sort keys — the CHEAP
+    projection (one header-span lookup, no sort, no per-kind arrays).
+    This is what the range partitioner samples: ``repartitionByRange``
+    computes its child twice (sample pass + shuffle pass), so the
+    pre-shuffle projection must stay thin — full per-kind assembly runs
+    AFTER the shuffle, exactly once (r02 fix: the old plan assembled
+    every doc twice and shuffled four derived arrays instead of the one
+    raw span array)."""
+    hdr = F.get(F.filter("spans", lambda s: s["kind"] == "header"), 0)["text"]
+    return docs.select(
+        "doc_id",
+        "spans",
+        F.substring_index(hdr, " ", 1).alias("entity_type"),
+        F.substring_index(hdr, " ", -1).cast("long").alias("osm_id"),
+    )
+
+
 def _assemble_docs(docs: DataFrame, carrier: bool = True) -> DataFrame:
     """ONE pass over docs: per-doc row with every kind flattened to an
     ordered array (in-row, no shuffle at all — the arrays are derived from
     the sorted span array directly). Offset ties break by original array
     position (stable order, same rule as ``parse_spans`` / the oracle)."""
+    return _assemble_keyed(_keyed(docs), carrier=carrier)
+
+
+def _assemble_keyed(keyed: DataFrame, carrier: bool = True) -> DataFrame:
+    """Per-kind array assembly from a (doc_id, spans, entity_type, osm_id
+    [, eidx]) row — pure in-row transforms; extra input columns pass
+    through."""
     spans_sorted = F.array_sort(
         F.transform(
             "spans",
@@ -105,7 +130,6 @@ def _assemble_docs(docs: DataFrame, carrier: bool = True) -> DataFrame:
     def kind_arr(kind: str):
         return F.filter(ordered, lambda s: s["kind"] == kind)
 
-    header = F.get(kind_arr("header"), 0)["text"]
     coord = F.get(kind_arr("coord"), 0)["text"]
     tags = F.transform(
         kind_arr("tag"),
@@ -128,10 +152,9 @@ def _assemble_docs(docs: DataFrame, carrier: bool = True) -> DataFrame:
             F.split(s["text"], ":", 3).getItem(2).alias("role"),
         ),
     )
+    passthrough = [c for c in keyed.columns if c != "spans"]
     cols = [
-        F.col("doc_id"),
-        F.substring_index(header, " ", 1).alias("entity_type"),
-        F.substring_index(header, " ", -1).cast("long").alias("osm_id"),
+        *[F.col(c) for c in passthrough],
         F.split(coord, ",").getItem(0).cast("long").alias("lat"),
         F.split(coord, ",").getItem(1).cast("long").alias("lon"),
         tags.alias("tags_arr"),
@@ -146,7 +169,7 @@ def _assemble_docs(docs: DataFrame, carrier: bool = True) -> DataFrame:
             ordered, lambda s: F.struct(s["order"].alias("order"), s["kind"].alias("kind"))
         )
         cols += [media.alias("media_arr"), layout.alias("layout_arr")]
-    return docs.select(*cols)
+    return keyed.select(*cols)
 
 
 def ingest(
@@ -158,19 +181,21 @@ def ingest(
     from osmflat_rs_spark.plans.indexing import assign_dense_index_by_group, audit_dense_index
 
     # ONE range shuffle assigns all three per-type dense indices (grouped
-    # two-pass scheme) — vs. one shuffle+persist per entity type, which
-    # triples the serialization of these array-heavy rows. The persisted
-    # assembly is SLIM (no media/layout carrier columns — those feed only
-    # the roundtrip/audit outputs and are derived lazily below).
-    assembled = assign_dense_index_by_group(
-        _assemble_docs(docs, carrier=False), "entity_type", ["osm_id"], "eidx"
-    )
+    # two-pass scheme) — vs. one shuffle+persist per entity type. The
+    # shuffled+persisted rows are RAW (doc_id, spans, keys): the range
+    # partitioner's sample pass then costs one header parse instead of a
+    # full assembly, the shuffle moves one span array instead of four
+    # derived arrays, and the columnar cache encodes one nested column.
+    # Per-kind arrays derive in-row (codegen'd transforms) on each read of
+    # the persisted layout — CPU-cheap vs. the memory traffic they save.
+    indexed = assign_dense_index_by_group(_keyed(docs), "entity_type", ["osm_id"], "eidx")
     if audit:
-        # one vectorized no-shuffle pass over the persisted assembly: the
+        # one vectorized no-shuffle pass over the persisted layout: the
         # eidx must tile 0..n_g-1 per entity type in storage order —
         # guards the local-counter/stage-fusion invariant (indexing.py)
-        audit_dense_index(assembled, "eidx", group_col="entity_type")
-    carrier = _assemble_docs(docs)  # lazy: only computed if media/layout read
+        audit_dense_index(indexed, "eidx", group_col="entity_type")
+    assembled = _assemble_keyed(indexed, carrier=False)
+    carrier = _assemble_keyed(indexed)  # lazy: only computed if media/layout read
 
     # ---- stage 1: nodes ---------------------------------------------------
     nodes = assembled.filter(F.col("entity_type") == "node").select(
@@ -181,7 +206,12 @@ def ingest(
         _strip_order("tags_arr").alias("tags"),
         "doc_id",
     )
-    node_dict = nodes.select(F.col("osm_id").alias("ref_osm_id"), "node_idx")
+    # the dictionary carries coords so the resolution join denormalizes
+    # them into the ways (ways_geo below): downstream geometry consumers
+    # (tiling, road length, rendering) then run with ZERO further joins
+    # or windows over the vertex stream — the 100-TB tile phase becomes
+    # in-row segment expansion + one distinct agg
+    node_dict = nodes.select(F.col("osm_id").alias("ref_osm_id"), "node_idx", "lat", "lon")
 
     # ---- stage 2: ways ----------------------------------------------------
     ways_base = assembled.filter(F.col("entity_type") == "way").withColumn(
@@ -197,18 +227,40 @@ def ingest(
     refs_resolved = refs.join(node_dict, "ref_osm_id", "left").persist(StorageLevel.MEMORY_AND_DISK)
     way_refs = refs_resolved.groupBy("doc_id").agg(
         F.array_sort(
-            F.collect_list(F.struct(F.col("order").alias("_o"), F.col("node_idx"), F.col("ref_osm_id")))
+            F.collect_list(
+                F.struct(
+                    F.col("order").alias("_o"),
+                    F.col("node_idx"),
+                    F.col("ref_osm_id"),
+                    F.col("lat"),
+                    F.col("lon"),
+                )
+            )
         ).alias("resolved_refs")
     )
-    ways = ways_base.join(way_refs, "doc_id", "left").select(
+    # ways_geo: refs with denormalized coords (pos, node_idx, lat, lon) —
+    # the geometry-carrying variant; the golden-schema `ways` is an
+    # in-row projection of it (no extra shuffle)
+    ways_geo = ways_base.join(way_refs, "doc_id", "left").select(
         "way_idx",
         "osm_id",
         _strip_order("tags_arr").alias("tags"),
         F.transform(
             F.coalesce("resolved_refs", F.array()),
-            lambda s, i: F.struct(i.cast("int").alias("pos"), s["node_idx"].alias("node_idx")),
+            lambda s, i: F.struct(
+                i.cast("int").alias("pos"),
+                s["node_idx"].alias("node_idx"),
+                s["lat"].alias("lat"),
+                s["lon"].alias("lon"),
+            ),
         ).alias("refs"),
         "doc_id",
+    )
+    ways = ways_geo.withColumn(
+        "refs",
+        F.transform(
+            "refs", lambda s: F.struct(s["pos"].alias("pos"), s["node_idx"].alias("node_idx"))
+        ),
     )
     way_dict = ways.select(F.col("osm_id").alias("m_osm_id"), F.col("way_idx").alias("member_idx")).withColumn(
         "member_type", F.lit("way")
@@ -345,6 +397,7 @@ def ingest(
     return {
         "nodes": nodes.drop("doc_id"),
         "ways": ways.drop("doc_id"),
+        "ways_geo": ways_geo.drop("doc_id"),
         "relations": relations.drop("doc_id"),
         "nodes_full": nodes,
         "ways_full": ways,

@@ -55,7 +55,7 @@ def knn_join_bulk(
     points: DataFrame,
     queries: DataFrame,  # (query_id, lat, lon) fixed-point — can be huge
     k: int = 5,
-    res: int = 14,
+    res: int | None = None,
     radius_m: float = 1000.0,
     metric: str = "haversine",
     id_col: str = "node_idx",
@@ -86,6 +86,17 @@ def knn_join_bulk(
     driver gate, which verifies it in tests): the whole plan is then the
     cell equi-join with zero full-corpus scans."""
     spark = points.sparkSession
+    if res is None:
+        # size cells to the search radius (~16 cover cells per query):
+        # a res too coarse for the radius makes every covered cell drag
+        # in its whole point population (measured: res 14 at a 200m
+        # radius over 8M dense points → 77M candidates; auto-res → ~1M)
+        span = (
+            2 * int(radius_m)
+            if metric == "sqeuclid"
+            else 2 * int(radius_m / 111_320.0 * COORD_SCALE) + 1
+        )
+        res = cells.pick_cover_res(span, span, target_cells=16)
     pts = points.select(
         F.col(id_col).alias("_nid"), F.col("lat").cast("long"), F.col("lon").cast("long")
     ).withColumn("cell", cells.cell_id_expr(F.col("lat"), F.col("lon"), res))
@@ -123,7 +134,13 @@ def knn_join_bulk(
         return df.withColumn("dist_m", haversine_np_udf("q_lat", "q_lon", "lat", "lon"))
 
     settle_bound = float(radius_m) ** 2 if metric == "sqeuclid" else float(radius_m)
-    cand = with_dist(pts.join(cover, "cell"))
+    # broadcast the cover: its stats are opaque (mapInPandas output), so
+    # without the hint AQE falls back to a sort-merge join that SHUFFLES
+    # the whole point table — the one thing this operator must never do.
+    # Cover size = |queries| × cells/query (small multiple of the query
+    # set); for query sets beyond broadcast range, pre-bucket by cell
+    # instead (sources/bucketed.py) or raise autoBroadcastJoinThreshold.
+    cand = with_dist(pts.join(F.broadcast(cover), "cell"))
     w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col("_nid").asc())
     topk = (
         cand.withColumn("rank", F.row_number().over(w))
@@ -133,6 +150,9 @@ def knn_join_bulk(
     if not exact_fallback:
         return topk.withColumnRenamed("_nid", id_col)
 
+    # the fallback form consumes topk three times (fast path, settled
+    # stats, anti-join) — materialize it once; it is tiny (≤ |queries|·k)
+    topk = topk.persist()
     settled_stats = topk.groupBy("query_id").agg(
         F.count("*").alias("n"), F.max("dist_m").alias("kd")
     )
@@ -140,10 +160,15 @@ def knn_join_bulk(
     fast = topk.join(ok_ids, "query_id", "left_semi")
 
     # exact fallback for unsettled queries (rare when radius_m is sane):
-    # broadcast the unsettled query rows against the full point table
+    # broadcast the unsettled query rows against the full point table.
+    # Short-circuit at runtime when everything settled — topk is already
+    # materialized, so the isEmpty check costs one scan of the (small)
+    # query side, and the common case skips a full point-table pass.
     unsettled = queries.join(ok_ids, "query_id", "left_anti").select(
         "query_id", F.col("lat").alias("q_lat"), F.col("lon").alias("q_lon")
     )
+    if unsettled.isEmpty():
+        return fast.withColumnRenamed("_nid", id_col)
     slow_cand = with_dist(
         pts.crossJoin(F.broadcast(unsettled)).select("_nid", "lat", "lon", "query_id", "q_lat", "q_lon")
     )

@@ -137,6 +137,50 @@ def _tile_udf(lat_fixed: pd.Series, lon_fixed: pd.Series) -> pd.DataFrame:
     )
 
 
+def tile_assign_segments(
+    segments: DataFrame, zoom: int = TILE_ZOOM, jvm_tiles: bool = True
+) -> DataFrame:
+    """→ distinct (way_idx, zoom, tile_x, tile_y) from PRE-PAIRED segments
+    (way_idx, lat, lon, lat2, lon2) — e.g. ``queries.road_segments``'s
+    in-row pairs. The whole phase is then: one codegen stage (tile encode
+    + DDA scalar-explode) feeding one distinct hash-agg — the ONLY shuffle
+    in the 100-TB tile path (contrast ``tile_assign`` below, which needs a
+    window over (way_idx, pos) when given unpaired vertices)."""
+    if jvm_tiles:
+        from osmflat_rs_spark.functions.geo import mercator_tile_x, mercator_tile_y, to_degrees
+
+        seg = segments.select(
+            "way_idx",
+            mercator_tile_x(to_degrees(F.col("lon")), zoom).alias("x0"),
+            mercator_tile_y(to_degrees(F.col("lat")), zoom).alias("y0"),
+            mercator_tile_x(to_degrees(F.col("lon2")), zoom).alias("x1"),
+            mercator_tile_y(to_degrees(F.col("lat2")), zoom).alias("y1"),
+        )
+    else:
+        assert zoom == TILE_ZOOM, "zoom is compiled into the vectorized UDF"
+        seg = segments.select(
+            "way_idx",
+            _tile_udf(F.col("lat"), F.col("lon")).alias("t0"),
+            _tile_udf(F.col("lat2"), F.col("lon2")).alias("t1"),
+        ).select(
+            "way_idx",
+            F.col("t0.tx").alias("x0"),
+            F.col("t0.ty").alias("y0"),
+            F.col("t1.tx").alias("x1"),
+            F.col("t1.ty").alias("y1"),
+        )
+    return (
+        dda_expand(seg, ["way_idx"])
+        .select(
+            "way_idx",
+            F.lit(zoom).alias("zoom"),
+            F.col("x").alias("tile_x"),
+            F.col("y").alias("tile_y"),
+        )
+        .distinct()
+    )
+
+
 def tile_assign(road_coords: DataFrame, zoom: int = TILE_ZOOM, jvm_tiles: bool = False) -> DataFrame:
     """→ distinct (way_idx, zoom, tile_x, tile_y) touched (DDA on the tile
     grid between consecutive vertex tiles).

@@ -129,20 +129,100 @@ def road_length(t: dict[str, DataFrame]) -> DataFrame:
     return way_lengths(t).agg(F.sum("length_m").alias("total_m"))
 
 
-def road_coords(t: dict[str, DataFrame]) -> DataFrame:
-    """(way_idx, pos, lat, lon) of renderable roads: way_filter of
-    render-roads.rs:99-120 (∃ highway tag with value ∉ 9 unwanted) AND
-    fully resolved (forall refs non-null — null-propagation P13, checked
-    in-row, no join needed)."""
-    roads = t["ways"].filter(
+def _road_filter(ways: DataFrame) -> DataFrame:
+    """way_filter of render-roads.rs:99-120 (∃ highway tag with value ∉ 9
+    unwanted) AND fully resolved (forall refs non-null — null-propagation
+    P13, checked in-row, no join needed)."""
+    return ways.filter(
         F.exists("tags", lambda tg: (tg["key"] == "highway") & ~tg["value"].isin(UNWANTED_HIGHWAYS))
         & F.forall("refs", lambda r: r["node_idx"].isNotNull())
     )
+
+
+def road_coords(t: dict[str, DataFrame]) -> DataFrame:
+    """(way_idx, pos, lat, lon) of renderable road vertices.
+
+    Fast path: when the ingest provided ``ways_geo`` (refs with
+    denormalized coords), this is a pure in-row explode — NO join against
+    the node table and no shuffle at all. Fallback (plain ``ways``):
+    explode + FK join to nodes."""
+    wg = t.get("ways_geo")
+    if wg is not None:
+        return _road_filter(wg).select("way_idx", F.explode("refs").alias("r")).select(
+            "way_idx", F.col("r.pos").alias("pos"), F.col("r.lat").alias("lat"), F.col("r.lon").alias("lon")
+        )
+    roads = _road_filter(t["ways"])
     exploded = roads.select("way_idx", F.explode("refs").alias("r")).select(
         "way_idx", F.col("r.pos").alias("pos"), F.col("r.node_idx").alias("node_idx")
     )
     return exploded.join(t["nodes"].select("node_idx", "lat", "lon"), "node_idx").select(
         "way_idx", "pos", "lat", "lon"
+    )
+
+
+def _zip_pairs(refs_col: str):
+    """array<struct<..lat,lon..>> → consecutive-pair structs, in-row."""
+    return F.zip_with(
+        F.slice(refs_col, 1, F.greatest(F.size(refs_col) - 1, F.lit(0))),
+        F.slice(refs_col, 2, F.greatest(F.size(refs_col) - 1, F.lit(0))),
+        lambda a, b: F.struct(
+            a["lat"].alias("lat"),
+            a["lon"].alias("lon"),
+            b["lat"].alias("lat2"),
+            b["lon"].alias("lon2"),
+        ),
+    )
+
+
+def road_segments(t: dict[str, DataFrame]) -> DataFrame:
+    """(way_idx, lat, lon, lat2, lon2) consecutive road vertex pairs —
+    the tile phase's input, built with the minimum possible movement:
+
+    - given the ingest dict (has ``assembled``): the road-tag filter runs
+      BEFORE the resolution join (non-road ways never enter a shuffle),
+      the resolve is refs ⋈ nodes on the long osm_id, re-grouped by the
+      long ``way_idx`` (not the string doc_id), and there is NO join back
+      to the way table — the pairs zip in-row from the grouped array.
+      Two slim shuffles total, then everything is in-row.
+    - given only ``ways_geo``: pure in-row zip (the resolution already
+      happened inside ways_geo's own plan).
+
+    Both forms are exactly equal (tests/test_tiling.py)."""
+    asm = t.get("assembled")
+    nodes = t.get("nodes")
+    if asm is not None and nodes is not None:
+        roads = asm.filter(
+            (F.col("entity_type") == "way")
+            & F.exists(
+                "tags_arr",
+                lambda tg: (tg["key"] == "highway") & ~tg["value"].isin(UNWANTED_HIGHWAYS),
+            )
+        )
+        refs = roads.select(
+            F.col("eidx").alias("way_idx"), F.explode("refs_arr").alias("r")
+        ).select("way_idx", F.col("r.order").alias("order"), F.col("r.ref_osm_id").alias("ref_osm_id"))
+        resolved = refs.join(
+            nodes.select(F.col("osm_id").alias("ref_osm_id"), "node_idx", "lat", "lon"),
+            "ref_osm_id",
+            "left",
+        )
+        grouped = resolved.groupBy("way_idx").agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("order").alias("_o"), "node_idx", "lat", "lon"))
+            ).alias("rr")
+        )
+        fully = grouped.filter(
+            F.forall("rr", lambda r: r["node_idx"].isNotNull()) & (F.size("rr") >= 2)
+        )
+        return fully.select("way_idx", F.explode(_zip_pairs("rr")).alias("s")).select(
+            "way_idx", "s.lat", "s.lon", "s.lat2", "s.lon2"
+        )
+    wg = t["ways_geo"]
+    return (
+        _road_filter(wg)
+        .filter(F.size("refs") >= 2)
+        .select("way_idx", F.explode(_zip_pairs("refs")).alias("s"))
+        .select("way_idx", "s.lat", "s.lon", "s.lat2", "s.lon2")
     )
 
 

@@ -51,6 +51,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Tungsten off-heap: sort/agg/shuffle buffers leave the GC heap —
+        # measured ~7% faster and markedly flatter at high thread counts on
+        # the allocation-heavy ingest/tile stages (BENCH/BASELINE.md); on a
+        # real cluster size this per executor.
+        .config("spark.memory.offHeap.enabled", "true")
+        .config("spark.memory.offHeap.size", os.environ.get("SPARK_OFFHEAP_SIZE", "16g"))
     )
     # local-mode shuffle hits one filesystem from all threads; use tmpfs if
     # present (the single-box analog of per-node shuffle SSDs on a cluster)
