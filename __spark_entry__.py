@@ -563,7 +563,11 @@ def _dda_sql(src: str, idc: str) -> str:
 
 
 def _minhash_sql(threshold: float = 0.5) -> str:
-    h = _MD5I.format(x="CAST(i AS VARCHAR) || ':' || shingle")
+    # 8 hash fns = 2 md5 digests x 4 32-bit slices (engine-identical)
+    h = (
+        "('0x' || substr(CASE WHEN i < 4 THEN md5(shingle) "
+        "ELSE md5('1:' || shingle) END, (i % 4) * 8 + 1, 8))::BIGINT"
+    )
     sig_cols = ", ".join(f"MIN(CASE WHEN i = {i} THEN h END) AS sig_{i}" for i in range(8))
     band_rows = " UNION ALL ".join(
         f"SELECT _id, {b} AS band, md5(CAST(sig_{2*b} AS VARCHAR) || '_' || CAST(sig_{2*b+1} AS VARCHAR)) AS bh FROM sigs"

@@ -78,15 +78,22 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n_hashes: int = 8, k: int = 3
 ) -> DataFrame:
-    """(id, sig_0..sig_{n-1}): min over shingles of seed-prefixed md5 ints.
-    One shuffle total (the groupBy on id); shingling itself is in-row."""
+    """(id, sig_0..sig_{n-1}): min over shingles of 32-bit hash slices.
+    One md5 digest yields FOUR independent 32-bit hash functions (8-hex
+    slices), so n_hashes costs ceil(n/4) digests per shingle instead of n
+    (md5 is the dominant per-row cost at scale; 32-bit width keeps
+    within-doc collision odds ~n²/2³³ — negligible for real documents).
+    Seeded digests ('1:'||shingle, ...) extend past 4. One shuffle total
+    (the groupBy on id); shingling itself is in-row. Reproducible in ANSI
+    SQL: ('0x' || substr(md5(seed || shingle), j*8+1, 8))::BIGINT."""
     sh = df.select(
         F.col(id_col).alias("_id"), F.explode(_shingle_arr(F.col(text_col), k)).alias("shingle")
     )
-    aggs = [
-        F.min(md5_int60(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig_{i}")
-        for i in range(n_hashes)
-    ]
+    aggs = []
+    for i in range(n_hashes):
+        seed, j = divmod(i, 4)
+        digest = F.md5(F.col("shingle")) if seed == 0 else F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle")))
+        aggs.append(F.min(F.conv(F.substring(digest, 1 + 8 * j, 8), 16, 10).cast("long")).alias(f"sig_{i}"))
     return sh.groupBy("_id").agg(*aggs)
 
 
