@@ -319,12 +319,16 @@ def main():
         # that transfers to "N and 4N executors" on a real cluster.
         # Override with SPARK_GRAFT_SCALE_LO/SPARK_GRAFT_CPUS for 8->32.
         lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
+        hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", 4 * lo))  # the N -> 4N pair
         trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))
         worker_flag = "--scaling-worker" if "--full-pipeline" in sys.argv else "--spatial-worker"
         if worker_flag == "--spatial-worker" and "SPARK_GRAFT_SCALE_NODES" not in os.environ:
             os.environ["SPARK_GRAFT_SCALE_NODES"] = "128000000"  # the headline evidence size
+        # single-JVM local mode: driver == executors; size the heap for the
+        # 128M-point distinct/persist (first prep run wants even more)
+        os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
         results = {}
-        for c in (lo, CPUS):
+        for c in (lo, hi):
             best = None
             for _ in range(trials):
                 out = subprocess.run(
@@ -344,15 +348,15 @@ def main():
                     best = r
             results[c] = best
         thr = {c: results[c]["docs_per_sec"] for c in results}
-        eff = (thr[CPUS] / thr[lo]) / (CPUS / lo)
+        eff = (thr[hi] / thr[lo]) / (hi / lo)
         summary = {
             "metric": "scaling efficiency (%s docs/sec, local[%d] -> local[%d], best of %d)"
-            % ("full-pipeline" if worker_flag == "--scaling-worker" else "spatial-join+tiling", lo, CPUS, trials),
+            % ("full-pipeline" if worker_flag == "--scaling-worker" else "spatial-join+tiling", lo, hi, trials),
             "value": round(eff, 3),
             "unit": "ratio",
             "throughput_docs_per_sec": {str(c): thr[c] for c in thr},
             "seconds": {str(c): results[c]["seconds"] for c in results},
-            "n_docs": results[CPUS].get("n_docs", results[CPUS].get("n_points")),
+            "n_docs": results[hi].get("n_docs", results[hi].get("n_points")),
         }
         print(json.dumps(summary))
         return

@@ -189,7 +189,17 @@ def knn_join(
     max_rounds: int = 12,
 ) -> DataFrame:
     """→ DataFrame(query_id, rank, node_idx, dist_m), rank 1..k by
-    (dist, node_idx) — exact kNN, tie-broken deterministically."""
+    (dist, node_idx) — exact kNN, tie-broken deterministically.
+
+    Driver-loop form: right for DOZENS of queries (interactive lookups,
+    ring expansion with per-round driver collects). Guarded: large query
+    sets must use ``knn_join_bulk`` (fully distributed, no driver loop)."""
+    if len(queries) > 10_000:
+        raise ValueError(
+            f"knn_join is the driver-loop form (per-round toPandas); "
+            f"{len(queries)} queries would collect candidate sets to the driver "
+            f"every round — use knn_join_bulk for large query sets"
+        )
     spark = points.sparkSession
     pts = points.select(
         F.col("node_idx"), F.col("lat").cast("long"), F.col("lon").cast("long")

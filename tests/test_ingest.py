@@ -68,3 +68,34 @@ def test_consecutive_indices(tables):
         bad = df.filter(F.col(idx).isNotNull()).select(idx, "osm_id").orderBy(idx).collect()
         ids = [r["osm_id"] for r in bad]
         assert ids == sorted(ids)
+
+
+def test_duplicate_offset_ties_follow_input_order(spark):
+    """ADVICE r01: duplicate span offsets are legal (the engine does not
+    assume offset-sorted OR offset-unique input); ties must break by the
+    ORIGINAL array position — the same stable order the pandas oracle
+    uses — in both parse_spans and the assembled tables."""
+    from osmflat_rs_spark.ingest import parse_spans
+
+    rows = [
+        (
+            "nX",
+            [
+                ("header", "node 7", "", 0),
+                ("tag", "b=2", "", 5),  # same offset, later position
+                ("coord", "1,2", "", 1),
+                ("tag", "a=1", "", 5),  # wait — a=1 comes AFTER b=2 here
+            ],
+        )
+    ]
+    docs = spark.createDataFrame(
+        rows, schema="doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    )
+    got = [(r["order"], r["kind"], r["text"]) for r in parse_spans(docs).orderBy("order").collect()]
+    # offsets: header(0) < coord(1) < [b=2, a=1] both at 5 in input order
+    assert got == [
+        (0, "header", "node 7"),
+        (1, "coord", "1,2"),
+        (2, "tag", "b=2"),
+        (3, "tag", "a=1"),
+    ]
