@@ -326,13 +326,23 @@ def disk_cover(lat_fixed: int, lon_fixed: int, radius_m: float, res: int) -> np.
         dlon = 2 * _LON_OFF  # cap contains (or reaches) a pole: all longitudes
     else:
         dlon = int(math.ceil(math.degrees(math.asin(math.sin(c) / math.cos(lat_rad))) * COORD_SCALE)) + 1
-    return bbox_cover(
-        max(-_LAT_OFF, lat_fixed - dlat),
-        min(_LAT_OFF - 1, lat_fixed + dlat),
-        max(-_LON_OFF, lon_fixed - dlon),
-        min(_LON_OFF - 1, lon_fixed + dlon),
-        res,
-    )
+    lat_lo = max(-_LAT_OFF, lat_fixed - dlat)
+    lat_hi = min(_LAT_OFF - 1, lat_fixed + dlat)
+    lon_lo, lon_hi = lon_fixed - dlon, lon_fixed + dlon
+    if lon_hi - lon_lo >= 2 * _LON_OFF - 1:
+        return bbox_cover(lat_lo, lat_hi, -_LON_OFF, _LON_OFF - 1, res)
+    # antimeridian wrap: a disk crossing ±180° covers TWO lon intervals —
+    # clamping alone would silently drop the far-side cells and break the
+    # 'settled ⇒ exact' guarantee for cross-meridian neighbors
+    covers = []
+    if lon_lo < -_LON_OFF:
+        covers.append(bbox_cover(lat_lo, lat_hi, lon_lo + 2 * _LON_OFF, _LON_OFF - 1, res))
+        lon_lo = -_LON_OFF
+    if lon_hi >= _LON_OFF:
+        covers.append(bbox_cover(lat_lo, lat_hi, -_LON_OFF, lon_hi - 2 * _LON_OFF, res))
+        lon_hi = _LON_OFF - 1
+    covers.append(bbox_cover(lat_lo, lat_hi, lon_lo, lon_hi, res))
+    return np.unique(np.concatenate(covers)) if len(covers) > 1 else covers[0]
 
 
 def pick_cover_res(lat_span_fixed: int, lon_span_fixed: int, target_cells: int = 256) -> int:

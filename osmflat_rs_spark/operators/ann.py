@@ -107,14 +107,18 @@ def srp_bucketed_topk(
     bucket id — at 10^12 rows this replaces the full-scan crossJoin with
     a bounded bucket join.
 
-    ``probes`` = query-side multiprobe Hamming radius: with probes=1 each
-    query also looks in the n_planes buckets one bit-flip away (corpus
-    stays at one row per table — the probe fan-out is on the SMALL side).
+    ``probes`` = query-side multiprobe switch: 0 = exact-bucket only,
+    1 = each query also looks in the n_planes buckets one bit-flip away
+    (corpus stays at one row per table — the probe fan-out is on the
+    SMALL side). Only Hamming radius ≤ 1 is implemented; larger values
+    are rejected rather than silently behaving like 1.
     Defaults (6 planes × 8 tables × 1 probe) give measured recall@5 ≈
     0.9-1.0 on the fixture embeddings vs the brute-force baseline
     (tests/test_training_ops.py::test_srp_recall_floor, 3 query seeds;
-    recorded in COVERAGE.md). Recall theory: per table
-    P = q^p + probes·C(p,1)·q^(p-1)(1-q), q = 1 - θ/π."""
+    recorded in COVERAGE.md). Recall theory (probes=1): per table
+    P = q^p + p·q^(p-1)(1-q), q = 1 - θ/π."""
+    if probes not in (0, 1):
+        raise NotImplementedError("srp_bucketed_topk implements multiprobe Hamming radius 0 or 1")
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("vb")
     ).withColumn("bk", F.explode(_srp_buckets(F.col("vb"), n_planes, n_tables, dim)))

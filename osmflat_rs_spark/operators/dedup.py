@@ -123,6 +123,18 @@ def lsh_candidate_pairs(sigs: DataFrame, n_hashes: int = 8, n_bands: int = 4) ->
     )
 
 
+def _length_ratio_ok(threshold: float):
+    """Lossless jaccard prune bound: jaccard(A,B) ≥ t ⟹ |A∩B| ≥ t·|A∪B|
+    with |A∩B| ≤ min(|A|,|B|), |A∪B| ≥ max(|A|,|B|) ⟹ min/max ≥ t. The
+    SAME float-division shape as the final jaccard filter (both compare a
+    monotone-dominating ratio against t), so no surviving pair is ever
+    dropped. Expects columns na/nb."""
+    return (
+        F.least(F.col("na"), F.col("nb")).cast("double")
+        / F.greatest(F.col("na"), F.col("nb")).cast("double")
+    ) >= F.lit(threshold)
+
+
 def jaccard_for_pairs(
     df: DataFrame, pairs: DataFrame, id_col: str, text_col: str, threshold: float | None = None
 ) -> DataFrame:
@@ -140,13 +152,7 @@ def jaccard_for_pairs(
         sizes.select(F.col("_id").alias("id_b"), F.col("n").alias("nb")), "id_b"
     )
     if threshold is not None:
-        pairs = pairs.filter(
-            (
-                F.least(F.col("na"), F.col("nb")).cast("double")
-                / F.greatest(F.col("na"), F.col("nb")).cast("double")
-            )
-            >= F.lit(threshold)
-        )
+        pairs = pairs.filter(_length_ratio_ok(threshold))
     inter = (
         pairs.select("id_a", "id_b")
         .join(ws.select(F.col("_id").alias("id_a"), "w"), "id_a")
@@ -208,10 +214,7 @@ def ngram_jaccard_pairs(
     ).withColumn("n", F.size("ws").cast("long"))
     ws = base.select("_id", "_bk", "n", F.explode("ws").alias("w"))
     sizes = base.select("_id", "_bk", "n")
-    ratio_ok = (
-        F.least(F.col("na"), F.col("nb")).cast("double")
-        / F.greatest(F.col("na"), F.col("nb")).cast("double")
-    ) >= F.lit(threshold)
+    ratio_ok = _length_ratio_ok(threshold)
     pairs = (
         sizes.select(F.col("_bk"), F.col("_id").alias("id_a"), F.col("n").alias("na"))
         .join(sizes.select(F.col("_bk"), F.col("_id").alias("id_b"), F.col("n").alias("nb")), "_bk")
@@ -284,7 +287,7 @@ def embedding_cosine_pairs(
     a = v.select("_bk", F.col("_id").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
     b = v.select("_bk", F.col("_id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
     if salt and salt > 1:
-        a = a.withColumn("_ck", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).cast("int"))
+        a = a.withColumn("_ck", F.explode(F.sequence(F.lit(0).cast("int"), F.lit(salt - 1).cast("int"))))
         b = b.withColumn("_ck", F.pmod(F.xxhash64(F.col("id_b")), F.lit(salt)).cast("int"))
         keys = ["_bk", "_ck"]
     else:

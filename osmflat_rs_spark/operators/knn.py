@@ -102,9 +102,11 @@ def knn_join_bulk(
     ).withColumn("cell", cells.cell_id_expr(F.col("lat"), F.col("lon"), res))
 
     def gen_cover(batches):
+        import math
+
         import pandas as pd
 
-        r_int = int(radius_m)
+        r_int = int(math.ceil(radius_m))  # ceil: the bbox must contain the metric disk
         for pdf in batches:
             rows = {"query_id": [], "q_lat": [], "q_lon": [], "cell": []}
             for qid, la, lo in zip(pdf["query_id"], pdf["lat"], pdf["lon"]):
@@ -127,10 +129,17 @@ def knn_join_bulk(
 
     def with_dist(df: DataFrame) -> DataFrame:
         if metric == "sqeuclid":
-            d2 = (F.col("lat") - F.col("q_lat")) * (F.col("lat") - F.col("q_lat")) + (
-                F.col("lon") - F.col("q_lon")
-            ) * (F.col("lon") - F.col("q_lon"))
-            return df.withColumn("dist_m", d2.cast("long"))
+            # |delta| clamped at 2^31-1 so dlat²+dlon² ≤ 2·(2^31-1)² < 2^63:
+            # exact int64 with no ANSI overflow even in the brute-force
+            # fallback, where lon deltas reach 3.6e9 (one raw square is
+            # 1.3e19 > 2^63). The clamp is monotone, so ranking — and thus
+            # top-k exactness — is unaffected whenever the kth true
+            # neighbor lies within 2^31-1 units (≈ 214°·1e7-scale ⇒ ~21.4°
+            # of lon); farther candidates saturate and tie-break by id.
+            cap = F.lit((1 << 31) - 1).cast("long")
+            dlat = F.least(F.abs(F.col("lat") - F.col("q_lat")), cap)
+            dlon = F.least(F.abs(F.col("lon") - F.col("q_lon")), cap)
+            return df.withColumn("dist_m", (dlat * dlat + dlon * dlon).cast("long"))
         return df.withColumn("dist_m", haversine_np_udf("q_lat", "q_lon", "lat", "lon"))
 
     settle_bound = float(radius_m) ** 2 if metric == "sqeuclid" else float(radius_m)
@@ -150,8 +159,13 @@ def knn_join_bulk(
     if not exact_fallback:
         return topk.withColumnRenamed("_nid", id_col)
 
-    # the fallback form consumes topk three times (fast path, settled
-    # stats, anti-join) — materialize it once; it is tiny (≤ |queries|·k)
+    # The fallback form consumes topk three times (fast path, settled
+    # stats, anti-join) — materialize it once; it is tiny (≤ |queries|·k).
+    # NOTE: this makes the call EAGER (the settled check below runs jobs
+    # at construction time — inherent to the runtime short-circuit), and
+    # the cached topk lives until the returned DataFrame is GC'd (Spark's
+    # ContextCleaner reclaims it then). exact_fallback=False keeps the
+    # operator fully lazy and cache-free.
     topk = topk.persist()
     settled_stats = topk.groupBy("query_id").agg(
         F.count("*").alias("n"), F.max("dist_m").alias("kd")

@@ -188,9 +188,10 @@ def audit_dense_index(
     which IS the sorted order the two-pass scheme produced — every
     maximal same-group run of rows must carry consecutive indices; the
     tiny run summaries (first, last, n) come back to the driver, which
-    sorts each group's runs by first index and asserts they tile
+    sorts each group's runs by first index and verifies they tile
     0..n_g-1 exactly (any duplicate, gap, or scramble breaks the tiling).
-    Returns the total row count; raises AssertionError on violation.
+    Returns the total row count; raises RuntimeError on violation (a real
+    exception, not ``assert`` — the guard must survive ``python -O``).
 
     Cost: one scan of the (persisted) indexed frame + a collect of
     O(#partitions × #groups) rows — cheap enough to stay on by default
@@ -228,17 +229,20 @@ def audit_dense_index(
     by_group: dict[str, list] = {}
     total = 0
     for r in summary:
-        assert r["ok"], f"dense-index audit: non-consecutive indices inside a run of group {r['g']!r}"
-        assert r["last"] - r["first"] + 1 == r["n"], f"dense-index audit: run length mismatch in {r['g']!r}"
+        if not r["ok"]:
+            raise RuntimeError(f"dense-index audit: non-consecutive indices inside a run of group {r['g']!r}")
+        if r["last"] - r["first"] + 1 != r["n"]:
+            raise RuntimeError(f"dense-index audit: run length mismatch in {r['g']!r}")
         by_group.setdefault(r["g"], []).append((r["first"], r["last"]))
         total += r["n"]
     for g, rs in by_group.items():
         rs.sort()
         expect = 0
         for first, lastv in rs:
-            assert first == expect, (
-                f"dense-index audit: group {g!r} runs do not tile 0..n-1 — expected next "
-                f"index {expect}, found run starting at {first}"
-            )
+            if first != expect:
+                raise RuntimeError(
+                    f"dense-index audit: group {g!r} runs do not tile 0..n-1 — expected next "
+                    f"index {expect}, found run starting at {first}"
+                )
             expect = lastv + 1
     return total

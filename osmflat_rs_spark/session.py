@@ -54,9 +54,12 @@ def get_spark(
         # Tungsten off-heap: sort/agg/shuffle buffers leave the GC heap —
         # measured ~7% faster and markedly flatter at high thread counts on
         # the allocation-heavy ingest/tile stages (BENCH/BASELINE.md); on a
-        # real cluster size this per executor.
+        # real cluster size this per executor. Default = 1/8 of physical
+        # RAM capped at 16g, so small hosts aren't promised direct memory
+        # they don't have (direct-buffer OOM appears under load, not at
+        # session creation).
         .config("spark.memory.offHeap.enabled", "true")
-        .config("spark.memory.offHeap.size", os.environ.get("SPARK_OFFHEAP_SIZE", "16g"))
+        .config("spark.memory.offHeap.size", os.environ.get("SPARK_OFFHEAP_SIZE", _default_offheap()))
     )
     # local-mode shuffle hits one filesystem from all threads; use tmpfs if
     # present (the single-box analog of per-node shuffle SSDs on a cluster)
@@ -72,6 +75,15 @@ def get_spark(
     spark.sparkContext.setLogLevel("WARN")
     _ship_package(spark)
     return spark
+
+
+def _default_offheap() -> str:
+    try:
+        total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+    except (ValueError, OSError, AttributeError):
+        return "2g"
+    gb = max(1, min(16, int(total / (1 << 30)) // 8))
+    return f"{gb}g"
 
 
 def _ship_package(spark: SparkSession) -> None:

@@ -123,13 +123,17 @@ def _destination(lat_deg, lon_deg, bearing_deg, dist_m):
         (0.0, 0.0, 50_000.0),
         (52.4, 13.2, 500.0),  # the knn-scale radii
         (52.4, 13.2, 128_000.0),
+        (45.0, 179.95, 300_000.0),  # antimeridian crossing (east side)
+        (-30.0, -179.99, 150_000.0),  # antimeridian crossing (west side)
+        (87.0, 10.0, 600_000.0),  # cap reaching the pole: all longitudes
     ],
 )
 def test_disk_cover_contains_geodesic_disk(lat_deg, lon_deg, radius_m):
     """Every point at haversine distance ≤ r from the center must land in
     a covered cell — the superset property knn's 'settled ⇒ exact'
     guarantee rests on. Samples the disk boundary densely (the extreme-
-    longitude point lies poleward of the center) plus interior rings."""
+    longitude point lies poleward of the center) plus interior rings;
+    antimeridian-crossing disks must cover BOTH wrapped lon intervals."""
     from osmflat_rs_spark.oracle import haversine_np
 
     res = 12
@@ -138,9 +142,14 @@ def test_disk_cover_contains_geodesic_disk(lat_deg, lon_deg, radius_m):
     for frac in (1.0, 0.999, 0.9, 0.5):
         for b in range(0, 3600, 25):  # 144 bearings
             dlat, dlon = _destination(lat_deg, lon_deg, b / 10.0, radius_m * frac)
+            # wrap lon into [-180, 180) — cross-meridian points are REAL
+            # candidates and must be covered (the r01 test skipped them,
+            # masking the hole the review found)
+            dlon = ((dlon + 180.0) % 360.0) - 180.0
             plat, plon = int(round(dlat * COORD_SCALE)), int(round(dlon * COORD_SCALE))
-            if abs(plat) >= 90 * COORD_SCALE or abs(plon) >= 180 * COORD_SCALE:
-                continue  # wrapped past the antimeridian/pole — out of bbox domain
+            if abs(plat) >= 90 * COORD_SCALE:
+                continue  # pole clamp domain edge
+            plon = max(-180 * COORD_SCALE, min(180 * COORD_SCALE - 1, plon))
             d = float(haversine_np(lat_fx / COORD_SCALE, lon_fx / COORD_SCALE,
                                    plat / COORD_SCALE, plon / COORD_SCALE))
             if d > radius_m:

@@ -143,7 +143,7 @@ def test_audit_dense_index_accepts_and_rejects(spark, tables):
         .when(F.col("idx") == 1, F.lit(0))
         .otherwise(F.col("idx")),
     )
-    with _pytest.raises(AssertionError):
+    with _pytest.raises(RuntimeError):
         audit_dense_index(bad, "idx")
 
 

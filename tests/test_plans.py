@@ -126,3 +126,15 @@ def test_strings_dim_offsets_still_match_model(tables, model):
     from tests.util import assert_frames_equal
 
     assert_frames_equal(tables["strings_dim"], model["strings_dim"], ["offset", "s"])
+
+
+def test_exclusive_prefix_sum_unit(spark):
+    from osmflat_rs_spark.plans.indexing import exclusive_prefix_sum
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i, (i * 7) % 23 + 1) for i in range(200)], schema="o int, w long")
+    got = {r["o"]: r["off"] for r in exclusive_prefix_sum(df, "o", "w", "off", num_partitions=7).collect()}
+    acc = 0
+    for i in range(200):
+        assert got[i] == acc, f"offset mismatch at {i}"
+        acc += (i * 7) % 23 + 1

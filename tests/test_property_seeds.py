@@ -36,3 +36,19 @@ def test_ingest_and_queries_roundtrip_other_seeds(spark, seed):
     got = pip_join(t["nodes"], polygons_to_spark(spark, poly_pdf))
     want = oracle.q_pip_join(m, poly_pdf)
     assert_frames_equal(got, want, ["polygon_id", "node_idx"])
+
+
+@pytest.mark.parametrize("seed", [7, 99])
+def test_road_segments_paths_agree_other_seeds(spark, seed):
+    """Fast (assembled-direct) vs ways_geo in-row vs window tile paths on
+    reseeded universes."""
+    from osmflat_rs_spark.operators.tiling import tile_assign, tile_assign_segments
+    from tests.util import normalize
+
+    pdf, _ = generate_docs(n_nodes=250, n_ways=60, n_rels=15, seed=seed)
+    t = ingest(docs_to_spark(spark, pdf))
+    cols = ["way_idx", "zoom", "tile_x", "tile_y"]
+    old = normalize(tile_assign(q.road_coords({"nodes": t["nodes"], "ways": t["ways"]}), jvm_tiles=True), cols)
+    fast = normalize(tile_assign_segments(q.road_segments(t), jvm_tiles=True), cols)
+    inrow = normalize(tile_assign_segments(q.road_segments({"ways_geo": t["ways_geo"]}), jvm_tiles=True), cols)
+    assert fast == old and inrow == old

@@ -234,3 +234,18 @@ def test_decode_image_pil_fallback():
     im.save(buf, format="PNG")
     img = multimodal.decode_image(buf.getvalue())
     assert img.shape == (3, 4) and (img == 77).all()
+
+
+def test_embedding_cosine_salt_invariance(spark):
+    """Triangle salting distributes hot-bucket work; results must be
+    byte-identical to the unsalted join."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = {
+        (r["id_a"], r["id_b"], round(r["cosine"], 9))
+        for r in dedup.embedding_cosine_pairs(emb, "vec_id", "embedding", "label", -1.0).collect()
+    }
+    salted = {
+        (r["id_a"], r["id_b"], round(r["cosine"], 9))
+        for r in dedup.embedding_cosine_pairs(emb, "vec_id", "embedding", "label", -1.0, salt=4).collect()
+    }
+    assert base == salted and len(base) > 0
