@@ -250,3 +250,56 @@ def test_interior_cells_of_sliver_polygons_fully_inside(seed):
                 f"seed {seed}: interior-classified cell {int(cell)} has points "
                 f"outside the sliver polygon"
             )
+
+
+def _segment_hits_cell_exact(x0, y0, x1, y1, ix, iy, res):
+    """Exact rational test: does the CLOSED segment intersect the CLOSED
+    cell square? Slab clipping with fractions.Fraction — the independent
+    oracle for _grid_supercover."""
+    from fractions import Fraction as Fr
+
+    span_x = Fr(360 * COORD_SCALE, 1 << res)
+    span_y = Fr(180 * COORD_SCALE, 1 << res)
+    lx, hx = -180 * COORD_SCALE + ix * span_x, -180 * COORD_SCALE + (ix + 1) * span_x
+    ly, hy = -90 * COORD_SCALE + iy * span_y, -90 * COORD_SCALE + (iy + 1) * span_y
+    t0, t1 = Fr(0), Fr(1)
+    for p, d, lo, hi in ((x0, x1 - x0, lx, hx), (y0, y1 - y0, ly, hy)):
+        if d == 0:
+            if p < lo or p > hi:
+                return False
+        else:
+            ta, tb = Fr(lo - p, d), Fr(hi - p, d)
+            if ta > tb:
+                ta, tb = tb, ta
+            t0, t1 = max(t0, ta), min(t1, tb)
+    return t0 <= t1
+
+
+@given(
+    st.integers(min_value=-(1 << 30), max_value=1 << 30),
+    st.integers(min_value=-(1 << 30), max_value=1 << 30),
+    st.integers(min_value=-(1 << 18), max_value=1 << 18),
+    st.integers(min_value=-(1 << 18), max_value=1 << 18),
+    st.integers(min_value=10, max_value=20),
+)
+@settings(max_examples=60, deadline=None)
+def test_supercover_equals_exact_rational_oracle(x0, y0, dx, dy, res):
+    """_grid_supercover must contain EVERY cell the closed segment
+    touches (proved against an independent exact rational slab-clipping
+    oracle over the segment's cell bbox) — the no-false-negative property
+    the interior short-circuit's correctness rests on."""
+    x1, y1 = x0 + dx, y0 + dy
+    got = cells._grid_supercover(x0, y0, x1, y1, res)
+    gx, gy = cells.grid_coords_np(np.array([y0, y1]), np.array([x0, x1]), res)
+    lim = (1 << res) - 1
+    ix_lo, ix_hi = int(gx.min()) - 1, int(gx.max()) + 1
+    iy_lo, iy_hi = int(gy.min()) - 1, int(gy.max()) + 1
+    if (ix_hi - ix_lo + 1) * (iy_hi - iy_lo + 1) > 2500:
+        return  # keep the exhaustive oracle bounded
+    for ix in range(max(0, ix_lo), min(lim, ix_hi) + 1):
+        for iy in range(max(0, iy_lo), min(lim, iy_hi) + 1):
+            if _segment_hits_cell_exact(x0, y0, x1, y1, ix, iy, res):
+                assert (ix, iy) in got, (
+                    f"exact oracle says cell ({ix},{iy}) touches segment "
+                    f"({x0},{y0})-({x1},{y1}) at res {res} but supercover missed it"
+                )
