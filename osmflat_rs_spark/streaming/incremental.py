@@ -73,3 +73,130 @@ def stream_docs_counts(spark, docs_dir: str, schema, checkpoint_dir: str) -> "tu
         .start()
     )
     return q, "span_kind_counts"
+
+
+def stream_cell_assign(spark, docs_dir: str, schema, out_dir: str, checkpoint_dir: str, res: int = 14):
+    """Streaming spatial assignment: watch a docs directory, parse node
+    headers/coords IN-ROW (same expressions as batch ingest), encode the
+    Morton cell, append to parquet. File source + append sink +
+    checkpoint = exactly-once per input file; restarts resume from the
+    checkpoint (the streaming analog of the snapshot cursor).
+
+    Returns the StreamingQuery (caller awaits/stops)."""
+    from pyspark.sql import functions as F
+
+    from osmflat_rs_spark.functions.cells import cell_id_expr
+    from osmflat_rs_spark.ingest import _keyed
+
+    stream = spark.readStream.schema(schema).parquet(docs_dir)
+    keyed = _keyed(stream)
+    coord = F.get(F.filter("spans", lambda s: s["kind"] == "coord"), 0)["text"]
+    nodes = keyed.filter(F.col("entity_type") == "node").select(
+        "doc_id",
+        "osm_id",
+        F.split(coord, ",").getItem(0).cast("long").alias("lat"),
+        F.split(coord, ",").getItem(1).cast("long").alias("lon"),
+    )
+    out = nodes.withColumn("cell", cell_id_expr(F.col("lat"), F.col("lon"), res))
+    return (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_windowed_event_counts(spark, events_dir: str, schema, checkpoint_dir: str,
+                                 window: str = "1 hour", watermark: str = "2 hours"):
+    """Watermarked sliding-free tumbling-window aggregation over an event
+    stream (the late-data pattern of SURVEY §2.9): counts per
+    (event_type, window), watermark bounds state. Memory sink for tests;
+    swap for a real sink in production. Returns (query, table_name)."""
+    from pyspark.sql import functions as F
+
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    # event-time watermarks require TIMESTAMP (with zone); NTZ sources
+    # (plain parquet timestamps) are cast — session TZ is pinned to UTC
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("windowed_event_counts")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, "windowed_event_counts"
+
+
+def stream_dedup_first_seen(spark, docs_dir: str, schema, checkpoint_dir: str, out_dir: str):
+    """STATEFUL streaming exact-dedup (applyInPandasWithState): keyed by
+    content digest, only the FIRST document with a given digest is
+    emitted; per-key state (first doc_id) persists across micro-batches
+    AND restarts via the checkpointed state store. This is the streaming
+    form of ``dedup.exact_dedup`` for continuous training-data intake.
+
+    Parquet append sink (the memory sink cannot recover from a
+    checkpoint, so it would forfeit exactly the restart semantics this
+    operator exists to provide). Returns the StreamingQuery."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    stream = spark.readStream.schema(schema).parquet(docs_dir)
+    digested = stream.select(
+        F.md5(F.col("text")).alias("digest"), F.col("doc_id"), F.col("text")
+    )
+
+    out_schema = StructType(
+        [
+            StructField("digest", StringType()),
+            StructField("doc_id", StringType()),
+            StructField("text", StringType()),
+        ]
+    )
+    state_schema = StructType([StructField("first_doc_id", StringType())])
+
+    def dedup_fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            # digest already emitted in an earlier batch — drain and drop
+            for _ in pdfs:
+                pass
+            yield pd.DataFrame({"digest": [], "doc_id": [], "text": []})
+            return
+        first = None
+        for pdf in pdfs:
+            if len(pdf) and first is None:
+                pdf = pdf.sort_values("doc_id", kind="mergesort")
+                first = pdf.iloc[0]
+        if first is not None:
+            state.update((str(first["doc_id"]),))
+            yield pd.DataFrame(
+                {"digest": [key[0]], "doc_id": [first["doc_id"]], "text": [first["text"]]}
+            )
+
+    deduped = digested.groupBy("digest").applyInPandasWithState(
+        dedup_fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

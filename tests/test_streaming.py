@@ -1,0 +1,105 @@
+"""Structured Streaming surface (SURVEY §2.9): exactly-once file-source
+cell assignment, watermarked windowed aggregation, and STATEFUL streaming
+dedup (applyInPandasWithState) with cross-restart state via checkpoint."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmflat_rs_spark.fixtures import docs_to_spark, generate_docs
+from osmflat_rs_spark.streaming.incremental import (
+    stream_cell_assign,
+    stream_dedup_first_seen,
+    stream_windowed_event_counts,
+)
+
+DOCS_SCHEMA = "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+
+
+def test_stream_cell_assign_matches_batch(spark, tmp_path):
+    pdf, _ = generate_docs(n_nodes=300, n_ways=40, n_rels=10)
+    docs_dir, out_dir, ckpt = str(tmp_path / "docs"), str(tmp_path / "out"), str(tmp_path / "ck")
+    half = len(pdf) // 2
+    docs_to_spark(spark, pdf.iloc[:half]).write.mode("append").parquet(docs_dir)
+    docs_to_spark(spark, pdf.iloc[half:]).write.mode("append").parquet(docs_dir)
+
+    q = stream_cell_assign(spark, docs_dir, DOCS_SCHEMA, out_dir, ckpt, res=14)
+    q.awaitTermination(120)
+
+    got = {
+        (r["osm_id"], r["cell"]) for r in spark.read.parquet(out_dir).collect()
+    }
+    from osmflat_rs_spark.functions.cells import cell_id_expr
+    from osmflat_rs_spark.ingest import _keyed
+
+    keyed = _keyed(spark.read.parquet(docs_dir))
+    coord = F.get(F.filter("spans", lambda s: s["kind"] == "coord"), 0)["text"]
+    want = {
+        (r["osm_id"], r["cell"])
+        for r in keyed.filter(F.col("entity_type") == "node")
+        .select(
+            "osm_id",
+            cell_id_expr(
+                F.split(coord, ",").getItem(0).cast("long"),
+                F.split(coord, ",").getItem(1).cast("long"),
+                14,
+            ).alias("cell"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) == 300
+
+
+def test_stream_windowed_event_counts(spark, tmp_path):
+    import shutil
+
+    events_dir = str(tmp_path / "events")
+    os.makedirs(events_dir)
+    shutil.copy("/root/testdata/sf0.001/events.parquet", events_dir + "/events.parquet")
+    schema = spark.read.parquet(events_dir).schema
+
+    q, table = stream_windowed_event_counts(
+        spark, events_dir, schema, str(tmp_path / "ck"), window="1 hour", watermark="2 hours"
+    )
+    q.awaitTermination(120)
+    got = {(r["w_start"], r["event_type"]): r["n"] for r in spark.sql(f"SELECT * FROM {table}").collect()}
+
+    ev = spark.read.parquet(events_dir)
+    want_all = {
+        (r["w_start"], r["event_type"]): r["n"]
+        for r in ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n")
+        .collect()
+    }
+    # append mode emits only windows sealed by the final watermark — the
+    # emitted subset must agree exactly with the batch aggregation
+    assert len(got) > 0
+    for k, n in got.items():
+        assert want_all[k] == n
+
+
+def test_stream_dedup_state_survives_restart(spark, tmp_path):
+    docs_dir, ckpt, out_dir = str(tmp_path / "docs"), str(tmp_path / "ck"), str(tmp_path / "dedup_out")
+    b1 = spark.createDataFrame(
+        [("d1", "alpha beta"), ("d2", "gamma delta")], schema="doc_id string, text string"
+    )
+    b1.write.mode("append").parquet(docs_dir)
+    schema = "doc_id string, text string"
+
+    q = stream_dedup_first_seen(spark, docs_dir, schema, ckpt, out_dir)
+    q.awaitTermination(120)
+    got1 = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert got1 == {"d1", "d2"}
+
+    # batch 2: d3 duplicates d1's text — the restarted query must REMEMBER
+    # the digest via checkpointed state and emit only the new d4
+    b2 = spark.createDataFrame(
+        [("d3", "alpha beta"), ("d4", "epsilon zeta")], schema="doc_id string, text string"
+    )
+    b2.write.mode("append").parquet(docs_dir)
+    q2 = stream_dedup_first_seen(spark, docs_dir, schema, ckpt, out_dir)
+    q2.awaitTermination(120)
+    got2 = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert got2 == {"d1", "d2", "d4"}  # d3 suppressed by checkpointed state
