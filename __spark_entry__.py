@@ -389,6 +389,14 @@ def q_fingerprint_docs(spark, sf_dir):
     return fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_winnow_fingerprint_docs(spark, sf_dir):
+    """Rolling-hash winnowing fingerprints (SWA'03): per-window min of
+    shingle hashes, in-row, SQL-reproducible via list lambdas."""
+    from osmflat_rs_spark.operators.textops import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3, w=4)
+
+
 def q_token_count_docs(spark, sf_dir):
     from osmflat_rs_spark.operators.textops import token_count
 
@@ -627,6 +635,22 @@ norms AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM dims GROUP BY vec_id)
 """
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF (coarse-quantizer) ANN — the partition-pruned scale path:
+    deterministic k-means centroids, cluster equi-join, exact re-rank.
+    Approximate by construction → rows-only check (no SQL oracle);
+    recall@5 floor asserted in tests/test_training_ops.py."""
+    _prep(spark)
+    from osmflat_rs_spark.operators.ann import ivf_topk, train_ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = train_ivf_centroids(emb, n_clusters=16)
+    q = emb.filter(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return ivf_topk(emb, q, cent, k=5, n_probes=8)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the two-phase cell-cover PIP spatial join at sf0.001."""
     return q_pip_events(spark, "/root/testdata/sf0.001")
@@ -658,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_reassemble_docs": q_span_reassemble_docs,
         "dedup_exact_docs": q_dedup_exact_docs,
         "fingerprint_docs": q_fingerprint_docs,
+        "winnow_fingerprint_docs": q_winnow_fingerprint_docs,
         "token_count_docs": q_token_count_docs,
         "lang_id_docs": q_lang_id_docs,
         "quality_docs": q_quality_docs,
@@ -667,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
         "ann_srp_topk": q_ann_srp_topk,  # approximate → rows-only (no oracle)
+        "ann_ivf_topk": q_ann_ivf_topk,  # approximate → rows-only (no oracle)
     }
 
 
@@ -823,6 +849,26 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_docs": (
             "SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp FROM documents"
         ),
+        "winnow_fingerprint_docs": """
+            WITH base AS (SELECT doc_id, lower(text) AS ltext,
+                                 regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents),
+            sh AS (SELECT doc_id,
+                          CASE WHEN len(ws) >= 3
+                               THEN list_transform(generate_series(0, len(ws) - 3),
+                                                   i -> array_to_string(list_slice(ws, i + 1, i + 3), ' '))
+                               ELSE [ltext] END AS shingles
+                   FROM base),
+            hs AS (SELECT doc_id,
+                          list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hlist
+                   FROM sh),
+            fps AS (SELECT doc_id,
+                           CASE WHEN len(hlist) >= 4
+                                THEN list_distinct(list_transform(generate_series(0, len(hlist) - 4),
+                                                                  j -> list_min(list_slice(hlist, j + 1, j + 4))))
+                                ELSE [list_min(hlist)] END AS f
+                    FROM hs)
+            SELECT doc_id, unnest(f) AS fp FROM fps
+        """,
         "token_count_docs": """
             SELECT doc_id, len(regexp_split_to_array(lower(text), '\\s+')) AS n_ws_tokens,
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpeish

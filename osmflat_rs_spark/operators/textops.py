@@ -71,3 +71,39 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     canonical near-exact dedup key."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     return df.select(F.col(id_col), F.md5(norm).alias("fp"))
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (the rolling-hash scheme of
+    Schleimer/Wilkerson/Aiken, SIGMOD'03): hash every word k-shingle,
+    slide a window of ``w`` consecutive hashes, keep each window's MIN,
+    dedup → the doc's fingerprint set. Guarantees any shared run of
+    ≥ w+k-1 words between two docs yields at least one shared
+    fingerprint (the local-containment property exact substring-ish
+    matchers rely on).
+
+    ENTIRELY in-row (transform/slice/array_min over the shingle hash
+    array — zero shuffle until the output explode), and bit-reproducible
+    in ANSI SQL via list lambdas + the md5-slice hash. → (id, fp) rows,
+    distinct per doc."""
+    from osmflat_rs_spark.operators.dedup import _shingle_arr
+
+    hs = F.transform(
+        _shingle_arr(F.col(text_col), k),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+    )
+    n = F.size(hs)
+    fps = F.when(
+        n >= w,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n - w),
+                lambda j: F.array_min(F.slice(hs, j + 1, w)),
+            )
+        ),
+    ).otherwise(F.array(F.array_min(hs)))
+    return df.select(F.col(id_col).alias("_id"), F.explode(fps).alias("fp")).withColumnRenamed(
+        "_id", id_col
+    )

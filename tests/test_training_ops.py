@@ -249,3 +249,47 @@ def test_embedding_cosine_salt_invariance(spark):
         for r in dedup.embedding_cosine_pairs(emb, "vec_id", "embedding", "label", -1.0, salt=4).collect()
     }
     assert base == salted and len(base) > 0
+
+
+def test_winnow_local_containment(spark):
+    """Winnowing guarantee: two docs sharing a run of >= w+k-1 words
+    share at least one fingerprint; disjoint docs share none."""
+    from osmflat_rs_spark.operators.textops import winnow_fingerprints
+
+    shared = "lorem ipsum dolor sit amet consectetur"  # 6 words = w+k-1 (w=4,k=3)
+    rows = [
+        (1, f"aaa bbb {shared} ccc ddd"),
+        (2, f"xxx yyy zzz {shared} qqq"),
+        (3, "totally different words with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    fps = winnow_fingerprints(df, "doc_id", "text", k=3, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared 6-word run must yield a shared fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+
+def test_ivf_recall_floor_and_determinism(spark):
+    """IVF ANN (the second scale path next to SRP): recall@5 vs brute
+    force ≥ 0.8 at n_probes=8/16 on the (unclustered — worst-case)
+    fixture embeddings, 3 query seeds; training is deterministic."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c1 = ann.train_ivf_centroids(emb, n_clusters=16)
+    c2 = ann.train_ivf_centroids(emb, n_clusters=16)
+    assert (c1 == c2).all(), "k-means training must be deterministic"
+    recalls = []
+    for qids in ([0, 1, 2, 3, 4], [10, 11, 12, 13, 14], [20, 21, 22, 23, 24]):
+        q = emb.filter(F.col("vec_id").isin(qids)).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = {(r["query_id"], r["vec_id"]) for r in ann.cosine_topk(emb, q, k=5).collect()}
+        approx = {
+            (r["query_id"], r["vec_id"])
+            for r in ann.ivf_topk(emb, q, c1, k=5, n_probes=8).collect()
+        }
+        recalls.append(len(exact & approx) / len(exact))
+    assert all(r >= 0.8 for r in recalls), f"IVF recall@5 below floor: {recalls}"
