@@ -15,6 +15,15 @@ the same DDA expansion on the tile grid.
 Line spec: symmetric integer DDA, round-half-up both axes, endpoints
 exact (deviation from the reference's error-accumulator form is pinned in
 oracle.dda_line — engine and oracle implement the identical closed form).
+
+Investigated and rejected (r2): in-row consecutive-tile dedup before the
+DDA explode (transform → zip-with-shifted → filter → slice chains) to
+shrink the distinct agg's input. Measured 5-10× SLOWER than this flat
+explode+codegen pipeline at 128M vertices: every array HOF materializes
+a fresh ArrayData per row, and a lambda referencing an outer array
+expression is re-evaluated per ELEMENT after projection collapse. The
+flat form (explode early, scalar codegen, one hash-agg with map-side
+partial) is the fast shape in this engine.
 """
 
 from __future__ import annotations
