@@ -280,6 +280,24 @@ def q_pip_events(spark, sf_dir):
     return pip_join(pts, polys, point_id="event_id").select("polygon_id", "event_id")
 
 
+def q_pip_events_shuffle(spark, sf_dir):
+    """The SHUFFLE-mode two-phase PIP join (the 10^12-scale path when the
+    polygon side outgrows broadcast): distributed covers, sort-merge cell
+    join with salting, ring-carrying map-side refinement. Same exact
+    semantics as pip_events — the oracle is the identical half-plane SQL."""
+    _prep(spark)
+    from osmflat_rs_spark.operators.spatial_join import pip_join_shuffle
+
+    pts = _synth_coords(_t(spark, sf_dir, "events")).select("event_id", "lat", "lon")
+    polys = spark.createDataFrame(
+        [("hex", [(la, lo) for lo, la in HEX_RING], "district")],
+        schema="polygon_id string, ring array<struct<lat:long,lon:long>>, kind string",
+    )
+    return pip_join_shuffle(pts, polys, point_id="event_id", cover_res=12, salt=4).select(
+        "polygon_id", "event_id"
+    )
+
+
 def q_knn_events(spark, sf_dir):
     """kNN through the engine's fully-distributed cell-cover operator
     (``knn_join_bulk``): exact integer squared-euclid metric, pure-JVM
@@ -387,6 +405,21 @@ def q_fingerprint_docs(spark, sf_dir):
     from osmflat_rs_spark.operators.textops import fingerprint
 
     return fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_string_offsets_docs(spark, sf_dir):
+    """S8/A7 string-intern offsets via the scalable two-pass exclusive
+    prefix sum (strings.rs:134-145 semantics: offset = Σ (len+1) of
+    earlier strings) — no single-partition window anywhere."""
+    from osmflat_rs_spark.operators.dedup import words_expr
+    from osmflat_rs_spark.plans.indexing import exclusive_prefix_sum
+
+    ws = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(words_expr(F.col("text"))).alias("w"))
+        .distinct()
+    )
+    return exclusive_prefix_sum(ws, "w", F.length("w") + 1, "offset").select("w", "offset")
 
 
 def q_winnow_fingerprint_docs(spark, sf_dir):
@@ -674,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_events": q_bbox_events,
         "road_length_users": q_road_length_users,
         "pip_events": q_pip_events,
+        "pip_events_shuffle": q_pip_events_shuffle,
         "knn_events": q_knn_events,
         "cell_index_events": q_cell_index_events,
         "raster_events": q_raster_events,
@@ -683,6 +717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": q_dedup_exact_docs,
         "fingerprint_docs": q_fingerprint_docs,
         "winnow_fingerprint_docs": q_winnow_fingerprint_docs,
+        "string_offsets_docs": q_string_offsets_docs,
         "token_count_docs": q_token_count_docs,
         "lang_id_docs": q_lang_id_docs,
         "quality_docs": q_quality_docs,
@@ -793,6 +828,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'hex' AS polygon_id, event_id FROM {synth}
             WHERE {_halfplanes_sql('lon', 'lat')}
         """,
+        "pip_events_shuffle": f"""
+            SELECT 'hex' AS polygon_id, event_id FROM {synth}
+            WHERE {_halfplanes_sql('lon', 'lat')}
+        """,
         "knn_events": f"""
             WITH pts AS (SELECT * FROM {synth}),
             q(query_id, qlat, qlon) AS (VALUES {knn_vals}),
@@ -849,6 +888,13 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_docs": (
             "SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp FROM documents"
         ),
+        "string_offsets_docs": """
+            WITH ws AS (SELECT DISTINCT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+                        FROM documents)
+            SELECT w, SUM(length(w) + 1) OVER (ORDER BY w ROWS UNBOUNDED PRECEDING)
+                      - (length(w) + 1) AS offset
+            FROM ws
+        """,
         "winnow_fingerprint_docs": """
             WITH base AS (SELECT doc_id, lower(text) AS ltext,
                                  regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents),
