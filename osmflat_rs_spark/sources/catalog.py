@@ -178,3 +178,43 @@ class SnapshotCatalog:
     def lineage(self) -> DataFrame:
         ldir = os.path.join(self.warehouse, "_meta", "lineage")
         return self.spark.read.parquet(os.path.join(ldir, "*"))
+
+    # ------------------------------------------------------------- maintenance
+    def compact(
+        self,
+        table: str,
+        job: str = "compaction",
+        order_by: list[str] | None = None,
+        target_partitions: int | None = None,
+    ) -> str | None:
+        """Table maintenance (Iceberg ``rewrite_data_files`` analog): fold
+        the HEAD's whole ancestor chain into ONE full-rewrite snapshot —
+        long append chains mean many small files and long manifest walks;
+        compaction restores O(1) reads. Optionally re-clusters
+        (``order_by`` = the WRITE ORDERED BY layout, e.g. the cell
+        column) and re-sizes to ``target_partitions`` output files.
+
+        Readers are never disturbed: the new snapshot is written beside
+        the old data and installed with the same atomic pointer swap;
+        time-travel reads of pre-compaction snapshot ids keep working
+        (old data dirs are immutable and stay referenced by their
+        manifests). Returns the new snapshot id, or None if the table is
+        already a single snapshot (nothing to fold)."""
+        head = self.head(table)
+        if head is None:
+            return None
+        chain = self.chain(table, head)
+        if len(chain) <= 1 and target_partitions is None and order_by is None:
+            return None
+        df = self.read(table, head)
+        if target_partitions and not order_by:
+            df = df.repartition(target_partitions)
+        snap = self.append(
+            table,
+            df,
+            job=job,
+            inputs={table: head},
+            order_by=order_by,
+            full_rewrite=True,
+        )
+        return snap

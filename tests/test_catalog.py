@@ -82,3 +82,34 @@ def test_streaming_span_counts(spark, tmp_path):
     want_headers = 47
     assert got["header"] == want_headers
     assert got["coord"] == 40
+
+
+def test_compaction_folds_chain_preserves_rows_and_time_travel(spark, tmp_path):
+    """compact() folds an append chain into one full-rewrite snapshot:
+    same rows, chain length 1, and TIME TRAVEL to pre-compaction
+    snapshots still returns their exact historical state."""
+    from osmflat_rs_spark.sources.catalog import SnapshotCatalog
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    s1 = cat.append("t", spark.range(0, 100).withColumnRenamed("id", "k"))
+    s2 = cat.append("t", spark.range(100, 250).withColumnRenamed("id", "k"))
+    s3 = cat.append("t", spark.range(250, 300).withColumnRenamed("id", "k"))
+    assert len(cat.chain("t")) == 3
+
+    snap = cat.compact("t", order_by=["k"])
+    assert snap is not None
+    assert len(cat.chain("t")) == 1  # full-rewrite truncates the chain
+    assert cat.read("t").count() == 300
+    got = {r["k"] for r in cat.read("t").collect()}
+    assert got == set(range(300))
+
+    # time travel to the middle of the old chain still works
+    assert cat.read("t", snapshot=s2).count() == 250
+    assert cat.read("t", snapshot=s1).count() == 100
+    # incremental readers resuming from the pre-compaction head see the
+    # full-rewrite snapshot (safe: idempotent full state, not a diff)
+    inc, new_head = cat.read_incremental("t", after=s3)
+    assert new_head == snap and inc.count() == 300
+
+    # compacting an already-single-snapshot table is a no-op
+    assert cat.compact("t") is None
