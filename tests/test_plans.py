@@ -138,3 +138,22 @@ def test_exclusive_prefix_sum_unit(spark):
     for i in range(200):
         assert got[i] == acc, f"offset mismatch at {i}"
         acc += (i * 7) % 23 + 1
+
+
+def test_knn_bulk_plan_broadcasts_cover_never_shuffles_points(spark, tables):
+    """The candidate join must broadcast the (small) cover side; a
+    sort-merge fallback would shuffle the whole point table — the exact
+    regression the r2 review caught (opaque mapInPandas stats)."""
+    from pyspark.sql import functions as F
+
+    from osmflat_rs_spark.operators.knn import knn_join_bulk
+
+    q = tables["nodes"].limit(5).select(
+        F.col("node_idx").cast("string").alias("query_id"), "lat", "lon"
+    )
+    plan = (
+        knn_join_bulk(tables["nodes"], q, k=3, radius_m=1500.0, exact_fallback=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
