@@ -773,8 +773,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "delta_decode_blocks": """
             SELECT event_id,
-                   SUM(event_id % 1000) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                              ROWS UNBOUNDED PRECEDING) AS run
+                   CAST(SUM(event_id % 1000) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
             FROM events
         """,
         "dense_index_orders": (
@@ -888,11 +888,11 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_docs": (
             "SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp FROM documents"
         ),
-        "string_offsets_docs": """
+        "string_offsets_docs": r"""
             WITH ws AS (SELECT DISTINCT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
                         FROM documents)
-            SELECT w, SUM(length(w) + 1) OVER (ORDER BY w ROWS UNBOUNDED PRECEDING)
-                      - (length(w) + 1) AS offset
+            SELECT w, CAST(SUM(length(w) + 1) OVER (ORDER BY w ROWS UNBOUNDED PRECEDING)
+                      - (length(w) + 1) AS BIGINT) AS offset
             FROM ws
         """,
         "winnow_fingerprint_docs": """
