@@ -123,7 +123,12 @@ def srp_bucketed_topk(
         raise NotImplementedError("srp_bucketed_topk implements multiprobe Hamming radius 0 or 1")
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("vb")
-    ).withColumn("bk", F.explode(_srp_buckets(F.col("vb"), n_planes, n_tables, dim)))
+    )
+    # Bucketing pass carries ONLY (vec_id, bk): the candidate distinct's
+    # Exchange is keyed on ids, never on the float vectors themselves.
+    c_bk = c.withColumn("bk", F.explode(_srp_buckets(F.col("vb"), n_planes, n_tables, dim))).select(
+        "vec_id", "bk"
+    )
     qbase = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("va")
     ).withColumn("_bks", _srp_buckets(F.col("va"), n_planes, n_tables, dim))
@@ -145,8 +150,15 @@ def srp_bucketed_topk(
         )
     else:
         probe_arr = F.col("_bks")
-    q = qbase.withColumn("bk", F.explode(probe_arr)).drop("_bks")
-    cand = c.join(F.broadcast(q), "bk").select("query_id", "va", "vec_id", "vb").distinct()
+    q_ids = qbase.withColumn("bk", F.explode(probe_arr)).select("query_id", "bk")
+    # 1) thin candidate id pairs (dedup across tables/probes — Exchange on
+    #    ids only); 2) rejoin the corpus vectors with the candidate set
+    #    broadcast (bounded by |queries| x bucket occupancy); 3) query
+    #    vectors come back via the always-small broadcast query table.
+    cand_ids = c_bk.join(F.broadcast(q_ids), "bk").select("query_id", "vec_id").distinct()
+    cand = c.join(F.broadcast(cand_ids), "vec_id").join(
+        F.broadcast(qbase.select("query_id", "va")), "query_id"
+    )
     joined = _with_cosine(cand)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return (
@@ -160,6 +172,7 @@ def train_ivf_centroids(
     corpus: DataFrame,
     n_clusters: int = 16,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
     sample_size: int = 100_000,
     iters: int = 10,
     seed: int = 42,
@@ -167,10 +180,21 @@ def train_ivf_centroids(
     """Deterministic IVF coarse quantizer: Lloyd's k-means on a bounded,
     deterministic corpus sample (driver-side NumPy — the trainer is
     O(sample · k · iters), independent of corpus size; the INDEXING pass
-    below is what runs distributed). Spherical flavor: vectors are
+    below is what runs distributed). The sample is the ``sample_size``
+    rows with the smallest seeded xxhash64 of ``id_col`` — a hash-ordered
+    pseudo-random draw that is invariant under any repartitioning or AQE
+    layout (unlike an unordered ``limit``) and executes as a per-partition
+    top-k (TakeOrdered), never a full sort. Spherical flavor: vectors are
     L2-normalized first, so nearest-centroid-by-L2 ranks like cosine.
     Returns a (k, dim) float64 ndarray."""
-    sample = corpus.select(vec_col).limit(sample_size).toPandas()[vec_col]
+    sample = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias(vec_col))
+        .withColumn("_h", F.xxhash64(F.col("_id").cast("string"), F.lit(seed)))
+        .orderBy("_h", "_id")
+        .limit(sample_size)
+        .select(vec_col)
+        .toPandas()[vec_col]
+    )
     x = np.stack([np.asarray(v, dtype=np.float64) for v in sample])
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)

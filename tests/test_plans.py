@@ -157,3 +157,25 @@ def test_knn_bulk_plan_broadcasts_cover_never_shuffles_points(spark, tables):
     )
     assert "BroadcastHashJoin" in plan, plan[:3000]
     assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_srp_candidate_exchange_keyed_on_ids_only(spark):
+    """VERDICT r02 #4: the SRP candidate dedup used to distinct on
+    (query_id, va, vec_id, vb), shuffling full float vectors as Exchange
+    keys. The dedup must shuffle thin id pairs only; vectors come back via
+    broadcast rejoins."""
+    from osmflat_rs_spark.operators.ann import srp_bucketed_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = (
+        srp_bucketed_topk(emb, q, k=5, dim=64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    shuffles = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert shuffles, plan[:3000]  # the id-pair distinct + window still shuffle
+    for line in shuffles:
+        key = line.split("Exchange hashpartitioning", 1)[1]
+        assert "va#" not in key and "vb#" not in key, line

@@ -293,3 +293,14 @@ def test_ivf_recall_floor_and_determinism(spark):
         }
         recalls.append(len(exact & approx) / len(exact))
     assert all(r >= 0.8 for r in recalls), f"IVF recall@5 below floor: {recalls}"
+
+
+def test_ivf_sample_repartition_invariant(spark):
+    """VERDICT r02 #5: centroid training must not depend on partition
+    layout. The hash-ordered sample draws identical rows whatever the
+    physical partitioning, so centroids match bit-for-bit."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c1 = ann.train_ivf_centroids(emb, n_clusters=8, sample_size=200)
+    c2 = ann.train_ivf_centroids(emb.repartition(13), n_clusters=8, sample_size=200)
+    c3 = ann.train_ivf_centroids(emb.coalesce(1), n_clusters=8, sample_size=200)
+    assert np.array_equal(c1, c2) and np.array_equal(c1, c3)
