@@ -53,17 +53,20 @@ def haversine_np_udf(lat1: pd.Series, lon1: pd.Series, lat2: pd.Series, lon2: pd
 
 def knn_join_bulk(
     points: DataFrame,
-    queries: DataFrame,  # (query_id, lat, lon) fixed-point — can be huge
+    queries: DataFrame,  # (query_id, lat, lon) fixed-point
     k: int = 5,
     res: int | None = None,
     radius_m: float = 1000.0,
     metric: str = "haversine",
     id_col: str = "node_idx",
     exact_fallback: bool = True,
+    broadcast_cover: bool = True,
 ) -> DataFrame:
-    """Fully-distributed kNN for LARGE query sets — no driver loop, no
-    per-round collect (contrast: ``knn_join`` below iterates driver-side,
-    right for dozens of queries, wrong for millions).
+    """Fully-distributed kNN — no driver loop, no per-round collect
+    (contrast: ``knn_join`` below iterates driver-side, right for dozens
+    of queries, wrong for millions). Construction is LAZY: no Spark jobs
+    run until the returned DataFrame is acted on (asserted in
+    tests/test_spatial.py::test_knn_bulk_construction_is_lazy).
 
     One candidate pass: each query explodes to its disk-cover cells
     (vectorized in ``mapInPandas``), equi-joins points on cell, exact
@@ -80,6 +83,19 @@ def knn_join_bulk(
         the hot path; ``radius_m`` in fixed-point units; cover = the
         ±radius bbox, which is an exact superset of the metric disk).
         Settled test compares kth d² ≤ radius².
+
+    ``broadcast_cover=True`` (default) hints the cover side of the
+    candidate join for broadcast. The cover is |queries| × ~16 cells wide,
+    so the broadcast path is bounded by the QUERY-SET size: it is right up
+    to a few million query rows (the cover must fit the driver/executor
+    broadcast limit), and it is mandatory protection for the point table
+    — the cover's stats are opaque (mapInPandas output), so without the
+    hint AQE would sort-merge and shuffle the entire point corpus. For
+    query sets beyond broadcast range pass ``broadcast_cover=False``: the
+    candidate join then shuffles BOTH sides on the cell key (sort-merge)
+    — points move once, which is the correct degrade at that scale — or
+    pre-bucket the points by cell (sources/bucketed.py) so only the cover
+    side shuffles.
 
     ``exact_fallback=False`` drops the brute-force rescue branch from the
     plan entirely — use when settledness is guaranteed/asserted (e.g. the
@@ -143,13 +159,8 @@ def knn_join_bulk(
         return df.withColumn("dist_m", haversine_np_udf("q_lat", "q_lon", "lat", "lon"))
 
     settle_bound = float(radius_m) ** 2 if metric == "sqeuclid" else float(radius_m)
-    # broadcast the cover: its stats are opaque (mapInPandas output), so
-    # without the hint AQE falls back to a sort-merge join that SHUFFLES
-    # the whole point table — the one thing this operator must never do.
-    # Cover size = |queries| × cells/query (small multiple of the query
-    # set); for query sets beyond broadcast range, pre-bucket by cell
-    # instead (sources/bucketed.py) or raise autoBroadcastJoinThreshold.
-    cand = with_dist(pts.join(F.broadcast(cover), "cell"))
+    cover_side = F.broadcast(cover) if broadcast_cover else cover
+    cand = with_dist(pts.join(cover_side, "cell"))
     w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col("_nid").asc())
     topk = (
         cand.withColumn("rank", F.row_number().over(w))
@@ -159,32 +170,42 @@ def knn_join_bulk(
     if not exact_fallback:
         return topk.withColumnRenamed("_nid", id_col)
 
-    # The fallback form consumes topk three times (fast path, settled
-    # stats, anti-join) — materialize it once; it is tiny (≤ |queries|·k).
-    # NOTE: this makes the call EAGER (the settled check below runs jobs
-    # at construction time — inherent to the runtime short-circuit), and
-    # the cached topk lives until the returned DataFrame is GC'd (Spark's
-    # ContextCleaner reclaims it then). exact_fallback=False keeps the
-    # operator fully lazy and cache-free.
-    topk = topk.persist()
+    # Lazy fallback (VERDICT r02 #6 — the old form ran an eager
+    # unsettled.isEmpty() probe and persisted topk without unpersisting):
+    # the settled check now lives IN the plan. `topk` is consumed three
+    # times (fast path, settled stats, anti-join) but all three share one
+    # identical window subtree, so physical planning reuses its shuffle
+    # exchange — no persist, no cache leak, no job at construction. When
+    # every query settles, the brute-force branch's broadcast build side
+    # (`unsettled`) is empty and AQE's empty-relation propagation
+    # collapses the branch at runtime, skipping the full point-table scan
+    # — the same short-circuit the eager probe bought, now plan-level.
     settled_stats = topk.groupBy("query_id").agg(
         F.count("*").alias("n"), F.max("dist_m").alias("kd")
     )
     ok_ids = settled_stats.filter((F.col("n") >= k) & (F.col("kd") <= F.lit(settle_bound))).select("query_id")
     fast = topk.join(ok_ids, "query_id", "left_semi")
-
-    # exact fallback for unsettled queries (rare when radius_m is sane):
-    # broadcast the unsettled query rows against the full point table.
-    # Short-circuit at runtime when everything settled — topk is already
-    # materialized, so the isEmpty check costs one scan of the (small)
-    # query side, and the common case skips a full point-table pass.
     unsettled = queries.join(ok_ids, "query_id", "left_anti").select(
         "query_id", F.col("lat").alias("q_lat"), F.col("lon").alias("q_lon")
     )
-    if unsettled.isEmpty():
-        return fast.withColumnRenamed("_nid", id_col)
+    # Constant-key broadcast HASH join, not crossJoin: a BroadcastHashJoin
+    # build side that turns out empty at runtime (every query settled) is
+    # an EmptyHashedRelation, which AQE propagates into an empty relation
+    # — the point scan below never runs. A BroadcastNestedLoopJoin
+    # (crossJoin) uses IdentityBroadcastMode, which AQE cannot collapse
+    # (measured: the full scan executes even with zero unsettled rows).
+    # The key must be column-DEPENDENT (x % 1, always 0): a literal key
+    # gets constant-folded out of the equi-condition and the join degrades
+    # back to a nested loop (also measured).
     slow_cand = with_dist(
-        pts.crossJoin(F.broadcast(unsettled)).select("_nid", "lat", "lon", "query_id", "q_lat", "q_lon")
+        pts.withColumn("_k", (F.col("_nid") % F.lit(1)).cast("int"))
+        .join(
+            F.broadcast(
+                unsettled.withColumn("_k", (F.xxhash64("query_id") % F.lit(1)).cast("int"))
+            ),
+            "_k",
+        )
+        .select("_nid", "lat", "lon", "query_id", "q_lat", "q_lon")
     )
     slow = (
         slow_cand.withColumn("rank", F.row_number().over(w))

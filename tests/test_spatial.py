@@ -157,3 +157,28 @@ def test_knn_gate_plan_has_no_crossjoin(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan[:4000]
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_knn_bulk_construction_is_lazy(tables, spark):
+    """VERDICT r02 #6: constructing knn_join_bulk with the default
+    exact_fallback=True must run NO Spark jobs (the old form probed
+    unsettled.isEmpty() eagerly and leaked a persisted frame). The
+    settled short-circuit now lives in the plan: when every query
+    settles, AQE turns the brute-force branch's empty broadcast build
+    into an EmptyRelation, so the full point scan never executes."""
+    from osmflat_rs_spark.operators.knn import knn_join_bulk
+
+    sc = spark.sparkContext
+    queries = oracle.generate_query_points()
+    qdf = spark.createDataFrame(queries)
+    sc.setJobGroup("knn-construct", "construction must be lazy")
+    try:
+        out = knn_join_bulk(tables["nodes"], qdf, k=5, radius_m=1500.0)
+        jobs = sc.statusTracker().getJobIdsForGroup("knn-construct")
+        assert list(jobs) == [], f"construction ran jobs: {list(jobs)}"
+    finally:
+        sc.setJobGroup(None, None)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "EmptyRelation" in plan, "settled run must collapse the fallback branch"
