@@ -75,6 +75,7 @@ def exclusive_prefix_sum(
     weight_col,
     out_col: str = "offset",
     num_partitions: int | None = None,
+    assert_unique: bool = False,
 ) -> DataFrame:
     """``out_col`` = Σ weight over all rows strictly before this one in
     ``order_col`` order — the scalable form of
@@ -88,7 +89,18 @@ def exclusive_prefix_sum(
     driver-side exclusive prefix (#partitions values), then an
     intra-partition running sum via a window partitioned by the physical
     partition id — every window partition is bounded by the range split,
-    never global. ``weight_col`` may be a Column expression."""
+    never global. ``weight_col`` may be a Column expression.
+
+    Contract (ADVICE r02): ``order_col`` values must be UNIQUE — the
+    prefix among tied rows would otherwise depend on the physical sort's
+    tie order. Pass ``assert_unique=True`` to verify (one cheap agg over
+    the already-persisted frame). The range-partitioned intermediate
+    stays persisted because the driver-side offsets were computed against
+    its exact partition layout (a recompute could re-sample different
+    range boundaries); like ``assign_dense_index``, the caller should
+    ``unpersist()`` the RETURNED frame's lineage when done — materialize
+    the result (write/cache) and call ``spark.catalog.clearCache()`` or
+    keep the default and let the ContextCleaner reclaim it."""
     import pyspark.sql.functions as _F
     from pyspark.sql import Window
 
@@ -102,6 +114,16 @@ def exclusive_prefix_sum(
         .withColumn("_pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if assert_unique:
+        u = part.agg(
+            F.count(order_col).alias("n"), F.countDistinct(order_col).alias("d")
+        ).collect()[0]
+        if u["n"] != u["d"]:
+            part.unpersist()
+            raise ValueError(
+                f"exclusive_prefix_sum requires unique {order_col!r} values: "
+                f"{u['n']} rows but only {u['d']} distinct keys"
+            )
     totals = {r["_pid"]: r["t"] for r in part.groupBy("_pid").agg(F.sum("_w").alias("t")).collect()}
     offsets, acc = {}, 0
     for pid in sorted(totals):

@@ -84,20 +84,23 @@ class SnapshotCatalog:
         inputs: dict[str, str] | None = None,
         order_by: list[str] | None = None,
         full_rewrite: bool = False,
+        target_partitions: int | None = None,
     ) -> str:
         """Append ``df`` as a new snapshot; returns the snapshot id.
 
         ``order_by`` emulates Iceberg ``WRITE ORDERED BY``: range-partition
         + sort-within-partitions before writing (the cell-ID clustering of
-        the north rule). Lineage rows (one per output partition: row count)
-        and the manifest are written after the data — an interrupted write
-        leaves an unreferenced data dir, never a corrupt table (the same
-        commit protocol as Iceberg's manifest swap)."""
+        the north rule); ``target_partitions`` sets the output file count
+        of the ordered write (default: ``defaultParallelism``). Lineage
+        rows (one per output partition: row count) and the manifest are
+        written after the data — an interrupted write leaves an
+        unreferenced data dir, never a corrupt table (the same commit
+        protocol as Iceberg's manifest swap)."""
         snap = uuid.uuid4().hex[:16]
         ddir = os.path.join(self._tdir(table), "data", f"snap-{snap}")
         os.makedirs(os.path.join(self._tdir(table), "snapshots"), exist_ok=True)
         if order_by:
-            n = self.spark.sparkContext.defaultParallelism
+            n = target_partitions or self.spark.sparkContext.defaultParallelism
             df = df.repartitionByRange(n, *order_by).sortWithinPartitions(*order_by)
         df.write.mode("overwrite").parquet(ddir)
 
@@ -209,6 +212,9 @@ class SnapshotCatalog:
         df = self.read(table, head)
         if target_partitions and not order_by:
             df = df.repartition(target_partitions)
+        # order_by + target_partitions: append's WRITE-ORDERED path honors
+        # the requested output file count (ADVICE r02 — it used to be
+        # silently dropped in favor of defaultParallelism).
         snap = self.append(
             table,
             df,
@@ -216,5 +222,6 @@ class SnapshotCatalog:
             inputs={table: head},
             order_by=order_by,
             full_rewrite=True,
+            target_partitions=target_partitions,
         )
         return snap

@@ -178,11 +178,16 @@ def stream_dedup_first_seen(spark, docs_dir: str, schema, checkpoint_dir: str, o
                 pass
             yield pd.DataFrame({"digest": [], "doc_id": [], "text": []})
             return
+        # Track the min-doc_id row across ALL Arrow chunks of the group:
+        # a group spanning multiple chunks must not let chunk order pick
+        # the survivor (ADVICE r02 — taking only the first non-empty
+        # chunk's min made large groups nondeterministic).
         first = None
         for pdf in pdfs:
-            if len(pdf) and first is None:
-                pdf = pdf.sort_values("doc_id", kind="mergesort")
-                first = pdf.iloc[0]
+            if len(pdf):
+                cand = pdf.sort_values("doc_id", kind="mergesort").iloc[0]
+                if first is None or str(cand["doc_id"]) < str(first["doc_id"]):
+                    first = cand
         if first is not None:
             state.update((str(first["doc_id"]),))
             yield pd.DataFrame(

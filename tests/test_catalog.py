@@ -113,3 +113,23 @@ def test_compaction_folds_chain_preserves_rows_and_time_travel(spark, tmp_path):
 
     # compacting an already-single-snapshot table is a no-op
     assert cat.compact("t") is None
+
+
+def test_compact_honors_target_partitions_with_order_by(spark, tmp_path):
+    """ADVICE r02: order_by + target_partitions used to silently drop the
+    requested output file count (WRITE-ORDERED path repartitioned by
+    defaultParallelism). The compacted snapshot must have exactly the
+    requested number of data files AND stay cell-clustered."""
+    from osmflat_rs_spark.sources.catalog import SnapshotCatalog
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    cat.append("t", spark.range(0, 500).withColumnRenamed("id", "k"))
+    cat.append("t", spark.range(500, 1000).withColumnRenamed("id", "k"))
+    snap = cat.compact("t", order_by=["k"], target_partitions=3)
+    import glob
+    import os
+
+    ddir = cat.manifest("t", snap)["data_dir"]
+    files = glob.glob(os.path.join(ddir, "part-*"))
+    assert len(files) == 3, files
+    assert cat.read("t").count() == 1000

@@ -179,3 +179,17 @@ def test_srp_candidate_exchange_keyed_on_ids_only(spark):
     for line in shuffles:
         key = line.split("Exchange hashpartitioning", 1)[1]
         assert "va#" not in key and "vb#" not in key, line
+
+
+def test_exclusive_prefix_sum_rejects_duplicate_keys(spark):
+    """ADVICE r02: the generic API now documents/enforces the unique
+    order-key contract instead of silently returning tie-order-dependent
+    offsets."""
+    from osmflat_rs_spark.plans.indexing import exclusive_prefix_sum
+
+    dup = spark.createDataFrame([(1, 10), (1, 20), (2, 5)], schema="o int, w long")
+    with pytest.raises(ValueError, match="unique"):
+        exclusive_prefix_sum(dup, "o", "w", assert_unique=True).collect()
+    ok = spark.createDataFrame([(1, 10), (2, 20), (3, 5)], schema="o int, w long")
+    got = {r["o"]: r["offset"] for r in exclusive_prefix_sum(ok, "o", "w", assert_unique=True).collect()}
+    assert got == {1: 0, 2: 10, 3: 30}
