@@ -67,6 +67,7 @@ def pip_join(
     cover_res: int | None = None,
     salt: int | None = None,
     target_cells_per_polygon: int = 4096,
+    backend=None,
 ) -> DataFrame:
     """→ DataFrame(polygon_id, <point_id>) — exact containment pairs
     (boundary inclusive), bit-equal to the model oracle.
@@ -76,9 +77,20 @@ def pip_join(
     points per boundary cell (which is what the Python exact phase pays
     for). Measured at 1.5M points / 25 polygons: res 14 → 1.12M boundary
     candidates, res 18 → 117k. Cover stays broadcast-small (≤ ~50k rows).
-    """
+
+    ``backend``: a ``functions.cell_backend.CellBackend`` supplying the
+    coarse-phase cell scheme (default: the built-in Morton quadtree; pass
+    ``get_backend("h3")`` where the wheel exists). The exact phase is
+    backend-independent — any superset cover with a sound ``interior``
+    flag yields identical results. Non-default backends must pass an
+    explicit ``cover_res`` (resolution scales are scheme-specific)."""
+    from osmflat_rs_spark.functions.cell_backend import MortonBackend
+
     spark = points.sparkSession
+    be = backend or MortonBackend()
     index = build_polygon_index(polygons)
+    if cover_res is None and not isinstance(be, MortonBackend):
+        raise ValueError(f"backend {be.name!r} requires an explicit cover_res")
     res = cover_res if cover_res is not None else _pick_res(index, target_cells_per_polygon)
 
     # driver-side cover build (polygon count is broadcast-small by design),
@@ -86,7 +98,7 @@ def pip_join(
     cover_rows = []
     for i in range(len(index.ids)):
         xs, ys = index.ring(i)
-        cs, interior = cells.polygon_cover_classified(xs, ys, res)
+        cs, interior = be.polygon_cover_classified(xs, ys, res)
         for c, it in zip(cs, interior):
             cover_rows.append((int(c), i, bool(it)))
     cover = spark.createDataFrame(cover_rows, schema="cell long, poly_i int, interior boolean")
@@ -95,7 +107,7 @@ def pip_join(
         F.col(point_id).alias("_pt_id"),
         F.col(lat).cast("long").alias("_lat"),
         F.col(lon).cast("long").alias("_lon"),
-    ).withColumn("cell", cells.cell_id_expr(F.col("_lat"), F.col("_lon"), res))
+    ).withColumn("cell", be.cell_expr(F.col("_lat"), F.col("_lon"), res))
 
     candidates = pts.join(F.broadcast(cover), "cell")
     # full-containment short-circuit: points in interior cells are inside
@@ -147,9 +159,13 @@ def pip_join_shuffle(
     lon: str = "lon",
     cover_res: int = 12,
     salt: int | None = None,
+    backend=None,
 ) -> DataFrame:
     """Shuffle-mode two-phase PIP join — the 10^12-scale path when the
-    polygon table is too large to broadcast.
+    polygon table is too large to broadcast. ``backend`` as in
+    ``pip_join`` (the cover kernel runs worker-side here, so the backend
+    object ships with the closure — both built-ins are plain picklable
+    classes).
 
     Phase 1 is fully distributed on BOTH sides: each polygon row computes
     its own cell cover inside a ``mapInPandas`` batch (the NumPy cover
@@ -165,7 +181,10 @@ def pip_join_shuffle(
     over Arrow batches. Ring duplication per candidate is the price of
     avoiding a skewed groupBy(polygon) — the standard trade.
     """
+    from osmflat_rs_spark.functions.cell_backend import MortonBackend
+
     spark = points.sparkSession
+    be = backend or MortonBackend()
 
     def cover_rows(batches):
         for pdf in batches:
@@ -175,7 +194,7 @@ def pip_join_shuffle(
             for pid, ring in zip(pdf["polygon_id"], pdf["ring"]):
                 xs = np.array([v["lon"] for v in ring], dtype=np.int64)
                 ys = np.array([v["lat"] for v in ring], dtype=np.int64)
-                cs, interior = cells.polygon_cover_classified(xs, ys, cover_res)
+                cs, interior = be.polygon_cover_classified(xs, ys, cover_res)
                 ring_py = [(int(v["lat"]), int(v["lon"])) for v in ring]
                 for c, it in zip(cs, interior):
                     out_cells.append(int(c))
@@ -196,7 +215,7 @@ def pip_join_shuffle(
         F.col(point_id).alias("_pt_id"),
         F.col(lat).cast("long").alias("_lat"),
         F.col(lon).cast("long").alias("_lon"),
-    ).withColumn("cell", cells.cell_id_expr(F.col("_lat"), F.col("_lon"), cover_res))
+    ).withColumn("cell", be.cell_expr(F.col("_lat"), F.col("_lon"), cover_res))
 
     if salt:
         pts = pts.withColumn("_salt", F.pmod(F.xxhash64(F.col("_pt_id")), F.lit(salt)).cast("int"))
