@@ -133,3 +133,46 @@ def test_compact_honors_target_partitions_with_order_by(spark, tmp_path):
     files = glob.glob(os.path.join(ddir, "part-*"))
     assert len(files) == 3, files
     assert cat.read("t").count() == 1000
+
+
+def test_make_catalog_falls_back_without_iceberg(spark, tmp_path):
+    """VERDICT r02 #8: the factory binds real Iceberg iff the runtime jar
+    + a configured spark catalog exist; in this image it must fall back
+    to SnapshotCatalog, and the common surface must work through the
+    factory-returned object without branching."""
+    from osmflat_rs_spark.sources.catalog import SnapshotCatalog
+    from osmflat_rs_spark.sources.iceberg import IcebergCatalog, make_catalog
+
+    assert not IcebergCatalog.available(spark)
+    cat = make_catalog(spark, str(tmp_path / "wh"))
+    assert isinstance(cat, SnapshotCatalog)
+    # the full interface drives identically through the factory object
+    s1 = cat.append("t", spark.range(0, 50).withColumnRenamed("id", "k"))
+    s2 = cat.append("t", spark.range(50, 80).withColumnRenamed("id", "k"))
+    assert cat.head("t") == s2 and cat.chain("t") == [s1, s2]
+    assert cat.read("t").count() == 80
+    inc, head = cat.read_incremental("t", after=s1)
+    assert head == s2 and inc.count() == 30
+    cat.save_cursor("job", {"t": head})
+    assert cat.load_cursor("job") == {"t": head}
+    assert cat.compact("t") is not None and cat.read("t").count() == 80
+
+
+def test_iceberg_catalog_if_bound(spark, tmp_path):
+    """Runs only where the Iceberg runtime + a 'local' spark catalog are
+    configured (not in this image): same interface drive as above against
+    real Iceberg tables."""
+    import pytest as _pytest
+
+    from osmflat_rs_spark.sources.iceberg import IcebergCatalog
+
+    if not IcebergCatalog.available(spark):
+        _pytest.skip("Iceberg runtime not bound in this image")
+    cat = IcebergCatalog(spark, str(tmp_path / "wh"))
+    s1 = cat.append("t_iceberg_test", spark.range(0, 50).withColumnRenamed("id", "k"))
+    s2 = cat.append("t_iceberg_test", spark.range(50, 80).withColumnRenamed("id", "k"))
+    assert cat.head("t_iceberg_test") == s2 and s1 in cat.chain("t_iceberg_test")
+    assert cat.read("t_iceberg_test").count() == 80
+    assert cat.read("t_iceberg_test", snapshot=s1).count() == 50
+    inc, head = cat.read_incremental("t_iceberg_test", after=s1)
+    assert head == s2 and inc.count() == 30
