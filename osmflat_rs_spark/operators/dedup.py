@@ -194,7 +194,8 @@ def minhash_dedup(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, bucket_col: str, threshold: float = 0.6
+    df: DataFrame, id_col: str, text_col: str, bucket_col: str, threshold: float = 0.6,
+    salt: int | None = None,
 ) -> DataFrame:
     """All-pairs exact word-set jaccard WITHIN a bucket column (e.g.
     source/domain) — the bounded-blocking exact variant. Never use
@@ -206,7 +207,17 @@ def ngram_jaccard_pairs(
     as the final jaccard filter (both compare a monotone-dominating ratio
     against t), so no surviving pair can be dropped. It prunes BOTH the
     pair enumeration and the word-level intersection join — the hot-bucket
-    quadratic only materializes length-compatible pairs."""
+    quadratic only materializes length-compatible pairs.
+
+    ``salt=S`` (VERDICT r02 #9): deterministic triangle salting for hot
+    buckets, the same scheme as ``embedding_cosine_pairs`` — the b-side
+    keeps its hash chunk ``pmod(xxhash64(id_b), S)``, the a-side
+    replicates ×S, applied to BOTH the pair-enumeration and the
+    word-intersection joins, so one hot bucket's quadratic spreads over S
+    tasks. Output identical (each (a,b) meets exactly once, in b's
+    chunk); the a-side replication is the price. The per-bucket work is
+    spread, not reduced — for corpora where a single bucket's n² is
+    itself intractable, route through MinHash-LSH instead."""
     base = df.select(
         F.col(id_col).alias("_id"),
         F.col(bucket_col).alias("_bk"),
@@ -215,14 +226,24 @@ def ngram_jaccard_pairs(
     ws = base.select("_id", "_bk", "n", F.explode("ws").alias("w"))
     sizes = base.select("_id", "_bk", "n")
     ratio_ok = _length_ratio_ok(threshold)
-    pairs = (
-        sizes.select(F.col("_bk"), F.col("_id").alias("id_a"), F.col("n").alias("na"))
-        .join(sizes.select(F.col("_bk"), F.col("_id").alias("id_b"), F.col("n").alias("nb")), "_bk")
-        .filter((F.col("id_a") < F.col("id_b")) & ratio_ok)
-    )
+
+    def _triangle(a, b, keys, id_b="id_b"):
+        if salt and salt > 1:
+            a = a.withColumn(
+                "_ck", F.explode(F.sequence(F.lit(0).cast("int"), F.lit(salt - 1).cast("int")))
+            )
+            b = b.withColumn("_ck", F.pmod(F.xxhash64(F.col(id_b)), F.lit(salt)).cast("int"))
+            keys = keys + ["_ck"]
+        return a.join(b, keys)
+
+    pairs = _triangle(
+        sizes.select(F.col("_bk"), F.col("_id").alias("id_a"), F.col("n").alias("na")),
+        sizes.select(F.col("_bk"), F.col("_id").alias("id_b"), F.col("n").alias("nb")),
+        ["_bk"],
+    ).filter((F.col("id_a") < F.col("id_b")) & ratio_ok)
     inter = (
-        ws.select("_bk", F.col("_id").alias("id_a"), F.col("n").alias("na"), "w")
-        .join(
+        _triangle(
+            ws.select("_bk", F.col("_id").alias("id_a"), F.col("n").alias("na"), "w"),
             ws.select("_bk", F.col("_id").alias("id_b"), F.col("n").alias("nb"), F.col("w")),
             ["_bk", "w"],
         )

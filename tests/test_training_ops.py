@@ -304,3 +304,19 @@ def test_ivf_sample_repartition_invariant(spark):
     c2 = ann.train_ivf_centroids(emb.repartition(13), n_clusters=8, sample_size=200)
     c3 = ann.train_ivf_centroids(emb.coalesce(1), n_clusters=8, sample_size=200)
     assert np.array_equal(c1, c2) and np.array_equal(c1, c3)
+
+
+def test_ngram_jaccard_salt_invariance(spark):
+    """VERDICT r02 #9: triangle salting on the exact jaccard (both the
+    pair-enumeration and word-intersection joins) must be byte-identical
+    to the unsalted form — work spread, never dropped or duplicated."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", "lang", 0.2).collect()
+    }
+    salted = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", "lang", 0.2, salt=4).collect()
+    }
+    assert base == salted and len(base) > 0
