@@ -263,6 +263,85 @@ def run_spatial_job(spark, cpus: int, n_nodes: int) -> dict:
     }
 
 
+def _ensure_text_docs_parquet(spark, n_docs: int) -> str:
+    """Write the deterministic text-docs table once (untimed); both
+    parallelism levels read the identical file set."""
+    from osmflat_rs_spark.fixtures_spark import spark_text_docs
+
+    base = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp/spark_graft_bench")
+    path = f"{base}/textdocs_{n_docs}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        spark_text_docs(spark, n_docs).repartition(64).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _minhash_signatures_window_form(df, id_col, text_col, n_hashes=8, k=3):
+    """The REJECTED r01 shingling shape, kept ONLY as a bench contrast:
+    posexplode every word + lead() windows = a full shuffle+sort of the
+    entire word stream before any signature work. The library form
+    (dedup.minhash_signatures) shingles in-row with zero shuffle."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from osmflat_rs_spark.operators.dedup import doc_words
+
+    w = Window.partitionBy("_id").orderBy("pos")
+    ws = doc_words(df, id_col, text_col)
+    sh = ws.select(
+        "_id", "w", *[F.lead("w", i).over(w).alias(f"w{i}") for i in range(1, k)]
+    )
+    sh = sh.filter(F.col(f"w{k-1}").isNotNull()).select(
+        "_id", F.concat_ws(" ", "w", *[f"w{i}" for i in range(1, k)]).alias("shingle")
+    )
+    aggs = []
+    for i in range(n_hashes):
+        seed, j = divmod(i, 4)
+        digest = (
+            F.md5(F.col("shingle"))
+            if seed == 0
+            else F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle")))
+        )
+        aggs.append(
+            F.min(F.conv(F.substring(digest, 1 + 8 * j, 8), 16, 10).cast("long")).alias(f"sig_{i}")
+        )
+    return sh.groupBy("_id").agg(*aggs)
+
+
+def run_dedup_job(spark, cpus: int, n_docs: int) -> dict:
+    """Dedup-phase throughput (VERDICT r02 #3): the full MinHash-LSH
+    near-dup pipeline (in-row shingle → signatures → banded bucket join →
+    lossless-pruned exact-jaccard verification) plus exact dedup over a
+    text corpus with a real ~10% near-dup rate. Also times the rejected
+    r01 window-shingling SIGNATURE stage alone on the same input as the
+    A/B contrast."""
+    from osmflat_rs_spark.operators.dedup import exact_dedup, minhash_dedup, minhash_signatures
+
+    path = _ensure_text_docs_parquet(spark, n_docs)
+    docs = spark.read.parquet(path)
+    n = docs.count()
+    t0 = time.time()
+    _force(minhash_dedup(docs, "doc_id", "text", threshold=0.5))
+    t1 = time.time()
+    _force(exact_dedup(docs, "doc_id", "text"))
+    t2 = time.time()
+    # contrast stages (signatures only, both forms, same input)
+    _force(minhash_signatures(docs, "doc_id", "text"))
+    t3 = time.time()
+    _force(_minhash_signatures_window_form(docs, "doc_id", "text"))
+    t4 = time.time()
+    dt = t2 - t0
+    return {
+        "cpus": cpus,
+        "n_docs": n,
+        "minhash_lsh": round(t1 - t0, 3),
+        "exact": round(t2 - t1, 3),
+        "sig_inrow": round(t3 - t2, 3),
+        "sig_window_form": round(t4 - t3, 3),
+        "seconds": round(dt, 3),
+        "docs_per_sec": round(n / dt, 1),
+    }
+
+
 def run_scaling_worker(cpus: int, n_nodes: int) -> dict:
     """One parallelism level of the two-cluster-size evidence on a single
     JVM (local[N])."""
@@ -305,6 +384,21 @@ def main():
         print(json.dumps(run_scaling_worker(cpus, n_nodes)))
         return
 
+    if "--dedup-worker" in sys.argv:
+        from osmflat_rs_spark.session import get_spark
+
+        cpus = int(sys.argv[sys.argv.index("--dedup-worker") + 1])
+        n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_NODES", "1000000"))
+        spark = get_spark(
+            "bench-dedup",
+            master=f"local[{cpus}]",
+            shuffle_partitions=max(8, 2 * cpus),
+            extra_conf={"spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k"},
+        )
+        print(json.dumps(run_dedup_job(spark, cpus, n_docs)))
+        spark.stop()
+        return
+
     if "--scaling" in sys.argv:
         # two-cluster-size evidence: the PRIMARY metric job (spatial-join
         # + kNN + tiling over the ingested tables) at local[N] and
@@ -321,7 +415,13 @@ def main():
         lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
         hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", 4 * lo))  # the N -> 4N pair
         trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))
-        worker_flag = "--scaling-worker" if "--full-pipeline" in sys.argv else "--spatial-worker"
+        if "--full-pipeline" in sys.argv:
+            worker_flag = "--scaling-worker"
+        elif "--dedup" in sys.argv:
+            worker_flag = "--dedup-worker"
+            os.environ.setdefault("SPARK_GRAFT_SCALE_NODES", "1000000")
+        else:
+            worker_flag = "--spatial-worker"
         if worker_flag == "--spatial-worker" and "SPARK_GRAFT_SCALE_NODES" not in os.environ:
             os.environ["SPARK_GRAFT_SCALE_NODES"] = "128000000"  # the headline evidence size
         # single-JVM local mode: driver == executors; size the heap for the
@@ -351,7 +451,16 @@ def main():
         eff = (thr[hi] / thr[lo]) / (hi / lo)
         summary = {
             "metric": "scaling efficiency (%s docs/sec, local[%d] -> local[%d], best of %d)"
-            % ("full-pipeline" if worker_flag == "--scaling-worker" else "spatial-join+tiling", lo, hi, trials),
+            % (
+                {
+                    "--scaling-worker": "full-pipeline",
+                    "--dedup-worker": "minhash-dedup",
+                    "--spatial-worker": "spatial-join+tiling",
+                }[worker_flag],
+                lo,
+                hi,
+                trials,
+            ),
             "value": round(eff, 3),
             "unit": "ratio",
             "throughput_docs_per_sec": {str(c): thr[c] for c in thr},

@@ -152,3 +152,36 @@ def spark_docs(
     )
 
     return nodes.unionByName(ways).unionByName(rels)
+
+
+def spark_text_docs(
+    spark: SparkSession,
+    n_docs: int,
+    words_per_doc: int = 40,
+    vocab: int = 5000,
+    dup_every: int = 10,
+) -> DataFrame:
+    """Deterministic pure-JVM text-document generator for the dedup bench
+    (no Python in the plan, repartition-invariant: every column is a
+    function of ``id`` alone). Every ``dup_every``-th doc is a NEAR-DUP of
+    its predecessor (same word stream + a distinct suffix word), so
+    MinHash-LSH has a real ~1/dup_every duplicate rate to find."""
+    base = F.when(
+        (F.col("id") % dup_every) == dup_every - 1, F.col("id") - 1
+    ).otherwise(F.col("id"))
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(words_per_doc - 1)),
+        lambda i: F.concat(
+            F.lit("w"),
+            F.pmod(
+                F.xxhash64(F.concat_ws(":", base.cast("string"), i.cast("string"))),
+                F.lit(vocab),
+            ).cast("string"),
+        ),
+    )
+    text = F.concat_ws(" ", words)
+    text = F.when(
+        (F.col("id") % dup_every) == dup_every - 1,
+        F.concat(text, F.lit(" zz"), (F.col("id") % 97).cast("string")),
+    ).otherwise(text)
+    return spark.range(n_docs).select(F.col("id").alias("doc_id"), text.alias("text"))

@@ -320,3 +320,26 @@ def test_ngram_jaccard_salt_invariance(spark):
         for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", "lang", 0.2, salt=4).collect()
     }
     assert base == salted and len(base) > 0
+
+
+def test_minhash_signature_shapes_agree(spark):
+    """The codegen explode/element_at shingling inside minhash_signatures
+    must produce bit-identical signatures to the public _shingle_arr HOF
+    form (including the short-doc fallback)."""
+    from osmflat_rs_spark.operators.dedup import _shingle_arr, minhash_signatures
+
+    rows = [(1, "alpha beta gamma delta eps"), (2, "one two"), (3, "x"), (4, "a b c")]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    got = {tuple(r) for r in minhash_signatures(df, "doc_id", "text").collect()}
+    sh = df.select(
+        F.col("doc_id").alias("_id"), F.explode(_shingle_arr(F.col("text"), 3)).alias("shingle")
+    )
+    aggs = []
+    for i in range(8):
+        seed, j = divmod(i, 4)
+        digest = (
+            F.md5(F.col("shingle")) if seed == 0 else F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle")))
+        )
+        aggs.append(F.min(F.conv(F.substring(digest, 1 + 8 * j, 8), 16, 10).cast("long")).alias(f"sig_{i}"))
+    want = {tuple(r) for r in sh.groupBy("_id").agg(*aggs).collect()}
+    assert got == want
