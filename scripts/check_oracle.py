@@ -70,6 +70,19 @@ def main():
         try:
             ores = con.sql(osql[name])
             ocols = ores.columns
+            # Driver-hash faithfulness probe (r2 postmortem): the driver's
+            # value hash is type-sensitive, and DuckDB silently widens —
+            # window SUM(BIGINT) -> HUGEINT, AVG/decimal math -> DECIMAL —
+            # where Spark stays BIGINT/DOUBLE. Python fetch masks this
+            # (both arrive as int), so flag it at the DuckDB type level.
+            widened = [
+                (c, str(t)) for c, t in zip(ores.columns, ores.types)
+                if any(k in str(t).upper() for k in ("HUGEINT", "INT128", "DECIMAL"))
+            ]
+            if widened:
+                failures.append((name, f"oracle type widened (driver hash risk): {widened}"))
+                print(f"[FAIL-oracle-type] {name}: {widened} — add CAST(... AS BIGINT/DOUBLE)")
+                continue
             orecs = [dict(zip(ocols, row)) for row in ores.fetchall()]
         except Exception as e:
             failures.append((name, f"DUCKDB ERROR: {e}"))
