@@ -114,6 +114,19 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
     n_docs = len(pdf)
     docs = docs_to_spark(spark, pdf).repartition(cpus)
     polys = polygons_to_spark(spark, generate_polygons())
+    # untimed warmup of the SAME pipeline at 1/20 scale: the first ingest
+    # run pays one-time costs the steady state never sees again — janino
+    # codegen compile of the wide ingest expressions, the order-audit's
+    # first applyInPandas worker fork, broadcast machinery (measured:
+    # first-iteration ingest 13.6s vs 2.8s steady at 20k nodes; the
+    # headline suite's earlier queries don't touch these codepaths). A
+    # long-running cluster job amortizes these to zero, same rationale as
+    # the suite-level warmup above.
+    wpdf, _ = generate_docs(n_nodes=1000, n_ways=150, n_rels=25)
+    wdocs = docs_to_spark(spark, wpdf).repartition(cpus)
+    wt = ingest(wdocs, compute_metrics=False, with_dims=False)
+    _force(pip_join(wt["nodes"].select("node_idx", "osm_id", "lat", "lon"), polys))
+    _force(tile_assign_segments(refq.road_segments(wt), jvm_tiles=True))
     t0 = time.time()
     t = ingest(docs, compute_metrics=False, with_dims=False)
     nodes = t["nodes"].select("node_idx", "osm_id", "lat", "lon").persist()
