@@ -193,3 +193,45 @@ def test_exclusive_prefix_sum_rejects_duplicate_keys(spark):
     ok = spark.createDataFrame([(1, 10), (2, 20), (3, 5)], schema="o int, w long")
     got = {r["o"]: r["offset"] for r in exclusive_prefix_sum(ok, "o", "w", assert_unique=True).collect()}
     assert got == {1: 0, 2: 10, 3: 30}
+
+
+def test_minhash_pipeline_plan_shape(spark):
+    """Lock in the r3 MinHash plan claims (BENCH/BASELINE.md round-3
+    section): the signature stage shuffles exactly once (the per-doc
+    groupBy — map-side partial MINs before it), contains no Window (the
+    r01 word-shuffle shingling regression), no Python nodes, and the
+    shingle projection runs inside WholeStageCodegen; banding adds only
+    the bucket-join + distinct exchanges, never an all-pairs join."""
+    from osmflat_rs_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w"), F.col("id"), F.lit(" common text body with shared words "), F.col("id") % 7).alias("text"),
+    )
+    # repartition() forces UnknownPartitioning so the one required shuffle
+    # is visible (from a Range source Catalyst elides even that: aliases
+    # propagate range-partitioning, clustering on _id is pre-satisfied)
+    sigs = minhash_signatures(docs.repartition(4), "doc_id", "text")
+    plan = _plan(sigs)
+    assert "Window" not in plan and "Python" not in plan and "MapInPandas" not in plan
+    # formatted explain separates the node line from its Arguments line:
+    # collect the detail blocks of Exchange nodes
+    exchanges = [
+        b for b in plan.split("\n\n")
+        if b.splitlines() and b.splitlines()[0].endswith("Exchange") and "hashpartitioning" in b
+    ]
+    assert len(exchanges) == 1, plan  # only the groupBy(_id) shuffle
+    assert "hashpartitioning(_id" in exchanges[0]
+    # partial aggregation runs before the exchange (map-side combine)
+    assert plan.index("HashAggregate") < plan.index("Exchange")
+    # the shingle projection + partial-min stage is whole-stage-codegen'd;
+    # AQE hides codegen ids until the plan is final, so execute first
+    sigs.collect()
+    final_plan = _plan(sigs)
+    assert "isFinalPlan=true" in final_plan
+    assert "codegen id" in final_plan
+
+    pairs_plan = _plan(lsh_candidate_pairs(sigs))
+    assert "CartesianProduct" not in pairs_plan and "BroadcastNestedLoopJoin" not in pairs_plan
+    # the bucket join is keyed on (band, bh), never on raw ids alone
+    assert "band" in pairs_plan
