@@ -355,6 +355,57 @@ def run_dedup_job(spark, cpus: int, n_docs: int) -> dict:
     }
 
 
+def run_cluster_worker(master_url: str, cores_max: int, job: str) -> dict:
+    """One parallelism level of the REAL-multi-executor evidence
+    (BENCH/BASELINE.md round-3 section): connect to a local standalone
+    cluster and run the job with SINGLE-CORE executors — 2 vs 8 separate
+    executor JVMs is then a true N -> 4N executor pair inside this box's
+    bandwidth-fair <=8-core regime. Executor shape: 1 core, 2g heap + 2g
+    off-heap (small heaps so 8 executors fit without DRAM-unfair swap)."""
+    from osmflat_rs_spark.session import get_spark
+
+    spark = get_spark(
+        "bench-cluster",
+        master=master_url,
+        shuffle_partitions=max(8, 2 * cores_max),
+        extra_conf={
+            "spark.cores.max": str(cores_max),
+            "spark.executor.cores": "1",
+            "spark.executor.memory": "2g",
+            "spark.memory.offHeap.enabled": "true",
+            "spark.memory.offHeap.size": "2g",
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
+        },
+    )
+    n = int(os.environ.get("SPARK_GRAFT_SCALE_NODES", "1000000"))
+    out = run_dedup_job(spark, cores_max, n) if job == "dedup" else run_spatial_job(spark, cores_max, n)
+    out["executors"] = cores_max
+    spark.stop()
+    return out
+
+
+def _standalone_cluster(total_cores: int = 32):
+    """Start a local standalone master + one worker; return (procs,
+    master_url). Caller must terminate the procs."""
+    spark_home = os.environ.get("SPARK_HOME", "/opt/spark")
+    spark_class = os.path.join(spark_home, "bin", "spark-class")
+    port = int(os.environ.get("SPARK_GRAFT_MASTER_PORT", "7099"))
+    url = f"spark://127.0.0.1:{port}"
+    master = subprocess.Popen(
+        [spark_class, "org.apache.spark.deploy.master.Master", "-h", "127.0.0.1",
+         "-p", str(port), "--webui-port", "0"],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    time.sleep(8)
+    worker = subprocess.Popen(
+        [spark_class, "org.apache.spark.deploy.worker.Worker", url,
+         "-c", str(total_cores), "-m", "100g", "--webui-port", "0"],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    time.sleep(8)
+    return [master, worker], url
+
+
 def run_scaling_worker(cpus: int, n_nodes: int) -> dict:
     """One parallelism level of the two-cluster-size evidence on a single
     JVM (local[N])."""
@@ -410,6 +461,63 @@ def main():
         )
         print(json.dumps(run_dedup_job(spark, cpus, n_docs)))
         spark.stop()
+        return
+
+    if "--cluster-worker" in sys.argv:
+        cores_max = int(sys.argv[sys.argv.index("--cluster-worker") + 1])
+        master_url = os.environ["SPARK_GRAFT_MASTER_URL"]
+        job = "spatial" if "--spatial" in sys.argv else "dedup"
+        print(json.dumps(run_cluster_worker(master_url, cores_max, job)))
+        return
+
+    if "--scaling" in sys.argv and "--cluster" in sys.argv:
+        # REAL multi-executor mode: stand up a standalone master+worker
+        # (separate JVMs, real shuffle service), measure the dedup job
+        # (CPU-bound; add --spatial for the bandwidth-bound job) at 2 and
+        # 8 single-core executors, tear down. One command reproduces the
+        # BENCH/BASELINE.md round-3 cluster evidence.
+        lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
+        hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", 4 * lo))
+        trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))
+        job_flag = ["--spatial"] if "--spatial" in sys.argv else []
+        if job_flag:
+            os.environ.setdefault("SPARK_GRAFT_SCALE_NODES", "32000000")
+        else:
+            os.environ.setdefault("SPARK_GRAFT_SCALE_NODES", "1000000")
+        procs, url = _standalone_cluster(total_cores=max(32, hi))
+        try:
+            results = {}
+            for c in (lo, hi):
+                best = None
+                for _ in range(trials):
+                    out = subprocess.run(
+                        [sys.executable, os.path.abspath(__file__), "--cluster-worker", str(c), *job_flag],
+                        capture_output=True, text=True,
+                        env={**os.environ, "SPARK_GRAFT_MASTER_URL": url},
+                        timeout=3600,
+                    )
+                    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+                    if not lines:
+                        print(out.stderr[-2000:], file=sys.stderr)
+                        raise RuntimeError(f"cluster worker at {c} executors produced no JSON")
+                    r = json.loads(lines[-1])
+                    if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
+                        best = r
+                results[c] = best
+        finally:
+            for p in procs[::-1]:
+                p.terminate()
+        thr = {c: results[c]["docs_per_sec"] for c in results}
+        eff = (thr[hi] / thr[lo]) / (hi / lo)
+        print(json.dumps({
+            "metric": "scaling efficiency (%s docs/sec, %d -> %d REAL single-core executors, best of %d)"
+            % ("spatial-join+tiling" if job_flag else "minhash-dedup", lo, hi, trials),
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "throughput_docs_per_sec": {str(c): thr[c] for c in thr},
+            "seconds": {str(c): results[c]["seconds"] for c in results},
+            "n_docs": results[hi].get("n_docs", results[hi].get("n_points")),
+        }))
         return
 
     if "--scaling" in sys.argv:
