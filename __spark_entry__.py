@@ -716,6 +716,71 @@ def q_ann_ivf_topk(spark, sf_dir):
     return _ann_recall_gate(spark, sf_dir, _approx)
 
 
+def q_stream_neardup_docs(spark, sf_dir):
+    """STATEFUL Structured-Streaming MinHash-LSH near-dup candidates
+    (streaming/incremental.py:stream_neardup_candidates): the documents
+    table replayed as TWO micro-batch runs against one checkpoint, so
+    cross-batch pairs exercise the persisted bucket state; output =
+    distinct (id_a, id_b) with the 8-component signature-estimated
+    jaccard >= 0.5. Fully oracle-checkable because the MinHash estimate
+    is deterministic (same md5-slice hash family as minhash_pairs_docs)."""
+    import os
+    import tempfile
+
+    from osmflat_rs_spark.streaming.incremental import stream_neardup_candidates
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_neardup_")
+    docs_dir, ckpt, out = f"{tmp}/docs", f"{tmp}/ck", f"{tmp}/out"
+    schema = "doc_id string, text string"
+    docs.filter(F.crc32(F.col("doc_id")) % 2 == 0).write.mode("append").parquet(docs_dir)
+    stream_neardup_candidates(spark, docs_dir, schema, ckpt, out, threshold=0.5).awaitTermination(300)
+    docs.filter(F.crc32(F.col("doc_id")) % 2 == 1).write.mode("append").parquet(docs_dir)
+    stream_neardup_candidates(spark, docs_dir, schema, ckpt, out, threshold=0.5).awaitTermination(300)
+    if not os.path.exists(out):  # zero candidates: the sink wrote nothing
+        return spark.createDataFrame([], "id_a string, id_b string, est_jaccard double")
+    return spark.read.parquet(out).select("id_a", "id_b", "est_jaccard").distinct()
+
+
+def _stream_neardup_sql(threshold: float = 0.5) -> str:
+    """Batch twin of the streaming candidate surfacer: band-sharing pairs
+    filtered by the signature-estimate. Ids as VARCHAR throughout (the
+    stream keys state by string doc_id, so pair endpoint order is
+    lexicographic)."""
+    h = (
+        "('0x' || substr(CASE WHEN i < 4 THEN md5(shingle) "
+        "ELSE md5('1:' || shingle) END, (i % 4) * 8 + 1, 8))::BIGINT"
+    )
+    sig_cols = ", ".join(f"MIN(CASE WHEN i = {i} THEN h END) AS sig_{i}" for i in range(8))
+    band_rows = " UNION ALL ".join(
+        f"SELECT _id, {b} AS band, md5(CAST(sig_{2*b} AS VARCHAR) || '_' || CAST(sig_{2*b+1} AS VARCHAR)) AS bh FROM sigs"
+        for b in range(4)
+    )
+    match_sum = " + ".join(
+        f"(CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END)" for i in range(8)
+    )
+    return f"""
+WITH base AS (SELECT CAST(doc_id AS VARCHAR) AS _id, lower(text) AS ltext,
+                     regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents),
+sh AS (SELECT _id,
+              unnest(CASE WHEN len(ws) >= 3
+                     THEN list_transform(generate_series(0, len(ws) - 3),
+                                         i -> array_to_string(list_slice(ws, i + 1, i + 3), ' '))
+                     ELSE [ltext] END) AS shingle
+       FROM base),
+hashed AS (SELECT _id, shingle, i, {h} AS h FROM sh, generate_series(0, 7) t(i)),
+sigs AS (SELECT _id, {sig_cols} FROM hashed GROUP BY _id),
+bands AS ({band_rows}),
+cand AS (SELECT DISTINCT a._id AS id_a, b._id AS id_b
+         FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a._id < b._id)
+SELECT c.id_a, c.id_b, ({match_sum}) / 8.0 AS est_jaccard
+FROM cand c JOIN sigs sa ON sa._id = c.id_a JOIN sigs sb ON sb._id = c.id_b
+WHERE ({match_sum}) / 8.0 >= {threshold}
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the two-phase cell-cover PIP spatial join at sf0.001."""
     return q_pip_events(spark, "/root/testdata/sf0.001")
@@ -760,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_srp_topk": q_ann_srp_topk,  # recall@5-floor gate (oracled)
         "ann_ivf_topk": q_ann_ivf_topk,  # recall@5-floor gate (oracled)
+        "stream_neardup_docs": q_stream_neardup_docs,  # stateful streaming, oracled
     }
 
 
@@ -974,6 +1040,7 @@ def oracle_sql() -> dict[str, str]:
             FROM base
         """,
         "minhash_pairs_docs": _minhash_sql(0.5),
+        "stream_neardup_docs": _stream_neardup_sql(0.5),
         "ngram_jaccard_docs": """
             WITH wset AS (SELECT DISTINCT doc_id, source,
                                  unnest(regexp_split_to_array(lower(text), '\\s+')) AS w FROM documents),

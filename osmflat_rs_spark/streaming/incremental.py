@@ -205,3 +205,160 @@ def stream_dedup_first_seen(spark, docs_dir: str, schema, checkpoint_dir: str, o
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_neardup_candidates(
+    spark,
+    docs_dir: str,
+    schema,
+    checkpoint_dir: str,
+    out_dir: str,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    threshold: float = 0.5,
+    max_state_per_bucket: int = 256,
+):
+    """STATEFUL streaming NEAR-dup candidates — the streaming form of the
+    batch MinHash-LSH pipeline (``dedup.minhash_dedup``), for dedup of a
+    continuous crawl against everything already ingested.
+
+    Per incoming doc, entirely in-row (a stream must not shuffle the
+    corpus): k-word shingles → ``n_hashes`` MinHash components
+    (``array_min(transform(...))`` — the HOF form; bit-identical to the
+    batch codegen form, asserted in tests) → ``n_bands`` LSH band hashes
+    exploded to (bucket, doc) rows. Each LSH bucket is then a state key:
+    the checkpointed state holds the (doc_id, signature) list previously
+    seen in that bucket, each new arrival is compared against it, and
+    pairs whose SIGNATURE-ESTIMATED jaccard (matching-component fraction,
+    the standard MinHash estimator) clears ``threshold`` are emitted as
+    ``(id_a, id_b, est_jaccard)`` with id_a < id_b. State survives
+    restarts via the checkpoint, so near-dups are caught ACROSS
+    micro-batches and job restarts, not only within one batch.
+
+    Scale notes: state per bucket is bounded by ``max_state_per_bucket``
+    (a hot bucket stops GROWING at the cap — overflow docs are still
+    compared against the stored set, never silently dropped, and the
+    bucket's stored sample stays deterministic: first-seen by batch, min
+    doc_id within a batch). A pair sharing several bands is emitted once
+    per bucket — output is a candidate MULTISET; consumers apply
+    ``distinct()`` (exactly like the batch ``lsh_candidate_pairs``, whose
+    final distinct plays the same role). Verification against full text
+    (exact jaccard) stays a batch concern by design: the stream's job is
+    candidate surfacing with bounded state.
+    """
+    import pandas as pd  # noqa: F401 (worker-side import, fail fast on driver)
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from osmflat_rs_spark.operators.dedup import _shingle_arr
+
+    rows_per_band = n_hashes // n_bands
+    if rows_per_band * n_bands != n_hashes:
+        raise ValueError("n_bands must divide n_hashes")
+
+    stream = spark.readStream.schema(schema).parquet(docs_dir)
+    sh = F.array_distinct(_shingle_arr(F.col("text"), 3))
+
+    def _component(i: int):
+        # NB: the lambda must take exactly ONE parameter — PySpark treats
+        # a two-arg lambda as (element, index), so a `j=j` default would
+        # be silently overwritten by the array index
+        seed, j = divmod(i, 4)
+
+        def hash32(s):
+            digest = F.md5(s) if seed == 0 else F.md5(F.concat(F.lit(f"{seed}:"), s))
+            return F.conv(F.substring(digest, 1 + 8 * j, 8), 16, 10).cast("long")
+
+        return F.array_min(F.transform(sh, hash32))
+
+    sigs = F.array(*[_component(i) for i in range(n_hashes)]).alias("sigs")
+    with_sigs = stream.select(F.col("doc_id").cast("string").alias("doc_id"), sigs)
+    bands = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(b)),
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.element_at("sigs", b * rows_per_band + r + 1).cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bucketed = with_sigs.select("doc_id", "sigs", F.explode(bands).alias("bucket"))
+
+    out_schema = StructType(
+        [
+            StructField("id_a", StringType()),
+            StructField("id_b", StringType()),
+            StructField("est_jaccard", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("ids", ArrayType(StringType())),
+            StructField("sigs", ArrayType(ArrayType(LongType()))),
+        ]
+    )
+
+    def bucket_fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            st_ids, st_sigs = state.get
+            st_ids = list(st_ids)
+            st_sigs = [list(s) for s in st_sigs]
+        else:
+            st_ids, st_sigs = [], []
+        # gather ALL chunks, then order by doc_id — chunk order must not
+        # influence which docs land in a capped bucket's state (the
+        # determinism lesson of stream_dedup_first_seen, ADVICE r02)
+        arrivals = []
+        for pdf in pdfs:
+            for did, s in zip(pdf["doc_id"], pdf["sigs"]):
+                arrivals.append((str(did), [int(x) for x in s]))
+        arrivals.sort(key=lambda t: t[0])
+        out_a, out_b, out_e = [], [], []
+        seen_in_batch = set()
+        for did, s in arrivals:
+            if did in seen_in_batch or did in st_ids:
+                continue  # re-delivery of a known doc: no self-pairs
+            seen_in_batch.add(did)
+            for oid, os_ in zip(st_ids, st_sigs):
+                est = sum(1 for a, b in zip(s, os_) if a == b) / float(len(s))
+                if est >= threshold:
+                    a, b = (did, oid) if did < oid else (oid, did)
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_e.append(est)
+            if len(st_ids) < max_state_per_bucket:
+                st_ids.append(did)
+                st_sigs.append(s)
+        state.update((st_ids, st_sigs))
+        yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": out_e})
+
+    pairs = bucketed.groupBy("bucket").applyInPandasWithState(
+        bucket_fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    return (
+        pairs.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
