@@ -180,6 +180,49 @@ def synthesize_media_real(df: DataFrame, media_ref_col: str = "media_ref") -> Da
     return df.select(F.col(media_ref_col)).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_ref string, media_type string, width int, height int, pixels binary"
+)
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int, fake: bool = False) -> DataFrame:
+    """decode → nearest-neighbor resize to (out_w, out_h), Arrow-batched.
+
+    The uniform-shape stage of a training pipeline (every image → one
+    fixed tensor size). Pure-NumPy index-grid resample — deterministic,
+    no codec deps; output ``pixels`` is the row-major uint8 grayscale
+    buffer (exactly out_w*out_h bytes), so downstream stages can
+    ``np.frombuffer(...).reshape(out_h, out_w)`` without re-decoding.
+    ``fake=True`` routes through the digest-seeded pseudo-decoder (the
+    zero-dependency plumbing path, same contract as extract_features)."""
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("resize_images: out_w and out_h must be positive")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            bufs = []
+            for payload, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                if fake:
+                    img = _fake_decode(bytes(payload), int(w), int(h))
+                else:
+                    img = decode_image(bytes(payload))
+                ih, iw = img.shape[0], img.shape[1]
+                # nearest-neighbor index grid (floor sampling, the
+                # standard convention: src = floor(dst * in/out))
+                ys = np.minimum((np.arange(out_h) * ih) // out_h, ih - 1).astype(np.intp)
+                xs = np.minimum((np.arange(out_w) * iw) // out_w, iw - 1).astype(np.intp)
+                bufs.append(img[np.ix_(ys, xs)].astype(np.uint8).tobytes())
+            out = pdf[["media_ref", "media_type"]].copy()
+            out["width"] = np.int32(out_w)
+            out["height"] = np.int32(out_h)
+            out["pixels"] = bufs
+            yield out
+
+    return media.mapInPandas(op, schema=RESIZED_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling plumbing: expands each media row into sampled
     frame indices (decode stubbed the same way). Pure JVM expansion."""

@@ -343,3 +343,39 @@ def test_minhash_signature_shapes_agree(spark):
         aggs.append(F.min(F.conv(F.substring(digest, 1 + 8 * j, 8), 16, 10).cast("long")).alias(f"sig_{i}"))
     want = {tuple(r) for r in sh.groupBy("_id").agg(*aggs).collect()}
     assert got == want
+
+
+def test_resize_images_pixel_exact(spark):
+    """Nearest-neighbor resize must equal a local NumPy index-grid
+    resample of the same decoded bytes, for every image (real P6 PPM
+    payloads, zero codec deps); output buffer is exactly out_w*out_h."""
+    import numpy as np
+
+    refs = spark.createDataFrame(
+        [(f"media://node/{i}/0.ppm",) for i in range(6)], schema="media_ref string"
+    )
+    media = multimodal.synthesize_media_real(refs)
+    out_w, out_h = 16, 12
+    got = {
+        r["media_ref"]: r
+        for r in multimodal.resize_images(media, out_w, out_h, fake=False).collect()
+    }
+    assert len(got) == 6
+    for r in media.collect():
+        img = multimodal.decode_image(bytes(r["payload"]))
+        ih, iw = img.shape
+        ys = np.minimum((np.arange(out_h) * ih) // out_h, ih - 1)
+        xs = np.minimum((np.arange(out_w) * iw) // out_w, iw - 1)
+        want = img[np.ix_(ys, xs)].astype(np.uint8)
+        g = got[r["media_ref"]]
+        assert (g["width"], g["height"]) == (out_w, out_h)
+        buf = np.frombuffer(bytes(g["pixels"]), dtype=np.uint8)
+        assert buf.size == out_w * out_h
+        assert (buf.reshape(out_h, out_w) == want).all()
+
+    # fake path: plumbing only, deterministic across runs
+    fake1 = {r["media_ref"]: bytes(r["pixels"]) for r in multimodal.resize_images(
+        multimodal.synthesize_media(refs), 8, 8, fake=True).collect()}
+    fake2 = {r["media_ref"]: bytes(r["pixels"]) for r in multimodal.resize_images(
+        multimodal.synthesize_media(refs), 8, 8, fake=True).collect()}
+    assert fake1 == fake2 and all(len(v) == 64 for v in fake1.values())
