@@ -66,7 +66,7 @@ def dda_points_expr(x0: Column, y0: Column, x1: Column, y1: Column) -> Column:
     return F.when(m == 0, single).otherwise(line)
 
 
-def dda_expand(seg: DataFrame, id_cols: list[str]) -> DataFrame:
+def dda_expand(seg: DataFrame, id_cols: list[str], fanout_partitions: int | None = None) -> DataFrame:
     """Scalar-explode DDA: explode the step index FIRST, then compute x/y
     as scalar integer expressions (``div``) — ~10× faster than building
     an array<struct> per segment (measured: 1.7s vs 17.9s on 12M pixels,
@@ -74,7 +74,28 @@ def dda_expand(seg: DataFrame, id_cols: list[str]) -> DataFrame:
     expansion stays in one WholeStageCodegen.
 
     seg needs columns x0, y0, x1, y1; returns id_cols + (x, y).
-    """
+
+    ``fanout_partitions``: AQE sizes post-shuffle partitions on
+    PRE-explode bytes, so a slim upstream segment table can be coalesced
+    to 1-2 partitions and the ~100× DDA fan-out + downstream distinct
+    then run on 2 cores of 32 (measured exactly that on the sf0.1 raster
+    gate: 6s stage → 2 populated partitions of ~6M exploded rows each).
+    Passing an explicit count inserts ``repartition(n, *id_cols)`` before
+    the explode — an exchange of the SLIM segment rows (cheap), immune to
+    AQE coalescing because the count is user-specified, and hash-keyed on
+    the id columns so a downstream distinct on (id, x, y) still needs no
+    post-explode exchange. Leave None when the input is already
+    well-partitioned (e.g. the 128M-point bench job, whose session pins
+    minPartitionSize); fan-out is bounded by id-column cardinality.
+
+    CAVEAT: if ``seg`` comes straight out of a window/shuffle keyed on
+    the SAME id_cols, Catalyst removes this same-key exchange as
+    redundant and the AQE-coalesced upstream partitioning survives —
+    fan out UPSTREAM of that window instead (measured on the sf0.1
+    raster gate: pre-window repartition 6.0s -> 0.75s; post-window
+    repartition eliminated, no effect)."""
+    if fanout_partitions:
+        seg = seg.repartition(fanout_partitions, *id_cols) if id_cols else seg.repartition(fanout_partitions)
     m = F.greatest(F.abs(F.col("x1") - F.col("x0")), F.abs(F.col("y1") - F.col("y0")))
     stepped = seg.withColumn("m", m).select(
         *id_cols,
