@@ -70,7 +70,20 @@ def _prep(spark: SparkSession) -> None:
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Load a driver table, normalizing SCAN parallelism: the sf* tables
+    are single-row-group parquet files, and a row group is one split —
+    so every downstream map-side pipeline (broadcast joins, in-row
+    dedup/intersect work, codegen projections) would otherwise run on
+    ONE task regardless of core count (measured: the ngram pair-verify
+    broadcast join ran its 622k array_intersects on one core, 5.5s vs
+    ~1s spread). Production inputs arrive as thousands of splits; the
+    explicit-count repartition (which AQE never coalesces) reproduces
+    that shape at bench scale and is a no-op cost on these small files."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        df = df.repartition(n)
+    return df
 
 
 def _synth_coords(events: DataFrame) -> DataFrame:
