@@ -139,7 +139,11 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
     nodes.count()
     t = {**t, "nodes": nodes}
     _force(pip_join(nodes, polys))
-    _force(tile_assign_segments(refq.road_segments(t), jvm_tiles=True))
+    # road_segments at this scale comes out of an AQE-coalesced shuffle as
+    # ONE partition; explicit fan-out spreads the DDA explode + distinct
+    # (see dda_expand docstring). The 128M-point jobs pin
+    # minPartitionSize instead and keep their natural partitioning.
+    _force(tile_assign_segments(refq.road_segments(t), jvm_tiles=True, fanout_partitions=cpus))
     dt = time.time() - t0
     timings["docs_pipeline"] = round(dt, 3)
     docs_per_sec = n_docs / dt

@@ -168,7 +168,10 @@ def _tile_udf(lat_fixed: pd.Series, lon_fixed: pd.Series) -> pd.DataFrame:
 
 
 def tile_assign_segments(
-    segments: DataFrame, zoom: int = TILE_ZOOM, jvm_tiles: bool = True
+    segments: DataFrame,
+    zoom: int = TILE_ZOOM,
+    jvm_tiles: bool = True,
+    fanout_partitions: int | None = None,
 ) -> DataFrame:
     """→ distinct (way_idx, zoom, tile_x, tile_y) from PRE-PAIRED segments
     (way_idx, lat, lon, lat2, lon2) — e.g. ``queries.road_segments``'s
@@ -200,7 +203,7 @@ def tile_assign_segments(
             F.col("t1.ty").alias("y1"),
         )
     return (
-        dda_expand(seg, ["way_idx"])
+        dda_expand(seg, ["way_idx"], fanout_partitions=fanout_partitions)
         .select(
             "way_idx",
             F.lit(zoom).alias("zoom"),
