@@ -253,7 +253,8 @@ def knn_join(
             for c in cells.disk_cover(int(q.lat), int(q.lon), radius[q.query_id], res):
                 cover_rows.append((q.query_id, int(q.lat), int(q.lon), int(c)))
         cover = spark.createDataFrame(
-            cover_rows, schema="query_id string, q_lat long, q_lon long, cell long"
+            pd.DataFrame(cover_rows, columns=["query_id", "q_lat", "q_lon", "cell"]),
+            schema="query_id string, q_lat long, q_lon long, cell long",
         )
         cand = pts.join(F.broadcast(cover), "cell").withColumn(
             "dist_m", haversine_np_udf("q_lat", "q_lon", "lat", "lon")

@@ -101,7 +101,13 @@ def pip_join(
         cs, interior = be.polygon_cover_classified(xs, ys, res)
         for c, it in zip(cs, interior):
             cover_rows.append((int(c), i, bool(it)))
-    cover = spark.createDataFrame(cover_rows, schema="cell long, poly_i int, interior boolean")
+    # pandas carrier → Arrow path: the plain-list createDataFrame
+    # round-trips Py4J row-by-row (measured 0.9s vs 0.2s at 3k cover
+    # rows, and it sits on every pip_join call)
+    cover = spark.createDataFrame(
+        pd.DataFrame(cover_rows, columns=["cell", "poly_i", "interior"]),
+        schema="cell long, poly_i int, interior boolean",
+    )
 
     pts = points.select(
         F.col(point_id).alias("_pt_id"),
@@ -145,7 +151,8 @@ def pip_join(
     out_schema = f"polygon_id string, _pt_id {dict(points.dtypes)[point_id]}"
     refined = boundary.mapInPandas(refine, schema=out_schema)
     id_map = spark.createDataFrame(
-        [(i, pid) for i, pid in enumerate(index.ids)], schema="poly_i int, polygon_id string"
+        pd.DataFrame({"poly_i": range(len(index.ids)), "polygon_id": list(index.ids)}),
+        schema="poly_i int, polygon_id string",
     )
     fast = inside_fast.join(F.broadcast(id_map), "poly_i").select("polygon_id", "_pt_id")
     return refined.unionByName(fast).withColumnRenamed("_pt_id", point_id)

@@ -24,6 +24,8 @@ join. ``persist`` pins partition identity between the passes.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -60,7 +62,8 @@ def assign_dense_index(
         offsets[pid] = acc
         acc += counts[pid]
     off_df = spark.createDataFrame(
-        [(int(p), int(o)) for p, o in offsets.items()], schema="_pid int, _offset long"
+        pd.DataFrame(sorted(offsets.items()), columns=["_pid", "_offset"]),
+        schema="_pid int, _offset long",
     )
     return (
         part.join(F.broadcast(off_df), "_pid")
@@ -130,7 +133,8 @@ def exclusive_prefix_sum(
         offsets[pid] = acc
         acc += totals[pid] or 0
     off_df = spark.createDataFrame(
-        [(int(p), int(o)) for p, o in offsets.items()], schema="_pid int, _offset long"
+        pd.DataFrame(sorted(offsets.items()), columns=["_pid", "_offset"]),
+        schema="_pid int, _offset long",
     )
     w = Window.partitionBy("_pid").orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)
     return (
@@ -187,7 +191,8 @@ def assign_dense_index_by_group(
         by_group_running[grp] = by_group_running.get(grp, 0) + cnt
         by_pid_running[pid] = by_pid_running.get(pid, 0) + cnt
     off_df = spark.createDataFrame(
-        off_rows, schema=f"_pid int, {group_col} string, _goffset long, _lstart long"
+        pd.DataFrame(off_rows, columns=["_pid", group_col, "_goffset", "_lstart"]),
+        schema=f"_pid int, {group_col} string, _goffset long, _lstart long",
     )
     return (
         part.join(F.broadcast(off_df), ["_pid", group_col])
