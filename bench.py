@@ -365,6 +365,39 @@ def run_dedup_job(spark, cpus: int, n_docs: int) -> dict:
     }
 
 
+def run_streaming_job(spark, cpus: int, n_docs: int) -> dict:
+    """Structured-Streaming throughput: the stateful MinHash-LSH near-dup
+    candidate surfacer (checkpointed bucket state) run availableNow over
+    the deterministic text corpus, measured end-to-end including state
+    store writes — the continuous-intake shape of the dedup phase."""
+    import shutil
+    import tempfile
+
+    from osmflat_rs_spark.streaming.incremental import stream_neardup_candidates
+
+    path = _ensure_text_docs_parquet(spark, n_docs)
+    n = spark.read.parquet(path).count()
+    schema = spark.read.parquet(path).schema
+    tmp = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        t0 = time.time()
+        q = stream_neardup_candidates(
+            spark, path, schema, f"{tmp}/ck", f"{tmp}/out", threshold=0.5
+        )
+        q.awaitTermination(3000)
+        dt = time.time() - t0
+        pairs = spark.read.parquet(f"{tmp}/out").count() if os.path.exists(f"{tmp}/out") else 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "cpus": cpus,
+        "n_docs": n,
+        "pairs": pairs,
+        "seconds": round(dt, 3),
+        "docs_per_sec": round(n / dt, 1),
+    }
+
+
 def run_cluster_worker(master_url: str, cores_max: int, job: str) -> dict:
     """One parallelism level of the REAL-multi-executor evidence
     (BENCH/BASELINE.md round-3 section): connect to a local standalone
@@ -470,6 +503,23 @@ def main():
             extra_conf={"spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k"},
         )
         print(json.dumps(run_dedup_job(spark, cpus, n_docs)))
+        spark.stop()
+        return
+
+    if "--streaming" in sys.argv:
+        from osmflat_rs_spark.session import get_spark
+
+        cpus = CPUS if "--cpus" not in sys.argv else int(sys.argv[sys.argv.index("--cpus") + 1])
+        n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_NODES", "200000"))
+        spark = get_spark(
+            "bench-streaming",
+            master=f"local[{cpus}]",
+            shuffle_partitions=max(8, cpus),
+        )
+        out = run_streaming_job(spark, cpus, n_docs)
+        out["metric"] = "streaming stateful near-dup candidates docs/sec (availableNow)"
+        out["unit"] = "docs/sec"
+        print(json.dumps(out))
         spark.stop()
         return
 
