@@ -752,19 +752,39 @@ def q_stream_neardup_docs(spark, sf_dir):
 
     from osmflat_rs_spark.streaming.incremental import stream_neardup_candidates
 
+    import shutil
+
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
     tmp = tempfile.mkdtemp(prefix="stream_neardup_")
     docs_dir, ckpt, out = f"{tmp}/docs", f"{tmp}/ck", f"{tmp}/out"
     schema = "doc_id string, text string"
-    docs.filter(F.crc32(F.col("doc_id")) % 2 == 0).write.mode("append").parquet(docs_dir)
-    stream_neardup_candidates(spark, docs_dir, schema, ckpt, out, threshold=0.5).awaitTermination(300)
-    docs.filter(F.crc32(F.col("doc_id")) % 2 == 1).write.mode("append").parquet(docs_dir)
-    stream_neardup_candidates(spark, docs_dir, schema, ckpt, out, threshold=0.5).awaitTermination(300)
-    if not os.path.exists(out):  # zero candidates: the sink wrote nothing
-        return spark.createDataFrame([], "id_a string, id_b string, est_jaccard double")
-    return spark.read.parquet(out).select("id_a", "id_b", "est_jaccard").distinct()
+    try:
+        docs.filter(F.crc32(F.col("doc_id")) % 2 == 0).write.mode("append").parquet(docs_dir)
+        q1 = stream_neardup_candidates(spark, docs_dir, schema, ckpt, out, threshold=0.5)
+        if not q1.awaitTermination(300):
+            q1.stop()
+            raise RuntimeError("stream_neardup batch 1 did not finish in 300s")
+        docs.filter(F.crc32(F.col("doc_id")) % 2 == 1).write.mode("append").parquet(docs_dir)
+        q2 = stream_neardup_candidates(spark, docs_dir, schema, ckpt, out, threshold=0.5)
+        if not q2.awaitTermination(300):
+            q2.stop()
+            raise RuntimeError("stream_neardup batch 2 did not finish in 300s")
+        # materialize to the driver (bounded: candidate pairs only) so the
+        # scratch dirs can be removed — returning a lazy reader over /tmp
+        # leaked a docs copy + state store + sink per invocation
+        if os.path.exists(out):
+            pairs_pdf = (
+                spark.read.parquet(out).select("id_a", "id_b", "est_jaccard").distinct().toPandas()
+            )
+        else:  # zero candidates: the sink wrote nothing
+            import pandas as _pd
+
+            pairs_pdf = _pd.DataFrame(columns=["id_a", "id_b", "est_jaccard"])
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(pairs_pdf, schema="id_a string, id_b string, est_jaccard double")
 
 
 def _stream_neardup_sql(threshold: float = 0.5) -> str:

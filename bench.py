@@ -384,7 +384,11 @@ def run_streaming_job(spark, cpus: int, n_docs: int) -> dict:
         q = stream_neardup_candidates(
             spark, path, schema, f"{tmp}/ck", f"{tmp}/out", threshold=0.5
         )
-        q.awaitTermination(3000)
+        if not q.awaitTermination(3000):
+            # never rmtree under a live query: stop it first, and don't
+            # report a bogus (truncated) throughput
+            q.stop()
+            raise RuntimeError("streaming bench did not finish within 3000s")
         dt = time.time() - t0
         pairs = spark.read.parquet(f"{tmp}/out").count() if os.path.exists(f"{tmp}/out") else 0
     finally:
@@ -398,13 +402,22 @@ def run_streaming_job(spark, cpus: int, n_docs: int) -> dict:
     }
 
 
-def run_cluster_worker(master_url: str, cores_max: int, job: str) -> dict:
+def run_cluster_worker(
+    master_url: str,
+    cores_max: int,
+    job: str,
+    executor_cores: int = 1,
+    executor_memory: str = "2g",
+    offheap: str = "2g",
+) -> dict:
     """One parallelism level of the REAL-multi-executor evidence
     (BENCH/BASELINE.md round-3 section): connect to a local standalone
-    cluster and run the job with SINGLE-CORE executors — 2 vs 8 separate
-    executor JVMs is then a true N -> 4N executor pair inside this box's
-    bandwidth-fair <=8-core regime. Executor shape: 1 core, 2g heap + 2g
-    off-heap (small heaps so 8 executors fit without DRAM-unfair swap)."""
+    cluster and run the job. Default shape: SINGLE-CORE executors — 2 vs
+    8 separate executor JVMs is then a true N -> 4N executor pair inside
+    this box's bandwidth-fair <=8-core regime; small heaps so 8
+    executors fit without DRAM-unfair swap. The 4-core/3g shape used for
+    the 8->32-core ceiling measurement is reachable via the parameters
+    (scripts/cluster_scaling_worker.py)."""
     from osmflat_rs_spark.session import get_spark
 
     spark = get_spark(
@@ -413,16 +426,16 @@ def run_cluster_worker(master_url: str, cores_max: int, job: str) -> dict:
         shuffle_partitions=max(8, 2 * cores_max),
         extra_conf={
             "spark.cores.max": str(cores_max),
-            "spark.executor.cores": "1",
-            "spark.executor.memory": "2g",
+            "spark.executor.cores": str(executor_cores),
+            "spark.executor.memory": executor_memory,
             "spark.memory.offHeap.enabled": "true",
-            "spark.memory.offHeap.size": "2g",
+            "spark.memory.offHeap.size": offheap,
             "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
         },
     )
     n = int(os.environ.get("SPARK_GRAFT_SCALE_NODES", "1000000"))
     out = run_dedup_job(spark, cores_max, n) if job == "dedup" else run_spatial_job(spark, cores_max, n)
-    out["executors"] = cores_max
+    out["executors"] = cores_max // executor_cores
     spark.stop()
     return out
 

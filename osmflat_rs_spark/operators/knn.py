@@ -194,14 +194,17 @@ def knn_join_bulk(
     # — the point scan below never runs. A BroadcastNestedLoopJoin
     # (crossJoin) uses IdentityBroadcastMode, which AQE cannot collapse
     # (measured: the full scan executes even with zero unsettled rows).
-    # The key must be column-DEPENDENT (x % 1, always 0): a literal key
-    # gets constant-folded out of the equi-condition and the join degrades
-    # back to a nested loop (also measured).
+    # The key must be column-DEPENDENT (always 0, but derived from a
+    # column): a literal key gets constant-folded out of the
+    # equi-condition and the join degrades back to a nested loop (also
+    # measured). xxhash64 makes the key TYPE-AGNOSTIC and NULL-safe —
+    # the earlier `_nid % 1` form threw under ANSI mode for string id
+    # columns and dropped NULL-id rows from the rescue scan.
     slow_cand = with_dist(
-        pts.withColumn("_k", (F.col("_nid") % F.lit(1)).cast("int"))
+        pts.withColumn("_k", F.pmod(F.xxhash64("_nid"), F.lit(1)).cast("int"))
         .join(
             F.broadcast(
-                unsettled.withColumn("_k", (F.xxhash64("query_id") % F.lit(1)).cast("int"))
+                unsettled.withColumn("_k", F.pmod(F.xxhash64("query_id"), F.lit(1)).cast("int"))
             ),
             "_k",
         )

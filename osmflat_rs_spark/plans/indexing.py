@@ -118,8 +118,16 @@ def exclusive_prefix_sum(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     if assert_unique:
+        # count(lit(1)) counts ALL rows — count(order_col) skips NULL
+        # keys, which would let duplicate NULLs (whose tie order is
+        # physical-sort-dependent, exactly what this gate exists to
+        # forbid) slip through
         u = part.agg(
-            F.count(order_col).alias("n"), F.countDistinct(order_col).alias("d")
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.countDistinct(order_col)
+                + F.coalesce(F.max(F.col(order_col).isNull().cast("int")), F.lit(0))
+            ).alias("d"),
         ).collect()[0]
         if u["n"] != u["d"]:
             part.unpersist()

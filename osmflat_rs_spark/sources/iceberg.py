@@ -105,28 +105,44 @@ class IcebergCatalog:
 
     # --------------------------------------------------------------- snapshots
     def head(self, table: str) -> str | None:
+        # the main branch ref is the AUTHORITATIVE head — ordering
+        # snapshots by committed_at breaks on same-millisecond commits
+        # (snapshot ids are random longs, so the id tie-break is
+        # meaningless and can pick the older snapshot)
         if not self._exists(table):
             return None
         rows = self.spark.sql(
-            f"SELECT snapshot_id FROM {self._full(table)}.snapshots "
-            f"ORDER BY committed_at DESC, snapshot_id DESC LIMIT 1"
+            f"SELECT snapshot_id FROM {self._full(table)}.refs WHERE name = 'main'"
         ).collect()
         return str(rows[0]["snapshot_id"]) if rows else None
 
     def chain(self, table: str, snap: str | None = None) -> list[str]:
+        """Ancestor snapshot ids, oldest-first — truncated at the most
+        recent NON-append snapshot (overwrite from createOrReplace,
+        replace from rewrite_data_files): like SnapshotCatalog's
+        full_rewrite truncation, a rewrite starts a new chain. This keeps
+        ``read_incremental``'s in-chain test aligned with what Iceberg's
+        incremental append scan can actually serve — a cursor from before
+        a rewrite correctly falls back to the full read."""
         cur = snap or self.head(table)
         if cur is None:
             return []
-        parents = {
-            str(r["snapshot_id"]): (str(r["parent_id"]) if r["parent_id"] is not None else None)
+        meta = {
+            str(r["snapshot_id"]): (
+                str(r["parent_id"]) if r["parent_id"] is not None else None,
+                r["operation"],
+            )
             for r in self.spark.sql(
-                f"SELECT snapshot_id, parent_id FROM {self._full(table)}.snapshots"
+                f"SELECT snapshot_id, parent_id, operation FROM {self._full(table)}.snapshots"
             ).collect()
         }
         out: list[str] = []
-        while cur is not None and cur in parents:
+        while cur is not None and cur in meta:
             out.append(cur)
-            cur = parents[cur]
+            parent, op = meta[cur]
+            if op != "append":
+                break  # rewrite/overwrite snapshot is the chain base
+            cur = parent
         return list(reversed(out))
 
     # -------------------------------------------------------------------- read

@@ -216,7 +216,7 @@ def stream_neardup_candidates(
     n_hashes: int = 8,
     n_bands: int = 4,
     threshold: float = 0.5,
-    max_state_per_bucket: int = 256,
+    max_state_per_bucket: int | None = None,
 ):
     """STATEFUL streaming NEAR-dup candidates — the streaming form of the
     batch MinHash-LSH pipeline (``dedup.minhash_dedup``), for dedup of a
@@ -235,11 +235,16 @@ def stream_neardup_candidates(
     restarts via the checkpoint, so near-dups are caught ACROSS
     micro-batches and job restarts, not only within one batch.
 
-    Scale notes: state per bucket is bounded by ``max_state_per_bucket``
-    (a hot bucket stops GROWING at the cap — overflow docs are still
-    compared against the stored set, never silently dropped, and the
-    bucket's stored sample stays deterministic: first-seen by batch, min
-    doc_id within a batch). A pair sharing several bands is emitted once
+    Scale notes: by DEFAULT state is unbounded and the output is exactly
+    the batch pipeline's band-sharing pairs ≥ threshold (the property the
+    driver oracle asserts). ``max_state_per_bucket`` is the production
+    opt-in for hot-bucket memory bounds: a bucket stops GROWING at the
+    cap, overflow docs are still compared against the stored set — but
+    two overflow docs are never compared with EACH OTHER, so a capped
+    run emits a SUBSET of the exact output (deterministic: the stored
+    sample is first-seen by batch, min doc_id within a batch). Do not
+    cap when exactness against the batch twin matters. A pair sharing
+    several bands is emitted once
     per bucket — output is a candidate MULTISET; consumers apply
     ``distinct()`` (exactly like the batch ``lsh_candidate_pairs``, whose
     final distinct plays the same role). Verification against full text
@@ -345,7 +350,7 @@ def stream_neardup_candidates(
                     out_a.append(a)
                     out_b.append(b)
                     out_e.append(est)
-            if len(st_ids) < max_state_per_bucket:
+            if max_state_per_bucket is None or len(st_ids) < max_state_per_bucket:
                 st_ids.append(did)
                 st_sigs.append(s)
         state.update((st_ids, st_sigs))

@@ -235,3 +235,42 @@ def test_minhash_pipeline_plan_shape(spark):
     assert "CartesianProduct" not in pairs_plan and "BroadcastNestedLoopJoin" not in pairs_plan
     # the bucket join is keyed on (band, bh), never on raw ids alone
     assert "band" in pairs_plan
+
+
+def test_exclusive_prefix_sum_rejects_duplicate_null_keys(spark):
+    """count(order_col) skips NULLs, which used to let duplicate NULL
+    order keys (tie order = physical sort order) through the uniqueness
+    gate; a single NULL key remains legal."""
+    from osmflat_rs_spark.plans.indexing import exclusive_prefix_sum
+
+    dup_null = spark.createDataFrame([(None, 10), (None, 20), (2, 5)], schema="o int, w long")
+    with pytest.raises(ValueError, match="unique"):
+        exclusive_prefix_sum(dup_null, "o", "w", assert_unique=True).collect()
+    one_null = spark.createDataFrame([(None, 10), (2, 20), (3, 5)], schema="o int, w long")
+    got = {r["o"]: r["offset"] for r in exclusive_prefix_sum(one_null, "o", "w", assert_unique=True).collect()}
+    assert set(got) == {None, 2, 3} and sorted(got.values()) == [0, 10, 30]
+
+
+def test_knn_bulk_fallback_handles_string_and_null_ids(spark):
+    """The lazy exact-fallback join key must be type-agnostic and
+    NULL-safe: `_nid % 1` threw under ANSI for string id columns and
+    silently dropped NULL-id rows from the rescue scan."""
+    from osmflat_rs_spark.operators.knn import knn_join_bulk
+
+    pts = spark.createDataFrame(
+        [(f"media://node/{i}", 524000000 + i * 1000, 132000000 + i * 1000) for i in range(200)]
+        + [(None, 524000100, 132000100)],
+        schema="media_ref string, lat long, lon long",
+    )
+    q = spark.createDataFrame([("q1", 524000050, 132000050)], schema="query_id string, lat long, lon long")
+    # microscopic radius forces the fallback branch for every query
+    out = knn_join_bulk(
+        pts, q, k=3, radius_m=0.001, metric="sqeuclid", id_col="media_ref", exact_fallback=True
+    ).collect()
+    assert len(out) == 3
+    ids = {r["media_ref"] for r in out}
+    assert None in ids  # the NULL-id point is the nearest; it must not be dropped
+    plan = _plan(
+        knn_join_bulk(pts, q, k=3, radius_m=0.001, metric="sqeuclid", id_col="media_ref", exact_fallback=True)
+    )
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
