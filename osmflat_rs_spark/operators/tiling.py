@@ -112,8 +112,15 @@ def dda_expand(seg: DataFrame, id_cols: list[str], fanout_partitions: int | None
     return stepped.select(*id_cols, x.alias("x"), y.alias("y"))
 
 
-def _segments(coords: DataFrame, id_col: str) -> DataFrame:
-    """(id, pos, gx, gy) → consecutive grid pairs via lead() (SURVEY W3)."""
+def _segments(coords: DataFrame, id_col: str, fanout_partitions: int | None = None) -> DataFrame:
+    """(id, pos, gx, gy) → consecutive grid pairs via lead() (SURVEY W3).
+
+    ``fanout_partitions``: repartition BEFORE the window (the only
+    placement that survives optimization — see dda_expand's caveat) so
+    the window's AQE-coalesced shuffle can't serialize the downstream
+    DDA explode onto 1-2 cores when the vertex table is byte-small."""
+    if fanout_partitions:
+        coords = coords.repartition(fanout_partitions, id_col)
     w = Window.partitionBy(id_col).orderBy("pos")
     return (
         coords.withColumn("x1", F.lead("gx").over(w))
@@ -122,10 +129,14 @@ def _segments(coords: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def raster_assign(road_coords: DataFrame, bbox: tuple[int, int, int, int]) -> DataFrame:
+def raster_assign(
+    road_coords: DataFrame, bbox: tuple[int, int, int, int], fanout_partitions: int | None = None
+) -> DataFrame:
     """road_coords: (way_idx, pos, lat, lon) fully-resolved road vertices;
     bbox: (min_lat, max_lat, min_lon, max_lon) fixed-point ints.
-    → distinct (way_idx, x, y) Bresenham-family pixels on RASTER_W×H."""
+    → distinct (way_idx, x, y) Bresenham-family pixels on RASTER_W×H.
+    ``fanout_partitions``: pre-window fan-out for byte-small inputs
+    (see _segments / dda_expand)."""
     min_lat, max_lat, min_lon, max_lon = (int(v) for v in bbox)
     lat_span = max(1, max_lat - min_lat)
     lon_span = max(1, max_lon - min_lon)
@@ -141,7 +152,7 @@ def raster_assign(road_coords: DataFrame, bbox: tuple[int, int, int, int]) -> Da
         F.floor(px).cast("long").alias("gx"),
         F.floor(py).cast("long").alias("gy"),
     )
-    seg = _segments(pix, "way_idx").withColumnRenamed("gx", "x0").withColumnRenamed("gy", "y0")
+    seg = _segments(pix, "way_idx", fanout_partitions).withColumnRenamed("gx", "x0").withColumnRenamed("gy", "y0")
     return (
         dda_expand(seg, ["way_idx"])
         .select("way_idx", F.col("x").cast("int").alias("x"), F.col("y").cast("int").alias("y"))
@@ -214,7 +225,12 @@ def tile_assign_segments(
     )
 
 
-def tile_assign(road_coords: DataFrame, zoom: int = TILE_ZOOM, jvm_tiles: bool = False) -> DataFrame:
+def tile_assign(
+    road_coords: DataFrame,
+    zoom: int = TILE_ZOOM,
+    jvm_tiles: bool = False,
+    fanout_partitions: int | None = None,
+) -> DataFrame:
     """→ distinct (way_idx, zoom, tile_x, tile_y) touched (DDA on the tile
     grid between consecutive vertex tiles).
 
@@ -237,7 +253,7 @@ def tile_assign(road_coords: DataFrame, zoom: int = TILE_ZOOM, jvm_tiles: bool =
         tiles = road_coords.select(
             "way_idx", "pos", _tile_udf(F.col("lat"), F.col("lon")).alias("t")
         ).select("way_idx", "pos", F.col("t.tx").alias("gx"), F.col("t.ty").alias("gy"))
-    seg = _segments(tiles, "way_idx").withColumnRenamed("gx", "x0").withColumnRenamed("gy", "y0")
+    seg = _segments(tiles, "way_idx", fanout_partitions).withColumnRenamed("gx", "x0").withColumnRenamed("gy", "y0")
     return (
         dda_expand(seg, ["way_idx"])
         .select(
