@@ -133,6 +133,9 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
     wt = ingest(wdocs, compute_metrics=False, with_dims=False)
     _force(pip_join(wt["nodes"].select("node_idx", "osm_id", "lat", "lon"), polys))
     _force(tile_assign_segments(refq.road_segments(wt), jvm_tiles=True))
+    from osmflat_rs_spark.ingest import unpersist_ingest
+
+    unpersist_ingest(wt)  # the warmup's pinned caches must not shadow the timed run
     t0 = time.time()
     t = ingest(docs, compute_metrics=False, with_dims=False)
     nodes = t["nodes"].select("node_idx", "osm_id", "lat", "lon").persist()

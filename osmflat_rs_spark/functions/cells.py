@@ -235,7 +235,18 @@ def polygon_cover_classified(xs: np.ndarray, ys: np.ndarray, res: int) -> tuple[
 
 
 def _cell_center(i: int, off: int, span: int, res: int) -> int:
-    return -(off) + (2 * int(i) + 1) * span // (2 << res)
+    """An integer point GUARANTEED to lie in cell ``i``: the cell's exact
+    lower integer corner ``ceil(i*span/2^res) - off``. Re-encoding it
+    yields ``i`` for every res ≤ MAX_RES because span ≥ 2^res (so the
+    ceil stays below the next cell's start) and every cell's real
+    interval is wider than 1 (so it contains an integer). The previous
+    midpoint form ``(2i+1)*span // (2<<res)`` landed in the NEIGHBORING
+    lat row for ~16% of rows at res=30 (cell width 1.676 < 2), which
+    made the cover classification test a point OUTSIDE the cell —
+    breaking both the superset guarantee and interior-short-circuit
+    soundness for micro-polygons (review r3 finding, simulated)."""
+    shift = 1 << res
+    return -(off) + (int(i) * span + shift - 1) // shift
 
 
 def _grid_supercover(x0: int, y0: int, x1: int, y1: int, res: int) -> set[tuple[int, int]]:

@@ -53,13 +53,19 @@ def haversine_m_fixed(lat1: Column, lon1: Column, lat2: Column, lon2: Column) ->
 
 
 def sq_euclid_fixed(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
-    """Exact integer squared euclidean distance in fixed-point space.
+    """Exact integer squared euclidean distance in fixed-point space —
+    the spec form of the metric (knn.py's hot path uses its own
+    CLAMPED variant so the brute-force fallback cannot overflow int64
+    on near-antipodal deltas; see knn.py with_dist).
 
-    Used where cross-engine bit-exactness matters (kNN tie-breaking,
-    oracle comparison) — pure int64 arithmetic, no floats anywhere.
-    """
-    dlat = (lat2 - lat1).cast("long")
-    dlon = (lon2 - lon1).cast("long")
+    Operands are cast to long BEFORE subtracting: with IntegerType
+    fixed-point columns a lon delta reaches 3.6e9 > 2^31-1, so
+    subtract-then-cast would wrap (or throw under ANSI) before the
+    widening. Caller must keep |delta| < ~3.04e9 so dlat²+dlon² fits
+    int64 (always true for valid lat/lon fixed-point ranges after the
+    long casts)."""
+    dlat = lat2.cast("long") - lat1.cast("long")
+    dlon = lon2.cast("long") - lon1.cast("long")
     return dlat * dlat + dlon * dlon
 
 

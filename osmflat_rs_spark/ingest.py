@@ -39,6 +39,34 @@ from osmflat_rs_spark.plans.indexing import assign_dense_index
 
 STAGE_RANK = {"node": 0, "way": 1, "relation": 2}
 
+# the six span kinds the carrier tables can represent; ingest REJECTS
+# anything else (strict_kinds) — an unrecognized kind has no entity-table
+# home, so silently passing it would break the lossless-roundtrip
+# invariant without any diagnostic
+SPAN_KINDS = ("header", "coord", "tag", "ref", "member", "media")
+
+
+def _sorted_spans_expr(col: str = "spans"):
+    """The canonical sorted-span array: array_sort over (offset, original
+    array position, kind, text, media_ref) structs. The position
+    tie-break pins the total order for duplicate offsets to the input
+    sequence (ADVICE r01: breaking ties on kind/text silently diverged
+    from the oracle's stable sort). SINGLE source of truth — parse_spans
+    and _assemble_keyed must sort identically or the exploded and
+    assembled views disagree on duplicate-offset ordering."""
+    return F.array_sort(
+        F.transform(
+            col,
+            lambda s, i: F.struct(
+                s["offset"].alias("offset"),
+                i.alias("_apos"),
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+            ),
+        )
+    )
+
 
 def parse_spans(docs: DataFrame) -> DataFrame:
     """docs → one row per span: (doc_id, order, kind, text, media_ref, offset).
@@ -50,18 +78,7 @@ def parse_spans(docs: DataFrame) -> DataFrame:
     duplicate offsets to the input sequence, matching the model oracle's
     STABLE sort on offset (ADVICE r01: the old struct order broke offset
     ties on kind/text, silently diverging from the oracle)."""
-    sorted_spans = F.array_sort(
-        F.transform(
-            "spans",
-            lambda s, i: F.struct(
-                s["offset"].alias("offset"),
-                i.alias("_apos"),
-                s["kind"].alias("kind"),
-                s["text"].alias("text"),
-                s["media_ref"].alias("media_ref"),
-            ),
-        )
-    )
+    sorted_spans = _sorted_spans_expr("spans")
     return docs.select(
         "doc_id", F.posexplode(sorted_spans).alias("order", "s")
     ).select(
@@ -104,18 +121,7 @@ def _assemble_keyed(keyed: DataFrame, carrier: bool = True) -> DataFrame:
     """Per-kind array assembly from a (doc_id, spans, entity_type, osm_id
     [, eidx]) row — pure in-row transforms; extra input columns pass
     through."""
-    spans_sorted = F.array_sort(
-        F.transform(
-            "spans",
-            lambda s, i: F.struct(
-                s["offset"].alias("offset"),
-                i.alias("_apos"),
-                s["kind"].alias("kind"),
-                s["text"].alias("text"),
-                s["media_ref"].alias("media_ref"),
-            ),
-        )
-    )
+    spans_sorted = _sorted_spans_expr("spans")
     # attach the doc-level order (rank of offset) to each span, in-row
     ordered = F.transform(
         spans_sorted,
@@ -177,8 +183,29 @@ def ingest(
     compute_metrics: bool = True,
     with_dims: bool = True,
     audit: bool = True,
+    strict_kinds: bool = True,
 ) -> dict[str, DataFrame]:
     from osmflat_rs_spark.plans.indexing import assign_dense_index_by_group, audit_dense_index
+
+    if strict_kinds:
+        # one cheap distinct-agg job: an unknown span kind has nowhere to
+        # live in the entity tables, so the lossless roundtrip would break
+        # SILENTLY (the span_layout elem_pos join only covers SPAN_KINDS).
+        # Opt out only when the schema is enforced upstream.
+        bad = [
+            r["kind"]
+            for r in docs.select(F.explode("spans").alias("s"))
+            .select(F.col("s.kind").alias("kind"))
+            .filter(~F.col("kind").isin(*SPAN_KINDS))
+            .distinct()
+            .collect()
+        ]
+        if bad:
+            raise ValueError(
+                f"ingest: unrecognized span kind(s) {sorted(bad)} — the carrier "
+                f"tables represent only {list(SPAN_KINDS)}; fix the input or "
+                f"pass strict_kinds=False to accept silent loss"
+            )
 
     # ONE range shuffle assigns all three per-type dense indices (grouped
     # two-pass scheme) — vs. one shuffle+persist per entity type. The
@@ -341,7 +368,7 @@ def ingest(
                 F.array(
                     *[
                         _elem_pos_arr(kind)
-                        for kind in ("header", "coord", "tag", "ref", "member", "media")
+                        for kind in SPAN_KINDS
                     ]
                 )
             )
@@ -395,6 +422,7 @@ def ingest(
         metrics = None
 
     return {
+        "_cached": [refs_resolved, members_resolved],
         "nodes": nodes.drop("doc_id"),
         "ways": ways.drop("doc_id"),
         "ways_geo": ways_geo.drop("doc_id"),
@@ -410,6 +438,21 @@ def ingest(
         "unresolved": unresolved,
         "assembled": assembled,
     }
+
+
+def unpersist_ingest(t: dict[str, DataFrame]) -> None:
+    """Release the datasets ingest() pinned (refs/members resolution
+    frames, MEMORY_AND_DISK). Call when done with the archive in
+    long-lived sessions that ingest repeatedly (e.g. per-scale bench
+    loops) — otherwise each call pins cache for the session lifetime.
+    The dense-index internals persist/free within plans/indexing.py's
+    own contract and are reclaimed by the ContextCleaner once their
+    frames are unreachable."""
+    for df in t.get("_cached", []):
+        try:
+            df.unpersist()
+        except Exception:
+            pass
 
 
 def _build_dims(assembled: DataFrame):
@@ -461,12 +504,11 @@ def _strip_order(arr_col: str):
 
 
 def _stage_rank_col():
-    return (
-        F.when(F.col("entity_type") == "node", F.lit(0))
-        .when(F.col("entity_type") == "way", F.lit(1))
-        .otherwise(F.lit(2))
-        .cast("int")
-    )
+    """entity_type -> STAGE_RANK as a column (single source of truth)."""
+    c = F.lit(STAGE_RANK["relation"])
+    for etype, rank in sorted(STAGE_RANK.items(), key=lambda kv: -kv[1])[1:]:
+        c = F.when(F.col("entity_type") == etype, F.lit(rank)).otherwise(c)
+    return c.cast("int")
 
 
 def reconstruct_spans(t: dict[str, DataFrame]) -> DataFrame:

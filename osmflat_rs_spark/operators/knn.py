@@ -31,7 +31,14 @@ from osmflat_rs_spark.functions.geo import COORD_SCALE
 @F.pandas_udf(T.DoubleType())
 def haversine_np_udf(lat1: pd.Series, lon1: pd.Series, lat2: pd.Series, lon2: pd.Series) -> pd.Series:
     """NumPy haversine over fixed-point int columns — same formula order as
-    oracle.haversine_np so ranking ties are bit-exact cross-checks."""
+    oracle.haversine_np so ranking ties are bit-exact cross-checks.
+
+    DELIBERATELY duplicated from oracle.haversine_np rather than calling
+    it: the pandas oracle is the independent model implementation the
+    engine is tested AGAINST — sharing the kernel would make that
+    comparison tautological. Divergence is guarded by the engine-vs-model
+    equality tests (tests/test_spatial.py) and the DuckDB SQL haversine
+    gate (road_length_users)."""
     import numpy as np
 
     from osmflat_rs_spark.functions.geo import COORD_SCALE as S
@@ -224,7 +231,7 @@ def knn_join(
     k: int = 5,
     res: int = 14,
     init_radius_m: float = 500.0,
-    max_rounds: int = 12,
+    max_rounds: int = 20,
 ) -> DataFrame:
     """→ DataFrame(query_id, rank, node_idx, dist_m), rank 1..k by
     (dist, node_idx) — exact kNN, tie-broken deterministically.
@@ -244,46 +251,70 @@ def knn_join(
     ).withColumn("cell", cells.cell_id_expr(F.col("lat"), F.col("lon"), res))
     pts = pts.persist()
 
+    # once the search radius covers the whole globe, the candidate set IS
+    # the corpus: accept whatever exists (possibly < k rows — a corpus
+    # with fewer than k points has a well-defined answer, and no larger
+    # radius can add candidates). Without this, sparse/remote workloads
+    # ran all rounds then raised, with a cover that quadruples per
+    # doubling (driver-side blowup), and defaults capped the reach at
+    # 500*2^11 ≈ 1,024 km — far short of the ~20,015 km antipodal max.
+    GLOBE_M = 20_100_000.0
+
     pending = queries.copy()
     radius = {qid: init_radius_m for qid in pending["query_id"]}
     settled_parts: list[pd.DataFrame] = []
 
-    for _ in range(max_rounds):
-        if pending.empty:
-            break
-        cover_rows = []
-        for q in pending.itertuples():
-            for c in cells.disk_cover(int(q.lat), int(q.lon), radius[q.query_id], res):
-                cover_rows.append((q.query_id, int(q.lat), int(q.lon), int(c)))
-        cover = spark.createDataFrame(
-            pd.DataFrame(cover_rows, columns=["query_id", "q_lat", "q_lon", "cell"]),
-            schema="query_id string, q_lat long, q_lon long, cell long",
-        )
-        cand = pts.join(F.broadcast(cover), "cell").withColumn(
-            "dist_m", haversine_np_udf("q_lat", "q_lon", "lat", "lon")
-        )
-        w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col("node_idx").asc())
-        topk = (
-            cand.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "rank", "node_idx", "dist_m")
-        )
-        pdf = topk.toPandas()
-        # settled: k results and kth dist within the guaranteed radius
-        kth = pdf.groupby("query_id").agg(n=("rank", "size"), kd=("dist_m", "max"))
-        done = set(
-            qid for qid, row in kth.iterrows() if row["n"] >= k and row["kd"] <= radius[qid]
-        )
-        if not pdf.empty and done:
-            settled_parts.append(pdf[pdf["query_id"].isin(done)])
-        pending = pending[~pending["query_id"].isin(done)]
-        for qid in pending["query_id"]:
-            radius[qid] *= 2.0
-    else:
-        if not pending.empty:
-            raise RuntimeError(f"knn did not settle for queries: {list(pending['query_id'])}")
-
-    pts.unpersist()
+    try:
+        for _ in range(max_rounds):
+            if pending.empty:
+                break
+            # per-round EFFECTIVE resolution sized to the largest pending
+            # radius: disk_cover at fixed res grows quadratically with the
+            # radius (a globe-radius bbox at res 14 is 2^28 cells — driver
+            # OOM). Coarsening keeps every cover ≈ ≤4k cells; points join on
+            # their Morton ANCESTOR cell (pure shiftright), so the cover is
+            # still an exact superset and settledness stays sound.
+            max_r = max(radius[qid] for qid in pending["query_id"])
+            span = 2 * int(max_r / 111_320.0 * COORD_SCALE) + 1
+            eff_res = min(res, cells.pick_cover_res(span, span, target_cells=4096))
+            cover_rows = []
+            for q in pending.itertuples():
+                for c in cells.disk_cover(int(q.lat), int(q.lon), radius[q.query_id], eff_res):
+                    cover_rows.append((q.query_id, int(q.lat), int(q.lon), int(c)))
+            cover = spark.createDataFrame(
+                pd.DataFrame(cover_rows, columns=["query_id", "q_lat", "q_lon", "jcell"]),
+                schema="query_id string, q_lat long, q_lon long, jcell long",
+            )
+            jcell = F.shiftright(F.col("cell"), 2 * (res - eff_res)) if eff_res < res else F.col("cell")
+            cand = (
+                pts.withColumn("jcell", jcell)
+                .join(F.broadcast(cover), "jcell")
+                .withColumn("dist_m", haversine_np_udf("q_lat", "q_lon", "lat", "lon"))
+            )
+            w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col("node_idx").asc())
+            topk = (
+                cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "rank", "node_idx", "dist_m")
+            )
+            pdf = topk.toPandas()
+            # settled: k results with kth dist within the guaranteed radius,
+            # OR the radius already covered the entire globe
+            kth = pdf.groupby("query_id").agg(n=("rank", "size"), kd=("dist_m", "max"))
+            done = set(
+                qid for qid, row in kth.iterrows() if row["n"] >= k and row["kd"] <= radius[qid]
+            )
+            done |= {qid for qid in pending["query_id"] if radius[qid] >= GLOBE_M}
+            if not pdf.empty and done:
+                settled_parts.append(pdf[pdf["query_id"].isin(done)])
+            pending = pending[~pending["query_id"].isin(done)]
+            for qid in pending["query_id"]:
+                radius[qid] = min(radius[qid] * 2.0, GLOBE_M)
+        else:
+            if not pending.empty:
+                raise RuntimeError(f"knn did not settle for queries: {list(pending['query_id'])}")
+    finally:
+        pts.unpersist()
     out = (
         pd.concat(settled_parts, ignore_index=True)
         if settled_parts

@@ -303,3 +303,32 @@ def test_supercover_equals_exact_rational_oracle(x0, y0, dx, dy, res):
                     f"exact oracle says cell ({ix},{iy}) touches segment "
                     f"({x0},{y0})-({x1},{y1}) at res {res} but supercover missed it"
                 )
+
+
+def test_cell_representative_point_reencodes_exactly():
+    """The cover classification tests a representative integer point per
+    cell — it must re-encode to that cell at EVERY res including
+    MAX_RES=30, where lat cells are only ~1.68 fixed units wide (the old
+    midpoint formula fell into the neighboring row for ~16% of rows)."""
+    import random
+
+    from osmflat_rs_spark.functions.cells import (
+        MAX_RES,
+        _LAT_OFF,
+        _LAT_SPAN,
+        _LON_OFF,
+        _LON_SPAN,
+        _cell_center,
+    )
+
+    rng = random.Random(7)
+
+    def encode(p, off, span, res):
+        return ((p + off) * (1 << res)) // span
+
+    for res in (0, 5, 14, 29, MAX_RES):
+        n = 1 << res
+        for off, span in ((_LAT_OFF, _LAT_SPAN), (_LON_OFF, _LON_SPAN)):
+            for _ in range(20000):
+                i = rng.randrange(n)
+                assert encode(_cell_center(i, off, span, res), off, span, res) == i
