@@ -182,3 +182,26 @@ def test_knn_bulk_construction_is_lazy(tables, spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "EmptyRelation" in plan, "settled run must collapse the fallback branch"
+
+
+def test_pip_join_micro_polygon_max_res(spark):
+    """A ~100-fixed-unit polygon forces pick_cover_res to clamp at
+    MAX_RES=30, where lat cells are ~1.68 units wide — the regime where
+    the old cell 'center' fell into the neighboring row for ~16% of rows
+    and the cover classification tested a point outside the cell
+    (dropped contained points / wrong interior marks). Engine must match
+    the exact scalar oracle point-for-point."""
+    from osmflat_rs_spark.operators.spatial_join import pip_join
+    from osmflat_rs_spark.oracle import pip_scalar
+
+    cx, cy = 132000000, 524000000
+    ring = [(cx - 60, cy - 50), (cx + 55, cy - 45), (cx + 50, cy + 60), (cx - 45, cy + 52)]
+    polys = spark.createDataFrame(
+        [("micro", [(la, lo) for lo, la in ring], "t")],
+        schema="polygon_id string, ring array<struct<lat:long,lon:long>>, kind string",
+    )
+    pts_rows = [(i, cy - 80 + (i % 41) * 4, cx - 80 + (i // 41) * 4) for i in range(41 * 41)]
+    pts = spark.createDataFrame(pts_rows, schema="node_idx long, lat long, lon long")
+    got = {r["node_idx"] for r in pip_join(pts, polys).collect()}
+    want = {i for i, la, lo in pts_rows if pip_scalar(lo, la, ring)}
+    assert got == want and len(want) > 0
