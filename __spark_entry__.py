@@ -638,8 +638,8 @@ _MD5I = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 def _words_cte() -> str:
     return (
         "words AS (SELECT doc_id, "
-        "generate_subscripts(regexp_split_to_array(lower(text), '\\s+'), 1) - 1 AS pos, "
-        "unnest(regexp_split_to_array(lower(text), '\\s+')) AS w FROM documents)"
+        "generate_subscripts(regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+'), 1) - 1 AS pos, "
+        "unnest(regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS w FROM documents)"
     )
 
 
@@ -674,7 +674,7 @@ def _minhash_sql(threshold: float = 0.5) -> str:
     return f"""
 WITH {_words_cte()},
 base AS (SELECT doc_id, lower(text) AS ltext,
-                regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents),
+                regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws FROM documents),
 sh AS (SELECT doc_id AS _id,
               unnest(CASE WHEN len(ws) >= 3
                      THEN list_transform(generate_series(0, len(ws) - 3),
@@ -806,7 +806,7 @@ def _stream_neardup_sql(threshold: float = 0.5) -> str:
     )
     return f"""
 WITH base AS (SELECT CAST(doc_id AS VARCHAR) AS _id, lower(text) AS ltext,
-                     regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents),
+                     regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws FROM documents),
 sh AS (SELECT _id,
               unnest(CASE WHEN len(ws) >= 3
                      THEN list_transform(generate_series(0, len(ws) - 3),
@@ -1030,7 +1030,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp FROM documents"
         ),
         "string_offsets_docs": r"""
-            WITH ws AS (SELECT DISTINCT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+            WITH ws AS (SELECT DISTINCT unnest(regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS w
                         FROM documents)
             SELECT w, CAST(SUM(length(w) + 1) OVER (ORDER BY w ROWS UNBOUNDED PRECEDING)
                       - (length(w) + 1) AS BIGINT) AS offset
@@ -1038,7 +1038,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "winnow_fingerprint_docs": """
             WITH base AS (SELECT doc_id, lower(text) AS ltext,
-                                 regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents),
+                                 regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws FROM documents),
             sh AS (SELECT doc_id,
                           CASE WHEN len(ws) >= 3
                                THEN list_transform(generate_series(0, len(ws) - 3),
@@ -1057,12 +1057,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, unnest(f) AS fp FROM fps
         """,
         "token_count_docs": """
-            SELECT doc_id, len(regexp_split_to_array(lower(text), '\\s+')) AS n_ws_tokens,
+            SELECT doc_id, len(regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS n_ws_tokens,
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpeish
             FROM documents
         """,
         "lang_id_docs": f"""
-            WITH base AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents),
+            WITH base AS (SELECT doc_id, regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws FROM documents),
             r AS (SELECT doc_id, len(ws) AS n_words,
                          CAST(len(list_filter(ws, w -> w IN ({sw_en}))) AS DOUBLE) / len(ws) AS en_ratio,
                          CAST(len(list_filter(ws, w -> w IN ({sw_de}))) AS DOUBLE) / len(ws) AS de_ratio,
@@ -1076,7 +1076,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quality_docs": """
             WITH base AS (SELECT doc_id, length(text) AS n_chars,
-                                 regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents)
+                                 regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws FROM documents)
             SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, len(ws) AS n_words,
                    CAST(list_aggregate(list_transform(ws, w -> length(w)), 'sum') AS DOUBLE) / len(ws) AS avg_word_len,
                    CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS distinct_ratio
@@ -1086,7 +1086,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_neardup_docs": _stream_neardup_sql(0.5),
         "ngram_jaccard_docs": """
             WITH wset AS (SELECT DISTINCT doc_id, source,
-                                 unnest(regexp_split_to_array(lower(text), '\\s+')) AS w FROM documents),
+                                 unnest(regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS w FROM documents),
             sizes AS (SELECT doc_id, source, COUNT(*) AS n FROM wset GROUP BY 1, 2),
             pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb
                       FROM sizes a JOIN sizes b ON a.source = b.source AND a.doc_id < b.doc_id),

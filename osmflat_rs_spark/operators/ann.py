@@ -24,13 +24,15 @@ def _dot(a, b):
 
 
 def _with_cosine(joined: DataFrame) -> DataFrame:
+    # denominator guarded: a zero-norm vector (common padding/failure
+    # artifact) would DIVIDE_BY_ZERO under Spark 4's default ANSI mode
+    # and abort the whole job; cosine vs the zero vector is undefined, so
+    # such pairs score NULL and never rank (windows put NULLs last in
+    # DESC order; threshold filters drop them)
+    denom = F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
     return joined.withColumn(
         "cosine",
-        _dot(F.col("va"), F.col("vb"))
-        / (
-            F.sqrt(_dot(F.col("va"), F.col("va")))
-            * F.sqrt(_dot(F.col("vb"), F.col("vb")))
-        ),
+        F.when(denom > 0, _dot(F.col("va"), F.col("vb")) / denom),
     )
 
 
@@ -63,27 +65,28 @@ def cosine_topk(
 
 def _srp_buckets(vec_col, n_planes: int, n_tables: int, dim: int):
     """SRP bucket ids: hyperplane t,p has deterministic ±1 weights
-    w[d] = sign(md5_int(t,p,d)); bucket bit = 1 iff Σ w[d]·v[d] > 0."""
-    from osmflat_rs_spark.operators.dedup import md5_int60
+    w[d] = sign(md5_int(t,p,d)); bucket bit = 1 iff Σ w[d]·v[d] > 0.
+
+    The ±1 weights depend only on (t, p, d), so they are PRECOMPUTED
+    driver-side (same md5 low bit the in-plan form derived) and embedded
+    as array literals — the previous per-row derivation evaluated
+    n_tables·n_planes·dim (=3072 at defaults) md5 digests of constant
+    strings PER CORPUS ROW because the lambda-bound index defeated
+    constant folding (r3 review; bit-identical output, asserted by the
+    unchanged recall gates/tests)."""
+    import hashlib
+
+    def _sign(t: int, p: int, d: int) -> float:
+        h = int(hashlib.md5(f"{t}:{p}:{d}".encode()).hexdigest()[:15], 16)
+        return 1.0 if (h & 1) == 1 else -1.0
 
     buckets = []
     for t in range(n_tables):
         acc = F.lit(0).cast("long")
         for p in range(n_planes):
+            weights = F.array(*[F.lit(_sign(t, p, d)) for d in range(dim)])
             proj = F.aggregate(
-                F.zip_with(
-                    vec_col,
-                    F.transform(
-                        F.sequence(F.lit(0), F.lit(dim - 1)),
-                        lambda d: F.when(
-                            md5_int60(F.concat_ws(":", F.lit(t), F.lit(p), d.cast("string")))
-                            .bitwiseAND(F.lit(1))
-                            == 1,
-                            F.lit(1.0),
-                        ).otherwise(F.lit(-1.0)),
-                    ),
-                    lambda x, w_: x * w_,
-                ),
+                F.zip_with(vec_col, weights, lambda x, w_: x * w_),
                 F.lit(0.0),
                 lambda s, x: s + x,
             )

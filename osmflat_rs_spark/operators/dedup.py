@@ -28,8 +28,18 @@ def md5_int60(col) -> "F.Column":
 
 
 def words_expr(text_col) -> "F.Column":
-    """Lowercased whitespace tokenization (regexp_split_to_array analog)."""
-    return F.split(F.lower(text_col), r"\s+")
+    r"""Lowercased whitespace tokenization (regexp_split_to_array analog).
+
+    Edge whitespace is stripped BEFORE the split: ``split`` on ``\s+``
+    yields '' tokens at padded string edges, which counted phantom words
+    (n_words, every ratio denominator) and deflated jaccard for
+    whitespace-padded near-dups (' hello world' vs 'hello world' scored
+    0.667, r3 review). regexp_replace + split stays whole-stage-codegen
+    (an F.filter HOF would be evaluated interpreted, the r3 MinHash
+    lesson); empty/whitespace-only text still yields [''] — same as
+    before, so no size()==0 division cliffs appear. The DuckDB oracles
+    mirror the identical strip (same positions, same sets)."""
+    return F.split(F.regexp_replace(F.lower(text_col), r"^\s+|\s+$", ""), r"\s+")
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -120,6 +130,13 @@ def lsh_candidate_pairs(sigs: DataFrame, n_hashes: int = 8, n_bands: int = 4) ->
     old union-of-n_bands-selects shape evaluated the signature subplan
     once per band — measured 2x wall-clock on the 200k-doc dedup bench)."""
     rows_per_band = n_hashes // n_bands
+    if rows_per_band * n_bands != n_hashes:
+        # reject instead of silently ignoring the trailing components:
+        # sig_{b*r} slicing below would use only the first r*n_bands
+        # signatures, making the documented recall curve wrong and the
+        # batch pipeline diverge from stream_neardup_candidates (which
+        # raises for the same inputs)
+        raise ValueError("n_bands must divide n_hashes")
     bands = F.array(
         *[
             F.struct(
@@ -341,8 +358,15 @@ def embedding_cosine_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cosine",
-            F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
-            / (F.col("na") * F.col("nb")),
+            # zero-norm guard: one all-zero embedding in a bucket would
+            # ANSI-DIVIDE_BY_ZERO the whole dedup job; cosine is
+            # undefined there and such rows can never be near-dups, so
+            # they score NULL and fall out at the threshold filter
+            F.when(
+                (F.col("na") > 0) & (F.col("nb") > 0),
+                F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+                / (F.col("na") * F.col("nb")),
+            ),
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

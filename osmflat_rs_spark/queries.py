@@ -49,7 +49,10 @@ def cities(t: dict[str, DataFrame]) -> DataFrame:
         .filter(_exists_tag("place", "city"))
         .select(
             _find_tag("name").alias("name"),
-            F.when(pop.rlike("^[0-9]+$"), pop.cast("long")).alias("population"),
+            # try_cast, not cast: a >19-digit population passes the
+            # digits regex but overflows long — ANSI cast would abort the
+            # job; try_cast yields NULL = the reference's parse-skip
+            F.when(pop.rlike("^[0-9]+$"), pop.try_cast("long")).alias("population"),
         )
         .filter(F.col("name").isNotNull() & F.col("population").isNotNull())
     )
@@ -267,7 +270,7 @@ def classify(t: dict[str, DataFrame]) -> DataFrame:
     way_width = F.when(
         (pos_w > 0) & ((pos_h == 0) | (pos_w < pos_h)),
         F.when(width_tag.isNull(), F.lit(1)).otherwise(
-            F.when(width_tag.rlike("^[0-9]+$"), width_tag.cast("long"))
+            F.when(width_tag.rlike("^[0-9]+$"), width_tag.try_cast("long"))
         ),
     )
     ways = (
@@ -369,6 +372,11 @@ def debug_dump(t: dict[str, DataFrame], types: str = "nwr", num: int | None = No
                     F.lit("], members=["), mem_str, F.lit("]}"),
                 ).alias("text"),
             )
+        )
+    if not parts:
+        raise ValueError(
+            f"debug_dump: types={types!r} selects no entity kind — use a "
+            f"string containing any of 'n' (nodes), 'w' (ways), 'r' (relations)"
         )
     out = parts[0]
     for p in parts[1:]:

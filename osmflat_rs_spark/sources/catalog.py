@@ -104,18 +104,36 @@ class SnapshotCatalog:
             df = df.repartitionByRange(n, *order_by).sortWithinPartitions(*order_by)
         df.write.mode("overwrite").parquet(ddir)
 
-        # per-partition lineage: partition id → row count of what we wrote
+        # per-partition lineage: partition id → row count of what we wrote.
+        # ONE scan serves both the lineage rows and the manifest total —
+        # the counts are collected (bounded: #partitions rows), written as
+        # the lineage table, and summed for n_rows; a second full read of
+        # the snapshot just to count() would triple append I/O at scale.
         written = self.spark.read.parquet(ddir)
-        part_counts = (
+        rows = (
             written.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count("*").alias("n_rows"))
-            .withColumn("table", F.lit(table))
-            .withColumn("snapshot_id", F.lit(snap))
-            .withColumn("job", F.lit(job))
+            .collect()
+        )
+        import pandas as pd
+
+        part_counts = self.spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "partition_id": [r["partition_id"] for r in rows],
+                    "n_rows": [r["n_rows"] for r in rows],
+                    "table": table,
+                    "snapshot_id": snap,
+                    "job": job,
+                }
+            )
+            if rows
+            else pd.DataFrame(columns=["partition_id", "n_rows", "table", "snapshot_id", "job"]),
+            schema="partition_id int, n_rows long, table string, snapshot_id string, job string",
         )
         ldir = os.path.join(self.warehouse, "_meta", "lineage", f"{table}-{snap}")
         part_counts.write.mode("overwrite").parquet(ldir)
-        n_rows = written.count()
+        n_rows = int(sum(r["n_rows"] for r in rows))
 
         manifest = {
             "snapshot_id": snap,
@@ -178,9 +196,15 @@ class SnapshotCatalog:
             return {}
 
     # ---------------------------------------------------------------- lineage
-    def lineage(self) -> DataFrame:
+    def lineage(self, table: str | None = None) -> DataFrame:
+        """Per-partition lineage rows; optional ``table`` filter so the
+        signature matches IcebergCatalog.lineage(table) — make_catalog's
+        'callers never branch' contract requires both backends to accept
+        the same call shapes (IcebergCatalog requires the argument; pass
+        it when writing backend-agnostic code)."""
         ldir = os.path.join(self.warehouse, "_meta", "lineage")
-        return self.spark.read.parquet(os.path.join(ldir, "*"))
+        df = self.spark.read.parquet(os.path.join(ldir, "*"))
+        return df.filter(F.col("table") == table) if table is not None else df
 
     # ------------------------------------------------------------- maintenance
     def compact(

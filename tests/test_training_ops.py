@@ -379,3 +379,23 @@ def test_resize_images_pixel_exact(spark):
     fake2 = {r["media_ref"]: bytes(r["pixels"]) for r in multimodal.resize_images(
         multimodal.synthesize_media(refs), 8, 8, fake=True).collect()}
     assert fake1 == fake2 and all(len(v) == 64 for v in fake1.values())
+
+
+def test_whitespace_padded_near_dups_score_full_jaccard(spark):
+    """split on \\s+ yields '' tokens at padded string edges — they used
+    to count as phantom words (deflating jaccard to 0.667 for a
+    whitespace-padded exact dup) and inflate n_ws_tokens."""
+    from osmflat_rs_spark.operators.textops import token_count
+
+    docs = spark.createDataFrame(
+        [(1, "  hello world"), (2, "hello world  "), (3, "hello world")],
+        schema="doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], schema="id_a long, id_b long")
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_for_pairs(docs, pairs, "doc_id", "text").collect()
+    }
+    assert all(abs(v - 1.0) < 1e-12 for v in out.values()), out
+    counts = {r["doc_id"]: r["n_ws_tokens"] for r in token_count(docs, "doc_id", "text").collect()}
+    assert counts == {1: 2, 2: 2, 3: 2}
