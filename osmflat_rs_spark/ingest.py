@@ -188,10 +188,13 @@ def ingest(
     from osmflat_rs_spark.plans.indexing import assign_dense_index_by_group, audit_dense_index
 
     if strict_kinds:
-        # one cheap distinct-agg job: an unknown span kind has nowhere to
-        # live in the entity tables, so the lossless roundtrip would break
-        # SILENTLY (the span_layout elem_pos join only covers SPAN_KINDS).
-        # Opt out only when the schema is enforced upstream.
+        # cheap validation jobs: an unknown span kind, a doc without a
+        # header span, or an unknown entity type has nowhere to live in
+        # the entity tables, so the lossless roundtrip would break
+        # SILENTLY (span_layout's elem_pos join covers SPAN_KINDS only;
+        # entity staging filters on node/way/relation; the group indexer
+        # rejects NULL entity types with a generic error). Opt out only
+        # when the schema is enforced upstream.
         bad = [
             r["kind"]
             for r in docs.select(F.explode("spans").alias("s"))
@@ -205,6 +208,24 @@ def ingest(
                 f"ingest: unrecognized span kind(s) {sorted(bad)} — the carrier "
                 f"tables represent only {list(SPAN_KINDS)}; fix the input or "
                 f"pass strict_kinds=False to accept silent loss"
+            )
+        bad_types = [
+            r["entity_type"]
+            for r in _keyed(docs)
+            .select("entity_type")
+            .filter(
+                F.col("entity_type").isNull()
+                | ~F.col("entity_type").isin("node", "way", "relation")
+            )
+            .distinct()
+            .collect()
+        ]
+        if bad_types:
+            pretty = sorted("<no header span>" if t is None else t for t in bad_types)
+            raise ValueError(
+                f"ingest: document(s) with unusable entity type(s) {pretty} — every "
+                f"doc needs a header span 'node|way|relation <osm_id>'; fix the "
+                f"input or pass strict_kinds=False to accept silent loss"
             )
 
     # ONE range shuffle assigns all three per-type dense indices (grouped

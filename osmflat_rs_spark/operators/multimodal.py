@@ -39,7 +39,9 @@ def synthesize_media(df: DataFrame, media_ref_col: str = "media_ref") -> DataFra
     ref = F.col(media_ref_col)
     return df.select(
         ref.alias("media_ref"),
-        F.element_at(F.split(ref, "/"), 3).alias("media_type"),
+        # try_element_at: under default ANSI a ref with <3 '/'-parts
+        # would throw INVALID_ARRAY_INDEX instead of yielding NULL
+        F.try_element_at(F.split(ref, "/"), F.lit(3)).alias("media_type"),
         (F.pmod(F.xxhash64(ref), F.lit(512)) + 16).cast("int").alias("width"),
         (F.pmod(F.xxhash64(ref, F.lit(1)), F.lit(512)) + 16).cast("int").alias("height"),
         F.to_binary(F.md5(ref), F.lit("hex")).alias("payload"),
@@ -63,6 +65,12 @@ def _parse_pnm(payload: bytes) -> np.ndarray:
     while len(tokens) < 4:
         while i < len(payload) and payload[i : i + 1].isspace():
             i += 1
+        if i >= len(payload):
+            # a truncated header used to loop appending b'' tokens and
+            # surface as a cryptic int(b'') ValueError deep in an executor
+            raise ValueError(
+                f"truncated PNM header: {len(tokens)} of 4 tokens before end of payload"
+            )
         if payload[i : i + 1] == b"#":
             while i < len(payload) and payload[i] != 0x0A:
                 i += 1
@@ -76,6 +84,11 @@ def _parse_pnm(payload: bytes) -> np.ndarray:
     magic, w, h, maxval = tokens[0], int(tokens[1]), int(tokens[2]), int(tokens[3])
     if maxval > 255:
         raise NotImplementedError("16-bit PNM not supported by the built-in decoder")
+    need = w * h * (3 if magic == b"P6" else 1)
+    if len(payload) - i < need:
+        raise ValueError(
+            f"truncated PNM pixel data: header promises {need} bytes, {len(payload) - i} present"
+        )
     if magic == b"P5":
         return np.frombuffer(payload, np.uint8, count=w * h, offset=i).reshape(h, w).copy()
     if magic == b"P6":

@@ -43,13 +43,26 @@ def delta_decode_blocks(
     ``delta_decode_keyed`` window variant remains for the general case).
 
     Ordering inside a block follows ``order_cols`` (stable sort), so
-    results are deterministic and equal to the keyed-window form."""
-    schema = df.schema
+    results are deterministic and equal to the keyed-window form — the
+    delta columns are WIDENED TO LONG exactly like the window ``SUM``
+    (an int32 delta stream whose running sum exceeds int32 used to crash
+    the Arrow conversion while the keyed form returned the long sum), and
+    NULL deltas contribute 0 so the running value carries forward at the
+    null row, matching ``SUM OVER``'s null-skipping (the pandas cumsum
+    default would poison the rest of the block with NaN)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(f.name, T.LongType() if f.name in delta_cols else f.dataType, f.nullable)
+            for f in df.schema.fields
+        ]
+    )
 
     def decode(pdf):
         pdf = pdf.sort_values(order_cols, kind="mergesort")
         for c in delta_cols:
-            pdf[c] = pdf[c].cumsum()
+            pdf[c] = pdf[c].fillna(0).astype("int64").cumsum()
         return pdf
 
     return df.groupBy(block_col).applyInPandas(decode, schema=schema)
@@ -57,12 +70,16 @@ def delta_decode_blocks(
 
 def consecutive_pairs(df: DataFrame, key_cols: list[str], order_col: str, cols: list[str]) -> DataFrame:
     """zip(xs, xs.skip(1)) — lead() per column, last row dropped (W3,
-    road-length.rs:80 tuple_windows)."""
+    road-length.rs:80 tuple_windows). Next-row existence is tested on
+    the (non-null by contract) ORDER column, not a value column — a
+    NULL value in the next row is a legitimate pair member, not a
+    sequence end (filtering on lead(value) silently dropped such
+    pairs)."""
     w = Window.partitionBy(*key_cols).orderBy(order_col)
-    out = df
+    out = df.withColumn("_has_next", F.lead(order_col).over(w).isNotNull())
     for c in cols:
         out = out.withColumn(f"{c}_next", F.lead(c).over(w))
-    return out.filter(F.col(f"{cols[0]}_next").isNotNull())
+    return out.filter(F.col("_has_next")).drop("_has_next")
 
 
 def gcd_reduce(df: DataFrame, col: str) -> int:

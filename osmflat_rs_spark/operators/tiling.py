@@ -140,17 +140,22 @@ def raster_assign(
     min_lat, max_lat, min_lon, max_lon = (int(v) for v in bbox)
     lat_span = max(1, max_lat - min_lat)
     lon_span = max(1, max_lon - min_lon)
-    px = ((F.col("lon") - F.lit(min_lon)) * F.lit(RASTER_W - 1) / F.lit(lon_span)).cast("long")
-    py = F.lit(RASTER_H - 1) - ((F.col("lat") - F.lit(min_lat)) * F.lit(RASTER_H - 1) / F.lit(lat_span)).cast(
-        "long"
-    )
+    # floor, not cast: cast('long') truncates toward ZERO, so a
+    # coordinate below the bbox minimum mapped to pixel -1 where the
+    # model oracle's floor-division gives -2 (and a just-below-min coord
+    # landed IN-bounds at 0) — engine and oracle must agree on any bbox,
+    # not only bboxes derived from the plotted coordinate set
+    px = F.floor((F.col("lon") - F.lit(min_lon)) * F.lit(RASTER_W - 1) / F.lit(lon_span)).cast("long")
+    py = F.lit(RASTER_H - 1) - F.floor(
+        (F.col("lat") - F.lit(min_lat)) * F.lit(RASTER_H - 1) / F.lit(lat_span)
+    ).cast("long")
     # NOTE: (a*b)/c on longs in Spark yields double — exact here because
     # |a*b| < 2^53; for planet-scale rasters switch to expr("a*b div c").
     pix = road_coords.select(
         "way_idx",
         "pos",
-        F.floor(px).cast("long").alias("gx"),
-        F.floor(py).cast("long").alias("gy"),
+        px.alias("gx"),
+        py.alias("gy"),
     )
     seg = _segments(pix, "way_idx", fanout_partitions).withColumnRenamed("gx", "x0").withColumnRenamed("gy", "y0")
     return (
@@ -235,11 +240,18 @@ def tile_assign(
     grid between consecutive vertex tiles).
 
     ``jvm_tiles=False`` (default) computes tile coords with the NumPy
-    pandas UDF — bit-identical to the model oracle (the golden path).
+    pandas UDF — bit-identical to the model oracle (the golden path);
+    this path supports only ``zoom=TILE_ZOOM`` (the zoom is compiled
+    into the vectorized UDF) and raises ValueError otherwise, while the
+    jvm_tiles path is fully zoom-parameterized.
     ``jvm_tiles=True`` uses the pure column-expression form (geo.py) —
     zero Python, preferred at scale; may differ from the NumPy kernel
     only when trig lands within 1 ulp of a tile boundary."""
-    assert zoom == TILE_ZOOM, "zoom is compiled into the vectorized UDF"
+    if not jvm_tiles and zoom != TILE_ZOOM:
+        raise ValueError(
+            f"tile_assign(jvm_tiles=False) supports only zoom={TILE_ZOOM} "
+            f"(compiled into the vectorized UDF); pass jvm_tiles=True for zoom={zoom}"
+        )
     if jvm_tiles:
         from osmflat_rs_spark.functions.geo import mercator_tile_x, mercator_tile_y, to_degrees
 

@@ -11,6 +11,7 @@ independent scalar crossing test, the engine's is vectorized NumPy).
 from __future__ import annotations
 
 import math
+import re
 
 import numpy as np
 import pandas as pd
@@ -234,7 +235,15 @@ def _find_tag(tags: list[tuple[str, str]], k: str):
 
 
 def _parse_usize(s):
-    return int(s) if s is not None and s.isdigit() and s != "" else None
+    """Mirror of the ENGINE's guard (queries.py): ASCII-digits regex +
+    64-bit range. str.isdigit() accepted superscript/fullwidth digits
+    (then int() crashed on '²'), and an unbounded int() diverged from the
+    engine's try_cast('long') NULL on >2^63-1 (the reference's
+    usize::parse overflow-skip)."""
+    if s is None or not re.fullmatch(r"[0-9]+", s):
+        return None
+    v = int(s)
+    return v if v <= 0x7FFFFFFFFFFFFFFF else None
 
 
 def q_counts(m: dict) -> pd.DataFrame:

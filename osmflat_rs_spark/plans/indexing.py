@@ -28,6 +28,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
 from pyspark.storagelevel import StorageLevel
 
 _LOCAL_MASK = (1 << 33) - 1
@@ -180,10 +181,28 @@ def assign_dense_index_by_group(
         .withColumn("_local", F.monotonically_increasing_id().bitwiseAND(F.lit(_LOCAL_MASK)))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if not isinstance(df.schema[group_col].dataType, StringType):
+        # the off_df schema and the driver-side ordering below assume a
+        # STRING group key (str() sort must match the range partitioner's
+        # order — '10' < '2' under str but not under int); widen here
+        # explicitly rather than computing scrambled offsets
+        raise TypeError(
+            f"assign_dense_index_by_group requires a string group column; "
+            f"{group_col} is {df.schema[group_col].dataType.simpleString()} — cast it first"
+        )
     counts = [
         (r["_pid"], r[group_col], r["cnt"])
         for r in part.groupBy("_pid", group_col).agg(F.count("*").alias("cnt")).collect()
     ]
+    if any(grp is None for _pid, grp, _cnt in counts):
+        # the USING join below never matches NULL keys, so null-group
+        # rows would vanish from the indexed output with no error (in
+        # ingest: a doc with no parseable header span)
+        part.unpersist()
+        raise ValueError(
+            f"assign_dense_index_by_group: NULL values in group column {group_col!r} "
+            f"({sum(c for p_, g, c in counts if g is None)} rows) — filter or label them first"
+        )
     # group's global offset = Σ counts of same group in earlier partitions
     # (range pids ascend with the sort order); group's local start in pid =
     # Σ counts of earlier groups in the same pid (groups are contiguous in
