@@ -399,3 +399,34 @@ def test_whitespace_padded_near_dups_score_full_jaccard(spark):
     assert all(abs(v - 1.0) < 1e-12 for v in out.values()), out
     counts = {r["doc_id"]: r["n_ws_tokens"] for r in token_count(docs, "doc_id", "text").collect()}
     assert counts == {1: 2, 2: 2, 3: 2}
+
+
+def test_words_expr_matches_python_reference_on_random_text(spark):
+    """Randomized cross-validation of the tokenizer contract: engine
+    words_expr == python re-based reference (lower, strip edges, split
+    on \\s+) over 200 seeded random strings mixing words, tabs,
+    newlines, unicode and edge padding — the exact surface the oracle
+    SQL mirrors."""
+    import random
+    import re as _re
+
+    rng = random.Random(99)
+    pieces = ["Hello", "WORLD", "añejo", "x1", "", " ", "\t", "\n", "  ", "zz"]
+    texts = []
+    for _ in range(200):
+        texts.append("".join(rng.choice(pieces) for _ in range(rng.randint(1, 12))) or "a")
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], schema="i int, text string")
+    got = {
+        r["i"]: list(r["ws"])
+        for r in df.select("i", dedup.words_expr(F.col("text")).alias("ws")).collect()
+    }
+
+    def ref(t):
+        stripped = _re.sub(r"^\s+|\s+$", "", t.lower())
+        return stripped.split() if stripped else [""] if stripped == "" else []
+
+    for i, t in enumerate(texts):
+        stripped = _re.sub(r"^\s+|\s+$", "", t.lower())
+        want = _re.split(r"\s+", stripped)  # [''] for empty, like Spark
+        assert got[i] == want, (t, got[i], want)
