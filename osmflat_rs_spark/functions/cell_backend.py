@@ -86,6 +86,23 @@ class H3Backend(CellBackend):
 
         self._h3 = h3
 
+    @staticmethod
+    def _encode_batch(la, lo, res):
+        """Per-batch H3 encode → int64 cells. Uses the INT-NATIVE h3 API
+        when present (h3.api.basic_int — no per-cell hex-string
+        round-trip); the per-point Python call remains (h3-py exposes no
+        vectorized encoder), so this path is Arrow-batched but NOT
+        codegen-fast — at very large scale prefer the Morton default or a
+        vectorized native binding."""
+        import h3
+
+        try:
+            from h3.api import basic_int  # h3>=4 int-native API
+
+            return [np.int64(np.uint64(basic_int.latlng_to_cell(a, o, res))) for a, o in zip(la, lo)]
+        except ImportError:
+            return [np.int64(np.uint64(int(h3.latlng_to_cell(a, o, res), 16))) for a, o in zip(la, lo)]
+
     def cell_expr(self, lat_fixed, lon_fixed, res):
         import pandas as pd
         from pyspark.sql import functions as F
@@ -93,28 +110,22 @@ class H3Backend(CellBackend):
 
         from osmflat_rs_spark.functions.geo import COORD_SCALE
 
+        encode_batch = H3Backend._encode_batch
+
         @F.pandas_udf(T.LongType())
         def _encode(lat: pd.Series, lon: pd.Series) -> pd.Series:
-            import h3
-
             la = lat.to_numpy(dtype="float64") / COORD_SCALE
             lo = lon.to_numpy(dtype="float64") / COORD_SCALE
-            return pd.Series(
-                [np.int64(np.uint64(int(h3.latlng_to_cell(a, o, res), 16))) for a, o in zip(la, lo)]
-            )
+            return pd.Series(encode_batch(la, lo, res))
 
         return _encode(lat_fixed, lon_fixed)
 
     def cell_np(self, lat_fixed, lon_fixed, res):
         from osmflat_rs_spark.functions.geo import COORD_SCALE
 
-        h3 = self._h3
         la = np.asarray(lat_fixed, dtype=np.float64) / COORD_SCALE
         lo = np.asarray(lon_fixed, dtype=np.float64) / COORD_SCALE
-        return np.array(
-            [np.int64(np.uint64(int(h3.latlng_to_cell(a, o, res), 16))) for a, o in zip(la, lo)],
-            dtype=np.int64,
-        )
+        return np.array(self._encode_batch(la, lo, res), dtype=np.int64)
 
     def polygon_cover_classified(self, xs, ys, res):
         from osmflat_rs_spark.functions.geo import COORD_SCALE
@@ -150,17 +161,24 @@ class RowMajorBackend(CellBackend):
             .bitwiseOR(ix)
         )
 
-    def cell_np(self, lat_fixed, lon_fixed, res):
-        ix, iy = cells.grid_coords_np(lat_fixed, lon_fixed, res)
+    @staticmethod
+    def _id_np(ix, iy, res):
+        """The row-major ID formula, ONE place for both NumPy callers —
+        the backend contract is cover/point agreement, so the point
+        encoder and the cover encoder must never drift (cell_expr is the
+        Column twin of this exact expression)."""
         return ((np.int64(1) << np.int64(2 * res)) | (iy.astype(np.int64) << np.int64(res)) | ix).astype(
             np.int64
         )
 
+    def cell_np(self, lat_fixed, lon_fixed, res):
+        ix, iy = cells.grid_coords_np(lat_fixed, lon_fixed, res)
+        return self._id_np(ix, iy, res)
+
     def polygon_cover_classified(self, xs, ys, res):
         cs, interior = cells.polygon_cover_classified(xs, ys, res)
         ix, iy = cells.cell_to_grid_np(cs, res)
-        ids = (np.int64(1) << np.int64(2 * res)) | (iy.astype(np.int64) << np.int64(res)) | ix
-        return ids.astype(np.int64), interior
+        return self._id_np(ix, iy, res), interior
 
 
 def available_backends() -> list[str]:

@@ -58,7 +58,13 @@ def _spread_bits_expr(x: Column) -> Column:
 
 def _quantize_expr(fixed: Column, offset: int, span: int, res: int) -> Column:
     q = F.floor(((fixed.cast("long") + F.lit(offset)) * F.lit(1 << res)) / F.lit(span)).cast("long")
-    return F.greatest(F.lit(0).cast("long"), F.least(F.lit((1 << res) - 1).cast("long"), q))
+    clamped = F.greatest(F.lit(0).cast("long"), F.least(F.lit((1 << res) - 1).cast("long"), q))
+    # NULL must propagate: Spark's least/greatest SKIP nulls, so a null
+    # coordinate (missing/unparseable coord span) used to clamp to the
+    # max-corner cell — phantom points accumulating in one NE cell that
+    # every downstream spatial join silently included. A null cell now
+    # drops out of cell equi-joins naturally.
+    return F.when(q.isNull(), F.lit(None).cast("long")).otherwise(clamped)
 
 
 def cell_id_expr(lat_fixed: Column, lon_fixed: Column, res: int) -> Column:

@@ -21,6 +21,9 @@ from dataclasses import dataclass, field
 import numpy as np
 
 _CHUNK = 65536
+# max elements in one (ring_vertices x point_chunk) intermediate: 2^22
+# elements ~ 34 MB per int64 array, ~8 live arrays ~ 270 MB per task
+_ELEM_BUDGET = 1 << 22
 
 
 def points_in_polygon(px: np.ndarray, py: np.ndarray, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
@@ -36,8 +39,14 @@ def points_in_polygon(px: np.ndarray, py: np.ndarray, xs: np.ndarray, ys: np.nda
     ys = np.asarray(ys, dtype=np.int64)
     _assert_domain(px, py, xs, ys)
     out = np.zeros(px.shape[0], dtype=bool)
-    for s in range(0, px.shape[0], _CHUNK):
-        out[s : s + _CHUNK] = _pip_chunk(px[s : s + _CHUNK], py[s : s + _CHUNK], xs, ys)
+    # chunk sized so E*chunk stays bounded: the kernel materializes ~8
+    # (E x chunk) int64/bool intermediates, so a fixed 65536-point chunk
+    # against a 100k-vertex ring would need ~52 GB per array (executor
+    # OOM); with the element budget the footprint is constant regardless
+    # of ring size (r3 review)
+    chunk = max(1, min(_CHUNK, _ELEM_BUDGET // max(1, xs.shape[0])))
+    for s in range(0, px.shape[0], chunk):
+        out[s : s + chunk] = _pip_chunk(px[s : s + chunk], py[s : s + chunk], xs, ys)
     return out
 
 

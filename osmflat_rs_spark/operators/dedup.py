@@ -85,6 +85,24 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame
     ).distinct()
 
 
+def minhash_hash32(col, i: int):
+    """The i-th 32-bit MinHash component hash of a shingle Column: one
+    md5 digest yields FOUR independent slices; seeded digests ('1:'||x)
+    extend past 4. SINGLE source of truth — the batch pipeline here and
+    the streaming twin (streaming/incremental.py) must stay bit-identical
+    (the driver oracles assert it), so neither re-derives the scheme."""
+    seed, j = divmod(i, 4)
+    digest = F.md5(col) if seed == 0 else F.md5(F.concat(F.lit(f"{seed}:"), col))
+    return F.conv(F.substring(digest, 1 + 8 * j, 8), 16, 10).cast("long")
+
+
+def band_hash(*sig_cols):
+    """LSH band hash over this band's signature components — shared by
+    the batch banding and the streaming bucket keys (same parity note as
+    minhash_hash32)."""
+    return F.md5(F.concat_ws("_", *[c.cast("string") for c in sig_cols]))
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n_hashes: int = 8, k: int = 3
 ) -> DataFrame:
@@ -113,11 +131,7 @@ def minhash_signatures(
         F.concat_ws(" ", *[F.element_at("_ws", F.col("_i") + m) for m in range(k)]),
     ).otherwise(F.col("_lt"))
     sh = base.select("_id", shingle.alias("shingle"))
-    aggs = []
-    for i in range(n_hashes):
-        seed, j = divmod(i, 4)
-        digest = F.md5(F.col("shingle")) if seed == 0 else F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle")))
-        aggs.append(F.min(F.conv(F.substring(digest, 1 + 8 * j, 8), 16, 10).cast("long")).alias(f"sig_{i}"))
+    aggs = [F.min(minhash_hash32(F.col("shingle"), i)).alias(f"sig_{i}") for i in range(n_hashes)]
     return sh.groupBy("_id").agg(*aggs)
 
 
@@ -141,14 +155,8 @@ def lsh_candidate_pairs(sigs: DataFrame, n_hashes: int = 8, n_bands: int = 4) ->
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "_",
-                        *[
-                            F.col(f"sig_{b * rows_per_band + r}").cast("string")
-                            for r in range(rows_per_band)
-                        ],
-                    )
+                band_hash(
+                    *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
                 ).alias("bh"),
             )
             for b in range(n_bands)

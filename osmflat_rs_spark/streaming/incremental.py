@@ -40,11 +40,16 @@ def ingest_increment(cat: SnapshotCatalog, docs_table: str = "docs") -> dict | N
     Crash before the cursor commit → rerun reproduces the same state
     (idempotent)."""
     cursors = cat.load_cursor(JOB)
-    inc, head = cat.read_incremental(docs_table, cursors.get(docs_table))
-    if inc is None or head == cursors.get(docs_table):
+    # head test via the manifest pointer only — the old form constructed
+    # (and discarded) a full incremental DataFrame just to learn the head
+    head = cat.head(docs_table)
+    if head is None or head == cursors.get(docs_table):
         return None
 
-    full = cat.read(docs_table)
+    # compile AT the pinned snapshot: reading the mutable HEAD would let a
+    # concurrent append slip rows into this compile while the cursor and
+    # lineage still record `head` — breaking the idempotent-rerun contract
+    full = cat.read(docs_table, snapshot=head)
     t_full = ingest(full, compute_metrics=False)
     summary = {}
     for name in DERIVED:
@@ -156,8 +161,15 @@ def stream_dedup_first_seen(spark, docs_dir: str, schema, checkpoint_dir: str, o
     )
 
     stream = spark.readStream.schema(schema).parquet(docs_dir)
+    # doc_id STRINGIFIED up front: the survivor is the lexicographic-min
+    # string id, chosen identically within a chunk, across chunks, and
+    # across batches — the old mixed native-sort/str-compare picked a
+    # chunk-boundary-dependent survivor for numeric ids (and the string
+    # out/state schemas broke them at the Arrow cast anyway)
     digested = stream.select(
-        F.md5(F.col("text")).alias("digest"), F.col("doc_id"), F.col("text")
+        F.md5(F.col("text")).alias("digest"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("text"),
     )
 
     out_schema = StructType(
@@ -263,7 +275,7 @@ def stream_neardup_candidates(
         StructType,
     )
 
-    from osmflat_rs_spark.operators.dedup import _shingle_arr
+    from osmflat_rs_spark.operators.dedup import _shingle_arr, band_hash, minhash_hash32
 
     rows_per_band = n_hashes // n_bands
     if rows_per_band * n_bands != n_hashes:
@@ -273,32 +285,34 @@ def stream_neardup_candidates(
     sh = F.array_distinct(_shingle_arr(F.col("text"), 3))
 
     def _component(i: int):
-        # NB: the lambda must take exactly ONE parameter — PySpark treats
-        # a two-arg lambda as (element, index), so a `j=j` default would
-        # be silently overwritten by the array index
-        seed, j = divmod(i, 4)
+        # NB: the transform lambda must take exactly ONE parameter —
+        # PySpark treats a two-arg lambda as (element, index), so an
+        # `i=i` default would be silently replaced by the array index;
+        # bind i via this enclosing function scope instead. The hash is
+        # dedup.minhash_hash32, the SAME expression the batch pipeline
+        # uses (bit-parity is load-bearing: the driver oracle asserts it).
+        def h(x):
+            return minhash_hash32(x, i)
 
-        def hash32(s):
-            digest = F.md5(s) if seed == 0 else F.md5(F.concat(F.lit(f"{seed}:"), s))
-            return F.conv(F.substring(digest, 1 + 8 * j, 8), 16, 10).cast("long")
-
-        return F.array_min(F.transform(sh, hash32))
+        return F.array_min(F.transform(sh, h))
 
     sigs = F.array(*[_component(i) for i in range(n_hashes)]).alias("sigs")
-    with_sigs = stream.select(F.col("doc_id").cast("string").alias("doc_id"), sigs)
+    # ids are STRINGIFIED: state keys, pair endpoints, and the (id_a <
+    # id_b) ordering are all lexicographic on the string form — matching
+    # the driver oracle's VARCHAR comparisons; numeric-id callers should
+    # expect string pair endpoints. Null-text docs are dropped: they have
+    # no signature (every component null) and can never be near-dups —
+    # int(None) in the state op would otherwise kill the whole query.
+    with_sigs = stream.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").cast("string").alias("doc_id"), sigs
+    )
     bands = F.array(
         *[
             F.concat_ws(
                 ":",
                 F.lit(str(b)),
-                F.md5(
-                    F.concat_ws(
-                        "_",
-                        *[
-                            F.element_at("sigs", b * rows_per_band + r + 1).cast("string")
-                            for r in range(rows_per_band)
-                        ],
-                    )
+                band_hash(
+                    *[F.element_at("sigs", b * rows_per_band + r + 1) for r in range(rows_per_band)]
                 ),
             )
             for b in range(n_bands)

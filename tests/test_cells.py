@@ -332,3 +332,20 @@ def test_cell_representative_point_reencodes_exactly():
             for _ in range(20000):
                 i = rng.randrange(n)
                 assert encode(_cell_center(i, off, span, res), off, span, res) == i
+
+
+def test_cell_id_expr_propagates_null_coords(spark):
+    """Spark's least/greatest SKIP nulls, so a null coordinate used to
+    clamp to the max-corner cell — phantom points in one NE cell that
+    every spatial join silently included. Null in → null cell out."""
+    from pyspark.sql import functions as F
+
+    from osmflat_rs_spark.functions.cells import cell_id_expr
+
+    df = spark.createDataFrame(
+        [(1, 524000000, 132000000), (2, None, 132000000), (3, 524000000, None)],
+        schema="i long, lat long, lon long",
+    )
+    rows = {r["i"]: r["c"] for r in df.select("i", cell_id_expr(F.col("lat"), F.col("lon"), 14).alias("c")).collect()}
+    assert rows[1] is not None
+    assert rows[2] is None and rows[3] is None
