@@ -155,11 +155,12 @@ class RowMajorBackend(CellBackend):
 
         ix = cells._quantize_expr(lon_fixed, cells._LON_OFF, cells._LON_SPAN, res)
         iy = cells._quantize_expr(lat_fixed, cells._LAT_OFF, cells._LAT_SPAN, res)
-        return (
+        cell = (
             F.shiftleft(F.lit(1).cast("long"), 2 * res)
             .bitwiseOR(F.shiftleft(iy, res))
             .bitwiseOR(ix)
         )
+        return cells._null_if_coords_null(cell, lat_fixed, lon_fixed)
 
     @staticmethod
     def _id_np(ix, iy, res):

@@ -57,14 +57,22 @@ def _spread_bits_expr(x: Column) -> Column:
 
 
 def _quantize_expr(fixed: Column, offset: int, span: int, res: int) -> Column:
+    # NB: least/greatest SKIP nulls, so this clamp alone maps a null
+    # coordinate to the max-corner cell — callers apply the null guard
+    # ONCE on the raw inputs (see cell_id_expr); guarding per-axis with
+    # when(q.isNull(), ...) re-evaluates the quantize expression and
+    # defeated codegen CSE (measured 4x on the PIP/kNN cell joins)
     q = F.floor(((fixed.cast("long") + F.lit(offset)) * F.lit(1 << res)) / F.lit(span)).cast("long")
-    clamped = F.greatest(F.lit(0).cast("long"), F.least(F.lit((1 << res) - 1).cast("long"), q))
-    # NULL must propagate: Spark's least/greatest SKIP nulls, so a null
-    # coordinate (missing/unparseable coord span) used to clamp to the
-    # max-corner cell — phantom points accumulating in one NE cell that
-    # every downstream spatial join silently included. A null cell now
-    # drops out of cell equi-joins naturally.
-    return F.when(q.isNull(), F.lit(None).cast("long")).otherwise(clamped)
+    return F.greatest(F.lit(0).cast("long"), F.least(F.lit((1 << res) - 1).cast("long"), q))
+
+
+def _null_if_coords_null(cell: Column, lat_fixed: Column, lon_fixed: Column) -> Column:
+    """NULL must propagate: a missing/unparseable coordinate used to
+    clamp to the max-corner cell — phantom points accumulating in one NE
+    cell that every spatial join silently included. One cheap isNull
+    check on the RAW inputs; the cell expression itself evaluates only
+    in the non-null branch."""
+    return F.when(lat_fixed.isNull() | lon_fixed.isNull(), F.lit(None).cast("long")).otherwise(cell)
 
 
 def cell_id_expr(lat_fixed: Column, lon_fixed: Column, res: int) -> Column:
@@ -77,7 +85,8 @@ def cell_id_expr(lat_fixed: Column, lon_fixed: Column, res: int) -> Column:
     ix = _quantize_expr(lon_fixed, _LON_OFF, _LON_SPAN, res)
     iy = _quantize_expr(lat_fixed, _LAT_OFF, _LAT_SPAN, res)
     z = _spread_bits_expr(ix).bitwiseOR(F.shiftleft(_spread_bits_expr(iy), 1))
-    return F.shiftleft(F.lit(1).cast("long"), 2 * res).bitwiseOR(z)
+    cell = F.shiftleft(F.lit(1).cast("long"), 2 * res).bitwiseOR(z)
+    return _null_if_coords_null(cell, lat_fixed, lon_fixed)
 
 
 def parent_expr(cell: Column, steps: int = 1) -> Column:
