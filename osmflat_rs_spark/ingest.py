@@ -188,45 +188,56 @@ def ingest(
     from osmflat_rs_spark.plans.indexing import assign_dense_index_by_group, audit_dense_index
 
     if strict_kinds:
-        # cheap validation jobs: an unknown span kind, a doc without a
-        # header span, or an unknown entity type has nowhere to live in
+        # ONE validation job, ONE scan (ADVICE r03: the old form ran two
+        # eager collect() jobs, each re-scanning the raw docs — one of
+        # them exploding every span — inside every ingest call, including
+        # the bench's timed window): an unknown span kind, a doc without
+        # a header span, or an unknown entity type has nowhere to live in
         # the entity tables, so the lossless roundtrip would break
         # SILENTLY (span_layout's elem_pos join covers SPAN_KINDS only;
-        # entity staging filters on node/way/relation; the group indexer
-        # rejects NULL entity types with a generic error). Opt out only
-        # when the schema is enforced upstream.
-        bad = [
-            r["kind"]
-            for r in docs.select(F.explode("spans").alias("s"))
-            .select(F.col("s.kind").alias("kind"))
-            .filter(~F.col("kind").isin(*SPAN_KINDS))
-            .distinct()
-            .collect()
-        ]
-        if bad:
-            raise ValueError(
-                f"ingest: unrecognized span kind(s) {sorted(bad)} — the carrier "
-                f"tables represent only {list(SPAN_KINDS)}; fix the input or "
-                f"pass strict_kinds=False to accept silent loss"
+        # entity staging filters on node/way/relation). Per-row in-row
+        # extraction (no explode), problem rows filtered BEFORE the
+        # aggregate so the collected state is empty on clean inputs.
+        bad_type_cond = F.col("entity_type").isNull() | ~F.col("entity_type").isin(
+            "node", "way", "relation"
+        )
+        probe = (
+            _keyed(docs)
+            .select(
+                F.filter(
+                    F.transform("spans", lambda s: F.coalesce(s["kind"], F.lit("<null kind>"))),
+                    lambda k: ~k.isin(*SPAN_KINDS),
+                ).alias("bad_kinds"),
+                F.when(
+                    bad_type_cond, F.coalesce(F.col("entity_type"), F.lit("<no header span>"))
+                ).alias("bad_type"),
             )
-        bad_types = [
-            r["entity_type"]
-            for r in _keyed(docs)
-            .select("entity_type")
-            .filter(
-                F.col("entity_type").isNull()
-                | ~F.col("entity_type").isin("node", "way", "relation")
+            .filter((F.size("bad_kinds") > 0) | F.col("bad_type").isNotNull())
+            .agg(
+                F.array_distinct(F.flatten(F.collect_list("bad_kinds"))).alias("kinds"),
+                F.collect_set("bad_type").alias("types"),
             )
-            .distinct()
-            .collect()
-        ]
-        if bad_types:
-            pretty = sorted("<no header span>" if t is None else t for t in bad_types)
-            raise ValueError(
-                f"ingest: document(s) with unusable entity type(s) {pretty} — every "
-                f"doc needs a header span 'node|way|relation <osm_id>'; fix the "
-                f"input or pass strict_kinds=False to accept silent loss"
+            .collect()[0]
+        )
+        problems = []
+        if probe["kinds"]:
+            problems.append(
+                f"unrecognized span kind(s) {sorted(probe['kinds'])} — the carrier "
+                f"tables represent only {list(SPAN_KINDS)}"
             )
+        if probe["types"]:
+            problems.append(
+                f"document(s) with unusable entity type(s) {sorted(probe['types'])} — "
+                f"every doc needs a header span 'node|way|relation <osm_id>'"
+            )
+        if problems:
+            # NB: strict_kinds=False only skips THIS validation; docs
+            # without a usable header still fail later (the dense-index
+            # assignment rejects NULL group keys), just with a less
+            # specific error. Unknown span kinds are silently dropped.
+            raise ValueError("ingest: " + "; ".join(problems) + " — fix the input "
+                             "(strict_kinds=False skips this check, but headerless docs "
+                             "still fail in dense-index assignment)")
 
     # ONE range shuffle assigns all three per-type dense indices (grouped
     # two-pass scheme) — vs. one shuffle+persist per entity type. The

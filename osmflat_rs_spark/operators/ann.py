@@ -183,7 +183,11 @@ def train_ivf_centroids(
     """Deterministic IVF coarse quantizer: Lloyd's k-means on a bounded,
     deterministic corpus sample (driver-side NumPy — the trainer is
     O(sample · k · iters), independent of corpus size; the INDEXING pass
-    below is what runs distributed). The sample is the ``sample_size``
+    below is what runs distributed). CONTRACT: the quantizer never sees
+    rows beyond its ``sample_size`` draw — a deliberate ceiling (a
+    coarse quantizer needs a representative sample, not the corpus); use
+    :func:`train_ivf_centroids_distributed` when training must weight
+    every row. The sample is the ``sample_size``
     rows with the smallest seeded xxhash64 of ``id_col`` — a hash-ordered
     pseudo-random draw that is invariant under any repartitioning or AQE
     layout (unlike an unordered ``limit``) and executes as a per-partition
@@ -210,6 +214,105 @@ def train_ivf_centroids(
             if len(members):
                 m = members.mean(axis=0)
                 cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cent
+
+
+def train_ivf_centroids_distributed(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 10,
+    seed: int = 42,
+    init_sample: int = 4096,
+):
+    """Distributed Lloyd's k-means (VERDICT r03 #7): removes the
+    driver-sample ceiling of :func:`train_ivf_centroids` — that trainer
+    is O(sample_size) by contract and never sees rows beyond its sample;
+    this one runs each iteration as a distributed assign + aggregate
+    over the ENTIRE corpus, with the driver holding only the (k × dim)
+    centroid matrix.
+
+    Per iteration: an Arrow-batched ``mapInPandas`` normalizes each
+    batch, assigns rows to their argmax-cosine centroid and emits
+    PARTIAL per-cluster component sums (one row per (cluster, dim) per
+    batch — the map-side combine); a single ``groupBy(cluster, d)``
+    shuffle of those tiny partials (≪ corpus size: batches × k × dim
+    rows) reduces them, and the driver updates/renormalizes centroids
+    from the collected k × dim matrix. Initialization reuses the
+    hash-ordered deterministic sample rule (repartition-invariant).
+
+    Determinism note: assignments are deterministic given centroids, but
+    float sums reduce in shuffle order, so centroids can differ in final
+    ulps across cluster layouts — recall parity (not bit equality) vs
+    the driver trainer is the contract, pinned by
+    tests/test_training_ops.py::test_ivf_distributed_trainer_recall_parity."""
+    from pyspark.sql import types as T
+
+    cent = train_ivf_centroids(
+        corpus,
+        n_clusters=n_clusters,
+        vec_col=vec_col,
+        id_col=id_col,
+        sample_size=init_sample,
+        iters=0,  # sample only seeds the start; Lloyd's runs distributed
+        seed=seed,
+    )
+    vecs = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+
+    schema = T.StructType(
+        [
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("d", T.IntegerType()),
+            T.StructField("s", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    for _ in range(iters):
+        c_mat = cent  # close over this iteration's centroids
+
+        def partials(batches, c_mat=c_mat):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+                x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+                assign = (x @ c_mat.T).argmax(axis=1)
+                rows = {"cluster": [], "d": [], "s": [], "n": []}
+                for c in np.unique(assign):
+                    members = x[assign == c]
+                    sums = members.sum(axis=0)
+                    for d in range(sums.shape[0]):
+                        rows["cluster"].append(int(c))
+                        rows["d"].append(d)
+                        rows["s"].append(float(sums[d]))
+                        rows["n"].append(len(members))
+                yield pd.DataFrame(rows)
+
+        # ONE corpus pass per iteration: cluster counts ride the d==0
+        # rows (n is per-(batch, cluster), identical across d — summing
+        # the d==0 slice gives the cluster total)
+        rows = (
+            vecs.mapInPandas(partials, schema=schema)
+            .groupBy("cluster", "d")
+            .agg(
+                F.sum("s").alias("s"),
+                F.sum(F.when(F.col("d") == 0, F.col("n"))).alias("n0"),
+            )
+            .collect()
+        )
+        new = cent.copy()
+        sums = np.zeros_like(cent)
+        counts: dict[int, int] = {}
+        for r in rows:
+            sums[r["cluster"], r["d"]] = r["s"]
+            if r["d"] == 0:
+                counts[r["cluster"]] = r["n0"]
+        for c, n in counts.items():
+            if n and n > 0:
+                m = sums[c] / n
+                new[c] = m / max(np.linalg.norm(m), 1e-12)
+        cent = new
     return cent
 
 

@@ -3,7 +3,7 @@
 All hot paths are JVM-side column expressions (md5/conv/regexp/array HOFs
 — whole-stage-codegen'd); no Python UDFs anywhere. Hash functions are
 md5-derived 60-bit ints (``conv(substr(md5(x),1,15),16,10)``) so an
-external SQL engine (DuckDB oracle) can reproduce them bit-for-bat —
+external SQL engine (DuckDB oracle) can reproduce them bit-for-bit —
 cross-engine determinism is part of the operator contract.
 
 Scale notes (10^12 docs):
@@ -19,6 +19,22 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+#: The cross-engine WHITESPACE CONTRACT (r4, ADVICE r03 #8): an explicit
+#: enumerated character class, because no engine's builtin ``\s`` agrees
+#: with another's — Java's ``\s`` is ASCII-only, RE2's (DuckDB) is
+#: ASCII-only, Python's str-``\s`` is Unicode-aware AND additionally
+#: matches U+001C..1F. The contract: ASCII \t \n \x0B \f \r space, NEL
+#: U+0085, LS/PS U+2028/2029, and the Zs category (U+00A0 NBSP, U+1680,
+#: U+2000-200A, U+202F, U+205F, U+3000 ideographic space). ``WS_INNER``
+#: is the class body (for embedding in other classes), ``WS`` the
+#: bracketed class. Java and RE2 both accept this exact source text; the
+#: DuckDB oracles and the Python model reference carry their own twins
+#: (__spark_entry__._WS_SQL, tests' WS_PY) kept in sync by the
+#: cross-engine unicode-whitespace tests.
+WS_INNER = r"\t\n\x0B\f\r \x{0085}\x{00A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}"
+WS = f"[{WS_INNER}]"
 
 
 def md5_int60(col) -> "F.Column":
@@ -38,8 +54,10 @@ def words_expr(text_col) -> "F.Column":
     (an F.filter HOF would be evaluated interpreted, the r3 MinHash
     lesson); empty/whitespace-only text still yields [''] — same as
     before, so no size()==0 division cliffs appear. The DuckDB oracles
-    mirror the identical strip (same positions, same sets)."""
-    return F.split(F.regexp_replace(F.lower(text_col), r"^\s+|\s+$", ""), r"\s+")
+    mirror the identical strip (same positions, same sets). Whitespace
+    is the explicit ``WS`` contract class (r4): NBSP/ideographic spaces
+    split tokens identically in every engine."""
+    return F.split(F.regexp_replace(F.lower(text_col), f"^{WS}+|{WS}+$", ""), f"{WS}+")
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

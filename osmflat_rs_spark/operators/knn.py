@@ -120,9 +120,20 @@ def knn_join_bulk(
             else 2 * int(radius_m / 111_320.0 * COORD_SCALE) + 1
         )
         res = cells.pick_cover_res(span, span, target_cells=16)
-    pts = points.select(
-        F.col(id_col).alias("_nid"), F.col("lat").cast("long"), F.col("lon").cast("long")
-    ).withColumn("cell", cells.cell_id_expr(F.col("lat"), F.col("lon"), res))
+    # null-coordinate points are not kNN candidates in EITHER branch: the
+    # fast path already excluded them (cell_id_expr yields a NULL cell,
+    # which no cover cell equi-joins), but the brute-force rescue branch
+    # computed dist_m = NULL for them, and a NULLS-FIRST ascending window
+    # put them at rank 1..n of every unsettled query (ADVICE r03). One
+    # explicit filter keeps the two branches consistent — same policy as
+    # the phantom-cell null guard in cells._null_if_coords_null.
+    pts = (
+        points.select(
+            F.col(id_col).alias("_nid"), F.col("lat").cast("long"), F.col("lon").cast("long")
+        )
+        .filter(F.col("lat").isNotNull() & F.col("lon").isNotNull())
+        .withColumn("cell", cells.cell_id_expr(F.col("lat"), F.col("lon"), res))
+    )
 
     def gen_cover(batches):
         import math
@@ -168,7 +179,10 @@ def knn_join_bulk(
     settle_bound = float(radius_m) ** 2 if metric == "sqeuclid" else float(radius_m)
     cover_side = F.broadcast(cover) if broadcast_cover else cover
     cand = with_dist(pts.join(cover_side, "cell"))
-    w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col("_nid").asc())
+    # asc_nulls_last is belt-and-braces: dist_m cannot be NULL after the
+    # null-coordinate filter above, but a NULL must never outrank a real
+    # distance if an upstream schema ever reintroduces one
+    w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc_nulls_last(), F.col("_nid").asc())
     topk = (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -246,9 +260,11 @@ def knn_join(
             f"every round — use knn_join_bulk for large query sets"
         )
     spark = points.sparkSession
-    pts = points.select(
-        F.col("node_idx"), F.col("lat").cast("long"), F.col("lon").cast("long")
-    ).withColumn("cell", cells.cell_id_expr(F.col("lat"), F.col("lon"), res))
+    pts = (
+        points.select(F.col("node_idx"), F.col("lat").cast("long"), F.col("lon").cast("long"))
+        .filter(F.col("lat").isNotNull() & F.col("lon").isNotNull())
+        .withColumn("cell", cells.cell_id_expr(F.col("lat"), F.col("lon"), res))
+    )
     pts = pts.persist()
 
     # once the search radius covers the whole globe, the candidate set IS

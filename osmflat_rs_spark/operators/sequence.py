@@ -44,17 +44,37 @@ def delta_decode_blocks(
 
     Ordering inside a block follows ``order_cols`` (stable sort), so
     results are deterministic and equal to the keyed-window form — the
-    delta columns are WIDENED TO LONG exactly like the window ``SUM``
-    (an int32 delta stream whose running sum exceeds int32 used to crash
-    the Arrow conversion while the keyed form returned the long sum), and
-    NULL deltas contribute 0 so the running value carries forward at the
-    null row, matching ``SUM OVER``'s null-skipping (the pandas cumsum
-    default would poison the rest of the block with NaN)."""
+    result types match the window ``SUM`` per input dtype: INTEGRAL delta
+    columns widen to LONG with an exact int64 cumsum (an int32 delta
+    stream whose running sum exceeds int32 used to crash the Arrow
+    conversion while the keyed form returned the long sum), FLOAT/DOUBLE
+    columns keep a DOUBLE float64 cumsum (ADVICE r03: the blanket int64
+    widen silently truncated float deltas toward zero), and any other
+    dtype raises — a decimal/string delta stream has no defined running
+    sum here. NULL deltas contribute 0 so the running value carries
+    forward at the null row, matching ``SUM OVER``'s null-skipping (the
+    pandas cumsum default would poison the rest of the block with NaN)."""
     from pyspark.sql import types as T
 
+    _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    by_name = {f.name: f for f in df.schema.fields}
+    for c in delta_cols:
+        if not isinstance(by_name[c].dataType, _INTEGRAL + (T.FloatType, T.DoubleType)):
+            raise TypeError(
+                f"delta_decode_blocks: delta column {c!r} has type "
+                f"{by_name[c].dataType.simpleString()}; only integral (→ exact int64 "
+                f"running sum) and float/double (→ float64 running sum) are supported"
+            )
+    is_float = {c for c in delta_cols if isinstance(by_name[c].dataType, (T.FloatType, T.DoubleType))}
     schema = T.StructType(
         [
-            T.StructField(f.name, T.LongType() if f.name in delta_cols else f.dataType, f.nullable)
+            T.StructField(
+                f.name,
+                (T.DoubleType() if f.name in is_float else T.LongType())
+                if f.name in delta_cols
+                else f.dataType,
+                f.nullable,
+            )
             for f in df.schema.fields
         ]
     )
@@ -62,7 +82,8 @@ def delta_decode_blocks(
     def decode(pdf):
         pdf = pdf.sort_values(order_cols, kind="mergesort")
         for c in delta_cols:
-            pdf[c] = pdf[c].fillna(0).astype("int64").cumsum()
+            dt = "float64" if c in is_float else "int64"
+            pdf[c] = pdf[c].fillna(0).astype(dt).cumsum()
         return pdf
 
     return df.groupBy(block_col).applyInPandas(decode, schema=schema)

@@ -11,6 +11,12 @@ int64 crossing-number kernel over Arrow batches (``mapInPandas``), using
 the broadcast ``PolygonIndex`` (the analog of the reference's broadcast
 id-dictionary join, osmflatc/src/ids.rs:96-158 → SURVEY §2.3 J1).
 
+Polygons may be MULTI-RING (r4): a ``rings`` column
+(array<array<struct<lat,lon>>>, rings[0] outer + holes, even-odd
+semantics — the reference's multipolygon outer/inner role model,
+osmflat/examples/render-features.rs:133-149 extended to role='inner');
+the legacy single-ring ``ring`` column still works.
+
 The shape follows published partition-based spatial join designs (PBSM /
 MapReduce spatial merge joins; interior/boundary cell classification as in
 raster-interval approximations of polygon joins — see PAPERS.md), adapted
@@ -39,15 +45,34 @@ from osmflat_rs_spark.functions import cells
 from osmflat_rs_spark.functions.pip import PolygonIndex
 
 
+def _rings_col(polygons: DataFrame):
+    """Normalize the polygon geometry column: either ``ring``
+    (array<struct<lat,lon>> — single ring, the pre-r4 schema) or
+    ``rings`` (array<array<struct<lat,lon>>> — rings[0] outer, rest
+    holes, even-odd semantics). Returns a Column of the multi-ring
+    shape."""
+    if "rings" in polygons.columns:
+        return F.col("rings")
+    if "ring" in polygons.columns:
+        return F.array(F.col("ring"))
+    raise ValueError("polygon table needs a 'ring' or 'rings' column")
+
+
 def build_polygon_index(polygons: DataFrame) -> PolygonIndex:
-    """Collect the (small) polygon table and pack it for broadcast."""
-    rows = polygons.select("polygon_id", "ring").collect()
+    """Collect the (small) polygon table and pack it for broadcast.
+    Accepts single-ring (``ring``) or multi-ring (``rings``) schemas."""
+    rows = polygons.select("polygon_id", _rings_col(polygons).alias("rings")).collect()
     polys = []
     for r in rows:
-        xs = np.array([v["lon"] for v in r["ring"]], dtype=np.int64)
-        ys = np.array([v["lat"] for v in r["ring"]], dtype=np.int64)
-        polys.append((r["polygon_id"], xs, ys))
-    return PolygonIndex.build(polys)
+        rings = [
+            (
+                np.array([v["lon"] for v in ring], dtype=np.int64),
+                np.array([v["lat"] for v in ring], dtype=np.int64),
+            )
+            for ring in r["rings"]
+        ]
+        polys.append((r["polygon_id"], rings))
+    return PolygonIndex.build_multi(polys)
 
 
 def _pick_res(index: PolygonIndex, target_cells: int) -> int:
@@ -94,11 +119,12 @@ def pip_join(
     res = cover_res if cover_res is not None else _pick_res(index, target_cells_per_polygon)
 
     # driver-side cover build (polygon count is broadcast-small by design),
-    # classified: interior cells short-circuit the exact phase entirely
+    # classified: interior cells short-circuit the exact phase entirely;
+    # multi-ring polygons (holes) go through the generic even-odd cover
+    # composition (cell_backend.polygon_cover_classified_multi)
     cover_rows = []
     for i in range(len(index.ids)):
-        xs, ys = index.ring(i)
-        cs, interior = be.polygon_cover_classified(xs, ys, res)
+        cs, interior = be.polygon_cover_classified_multi(index.rings_of(i), res)
         for c, it in zip(cs, interior):
             cover_rows.append((int(c), i, bool(it)))
     # pandas carrier → Arrow path: the plain-list createDataFrame
@@ -193,29 +219,42 @@ def pip_join_shuffle(
     spark = points.sparkSession
     be = backend or MortonBackend()
 
+    # rings travel as a JSON string: a nested array<array<struct>> column
+    # breaks Spark's Arrow→pandas ndarray conversion when ring lengths
+    # differ (inhomogeneous-shape ValueError), and the exact phase wants
+    # plain Python lists anyway — one json.loads per (polygon, batch)
     def cover_rows(batches):
+        import json
+
         for pdf in batches:
             if pdf.empty:
                 continue
             out_cells, out_ids, out_rings, out_int = [], [], [], []
-            for pid, ring in zip(pdf["polygon_id"], pdf["ring"]):
-                xs = np.array([v["lon"] for v in ring], dtype=np.int64)
-                ys = np.array([v["lat"] for v in ring], dtype=np.int64)
-                cs, interior = be.polygon_cover_classified(xs, ys, cover_res)
-                ring_py = [(int(v["lat"]), int(v["lon"])) for v in ring]
+            for pid, rings_json in zip(pdf["polygon_id"], pdf["rings_json"]):
+                rings = json.loads(rings_json)
+                rings_np = [
+                    (
+                        np.array([v["lon"] for v in ring], dtype=np.int64),
+                        np.array([v["lat"] for v in ring], dtype=np.int64),
+                    )
+                    for ring in rings
+                ]
+                cs, interior = be.polygon_cover_classified_multi(rings_np, cover_res)
                 for c, it in zip(cs, interior):
                     out_cells.append(int(c))
                     out_ids.append(pid)
-                    # interior cells don't need the ring downstream
-                    out_rings.append(None if it else ring_py)
+                    # interior cells don't need the rings downstream
+                    out_rings.append(None if it else rings_json)
                     out_int.append(bool(it))
             yield pd.DataFrame(
-                {"cell": out_cells, "polygon_id": out_ids, "ring": out_rings, "interior": out_int}
+                {"cell": out_cells, "polygon_id": out_ids, "rings_json": out_rings, "interior": out_int}
             )
 
-    cover = polygons.select("polygon_id", "ring").mapInPandas(
+    cover = polygons.select(
+        "polygon_id", F.to_json(_rings_col(polygons)).alias("rings_json")
+    ).mapInPandas(
         cover_rows,
-        schema="cell long, polygon_id string, ring array<struct<lat:long,lon:long>>, interior boolean",
+        schema="cell long, polygon_id string, rings_json string, interior boolean",
     )
 
     pts = points.select(
@@ -235,22 +274,28 @@ def pip_join_shuffle(
     candidates = candidates.filter(~F.col("interior"))
 
     def refine(batches):
+        import json
+
+        from osmflat_rs_spark.functions.pip import points_in_rings
+
         for pdf in batches:
             if pdf.empty:
                 continue
             keep = []
-            for ring_key, grp in pdf.groupby("polygon_id", sort=False):
-                ring = grp["ring"].iloc[0]
-                xs = np.array([v["lon"] for v in ring], dtype=np.int64)
-                ys = np.array([v["lat"] for v in ring], dtype=np.int64)
-                from osmflat_rs_spark.functions.pip import points_in_polygon
-
-                mask = points_in_polygon(
-                    grp["_lon"].to_numpy(np.int64), grp["_lat"].to_numpy(np.int64), xs, ys
+            for poly_key, grp in pdf.groupby("polygon_id", sort=False):
+                rings_np = [
+                    (
+                        np.array([v["lon"] for v in ring], dtype=np.int64),
+                        np.array([v["lat"] for v in ring], dtype=np.int64),
+                    )
+                    for ring in json.loads(grp["rings_json"].iloc[0])
+                ]
+                mask = points_in_rings(
+                    grp["_lon"].to_numpy(np.int64), grp["_lat"].to_numpy(np.int64), rings_np
                 )
                 if mask.any():
                     out = grp.loc[mask, ["_pt_id"]].copy()
-                    out["polygon_id"] = ring_key
+                    out["polygon_id"] = poly_key
                     keep.append(out)
             if keep:
                 yield pd.concat(keep)[["polygon_id", "_pt_id"]]

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from osmflat_rs_spark.operators.dedup import words_expr
+from osmflat_rs_spark.operators.dedup import WS, WS_INNER, words_expr
 
 # tiny deterministic stopword lists (heuristic language ID)
 STOPWORDS = {
@@ -62,14 +62,16 @@ def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(
         F.col(id_col),
         F.size(words_expr(F.col(text_col))).alias("n_ws_tokens"),
-        F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")).alias("n_bpeish"),
+        F.regexp_count(
+            F.col(text_col), F.lit(f"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{WS_INNER}]")
+        ).alias("n_bpeish"),
     )
 
 
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, fp): md5 of the whitespace-normalized lowercase text — the
     canonical near-exact dedup key."""
-    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    norm = F.regexp_replace(F.lower(F.col(text_col)), f"{WS}+", " ")
     return df.select(F.col(id_col), F.md5(norm).alias("fp"))
 
 

@@ -33,9 +33,28 @@ from __future__ import annotations
 import json
 import os
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 from osmflat_rs_spark.sources.catalog import SnapshotCatalog
+
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _check_ident(name: str, what: str) -> str:
+    """Identifiers (catalog/namespace/table/sort columns) are interpolated
+    into SQL text (CALL rewrite_data_files, metadata-table queries) — the
+    procedure-call syntax offers no parameter binding, so the only safe
+    contract is a restricted identifier charset (ADVICE r03: unvalidated
+    names were quoting-unsafe / injectable if they ever came from
+    external input)."""
+    if not _IDENT.match(name):
+        raise ValueError(
+            f"IcebergCatalog: {what} {name!r} must match [A-Za-z_][A-Za-z0-9_]* "
+            f"(identifiers are interpolated into SQL; no quoting is attempted)"
+        )
+    return name
 
 
 class IcebergCatalog:
@@ -52,10 +71,10 @@ class IcebergCatalog:
     ):
         self.spark = spark
         self.warehouse = warehouse  # only for cursor files
-        self.catalog = catalog
-        self.namespace = namespace
+        self.catalog = _check_ident(catalog, "catalog")
+        self.namespace = _check_ident(namespace, "namespace")
         os.makedirs(os.path.join(warehouse, "_meta", "cursors"), exist_ok=True)
-        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.catalog}.{self.namespace}")
 
     # ------------------------------------------------------------ availability
     @staticmethod
@@ -73,7 +92,7 @@ class IcebergCatalog:
 
     # ------------------------------------------------------------------ naming
     def _full(self, table: str) -> str:
-        return f"{self.catalog}.{self.namespace}.{table}"
+        return f"{self.catalog}.{self.namespace}.{_check_ident(table, 'table')}"
 
     def _exists(self, table: str) -> bool:
         return self.spark.catalog.tableExists(self._full(table))
@@ -90,8 +109,15 @@ class IcebergCatalog:
         target_partitions: int | None = None,
     ) -> str:
         if order_by:
+            for c in order_by:
+                _check_ident(c, "order_by column")
             n = target_partitions or self.spark.sparkContext.defaultParallelism
             df = df.repartitionByRange(n, *order_by).sortWithinPartitions(*order_by)
+        # the committed snapshot id is derived from the WRITE ITSELF by
+        # diffing the snapshots metadata table against the pre-write set —
+        # re-reading head() after the write could attribute a concurrent
+        # writer's snapshot to this append (ADVICE r03)
+        before = self._snapshot_ids(table)
         writer = (
             df.writeTo(self._full(table))
             .option("snapshot-property.job", job)
@@ -101,7 +127,23 @@ class IcebergCatalog:
             writer.createOrReplace()
         else:
             writer.append()
+        new = self._snapshot_ids(table) - before
+        if len(new) == 1:
+            return next(iter(new))
+        # 0 or >1 new snapshots (concurrent rewrite collapsed/raced the
+        # diff): head() is the best remaining answer — still a valid
+        # read handle, just not provably THIS write's snapshot
         return self.head(table)
+
+    def _snapshot_ids(self, table: str) -> set[str]:
+        if not self._exists(table):
+            return set()
+        return {
+            str(r["snapshot_id"])
+            for r in self.spark.sql(
+                f"SELECT snapshot_id FROM {self._full(table)}.snapshots"
+            ).collect()
+        }
 
     # --------------------------------------------------------------- snapshots
     def head(self, table: str) -> str | None:
@@ -178,7 +220,7 @@ class IcebergCatalog:
         if self.head(table) is None:
             return None
         if order_by:
-            cols = ", ".join(order_by)
+            cols = ", ".join(_check_ident(c, "sort column") for c in order_by)
             self.spark.sql(
                 f"CALL {self.catalog}.system.rewrite_data_files("
                 f"table => '{self.namespace}.{table}', strategy => 'sort', "
