@@ -88,20 +88,30 @@ def _prep(spark: SparkSession) -> None:
         pass
 
 
+#: tables whose consumers are MAP-SIDE pipelines (broadcast joins, in-row
+#: dedup/intersect, codegen projections) — only these need the scan spread
+_MAPSIDE_TABLES = {"documents", "events", "embeddings"}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load a driver table, normalizing SCAN parallelism: the sf* tables
-    are single-row-group parquet files, and a row group is one split —
-    so every downstream map-side pipeline (broadcast joins, in-row
-    dedup/intersect work, codegen projections) would otherwise run on
-    ONE task regardless of core count (measured: the ngram pair-verify
-    broadcast join ran its 622k array_intersects on one core, 5.5s vs
-    ~1s spread). Production inputs arrive as thousands of splits; the
-    explicit-count repartition (which AQE never coalesces) reproduces
-    that shape at bench scale and is a no-op cost on these small files."""
+    """Load a driver table, normalizing SCAN parallelism for map-side
+    consumers: the sf* tables are single-row-group parquet files, and a
+    row group is one split — so a map-side pipeline (broadcast joins,
+    in-row dedup/intersect work, codegen projections) would otherwise
+    run on ONE task regardless of core count (measured: the ngram
+    pair-verify broadcast join ran its 622k array_intersects on one
+    core, 5.5s vs ~1s spread). Production inputs arrive as thousands of
+    splits; the explicit-count repartition (which AQE never coalesces)
+    reproduces that shape at bench scale. SCOPED to map-side-consumed
+    tables (r4): queries over the TPC-H-ish tables shuffle immediately
+    anyway (groupBy/join/window), so pre-shuffling them was pure
+    overhead — the r3 q1_pricing 'regression' bisected to exactly this
+    (0.44s direct vs 0.71s repartitioned, same JVM, best-of-3)."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    n = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
-        df = df.repartition(n)
+    if name in _MAPSIDE_TABLES:
+        n = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < n:
+            df = df.repartition(n)
     return df
 
 

@@ -405,6 +405,243 @@ def run_streaming_job(spark, cpus: int, n_docs: int) -> dict:
     }
 
 
+def run_streaming_capped_job(
+    spark, cpus: int, n_docs: int, cap: int = 64, n_spam: int = 1000
+) -> dict:
+    """VERDICT r03 #6: the streaming near-dup surfacer under a bounded
+    state store. Runs the capped stream over the corpus, then computes
+    (a) the state the cap actually bounded — stored docs per bucket =
+    min(bucket size, cap) vs the uncapped total — and (b) the capped
+    run's candidate-pair RECALL against the exact batch twin (distinct
+    band-sharing pairs whose signature-estimate clears the threshold),
+    the quantitative price of the documented subset semantics.
+
+    The organic corpus's near-dups are PAIR-shaped (max bucket size 2 —
+    measured; a cap ≥ 2 never binds and recall stays 1.0), so the job
+    also injects an ``n_spam``-copy identical-text cluster — the
+    template-spam shape that motivates the cap: one LSH bucket holding
+    the whole cluster. With the cap the bucket stores ``cap`` docs
+    instead of ``n_spam`` and the C(n_spam, 2) intra-cluster pairs
+    collapse to ~cap·n_spam — the measured recall records exactly that
+    price."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from osmflat_rs_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+    from osmflat_rs_spark.streaming.incremental import stream_neardup_candidates
+
+    base_path = _ensure_text_docs_parquet(spark, n_docs)
+    tmp = tempfile.mkdtemp(prefix="bench_stream_cap_")
+    path = f"{tmp}/docs"
+    spam = spark.range(n_spam).select(
+        F.concat(F.lit("spam"), F.col("id").cast("string")).alias("doc_id"),
+        F.lit("identical template boilerplate text repeated across the whole spam cluster").alias(
+            "text"
+        ),
+    )
+    spark.read.parquet(base_path).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    ).unionByName(spam).repartition(64).write.parquet(path)
+    docs = spark.read.parquet(path)
+    n = docs.count()
+    schema = docs.schema
+    try:
+        t0 = time.time()
+        q = stream_neardup_candidates(
+            spark, path, schema, f"{tmp}/ck", f"{tmp}/out", threshold=0.5,
+            max_state_per_bucket=cap,
+        )
+        if not q.awaitTermination(3000):
+            q.stop()
+            raise RuntimeError("capped streaming bench did not finish within 3000s")
+        dt = time.time() - t0
+        capped = (
+            spark.read.parquet(f"{tmp}/out").select("id_a", "id_b").distinct().persist()
+        )
+        n_capped = capped.count()
+
+        # exact batch twin: distinct candidate pairs with est >= threshold
+        sigs = minhash_signatures(docs, "doc_id", "text").persist()
+        sigs.count()
+        cand = lsh_candidate_pairs(sigs)
+        a = sigs.select(
+            F.col("_id").cast("string").alias("id_a"), *[F.col(f"sig_{i}").alias(f"a{i}") for i in range(8)]
+        )
+        b = sigs.select(
+            F.col("_id").cast("string").alias("id_b"), *[F.col(f"sig_{i}").alias(f"b{i}") for i in range(8)]
+        )
+        est = sum(
+            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(8)
+        ) / F.lit(8.0)
+        exact = (
+            cand.select(F.col("id_a").cast("string").alias("id_a"), F.col("id_b").cast("string").alias("id_b"))
+            .join(a, "id_a")
+            .join(b, "id_b")
+            .withColumn("est", est)
+            .filter(F.col("est") >= 0.5)
+            .select("id_a", "id_b")
+            .distinct()
+            .persist()
+        )
+        n_exact = exact.count()
+        n_hit = capped.join(exact, ["id_a", "id_b"], "left_semi").count()
+
+        # state accounting: stored docs per bucket = min(size, cap),
+        # bucket key built EXACTLY like the stream's ("b:band_hash")
+        from osmflat_rs_spark.operators.dedup import band_hash
+
+        bucket_sizes = (
+            sigs.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.concat_ws(
+                                ":",
+                                F.lit(str(bi)),
+                                band_hash(*[F.col(f"sig_{bi * 2 + r}") for r in range(2)]),
+                            )
+                            for bi in range(4)
+                        ]
+                    )
+                ).alias("bucket")
+            )
+            .groupBy("bucket")
+            .count()
+        )
+        stored = bucket_sizes.agg(
+            F.sum(F.least(F.col("count"), F.lit(cap))).alias("capped"),
+            F.sum("count").alias("uncapped"),
+            F.max("count").alias("max_bucket"),
+        ).collect()[0]
+        sigs.unpersist()
+        capped.unpersist()
+        exact.unpersist()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "cpus": cpus,
+        "n_docs": n,
+        "cap": cap,
+        "seconds": round(dt, 3),
+        "docs_per_sec": round(n / dt, 1),
+        "pairs_capped": n_capped,
+        "pairs_exact": n_exact,
+        "pair_recall": round(n_hit / n_exact, 4) if n_exact else 1.0,
+        "state_rows_capped": int(stored["capped"]),
+        "state_rows_uncapped": int(stored["uncapped"]),
+        "max_bucket_size": int(stored["max_bucket"]),
+    }
+
+
+def run_degrade_job(
+    spark,
+    cpus: int,
+    n_points: int = 8_000_000,
+    n_polys: int = 10_000,
+    n_queries: int = 1_000_000,
+) -> dict:
+    """VERDICT r03 #3: measure the documented 10^12-scale DEGRADE paths at
+    their design point, next to the broadcast fast paths on identical
+    input — (a) ``pip_join_shuffle`` with a polygon side big enough that
+    distributed covers matter (10k polygons: the broadcast form must
+    build 10k covers serially on the driver; shuffle mode computes them
+    inside ``mapInPandas``), and (b) ``knn_join_bulk`` with a 1M-query
+    cover (≈16M cover rows — the size where ``broadcast_cover=False``'s
+    both-sides sort-merge on the cell key is the right plan; the
+    broadcast form must ship the whole cover to every task)."""
+    from pyspark.sql import functions as F
+
+    from osmflat_rs_spark.operators.knn import knn_join_bulk
+    from osmflat_rs_spark.operators.spatial_join import pip_join, pip_join_shuffle
+
+    # deterministic synthetic points: 10° lat x 20° lon fixed-point window
+    LAT0, LATSPAN = 500_000_000, 100_000_000
+    LON0, LONSPAN = 100_000_000, 200_000_000
+    pts = (
+        spark.range(n_points)
+        .select(
+            F.col("id").alias("node_idx"),
+            (F.lit(LAT0) + (F.col("id") * 48271) % F.lit(LATSPAN)).alias("lat"),
+            (F.lit(LON0) + (F.col("id") * 16807) % F.lit(LONSPAN)).alias("lon"),
+        )
+        .persist()
+    )
+    pts.count()
+
+    # n_polys small squares on a grid over the window (each ~25% of its
+    # grid cell — disjoint, every polygon sees real point traffic)
+    import math
+
+    import pandas as pd
+
+    g = int(math.ceil(math.sqrt(n_polys)))
+    cw, ch = LONSPAN // g, LATSPAN // g
+    half = min(cw, ch) // 4
+    recs = []
+    for i in range(n_polys):
+        cx = LON0 + (i % g) * cw + cw // 2
+        cy = LAT0 + (i // g) * ch + ch // 2
+        ring = [
+            (cy - half, cx - half),
+            (cy - half, cx + half),
+            (cy + half, cx + half),
+            (cy + half, cx - half),
+        ]
+        recs.append((f"p{i:05d}", ring))
+    polys = spark.createDataFrame(
+        pd.DataFrame({"polygon_id": [r[0] for r in recs], "ring": [r[1] for r in recs]}),
+        schema="polygon_id string, ring array<struct<lat:long,lon:long>>",
+    )
+
+    _force(spark.range(4 * cpus).repartition(2 * cpus).mapInPandas(_warm_pandas_fn(), schema="id long"))
+
+    def _prog(k, v):
+        print(f"degrade {k}: {v}s", file=sys.stderr, flush=True)
+
+    out = {"cpus": cpus, "n_points": n_points, "n_polys": n_polys}
+    t0 = time.time()
+    _force(pip_join_shuffle(pts, polys, cover_res=12, salt=4))
+    out["pip_shuffle_10k_polys"] = round(time.time() - t0, 3)
+    _prog("pip_shuffle_10k_polys", out["pip_shuffle_10k_polys"])
+    t1 = time.time()
+    _force(pip_join(pts, polys, cover_res=12))
+    out["pip_broadcast_10k_polys"] = round(time.time() - t1, 3)
+    _prog("pip_broadcast_10k_polys", out["pip_broadcast_10k_polys"])
+
+    stride = max(1, n_points // n_queries)
+    queries = (
+        pts.filter(F.col("node_idx") % stride == 0)
+        .select(F.col("node_idx").cast("string").alias("query_id"), "lat", "lon")
+        .persist()
+    )
+    out["n_queries"] = queries.count()
+    # expected 5th-NN distance at this density ≈ 63k fixed units; 200k
+    # radius gives >3x margin so the candidate join dominates the time
+    t3 = time.time()
+    _force(
+        knn_join_bulk(
+            pts, queries, k=5, radius_m=200_000, metric="sqeuclid",
+            exact_fallback=False, broadcast_cover=False,
+        )
+    )
+    out["knn_shuffle_cover"] = round(time.time() - t3, 3)
+    _prog("knn_shuffle_cover", out["knn_shuffle_cover"])
+    t4 = time.time()
+    _force(
+        knn_join_bulk(
+            pts, queries, k=5, radius_m=200_000, metric="sqeuclid",
+            exact_fallback=False, broadcast_cover=True,
+        )
+    )
+    out["knn_broadcast_cover"] = round(time.time() - t4, 3)
+    _prog("knn_broadcast_cover", out["knn_broadcast_cover"])
+    pts.unpersist()
+    queries.unpersist()
+    return out
+
+
 def run_cluster_worker(
     master_url: str,
     cores_max: int,
@@ -522,6 +759,34 @@ def main():
         spark.stop()
         return
 
+    if "--degrade" in sys.argv:
+        from osmflat_rs_spark.session import get_spark
+
+        cpus = CPUS if "--cpus" not in sys.argv else int(sys.argv[sys.argv.index("--cpus") + 1])
+        spark = get_spark(
+            "bench-degrade",
+            master=f"local[{cpus}]",
+            shuffle_partitions=max(8, 2 * cpus),
+            extra_conf={
+                # the 1M-query broadcast-cover contrast ships a ~16M-row
+                # broadcast; size the (single-JVM) driver for it
+                "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "24g"),
+                "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
+            },
+        )
+        out = run_degrade_job(
+            spark,
+            cpus,
+            n_points=int(os.environ.get("SPARK_GRAFT_DEGRADE_POINTS", "8000000")),
+            n_polys=int(os.environ.get("SPARK_GRAFT_DEGRADE_POLYS", "10000")),
+            n_queries=int(os.environ.get("SPARK_GRAFT_DEGRADE_QUERIES", "1000000")),
+        )
+        out["metric"] = "degrade-path wall-clock (10k-polygon shuffle PIP; 1M-query no-broadcast kNN)"
+        out["unit"] = "sec"
+        print(json.dumps(out))
+        spark.stop()
+        return
+
     if "--streaming" in sys.argv:
         from osmflat_rs_spark.session import get_spark
 
@@ -532,8 +797,13 @@ def main():
             master=f"local[{cpus}]",
             shuffle_partitions=max(8, cpus),
         )
-        out = run_streaming_job(spark, cpus, n_docs)
-        out["metric"] = "streaming stateful near-dup candidates docs/sec (availableNow)"
+        if "--capped" in sys.argv:
+            cap = int(os.environ.get("SPARK_GRAFT_STATE_CAP", "64"))
+            out = run_streaming_capped_job(spark, cpus, n_docs, cap=cap)
+            out["metric"] = "capped-state streaming near-dup (recall vs exact batch twin)"
+        else:
+            out = run_streaming_job(spark, cpus, n_docs)
+            out["metric"] = "streaming stateful near-dup candidates docs/sec (availableNow)"
         out["unit"] = "docs/sec"
         print(json.dumps(out))
         spark.stop()

@@ -274,3 +274,45 @@ def test_knn_bulk_fallback_handles_string_and_null_ids(spark):
         knn_join_bulk(pts, q, k=3, radius_m=0.001, metric="sqeuclid", id_col="media_ref", exact_fallback=True)
     )
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_knn_bulk_no_broadcast_sort_merges_points_once(spark):
+    """VERDICT r03 #3(b): ``broadcast_cover=False`` is the documented
+    beyond-broadcast degrade — the candidate join must SORT-MERGE on the
+    cell key (both sides shuffle once) and the point table must be
+    exchanged exactly once: one Exchange whose subtree contains the
+    point-side scan, plus the window's query_id Exchange downstream.
+    Points are synthesized flat (a derived table like ingest's nodes
+    carries its own joins/Exchanges and would pollute the census)."""
+    from pyspark.sql import functions as F
+
+    from osmflat_rs_spark.operators.knn import knn_join_bulk
+
+    pts = spark.range(10000).select(
+        F.col("id").alias("node_idx"),
+        (F.lit(525_000_000) + F.col("id") % 100_000).alias("lat"),
+        (F.lit(134_000_000) + (F.col("id") * 7) % 100_000).alias("lon"),
+    )
+    q = pts.limit(5).select(F.col("node_idx").cast("string").alias("query_id"), "lat", "lon")
+    # at the degrade design point the cover is far beyond any broadcast
+    # threshold; at test scale Catalyst would auto-broadcast the tiny
+    # cover, hiding the shape under assertion — pin the threshold off
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = knn_join_bulk(
+            pts, q, k=3, radius_m=1500.0, exact_fallback=False, broadcast_cover=False
+        )
+        plan = _plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan, plan[:3000]
+    assert "BroadcastHashJoin" not in plan, plan[:3000]
+    # Exchange census: cell-shuffle of points + cell-shuffle of the cover
+    # + the top-k window's query_id shuffle = exactly 3. A fourth would
+    # mean the point table moved twice. (Formatted explain prints each
+    # Exchange's partitioning in its details block.)
+    # (the query-side limit adds one SinglePartition Exchange — a test
+    # artifact, not a data shuffle; only hash-partitioned moves count)
+    n_hash = plan.count("hashpartitioning(")
+    assert n_hash == 3, f"expected 3 hash Exchanges, saw {n_hash}:\n{plan[:3000]}"

@@ -160,3 +160,45 @@ def test_stream_neardup_matches_batch_and_survives_restart(spark, tmp_path):
     # the cross-batch pair was caught by checkpointed state
     assert any(p[:2] == ("x1", "x2") for p in got)
     assert any(p[:2] == ("b1", "b2") for p in got)
+
+
+def test_stream_neardup_capped_state_subset_semantics(spark, tmp_path):
+    """VERDICT r03 #6: under ``max_state_per_bucket`` a bucket stops
+    GROWING at the cap; overflow docs are still compared against the
+    stored set, but never against each other — so the capped run emits a
+    deterministic SUBSET of the uncapped output: pairs (stored, x) for
+    every later x, and no (overflow, overflow) pairs. The semantics are
+    PER BUCKET: identical texts make all three docs share every band
+    bucket, so with cap=1 the first-seen doc is the only stored one
+    anywhere and the overflow pair can appear in no bucket at all."""
+    from osmflat_rs_spark.streaming.incremental import stream_neardup_candidates
+
+    text = "the quick brown fox jumps over the lazy dog tonight"
+    batch1 = [("d1", text)]
+    batch2 = [("d2", text), ("d3", text)]
+    schema = "doc_id string, text string"
+
+    def run(cap, sub):
+        docs_dir = str(tmp_path / sub / "docs")
+        ckpt = str(tmp_path / sub / "ck")
+        out = str(tmp_path / sub / "out")
+        spark.createDataFrame(batch1, schema=schema).write.mode("append").parquet(docs_dir)
+        q = stream_neardup_candidates(
+            spark, docs_dir, schema, ckpt, out, threshold=0.5, max_state_per_bucket=cap
+        )
+        q.awaitTermination(120)
+        spark.createDataFrame(batch2, schema=schema).write.mode("append").parquet(docs_dir)
+        q2 = stream_neardup_candidates(
+            spark, docs_dir, schema, ckpt, out, threshold=0.5, max_state_per_bucket=cap
+        )
+        q2.awaitTermination(120)
+        return {(r["id_a"], r["id_b"]) for r in spark.read.parquet(out).collect()}
+
+    uncapped = run(None, "uncapped")
+    capped = run(1, "capped")
+    assert {("d1", "d2"), ("d1", "d3"), ("d2", "d3")} <= uncapped
+    # stored d1 still pairs with every later arrival …
+    assert ("d1", "d2") in capped and ("d1", "d3") in capped
+    # … but two overflow docs are never compared with each other
+    assert ("d2", "d3") not in capped
+    assert capped < uncapped  # strict, deterministic subset
