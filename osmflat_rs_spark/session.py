@@ -51,6 +51,20 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Align Spark's whole-stage-codegen bailout with HotSpot's actual
+        # JIT ceiling: HotSpot NEVER JIT-compiles methods over 8000
+        # bytecodes (-XX:DontCompileHugeMethods, on by default), but
+        # Spark's default hugeMethodLimit is 65535 — a generated stage in
+        # the 8k-65k dead zone stays whole-stage yet runs INTERPRETED
+        # forever. Measured on the cell-encode stage (one deeply-nested
+        # unsplittable expression): 32M rows 164.6s interpreted vs 14.3s
+        # with this limit (Spark falls back to per-operator execution,
+        # whose small methods JIT normally); the 128M-point spatial job
+        # went from stuck (250s+ per task) to its recorded minutes. The
+        # alternative (-XX:-DontCompileHugeMethods) measures the same but
+        # needs JVM-flag coordination on every executor; this conf ships
+        # with the job.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         # Tungsten off-heap: sort/agg/shuffle buffers leave the GC heap —
         # measured ~7% faster and markedly flatter at high thread counts on
         # the allocation-heavy ingest/tile stages (BENCH/BASELINE.md); on a

@@ -252,3 +252,70 @@ def test_polygon_index_multi_ring_layout():
     legacy = PolygonIndex.build([("b", *_ring_np(ISLAND))])
     px, py = _grid_points(30)
     assert np.array_equal(legacy.contains(0, px, py), idx.contains(1, px, py))
+
+
+# ---------------------------------------------------------------------------
+# randomized + adversarial S2 cover soundness (no Spark — pure NumPy)
+# ---------------------------------------------------------------------------
+
+
+def _star_polygon(rng, cx, cy, r_lo, r_hi, n_verts):
+    """Random star-shaped (hence simple) CCW polygon around (cx, cy)."""
+    angles = np.sort(rng.uniform(0, 2 * np.pi, n_verts))
+    radii = rng.uniform(r_lo, r_hi, n_verts)
+    xs = (cx + radii * np.cos(angles)).astype(np.int64)
+    ys = (cy + radii * np.sin(angles)).astype(np.int64)
+    return xs, ys
+
+
+def _check_cover_sound(xs, ys, res, rng, n_probe=20000):
+    cells, interior = s2.polygon_cover_classified(xs, ys, res)
+    cset = set(cells.tolist())
+    iset = set(cells[interior].tolist())
+    # probe points across an expanded bbox of the polygon
+    mx = int(xs.max() - xs.min()) // 4 + 1
+    my = int(ys.max() - ys.min()) // 4 + 1
+    px = rng.integers(xs.min() - mx, xs.max() + mx, n_probe)
+    py = rng.integers(ys.min() - my, ys.max() + my, n_probe)
+    px = np.clip(px, -1_799_999_999, 1_799_999_999)
+    py = np.clip(py, -899_999_999, 899_999_999)
+    inside = points_in_polygon(px, py, xs, ys)
+    pc = s2.cell_id_np(py, px, res)
+    missing = [1 for c, i in zip(pc, inside) if i and int(c) not in cset]
+    wrong_interior = [1 for c, i in zip(pc, inside) if int(c) in iset and not i]
+    assert not missing, f"{len(missing)} inside points missing from cover (superset broken)"
+    assert not wrong_interior, f"{len(wrong_interior)} outside points in interior cells"
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5])
+def test_s2_cover_sound_random_star_polygons(seed):
+    """Superset + interior soundness on random star polygons at random
+    centers/scales/levels — the two guarantees the two-phase join rests
+    on, exercised over the scheme's full construction (face pick,
+    quadratic ST, Hilbert, rect refinement)."""
+    rng = np.random.default_rng(seed)
+    cx = int(rng.integers(-1_500_000_000, 1_500_000_000))
+    cy = int(rng.integers(-700_000_000, 700_000_000))
+    scale = int(rng.integers(200_000, 20_000_000))
+    xs, ys = _star_polygon(rng, cx, cy, scale // 2, scale, int(rng.integers(5, 14)))
+    xs = np.clip(xs, -1_799_999_999, 1_799_999_999)
+    ys = np.clip(ys, -899_999_999, 899_999_999)
+    res = int(rng.integers(7, 12))
+    _check_cover_sound(xs, ys, res, rng)
+
+
+def test_s2_cover_sound_antimeridian_adjacent():
+    """A polygon hugging lon=+180: cells whose rect wraps degrade to
+    full-longitude (conservative) — superset must survive."""
+    rng = np.random.default_rng(7)
+    xs = np.array([1_799_000_000, 1_799_900_000, 1_799_900_000, 1_799_000_000], dtype=np.int64)
+    ys = np.array([100_000_000, 100_000_000, 101_000_000, 101_000_000], dtype=np.int64)
+    _check_cover_sound(xs, ys, 9, rng)
+
+
+def test_s2_cover_sound_polar_adjacent():
+    """A polygon at 88-89°N: pole-reaching cells degrade to full-lon."""
+    rng = np.random.default_rng(8)
+    xs = np.array([100_000_000, 300_000_000, 300_000_000, 100_000_000], dtype=np.int64)
+    ys = np.array([880_000_000, 880_000_000, 890_000_000, 890_000_000], dtype=np.int64)
+    _check_cover_sound(xs, ys, 8, rng)
