@@ -185,16 +185,24 @@ def _cell_rect_fixed(face: int, level: int, ix: int, iy: int):
     x, y, z = _XYZ_FRAMES[face](u, v)
     norm = np.sqrt(x * x + y * y + z * z)
     xn, yn, zn = x / norm, y / norm, z / norm
-    # corner-pair diameter (radians)
-    dots = np.clip(
-        xn[:, None] * xn[None, :] + yn[:, None] * yn[None, :] + zn[:, None] * zn[None, :],
-        -1.0,
-        1.0,
-    )
-    diam = float(np.arccos(dots).max())
+    # Pad = (max edge length)/2, not the corner diameter (r4 tightening,
+    # ~2.8x smaller rects → more interior-classified cells): the patch is
+    # an intersection of great-circle half-spaces (cell edges are
+    # u/v=const lines, i.e. central planes), so lat/lon extrema over the
+    # patch lie ON ITS EDGES unless a pole is interior — and the pole is
+    # st=(0.5,0.5) of faces 2/5, a lattice corner at every level ≥ 1, so
+    # pole-touching cells enter the ≥89.9° full-lon branch via their own
+    # corner. A point on an edge of length θ is within θ/2 of one of the
+    # edge's endpoints, bounding its lat/lon deviation by θ/2.
+    def _ang(i, j):
+        d = float(np.clip(xn[i] * xn[j] + yn[i] * yn[j] + zn[i] * zn[j], -1.0, 1.0))
+        return math.acos(d)
+
+    # corner order: 0=(i,j) 1=(i+1,j) 2=(i,j+1) 3=(i+1,j+1)
+    max_edge = max(_ang(0, 1), _ang(1, 3), _ang(3, 2), _ang(2, 0))
     lat = np.degrees(np.arctan2(zn, np.hypot(xn, yn)))
     lon = np.degrees(np.arctan2(yn, xn))
-    pad_deg = math.degrees(diam)
+    pad_deg = math.degrees(max_edge / 2.0)
     lat_lo = int(math.floor((lat.min() - pad_deg) * COORD_SCALE)) - 2
     lat_hi = int(math.ceil((lat.max() + pad_deg) * COORD_SCALE)) + 2
     lat_lo = max(lat_lo, -_LAT_BOUND)
