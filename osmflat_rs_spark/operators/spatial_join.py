@@ -93,6 +93,7 @@ def pip_join(
     salt: int | None = None,
     target_cells_per_polygon: int = 4096,
     backend=None,
+    distributed_cover_threshold: int = 256,
 ) -> DataFrame:
     """→ DataFrame(polygon_id, <point_id>) — exact containment pairs
     (boundary inclusive), bit-equal to the model oracle.
@@ -108,7 +109,16 @@ def pip_join(
     ``get_backend("h3")`` where the wheel exists). The exact phase is
     backend-independent — any superset cover with a sound ``interior``
     flag yields identical results. Non-default backends must pass an
-    explicit ``cover_res`` (resolution scales are scheme-specific)."""
+    explicit ``cover_res`` (resolution scales are scheme-specific).
+
+    Cover construction (r4): below ``distributed_cover_threshold``
+    polygons the covers are built in a driver loop (no job, lowest
+    latency); at or above it they are computed inside ``mapInPandas``
+    across executors — the driver loop is O(n_polys) serial Python and
+    became the visible cost at the 10k-polygon design point (the
+    polygon INDEX is still driver-collected either way: the exact phase
+    broadcasts it, and a table too large for that belongs in
+    ``pip_join_shuffle``)."""
     from osmflat_rs_spark.functions.cell_backend import MortonBackend
 
     spark = points.sparkSession
@@ -118,22 +128,24 @@ def pip_join(
         raise ValueError(f"backend {be.name!r} requires an explicit cover_res")
     res = cover_res if cover_res is not None else _pick_res(index, target_cells_per_polygon)
 
-    # driver-side cover build (polygon count is broadcast-small by design),
-    # classified: interior cells short-circuit the exact phase entirely;
-    # multi-ring polygons (holes) go through the generic even-odd cover
-    # composition (cell_backend.polygon_cover_classified_multi)
-    cover_rows = []
-    for i in range(len(index.ids)):
-        cs, interior = be.polygon_cover_classified_multi(index.rings_of(i), res)
-        for c, it in zip(cs, interior):
-            cover_rows.append((int(c), i, bool(it)))
-    # pandas carrier → Arrow path: the plain-list createDataFrame
-    # round-trips Py4J row-by-row (measured 0.9s vs 0.2s at 3k cover
-    # rows, and it sits on every pip_join call)
-    cover = spark.createDataFrame(
-        pd.DataFrame(cover_rows, columns=["cell", "poly_i", "interior"]),
-        schema="cell long, poly_i int, interior boolean",
-    )
+    # classified cover (interior cells short-circuit the exact phase
+    # entirely; multi-ring polygons/holes go through the generic even-odd
+    # composition, cell_backend.polygon_cover_classified_multi)
+    if len(index.ids) >= distributed_cover_threshold:
+        cover = _distributed_cover(polygons, be, res)
+    else:
+        cover_rows = []
+        for i in range(len(index.ids)):
+            cs, interior = be.polygon_cover_classified_multi(index.rings_of(i), res)
+            for c, it in zip(cs, interior):
+                cover_rows.append((int(c), index.ids[i], bool(it)))
+        # pandas carrier → Arrow path: the plain-list createDataFrame
+        # round-trips Py4J row-by-row (measured 0.9s vs 0.2s at 3k cover
+        # rows, and it sits on every pip_join call)
+        cover = spark.createDataFrame(
+            pd.DataFrame(cover_rows, columns=["cell", "polygon_id", "interior"]),
+            schema="cell long, polygon_id string, interior boolean",
+        )
 
     pts = points.select(
         F.col(point_id).alias("_pt_id"),
@@ -157,31 +169,60 @@ def pip_join(
 
     def refine(batches):
         idx: PolygonIndex = bc.value
+        id_to_i = {pid: i for i, pid in enumerate(idx.ids)}
         for pdf in batches:
             if pdf.empty:
                 continue
             keep_parts = []
-            for poly_i, grp in pdf.groupby("poly_i", sort=False):
+            for pid, grp in pdf.groupby("polygon_id", sort=False):
                 mask = idx.contains(
-                    int(poly_i),
+                    id_to_i[pid],
                     grp["_lon"].to_numpy(np.int64),
                     grp["_lat"].to_numpy(np.int64),
                 )
                 if mask.any():
                     out = grp.loc[mask, ["_pt_id"]].copy()
-                    out["polygon_id"] = idx.ids[int(poly_i)]
+                    out["polygon_id"] = pid
                     keep_parts.append(out)
             if keep_parts:
                 yield pd.concat(keep_parts)[["polygon_id", "_pt_id"]]
 
     out_schema = f"polygon_id string, _pt_id {dict(points.dtypes)[point_id]}"
     refined = boundary.mapInPandas(refine, schema=out_schema)
-    id_map = spark.createDataFrame(
-        pd.DataFrame({"poly_i": range(len(index.ids)), "polygon_id": list(index.ids)}),
-        schema="poly_i int, polygon_id string",
-    )
-    fast = inside_fast.join(F.broadcast(id_map), "poly_i").select("polygon_id", "_pt_id")
+    fast = inside_fast.select("polygon_id", "_pt_id")
     return refined.unionByName(fast).withColumnRenamed("_pt_id", point_id)
+
+
+def _distributed_cover(polygons: DataFrame, be, res: int) -> DataFrame:
+    """Classified covers computed across executors (one ``mapInPandas``
+    over the polygon table) — the broadcast-mode cover build for LARGE
+    polygon sets. Same kernel as the driver loop, same output schema;
+    the rings travel as JSON for the same Arrow reason as shuffle mode."""
+
+    def cover_rows(batches):
+        import json
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_cells, out_ids, out_int = [], [], []
+            for pid, rings_json in zip(pdf["polygon_id"], pdf["rings_json"]):
+                rings_np = [
+                    (
+                        np.array([v["lon"] for v in ring], dtype=np.int64),
+                        np.array([v["lat"] for v in ring], dtype=np.int64),
+                    )
+                    for ring in json.loads(rings_json)
+                ]
+                cs, interior = be.polygon_cover_classified_multi(rings_np, res)
+                out_cells.extend(int(c) for c in cs)
+                out_ids.extend(pid for _ in range(len(cs)))
+                out_int.extend(bool(t) for t in interior)
+            yield pd.DataFrame({"cell": out_cells, "polygon_id": out_ids, "interior": out_int})
+
+    return polygons.select(
+        "polygon_id", F.to_json(_rings_col(polygons)).alias("rings_json")
+    ).mapInPandas(cover_rows, schema="cell long, polygon_id string, interior boolean")
 
 
 def pip_join_shuffle(

@@ -319,3 +319,21 @@ def test_s2_cover_sound_polar_adjacent():
     xs = np.array([100_000_000, 300_000_000, 300_000_000, 100_000_000], dtype=np.int64)
     ys = np.array([880_000_000, 880_000_000, 890_000_000, 890_000_000], dtype=np.int64)
     _check_cover_sound(xs, ys, 8, rng)
+
+
+def test_pip_join_distributed_cover_equal(holes_points, holes_polys):
+    """r4: at/above ``distributed_cover_threshold`` the classified covers
+    are computed in ``mapInPandas`` instead of a driver loop — results
+    must be identical (same kernel, different placement)."""
+    from osmflat_rs_spark.operators.spatial_join import pip_join
+
+    want = sorted(
+        r["pid"] for r in pip_join(holes_points, holes_polys, point_id="pid").collect()
+    )
+    got = sorted(
+        r["pid"]
+        for r in pip_join(
+            holes_points, holes_polys, point_id="pid", distributed_cover_threshold=1
+        ).collect()
+    )
+    assert got == want and len(want) > 0
