@@ -308,12 +308,16 @@ def polygon_cover_classified(xs: np.ndarray, ys: np.ndarray, res: int) -> tuple[
     ring (the :class:`CellBackend` primitive; multi-ring composition
     lives in the backend base class). ``res`` is the S2 level; res ≥ 2
     (the refinement roots are the 96 level-2 cells)."""
-    from osmflat_rs_spark.functions.pip import points_in_polygon
+    from osmflat_rs_spark.functions.pip import _assert_domain, points_in_polygon
 
     if not _ROOT_LEVEL <= res <= MAX_LEVEL:
         raise ValueError(f"s2 cover level must be in [{_ROOT_LEVEL}, {MAX_LEVEL}], got {res}")
     xs = np.asarray(xs, dtype=np.int64)
     ys = np.asarray(ys, dtype=np.int64)
+    # the exact-int segment/orientation tests share the PIP kernel's
+    # overflow-free domain argument — assert it up front (the kernel
+    # itself only asserts on the no-edge-hit classification path)
+    _assert_domain(np.array([], dtype=np.int64), np.array([], dtype=np.int64), xs, ys)
     bx_lo, bx_hi = int(xs.min()), int(xs.max())
     by_lo, by_hi = int(ys.min()), int(ys.max())
 
