@@ -54,6 +54,26 @@ class CellBackend:
     ) -> tuple[np.ndarray, np.ndarray]:
         raise NotImplementedError
 
+    def bbox_cover(
+        self, lat_lo: int, lat_hi: int, lon_lo: int, lon_hi: int, res: int
+    ) -> np.ndarray:
+        """SUPERSET of the cells intersecting the closed fixed-point bbox
+        (r4 — the kNN candidate primitive). Backends without a bbox
+        primitive raise; the kNN operator then requires the Morton
+        default."""
+        raise NotImplementedError(f"backend {self.name!r} implements no bbox cover")
+
+    def disk_cover(self, lat_fixed: int, lon_fixed: int, radius_m: float, res: int) -> np.ndarray:
+        """Cells covering a geodesic disk: composed generically from the
+        exact disk-bbox geometry (``cells.disk_bbox_fixed`` — haversine
+        sphere, spherical-cap meridian bound, antimeridian split, pole
+        rule) and the backend's ``bbox_cover``, so every backend's kNN
+        settledness guarantee rests on the SAME geometry."""
+        lat_lo, lat_hi, intervals = cells.disk_bbox_fixed(int(lat_fixed), int(lon_fixed), radius_m)
+        covers = [self.bbox_cover(lat_lo, lat_hi, lo, hi, res) for lo, hi in intervals]
+        out = np.concatenate(covers) if len(covers) > 1 else covers[0]
+        return np.unique(out)
+
     def polygon_cover_classified_multi(
         self, rings: list[tuple[np.ndarray, np.ndarray]], res: int
     ) -> tuple[np.ndarray, np.ndarray]:
@@ -110,6 +130,9 @@ class MortonBackend(CellBackend):
 
     def polygon_cover_classified(self, xs, ys, res):
         return cells.polygon_cover_classified(xs, ys, res)
+
+    def bbox_cover(self, lat_lo, lat_hi, lon_lo, lon_hi, res):
+        return cells.bbox_cover(lat_lo, lat_hi, lon_lo, lon_hi, res)
 
 
 class H3Backend(CellBackend):
@@ -259,6 +282,9 @@ class S2Backend(CellBackend):
     def polygon_cover_classified(self, xs, ys, res):
         return self._s2.polygon_cover_classified(xs, ys, res)
 
+    def bbox_cover(self, lat_lo, lat_hi, lon_lo, lon_hi, res):
+        return self._s2.bbox_cover_fixed(lat_lo, lat_hi, lon_lo, lon_hi, res)
+
 
 class RowMajorBackend(CellBackend):
     """Row-major grid IDs over the same quantization as Morton — a second
@@ -300,6 +326,11 @@ class RowMajorBackend(CellBackend):
         cs, interior = cells.polygon_cover_classified(xs, ys, res)
         ix, iy = cells.cell_to_grid_np(cs, res)
         return self._id_np(ix, iy, res), interior
+
+    def bbox_cover(self, lat_lo, lat_hi, lon_lo, lon_hi, res):
+        cs = cells.bbox_cover(lat_lo, lat_hi, lon_lo, lon_hi, res)
+        ix, iy = cells.cell_to_grid_np(cs, res)
+        return self._id_np(ix, iy, res)
 
 
 def _require_h3_v4(h3_mod) -> None:

@@ -330,17 +330,16 @@ def _grid_supercover(x0: int, y0: int, x1: int, y1: int, res: int) -> set[tuple[
     return out
 
 
-def disk_cover(lat_fixed: int, lon_fixed: int, radius_m: float, res: int) -> np.ndarray:
-    """Cells intersecting the bbox that circumscribes a geodesic disk —
-    the kNN ring-expansion primitive. Conservative: bbox ⊇ disk on the
-    SAME sphere (EARTH_RADIUS_M) the haversine kernel uses, so
-    ``kth_dist ≤ radius ⇒ settled`` is a sound exactness guarantee.
-
-    Longitude uses the spherical-cap bounding meridian
-    ``Δλ = asin(sin c / cos φ)`` (the cap's extreme-longitude point lies
-    POLEWARD of the center, where a cos(center-lat)-only bound is too
-    narrow — ADVICE r01 high); when the cap reaches a pole
-    (|φ| + c ≥ π/2) all longitudes are covered."""
+def disk_bbox_fixed(lat_fixed: int, lon_fixed: int, radius_m: float) -> tuple[int, int, list[tuple[int, int]]]:
+    """(lat_lo, lat_hi, [(lon_lo, lon_hi), ...]) — the fixed-point
+    rectangle(s) circumscribing a geodesic disk, on the SAME sphere
+    (EARTH_RADIUS_M) the haversine kernel uses, so ``kth_dist <= radius =>
+    settled`` stays a sound exactness guarantee. Two lon intervals when
+    the disk crosses the antimeridian; one full-range interval when the
+    cap reaches a pole. Backend-agnostic (extracted in r4 so S2 disk
+    covers share the exact geometry with Morton's — the spherical-cap
+    bounding meridian dLambda = asin(sin c / cos phi) and the pole rule,
+    ADVICE r01 high)."""
     import math
 
     from osmflat_rs_spark.functions.geo import EARTH_RADIUS_M
@@ -356,18 +355,27 @@ def disk_cover(lat_fixed: int, lon_fixed: int, radius_m: float, res: int) -> np.
     lat_hi = min(_LAT_OFF - 1, lat_fixed + dlat)
     lon_lo, lon_hi = lon_fixed - dlon, lon_fixed + dlon
     if lon_hi - lon_lo >= 2 * _LON_OFF - 1:
-        return bbox_cover(lat_lo, lat_hi, -_LON_OFF, _LON_OFF - 1, res)
-    # antimeridian wrap: a disk crossing ±180° covers TWO lon intervals —
+        return lat_lo, lat_hi, [(-_LON_OFF, _LON_OFF - 1)]
+    # antimeridian wrap: a disk crossing +-180 covers TWO lon intervals —
     # clamping alone would silently drop the far-side cells and break the
-    # 'settled ⇒ exact' guarantee for cross-meridian neighbors
-    covers = []
+    # 'settled => exact' guarantee for cross-meridian neighbors
+    intervals = []
     if lon_lo < -_LON_OFF:
-        covers.append(bbox_cover(lat_lo, lat_hi, lon_lo + 2 * _LON_OFF, _LON_OFF - 1, res))
+        intervals.append((lon_lo + 2 * _LON_OFF, _LON_OFF - 1))
         lon_lo = -_LON_OFF
     if lon_hi >= _LON_OFF:
-        covers.append(bbox_cover(lat_lo, lat_hi, -_LON_OFF, lon_hi - 2 * _LON_OFF, res))
+        intervals.append((-_LON_OFF, lon_hi - 2 * _LON_OFF))
         lon_hi = _LON_OFF - 1
-    covers.append(bbox_cover(lat_lo, lat_hi, lon_lo, lon_hi, res))
+    intervals.append((lon_lo, lon_hi))
+    return lat_lo, lat_hi, intervals
+
+
+def disk_cover(lat_fixed: int, lon_fixed: int, radius_m: float, res: int) -> np.ndarray:
+    """Morton cells intersecting the bbox that circumscribes a geodesic
+    disk — the kNN ring-expansion primitive (see ``disk_bbox_fixed`` for
+    the sphere/antimeridian/pole geometry)."""
+    lat_lo, lat_hi, intervals = disk_bbox_fixed(lat_fixed, lon_fixed, radius_m)
+    covers = [bbox_cover(lat_lo, lat_hi, lo, hi, res) for lo, hi in intervals]
     return np.unique(np.concatenate(covers)) if len(covers) > 1 else covers[0]
 
 

@@ -379,3 +379,63 @@ def polygon_cover_classified(xs: np.ndarray, ys: np.ndarray, res: int) -> tuple[
     giy = np.concatenate(out_iy)
     interior = np.concatenate(out_int)
     return _cell_id(faces, res, gix, giy), interior
+
+def bbox_cover_fixed(lat_lo: int, lat_hi: int, lon_lo: int, lon_hi: int, res: int) -> np.ndarray:
+    """S2 cells at level ``res`` forming a SUPERSET of the cells that
+    intersect the closed fixed-point bbox — the kNN disk-cover primitive
+    (hierarchical refinement against the rect, same machinery as the
+    polygon cover but with trivial interval-intersection tests).
+
+    A cell is kept when its conservative rect intersects the bbox; a
+    cell whose rect lies entirely inside the bbox emits all its
+    level-``res`` descendants wholesale (their patches are inside the
+    parent's rect, hence intersect the bbox)."""
+    if not _ROOT_LEVEL <= res <= MAX_LEVEL:
+        raise ValueError(f"s2 cover level must be in [{_ROOT_LEVEL}, {MAX_LEVEL}], got {res}")
+
+    out_faces: list[np.ndarray] = []
+    out_ix: list[np.ndarray] = []
+    out_iy: list[np.ndarray] = []
+
+    def emit_block(face: int, level: int, ix: int, iy: int) -> None:
+        k = res - level
+        side = 1 << k
+        gi, gj = np.meshgrid(
+            np.arange(ix << k, (ix << k) + side, dtype=np.int64),
+            np.arange(iy << k, (iy << k) + side, dtype=np.int64),
+        )
+        out_faces.append(np.full(gi.size, face, dtype=np.int64))
+        out_ix.append(gi.ravel())
+        out_iy.append(gj.ravel())
+
+    stack: list[tuple[int, int, int, int]] = [
+        (f, _ROOT_LEVEL, i, j)
+        for f in range(6)
+        for i in range(1 << _ROOT_LEVEL)
+        for j in range(1 << _ROOT_LEVEL)
+    ]
+    while stack:
+        face, level, ix, iy = stack.pop()
+        c_lat_lo, c_lat_hi, c_lon_lo, c_lon_hi, full_lon = _cell_rect_fixed(face, level, ix, iy)
+        if c_lat_hi < lat_lo or c_lat_lo > lat_hi:
+            continue
+        lon_overlap = full_lon or not (c_lon_hi < lon_lo or c_lon_lo > lon_hi)
+        if not lon_overlap:
+            continue
+        inside = (
+            not full_lon
+            and c_lat_lo >= lat_lo
+            and c_lat_hi <= lat_hi
+            and c_lon_lo >= lon_lo
+            and c_lon_hi <= lon_hi
+        )
+        if inside or level == res:
+            emit_block(face, level, ix, iy)
+        else:
+            for di in (0, 1):
+                for dj in (0, 1):
+                    stack.append((face, level + 1, 2 * ix + di, 2 * iy + dj))
+
+    if not out_faces:
+        return np.array([], dtype=np.int64)
+    return _cell_id(np.concatenate(out_faces), res, np.concatenate(out_ix), np.concatenate(out_iy))

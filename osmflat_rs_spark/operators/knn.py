@@ -68,6 +68,7 @@ def knn_join_bulk(
     id_col: str = "node_idx",
     exact_fallback: bool = True,
     broadcast_cover: bool = True,
+    backend=None,
 ) -> DataFrame:
     """Fully-distributed kNN — no driver loop, no per-round collect
     (contrast: ``knn_join`` below iterates driver-side, right for dozens
@@ -107,8 +108,21 @@ def knn_join_bulk(
     ``exact_fallback=False`` drops the brute-force rescue branch from the
     plan entirely — use when settledness is guaranteed/asserted (e.g. the
     driver gate, which verifies it in tests): the whole plan is then the
-    cell equi-join with zero full-corpus scans."""
+    cell equi-join with zero full-corpus scans.
+
+    ``backend`` (r4): a ``functions.cell_backend.CellBackend`` supplying
+    point encode + disk/bbox covers (default Morton). The settledness
+    guarantee is backend-independent — every backend's disk cover is
+    composed from the SAME exact disk-bbox geometry
+    (``cells.disk_bbox_fixed``) and the backend's superset
+    ``bbox_cover``. Non-Morton backends require an explicit ``res``
+    (resolution scales are scheme-specific)."""
+    from osmflat_rs_spark.functions.cell_backend import MortonBackend
+
     spark = points.sparkSession
+    be = backend or MortonBackend()
+    if res is None and not isinstance(be, MortonBackend):
+        raise ValueError(f"backend {be.name!r} requires an explicit res")
     if res is None:
         # size cells to the search radius (~16 cover cells per query):
         # a res too coarse for the radius makes every covered cell drag
@@ -132,7 +146,7 @@ def knn_join_bulk(
             F.col(id_col).alias("_nid"), F.col("lat").cast("long"), F.col("lon").cast("long")
         )
         .filter(F.col("lat").isNotNull() & F.col("lon").isNotNull())
-        .withColumn("cell", cells.cell_id_expr(F.col("lat"), F.col("lon"), res))
+        .withColumn("cell", be.cell_expr(F.col("lat"), F.col("lon"), res))
     )
 
     def gen_cover(batches):
@@ -145,11 +159,11 @@ def knn_join_bulk(
             rows = {"query_id": [], "q_lat": [], "q_lon": [], "cell": []}
             for qid, la, lo in zip(pdf["query_id"], pdf["lat"], pdf["lon"]):
                 if metric == "sqeuclid":
-                    cover_cells = cells.bbox_cover(
+                    cover_cells = be.bbox_cover(
                         int(la) - r_int, int(la) + r_int, int(lo) - r_int, int(lo) + r_int, res
                     )
                 else:
-                    cover_cells = cells.disk_cover(int(la), int(lo), radius_m, res)
+                    cover_cells = be.disk_cover(int(la), int(lo), radius_m, res)
                 for c in cover_cells:
                     rows["query_id"].append(qid)
                     rows["q_lat"].append(int(la))

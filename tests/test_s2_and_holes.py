@@ -337,3 +337,39 @@ def test_pip_join_distributed_cover_equal(holes_points, holes_polys):
         ).collect()
     )
     assert got == want and len(want) > 0
+
+
+def test_knn_bulk_backend_agnostic_s2(spark):
+    """r4: kNN through the backend seam — the exact operator must return
+    identical results for Morton and S2 cells (both metrics), since
+    every backend's disk cover composes the same exact disk-bbox
+    geometry with a superset bbox_cover."""
+    from osmflat_rs_spark.operators.knn import knn_join_bulk
+
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "node_idx": np.arange(4000, dtype=np.int64),
+                "lat": (525_000_000 + (np.arange(4000) * 48271) % 2_000_000).astype(np.int64),
+                "lon": (133_000_000 + (np.arange(4000) * 16807) % 3_000_000).astype(np.int64),
+            }
+        )
+    ).repartition(8)
+    q = spark.createDataFrame(
+        [(f"q{i}", 525_200_000 + i * 173_000, 133_300_000 + i * 317_000) for i in range(5)],
+        schema="query_id string, lat long, lon long",
+    )
+
+    for metric, radius in (("sqeuclid", 600_000.0), ("haversine", 60_000.0)):
+        want = sorted(
+            (r["query_id"], r["rank"], r["node_idx"])
+            for r in knn_join_bulk(pts, q, k=5, radius_m=radius, metric=metric).collect()
+        )
+        got = sorted(
+            (r["query_id"], r["rank"], r["node_idx"])
+            for r in knn_join_bulk(
+                pts, q, k=5, radius_m=radius, metric=metric, res=11,
+                backend=get_backend("s2"),
+            ).collect()
+        )
+        assert got == want and len(want) == 25, (metric, len(want))
