@@ -116,7 +116,12 @@ def knn_join_bulk(
     composed from the SAME exact disk-bbox geometry
     (``cells.disk_bbox_fixed``) and the backend's superset
     ``bbox_cover``. Non-Morton backends require an explicit ``res``
-    (resolution scales are scheme-specific)."""
+    (resolution scales are scheme-specific). SCALE CONTRACT (r5): only
+    the Morton default has a whole-batch vectorized cover stage (zero
+    per-query Python); S2/H3 covers run one Python cover call per query
+    (S2: a hierarchical refinement costing ~ms per query even with the
+    rect memo) — fine for thousands of queries, unsuitable for the
+    documented 1M-query bulk design point. Use Morton there."""
     from osmflat_rs_spark.functions.cell_backend import MortonBackend
 
     spark = points.sparkSession
@@ -149,14 +154,17 @@ def knn_join_bulk(
         .withColumn("cell", be.cell_expr(F.col("lat"), F.col("lon"), res))
     )
 
+    morton_fast = isinstance(be, MortonBackend)
+
     def gen_cover(batches):
         import math
 
+        import numpy as np
         import pandas as pd
 
         r_int = int(math.ceil(radius_m))  # ceil: the bbox must contain the metric disk
-        for pdf in batches:
-            rows = {"query_id": [], "q_lat": [], "q_lon": [], "cell": []}
+
+        def scalar_rows(pdf, rows):
             for qid, la, lo in zip(pdf["query_id"], pdf["lat"], pdf["lon"]):
                 if metric == "sqeuclid":
                     cover_cells = be.bbox_cover(
@@ -169,7 +177,49 @@ def knn_join_bulk(
                     rows["q_lat"].append(int(la))
                     rows["q_lon"].append(int(lo))
                     rows["cell"].append(int(c))
-            yield pd.DataFrame(rows)
+
+        for pdf in batches:
+            if not morton_fast:
+                # non-Morton: per-query cover loop (see docstring contract)
+                rows = {"query_id": [], "q_lat": [], "q_lon": [], "cell": []}
+                scalar_rows(pdf, rows)
+                yield pd.DataFrame(rows)
+                continue
+            # Morton: whole-batch NumPy (r5, VERDICT r4 #4 — no per-query
+            # Python). sqeuclid covers the ±r bbox; haversine covers the
+            # geodesic-disk bbox, vectorized for the common case with the
+            # rare pole/antimeridian rows routed through the exact scalar
+            # two-interval form.
+            la = pdf["lat"].to_numpy(np.int64)
+            lo = pdf["lon"].to_numpy(np.int64)
+            if metric == "sqeuclid":
+                cells_arr, owner = cells.bbox_cover_batch(
+                    la - r_int, la + r_int, lo - r_int, lo + r_int, res
+                )
+                hard_idx = np.array([], dtype=np.int64)
+            else:
+                lat_lo, lat_hi, lon_lo, lon_hi, simple = cells.disk_bbox_fixed_batch(
+                    la, lo, radius_m
+                )
+                s = np.flatnonzero(simple)
+                cells_arr, owner_s = cells.bbox_cover_batch(
+                    lat_lo[s], lat_hi[s], lon_lo[s], lon_hi[s], res
+                )
+                owner = s[owner_s]
+                hard_idx = np.flatnonzero(~simple)
+            out = pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy()[owner],
+                    "q_lat": la[owner],
+                    "q_lon": lo[owner],
+                    "cell": cells_arr,
+                }
+            )
+            if len(hard_idx):
+                rows = {"query_id": [], "q_lat": [], "q_lon": [], "cell": []}
+                scalar_rows(pdf.iloc[hard_idx], rows)
+                out = pd.concat([out, pd.DataFrame(rows)], ignore_index=True)
+            yield out
 
     cover = queries.select("query_id", "lat", "lon").mapInPandas(
         gen_cover, schema="query_id string, q_lat long, q_lon long, cell long"

@@ -349,3 +349,68 @@ def test_cell_id_expr_propagates_null_coords(spark):
     rows = {r["i"]: r["c"] for r in df.select("i", cell_id_expr(F.col("lat"), F.col("lon"), 14).alias("c")).collect()}
     assert rows[1] is not None
     assert rows[2] is None and rows[3] is None
+
+
+def test_bbox_cover_batch_matches_scalar():
+    """r5 (VERDICT r4 #4): the vectorized batch cover must reproduce the
+    per-query scalar cover cell-for-cell, per owner, on random bboxes
+    including degenerate (point) and clamped (out-of-domain) ones."""
+    import numpy as np
+
+    from osmflat_rs_spark.functions import cells
+
+    rng = np.random.default_rng(7)
+    n = 200
+    lat_c = rng.integers(-900_000_000, 900_000_000, n)
+    lon_c = rng.integers(-1_800_000_000, 1_800_000_000, n)
+    half = rng.integers(0, 3_000_000, n)
+    lat_lo, lat_hi = lat_c - half, lat_c + half
+    lon_lo, lon_hi = lon_c - half, lon_c + half
+    # degenerate + clamped corner cases
+    lat_lo[0] = lat_hi[0] = 0
+    lon_lo[0] = lon_hi[0] = 0
+    lat_lo[1], lat_hi[1] = -2_000_000_000, -890_000_000
+    for res in (6, 12, 18):
+        got_cells, owner = cells.bbox_cover_batch(lat_lo, lat_hi, lon_lo, lon_hi, res)
+        for q in range(n):
+            want = sorted(
+                int(c)
+                for c in cells.bbox_cover(
+                    int(lat_lo[q]), int(lat_hi[q]), int(lon_lo[q]), int(lon_hi[q]), res
+                )
+            )
+            got = sorted(int(c) for c in got_cells[owner == q])
+            assert got == want, (res, q)
+
+
+def test_disk_bbox_fixed_batch_matches_scalar():
+    """Common-case rows reproduce the scalar bbox exactly; pole/wrap rows
+    are flagged not-simple (and only those)."""
+    import numpy as np
+
+    from osmflat_rs_spark.functions import cells
+
+    rng = np.random.default_rng(11)
+    n = 300
+    lat = rng.integers(-898_000_000, 898_000_000, n)
+    lon = rng.integers(-1_799_000_000, 1_799_000_000, n)
+    lat[0], lon[0] = 899_999_000, 0  # near-pole
+    lat[1], lon[1] = 0, 1_799_999_500  # antimeridian wrap
+    for radius_m in (500.0, 50_000.0):
+        b_lat_lo, b_lat_hi, b_lon_lo, b_lon_hi, simple = cells.disk_bbox_fixed_batch(
+            lat, lon, radius_m
+        )
+        for q in range(n):
+            s_lat_lo, s_lat_hi, intervals = cells.disk_bbox_fixed(
+                int(lat[q]), int(lon[q]), radius_m
+            )
+            if simple[q]:
+                assert len(intervals) == 1
+                assert (int(b_lat_lo[q]), int(b_lat_hi[q])) == (s_lat_lo, s_lat_hi)
+                assert (int(b_lon_lo[q]), int(b_lon_hi[q])) == intervals[0]
+            else:
+                # flagged rows really are the pole/wrap cases
+                assert len(intervals) > 1 or intervals[0] == (
+                    -1_800_000_000,
+                    1_799_999_999,
+                ) or int(b_lon_lo[q]) < -1_800_000_000 or int(b_lon_hi[q]) >= 1_800_000_000
