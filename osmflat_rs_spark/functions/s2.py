@@ -171,6 +171,10 @@ def cell_id_np(lat_fixed: np.ndarray, lon_fixed: np.ndarray, level: int) -> np.n
 # ---------------------------------------------------------------------------
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1 << 17)
 def _cell_rect_fixed(face: int, level: int, ix: int, iy: int):
     """(lat_lo, lat_hi, lon_lo, lon_hi, full_lon) — a fixed-point rect
     guaranteed to contain every point whose encode lands in this cell.
@@ -379,6 +383,26 @@ def polygon_cover_classified(xs: np.ndarray, ys: np.ndarray, res: int) -> tuple[
     giy = np.concatenate(out_iy)
     interior = np.concatenate(out_int)
     return _cell_id(faces, res, gix, giy), interior
+
+def descendant_id_range(cell: int, level: int, target_level: int) -> tuple[int, int]:
+    """``[lo, hi)`` of the level-``target_level`` ids descending from the
+    given level-``level`` cell — the cell-range pruning predicate for
+    S2-clustered storage layouts (r5).
+
+    Sound because the Hilbert curve is hierarchical: the four children of
+    a cell with curve position ``p`` occupy positions ``[4p, 4p+4)``, so
+    level-``target_level`` descendants occupy the contiguous position
+    block ``[p·4^k, (p+1)·4^k)`` (k = target_level − level), and the id
+    layout ``(face << (2L+1)) | (pos << 1) | 1`` is monotone in pos
+    within a face."""
+    if not (_ROOT_LEVEL <= level <= target_level <= MAX_LEVEL):
+        raise ValueError(f"need {_ROOT_LEVEL} <= level <= target_level <= {MAX_LEVEL}")
+    k = target_level - level
+    face = int(cell) >> (2 * level + 1)
+    pos = (int(cell) >> 1) & ((1 << (2 * level)) - 1)
+    base = face << (2 * target_level + 1)
+    return (base | ((pos << 2 * k) << 1) | 1, base | (((pos + 1) << 2 * k) << 1) | 1)
+
 
 def bbox_cover_fixed(lat_lo: int, lat_hi: int, lon_lo: int, lon_hi: int, res: int) -> np.ndarray:
     """S2 cells at level ``res`` forming a SUPERSET of the cells that

@@ -72,3 +72,45 @@ def test_h3_backend_if_available(tables, poly_df):
         for r in pip_join(tables["nodes"], poly_df, cover_res=7, backend=get_backend("h3")).collect()
     )
     assert got == want
+
+
+def test_h3ronpy_probe_shared_and_symbol_aware(monkeypatch):
+    """ADVICE r04 (medium): the vectorized-encode probe must resolve the
+    ACTUAL symbol (h3ronpy.vector names it coordinates_to_cells; older
+    releases latlng_to_cells) and the same probe must drive both the
+    encode and cell_expr's slow-path warning. Simulated with a fake
+    h3ronpy module since the wheel is absent in this image."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from osmflat_rs_spark.functions.cell_backend import H3Backend
+
+    # image truth: no wheel -> probe returns None (per-point fallback)
+    assert H3Backend._vectorized_encoder() is None
+
+    calls = {}
+
+    def fake_coordinates_to_cells(la, lo, res):
+        calls["args"] = (np.asarray(la), np.asarray(lo), res)
+        return np.array([0x8928308280FFFFF] * len(la), dtype=np.uint64)
+
+    pkg = types.ModuleType("h3ronpy")
+    vec = types.ModuleType("h3ronpy.vector")
+    vec.coordinates_to_cells = fake_coordinates_to_cells
+    pkg.vector = vec
+    monkeypatch.setitem(sys.modules, "h3ronpy", pkg)
+    monkeypatch.setitem(sys.modules, "h3ronpy.vector", vec)
+
+    assert H3Backend._vectorized_encoder() is fake_coordinates_to_cells
+    # _encode_batch must route through the probed symbol (no h3 wheel
+    # needed on this path: the import h3 below would fail if reached)
+    out = H3Backend._encode_batch(np.array([1.0, 2.0]), np.array([3.0, 4.0]), 9)
+    assert calls["args"][2] == 9
+    assert len(out) == 2 and out.dtype == np.int64
+
+    # a module exposing only the LEGACY name still resolves
+    del vec.coordinates_to_cells
+    vec.latlng_to_cells = fake_coordinates_to_cells
+    assert H3Backend._vectorized_encoder() is fake_coordinates_to_cells

@@ -31,6 +31,43 @@ def test_parquet_filter_pushdown_and_pruning(spark, tables, tmp_path):
     assert "tags" not in read_schema and "lat" not in read_schema
 
 
+@pytest.mark.parametrize("backend_name", ["morton", "s2"])
+def test_cell_clustered_layout_prunes_per_backend(spark, tables, tmp_path, backend_name):
+    """r5 (VERDICT r4 #2): the backend seam reaches the STORAGE layout —
+    ``cluster_by_cell(backend=)`` + catalog ``order_by`` produce a
+    cell-clustered committed table in the chosen scheme, and the
+    backend's ``cell_range`` descendant interval is a pushed-down scan
+    predicate that returns exactly the parent cell's points."""
+    from osmflat_rs_spark.functions.cell_backend import get_backend
+    from osmflat_rs_spark.functions.cells import cluster_by_cell
+    from osmflat_rs_spark.sources.catalog import SnapshotCatalog
+
+    be = get_backend(backend_name)
+    res, coarse = 14, 8
+    cat = SnapshotCatalog(spark, str(tmp_path / f"wh_{backend_name}"))
+    clustered = cluster_by_cell(tables["nodes"], res=res, num_partitions=4, backend=be)
+    cat.append(f"nodes_{backend_name}", clustered, order_by=["cell"])
+    df = cat.read(f"nodes_{backend_name}")
+
+    # pick a coarse parent cell that actually contains data
+    import numpy as np
+
+    sample = tables["nodes"].select("lat", "lon").dropna().limit(1).collect()[0]
+    parent = int(be.cell_np(np.array([sample["lat"]]), np.array([sample["lon"]]), coarse)[0])
+    lo, hi = be.cell_range(parent, coarse, res)
+    q = df.filter((F.col("cell") >= lo) & (F.col("cell") < hi)).select("node_idx", "cell")
+    plan = _plan(q)
+    assert "PushedFilters" in plan and "cell" in plan.split("PushedFilters")[1][:200]
+
+    # semantic soundness: the range returns EXACTLY the rows whose coarse
+    # encode is the parent (descendant interval == subtree membership)
+    got = {r["node_idx"] for r in q.collect()}
+    rows = tables["nodes"].select("node_idx", "lat", "lon").dropna().toPandas()
+    coarse_cells = be.cell_np(rows["lat"].to_numpy(), rows["lon"].to_numpy(), coarse)
+    want = set(rows.loc[coarse_cells == parent, "node_idx"])
+    assert got == want and len(want) > 0
+
+
 def test_pip_join_plan_is_broadcast_plus_codegen(tables, poly_df):
     from osmflat_rs_spark.operators.spatial_join import pip_join
 
