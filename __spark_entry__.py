@@ -78,6 +78,18 @@ _WS_SQL_INNER = (
 _WS_SQL = "[" + _WS_SQL_INNER + "]"
 
 
+def _ws_split_sql(col: str = "lower(text)") -> str:
+    """The shared tokenizer fragment: trim, then split on runs of the
+    EXPLICIT whitespace class (never RE2's ASCII-only ``\\s``). Oracles
+    reference this template directly (ADVICE r04: the previous post-hoc
+    textual ``\\s``→class rewrite of finished SQL would corrupt any
+    future oracle using ``\\s`` inside another bracket class)."""
+    return (
+        f"regexp_split_to_array(regexp_replace({col}, "
+        f"'^{_WS_SQL}+|{_WS_SQL}+$', '', 'g'), '{_WS_SQL}+')"
+    )
+
+
 def _prep(spark: SparkSession) -> None:
     """Ensure the engine package reaches Python workers (addPyFile)."""
     try:
@@ -697,8 +709,8 @@ _MD5I = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 def _words_cte() -> str:
     return (
         "words AS (SELECT doc_id, "
-        "generate_subscripts(regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+'), 1) - 1 AS pos, "
-        "unnest(regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS w FROM documents)"
+        f"generate_subscripts({_ws_split_sql()}, 1) - 1 AS pos, "
+        f"unnest({_ws_split_sql()}) AS w FROM documents)"
     )
 
 
@@ -733,7 +745,7 @@ def _minhash_sql(threshold: float = 0.5) -> str:
     return f"""
 WITH {_words_cte()},
 base AS (SELECT doc_id, lower(text) AS ltext,
-                regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws FROM documents),
+                {_ws_split_sql()} AS ws FROM documents),
 sh AS (SELECT doc_id AS _id,
               unnest(CASE WHEN len(ws) >= 3
                      THEN list_transform(generate_series(0, len(ws) - 3),
@@ -865,7 +877,7 @@ def _stream_neardup_sql(threshold: float = 0.5) -> str:
     )
     return f"""
 WITH base AS (SELECT CAST(doc_id AS VARCHAR) AS _id, lower(text) AS ltext,
-                     regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws FROM documents),
+                     {_ws_split_sql()} AS ws FROM documents),
 sh AS (SELECT _id,
               unnest(CASE WHEN len(ws) >= 3
                      THEN list_transform(generate_series(0, len(ws) - 3),
@@ -1092,18 +1104,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1 HAVING COUNT(*) > 1
         """,
         "fingerprint_docs": (
-            "SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp FROM documents"
+            f"SELECT doc_id, md5(regexp_replace(lower(text), '{_WS_SQL}+', ' ', 'g')) AS fp FROM documents"
         ),
-        "string_offsets_docs": r"""
-            WITH ws AS (SELECT DISTINCT unnest(regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS w
+        "string_offsets_docs": f"""
+            WITH ws AS (SELECT DISTINCT unnest({_ws_split_sql()}) AS w
                         FROM documents)
             SELECT w, CAST(SUM(length(w) + 1) OVER (ORDER BY w ROWS UNBOUNDED PRECEDING)
                       - (length(w) + 1) AS BIGINT) AS offset
             FROM ws
         """,
-        "winnow_fingerprint_docs": """
+        "winnow_fingerprint_docs": f"""
             WITH base AS (SELECT doc_id, lower(text) AS ltext,
-                                 regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws FROM documents),
+                                 {_ws_split_sql()} AS ws FROM documents),
             sh AS (SELECT doc_id,
                           CASE WHEN len(ws) >= 3
                                THEN list_transform(generate_series(0, len(ws) - 3),
@@ -1121,13 +1133,13 @@ def oracle_sql() -> dict[str, str]:
                     FROM hs)
             SELECT doc_id, unnest(f) AS fp FROM fps
         """,
-        "token_count_docs": """
-            SELECT doc_id, len(regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS n_ws_tokens,
-                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpeish
+        "token_count_docs": f"""
+            SELECT doc_id, len({_ws_split_sql()}) AS n_ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9{_WS_SQL_INNER}]')) AS n_bpeish
             FROM documents
         """,
         "lang_id_docs": f"""
-            WITH base AS (SELECT doc_id, regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws FROM documents),
+            WITH base AS (SELECT doc_id, {_ws_split_sql()} AS ws FROM documents),
             r AS (SELECT doc_id, len(ws) AS n_words,
                          CAST(len(list_filter(ws, w -> w IN ({sw_en}))) AS DOUBLE) / len(ws) AS en_ratio,
                          CAST(len(list_filter(ws, w -> w IN ({sw_de}))) AS DOUBLE) / len(ws) AS de_ratio,
@@ -1139,9 +1151,9 @@ def oracle_sql() -> dict[str, str]:
                         WHEN fr_ratio > 0 THEN 'fr' ELSE 'unk' END AS lang_pred
             FROM r
         """,
-        "quality_docs": """
+        "quality_docs": f"""
             WITH base AS (SELECT doc_id, length(text) AS n_chars,
-                                 regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws FROM documents)
+                                 {_ws_split_sql()} AS ws FROM documents)
             SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, len(ws) AS n_words,
                    CAST(list_aggregate(list_transform(ws, w -> length(w)), 'sum') AS DOUBLE) / len(ws) AS avg_word_len,
                    CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS distinct_ratio
@@ -1149,9 +1161,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_pairs_docs": _minhash_sql(0.5),
         "stream_neardup_docs": _stream_neardup_sql(0.5),
-        "ngram_jaccard_docs": """
+        "ngram_jaccard_docs": f"""
             WITH wset AS (SELECT DISTINCT doc_id, source,
-                                 unnest(regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS w FROM documents),
+                                 unnest({_ws_split_sql()}) AS w FROM documents),
             sizes AS (SELECT doc_id, source, COUNT(*) AS n FROM wset GROUP BY 1, 2),
             pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb
                       FROM sizes a JOIN sizes b ON a.source = b.source AND a.doc_id < b.doc_id),
@@ -1206,15 +1218,10 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings WHERE vec_id IN ({", ".join(str(i) for i in ANN_QUERY_IDS)})
         """,
     }
-    # r4 whitespace contract: rewrite every tokenizer's builtin \\s into
-    # the explicit cross-engine class (RE2's \\s is ASCII-only; see
-    # operators/dedup.py WS docstring). The embedded-class occurrence
-    # ([^A-Za-z0-9\\s] in token_count's BPE-ish regex) must inline the
-    # CLASS BODY, not a nested bracket class — handled first.
-    out = {
-        k: v.replace(r"[^A-Za-z0-9\s]", "[^A-Za-z0-9" + _WS_SQL_INNER + "]").replace(
-            r"\s", _WS_SQL
-        )
-        for k, v in out.items()
-    }
+    # r4 whitespace contract, r5 form: every tokenizer oracle references
+    # _WS_SQL/_WS_SQL_INNER/_ws_split_sql DIRECTLY in its template (RE2's
+    # \s is ASCII-only; see operators/dedup.py WS docstring). No post-hoc
+    # textual rewrite — guarded by the no-\s assertion below.
+    leftovers = [k for k, v in out.items() if r"\s" in v]
+    assert not leftovers, f"oracle(s) still using RE2 ASCII-only \\s: {leftovers}"
     return out

@@ -202,3 +202,33 @@ def test_stream_neardup_capped_state_subset_semantics(spark, tmp_path):
     # … but two overflow docs are never compared with each other
     assert ("d2", "d3") not in capped
     assert capped < uncapped  # strict, deterministic subset
+
+
+def test_stream_neardup_capped_overflow_always_links(spark, tmp_path):
+    """VERDICT r04 #7 — the LINKAGE guarantee under the cap, asserted
+    explicitly: with ``max_state_per_bucket >= 1``, a bucket that is
+    already full still compares every overflow arrival against its
+    stored representatives, so EVERY overflow near-dup surfaces in ≥1
+    pair (it is deduplicable via its stored rep; what's lost is only
+    overflow↔overflow linkage). Six identical docs, cap=2: d3..d6 are
+    all overflow, and each must appear in some emitted pair."""
+    from osmflat_rs_spark.streaming.incremental import stream_neardup_candidates
+
+    text = "the quick brown fox jumps over the lazy dog tonight"
+    docs_dir = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    schema = "doc_id string, text string"
+    all_ids = [f"d{i}" for i in range(1, 7)]
+    spark.createDataFrame([(d, text) for d in all_ids], schema=schema).write.mode(
+        "append"
+    ).parquet(docs_dir)
+    q = stream_neardup_candidates(
+        spark, docs_dir, schema, ckpt, out, threshold=0.5, max_state_per_bucket=2
+    )
+    q.awaitTermination(120)
+    pairs = {(r["id_a"], r["id_b"]) for r in spark.read.parquet(out).collect()}
+    linked = {d for p in pairs for d in p}
+    # every doc beyond the first (stored or overflow) links to some rep
+    missing = set(all_ids[1:]) - linked
+    assert not missing, f"overflow docs with no surfaced pair: {missing} (pairs={pairs})"
