@@ -96,11 +96,17 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
     # keeps the warmup pass cheap.
     for name in HEADLINE:
         _force(qs[name](spark, "/root/testdata/sf0.001"))
+    # best-of-N per query (VERDICT r4 #6: this box's run-to-run variance
+    # is ±30%; one mid-band sample made r4's scoreboard read as a
+    # regression that the builder's own repeats didn't show. The scaling
+    # bench already records best-of-trials; the suite now does too.)
+    n_trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        _force(qs[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+    for _trial in range(n_trials):
+        for name in HEADLINE:
+            t0 = time.time()
+            _force(qs[name](spark, sf_dir))
+            timings[name] = round(min(timings.get(name, 1e9), time.time() - t0), 3)
 
     # --- the primary metric: interleaved-docs spatial-join + tiling ------
     from osmflat_rs_spark.fixtures import (
@@ -136,18 +142,22 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
     from osmflat_rs_spark.ingest import unpersist_ingest
 
     unpersist_ingest(wt)  # the warmup's pinned caches must not shadow the timed run
-    t0 = time.time()
-    t = ingest(docs, compute_metrics=False, with_dims=False)
-    nodes = t["nodes"].select("node_idx", "osm_id", "lat", "lon").persist()
-    nodes.count()
-    t = {**t, "nodes": nodes}
-    _force(pip_join(nodes, polys))
-    # road_segments at this scale comes out of an AQE-coalesced shuffle as
-    # ONE partition; explicit fan-out spreads the DDA explode + distinct
-    # (see dda_expand docstring). The 128M-point jobs pin
-    # minPartitionSize instead and keep their natural partitioning.
-    _force(tile_assign_segments(refq.road_segments(t), jvm_tiles=True, fanout_partitions=cpus))
-    dt = time.time() - t0
+    dt = 1e9
+    for _trial in range(n_trials):  # same best-of-N protocol as the suite
+        t0 = time.time()
+        t = ingest(docs, compute_metrics=False, with_dims=False)
+        nodes = t["nodes"].select("node_idx", "osm_id", "lat", "lon").persist()
+        nodes.count()
+        t = {**t, "nodes": nodes}
+        _force(pip_join(nodes, polys))
+        # road_segments at this scale comes out of an AQE-coalesced shuffle
+        # as ONE partition; explicit fan-out spreads the DDA explode +
+        # distinct (see dda_expand docstring). The 128M-point jobs pin
+        # minPartitionSize instead and keep their natural partitioning.
+        _force(tile_assign_segments(refq.road_segments(t), jvm_tiles=True, fanout_partitions=cpus))
+        dt = min(dt, time.time() - t0)
+        unpersist_ingest(t)
+        nodes.unpersist()
     timings["docs_pipeline"] = round(dt, 3)
     docs_per_sec = n_docs / dt
 
@@ -162,6 +172,7 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         "cpus": cpus,
         "n_docs": n_docs,
         "docs_per_sec": round(docs_per_sec, 1),
+        "protocol": f"best-of-{n_trials} per query (box variance ±30%; see BENCH/BASELINE.md)",
     }
 
 
@@ -642,6 +653,134 @@ def run_degrade_job(
     return out
 
 
+def _shuffle_write_bytes(spark) -> int:
+    """Total shuffle-write bytes across completed stages, via the local
+    status REST API (requires ``spark.ui.enabled=true`` in the session).
+    Used only by benches that report shuffle volume as evidence."""
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    with urllib.request.urlopen(f"{base}/api/v1/applications/{app_id}/stages?status=complete") as r:
+        stages = json.loads(r.read())
+    return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+
+
+def run_vertex_degrade_job(
+    spark,
+    cpus: int,
+    n_points: int = 2_000_000,
+    n_polys: int = 1_000,
+    n_vertices: int = 1_024,
+) -> dict:
+    """VERDICT r4 #1 evidence: ``pip_join_shuffle`` at REALISTIC vertex
+    counts (an OSM coastline multipolygon has 10^4+ vertices — the r4
+    degrade bench used 5-vertex squares). Runs the identical
+    1k-polygon × ``n_vertices``-vertex-ring join twice — inline
+    refinement (ring JSON rides every boundary-candidate row: shuffle
+    bytes ∝ candidates × ring size) vs co-grouped refinement (ring ships
+    once per (polygon, salt-bucket) group: geometry bytes independent of
+    the candidate count) — and reports wall time + measured shuffle-write
+    bytes for each, plus the matched result counts."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from osmflat_rs_spark.operators.spatial_join import pip_join_shuffle
+
+    LAT0, LATSPAN = 500_000_000, 100_000_000
+    LON0, LONSPAN = 100_000_000, 200_000_000
+    pts = (
+        spark.range(n_points)
+        .select(
+            F.col("id").alias("node_idx"),
+            (F.lit(LAT0) + (F.col("id") * 48271) % F.lit(LATSPAN)).alias("lat"),
+            (F.lit(LON0) + (F.col("id") * 16807) % F.lit(LONSPAN)).alias("lon"),
+        )
+        .persist()
+    )
+    pts.count()
+
+    # n_polys regular n_vertices-gons (near-circles) on a grid over the
+    # window — every ring is ~n_vertices × ~30 bytes of JSON, the payload
+    # whose per-candidate duplication this bench measures
+    g = int(math.ceil(math.sqrt(n_polys)))
+    cw, ch = LONSPAN // g, LATSPAN // g
+    radius = min(cw, ch) // 4
+    ids, rings = [], []
+    for i in range(n_polys):
+        cx = LON0 + (i % g) * cw + cw // 2
+        cy = LAT0 + (i // g) * ch + ch // 2
+        ring = [
+            (
+                cy + int(radius * math.sin(2 * math.pi * v / n_vertices)),
+                cx + int(radius * math.cos(2 * math.pi * v / n_vertices)),
+            )
+            for v in range(n_vertices)
+        ]
+        ids.append(f"p{i:05d}")
+        rings.append(ring)
+    polys = spark.createDataFrame(
+        pd.DataFrame({"polygon_id": ids, "ring": rings}),
+        schema="polygon_id string, ring array<struct<lat:long,lon:long>>",
+    )
+
+    _force(spark.range(4 * cpus).repartition(2 * cpus).mapInPandas(_warm_pandas_fn(), schema="id long"))
+    out = {"cpus": cpus, "n_points": n_points, "n_polys": n_polys, "n_vertices": n_vertices}
+    counts = {}
+    for mode in ("cogroup", "inline"):
+        b0 = _shuffle_write_bytes(spark)
+        t0 = time.time()
+        counts[mode] = pip_join_shuffle(pts, polys, cover_res=12, refine_mode=mode).count()
+        out[f"{mode}_sec"] = round(time.time() - t0, 3)
+        out[f"{mode}_shuffle_mb"] = round((_shuffle_write_bytes(spark) - b0) / 1e6, 1)
+        print(f"vertex-degrade {mode}: {out[f'{mode}_sec']}s "
+              f"{out[f'{mode}_shuffle_mb']}MB shuffle", file=sys.stderr, flush=True)
+    if counts["cogroup"] != counts["inline"]:
+        raise RuntimeError(f"refine-mode result mismatch: {counts}")
+    out["pairs"] = counts["cogroup"]
+    pts.unpersist()
+    return out
+
+
+def run_encode_bench(spark, cpus: int, n_points: int = 32_000_000) -> dict:
+    """VERDICT r4 #5: measured contract for the cell-encode stage per
+    backend — Morton is a pure-JVM codegen expression; S2 is a
+    NumPy-vectorized Arrow pandas UDF (Python-worker-bound); both timed
+    on the identical synthetic point table. The resulting rows/sec go in
+    the S2Backend docstring as its scale contract."""
+    from pyspark.sql import functions as F
+
+    from osmflat_rs_spark.functions.cell_backend import get_backend
+
+    pts = (
+        spark.range(n_points)
+        .select(
+            (F.lit(500_000_000) + (F.col("id") * 48271) % F.lit(100_000_000)).alias("lat"),
+            (F.lit(100_000_000) + (F.col("id") * 16807) % F.lit(200_000_000)).alias("lon"),
+        )
+        .persist()
+    )
+    pts.count()
+    _force(spark.range(4 * cpus).repartition(2 * cpus).mapInPandas(_warm_pandas_fn(), schema="id long"))
+    out = {"cpus": cpus, "n_points": n_points}
+    for name, res in (("morton", 14), ("s2", 14)):
+        be = get_backend(name)
+        df = pts.withColumn("cell", be.cell_expr(F.col("lat"), F.col("lon"), res))
+        _force(df.limit(100_000))  # warm the path (janino / worker fork)
+        best = 1e9
+        for _ in range(2):
+            t0 = time.time()
+            _force(df)
+            best = min(best, time.time() - t0)
+        out[f"{name}_sec"] = round(best, 3)
+        out[f"{name}_rows_per_sec"] = round(n_points / best)
+        print(f"encode {name}: {out[f'{name}_sec']}s", file=sys.stderr, flush=True)
+    pts.unpersist()
+    return out
+
+
 def run_cluster_worker(
     master_url: str,
     cores_max: int,
@@ -783,6 +922,48 @@ def main():
         )
         out["metric"] = "degrade-path wall-clock (10k-polygon shuffle PIP; 1M-query no-broadcast kNN)"
         out["unit"] = "sec"
+        print(json.dumps(out))
+        spark.stop()
+        return
+
+    if "--degrade-vertex" in sys.argv:
+        from osmflat_rs_spark.session import get_spark
+
+        cpus = CPUS if "--cpus" not in sys.argv else int(sys.argv[sys.argv.index("--cpus") + 1])
+        spark = get_spark(
+            "bench-degrade-vertex",
+            master=f"local[{cpus}]",
+            shuffle_partitions=max(8, 2 * cpus),
+            extra_conf={
+                "spark.ui.enabled": "true",  # shuffle-bytes evidence via status REST
+                "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
+            },
+        )
+        out = run_vertex_degrade_job(
+            spark,
+            cpus,
+            n_points=int(os.environ.get("SPARK_GRAFT_DEGRADE_POINTS", "2000000")),
+            n_polys=int(os.environ.get("SPARK_GRAFT_DEGRADE_POLYS", "1000")),
+            n_vertices=int(os.environ.get("SPARK_GRAFT_DEGRADE_VERTICES", "1024")),
+        )
+        out["metric"] = "large-vertex shuffle-PIP refine modes (wall sec + shuffle-write bytes)"
+        out["unit"] = "sec"
+        print(json.dumps(out))
+        spark.stop()
+        return
+
+    if "--encode" in sys.argv:
+        from osmflat_rs_spark.session import get_spark
+
+        cpus = CPUS if "--cpus" not in sys.argv else int(sys.argv[sys.argv.index("--cpus") + 1])
+        spark = get_spark(
+            "bench-encode", master=f"local[{cpus}]", shuffle_partitions=max(8, 2 * cpus)
+        )
+        out = run_encode_bench(
+            spark, cpus, n_points=int(os.environ.get("SPARK_GRAFT_ENCODE_POINTS", "32000000"))
+        )
+        out["metric"] = "cell-encode throughput per backend (Morton JVM vs S2 pandas UDF)"
+        out["unit"] = "rows/sec"
         print(json.dumps(out))
         spark.stop()
         return
