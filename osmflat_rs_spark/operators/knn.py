@@ -69,6 +69,7 @@ def knn_join_bulk(
     exact_fallback: bool = True,
     broadcast_cover: bool = True,
     backend=None,
+    cell_col: str | None = None,
 ) -> DataFrame:
     """Fully-distributed kNN — no driver loop, no per-round collect
     (contrast: ``knn_join`` below iterates driver-side, right for dozens
@@ -121,13 +122,28 @@ def knn_join_bulk(
     per-query Python); S2/H3 covers run one Python cover call per query
     (S2: a hierarchical refinement costing ~ms per query even with the
     rect memo) — fine for thousands of queries, unsuitable for the
-    documented 1M-query bulk design point. Use Morton there."""
+    documented 1M-query bulk design point. Use Morton there.
+
+    ``cell_col`` (r5 — the bucketed-layout fast path): name of a
+    PRECOMPUTED cell column on ``points`` (written by
+    ``cells.cluster_by_cell`` / a ``write_bucketed(..., 'cell')`` table
+    at the SAME backend and ``res`` — caller contract, so ``res`` must
+    be explicit). With a cell-bucketed table and
+    ``broadcast_cover=False`` the candidate sort-merge join consumes
+    the bucketed scan directly: the point table — the 10^12-row side —
+    is joined with NO Exchange at all; only the query cover shuffles
+    (plan-pinned in tests/test_plans.py)."""
     from osmflat_rs_spark.functions.cell_backend import MortonBackend
 
     spark = points.sparkSession
     be = backend or MortonBackend()
     if res is None and not isinstance(be, MortonBackend):
         raise ValueError(f"backend {be.name!r} requires an explicit res")
+    if cell_col is not None and res is None:
+        raise ValueError(
+            "cell_col requires an explicit res (the resolution the column was "
+            "written at — auto-sizing cannot know it)"
+        )
     if res is None:
         # size cells to the search radius (~16 cover cells per query):
         # a res too coarse for the radius makes every covered cell drag
@@ -146,13 +162,12 @@ def knn_join_bulk(
     # put them at rank 1..n of every unsettled query (ADVICE r03). One
     # explicit filter keeps the two branches consistent — same policy as
     # the phantom-cell null guard in cells._null_if_coords_null.
-    pts = (
-        points.select(
-            F.col(id_col).alias("_nid"), F.col("lat").cast("long"), F.col("lon").cast("long")
-        )
-        .filter(F.col("lat").isNotNull() & F.col("lon").isNotNull())
-        .withColumn("cell", be.cell_expr(F.col("lat"), F.col("lon"), res))
-    )
+    pts = points.select(
+        F.col(id_col).alias("_nid"), F.col("lat").cast("long"), F.col("lon").cast("long"),
+        *([F.col(cell_col).alias("cell")] if cell_col is not None else []),
+    ).filter(F.col("lat").isNotNull() & F.col("lon").isNotNull())
+    if cell_col is None:
+        pts = pts.withColumn("cell", be.cell_expr(F.col("lat"), F.col("lon"), res))
 
     morton_fast = isinstance(be, MortonBackend)
 

@@ -236,6 +236,7 @@ def pip_join_shuffle(
     backend=None,
     refine_mode: str = "cogroup",
     refine_salt: int | None = None,
+    cell_col: str | None = None,
 ) -> DataFrame:
     """Shuffle-mode two-phase PIP join — the 10^12-scale path when the
     polygon table is too large to broadcast. ``backend`` as in
@@ -278,6 +279,14 @@ def pip_join_shuffle(
       shuffle). Right only when rings are tiny (the 5-vertex bench
       squares); kept for the A/B degrade bench (bench.py
       --degrade-vertex measures the crossover).
+
+    ``cell_col`` (r5): name of a PRECOMPUTED cell column on ``points``
+    (same backend, same ``cover_res`` — caller contract; write it with
+    ``cells.cluster_by_cell`` or a cell-bucketed table). With a
+    cell-bucketed point table the candidate sort-merge consumes the
+    bucketed scan with NO point-side Exchange — at 10^12 points the
+    point shuffle IS the job, so this is the layout-aware fast path.
+    Incompatible with ``salt`` (salting rewrites the join key).
     """
     from osmflat_rs_spark.functions.cell_backend import MortonBackend
 
@@ -326,11 +335,16 @@ def pip_join_shuffle(
         "polygon_id", F.to_json(_rings_col(polygons)).alias("rings_json")
     ).mapInPandas(cover_rows, schema=cover_schema)
 
+    if salt and cell_col is not None:
+        raise ValueError("cell_col (bucketed-layout join) is incompatible with salt")
     pts = points.select(
         F.col(point_id).alias("_pt_id"),
         F.col(lat).cast("long").alias("_lat"),
         F.col(lon).cast("long").alias("_lon"),
-    ).withColumn("cell", be.cell_expr(F.col("_lat"), F.col("_lon"), cover_res))
+        *([F.col(cell_col).alias("cell")] if cell_col is not None else []),
+    )
+    if cell_col is None:
+        pts = pts.withColumn("cell", be.cell_expr(F.col("_lat"), F.col("_lon"), cover_res))
 
     if salt:
         pts = pts.withColumn("_salt", F.pmod(F.xxhash64(F.col("_pt_id")), F.lit(salt)).cast("int"))

@@ -353,3 +353,87 @@ def test_knn_bulk_no_broadcast_sort_merges_points_once(spark):
     # artifact, not a data shuffle; only hash-partitioned moves count)
     n_hash = plan.count("hashpartitioning(")
     assert n_hash == 3, f"expected 3 hash Exchanges, saw {n_hash}:\n{plan[:3000]}"
+
+
+def test_knn_bulk_bucketed_cell_points_skip_point_exchange(spark, tmp_path):
+    """r5: with a cell-bucketed point table and ``cell_col=``, the
+    no-broadcast candidate sort-merge consumes the bucketed scan
+    directly — the point table (the 10^12-row side) is joined with ZERO
+    Exchanges; only the cover + the top-k window shuffle. Results are
+    identical to the computed-cell form."""
+    from osmflat_rs_spark.functions.cells import cell_id_expr
+    from osmflat_rs_spark.operators.knn import knn_join_bulk
+    from osmflat_rs_spark.sources.bucketed import write_bucketed
+
+    res = 12
+    pts = spark.range(20000).select(
+        F.col("id").alias("node_idx"),
+        (F.lit(525_000_000) + F.col("id") % 1_000_000).alias("lat"),
+        (F.lit(134_000_000) + (F.col("id") * 7) % 1_000_000).alias("lon"),
+    ).withColumn("cell", cell_id_expr(F.col("lat"), F.col("lon"), res))
+    write_bucketed(pts, "b_cell_pts", "cell", 8, path=str(tmp_path / "b_cell_pts"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bpts = spark.table("b_cell_pts")
+        q = (
+            bpts.filter(F.col("node_idx") % 4000 == 0)
+            .select(F.col("node_idx").cast("string").alias("query_id"), "lat", "lon")
+        )
+        kwargs = dict(
+            k=3, res=res, radius_m=200_000, metric="sqeuclid",
+            exact_fallback=False, broadcast_cover=False,
+        )
+        fast = knn_join_bulk(bpts, q, cell_col="cell", **kwargs)
+        plan = _plan(fast)
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan, plan[:3000]
+        n_hash = plan.count("hashpartitioning(")
+        # cover cell-shuffle + window query_id shuffle; the point side
+        # contributes NONE (vs 3 in the computed-cell census above)
+        assert n_hash == 2, f"expected 2 hash Exchanges, saw {n_hash}:\n{plan[:3000]}"
+        base = knn_join_bulk(bpts, q, **kwargs)
+        got = {(r["query_id"], r["rank"], r["node_idx"]) for r in fast.collect()}
+        want = {(r["query_id"], r["rank"], r["node_idx"]) for r in base.collect()}
+        assert got == want and len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_cell_pts")
+
+
+def test_pip_shuffle_bucketed_cell_points_skip_point_exchange(spark, tmp_path, poly_df):
+    """r5: same layout-aware path for the shuffle-mode PIP join — the
+    bucketed point scan feeds the candidate sort-merge with no
+    point-side Exchange, results identical to the computed-cell form
+    (and cell_col + salt is rejected: salting rewrites the join key)."""
+    import pytest as _pytest
+
+    from osmflat_rs_spark.functions.cells import cell_id_expr
+    from osmflat_rs_spark.operators.spatial_join import pip_join_shuffle
+    from osmflat_rs_spark.sources.bucketed import write_bucketed
+
+    res = 12
+    pts = spark.range(20000).select(
+        F.col("id").alias("node_idx"),
+        (F.lit(524_000_000) + (F.col("id") * 48271) % 2_000_000).alias("lat"),
+        (F.lit(133_000_000) + (F.col("id") * 16807) % 2_000_000).alias("lon"),
+    ).withColumn("cell", cell_id_expr(F.col("lat"), F.col("lon"), res))
+    write_bucketed(pts, "b_cell_pip", "cell", 8, path=str(tmp_path / "b_cell_pip"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bpts = spark.table("b_cell_pip")
+        fast = pip_join_shuffle(bpts, poly_df, cover_res=res, cell_col="cell")
+        plan = _plan(fast)
+        assert "Bucketed: true" in plan, plan[:3000]
+        got = {(r["polygon_id"], r["node_idx"]) for r in fast.collect()}
+        want = {
+            (r["polygon_id"], r["node_idx"])
+            for r in pip_join_shuffle(bpts, poly_df, cover_res=res).collect()
+        }
+        assert got == want
+        with _pytest.raises(ValueError, match="salt"):
+            pip_join_shuffle(bpts, poly_df, cover_res=res, cell_col="cell", salt=4)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_cell_pip")
