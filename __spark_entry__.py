@@ -337,7 +337,8 @@ def q_pip_events(spark, sf_dir):
 def q_pip_events_shuffle(spark, sf_dir):
     """The SHUFFLE-mode two-phase PIP join (the 10^12-scale path when the
     polygon side outgrows broadcast): distributed covers, sort-merge cell
-    join with salting, ring-carrying map-side refinement. Same exact
+    join with salting, co-grouped refinement (r5 default — ring geometry
+    ships once per polygon group, never per candidate row). Same exact
     semantics as pip_events — the oracle is the identical half-plane SQL."""
     _prep(spark)
     from osmflat_rs_spark.operators.spatial_join import pip_join_shuffle
@@ -549,6 +550,20 @@ def q_ngram_jaccard_docs(spark, sf_dir):
     from osmflat_rs_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", "source", 0.6)
+
+
+def q_ngram_jaccard_prefix_docs(spark, sf_dir):
+    """The r5 PPJoin-style prefix-filtered form of the SAME exact-jaccard
+    operator (lossless candidate generation: df-ordered prefix-token
+    collisions instead of per-bucket all-pairs — the path that scales
+    past ~10^4-doc buckets). Hash-checked against the IDENTICAL SQL
+    oracle as ngram_jaccard_docs: the methods are physical plans of one
+    semantics."""
+    from osmflat_rs_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", "source", 0.6, method="prefix"
+    )
 
 
 def q_simhash_docs(spark, sf_dir):
@@ -935,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_docs": q_quality_docs,
         "minhash_pairs_docs": q_minhash_pairs_docs,
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
+        "ngram_jaccard_prefix_docs": q_ngram_jaccard_prefix_docs,
         "simhash_docs": q_simhash_docs,
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
@@ -1222,6 +1238,9 @@ def oracle_sql() -> dict[str, str]:
     # _WS_SQL/_WS_SQL_INNER/_ws_split_sql DIRECTLY in its template (RE2's
     # \s is ASCII-only; see operators/dedup.py WS docstring). No post-hoc
     # textual rewrite — guarded by the no-\s assertion below.
+    # the prefix-filtered form is the SAME semantics — one oracle, two
+    # engine plans, both hash-checked
+    out["ngram_jaccard_prefix_docs"] = out["ngram_jaccard_docs"]
     leftovers = [k for k, v in out.items() if r"\s" in v]
     assert not leftovers, f"oracle(s) still using RE2 ASCII-only \\s: {leftovers}"
     return out

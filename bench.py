@@ -379,6 +379,62 @@ def run_dedup_job(spark, cpus: int, n_docs: int) -> dict:
     }
 
 
+def run_ngram_job(
+    spark, cpus: int, n_docs: int = 250_000, n_buckets: int = 256, threshold: float = 0.6,
+    vocab: int | None = None,
+) -> dict:
+    """r5: the exact blocked-jaccard A/B — per-bucket all-pairs (the
+    declared-quadratic form, triangle-salted) vs PPJoin-style prefix
+    filtering (lossless, candidates only on prefix-token collisions) on
+    the identical bucketed corpus. Both produce byte-identical pairs
+    (asserted); the wall-clock gap is the point: the quadratic's cost is
+    per-bucket-size², the prefix form's is corpus-linear + true-collision
+    work."""
+    from pyspark.sql import functions as F
+
+    from osmflat_rs_spark.operators.dedup import ngram_jaccard_pairs
+
+    # vocab shapes the regime: the default bench corpus (vocab 5k,
+    # uniform) is ADVERSARIAL for prefix filtering — every token's df is
+    # ~n_docs·40/5k, so prefixes collide constantly. Real corpora are
+    # Zipfian with a long rare-token tail, which is where prefix tokens
+    # are selective; a large vocab approximates that regime.
+    if vocab is None:
+        path = _ensure_text_docs_parquet(spark, n_docs)
+    else:
+        from osmflat_rs_spark.fixtures_spark import spark_text_docs
+
+        base = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp/spark_graft_bench")
+        path = f"{base}/textdocs_{n_docs}_v{vocab}"
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            spark_text_docs(spark, n_docs, vocab=vocab).repartition(64).write.mode(
+                "overwrite"
+            ).parquet(path)
+    docs = (
+        spark.read.parquet(path)
+        .withColumn("bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int"))
+        .persist()
+    )
+    n = docs.count()
+    _force(spark.range(4 * cpus).repartition(2 * cpus).mapInPandas(_warm_pandas_fn(), schema="id long"))
+    out = {"cpus": cpus, "n_docs": n, "n_buckets": n_buckets, "threshold": threshold,
+           "vocab": vocab or 5000}
+    counts = {}
+    for meth, kw in (("prefix", {}), ("allpairs", {"salt": 4})):
+        t0 = time.time()
+        counts[meth] = ngram_jaccard_pairs(
+            docs, "doc_id", "text", "bucket", threshold, method=meth, **kw
+        ).count()
+        out[f"{meth}_sec"] = round(time.time() - t0, 3)
+        print(f"ngram {meth}: {out[f'{meth}_sec']}s ({counts[meth]} pairs)",
+              file=sys.stderr, flush=True)
+    if counts["prefix"] != counts["allpairs"]:
+        raise RuntimeError(f"method result mismatch: {counts}")
+    out["pairs"] = counts["prefix"]
+    docs.unpersist()
+    return out
+
+
 def run_streaming_job(spark, cpus: int, n_docs: int) -> dict:
     """Structured-Streaming throughput: the stateful MinHash-LSH near-dup
     candidate surfacer (checkpointed bucket state) run availableNow over
@@ -947,6 +1003,26 @@ def main():
             n_vertices=int(os.environ.get("SPARK_GRAFT_DEGRADE_VERTICES", "1024")),
         )
         out["metric"] = "large-vertex shuffle-PIP refine modes (wall sec + shuffle-write bytes)"
+        out["unit"] = "sec"
+        print(json.dumps(out))
+        spark.stop()
+        return
+
+    if "--ngram" in sys.argv:
+        from osmflat_rs_spark.session import get_spark
+
+        cpus = CPUS if "--cpus" not in sys.argv else int(sys.argv[sys.argv.index("--cpus") + 1])
+        spark = get_spark(
+            "bench-ngram", master=f"local[{cpus}]", shuffle_partitions=max(8, 2 * cpus)
+        )
+        vocab_env = os.environ.get("SPARK_GRAFT_NGRAM_VOCAB")
+        out = run_ngram_job(
+            spark, cpus,
+            n_docs=int(os.environ.get("SPARK_GRAFT_NGRAM_DOCS", "250000")),
+            n_buckets=int(os.environ.get("SPARK_GRAFT_NGRAM_BUCKETS", "256")),
+            vocab=int(vocab_env) if vocab_env else None,
+        )
+        out["metric"] = "exact blocked jaccard: prefix-filter vs all-pairs wall-clock"
         out["unit"] = "sec"
         print(json.dumps(out))
         spark.stop()

@@ -271,11 +271,30 @@ def minhash_dedup(
 
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, bucket_col: str, threshold: float = 0.6,
-    salt: int | None = None,
+    salt: int | None = None, method: str = "allpairs",
 ) -> DataFrame:
-    """All-pairs exact word-set jaccard WITHIN a bucket column (e.g.
-    source/domain) — the bounded-blocking exact variant. Never use
-    unbucketed at scale; the bucket is the blocking key.
+    """Exact word-set jaccard ≥ threshold WITHIN a bucket column (e.g.
+    source/domain). Two LOSSLESS candidate-generation methods, identical
+    output (parity-tested; the driver gate hash-checks both against the
+    same SQL oracle):
+
+    - ``method="prefix"`` (r5 — the scale path): PPJoin-style prefix
+      filtering (Xiao et al., WWW'08 — public algorithm). Tokens get a
+      global df-ascending order per bucket; a doc's PREFIX is its first
+      ``n - ceil(t·n) + 1`` tokens in that order, and any pair with
+      jaccard ≥ t must collide on ≥1 prefix token (if the intersection
+      avoided x's prefix it would fit in the suffix: |∩| ≤ ceil(t·n)-1 <
+      ceil(t·n) ≤ |∩| — contradiction). Candidates come from an
+      equi-join on (bucket, prefix-token) instead of per-bucket
+      all-pairs: the quadratic survives only inside true near-dup
+      clusters. The price is a word-level df shuffle (linear) — the
+      right trade once buckets grow past ~10^4 docs.
+    - ``method="allpairs"`` (default for small buckets): per-bucket
+      pair enumeration with the length-ratio prune; zero word-level
+      shuffles. The per-bucket O(n²) is the declared bound.
+
+    ``salt`` applies to allpairs only (the prefix join key already
+    spreads by token; AQE skew-split covers hot tokens).
 
     Length-ratio prefilter (lossless): jaccard(A,B) ≥ t ⟹ |A∩B| ≥
     t·|A∪B| with |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max(|A|,|B|), so
@@ -298,6 +317,12 @@ def ngram_jaccard_pairs(
     intersection is ``size(array_intersect(wa, wb))`` — the old
     word-exploded self-join (a per-(bucket, word) shuffle of the whole
     corpus) is gone; the only shuffle left is the salted pair join."""
+    if method not in ("allpairs", "prefix"):
+        raise ValueError(f"method must be 'allpairs' or 'prefix', got {method!r}")
+    if method == "prefix":
+        if salt:
+            raise ValueError("salt applies to method='allpairs' only")
+        return _ngram_jaccard_prefix(df, id_col, text_col, bucket_col, threshold)
     base = df.select(
         F.col(id_col).alias("_id"),
         F.col(bucket_col).alias("_bk"),
@@ -328,6 +353,50 @@ def ngram_jaccard_pairs(
             ),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _ngram_jaccard_prefix(
+    df: DataFrame, id_col: str, text_col: str, bucket_col: str, threshold: float
+) -> DataFrame:
+    """Prefix-filtered exact jaccard (see ``ngram_jaccard_pairs``).
+
+    The ceil in the prefix length is computed as ``ceil(t·n − 1e-9)``:
+    float error must never ROUND UP past the true rational ceil — an
+    over-estimate would shorten the prefix and silently DROP qualifying
+    pairs (lossy), while the nudge's occasional under-estimate only
+    lengthens the prefix (more candidates, still lossless). Verification
+    reuses ``jaccard_for_pairs`` (in-row array_intersect over the
+    semi-pruned corpus), so the final values are bit-identical to the
+    all-pairs form."""
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(bucket_col).alias("_bk"),
+        F.array_distinct(words_expr(F.col(text_col))).alias("ws"),
+    ).withColumn("n", F.size("ws").cast("long"))
+    toks = base.select("_id", "_bk", "n", F.explode("ws").alias("w"))
+    dfreq = toks.groupBy("_bk", "w").agg(F.count("*").alias("_df"))
+    # per-doc token rank in the bucket's df-ascending order (ties by
+    # token text — any consistent total order preserves the guarantee)
+    w_doc = Window.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("w").asc())
+    prefix_len = F.col("n") - F.ceil(F.col("n") * F.lit(threshold) - F.lit(1e-9)) + 1
+    pref = (
+        toks.join(dfreq, ["_bk", "w"])
+        .withColumn("_rn", F.row_number().over(w_doc))
+        .filter(F.col("_rn") <= prefix_len)
+    )
+    pa = pref.select("_bk", "w", F.col("_id").alias("id_a"), F.col("n").alias("na"))
+    pb = pref.select("_bk", "w", F.col("_id").alias("id_b"), F.col("n").alias("nb"))
+    cand = (
+        pa.join(pb, ["_bk", "w"])
+        .filter((F.col("id_a") < F.col("id_b")) & _length_ratio_ok(threshold))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_for_pairs(df, cand, id_col, text_col, threshold=threshold).filter(
+        F.col("jaccard") >= threshold
     )
 
 

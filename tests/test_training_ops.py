@@ -534,3 +534,52 @@ def test_ivf_distributed_trainer_partition_invariant_quality(spark):
     s1, s2 = sizes(c1), sizes(c2)
     # sorted cluster-size histograms match within a small tolerance
     assert int(np.abs(s1 - s2).sum()) <= max(4, int(0.02 * len(X))), (s1, s2)
+
+
+def test_ngram_jaccard_prefix_method_identical(spark):
+    """r5: the PPJoin-style prefix-filtered candidate generation is
+    LOSSLESS — byte-identical pairs + jaccards to the all-pairs form on
+    the real corpus at a low threshold (many qualifying pairs, so a
+    dropped candidate would show), and on a crafted corpus with the edge
+    shapes: exact dups, singleton-token docs, empty docs, threshold
+    exactly at a rational boundary (t*n integral — the float-ceil nudge
+    case)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def run(df, t, **kw):
+        return {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in dedup.ngram_jaccard_pairs(df, "doc_id", "text", "lang", t, **kw).collect()
+        }
+
+    for t in (0.2, 0.6):
+        base = run(docs, t)
+        pref = run(docs, t, method="prefix")
+        assert pref == base and (t > 0.2 or len(base) > 0)
+
+    crafted = spark.createDataFrame(
+        [
+            (1, "a b c d e", "x"),
+            (2, "a b c d e", "x"),      # exact dup of 1
+            (3, "a b c d f", "x"),      # 4/6 with 1 -> passes t=0.6, J=2/3
+            (4, "z", "x"),              # singleton
+            (5, "z", "x"),              # singleton dup
+            (6, "", "x"),               # empty: never pairs
+            (7, "q r s t u", "y"),      # other bucket: never crosses
+            (8, "a b c d e", "y"),
+        ],
+        schema="doc_id long, text string, lang string",
+    )
+    # t=0.6 with n=5: t*n = 3.0 exactly -> ceil must stay 3 (prefix len 3)
+    base = run(crafted, 0.6)
+    pref = run(crafted, 0.6, method="prefix")
+    assert pref == base
+    assert (1, 2) in {(a, b) for a, b, _ in base}
+    assert (4, 5) in {(a, b) for a, b, _ in base}
+    assert not any(6 in (a, b) for a, b, _ in base)
+    assert not any({a, b} == {1, 8} for a, b, _ in base)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="salt"):
+        dedup.ngram_jaccard_pairs(crafted, "doc_id", "text", "lang", 0.6, salt=4, method="prefix")
