@@ -586,6 +586,42 @@ def q_embedding_neardup(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine_r"))
 
 
+def q_embedding_neardup_srp(spark, sf_dir):
+    """SRP-LSH global near-dup vs the exact all-pairs baseline
+    (dedup.embedding_neardup_srp): exact precision (SRP output must be a
+    SUBSET of the exact pair set — candidates are re-scored with the
+    exact cosine kernel) plus a deterministic ≥0.8 recall floor, both
+    folded into one hash-checked row. Threshold 0.4 because that is
+    where the synthetic fixture HAS pairs (its max pairwise cosine is
+    ~0.51 — the 0.9-threshold label gate is trivially empty); 3 planes ×
+    12 tables gives measured recall 0.97/0.966 on the two fixture SFs,
+    and the md5-derived hyperplanes make that a constant, not a draw."""
+    from osmflat_rs_spark.operators.dedup import embedding_cosine_pairs, embedding_neardup_srp
+
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = embedding_cosine_pairs(
+        emb.withColumn("_g", F.lit(1)), "vec_id", "embedding", "_g", 0.4
+    ).select("id_a", "id_b")
+    srp = embedding_neardup_srp(
+        emb, "vec_id", "embedding", 0.4, n_planes=3, n_tables=12
+    ).select("id_a", "id_b")
+    # membership mask per pair: 1 = exact only, 2 = srp only, 3 = both
+    per = (
+        exact.withColumn("src", F.lit(1))
+        .unionByName(srp.withColumn("src", F.lit(2)))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("src").alias("m"))
+    )
+    n_exact = F.count(F.when(F.col("m") != 2, 1))
+    n_found = F.count(F.when(F.col("m") == 3, 1))
+    n_extra = F.count(F.when(F.col("m") == 2, 1))
+    return per.agg(
+        n_exact.cast("long").alias("n_exact_pairs"),
+        (n_found >= 0.8 * n_exact).alias("recall_ok"),
+        (n_extra == F.lit(0)).alias("srp_subset_of_exact"),
+    )
+
+
 def q_ann_topk(spark, sf_dir):
     """Brute-force cosine top-k (query vecs = corpus ids 0,1,2), ranked on
     rounded cosine with vec_id tie-break; self excluded BEFORE ranking."""
@@ -953,6 +989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_prefix_docs": q_ngram_jaccard_prefix_docs,
         "simhash_docs": q_simhash_docs,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_srp": q_embedding_neardup_srp,  # recall-floor + subset gate (oracled)
         "ann_topk": q_ann_topk,
         "ann_srp_topk": q_ann_srp_topk,  # recall@5-floor gate (oracled)
         "ann_ivf_topk": q_ann_ivf_topk,  # recall@5-floor gate (oracled)
@@ -1204,6 +1241,19 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs p JOIN dots d ON d.id_a = p.id_a AND d.id_b = p.id_b
             JOIN norms na ON na.vec_id = p.id_a JOIN norms nb ON nb.vec_id = p.id_b
             WHERE d.dot / (na.nrm * nb.nrm) >= 0.9
+        """,
+        # SRP near-dup: the oracle pins the EXACT global pair count (the
+        # denominator the engine's recall is measured against) and
+        # asserts both quality booleans — an engine-side recall or
+        # precision regression flips a flag and fails the hash check.
+        "embedding_neardup_srp": f"""
+            WITH {_cosine_block_sql()},
+            dots AS (SELECT da.vec_id AS id_a, db.vec_id AS id_b, SUM(da.x * db.x) AS dot
+                     FROM dims da JOIN dims db ON da.d = db.d AND da.vec_id < db.vec_id
+                     GROUP BY 1, 2)
+            SELECT COUNT(*) AS n_exact_pairs, TRUE AS recall_ok, TRUE AS srp_subset_of_exact
+            FROM dots d JOIN norms na ON na.vec_id = d.id_a JOIN norms nb ON nb.vec_id = d.id_b
+            WHERE d.dot / (na.nrm * nb.nrm) >= 0.4
         """,
         "ann_topk": f"""
             WITH {_cosine_block_sql()},

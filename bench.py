@@ -435,6 +435,59 @@ def run_ngram_job(
     return out
 
 
+def run_embed_job(
+    spark, cpus: int, n_vecs: int = 100_000, threshold: float = 0.9,
+    n_planes: int = 12, n_tables: int = 12,
+) -> dict:
+    """r5: embedding near-dup A/B — label-blocked exact all-pairs (needs a
+    ground-truth blocking key; per-bucket quadratic) vs SRP-LSH global
+    (no key at all; id-only candidate shuffles). The corpus plants one
+    near-dup twin per 10 vectors (cosine ≈ 0.95); independent vectors
+    meet at |cosine| ≲ 0.1, so the twin set IS the exact global answer
+    and recall is measured against it. The structural point: all-pairs
+    cost scales with (docs/bucket)² and silently MISSES any pair the
+    blocking key separates; SRP cost is corpus-linear + true-collision
+    work and needs no key."""
+    from pyspark.sql import functions as F
+
+    from osmflat_rs_spark.fixtures_spark import spark_embeddings
+    from osmflat_rs_spark.operators.dedup import embedding_cosine_pairs, embedding_neardup_srp
+
+    base = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp/spark_graft_bench")
+    path = f"{base}/embeddings_{n_vecs}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        spark_embeddings(spark, n_vecs).repartition(64).write.mode("overwrite").parquet(path)
+    emb = spark.read.parquet(path).persist()
+    n = emb.count()
+    _force(spark.range(4 * cpus).repartition(2 * cpus).mapInPandas(_warm_pandas_fn(), schema="id long"))
+    out = {"cpus": cpus, "n_vecs": n, "threshold": threshold,
+           "n_planes": n_planes, "n_tables": n_tables}
+    t0 = time.time()
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_cosine_pairs(
+            emb, "vec_id", "embedding", "label", threshold, salt=4
+        ).collect()
+    }
+    out["allpairs_label_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    srp = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_srp(
+            emb, "vec_id", "embedding", threshold, n_planes=n_planes, n_tables=n_tables
+        ).collect()
+    }
+    out["srp_sec"] = round(time.time() - t0, 3)
+    out["n_exact_pairs"] = len(exact)
+    out["n_srp_pairs"] = len(srp)
+    out["srp_recall"] = round(len(srp & exact) / max(len(exact), 1), 4)
+    # pairs SRP found that the blocking key would have MISSED (true
+    # global pairs straddling label buckets — each one verified exact)
+    out["srp_extra_cross_bucket"] = len(srp - exact)
+    emb.unpersist()
+    return out
+
+
 def run_streaming_job(spark, cpus: int, n_docs: int) -> dict:
     """Structured-Streaming throughput: the stateful MinHash-LSH near-dup
     candidate surfacer (checkpointed bucket state) run availableNow over
@@ -1003,6 +1056,22 @@ def main():
             n_vertices=int(os.environ.get("SPARK_GRAFT_DEGRADE_VERTICES", "1024")),
         )
         out["metric"] = "large-vertex shuffle-PIP refine modes (wall sec + shuffle-write bytes)"
+        out["unit"] = "sec"
+        print(json.dumps(out))
+        spark.stop()
+        return
+
+    if "--embed" in sys.argv:
+        from osmflat_rs_spark.session import get_spark
+
+        cpus = CPUS if "--cpus" not in sys.argv else int(sys.argv[sys.argv.index("--cpus") + 1])
+        spark = get_spark(
+            "bench-embed", master=f"local[{cpus}]", shuffle_partitions=max(8, 2 * cpus)
+        )
+        out = run_embed_job(
+            spark, cpus, n_vecs=int(os.environ.get("SPARK_GRAFT_EMBED_VECS", "100000"))
+        )
+        out["metric"] = "embedding near-dup: SRP-LSH global vs label-blocked all-pairs wall-clock"
         out["unit"] = "sec"
         print(json.dumps(out))
         spark.stop()

@@ -466,3 +466,66 @@ def embedding_cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def embedding_neardup_srp(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Global cosine near-dup pairs WITHOUT a semantic blocking key: SRP
+    (signed-random-projection) LSH buckets generate candidates, exact
+    cosine verifies them — the scale escape the all-pairs form's
+    docstring promises (``embedding_cosine_pairs``: "route through SRP
+    when approximate recall is acceptable").
+
+    Semantics: APPROXIMATE RECALL, EXACT PRECISION. Every emitted pair
+    really has cosine ≥ threshold (candidates are re-scored with the
+    exact kernel), so the output is always a SUBSET of the exact global
+    all-pairs result; a pair is missed only if its two vectors share no
+    (table, bucket) across all ``n_tables`` tables. For pairs at
+    cosine = t the per-table collision prob is q^n_planes with
+    q = 1 − arccos(t)/π (t=0.9 → q≈0.857, miss ≈ 1.8% at 6×8 defaults);
+    recall rises toward 1 above the threshold. Hyperplanes are the same
+    deterministic md5-derived ±1 weights as ``ann.srp_bucketed_topk`` —
+    recall on a fixed corpus is a CONSTANT, not a random draw, which is
+    what lets a correctness gate pin it.
+
+    Scale shape (10^12 vectors): the bucketing pass is per-row column
+    arithmetic (no shuffle); the candidate self-join shuffles ONLY
+    (bucket_id, doc_id) rows — n_tables rows per doc, never the float
+    vectors; the verify join rejoins vectors by id for candidate pairs
+    only. Nothing is all-pairs at corpus level; hot SRP buckets (dense
+    regions) bound the per-bucket quadratic exactly like the jaccard
+    banding does, and finer n_planes splits them.
+
+    Reference parity note: the reference has no embedding operators —
+    this extends the training-data-pipeline surface (SURVEY §2.8)."""
+    from osmflat_rs_spark.operators.ann import _srp_buckets, _with_cosine
+
+    v = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    bk = v.withColumn(
+        "bk", F.explode(_srp_buckets(F.col("v"), n_planes, n_tables, dim))
+    ).select("_id", "bk")
+    cand = (
+        bk.alias("a")
+        .join(bk.alias("b"), F.col("a.bk") == F.col("b.bk"))
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    pairs = (
+        cand.join(v.select(F.col("_id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(v.select(F.col("_id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+    )
+    return (
+        _with_cosine(pairs)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -256,6 +256,49 @@ def test_embedding_cosine_salt_invariance(spark):
     assert base == salted and len(base) > 0
 
 
+def test_embedding_neardup_srp_subset_and_recall(spark):
+    """SRP-bucketed global near-dup (the scale escape from the all-pairs
+    form): output must be a SUBSET of the exact global pair set (exact
+    precision — candidates are re-scored with the exact kernel), recall
+    ≥ 0.8 at the gate's parameters, and every emitted cosine must equal
+    the exact kernel's value for that pair. Deterministic hyperplanes →
+    these are constants of the fixture, not flaky draws."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+        for r in dedup.embedding_cosine_pairs(
+            emb.withColumn("_g", F.lit(1)), "vec_id", "embedding", "_g", 0.4
+        ).collect()
+    }
+    srp = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+        for r in dedup.embedding_neardup_srp(
+            emb, "vec_id", "embedding", 0.4, n_planes=3, n_tables=12
+        ).collect()
+    }
+    assert set(srp) <= set(exact)
+    assert len(srp) >= 0.8 * len(exact) > 0
+    assert all(srp[p] == exact[p] for p in srp)  # same exact-verify kernel
+
+
+def test_embedding_neardup_srp_id_only_candidate_shuffle(spark):
+    """Plan contract: the SRP candidate self-join must Exchange only
+    (bucket, id) rows — the float vectors join back AFTER the distinct,
+    keyed by id. A plan that shuffles the embedding arrays through the
+    bucket join would multiply shuffle bytes by dim × n_tables at 10^12
+    rows."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = dedup.embedding_neardup_srp(emb, "vec_id", "embedding", 0.4, n_planes=3, n_tables=12)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "formatted")
+    import re
+
+    # every hashpartitioning Exchange key set must avoid the vector column
+    exchanges = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
+    assert exchanges  # non-vacuous: the candidate distinct always shuffles
+    for args in exchanges:
+        assert "v#" not in args and "embedding" not in args, args
+
+
 def test_winnow_local_containment(spark):
     """Winnowing guarantee: two docs sharing a run of >= w+k-1 words
     share at least one fingerprint; disjoint docs share none."""
