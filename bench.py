@@ -470,14 +470,20 @@ def run_embed_job(
         ).collect()
     }
     out["allpairs_label_sec"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    srp = {
-        (r["id_a"], r["id_b"])
-        for r in embedding_neardup_srp(
-            emb, "vec_id", "embedding", threshold, n_planes=n_planes, n_tables=n_tables
-        ).collect()
-    }
-    out["srp_sec"] = round(time.time() - t0, 3)
+    srp = None
+    for enc in ("jvm", "arrow"):
+        t0 = time.time()
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_neardup_srp(
+                emb, "vec_id", "embedding", threshold,
+                n_planes=n_planes, n_tables=n_tables, encode=enc,
+            ).collect()
+        }
+        out[f"srp_{enc}_sec"] = round(time.time() - t0, 3)
+        if srp is not None and got != srp:
+            raise RuntimeError("encode paths disagree on pair set")
+        srp = got
     out["n_exact_pairs"] = len(exact)
     out["n_srp_pairs"] = len(srp)
     out["srp_recall"] = round(len(srp & exact) / max(len(exact), 1), 4)

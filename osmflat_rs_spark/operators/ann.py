@@ -63,6 +63,31 @@ def cosine_topk(
     )
 
 
+def _srp_sign(t: int, p: int, d: int) -> float:
+    """The deterministic ±1 hyperplane weight for (table, plane, dim) —
+    the ONE definition both the JVM-literal and the Arrow-matmul encodes
+    derive their weights from (divergence would silently split bucket
+    spaces between the two paths)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{t}:{p}:{d}".encode()).hexdigest()[:15], 16)
+    return 1.0 if (h & 1) == 1 else -1.0
+
+
+def srp_weight_matrix(n_planes: int, n_tables: int, dim: int) -> "np.ndarray":
+    """(n_tables·n_planes, dim) float64 matrix of ``_srp_sign`` weights,
+    row t·n_planes + p = hyperplane (t, p) — the Arrow encode's matmul
+    operand, built driver-side once and closure-shipped."""
+    return np.array(
+        [
+            [_srp_sign(t, p, d) for d in range(dim)]
+            for t in range(n_tables)
+            for p in range(n_planes)
+        ],
+        dtype=np.float64,
+    )
+
+
 def _srp_buckets(vec_col, n_planes: int, n_tables: int, dim: int):
     """SRP bucket ids: hyperplane t,p has deterministic ±1 weights
     w[d] = sign(md5_int(t,p,d)); bucket bit = 1 iff Σ w[d]·v[d] > 0.
@@ -74,12 +99,7 @@ def _srp_buckets(vec_col, n_planes: int, n_tables: int, dim: int):
     strings PER CORPUS ROW because the lambda-bound index defeated
     constant folding (r3 review; bit-identical output, asserted by the
     unchanged recall gates/tests)."""
-    import hashlib
-
-    def _sign(t: int, p: int, d: int) -> float:
-        h = int(hashlib.md5(f"{t}:{p}:{d}".encode()).hexdigest()[:15], 16)
-        return 1.0 if (h & 1) == 1 else -1.0
-
+    _sign = _srp_sign
     buckets = []
     for t in range(n_tables):
         acc = F.lit(0).cast("long")

@@ -17,6 +17,8 @@ Scale notes (10^12 docs):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -468,6 +470,34 @@ def embedding_cosine_pairs(
     )
 
 
+def _srp_bucket_ids_arrow(vec_col, n_planes: int, n_tables: int, dim: int):
+    """Arrow-batched SRP bucket ids: one (batch × dim) @ (dim × T·P)
+    matmul per batch, bits packed per table into combined
+    ``(table << n_planes) | bucket`` longs. Weight matrix is built
+    driver-side from the same md5 ±1 signs as the JVM encode
+    (``ann.srp_weight_matrix``) and rides the UDF closure — k·dim
+    doubles, not per-row work."""
+    from pyspark.sql.functions import pandas_udf
+
+    from osmflat_rs_spark.operators.ann import srp_weight_matrix
+
+    W = srp_weight_matrix(n_planes, n_tables, dim)  # (T*P, dim)
+    pow2 = (1 << np.arange(n_planes, dtype=np.int64))  # bit weights per plane
+    table_hi = (np.arange(n_tables, dtype=np.int64) << n_planes)
+
+    @pandas_udf("array<long>")
+    def _enc(s: pd.Series) -> pd.Series:
+        M = np.array(s.tolist(), dtype=np.float64)  # (B, dim)
+        if M.size == 0:
+            return pd.Series([], dtype=object)
+        bits = (M @ W.T) > 0  # (B, T*P)
+        buckets = (bits.reshape(len(M), n_tables, n_planes) * pow2).sum(axis=2)
+        combined = buckets.astype(np.int64) + table_hi  # (B, T)
+        return pd.Series(list(combined))
+
+    return _enc(vec_col)
+
+
 def embedding_neardup_srp(
     df: DataFrame,
     id_col: str,
@@ -476,6 +506,7 @@ def embedding_neardup_srp(
     n_planes: int = 6,
     n_tables: int = 8,
     dim: int = 64,
+    encode: str = "jvm",
 ) -> DataFrame:
     """Global cosine near-dup pairs WITHOUT a semantic blocking key: SRP
     (signed-random-projection) LSH buckets generate candidates, exact
@@ -503,6 +534,20 @@ def embedding_neardup_srp(
     regions) bound the per-bucket quadratic exactly like the jaccard
     banding does, and finer n_planes splits them.
 
+    ``encode`` picks the bucketing implementation — same buckets, same
+    candidates, different physical plan:
+    - ``"jvm"`` (default): n_tables·n_planes ``aggregate``/``zip_with``
+      fold expressions — pure JVM, deterministic sequential-fold dots,
+      what the correctness gate pins. Codegen cost grows with the plane
+      count (the 12×12 bench point compiles a ~MB method).
+    - ``"arrow"``: ONE NumPy matmul per Arrow batch against the
+      closure-shipped ±1 weight matrix (``ann.srp_weight_matrix`` — the
+      same md5 weights). BLAS-blocked summation can differ from the
+      sequential fold in the last ulp, so a dot sitting EXACTLY on the
+      hyperplane could bucket differently — measured pair-identical on
+      the fixtures (test_embedding_neardup_srp_encode_parity); use for
+      bulk throughput, keep "jvm" where bit-pinned gates matter.
+
     Reference parity note: the reference has no embedding operators —
     this extends the training-data-pipeline surface (SURVEY §2.8)."""
     from osmflat_rs_spark.operators.ann import _srp_buckets, _with_cosine
@@ -510,9 +555,18 @@ def embedding_neardup_srp(
     v = df.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    bk = v.withColumn(
-        "bk", F.explode(_srp_buckets(F.col("v"), n_planes, n_tables, dim))
-    ).select("_id", "bk")
+    if encode == "arrow":
+        bucket_arr = _srp_bucket_ids_arrow(F.col("v"), n_planes, n_tables, dim)
+    elif encode == "jvm":
+        # combined (table << n_planes) | bucket long — one join key, same
+        # bucket space as the arrow path
+        bucket_arr = F.transform(
+            _srp_buckets(F.col("v"), n_planes, n_tables, dim),
+            lambda s: F.shiftleft(s["table"], n_planes).bitwiseOR(s["bucket"]).cast("long"),
+        )
+    else:
+        raise ValueError(f"encode must be 'jvm' or 'arrow', got {encode!r}")
+    bk = v.withColumn("bk", F.explode(bucket_arr)).select("_id", "bk")
     cand = (
         bk.alias("a")
         .join(bk.alias("b"), F.col("a.bk") == F.col("b.bk"))

@@ -281,6 +281,28 @@ def test_embedding_neardup_srp_subset_and_recall(spark):
     assert all(srp[p] == exact[p] for p in srp)  # same exact-verify kernel
 
 
+def test_embedding_neardup_srp_encode_parity(spark):
+    """The Arrow-matmul encode must produce the SAME buckets (hence the
+    same pairs AND cosines) as the JVM fold encode — both derive weights
+    from ann._srp_sign; a drift means the two paths silently split the
+    bucket space. BLAS-vs-sequential-fold ulp differences could only
+    matter for a dot exactly on a hyperplane — deterministic fixture, so
+    this passing once pins it."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    kw = dict(n_planes=3, n_tables=12)
+    jvm = {
+        (r["id_a"], r["id_b"], round(r["cosine"], 9))
+        for r in dedup.embedding_neardup_srp(emb, "vec_id", "embedding", 0.4, **kw).collect()
+    }
+    arrow = {
+        (r["id_a"], r["id_b"], round(r["cosine"], 9))
+        for r in dedup.embedding_neardup_srp(
+            emb, "vec_id", "embedding", 0.4, encode="arrow", **kw
+        ).collect()
+    }
+    assert jvm == arrow and len(jvm) > 0
+
+
 def test_embedding_neardup_srp_id_only_candidate_shuffle(spark):
     """Plan contract: the SRP candidate self-join must Exchange only
     (bucket, id) rows — the float vectors join back AFTER the distinct,
