@@ -88,6 +88,46 @@ def srp_weight_matrix(n_planes: int, n_tables: int, dim: int) -> "np.ndarray":
     )
 
 
+def srp_bucket_ids_arrow(vec_col, n_planes: int, n_tables: int, dim: int):
+    """Arrow-batched SRP bucket ids: one (batch × dim) @ (dim × T·P)
+    matmul per batch, bits packed per table into combined
+    ``(table << n_planes) | bucket`` longs. Weight matrix is built
+    driver-side from the same md5 ±1 signs as the JVM encode
+    (``srp_weight_matrix``) and rides the UDF closure — k·dim doubles,
+    not per-row work. BLAS-blocked summation can differ from the JVM
+    sequential fold in the last ulp, so a projection EXACTLY on a
+    hyperplane could bucket differently — measured pair-identical on the
+    fixtures; callers that need bit-pinned buckets use the JVM encode."""
+    from pyspark.sql.functions import pandas_udf
+
+    W = srp_weight_matrix(n_planes, n_tables, dim)  # (T*P, dim)
+    pow2 = (1 << np.arange(n_planes, dtype=np.int64))  # bit weights per plane
+    table_hi = (np.arange(n_tables, dtype=np.int64) << n_planes)
+
+    @pandas_udf("array<long>")
+    def _enc(s: pd.Series) -> pd.Series:
+        M = np.array(s.tolist(), dtype=np.float64)  # (B, dim)
+        if M.size == 0:
+            return pd.Series([], dtype=object)
+        bits = (M @ W.T) > 0  # (B, T*P)
+        buckets = (bits.reshape(len(M), n_tables, n_planes) * pow2).sum(axis=2)
+        combined = buckets.astype(np.int64) + table_hi  # (B, T)
+        return pd.Series(list(combined))
+
+    return _enc(vec_col)
+
+
+def srp_combined_id(struct_col, n_planes: int):
+    """(table << n_planes) | bucket as a long — maps the JVM encode's
+    (table, bucket) structs into the SAME combined bucket space the
+    Arrow encode emits, so either side of a join can use either encode."""
+    return (
+        F.shiftleft(struct_col["table"], n_planes)
+        .bitwiseOR(struct_col["bucket"])
+        .cast("long")
+    )
+
+
 def _srp_buckets(vec_col, n_planes: int, n_tables: int, dim: int):
     """SRP bucket ids: hyperplane t,p has deterministic ±1 weights
     w[d] = sign(md5_int(t,p,d)); bucket bit = 1 iff Σ w[d]·v[d] > 0.
@@ -126,6 +166,7 @@ def srp_bucketed_topk(
     n_tables: int = 8,
     dim: int = 64,
     probes: int = 1,
+    corpus_encode: str = "jvm",
 ) -> DataFrame:
     """LSH-bucketed ANN: candidates share ≥1 (table, bucket) with the
     query; exact cosine re-rank of candidates only. Shuffle key is the
@@ -141,7 +182,14 @@ def srp_bucketed_topk(
     0.9-1.0 on the fixture embeddings vs the brute-force baseline
     (tests/test_training_ops.py::test_srp_recall_floor, 3 query seeds;
     recorded in COVERAGE.md). Recall theory (probes=1): per table
-    P = q^p + p·q^(p-1)(1-q), q = 1 - θ/π."""
+    P = q^p + p·q^(p-1)(1-q), q = 1 - θ/π.
+
+    ``corpus_encode``: "jvm" (default — fold expressions, bit-pinned by
+    the recall gates) or "arrow" (one NumPy matmul per batch against the
+    same md5 weight matrix; for bulk corpus bucketing — the query side
+    always stays JVM since it is the small side). Both emit the same
+    combined (table << n_planes) | bucket join key; results measured
+    identical on the fixtures (test_srp_topk_corpus_encode_parity)."""
     if probes not in (0, 1):
         raise NotImplementedError("srp_bucketed_topk implements multiprobe Hamming radius 0 or 1")
     c = corpus.select(
@@ -149,30 +197,41 @@ def srp_bucketed_topk(
     )
     # Bucketing pass carries ONLY (vec_id, bk): the candidate distinct's
     # Exchange is keyed on ids, never on the float vectors themselves.
-    c_bk = c.withColumn("bk", F.explode(_srp_buckets(F.col("vb"), n_planes, n_tables, dim))).select(
-        "vec_id", "bk"
-    )
+    # Join key is the combined (table << n_planes) | bucket long — the
+    # shared bucket space of both encodes, so the corpus (big) side can
+    # use the Arrow matmul while the query (small) side stays JVM.
+    if corpus_encode == "arrow":
+        c_buckets = srp_bucket_ids_arrow(F.col("vb"), n_planes, n_tables, dim)
+    elif corpus_encode == "jvm":
+        c_buckets = F.transform(
+            _srp_buckets(F.col("vb"), n_planes, n_tables, dim),
+            lambda s: srp_combined_id(s, n_planes),
+        )
+    else:
+        raise ValueError(f"corpus_encode must be 'jvm' or 'arrow', got {corpus_encode!r}")
+    c_bk = c.withColumn("bk", F.explode(c_buckets)).select("vec_id", "bk")
     qbase = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("va")
     ).withColumn("_bks", _srp_buckets(F.col("va"), n_planes, n_tables, dim))
     if probes >= 1:
+        # a bit-flip probe in bucket bits j < n_planes is the same XOR in
+        # the combined id (table bits sit above the plane bits)
         probe_arr = F.flatten(
             F.transform(
                 F.col("_bks"),
                 lambda s: F.array(
-                    F.struct(s["table"].alias("table"), s["bucket"].alias("bucket")),
+                    srp_combined_id(s, n_planes),
                     *[
-                        F.struct(
-                            s["table"].alias("table"),
-                            s["bucket"].bitwiseXOR(F.lit(1 << j)).cast("long").alias("bucket"),
-                        )
+                        srp_combined_id(s, n_planes)
+                        .bitwiseXOR(F.lit(1 << j))
+                        .cast("long")
                         for j in range(n_planes)
                     ],
                 ),
             )
         )
     else:
-        probe_arr = F.col("_bks")
+        probe_arr = F.transform(F.col("_bks"), lambda s: srp_combined_id(s, n_planes))
     q_ids = qbase.withColumn("bk", F.explode(probe_arr)).select("query_id", "bk")
     # 1) thin candidate id pairs (dedup across tables/probes — Exchange on
     #    ids only); 2) rejoin the corpus vectors with the candidate set

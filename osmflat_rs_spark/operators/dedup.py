@@ -470,34 +470,6 @@ def embedding_cosine_pairs(
     )
 
 
-def _srp_bucket_ids_arrow(vec_col, n_planes: int, n_tables: int, dim: int):
-    """Arrow-batched SRP bucket ids: one (batch × dim) @ (dim × T·P)
-    matmul per batch, bits packed per table into combined
-    ``(table << n_planes) | bucket`` longs. Weight matrix is built
-    driver-side from the same md5 ±1 signs as the JVM encode
-    (``ann.srp_weight_matrix``) and rides the UDF closure — k·dim
-    doubles, not per-row work."""
-    from pyspark.sql.functions import pandas_udf
-
-    from osmflat_rs_spark.operators.ann import srp_weight_matrix
-
-    W = srp_weight_matrix(n_planes, n_tables, dim)  # (T*P, dim)
-    pow2 = (1 << np.arange(n_planes, dtype=np.int64))  # bit weights per plane
-    table_hi = (np.arange(n_tables, dtype=np.int64) << n_planes)
-
-    @pandas_udf("array<long>")
-    def _enc(s: pd.Series) -> pd.Series:
-        M = np.array(s.tolist(), dtype=np.float64)  # (B, dim)
-        if M.size == 0:
-            return pd.Series([], dtype=object)
-        bits = (M @ W.T) > 0  # (B, T*P)
-        buckets = (bits.reshape(len(M), n_tables, n_planes) * pow2).sum(axis=2)
-        combined = buckets.astype(np.int64) + table_hi  # (B, T)
-        return pd.Series(list(combined))
-
-    return _enc(vec_col)
-
-
 def embedding_neardup_srp(
     df: DataFrame,
     id_col: str,
@@ -550,19 +522,24 @@ def embedding_neardup_srp(
 
     Reference parity note: the reference has no embedding operators —
     this extends the training-data-pipeline surface (SURVEY §2.8)."""
-    from osmflat_rs_spark.operators.ann import _srp_buckets, _with_cosine
+    from osmflat_rs_spark.operators.ann import (
+        _srp_buckets,
+        _with_cosine,
+        srp_bucket_ids_arrow,
+        srp_combined_id,
+    )
 
     v = df.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("v")
     )
     if encode == "arrow":
-        bucket_arr = _srp_bucket_ids_arrow(F.col("v"), n_planes, n_tables, dim)
+        bucket_arr = srp_bucket_ids_arrow(F.col("v"), n_planes, n_tables, dim)
     elif encode == "jvm":
         # combined (table << n_planes) | bucket long — one join key, same
         # bucket space as the arrow path
         bucket_arr = F.transform(
             _srp_buckets(F.col("v"), n_planes, n_tables, dim),
-            lambda s: F.shiftleft(s["table"], n_planes).bitwiseOR(s["bucket"]).cast("long"),
+            lambda s: srp_combined_id(s, n_planes),
         )
     else:
         raise ValueError(f"encode must be 'jvm' or 'arrow', got {encode!r}")

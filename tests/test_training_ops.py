@@ -281,6 +281,28 @@ def test_embedding_neardup_srp_subset_and_recall(spark):
     assert all(srp[p] == exact[p] for p in srp)  # same exact-verify kernel
 
 
+def test_srp_topk_corpus_encode_parity(spark):
+    """srp_bucketed_topk with corpus_encode='arrow' must return the same
+    ranked rows as the JVM encode, in both multiprobe modes — same
+    combined bucket space, same candidates, same exact re-rank."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for probes in (0, 1):
+        jvm = sorted(
+            (r["query_id"], r["rank"], r["vec_id"], round(r["cosine"], 9))
+            for r in ann.srp_bucketed_topk(emb, q, k=5, dim=64, probes=probes).collect()
+        )
+        arrow = sorted(
+            (r["query_id"], r["rank"], r["vec_id"], round(r["cosine"], 9))
+            for r in ann.srp_bucketed_topk(
+                emb, q, k=5, dim=64, probes=probes, corpus_encode="arrow"
+            ).collect()
+        )
+        assert jvm == arrow and len(jvm) > 0
+
+
 def test_embedding_neardup_srp_encode_parity(spark):
     """The Arrow-matmul encode must produce the SAME buckets (hence the
     same pairs AND cosines) as the JVM fold encode — both derive weights
