@@ -403,6 +403,29 @@ def q_knn_events(spark, sf_dir):
     )
 
 
+def q_radius_events(spark, sf_dir):
+    """Geodesic radius join (``knn.radius_join``, r5) — the third classic
+    spatial join next to PIP and kNN: ALL (query, event) pairs within the
+    gate radius, cell-cover candidates + exact int64 d², pure JVM end to
+    end. Unconditionally exact (the cover is a superset of the metric
+    disk), so the SQL oracle is the brute-force cross-join formulation
+    and the hash compare is integer-exact."""
+    _prep(spark)
+    from osmflat_rs_spark.operators.knn import radius_join
+
+    pts = _synth_coords(_t(spark, sf_dir, "events")).select("event_id", "lat", "lon")
+    q = spark.createDataFrame(KNN_QUERIES, schema="query_id string, lat long, lon long")
+    out = radius_join(
+        pts,
+        q,
+        radius_m=KNN_RADIUS_FIXED,
+        res=CELL_RES,
+        metric="sqeuclid",
+        id_col="event_id",
+    )
+    return out.select("query_id", "event_id", F.col("dist_m").alias("d2"))
+
+
 def q_cell_index_events(spark, sf_dir):
     """The Morton quadtree cell encoder (H3/S2 analog) — pure JVM bit
     arithmetic, reproduced bit-for-bit by the SQL oracle."""
@@ -699,6 +722,23 @@ def q_ann_srp_topk(spark, sf_dir):
     )
 
 
+def q_ann_srp_arrow_topk(spark, sf_dir):
+    """The SAME SRP-LSH operator with ``corpus_encode='arrow'`` (r5): the
+    corpus side buckets via one NumPy matmul per Arrow batch against the
+    identical md5-derived hyperplanes — the bulk-encode path. Same
+    combined bucket space and exact re-rank, so the recall gate must
+    clear identically (pair parity is pinned in
+    test_srp_topk_corpus_encode_parity)."""
+    _prep(spark)
+    from osmflat_rs_spark.operators.ann import srp_bucketed_topk
+
+    return _ann_recall_gate(
+        spark,
+        sf_dir,
+        lambda emb, q: srp_bucketed_topk(emb, q, k=ANN_K, dim=64, corpus_encode="arrow"),
+    )
+
+
 # --------------------------------------------------------------------------
 # SQL oracle builders
 # --------------------------------------------------------------------------
@@ -972,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_events_shuffle": q_pip_events_shuffle,
         "pip_events_holes": q_pip_events_holes,
         "knn_events": q_knn_events,
+        "radius_events": q_radius_events,
         "cell_index_events": q_cell_index_events,
         "raster_events": q_raster_events,
         "tile_events": q_tile_events,
@@ -992,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_srp": q_embedding_neardup_srp,  # recall-floor + subset gate (oracled)
         "ann_topk": q_ann_topk,
         "ann_srp_topk": q_ann_srp_topk,  # recall@5-floor gate (oracled)
+        "ann_srp_arrow_topk": q_ann_srp_arrow_topk,  # same gate, Arrow bulk encode
         "ann_ivf_topk": q_ann_ivf_topk,  # recall@5-floor gate (oracled)
         "stream_neardup_docs": q_stream_neardup_docs,  # stateful streaming, oracled
     }
@@ -1112,6 +1154,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, rnk, event_id, d2 FROM (
               SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2 ASC, event_id ASC) AS rnk
               FROM d) WHERE rnk <= {KNN_K}
+        """,
+        "radius_events": f"""
+            WITH pts AS (SELECT * FROM {synth}),
+            q(query_id, qlat, qlon) AS (VALUES {knn_vals})
+            SELECT q.query_id, p.event_id,
+                   (p.lat - q.qlat) * (p.lat - q.qlat) + (p.lon - q.qlon) * (p.lon - q.qlon) AS d2
+            FROM pts p CROSS JOIN q
+            WHERE (p.lat - q.qlat) * (p.lat - q.qlat) + (p.lon - q.qlon) * (p.lon - q.qlon)
+                  <= {KNN_RADIUS_FIXED} * {KNN_RADIUS_FIXED}
         """,
         "cell_index_events": f"""
             SELECT event_id, {_cell_sql('lat', 'lon', CELL_RES)} AS cell,
@@ -1280,6 +1331,10 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings WHERE vec_id IN ({", ".join(str(i) for i in ANN_QUERY_IDS)})
         """,
         "ann_ivf_topk": f"""
+            SELECT vec_id AS query_id, {ANN_K} AS k, TRUE AS recall_ok
+            FROM embeddings WHERE vec_id IN ({", ".join(str(i) for i in ANN_QUERY_IDS)})
+        """,
+        "ann_srp_arrow_topk": f"""
             SELECT vec_id AS query_id, {ANN_K} AS k, TRUE AS recall_ok
             FROM embeddings WHERE vec_id IN ({", ".join(str(i) for i in ANN_QUERY_IDS)})
         """,

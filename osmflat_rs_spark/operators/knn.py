@@ -58,85 +58,27 @@ def haversine_np_udf(lat1: pd.Series, lon1: pd.Series, lat2: pd.Series, lon2: pd
     return pd.Series(2.0 * np.arcsin(np.sqrt(a)) * R)
 
 
-def knn_join_bulk(
+def _radius_candidates(
     points: DataFrame,
-    queries: DataFrame,  # (query_id, lat, lon) fixed-point
-    k: int = 5,
-    res: int | None = None,
-    radius_m: float = 1000.0,
-    metric: str = "haversine",
-    id_col: str = "node_idx",
-    exact_fallback: bool = True,
-    broadcast_cover: bool = True,
-    backend=None,
-    cell_col: str | None = None,
-) -> DataFrame:
-    """Fully-distributed kNN — no driver loop, no per-round collect
-    (contrast: ``knn_join`` below iterates driver-side, right for dozens
-    of queries, wrong for millions). Construction is LAZY: no Spark jobs
-    run until the returned DataFrame is acted on (asserted in
-    tests/test_spatial.py::test_knn_bulk_construction_is_lazy).
-
-    One candidate pass: each query explodes to its disk-cover cells
-    (vectorized in ``mapInPandas``), equi-joins points on cell, exact
-    distance, per-query top-k window. Queries whose kth distance exceeds
-    ``radius_m`` (no exactness guarantee) or with <k candidates fall back
-    to an exact broadcast scan — correct for ANY radius choice; ``radius_m``
-    only tunes how much work takes the fast path.
-
-    ``metric``:
-      - ``"haversine"`` — geodesic meters (vectorized NumPy pandas UDF;
-        ``radius_m`` in meters; cover = geodesic-disk bbox, cells.disk_cover);
-      - ``"sqeuclid"`` — EXACT int64 squared euclidean distance in
-        fixed-point coordinate units, pure JVM expression (no Python on
-        the hot path; ``radius_m`` in fixed-point units; cover = the
-        ±radius bbox, which is an exact superset of the metric disk).
-        Settled test compares kth d² ≤ radius².
-
-    ``broadcast_cover=True`` (default) hints the cover side of the
-    candidate join for broadcast. The cover is |queries| × ~16 cells wide,
-    so the broadcast path is bounded by the QUERY-SET size: it is right up
-    to a few million query rows (the cover must fit the driver/executor
-    broadcast limit), and it is mandatory protection for the point table
-    — the cover's stats are opaque (mapInPandas output), so without the
-    hint AQE would sort-merge and shuffle the entire point corpus. For
-    query sets beyond broadcast range pass ``broadcast_cover=False``: the
-    candidate join then shuffles BOTH sides on the cell key (sort-merge)
-    — points move once, which is the correct degrade at that scale — or
-    pre-bucket the points by cell (sources/bucketed.py) so only the cover
-    side shuffles.
-
-    ``exact_fallback=False`` drops the brute-force rescue branch from the
-    plan entirely — use when settledness is guaranteed/asserted (e.g. the
-    driver gate, which verifies it in tests): the whole plan is then the
-    cell equi-join with zero full-corpus scans.
-
-    ``backend`` (r4): a ``functions.cell_backend.CellBackend`` supplying
-    point encode + disk/bbox covers (default Morton). The settledness
-    guarantee is backend-independent — every backend's disk cover is
-    composed from the SAME exact disk-bbox geometry
-    (``cells.disk_bbox_fixed``) and the backend's superset
-    ``bbox_cover``. Non-Morton backends require an explicit ``res``
-    (resolution scales are scheme-specific). SCALE CONTRACT (r5): only
-    the Morton default has a whole-batch vectorized cover stage (zero
-    per-query Python); S2/H3 covers run one Python cover call per query
-    (S2: a hierarchical refinement costing ~ms per query even with the
-    rect memo) — fine for thousands of queries, unsuitable for the
-    documented 1M-query bulk design point. Use Morton there.
-
-    ``cell_col`` (r5 — the bucketed-layout fast path): name of a
-    PRECOMPUTED cell column on ``points`` (written by
-    ``cells.cluster_by_cell`` / a ``write_bucketed(..., 'cell')`` table
-    at the SAME backend and ``res`` — caller contract, so ``res`` must
-    be explicit). With a cell-bucketed table and
-    ``broadcast_cover=False`` the candidate sort-merge join consumes
-    the bucketed scan directly: the point table — the 10^12-row side —
-    is joined with NO Exchange at all; only the query cover shuffles
-    (plan-pinned in tests/test_plans.py)."""
+    queries: DataFrame,
+    radius_m: float,
+    res: int | None,
+    metric: str,
+    id_col: str,
+    broadcast_cover: bool,
+    be,
+    cell_col: str | None,
+):
+    """Shared candidate stage of ``knn_join_bulk`` and ``radius_join``:
+    point prep (null-coord filter + cell encode or precomputed
+    ``cell_col``), vectorized disk/bbox cover generation, the cell
+    equi-join, and the exact per-pair distance. Returns ``(cand, pts,
+    with_dist)`` -- ``pts``/``with_dist`` feed knn's brute-force rescue
+    branch. All contracts (cover superset exactness, broadcast vs
+    sort-merge degrade, bucketed-layout fast path) are documented on
+    ``knn_join_bulk``."""
     from osmflat_rs_spark.functions.cell_backend import MortonBackend
 
-    spark = points.sparkSession
-    be = backend or MortonBackend()
     if res is None and not isinstance(be, MortonBackend):
         raise ValueError(f"backend {be.name!r} requires an explicit res")
     if cell_col is not None and res is None:
@@ -255,9 +197,93 @@ def knn_join_bulk(
             return df.withColumn("dist_m", (dlat * dlat + dlon * dlon).cast("long"))
         return df.withColumn("dist_m", haversine_np_udf("q_lat", "q_lon", "lat", "lon"))
 
-    settle_bound = float(radius_m) ** 2 if metric == "sqeuclid" else float(radius_m)
     cover_side = F.broadcast(cover) if broadcast_cover else cover
     cand = with_dist(pts.join(cover_side, "cell"))
+    return cand, pts, with_dist
+
+
+def knn_join_bulk(
+    points: DataFrame,
+    queries: DataFrame,  # (query_id, lat, lon) fixed-point
+    k: int = 5,
+    res: int | None = None,
+    radius_m: float = 1000.0,
+    metric: str = "haversine",
+    id_col: str = "node_idx",
+    exact_fallback: bool = True,
+    broadcast_cover: bool = True,
+    backend=None,
+    cell_col: str | None = None,
+) -> DataFrame:
+    """Fully-distributed kNN — no driver loop, no per-round collect
+    (contrast: ``knn_join`` below iterates driver-side, right for dozens
+    of queries, wrong for millions). Construction is LAZY: no Spark jobs
+    run until the returned DataFrame is acted on (asserted in
+    tests/test_spatial.py::test_knn_bulk_construction_is_lazy).
+
+    One candidate pass: each query explodes to its disk-cover cells
+    (vectorized in ``mapInPandas``), equi-joins points on cell, exact
+    distance, per-query top-k window. Queries whose kth distance exceeds
+    ``radius_m`` (no exactness guarantee) or with <k candidates fall back
+    to an exact broadcast scan — correct for ANY radius choice; ``radius_m``
+    only tunes how much work takes the fast path.
+
+    ``metric``:
+      - ``"haversine"`` — geodesic meters (vectorized NumPy pandas UDF;
+        ``radius_m`` in meters; cover = geodesic-disk bbox, cells.disk_cover);
+      - ``"sqeuclid"`` — EXACT int64 squared euclidean distance in
+        fixed-point coordinate units, pure JVM expression (no Python on
+        the hot path; ``radius_m`` in fixed-point units; cover = the
+        ±radius bbox, which is an exact superset of the metric disk).
+        Settled test compares kth d² ≤ radius².
+
+    ``broadcast_cover=True`` (default) hints the cover side of the
+    candidate join for broadcast. The cover is |queries| × ~16 cells wide,
+    so the broadcast path is bounded by the QUERY-SET size: it is right up
+    to a few million query rows (the cover must fit the driver/executor
+    broadcast limit), and it is mandatory protection for the point table
+    — the cover's stats are opaque (mapInPandas output), so without the
+    hint AQE would sort-merge and shuffle the entire point corpus. For
+    query sets beyond broadcast range pass ``broadcast_cover=False``: the
+    candidate join then shuffles BOTH sides on the cell key (sort-merge)
+    — points move once, which is the correct degrade at that scale — or
+    pre-bucket the points by cell (sources/bucketed.py) so only the cover
+    side shuffles.
+
+    ``exact_fallback=False`` drops the brute-force rescue branch from the
+    plan entirely — use when settledness is guaranteed/asserted (e.g. the
+    driver gate, which verifies it in tests): the whole plan is then the
+    cell equi-join with zero full-corpus scans.
+
+    ``backend`` (r4): a ``functions.cell_backend.CellBackend`` supplying
+    point encode + disk/bbox covers (default Morton). The settledness
+    guarantee is backend-independent — every backend's disk cover is
+    composed from the SAME exact disk-bbox geometry
+    (``cells.disk_bbox_fixed``) and the backend's superset
+    ``bbox_cover``. Non-Morton backends require an explicit ``res``
+    (resolution scales are scheme-specific). SCALE CONTRACT (r5): only
+    the Morton default has a whole-batch vectorized cover stage (zero
+    per-query Python); S2/H3 covers run one Python cover call per query
+    (S2: a hierarchical refinement costing ~ms per query even with the
+    rect memo) — fine for thousands of queries, unsuitable for the
+    documented 1M-query bulk design point. Use Morton there.
+
+    ``cell_col`` (r5 — the bucketed-layout fast path): name of a
+    PRECOMPUTED cell column on ``points`` (written by
+    ``cells.cluster_by_cell`` / a ``write_bucketed(..., 'cell')`` table
+    at the SAME backend and ``res`` — caller contract, so ``res`` must
+    be explicit). With a cell-bucketed table and
+    ``broadcast_cover=False`` the candidate sort-merge join consumes
+    the bucketed scan directly: the point table — the 10^12-row side —
+    is joined with NO Exchange at all; only the query cover shuffles
+    (plan-pinned in tests/test_plans.py)."""
+    from osmflat_rs_spark.functions.cell_backend import MortonBackend
+
+    be = backend or MortonBackend()
+    cand, pts, with_dist = _radius_candidates(
+        points, queries, radius_m, res, metric, id_col, broadcast_cover, be, cell_col
+    )
+    settle_bound = float(radius_m) ** 2 if metric == "sqeuclid" else float(radius_m)
     # asc_nulls_last is belt-and-braces: dist_m cannot be NULL after the
     # null-coordinate filter above, but a NULL must never outrank a real
     # distance if an upstream schema ever reintroduces one
@@ -316,6 +342,60 @@ def knn_join_bulk(
         .select("query_id", "rank", "_nid", "dist_m")
     )
     return fast.unionByName(slow).withColumnRenamed("_nid", id_col)
+
+
+def radius_join(
+    points: DataFrame,
+    queries: DataFrame,  # (query_id, lat, lon) fixed-point
+    radius_m: float = 1000.0,
+    res: int | None = None,
+    metric: str = "haversine",
+    id_col: str = "node_idx",
+    broadcast_cover: bool = True,
+    backend=None,
+    cell_col: str | None = None,
+) -> DataFrame:
+    """Geodesic radius join (distance join) — ALL (query, point) pairs
+    with distance ≤ ``radius_m``; the third classic spatial join next to
+    point-in-polygon (``spatial_join.pip_join``) and kNN
+    (``knn_join_bulk``), same candidate machinery as the latter
+    (``_radius_candidates``: vectorized disk/bbox covers → cell
+    equi-join → exact distance).
+
+    Unconditionally EXACT with no fallback branch: the cover is a
+    superset of the metric disk (haversine: the geodesic-disk bbox;
+    sqeuclid: the ±r bbox), so every within-radius point is a candidate
+    by construction — unlike kNN there is no settledness question, the
+    radius IS the contract. Each point owns exactly one cell and a
+    query's cover cells are distinct, so a pair appears at most once; no
+    dedup step. → DataFrame(query_id, <id_col>, dist_m); ``metric`` /
+    ``broadcast_cover`` / ``backend`` / ``cell_col`` exactly as on
+    ``knn_join_bulk`` (sqeuclid: pure-JVM int64 d² in fixed-point units,
+    ``radius_m`` in those units; the bucketed-layout ``cell_col`` path
+    joins the point table with zero Exchanges).
+
+    Scale shape: output size is data-dependent (Θ(pairs within r)) — at
+    10^12 points pick r so the per-query neighborhood is bounded, same
+    contract as any distance join. No reference analog (the reference's
+    only lookup structure is the id dictionary, osmflatc/src/ids.rs:
+    96-158); north-rule spatial surface."""
+    from osmflat_rs_spark.functions.cell_backend import MortonBackend
+
+    be = backend or MortonBackend()
+    cand, _pts, _wd = _radius_candidates(
+        points, queries, radius_m, res, metric, id_col, broadcast_cover, be, cell_col
+    )
+    if metric == "sqeuclid" and float(radius_m).is_integer():
+        # exact int64 boundary compare — a double bound is only exact to
+        # 2^53, and d² values run to 2·(2^31-1)² (the with_dist clamp)
+        bound = F.lit(min(int(radius_m) ** 2, (1 << 63) - 1)).cast("long")
+    else:
+        bound = F.lit(float(radius_m) ** 2 if metric == "sqeuclid" else float(radius_m))
+    return (
+        cand.filter(F.col("dist_m") <= bound)
+        .select("query_id", "_nid", "dist_m")
+        .withColumnRenamed("_nid", id_col)
+    )
 
 
 def knn_join(

@@ -449,6 +449,25 @@ def q_knn(m: dict, queries: pd.DataFrame, k: int = 5) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "node_idx", "dist_m"])
 
 
+def q_radius_join(m: dict, queries: pd.DataFrame, radius_m: float) -> pd.DataFrame:
+    """Brute-force geodesic radius join: every (query, node) pair with
+    haversine distance ≤ radius_m — the model for operators.knn.radius_join."""
+    rows = []
+    nodes = m["nodes"]
+    nlat = nodes["lat"].to_numpy(dtype=np.int64)
+    nlon = nodes["lon"].to_numpy(dtype=np.int64)
+    nid = nodes["node_idx"].to_numpy(dtype=np.int64)
+    for q in queries.itertuples():
+        d = haversine_np(
+            q.lat / COORD_SCALE, q.lon / COORD_SCALE, nlat / COORD_SCALE, nlon / COORD_SCALE
+        )
+        for i in np.flatnonzero(d <= radius_m):
+            rows.append(
+                {"query_id": q.query_id, "node_idx": int(nid[i]), "dist_m": float(d[i])}
+            )
+    return pd.DataFrame(rows, columns=["query_id", "node_idx", "dist_m"])
+
+
 TILE_ZOOM = 14
 
 

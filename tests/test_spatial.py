@@ -145,6 +145,56 @@ def test_knn_bulk_sqeuclid_matches_bruteforce(tables, spark):
     assert_frames_equal(got, want, ["query_id", "rank", "node_idx", "dist_m"])
 
 
+def test_radius_join_matches_oracle(tables, model, spark):
+    """Exact all-pairs-within-r vs the brute-force pandas oracle — the
+    cover-superset construction makes the operator unconditionally exact,
+    at any radius, with the broadcast AND sort-merge cover paths."""
+    from osmflat_rs_spark.operators.knn import radius_join
+
+    queries = oracle.generate_query_points()
+    qdf = spark.createDataFrame(queries)
+    for r in (300.0, 1500.0):
+        want = oracle.q_radius_join(model, queries, r)
+        got = radius_join(tables["nodes"], qdf, radius_m=r)
+        assert len(want) > 0
+        assert_frames_equal(got, want, ["query_id", "node_idx", "dist_m"])
+    # sort-merge degrade path: identical pairs
+    got_sm = radius_join(tables["nodes"], qdf, radius_m=300.0, broadcast_cover=False)
+    assert_frames_equal(got_sm, oracle.q_radius_join(model, queries, 300.0),
+                        ["query_id", "node_idx", "dist_m"])
+    # a radius tighter than any neighbor → empty result, no crash
+    assert radius_join(tables["nodes"], qdf, radius_m=0.001).count() == 0
+
+
+def test_radius_join_sqeuclid_exact_boundary(tables, spark):
+    """sqeuclid radius join: int64 d² against an EXACT integer bound —
+    a point exactly ON the boundary circle must be included."""
+    import pandas as pd
+
+    from osmflat_rs_spark.operators.knn import radius_join
+
+    pts = tables["nodes"].select("node_idx", "lat", "lon").toPandas()
+    # query due south of a real node by exactly 30000 fixed units
+    n0 = pts.iloc[0]
+    queries = pd.DataFrame(
+        {"query_id": ["q0"], "lat": [int(n0["lat"]) - 30000], "lon": [int(n0["lon"])]}
+    )
+    got = radius_join(
+        tables["nodes"],
+        spark.createDataFrame(queries),
+        radius_m=30000,
+        metric="sqeuclid",
+        res=14,
+    ).toPandas()
+    d2 = (pts["lat"].to_numpy() - queries["lat"][0]) ** 2 + (
+        pts["lon"].to_numpy() - queries["lon"][0]
+    ) ** 2
+    want_ids = sorted(int(i) for i in pts["node_idx"][d2 <= 30000**2])
+    assert int(n0["node_idx"]) in want_ids  # the boundary point itself
+    assert sorted(got["node_idx"].tolist()) == want_ids
+    assert (got["dist_m"] <= 30000**2).all()
+
+
 @pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
 def test_knn_gate_settled(sf_dir):
     """q_knn_events runs with exact_fallback=False; this asserts the
