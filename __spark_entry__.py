@@ -1162,7 +1162,7 @@ def oracle_sql() -> dict[str, str]:
                    (p.lat - q.qlat) * (p.lat - q.qlat) + (p.lon - q.qlon) * (p.lon - q.qlon) AS d2
             FROM pts p CROSS JOIN q
             WHERE (p.lat - q.qlat) * (p.lat - q.qlat) + (p.lon - q.qlon) * (p.lon - q.qlon)
-                  <= {KNN_RADIUS_FIXED} * {KNN_RADIUS_FIXED}
+                  <= {KNN_RADIUS_FIXED ** 2}
         """,
         "cell_index_events": f"""
             SELECT event_id, {_cell_sql('lat', 'lon', CELL_RES)} AS cell,
