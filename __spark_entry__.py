@@ -949,6 +949,48 @@ def q_stream_neardup_docs(spark, sf_dir):
     return spark.createDataFrame(pairs_pdf, schema="id_a string, id_b string, est_jaccard double")
 
 
+def q_stream_pip_events(spark, sf_dir):
+    """STREAM-STATIC spatial join (streaming/incremental.py:
+    stream_pip_assign): the synth event points replayed as TWO
+    availableNow micro-batch runs against one checkpoint, assigned to the
+    hex polygon by the batch pip_join kernel composed onto the stream
+    (stateless plan: cell-encode Project -> stream-static broadcast join
+    -> mapInPandas refine). Exactly-once per input file means the union
+    of both runs' appends must equal the batch PIP answer bit-for-bit —
+    same halfplanes oracle as pip_events."""
+    import shutil
+    import tempfile
+
+    from osmflat_rs_spark.streaming.incremental import stream_pip_assign
+
+    _prep(spark)
+    pts = _synth_coords(_t(spark, sf_dir, "events")).select("event_id", "lat", "lon")
+    ring = [{"lat": la, "lon": lo} for lo, la in HEX_RING]
+    polys = spark.createDataFrame(
+        [("hex", [(v["lat"], v["lon"]) for v in ring], "district")],
+        schema="polygon_id string, ring array<struct<lat:long,lon:long>>, kind string",
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_pip_")
+    pts_dir, ckpt, out = f"{tmp}/pts", f"{tmp}/ck", f"{tmp}/out"
+    schema = "event_id long, lat long, lon long"
+    try:
+        pts.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(pts_dir)
+        q1 = stream_pip_assign(spark, pts_dir, schema, polys, out, ckpt, point_id="event_id")
+        if not q1.awaitTermination(300):
+            q1.stop()
+            raise RuntimeError("stream_pip batch 1 did not finish in 300s")
+        pts.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(pts_dir)
+        q2 = stream_pip_assign(spark, pts_dir, schema, polys, out, ckpt, point_id="event_id")
+        if not q2.awaitTermination(300):
+            q2.stop()
+            raise RuntimeError("stream_pip batch 2 did not finish in 300s")
+        # bounded materialization (PIP pairs only) so the scratch tree can go
+        pairs_pdf = spark.read.parquet(out).select("polygon_id", "event_id").toPandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(pairs_pdf, schema="polygon_id string, event_id long")
+
+
 def _stream_neardup_sql(threshold: float = 0.5) -> str:
     """Batch twin of the streaming candidate surfacer: band-sharing pairs
     filtered by the signature-estimate. Ids as VARCHAR throughout (the
@@ -1036,6 +1078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_srp_arrow_topk": q_ann_srp_arrow_topk,  # same gate, Arrow bulk encode
         "ann_ivf_topk": q_ann_ivf_topk,  # recall@5-floor gate (oracled)
         "stream_neardup_docs": q_stream_neardup_docs,  # stateful streaming, oracled
+        "stream_pip_events": q_stream_pip_events,  # stream-static PIP, oracled
     }
 
 
@@ -1137,6 +1180,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_halfplanes_sql('lon', 'lat')}
         """,
         "pip_events_shuffle": f"""
+            SELECT 'hex' AS polygon_id, event_id FROM {synth}
+            WHERE {_halfplanes_sql('lon', 'lat')}
+        """,
+        "stream_pip_events": f"""
             SELECT 'hex' AS polygon_id, event_id FROM {synth}
             WHERE {_halfplanes_sql('lon', 'lat')}
         """,

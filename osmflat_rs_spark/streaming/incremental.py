@@ -113,6 +113,68 @@ def stream_cell_assign(spark, docs_dir: str, schema, out_dir: str, checkpoint_di
     )
 
 
+def stream_pip_assign(
+    spark,
+    points_dir: str,
+    schema,
+    polygons: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    point_id: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+    cover_res: int | None = None,
+    parse_docs: bool = False,
+):
+    """Stream-static spatial join: points arriving as files are assigned
+    to the polygons that contain them, exactly once, by composing the
+    verified batch PIP kernel (operators/spatial_join.py:pip_join) onto a
+    streaming source. Every point-side op in that plan is stateless — a
+    Project (cell encode), a stream-static broadcast equi-join on
+    ``cell``, a Filter split on ``interior``, a ``mapInPandas`` exact
+    refinement, and a union of the two branches — so Structured Streaming
+    runs it unchanged in append mode with no state store at all; the
+    checkpoint tracks only source progress. This is the live form of the
+    north rule's PIP join (reference semantics: render-features.rs
+    polygon containment) for a continuously-fed point table.
+
+    ``parse_docs=True`` treats the stream as INTERLEAVED DOCUMENTS
+    (doc_id, spans) and extracts node coords in-row first — the same
+    expressions as batch ingest — so a live doc feed goes straight to
+    polygon assignments; ``point_id`` is then ``osm_id``.
+
+    Parquet append sink + checkpoint = exactly-once per input file;
+    restarts resume from the checkpoint. Returns the StreamingQuery."""
+    from pyspark.sql import functions as F
+
+    from osmflat_rs_spark.operators.spatial_join import pip_join
+
+    stream = spark.readStream.schema(schema).parquet(points_dir)
+    if parse_docs:
+        from osmflat_rs_spark.ingest import _keyed
+
+        keyed = _keyed(stream)
+        coord = F.get(F.filter("spans", lambda s: s["kind"] == "coord"), 0)["text"]
+        stream = keyed.filter(F.col("entity_type") == "node").select(
+            F.col("osm_id"),
+            F.split(coord, ",").getItem(0).cast("long").alias("lat"),
+            F.split(coord, ",").getItem(1).cast("long").alias("lon"),
+        )
+        point_id, lat, lon = "osm_id", "lat", "lon"
+
+    assigned = pip_join(
+        stream, polygons, point_id=point_id, lat=lat, lon=lon, cover_res=cover_res
+    )
+    return (
+        assigned.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_windowed_event_counts(spark, events_dir: str, schema, checkpoint_dir: str,
                                  window: str = "1 hour", watermark: str = "2 hours"):
     """Watermarked sliding-free tumbling-window aggregation over an event

@@ -232,3 +232,50 @@ def test_stream_neardup_capped_overflow_always_links(spark, tmp_path):
     # every doc beyond the first (stored or overflow) links to some rep
     missing = set(all_ids[1:]) - linked
     assert not missing, f"overflow docs with no surfaced pair: {missing} (pairs={pairs})"
+
+
+def test_stream_pip_assign_docs_matches_batch_and_is_exactly_once(spark, tmp_path):
+    """Stream-static PIP join: interleaved docs arriving as files are
+    parsed in-row and assigned to polygons via the batch pip_join kernel
+    composed onto the stream. Result set must equal the batch pip_join
+    over the same docs; a restart with a drained source appends nothing
+    (exactly-once per input file)."""
+    from osmflat_rs_spark.fixtures import generate_polygons, polygons_to_spark
+    from osmflat_rs_spark.ingest import _keyed
+    from osmflat_rs_spark.operators.spatial_join import pip_join
+    from osmflat_rs_spark.streaming.incremental import stream_pip_assign
+
+    pdf, _ = generate_docs(n_nodes=400, n_ways=40, n_rels=10)
+    polys = polygons_to_spark(spark, generate_polygons(n_poly=6))
+    docs_dir, out_dir, ckpt = str(tmp_path / "docs"), str(tmp_path / "out"), str(tmp_path / "ck")
+    half = len(pdf) // 2
+    docs_to_spark(spark, pdf.iloc[:half]).write.mode("append").parquet(docs_dir)
+    docs_to_spark(spark, pdf.iloc[half:]).write.mode("append").parquet(docs_dir)
+
+    q = stream_pip_assign(
+        spark, docs_dir, DOCS_SCHEMA, polys, out_dir, ckpt, parse_docs=True
+    )
+    q.awaitTermination(180)
+    out_rows = spark.read.parquet(out_dir).collect()
+    got = {(r["polygon_id"], r["osm_id"]) for r in out_rows}
+    assert len(out_rows) == len(got)  # no duplicate assignments
+
+    keyed = _keyed(spark.read.parquet(docs_dir))
+    coord = F.get(F.filter("spans", lambda s: s["kind"] == "coord"), 0)["text"]
+    nodes = keyed.filter(F.col("entity_type") == "node").select(
+        "osm_id",
+        F.split(coord, ",").getItem(0).cast("long").alias("lat"),
+        F.split(coord, ",").getItem(1).cast("long").alias("lon"),
+    )
+    want = {
+        (r["polygon_id"], r["osm_id"])
+        for r in pip_join(nodes, polys, point_id="osm_id").collect()
+    }
+    assert got == want and len(got) > 0
+
+    # restart on the drained source: checkpoint says all files consumed
+    q2 = stream_pip_assign(
+        spark, docs_dir, DOCS_SCHEMA, polys, out_dir, ckpt, parse_docs=True
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == len(out_rows)
