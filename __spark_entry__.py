@@ -478,6 +478,54 @@ def q_tile_events(spark, sf_dir):
     )
 
 
+def q_tile_pyramid_events(spark, sf_dir):
+    """Multi-resolution tile rollup z14→z10: per-tile (count, integer sum)
+    at the base zoom, every coarser level aggregated FROM ITS CHILDREN
+    (``tile >> 1``), never by rescanning — one data scan total, the base
+    exchange reused across level branches (hypertable/overview pattern)."""
+    from osmflat_rs_spark.operators.tiling import tile_pyramid
+
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    return tile_pyramid(
+        pts,
+        base_zoom=ZOOM,
+        min_zoom=ZOOM - 4,
+        sums={"sum_cents": F.floor(F.col("value") * 100).cast("long")},
+    )
+
+
+def q_asof_purchase_view(spark, sf_dir):
+    """As-of join: each purchase matched to the user's most recent view at
+    or before it (LEFT semantics). Union-tag + one window — a single
+    shuffle, zero row amplification (vs. the range-join form that explodes
+    every purchase × all earlier views). Oracle: DuckDB's native ASOF
+    LEFT JOIN."""
+    from osmflat_rs_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    pur = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts", "value")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("view_event_id"),
+        F.col("value").alias("view_value"),
+    )
+    res = asof_join(pur, views, on="user_id", right_cols=["view_event_id", "view_value"], suffix="_r")
+
+    def us(c):
+        # parquet timestamps are NTZ; session tz is pinned UTC so the cast
+        # is an identity and the micros agree with DuckDB's epoch_us
+        return F.unix_micros(c.cast("timestamp"))
+
+    return res.select(
+        "event_id",
+        "user_id",
+        F.col("view_event_id_r").alias("view_event_id"),
+        (us(F.col("ts")) - us(F.col("ts_r"))).alias("gap_us"),
+        F.col("view_value_r").alias("view_value"),
+    )
+
+
 # --------------------------------------------------------------------------
 # documents: span primitives + dedup + text analysis
 # --------------------------------------------------------------------------
@@ -1058,6 +1106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_index_events": q_cell_index_events,
         "raster_events": q_raster_events,
         "tile_events": q_tile_events,
+        "tile_pyramid_events": q_tile_pyramid_events,
+        "asof_purchase_view": q_asof_purchase_view,
         "span_explode_docs": q_span_explode_docs,
         "span_reassemble_docs": q_span_reassemble_docs,
         "dedup_exact_docs": q_dedup_exact_docs,
@@ -1239,6 +1289,33 @@ def oracle_sql() -> dict[str, str]:
                   + 1.0 / COS(RADIANS(GREATEST(-85.05112878, LEAST(85.05112878, lat / 10000000.0)))))
                   / 3.141592653589793) / 2.0 * {1 << ZOOM}) AS BIGINT))) AS tile_y
             FROM {synth}
+        """,
+        # each level recomputed DIRECTLY from the points — the engine's
+        # child-rollup must equal it bit-exactly (tile(z-1) == tile(z)>>1:
+        # power-of-two scaling is exact in FP, floor(2b) div 2 == floor(b))
+        "tile_pyramid_events": " UNION ALL ".join(
+            f"""
+            SELECT {z} AS zoom,
+              GREATEST(0, LEAST({(1 << z) - 1},
+                CAST(FLOOR((lon / 10000000.0 + 180.0) / 360.0 * {1 << z}) AS BIGINT))) AS tile_x,
+              GREATEST(0, LEAST({(1 << z) - 1},
+                CAST(FLOOR((1.0 - LN(TAN(RADIANS(GREATEST(-85.05112878, LEAST(85.05112878, lat / 10000000.0))))
+                  + 1.0 / COS(RADIANS(GREATEST(-85.05112878, LEAST(85.05112878, lat / 10000000.0)))))
+                  / 3.141592653589793) / 2.0 * {1 << z}) AS BIGINT))) AS tile_y,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM {synth} GROUP BY 1, 2, 3
+            """
+            for z in range(ZOOM, ZOOM - 5, -1)
+        ),
+        "asof_purchase_view": """
+            SELECT l.event_id, l.user_id, r.view_event_id,
+                   epoch_us(l.ts) - epoch_us(r.vts) AS gap_us, r.view_value
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+            ASOF LEFT JOIN (SELECT user_id, ts AS vts, event_id AS view_event_id,
+                                   value AS view_value
+                            FROM events WHERE event_type = 'view') r
+            ON l.user_id = r.user_id AND l.ts >= r.vts
         """,
         "span_explode_docs": """
             SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) - 1 AS o,

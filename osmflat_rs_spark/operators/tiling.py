@@ -276,3 +276,83 @@ def tile_assign(
         )
         .distinct()
     )
+
+
+def tile_pyramid(
+    points: DataFrame,
+    base_zoom: int,
+    min_zoom: int,
+    sums: dict[str, "Column | str"] | None = None,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    id_cols: tuple = (),
+) -> DataFrame:
+    """Multi-resolution tile rollup (the hypertable/overview-level
+    pattern): per-tile aggregates at ``base_zoom``, then every coarser
+    level down to ``min_zoom`` computed FROM ITS CHILDREN's aggregates
+    (``tile >> 1`` parenting), never by rescanning the points.
+
+    → DataFrame(zoom int, tile_x long, tile_y long, n long,
+    <one column per ``sums`` key>). ``sums`` maps output name → column
+    (or column name) summed at the base level and re-summed up the
+    pyramid — restrict it to rollup-exact measures (counts, integer
+    sums); float sums roll up with reassociated addition order.
+
+    Exactness: the slippy tile of a point at zoom z-1 equals its zoom-z
+    tile ``>> 1`` BIT-EXACTLY — scaling a double by a power of two is
+    exact, so fl(y·2^z) = 2·fl(y·2^(z-1)) and floor(2b) div 2 =
+    floor(b); the clamp commutes because the clamp boundary at z-1 is
+    the boundary at z shifted. Hence child-sum == direct recompute at
+    every level, and the whole pyramid is oracle-checkable per level.
+
+    Scale design: the base aggregation is the ONLY pass over the data
+    (one scan + one shuffle with map-side partial combine; ≤4^base_zoom
+    output rows, in practice the distinct-tile count). Each rollup
+    consumes the previous level's aggregate — at most 4× smaller per
+    step — so the pyramid costs a vanishing tail after the base pass.
+    The level branches all share the base aggregate's Exchange subtree;
+    Spark's ReuseExchange executes the scan+partial-agg once and replays
+    the tiny shuffle output per branch (plan-asserted in
+    tests/test_tiling.py). Analog: the reference renders one raster per
+    requested zoom from the same vector pass (render-roads.rs:71-81's
+    zoom-parameterized affine); here the coarser zooms reuse the finer
+    AGGREGATE instead of the input.
+    """
+    from osmflat_rs_spark.functions.geo import mercator_tile_x, mercator_tile_y, to_degrees
+
+    if not (0 <= min_zoom <= base_zoom):
+        raise ValueError(f"need 0 <= min_zoom <= base_zoom, got {min_zoom}..{base_zoom}")
+    sums = sums or {}
+    # measures are pre-projected under their output names, so every
+    # aggregation level (base included) sums the same named column
+    sum_exprs = [F.sum(name).alias(name) for name in sums]
+    base = (
+        points.select(
+            *id_cols,
+            mercator_tile_x(to_degrees(F.col(lon_col)), base_zoom).alias("tile_x"),
+            mercator_tile_y(to_degrees(F.col(lat_col)), base_zoom).alias("tile_y"),
+            *[(F.col(c) if isinstance(c, str) else c).alias(name) for name, c in sums.items()],
+        )
+        .groupBy(*id_cols, "tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).alias("n"), *sum_exprs)
+    )
+
+    rollup_sums = [F.sum(name).alias(name) for name in sums]
+    levels = [base.select(F.lit(base_zoom).alias("zoom"), *id_cols, "tile_x", "tile_y", "n", *sums)]
+    cur = base
+    for z in range(base_zoom - 1, min_zoom - 1, -1):
+        cur = (
+            cur.groupBy(
+                *id_cols,
+                F.shiftright("tile_x", 1).alias("tile_x"),
+                F.shiftright("tile_y", 1).alias("tile_y"),
+            )
+            .agg(F.sum("n").alias("n"), *rollup_sums)
+        )
+        levels.append(
+            cur.select(F.lit(z).alias("zoom"), *id_cols, "tile_x", "tile_y", "n", *sums)
+        )
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out

@@ -82,3 +82,89 @@ def test_tile_segments_plan_has_no_window_one_shuffle(spark, tables):
 
     seg_plan = q.road_segments(tables)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in seg_plan
+
+
+def test_tile_pyramid_rollup_equals_direct_recompute(spark):
+    """The child-sum pyramid must equal a per-level direct recompute
+    BIT-EXACTLY (tile(z-1) == tile(z) >> 1: power-of-two scaling is exact
+    in FP, and floor(2b) div 2 == floor(b); the clamp commutes because
+    each clamp boundary is the parent boundary shifted). Random points
+    include out-of-mercator latitudes so the clamp path is exercised."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from osmflat_rs_spark.functions.geo import mercator_tile_x, mercator_tile_y, to_degrees
+    from osmflat_rs_spark.operators.tiling import tile_pyramid
+
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame(
+        {
+            # fixed-point 1e7 coords; lat beyond ±85.05 included
+            "lat": rng.integers(-890_000_000, 890_000_000, 4000),
+            "lon": rng.integers(-1_800_000_000, 1_800_000_000, 4000),
+            "v": rng.integers(0, 1000, 4000),
+        }
+    )
+    pts = spark.createDataFrame(pdf)
+    pyr = (
+        tile_pyramid(pts, base_zoom=12, min_zoom=8, sums={"sv": F.col("v")})
+        .orderBy("zoom", "tile_x", "tile_y")
+        .toPandas()
+    )
+    direct_parts = []
+    for z in range(12, 7, -1):
+        direct_parts.append(
+            pts.select(
+                F.lit(z).alias("zoom"),
+                mercator_tile_x(to_degrees(F.col("lon")), z).alias("tile_x"),
+                mercator_tile_y(to_degrees(F.col("lat")), z).alias("tile_y"),
+                "v",
+            )
+            .groupBy("zoom", "tile_x", "tile_y")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+            .toPandas()
+        )
+    direct = (
+        pd.concat(direct_parts)
+        .sort_values(["zoom", "tile_x", "tile_y"])
+        .reset_index(drop=True)[pyr.columns.tolist()]
+    )
+    pd.testing.assert_frame_equal(pyr.reset_index(drop=True), direct)
+
+
+def test_tile_pyramid_single_scan_reused_exchange(spark):
+    """Scale assertion: the points are scanned once — every coarser level
+    reuses the base aggregate's exchange (AQE stage reuse), so the plan
+    after execution carries one reuse node per coarser branch."""
+    import numpy as np
+    import pandas as pd
+
+    from osmflat_rs_spark.operators.tiling import tile_pyramid
+
+    rng = np.random.default_rng(3)
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "lat": rng.integers(500_000_000, 550_000_000, 2000),
+                "lon": rng.integers(100_000_000, 150_000_000, 2000),
+            }
+        )
+    )
+    pyr = tile_pyramid(pts, base_zoom=10, min_zoom=7)
+    pyr.collect()
+    plan = pyr._jdf.queryExecution().executedPlan().toString()
+    n_reuse = plan.count("ReusedExchange") + plan.lower().count("reused")
+    assert n_reuse >= 3, f"expected >=3 reused base-exchange branches:\n{plan[:4000]}"
+
+
+def test_tile_pyramid_validates_zoom_bounds(spark):
+    import pandas as pd
+
+    from osmflat_rs_spark.operators.tiling import tile_pyramid
+
+    pts = spark.createDataFrame(pd.DataFrame({"lat": [0], "lon": [0]}))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        tile_pyramid(pts, base_zoom=5, min_zoom=6)
