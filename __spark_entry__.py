@@ -526,6 +526,20 @@ def q_asof_purchase_view(spark, sf_dir):
     )
 
 
+SESSION_GAP_S = 21_600  # 6h; sf0.01 median inter-event gap per user ≈ 7.3h
+
+
+def q_sessions_events(spark, sf_dir):
+    """Gap-based sessionization → per-session stats. One shuffle total:
+    the session index is a lag-diff + running sum window, and the stats
+    groupBy's keys are a superset of the window partition key so no
+    second exchange is planned (asserted in tests/test_sessions.py)."""
+    from osmflat_rs_spark.operators.sessions import session_stats
+
+    e = _t(spark, sf_dir, "events")
+    return session_stats(e, "user_id", gap_s=SESSION_GAP_S, order_cols=("event_id",))
+
+
 # --------------------------------------------------------------------------
 # documents: span primitives + dedup + text analysis
 # --------------------------------------------------------------------------
@@ -1108,6 +1122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_events": q_tile_events,
         "tile_pyramid_events": q_tile_pyramid_events,
         "asof_purchase_view": q_asof_purchase_view,
+        "sessions_events": q_sessions_events,
         "span_explode_docs": q_span_explode_docs,
         "span_reassemble_docs": q_span_reassemble_docs,
         "dedup_exact_docs": q_dedup_exact_docs,
@@ -1316,6 +1331,24 @@ def oracle_sql() -> dict[str, str]:
                                    value AS view_value
                             FROM events WHERE event_type = 'view') r
             ON l.user_id = r.user_id AND l.ts >= r.vts
+        """,
+        # STRICTLY > gap starts a new session (pinned to Spark
+        # session_window's INCLUSIVE merge rule — see operators/sessions.py)
+        "sessions_events": f"""
+            WITH o AS (SELECT user_id, ts, event_id,
+                              epoch_us(ts) - epoch_us(LAG(ts) OVER
+                                (PARTITION BY user_id ORDER BY ts, event_id)) AS d
+                       FROM events),
+            s AS (SELECT user_id, ts,
+                         SUM(CASE WHEN d IS NULL OR d <= {SESSION_GAP_S * 1_000_000} THEN 0 ELSE 1 END)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_idx
+                  FROM o)
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us,
+                   COUNT(*) AS n_events,
+                   (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) / 1000000.0 AS duration_s
+            FROM s GROUP BY 1, 2
         """,
         "span_explode_docs": """
             SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) - 1 AS o,

@@ -39,6 +39,8 @@ HEADLINE = [
     "knn_events",
     "cell_index_events",
     "tile_events",
+    "tile_pyramid_events",
+    "asof_purchase_view",
     "raster_events",
     "road_length_users",
     "q1_pricing",

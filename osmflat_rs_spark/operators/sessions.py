@@ -1,0 +1,140 @@
+"""Gap-based sessionization (batch + Structured Streaming).
+
+Splits each key's ordered event sequence into sessions wherever the gap
+to the previous event reaches ``gap_s`` — the standard event-pipeline
+primitive for turning a raw activity log into trajectories/visits. The
+ordering machinery is the reference's span-sequence invariant
+(osmflatc/src/osmpbf.rs block order → SURVEY §2.5 W1-W3) applied to the
+time axis: lag-diff (W3 consecutive-pair zip) feeding a running sum
+(W1 delta-decode form) is exactly the delta-decode composition.
+
+Boundary semantics are pinned to Spark's native ``session_window``,
+whose merge test is INCLUSIVE (sessions merge while ``start <=
+current_end``): a gap of exactly ``gap_s`` still merges; only a gap
+STRICTLY GREATER than ``gap_s`` starts a new session. The batch
+operator uses the same rule so both forms agree bit-for-bit on the
+same input (pinned by tests/test_sessions.py with exact-gap rows).
+
+Scale design:
+- ``sessionize`` is ONE shuffle (the window's partitionBy(key)); the
+  session index is a running sum over a lag — both O(1)-state window
+  functions, no row amplification, whole-stage-codegen'd.
+- ``session_stats`` groups by (key, session_idx) directly on the window
+  output: HashPartitioning(key) already satisfies the clustered
+  distribution of the superset grouping key, so Catalyst plans NO
+  second exchange (plan-asserted in tests/test_sessions.py).
+- per-key cost is bounded by that key's event count — hot keys are a
+  data-skew property (AQE handles the window's shuffle skew), never a
+  candidate-pair blow-up.
+- ``stream_sessionize`` is the incremental form: watermark + native
+  ``session_window`` aggregation, state is one (start, end, counts)
+  tuple per OPEN session per key — bounded by active keys, emitted and
+  dropped once the watermark passes a session's close.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _us(c: Column) -> Column:
+    # parquet timestamps are NTZ; sessions are tz-agnostic (only gaps
+    # matter) and the engine session is pinned UTC, so the cast is exact
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def sessionize(
+    events: DataFrame,
+    key: str | list[str],
+    ts_col: str = "ts",
+    gap_s: float = 1800.0,
+    order_cols: tuple = (),
+    session_col: str = "session_idx",
+) -> DataFrame:
+    """→ ``events`` + ``<session_col>`` (0-based per key, in time order).
+
+    A new session starts when ``ts - prev_ts > gap_s`` (strictly —
+    see module docstring for why the boundary is inclusive-merge). ``order_cols`` break ts
+    ties deterministically (pass a unique id column when (key, ts) can
+    collide)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    gap_us = int(round(gap_s * 1_000_000))
+    w = Window.partitionBy(*keys).orderBy(ts_col, *order_cols)
+    prev = F.lag(ts_col).over(w)
+    boundary = F.when(prev.isNull(), F.lit(0)).otherwise(
+        ((_us(F.col(ts_col)) - _us(prev)) > F.lit(gap_us)).cast("int")
+    )
+    run = Window.partitionBy(*keys).orderBy(ts_col, *order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return events.withColumn(session_col, F.sum(boundary).over(run).cast("long"))
+
+
+def session_stats(
+    events: DataFrame,
+    key: str | list[str],
+    ts_col: str = "ts",
+    gap_s: float = 1800.0,
+    order_cols: tuple = (),
+) -> DataFrame:
+    """→ one row per (key, session_idx): ``start_us``/``end_us`` (epoch
+    µs, integer-exact cross-engine), ``n_events``, ``duration_s``.
+    Composes on ``sessionize``'s window output with no second exchange —
+    the groupBy keys are a superset of the window's partition key."""
+    keys = [key] if isinstance(key, str) else list(key)
+    s = sessionize(events, keys, ts_col, gap_s, order_cols)
+    return s.groupBy(*keys, "session_idx").agg(
+        F.min(_us(F.col(ts_col))).alias("start_us"),
+        F.max(_us(F.col(ts_col))).alias("end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        ((F.max(_us(F.col(ts_col))) - F.min(_us(F.col(ts_col)))) / F.lit(1_000_000.0)).alias(
+            "duration_s"
+        ),
+    )
+
+
+def stream_sessionize(
+    spark,
+    src_dir: str,
+    schema: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: float = 1800.0,
+    watermark: str = "0 seconds",
+):
+    """Incremental sessionization over a file stream: watermarked native
+    ``session_window`` aggregation, append mode (a session row is emitted
+    exactly once, when the watermark closes it). Returns the started
+    query (``availableNow`` — drains everything currently in ``src_dir``
+    then stops; re-run with the same checkpoint for exactly-once
+    catch-up, the same replay contract as ``stream_pip_assign``).
+
+    State per key = the open sessions' (window, count) — bounded by
+    active keys × open sessions, dropped at emit. The batch operator
+    above reproduces the same rows (same inclusive-merge
+    boundary), which is how tests pin the semantics."""
+    src = spark.readStream.schema(schema).parquet(src_dir)
+    # watermarks require TIMESTAMP (reject NTZ, parquet's default); the
+    # engine session is pinned UTC so the cast is an identity
+    src = src.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    agg = (
+        src.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key), F.session_window(F.col(ts_col), f"{gap_s} seconds"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key,
+            _us(F.col("session_window.start")).alias("start_us"),
+            F.col("n_events"),
+        )
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
