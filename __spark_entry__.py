@@ -657,6 +657,16 @@ def q_simhash_docs(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"), "doc_id", "text").withColumnRenamed("_id", "doc_id")
 
 
+def q_dup_spans_docs(spark, sf_dir):
+    """Cross-document duplicated PASSAGES (ExactSubstr of Lee et al. 2022
+    as a relational plan): maximal word spans covered by 8-grams that
+    occur in ≥2 distinct docs. Hash-shuffle, semi-join recovery,
+    interval-merge window — no text ever crosses an exchange."""
+    from osmflat_rs_spark.operators.dedup import duplicate_passage_spans
+
+    return duplicate_passage_spans(_t(spark, sf_dir, "documents"), "doc_id", "text", k=8)
+
+
 # --------------------------------------------------------------------------
 # embeddings: ANN + near-dup
 # --------------------------------------------------------------------------
@@ -1136,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "ngram_jaccard_prefix_docs": q_ngram_jaccard_prefix_docs,
         "simhash_docs": q_simhash_docs,
+        "dup_spans_docs": q_dup_spans_docs,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_srp": q_embedding_neardup_srp,  # recall-floor + subset gate (oracled)
         "ann_topk": q_ann_topk,
@@ -1438,6 +1449,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(COALESCE(i.inter, 0) AS DOUBLE) / (p.na + p.nb - COALESCE(i.inter, 0)) >= 0.6
         """,
         "simhash_docs": _simhash_sql(16),
+        # Duplicated-passage spans: same 60-bit md5-slice gram hash, same
+        # tokenizer template, same interval-merge (merge when the next
+        # k-gram starts within prev span end + 1).
+        "dup_spans_docs": f"""
+            WITH words AS (SELECT doc_id, {_ws_split_sql()} AS ws FROM documents),
+            grams AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+                             CAST('0x' || substr(md5(array_to_string(ws[u.i + 1 : u.i + 8], ' ')), 1, 15) AS BIGINT) AS h
+                      FROM words, UNNEST(range(0, len(ws) - 8 + 1)) AS u(i)
+                      WHERE len(ws) >= 8),
+            dup AS (SELECT h FROM grams GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+            occ AS (SELECT doc_id, pos FROM grams WHERE h IN (SELECT h FROM dup)),
+            runs AS (SELECT doc_id, pos,
+                            CASE WHEN max(pos + 7) OVER w IS NULL
+                                 OR pos > max(pos + 7) OVER w + 1 THEN 1 ELSE 0 END AS new_run
+                     FROM occ
+                     WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+            rid AS (SELECT doc_id, pos,
+                           SUM(new_run) OVER (PARTITION BY doc_id ORDER BY pos) AS run
+                    FROM runs)
+            SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
+                   MAX(pos) + 8 - MIN(pos) AS n_words, COUNT(*) AS n_grams
+            FROM rid GROUP BY doc_id, run
+        """,
         "embedding_neardup": f"""
             WITH {_cosine_block_sql()},
             pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -560,3 +560,97 @@ def embedding_neardup_srp(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def duplicate_passage_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated PASSAGE extraction: maximal word spans
+    covered by exact k-gram matches that occur in ≥ ``min_docs`` distinct
+    documents (the ExactSubstr operation of Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — public
+    algorithm; that paper's suffix-array formulation is replaced by a
+    relational one that shuffles hashes, not text). Reference analog: the
+    same explode → group → re-join shape as the tag-dedup pass
+    (osmflatc/src/osmpbf/mod.rs tag dedup), applied to word grams.
+
+    Physical shape, in scale order:
+      1. grams are built IN-ROW (``transform(sequence)`` + ``slice`` +
+         ``array_join`` — whole-stage codegen, zero shuffle) and
+         immediately reduced to a 60-bit md5 slice, so no wide exchange
+         ever carries gram TEXT — only (hash, doc, pos) longs.
+      2. duplicated-gram detection is one groupBy on the gram hash with
+         map-side partial aggregation; at 10^12 grams this is the one
+         big (but narrow-row) exchange.
+      3. occurrence recovery is a shuffle hash SEMI join of the gram
+         stream against the duplicated-hash set on the same key (no
+         broadcast assumption: the dup set is corpus-sized in the worst
+         case). The gram stream is recomputed rather than cached —
+         in-row codegen re-derivation is cheaper than materializing
+         O(corpus) state, the same trade minhash_signatures makes.
+      4. span assembly is the classic interval-merge: per doc, order the
+         surviving positions, open a new run when a position clears the
+         running max span end by more than one word, then min/max per
+         run. One narrow shuffle on doc id.
+
+    The 60-bit hash identifies grams (2^-60 pair-collision rate, same
+    contract as minhash_hash32); a collision can only WIDEN a span by
+    one false gram, never drop one. Docs shorter than k words carry no
+    grams and are absent from the output.
+
+    Returns (id_col, span_start, span_end, n_words, n_grams): word
+    positions are 0-based inclusive over the words_expr tokenization,
+    n_words = span_end - span_start + 1, n_grams = k-gram occurrences
+    merged into the span.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    ws = words_expr(F.col(text_col))
+    gram_arr = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - k),
+        lambda i: F.array_join(F.slice(ws, i + 1, k), " "),
+    )
+    grams = (
+        df.filter(F.size(ws) >= k)
+        .select(F.col(id_col).alias("_id"), F.posexplode(gram_arr).alias("pos", "gram"))
+        .select("_id", "pos", md5_int60(F.col("gram")).alias("h"))
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.countDistinct("_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    occ = grams.join(dup, "h", "left_semi").select("_id", "pos")
+    w = Window.partitionBy("_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + (k - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    runs = occ.withColumn(
+        "new_run",
+        (prev_end.isNull() | (F.col("pos") > prev_end + 1)).cast("int"),
+    ).withColumn(
+        "run", F.sum("new_run").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        runs.groupBy("_id", "run")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (k - 1)).alias("span_end"),
+            (F.max("pos") + k - F.min("pos")).alias("n_words"),
+            F.count("*").alias("n_grams"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "span_start",
+            "span_end",
+            "n_words",
+            "n_grams",
+        )
+    )

@@ -670,3 +670,109 @@ def test_ngram_jaccard_prefix_method_identical(spark):
 
     with _pytest.raises(ValueError, match="salt"):
         dedup.ngram_jaccard_pairs(crafted, "doc_id", "text", "lang", 0.6, salt=4, method="prefix")
+
+
+# ---------------------------------------------------------------------------
+# duplicate_passage_spans (ExactSubstr of Lee et al. 2022, relational form)
+
+
+def _span_rows(got):
+    return sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_words"], r["n_grams"])
+        for r in got
+    )
+
+
+def test_dup_spans_shared_passage_positions(spark):
+    # docs 1 and 2 share the 5-word run "p q r s t" at different offsets;
+    # with k=3 the shared grams cover words [1,5] in doc1 and [0,4] in doc2.
+    df = spark.createDataFrame(
+        [
+            (1, "u1 p q r s t u2 u3"),
+            (2, "p q r s t v1 v2 v3"),
+            (3, "w1 w2 w3 w4 w5 w6 w7 w8"),
+        ],
+        schema="doc_id long, text string",
+    )
+    got = _span_rows(dedup.duplicate_passage_spans(df, "doc_id", "text", k=3).collect())
+    assert got == [(1, 1, 5, 5, 3), (2, 0, 4, 5, 3)]
+
+
+def test_dup_spans_gap_splits_adjacent_merges(spark):
+    # doc 1 carries passages P1 (3 words, shared with doc 2) and P2
+    # (3 words, shared with doc 3): back-to-back in doc 1a they merge into
+    # one 6-word span; separated by unique words in doc 1b they split.
+    rows = [
+        (10, "p1a p1b p1c p2a p2b p2c"),           # adjacent -> one span
+        (11, "p1a p1b p1c x1 x2 x3 p2a p2b p2c"),  # gapped -> two spans
+        (2, "p1a p1b p1c y1 y2 y3"),
+        (3, "z1 z2 z3 p2a p2b p2c"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    got = _span_rows(dedup.duplicate_passage_spans(df, "doc_id", "text", k=3).collect())
+    assert (10, 0, 5, 6, 2) in got           # merged across the P1|P2 seam
+    assert (11, 0, 2, 3, 1) in got and (11, 6, 8, 3, 1) in got
+    assert (2, 0, 2, 3, 1) in got and (3, 3, 5, 3, 1) in got
+
+
+def test_dup_spans_self_repetition_not_flagged(spark):
+    # a doc repeating its OWN phrase is not cross-document duplication
+    # (min_docs counts DISTINCT docs); too-short docs carry no grams.
+    df = spark.createDataFrame(
+        [(1, "echo echo echo echo echo echo"), (2, "al be"), (3, "other words here")],
+        schema="doc_id long, text string",
+    )
+    assert dedup.duplicate_passage_spans(df, "doc_id", "text", k=3).count() == 0
+
+
+def _dup_spans_model(docs, k, min_docs=2):
+    """Independent pure-Python model: brute-force gram index + interval merge."""
+    import re
+
+    toks = {d: re.split(WS_PY + "+", t.strip().lower()) for d, t in docs}
+    gram_docs = {}
+    for d, ws in toks.items():
+        for i in range(len(ws) - k + 1):
+            gram_docs.setdefault(tuple(ws[i : i + k]), set()).add(d)
+    out = []
+    for d, ws in toks.items():
+        pos = [
+            i
+            for i in range(len(ws) - k + 1)
+            if len(gram_docs[tuple(ws[i : i + k])]) >= min_docs
+        ]
+        run = []
+        for p in pos:
+            if run and p <= run[-1][-1] + k:  # p <= prev_pos + k  <=> overlaps/adjacent
+                run[-1].append(p)
+            else:
+                run.append([p])
+        for r in run:
+            out.append((d, r[0], r[-1] + k - 1, r[-1] + k - r[0], len(r)))
+    return sorted(out)
+
+
+def test_dup_spans_matches_model_on_random_corpus(spark):
+    # seeded random corpus over a small vocabulary so natural cross-doc
+    # k-gram collisions occur, plus planted shared passages
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(30)]
+    passage = "alpha beta gamma delta epsilon zeta"
+    docs = []
+    for d in range(40):
+        words = list(rng.choice(vocab, size=rng.integers(2, 25)))
+        if d % 5 == 0:
+            at = int(rng.integers(0, len(words) + 1))
+            words[at:at] = passage.split()
+        docs.append((d, " ".join(words)))
+    df = spark.createDataFrame(docs, schema="doc_id long, text string")
+    got = _span_rows(dedup.duplicate_passage_spans(df, "doc_id", "text", k=4).collect())
+    assert got == _dup_spans_model(docs, k=4)
+
+
+def test_dup_spans_arg_validation(spark):
+    df = spark.createDataFrame([(1, "a b c")], schema="doc_id long, text string")
+    with pytest.raises(ValueError):
+        dedup.duplicate_passage_spans(df, "doc_id", "text", k=0)
+    with pytest.raises(ValueError):
+        dedup.duplicate_passage_spans(df, "doc_id", "text", min_docs=1)
