@@ -319,6 +319,20 @@ def q_road_length_users(spark, sf_dir):
     return seg.groupBy("user_id").agg(F.round(F.sum("seg_m"), 2).alias("dist_m"))
 
 
+def q_ring_area_users(spark, sf_dir):
+    """Per-user closed-ring shoelace signed double-area (EXACT int64 —
+    bit-stable across engines, no float fold anywhere) + vertex-mean
+    centroid in degrees. Reference analog: measuring the polygons
+    render-features.rs:133-149 assembles. One groupBy shuffle; the fold
+    is an in-row Catalyst aggregate HOF."""
+    from osmflat_rs_spark.functions.geo import shoelace_ring_stats
+
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    return shoelace_ring_stats(
+        pts, "user_id", ["ts", "event_id"], lat0=LAT0, lon0=LON0
+    )
+
+
 def q_pip_events(spark, sf_dir):
     """Two-phase cell-cover PIP join (north rule): coarse Morton-cell
     equi-join (broadcast cover) → exact int64 refinement (mapInPandas)."""
@@ -1122,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_users": q_semi_join_users,
         "bbox_events": q_bbox_events,
         "road_length_users": q_road_length_users,
+        "ring_area_users": q_ring_area_users,
         "pip_events": q_pip_events,
         "pip_events_shuffle": q_pip_events_shuffle,
         "pip_events_holes": q_pip_events_holes,
@@ -1240,6 +1255,26 @@ def oracle_sql() -> dict[str, str]:
         "bbox_events": f"""
             SELECT MIN(lat) AS min_lat, MAX(lat) AS max_lat, MIN(lon) AS min_lon, MAX(lon) AS max_lon
             FROM {synth}
+        """,
+        # Shoelace: EXACT int64 on (lat0, lon0)-translated coords — the
+        # one geometry gate with no float fold at all; centroid division
+        # happens once at the end on exact integer sums.
+        "ring_area_users": f"""
+            WITH pts AS (SELECT * FROM {synth}),
+            rings AS (
+              SELECT user_id,
+                     list(struct_pack(lat := lat, lon := lon) ORDER BY ts, event_id) AS ring,
+                     COUNT(*) AS n, SUM(lat) AS slat, SUM(lon) AS slon
+              FROM pts GROUP BY user_id HAVING COUNT(*) >= 3
+            )
+            SELECT user_id, CAST(n AS BIGINT) AS n_vertices,
+                   CAST(list_sum(list_transform(range(1, CAST(n AS BIGINT) + 1), i ->
+                        (ring[CAST(i AS BIGINT)].lon - {LON0}) * (ring[CAST(i % n AS BIGINT) + 1].lat - {LAT0})
+                      - (ring[CAST(i % n AS BIGINT) + 1].lon - {LON0}) * (ring[CAST(i AS BIGINT)].lat - {LAT0})
+                   )) AS BIGINT) AS area2x,
+                   ROUND(slat / n / 1e7, 4) AS c_lat,
+                   ROUND(slon / n / 1e7, 4) AS c_lon
+            FROM rings
         """,
         "road_length_users": f"""
             WITH pts AS (SELECT * FROM {synth}),

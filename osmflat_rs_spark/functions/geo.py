@@ -107,3 +107,77 @@ def mercator_tile_y(lat_deg: Column, zoom: int) -> Column:
         * F.lit(n)
     ).cast("long")
     return F.greatest(F.lit(0).cast("long"), F.least(F.lit((1 << zoom) - 1).cast("long"), ty))
+
+
+def shoelace_ring_stats(
+    df,
+    group_col: str,
+    order_cols: list[str],
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    lat0: int = 0,
+    lon0: int = 0,
+    min_vertices: int = 3,
+):
+    """Per-group closed-ring geometry: EXACT-integer shoelace signed
+    double-area plus the vertex-mean centroid, over fixed-point
+    coordinates (reference analog: the polygon assembly of
+    render-features.rs:133-149 — the reference renders rings, this
+    measures them; signed orientation is the multipolygon outer/inner
+    convention).
+
+    The ring is the group's points ordered by ``order_cols``, implicitly
+    closed (last vertex → first). ``area2x`` is Σ (xᵢ·yᵢ₊₁ − xᵢ₊₁·yᵢ)
+    over the closed traverse — twice the signed area in fixed-point
+    units², computed entirely in int64 on coordinates translated by
+    (lat0, lon0) (shoelace is translation-invariant, and the translation
+    keeps products bounded: |Δ|≤4·10⁶ ⇒ |term|≤1.6·10¹³, exact for rings
+    up to ~5·10⁵ vertices — beyond that, pre-reduce with a coarser
+    translation per ring). Exact integers make the result bit-stable
+    across engines and partitionings — no float reassociation anywhere.
+
+    Physical shape: ONE groupBy shuffle building the ring in-row
+    (sort_array(collect_list(struct))), then the fold is a pure Catalyst
+    ``aggregate`` HOF over the array — whole-stage codegen, no window, no
+    second exchange. collect_list bounds state by the largest single
+    ring (the same contract as the reference's in-memory way buffer).
+
+    Returns (group_col, n_vertices, area2x, c_lat, c_lon): c_* are the
+    vertex-mean centroid in DEGREES (exact int sums divided at the end,
+    rounded to 4 decimals). Groups with fewer than ``min_vertices``
+    points are dropped (a ring needs 3).
+    """
+    ordered = F.sort_array(
+        F.collect_list(F.struct(*[F.col(c) for c in order_cols],
+                                F.col(lat_col).alias("_lat"), F.col(lon_col).alias("_lon")))
+    )
+    g = (
+        df.groupBy(group_col)
+        .agg(
+            ordered.alias("ring"),
+            F.count("*").alias("n_vertices"),
+            F.sum(lat_col).alias("_slat"),
+            F.sum(lon_col).alias("_slon"),
+        )
+        .filter(F.col("n_vertices") >= min_vertices)
+    )
+    n = F.col("n_vertices")
+
+    def _x(i):
+        return F.get(F.col("ring"), i)["_lon"] - F.lit(lon0)
+
+    def _y(i):
+        return F.get(F.col("ring"), i)["_lat"] - F.lit(lat0)
+
+    area2x = F.aggregate(
+        F.sequence(F.lit(0), (n - 1).cast("int")),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + (_x(i) * _y((i + 1) % n) - _x((i + 1) % n) * _y(i)),
+    )
+    return g.select(
+        group_col,
+        "n_vertices",
+        area2x.alias("area2x"),
+        F.round(F.col("_slat") / n / F.lit(float(COORD_SCALE)), 4).alias("c_lat"),
+        F.round(F.col("_slon") / n / F.lit(float(COORD_SCALE)), 4).alias("c_lon"),
+    )

@@ -168,3 +168,55 @@ def test_tile_pyramid_validates_zoom_bounds(spark):
 
     with _pytest.raises(ValueError):
         tile_pyramid(pts, base_zoom=5, min_zoom=6)
+
+
+def test_shoelace_ring_stats_exact_square(spark):
+    """CCW unit-ish square in fixed-point: area2x = 2*w*h exactly (int64),
+    CW traverse flips the sign, vertex-mean centroid is the center, and
+    sub-3-vertex groups are dropped."""
+    from osmflat_rs_spark.functions.geo import shoelace_ring_stats
+
+    W, H = 3_000_000, 1_000_000  # 0.3 deg x 0.1 deg in 1e-7 fixed point
+    base_lat, base_lon = 520_000_000, 130_000_000
+    ccw = [(0, 0), (W, 0), (W, H), (0, H)]
+    rows = []
+    for i, (dx, dy) in enumerate(ccw):
+        rows.append((1, i, base_lat + dy, base_lon + dx))          # CCW
+    for i, (dx, dy) in enumerate(reversed(ccw)):
+        rows.append((2, i, base_lat + dy, base_lon + dx))          # CW
+    rows += [(3, 0, base_lat, base_lon), (3, 1, base_lat, base_lon + W)]  # 2 pts
+    df = spark.createDataFrame(rows, schema="user_id long, ord long, lat long, lon long")
+    got = {
+        r["user_id"]: r
+        for r in shoelace_ring_stats(
+            df, "user_id", ["ord"], lat0=base_lat, lon0=base_lon
+        ).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1]["area2x"] == 2 * W * H
+    assert got[2]["area2x"] == -2 * W * H
+    assert got[1]["n_vertices"] == 4
+    assert got[1]["c_lat"] == round((base_lat + H / 2) / 1e7, 4)
+    assert got[1]["c_lon"] == round((base_lon + W / 2) / 1e7, 4)
+
+
+def test_shoelace_translation_invariance(spark):
+    """area2x is independent of the (lat0, lon0) translation — the exact
+    integer contract that lets the oracle pick any origin."""
+    import numpy as np
+
+    from osmflat_rs_spark.functions.geo import shoelace_ring_stats
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (int(u), int(i), int(524_000_000 + rng.integers(0, 2_000_000)),
+         int(132_000_000 + rng.integers(0, 4_000_000)))
+        for u in range(4)
+        for i in range(rng.integers(3, 12))
+    ]
+    df = spark.createDataFrame(rows, schema="user_id long, ord long, lat long, lon long")
+    a = shoelace_ring_stats(df, "user_id", ["ord"], lat0=524_000_000, lon0=132_000_000)
+    b = shoelace_ring_stats(df, "user_id", ["ord"], lat0=523_999_000, lon0=131_990_000)
+    ra = {r["user_id"]: r["area2x"] for r in a.collect()}
+    rb = {r["user_id"]: r["area2x"] for r in b.collect()}
+    assert ra == rb and len(ra) == 4
