@@ -319,6 +319,20 @@ def q_road_length_users(spark, sf_dir):
     return seg.groupBy("user_id").agg(F.round(F.sum("seg_m"), 2).alias("dist_m"))
 
 
+def q_cms_heavy_users(spark, sf_dir):
+    """Count-min sketch (4×256) of per-user event frequency, point
+    estimates for every distinct user. The sketch is RELATIONAL (r, c,
+    cnt) state built by one bounded groupBy — the gate hash-checks the
+    ESTIMATES themselves (same seeded 60-bit md5 hash family in the SQL
+    oracle), not just error bounds."""
+    from osmflat_rs_spark.operators.sketch import cms_build, cms_estimate
+
+    e = _t(spark, sf_dir, "events")
+    sketch = cms_build(e, "user_id", depth=4, width=256)
+    keys = e.select("user_id").distinct()
+    return cms_estimate(sketch, keys, "user_id", depth=4, width=256)
+
+
 def q_ring_area_users(spark, sf_dir):
     """Per-user closed-ring shoelace signed double-area (EXACT int64 —
     bit-stable across engines, no float fold anywhere) + vertex-mean
@@ -1137,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_events": q_bbox_events,
         "road_length_users": q_road_length_users,
         "ring_area_users": q_ring_area_users,
+        "cms_heavy_users": q_cms_heavy_users,
         "pip_events": q_pip_events,
         "pip_events_shuffle": q_pip_events_shuffle,
         "pip_events_holes": q_pip_events_holes,
@@ -1255,6 +1270,18 @@ def oracle_sql() -> dict[str, str]:
         "bbox_events": f"""
             SELECT MIN(lat) AS min_lat, MAX(lat) AS max_lat, MIN(lon) AS min_lon, MAX(lon) AS max_lon
             FROM {synth}
+        """,
+        # CM sketch: same seeded md5-slice hash family — the oracle
+        # rebuilds the identical 4x256 counter matrix and estimates.
+        "cms_heavy_users": """
+            WITH rows AS (SELECT user_id, t.r AS r,
+                                 CAST('0x' || substr(md5(t.r::VARCHAR || ':' || user_id::VARCHAR), 1, 15) AS BIGINT) % 256 AS c
+                          FROM events, UNNEST([0, 1, 2, 3]) AS t(r)),
+            sketch AS (SELECT r, c, COUNT(*) AS cnt FROM rows GROUP BY r, c),
+            probes AS (SELECT DISTINCT user_id, r, c FROM rows)
+            SELECT p.user_id, MIN(COALESCE(s.cnt, 0)) AS est
+            FROM probes p LEFT JOIN sketch s ON s.r = p.r AND s.c = p.c
+            GROUP BY p.user_id
         """,
         # Shoelace: EXACT int64 on (lat0, lon0)-translated coords — the
         # one geometry gate with no float fold at all; centroid division

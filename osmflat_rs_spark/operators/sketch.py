@@ -1,0 +1,136 @@
+"""Mergeable frequency sketches as RELATIONAL state.
+
+A count-min sketch (Cormode & Muthukrishnan 2005 — public algorithm) is
+a depth×width counter matrix; here it is represented as a DataFrame of
+(r, c, cnt) rows, which makes every sketch property a relational one:
+
+- BUILD is one groupBy on (r, c) — map-side partial aggregation means
+  each executor emits at most depth·width rows regardless of input size,
+  so the exchange is O(partitions · depth · width), not O(rows): the
+  textbook mergeable-summary shape, expressed as a plan Catalyst already
+  knows how to run at 100 TB.
+- MERGE of two sketches is union + re-aggregate (tested identical to
+  building over the concatenated input).
+- QUERY joins candidate keys' (r, c) probes against the sketch (the
+  sketch side is depth·width rows — broadcast) and takes min(cnt) per
+  key: the classic CM estimate, never an undercount.
+
+Hashes are the engine-wide 60-bit md5 slice (seeded by the row index),
+so a SQL oracle reproduces the sketch bit-for-bit — the driver gate
+hash-checks ESTIMATES, not just bounds.
+
+The reference has no sketch operators (absence verified — its
+aggregations are exact folds, osmflat/examples/road-length.rs); this is
+north-rule surface: approximate heavy hitters over unbounded key
+domains where an exact groupBy's state would not fit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import md5_int60
+
+
+def _probe(key_col, depth: int, width: int):
+    """array<struct<r, c>> of the key's sketch coordinates (in-row)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                F.pmod(
+                    md5_int60(F.concat(F.lit(f"{r}:"), F.col(key_col).cast("string"))),
+                    F.lit(width),
+                ).alias("c"),
+            )
+            for r in range(depth)
+        ]
+    )
+
+
+def cms_build(df: DataFrame, key_col: str, depth: int = 4, width: int = 1024) -> DataFrame:
+    """Count-min sketch of ``key_col`` frequencies → (r, c, cnt).
+
+    One exchange, bounded at depth·width rows per map task by partial
+    aggregation. depth rows per input row are generated IN-ROW (explode
+    of a literal-indexed array — whole-stage codegen)."""
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth and width must be >= 1, got {depth}x{width}")
+    return (
+        df.select(F.explode(_probe(key_col, depth, width)).alias("p"))
+        .select(F.col("p.r").alias("r"), F.col("p.c").alias("c"))
+        .groupBy("r", "c")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge CM sketches built with the SAME (depth, width, hash family):
+    union + re-sum. Counter-wise addition, the defining mergeability
+    property of the summary."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("r", "c").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """CM point estimates for ``keys`` → (key_col, est).
+
+    est = min over rows of the key's counters: ≥ true count always,
+    ≤ true + ε·N with prob 1−δ (ε = e/width, δ = e^−depth). The sketch
+    side is ≤ depth·width rows — broadcast; the probe side explodes
+    depth rows per key in-row. Keys whose probes all land on untouched
+    counters (cnt absent) estimate 0."""
+    probes = keys.select(
+        F.col(key_col), F.explode(_probe(key_col, depth, width)).alias("p")
+    ).select(key_col, F.col("p.r").alias("r"), F.col("p.c").alias("c"))
+    return (
+        probes.join(F.broadcast(sketch), ["r", "c"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    min_fraction: float = 0.01,
+) -> DataFrame:
+    """Keys whose CM-estimated frequency is ≥ ``min_fraction`` of the
+    stream length → (key_col, est). Candidates are the stream's distinct
+    keys (exact candidate enumeration, sketched counting): the split
+    matters at scale — the DISTINCT is one dedup shuffle of keys only,
+    while the counting state stays depth·width. No false negatives
+    (estimates never undercount); false positives bounded by ε·N."""
+    sketch = cms_build(df, key_col, depth, width)
+    n = df.select(F.count("*").alias("_n"))
+    cand = df.select(key_col).distinct()
+    est = cms_estimate(sketch, cand, key_col, depth, width)
+    return (
+        est.crossJoin(F.broadcast(n))
+        .filter(F.col("est") >= F.col("_n") * F.lit(min_fraction))
+        .select(key_col, "est")
+    )
+
+
+def approx_distinct(
+    df: DataFrame, key_col: str, group_col: str | None = None, rsd: float = 0.02
+) -> DataFrame:
+    """HyperLogLog++ distinct-count (Spark's built-in JVM sketch agg;
+    mergeable across partitions by construction). Thin, deliberately:
+    the built-in IS the scale path. ``rsd`` is the target relative
+    standard deviation (state grows as 1/rsd² — 2% ≈ 2.7k registers per
+    group). Property-tested against exact counts; no SQL gate (HLL
+    binaries are engine-specific by nature)."""
+    agg = F.approx_count_distinct(key_col, rsd).alias("approx_n")
+    if group_col is None:
+        return df.agg(agg)
+    return df.groupBy(group_col).agg(agg)

@@ -776,3 +776,102 @@ def test_dup_spans_arg_validation(spark):
         dedup.duplicate_passage_spans(df, "doc_id", "text", k=0)
     with pytest.raises(ValueError):
         dedup.duplicate_passage_spans(df, "doc_id", "text", min_docs=1)
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (relational mergeable summary) + HLL wrapper
+
+
+@pytest.fixture(scope="module")
+def skewed_keys_df(spark):
+    # zipf-ish: key 0 is hot (400 rows), keys 1..50 get 2..12 rows each
+    rng = np.random.default_rng(11)
+    rows = [(0,)] * 400 + [(int(k),) for k in range(1, 51) for _ in range(int(rng.integers(2, 13)))]
+    return spark.createDataFrame(rows, schema="k long")
+
+
+def test_cms_never_undercounts_and_row_sums(spark, skewed_keys_df):
+    from osmflat_rs_spark.operators import sketch
+
+    d, w = 4, 64
+    sk = sketch.cms_build(skewed_keys_df, "k", depth=d, width=w)
+    n = skewed_keys_df.count()
+    # each sketch row partitions the stream: its counters sum to N
+    sums = {r["r"]: r["s"] for r in sk.groupBy("r").agg(F.sum("cnt").alias("s")).collect()}
+    assert sums == {r: n for r in range(d)}
+    exact = {r["k"]: r["c"] for r in skewed_keys_df.groupBy("k").agg(F.count("*").alias("c")).collect()}
+    est = {
+        r["k"]: r["est"]
+        for r in sketch.cms_estimate(sk, skewed_keys_df.select("k").distinct(), "k", d, w).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)          # CM never undercounts
+    import math
+    eps_n = math.e / w * n                                  # ε·N bound
+    assert all(est[k] - exact[k] <= eps_n for k in exact)
+
+
+def test_cms_merge_equals_build_over_union(spark, skewed_keys_df):
+    from osmflat_rs_spark.operators import sketch
+
+    half_a = skewed_keys_df.filter(F.monotonically_increasing_id() % 2 == 0)
+    # complement via except-all keeps duplicates balanced
+    a = skewed_keys_df.limit(300)
+    b = skewed_keys_df.subtract(spark.createDataFrame([], "k long"))  # full
+    sa = sketch.cms_build(a, "k", depth=3, width=32)
+    rest = skewed_keys_df.exceptAll(a)
+    sb = sketch.cms_build(rest, "k", depth=3, width=32)
+    merged = {(r["r"], r["c"]): r["cnt"] for r in sketch.cms_merge(sa, sb).collect()}
+    full = {(r["r"], r["c"]): r["cnt"] for r in sketch.cms_build(skewed_keys_df, "k", depth=3, width=32).collect()}
+    assert merged == full
+
+
+def test_cms_heavy_hitters_finds_hot_key(skewed_keys_df):
+    from osmflat_rs_spark.operators import sketch
+
+    got = sketch.cms_heavy_hitters(skewed_keys_df, "k", depth=4, width=64, min_fraction=0.2)
+    keys = {r["k"] for r in got.collect()}
+    assert 0 in keys                       # the 400-row key is ~47% of the stream
+    assert all(k == 0 or k <= 50 for k in keys)
+    # no false negatives by construction; false positives bounded: with
+    # eps*N ~ 36 and per-key truth <= 12, nothing else reaches 20% (~171)
+    assert keys == {0}
+
+
+def test_cms_estimate_unseen_key_is_zero_or_collision(spark, skewed_keys_df):
+    from osmflat_rs_spark.operators import sketch
+
+    sk = sketch.cms_build(skewed_keys_df, "k", depth=4, width=4096)
+    unseen = spark.createDataFrame([(999_999,)], schema="k long")
+    est = sketch.cms_estimate(sk, unseen, "k", depth=4, width=4096).collect()[0]["est"]
+    assert est <= 2  # wide sketch: unseen key hits (almost surely) empty counters
+
+
+def test_cms_arg_validation(spark):
+    from osmflat_rs_spark.operators import sketch
+
+    df = spark.createDataFrame([(1,)], schema="k long")
+    with pytest.raises(ValueError):
+        sketch.cms_build(df, "k", depth=0)
+    with pytest.raises(ValueError):
+        sketch.cms_merge()
+
+
+def test_approx_distinct_within_tolerance(spark):
+    from osmflat_rs_spark.operators import sketch
+
+    df = spark.range(0, 20_000).select((F.col("id") % 5_000).alias("k"),
+                                       (F.col("id") % 4).alias("g"))
+    got = sketch.approx_distinct(df, "k").collect()[0]["approx_n"]
+    assert abs(got - 5_000) / 5_000 < 0.06  # rsd=0.02 -> 3 sigma
+
+    # per group g, k = id % 5000 only takes values with k % 4 == g
+    # (5000 ≡ 0 mod 4) → exactly 1250 distinct keys per group
+    exact_g = {
+        r["g"]: r["n"]
+        for r in df.groupBy("g").agg(F.countDistinct("k").alias("n")).collect()
+    }
+    assert exact_g == {0: 1250, 1: 1250, 2: 1250, 3: 1250}
+    per_g = {r["g"]: r["approx_n"] for r in sketch.approx_distinct(df, "k", "g").collect()}
+    assert set(per_g) == {0, 1, 2, 3}
+    assert all(abs(v - exact_g[g]) / exact_g[g] < 0.06 for g, v in per_g.items())
