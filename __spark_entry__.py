@@ -648,6 +648,51 @@ def q_quality_docs(spark, sf_dir):
     return quality_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_tfidf_docs(spark, sf_dir):
+    """Top-3 TF-IDF terms per document: one explode feeds tf AND df,
+    idf join on term, per-doc window top-k with term tie-break."""
+    from osmflat_rs_spark.operators.textops import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+
+
+def q_kmv_distinct_events(spark, sf_dir):
+    """KMV bottom-64 distinct sketch over event_id: portable relational
+    state (the 64 smallest md5 hashes), estimate reproduced bit-for-bit
+    by the SQL oracle — the sketch gate HLL can't have."""
+    from osmflat_rs_spark.operators.sketch import kmv_build, kmv_estimate
+
+    return kmv_estimate(kmv_build(_t(spark, sf_dir, "events"), "event_id", k=64), k=64)
+
+
+def q_stratified_events(spark, sf_dir):
+    """Deterministic stratified sample: 20 events per event_type by
+    seeded-hash order (two-phase skew-capped top-n; oracle is the plain
+    single-window form — exact identity)."""
+    from osmflat_rs_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "events"), "event_id", "event_type", n_per_group=20
+    )
+
+
+def q_weighted_sample_events(spark, sf_dir):
+    """Efraimidis–Spirakis weighted sample without replacement: 25
+    events per event_type, weight = len(props)+1, rank key ln(u)/w with
+    deterministic u from the seeded hash."""
+    from pyspark.sql import functions as F
+
+    from osmflat_rs_spark.operators.sampling import weighted_sample
+
+    return weighted_sample(
+        _t(spark, sf_dir, "events"),
+        "event_id",
+        (F.length("props") + 1).cast("double"),
+        n=25,
+        group_col="event_type",
+    )
+
+
 def q_minhash_pairs_docs(spark, sf_dir):
     """MinHash+LSH near-dup: shingle → 8 minhashes → 4 bands → bucket
     join → exact jaccard ≥ 0.5 (the full pipeline IS the semantics)."""
@@ -1172,6 +1217,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_docs": q_token_count_docs,
         "lang_id_docs": q_lang_id_docs,
         "quality_docs": q_quality_docs,
+        "tfidf_docs": q_tfidf_docs,
+        "kmv_distinct_events": q_kmv_distinct_events,
+        "stratified_events": q_stratified_events,
+        "weighted_sample_events": q_weighted_sample_events,
         "minhash_pairs_docs": q_minhash_pairs_docs,
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "ngram_jaccard_prefix_docs": q_ngram_jaccard_prefix_docs,
@@ -1492,6 +1541,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_aggregate(list_transform(ws, w -> length(w)), 'sum') AS DOUBLE) / len(ws) AS avg_word_len,
                    CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS distinct_ratio
             FROM base
+        """,
+        # TF-IDF: df recomputed from the tf table (docs containing term),
+        # idf = ln(N/df), ties by term ascending — mirrors tfidf_top_terms.
+        "tfidf_docs": f"""
+            WITH toks AS (SELECT doc_id, unnest({_ws_split_sql()}) AS term FROM documents),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+            dfreq AS (SELECT term, COUNT(*) AS dfc FROM tf GROUP BY 1),
+            n AS (SELECT COUNT(*) AS n FROM documents),
+            scored AS (SELECT tf.doc_id, tf.term, tf.tf,
+                              CAST(tf.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(dfc AS DOUBLE)) AS s
+                       FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term ASC) AS rk
+                       FROM scored)
+            SELECT doc_id, term, tf, round(s, 6) AS score FROM ranked WHERE rk <= 3
+        """,
+        # KMV: k smallest distinct hashes; estimate (k-1)*2^60/h_64 is
+        # two IEEE ops on exactly-representable constants — bit parity.
+        "kmv_distinct_events": """
+            WITH h AS (SELECT DISTINCT CAST('0x' || substr(md5(event_id::VARCHAR), 1, 15) AS BIGINT) AS h
+                       FROM events),
+            sk AS (SELECT h FROM h ORDER BY h LIMIT 64)
+            SELECT COUNT(*) AS n_h,
+                   round(CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                              ELSE 63.0 * 1152921504606846976.0 / CAST(MAX(h) AS DOUBLE) END, 3) AS est_distinct
+            FROM sk
+        """,
+        # Samplers: the oracle is the single-window form; the engine's
+        # two-phase salted windows are an exact-identity optimization.
+        "stratified_events": """
+            WITH r AS (SELECT event_type, event_id,
+                              row_number() OVER (PARTITION BY event_type
+                                  ORDER BY CAST('0x' || substr(md5('strat:' || event_id::VARCHAR), 1, 15) AS BIGINT) ASC,
+                                           event_id ASC) AS rk
+                       FROM events)
+            SELECT event_type, event_id, rk FROM r WHERE rk <= 20
+        """,
+        "weighted_sample_events": """
+            WITH w AS (SELECT event_type, event_id,
+                              CAST(length(props) + 1 AS DOUBLE) AS wt,
+                              (CAST('0x' || substr(md5('ws:' || event_id::VARCHAR), 1, 15) AS BIGINT) + 1)
+                                  / 1152921504606846976.0 AS u
+                       FROM events
+                       WHERE props IS NOT NULL AND length(props) + 1 > 0),
+            r AS (SELECT event_type, event_id,
+                         row_number() OVER (PARTITION BY event_type
+                             ORDER BY ln(u) / wt DESC, event_id ASC) AS rk
+                  FROM w)
+            SELECT event_type, event_id, rk FROM r WHERE rk <= 25
         """,
         "minhash_pairs_docs": _minhash_sql(0.5),
         "stream_neardup_docs": _stream_neardup_sql(0.5),

@@ -1,0 +1,108 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Sampling at 100 TB has two non-negotiables this module encodes:
+
+1. **Determinism** — sample membership must be a pure function of the
+   data (re-runs, retried tasks, and different partition layouts must
+   agree), so randomness comes from the engine-wide seeded 60-bit md5
+   hash, never from an RNG. That also makes every sampler
+   SQL-oracle-reproducible.
+2. **Skew safety** — "top-n per group" is a window sort of each whole
+   group on one reducer; a hot group (one language, one domain) becomes
+   the job's tail. Both samplers therefore run TWO-PHASE: a salted
+   window keeps n per (group, salt) bucket first, so the final
+   per-group window sees at most salt_buckets·n rows regardless of
+   group size. Exactness is preserved (the global top-n is a subset of
+   every salted bucket's top-n) and the oracle stays the plain
+   single-window form.
+
+The reference has no sampling surface (absence verified: osmflat's
+examples enumerate exhaustively); this is training-data-pipeline
+surface per SURVEY §2.9.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import md5_int60
+
+#: hash-space size as an exactly-representable double (2^60)
+_HSPACE = 2.0**60
+
+
+def _two_phase_top_n(df: DataFrame, part_cols, order_cols, n: int, salt_buckets: int):
+    """Exact top-n per partition group, skew-capped.
+
+    Phase 1 (skipped when salt_buckets <= 1): row_number within
+    (group, xxhash64-salt) keeps ≤ n per bucket — each reducer sorts at
+    most |group|/salt_buckets rows. Phase 2 ranks the ≤ salt_buckets·n
+    survivors. Identical output to the single-window form because any
+    row in the true top-n is also in the top-n of whichever bucket it
+    landed in."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if salt_buckets > 1:
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+        w1 = Window.partitionBy(*part_cols, salt).orderBy(*order_cols)
+        df = df.withColumn("_rk1", F.row_number().over(w1)).filter(F.col("_rk1") <= n).drop("_rk1")
+    w2 = Window.partitionBy(*part_cols).orderBy(*order_cols)
+    return df.withColumn("rk", F.row_number().over(w2)).filter(F.col("rk") <= n)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    n_per_group: int,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Exactly ``n_per_group`` rows per stratum (fewer if the stratum is
+    smaller), chosen by hash order → (group, id, rk).
+
+    Membership = the n smallest md5_int60('strat:' || id) per group: a
+    uniform deterministic draw, invariant to row order and partitioning.
+    """
+    h = md5_int60(F.concat(F.lit("strat:"), F.col(id_col).cast("string")))
+    slim = df.select(F.col(group_col), F.col(id_col)).withColumn("_h", h)
+    out = _two_phase_top_n(
+        slim,
+        [group_col],
+        [F.col("_h").asc(), F.col(id_col).asc()],
+        n_per_group,
+        salt_buckets,
+    )
+    return out.select(group_col, id_col, "rk")
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col,
+    n: int,
+    group_col: str | None = None,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Weighted sample WITHOUT replacement of size ``n`` (per group when
+    ``group_col`` is given) → (group?, id, rk).
+
+    Efraimidis–Spirakis A-ES (2006): each row draws u ∈ (0, 1] and is
+    ranked by u^(1/w) descending; the top n are EXACTLY a weighted
+    draw without replacement. u is deterministic —
+    (md5_int60('ws:' || id) + 1) / 2^60 — and the rank key is the
+    monotone-equivalent ln(u)/w (avoids pow's extra rounding). Rows
+    with NULL or non-positive weight are excluded (never sampled), the
+    standard contract. ``weight_col`` may be a column name or Column
+    expression."""
+    wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (md5_int60(F.concat(F.lit("ws:"), F.col(id_col).cast("string"))) + 1) / F.lit(_HSPACE)
+    key = F.log(u) / wcol.cast("double")
+    part = [group_col] if group_col is not None else [F.lit(1)]
+    cols = ([F.col(group_col)] if group_col is not None else []) + [F.col(id_col)]
+    slim = df.filter(wcol.isNotNull() & (wcol > 0)).select(*cols, key.alias("_key"))
+    out = _two_phase_top_n(
+        slim, part, [F.col("_key").desc(), F.col(id_col).asc()], n, salt_buckets
+    )
+    keep = ([group_col] if group_col is not None else []) + [id_col, "rk"]
+    return out.select(*keep)

@@ -134,3 +134,77 @@ def approx_distinct(
     if group_col is None:
         return df.agg(agg)
     return df.groupBy(group_col).agg(agg)
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — Bar-Yossef et al. 2002, the
+# bottom-k estimator. Unlike HLL (whose register binary is engine-
+# specific), KMV state is PORTABLE: the k smallest distinct hashes of
+# the key domain — so a SQL oracle reproduces both the sketch and the
+# estimate bit-for-bit.
+
+
+def kmv_build(df: DataFrame, key_col: str, k: int = 64) -> DataFrame:
+    """KMV distinct sketch of ``key_col`` → ≤ k rows of (h).
+
+    Semantics: the k smallest DISTINCT 60-bit md5 hashes of the key
+    domain (order- and partition-invariant). Scale shape: the hash is
+    computed JVM-side (codegen md5), then ONE Arrow pass keeps the k
+    smallest distinct per partition with O(k) state per task — the
+    exchange that follows carries ≤ k rows per partition, NOT the
+    distinct key domain (the whole point of a bottom-k summary; a
+    groupBy-distinct here would cost the same shuffle as an exact
+    COUNT DISTINCT). The final k-of-(k·P) cut is a TakeOrdered over a
+    tiny set."""
+    import numpy as np
+    import pandas as pd
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+
+    def _kmin_per_partition(batches):
+        best = np.empty(0, dtype=np.int64)
+        for pdf in batches:
+            arr = pdf["h"].to_numpy(dtype=np.int64, copy=True)
+            best = np.unique(np.concatenate([best, arr]))
+            if best.size > k:
+                best = best[:k]  # np.unique output is ascending
+        yield pd.DataFrame({"h": best})
+
+    hashes = df.select(md5_int60(F.col(key_col).cast("string")).alias("h"))
+    local = hashes.mapInPandas(_kmin_per_partition, schema="h long")
+    return local.distinct().orderBy("h").limit(k)
+
+
+def kmv_merge(k: int, *sketches: DataFrame) -> DataFrame:
+    """Merge KMV sketches built with the same hash family: union,
+    dedup, keep the k smallest — exactly kmv_build over the
+    concatenated inputs (tested)."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.distinct().orderBy("h").limit(k)
+
+
+def kmv_estimate(sketch: DataFrame, k: int) -> DataFrame:
+    """One row (n_h, est_distinct) from a KMV sketch.
+
+    Fewer than k hashes means the domain was smaller than k — the count
+    is exact. Otherwise est = (k−1)·2^60 / h_k (h_k = the largest kept
+    hash), the classic unbiased bottom-k estimate with relative error
+    ~1/√(k−2). All constants are exactly representable doubles and the
+    expression is two IEEE ops, so DuckDB reproduces the rounded value
+    bit-for-bit."""
+    return sketch.agg(
+        F.count("*").alias("n_h"), F.max("h").alias("_hmax")
+    ).select(
+        "n_h",
+        F.round(
+            F.when(F.col("n_h") < k, F.col("n_h").cast("double")).otherwise(
+                F.lit(float(k - 1)) * F.lit(2.0**60) / F.col("_hmax").cast("double")
+            ),
+            3,
+        ).alias("est_distinct"),
+    )

@@ -109,3 +109,49 @@ def winnow_fingerprints(
     return df.select(F.col(id_col).alias("_id"), F.explode(fps).alias("fp")).withColumnRenamed(
         "_id", id_col
     )
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document → (id, term, tf, score).
+
+    tf is the in-document term count; idf = ln(N / df) over the corpus
+    (df = documents containing the term); score = round(tf·idf, 6) — the
+    engine-wide float output contract. Ties rank by term ascending, so
+    the result is fully deterministic and DuckDB-reproducible.
+
+    Plan shape (the part that must survive 100 TB): ONE explode feeds
+    BOTH aggregates — (doc, term, tf) via groupBy with map-side partial
+    agg, then document frequency as a second, vocabulary-sized rollup OF
+    that tf table (never a second pass over the corpus). The idf join is
+    on term (broadcastable when the vocabulary fits; an ordinary
+    hash-shuffle join otherwise), and the per-document top-k window
+    partitions by doc_id — bounded by the document's own vocabulary, no
+    global sort. The reference has no relevance surface (absence
+    verified: osmflat's examples stop at counting/length folds); this is
+    training-data-pipeline surface per the round-1 SURVEY §2.9 mandate.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = df.select(
+        F.col(id_col), F.explode(words_expr(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
+    n = df.select(F.count("*").alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "_s",
+            F.col("tf").cast("double")
+            * F.log(F.col("_n").cast("double") / F.col("_df").cast("double")),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_s").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(id_col, "term", "tf", F.round("_s", 6).alias("score"))
+    )

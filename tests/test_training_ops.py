@@ -875,3 +875,146 @@ def test_approx_distinct_within_tolerance(spark):
     per_g = {r["g"]: r["approx_n"] for r in sketch.approx_distinct(df, "k", "g").collect()}
     assert set(per_g) == {0, 1, 2, 3}
     assert all(abs(v - exact_g[g]) / exact_g[g] < 0.06 for g, v in per_g.items())
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms
+
+
+def test_tfidf_hand_computed(spark):
+    from osmflat_rs_spark.operators.textops import tfidf_top_terms
+
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "cherry cherry date")],
+        schema="doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["term"]): (r["tf"], r["score"])
+        for r in tfidf_top_terms(docs, "doc_id", "text", k=2).collect()
+    }
+    # doc 1: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5)
+    assert got[(1, "apple")] == (2, round(2 * math.log(3.0), 6))
+    assert got[(1, "banana")] == (1, round(math.log(1.5), 6))
+    # doc 3: cherry tf=2 df=2 -> 2*ln(1.5) ; date tf=1 df=1 -> ln(3)
+    assert got[(3, "date")] == (1, round(math.log(3.0), 6))
+    assert got[(3, "cherry")] == (2, round(2 * math.log(1.5), 6))
+    assert len(got) == 6
+
+
+def test_tfidf_tie_break_and_k(spark):
+    from osmflat_rs_spark.operators.textops import tfidf_top_terms
+
+    docs = spark.createDataFrame([(1, "b a c"), (2, "x y z")], schema="doc_id long, text string")
+    # within doc 1 all terms have tf=1, df=1 -> equal score: tie by term asc
+    rows = tfidf_top_terms(docs, "doc_id", "text", k=2).filter(F.col("doc_id") == 1).collect()
+    assert sorted(r["term"] for r in rows) == ["a", "b"]
+    with pytest.raises(ValueError):
+        tfidf_top_terms(docs, "doc_id", "text", k=0)
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch
+
+
+def test_kmv_estimate_within_bound_and_partition_invariant(spark):
+    from osmflat_rs_spark.operators import sketch
+
+    df = spark.range(0, 30_000).select((F.col("id") % 5_000).alias("k"))
+    sk = sketch.kmv_build(df, "k", k=64)
+    hashes = [r["h"] for r in sk.collect()]
+    assert len(hashes) == 64 and hashes == sorted(hashes)
+    est = sketch.kmv_estimate(sk, k=64).collect()[0]
+    # rel err ~ 1/sqrt(k-2) ~ 12.7%; allow 4 sigma
+    assert abs(est["est_distinct"] - 5_000) / 5_000 < 0.51
+    # sketch is a pure function of the key SET, not the layout
+    sk2 = sketch.kmv_build(df.repartition(17, "k"), "k", k=64)
+    assert [r["h"] for r in sk2.orderBy("h").collect()] == hashes
+
+
+def test_kmv_small_domain_is_exact(spark):
+    from osmflat_rs_spark.operators import sketch
+
+    df = spark.range(0, 1_000).select((F.col("id") % 37).alias("k"))
+    est = sketch.kmv_estimate(sketch.kmv_build(df, "k", k=64), k=64).collect()[0]
+    assert est["n_h"] == 37 and est["est_distinct"] == 37.0
+
+
+def test_kmv_merge_equals_build_over_union(spark):
+    from osmflat_rs_spark.operators import sketch
+
+    a = spark.range(0, 4_000).select(F.col("id").alias("k"))
+    b = spark.range(2_000, 7_000).select(F.col("id").alias("k"))
+    m = sketch.kmv_merge(32, sketch.kmv_build(a, "k", k=32), sketch.kmv_build(b, "k", k=32))
+    full = sketch.kmv_build(a.unionByName(b), "k", k=32)
+    assert [r["h"] for r in m.orderBy("h").collect()] == [
+        r["h"] for r in full.orderBy("h").collect()
+    ]
+    with pytest.raises(ValueError):
+        sketch.kmv_merge(32)
+    with pytest.raises(ValueError):
+        sketch.kmv_build(a, "k", k=1)
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling
+
+
+def test_stratified_sample_exact_quota_and_determinism(spark):
+    from osmflat_rs_spark.operators import sampling
+
+    df = spark.range(0, 3_000).select(
+        F.col("id").alias("i"), (F.col("id") % 3).cast("string").alias("g")
+    )
+    s1 = sampling.stratified_sample(df, "i", "g", 10)
+    rows = s1.collect()
+    per_g = {}
+    for r in rows:
+        per_g.setdefault(r["g"], set()).add(r["i"])
+    assert {g: len(v) for g, v in per_g.items()} == {"0": 10, "1": 10, "2": 10}
+    # strata are disjoint by construction: members belong to their group
+    assert all(int(i) % 3 == int(g) for g, v in per_g.items() for i in v)
+    # partition-layout invariance + two-phase == single-window identity
+    s2 = sampling.stratified_sample(df.repartition(13), "i", "g", 10, salt_buckets=1)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, s2.collect()))
+
+
+def test_stratified_small_stratum_returns_all(spark):
+    from osmflat_rs_spark.operators import sampling
+
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], schema="i long, g string")
+    got = sampling.stratified_sample(df, "i", "g", 5).collect()
+    assert len(got) == 3
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    from osmflat_rs_spark.operators import sampling
+
+    # 200 groups, each with one weight-1000 row and nine weight-1 rows:
+    # A-ES picks the heavy row w.p. 1000/1009 per group
+    rows = [
+        (g * 10 + j, g, 1000.0 if j == 0 else 1.0) for g in range(200) for j in range(10)
+    ]
+    df = spark.createDataFrame(rows, schema="i long, g long, w double")
+    got = sampling.weighted_sample(df, "i", "w", n=1, group_col="g").collect()
+    assert len(got) == 200
+    heavy = sum(1 for r in got if r["i"] % 10 == 0)
+    assert heavy >= 185  # E[heavy] ~ 198.2, sigma ~ 1.3
+
+
+def test_weighted_sample_excludes_nonpositive_and_matches_single_window(spark):
+    from osmflat_rs_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, 0.0), (3, -1.0), (4, None), (5, 3.0), (6, 1.0)],
+        schema="i long, w double",
+    )
+    got = sampling.weighted_sample(df, "i", "w", n=10)
+    ids = {r["i"] for r in got.collect()}
+    assert ids == {1, 5, 6}  # zero/negative/null weights never sampled
+    one_phase = sampling.weighted_sample(df, "i", "w", n=2, salt_buckets=1).collect()
+    two_phase = sampling.weighted_sample(df, "i", "w", n=2, salt_buckets=8).collect()
+    assert sorted(map(tuple, one_phase)) == sorted(map(tuple, two_phase))
+    with pytest.raises(ValueError):
+        sampling.weighted_sample(df, "i", "w", n=0)
