@@ -656,6 +656,17 @@ def q_tfidf_docs(spark, sf_dir):
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
 
 
+def q_repetition_docs(spark, sf_dir):
+    """Gopher-style repetition quality signals: most-frequent-2-gram
+    character fraction + duplicated-3-gram positional-coverage fraction,
+    per document (Rae et al. 2021 filter rules, exact relational form)."""
+    from osmflat_rs_spark.operators.textops import repetition_signals
+
+    return repetition_signals(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", top_n=2, dup_n=3
+    )
+
+
 def q_kmv_distinct_events(spark, sf_dir):
     """KMV bottom-64 distinct sketch over event_id: portable relational
     state (the 64 smallest md5 hashes), estimate reproduced bit-for-bit
@@ -1218,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_docs": q_lang_id_docs,
         "quality_docs": q_quality_docs,
         "tfidf_docs": q_tfidf_docs,
+        "repetition_docs": q_repetition_docs,
         "kmv_distinct_events": q_kmv_distinct_events,
         "stratified_events": q_stratified_events,
         "weighted_sample_events": q_weighted_sample_events,
@@ -1555,6 +1567,41 @@ def oracle_sql() -> dict[str, str]:
             ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term ASC) AS rk
                        FROM scored)
             SELECT doc_id, term, tf, round(s, 6) AS score FROM ranked WHERE rk <= 3
+        """,
+        # Gopher repetition signals: top-2-gram char fraction + duplicated
+        # 3-gram POSITIONAL coverage (distinct positions — overlaps never
+        # double-count). Exact int sums / double division, round 6.
+        "repetition_docs": f"""
+            WITH base AS (SELECT doc_id, {_ws_split_sql()} AS ws FROM documents),
+            stats AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+                             CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) AS word_chars
+                      FROM base),
+            g2 AS (SELECT doc_id, array_to_string(ws[u.i + 1 : u.i + 2], ' ') AS gram
+                   FROM base, UNNEST(range(0, len(ws) - 2 + 1)) AS u(i)
+                   WHERE len(ws) >= 2),
+            c2 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2),
+            top AS (SELECT doc_id, gram AS top_ngram, cnt * (length(gram) - 1) AS top_chars
+                    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY cnt DESC, gram ASC) AS rk FROM c2)
+                    WHERE rk = 1),
+            g3 AS (SELECT doc_id, CAST(u.i AS BIGINT) AS gpos,
+                          array_to_string(ws[u.i + 1 : u.i + 3], ' ') AS gram
+                   FROM base, UNNEST(range(0, len(ws) - 3 + 1)) AS u(i)
+                   WHERE len(ws) >= 3),
+            d3 AS (SELECT doc_id, gram FROM g3 GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+            cov AS (SELECT DISTINCT g3.doc_id, gpos + u.j AS pos
+                    FROM g3 JOIN d3 ON g3.doc_id = d3.doc_id AND g3.gram = d3.gram,
+                         UNNEST(range(0, 3)) AS u(j)),
+            toks AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos, length(ws[u.i + 1]) AS wlen
+                     FROM base, UNNEST(range(0, len(ws))) AS u(i)),
+            dupc AS (SELECT cov.doc_id, SUM(t.wlen) AS dup_chars
+                     FROM cov JOIN toks t ON t.doc_id = cov.doc_id AND t.pos = cov.pos
+                     GROUP BY 1)
+            SELECT s.doc_id, s.n_words, s.word_chars, top.top_ngram,
+                   round(COALESCE(CAST(top.top_chars AS DOUBLE) / CAST(s.word_chars AS DOUBLE), 0.0), 6) AS top_ngram_frac,
+                   round(COALESCE(CAST(dupc.dup_chars AS DOUBLE) / CAST(s.word_chars AS DOUBLE), 0.0), 6) AS dup_ngram_char_frac
+            FROM stats s LEFT JOIN top ON top.doc_id = s.doc_id
+            LEFT JOIN dupc ON dupc.doc_id = s.doc_id
         """,
         # KMV: k smallest distinct hashes; estimate (k-1)*2^60/h_64 is
         # two IEEE ops on exactly-representable constants — bit parity.

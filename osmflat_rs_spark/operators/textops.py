@@ -155,3 +155,112 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> Da
         .filter(F.col("_rk") <= k)
         .select(id_col, "term", "tf", F.round("_s", 6).alias("score"))
     )
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str, text_col: str, top_n: int = 2, dup_n: int = 3
+) -> DataFrame:
+    """Gopher-style within-document repetition quality signals (Rae et
+    al. 2021, "Scaling Language Models" §A1.1 — public filter rules) →
+    (id, n_words, word_chars, top_ngram, top_ngram_frac,
+    dup_ngram_char_frac).
+
+    - ``top_ngram_frac``: fraction of word characters covered by the
+      single most frequent ``top_n``-gram (count × gram-chars /
+      word_chars) — Gopher's "fraction of characters in the most common
+      n-gram". Ties break lexicographically ascending, so the winner is
+      deterministic and DuckDB-reproducible.
+    - ``dup_ngram_char_frac``: fraction of word characters at positions
+      covered by ANY ``dup_n``-gram occurring ≥ 2 times in the doc —
+      Gopher's "fraction of characters in duplicated n-grams", counted
+      positionally so overlapping occurrences never double-count (the
+      paper's "taking care not to count characters twice").
+
+    Plan shape (per-doc bounded, no corpus-level state): grams are built
+    IN-ROW (codegen transform/slice/array_join — the
+    duplicate_passage_spans kernel), then ONE explode feeds both
+    signals: gram counts via groupBy(id, gram) with map-side partials;
+    the top gram via a per-doc top-1 window (bounded by the doc's own
+    gram vocabulary); duplicated-gram coverage by rejoining the gram
+    stream to the ≥2 counts on (id, gram), exploding each occurrence's
+    covered positions, and summing DISTINCT positions' word lengths.
+    Every shuffle is keyed by id or (id, gram) — a hot doc is a data-
+    skew property, never a pair blow-up. Docs shorter than the gram
+    width stay in the output with NULL top_ngram and 0.0 fractions
+    (stable row count = input docs).
+    """
+    from pyspark.sql import Window
+
+    if top_n < 1 or dup_n < 1:
+        raise ValueError(f"gram sizes must be >= 1, got top_n={top_n} dup_n={dup_n}")
+
+    ws = words_expr(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        ws.alias("_ws"),
+        F.size(ws).cast("long").alias("n_words"),
+        F.aggregate(ws, F.lit(0).cast("long"), lambda s, x: s + F.length(x)).alias(
+            "word_chars"
+        ),
+    )
+
+    def _grams(n: int) -> DataFrame:
+        arr = F.transform(
+            F.sequence(F.lit(0), F.size("_ws") - n),
+            lambda i: F.array_join(F.slice("_ws", i + 1, n), " "),
+        )
+        return (
+            base.filter(F.size("_ws") >= n)
+            .select(F.col(id_col), F.posexplode(arr).alias("gpos", "gram"))
+        )
+
+    # signal 1: most frequent top_n-gram, deterministic tie-break
+    counts_top = _grams(top_n).groupBy(id_col, "gram").agg(F.count("*").alias("_cnt"))
+    w1 = Window.partitionBy(id_col).orderBy(F.col("_cnt").desc(), F.col("gram").asc())
+    top = (
+        counts_top.withColumn("_rk", F.row_number().over(w1))
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col(id_col),
+            F.col("gram").alias("top_ngram"),
+            # gram chars = joined length minus the (top_n - 1) separators
+            (F.col("_cnt") * (F.length("gram") - (top_n - 1))).alias("_top_chars"),
+        )
+    )
+
+    # signal 2: distinct word positions covered by duplicated dup_n-grams
+    gd = _grams(dup_n)
+    dup = gd.groupBy(id_col, "gram").agg(F.count("*").alias("_c")).filter(F.col("_c") >= 2)
+    covered = (
+        gd.join(dup.select(id_col, "gram"), [id_col, "gram"])
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("gpos"), F.col("gpos") + (dup_n - 1))).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = base.select(F.col(id_col), F.posexplode("_ws").alias("pos", "_w"))
+    dup_chars = (
+        covered.join(toks, [id_col, "pos"])
+        .groupBy(id_col)
+        .agg(F.sum(F.length("_w")).alias("_dup_chars"))
+    )
+
+    wc = F.col("word_chars").cast("double")
+    return (
+        base.drop("_ws")
+        .join(top, id_col, "left")
+        .join(dup_chars, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_words",
+            "word_chars",
+            "top_ngram",
+            F.round(F.coalesce(F.col("_top_chars").cast("double") / wc, F.lit(0.0)), 6).alias(
+                "top_ngram_frac"
+            ),
+            F.round(
+                F.coalesce(F.col("_dup_chars").cast("double") / wc, F.lit(0.0)), 6
+            ).alias("dup_ngram_char_frac"),
+        )
+    )

@@ -1018,3 +1018,75 @@ def test_weighted_sample_excludes_nonpositive_and_matches_single_window(spark):
     assert sorted(map(tuple, one_phase)) == sorted(map(tuple, two_phase))
     with pytest.raises(ValueError):
         sampling.weighted_sample(df, "i", "w", n=0)
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition signals
+
+
+def test_repetition_signals_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "xx yy xx yy xx yy"), (3, "q")],
+        schema="doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in textops.repetition_signals(docs, "doc_id", "text").collect()
+    }
+    # doc 1: top 2-gram "a b" x2, gram chars 2, word_chars 5 -> 0.8;
+    # every 3-gram unique -> dup coverage 0
+    assert got[1]["top_ngram"] == "a b" and got[1]["top_ngram_frac"] == 0.8
+    assert got[1]["dup_ngram_char_frac"] == 0.0
+    # doc 2: "xx yy" x3 covers 3*4/12 = 1.0; both 3-grams duplicated ->
+    # every position covered -> 1.0
+    assert got[2]["top_ngram"] == "xx yy"
+    assert got[2]["top_ngram_frac"] == 1.0 and got[2]["dup_ngram_char_frac"] == 1.0
+    # doc 3: shorter than both gram widths -> kept, NULL gram, 0 fracs
+    assert got[3]["top_ngram"] is None
+    assert got[3]["top_ngram_frac"] == 0.0 and got[3]["dup_ngram_char_frac"] == 0.0
+    assert len(got) == 3
+    with pytest.raises(ValueError):
+        textops.repetition_signals(docs, "doc_id", "text", top_n=0)
+
+
+def test_repetition_signals_match_python_model_on_random_corpus(spark):
+    """Positional dup-coverage (overlaps counted once) and the
+    deterministic top-gram tie-break, against an independent model on a
+    small-vocabulary corpus where repeats occur naturally."""
+    import re as _re
+    from collections import Counter
+
+    rng = np.random.default_rng(23)
+    vocab = ["aa", "bb", "ccc", "d"]
+    docs = [
+        (i, " ".join(rng.choice(vocab, size=rng.integers(3, 30))))
+        for i in range(60)
+    ]
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in textops.repetition_signals(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            "doc_id",
+            "text",
+            top_n=2,
+            dup_n=3,
+        ).collect()
+    }
+    for doc_id, text in docs:
+        ws = _re.split(WS_PY + "+", text.strip().lower())
+        wc = sum(len(w) for w in ws)
+        g2 = Counter(" ".join(ws[i : i + 2]) for i in range(len(ws) - 1))
+        top, cnt = min(g2.items(), key=lambda kv: (-kv[1], kv[0])) if g2 else (None, 0)
+        g3 = Counter(" ".join(ws[i : i + 3]) for i in range(len(ws) - 2))
+        covered = set()
+        for i in range(len(ws) - 2):
+            if g3[" ".join(ws[i : i + 3])] >= 2:
+                covered.update(range(i, i + 3))
+        r = got[doc_id]
+        assert r["n_words"] == len(ws) and r["word_chars"] == wc
+        assert r["top_ngram"] == top
+        want_top = round(cnt * (len(top) - 1) / wc, 6) if top else 0.0
+        assert r["top_ngram_frac"] == want_top
+        assert r["dup_ngram_char_frac"] == round(
+            sum(len(ws[p]) for p in covered) / wc, 6
+        )
