@@ -656,6 +656,25 @@ def q_tfidf_docs(spark, sf_dir):
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
 
 
+def q_seg_intersections_events(spark, sf_dir):
+    """Segment-intersection spatial self-join: 10k deterministic short
+    segments (GPS-trace-like: synth point + bounded delta per event),
+    all PROPERLY-crossing pairs via lossless grid-cell candidates +
+    exact 4-orientation sign test (float filter, bigint fallback)."""
+    _prep(spark)
+    from osmflat_rs_spark.operators.segments import segment_intersection_join
+
+    e = _synth_coords(_t(spark, sf_dir, "events"))
+    segs = e.select(
+        F.col("event_id").alias("sid"),
+        F.col("lon").alias("x1"),
+        F.col("lat").alias("y1"),
+        (F.col("lon") + (F.col("event_id") * 48271 + 11) % 131073 - 65536).alias("x2"),
+        (F.col("lat") + (F.col("event_id") * 16807 + 7) % 131073 - 65536).alias("y2"),
+    )
+    return segment_intersection_join(segs, cell_size=1 << 16)
+
+
 def q_repetition_docs(spark, sf_dir):
     """Gopher-style repetition quality signals: most-frequent-2-gram
     character fraction + duplicated-3-gram positional-coverage fraction,
@@ -1230,6 +1249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_docs": q_quality_docs,
         "tfidf_docs": q_tfidf_docs,
         "repetition_docs": q_repetition_docs,
+        "seg_intersections_events": q_seg_intersections_events,
         "kmv_distinct_events": q_kmv_distinct_events,
         "stratified_events": q_stratified_events,
         "weighted_sample_events": q_weighted_sample_events,
@@ -1567,6 +1587,33 @@ def oracle_sql() -> dict[str, str]:
             ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term ASC) AS rk
                        FROM scored)
             SELECT doc_id, term, tf, round(s, 6) AS score FROM ranked WHERE rk <= 3
+        """,
+        # Proper segment crossings: brute-force bbox-prefilter pairs,
+        # HUGEINT orientation signs (the engine's float-filter + bigint
+        # fallback is exact, so the hashes agree bit-for-bit).
+        # MATERIALIZED blocks avoid a DuckDB internal error (flat-vector
+        # assertion) when the sign filter rides directly on the
+        # inequality join.
+        "seg_intersections_events": f"""
+            WITH s AS MATERIALIZED (
+              SELECT event_id AS sid, lon AS x1, lat AS y1,
+                     lon + (event_id * 48271 + 11) % 131073 - 65536 AS x2,
+                     lat + (event_id * 16807 + 7) % 131073 - 65536 AS y2
+              FROM {synth}
+            ),
+            cand AS MATERIALIZED (
+              SELECT a.sid AS id_a, b.sid AS id_b,
+                CAST(a.x2-a.x1 AS HUGEINT)*(b.y1-a.y1) - CAST(a.y2-a.y1 AS HUGEINT)*(b.x1-a.x1) AS o1,
+                CAST(a.x2-a.x1 AS HUGEINT)*(b.y2-a.y1) - CAST(a.y2-a.y1 AS HUGEINT)*(b.x2-a.x1) AS o2,
+                CAST(b.x2-b.x1 AS HUGEINT)*(a.y1-b.y1) - CAST(b.y2-b.y1 AS HUGEINT)*(a.x1-b.x1) AS o3,
+                CAST(b.x2-b.x1 AS HUGEINT)*(a.y2-b.y1) - CAST(b.y2-b.y1 AS HUGEINT)*(a.x2-b.x1) AS o4
+              FROM s a JOIN s b ON a.sid < b.sid
+               AND least(a.x1,a.x2) <= greatest(b.x1,b.x2) AND least(b.x1,b.x2) <= greatest(a.x1,a.x2)
+               AND least(a.y1,a.y2) <= greatest(b.y1,b.y2) AND least(b.y1,b.y2) <= greatest(a.y1,a.y2)
+            )
+            SELECT id_a, id_b FROM cand
+            WHERE ((o1 < 0) <> (o2 < 0)) AND o1 <> 0 AND o2 <> 0
+              AND ((o3 < 0) <> (o4 < 0)) AND o3 <> 0 AND o4 <> 0
         """,
         # Gopher repetition signals: top-2-gram char fraction + duplicated
         # 3-gram POSITIONAL coverage (distinct positions — overlaps never
