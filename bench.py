@@ -24,6 +24,7 @@ ingest-inclusive job the same way. Results land in BENCH/BASELINE.md.
 from __future__ import annotations
 
 import json
+import math
 import os
 import subprocess
 import sys
@@ -898,6 +899,53 @@ def run_encode_bench(spark, cpus: int, n_points: int = 32_000_000) -> dict:
     return out
 
 
+def run_segments_bench(spark, cpus: int, n_segs: int = 1_000_000) -> dict:
+    """Segment-intersection join throughput at constant spatial density.
+
+    Deterministic short segments (the gate's recipe) over a box whose
+    area scales with n_segs (4x sparser than the sf0.01 gate box, so
+    per-cell candidate density — and therefore candidates per segment —
+    is a constant, not a function of n). Run once per process at ONE
+    parallelism level; the two-level scaling pair uses fresh
+    back-to-back processes per the BENCH/BASELINE.md protocol."""
+    from pyspark.sql import functions as F
+
+    from osmflat_rs_spark.operators.segments import segment_intersection_join
+
+    s = max(1, math.isqrt(n_segs // 2500))
+    spanx, spany = 4_000_000 * s, 2_000_000 * s
+    # xxhash64 position mixing: the Lehmer-style (id*const)%span lattice
+    # correlates positions across span sizes, so pair counts would not
+    # scale with n; a hash keeps spatial density genuinely uniform.
+    hx = F.abs(F.xxhash64(F.col("id"), F.lit(1)))
+    hy = F.abs(F.xxhash64(F.col("id"), F.lit(2)))
+    segs = spark.range(n_segs).select(
+        F.col("id").alias("sid"),
+        (hx % spanx).alias("x1"),
+        (hy % spany).alias("y1"),
+        (hx % spanx + F.abs(F.xxhash64(F.col("id"), F.lit(3))) % 131073 - 65536).alias("x2"),
+        (hy % spany + F.abs(F.xxhash64(F.col("id"), F.lit(4))) % 131073 - 65536).alias("y2"),
+    ).repartition(2 * cpus).persist()
+    segs.count()
+    _force(spark.range(4 * cpus).repartition(2 * cpus).mapInPandas(_warm_pandas_fn(), schema="id long"))
+    out_df = segment_intersection_join(segs, cell_size=1 << 16)
+    _force(out_df.limit(50_000))  # warm (janino / Python worker fork)
+    best = 1e9
+    for _ in range(2):
+        t0 = time.time()
+        _force(out_df)
+        best = min(best, time.time() - t0)
+    n_pairs = out_df.count()
+    segs.unpersist()
+    return {
+        "cpus": cpus,
+        "n_segs": n_segs,
+        "n_pairs": n_pairs,
+        "sec": round(best, 3),
+        "segs_per_sec": round(n_segs / best),
+    }
+
+
 def run_cluster_worker(
     master_url: str,
     cores_max: int,
@@ -1117,6 +1165,22 @@ def main():
         )
         out["metric"] = "cell-encode throughput per backend (Morton JVM vs S2 pandas UDF)"
         out["unit"] = "rows/sec"
+        print(json.dumps(out))
+        spark.stop()
+        return
+
+    if "--segments" in sys.argv:
+        from osmflat_rs_spark.session import get_spark
+
+        cpus = CPUS if "--cpus" not in sys.argv else int(sys.argv[sys.argv.index("--cpus") + 1])
+        spark = get_spark(
+            "bench-segments", master=f"local[{cpus}]", shuffle_partitions=max(8, 2 * cpus)
+        )
+        out = run_segments_bench(
+            spark, cpus, n_segs=int(os.environ.get("SPARK_GRAFT_SEGMENTS_N", "1000000"))
+        )
+        out["metric"] = "segment-intersection join throughput (constant density)"
+        out["unit"] = "segs/sec"
         print(json.dumps(out))
         spark.stop()
         return

@@ -26,11 +26,15 @@ Scale design, in plan order:
    intersection point — candidate generation is lossless with NO
    dilation step. Cover size scales with segment length / cell_size
    (the standard trade; ``cell_size`` is the knob).
-2. **Candidate join**: one shuffle on the packed cell key; pairs are
-   deduped on (id_a, id_b) BEFORE verification so a pair sharing k
-   cells is verified once. The per-row payload is the 4 fixed-width
-   endpoint ints — bounded, unlike shipping variable geometry
-   (the r4 pip_join_shuffle ring-payload lesson).
+2. **Candidate join**: one shuffle on the packed cell key; the per-row
+   payload is the 4 fixed-width endpoint ints — bounded, unlike
+   shipping variable geometry (the r4 pip_join_shuffle ring-payload
+   lesson). Verification runs PIPELINED in the join stage (no exchange
+   between them): a pair sharing k cells is verified k times — k is
+   small and the test is vectorized arithmetic — which is strictly
+   cheaper than the alternative (dedup first = shuffling every 80-byte
+   candidate row by pair key before the filter). The final `distinct`
+   then shuffles only the SURVIVING 16-byte pairs.
 3. **Verify** (`_proper_sign`): the classic 4-orientation sign test.
    Orientations are computed in float64 with a forward-error filter
    (bound 4·eps·(|ab|+|cd|)); only rows whose determinant falls inside
@@ -214,10 +218,5 @@ def segment_intersection_join(
         F.col("x2").alias("bx2"),
         F.col("y2").alias("by2"),
     )
-    cand = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .drop("cell")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return cand.mapInPandas(_verify, schema="id_a long, id_b long")
+    cand = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b")).drop("cell")
+    return cand.mapInPandas(_verify, schema="id_a long, id_b long").distinct()
