@@ -733,6 +733,19 @@ def q_minhash_pairs_docs(spark, sf_dir):
     )
 
 
+def q_dedup_clusters_docs(spark, sf_dir):
+    """Near-dup pairs → duplicate CLUSTERS: connected components over
+    the MinHash-LSH pair graph (iterative min-label + pointer jumping,
+    O(log n) rounds), representative = component-min doc_id."""
+    from osmflat_rs_spark.operators.dedup import minhash_dedup
+    from osmflat_rs_spark.operators.graph import dedup_cluster_representatives
+
+    pairs = minhash_dedup(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5
+    ).select("id_a", "id_b")
+    return dedup_cluster_representatives(pairs)
+
+
 def q_ngram_jaccard_docs(spark, sf_dir):
     """Blocked exact word-set jaccard (block = source) ≥ 0.6."""
     from osmflat_rs_spark.operators.dedup import ngram_jaccard_pairs
@@ -1254,6 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_events": q_stratified_events,
         "weighted_sample_events": q_weighted_sample_events,
         "minhash_pairs_docs": q_minhash_pairs_docs,
+        "dedup_clusters_docs": q_dedup_clusters_docs,  # iterative CC, oracled via recursive CTE
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "ngram_jaccard_prefix_docs": q_ngram_jaccard_prefix_docs,
         "simhash_docs": q_simhash_docs,
@@ -1685,6 +1699,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, event_id, rk FROM r WHERE rk <= 25
         """,
         "minhash_pairs_docs": _minhash_sql(0.5),
+        # connected components over the SAME pair graph: a recursive CTE
+        # enumerates (node, reachable-label) pairs to a fixpoint (UNION
+        # is distinct, so it terminates); min reachable id = component.
+        "dedup_clusters_docs": f"""
+            WITH RECURSIVE pairs AS MATERIALIZED ({_minhash_sql(0.5)}),
+            e AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+            nodes AS (SELECT DISTINCT u AS node FROM e),
+            walk(node, lbl) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT e.v, w.lbl FROM walk w JOIN e ON e.u = w.node
+            )
+            SELECT node, MIN(lbl) AS component,
+                   node = MIN(lbl) AS is_representative
+            FROM walk GROUP BY node
+        """,
         "stream_neardup_docs": _stream_neardup_sql(0.5),
         "ngram_jaccard_docs": f"""
             WITH wset AS (SELECT DISTINCT doc_id, source,

@@ -1,0 +1,111 @@
+"""Connected components — the operator that turns near-duplicate PAIRS
+into duplicate CLUSTERS (pick one representative per component, drop the
+rest): the step every dedup pipeline needs after MinHash/SimHash/SRP
+candidate generation, and the reference has no analog for (its relations
+form a static forest resolved at build time; a dedup graph is dynamic).
+
+Algorithm: iterative MIN-LABEL PROPAGATION with POINTER JUMPING.
+Per round, each node takes the minimum label over itself and its
+neighbors (one shuffle: edges ⋈ labels → groupBy-min, map-side
+partials), then labels are compressed one hop (labels ⋈ labels on
+lbl = node — the classic pointer-jumping/path-halving step). Plain
+neighbor-min alone needs O(diameter) rounds — a pathological chain of n
+near-dup docs would need n rounds; the jumping step doubles the
+distance a label travels per round, so convergence is O(log n) rounds
+for ANY topology (each round ~2 bounded shuffles). This is the
+published two-phase recipe (Kiveris et al. 2014 "Connected Components
+in MapReduce and Beyond" — their small-star/large-star achieves the
+same bound; min-label + jumping is the simpler equivalent for
+undirected label diffusion).
+
+Scale notes:
+- State per round is ONE (node, label) row per node — never edge-
+  amplified; the edge table is re-joined each round (re-scan beats
+  materializing per-round edge copies).
+- Each round ends with an EAGER localCheckpoint: iterative Spark plans
+  otherwise nest the full lineage per round (plan size doubles per
+  iteration and the optimizer re-walks it — the standard iterative-
+  algorithm trap).
+- Convergence is detected with a driver-side count of changed labels —
+  one scalar action per round, the legitimate driver-loop exception
+  (bounded by the O(log n) round count).
+- Labels are node ids, so the component representative is the MINIMUM
+  node id in the component — deterministic, partition-invariant, and
+  reproducible by a SQL recursive CTE (the driver gate's oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Components of the undirected graph → (node, component).
+
+    ``component`` is the minimum node id in the node's component. Nodes
+    are exactly the ids appearing in ``edges`` (isolated ids the caller
+    wants labeled can be passed as self-loops). Raises RuntimeError if
+    not converged after ``max_iter`` rounds (O(log n) suffices — the
+    guard exists so a mis-wired input fails loudly, not silently)."""
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    # undirected, deduped edge list (both directions, self-edges dropped)
+    a = edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+    both = a.unionByName(a.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    e = both.filter(F.col("u") != F.col("v")).distinct().persist()
+    # nodes come from the PRE-filter edge list so a self-loop registers
+    # its node (the documented way to label isolated ids)
+    labels = (
+        both.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # neighbor minimum (self label included via union)
+        nb = e.join(labels, e["v"] == labels["node"]).select(
+            F.col("u").alias("node"), F.col("lbl")
+        )
+        new = (
+            labels.unionByName(nb)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+        # pointer jumping: lbl <- lbl(lbl); every label IS a node id
+        hop = new.select(F.col("node").alias("_n2"), F.col("lbl").alias("_l2"))
+        new = (
+            new.join(hop, new["lbl"] == hop["_n2"])
+            .select("node", F.col("_l2").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+    e.unpersist()
+    return labels.select("node", F.col("lbl").alias("component"))
+
+
+def dedup_cluster_representatives(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Near-dup pairs → (node, component, is_representative): the
+    keep-one-per-cluster decision. The representative is the component's
+    minimum id (the label itself), so the kept set is deterministic."""
+    cc = connected_components(pairs, src=id_a, dst=id_b)
+    return cc.select(
+        "node", "component", (F.col("node") == F.col("component")).alias("is_representative")
+    )

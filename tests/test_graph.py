@@ -1,0 +1,82 @@
+"""connected_components / dedup_cluster_representatives: union-find
+model parity, chain topology (pointer-jumping path), self-loop node
+registration, partition invariance."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osmflat_rs_spark.operators.graph import (
+    connected_components,
+    dedup_cluster_representatives,
+)
+
+
+def _uf_components(edges):
+    nodes = sorted({x for e in edges for x in e})
+    p = {n: n for n in nodes}
+
+    def find(x):
+        while p[x] != x:
+            p[x] = p[p[x]]
+            x = p[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            p[max(ru, rv)] = min(ru, rv)
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(ns) for ns in comp.values() for n in ns}
+
+
+def test_matches_union_find_on_mixed_topology(spark):
+    rng = np.random.default_rng(5)
+    edges = [(int(rng.integers(0, 400)), int(rng.integers(0, 400))) for _ in range(300)]
+    edges += [(1000 + i, 1001 + i) for i in range(200)]  # 201-node chain
+    edges += [(2000 + i, 2000 + j) for i in range(8) for j in range(i + 1, 8)]
+    edges = [(u, v) for u, v in edges if u != v]
+    want = _uf_components(edges)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == want
+    # partition layout must not change anything
+    got2 = {
+        r["node"]: r["component"]
+        for r in connected_components(df.repartition(13)).collect()
+    }
+    assert got2 == want
+
+
+def test_chain_converges_in_log_rounds(spark):
+    # a 140-node chain: plain neighbor-min needs ~140 rounds; pointer
+    # jumping must land it within the (tight) max_iter budget below
+    edges = [(i, i + 1) for i in range(140)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["component"] for r in connected_components(df, max_iter=12).collect()}
+    assert got == {i: 0 for i in range(141)}
+
+
+def test_self_loops_register_isolated_nodes(spark):
+    df = spark.createDataFrame([(1, 2), (7, 7)], "src long, dst long")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == {1: 1, 2: 1, 7: 7}
+
+
+def test_representatives_flag(spark):
+    df = spark.createDataFrame([(3, 5), (5, 9), (20, 21)], "id_a long, id_b long")
+    rows = {r["node"]: r for r in dedup_cluster_representatives(df).collect()}
+    assert {n: r["component"] for n, r in rows.items()} == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20}
+    assert {n for n, r in rows.items() if r["is_representative"]} == {3, 20}
+
+
+def test_validation_and_guard(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        connected_components(df, max_iter=0)
+    # an honest non-convergence guard: 1 round cannot finish a chain
+    chain = spark.createDataFrame([(i, i + 1) for i in range(50)], "src long, dst long")
+    with pytest.raises(RuntimeError):
+        connected_components(chain, max_iter=1)
