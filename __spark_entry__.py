@@ -733,6 +733,29 @@ def q_minhash_pairs_docs(spark, sf_dir):
     )
 
 
+def q_interval_join_events(spark, sf_dir):
+    """Interval overlap join: click intervals x error intervals (start =
+    event ts in us, deterministic duration) — bucketed equi-join with the
+    canonical-overlap-start bucket, each pair exactly once, no UDF."""
+    from osmflat_rs_spark.operators.intervals import interval_join
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + (F.col("event_id") * 9973) % 1_800_000_000
+        ).alias("e"),
+    )
+    left = e.filter(F.col("event_type") == "click")
+    right = e.filter(F.col("event_type") == "error")
+    return interval_join(
+        left, right, "event_id", "s", "e", "event_id", "s", "e",
+        bucket_size=600_000_000,
+    )
+
+
 def q_dedup_clusters_docs(spark, sf_dir):
     """Near-dup pairs → duplicate CLUSTERS: connected components over
     the MinHash-LSH pair graph (iterative min-label + pointer jumping,
@@ -1250,6 +1273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_events": q_tile_events,
         "tile_pyramid_events": q_tile_pyramid_events,
         "asof_purchase_view": q_asof_purchase_view,
+        "interval_join_events": q_interval_join_events,
         "sessions_events": q_sessions_events,
         "span_explode_docs": q_span_explode_docs,
         "span_reassemble_docs": q_span_reassemble_docs,
@@ -1699,6 +1723,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, event_id, rk FROM r WHERE rk <= 25
         """,
         "minhash_pairs_docs": _minhash_sql(0.5),
+        # interval overlap: the oracle is the plain inequality join —
+        # the engine's bucketing is candidate machinery, never semantics
+        "interval_join_events": """
+            WITH iv AS (SELECT event_id, event_type, epoch_us(ts) AS s,
+                               epoch_us(ts) + (event_id * 9973) % 1800000000 AS e
+                        FROM events)
+            SELECT l.event_id AS l_id, r.event_id AS r_id
+            FROM iv l JOIN iv r ON l.event_type = 'click' AND r.event_type = 'error'
+             AND l.s <= r.e AND r.s <= l.e
+        """,
         # connected components over the SAME pair graph: a recursive CTE
         # enumerates (node, reachable-label) pairs to a fixpoint (UNION
         # is distinct, so it terminates); min reachable id = component.
