@@ -733,6 +733,16 @@ def q_minhash_pairs_docs(spark, sf_dir):
     )
 
 
+def q_hist_quantiles_events(spark, sf_dir):
+    """Equi-width histogram sketch (mergeable relational state) →
+    interpolated p50/p90/p99 of events.value; estimates bit-identical
+    to the SQL oracle (pure IEEE double arithmetic, round 6)."""
+    from osmflat_rs_spark.operators.sketch import hist_build, hist_quantiles
+
+    h = hist_build(_t(spark, sf_dir, "events"), "value", 0.0, 1024.0, bins=256)
+    return hist_quantiles(h, [0.5, 0.9, 0.99], 0.0, 1024.0, bins=256)
+
+
 def q_interval_join_events(spark, sf_dir):
     """Interval overlap join: click intervals x error intervals (start =
     event ts in us, deterministic duration) — bucketed equi-join with the
@@ -1288,6 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_docs": q_repetition_docs,
         "seg_intersections_events": q_seg_intersections_events,
         "kmv_distinct_events": q_kmv_distinct_events,
+        "hist_quantiles_events": q_hist_quantiles_events,
         "stratified_events": q_stratified_events,
         "weighted_sample_events": q_weighted_sample_events,
         "minhash_pairs_docs": q_minhash_pairs_docs,
@@ -1723,6 +1734,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, event_id, rk FROM r WHERE rk <= 25
         """,
         "minhash_pairs_docs": _minhash_sql(0.5),
+        # histogram-sketch quantiles: identical bin rule + interpolation
+        # expression (w = 4.0 exactly representable; IEEE-double parity)
+        "hist_quantiles_events": """
+            WITH h AS (
+              SELECT LEAST(255, CAST(floor((value - 0.0) / 4.0) AS BIGINT)) AS bin,
+                     COUNT(*) AS cnt
+              FROM events
+              WHERE value IS NOT NULL AND value >= 0.0 AND value <= 1024.0
+              GROUP BY 1),
+            c AS (SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin) AS cum,
+                         SUM(cnt) OVER (ORDER BY bin) - cnt AS cum_before FROM h),
+            n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM h),
+            qs AS (SELECT unnest(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS q),
+            fb AS (SELECT q, MIN(bin) AS bin FROM qs, c, n WHERE c.cum >= q * n.n GROUP BY q)
+            SELECT f.q, round(0.0 + 4.0 * (c.bin + (f.q * n.n - c.cum_before) / c.cnt), 6) AS est
+            FROM fb f JOIN c ON c.bin = f.bin CROSS JOIN n
+        """,
         # interval overlap: the oracle is the plain inequality join —
         # the engine's bucketing is candidate machinery, never semantics
         "interval_join_events": """

@@ -208,3 +208,100 @@ def kmv_estimate(sketch: DataFrame, k: int) -> DataFrame:
             3,
         ).alias("est_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram — the third mergeable RELATIONAL sketch (after CM
+# and KMV): state is (bin, cnt) rows, so build is one bounded groupBy,
+# merge is union + re-aggregate, and quantile estimation is plain
+# windowed arithmetic a SQL oracle reproduces bit-for-bit (unlike
+# t-digest/KLL register binaries).
+
+
+def hist_build(
+    df: DataFrame, value_col: str, lo: float, hi: float, bins: int = 256
+) -> DataFrame:
+    """Equi-width histogram of ``value_col`` over [lo, hi] → (bin, cnt).
+
+    Bin = floor((v − lo)/w) with w = (hi − lo)/bins, clamped so v == hi
+    lands in the last bin; values outside [lo, hi] and NULLs are dropped
+    (the caller picks bounds — typically a first min/max pass). Map-side
+    partial aggregation bounds the exchange at ``bins`` rows per task
+    regardless of input size — the mergeable-summary shape."""
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    v = F.col(value_col).cast("double")
+    w = (hi - lo) / bins
+    b = F.least(F.lit(bins - 1), F.floor((v - F.lit(float(lo))) / F.lit(w)).cast("long"))
+    return (
+        df.filter(v.isNotNull() & (v >= lo) & (v <= hi))
+        .select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def hist_merge(*hists: DataFrame) -> DataFrame:
+    """Union + re-aggregate: identical to building over the
+    concatenated inputs (same-bounds histograms only)."""
+    if not hists:
+        raise ValueError("need at least one histogram")
+    out = hists[0]
+    for h in hists[1:]:
+        out = out.unionByName(h)
+    return out.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantiles(
+    hist: DataFrame, quantiles: list[float], lo: float, hi: float, bins: int = 256
+) -> DataFrame:
+    """Estimated quantiles from an equi-width histogram → (q, est).
+
+    For rank r = q·n: find the bin where the cumulative count first
+    reaches r, then interpolate linearly inside it —
+    est = lo + w·(bin + (r − cum_before)/cnt). Error is bounded by the
+    bin width (exact if values are uniform within the bin). Every
+    operation is IEEE double arithmetic on exactly-agreed inputs, so
+    DuckDB reproduces the rounded estimates bit-for-bit. ``quantiles``
+    must lie in (0, 1]."""
+    from pyspark.sql import Window
+
+    if not quantiles or not all(0.0 < q <= 1.0 for q in quantiles):
+        raise ValueError(f"quantiles must be in (0, 1], got {quantiles}")
+    w = (hi - lo) / bins
+    win = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(win).alias("cum"),
+        (F.sum("cnt").over(win) - F.col("cnt")).alias("cum_before"),
+    )
+    total = hist.agg(F.sum("cnt").alias("n"))
+    qs = F.explode(F.array(*[F.lit(float(q)) for q in quantiles])).alias("q")
+    # the target bin: first with cum >= r (r = q·n); ties on exact bin
+    # edges resolve to the earlier bin, matching the oracle's argmin
+    scored = (
+        cum.crossJoin(F.broadcast(total))
+        .select("bin", "cnt", "cum", "cum_before", "n", qs)
+        .filter(F.col("cum") >= F.col("q") * F.col("n"))
+    )
+    first = scored.groupBy("q").agg(F.min("bin").alias("bin"))
+    est = (
+        first.join(cum, "bin")
+        .join(F.broadcast(total))
+        .select(
+            "q",
+            F.round(
+                F.lit(float(lo))
+                + F.lit(w)
+                * (
+                    F.col("bin")
+                    + (F.col("q") * F.col("n") - F.col("cum_before")) / F.col("cnt")
+                ),
+                6,
+            ).alias("est"),
+        )
+    )
+    return est

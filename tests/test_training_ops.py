@@ -1090,3 +1090,52 @@ def test_repetition_signals_match_python_model_on_random_corpus(spark):
         assert r["dup_ngram_char_frac"] == round(
             sum(len(ws[p]) for p in covered) / wc, 6
         )
+
+
+# ---------------------------------------------------------------------------
+# equi-width histogram sketch
+
+
+def test_hist_quantiles_within_bin_width_and_merge_identity(spark):
+    from osmflat_rs_spark.operators import sketch
+
+    rng = np.random.default_rng(9)
+    vals = rng.normal(50, 10, 20_000)
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    h = sketch.hist_build(df, "v", 0.0, 100.0, bins=256)
+    got = {
+        r["q"]: r["est"]
+        for r in sketch.hist_quantiles(h, [0.5, 0.9, 0.99], 0.0, 100.0, bins=256).collect()
+    }
+    w = 100.0 / 256
+    for q in (0.5, 0.9, 0.99):
+        assert abs(got[q] - float(np.quantile(vals, q))) < 2 * w
+    # merge == build-over-concat (the mergeable-summary contract)
+    h1 = sketch.hist_build(df.filter(F.col("v") < 50), "v", 0.0, 100.0, 256)
+    h2 = sketch.hist_build(df.filter(F.col("v") >= 50), "v", 0.0, 100.0, 256)
+    m = sketch.hist_merge(h1, h2)
+    assert sorted(map(tuple, m.collect())) == sorted(map(tuple, h.collect()))
+
+
+def test_hist_edges_and_validation(spark):
+    from osmflat_rs_spark.operators import sketch
+
+    df = spark.createDataFrame(
+        [(0.0,), (100.0,), (None,), (-0.1,), (100.1,), (50.0,)], "v double"
+    )
+    h = {r["bin"]: r["cnt"] for r in sketch.hist_build(df, "v", 0.0, 100.0, bins=4).collect()}
+    # v == hi clamps into the LAST bin; out-of-range and NULL dropped
+    assert h == {0: 1, 3: 1, 2: 1}
+    # q = 1.0 returns the max-bin upper edge interpolation, never beyond hi
+    q = sketch.hist_quantiles(
+        sketch.hist_build(df, "v", 0.0, 100.0, bins=4), [1.0], 0.0, 100.0, bins=4
+    ).collect()[0]
+    assert q["est"] <= 100.0
+    with pytest.raises(ValueError):
+        sketch.hist_build(df, "v", 5.0, 5.0, bins=4)
+    with pytest.raises(ValueError):
+        sketch.hist_build(df, "v", 0.0, 1.0, bins=0)
+    with pytest.raises(ValueError):
+        sketch.hist_quantiles(sketch.hist_build(df, "v", 0.0, 1.0, 4), [0.0], 0.0, 1.0, 4)
+    with pytest.raises(ValueError):
+        sketch.hist_merge()
