@@ -733,6 +733,18 @@ def q_minhash_pairs_docs(spark, sf_dir):
     )
 
 
+def q_simplify_users(spark, sf_dir):
+    """Radial-distance polyline simplification of each user's
+    event-ordered trajectory (sequential kept-chain semantics; in-row
+    Catalyst aggregate fold, exact int64 — DuckDB recursive-CTE twin)."""
+    from osmflat_rs_spark.functions.geo import simplify_radial
+
+    pts = _synth_coords(_t(spark, sf_dir, "events")).select(
+        "user_id", F.col("event_id").alias("pos"), "lat", "lon"
+    )
+    return simplify_radial(pts, "user_id", "pos", tol=500_000)
+
+
 def q_hist_quantiles_events(spark, sf_dir):
     """Equi-width histogram sketch (mergeable relational state) →
     interpolated p50/p90/p99 of events.value; estimates bit-identical
@@ -1299,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seg_intersections_events": q_seg_intersections_events,
         "kmv_distinct_events": q_kmv_distinct_events,
         "hist_quantiles_events": q_hist_quantiles_events,
+        "simplify_users": q_simplify_users,
         "stratified_events": q_stratified_events,
         "weighted_sample_events": q_weighted_sample_events,
         "minhash_pairs_docs": q_minhash_pairs_docs,
@@ -1734,6 +1747,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, event_id, rk FROM r WHERE rk <= 25
         """,
         "minhash_pairs_docs": _minhash_sql(0.5),
+        # radial simplification: recursive CTE walks the identical
+        # kept-chain (next kept = min pos with d2 >= tol2 from last kept)
+        "simplify_users": f"""
+            WITH RECURSIVE pts AS MATERIALIZED (
+              SELECT user_id, event_id AS pos, lat, lon FROM {synth}
+            ),
+            kept(user_id, pos, lat, lon) AS (
+              SELECT user_id, pos, lat, lon FROM pts p
+              WHERE pos = (SELECT min(pos) FROM pts q WHERE q.user_id = p.user_id)
+              UNION ALL
+              SELECT k.user_id, n.pos, n.lat, n.lon
+              FROM kept k JOIN pts n ON n.user_id = k.user_id AND n.pos > k.pos
+               AND (n.lat-k.lat)*(n.lat-k.lat) + (n.lon-k.lon)*(n.lon-k.lon) >= 250000000000
+              WHERE n.pos = (SELECT min(p2.pos) FROM pts p2
+                             WHERE p2.user_id = k.user_id AND p2.pos > k.pos
+                              AND (p2.lat-k.lat)*(p2.lat-k.lat) + (p2.lon-k.lon)*(p2.lon-k.lon) >= 250000000000)
+            )
+            SELECT user_id, pos, lat, lon FROM kept
+        """,
         # histogram-sketch quantiles: identical bin rule + interpolation
         # expression (w = 4.0 exactly representable; IEEE-double parity)
         "hist_quantiles_events": """

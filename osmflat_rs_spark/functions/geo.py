@@ -181,3 +181,60 @@ def shoelace_ring_stats(
         F.round(F.col("_slat") / n / F.lit(float(COORD_SCALE)), 4).alias("c_lat"),
         F.round(F.col("_slon") / n / F.lit(float(COORD_SCALE)), 4).alias("c_lon"),
     )
+
+
+def simplify_radial(
+    df,
+    group_col: str,
+    pos_col: str,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    tol: int = 100_000,
+):
+    """Radial-distance polyline simplification per group →
+    (group, pos, lat, lon): keep the first point (by ``pos_col``), then
+    each next point whose squared euclidean distance (fixed-point int)
+    from the LAST KEPT point is ≥ tol² — the classic cheap pre-pass
+    before Douglas-Peucker, and the inherently SEQUENTIAL operator shape
+    (each decision depends on the previous kept point).
+
+    Physical form: ONE groupBy shuffle collects the ordered polyline
+    in-row (the shoelace_ring_stats contract — state bounded by the
+    largest single polyline), then the walk is a pure Catalyst
+    ``aggregate`` HOF building the kept array — whole-stage codegen, no
+    Python, no window, no second exchange. Exact int64 arithmetic
+    (|Δ|·√2 ≤ 3·10⁶ fixed-point ⇒ d² ≤ 2·10¹³), so the driver gate's
+    DuckDB oracle (a recursive CTE walking the same chain) hash-matches
+    bit-for-bit. The endpoint is NOT force-kept (pure threshold chain);
+    union the tail explicitly if closure is needed.
+    """
+    if tol < 1:
+        raise ValueError(f"tol must be >= 1, got {tol}")
+    tol2 = int(tol) * int(tol)
+    pt = F.struct(
+        F.col(pos_col).cast("long").alias("pos"),
+        F.col(lat_col).cast("long").alias("lat"),
+        F.col(lon_col).cast("long").alias("lon"),
+    )
+    ring = F.sort_array(F.collect_list(pt))
+    g = df.groupBy(group_col).agg(ring.alias("_ring"))
+
+    def _keep(acc, x):
+        last = F.element_at(acc, -1)
+        d2 = (x["lat"] - last["lat"]) * (x["lat"] - last["lat"]) + (
+            x["lon"] - last["lon"]
+        ) * (x["lon"] - last["lon"])
+        return F.when(d2 >= F.lit(tol2), F.concat(acc, F.array(x))).otherwise(acc)
+
+    kept = F.aggregate(
+        F.slice(F.col("_ring"), 2, F.greatest(F.size("_ring") - 1, F.lit(0))),
+        F.array(F.get(F.col("_ring"), 0)),
+        _keep,
+    )
+    out = g.select(F.col(group_col), F.explode(kept).alias("_p"))
+    return out.select(
+        group_col,
+        F.col("_p.pos").alias("pos"),
+        F.col("_p.lat").alias("lat"),
+        F.col("_p.lon").alias("lon"),
+    )

@@ -220,3 +220,55 @@ def test_shoelace_translation_invariance(spark):
     ra = {r["user_id"]: r["area2x"] for r in a.collect()}
     rb = {r["user_id"]: r["area2x"] for r in b.collect()}
     assert ra == rb and len(ra) == 4
+
+
+# ---------------------------------------------------------------------------
+# radial-distance polyline simplification
+
+
+def test_simplify_radial_matches_sequential_model(spark):
+    import numpy as np
+
+    from osmflat_rs_spark.functions.geo import simplify_radial
+
+    rng = np.random.default_rng(4)
+    rows = []
+    for g in range(20):
+        for p in range(int(rng.integers(1, 60))):
+            rows.append((g, p, int(rng.integers(0, 100)), int(rng.integers(0, 100))))
+    df = spark.createDataFrame(rows, "gid long, pos long, lat long, lon long")
+    got = sorted(map(tuple, simplify_radial(df, "gid", "pos", tol=30).collect()))
+
+    from collections import defaultdict
+
+    by = defaultdict(list)
+    for g, p, la, lo in rows:
+        by[g].append((p, la, lo))
+    want = []
+    for g, pts in by.items():
+        pts.sort()
+        kept = [pts[0]]
+        for p in pts[1:]:
+            l = kept[-1]
+            if (p[1] - l[1]) ** 2 + (p[2] - l[2]) ** 2 >= 900:
+                kept.append(p)
+        want += [(g, *k) for k in kept]
+    assert got == sorted(want)
+    # partition-layout invariance (the fold runs on a sorted in-row ring)
+    got2 = sorted(map(tuple, simplify_radial(df.repartition(13), "gid", "pos", tol=30).collect()))
+    assert got2 == got
+
+
+def test_simplify_radial_edges(spark):
+    import pytest
+
+    from osmflat_rs_spark.functions.geo import simplify_radial
+
+    df = spark.createDataFrame(
+        [(1, 0, 5, 5), (2, 3, 0, 0), (2, 7, 0, 1)], "gid long, pos long, lat long, lon long"
+    )
+    got = sorted(map(tuple, simplify_radial(df, "gid", "pos", tol=10).collect()))
+    # single-point group kept; group 2's second point is under tol: dropped
+    assert got == [(1, 0, 5, 5), (2, 3, 0, 0)]
+    with pytest.raises(ValueError):
+        simplify_radial(df, "gid", "pos", tol=0)
