@@ -733,6 +733,22 @@ def q_minhash_pairs_docs(spark, sf_dir):
     )
 
 
+def q_hull_users(spark, sf_dir):
+    """Per-user convex hull corners (monotone chain, exact orientation
+    with bigint fallback). Oracle is an INDEPENDENT formulation —
+    Caratheodory triangle containment in HUGEINT — restricted to
+    user_id % 10 = 0 to bound its O(n^4) cost."""
+    _prep(spark)
+    from osmflat_rs_spark.operators.hull import convex_hull
+
+    pts = (
+        _synth_coords(_t(spark, sf_dir, "events"))
+        .filter(F.col("user_id") % 10 == 0)
+        .select("user_id", "lat", "lon")
+    )
+    return convex_hull(pts, "user_id")
+
+
 def q_simplify_users(spark, sf_dir):
     """Radial-distance polyline simplification of each user's
     event-ordered trajectory (sequential kept-chain semantics; in-row
@@ -1312,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_events": q_kmv_distinct_events,
         "hist_quantiles_events": q_hist_quantiles_events,
         "simplify_users": q_simplify_users,
+        "hull_users": q_hull_users,
         "stratified_events": q_stratified_events,
         "weighted_sample_events": q_weighted_sample_events,
         "minhash_pairs_docs": q_minhash_pairs_docs,
@@ -1747,6 +1764,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, event_id, rk FROM r WHERE rk <= 25
         """,
         "minhash_pairs_docs": _minhash_sql(0.5),
+        # convex hull via the INDEPENDENT Caratheodory formulation: p is
+        # a non-vertex iff a triangle of 3 OTHER distinct points contains
+        # it inside-or-on; the bbox guard keeps degenerate (collinear)
+        # triangles from capturing points beyond their span.
+        "hull_users": f"""
+            WITH pts AS MATERIALIZED (
+              SELECT DISTINCT user_id, lat, lon FROM {synth} WHERE user_id % 10 = 0
+            ),
+            contained AS (
+              SELECT DISTINCT p.user_id, p.lat, p.lon
+              FROM pts p
+              JOIN pts a ON a.user_id = p.user_id AND (a.lat, a.lon) <> (p.lat, p.lon)
+              JOIN pts b ON b.user_id = p.user_id AND (b.lat, b.lon) > (a.lat, a.lon)
+                        AND (b.lat, b.lon) <> (p.lat, p.lon)
+              JOIN pts c ON c.user_id = p.user_id AND (c.lat, c.lon) > (b.lat, b.lon)
+                        AND (c.lat, c.lon) <> (p.lat, p.lon)
+              WHERE ((sign(CAST(b.lat-a.lat AS HUGEINT)*(p.lon-a.lon) - CAST(b.lon-a.lon AS HUGEINT)*(p.lat-a.lat)) >= 0
+                  AND sign(CAST(c.lat-b.lat AS HUGEINT)*(p.lon-b.lon) - CAST(c.lon-b.lon AS HUGEINT)*(p.lat-b.lat)) >= 0
+                  AND sign(CAST(a.lat-c.lat AS HUGEINT)*(p.lon-c.lon) - CAST(a.lon-c.lon AS HUGEINT)*(p.lat-c.lat)) >= 0)
+                 OR (sign(CAST(b.lat-a.lat AS HUGEINT)*(p.lon-a.lon) - CAST(b.lon-a.lon AS HUGEINT)*(p.lat-a.lat)) <= 0
+                  AND sign(CAST(c.lat-b.lat AS HUGEINT)*(p.lon-b.lon) - CAST(c.lon-b.lon AS HUGEINT)*(p.lat-b.lat)) <= 0
+                  AND sign(CAST(a.lat-c.lat AS HUGEINT)*(p.lon-c.lon) - CAST(a.lon-c.lon AS HUGEINT)*(p.lat-c.lat)) <= 0))
+                AND p.lat BETWEEN least(a.lat, b.lat, c.lat) AND greatest(a.lat, b.lat, c.lat)
+                AND p.lon BETWEEN least(a.lon, b.lon, c.lon) AND greatest(a.lon, b.lon, c.lon)
+            )
+            SELECT user_id, lat, lon FROM pts
+            EXCEPT SELECT user_id, lat, lon FROM contained
+        """,
         # radial simplification: recursive CTE walks the identical
         # kept-chain (next kept = min pos with d2 >= tol2 from last kept)
         "simplify_users": f"""
