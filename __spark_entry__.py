@@ -733,6 +733,19 @@ def q_minhash_pairs_docs(spark, sf_dir):
     )
 
 
+def q_bloom_probe_customers(spark, sf_dir):
+    """Bloom membership sketch (4th relational sketch): build over
+    orders.o_custkey, probe every customer — no false negatives; the
+    oracle reproduces the bit set exactly, so even the false positives
+    hash-match."""
+    from osmflat_rs_spark.operators.sketch import bloom_build, bloom_probe
+
+    sk = bloom_build(_t(spark, sf_dir, "orders"), "o_custkey", m_bits=8192, k=4)
+    return bloom_probe(
+        sk, _t(spark, sf_dir, "customer"), "c_custkey", m_bits=8192, k=4
+    )
+
+
 def q_hull_users(spark, sf_dir):
     """Per-user convex hull corners (monotone chain, exact orientation
     with bigint fallback). Oracle is an INDEPENDENT formulation —
@@ -1327,6 +1340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seg_intersections_events": q_seg_intersections_events,
         "kmv_distinct_events": q_kmv_distinct_events,
         "hist_quantiles_events": q_hist_quantiles_events,
+        "bloom_probe_customers": q_bloom_probe_customers,
         "simplify_users": q_simplify_users,
         "hull_users": q_hull_users,
         "stratified_events": q_stratified_events,
@@ -1764,6 +1778,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, event_id, rk FROM r WHERE rk <= 25
         """,
         "minhash_pairs_docs": _minhash_sql(0.5),
+        # Bloom filter: identical seeded-md5 bit scheme, so the set-bit
+        # table — and therefore every false positive — is bit-identical
+        "bloom_probe_customers": """
+            WITH bits AS (
+              SELECT DISTINCT CAST('0x' || substr(md5('bf' || u.i || ':' || o_custkey::VARCHAR), 1, 15) AS BIGINT) % 8192 AS bit
+              FROM orders, UNNEST(range(0, 4)) AS u(i)
+            ),
+            probes AS (
+              SELECT c_custkey,
+                     CAST('0x' || substr(md5('bf' || u.i || ':' || c_custkey::VARCHAR), 1, 15) AS BIGINT) % 8192 AS bit
+              FROM customer, UNNEST(range(0, 4)) AS u(i)
+            )
+            SELECT p.c_custkey, COUNT(b.bit) = 4 AS maybe_present
+            FROM probes p LEFT JOIN bits b USING (bit)
+            GROUP BY 1
+        """,
         # convex hull via the INDEPENDENT Caratheodory formulation: p is
         # a non-vertex iff a triangle of 3 OTHER distinct points contains
         # it inside-or-on; the bbox guard keeps degenerate (collinear)

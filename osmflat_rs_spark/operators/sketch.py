@@ -305,3 +305,70 @@ def hist_quantiles(
         )
     )
     return est
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — the fourth relational mergeable sketch: membership.
+# State is the DISTINCT set-bit rows (≤ m_bits of them), so build is one
+# bounded groupBy-distinct, merge is union+distinct (the bitwise OR),
+# and probing is a broadcast join — all bit-reproducible in SQL, unlike
+# an engine's packed bitmap. No false negatives by construction; the
+# false-positive rate is the classic (1 − e^(−kn/m))^k.
+
+
+def bloom_bits(key_col, m_bits: int, k: int):
+    """array<long> of the key's k bit positions (in-row, codegen md5)."""
+    return F.array(
+        *[
+            F.pmod(
+                md5_int60(F.concat(F.lit(f"bf{i}:"), F.col(key_col).cast("string"))),
+                F.lit(m_bits),
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_build(df: DataFrame, key_col: str, m_bits: int = 8192, k: int = 4) -> DataFrame:
+    """Bloom filter of ``key_col`` → (bit,) distinct set-bit rows."""
+    if m_bits < 2 or k < 1:
+        raise ValueError(f"need m_bits >= 2 and k >= 1, got {m_bits}, {k}")
+    return (
+        df.select(F.explode(bloom_bits(key_col, m_bits, k)).alias("bit")).distinct()
+    )
+
+
+def bloom_merge(*sketches: DataFrame) -> DataFrame:
+    """Union of set bits == the bitwise OR == build over concat (tested)."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.distinct()
+
+
+def bloom_probe(
+    sketch: DataFrame, keys: DataFrame, key_col: str, m_bits: int = 8192, k: int = 4
+) -> DataFrame:
+    """(key, maybe_present): true iff ALL k of the key's bits are set.
+
+    The sketch side is ≤ m_bits rows — broadcast; the probe explode is
+    in-row. Never a false negative (membership implies all bits set);
+    semi-join pruning is the intended use: probe the big side against a
+    small side's filter BEFORE the real join ships its payload."""
+    probes = keys.select(
+        F.col(key_col), F.explode(bloom_bits(key_col, m_bits, k)).alias("bit")
+    )
+    hit = probes.join(F.broadcast(sketch), "bit").groupBy(key_col).agg(
+        F.count("*").alias("_hits")
+    )
+    return (
+        keys.select(key_col)
+        .distinct()
+        .join(hit, key_col, "left")
+        .select(
+            key_col,
+            (F.coalesce(F.col("_hits"), F.lit(0)) == k).alias("maybe_present"),
+        )
+    )

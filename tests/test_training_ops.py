@@ -1139,3 +1139,36 @@ def test_hist_edges_and_validation(spark):
         sketch.hist_quantiles(sketch.hist_build(df, "v", 0.0, 1.0, 4), [0.0], 0.0, 1.0, 4)
     with pytest.raises(ValueError):
         sketch.hist_merge()
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter sketch
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    from osmflat_rs_spark.operators import sketch
+
+    members = spark.range(0, 2_000).select(F.col("id").alias("k"))
+    sk = sketch.bloom_build(members, "k", m_bits=32768, k=4)
+    probe_in = sketch.bloom_probe(sk, members, "k", m_bits=32768, k=4)
+    assert probe_in.filter(~F.col("maybe_present")).count() == 0  # never a false negative
+    outsiders = spark.range(10_000, 14_000).select(F.col("id").alias("k"))
+    fp = sketch.bloom_probe(sk, outsiders, "k", m_bits=32768, k=4).filter(
+        F.col("maybe_present")
+    ).count()
+    # (1 - e^(-kn/m))^k ~ 0.24% at n=2000, m=32768, k=4; allow wide slack
+    assert fp / 4_000 < 0.02
+
+
+def test_bloom_merge_equals_build_over_union(spark):
+    from osmflat_rs_spark.operators import sketch
+
+    a = spark.range(0, 500).select(F.col("id").alias("k"))
+    b = spark.range(400, 900).select(F.col("id").alias("k"))
+    m = sketch.bloom_merge(sketch.bloom_build(a, "k", 4096, 3), sketch.bloom_build(b, "k", 4096, 3))
+    full = sketch.bloom_build(a.unionByName(b), "k", 4096, 3)
+    assert sorted(r["bit"] for r in m.collect()) == sorted(r["bit"] for r in full.collect())
+    with pytest.raises(ValueError):
+        sketch.bloom_merge()
+    with pytest.raises(ValueError):
+        sketch.bloom_build(a, "k", m_bits=1)
