@@ -38,6 +38,8 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 HEADLINE = [
     "pip_events",
     "knn_events",
+    "seg_intersections_events",
+    "interval_join_events",
     "cell_index_events",
     "tile_events",
     "tile_pyramid_events",
