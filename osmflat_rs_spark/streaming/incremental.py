@@ -443,3 +443,68 @@ def stream_neardup_candidates(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_hist_partials(
+    spark,
+    events_dir: str,
+    schema,
+    checkpoint_dir: str,
+    out_dir: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+):
+    """Streaming equi-width histogram via PARTIAL-SKETCH APPEND.
+
+    The relational histogram (operators/sketch.py `hist_build`) is
+    mergeable by construction — (bin, cnt) rows under union +
+    re-aggregate — so its streaming form needs no state store at all:
+    each micro-batch writes its own bounded partial sketch (≤ ``bins``
+    rows) to ``out_dir/batch_id=<n>/`` and the full histogram is a
+    merge-on-read (`hist_from_partials`). This is the aggregate-file
+    pattern column stores use for rollups, and it is exactly-once by
+    idempotence: on restart Spark replays the last uncommitted batch
+    with the SAME batch_id, and the per-batch directory overwrite makes
+    the replay a no-op rather than a double count. State is bounded by
+    bins × batches on disk and ≤ bins rows in memory per batch —
+    nothing grows with the stream's cardinality (contrast the keyed
+    dedup state above).
+
+    Reference anchor: the reference's statistics pass re-scans the full
+    archive per run (osmflat/lib.rs counts); this restates it as an
+    incrementally-maintained summary. Returns the StreamingQuery.
+    """
+    from pyspark.sql import functions as F
+
+    from osmflat_rs_spark.operators.sketch import hist_build
+
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+
+    def write_partial(batch_df, batch_id: int):
+        part = hist_build(batch_df, value_col, lo, hi, bins)
+        # one file is plenty: a partial sketch is ≤ bins rows
+        part.coalesce(1).write.mode("overwrite").parquet(
+            out_dir.rstrip("/") + f"/batch_id={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(write_partial)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def hist_from_partials(spark, out_dir: str) -> DataFrame:
+    """Merge-on-read of the appended partial sketches → (bin, cnt).
+
+    Equivalent to `hist_build` over the concatenated inputs because the
+    sketch is mergeable (same-bounds partials only). The scan stays tiny
+    — bins × batches rows — independent of how much data the stream has
+    absorbed; feed the result to `hist_quantiles` as usual."""
+    from pyspark.sql import functions as F
+
+    parts = spark.read.option("basePath", out_dir).parquet(out_dir + "/batch_id=*")
+    return parts.groupBy("bin").agg(F.sum("cnt").alias("cnt"))

@@ -279,3 +279,54 @@ def test_stream_pip_assign_docs_matches_batch_and_is_exactly_once(spark, tmp_pat
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == len(out_rows)
+
+
+def test_stream_hist_partials_matches_batch_across_restart(spark, tmp_path):
+    """The streaming histogram (partial-sketch append + merge-on-read)
+    must equal the batch `hist_build` over all data after a chunked
+    arrival WITH a restart between chunks, and the replayed batch must
+    not double-count (exactly-once by per-batch-dir idempotence)."""
+    from osmflat_rs_spark.operators.sketch import hist_build, hist_quantiles
+    from osmflat_rs_spark.streaming.incremental import (
+        hist_from_partials,
+        stream_hist_partials,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    schema = events.schema
+    lo, hi, bins = 0.0, 1000.0, 64
+
+    events_dir = str(tmp_path / "events")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "hist")
+    os.makedirs(events_dir)
+
+    a, b = events.randomSplit([0.5, 0.5], seed=7)
+    a.write.mode("append").parquet(events_dir)
+    q = stream_hist_partials(spark, events_dir, schema, ck, out, "value", lo, hi, bins)
+    q.awaitTermination(120)
+
+    # second chunk arrives; restart from the SAME checkpoint
+    b.write.mode("append").parquet(events_dir)
+    q = stream_hist_partials(spark, events_dir, schema, ck, out, "value", lo, hi, bins)
+    q.awaitTermination(120)
+
+    got = {r["bin"]: r["cnt"] for r in hist_from_partials(spark, out).collect()}
+    want = {
+        r["bin"]: r["cnt"]
+        for r in hist_build(events, "value", lo, hi, bins).collect()
+    }
+    assert got == want and sum(got.values()) > 0
+
+    # a replayed/no-new-data restart must not double-count
+    q = stream_hist_partials(spark, events_dir, schema, ck, out, "value", lo, hi, bins)
+    q.awaitTermination(120)
+    again = {r["bin"]: r["cnt"] for r in hist_from_partials(spark, out).collect()}
+    assert again == want
+
+    # quantiles off the merged sketch equal quantiles off the batch sketch
+    m = hist_from_partials(spark, out)
+    bt = hist_build(events, "value", lo, hi, bins)
+    gq = {r["q"]: r["est"] for r in hist_quantiles(m, [0.5, 0.9], lo, hi, bins).collect()}
+    wq = {r["q"]: r["est"] for r in hist_quantiles(bt, [0.5, 0.9], lo, hi, bins).collect()}
+    assert gq == wq
