@@ -656,6 +656,27 @@ def q_tfidf_docs(spark, sf_dir):
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
 
 
+def q_contamination_docs(spark, sf_dir):
+    """Benchmark decontamination (GPT-3-style n-gram overlap): docs
+    sharing any word 5-gram with the deterministic pseudo-benchmark
+    subset (doc_id % 97 == 0) are flagged; benchmark gram set is
+    broadcast, the corpus never shuffles."""
+    from osmflat_rs_spark.operators.textops import contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter((F.col("doc_id") % 97) == 0)
+    return contamination(docs, bench, "doc_id", "text", n=5)
+
+
+def q_unigram_logprob_docs(spark, sf_dir):
+    """Corpus-unigram-LM quality proxy (CCNet-style): per-doc mean
+    -log2 p(token) under the corpus unigram distribution; vocabulary
+    broadcast, one corpus-keyed shuffle of combined partials."""
+    from osmflat_rs_spark.operators.textops import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 def q_seg_intersections_events(spark, sf_dir):
     """Segment-intersection spatial self-join: 10k deterministic short
     segments (GPS-trace-like: synth point + bounded delta per event),
@@ -1340,6 +1361,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_docs": q_quality_docs,
         "tfidf_docs": q_tfidf_docs,
         "repetition_docs": q_repetition_docs,
+        "contamination_docs": q_contamination_docs,
+        "unigram_logprob_docs": q_unigram_logprob_docs,
         "seg_intersections_events": q_seg_intersections_events,
         "kmv_distinct_events": q_kmv_distinct_events,
         "hist_quantiles_events": q_hist_quantiles_events,
@@ -1714,6 +1737,35 @@ def oracle_sql() -> dict[str, str]:
         # Gopher repetition signals: top-2-gram char fraction + duplicated
         # 3-gram POSITIONAL coverage (distinct positions — overlaps never
         # double-count). Exact int sums / double division, round 6.
+        # Decontamination: per-doc DISTINCT 5-grams vs the pseudo-benchmark
+        # subset's gram set (doc_id % 97 == 0); counts are distinct-gram
+        # hits, so the engine's in-row array_distinct mirrors exactly.
+        "contamination_docs": f"""
+            WITH base AS (SELECT doc_id, {_ws_split_sql()} AS ws FROM documents),
+            docg AS (SELECT DISTINCT doc_id,
+                            array_to_string(ws[u.i + 1 : u.i + 5], ' ') AS gram
+                     FROM base, UNNEST(range(0, len(ws) - 5 + 1)) AS u(i)
+                     WHERE len(ws) >= 5),
+            bg AS (SELECT DISTINCT gram FROM docg WHERE doc_id % 97 = 0),
+            ng AS (SELECT doc_id, COUNT(*) AS n_grams FROM docg GROUP BY 1),
+            hits AS (SELECT doc_id, COUNT(*) AS n_hit FROM docg JOIN bg USING (gram) GROUP BY 1)
+            SELECT d.doc_id, COALESCE(ng.n_grams, 0) AS n_grams,
+                   COALESCE(hits.n_hit, 0) AS n_hit_grams,
+                   COALESCE(hits.n_hit, 0) > 0 AS contaminated
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN ng USING (doc_id) LEFT JOIN hits USING (doc_id)
+        """,
+        # Unigram-LM score: both engines round the IEEE mean to 6 dp —
+        # summation-order ulp noise is absorbed (the tfidf precedent).
+        "unigram_logprob_docs": f"""
+            WITH toks AS (SELECT doc_id, unnest({_ws_split_sql()}) AS tok FROM documents),
+            v AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1),
+            tot AS (SELECT SUM(cnt) AS total FROM v)
+            SELECT doc_id, COUNT(*) AS n_tokens,
+                   round(AVG(-log2(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))), 6) AS avg_neg_log2p
+            FROM toks JOIN v USING (tok) CROSS JOIN tot
+            GROUP BY doc_id
+        """,
         "repetition_docs": f"""
             WITH base AS (SELECT doc_id, {_ws_split_sql()} AS ws FROM documents),
             stats AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,

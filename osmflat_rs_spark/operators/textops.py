@@ -264,3 +264,114 @@ def repetition_signals(
             ).alias("dup_ngram_char_frac"),
         )
     )
+
+
+def contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str | None = None,
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word ``n``-gram with a benchmark/eval set (the public GPT-3 /
+    C4-style 13-gram overlap rule — Brown et al. 2020 §C) →
+    (id, n_grams, n_hit_grams, contaminated), one row per input doc.
+
+    Plan shape (the 100-TB path): benchmark suites are SMALL relative
+    to a training corpus, so the benchmark's distinct gram set is built
+    once and BROADCAST; corpus grams are constructed IN-ROW (codegen
+    transform/slice/array_join, the repetition_signals kernel),
+    de-duplicated in-row, exploded, and hash-joined against the
+    broadcast set — the corpus itself never shuffles, and the per-doc
+    hit counts exchange only map-side-combined (id, cnt) partials.
+    Docs shorter than ``n`` words stay in the output with 0 grams.
+    """
+    if n < 1:
+        raise ValueError(f"gram size must be >= 1, got {n}")
+    bench_text_col = bench_text_col or text_col
+
+    def gram_arr(text):
+        ws = words_expr(text)
+        return F.when(
+            F.size(ws) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(ws) - n),
+                    lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    bench_grams = (
+        bench.select(F.explode(gram_arr(F.col(bench_text_col))).alias("gram"))
+        .distinct()
+    )
+    base = docs.select(
+        F.col(id_col), gram_arr(F.col(text_col)).alias("_grams")
+    ).select(
+        F.col(id_col),
+        F.size("_grams").cast("long").alias("n_grams"),
+        F.col("_grams"),
+    )
+    hits = (
+        base.select(F.col(id_col), F.explode("_grams").alias("gram"))
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hit_grams"))
+    )
+    return (
+        base.drop("_grams")
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_grams",
+            F.coalesce(F.col("n_hit_grams"), F.lit(0)).cast("long").alias("n_hit_grams"),
+            (F.coalesce(F.col("n_hit_grams"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def unigram_logprob(
+    docs: DataFrame, id_col: str, text_col: str, broadcast_vocab: bool = True
+) -> DataFrame:
+    """Corpus-unigram-LM quality score (the CCNet-style cheap perplexity
+    proxy — Wenzek et al. 2020 use a real LM; the unigram form is the
+    standard cheap stand-in) → (id, n_tokens, avg_neg_log2p), where
+    p(tok) = corpus_count(tok) / corpus_total and the score is the mean
+    of −log2 p over the doc's tokens (low = stereotypical text, high =
+    rare-token soup). Empty docs keep a row with NULL score.
+
+    Plan shape: ONE token explode feeds both the vocabulary aggregate
+    (map-side-combined groupBy(tok)) and the scoring join; with
+    ``broadcast_vocab`` the vocabulary (distinct corpus tokens — small
+    vs the corpus, but set False beyond ~10^8 tokens) broadcasts so the
+    corpus-side token stream joins without an exchange, leaving the
+    per-doc mean as the only corpus-keyed shuffle (combined partials).
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(words_expr(F.col(text_col))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("_cnt"))
+    total = vocab.agg(F.sum("_cnt").alias("_total"))
+    v = vocab.crossJoin(F.broadcast(total))
+    if broadcast_vocab:
+        v = F.broadcast(v)
+    scored = (
+        toks.join(v, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(
+                F.avg(-F.log2(F.col("_cnt").cast("double") / F.col("_total").cast("double"))),
+                6,
+            ).alias("avg_neg_log2p"),
+        )
+    )
+    ids = docs.select(F.col(id_col)).distinct()
+    return ids.join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.col("avg_neg_log2p"),
+    )

@@ -1172,3 +1172,51 @@ def test_bloom_merge_equals_build_over_union(spark):
         sketch.bloom_merge()
     with pytest.raises(ValueError):
         sketch.bloom_build(a, "k", m_bits=1)
+
+
+def test_contamination_edges(spark):
+    """Short docs (< n words) stay with 0 grams; empty benchmark flags
+    nothing; a doc sharing one n-gram with the benchmark is flagged
+    with the distinct-gram hit count."""
+    from osmflat_rs_spark.operators.textops import contamination
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),          # shares the full 3-grams
+            (2, "alpha beta gamma zz yy"),          # shares 'alpha beta gamma'
+            (3, "totally different words here"),    # clean
+            (4, "tiny"),                            # shorter than n
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(0, "alpha beta gamma delta")], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_grams"], r["n_hit_grams"], r["contaminated"])
+           for r in contamination(docs, bench, "doc_id", "text", n=3).collect()}
+    assert got == {1: (2, 2, True), 2: (3, 1, True), 3: (2, 0, False), 4: (0, 0, False)}
+
+    empty_bench = bench.filter("doc_id < 0")
+    got2 = {r["doc_id"]: r["contaminated"]
+            for r in contamination(docs, empty_bench, "doc_id", "text", n=3).collect()}
+    assert got2 == {1: False, 2: False, 3: False, 4: False}
+
+
+def test_unigram_logprob_matches_hand_model(spark):
+    """Hand-checkable corpus: p is the corpus unigram distribution,
+    score the mean -log2 p; repeated-common-token docs score LOWER than
+    rare-token docs."""
+    import math
+
+    from osmflat_rs_spark.operators.textops import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a a b c")],
+        "doc_id long, text string",
+    )
+    # corpus: a×6, b×1, c×1 → total 8
+    got = {r["doc_id"]: (r["n_tokens"], r["avg_neg_log2p"])
+           for r in unigram_logprob(docs, "doc_id", "text").collect()}
+    pa, pb = 6 / 8, 1 / 8
+    want1 = round(-math.log2(pa), 6)
+    want2 = round((-2 * math.log2(pa) - 2 * math.log2(pb)) / 4, 6)
+    assert got == {1: (4, want1), 2: (4, want2)}
+    assert got[1][1] < got[2][1]
