@@ -466,6 +466,16 @@ def q_cell_index_events(spark, sf_dir):
     )
 
 
+def q_focal_grid_events(spark, sf_dir):
+    """Focal (moving-window) grid aggregation: per occupied cell, the
+    event count within Chebyshev radius 1 — aggregate first, in-row
+    (2r+1)^2 fan-out on the reduced cell table, re-aggregate."""
+    from osmflat_rs_spark.operators.tiling import focal_grid_agg
+
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    return focal_grid_agg(pts, "lat", "lon", res=16, radius=1)
+
+
 def q_raster_events(spark, sf_dir):
     """F7 Bresenham-family rasterization (render-roads.rs:132-155) as a
     scalar-explode DDA (pure JVM int arithmetic, one codegen stage)."""
@@ -1344,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_events": q_knn_events,
         "radius_events": q_radius_events,
         "cell_index_events": q_cell_index_events,
+        "focal_grid_events": q_focal_grid_events,
         "raster_events": q_raster_events,
         "tile_events": q_tile_events,
         "tile_pyramid_events": q_tile_pyramid_events,
@@ -1553,6 +1564,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, {_cell_sql('lat', 'lon', CELL_RES)} AS cell,
                    ({_cell_sql('lat', 'lon', CELL_RES)}) >> 4 AS cell_parent2
             FROM {synth}
+        """,
+        # Focal grid: the oracle's inequality self-join over occupied
+        # cells is semantically identical to the engine's fan-out form
+        # (unoccupied neighbors contribute zero either way). Exact ints.
+        "focal_grid_events": f"""
+            WITH pts AS (SELECT * FROM {synth}),
+            g AS (SELECT GREATEST(0, LEAST({(1 << 16) - 1}, (lon + 1800000000) * {1 << 16} // 3600000000)) AS ix,
+                         GREATEST(0, LEAST({(1 << 16) - 1}, (lat + 900000000) * {1 << 16} // 1800000000)) AS iy
+                  FROM pts),
+            c AS (SELECT ix, iy, COUNT(*) AS n_self FROM g GROUP BY 1, 2)
+            SELECT c1.ix, c1.iy, c1.n_self, SUM(c2.n_self) AS n_focal
+            FROM c c1 JOIN c c2
+              ON abs(c1.ix - c2.ix) <= 1 AND abs(c1.iy - c2.iy) <= 1
+            GROUP BY 1, 2, 3
         """,
         "raster_events": f"""
             WITH pts AS (SELECT * FROM {synth}),

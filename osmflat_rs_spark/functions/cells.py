@@ -94,6 +94,19 @@ def parent_expr(cell: Column, steps: int = 1) -> Column:
     return F.shiftright(cell, 2 * steps)
 
 
+def grid_exprs(lat_fixed: Column, lon_fixed: Column, res: int) -> tuple[Column, Column]:
+    """(ix, iy) grid coordinates at resolution ``res`` — the two axes
+    behind ``cell_id_expr``, un-interleaved, for operators that need
+    grid ADJACENCY (focal/neighborhood aggregation) rather than a
+    1-D locality key. Same quantize + clamp; pure JVM expressions.
+    NULL coordinates clamp — callers drop or guard nulls first."""
+    assert 0 <= res <= MAX_RES
+    return (
+        _quantize_expr(lon_fixed, _LON_OFF, _LON_SPAN, res),
+        _quantize_expr(lat_fixed, _LAT_OFF, _LAT_SPAN, res),
+    )
+
+
 def cluster_by_cell(
     df,
     lat: str = "lat",

@@ -356,3 +356,73 @@ def tile_pyramid(
     for lv in levels[1:]:
         out = out.unionByName(lv)
     return out
+
+
+def focal_grid_agg(
+    pts: DataFrame,
+    lat: str = "lat",
+    lon: str = "lon",
+    res: int = 18,
+    radius: int = 1,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Focal (moving-window) grid aggregation — the raster neighborhood
+    op behind heatmaps / kernel-density surfaces: for every OCCUPIED
+    grid cell, the count (and optional value sum) of points within
+    Chebyshev distance ``radius`` in grid space → (ix, iy, n_self,
+    n_focal[, v_self, v_focal]).
+
+    Plan shape (the order matters at 100 TB): aggregate FIRST — one
+    map-side-combined groupBy(ix, iy) reduces the input to its occupied
+    cells — then fan each cell's partial out to its (2·r+1)² neighbor
+    targets IN-ROW (two codegen sequence-explodes) and re-aggregate.
+    The fan-out amplification lands on the reduced per-cell table, never
+    the raw points; both shuffles are keyed by grid cell. The self row
+    (dx = dy = 0) rides a flag so occupied cells and their own counts
+    come out of the SAME aggregate — no join back, two exchanges total.
+    Out-of-grid targets at the clamped edges drop in the final filter
+    (they can never be occupied). NULL coordinates are dropped up front
+    (a density surface has no cell for them).
+
+    Reference anchor: the reference rasterizes per-pixel counts for its
+    PNG heat output (osmflat-rs render-roads.rs accumulation loop); the
+    focal form is that raster convolved with a box kernel, restated as
+    two relational aggregations.
+    """
+    from osmflat_rs_spark.functions.cells import grid_exprs
+
+    if radius < 0:
+        raise ValueError(f"radius must be >= 0, got {radius}")
+    ix, iy = grid_exprs(F.col(lat), F.col(lon), res)
+    base = pts.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull())
+    aggs = [F.count("*").alias("n_self")]
+    if value_col is not None:
+        aggs.append(F.sum(F.col(value_col)).alias("v_self"))
+    per_cell = base.groupBy(ix.alias("ix"), iy.alias("iy")).agg(*aggs)
+
+    span = F.sequence(F.lit(-radius), F.lit(radius))
+    fan = (
+        per_cell.withColumn("_dx", F.explode(span))
+        .withColumn("_dy", F.explode(span))
+        .select(
+            (F.col("ix") + F.col("_dx")).alias("tx"),
+            (F.col("iy") + F.col("_dy")).alias("ty"),
+            ((F.col("_dx") == 0) & (F.col("_dy") == 0)).alias("_is_self"),
+            "n_self",
+            *(["v_self"] if value_col is not None else []),
+        )
+    )
+    out_aggs = [
+        F.sum(F.when(F.col("_is_self"), F.col("n_self")).otherwise(F.lit(0))).alias("n_self"),
+        F.sum("n_self").alias("n_focal"),
+    ]
+    if value_col is not None:
+        out_aggs += [
+            F.sum(F.when(F.col("_is_self"), F.col("v_self"))).alias("v_self"),
+            F.sum("v_self").alias("v_focal"),
+        ]
+    return (
+        fan.groupBy(F.col("tx").alias("ix"), F.col("ty").alias("iy"))
+        .agg(*out_aggs)
+        .filter(F.col("n_self") > 0)
+    )

@@ -272,3 +272,62 @@ def test_simplify_radial_edges(spark):
     assert got == [(1, 0, 5, 5), (2, 3, 0, 0)]
     with pytest.raises(ValueError):
         simplify_radial(df, "gid", "pos", tol=0)
+
+
+def test_focal_grid_agg_matches_bruteforce_model(spark):
+    """Focal sums equal the brute-force all-pairs Chebyshev model on
+    random fixed-point points, for radius 0 (identity: n_focal ==
+    n_self), 1 and 2; optional value sums agree; null coords dropped."""
+    import numpy as np
+    import pandas as pd
+
+    from osmflat_rs_spark.functions.cells import quantize_np
+    from osmflat_rs_spark.operators.tiling import focal_grid_agg
+
+    rng = np.random.RandomState(11)
+    n = 3000
+    lat = (524_000_000 + rng.randint(0, 2_000_000, n)).astype("int64")
+    lon = (132_000_000 + rng.randint(0, 4_000_000, n)).astype("int64")
+    val = rng.randint(1, 10, n).astype("int64")
+    pdf = pd.DataFrame({"lat": lat, "lon": lon, "v": val})
+    res = 16
+    ix = quantize_np(lon, 180 * 10_000_000, 360 * 10_000_000, res)
+    iy = quantize_np(lat, 90 * 10_000_000, 180 * 10_000_000, res)
+    cells = pd.DataFrame({"ix": ix, "iy": iy, "v": val}).groupby(["ix", "iy"], as_index=False).agg(
+        n_self=("v", "size"), v_self=("v", "sum")
+    )
+
+    def model(radius):
+        out = {}
+        arr = cells.to_numpy()
+        for cx, cy, ns, vs in arr:
+            m = (np.abs(cells["ix"] - cx) <= radius) & (np.abs(cells["iy"] - cy) <= radius)
+            out[(cx, cy)] = (ns, cells.loc[m, "n_self"].sum(), vs, cells.loc[m, "v_self"].sum())
+        return out
+
+    df = spark.createDataFrame(pdf)
+    # a null-coord row must simply vanish
+    df = df.unionByName(spark.createDataFrame([(None, None, 5)], "lat long, lon long, v long"))
+    for radius in (0, 1, 2):
+        got = {
+            (r["ix"], r["iy"]): (r["n_self"], r["n_focal"], r["v_self"], r["v_focal"])
+            for r in focal_grid_agg(df, "lat", "lon", res=res, radius=radius, value_col="v").collect()
+        }
+        want = model(radius)
+        assert got == want, f"radius={radius}"
+        if radius == 0:
+            assert all(ns == nf for ns, nf, _, _ in got.values())
+
+
+def test_focal_grid_agg_plan_two_exchanges_no_join(spark):
+    """The self counts ride the fan-out flag — the plan must contain
+    NO Join and exactly two Exchanges (cell agg + focal agg)."""
+    from osmflat_rs_spark.operators.tiling import focal_grid_agg
+
+    pts = spark.read.parquet("/root/testdata/sf0.001/events.parquet").selectExpr(
+        "CAST(524000000 + (event_id * 48271) % 2000000 AS LONG) AS lat",
+        "CAST(132000000 + (event_id * 16807) % 4000000 AS LONG) AS lon",
+    )
+    plan = focal_grid_agg(pts, res=16, radius=1)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 2, plan
