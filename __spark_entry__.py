@@ -466,6 +466,21 @@ def q_cell_index_events(spark, sf_dir):
     )
 
 
+def q_pip_anti_events(spark, sf_dir):
+    """Spatial anti-join: events contained by NO polygon — the pip_join
+    kernel plus one LEFT ANTI join on the matched-id set."""
+    _prep(spark)
+    from osmflat_rs_spark.operators.spatial_join import pip_anti_join
+
+    pts = _synth_coords(_t(spark, sf_dir, "events")).select("event_id", "lat", "lon")
+    ring = [{"lat": la, "lon": lo} for lo, la in HEX_RING]
+    polys = spark.createDataFrame(
+        [("hex", [(v["lat"], v["lon"]) for v in ring], "district")],
+        schema="polygon_id string, ring array<struct<lat:long,lon:long>>, kind string",
+    )
+    return pip_anti_join(pts, polys, point_id="event_id").select("event_id")
+
+
 def q_focal_grid_events(spark, sf_dir):
     """Focal (moving-window) grid aggregation: per occupied cell, the
     event count within Chebyshev radius 1 — aggregate first, in-row
@@ -1355,6 +1370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_events": q_radius_events,
         "cell_index_events": q_cell_index_events,
         "focal_grid_events": q_focal_grid_events,
+        "pip_anti_events": q_pip_anti_events,
         "raster_events": q_raster_events,
         "tile_events": q_tile_events,
         "tile_pyramid_events": q_tile_pyramid_events,
@@ -1531,6 +1547,10 @@ def oracle_sql() -> dict[str, str]:
         "pip_events_shuffle": f"""
             SELECT 'hex' AS polygon_id, event_id FROM {synth}
             WHERE {_halfplanes_sql('lon', 'lat')}
+        """,
+        "pip_anti_events": f"""
+            SELECT event_id FROM {synth}
+            WHERE NOT ({_halfplanes_sql('lon', 'lat')})
         """,
         "stream_pip_events": f"""
             SELECT 'hex' AS polygon_id, event_id FROM {synth}

@@ -450,3 +450,30 @@ def _refine_cogroup(
         .cogroup(rings_tbl.groupBy(*keys))
         .applyInPandas(refine_cg, schema=out_schema)
     )
+
+
+def pip_anti_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    point_id: str = "node_idx",
+    lat: str = "lat",
+    lon: str = "lon",
+    **pip_kwargs,
+) -> DataFrame:
+    """Points contained by NO polygon (the spatial anti-join — "events
+    outside every district") → the full point rows, columns unchanged.
+
+    The containment side runs through the identical two-phase
+    `pip_join` kernel (so every cover/backend/refine-mode seam and its
+    exactness guarantees apply verbatim); the negation is one LEFT ANTI
+    join keyed by the point id against the DISTINCT matched-id set.
+    At scale the anti join shuffles both sides by id — there is no
+    broadcast shortcut in general because the matched set can approach
+    the point count; when the polygons cover little of the data the
+    matched side is small and AQE converts the exchange to a broadcast
+    at runtime. Boundary points count as contained (pip_join's
+    inclusive rule), hence excluded here.
+    """
+    pairs = pip_join(points, polygons, point_id=point_id, lat=lat, lon=lon, **pip_kwargs)
+    matched = pairs.select(point_id).distinct()
+    return points.join(matched, point_id, "left_anti")

@@ -275,3 +275,27 @@ def test_pip_join_micro_polygon_max_res(spark):
     got = {r["node_idx"] for r in pip_join(pts, polys).collect()}
     want = {i for i, la, lo in pts_rows if pip_scalar(lo, la, ring)}
     assert got == want and len(want) > 0
+
+
+def test_pip_anti_join_partitions_points(spark):
+    """pip_anti_join must be the exact complement of pip_join's matched
+    id set; with a polygon entirely outside the data bbox the anti side
+    is ALL points; boundary points count as contained (excluded)."""
+    from osmflat_rs_spark.fixtures import generate_polygons, polygons_to_spark
+    from osmflat_rs_spark.operators.spatial_join import pip_anti_join, pip_join
+
+    pts = spark.read.parquet("/root/testdata/sf0.001/events.parquet").selectExpr(
+        "event_id",
+        "CAST(524000000 + (event_id * 48271) % 2000000 AS LONG) AS lat",
+        "CAST(132000000 + (event_id * 16807) % 4000000 AS LONG) AS lon",
+    )
+    polys = polygons_to_spark(spark, generate_polygons(n_poly=6))
+    inside = {r["event_id"] for r in pip_join(pts, polys, point_id="event_id").select("event_id").distinct().collect()}
+    outside = {r["event_id"] for r in pip_anti_join(pts, polys, point_id="event_id").collect()}
+    n = pts.count()
+    assert inside.isdisjoint(outside) and len(inside) + len(outside) == n
+    assert len(inside) > 0  # fixture polygons overlap the synth box
+
+    far = polys.selectExpr("polygon_id",
+        "transform(ring, v -> struct(v.lat AS lat, v.lon + 1000000000 AS lon)) AS ring", "kind")
+    assert pip_anti_join(pts, far, point_id="event_id").count() == n
