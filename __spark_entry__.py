@@ -1033,6 +1033,22 @@ def q_ann_srp_topk(spark, sf_dir):
     )
 
 
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al. 2011): deterministic
+    per-subspace codebooks, distributed Arrow encode, ADC lookup-table
+    scan over m int codes per row (the 100-TB bandwidth path), exact
+    cosine re-rank of the pooled oversampled candidates. Gate output:
+    per-query recall@5 floor vs the exact baseline."""
+    _prep(spark)
+    from osmflat_rs_spark.operators.ann import pq_topk, train_pq_codebooks
+
+    def _approx(emb, q):
+        books = train_pq_codebooks(emb, m=8, n_codes=32)
+        return pq_topk(emb, q, books, k=ANN_K, oversample=8)
+
+    return _ann_recall_gate(spark, sf_dir, _approx)
+
+
 def q_ann_srp_arrow_topk(spark, sf_dir):
     """The SAME SRP-LSH operator with ``corpus_encode='arrow'`` (r5): the
     corpus side buckets via one NumPy matmul per Arrow batch against the
@@ -1410,6 +1426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_srp_topk": q_ann_srp_topk,  # recall@5-floor gate (oracled)
         "ann_srp_arrow_topk": q_ann_srp_arrow_topk,  # same gate, Arrow bulk encode
         "ann_ivf_topk": q_ann_ivf_topk,  # recall@5-floor gate (oracled)
+        "ann_pq_topk": q_ann_pq_topk,  # recall@5-floor gate (oracled)
         "stream_neardup_docs": q_stream_neardup_docs,  # stateful streaming, oracled
         "stream_pip_events": q_stream_pip_events,  # stream-static PIP, oracled
     }
@@ -2080,6 +2097,10 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings WHERE vec_id IN ({", ".join(str(i) for i in ANN_QUERY_IDS)})
         """,
         "ann_srp_arrow_topk": f"""
+            SELECT vec_id AS query_id, {ANN_K} AS k, TRUE AS recall_ok
+            FROM embeddings WHERE vec_id IN ({", ".join(str(i) for i in ANN_QUERY_IDS)})
+        """,
+        "ann_pq_topk": f"""
             SELECT vec_id AS query_id, {ANN_K} AS k, TRUE AS recall_ok
             FROM embeddings WHERE vec_id IN ({", ".join(str(i) for i in ANN_QUERY_IDS)})
         """,

@@ -457,3 +457,190 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the ANN compression path. Jégou et al.
+# 2011 ("Product quantization for nearest neighbor search", public):
+# split the (normalized) vector into m subspaces, k-means each, store
+# only the m byte-ish codes. With unit-norm vectors the dot product
+# decomposes EXACTLY across subspaces, so asymmetric-distance (ADC)
+# scoring is m table lookups per vector: the scan reads m codes instead
+# of the full float vector — at 100 TB that is the difference between
+# a memory-bandwidth-bound float scan and a ~64x-smaller code scan.
+# (FAISS pairs this with IVF lists; here `ivf_assign`'s cluster column
+# is the storage-level analog — prune partitions, then ADC-scan codes.)
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 100_000,
+    iters: int = 10,
+    seed: int = 42,
+):
+    """Per-subspace Lloyd's k-means on the hash-ordered deterministic
+    sample (the `train_ivf_centroids` draw — layout-invariant, bounded).
+    Vectors are L2-normalized FIRST, so ADC inner products rank like
+    cosine. Returns an (m, n_codes, dim/m) float64 ndarray; requires
+    dim % m == 0. Same sample-ceiling contract as the IVF trainer."""
+    sample = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias(vec_col))
+        .withColumn("_h", F.xxhash64(F.col("_id").cast("string"), F.lit(seed)))
+        .orderBy("_h", "_id")
+        .limit(sample_size)
+        .select(vec_col)
+        .toPandas()[vec_col]
+    )
+    x = np.stack([np.asarray(v, dtype=np.float64) for v in sample])
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sd = dim // m
+    books = np.empty((m, n_codes, sd), dtype=np.float64)
+    for j in range(m):
+        xs = x[:, j * sd : (j + 1) * sd]
+        rng = np.random.RandomState(seed + j)
+        cent = xs[rng.choice(len(xs), size=min(n_codes, len(xs)), replace=False)].copy()
+        for _ in range(iters):
+            # plain L2 on the subvector (NOT re-normalized — subspace
+            # norms carry real magnitude information)
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cent)):
+                members = xs[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        if len(cent) < n_codes:  # tiny-sample degenerate fill
+            cent = np.vstack([cent, np.repeat(cent[-1:], n_codes - len(cent), axis=0)])
+        books[j] = cent
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Distributed PQ indexing pass: per subspace, the nearest-codeword
+    index (exact L2 argmin) — one Arrow-batched matmul per subspace over
+    the broadcast codebooks → (.., array<int> codes). Deterministic for
+    any partition layout (argmin over deterministic floats, first-hit
+    tie)."""
+    from pyspark.sql import types as T
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, sd = books.shape
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _enc(vecs: pd.Series) -> pd.Series:
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        out = np.empty((len(x), m), dtype="int32")
+        for j in range(m):
+            xs = x[:, j * sd : (j + 1) * sd]
+            # ||x-c||^2 argmin == argmax(x·c − ||c||²/2): one matmul
+            s = xs @ books[j].T - 0.5 * (books[j] ** 2).sum(axis=1)
+            out[:, j] = s.argmax(axis=1).astype("int32")
+        return pd.Series(list(out))
+
+    return corpus.withColumn(out_col, _enc(F.col(vec_col)))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k: int = 5,
+    oversample: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """PQ/ADC ANN: encode the corpus (or reuse a stored ``pq_codes``
+    column), ADC-score every code row against each query via the m×n
+    lookup table, keep the per-partition ADC top-(oversample·k) per
+    query (exact global union — each partition keeps its own best, the
+    global top is a subset), then EXACT cosine re-rank of the pooled
+    candidates → (query_id, rank, vec_id, cosine).
+
+    Queries ride the closure as a small ndarray (the same bounded-query
+    contract as `cosine_topk`); the corpus-side scan reads m int codes
+    per row — the bandwidth win that makes the full scan viable where a
+    float scan is not. Partition-layout-invariant by construction: ADC
+    scores are deterministic and the per-partition cut keeps every
+    candidate that could reach the global top-(oversample·k) with the
+    (score desc, vec_id asc) tie order.
+    """
+    from pyspark.sql import types as T
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, sd = books.shape
+    qpdf = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).toPandas()
+    qids = qpdf["query_id"].to_numpy()
+    qx = np.stack([np.asarray(v, dtype=np.float64) for v in qpdf["_qv"]])
+    qx = qx / np.maximum(np.linalg.norm(qx, axis=1, keepdims=True), 1e-12)
+    # LUT[q, j, c] = q_sub_j · codebook[j][c]  (dot decomposes exactly)
+    lut = np.einsum("qjd,jcd->qjc", qx.reshape(len(qx), m, sd), books)
+    keep = oversample * k
+
+    coded = pq_encode(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")),
+        books,
+        id_col="vec_id",
+        vec_col="_v",
+    ).select("vec_id", "pq_codes")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("adc", T.DoubleType()),
+        ]
+    )
+
+    def _scan(batches):
+        for pdf in batches:
+            codes = np.stack(pdf["pq_codes"].to_numpy()).astype("int64")  # (n, m)
+            vids = pdf["vec_id"].to_numpy()
+            # scores (n, q): gather LUT per subspace and sum
+            s = np.zeros((len(codes), len(qids)), dtype=np.float64)
+            for j in range(m):
+                s += lut[:, j, :][:, codes[:, j]].T
+            for qi in range(len(qids)):
+                col = s[:, qi]
+                # exact per-partition cut: top-keep by (adc desc, vec_id asc)
+                order = np.lexsort((vids, -col))[:keep]
+                yield pd.DataFrame(
+                    {"query_id": qids[qi], "vec_id": vids[order], "adc": col[order]}
+                )
+
+    cand = coded.mapInPandas(_scan, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("vec_id").asc())
+    pooled = cand.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= keep)
+    # exact cosine re-rank of the pooled candidates
+    vecs = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("vb")
+    )
+    qdf = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("va")
+    )
+    joined = _with_cosine(
+        pooled.select("query_id", "vec_id")
+        .join(vecs, "vec_id")
+        .join(F.broadcast(qdf), "query_id")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )

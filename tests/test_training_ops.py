@@ -1220,3 +1220,60 @@ def test_unigram_logprob_matches_hand_model(spark):
     want2 = round((-2 * math.log2(pa) - 2 * math.log2(pb)) / 4, 6)
     assert got == {1: (4, want1), 2: (4, want2)}
     assert got[1][1] < got[2][1]
+
+
+def test_pq_topk_partition_invariant_and_recall(spark):
+    """PQ/ADC results must be identical under any partition layout
+    (deterministic trainer sample, encode argmin, per-partition exact
+    cut), and clear the 0.8 recall floor vs the exact baseline."""
+    from osmflat_rs_spark.operators.ann import cosine_topk, pq_topk, train_pq_codebooks
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    books = train_pq_codebooks(emb, m=8, n_codes=16)
+    books2 = train_pq_codebooks(emb.repartition(13), m=8, n_codes=16)
+    assert np.array_equal(books, books2), "trainer sample must be layout-invariant"
+
+    r1 = {(r["query_id"], r["rank"], r["vec_id"]) for r in pq_topk(emb, q, books, k=5).collect()}
+    r2 = {(r["query_id"], r["rank"], r["vec_id"])
+          for r in pq_topk(emb.repartition(7), q, books, k=5).collect()}
+    assert r1 == r2
+
+    # recall floor on the sf0.01 corpus (500 vectors — the gate's data;
+    # the 50-vector sf0.001 corpus is too small to train 16 codewords)
+    emb1 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q1 = emb1.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    books1 = train_pq_codebooks(emb1, m=8, n_codes=32)
+    exact = {(r["query_id"], r["vec_id"]) for r in cosine_topk(emb1, q1, k=5).collect()}
+    approx = {(r["query_id"], r["vec_id"])
+              for r in pq_topk(emb1, q1, books1, k=5, oversample=8).collect()}
+    for qid in (0, 1, 2):
+        hit = len({p for p in exact if p[0] == qid} & approx)
+        assert hit >= 4, f"query {qid} recall {hit}/5"
+
+
+def test_pq_encode_reconstruction_beats_random(spark):
+    """The codebooks must actually quantize: mean reconstruction error
+    of encoded vectors is well below the error of RANDOM code
+    assignment (sanity that training converged)."""
+    from osmflat_rs_spark.operators.ann import pq_encode, train_pq_codebooks
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = train_pq_codebooks(emb, m=8, n_codes=16)
+    pdf = pq_encode(emb, books).select("embedding", "pq_codes").toPandas()
+    x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    codes = np.stack(pdf["pq_codes"].to_numpy())
+    m, n_codes, sd = books.shape
+    rec = np.concatenate([books[j][codes[:, j]] for j in range(m)], axis=1)
+    rng = np.random.RandomState(0)
+    rnd = np.concatenate(
+        [books[j][rng.randint(0, n_codes, len(x))] for j in range(m)], axis=1
+    )
+    err = ((x - rec) ** 2).sum(axis=1).mean()
+    err_rnd = ((x - rnd) ** 2).sum(axis=1).mean()
+    assert err < 0.5 * err_rnd, (err, err_rnd)
+    # encode is the per-subspace L2 argmin: no other code may be closer
+    j = 3
+    d2 = ((x[:, j * sd:(j + 1) * sd][:, None, :] - books[j][None]) ** 2).sum(axis=2)
+    assert np.array_equal(d2.argmin(axis=1), codes[:, j])
