@@ -1049,6 +1049,25 @@ def q_ann_pq_topk(spark, sf_dir):
     return _ann_recall_gate(spark, sf_dir, _approx)
 
 
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """IVF+PQ (FAISS IVFADC layout): cluster pruning picks which rows
+    are READ, ADC codes bound what the scan TOUCHES — the composed
+    100-TB ANN path. Gate output: per-query recall@5 floor."""
+    _prep(spark)
+    from osmflat_rs_spark.operators.ann import (
+        ivf_pq_topk,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    def _approx(emb, q):
+        cent = train_ivf_centroids(emb, n_clusters=16)
+        books = train_pq_codebooks(emb, m=8, n_codes=32)
+        return ivf_pq_topk(emb, q, cent, books, k=ANN_K, n_probes=8, oversample=8)
+
+    return _ann_recall_gate(spark, sf_dir, _approx)
+
+
 def q_ann_srp_arrow_topk(spark, sf_dir):
     """The SAME SRP-LSH operator with ``corpus_encode='arrow'`` (r5): the
     corpus side buckets via one NumPy matmul per Arrow batch against the
@@ -1427,6 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_srp_arrow_topk": q_ann_srp_arrow_topk,  # same gate, Arrow bulk encode
         "ann_ivf_topk": q_ann_ivf_topk,  # recall@5-floor gate (oracled)
         "ann_pq_topk": q_ann_pq_topk,  # recall@5-floor gate (oracled)
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,  # recall@5-floor gate (oracled)
         "stream_neardup_docs": q_stream_neardup_docs,  # stateful streaming, oracled
         "stream_pip_events": q_stream_pip_events,  # stream-static PIP, oracled
     }
@@ -2101,6 +2121,10 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings WHERE vec_id IN ({", ".join(str(i) for i in ANN_QUERY_IDS)})
         """,
         "ann_pq_topk": f"""
+            SELECT vec_id AS query_id, {ANN_K} AS k, TRUE AS recall_ok
+            FROM embeddings WHERE vec_id IN ({", ".join(str(i) for i in ANN_QUERY_IDS)})
+        """,
+        "ann_ivfpq_topk": f"""
             SELECT vec_id AS query_id, {ANN_K} AS k, TRUE AS recall_ok
             FROM embeddings WHERE vec_id IN ({", ".join(str(i) for i in ANN_QUERY_IDS)})
         """,

@@ -644,3 +644,113 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cosine")
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids,
+    codebooks,
+    k: int = 5,
+    n_probes: int = 4,
+    oversample: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF+PQ — the composed 100-TB ANN layout (FAISS's IVFADC, Jégou
+    et al. 2011 §IV): the IVF cluster column prunes which rows are
+    READ (at rest: partition/cluster pruning on the stored table), and
+    within the probed lists the scan touches only the m PQ codes per
+    row. One indexing pass computes both the cluster id and the codes;
+    each query probes its ``n_probes`` nearest centroids (equi-join on
+    cluster — the same prune as `ivf_topk`), candidates are ADC-scored
+    via the per-query lookup table inside one Arrow batch pass, the
+    exact per-query top-(oversample·k) cut pools, and the final ranks
+    are an exact cosine re-rank. Layout-invariant end to end.
+    """
+    from pyspark.sql import types as T
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, sd = books.shape
+
+    qpdf = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).toPandas()
+    qx = np.stack([np.asarray(v, dtype=np.float64) for v in qpdf["_qv"]])
+    qx = qx / np.maximum(np.linalg.norm(qx, axis=1, keepdims=True), 1e-12)
+    luts = {
+        qid: np.ascontiguousarray(
+            np.einsum("jd,jcd->jc", qx[i].reshape(m, sd), books)
+        )
+        for i, qid in enumerate(qpdf["query_id"])
+    }
+    probe = {
+        qid: np.argsort(-(qx[i] @ cent.T), kind="stable")[:n_probes].tolist()
+        for i, qid in enumerate(qpdf["query_id"])
+    }
+    keep = oversample * k
+
+    # ONE indexing pass: cluster id + codes (at rest this is the table's
+    # layout — cluster partition column, codes a stored column)
+    indexed = pq_encode(
+        ivf_assign(
+            corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")),
+            cent,
+            vec_col="_v",
+        ),
+        books,
+        vec_col="_v",
+    ).select("vec_id", "ivf_cluster", "pq_codes")
+
+    probe_rows = [(int(qid), c) for qid, cs in probe.items() for c in cs]
+    qprobe = queries.sparkSession.createDataFrame(
+        probe_rows, "query_id long, ivf_cluster int"
+    )
+    cand = indexed.join(F.broadcast(qprobe), "ivf_cluster")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("adc", T.DoubleType()),
+        ]
+    )
+
+    def _score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["pq_codes"].to_numpy()).astype("int64")
+            vids = pdf["vec_id"].to_numpy()
+            qids_b = pdf["query_id"].to_numpy()
+            out = np.empty(len(pdf), dtype=np.float64)
+            for qid in np.unique(qids_b):
+                mask = qids_b == qid
+                lut = luts[int(qid)]
+                c = codes[mask]
+                s = np.zeros(mask.sum(), dtype=np.float64)
+                for j in range(m):
+                    s += lut[j][c[:, j]]
+                out[mask] = s
+            yield pd.DataFrame({"query_id": qids_b, "vec_id": vids, "adc": out})
+
+    scored = cand.mapInPandas(_score, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("vec_id").asc())
+    pooled = scored.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= keep)
+    vecs = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("vb")
+    )
+    qdf = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("va")
+    )
+    joined = _with_cosine(
+        pooled.select("query_id", "vec_id").join(vecs, "vec_id").join(F.broadcast(qdf), "query_id")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )

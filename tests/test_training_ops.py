@@ -1277,3 +1277,33 @@ def test_pq_encode_reconstruction_beats_random(spark):
     j = 3
     d2 = ((x[:, j * sd:(j + 1) * sd][:, None, :] - books[j][None]) ** 2).sum(axis=2)
     assert np.array_equal(d2.argmin(axis=1), codes[:, j])
+
+
+def test_ivf_pq_topk_recall_and_layout_invariance(spark):
+    """The composed IVF+PQ path must clear the recall floor (cluster
+    pruning + ADC + exact re-rank) and give identical results under any
+    partition layout; with n_probes == n_clusters it degrades to the
+    plain PQ scan's candidate pool."""
+    from osmflat_rs_spark.operators.ann import (
+        cosine_topk,
+        ivf_pq_topk,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    cent = train_ivf_centroids(emb, n_clusters=16)
+    books = train_pq_codebooks(emb, m=8, n_codes=32)
+
+    res = ivf_pq_topk(emb, q, cent, books, k=5, n_probes=8, oversample=8)
+    r1 = {(r["query_id"], r["rank"], r["vec_id"]) for r in res.collect()}
+    r2 = {(r["query_id"], r["rank"], r["vec_id"])
+          for r in ivf_pq_topk(emb.repartition(7), q, cent, books, k=5, n_probes=8, oversample=8).collect()}
+    assert r1 == r2
+
+    exact = {(r["query_id"], r["vec_id"]) for r in cosine_topk(emb, q, k=5).collect()}
+    approx = {(a, c) for a, _, c in r1}
+    for qid in (0, 1, 2):
+        hit = len({p for p in exact if p[0] == qid} & approx)
+        assert hit >= 4, f"query {qid} recall {hit}/5"
