@@ -562,13 +562,17 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    codes: DataFrame | None = None,
 ) -> DataFrame:
-    """PQ/ADC ANN: encode the corpus (or reuse a stored ``pq_codes``
-    column), ADC-score every code row against each query via the m×n
-    lookup table, keep the per-partition ADC top-(oversample·k) per
-    query (exact global union — each partition keeps its own best, the
-    global top is a subset), then EXACT cosine re-rank of the pooled
-    candidates → (query_id, rank, vec_id, cosine).
+    """PQ/ADC ANN: encode the corpus — or scan a PRE-ENCODED ``codes``
+    table (vec_id, pq_codes), the at-rest form where the bandwidth win
+    is real: the scan job reads the ~64×-smaller codes parquet and the
+    float vectors are touched only by the id-keyed re-rank fetch of the
+    pooled oversample·k candidates — ADC-score every code row against
+    each query via the m×n lookup table, keep the per-partition ADC
+    top-(oversample·k) per query (exact global union — each partition
+    keeps its own best, the global top is a subset), then EXACT cosine
+    re-rank of the pooled candidates → (query_id, rank, vec_id, cosine).
 
     Queries ride the closure as a small ndarray (the same bounded-query
     contract as `cosine_topk`); the corpus-side scan reads m int codes
@@ -592,12 +596,15 @@ def pq_topk(
     lut = np.einsum("qjd,jcd->qjc", qx.reshape(len(qx), m, sd), books)
     keep = oversample * k
 
-    coded = pq_encode(
-        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")),
-        books,
-        id_col="vec_id",
-        vec_col="_v",
-    ).select("vec_id", "pq_codes")
+    if codes is not None:
+        coded = codes.select(F.col(id_col).alias("vec_id"), "pq_codes")
+    else:
+        coded = pq_encode(
+            corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")),
+            books,
+            id_col="vec_id",
+            vec_col="_v",
+        ).select("vec_id", "pq_codes")
 
     out_schema = T.StructType(
         [
