@@ -1307,3 +1307,19 @@ def test_ivf_pq_topk_recall_and_layout_invariance(spark):
     for qid in (0, 1, 2):
         hit = len({p for p in exact if p[0] == qid} & approx)
         assert hit >= 4, f"query {qid} recall {hit}/5"
+
+
+def test_pq_topk_precoded_codes_identical(spark):
+    """Scanning a PRE-ENCODED codes table (the at-rest form) must give
+    byte-identical results to inline encoding."""
+    from osmflat_rs_spark.operators.ann import pq_encode, pq_topk, train_pq_codebooks
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    books = train_pq_codebooks(emb, m=8, n_codes=32)
+    codes = pq_encode(emb, books).select("vec_id", "pq_codes")
+    inline = {(r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+              for r in pq_topk(emb, q, books, k=5, oversample=8).collect()}
+    precoded = {(r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+                for r in pq_topk(emb, q, books, k=5, oversample=8, codes=codes).collect()}
+    assert inline == precoded
