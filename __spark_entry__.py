@@ -466,6 +466,41 @@ def q_cell_index_events(spark, sf_dir):
     )
 
 
+# hexagon offsets for the polygon-intersect gate: integer, CCW,
+# CENTRALLY SYMMETRIC (v and -v both present) — symmetry is what the
+# Minkowski oracle exploits; the engine never uses it
+POLY_HEX_OFF = [
+    (160000, 0), (80000, 138564), (-80000, 138564),
+    (-160000, 0), (-80000, -138564), (80000, -138564),
+]
+
+
+def q_poly_intersect_events(spark, sf_dir):
+    """Polygon-polygon intersection self-join over 300 equal hexagons
+    centered on the synthetic coords. The ENGINE runs the general
+    two-phase kernel (bbox covers -> vertex-in OR proper-crossing); the
+    ORACLE is independent mathematics: for equal centrally-symmetric
+    convex polygons, A i B != empty iff (c_B - c_A) lies in the DOUBLED
+    hexagon (Minkowski sum H + (-H) = 2H) — six integer half-plane
+    tests on the center delta, never touching the engine's kernel."""
+    from osmflat_rs_spark.operators.spatial_join import polygon_intersect_join
+
+    pts = _synth_coords(_t(spark, sf_dir, "events")).filter(F.col("event_id") < 300)
+    ring = F.array(
+        *[
+            F.struct(
+                (F.col("lat") + F.lit(dy)).cast("long").alias("lat"),
+                (F.col("lon") + F.lit(dx)).cast("long").alias("lon"),
+            )
+            for dx, dy in POLY_HEX_OFF
+        ]
+    )
+    polys = pts.select(F.col("event_id").alias("pid"), ring.alias("ring"))
+    return polygon_intersect_join(
+        polys, polys, id_a="pid", id_b="pid", res=14, self_join=True
+    ).select(F.col("id_a").cast("long").alias("id_a"), F.col("id_b").cast("long").alias("id_b"))
+
+
 def q_pip_anti_events(spark, sf_dir):
     """Spatial anti-join: events contained by NO polygon — the pip_join
     kernel plus one LEFT ANTI join on the matched-id set."""
@@ -1406,6 +1441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_index_events": q_cell_index_events,
         "focal_grid_events": q_focal_grid_events,
         "pip_anti_events": q_pip_anti_events,
+        "poly_intersect_events": q_poly_intersect_events,
         "raster_events": q_raster_events,
         "tile_events": q_tile_events,
         "tile_pyramid_events": q_tile_pyramid_events,
@@ -1588,6 +1624,16 @@ def oracle_sql() -> dict[str, str]:
         "pip_anti_events": f"""
             SELECT event_id FROM {synth}
             WHERE NOT ({_halfplanes_sql('lon', 'lat')})
+        """,
+        # Minkowski oracle: equal centrally-symmetric hexagons intersect
+        # iff the center delta is inside the DOUBLED hexagon (inclusive
+        # half-planes == the engine's boundary-inclusive ST_Intersects).
+        "poly_intersect_events": f"""
+            WITH c AS (SELECT event_id, lat, lon FROM {synth} WHERE event_id < 300)
+            SELECT a.event_id AS id_a, b.event_id AS id_b
+            FROM c a JOIN c b ON a.event_id < b.event_id
+            WHERE {_ring_halfplanes_sql([(2 * dx, 2 * dy) for dx, dy in POLY_HEX_OFF],
+                                        '(b.lon - a.lon)', '(b.lat - a.lat)')}
         """,
         "stream_pip_events": f"""
             SELECT 'hex' AS polygon_id, event_id FROM {synth}

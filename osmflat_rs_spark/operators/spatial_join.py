@@ -477,3 +477,107 @@ def pip_anti_join(
     pairs = pip_join(points, polygons, point_id=point_id, lat=lat, lon=lon, **pip_kwargs)
     matched = pairs.select(point_id).distinct()
     return points.join(matched, point_id, "left_anti")
+
+
+def polygon_intersect_join(
+    polys_a: DataFrame,
+    polys_b: DataFrame,
+    id_a: str = "polygon_id",
+    id_b: str = "polygon_id",
+    ring_col: str = "ring",
+    res: int = 14,
+    self_join: bool = False,
+) -> DataFrame:
+    """Polygon–polygon intersection join (ST_Intersects semantics,
+    boundary-inclusive, simple single-ring polygons) → (id_a, id_b).
+
+    The last of the classic spatial joins next to PIP/kNN/radius/
+    segment-crossing. Two-phase like the rest: bbox cell covers at
+    ``res`` (vectorized `bbox_cover_batch`, one Arrow pass per side)
+    equi-join on cell for candidates, then the exact test. Candidate
+    pairs are DISTINCT-ed BEFORE verification — the inverse of the
+    segment join's verify-then-distinct, and deliberately so: there the
+    per-candidate test is a 4-sign predicate and the payload is wide,
+    here the test is a full ring-pair kernel and the payload is two
+    ids, so dedup-first wins (each ring ships once per surviving pair,
+    never per shared cell — the cogroup-PIP lesson applied at plan
+    time). Exactness: two simple polygons intersect iff a vertex of one
+    lies in-or-on the other (inclusive `points_in_polygon`) OR some
+    edge pair properly crosses (`_proper_mask`, exact int64 with bigint
+    fallback) — collinear-touch and contained cases land in the first
+    clause because the overlap endpoints are vertices of one side.
+
+    ``self_join=True`` joins a polygon set with itself: emits each
+    unordered pair once (id_a < id_b), never the self-pair.
+    """
+    from osmflat_rs_spark.functions.cells import bbox_cover_batch
+    from osmflat_rs_spark.functions.pip import points_in_polygon
+    from osmflat_rs_spark.operators.segments import _proper_mask
+
+    def _slim(df, idc, out):
+        return df.select(
+            F.col(idc).alias(out),
+            F.transform(ring_col, lambda v: v["lon"].cast("long")).alias(f"_xs{out[-1]}"),
+            F.transform(ring_col, lambda v: v["lat"].cast("long")).alias(f"_ys{out[-1]}"),
+        )
+
+    ta = dict(polys_a.dtypes)[id_a]
+    tb = dict(polys_b.dtypes)[id_b]
+    a = _slim(polys_a, id_a, "id_a")
+    b = _slim(polys_b, id_b, "id_b")
+
+    def _covers(out, tname):
+        def gen(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                xs = pdf[f"_xs{out[-1]}"]
+                ys = pdf[f"_ys{out[-1]}"]
+                lat_lo = np.array([min(y) for y in ys], dtype=np.int64)
+                lat_hi = np.array([max(y) for y in ys], dtype=np.int64)
+                lon_lo = np.array([min(x) for x in xs], dtype=np.int64)
+                lon_hi = np.array([max(x) for x in xs], dtype=np.int64)
+                cells, owner = bbox_cover_batch(lat_lo, lat_hi, lon_lo, lon_hi, res)
+                yield pd.DataFrame({out: pdf[out].to_numpy()[owner], "cell": cells})
+
+        return gen
+
+    cov_a = a.mapInPandas(_covers("id_a", ta), schema=f"id_a {ta}, cell long")
+    cov_b = b.mapInPandas(_covers("id_b", tb), schema=f"id_b {tb}, cell long")
+
+    cand = cov_a.join(cov_b, "cell").select("id_a", "id_b")
+    if self_join:
+        cand = cand.filter(F.col("id_a") < F.col("id_b"))
+    cand = cand.distinct()
+
+    pairs = cand.join(a, "id_a").join(b, "id_b")
+
+    def _verify(batches):
+        for pdf in batches:
+            keep = []
+            for i in range(len(pdf)):
+                xa = np.asarray(pdf["_xsa"].iat[i], dtype=np.int64)
+                ya = np.asarray(pdf["_ysa"].iat[i], dtype=np.int64)
+                xb = np.asarray(pdf["_xsb"].iat[i], dtype=np.int64)
+                yb = np.asarray(pdf["_ysb"].iat[i], dtype=np.int64)
+                hit = bool(
+                    points_in_polygon(xa, ya, xb, yb).any()
+                    or points_in_polygon(xb, yb, xa, ya).any()
+                )
+                if not hit:
+                    # all edge pairs of the two rings, vectorized per pair
+                    na, nb = len(xa), len(xb)
+                    ia, ja = np.arange(na), (np.arange(na) + 1) % na
+                    ib, jb = np.arange(nb), (np.arange(nb) + 1) % nb
+                    ra = np.repeat(np.arange(na), nb)
+                    rb = np.tile(np.arange(nb), na)
+                    hit = bool(
+                        _proper_mask(
+                            xa[ia][ra], ya[ia][ra], xa[ja][ra], ya[ja][ra],
+                            xb[ib][rb], yb[ib][rb], xb[jb][rb], yb[jb][rb],
+                        ).any()
+                    )
+                keep.append(hit)
+            yield pdf.loc[keep, ["id_a", "id_b"]]
+
+    return pairs.mapInPandas(_verify, schema=f"id_a {ta}, id_b {tb}")

@@ -299,3 +299,51 @@ def test_pip_anti_join_partitions_points(spark):
     far = polys.selectExpr("polygon_id",
         "transform(ring, v -> struct(v.lat AS lat, v.lon + 1000000000 AS lon)) AS ring", "kind")
     assert pip_anti_join(pts, far, point_id="event_id").count() == n
+
+
+def test_polygon_intersect_join_edge_shapes(spark):
+    """Hand-built shapes around Berlin-ish coords: disjoint, vertex
+    touch, edge-collinear touch, containment, the plus-sign PROPER
+    crossing (no vertex of either inside the other), identical rings —
+    all boundary-inclusive; result invariant to cover resolution."""
+    from osmflat_rs_spark.operators.spatial_join import polygon_intersect_join
+
+    X, Y = 132_000_000, 524_000_000
+
+    def rect(pid, x0, y0, x1, y1):
+        return (pid, [(y0, x0), (y0, x1), (y1, x1), (y1, x0)])
+
+    rows = [
+        rect("base", X, Y, X + 1000, Y + 1000),
+        rect("disjoint", X + 5000, Y + 5000, X + 6000, Y + 6000),
+        rect("vertex_touch", X + 1000, Y + 1000, X + 2000, Y + 2000),
+        rect("edge_touch", X + 1000, Y + 200, X + 2000, Y + 800),
+        rect("contained", X + 200, Y + 200, X + 800, Y + 800),
+        rect("identical", X, Y, X + 1000, Y + 1000),
+        # plus-sign partner for 'cross_h' below
+        rect("cross_v", X + 10400, Y + 10000, X + 10600, Y + 11000),
+        rect("cross_h", X + 10000, Y + 10400, X + 11000, Y + 10600),
+    ]
+    polys = spark.createDataFrame(
+        [(pid, [{"lat": la, "lon": lo} for la, lo in ring]) for pid, ring in rows],
+        "pid string, ring array<struct<lat:long,lon:long>>",
+    )
+    want = {
+        ("base", "contained"), ("base", "edge_touch"), ("base", "identical"),
+        ("base", "vertex_touch"), ("contained", "identical"),
+        ("edge_touch", "identical"), ("identical", "vertex_touch"),
+        ("edge_touch", "vertex_touch"),  # share the corner at (X+1000, Y+800)? no — check below
+        ("cross_h", "cross_v"),
+    }
+    # edge_touch spans x in [X+1000, X+2000], y in [Y+200, Y+800];
+    # vertex_touch spans x in [X+1000, X+2000], y in [Y+1000, Y+2000]:
+    # disjoint in y (800 < 1000) — drop that pair from want
+    want.discard(("edge_touch", "vertex_touch"))
+    for res in (12, 14, 16):
+        got = {
+            tuple(sorted((r["id_a"], r["id_b"])))
+            for r in polygon_intersect_join(
+                polys, polys, id_a="pid", id_b="pid", res=res, self_join=True
+            ).collect()
+        }
+        assert got == want, (res, sorted(got ^ want))
