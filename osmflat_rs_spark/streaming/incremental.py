@@ -445,6 +445,50 @@ def stream_neardup_candidates(
     )
 
 
+def stream_sketch_partials(
+    spark,
+    src_dir: str,
+    schema,
+    checkpoint_dir: str,
+    out_dir: str,
+    build_fn,
+):
+    """Streaming maintenance of ANY mergeable relational sketch via
+    PARTIAL-SKETCH APPEND — the one streaming form every sketch in
+    operators/sketch.py gets for free.
+
+    A relational sketch whose merge is union + re-aggregate (histogram,
+    count-min, KMV, bloom) needs no state store at all: each micro-batch
+    writes its own bounded partial (``build_fn(batch_df)``) to
+    ``out_dir/batch_id=<n>/`` and the full sketch is a merge-on-read.
+    This is the aggregate-file pattern column stores use for rollups,
+    and it is exactly-once by idempotence: on restart Spark replays the
+    last uncommitted batch with the SAME batch_id, and the per-batch
+    directory overwrite makes the replay a no-op rather than a double
+    count. State is bounded by sketch-size × batches on disk and one
+    sketch in memory per batch — nothing grows with the stream's
+    cardinality (contrast the keyed dedup state above).
+
+    Reference anchor: the reference's statistics pass re-scans the full
+    archive per run (osmflat/lib.rs counts); this restates it as an
+    incrementally-maintained summary. Returns the StreamingQuery.
+    """
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+
+    def write_partial(batch_df, batch_id: int):
+        # one file is plenty: a partial sketch is bounded small
+        build_fn(batch_df).coalesce(1).write.mode("overwrite").parquet(
+            out_dir.rstrip("/") + f"/batch_id={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(write_partial)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_hist_partials(
     spark,
     events_dir: str,
@@ -456,45 +500,47 @@ def stream_hist_partials(
     hi: float,
     bins: int = 256,
 ):
-    """Streaming equi-width histogram via PARTIAL-SKETCH APPEND.
-
-    The relational histogram (operators/sketch.py `hist_build`) is
-    mergeable by construction — (bin, cnt) rows under union +
-    re-aggregate — so its streaming form needs no state store at all:
-    each micro-batch writes its own bounded partial sketch (≤ ``bins``
-    rows) to ``out_dir/batch_id=<n>/`` and the full histogram is a
-    merge-on-read (`hist_from_partials`). This is the aggregate-file
-    pattern column stores use for rollups, and it is exactly-once by
-    idempotence: on restart Spark replays the last uncommitted batch
-    with the SAME batch_id, and the per-batch directory overwrite makes
-    the replay a no-op rather than a double count. State is bounded by
-    bins × batches on disk and ≤ bins rows in memory per batch —
-    nothing grows with the stream's cardinality (contrast the keyed
-    dedup state above).
-
-    Reference anchor: the reference's statistics pass re-scans the full
-    archive per run (osmflat/lib.rs counts); this restates it as an
-    incrementally-maintained summary. Returns the StreamingQuery.
-    """
-    from pyspark.sql import functions as F
-
+    """Streaming equi-width histogram: `stream_sketch_partials` over
+    `hist_build` (≤ ``bins`` rows per partial); read back with
+    `hist_from_partials` → `hist_quantiles`."""
     from osmflat_rs_spark.operators.sketch import hist_build
 
-    stream = spark.readStream.schema(schema).parquet(events_dir)
-
-    def write_partial(batch_df, batch_id: int):
-        part = hist_build(batch_df, value_col, lo, hi, bins)
-        # one file is plenty: a partial sketch is ≤ bins rows
-        part.coalesce(1).write.mode("overwrite").parquet(
-            out_dir.rstrip("/") + f"/batch_id={batch_id}"
-        )
-
-    return (
-        stream.writeStream.foreachBatch(write_partial)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return stream_sketch_partials(
+        spark, events_dir, schema, checkpoint_dir, out_dir,
+        lambda bdf: hist_build(bdf, value_col, lo, hi, bins),
     )
+
+
+def stream_cms_partials(
+    spark,
+    src_dir: str,
+    schema,
+    checkpoint_dir: str,
+    out_dir: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+):
+    """Streaming count-min sketch (→ streaming heavy hitters):
+    `stream_sketch_partials` over `cms_build` (≤ depth·width rows per
+    partial). Read back with `cms_from_partials`; feed to
+    `cms_estimate`/`cms_heavy_hitters` exactly like a batch sketch —
+    counter-wise addition is the CM merge, so the merged partials ARE
+    the sketch of everything the stream has absorbed."""
+    from osmflat_rs_spark.operators.sketch import cms_build
+
+    return stream_sketch_partials(
+        spark, src_dir, schema, checkpoint_dir, out_dir,
+        lambda bdf: cms_build(bdf, key_col, depth, width),
+    )
+
+
+def cms_from_partials(spark, out_dir: str) -> DataFrame:
+    """Merge-on-read of appended CM partials → (r, c, cnt)."""
+    from pyspark.sql import functions as F
+
+    parts = spark.read.option("basePath", out_dir).parquet(out_dir + "/batch_id=*")
+    return parts.groupBy("r", "c").agg(F.sum("cnt").alias("cnt"))
 
 
 def hist_from_partials(spark, out_dir: str) -> DataFrame:

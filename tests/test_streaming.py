@@ -330,3 +330,38 @@ def test_stream_hist_partials_matches_batch_across_restart(spark, tmp_path):
     gq = {r["q"]: r["est"] for r in hist_quantiles(m, [0.5, 0.9], lo, hi, bins).collect()}
     wq = {r["q"]: r["est"] for r in hist_quantiles(bt, [0.5, 0.9], lo, hi, bins).collect()}
     assert gq == wq
+
+
+def test_stream_cms_partials_heavy_hitters_match_batch(spark, tmp_path):
+    """Streaming CM via partial append: after chunked arrival with a
+    restart, the merged sketch equals the batch sketch COUNTER-WISE,
+    and heavy-hitter estimates off it match the batch path."""
+    from osmflat_rs_spark.operators.sketch import cms_build, cms_estimate
+    from osmflat_rs_spark.streaming.incremental import (
+        cms_from_partials,
+        stream_cms_partials,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    schema = events.schema
+    src = str(tmp_path / "ev")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "cms")
+    os.makedirs(src)
+
+    a, b = events.randomSplit([0.5, 0.5], seed=3)
+    a.write.mode("append").parquet(src)
+    stream_cms_partials(spark, src, schema, ck, out, "user_id").awaitTermination(120)
+    b.write.mode("append").parquet(src)
+    stream_cms_partials(spark, src, schema, ck, out, "user_id").awaitTermination(120)
+
+    merged = cms_from_partials(spark, out)
+    batch = cms_build(events, "user_id")
+    got = {(r["r"], r["c"]): r["cnt"] for r in merged.collect()}
+    want = {(r["r"], r["c"]): r["cnt"] for r in batch.collect()}
+    assert got == want and len(got) > 0
+
+    keys = events.select("user_id").distinct().limit(20)
+    est_s = {r["user_id"]: r["est"] for r in cms_estimate(merged, keys, "user_id").collect()}
+    est_b = {r["user_id"]: r["est"] for r in cms_estimate(batch, keys, "user_id").collect()}
+    assert est_s == est_b
