@@ -1677,7 +1677,8 @@ def oracle_sql() -> dict[str, str]:
                          GREATEST(0, LEAST({(1 << 16) - 1}, (lat + 900000000) * {1 << 16} // 1800000000)) AS iy
                   FROM pts),
             c AS (SELECT ix, iy, COUNT(*) AS n_self FROM g GROUP BY 1, 2)
-            SELECT c1.ix, c1.iy, c1.n_self, SUM(c2.n_self) AS n_focal
+            SELECT c1.ix, c1.iy, c1.n_self,
+                   CAST(SUM(c2.n_self) AS BIGINT) AS n_focal
             FROM c c1 JOIN c c2
               ON abs(c1.ix - c2.ix) <= 1 AND abs(c1.iy - c2.iy) <= 1
             GROUP BY 1, 2, 3
