@@ -931,6 +931,60 @@ def run_vertex_degrade_job(
     return out
 
 
+def run_poly_bench(spark, cpus: int, n_polys: int = 30_000) -> dict:
+    """Polygon-polygon intersection join throughput at constant overlap
+    density: n equal hexagons with xxhash64-scattered centers over a box
+    whose area scales with n, so expected partners per polygon stay
+    constant and pair counts scale linearly. One parallelism level per
+    process; the scaling pair is fresh back-to-back processes (protocol
+    in BENCH/BASELINE.md). The exact phase groups candidate pairs by
+    (ring-length-a, ring-length-b) and runs the crossing-number + edge
+    sign tests vectorized across pairs (pip.batched_any_vertex_in) —
+    measured 7.2x over the per-pair Python loop it replaced at 30k
+    hexagons (40.6s -> 5.7s, identical pairs)."""
+    from pyspark.sql import functions as F
+
+    from osmflat_rs_spark.operators.spatial_join import polygon_intersect_join
+
+    HEX = [
+        (160000, 0), (80000, 138564), (-80000, 138564),
+        (-160000, 0), (-80000, -138564), (80000, -138564),
+    ]
+    s = max(1, math.isqrt(n_polys // 300))
+    spanx, spany = 4_000_000 * s, 2_000_000 * s
+    cx = F.lit(100_000_000) + F.abs(F.xxhash64(F.col("id"), F.lit(11))) % spanx
+    cy = F.lit(500_000_000) + F.abs(F.xxhash64(F.col("id"), F.lit(12))) % spany
+    ring = F.array(
+        *[
+            F.struct((cy + F.lit(dy)).cast("long").alias("lat"),
+                     (cx + F.lit(dx)).cast("long").alias("lon"))
+            for dx, dy in HEX
+        ]
+    )
+    polys = (
+        spark.range(n_polys)
+        .select(F.col("id").alias("pid"), ring.alias("ring"))
+        .repartition(2 * cpus)
+        .persist()
+    )
+    polys.count()
+    _force(spark.range(4 * cpus).repartition(2 * cpus).mapInPandas(_warm_pandas_fn(), schema="id long"))
+    out = {"cpus": cpus, "n_polys": n_polys}
+    best = 1e9
+    for _ in range(2):
+        t0 = time.time()
+        pairs = polygon_intersect_join(
+            polys, polys, id_a="pid", id_b="pid", res=14, self_join=True
+        ).count()
+        best = min(best, time.time() - t0)
+    out["sec"] = round(best, 3)
+    out["pairs"] = pairs
+    out["pairs_per_poly"] = round(pairs / n_polys, 2)
+    out["polys_per_sec"] = round(n_polys / best)
+    polys.unpersist()
+    return out
+
+
 def run_encode_bench(spark, cpus: int, n_points: int = 32_000_000) -> dict:
     """VERDICT r4 #5: measured contract for the cell-encode stage per
     backend — Morton is a pure-JVM codegen expression; S2 is a
@@ -1250,6 +1304,22 @@ def main():
         )
         out["metric"] = "cell-encode throughput per backend (Morton JVM vs S2 pandas UDF)"
         out["unit"] = "rows/sec"
+        print(json.dumps(out))
+        spark.stop()
+        return
+
+    if "--poly" in sys.argv:
+        from osmflat_rs_spark.session import get_spark
+
+        cpus = CPUS if "--cpus" not in sys.argv else int(sys.argv[sys.argv.index("--cpus") + 1])
+        spark = get_spark(
+            "bench-poly", master=f"local[{cpus}]", shuffle_partitions=max(8, 2 * cpus)
+        )
+        out = run_poly_bench(
+            spark, cpus, n_polys=int(os.environ.get("SPARK_GRAFT_POLY_N", "30000"))
+        )
+        out["metric"] = "polygon-polygon intersection join throughput (constant density)"
+        out["unit"] = "polys/sec"
         print(json.dumps(out))
         spark.stop()
         return

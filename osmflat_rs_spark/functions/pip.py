@@ -244,3 +244,48 @@ class PolygonIndex:
         if cand.any():
             out[cand] = points_in_rings(px[cand], py[cand], self.rings_of(i))
         return out
+
+
+def batched_any_vertex_in(
+    pxs: np.ndarray, pys: np.ndarray, xs: np.ndarray, ys: np.ndarray
+) -> np.ndarray:
+    """Row-batched vertex containment: row i tests the ka points
+    (pxs[i], pys[i]) against row i's OWN kb-vertex ring (xs[i], ys[i]);
+    returns bool (n,) — any point in-or-on that ring. The exact same
+    integer crossing-number + boundary arithmetic as `_pip_chunk`, with
+    the edge index as the short loop and rows vectorized — the shape the
+    polygon-polygon verify needs (every candidate pair has a different
+    polygon, so the one-polygon/many-points kernel cannot batch it).
+
+    Inputs are (n, ka) and (n, kb) int64 arrays (equal ring lengths per
+    call — the caller groups rows by length). Same WGS84 fixed-point
+    domain contract as `points_in_polygon` (asserted)."""
+    pxs = np.asarray(pxs, dtype=np.int64)
+    pys = np.asarray(pys, dtype=np.int64)
+    xs = np.asarray(xs, dtype=np.int64)
+    ys = np.asarray(ys, dtype=np.int64)
+    _assert_domain(pxs.ravel(), pys.ravel(), xs.ravel(), ys.ravel())
+    n, kb = xs.shape
+    on_boundary = np.zeros(pxs.shape, dtype=bool)
+    crossings = np.zeros(pxs.shape, dtype=np.int64)
+    for j in range(kb):
+        x1 = xs[:, j][:, None]
+        y1 = ys[:, j][:, None]
+        x2 = xs[:, (j + 1) % kb][:, None]
+        y2 = ys[:, (j + 1) % kb][:, None]
+        dxe = x2 - x1
+        dye = y2 - y1
+        lhs = dxe * (pys - y1)
+        rhs = dye * (pxs - x1)
+        on_line = lhs == rhs
+        within = (
+            (np.minimum(x1, x2) <= pxs)
+            & (pxs <= np.maximum(x1, x2))
+            & (np.minimum(y1, y2) <= pys)
+            & (pys <= np.maximum(y1, y2))
+        )
+        on_boundary |= on_line & within
+        straddles = (y1 > pys) != (y2 > pys)
+        left = np.where(dye > 0, rhs < lhs, rhs > lhs)
+        crossings += straddles & left
+    return (on_boundary | (crossings % 2 == 1)).any(axis=1)

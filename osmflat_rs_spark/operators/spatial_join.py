@@ -511,7 +511,6 @@ def polygon_intersect_join(
     unordered pair once (id_a < id_b), never the self-pair.
     """
     from osmflat_rs_spark.functions.cells import bbox_cover_batch
-    from osmflat_rs_spark.functions.pip import points_in_polygon
     from osmflat_rs_spark.operators.segments import _proper_mask
 
     def _slim(df, idc, out):
@@ -553,31 +552,58 @@ def polygon_intersect_join(
     pairs = cand.join(a, "id_a").join(b, "id_b")
 
     def _verify(batches):
+        # rows are grouped by (ring-length-a, ring-length-b) so the exact
+        # test runs VECTORIZED ACROSS PAIRS (batched crossing-number +
+        # one flattened edge-pair sign test) — the per-row Python loop
+        # this replaced measured 740 polys/s at 30k hexagons; equal-
+        # length groups are the common case (generated/gridded polygons,
+        # simplified admin rings); a corpus of all-distinct lengths
+        # degrades to one row per group, never worse than the loop.
+        from osmflat_rs_spark.functions.pip import batched_any_vertex_in
+
         for pdf in batches:
-            keep = []
-            for i in range(len(pdf)):
-                xa = np.asarray(pdf["_xsa"].iat[i], dtype=np.int64)
-                ya = np.asarray(pdf["_ysa"].iat[i], dtype=np.int64)
-                xb = np.asarray(pdf["_xsb"].iat[i], dtype=np.int64)
-                yb = np.asarray(pdf["_ysb"].iat[i], dtype=np.int64)
-                hit = bool(
-                    points_in_polygon(xa, ya, xb, yb).any()
-                    or points_in_polygon(xb, yb, xa, ya).any()
+            n = len(pdf)
+            if n == 0:
+                continue
+            xsa = pdf["_xsa"].to_numpy()
+            ysa = pdf["_ysa"].to_numpy()
+            xsb = pdf["_xsb"].to_numpy()
+            ysb = pdf["_ysb"].to_numpy()
+            la = np.fromiter((len(v) for v in xsa), dtype=np.int64, count=n)
+            lb = np.fromiter((len(v) for v in xsb), dtype=np.int64, count=n)
+            keep = np.zeros(n, dtype=bool)
+            combo = la * (la.max() + lb.max() + 1) + lb
+            for key in np.unique(combo):
+                idx = np.flatnonzero(combo == key)
+                ka, kb = int(la[idx[0]]), int(lb[idx[0]])
+                xa = np.stack([np.asarray(xsa[i], dtype=np.int64) for i in idx])
+                ya = np.stack([np.asarray(ysa[i], dtype=np.int64) for i in idx])
+                xb = np.stack([np.asarray(xsb[i], dtype=np.int64) for i in idx])
+                yb = np.stack([np.asarray(ysb[i], dtype=np.int64) for i in idx])
+                hit = batched_any_vertex_in(xa, ya, xb, yb) | batched_any_vertex_in(
+                    xb, yb, xa, ya
                 )
-                if not hit:
-                    # all edge pairs of the two rings, vectorized per pair
-                    na, nb = len(xa), len(xb)
-                    ia, ja = np.arange(na), (np.arange(na) + 1) % na
-                    ib, jb = np.arange(nb), (np.arange(nb) + 1) % nb
-                    ra = np.repeat(np.arange(na), nb)
-                    rb = np.tile(np.arange(nb), na)
-                    hit = bool(
-                        _proper_mask(
-                            xa[ia][ra], ya[ia][ra], xa[ja][ra], ya[ja][ra],
-                            xb[ib][rb], yb[ib][rb], xb[jb][rb], yb[jb][rb],
-                        ).any()
-                    )
-                keep.append(hit)
+                rem = np.flatnonzero(~hit)
+                if rem.size:
+                    # all ka·kb edge pairs of the remaining rows, one
+                    # flattened exact sign test
+                    ia = np.arange(ka)
+                    ja = (ia + 1) % ka
+                    ib = np.arange(kb)
+                    jb = (ib + 1) % kb
+                    ra = np.repeat(ia, kb)
+                    rb = np.tile(ib, ka)
+                    g = rem.size
+
+                    def flat(m, cols):
+                        return m[rem][:, cols].ravel()
+
+                    cross = _proper_mask(
+                        flat(xa, ia[ra]), flat(ya, ia[ra]), flat(xa, ja[ra]), flat(ya, ja[ra]),
+                        flat(xb, ib[rb]), flat(yb, ib[rb]), flat(xb, jb[rb]), flat(yb, jb[rb]),
+                    ).reshape(g, ka * kb).any(axis=1)
+                    hit[rem] = cross
+                keep[idx] = hit
             yield pdf.loc[keep, ["id_a", "id_b"]]
 
     return pairs.mapInPandas(_verify, schema=f"id_a {ta}, id_b {tb}")

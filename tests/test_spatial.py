@@ -347,3 +347,96 @@ def test_polygon_intersect_join_edge_shapes(spark):
             ).collect()
         }
         assert got == want, (res, sorted(got ^ want))
+
+
+def test_batched_vertex_kernel_matches_scalar():
+    """pip.batched_any_vertex_in row i == points_in_polygon(row i).any()
+    on random star polygons and random probe points — the batched form
+    must be bit-identical to the one-polygon kernel it parallelizes."""
+    import numpy as np
+
+    from osmflat_rs_spark.functions.pip import batched_any_vertex_in, points_in_polygon
+
+    rng = np.random.default_rng(7)
+    X, Y = 132_000_000, 524_000_000
+    for ka, kb in [(3, 3), (4, 6), (7, 4), (5, 5)]:
+        n = 64
+        # star (angle-sorted) rings: simple by construction
+        ang = np.sort(rng.uniform(0, 2 * np.pi, (n, kb)), axis=1)
+        rad = rng.integers(500, 5000, (n, kb))
+        cx = X + rng.integers(-20000, 20000, (n, 1))
+        cy = Y + rng.integers(-20000, 20000, (n, 1))
+        xs = (cx + rad * np.cos(ang)).astype(np.int64)
+        ys = (cy + rad * np.sin(ang)).astype(np.int64)
+        pxs = X + rng.integers(-25000, 25000, (n, ka)).astype(np.int64)
+        pys = Y + rng.integers(-25000, 25000, (n, ka)).astype(np.int64)
+        got = batched_any_vertex_in(pxs, pys, xs, ys)
+        want = np.array(
+            [bool(points_in_polygon(pxs[i], pys[i], xs[i], ys[i]).any()) for i in range(n)]
+        )
+        assert (got == want).all()
+
+
+def test_polygon_intersect_join_mixed_ring_lengths(spark):
+    """Random star polygons with MIXED vertex counts (3..8) exercise the
+    per-(len_a, len_b) grouping inside the vectorized verify; oracle is
+    an independent pure-Python all-pairs test (oracle.pip_scalar vertex
+    containment + scalar orientation proper-crossing)."""
+    import numpy as np
+
+    from osmflat_rs_spark.operators.spatial_join import polygon_intersect_join
+
+    rng = np.random.default_rng(11)
+    X, Y = 132_000_000, 524_000_000
+    rows = []
+    for pid in range(40):
+        k = int(rng.integers(3, 9))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        rad = rng.integers(2000, 9000, k)
+        cx = X + int(rng.integers(-30000, 30000))
+        cy = Y + int(rng.integers(-30000, 30000))
+        ring = [
+            (int(cy + r * np.sin(a)), int(cx + r * np.cos(a)))
+            for a, r in zip(ang, rad)
+        ]
+        rows.append((str(pid), [{"lat": la, "lon": lo} for la, lo in ring]))
+
+    def _orient(ax, ay, bx, by, cx, cy):
+        v = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+        return (v > 0) - (v < 0)
+
+    def _intersects(ra, rb):
+        if any(oracle.pip_scalar(lo, la, [(v[1], v[0]) for v in rb]) for la, lo in ra):
+            return True
+        if any(oracle.pip_scalar(lo, la, [(v[1], v[0]) for v in ra]) for la, lo in rb):
+            return True
+        na, nb = len(ra), len(rb)
+        for i in range(na):
+            a1, a2 = ra[i], ra[(i + 1) % na]
+            for j in range(nb):
+                b1, b2 = rb[j], rb[(j + 1) % nb]
+                o1 = _orient(a1[1], a1[0], a2[1], a2[0], b1[1], b1[0])
+                o2 = _orient(a1[1], a1[0], a2[1], a2[0], b2[1], b2[0])
+                o3 = _orient(b1[1], b1[0], b2[1], b2[0], a1[1], a1[0])
+                o4 = _orient(b1[1], b1[0], b2[1], b2[0], a2[1], a2[0])
+                if o1 * o2 < 0 and o3 * o4 < 0:
+                    return True
+        return False
+
+    rings = {pid: [(v["lat"], v["lon"]) for v in ring] for pid, ring in rows}
+    ids = sorted(rings, key=int)
+    want = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if _intersects(rings[a], rings[b])
+    }
+    polys = spark.createDataFrame(rows, "pid string, ring array<struct<lat:long,lon:long>>")
+    got = {
+        tuple(sorted((r["id_a"], r["id_b"]), key=int))
+        for r in polygon_intersect_join(
+            polys, polys, id_a="pid", id_b="pid", res=14, self_join=True
+        ).collect()
+    }
+    assert len(want) > 10  # density sanity: the box forces real overlaps
+    assert got == want, sorted(got ^ want)
