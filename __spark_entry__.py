@@ -526,6 +526,50 @@ def q_focal_grid_events(spark, sf_dir):
     return focal_grid_agg(pts, "lat", "lon", res=16, radius=1)
 
 
+def q_idw_events(spark, sf_dir):
+    """IDW spatial interpolation (Shepard, power=2) at the kNN gate's
+    query points over the events' value field. The neighbor search is
+    the SAME fully-distributed knn_join_bulk plan as knn_events (cell
+    equi-join, exact_fallback=False — settledness at KNN_RADIUS_FIXED is
+    asserted in tests); the weighting is one id-join plus one aggregate,
+    all JVM expressions. Oracle: brute-force kNN + the same weighted
+    form; both sides round to 6 decimals (5-term double reassociation)."""
+    _prep(spark)
+    from osmflat_rs_spark.operators.interpolate import idw_interpolate
+
+    pts = _synth_coords(_t(spark, sf_dir, "events")).select(
+        "event_id", "lat", "lon", "value"
+    )
+    q = spark.createDataFrame(KNN_QUERIES, schema="query_id string, lat long, lon long")
+    out = idw_interpolate(
+        pts, q, k=KNN_K, power=2, metric="sqeuclid", res=CELL_RES,
+        radius_m=KNN_RADIUS_FIXED, id_col="event_id", exact_fallback=False,
+    )
+    return out.select("query_id", F.round("idw", 6).alias("idw"), "n_neighbors")
+
+
+# hotspot gate knobs: at sf0.01 the synth box grids into 800 cells of
+# ~12.5 events (min 10 / max 17 — the LCG scatters near-uniformly), so
+# min_pts=14 makes ~177 core cells that merge into ~22 hotspots —
+# non-degenerate on both axes (some multi-cell, some isolated)
+HOTSPOT_CELL, HOTSPOT_MIN_PTS = 100_000, 14
+
+
+def q_hotspot_events(spark, sf_dir):
+    """Grid-density hotspot clustering (grid-DBSCAN family): dense cells
+    merged by 8-adjacency via iterative min-label connected components;
+    cluster id = min cell key. Aggregates to cells FIRST, so the CC
+    rounds shuffle cell rows, never point rows. Oracle: recursive-CTE
+    label closure over the same grid."""
+    _prep(spark)
+    from osmflat_rs_spark.operators.hotspot import hotspot_clusters
+
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    return hotspot_clusters(
+        pts, cell_size=HOTSPOT_CELL, min_pts=HOTSPOT_MIN_PTS, id_col="event_id"
+    )
+
+
 def q_raster_events(spark, sf_dir):
     """F7 Bresenham-family rasterization (render-roads.rs:132-155) as a
     scalar-explode DDA (pure JVM int arithmetic, one codegen stage)."""
@@ -1441,6 +1485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_index_events": q_cell_index_events,
         "focal_grid_events": q_focal_grid_events,
         "pip_anti_events": q_pip_anti_events,
+        "idw_events": q_idw_events,
+        "hotspot_events": q_hotspot_events,
         "poly_intersect_events": q_poly_intersect_events,
         "raster_events": q_raster_events,
         "tile_events": q_tile_events,
@@ -1662,6 +1708,50 @@ def oracle_sql() -> dict[str, str]:
             FROM pts p CROSS JOIN q
             WHERE (p.lat - q.qlat) * (p.lat - q.qlat) + (p.lon - q.qlon) * (p.lon - q.qlon)
                   <= {KNN_RADIUS_FIXED ** 2}
+        """,
+        # IDW: brute-force kNN (valid: the engine's operator is exact
+        # when settled, asserted in tests) + the same weighted form;
+        # with the sqeuclid metric and power=2 the weight is 1/d2, no
+        # sqrt on either side. Exact hits take the mean of the
+        # zero-distance values (Shepard's limit convention).
+        "idw_events": f"""
+            WITH pts AS (SELECT * FROM {synth}),
+            q(query_id, qlat, qlon) AS (VALUES {knn_vals}),
+            d AS (SELECT q.query_id, p.event_id, p.value,
+                         (p.lat - q.qlat) * (p.lat - q.qlat) + (p.lon - q.qlon) * (p.lon - q.qlon) AS d2
+                  FROM pts p CROSS JOIN q),
+            r AS (SELECT * FROM (
+                    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2 ASC, event_id ASC) AS rnk
+                    FROM d) WHERE rnk <= {KNN_K})
+            SELECT query_id,
+                   ROUND(CASE WHEN COUNT(*) FILTER (WHERE d2 = 0) > 0
+                              THEN AVG(value) FILTER (WHERE d2 = 0)
+                              ELSE SUM(value / d2) / SUM(1.0 / d2) END, 6) AS idw,
+                   COUNT(*) AS n_neighbors
+            FROM r GROUP BY query_id
+        """,
+        # Hotspot clustering: recursive-CTE min-label closure over the
+        # 8-adjacency graph of dense grid cells — same floor-division
+        # grid, same (cx+2^30)*2^31+(cy+2^30) key, so cluster labels
+        # (min key per component) match the engine's bit-for-bit.
+        "hotspot_events": f"""
+            WITH RECURSIVE pts AS MATERIALIZED (SELECT * FROM {synth}),
+            g AS MATERIALIZED (
+                SELECT event_id, CAST(FLOOR(lon / {HOTSPOT_CELL}) AS BIGINT) AS cx,
+                       CAST(FLOOR(lat / {HOTSPOT_CELL}) AS BIGINT) AS cy FROM pts),
+            core AS MATERIALIZED (
+                SELECT cx, cy, (cx + {1 << 30}) * {1 << 31} + (cy + {1 << 30}) AS key
+                FROM g GROUP BY cx, cy HAVING COUNT(*) >= {HOTSPOT_MIN_PTS}),
+            e AS MATERIALIZED (
+                SELECT a.key AS u, b.key AS v FROM core a JOIN core b
+                ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1),
+            walk(node, lbl) AS (
+                SELECT key, key FROM core
+                UNION
+                SELECT e.v, w.lbl FROM walk w JOIN e ON e.u = w.node),
+            lab AS (SELECT node AS key, MIN(lbl) AS cluster FROM walk GROUP BY node)
+            SELECT g.event_id, g.cx, g.cy, lab.cluster
+            FROM g JOIN core USING (cx, cy) JOIN lab USING (key)
         """,
         "cell_index_events": f"""
             SELECT event_id, {_cell_sql('lat', 'lon', CELL_RES)} AS cell,

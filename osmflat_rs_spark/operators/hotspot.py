@@ -1,0 +1,107 @@
+"""Grid-density hotspot clustering — the distributed relative of DBSCAN
+over a fixed grid: cells with >= min_pts points are "core"; core cells
+that touch (8-adjacency) merge into one hotspot; every point in a core
+cell gets its hotspot's label. This is the standard scalable recipe for
+density clustering on billions of points (grid-DBSCAN / GriT-DBSCAN
+family): exact DBSCAN's eps-neighbor graph is point-to-point and
+quadratic-ish, while the grid form aggregates FIRST, so everything after
+the one groupBy runs on cells, whose count is bounded by the occupied
+area — independent of the point count. The reference's analog is the
+cell-bucketed node index it builds for spatial locality (ids sorted by
+Hilbert/Morton cell, osmflatc ids.rs sorted-insert invariant); this
+turns that layout idea into an analytics operator.
+
+Scale shape, in order:
+1. one map-side-combinable groupBy (cx, cy) over the points — the ONLY
+   stage that touches every point row;
+2. neighbor-edge generation by exploding each core cell to its 8
+   neighbor keys and equi-joining against the core set (cells, not
+   points — typically 10^3-10^6 rows at 100 TB);
+3. :func:`connected_components` over the cell graph — O(log n) rounds
+   of bounded shuffles on (cell, label) rows;
+4. one equi-join of the original points against (cell -> cluster).
+
+Labels are deterministic: a cluster's id is the MINIMUM cell key it
+contains, with key = (cx + 2^30) * 2^31 + (cy + 2^30) — plain integer
+arithmetic a SQL oracle reproduces exactly (no Morton interleave needed;
+adjacency lives in (cx, cy) space).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_P = 1 << 30  # coordinate offset: keys stay positive for |cx|,|cy| < 2^30
+_M = 1 << 31
+
+
+def cell_key_expr(cx, cy):
+    """Canonical int64 key for a grid cell — min key == cluster label."""
+    return ((cx + F.lit(_P)) * F.lit(_M) + (cy + F.lit(_P))).cast("long")
+
+
+def hotspot_clusters(
+    points: DataFrame,
+    cell_size: int,
+    min_pts: int,
+    id_col: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """(id, cx, cy, cluster) for every point in a core cell; points in
+    sparse cells are noise and are dropped (DBSCAN's noise convention).
+
+    ``cell_size`` is in the fixed-point coordinate units of ``lat``/
+    ``lon``; cells are the floor-division grid cx = floor(lon/cs),
+    cy = floor(lat/cs) (floor, not truncation — negative coordinates
+    grid correctly). ``min_pts`` is the core-cell density threshold.
+    """
+    if cell_size < 1:
+        raise ValueError(f"cell_size must be >= 1, got {cell_size}")
+    if min_pts < 1:
+        raise ValueError(f"min_pts must be >= 1, got {min_pts}")
+    from osmflat_rs_spark.operators.graph import connected_components
+
+    cs = F.lit(int(cell_size)).cast("double")
+    pts = points.select(
+        F.col(id_col),
+        F.floor(F.col(lon).cast("double") / cs).cast("long").alias("cx"),
+        F.floor(F.col(lat).cast("double") / cs).cast("long").alias("cy"),
+    )
+    core = (
+        pts.groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_pts)
+        .select("cx", "cy", cell_key_expr(F.col("cx"), F.col("cy")).alias("key"))
+        # eager checkpoint, not persist: connected_components() runs jobs
+        # over the edge graph immediately, and the caller's final join
+        # needs core again after this function returns — a persist would
+        # either leak or be unpersisted before that lazy join runs
+        .localCheckpoint(eager=True)
+    )
+    # 8-neighbor edges among core cells: explode each core cell to its
+    # neighbor keys, equi-join back against the core set. Self-loops
+    # register isolated core cells with the components operator.
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0)
+        ]
+    )
+    nbr = (
+        core.select("key", "cx", "cy", F.explode(offs).alias("o"))
+        .select(
+            F.col("key").alias("u"),
+            cell_key_expr(F.col("cx") + F.col("o.dx"), F.col("cy") + F.col("o.dy")).alias("v"),
+        )
+        .join(core.select(F.col("key").alias("v")), "v", "inner")
+    )
+    edges = nbr.unionByName(core.select(F.col("key").alias("u"), F.col("key").alias("v")))
+    cc = connected_components(edges, src="u", dst="v")
+    labeled = core.join(
+        cc.select(F.col("node").alias("key"), F.col("component").alias("cluster")), "key"
+    ).select("cx", "cy", "cluster")
+    return pts.join(labeled, ["cx", "cy"]).select(id_col, "cx", "cy", "cluster")

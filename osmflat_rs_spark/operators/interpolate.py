@@ -1,0 +1,80 @@
+"""Inverse-distance-weighted (IDW) spatial interpolation — estimate a
+field value at arbitrary query locations from the k nearest observed
+points (Shepard 1968, the standard deterministic interpolator in every
+GIS stack). The reference engine exposes the raw ingredients (node
+coordinates + tag values, e.g. osmflat-rs examples read node coords and
+attributes per entity) but has no interpolation surface; this is the
+analytics-engine extension of its kNN family.
+
+Scale shape: the neighbor search IS ``knn_join_bulk`` — per-query
+disk-cover cells equi-joined against the point table, no crossJoin, no
+driver loop — so interpolation inherits the fully-distributed kNN plan.
+The only additions are one id-equi-join back to the point table to fetch
+the interpolated column (queries × k rows against the big table — the
+same dictionary-join shape as ingest's J1) and one per-query aggregate.
+Everything after the kNN is pure JVM Catalyst expressions.
+
+Semantics (matches the SQL oracle bit-for-bit up to float rounding):
+- weight_i = 1 / d_i^power, with d from the kNN metric (for
+  ``metric="sqeuclid"`` d² is exact int64, so power=2 means
+  weight = 1/d² with no sqrt anywhere);
+- exact hits: if any of the k neighbors has d = 0, the estimate is the
+  MEAN of the zero-distance values (the standard IDW convention —
+  the limit of the weighted form as d→0) and the rest are ignored.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def idw_interpolate(
+    points: DataFrame,
+    queries: DataFrame,
+    value_col: str = "value",
+    k: int = 5,
+    power: int = 2,
+    id_col: str = "event_id",
+    **knn_kwargs,
+) -> DataFrame:
+    """(query_id, idw, n_neighbors) per query row.
+
+    ``points`` needs (id_col, lat, lon, value_col); ``queries`` needs
+    (query_id, lat, lon) in the same fixed-point units. ``knn_kwargs``
+    pass through to :func:`knn_join_bulk` (res, radius_m, metric,
+    exact_fallback, backend, ...). ``power`` is the IDW exponent over
+    the metric distance d; with the exact ``sqeuclid`` metric the
+    returned ``dist_m`` is d², so the weight exponent is power/2 —
+    power=2 (the default, and Shepard's) stays sqrt-free.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if power <= 0:
+        raise ValueError(f"power must be > 0, got {power}")
+    from osmflat_rs_spark.operators.knn import knn_join_bulk
+
+    nn = knn_join_bulk(points, queries, k=k, id_col=id_col, **knn_kwargs)
+    metric = knn_kwargs.get("metric", "haversine")
+    exp = power / 2.0 if metric == "sqeuclid" else float(power)
+    vals = points.select(F.col(id_col), F.col(value_col).alias("_v"))
+    j = nn.join(vals, id_col)
+    d = F.col("dist_m").cast("double")
+    w = F.when(d > 0, F.lit(1.0) / F.pow(d, F.lit(exp)))
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.count(F.when(d == 0, 1)).alias("_n0"),
+            F.avg(F.when(d == 0, F.col("_v"))).alias("_v0"),
+            F.sum(w * F.col("_v")).alias("_num"),
+            F.sum(w).alias("_den"),
+            F.count(F.lit(1)).alias("n_neighbors"),
+        )
+        .select(
+            "query_id",
+            F.when(F.col("_n0") > 0, F.col("_v0"))
+            .otherwise(F.col("_num") / F.col("_den"))
+            .alias("idw"),
+            "n_neighbors",
+        )
+    )
