@@ -677,6 +677,22 @@ def q_sessions_events(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
+def q_dwell_events(spark, sf_dir):
+    """Trajectory stay-points: per-user maximal runs of consecutive
+    same-grid-cell points (lag-diff break + running sum — W3 feeding
+    W1 on the time axis), kept when the run has ≥3 points and spans
+    ≥600 s. ONE shuffle (stats groupBy reuses the window's hash
+    partitioning — plan-asserted in tests). Knobs sized at sf0.01:
+    2M-unit cells over the synth box → 4,936 runs, 1,264 dwells."""
+    from osmflat_rs_spark.operators.trajectory import stay_points
+
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    return stay_points(
+        pts, "user_id", cell_size=2_000_000, min_pts=3, min_dwell_s=600.0,
+        order_cols=("event_id",),
+    )
+
+
 def q_span_explode_docs(spark, sf_dir):
     """Span/order primitive: posexplode with stable 0-based order (the
     in-row sequence carrier of the interleaved-doc model)."""
@@ -1487,6 +1503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_anti_events": q_pip_anti_events,
         "idw_events": q_idw_events,
         "hotspot_events": q_hotspot_events,
+        "dwell_events": q_dwell_events,
         "poly_intersect_events": q_poly_intersect_events,
         "raster_events": q_raster_events,
         "tile_events": q_tile_events,
@@ -1729,6 +1746,27 @@ def oracle_sql() -> dict[str, str]:
                               ELSE SUM(value / d2) / SUM(1.0 / d2) END, 6) AS idw,
                    COUNT(*) AS n_neighbors
             FROM r GROUP BY query_id
+        """,
+        # Stay-points: identical window formulation (DuckDB's LAG/SUM
+        # windows); epoch_us keeps timestamps integer-exact; cx/cy
+        # constant within a run so MIN == the engine's first().
+        "dwell_events": f"""
+            WITH pts AS (SELECT * FROM {synth}),
+            g AS (SELECT user_id, ts, event_id,
+                         CAST(FLOOR(lon / 2000000) AS BIGINT) AS cx,
+                         CAST(FLOOR(lat / 2000000) AS BIGINT) AS cy FROM pts),
+            f AS (SELECT *, CASE WHEN cx = LAG(cx) OVER w AND cy = LAG(cy) OVER w
+                                 THEN 0 ELSE 1 END AS brk
+                  FROM g WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            r AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run
+                  FROM f),
+            d AS (SELECT user_id, run, MIN(cx) AS cx, MIN(cy) AS cy,
+                         MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us,
+                         COUNT(*) AS n_pts
+                  FROM r GROUP BY user_id, run)
+            SELECT user_id, cx, cy, start_us, end_us, n_pts,
+                   (end_us - start_us) / 1000000.0 AS dwell_s
+            FROM d WHERE n_pts >= 3 AND (end_us - start_us) / 1000000.0 >= 600.0
         """,
         # Hotspot clustering: recursive-CTE min-label closure over the
         # 8-adjacency graph of dense grid cells — same floor-division

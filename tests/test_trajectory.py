@@ -1,0 +1,108 @@
+"""Stay-point (dwell) detection vs a pure-Python run-collapse oracle,
+plus the one-shuffle plan contract."""
+
+import datetime as dt
+
+import numpy as np
+
+
+def _mkts(s):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=int(s))
+
+
+def _oracle(rows, cs, min_pts, min_dwell_s):
+    """rows: (user, ts_s, event_id, lat, lon) — collapse consecutive
+    same-cell runs per user in (ts, event_id) order."""
+    out = []
+    by_user = {}
+    for u, ts, eid, la, lo in rows:
+        by_user.setdefault(u, []).append((ts, eid, la, lo))
+    for u, pts in by_user.items():
+        pts.sort()
+        run = []
+        for ts, eid, la, lo in pts:
+            c = (lo // cs, la // cs)
+            if run and run[-1][0] == c:
+                run.append((c, ts))
+            else:
+                if run:
+                    out.append((u, run[0][0], [t for _, t in run]))
+                run = [(c, ts)]
+        if run:
+            out.append((u, run[0][0], [t for _, t in run]))
+    base = int(_mkts(0).timestamp()) * 1_000_000  # epoch µs of the test origin
+    keep = []
+    for u, (cx, cy), tss in out:
+        dwell = tss[-1] - tss[0]
+        if len(tss) >= min_pts and dwell >= min_dwell_s:
+            keep.append(
+                (u, cx, cy, base + tss[0] * 1_000_000, base + tss[-1] * 1_000_000,
+                 len(tss), float(dwell))
+            )
+    return sorted(keep)
+
+
+def test_stay_points_matches_oracle(spark):
+    from osmflat_rs_spark.operators.trajectory import stay_points
+
+    rng = np.random.default_rng(3)
+    rows = []
+    eid = 0
+    for u in range(8):
+        t = 0
+        # walk between a few cells so runs of varied length appear;
+        # negative coords exercise floor semantics
+        cell_centers = [(-5_000, -5_000), (15_000, 5_000), (15_000, 5_500), (40_000, -20_000)]
+        for _ in range(60):
+            bx, by = cell_centers[int(rng.integers(0, 4))]
+            for _ in range(int(rng.integers(1, 5))):
+                rows.append((u, t, eid, by + int(rng.integers(0, 900)), bx + int(rng.integers(0, 900))))
+                t += int(rng.integers(30, 2000))
+                eid += 1
+    cs, mp, md = 10_000, 2, 100.0
+    want = _oracle(rows, cs, mp, md)
+    df = spark.createDataFrame(
+        [(u, _mkts(t), e, la, lo) for u, t, e, la, lo in rows],
+        "user_id long, ts timestamp, event_id long, lat long, lon long",
+    )
+    got = sorted(
+        (r["user_id"], r["cx"], r["cy"], r["start_us"], r["end_us"], r["n_pts"], r["dwell_s"])
+        for r in stay_points(
+            df, "user_id", cell_size=cs, min_pts=mp, min_dwell_s=md, order_cols=("event_id",)
+        ).collect()
+    )
+    assert len(want) > 20
+    assert got == want
+
+
+def test_stay_points_tie_order_and_thresholds(spark):
+    """Equal timestamps resolved by order_cols; min_pts=1/min_dwell=0
+    returns every run including singletons."""
+    from osmflat_rs_spark.operators.trajectory import stay_points
+
+    t = _mkts(0)
+    rows = [
+        (1, t, 0, 100, 100),       # cell (0,0)
+        (1, t, 1, 100, 20_100),    # cell (2,0) — same ts, later event_id
+        (1, t, 2, 100, 20_200),    # cell (2,0)
+        (1, _mkts(50), 3, 100, 100),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, lat long, lon long")
+    got = sorted(
+        (r["cx"], r["n_pts"], r["dwell_s"])
+        for r in stay_points(df, "user_id", cell_size=10_000, order_cols=("event_id",)).collect()
+    )
+    assert got == [(0, 1, 0.0), (0, 1, 0.0), (2, 2, 0.0)]
+
+
+def test_stay_points_single_exchange_plan(spark):
+    """The stats groupBy keys superset the window partition key: ONE
+    Exchange in the whole plan (the sessions.session_stats contract)."""
+    from osmflat_rs_spark.operators.trajectory import stay_points
+
+    df = spark.createDataFrame(
+        [(1, _mkts(i), i, 100 + i, 100 + i) for i in range(10)],
+        "user_id long, ts timestamp, event_id long, lat long, lon long",
+    )
+    plan = stay_points(df, "user_id", cell_size=1000)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
