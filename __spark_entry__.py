@@ -693,6 +693,28 @@ def q_dwell_events(spark, sf_dir):
     )
 
 
+def q_od_flows_events(spark, sf_dir):
+    """Origin-destination flow matrix — the canonical trajectory
+    pipeline stay_points → od_flows: consecutive dwells per user become
+    trips, aggregated to (from-cell, to-cell) counts + mean transit
+    seconds. Transit sums are integer µs (< 2^53, so double-exact in
+    any order); avg rounded to 6 as the cross-engine contract."""
+    from osmflat_rs_spark.operators.trajectory import od_flows, stay_points
+
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    # finer grid + softer thresholds than dwell_events: OD wants many
+    # cells and transitions (sf0.01: 995 trips over 72 OD pairs), not
+    # long dwells
+    d = stay_points(
+        pts, "user_id", cell_size=1_000_000, min_pts=2, order_cols=("event_id",)
+    )
+    out = od_flows(d, "user_id")
+    return out.select(
+        "from_cx", "from_cy", "to_cx", "to_cy", "n_trips",
+        F.round("avg_transit_s", 6).alias("avg_transit_s"),
+    )
+
+
 def q_span_explode_docs(spark, sf_dir):
     """Span/order primitive: posexplode with stable 0-based order (the
     in-row sequence carrier of the interleaved-doc model)."""
@@ -1504,6 +1526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idw_events": q_idw_events,
         "hotspot_events": q_hotspot_events,
         "dwell_events": q_dwell_events,
+        "od_flows_events": q_od_flows_events,
         "poly_intersect_events": q_poly_intersect_events,
         "raster_events": q_raster_events,
         "tile_events": q_tile_events,
@@ -1767,6 +1790,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, cx, cy, start_us, end_us, n_pts,
                    (end_us - start_us) / 1000000.0 AS dwell_s
             FROM d WHERE n_pts >= 3 AND (end_us - start_us) / 1000000.0 >= 600.0
+        """,
+        # OD flows: the dwell CTE extended one LEAD step — consecutive
+        # dwells per user pair into trips, grouped on the cell pair.
+        "od_flows_events": f"""
+            WITH pts AS (SELECT * FROM {synth}),
+            g AS (SELECT user_id, ts, event_id,
+                         CAST(FLOOR(lon / 1000000) AS BIGINT) AS cx,
+                         CAST(FLOOR(lat / 1000000) AS BIGINT) AS cy FROM pts),
+            f AS (SELECT *, CASE WHEN cx = LAG(cx) OVER w AND cy = LAG(cy) OVER w
+                                 THEN 0 ELSE 1 END AS brk
+                  FROM g WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            r AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run
+                  FROM f),
+            d AS (SELECT user_id, run, MIN(cx) AS cx, MIN(cy) AS cy,
+                         MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us,
+                         COUNT(*) AS n_pts
+                  FROM r GROUP BY user_id, run),
+            dw AS (SELECT * FROM d
+                   WHERE n_pts >= 2),
+            trips AS (SELECT cx AS from_cx, cy AS from_cy,
+                             LEAD(cx) OVER v AS to_cx, LEAD(cy) OVER v AS to_cy,
+                             LEAD(start_us) OVER v - end_us AS transit_us
+                      FROM dw WINDOW v AS (PARTITION BY user_id ORDER BY start_us))
+            SELECT from_cx, from_cy, to_cx, to_cy, COUNT(*) AS n_trips,
+                   ROUND(AVG(transit_us) / 1000000.0, 6) AS avg_transit_s
+            FROM trips WHERE to_cx IS NOT NULL
+            GROUP BY from_cx, from_cy, to_cx, to_cy
         """,
         # Hotspot clustering: recursive-CTE min-label closure over the
         # 8-adjacency graph of dense grid cells — same floor-division

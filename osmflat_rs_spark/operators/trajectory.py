@@ -86,3 +86,39 @@ def stay_points(
         .drop("_run")
     )
     return out
+
+
+def od_flows(
+    dwells: DataFrame,
+    key: str | list[str],
+    order_col: str = "start_us",
+) -> DataFrame:
+    """Origin-destination flow matrix from a dwell table — the canonical
+    consumer of :func:`stay_points`: each entity's dwells in time order
+    yield one trip per CONSECUTIVE pair, aggregated to (from-cell,
+    to-cell) flow counts with mean transit seconds. Self-flows
+    (consecutive dwells in the same cell — possible when a run was
+    broken by an excursion that itself produced no dwell) count like
+    any other transition.
+
+    Scale shape: one window shuffle keyed by the entity (dwell rows,
+    already ≪ point rows) + one map-side-combinable groupBy on the cell
+    pair. Transit time = next dwell's start − this dwell's end.
+
+    → (from_cx, from_cy, to_cx, to_cy, n_trips, avg_transit_s)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    trips = (
+        dwells.select(
+            F.col("cx").alias("from_cx"),
+            F.col("cy").alias("from_cy"),
+            F.lead("cx").over(w).alias("to_cx"),
+            F.lead("cy").over(w).alias("to_cy"),
+            (F.lead("start_us").over(w) - F.col("end_us")).alias("_transit_us"),
+        )
+        .filter(F.col("to_cx").isNotNull())
+    )
+    return trips.groupBy("from_cx", "from_cy", "to_cx", "to_cy").agg(
+        F.count(F.lit(1)).alias("n_trips"),
+        (F.avg("_transit_us") / F.lit(1_000_000.0)).alias("avg_transit_s"),
+    )

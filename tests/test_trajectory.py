@@ -4,6 +4,7 @@ plus the one-shuffle plan contract."""
 import datetime as dt
 
 import numpy as np
+from pyspark.sql import functions as F
 
 
 def _mkts(s):
@@ -106,3 +107,55 @@ def test_stay_points_single_exchange_plan(spark):
     )
     plan = stay_points(df, "user_id", cell_size=1000)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_od_flows_matches_oracle(spark):
+    """OD matrix from a hand-built dwell table vs a pure-Python pair
+    walk; self-flows and multi-user aggregation covered."""
+    from osmflat_rs_spark.operators.trajectory import od_flows
+
+    rows = [
+        # user, cx, cy, start_us, end_us
+        (1, 0, 0, 1_000_000, 2_000_000),
+        (1, 2, 0, 5_000_000, 6_000_000),   # trip (0,0)->(2,0), transit 3s
+        (1, 2, 0, 9_000_000, 9_500_000),   # self-flow (2,0)->(2,0), 3s
+        (1, 0, 0, 20_000_000, 21_000_000), # (2,0)->(0,0), 10.5s
+        (2, 0, 0, 1_000_000, 4_000_000),
+        (2, 2, 0, 8_000_000, 9_000_000),   # (0,0)->(2,0), 4s
+        (3, 5, 5, 1_000_000, 2_000_000),   # lone dwell: no trip
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, cx long, cy long, start_us long, end_us long"
+    )
+    got = {
+        (r["from_cx"], r["from_cy"], r["to_cx"], r["to_cy"]): (r["n_trips"], r["avg_transit_s"])
+        for r in od_flows(df, "user_id").collect()
+    }
+    assert got == {
+        (0, 0, 2, 0): (2, 3.5),   # 3s and 4s
+        (2, 0, 2, 0): (1, 3.0),
+        (2, 0, 0, 0): (1, 10.5),
+    }
+
+
+def test_od_flows_composes_with_stay_points(spark):
+    """End-to-end: points -> stay_points -> od_flows; trip count equals
+    sum over users of (dwells - 1)."""
+    from osmflat_rs_spark.operators.trajectory import od_flows, stay_points
+
+    rows = []
+    eid = 0
+    for u in range(5):
+        for leg, (bx, by) in enumerate([(0, 0), (30_000, 0), (0, 0), (60_000, 30_000)]):
+            for i in range(3):
+                rows.append((u, _mkts(leg * 10_000 + i * 100 + u), eid, by + i, bx + i))
+                eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, lat long, lon long"
+    )
+    d = stay_points(df, "user_id", cell_size=10_000, min_pts=2, order_cols=("event_id",))
+    per_user = {r["user_id"]: r["n"] for r in d.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    flows = od_flows(d, "user_id")
+    assert flows.agg(F.sum("n_trips")).collect()[0][0] == sum(n - 1 for n in per_user.values())
+    # the 5 users all walk the same 4-cell path: 3 distinct transitions
+    assert flows.count() == 3
