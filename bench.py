@@ -985,6 +985,46 @@ def run_poly_bench(spark, cpus: int, n_polys: int = 30_000) -> dict:
     return out
 
 
+def run_hotspot_bench(spark, cpus: int, n_points: int = 32_000_000) -> dict:
+    """Grid-density hotspot clustering at constant density: n points
+    xxhash64-scattered over a box sized so cells average ~25 points
+    (min_pts=30 keeps core occupancy ~16%, below the 8-adjacency
+    percolation threshold — many small hotspots, not one giant one).
+    The point of the bench: the ONLY stage that touches point rows is
+    the first groupBy; the connected-components rounds run on CELL rows
+    (n/25), so wall-clock is dominated by one map-side-combinable
+    aggregate — the shape that survives 100 TB."""
+    from pyspark.sql import functions as F
+
+    from osmflat_rs_spark.operators.hotspot import hotspot_clusters
+
+    cs = 100_000
+    n_cells = max(8, n_points // 25)
+    sx = math.isqrt(2 * n_cells)  # 2:1 aspect
+    sy = max(1, n_cells // sx)
+    pts = spark.range(n_points).select(
+        F.col("id").alias("event_id"),
+        (F.lit(500_000_000) + F.abs(F.xxhash64(F.col("id"), F.lit(21))) % F.lit(sy * cs))
+        .cast("long").alias("lat"),
+        (F.lit(100_000_000) + F.abs(F.xxhash64(F.col("id"), F.lit(22))) % F.lit(sx * cs))
+        .cast("long").alias("lon"),
+    )
+    out = {"cpus": cpus, "n_points": n_points, "n_cells": sx * sy}
+    best = 1e9
+    for _ in range(2):
+        t0 = time.time()
+        res = hotspot_clusters(pts, cell_size=cs, min_pts=30, id_col="event_id")
+        agg = res.agg(
+            F.count(F.lit(1)).alias("n"), F.countDistinct("cluster").alias("k")
+        ).collect()[0]
+        best = min(best, time.time() - t0)
+    out["sec"] = round(best, 3)
+    out["clustered_points"] = agg["n"]
+    out["n_clusters"] = agg["k"]
+    out["points_per_sec"] = round(n_points / best)
+    return out
+
+
 def run_encode_bench(spark, cpus: int, n_points: int = 32_000_000) -> dict:
     """VERDICT r4 #5: measured contract for the cell-encode stage per
     backend — Morton is a pure-JVM codegen expression; S2 is a
@@ -1320,6 +1360,22 @@ def main():
         )
         out["metric"] = "polygon-polygon intersection join throughput (constant density)"
         out["unit"] = "polys/sec"
+        print(json.dumps(out))
+        spark.stop()
+        return
+
+    if "--hotspot" in sys.argv:
+        from osmflat_rs_spark.session import get_spark
+
+        cpus = CPUS if "--cpus" not in sys.argv else int(sys.argv[sys.argv.index("--cpus") + 1])
+        spark = get_spark(
+            "bench-hotspot", master=f"local[{cpus}]", shuffle_partitions=max(8, 2 * cpus)
+        )
+        out = run_hotspot_bench(
+            spark, cpus, n_points=int(os.environ.get("SPARK_GRAFT_HOTSPOT_N", "32000000"))
+        )
+        out["metric"] = "grid-density hotspot clustering throughput (constant density)"
+        out["unit"] = "points/sec"
         print(json.dumps(out))
         spark.stop()
         return
