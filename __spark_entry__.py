@@ -693,6 +693,47 @@ def q_dwell_events(spark, sf_dir):
     )
 
 
+SNAP_RADIUS = 50_000  # fixed-point units; expected nearest-segment
+# distance at the sparsest gate SF is ~3k units, so 50k settles every
+# query — misses would drop identically on both engine and oracle
+
+
+def q_snap_events(spark, sf_dir):
+    """Nearest-segment join (map-matching snap): query points against
+    the per-user consecutive-event segments. Candidates come from the
+    lossless segment pass-through cover ⋈ the query ±radius bbox cells
+    (pure Catalyst sequence-explode) — no crossJoin; exact clamped-
+    projection distance in codegen; WindowGroupLimit top-1. Oracle:
+    brute-force all-pairs with the IDENTICAL IEEE expression tree."""
+    _prep(spark)
+    from osmflat_rs_spark.operators.snap import nearest_segment_join
+
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        pts.select("user_id", "ts", "event_id",
+                   F.col("lat").alias("lat1"), F.col("lon").alias("lon1"))
+        .withColumn("lat2", F.lead("lat1").over(w))
+        .withColumn("lon2", F.lead("lon1").over(w))
+        .filter(F.col("lat2").isNotNull())
+        .select(F.col("event_id").alias("sid"), "lat1", "lon1", "lat2", "lon2")
+    )
+    q = (
+        _t(spark, sf_dir, "events")
+        .select(F.col("event_id").alias("query_id"))
+        .filter(F.col("query_id") < 2000)
+        .withColumn(
+            "lat", (F.lit(LAT0) + (F.col("query_id") * 24571) % F.lit(LATSPAN)).cast("long")
+        )
+        .withColumn(
+            "lon", (F.lit(LON0) + (F.col("query_id") * 39119) % F.lit(LONSPAN)).cast("long")
+        )
+    )
+    return nearest_segment_join(
+        q, seg, radius=SNAP_RADIUS, cell_size=1 << 16, point_id="query_id"
+    )
+
+
 def q_od_flows_events(spark, sf_dir):
     """Origin-destination flow matrix — the canonical trajectory
     pipeline stay_points → od_flows: consecutive dwells per user become
@@ -1527,6 +1568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hotspot_events": q_hotspot_events,
         "dwell_events": q_dwell_events,
         "od_flows_events": q_od_flows_events,
+        "snap_events": q_snap_events,
         "poly_intersect_events": q_poly_intersect_events,
         "raster_events": q_raster_events,
         "tile_events": q_tile_events,
@@ -1790,6 +1832,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, cx, cy, start_us, end_us, n_pts,
                    (end_us - start_us) / 1000000.0 AS dwell_s
             FROM d WHERE n_pts >= 3 AND (end_us - start_us) / 1000000.0 >= 600.0
+        """,
+        # Snap: brute-force all-pairs with the engine's exact expression
+        # tree (int diffs cast to double, clamped projection, d2 rank);
+        # filter-before-rank matches the engine's radius gate.
+        "snap_events": f"""
+            WITH pts AS (SELECT * FROM {synth}),
+            seg AS (SELECT event_id AS sid, lat AS y1, lon AS x1,
+                           LEAD(lat) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y2,
+                           LEAD(lon) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x2
+                    FROM pts),
+            s AS (SELECT * FROM seg WHERE y2 IS NOT NULL),
+            q AS (SELECT event_id AS query_id,
+                         CAST({LAT0} + (event_id * 24571) % {LATSPAN} AS BIGINT) AS py,
+                         CAST({LON0} + (event_id * 39119) % {LONSPAN} AS BIGINT) AS px
+                  FROM events WHERE event_id < 2000),
+            d AS (SELECT q.query_id, s.sid, q.px, q.py, s.x1, s.y1,
+                         CAST(s.x2 - s.x1 AS DOUBLE) AS dx,
+                         CAST(s.y2 - s.y1 AS DOUBLE) AS dy
+                  FROM q CROSS JOIN s),
+            e AS (SELECT *, dx * dx + dy * dy AS len2 FROM d),
+            t0 AS (SELECT *, CASE WHEN len2 > 0
+                                  THEN (CAST(px - x1 AS DOUBLE) * dx + CAST(py - y1 AS DOUBLE) * dy) / len2
+                                  ELSE 0.0 END AS t FROM e),
+            t1 AS (SELECT *, GREATEST(0.0, LEAST(1.0, t)) AS tc FROM t0),
+            t2 AS (SELECT *, CAST(x1 AS DOUBLE) + tc * dx AS qx,
+                             CAST(y1 AS DOUBLE) + tc * dy AS qy FROM t1),
+            t3 AS (SELECT query_id, sid, tc AS t, qx AS snap_lon, qy AS snap_lat,
+                          (CAST(px AS DOUBLE) - qx) * (CAST(px AS DOUBLE) - qx)
+                        + (CAST(py AS DOUBLE) - qy) * (CAST(py AS DOUBLE) - qy) AS d2
+                   FROM t2),
+            f AS (SELECT * FROM t3 WHERE d2 <= {float(SNAP_RADIUS) ** 2})
+            SELECT query_id, sid, d2, t, snap_lon, snap_lat FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2 ASC, sid ASC) AS rnk
+              FROM f) WHERE rnk = 1
         """,
         # OD flows: the dwell CTE extended one LEAD step — consecutive
         # dwells per user pair into trips, grouped on the cell pair.

@@ -1,0 +1,134 @@
+"""Nearest-segment join (map-matching "snap to road"): for each query
+point, the closest segment within a radius, with the snapped coordinates
+and the clamped projection parameter. This is the primitive under every
+trajectory→network pipeline (GPS snap, address-to-street, milepost
+linear referencing); the reference ships the ingredients (resolved way
+node chains = segments, render-roads.rs walks them) but no snap surface.
+
+Scale shape — one candidate equi-join, no crossJoin, no driver loop:
+- segment side: the LOSSLESS pass-through cell cover from the
+  segment-intersection join (segments._cover_fn — exact integer
+  subpiece bboxes, ±1-unit pad), fixed-width payload (two endpoints);
+- query side: the ±radius bbox cells, generated as a pure Catalyst
+  2-D `sequence` explode (no Python);
+- candidates join on the packed cell; the exact clamped-projection
+  point-segment distance is plain double arithmetic in codegen; one
+  per-query WindowGroupLimit top-1 (rank by (d², sid) — duplicate
+  candidates from shared cells collapse at rank 1, so no DISTINCT is
+  ever needed).
+
+Soundness: if a segment's true minimum distance to the query is ≤ r,
+its nearest point q lies both on the segment (q's cell ∈ the segment's
+pass-through cover) and inside the query's ±r bbox (q's cell ∈ the
+query's cover), so the pair shares a cell — every in-radius segment is
+a candidate. Queries with no in-radius segment get no row (or the exact
+broadcast fallback when ``exact_fallback=True``).
+
+Distance is squared euclidean in fixed-point units (the exact metric of
+``knn_join_bulk(metric="sqeuclid")``); the projection runs in IEEE
+double with an expression tree a SQL oracle states identically."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _seg_distance_cols(px, py, x1, y1, x2, y2):
+    """(d2, t_clamped, snap_x, snap_y) — clamped projection, doubles."""
+    dx = (x2 - x1).cast("double")
+    dy = (y2 - y1).cast("double")
+    len2 = dx * dx + dy * dy
+    t = F.when(
+        len2 > 0,
+        ((px - x1).cast("double") * dx + (py - y1).cast("double") * dy) / len2,
+    ).otherwise(F.lit(0.0))
+    tc = F.greatest(F.lit(0.0), F.least(F.lit(1.0), t))
+    qx = x1.cast("double") + tc * dx
+    qy = y1.cast("double") + tc * dy
+    ex = px.cast("double") - qx
+    ey = py.cast("double") - qy
+    return ex * ex + ey * ey, tc, qx, qy
+
+
+def nearest_segment_join(
+    points: DataFrame,
+    segments: DataFrame,
+    radius: int,
+    cell_size: int = 1 << 16,
+    point_id: str = "query_id",
+    seg_id: str = "sid",
+    exact_fallback: bool = False,
+) -> DataFrame:
+    """→ (point_id, seg_id, d2, t, snap_lon, snap_lat): the nearest
+    segment within ``radius`` fixed-point units per query point
+    (ties broken by ascending segment id; queries with no in-radius
+    segment are absent unless ``exact_fallback``).
+
+    ``points`` needs (point_id, lat, lon); ``segments`` needs
+    (seg_id, lat1, lon1, lat2, lon2) — all fixed-point int64.
+    ``cell_size`` only tunes candidate counts (soundness is cover-level,
+    see module docstring): ~2·radius is a good default relation."""
+    if radius < 1:
+        raise ValueError(f"radius must be >= 1, got {radius}")
+    from osmflat_rs_spark.operators.segments import _cover_fn
+
+    cs = int(cell_size)
+    seg_slim = segments.select(
+        F.col(seg_id).cast("long").alias("sid"),
+        F.col("lon1").cast("long").alias("x1"),
+        F.col("lat1").cast("long").alias("y1"),
+        F.col("lon2").cast("long").alias("x2"),
+        F.col("lat2").cast("long").alias("y2"),
+    )
+    seg_cells = seg_slim.mapInPandas(
+        _cover_fn(cs), schema="cell long, sid long, x1 long, y1 long, x2 long, y2 long"
+    )
+    # query ±radius bbox cells, pure Catalyst (floor div on doubles is
+    # exact here: |coord ± radius| < 2^53)
+    px, py = F.col("lon").cast("long"), F.col("lat").cast("long")
+    r = F.lit(int(radius))
+    csl = F.lit(cs).cast("double")
+    cx0 = F.floor((px - r).cast("double") / csl).cast("long")
+    cx1 = F.floor((px + r).cast("double") / csl).cast("long")
+    cy0 = F.floor((py - r).cast("double") / csl).cast("long")
+    cy1 = F.floor((py + r).cast("double") / csl).cast("long")
+    q_cells = (
+        points.select(F.col(point_id), px.alias("px"), py.alias("py"),
+                      cx0.alias("cx0"), cx1.alias("cx1"), cy0.alias("cy0"), cy1.alias("cy1"))
+        .withColumn("ccx", F.explode(F.sequence("cx0", "cx1")))
+        .withColumn("ccy", F.explode(F.sequence("cy0", "cy1")))
+        .select(
+            point_id, "px", "py",
+            # SQL & / | are bitwise on integers (Column & is boolean);
+            # packing matches segments._pack_cell bit-for-bit
+            F.expr("shiftleft(ccx, 32) | (ccy & 4294967295)").alias("cell"),
+        )
+    )
+    cand = q_cells.join(seg_cells, "cell")
+    d2, tc, qx, qy = _seg_distance_cols(
+        F.col("px"), F.col("py"), F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")
+    )
+    scored = cand.select(
+        point_id, F.col("sid"), d2.alias("d2"), tc.alias("t"),
+        qx.alias("snap_lon"), qy.alias("snap_lat"),
+    ).filter(F.col("d2") <= F.lit(float(radius) ** 2))
+    w = Window.partitionBy(point_id).orderBy(F.col("d2").asc(), F.col("sid").asc())
+    best = scored.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1).drop("_rk")
+    if not exact_fallback:
+        return best
+    # exact path for unmatched queries: broadcast the missed points over
+    # the full segment table (bounded: only queries the cover missed)
+    missed = points.join(best.select(point_id), point_id, "left_anti").select(
+        F.col(point_id), px.alias("px"), py.alias("py")
+    )
+    all_pairs = F.broadcast(missed).crossJoin(seg_slim)
+    d2f, tcf, qxf, qyf = _seg_distance_cols(
+        F.col("px"), F.col("py"), F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")
+    )
+    fb_scored = all_pairs.select(
+        point_id, F.col("sid"), d2f.alias("d2"), tcf.alias("t"),
+        qxf.alias("snap_lon"), qyf.alias("snap_lat"),
+    )
+    fb = fb_scored.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1).drop("_rk")
+    return best.unionByName(fb)
