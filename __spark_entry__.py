@@ -570,6 +570,20 @@ def q_hotspot_events(spark, sf_dir):
     )
 
 
+def q_gi_star_events(spark, sf_dir):
+    """Getis-Ord Gi* hot-spot z-scores (radius-2 box weights, self
+    included) over the focal grid: focal sums from focal_grid_agg's
+    aggregate-first fan-out, global moments from ONE tiny aggregate,
+    empty bbox cells reasoned about analytically (clamped window area),
+    never materialized. Oracle: same statistic from the inequality
+    self-join focal form + a global CTE, identical IEEE tree, round-6."""
+    from osmflat_rs_spark.operators.tiling import gi_star
+
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    out = gi_star(pts, res=16, radius=2)
+    return out.select("ix", "iy", "x", "w", F.round("z", 6).alias("z"))
+
+
 def q_raster_events(spark, sf_dir):
     """F7 Bresenham-family rasterization (render-roads.rs:132-155) as a
     scalar-explode DDA (pure JVM int arithmetic, one codegen stage)."""
@@ -1569,6 +1583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dwell_events": q_dwell_events,
         "od_flows_events": q_od_flows_events,
         "snap_events": q_snap_events,
+        "gi_star_events": q_gi_star_events,
         "poly_intersect_events": q_poly_intersect_events,
         "raster_events": q_raster_events,
         "tile_events": q_tile_events,
@@ -1790,6 +1805,33 @@ def oracle_sql() -> dict[str, str]:
             FROM pts p CROSS JOIN q
             WHERE (p.lat - q.qlat) * (p.lat - q.qlat) + (p.lon - q.qlon) * (p.lon - q.qlon)
                   <= {KNN_RADIUS_FIXED ** 2}
+        """,
+        # Gi*: same grid + inequality-self-join focal sums as the focal
+        # gate, global moments from a 1-row CTE, the textbook z formula
+        # stated with the engine's exact IEEE expression tree.
+        "gi_star_events": f"""
+            WITH pts AS (SELECT * FROM {synth}),
+            g AS (SELECT GREATEST(0, LEAST({(1 << 16) - 1}, (lon + 1800000000) * {1 << 16} // 3600000000)) AS ix,
+                         GREATEST(0, LEAST({(1 << 16) - 1}, (lat + 900000000) * {1 << 16} // 1800000000)) AS iy
+                  FROM pts),
+            c AS (SELECT ix, iy, COUNT(*) AS x FROM g GROUP BY 1, 2),
+            gstats AS (SELECT MIN(ix) AS ix0, MAX(ix) AS ix1, MIN(iy) AS iy0, MAX(iy) AS iy1,
+                            SUM(x) AS sx, SUM(x * x) AS sxx FROM c),
+            f AS (SELECT c1.ix, c1.iy, c1.x, CAST(SUM(c2.x) AS BIGINT) AS wx
+                  FROM c c1 JOIN c c2 ON abs(c1.ix - c2.ix) <= 2 AND abs(c1.iy - c2.iy) <= 2
+                  GROUP BY 1, 2, 3),
+            e AS (SELECT f.*, gstats.*,
+                         CAST((ix1 - ix0 + 1) * (iy1 - iy0 + 1) AS DOUBLE) AS n,
+                         CAST((LEAST(f.ix + 2, ix1) - GREATEST(f.ix - 2, ix0) + 1)
+                            * (LEAST(f.iy + 2, iy1) - GREATEST(f.iy - 2, iy0) + 1) AS DOUBLE) AS wd
+                  FROM f CROSS JOIN gstats),
+            e2 AS (SELECT *, CAST(sx AS DOUBLE) / n AS xbar,
+                          SQRT(CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)) AS s
+                   FROM e),
+            e3 AS (SELECT *, s * SQRT((n * wd - wd * wd) / (n - 1.0)) AS denom FROM e2)
+            SELECT ix, iy, x, CAST(wd AS BIGINT) AS w,
+                   ROUND(CASE WHEN denom > 0 THEN (CAST(wx AS DOUBLE) - xbar * wd) / denom END, 6) AS z
+            FROM e3
         """,
         # IDW: brute-force kNN (valid: the engine's operator is exact
         # when settled, asserted in tests) + the same weighted form;

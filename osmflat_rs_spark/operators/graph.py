@@ -68,29 +68,29 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
-        # neighbor minimum (self label included via union)
+        # neighbor minimum (self label included via union); the self row
+        # also THREADS the previous label through the aggregate (max of
+        # the null-for-neighbors column), so the convergence check below
+        # is a filter on the round's own output — no labels-vs-new
+        # comparison join, one fewer shuffle per round
         nb = e.join(labels, e["v"] == labels["node"]).select(
-            F.col("u").alias("node"), F.col("lbl")
+            F.col("u").alias("node"), F.col("lbl"), F.lit(None).cast("long").alias("_old")
         )
         new = (
-            labels.unionByName(nb)
+            labels.select("node", "lbl", F.col("lbl").alias("_old"))
+            .unionByName(nb)
             .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
+            .agg(F.min("lbl").alias("lbl"), F.max("_old").alias("_old"))
         )
         # pointer jumping: lbl <- lbl(lbl); every label IS a node id
         hop = new.select(F.col("node").alias("_n2"), F.col("lbl").alias("_l2"))
         new = (
             new.join(hop, new["lbl"] == hop["_n2"])
-            .select("node", F.col("_l2").alias("lbl"))
+            .select("node", F.col("_l2").alias("lbl"), "_old")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new
+        changed = new.filter(F.col("lbl") != F.col("_old")).count()
+        labels = new.select("node", "lbl")
         if changed == 0:
             break
     else:

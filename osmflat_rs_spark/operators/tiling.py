@@ -426,3 +426,54 @@ def focal_grid_agg(
         .agg(*out_aggs)
         .filter(F.col("n_self") > 0)
     )
+
+
+def gi_star(
+    pts: DataFrame,
+    lat: str = "lat",
+    lon: str = "lon",
+    res: int = 18,
+    radius: int = 1,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Getis-Ord Gi* hot-spot z-scores — the canonical local spatial
+    statistic (Getis & Ord 1992; ArcGIS "Hot Spot Analysis"): for every
+    occupied grid cell, how far its neighborhood sum deviates from the
+    study-area expectation, in standard deviations. Binary box weights
+    within Chebyshev ``radius`` (self included — the * variant); the
+    study area is the bounding rectangle of occupied cells, and empty
+    cells inside it participate with x = 0 — WITHOUT ever being
+    materialized:
+
+    - Σ_j w_ij x_j is :func:`focal_grid_agg`'s neighborhood sum (empty
+      neighbors add zero);
+    - the per-cell weight count W is the CLAMPED window area, computed
+      analytically from the bbox — no empty-cell rows;
+    - global moments (n = bbox area, X̄ = Σx/n, S² = Σx²/n − X̄²) come
+      from ONE tiny aggregate over occupied cells (empty cells change
+      neither Σx nor Σx²), cross-joined back as a 1-row broadcast.
+
+    z = (Σwx − X̄·W) / (S·sqrt((n·W − W²)/(n − 1))); cells where the
+    denominator degenerates (S = 0 or n = 1) return NULL. → (ix, iy,
+    x, w, z) for every occupied cell. Everything after focal_grid_agg's
+    two exchanges is expression-only plus the 1-row broadcast join."""
+    f = focal_grid_agg(pts, lat=lat, lon=lon, res=res, radius=radius, value_col=value_col)
+    x_self = F.col("v_self") if value_col is not None else F.col("n_self")
+    x_focal = F.col("v_focal") if value_col is not None else F.col("n_focal")
+    cells = f.select("ix", "iy", x_self.alias("x"), x_focal.alias("wx"))
+    g = cells.agg(
+        F.min("ix").alias("ix0"), F.max("ix").alias("ix1"),
+        F.min("iy").alias("iy0"), F.max("iy").alias("iy1"),
+        F.sum("x").alias("sx"), F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    j = cells.join(F.broadcast(g))
+    n = ((F.col("ix1") - F.col("ix0") + 1) * (F.col("iy1") - F.col("iy0") + 1)).cast("double")
+    w = (
+        (F.least(F.col("ix") + radius, F.col("ix1")) - F.greatest(F.col("ix") - radius, F.col("ix0")) + 1)
+        * (F.least(F.col("iy") + radius, F.col("iy1")) - F.greatest(F.col("iy") - radius, F.col("iy0")) + 1)
+    ).cast("double")
+    xbar = F.col("sx").cast("double") / n
+    s = F.sqrt(F.col("sxx").cast("double") / n - xbar * xbar)
+    denom = s * F.sqrt((n * w - w * w) / (n - F.lit(1.0)))
+    z = F.when(denom > 0, (F.col("wx").cast("double") - xbar * w) / denom)
+    return j.select("ix", "iy", "x", w.cast("long").alias("w"), z.alias("z"))

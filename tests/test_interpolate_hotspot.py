@@ -137,3 +137,55 @@ def test_hotspot_isolated_core_cell_is_own_cluster(spark):
     got = hotspot_clusters(df, cell_size=1000, min_pts=3).collect()
     assert {r["event_id"] for r in got} == {0, 1, 2, 3, 4}
     assert len({r["cluster"] for r in got}) == 1
+
+
+def test_gi_star_matches_python_oracle(spark):
+    """Getis-Ord Gi* vs an independent dense-grid NumPy oracle that
+    MATERIALIZES the empty cells the operator only reasons about:
+    padded dense array, explicit box convolution, textbook formula."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from osmflat_rs_spark.functions.cells import grid_exprs
+    from osmflat_rs_spark.operators.tiling import gi_star
+
+    rng = np.random.default_rng(17)
+    X, Y = 132_000_000, 524_000_000
+    pts = [
+        (int(Y + rng.integers(0, 400_000)), int(X + rng.integers(0, 800_000)))
+        for _ in range(600)
+    ]
+    df = spark.createDataFrame(pts, "lat long, lon long")
+    res, r = 16, 2
+    # shared cell assignment (grid encoding is pinned by the focal tests)
+    ix, iy = grid_exprs(F.col("lat"), F.col("lon"), res)
+    assign = [(row["ix"], row["iy"]) for row in df.select(ix.alias("ix"), iy.alias("iy")).collect()]
+    xs = sorted({a for a, _ in assign}); ys = sorted({b for _, b in assign})
+    ix0, ix1, iy0, iy1 = min(xs), max(xs), min(ys), max(ys)
+    grid = np.zeros((ix1 - ix0 + 1, iy1 - iy0 + 1))
+    for a, b in assign:
+        grid[a - ix0, b - iy0] += 1
+    n = grid.size
+    xbar = grid.sum() / n
+    s = np.sqrt((grid ** 2).sum() / n - xbar ** 2)
+    want = {}
+    for a in range(grid.shape[0]):
+        for b in range(grid.shape[1]):
+            if grid[a, b] == 0:
+                continue  # operator emits occupied cells only
+            sl = grid[max(0, a - r):a + r + 1, max(0, b - r):b + r + 1]
+            w = sl.size
+            z = (sl.sum() - xbar * w) / (s * np.sqrt((n * w - w * w) / (n - 1)))
+            want[(a + ix0, b + iy0)] = (int(grid[a, b]), w, z)
+    got = {
+        (row["ix"], row["iy"]): (row["x"], row["w"], row["z"])
+        for row in gi_star(df, res=res, radius=r).collect()
+    }
+    assert set(got) == set(want)
+    assert len(got) > 100  # enough occupied cells AND empty bbox holes
+    assert any(v[1] < (2 * r + 1) ** 2 for v in got.values())  # edge clamping hit
+    for k in want:
+        assert got[k][0] == want[k][0] and got[k][1] == want[k][1], k
+        assert got[k][2] == pytest.approx(want[k][2], rel=1e-9), k
+    # hot spots exist: some |z| should be meaningfully positive
+    assert max(v[2] for v in got.values()) > 1.0
