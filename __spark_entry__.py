@@ -584,6 +584,21 @@ def q_gi_star_events(spark, sf_dir):
     return out.select("ix", "iy", "x", "w", F.round("z", 6).alias("z"))
 
 
+def q_morans_i_events(spark, sf_dir):
+    """Global Moran's I over the focal grid (radius 2, w_ii = 0). The
+    ENGINE uses the sparse-analytic reduction (empty cells contribute
+    through closed-form window-area sums, never materialized); the
+    ORACLE is an independent dense formulation — generate_series
+    materializes every bbox cell and computes the textbook double sum.
+    Agreement is the identity proof, not an echo. Round-9 contract (I
+    is O(0.01-1); both sides are double-exact far past 9 digits here)."""
+    from osmflat_rs_spark.operators.tiling import morans_i
+
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    out = morans_i(pts, res=16, radius=2)
+    return out.select(F.round("i", 9).alias("i"), "n", "s0")
+
+
 def q_raster_events(spark, sf_dir):
     """F7 Bresenham-family rasterization (render-roads.rs:132-155) as a
     scalar-explode DDA (pure JVM int arithmetic, one codegen stage)."""
@@ -1584,6 +1599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "od_flows_events": q_od_flows_events,
         "snap_events": q_snap_events,
         "gi_star_events": q_gi_star_events,
+        "morans_i_events": q_morans_i_events,
         "poly_intersect_events": q_poly_intersect_events,
         "raster_events": q_raster_events,
         "tile_events": q_tile_events,
@@ -1832,6 +1848,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT ix, iy, x, CAST(wd AS BIGINT) AS w,
                    ROUND(CASE WHEN denom > 0 THEN (CAST(wx AS DOUBLE) - xbar * wd) / denom END, 6) AS z
             FROM e3
+        """,
+        # Moran's I: INDEPENDENT dense oracle — materialize every bbox
+        # cell (empties as x=0) and state the textbook double sum; the
+        # engine's sparse-analytic closed forms must agree to 1e-9.
+        "morans_i_events": f"""
+            WITH pts AS (SELECT * FROM {synth}),
+            g AS (SELECT GREATEST(0, LEAST({(1 << 16) - 1}, (lon + 1800000000) * {1 << 16} // 3600000000)) AS ix,
+                         GREATEST(0, LEAST({(1 << 16) - 1}, (lat + 900000000) * {1 << 16} // 1800000000)) AS iy
+                  FROM pts),
+            c AS (SELECT ix, iy, COUNT(*) AS x FROM g GROUP BY 1, 2),
+            bb AS (SELECT MIN(ix) AS ix0, MAX(ix) AS ix1, MIN(iy) AS iy0, MAX(iy) AS iy1 FROM c),
+            dense AS (
+                SELECT xs.ix, ys.iy, COALESCE(c.x, 0) AS x
+                FROM (SELECT UNNEST(generate_series(ix0, ix1)) AS ix FROM bb) xs
+                CROSS JOIN (SELECT UNNEST(generate_series(iy0, iy1)) AS iy FROM bb) ys
+                LEFT JOIN c ON c.ix = xs.ix AND c.iy = ys.iy),
+            m AS (SELECT COUNT(*) AS n, AVG(CAST(x AS DOUBLE)) AS xbar,
+                         SUM((CAST(x AS DOUBLE) - (SELECT AVG(CAST(x AS DOUBLE)) FROM dense))
+                           * (CAST(x AS DOUBLE) - (SELECT AVG(CAST(x AS DOUBLE)) FROM dense))) AS ss
+                  FROM dense),
+            pairs AS (
+                SELECT SUM((CAST(a.x AS DOUBLE) - m.xbar) * (CAST(b.x AS DOUBLE) - m.xbar)) AS num,
+                       COUNT(*) AS s0
+                FROM dense a JOIN dense b
+                  ON abs(a.ix - b.ix) <= 2 AND abs(a.iy - b.iy) <= 2
+                 AND NOT (a.ix = b.ix AND a.iy = b.iy)
+                CROSS JOIN m)
+            SELECT ROUND((CAST(m.n AS DOUBLE) / pairs.s0) * pairs.num / m.ss, 9) AS i,
+                   m.n AS n, pairs.s0 AS s0
+            FROM m CROSS JOIN pairs
         """,
         # IDW: brute-force kNN (valid: the engine's operator is exact
         # when settled, asserted in tests) + the same weighted form;

@@ -477,3 +477,72 @@ def gi_star(
     denom = s * F.sqrt((n * w - w * w) / (n - F.lit(1.0)))
     z = F.when(denom > 0, (F.col("wx").cast("double") - xbar * w) / denom)
     return j.select("ix", "iy", "x", w.cast("long").alias("w"), z.alias("z"))
+
+
+def morans_i(
+    pts: DataFrame,
+    lat: str = "lat",
+    lon: str = "lon",
+    res: int = 18,
+    radius: int = 1,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Global Moran's I (Moran 1950) — THE spatial-autocorrelation
+    scalar: +1 clustered, 0 random, −1 dispersed — over the bbox grid of
+    occupied cells with binary box weights (Chebyshev ``radius``,
+    w_ii = 0 as the statistic requires). One row: (i, n, s0).
+
+    The trick is the same as :func:`gi_star` taken further: the study
+    area's EMPTY cells participate in every textbook sum (their
+    deviation is −X̄), yet nothing here materializes them. With
+    self-inclusive focal sums wx_i and clamped window areas W_i
+    (occupied rows only) plus four occupied-cell moments, every
+    all-cells sum reduces analytically:
+
+    - Σ_i wx'_i  = ΣxW − Σx          (each occupied j is inside exactly
+      W_j windows — box-window symmetry)
+    - Σ_i W'_i   = SW − n, with SW = SWx·SWy separable and
+      SWaxis = (2r+1)L − r(r+1) for axis length L ≥ 2r+1
+    - numerator  = Σx(wx−x) − 2X̄(ΣxW − Σx) + X̄²(SW − n)
+    - I = (n/S0)·numerator/(Σx² − nX̄²), S0 = SW − n.
+
+    Axes shorter than 2r+1 (double-clamped windows) make SWaxis wrong;
+    ``i`` comes back NULL in that case — size the grid, not the guard.
+    The driver gate's oracle is an INDEPENDENT dense formulation: DuckDB
+    generate_series materializes every empty cell and computes the
+    textbook double sum directly."""
+    f = focal_grid_agg(pts, lat=lat, lon=lon, res=res, radius=radius, value_col=value_col)
+    x_self = F.col("v_self") if value_col is not None else F.col("n_self")
+    x_focal = F.col("v_focal") if value_col is not None else F.col("n_focal")
+    cells = f.select("ix", "iy", x_self.alias("x"), x_focal.alias("wx"))
+    bbox = cells.agg(
+        F.min("ix").alias("ix0"), F.max("ix").alias("ix1"),
+        F.min("iy").alias("iy0"), F.max("iy").alias("iy1"),
+    )
+    j = cells.join(F.broadcast(bbox))
+    w = (
+        (F.least(F.col("ix") + radius, F.col("ix1")) - F.greatest(F.col("ix") - radius, F.col("ix0")) + 1)
+        * (F.least(F.col("iy") + radius, F.col("iy1")) - F.greatest(F.col("iy") - radius, F.col("iy0")) + 1)
+    ).cast("double")
+    x = F.col("x").cast("double")
+    wx = F.col("wx").cast("double")
+    agg = j.groupBy("ix0", "ix1", "iy0", "iy1").agg(
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * w).alias("sxw"),
+        F.sum(x * (wx - x)).alias("sxwx"),
+    )
+    lx = (F.col("ix1") - F.col("ix0") + 1).cast("double")
+    ly = (F.col("iy1") - F.col("iy0") + 1).cast("double")
+    k = F.lit(float(2 * radius + 1))
+    rr = F.lit(float(radius * (radius + 1)))
+    sw = (k * lx - rr) * (k * ly - rr)
+    n = lx * ly
+    xbar = F.col("sx") / n
+    s0 = sw - n
+    num = F.col("sxwx") - F.lit(2.0) * xbar * (F.col("sxw") - F.col("sx")) + xbar * xbar * s0
+    den = F.col("sxx") - n * xbar * xbar
+    i = F.when(
+        (lx >= k) & (ly >= k) & (den > 0), (n / s0) * num / den
+    )
+    return agg.select(i.alias("i"), n.cast("long").alias("n"), s0.cast("long").alias("s0"))

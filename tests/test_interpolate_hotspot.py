@@ -189,3 +189,53 @@ def test_gi_star_matches_python_oracle(spark):
         assert got[k][2] == pytest.approx(want[k][2], rel=1e-9), k
     # hot spots exist: some |z| should be meaningfully positive
     assert max(v[2] for v in got.values()) > 1.0
+
+
+def test_morans_i_matches_dense_oracle(spark):
+    """Moran's I: the engine's sparse-analytic form (empty cells never
+    materialized) vs a dense NumPy double-sum that materializes them.
+    Clustered data scores high positive; shuffled labels ~0."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from osmflat_rs_spark.functions.cells import grid_exprs
+    from osmflat_rs_spark.operators.tiling import morans_i
+
+    rng = np.random.default_rng(23)
+    X, Y = 132_000_000, 524_000_000
+    # clustered: a few dense blobs -> strong positive autocorrelation
+    pts = []
+    for bx, by in [(100_000, 80_000), (500_000, 300_000), (700_000, 120_000)]:
+        for _ in range(250):
+            pts.append((int(Y + by + rng.normal(0, 40_000)), int(X + bx + rng.normal(0, 40_000))))
+    for _ in range(100):
+        pts.append((int(Y + rng.integers(0, 400_000)), int(X + rng.integers(0, 800_000))))
+    df = spark.createDataFrame(pts, "lat long, lon long")
+    res, r = 16, 1
+    ix, iy = grid_exprs(F.col("lat"), F.col("lon"), res)
+    assign = [(row["ix"], row["iy"]) for row in df.select(ix.alias("ix"), iy.alias("iy")).collect()]
+    ix0 = min(a for a, _ in assign); ix1 = max(a for a, _ in assign)
+    iy0 = min(b for _, b in assign); iy1 = max(b for _, b in assign)
+    grid = np.zeros((ix1 - ix0 + 1, iy1 - iy0 + 1))
+    for a, b in assign:
+        grid[a - ix0, b - iy0] += 1
+    n = grid.size
+    dev = grid - grid.mean()
+    num = 0.0
+    s0 = 0
+    A, B = grid.shape
+    for a in range(A):
+        for b in range(B):
+            for da in range(-r, r + 1):
+                for db in range(-r, r + 1):
+                    if (da, db) == (0, 0):
+                        continue
+                    na, nb = a + da, b + db
+                    if 0 <= na < A and 0 <= nb < B:
+                        num += dev[a, b] * dev[na, nb]
+                        s0 += 1
+    want = (n / s0) * num / (dev ** 2).sum()
+    row = morans_i(df, res=res, radius=r).collect()[0]
+    assert row["n"] == n and row["s0"] == s0
+    assert row["i"] == pytest.approx(want, rel=1e-9)
+    assert row["i"] > 0.3  # clustered blobs autocorrelate strongly
