@@ -722,9 +722,14 @@ def q_dwell_events(spark, sf_dir):
     )
 
 
-SNAP_RADIUS = 50_000  # fixed-point units; expected nearest-segment
-# distance at the sparsest gate SF is ~3k units, so 50k settles every
-# query — misses would drop identically on both engine and oracle
+SNAP_RADIUS = 4_000  # fixed-point units. Unlike kNN's radius (a
+# performance knob under an exact-k contract), snap's radius IS the
+# semantics: out-of-radius queries drop identically on engine and
+# oracle. Sizing is a density trade: the per-query candidate corridor
+# holds 2·r·λ segments (λ = corpus line density) — at sf0.1 λ ≈ 0.16/u
+# so r = 50k meant ~1,600 true candidates/query (16 s in the suite);
+# r = 4k cuts that 12× while the sparsest gate SF (λ ≈ 1.6e-3) still
+# misses only ~e⁻¹²·⁸ of queries
 
 
 def q_snap_events(spark, sf_dir):

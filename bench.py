@@ -39,6 +39,8 @@ HEADLINE = [
     "pip_events",
     "knn_events",
     "seg_intersections_events",
+    "snap_events",
+    "gi_star_events",
     "interval_join_events",
     "cell_index_events",
     "tile_events",

@@ -144,7 +144,16 @@ def _cover_fn(cell_size: int):
                             np.stack([_pack_cell(cx[keep], cy[keep]), row[keep]], axis=1)
                         )
             cells = np.concatenate(outs)
-            cells = np.unique(cells, axis=0)  # (cell, segment) dedup within batch
+            # (cell, segment) dedup within batch. lexsort + consecutive
+            # mask, NOT np.unique(axis=0): unique's void-view sort on a
+            # 2-column int64 array is ~10x slower at millions of rows
+            # (measured on the snap gate's 15M-row cover)
+            order = np.lexsort((cells[:, 1], cells[:, 0]))
+            cells = cells[order]
+            keep = np.empty(len(cells), dtype=bool)
+            keep[0] = True
+            np.any(cells[1:] != cells[:-1], axis=1, out=keep[1:])
+            cells = cells[keep]
             r = cells[:, 1]
             yield pd.DataFrame(
                 {
