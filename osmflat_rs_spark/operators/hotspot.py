@@ -41,37 +41,43 @@ def cell_key_expr(cx, cy):
     return ((cx + F.lit(_P)) * F.lit(_M) + (cy + F.lit(_P))).cast("long")
 
 
-def hotspot_clusters(
+def cell_counts(
     points: DataFrame,
     cell_size: int,
-    min_pts: int,
-    id_col: str = "event_id",
     lat: str = "lat",
     lon: str = "lon",
 ) -> DataFrame:
-    """(id, cx, cy, cluster) for every point in a core cell; points in
-    sparse cells are noise and are dropped (DBSCAN's noise convention).
-
-    ``cell_size`` is in the fixed-point coordinate units of ``lat``/
-    ``lon``; cells are the floor-division grid cx = floor(lon/cs),
-    cy = floor(lat/cs) (floor, not truncation — negative coordinates
-    grid correctly). ``min_pts`` is the core-cell density threshold.
-    """
+    """(cx, cy, n) occupancy of the floor-division grid — the MERGEABLE
+    summary under hotspot clustering (merge = union + re-sum), which is
+    what makes the streaming form free: per-micro-batch partials of this
+    shape are maintained by ``streaming.incremental.
+    stream_cell_count_partials`` and merged on read."""
     if cell_size < 1:
         raise ValueError(f"cell_size must be >= 1, got {cell_size}")
+    cs = F.lit(int(cell_size)).cast("double")
+    return (
+        points.select(
+            F.floor(F.col(lon).cast("double") / cs).cast("long").alias("cx"),
+            F.floor(F.col(lat).cast("double") / cs).cast("long").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def hotspot_from_cell_counts(counts: DataFrame, min_pts: int) -> DataFrame:
+    """(cx, cy, cluster) for core cells, from an (cx, cy, n) occupancy
+    table — possibly UNMERGED partials (re-summed here, so passing
+    either the partial files or a finished ``cell_counts`` output is
+    correct). This is the cells-only core of :func:`hotspot_clusters`;
+    the streaming path calls it directly on merged partials."""
     if min_pts < 1:
         raise ValueError(f"min_pts must be >= 1, got {min_pts}")
     from osmflat_rs_spark.operators.graph import connected_components
 
-    cs = F.lit(int(cell_size)).cast("double")
-    pts = points.select(
-        F.col(id_col),
-        F.floor(F.col(lon).cast("double") / cs).cast("long").alias("cx"),
-        F.floor(F.col(lat).cast("double") / cs).cast("long").alias("cy"),
-    )
     core = (
-        pts.groupBy("cx", "cy")
-        .agg(F.count(F.lit(1)).alias("_n"))
+        counts.groupBy("cx", "cy")
+        .agg(F.sum("n").alias("_n"))
         .filter(F.col("_n") >= min_pts)
         .select("cx", "cy", cell_key_expr(F.col("cx"), F.col("cy")).alias("key"))
         # eager checkpoint, not persist: connected_components() runs jobs
@@ -101,7 +107,33 @@ def hotspot_clusters(
     )
     edges = nbr.unionByName(core.select(F.col("key").alias("u"), F.col("key").alias("v")))
     cc = connected_components(edges, src="u", dst="v")
-    labeled = core.join(
+    return core.join(
         cc.select(F.col("node").alias("key"), F.col("component").alias("cluster")), "key"
     ).select("cx", "cy", "cluster")
+
+
+def hotspot_clusters(
+    points: DataFrame,
+    cell_size: int,
+    min_pts: int,
+    id_col: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """(id, cx, cy, cluster) for every point in a core cell; points in
+    sparse cells are noise and are dropped (DBSCAN's noise convention).
+
+    ``cell_size`` is in the fixed-point coordinate units of ``lat``/
+    ``lon``; cells are the floor-division grid cx = floor(lon/cs),
+    cy = floor(lat/cs) (floor, not truncation — negative coordinates
+    grid correctly). ``min_pts`` is the core-cell density threshold.
+    Composition: :func:`cell_counts` → :func:`hotspot_from_cell_counts`
+    → one equi-join of the points against the (cell → cluster) map."""
+    cs = F.lit(int(cell_size)).cast("double")
+    pts = points.select(
+        F.col(id_col),
+        F.floor(F.col(lon).cast("double") / cs).cast("long").alias("cx"),
+        F.floor(F.col(lat).cast("double") / cs).cast("long").alias("cy"),
+    )
+    labeled = hotspot_from_cell_counts(cell_counts(points, cell_size, lat, lon), min_pts)
     return pts.join(labeled, ["cx", "cy"]).select(id_col, "cx", "cy", "cluster")

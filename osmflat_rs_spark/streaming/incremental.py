@@ -511,6 +511,33 @@ def stream_hist_partials(
     )
 
 
+def stream_cell_count_partials(
+    spark,
+    src_dir: str,
+    schema,
+    checkpoint_dir: str,
+    out_dir: str,
+    cell_size: int,
+    lat: str = "lat",
+    lon: str = "lon",
+):
+    """Streaming hotspot-map maintenance: `stream_sketch_partials` over
+    `hotspot.cell_counts` — each micro-batch appends its (cx, cy, n)
+    occupancy partial (bounded by the batch's occupied cells), and the
+    live hotspot map at ANY moment is
+    ``hotspot_from_cell_counts(spark.read.parquet(out_dir), min_pts)``:
+    cell counts merge by re-summing, and the threshold/CC phase runs on
+    the merged CELL table, never on the stream's points. min_pts stays a
+    READ-time knob — the maintained state is threshold-free, so the
+    analyst can re-cut the same partials at any density."""
+    from osmflat_rs_spark.operators.hotspot import cell_counts
+
+    return stream_sketch_partials(
+        spark, src_dir, schema, checkpoint_dir, out_dir,
+        lambda bdf: cell_counts(bdf, cell_size, lat=lat, lon=lon),
+    )
+
+
 def stream_cms_partials(
     spark,
     src_dir: str,

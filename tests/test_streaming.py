@@ -365,3 +365,56 @@ def test_stream_cms_partials_heavy_hitters_match_batch(spark, tmp_path):
     est_s = {r["user_id"]: r["est"] for r in cms_estimate(merged, keys, "user_id").collect()}
     est_b = {r["user_id"]: r["est"] for r in cms_estimate(batch, keys, "user_id").collect()}
     assert est_s == est_b
+
+
+def test_stream_cell_count_partials_hotspots_match_batch(spark, tmp_path):
+    """Streaming hotspot-map maintenance: after chunked arrival with a
+    restart, hotspot_from_cell_counts over the merged (cx, cy, n)
+    partials must equal the batch hotspot_clusters cell labels on the
+    same points — and min_pts stays a read-time knob (two different cuts
+    of the SAME maintained partials both match batch)."""
+    from pyspark.sql import functions as F
+
+    from osmflat_rs_spark.operators.hotspot import (
+        cell_counts,
+        hotspot_clusters,
+        hotspot_from_cell_counts,
+    )
+    from osmflat_rs_spark.streaming.incremental import stream_cell_count_partials
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id",
+        (F.lit(524_000_000) + (F.col("event_id") * 48271) % 100_000).cast("long").alias("lat"),
+        (F.lit(132_000_000) + (F.col("event_id") * 16807) % 200_000).cast("long").alias("lon"),
+    )
+    schema = events.schema
+    cs = 10_000
+
+    events_dir = str(tmp_path / "events")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "cells")
+    os.makedirs(events_dir)
+
+    a, b = events.randomSplit([0.5, 0.5], seed=11)
+    a.write.mode("append").parquet(events_dir)
+    q = stream_cell_count_partials(spark, events_dir, schema, ck, out, cs)
+    q.awaitTermination(120)
+    b.write.mode("append").parquet(events_dir)
+    q = stream_cell_count_partials(spark, events_dir, schema, ck, out, cs)
+    q.awaitTermination(120)
+
+    merged = spark.read.parquet(out)
+    # counts partial-merge equals batch counts
+    got_counts = {(r["cx"], r["cy"]): r["n"] for r in
+                  merged.groupBy("cx", "cy").agg(F.sum("n").alias("n")).collect()}
+    want_counts = {(r["cx"], r["cy"]): r["n"] for r in cell_counts(events, cs).collect()}
+    assert got_counts == want_counts and len(got_counts) > 50
+
+    for min_pts in (4, 6):  # read-time density knob (cell counts span 3..7)
+        got = {(r["cx"], r["cy"]): r["cluster"]
+               for r in hotspot_from_cell_counts(merged, min_pts).collect()}
+        want = {(r["cx"], r["cy"]): r["cluster"]
+                for r in hotspot_clusters(events, cs, min_pts).select(
+                    "cx", "cy", "cluster").distinct().collect()}
+        assert got == want, min_pts
+        assert len(got) > 0
