@@ -63,6 +63,17 @@ KNN_K = 5
 # in tests/test_spatial.py::test_knn_gate_settled at both gate SFs)
 KNN_RADIUS_FIXED = 400_000
 
+# co-location gate: ~10k sf0.01 events spread over the 2e6 x 4e6 synth
+# box and ~27 days of ts — 100k-unit radius x 1h window keeps the exact
+# pair set in the hundreds (oracle is the brute-force cross join)
+COLOC_RADIUS_FIXED = 100_000
+COLOC_WINDOW_US = 3_600_000_000
+
+# chunking gate: window/stride chosen NOT to divide evenly into typical
+# doc lengths so short-tail chunks and the n<=window single-chunk branch
+# both appear in the gate data
+CHUNK_WINDOW, CHUNK_STRIDE = 64, 48
+
 _SW_EN = ["the", "a", "of", "and", "to", "in", "is"]
 _SW_DE = ["der", "die", "das", "und", "ist", "ein"]
 _SW_FR = ["le", "la", "les", "et", "est", "un"]
@@ -452,6 +463,28 @@ def q_radius_events(spark, sf_dir):
         id_col="event_id",
     )
     return out.select("query_id", "event_id", F.col("dist_m").alias("d2"))
+
+
+def q_coloc_events(spark, sf_dir):
+    """Spatiotemporal co-location self-join (``coloc.coloc_pairs``, r5)
+    — all event pairs within BOTH the gate radius and the 1h window, via
+    one composite (cell_x, cell_y, time_bucket) equi-join with a 3x3x3
+    neighborhood explode; exact by cover-superset construction, so the
+    SQL oracle is the brute-force inequality join and the hash compare
+    is integer-exact (d2 and dt_us are int64 arithmetic in both
+    engines; unix_micros == epoch_us on the same parquet timestamps)."""
+    _prep(spark)
+    from osmflat_rs_spark.operators.coloc import coloc_pairs
+
+    pts = _synth_coords(_t(spark, sf_dir, "events")).select(
+        # NTZ->TZ cast is exact under the session's pinned UTC (the
+        # sessions/dwell _us contract), then micros == DuckDB epoch_us
+        "event_id", "lat", "lon",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+    )
+    return coloc_pairs(
+        pts, radius=COLOC_RADIUS_FIXED, window_us=COLOC_WINDOW_US, id_col="event_id"
+    )
 
 
 def q_cell_index_events(spark, sf_dir):
@@ -851,6 +884,20 @@ def q_token_count_docs(spark, sf_dir):
     from osmflat_rs_spark.operators.textops import token_count
 
     return token_count(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_chunk_docs(spark, sf_dir):
+    """Sliding-window token chunking (``textops.chunk_tokens``, r5) —
+    the training-data context-window splitter; HF stride convention
+    (last chunk short, full tail coverage, n<=window -> one chunk).
+    Oracle restates chunk count + slices with generate_series + list
+    slicing over the same WS-contract tokenization."""
+    from osmflat_rs_spark.operators.textops import chunk_tokens
+
+    return chunk_tokens(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        window=CHUNK_WINDOW, stride=CHUNK_STRIDE,
+    )
 
 
 def q_lang_id_docs(spark, sf_dir):
@@ -1595,6 +1642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_events_holes": q_pip_events_holes,
         "knn_events": q_knn_events,
         "radius_events": q_radius_events,
+        "coloc_events": q_coloc_events,
         "cell_index_events": q_cell_index_events,
         "focal_grid_events": q_focal_grid_events,
         "pip_anti_events": q_pip_anti_events,
@@ -1619,6 +1667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprint_docs": q_winnow_fingerprint_docs,
         "string_offsets_docs": q_string_offsets_docs,
         "token_count_docs": q_token_count_docs,
+        "chunk_docs": q_chunk_docs,
         "lang_id_docs": q_lang_id_docs,
         "quality_docs": q_quality_docs,
         "tfidf_docs": q_tfidf_docs,
@@ -1826,6 +1875,19 @@ def oracle_sql() -> dict[str, str]:
             FROM pts p CROSS JOIN q
             WHERE (p.lat - q.qlat) * (p.lat - q.qlat) + (p.lon - q.qlon) * (p.lon - q.qlon)
                   <= {KNN_RADIUS_FIXED ** 2}
+        """,
+        # co-location: brute-force spacetime inequality join — the
+        # engine's composite-key candidate structure must reproduce the
+        # naive definition exactly (ints end to end).
+        "coloc_events": f"""
+            WITH pts AS (SELECT event_id, lat, lon, epoch_us(ts) AS t FROM {synth})
+            SELECT a.event_id AS id_a, b.event_id AS id_b,
+                   (a.lat - b.lat) * (a.lat - b.lat) + (a.lon - b.lon) * (a.lon - b.lon) AS d2,
+                   abs(a.t - b.t) AS dt_us
+            FROM pts a JOIN pts b ON a.event_id < b.event_id
+            WHERE (a.lat - b.lat) * (a.lat - b.lat) + (a.lon - b.lon) * (a.lon - b.lon)
+                  <= {COLOC_RADIUS_FIXED ** 2}
+              AND abs(a.t - b.t) <= {COLOC_WINDOW_US}
         """,
         # Gi*: same grid + inequality-self-join focal sums as the focal
         # gate, global moments from a 1-row CTE, the textbook z formula
@@ -2147,6 +2209,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len({_ws_split_sql()}) AS n_ws_tokens,
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9{_WS_SQL_INNER}]')) AS n_bpeish
             FROM documents
+        """,
+        # chunking: restate count + slices; DuckDB list slicing is
+        # 1-based inclusive and clips at the end, matching F.slice's
+        # shorter-final-window behavior.
+        "chunk_docs": f"""
+            WITH t AS (SELECT doc_id, {_ws_split_sql()} AS toks FROM documents),
+            s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+            mm AS (SELECT *, CASE WHEN n <= {CHUNK_WINDOW} THEN 1
+                                  ELSE 1 + (n - {CHUNK_WINDOW} + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE}
+                             END AS m FROM s),
+            c AS (SELECT doc_id, toks, UNNEST(generate_series(0, m - 1)) AS chunk_idx FROM mm)
+            SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+                   CAST(chunk_idx * {CHUNK_STRIDE} + 1 AS INT) AS start_tok,
+                   CAST(len(toks[(chunk_idx * {CHUNK_STRIDE} + 1):(chunk_idx * {CHUNK_STRIDE} + {CHUNK_WINDOW})]) AS INT) AS n_tok,
+                   array_to_string(toks[(chunk_idx * {CHUNK_STRIDE} + 1):(chunk_idx * {CHUNK_STRIDE} + {CHUNK_WINDOW})], ' ') AS chunk_text
+            FROM c
         """,
         "lang_id_docs": f"""
             WITH base AS (SELECT doc_id, {_ws_split_sql()} AS ws FROM documents),

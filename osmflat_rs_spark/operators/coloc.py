@@ -1,0 +1,133 @@
+"""Spatiotemporal co-location join: all pairs of points within BOTH a
+distance radius and a time window — the trajectory-analytics primitive
+("who was near whom, when") that composes the engine's spatial grid with
+a time-bucket grid in ONE composite equi-join.
+
+Spark-first shape: no UDF, no crossJoin, no driver loop. Each point owns
+exactly one (cell_x, cell_y, time_bucket) key; one side explodes to its
+3x3x3 neighborhood (27 keys) and the pair space collapses to a hash
+equi-join on the composite key, followed by the exact predicate. The
+grid is sized so one cell >= the radius in both axes and one bucket ==
+the window, which makes the neighborhood a SUPERSET of the metric
+spacetime ball — exactness by construction, same contract as
+``knn.radius_join``'s covers.
+
+Scale: candidates are Theta(sum over keys of n_a(key) * n_b(key)) — the
+standard grid-hash co-location bound (cf. the public GeoSpark/Sedona
+distance-join design). At 10^12 points pick (radius, window) so a
+spacetime cell holds O(1)-O(100) points; hot cells (a stadium at kickoff)
+are classic skew — AQE's skew-join split handles the join stage, and the
+27x explode is map-side (no shuffle of its own). No reference analog
+(the reference has no temporal column at all); north-rule spatial
+surface alongside PIP / kNN / radius.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+from osmflat_rs_spark.functions import cells
+
+# lat axis quantizer span (functions/cells.py:59-67): 1.8e9 fixed units
+# over 2^res cells; the lat cell is the narrower axis (lon spans 3.6e9),
+# so sizing res off lat guarantees BOTH axes >= radius.
+_LAT_SPAN_FIXED = 1_800_000_000
+
+
+def pick_coloc_res(radius_fixed: int) -> int:
+    """Finest res whose lat cell width still >= ``radius_fixed`` (then
+    the 3x3 cell neighborhood covers the +-radius square exactly)."""
+    if radius_fixed <= 0:
+        raise ValueError(f"radius must be positive, got {radius_fixed}")
+    res = int(math.floor(math.log2(_LAT_SPAN_FIXED / radius_fixed)))
+    return max(0, min(cells.MAX_RES, res))
+
+
+def _floordiv(col, divisor: int):
+    # exact floor division for any-sign int64 (DIV truncates toward
+    # zero; pmod is non-negative, so subtracting it first makes the
+    # quotient exact floor) — no double round-trip at microsecond scale
+    return (col - F.pmod(col, F.lit(divisor))) / F.lit(divisor)
+
+
+def coloc_pairs(
+    points: DataFrame,
+    radius: int,
+    window_us: int,
+    id_col: str = "event_id",
+    t_col: str = "t_us",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    res: int | None = None,
+) -> DataFrame:
+    """Self-join co-location: all UNORDERED pairs (id_a < id_b) with
+    squared fixed-point distance d2 <= radius**2 AND |t_a - t_b| <=
+    ``window_us``. -> DataFrame(id_a, id_b, d2, dt_us), exact ints.
+
+    Inputs are fixed-point WGS84 ints (1e7/degree, the engine-wide
+    convention) and int64 microseconds. Metric is squared euclidean in
+    fixed units (planar; callers at high latitude / antimeridian data
+    should pre-project, same caveat as ``knn`` metric='sqeuclid').
+    Distance squares stay exact in int64 for coordinate diffs up to
+    2^31-1 fixed units (~214 degrees) — the whole WGS84 domain.
+
+    Exactly-once pairs, no dedup step: a row owns ONE composite key; the
+    exploded 27-key neighborhood of the other side is distinct, so each
+    (a, b) meets on at most one key. Quantization is a monotone clamp,
+    so |q(u) - q(v)| <= 1 whenever |u - v| <= cell width — the
+    neighborhood is a superset of every within-bounds pair.
+    """
+    if window_us <= 0:
+        raise ValueError(f"window_us must be positive, got {window_us}")
+    r = res if res is not None else pick_coloc_res(int(radius))
+    ix, iy = cells.grid_exprs(F.col(lat_col).cast("long"), F.col(lon_col).cast("long"), r)
+    base = points.select(
+        F.col(id_col).alias("_cid"),
+        F.col(lat_col).cast("long").alias("_lat"),
+        F.col(lon_col).cast("long").alias("_lon"),
+        F.col(t_col).cast("long").alias("_t"),
+        ix.alias("_ix"),
+        iy.alias("_iy"),
+        _floordiv(F.col(t_col).cast("long"), int(window_us)).cast("long").alias("_tb"),
+    ).filter(
+        F.col("_lat").isNotNull() & F.col("_lon").isNotNull() & F.col("_t").isNotNull()
+    )
+
+    off = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    left = (
+        base.withColumn("_dx", F.explode(off))
+        .withColumn("_dy", F.explode(off))
+        .withColumn("_db", F.explode(off))
+        .select(
+            F.col("_cid").alias("id_a"),
+            F.col("_lat").alias("lat_a"),
+            F.col("_lon").alias("lon_a"),
+            F.col("_t").alias("t_a"),
+            (F.col("_ix") + F.col("_dx")).alias("_jx"),
+            (F.col("_iy") + F.col("_dy")).alias("_jy"),
+            (F.col("_tb") + F.col("_db")).alias("_jb"),
+        )
+    )
+    right = base.select(
+        F.col("_cid").alias("id_b"),
+        F.col("_lat").alias("lat_b"),
+        F.col("_lon").alias("lon_b"),
+        F.col("_t").alias("t_b"),
+        F.col("_ix").alias("_jx"),
+        F.col("_iy").alias("_jy"),
+        F.col("_tb").alias("_jb"),
+    )
+    dlat = F.col("lat_a") - F.col("lat_b")
+    dlon = F.col("lon_a") - F.col("lon_b")
+    d2 = (dlat * dlat + dlon * dlon).alias("d2")
+    dt = F.abs(F.col("t_a") - F.col("t_b")).alias("dt_us")
+    return (
+        left.join(right, ["_jx", "_jy", "_jb"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", d2, dt)
+        .filter(
+            (F.col("d2") <= F.lit(int(radius) ** 2)) & (F.col("dt_us") <= F.lit(int(window_us)))
+        )
+    )

@@ -375,3 +375,52 @@ def unigram_logprob(
         F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
         F.col("avg_neg_log2p"),
     )
+
+
+def chunk_tokens(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window token chunking — the training-data op that splits
+    long documents into fixed-size overlapping context windows (the
+    HuggingFace ``return_overflowing_tokens``-with-stride convention):
+    chunk k covers tokens [k*stride+1, k*stride+window] (1-based), the
+    LAST chunk may be short, and n <= window docs yield exactly one
+    chunk. Chunk count m = 1 if n <= window else ceil((n-window)/stride)
+    + 1, so the final window always reaches token n (full coverage, no
+    dropped tail). -> (id, chunk_idx, start_tok, n_tok, chunk_text).
+
+    Pure Catalyst end to end: the ``words_expr`` whitespace contract
+    (same WS class as every other text op), one ``F.sequence`` explode,
+    ``F.slice`` + ``array_join`` re-materialization — codegen'd, no UDF,
+    no shuffle at all (chunking is embarrassingly row-parallel; at
+    10^12 docs the op is a map stage whose output is ~(avg_n/stride)x
+    the input rows — size the downstream shuffle partitions for THAT
+    row count, not the input's). Whitespace-only/empty text tokenizes
+    to [''] (the engine-wide words_expr contract), so every doc emits
+    >= 1 chunk row and chunk_text round-trips the (lowercased,
+    squeezed) token stream exactly: array_join over single-space equals
+    the tokenizer's inverse on the stripped text.
+    """
+    if window <= 0 or stride <= 0:
+        raise ValueError(f"window and stride must be positive, got {window}/{stride}")
+    n = F.size(F.col("_toks"))
+    m = F.when(n <= window, F.lit(1)).otherwise(
+        F.lit(1) + (n - window + stride - 1 - F.pmod(n - window + stride - 1, stride)) / stride
+    ).cast("int")
+    start = (F.col("chunk_idx") * stride + 1).cast("int")
+    chunk = F.slice(F.col("_toks"), start, window)
+    return (
+        docs.select(F.col(id_col), words_expr(F.col(text_col)).alias("_toks"))
+        .withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), m - 1)))
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx"),
+            start.alias("start_tok"),
+            F.size(chunk).cast("int").alias("n_tok"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )

@@ -1,0 +1,174 @@
+"""Co-location join (operators/coloc.py) and sliding-window chunking
+(textops.chunk_tokens) vs independent pandas/NumPy oracles."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from osmflat_rs_spark.operators.coloc import coloc_pairs, pick_coloc_res
+from osmflat_rs_spark.operators.textops import chunk_tokens
+
+
+def _brute_pairs(pdf: pd.DataFrame, radius: int, window_us: int) -> set:
+    ids = pdf["event_id"].to_numpy()
+    lat = pdf["lat"].to_numpy(dtype=np.int64)
+    lon = pdf["lon"].to_numpy(dtype=np.int64)
+    t = pdf["t_us"].to_numpy(dtype=np.int64)
+    out = set()
+    for i in range(len(pdf)):
+        d2 = (lat - lat[i]) ** 2 + (lon - lon[i]) ** 2
+        dt = np.abs(t - t[i])
+        hit = (d2 <= radius * radius) & (dt <= window_us) & (ids > ids[i])
+        for j in np.nonzero(hit)[0]:
+            out.add((int(ids[i]), int(ids[j]), int(d2[j]), int(dt[j])))
+    return out
+
+
+def _synth_points(n: int, seed: int, lat0=524_000_000, lon0=132_000_000) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "lat": lat0 + rng.integers(0, 2_000_000, n),
+            "lon": lon0 + rng.integers(0, 4_000_000, n),
+            "t_us": rng.integers(0, 3_000_000_000_000, n),  # ~35 days
+        }
+    )
+
+
+def test_coloc_matches_bruteforce(spark):
+    pdf = _synth_points(400, seed=7)
+    radius, window = 150_000, 172_800_000_000  # 2 days over a ~35-day span
+    got = coloc_pairs(
+        spark.createDataFrame(pdf), radius=radius, window_us=window
+    ).toPandas()
+    want = _brute_pairs(pdf, radius, window)
+    assert len(got) == len(want) > 30  # non-trivial pair count
+    assert set(map(tuple, got[["id_a", "id_b", "d2", "dt_us"]].itertuples(index=False))) == want
+
+
+def test_coloc_exact_boundaries(spark):
+    # pairs sitting EXACTLY on the radius and window boundaries are in;
+    # one unit past is out — int arithmetic end to end, no FP fuzz
+    r, w = 1000, 1_000_000
+    rows = [
+        (0, 100_000, 100_000, 500_000),
+        (1, 100_000 + r, 100_000, 500_000),          # d == r exactly
+        (2, 100_000 + r + 1, 100_000, 500_000),      # d == r+1: out
+        (3, 100_000, 100_000, 500_000 + w),          # dt == w exactly
+        (4, 100_000, 100_000, 500_000 + w + 1),      # dt == w+1: out (vs 0)
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "lat", "lon", "t_us"])
+    got = coloc_pairs(spark.createDataFrame(pdf), radius=r, window_us=w).toPandas()
+    pairs = set(map(tuple, got[["id_a", "id_b"]].itertuples(index=False)))
+    assert (0, 1) in pairs and (0, 3) in pairs
+    assert (0, 2) not in pairs and (0, 4) not in pairs
+    assert pairs == {p[:2] for p in _brute_pairs(pdf, r, w)}
+
+
+def test_coloc_grid_edge_and_negative_time(spark):
+    # points at the quantizer's clamped corners and with negative
+    # timestamps (pre-1970): the floor-div bucket must stay exact
+    r, w = 50_000, 1_000_000
+    rows = [
+        (0, -900_000_000, -1_800_000_000, -5_000_001),
+        (1, -900_000_000 + 30_000, -1_800_000_000, -4_500_000),  # in: d=30k, dt=500001
+        (2, 900_000_000, 1_799_999_999, 123),
+        (3, 900_000_000 - 40_000, 1_799_999_999, 999_999),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "lat", "lon", "t_us"])
+    got = coloc_pairs(spark.createDataFrame(pdf), radius=r, window_us=w).toPandas()
+    want = _brute_pairs(pdf, r, w)
+    assert set(map(tuple, got[["id_a", "id_b", "d2", "dt_us"]].itertuples(index=False))) == want
+    assert (2, 3) in {p[:2] for p in want}  # the corner pair is real
+
+
+def test_coloc_pair_uniqueness_random(spark):
+    pdf = _synth_points(300, seed=13)
+    got = coloc_pairs(
+        spark.createDataFrame(pdf), radius=400_000, window_us=50_000_000_000
+    ).toPandas()
+    assert got.duplicated(["id_a", "id_b"]).sum() == 0
+    assert (got["id_a"] < got["id_b"]).all()
+
+
+def test_pick_coloc_res():
+    # finest res whose lat cell still >= radius
+    for radius in [1, 100, 100_000, 1_800_000_000]:
+        res = pick_coloc_res(radius)
+        assert 1_800_000_000 / (1 << res) >= radius or res == 30
+        if res < 30:
+            assert 1_800_000_000 / (1 << (res + 1)) < radius
+    with pytest.raises(ValueError):
+        pick_coloc_res(0)
+
+
+# ---------------------------------------------------------------------------
+# chunk_tokens
+# ---------------------------------------------------------------------------
+
+
+def _chunk_oracle(text: str, window: int, stride: int):
+    import re
+
+    # engine WS contract: strip edges, split on WS runs; '' for empty
+    # (independent restatement, same class as test_training_ops.WS_PY)
+    WS_PY = "[\t\n\x0b\f\r \u0085\u00a0\u1680\u2000-\u200a\u2028\u2029\u202f\u205f\u3000]"
+
+    s = re.sub(f"^{WS_PY}+|{WS_PY}+$", "", text.lower())
+    toks = re.split(f"{WS_PY}+", s)
+    n = len(toks)
+    m = 1 if n <= window else 1 + math.ceil((n - window) / stride)
+    out = []
+    for k in range(m):
+        start = k * stride + 1
+        chunk = toks[start - 1 : start - 1 + window]
+        out.append((k, start, len(chunk), " ".join(chunk)))
+    return out
+
+
+CHUNK_CASES = [
+    "",
+    "one",
+    " padded  edges and　unicode ",
+    " ".join(f"w{i}" for i in range(7)),    # n == window
+    " ".join(f"w{i}" for i in range(8)),    # n == window+1: 2 chunks
+    " ".join(f"w{i}" for i in range(12)),   # n == window+stride: still 2
+    " ".join(f"w{i}" for i in range(13)),   # 3 chunks
+    " ".join(f"w{i}" for i in range(100)),  # long tail, short last chunk
+]
+
+
+def test_chunk_tokens_matches_oracle(spark):
+    W, S = 7, 5
+    pdf = pd.DataFrame({"doc_id": range(len(CHUNK_CASES)), "text": CHUNK_CASES})
+    got = (
+        chunk_tokens(spark.createDataFrame(pdf), "doc_id", "text", window=W, stride=S)
+        .orderBy("doc_id", "chunk_idx")
+        .toPandas()
+    )
+    want = []
+    for i, txt in enumerate(CHUNK_CASES):
+        for row in _chunk_oracle(txt, W, S):
+            want.append((i,) + row)
+    assert list(map(tuple, got.itertuples(index=False))) == want
+
+
+def test_chunk_tokens_full_coverage_property(spark):
+    # every token index is covered by >= 1 chunk; consecutive chunks
+    # overlap by exactly window-stride except the (possibly short) last
+    W, S = 64, 48
+    rng = np.random.default_rng(3)
+    texts = [" ".join(f"t{j}" for j in range(n)) for n in rng.integers(1, 400, 25)]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = chunk_tokens(spark.createDataFrame(pdf), "doc_id", "text", window=W, stride=S).toPandas()
+    for doc_id, g in got.groupby("doc_id"):
+        n = len(texts[doc_id].split())
+        ends = (g["start_tok"] + g["n_tok"] - 1).max()
+        assert ends == n  # tail reached exactly
+        assert (g["start_tok"].sort_values().diff().dropna() == S).all()
+    with pytest.raises(ValueError):
+        chunk_tokens(spark.createDataFrame(pdf), "doc_id", "text", window=0, stride=S)
