@@ -74,6 +74,10 @@ COLOC_WINDOW_US = 3_600_000_000
 # both appear in the gate data
 CHUNK_WINDOW, CHUNK_STRIDE = 64, 48
 
+# packing gate: capacity well under typical doc length so documents
+# split across sequence boundaries (the packing-specific behavior)
+PACK_CAPACITY = 100
+
 _SW_EN = ["the", "a", "of", "and", "to", "in", "is"]
 _SW_DE = ["der", "die", "das", "und", "ist", "ein"]
 _SW_FR = ["le", "la", "les", "et", "est", "un"]
@@ -900,6 +904,21 @@ def q_chunk_docs(spark, sf_dir):
     )
 
 
+def q_pack_docs(spark, sf_dir):
+    """GPT-style sequence packing (``textops.pack_sequences``, r5) —
+    concat-all-docs-in-id-order + fixed-capacity split, docs crossing
+    boundaries split across sequences. The engine computes offsets with
+    the scalable two-pass prefix sum; the oracle states the naive
+    1-partition window SUM — same numbers, opposite plan (the
+    dense_index_orders pattern)."""
+    from osmflat_rs_spark.operators.textops import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        capacity=PACK_CAPACITY, sep_tokens=1,
+    )
+
+
 def q_lang_id_docs(spark, sf_dir):
     from osmflat_rs_spark.operators.textops import lang_id
 
@@ -1668,6 +1687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_offsets_docs": q_string_offsets_docs,
         "token_count_docs": q_token_count_docs,
         "chunk_docs": q_chunk_docs,
+        "pack_docs": q_pack_docs,
         "lang_id_docs": q_lang_id_docs,
         "quality_docs": q_quality_docs,
         "tfidf_docs": q_tfidf_docs,
@@ -2225,6 +2245,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(toks[(chunk_idx * {CHUNK_STRIDE} + 1):(chunk_idx * {CHUNK_STRIDE} + {CHUNK_WINDOW})]) AS INT) AS n_tok,
                    array_to_string(toks[(chunk_idx * {CHUNK_STRIDE} + 1):(chunk_idx * {CHUNK_STRIDE} + {CHUNK_WINDOW})], ' ') AS chunk_text
             FROM c
+        """,
+        # packing: naive window-SUM offsets + generate_series segment
+        # explode — the engine's two-pass prefix sum must agree exactly.
+        "pack_docs": f"""
+            WITH t AS (SELECT doc_id, len({_ws_split_sql()}) AS n FROM documents),
+            o AS (SELECT doc_id, n,
+                         CAST(COALESCE(SUM(n + 1) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                              AS BIGINT) AS g_off
+                  FROM t),
+            e AS (SELECT *, UNNEST(generate_series(g_off // {PACK_CAPACITY},
+                                                   (g_off + n - 1) // {PACK_CAPACITY})) AS seq_id
+                  FROM o)
+            SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+                   CAST(GREATEST(g_off, seq_id * {PACK_CAPACITY}) - g_off AS BIGINT) AS doc_tok_start,
+                   CAST(LEAST(g_off + n - 1, (seq_id + 1) * {PACK_CAPACITY} - 1)
+                        - GREATEST(g_off, seq_id * {PACK_CAPACITY}) + 1 AS BIGINT) AS n_tok,
+                   CAST(GREATEST(g_off, seq_id * {PACK_CAPACITY}) - seq_id * {PACK_CAPACITY} AS BIGINT) AS seq_off
+            FROM e
         """,
         "lang_id_docs": f"""
             WITH base AS (SELECT doc_id, {_ws_split_sql()} AS ws FROM documents),

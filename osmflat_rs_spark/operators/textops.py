@@ -424,3 +424,67 @@ def chunk_tokens(
             F.array_join(chunk, " ").alias("chunk_text"),
         )
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    capacity: int = 2048,
+    sep_tokens: int = 1,
+) -> DataFrame:
+    """GPT-style sequence packing — the training-data op that
+    concatenates every document's token stream in ``id_col`` order
+    (with ``sep_tokens`` virtual separator slots — the EOS convention —
+    after each doc) and splits the global stream into fixed-``capacity``
+    training sequences, documents crossing boundaries split across
+    sequences (the concat-and-chunk packing of GPT-2/3 pipelines, vs
+    ``chunk_tokens``'s per-doc windows).
+
+    -> (seq_id, <id_col>, doc_tok_start, n_tok, seq_off): which 0-based
+    token range of each doc lands where in which sequence — the segment
+    map downstream materialization joins against (it never re-reads the
+    global stream). Separator slots occupy positions but are virtual —
+    they never appear as output tokens, so a sequence's segments can sum
+    to < capacity.
+
+    Scale shape: the ONLY global coordination is the exclusive prefix
+    sum of (n_tok + sep) in id order, delegated to
+    ``plans.indexing.exclusive_prefix_sum`` (range partition + per-
+    partition totals + driver-side #partitions-sized prefix — never a
+    1-partition window). Everything after is per-row arithmetic + one
+    bounded explode (a doc spans ceil(n/capacity)+1 sequences at most).
+    At 10^12 docs the op is two scans and one range shuffle. Exact-int
+    contract: positions stay < 2^53 (10^15 tokens) — beyond that, split
+    the corpus into packing epochs.
+    """
+    if capacity <= 0 or sep_tokens < 0:
+        raise ValueError(f"capacity must be positive, sep_tokens >= 0, got {capacity}/{sep_tokens}")
+    from osmflat_rs_spark.plans.indexing import exclusive_prefix_sum
+
+    base = docs.select(
+        F.col(id_col), F.size(words_expr(F.col(text_col))).cast("long").alias("n_tok_doc")
+    )
+    off = exclusive_prefix_sum(
+        base, id_col, F.col("n_tok_doc") + F.lit(int(sep_tokens)), out_col="g_off"
+    )
+
+    def fdiv(col):  # exact floor-div for non-negative int64 positions
+        return ((col - F.pmod(col, F.lit(capacity))) / F.lit(capacity)).cast("long")
+
+    first = fdiv(F.col("g_off"))
+    last = fdiv(F.col("g_off") + F.col("n_tok_doc") - 1)
+    seg_start = F.greatest(F.col("g_off"), F.col("seq_id") * capacity)
+    seg_end = F.least(
+        F.col("g_off") + F.col("n_tok_doc") - 1, (F.col("seq_id") + 1) * capacity - 1
+    )
+    return (
+        off.withColumn("seq_id", F.explode(F.sequence(first, last)))
+        .select(
+            F.col("seq_id"),
+            F.col(id_col),
+            (seg_start - F.col("g_off")).alias("doc_tok_start"),
+            (seg_end - seg_start + 1).alias("n_tok"),
+            (seg_start - F.col("seq_id") * capacity).alias("seq_off"),
+        )
+    )

@@ -172,3 +172,72 @@ def test_chunk_tokens_full_coverage_property(spark):
         assert (g["start_tok"].sort_values().diff().dropna() == S).all()
     with pytest.raises(ValueError):
         chunk_tokens(spark.createDataFrame(pdf), "doc_id", "text", window=0, stride=S)
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences
+# ---------------------------------------------------------------------------
+
+
+def _pack_oracle(token_counts, capacity, sep):
+    """(seq_id, idx, doc_tok_start, n_tok, seq_off) rows, id order."""
+    out, off = [], 0
+    for i, n in enumerate(token_counts):
+        first, last = off // capacity, (off + n - 1) // capacity
+        for s in range(first, last + 1):
+            a = max(off, s * capacity)
+            b = min(off + n - 1, (s + 1) * capacity - 1)
+            out.append((s, i, a - off, b - a + 1, a - s * capacity))
+        off += n + sep
+    return out
+
+
+def test_pack_sequences_matches_oracle(spark):
+    from osmflat_rs_spark.operators.textops import pack_sequences
+
+    cap, sep = 10, 1
+    # lengths hit: empty([''] -> 1), exact-capacity, > capacity (3 seqs),
+    # and a run that lands a doc start exactly on a boundary
+    lengths = [3, 0, 10, 25, 1, 7, 9, 2, 30, 5]
+    texts = [" ".join(f"w{j}" for j in range(n)) if n else "" for n in lengths]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = (
+        pack_sequences(spark.createDataFrame(pdf), "doc_id", "text", capacity=cap, sep_tokens=sep)
+        .orderBy("doc_id", "seq_id")
+        .toPandas()
+    )
+    # words_expr gives max(n,1) tokens ('' for the empty doc)
+    want = _pack_oracle([max(n, 1) for n in lengths], cap, sep)
+    want.sort(key=lambda r: (r[1], r[0]))
+    assert list(map(tuple, got.itertuples(index=False))) == want
+
+
+def test_pack_sequences_tiling_properties(spark):
+    from osmflat_rs_spark.operators.textops import pack_sequences
+
+    cap = 64
+    rng = np.random.default_rng(11)
+    lengths = rng.integers(1, 300, 40)
+    texts = [" ".join(f"t{j}" for j in range(n)) for n in lengths]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = pack_sequences(
+        spark.createDataFrame(pdf), "doc_id", "text", capacity=cap, sep_tokens=0
+    ).toPandas()
+    # with sep=0 the segments tile the global stream with no gaps:
+    # every sequence except the last is exactly full
+    per_seq = got.groupby("seq_id")["n_tok"].sum().sort_index()
+    assert (per_seq.iloc[:-1] == cap).all() and 0 < per_seq.iloc[-1] <= cap
+    # per-doc reconstruction: segment ranges concatenate to [0, n)
+    for doc_id, g in got.groupby("doc_id"):
+        g = g.sort_values("seq_id")
+        assert g["doc_tok_start"].iloc[0] == 0
+        assert (g["doc_tok_start"] + g["n_tok"]).iloc[-1] == lengths[doc_id]
+        assert (g["doc_tok_start"].iloc[1:].to_numpy()
+                == (g["doc_tok_start"] + g["n_tok"]).iloc[:-1].to_numpy()).all()
+    # segments within a sequence never overlap
+    for seq_id, g in got.groupby("seq_id"):
+        g = g.sort_values("seq_off")
+        assert (g["seq_off"].iloc[1:].to_numpy()
+                >= (g["seq_off"] + g["n_tok"]).iloc[:-1].to_numpy()).all()
+    with pytest.raises(ValueError):
+        pack_sequences(spark.createDataFrame(pdf), "doc_id", "text", capacity=0)
