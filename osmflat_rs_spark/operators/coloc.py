@@ -17,7 +17,10 @@ standard grid-hash co-location bound (cf. the public GeoSpark/Sedona
 distance-join design). At 10^12 points pick (radius, window) so a
 spacetime cell holds O(1)-O(100) points; hot cells (a stadium at kickoff)
 are classic skew — AQE's skew-join split handles the join stage, and the
-27x explode is map-side (no shuffle of its own). No reference analog
+27x explode is map-side (no shuffle of its own). Every point-side op is
+stateless (Project / explode / equi-join / Filter), so the identical
+plan runs under Structured Streaming as a stream-static join
+(streaming/incremental.py:stream_coloc_assign). No reference analog
 (the reference has no temporal column at all); north-rule spatial
 surface alongside PIP / kNN / radius.
 """
@@ -49,7 +52,75 @@ def _floordiv(col, divisor: int):
     # exact floor division for any-sign int64 (DIV truncates toward
     # zero; pmod is non-negative, so subtracting it first makes the
     # quotient exact floor) — no double round-trip at microsecond scale
+    # (numerator < 2^53 us =~ year 2255 stays exact through the double)
     return (col - F.pmod(col, F.lit(divisor))) / F.lit(divisor)
+
+
+def _keyed(
+    points: DataFrame, id_col: str, t_col: str, lat_col: str, lon_col: str,
+    res: int, window_us: int,
+) -> DataFrame:
+    """One composite spacetime key per point: (_ix, _iy, _tb) + carried
+    coords; null coords/times dropped (same guard as every cell op)."""
+    ix, iy = cells.grid_exprs(F.col(lat_col).cast("long"), F.col(lon_col).cast("long"), res)
+    return points.select(
+        F.col(id_col).alias("_cid"),
+        F.col(lat_col).cast("long").alias("_lat"),
+        F.col(lon_col).cast("long").alias("_lon"),
+        F.col(t_col).cast("long").alias("_t"),
+        ix.alias("_ix"),
+        iy.alias("_iy"),
+        _floordiv(F.col(t_col).cast("long"), int(window_us)).cast("long").alias("_tb"),
+    ).filter(
+        F.col("_lat").isNotNull() & F.col("_lon").isNotNull() & F.col("_t").isNotNull()
+    )
+
+
+def _exploded(base: DataFrame, id_out: str, suffix: str) -> DataFrame:
+    """The 3x3x3 neighborhood fan-out (map-side, 27 distinct keys)."""
+    off = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    return (
+        base.withColumn("_dx", F.explode(off))
+        .withColumn("_dy", F.explode(off))
+        .withColumn("_db", F.explode(off))
+        .select(
+            F.col("_cid").alias(id_out),
+            F.col("_lat").alias(f"lat_{suffix}"),
+            F.col("_lon").alias(f"lon_{suffix}"),
+            F.col("_t").alias(f"t_{suffix}"),
+            (F.col("_ix") + F.col("_dx")).alias("_jx"),
+            (F.col("_iy") + F.col("_dy")).alias("_jy"),
+            (F.col("_tb") + F.col("_db")).alias("_jb"),
+        )
+    )
+
+
+def _plain(base: DataFrame, id_out: str, suffix: str) -> DataFrame:
+    return base.select(
+        F.col("_cid").alias(id_out),
+        F.col("_lat").alias(f"lat_{suffix}"),
+        F.col("_lon").alias(f"lon_{suffix}"),
+        F.col("_t").alias(f"t_{suffix}"),
+        F.col("_ix").alias("_jx"),
+        F.col("_iy").alias("_jy"),
+        F.col("_tb").alias("_jb"),
+    )
+
+
+def _exact(joined: DataFrame, id_a: str, id_b: str, radius: int, window_us: int) -> DataFrame:
+    dlat = F.col("lat_a") - F.col("lat_b")
+    dlon = F.col("lon_a") - F.col("lon_b")
+    return (
+        joined.select(
+            id_a,
+            id_b,
+            (dlat * dlat + dlon * dlon).alias("d2"),
+            F.abs(F.col("t_a") - F.col("t_b")).alias("dt_us"),
+        )
+        .filter(
+            (F.col("d2") <= F.lit(int(radius) ** 2)) & (F.col("dt_us") <= F.lit(int(window_us)))
+        )
+    )
 
 
 def coloc_pairs(
@@ -82,52 +153,38 @@ def coloc_pairs(
     if window_us <= 0:
         raise ValueError(f"window_us must be positive, got {window_us}")
     r = res if res is not None else pick_coloc_res(int(radius))
-    ix, iy = cells.grid_exprs(F.col(lat_col).cast("long"), F.col(lon_col).cast("long"), r)
-    base = points.select(
-        F.col(id_col).alias("_cid"),
-        F.col(lat_col).cast("long").alias("_lat"),
-        F.col(lon_col).cast("long").alias("_lon"),
-        F.col(t_col).cast("long").alias("_t"),
-        ix.alias("_ix"),
-        iy.alias("_iy"),
-        _floordiv(F.col(t_col).cast("long"), int(window_us)).cast("long").alias("_tb"),
-    ).filter(
-        F.col("_lat").isNotNull() & F.col("_lon").isNotNull() & F.col("_t").isNotNull()
-    )
+    base = _keyed(points, id_col, t_col, lat_col, lon_col, r, window_us)
+    joined = _exploded(base, "id_a", "a").join(_plain(base, "id_b", "b"), ["_jx", "_jy", "_jb"])
+    return _exact(joined.filter(F.col("id_a") < F.col("id_b")), "id_a", "id_b", radius, window_us)
 
-    off = F.array(F.lit(-1), F.lit(0), F.lit(1))
-    left = (
-        base.withColumn("_dx", F.explode(off))
-        .withColumn("_dy", F.explode(off))
-        .withColumn("_db", F.explode(off))
-        .select(
-            F.col("_cid").alias("id_a"),
-            F.col("_lat").alias("lat_a"),
-            F.col("_lon").alias("lon_a"),
-            F.col("_t").alias("t_a"),
-            (F.col("_ix") + F.col("_dx")).alias("_jx"),
-            (F.col("_iy") + F.col("_dy")).alias("_jy"),
-            (F.col("_tb") + F.col("_db")).alias("_jb"),
-        )
-    )
-    right = base.select(
-        F.col("_cid").alias("id_b"),
-        F.col("_lat").alias("lat_b"),
-        F.col("_lon").alias("lon_b"),
-        F.col("_t").alias("t_b"),
-        F.col("_ix").alias("_jx"),
-        F.col("_iy").alias("_jy"),
-        F.col("_tb").alias("_jb"),
-    )
-    dlat = F.col("lat_a") - F.col("lat_b")
-    dlon = F.col("lon_a") - F.col("lon_b")
-    d2 = (dlat * dlat + dlon * dlon).alias("d2")
-    dt = F.abs(F.col("t_a") - F.col("t_b")).alias("dt_us")
-    return (
-        left.join(right, ["_jx", "_jy", "_jb"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", d2, dt)
-        .filter(
-            (F.col("d2") <= F.lit(int(radius) ** 2)) & (F.col("dt_us") <= F.lit(int(window_us)))
-        )
-    )
+
+def coloc_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius: int,
+    window_us: int,
+    left_id: str = "event_id",
+    right_id: str = "ref_id",
+    t_col: str = "t_us",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    res: int | None = None,
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Two-table co-location: every (left, right) pair within the
+    spacetime bounds -> (<left_id>, <right_id>, d2, dt_us). Same exact
+    superset construction as ``coloc_pairs``; the LEFT side carries the
+    27x explode, so put the bigger (or streaming) table on the left and
+    the reference set on the right (``broadcast_right=True`` pins the
+    broadcast when the reference is small — then the left table never
+    shuffles at all, the streaming-compatible shape)."""
+    if window_us <= 0:
+        raise ValueError(f"window_us must be positive, got {window_us}")
+    if left_id == right_id:
+        raise ValueError(f"left_id and right_id must differ, both are {left_id!r}")
+    r = res if res is not None else pick_coloc_res(int(radius))
+    lk = _exploded(_keyed(left, left_id, t_col, lat_col, lon_col, r, window_us), left_id, "a")
+    rk = _plain(_keyed(right, right_id, t_col, lat_col, lon_col, r, window_us), right_id, "b")
+    if broadcast_right:
+        rk = F.broadcast(rk)
+    return _exact(lk.join(rk, ["_jx", "_jy", "_jb"]), left_id, right_id, radius, window_us)

@@ -175,6 +175,61 @@ def stream_pip_assign(
     )
 
 
+def stream_coloc_assign(
+    spark,
+    points_dir: str,
+    schema,
+    reference,
+    out_dir: str,
+    checkpoint_dir: str,
+    radius: int,
+    window_us: int,
+    point_id: str = "event_id",
+    ref_id: str = "ref_id",
+    t_col: str = "t_us",
+    lat: str = "lat",
+    lon: str = "lon",
+    res: int | None = None,
+):
+    """Stream-static co-location: points arriving as files are paired
+    with every STATIC reference point within the spacetime bounds
+    (radius, window_us), exactly once, by composing the verified batch
+    kernel (operators/coloc.py:coloc_join) onto a streaming source. The
+    stream side carries the stateless 27x neighborhood explode and the
+    reference side is broadcast (``broadcast_right=True``), so the plan
+    is Project -> explode -> BroadcastHashJoin -> Filter — append mode,
+    no state store; the checkpoint tracks only source progress. The
+    live form of the geofence/proximity-alert workload ("which arriving
+    pings are near a known asset, at the right time").
+
+    Parquet append sink + checkpoint = exactly-once per input file;
+    restarts resume from the checkpoint. Returns the StreamingQuery."""
+    from osmflat_rs_spark.operators.coloc import coloc_join
+
+    stream = spark.readStream.schema(schema).parquet(points_dir)
+    pairs = coloc_join(
+        stream,
+        reference,
+        radius=radius,
+        window_us=window_us,
+        left_id=point_id,
+        right_id=ref_id,
+        t_col=t_col,
+        lat_col=lat,
+        lon_col=lon,
+        res=res,
+        broadcast_right=True,
+    )
+    return (
+        pairs.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_windowed_event_counts(spark, events_dir: str, schema, checkpoint_dir: str,
                                  window: str = "1 hour", watermark: str = "2 hours"):
     """Watermarked sliding-free tumbling-window aggregation over an event

@@ -241,3 +241,68 @@ def test_pack_sequences_tiling_properties(spark):
                 >= (g["seq_off"] + g["n_tok"]).iloc[:-1].to_numpy()).all()
     with pytest.raises(ValueError):
         pack_sequences(spark.createDataFrame(pdf), "doc_id", "text", capacity=0)
+
+
+# ---------------------------------------------------------------------------
+# coloc_join (two-table) + stream_coloc_assign
+# ---------------------------------------------------------------------------
+
+
+def test_coloc_join_two_table_matches_bruteforce(spark):
+    from osmflat_rs_spark.operators.coloc import coloc_join
+
+    pts = _synth_points(300, seed=21)
+    ref = _synth_points(40, seed=22).rename(columns={"event_id": "ref_id"})
+    r, w = 400_000, 1_000_000_000_000
+    got = coloc_join(
+        spark.createDataFrame(pts), spark.createDataFrame(ref),
+        radius=r, window_us=w, broadcast_right=True,
+    ).toPandas()
+    want = set()
+    for a in pts.itertuples():
+        for b in ref.itertuples():
+            d2 = int(a.lat - b.lat) ** 2 + int(a.lon - b.lon) ** 2
+            dt = abs(int(a.t_us - b.t_us))
+            if d2 <= r * r and dt <= w:
+                want.add((a.event_id, b.ref_id, d2, dt))
+    assert set(map(tuple, got.itertuples(index=False))) == want
+    assert len(want) > 100  # non-trivial pair count
+    with pytest.raises(ValueError):
+        coloc_join(spark.createDataFrame(pts), spark.createDataFrame(ref),
+                   radius=r, window_us=w, left_id="event_id", right_id="event_id")
+
+
+def test_stream_coloc_assign_matches_batch_exactly_once(spark, tmp_path):
+    from osmflat_rs_spark.operators.coloc import coloc_join
+    from osmflat_rs_spark.streaming.incremental import stream_coloc_assign
+
+    pts = _synth_points(400, seed=31)
+    ref = _synth_points(30, seed=32).rename(columns={"event_id": "ref_id"})
+    r, w = 250_000, 200_000_000_000
+    pts_dir, out_dir, ckpt = str(tmp_path / "pts"), str(tmp_path / "out"), str(tmp_path / "ck")
+    spark.createDataFrame(pts.iloc[:200]).write.mode("append").parquet(pts_dir)
+    spark.createDataFrame(pts.iloc[200:]).write.mode("append").parquet(pts_dir)
+    ref_df = spark.createDataFrame(ref)
+
+    schema = "event_id long, lat long, lon long, t_us long"
+    q = stream_coloc_assign(
+        spark, pts_dir, schema, ref_df, out_dir, ckpt, radius=r, window_us=w
+    )
+    q.awaitTermination(180)
+    got_rows = spark.read.parquet(out_dir).collect()
+    got = {(r2["event_id"], r2["ref_id"], r2["d2"], r2["dt_us"]) for r2 in got_rows}
+    assert len(got_rows) == len(got)  # no duplicate pairs
+    want = {
+        tuple(r2)
+        for r2 in coloc_join(
+            spark.read.parquet(pts_dir), ref_df, radius=r, window_us=w
+        ).collect()
+    }
+    assert got == want and len(got) > 10
+
+    # restart on the drained source appends nothing (exactly-once)
+    q2 = stream_coloc_assign(
+        spark, pts_dir, schema, ref_df, out_dir, ckpt, radius=r, window_us=w
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == len(got)
