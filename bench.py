@@ -1027,6 +1027,50 @@ def run_hotspot_bench(spark, cpus: int, n_points: int = 32_000_000) -> dict:
     return out
 
 
+def run_coloc_bench(spark, cpus: int, n_points: int = 16_000_000) -> dict:
+    """Spatiotemporal co-location self-join at constant spacetime
+    density: n points xxhash64-scattered over a grid x time-range sized
+    so each (cell, bucket) composite key holds ~8 points — the regime
+    the operator contracts for (docstring: pick (radius, window) so a
+    spacetime cell holds O(1)-O(100) points). What the bench pins: the
+    27x explode is map-side, the candidate stage is ONE hash equi-join,
+    and wall-clock tracks candidate count (~27 * 8 per exploded row),
+    not corpus^2."""
+    from pyspark.sql import functions as F
+
+    from osmflat_rs_spark.operators.coloc import coloc_pairs, pick_coloc_res
+
+    radius, window_us = 100_000, 3_600_000_000
+    res = pick_coloc_res(radius)
+    cell_lat = 1_800_000_000 >> res
+    cell_lon = 3_600_000_000 >> res
+    per_key = 8
+    n_keys = max(8, n_points // per_key)
+    # cube-ish split between two space axes and time
+    sx = max(1, round(n_keys ** (1 / 3)))
+    sy = sx
+    nb = max(1, n_keys // (sx * sy))
+    pts = spark.range(n_points).select(
+        F.col("id").alias("event_id"),
+        (F.lit(500_000_000) + F.abs(F.xxhash64(F.col("id"), F.lit(31))) % F.lit(sy * cell_lat))
+        .cast("long").alias("lat"),
+        (F.lit(100_000_000) + F.abs(F.xxhash64(F.col("id"), F.lit(32))) % F.lit(sx * cell_lon))
+        .cast("long").alias("lon"),
+        (F.abs(F.xxhash64(F.col("id"), F.lit(33))) % F.lit(nb * window_us))
+        .cast("long").alias("t_us"),
+    )
+    out = {"cpus": cpus, "n_points": n_points, "n_keys": sx * sy * nb, "res": res}
+    best = 1e9
+    for _ in range(2):
+        t0 = time.time()
+        n_pairs = coloc_pairs(pts, radius=radius, window_us=window_us).count()
+        best = min(best, time.time() - t0)
+    out["sec"] = round(best, 3)
+    out["n_pairs"] = n_pairs
+    out["points_per_sec"] = round(n_points / best)
+    return out
+
+
 def run_encode_bench(spark, cpus: int, n_points: int = 32_000_000) -> dict:
     """VERDICT r4 #5: measured contract for the cell-encode stage per
     backend — Morton is a pure-JVM codegen expression; S2 is a
@@ -1377,6 +1421,22 @@ def main():
             spark, cpus, n_points=int(os.environ.get("SPARK_GRAFT_HOTSPOT_N", "32000000"))
         )
         out["metric"] = "grid-density hotspot clustering throughput (constant density)"
+        out["unit"] = "points/sec"
+        print(json.dumps(out))
+        spark.stop()
+        return
+
+    if "--coloc" in sys.argv:
+        from osmflat_rs_spark.session import get_spark
+
+        cpus = CPUS if "--cpus" not in sys.argv else int(sys.argv[sys.argv.index("--cpus") + 1])
+        spark = get_spark(
+            "bench-coloc", master=f"local[{cpus}]", shuffle_partitions=max(8, 2 * cpus)
+        )
+        out = run_coloc_bench(
+            spark, cpus, n_points=int(os.environ.get("SPARK_GRAFT_COLOC_N", "16000000"))
+        )
+        out["metric"] = "spatiotemporal co-location self-join throughput (constant density)"
         out["unit"] = "points/sec"
         print(json.dumps(out))
         spark.stop()

@@ -154,7 +154,15 @@ def coloc_pairs(
         raise ValueError(f"window_us must be positive, got {window_us}")
     r = res if res is not None else pick_coloc_res(int(radius))
     base = _keyed(points, id_col, t_col, lat_col, lon_col, r, window_us)
-    joined = _exploded(base, "id_a", "a").join(_plain(base, "id_b", "b"), ["_jx", "_jy", "_jb"])
+    # Both sides ARE the corpus: pin a shuffle hash join so Catalyst's
+    # size estimate (spark.range lineage reports bytes-per-row only,
+    # blind to the 27x explode) can never pick a broadcast build of the
+    # full point set — observed driver OOM at 2M points. SHJ over SMJ:
+    # the composite key bounds a partition's build map at its share of
+    # rows, and no sort is needed for an existence-style equi-join.
+    joined = _exploded(base, "id_a", "a").join(
+        _plain(base, "id_b", "b").hint("shuffle_hash"), ["_jx", "_jy", "_jb"]
+    )
     return _exact(joined.filter(F.col("id_a") < F.col("id_b")), "id_a", "id_b", radius, window_us)
 
 
@@ -187,4 +195,9 @@ def coloc_join(
     rk = _plain(_keyed(right, right_id, t_col, lat_col, lon_col, r, window_us), right_id, "b")
     if broadcast_right:
         rk = F.broadcast(rk)
+    else:
+        # Caller declined the broadcast => treat the right table as big;
+        # don't let a blind size estimate re-pick broadcast (see
+        # coloc_pairs). Build side = right, the non-exploded table.
+        rk = rk.hint("shuffle_hash")
     return _exact(lk.join(rk, ["_jx", "_jy", "_jb"]), left_id, right_id, radius, window_us)

@@ -89,11 +89,17 @@ def exclusive_prefix_sum(
     osmflatc/src/strings.rs:134-145 offset += len+1).
 
     Same two-pass composition as ``assign_dense_index``: range-partition
-    by the order key (ONE shuffle), per-partition weight totals →
+    by the order key (the ONLY shuffle), per-partition weight totals →
     driver-side exclusive prefix (#partitions values), then an
-    intra-partition running sum via a window partitioned by the physical
-    partition id — every window partition is bounded by the range split,
-    never global. ``weight_col`` may be a Column expression.
+    intra-partition running Arrow cumsum (``mapInPandas`` over the
+    already-sorted cached partitions, partition offset captured in the
+    closure). A ``SUM OVER (PARTITION BY pid)`` window would instead
+    force a SECOND full-data ``Exchange hashpartitioning(_pid)`` —
+    Catalyst can't see that the rows already sit in those partitions —
+    and hashing #partitions distinct pids into #partitions buckets
+    collides, so some reducers carry 2-3 partitions of data (skew). The
+    map-only cumsum shuffles zero bytes. ``weight_col`` may be a Column
+    expression.
 
     Contract (ADVICE r02): ``order_col`` values must be UNIQUE — the
     prefix among tied rows would otherwise depend on the physical sort's
@@ -106,7 +112,6 @@ def exclusive_prefix_sum(
     the result (write/cache) and call ``spark.catalog.clearCache()`` or
     keep the default and let the ContextCleaner reclaim it."""
     import pyspark.sql.functions as _F
-    from pyspark.sql import Window
 
     spark = df.sparkSession
     n_part = num_partitions or spark.sparkContext.defaultParallelism
@@ -141,16 +146,34 @@ def exclusive_prefix_sum(
     for pid in sorted(totals):
         offsets[pid] = acc
         acc += totals[pid] or 0
-    off_df = spark.createDataFrame(
-        pd.DataFrame(sorted(offsets.items()), columns=["_pid", "_offset"]),
-        schema="_pid int, _offset long",
-    )
-    w = Window.partitionBy("_pid").orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)
-    return (
-        part.join(F.broadcast(off_df), "_pid")
-        .withColumn(out_col, (F.coalesce(F.sum("_w").over(w), F.lit(0)) + F.col("_offset")).cast("long"))
-        .drop("_pid", "_offset", "_w")
-    )
+    import numpy as np
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_fields = [f for f in part.schema.fields if f.name not in ("_w", "_pid")]
+    out_schema = StructType(out_fields + [StructField(out_col, LongType(), False)])
+    out_names = [f.name for f in out_schema.fields]
+
+    def _cumsum(batches):
+        # One call per physical partition; batches arrive in the cached
+        # (sorted) row order, so a running accumulator across batches is
+        # exactly the intra-partition prefix. acc seeds from the
+        # driver-computed offset of THIS partition's pid (constant per
+        # partition by construction).
+        acc = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if acc is None:
+                acc = int(offsets.get(int(pdf["_pid"].iloc[0]), 0))
+            w = pdf["_w"].to_numpy(dtype=np.int64)
+            c = np.cumsum(w)
+            pdf = pdf.drop(columns=["_w", "_pid"])
+            pdf[out_col] = acc + c - w  # exclusive: sum strictly before
+            acc += int(c[-1]) if len(c) else 0
+            yield pdf[out_names]
+
+    return part.mapInPandas(_cumsum, schema=out_schema)
 
 
 def assign_dense_index_by_group(

@@ -306,3 +306,48 @@ def test_stream_coloc_assign_matches_batch_exactly_once(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == len(got)
+
+
+# ---------------------------------------------------------------------------
+# plan shapes (the scale contract, pinned)
+# ---------------------------------------------------------------------------
+
+
+def test_coloc_join_broadcast_plan_never_shuffles_left(spark):
+    """With broadcast_right=True the big/streaming side must reach the
+    join through Project/explode only — zero Exchange on the left path
+    (the shape stream_coloc_assign relies on for stateless append mode)."""
+    from osmflat_rs_spark.operators.coloc import coloc_join
+
+    pts = spark.createDataFrame(_synth_points(200, seed=41))
+    ref = spark.createDataFrame(_synth_points(20, seed=42).rename(columns={"event_id": "ref_id"}))
+    plan = (
+        coloc_join(pts, ref, radius=100_000, window_us=3_600_000_000, broadcast_right=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert "Exchange hashpartitioning" not in plan, plan[:3000]
+
+
+def test_chunk_and_pack_plan_shapes(spark):
+    """chunk_tokens is a pure map pipeline: ZERO Exchanges, no UDF.
+    pack_sequences' only Exchanges are the prefix sum's range partition
+    (+AQE bookkeeping) — never a hashpartitioning on doc rows."""
+    from osmflat_rs_spark.operators.textops import pack_sequences
+
+    pdf = pd.DataFrame({"doc_id": range(100), "text": ["a b c d e"] * 100})
+    docs = spark.createDataFrame(pdf)
+    chunk_plan = (
+        chunk_tokens(docs, "doc_id", "text", window=3, stride=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in chunk_plan, chunk_plan[:3000]
+    assert "Python" not in chunk_plan, chunk_plan[:3000]  # no UDF anywhere
+
+    pack_plan = (
+        pack_sequences(docs, "doc_id", "text", capacity=7)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange hashpartitioning" not in pack_plan, pack_plan[:3000]
+    assert "rangepartitioning" in pack_plan, pack_plan[:3000]
