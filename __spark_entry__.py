@@ -46,6 +46,18 @@ HEX_RING = [
     (134_800_000, 524_307_200),
 ]
 
+# Second CCW hexagon for the zonal-stats gate: HEX_RING scaled to 40%
+# around a different center (133.0M, 524.6M) — partially overlaps HEX_RING
+# (zonal zones may overlap; points in both count in both, oracle UNION ALL)
+ZONAL_HEX2 = [
+    (133_640_000, 524_600_000),
+    (133_320_000, 524_877_120),
+    (132_680_000, 524_877_120),
+    (132_360_000, 524_600_000),
+    (132_680_000, 524_322_880),
+    (133_320_000, 524_322_880),
+]
+
 # CCW diamond hole strictly inside HEX_RING (lon, lat) — the r4
 # multi-ring gate's inner ring (~4% of the synth window area)
 HOLE_RING = [
@@ -551,6 +563,33 @@ def q_pip_anti_events(spark, sf_dir):
         schema="polygon_id string, ring array<struct<lat:long,lon:long>>, kind string",
     )
     return pip_anti_join(pts, polys, point_id="event_id").select("event_id")
+
+
+def q_zonal_stats_events(spark, sf_dir):
+    """Zonal statistics over two (overlapping) hexagon zones: per-zone
+    count/sum/avg/min/max of the event value. The value column threads
+    through the pip kernel via carry_cols — no pairs-to-points re-join;
+    the only post-cell-join exchange is the tiny polygon_id groupBy."""
+    _prep(spark)
+    from osmflat_rs_spark.operators.spatial_join import zonal_stats
+
+    pts = _synth_coords(_t(spark, sf_dir, "events")).select("event_id", "lat", "lon", "value")
+    polys = spark.createDataFrame(
+        [
+            ("hex", [(la, lo) for lo, la in HEX_RING], "district"),
+            ("hex2", [(la, lo) for lo, la in ZONAL_HEX2], "district"),
+        ],
+        schema="polygon_id string, ring array<struct<lat:long,lon:long>>, kind string",
+    )
+    out = zonal_stats(pts, polys, "value", point_id="event_id")
+    return out.select(
+        "polygon_id",
+        "n_pts",
+        F.round("sum_val", 2).alias("sum_val"),
+        F.round("avg_val", 4).alias("avg_val"),
+        F.round("min_val", 2).alias("min_val"),
+        F.round("max_val", 2).alias("max_val"),
+    )
 
 
 def q_focal_grid_events(spark, sf_dir):
@@ -1657,6 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ring_area_users": q_ring_area_users,
         "cms_heavy_users": q_cms_heavy_users,
         "pip_events": q_pip_events,
+        "zonal_stats_events": q_zonal_stats_events,
         "pip_events_shuffle": q_pip_events_shuffle,
         "pip_events_holes": q_pip_events_holes,
         "knn_events": q_knn_events,
@@ -1849,6 +1889,20 @@ def oracle_sql() -> dict[str, str]:
         "pip_events": f"""
             SELECT 'hex' AS polygon_id, event_id FROM {synth}
             WHERE {_halfplanes_sql('lon', 'lat')}
+        """,
+        "zonal_stats_events": f"""
+            SELECT polygon_id, COUNT(*) AS n_pts,
+                   ROUND(SUM(value), 2) AS sum_val,
+                   ROUND(AVG(value), 4) AS avg_val,
+                   ROUND(MIN(value), 2) AS min_val,
+                   ROUND(MAX(value), 2) AS max_val
+            FROM (
+                SELECT 'hex' AS polygon_id, value FROM {synth}
+                WHERE {_halfplanes_sql('lon', 'lat')}
+                UNION ALL
+                SELECT 'hex2' AS polygon_id, value FROM {synth}
+                WHERE {_ring_halfplanes_sql(ZONAL_HEX2, 'lon', 'lat')}
+            ) GROUP BY polygon_id
         """,
         "pip_events_shuffle": f"""
             SELECT 'hex' AS polygon_id, event_id FROM {synth}

@@ -94,9 +94,17 @@ def pip_join(
     target_cells_per_polygon: int = 4096,
     backend=None,
     distributed_cover_threshold: int = 256,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
-    """→ DataFrame(polygon_id, <point_id>) — exact containment pairs
-    (boundary inclusive), bit-equal to the model oracle.
+    """→ DataFrame(polygon_id, <point_id>[, *carry_cols]) — exact
+    containment pairs (boundary inclusive), bit-equal to the model
+    oracle.
+
+    ``carry_cols`` threads extra point columns through the kernel so
+    consumers that need per-point values with the containment verdict
+    (``zonal_stats``) never pay a second shuffle re-joining the pairs
+    back to the point table: interior-cell rows keep the values JVM-side
+    for free, boundary rows carry them through the Arrow refine batch.
 
     ``target_cells_per_polygon`` sizes the cover resolution: finer covers
     mean more interior cells (which short-circuit JVM-side) and fewer
@@ -147,10 +155,15 @@ def pip_join(
             schema="cell long, polygon_id string, interior boolean",
         )
 
+    carry = list(carry_cols or [])
+    reserved = {"_pt_id", "_lat", "_lon", "cell", "polygon_id", "interior"}
+    if bad := reserved.intersection(carry):
+        raise ValueError(f"carry_cols collide with kernel columns: {sorted(bad)}")
     pts = points.select(
         F.col(point_id).alias("_pt_id"),
         F.col(lat).cast("long").alias("_lat"),
         F.col(lon).cast("long").alias("_lon"),
+        *[F.col(c) for c in carry],
     ).withColumn("cell", be.cell_expr(F.col("_lat"), F.col("_lon"), res))
 
     candidates = pts.join(F.broadcast(cover), "cell")
@@ -181,15 +194,18 @@ def pip_join(
                     grp["_lat"].to_numpy(np.int64),
                 )
                 if mask.any():
-                    out = grp.loc[mask, ["_pt_id"]].copy()
+                    out = grp.loc[mask, ["_pt_id", *carry]].copy()
                     out["polygon_id"] = pid
                     keep_parts.append(out)
             if keep_parts:
-                yield pd.concat(keep_parts)[["polygon_id", "_pt_id"]]
+                yield pd.concat(keep_parts)[["polygon_id", "_pt_id", *carry]]
 
-    out_schema = f"polygon_id string, _pt_id {dict(points.dtypes)[point_id]}"
+    dtypes = dict(points.dtypes)
+    out_schema = ", ".join(
+        ["polygon_id string", f"_pt_id {dtypes[point_id]}"] + [f"{c} {dtypes[c]}" for c in carry]
+    )
     refined = boundary.mapInPandas(refine, schema=out_schema)
-    fast = inside_fast.select("polygon_id", "_pt_id")
+    fast = inside_fast.select("polygon_id", "_pt_id", *carry)
     return refined.unionByName(fast).withColumnRenamed("_pt_id", point_id)
 
 
@@ -477,6 +493,48 @@ def pip_anti_join(
     pairs = pip_join(points, polygons, point_id=point_id, lat=lat, lon=lon, **pip_kwargs)
     matched = pairs.select(point_id).distinct()
     return points.join(matched, point_id, "left_anti")
+
+
+def zonal_stats(
+    points: DataFrame,
+    polygons: DataFrame,
+    value_col: str,
+    point_id: str = "node_idx",
+    lat: str = "lat",
+    lon: str = "lon",
+    **pip_kwargs,
+) -> DataFrame:
+    """Zonal statistics — per-polygon aggregate of a point value column
+    (the raster-analysis "zonal stats" over vector zones; GIS analog of
+    the reference's per-feature folds, road-length.rs:55-78) →
+    DataFrame(polygon_id, n_pts, sum_val, avg_val, min_val, max_val).
+
+    Scale shape: containment runs through the two-phase ``pip_join``
+    kernel with ``value_col`` threaded via ``carry_cols`` — the value
+    rides the interior-cell short-circuit JVM-side and the Arrow refine
+    batch, so there is NO second shuffle re-joining pairs to the point
+    table. The only exchange after the cell join is the final groupBy on
+    polygon_id (map-side partial agg; #groups = #polygons). A polygon
+    containing zero points yields no row (inner semantics — LEFT JOIN
+    the polygon table downstream for zero-filled rows).
+    """
+    pairs = pip_join(
+        points,
+        polygons,
+        point_id=point_id,
+        lat=lat,
+        lon=lon,
+        carry_cols=[value_col],
+        **pip_kwargs,
+    )
+    v = F.col(value_col)
+    return pairs.groupBy("polygon_id").agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        F.sum(v).alias("sum_val"),
+        F.avg(v).alias("avg_val"),
+        F.min(v).alias("min_val"),
+        F.max(v).alias("max_val"),
+    )
 
 
 def polygon_intersect_join(
