@@ -565,6 +565,27 @@ def q_pip_anti_events(spark, sf_dir):
     return pip_anti_join(pts, polys, point_id="event_id").select("event_id")
 
 
+def q_hausdorff_events(spark, sf_dir):
+    """Trajectory-similarity self-join: unordered trajectory pairs with
+    symmetric point-set Hausdorff distance <= tau, exact int64 h^2.
+    Input: 32 synthetic patch-confined trajectories from the first 1000
+    events (SF-invariant). Engine: anchor-cell candidates + bbox prune +
+    blockwise Arrow refine; oracle: the textbook max-min double
+    aggregation over the brute-force point-pair join in DuckDB."""
+    from osmflat_rs_spark.operators.trajectory import hausdorff_join
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    tid = F.col("event_id") % 32
+    pts = ev.select(
+        tid.alias("tid"),
+        (F.lit(LAT0) + (tid % 8) * 250_000 + (F.col("event_id") * A_LAT) % 200_000)
+        .cast("long").alias("lat"),
+        (F.lit(LON0) + F.floor(tid / 8) * 1_000_000 + (F.col("event_id") * A_LON) % 800_000)
+        .cast("long").alias("lon"),
+    )
+    return hausdorff_join(pts, 320_000, traj_col="tid").select("traj_a", "traj_b", "h2")
+
+
 def q_zonal_stats_events(spark, sf_dir):
     """Zonal statistics over two (overlapping) hexagon zones: per-zone
     count/sum/avg/min/max of the event value. The value column threads
@@ -1697,6 +1718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_users": q_cms_heavy_users,
         "pip_events": q_pip_events,
         "zonal_stats_events": q_zonal_stats_events,
+        "hausdorff_events": q_hausdorff_events,
         "pip_events_shuffle": q_pip_events_shuffle,
         "pip_events_holes": q_pip_events_holes,
         "knn_events": q_knn_events,
@@ -1889,6 +1911,28 @@ def oracle_sql() -> dict[str, str]:
         "pip_events": f"""
             SELECT 'hex' AS polygon_id, event_id FROM {synth}
             WHERE {_halfplanes_sql('lon', 'lat')}
+        """,
+        "hausdorff_events": f"""
+            WITH p AS (
+                SELECT event_id % 32 AS tid,
+                       CAST({LAT0} + (event_id % 32 % 8) * 250000
+                            + (event_id * {A_LAT}) % 200000 AS BIGINT) AS lat,
+                       CAST({LON0} + ((event_id % 32) // 8) * 1000000
+                            + (event_id * {A_LON}) % 800000 AS BIGINT) AS lon
+                FROM events WHERE event_id < 1000
+            ),
+            dm AS (
+                SELECT a.tid AS ta, b.tid AS tb, a.lat AS ala, a.lon AS alo,
+                       MIN((a.lat - b.lat) * (a.lat - b.lat)
+                           + (a.lon - b.lon) * (a.lon - b.lon)) AS md
+                FROM p a JOIN p b ON a.tid <> b.tid
+                GROUP BY a.tid, b.tid, a.lat, a.lon
+            ),
+            dh AS (SELECT ta, tb, MAX(md) AS h FROM dm GROUP BY ta, tb)
+            SELECT x.ta AS traj_a, x.tb AS traj_b,
+                   CAST(GREATEST(x.h, y.h) AS BIGINT) AS h2
+            FROM dh x JOIN dh y ON x.ta = y.tb AND x.tb = y.ta AND x.ta < x.tb
+            WHERE GREATEST(x.h, y.h) <= CAST(320000 AS BIGINT) * 320000
         """,
         "zonal_stats_events": f"""
             SELECT polygon_id, COUNT(*) AS n_pts,

@@ -122,3 +122,179 @@ def od_flows(
         F.count(F.lit(1)).alias("n_trips"),
         (F.avg("_transit_us") / F.lit(1_000_000.0)).alias("avg_transit_s"),
     )
+
+
+def hausdorff_join(
+    points: DataFrame,
+    tau: int,
+    traj_col: str = "traj_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    res: int | None = None,
+    block_rows: int = 4096,
+) -> DataFrame:
+    """Trajectory-similarity self-join: all unordered trajectory pairs
+    whose symmetric Hausdorff distance (point-set form, planar
+    fixed-point units) is <= ``tau`` → DataFrame(traj_a, traj_b, h2)
+    with ``h2`` the EXACT int64 squared Hausdorff distance (traj_a <
+    traj_b). H(A,B) = max(h(A,B), h(B,A)), h directed = max over a of
+    min over b of dist — the standard trajectory/shape similarity
+    measure (Alt & Guibas, Handbook of Computational Geometry ch. 3);
+    order-free, so GPS sampling order never matters.
+
+    Spark-first shape, three stages:
+
+    1. **Collapse** each trajectory once: coordinate arrays (struct
+       collect then JVM `transform` — one aggregate pass, no
+       order-coupling between two collect_lists), bbox, and a
+       deterministic anchor point (min (lat, lon) struct).
+    2. **Lossless candidates.** If H(A,B) <= tau then A's anchor lies
+       within tau of SOME B point, so with grid cells sized >= tau the
+       anchor's cell is in the 3x3 neighborhood of a B-point cell:
+       candidates = anchors equi-joined to the DISTINCT exploded B point
+       cells (map-side fan-out, one hash join — the coloc/radius
+       construction). Both directions hold, so one direction suffices;
+       pairs normalize to (min, max) and dedup. A second JVM-side
+       lossless prune: h(A,B) <= tau forces bbox_A inside bbox_B
+       dilated by tau (and symmetrically) — four comparisons per side
+       on the already-aggregated bboxes, before any array ships.
+    3. **Exact refine**: surviving pairs join the two coordinate-array
+       rows (arrays ship once per surviving pair — the acceptable
+       analog of the r4 ring-payload rule because the pair set is
+       pruned first) and an Arrow `mapInPandas` computes the exact
+       int64 distance matrix blockwise (``block_rows`` bounds the
+       na*nb working set), keeping pairs with max-min <= tau^2.
+
+    Scale contract: designed for many trajectories of BOUNDED size
+    (10^0-10^4 points each — a traj's array must fit a row); the
+    candidate count is the grid-hash bound Theta(sum n_a(cell)*n_b(cell))
+    over anchor cells only, far below the all-pairs square. Skewed mega-
+    cells are AQE skew-join territory, same as coloc.
+    """
+    import math as _math
+
+    from osmflat_rs_spark.functions import cells
+
+    if tau <= 0:
+        raise ValueError(f"tau must be positive, got {tau}")
+    r = res if res is not None else max(
+        0, min(cells.MAX_RES, int(_math.floor(_math.log2(1_800_000_000 / tau))))
+    )
+
+    pts = points.select(
+        F.col(traj_col).alias("_tid"),
+        F.col(lat_col).cast("long").alias("_lat"),
+        F.col(lon_col).cast("long").alias("_lon"),
+    ).filter(F.col("_lat").isNotNull() & F.col("_lon").isNotNull())
+
+    trajs = pts.groupBy("_tid").agg(
+        F.collect_list(F.struct("_lat", "_lon")).alias("_pts"),
+        F.min("_lat").alias("_minlat"),
+        F.max("_lat").alias("_maxlat"),
+        F.min("_lon").alias("_minlon"),
+        F.max("_lon").alias("_maxlon"),
+        F.min(F.struct("_lat", "_lon")).alias("_anchor"),
+    ).select(
+        "_tid",
+        F.transform("_pts", lambda s: s["_lat"]).alias("_lats"),
+        F.transform("_pts", lambda s: s["_lon"]).alias("_lons"),
+        "_minlat", "_maxlat", "_minlon", "_maxlon", "_anchor",
+    )
+
+    ax, ay = cells.grid_exprs(F.col("_anchor._lat"), F.col("_anchor._lon"), r)
+    anchors = trajs.select(F.col("_tid").alias("_ta"), ax.alias("_jx"), ay.alias("_jy"))
+
+    bx, by = cells.grid_exprs(F.col("_lat"), F.col("_lon"), r)
+    off = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    bcells = (
+        pts.select(F.col("_tid").alias("_tb"), bx.alias("_ix"), by.alias("_iy"))
+        .distinct()
+        .withColumn("_dx", F.explode(off))
+        .withColumn("_dy", F.explode(off))
+        .select("_tb", (F.col("_ix") + F.col("_dx")).alias("_jx"),
+                (F.col("_iy") + F.col("_dy")).alias("_jy"))
+        .distinct()
+    )
+
+    cand = (
+        anchors.join(bcells, ["_jx", "_jy"])
+        .filter(F.col("_ta") != F.col("_tb"))
+        .select(
+            F.least("_ta", "_tb").alias("traj_a"),
+            F.greatest("_ta", "_tb").alias("traj_b"),
+        )
+        .distinct()
+    )
+
+    a_side = trajs.select(
+        F.col("_tid").alias("traj_a"), F.col("_lats").alias("_lats_a"),
+        F.col("_lons").alias("_lons_a"), F.col("_minlat").alias("_minlat_a"),
+        F.col("_maxlat").alias("_maxlat_a"), F.col("_minlon").alias("_minlon_a"),
+        F.col("_maxlon").alias("_maxlon_a"),
+    )
+    b_side = trajs.select(
+        F.col("_tid").alias("traj_b"), F.col("_lats").alias("_lats_b"),
+        F.col("_lons").alias("_lons_b"), F.col("_minlat").alias("_minlat_b"),
+        F.col("_maxlat").alias("_maxlat_b"), F.col("_minlon").alias("_minlon_b"),
+        F.col("_maxlon").alias("_maxlon_b"),
+    )
+    t = F.lit(int(tau))
+    pruned = (
+        cand.join(a_side, "traj_a")
+        .join(b_side, "traj_b")
+        .filter(
+            (F.col("_minlat_a") >= F.col("_minlat_b") - t)
+            & (F.col("_maxlat_a") <= F.col("_maxlat_b") + t)
+            & (F.col("_minlon_a") >= F.col("_minlon_b") - t)
+            & (F.col("_maxlon_a") <= F.col("_maxlon_b") + t)
+            & (F.col("_minlat_b") >= F.col("_minlat_a") - t)
+            & (F.col("_maxlat_b") <= F.col("_maxlat_a") + t)
+            & (F.col("_minlon_b") >= F.col("_minlon_a") - t)
+            & (F.col("_maxlon_b") <= F.col("_maxlon_a") + t)
+        )
+        .select("traj_a", "traj_b", "_lats_a", "_lons_a", "_lats_b", "_lons_b")
+    )
+
+    tau2 = int(tau) ** 2
+    blk = int(block_rows)
+    id_dtype = dict(points.dtypes)[traj_col]
+    out_schema = f"traj_a {id_dtype}, traj_b {id_dtype}, h2 long"
+
+    def _refine(batches):
+        import numpy as np
+        import pandas as pd
+
+        def sym_h2(la, lo, lb, lob):
+            # blockwise exact int64 symmetric Hausdorff^2 with an early
+            # exit the moment the directed A->B part exceeds tau^2
+            min_b = np.full(len(lb), np.iinfo(np.int64).max, dtype=np.int64)
+            h_ab = 0
+            step = max(1, (blk * blk) // max(1, len(lb)))
+            for s in range(0, len(la), step):
+                ea, eo = la[s : s + step], lo[s : s + step]
+                d2 = (ea[:, None] - lb[None, :]) ** 2 + (eo[:, None] - lob[None, :]) ** 2
+                np.minimum(min_b, d2.min(axis=0), out=min_b)
+                h_ab = max(h_ab, int(d2.min(axis=1).max()))
+                if h_ab > tau2:
+                    return None
+            h = max(h_ab, int(min_b.max()))
+            return h if h <= tau2 else None
+
+        for pdf in batches:
+            rows = {"traj_a": [], "traj_b": [], "h2": []}
+            for ta, tb, la, lo, lb, lob in zip(
+                pdf["traj_a"], pdf["traj_b"], pdf["_lats_a"], pdf["_lons_a"],
+                pdf["_lats_b"], pdf["_lons_b"],
+            ):
+                h = sym_h2(
+                    np.asarray(la, dtype=np.int64), np.asarray(lo, dtype=np.int64),
+                    np.asarray(lb, dtype=np.int64), np.asarray(lob, dtype=np.int64),
+                )
+                if h is not None:
+                    rows["traj_a"].append(ta)
+                    rows["traj_b"].append(tb)
+                    rows["h2"].append(h)
+            if rows["traj_a"]:
+                yield pd.DataFrame(rows)
+
+    return pruned.mapInPandas(_refine, schema=out_schema)

@@ -159,3 +159,94 @@ def test_od_flows_composes_with_stay_points(spark):
     assert flows.agg(F.sum("n_trips")).collect()[0][0] == sum(n - 1 for n in per_user.values())
     # the 5 users all walk the same 4-cell path: 3 distinct transitions
     assert flows.count() == 3
+
+
+def _brute_hausdorff_pairs(tid, lat, lon, tau):
+    """Independent NumPy oracle: exact symmetric Hausdorff^2 per pair."""
+    groups = {t: np.where(tid == t)[0] for t in np.unique(tid)}
+    ids = sorted(groups)
+    out = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ga, gb = groups[a], groups[b]
+            d2 = (lat[ga][:, None] - lat[gb][None, :]) ** 2 + (
+                lon[ga][:, None] - lon[gb][None, :]
+            ) ** 2
+            h = max(int(d2.min(axis=1).max()), int(d2.min(axis=0).max()))
+            if h <= tau * tau:
+                out[(int(a), int(b))] = h
+    return out
+
+
+def test_hausdorff_join_exact_random_clusters(spark):
+    """hausdorff_join vs the brute-force NumPy oracle on 24 random
+    cluster-confined trajectories of uneven sizes — pair set AND exact
+    int64 h2 values; also invariant to the cover resolution knob."""
+    import pandas as pd
+
+    from osmflat_rs_spark.operators.trajectory import hausdorff_join
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for t in range(24):
+        n = int(rng.integers(3, 60))
+        clat = 524_000_000 + int(rng.integers(0, 1_800_000))
+        clon = 132_000_000 + int(rng.integers(0, 3_800_000))
+        rows.append(
+            pd.DataFrame(
+                {
+                    "traj_id": np.full(n, t, dtype=np.int64),
+                    "lat": clat + rng.integers(0, 150_000, n),
+                    "lon": clon + rng.integers(0, 150_000, n),
+                }
+            )
+        )
+    pdf = pd.concat(rows, ignore_index=True)
+    tid = pdf["traj_id"].to_numpy()
+    lat = pdf["lat"].to_numpy(np.int64)
+    lon = pdf["lon"].to_numpy(np.int64)
+    tau = 400_000
+    want = _brute_hausdorff_pairs(tid, lat, lon, tau)
+    assert len(want) > 3  # density sanity
+    df = spark.createDataFrame(pdf)
+    got = {
+        (r["traj_a"], r["traj_b"]): r["h2"]
+        for r in hausdorff_join(df, tau, traj_col="traj_id").collect()
+    }
+    assert got == want
+    got_res = {
+        (r["traj_a"], r["traj_b"]): r["h2"]
+        for r in hausdorff_join(df, tau, traj_col="traj_id", res=10).collect()
+    }
+    assert got_res == want
+
+
+def test_hausdorff_join_boundary_and_blocking(spark):
+    """A pair at distance EXACTLY tau is kept (<= contract, exact ints);
+    a pair one unit past tau is dropped; block_rows=1 (pathological
+    blocking) must not change anything."""
+    import pandas as pd
+
+    from osmflat_rs_spark.operators.trajectory import hausdorff_join
+
+    tau = 50_000
+    pdf = pd.DataFrame(
+        {
+            "traj_id": [1, 1, 2, 2, 3],
+            "lat": [524_000_000, 524_010_000, 524_000_000 + tau, 524_010_000 + tau,
+                    524_000_000 + tau + 1],
+            "lon": [132_000_000, 132_000_000, 132_000_000, 132_000_000, 132_000_000],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    for blk in (4096, 1):
+        got = {
+            (r["traj_a"], r["traj_b"]): r["h2"]
+            for r in hausdorff_join(df, tau, traj_col="traj_id", block_rows=blk).collect()
+        }
+        # (1,2): h is EXACTLY tau (both traj1 points are tau from their
+        # nearest traj2 point) -> kept with h2 == tau^2, the <= contract.
+        # (2,3): traj3's point is 1 unit from traj2 one way, 9999 the
+        # other -> h2 = 9999^2, kept. (1,3): traj1's far point is tau+1
+        # from traj3 -> dropped (one unit past the boundary).
+        assert got == {(1, 2): tau * tau, (2, 3): 9999 * 9999}, got
