@@ -565,6 +565,36 @@ def q_pip_anti_events(spark, sf_dir):
     return pip_anti_join(pts, polys, point_id="event_id").select("event_id")
 
 
+def q_quadkey_events(spark, sf_dir):
+    """Bing quadkey interchange key per event at the engine ZOOM — one
+    base-4 digit per level from the slippy tile coords (pure Catalyst
+    shift/mask/concat; quadkey prefixes = pyramid ancestors)."""
+    from osmflat_rs_spark.functions.geo import (
+        mercator_tile_x,
+        mercator_tile_y,
+        quadkey_expr,
+        to_degrees,
+    )
+
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    tx = mercator_tile_x(to_degrees(F.col("lon")), ZOOM)
+    ty = mercator_tile_y(to_degrees(F.col("lat")), ZOOM)
+    return pts.select("event_id", quadkey_expr(tx, ty, ZOOM).alias("quadkey"))
+
+
+def q_geohash_events(spark, sf_dir):
+    """Standard base32 geohash (precision 8) per event — single integer
+    quantization per axis, five shift/mask bits per character, base32
+    lookup; no per-level loop, no UDF."""
+    from osmflat_rs_spark.functions.geo import geohash_expr, to_degrees
+
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    return pts.select(
+        "event_id",
+        geohash_expr(to_degrees(F.col("lat")), to_degrees(F.col("lon")), 8).alias("geohash"),
+    )
+
+
 def q_hausdorff_events(spark, sf_dir):
     """Trajectory-similarity self-join: unordered trajectory pairs with
     symmetric point-set Hausdorff distance <= tau, exact int64 h^2.
@@ -1719,6 +1749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_events": q_pip_events,
         "zonal_stats_events": q_zonal_stats_events,
         "hausdorff_events": q_hausdorff_events,
+        "quadkey_events": q_quadkey_events,
+        "geohash_events": q_geohash_events,
         "pip_events_shuffle": q_pip_events_shuffle,
         "pip_events_holes": q_pip_events_holes,
         "knn_events": q_knn_events,
@@ -1789,6 +1821,27 @@ def oracle_sql() -> dict[str, str]:
     sw_de = ", ".join(f"'{w}'" for w in _SW_DE)
     sw_fr = ", ".join(f"'{w}'" for w in _SW_FR)
     knn_vals = ", ".join(f"('{q}', {la}, {lo})" for q, la, lo in KNN_QUERIES)
+
+    # quadkey: per-level base-4 digit from the restated slippy tiles
+    _qk_digits = " || ".join(
+        f"CAST(((ty >> {ZOOM - 1 - i}) & 1) * 2 + ((tx >> {ZOOM - 1 - i}) & 1) AS VARCHAR)"
+        for i in range(ZOOM)
+    )
+    # geohash: 8 chars x 5 interleaved quantizer bits -> base32 lookup
+    from osmflat_rs_spark.functions.geo import GEOHASH_BASE32 as _GH32
+
+    _gh_chars = []
+    for _j in range(8):
+        _terms = []
+        for _m in range(5):
+            _k = 5 * _j + _m
+            _src = "lonq" if _k % 2 == 0 else "latq"
+            _terms.append(f"(({_src} >> {20 - 1 - _k // 2}) & 1) * {1 << (4 - _m)}")
+        _gh_chars.append(
+            f"SUBSTRING('{_GH32}', CAST({' + '.join(_terms)} AS INTEGER) + 1, 1)"
+        )
+    _gh_concat = " || ".join(_gh_chars)
+
     out = {
         "counts_lineitem": (
             "SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem GROUP BY 1, 2"
@@ -1911,6 +1964,30 @@ def oracle_sql() -> dict[str, str]:
         "pip_events": f"""
             SELECT 'hex' AS polygon_id, event_id FROM {synth}
             WHERE {_halfplanes_sql('lon', 'lat')}
+        """,
+        "quadkey_events": f"""
+            WITH t AS (
+                SELECT event_id,
+                  GREATEST(0, LEAST({(1 << ZOOM) - 1},
+                    CAST(FLOOR((lon / 10000000.0 + 180.0) / 360.0 * {1 << ZOOM}) AS BIGINT))) AS tx,
+                  GREATEST(0, LEAST({(1 << ZOOM) - 1},
+                    CAST(FLOOR((1.0 - LN(TAN(RADIANS(GREATEST(-85.05112878, LEAST(85.05112878, lat / 10000000.0))))
+                      + 1.0 / COS(RADIANS(GREATEST(-85.05112878, LEAST(85.05112878, lat / 10000000.0)))))
+                      / 3.141592653589793) / 2.0 * {1 << ZOOM}) AS BIGINT))) AS ty
+                FROM {synth}
+            )
+            SELECT event_id, {_qk_digits} AS quadkey FROM t
+        """,
+        "geohash_events": f"""
+            WITH t AS (
+                SELECT event_id,
+                  GREATEST(0, LEAST({(1 << 20) - 1},
+                    CAST(FLOOR((lon / 10000000.0 + 180.0) / 360.0 * {float(1 << 20)}) AS BIGINT))) AS lonq,
+                  GREATEST(0, LEAST({(1 << 20) - 1},
+                    CAST(FLOOR((lat / 10000000.0 + 90.0) / 180.0 * {float(1 << 20)}) AS BIGINT))) AS latq
+                FROM {synth}
+            )
+            SELECT event_id, {_gh_concat} AS geohash FROM t
         """,
         "hausdorff_events": f"""
             WITH p AS (

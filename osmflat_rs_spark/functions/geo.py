@@ -238,3 +238,72 @@ def simplify_radial(
         F.col("_p.lat").alias("lat"),
         F.col("_p.lon").alias("lon"),
     )
+
+
+GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def quadkey_expr(tile_x: Column, tile_y: Column, zoom: int) -> Column:
+    """Bing-style quadkey string for a slippy tile (the public Bing Maps
+    tile-system interchange key; reference analog: the tile ids of
+    render-tiles, F11 coordinate formatting): one base-4 digit per zoom
+    level, MSB first, digit = 2*y_bit + x_bit. Pure Catalyst — ``zoom``
+    shift/mask/concat terms, no UDF; a quadkey PREFIX is a tile ancestor,
+    so range scans over quadkey-sorted layouts prune by pyramid subtree
+    (the same sorted-insert idea as cell clustering)."""
+    if not 1 <= zoom <= 30:
+        raise ValueError(f"zoom must be in [1, 30], got {zoom}")
+    digits = []
+    for i in range(zoom):
+        s = zoom - 1 - i
+        d = F.shiftright(tile_y, s).bitwiseAND(F.lit(1)) * F.lit(2) + F.shiftright(
+            tile_x, s
+        ).bitwiseAND(F.lit(1))
+        digits.append(d.cast("string"))
+    return F.concat(*digits)
+
+
+def geohash_expr(lat_deg: Column, lon_deg: Column, precision: int = 8) -> Column:
+    """Standard base32 geohash (Niemeyer's public scheme) from degree
+    coordinates — the cross-system interchange/clustering key. Pure
+    Catalyst: both axes quantize ONCE to integers (lon gets the extra
+    bit at odd total widths), then every character is five shift/mask
+    bits looked up in the base32 alphabet — no per-level loop state, no
+    UDF. Quantization: bit k of the stream (MSB first, lon at even
+    positions) is bit (n-1-k//2) of floor((coord+off)/span * 2^n) —
+    identical to the textbook bisection because each floor-quantized
+    integer's bits ARE the bisection decisions."""
+    if not 1 <= precision <= 12:
+        raise ValueError(f"precision must be in [1, 12], got {precision}")
+    total = 5 * precision
+    n_lon = (total + 1) // 2
+    n_lat = total // 2
+    lon_q = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.lit((1 << n_lon) - 1).cast("long"),
+            F.floor((lon_deg + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << n_lon))).cast(
+                "long"
+            ),
+        ),
+    )
+    lat_q = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.lit((1 << n_lat) - 1).cast("long"),
+            F.floor((lat_deg + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << n_lat))).cast(
+                "long"
+            ),
+        ),
+    )
+    alphabet = F.array(*[F.lit(c) for c in GEOHASH_BASE32])
+    chars = []
+    for j in range(precision):
+        idx = F.lit(0)
+        for m in range(5):
+            k = 5 * j + m
+            src, n = (lon_q, n_lon) if k % 2 == 0 else (lat_q, n_lat)
+            bit = F.shiftright(src, n - 1 - k // 2).bitwiseAND(F.lit(1))
+            idx = idx + bit * F.lit(1 << (4 - m))
+        chars.append(F.get(alphabet, idx.cast("int")))
+    return F.concat(*chars)

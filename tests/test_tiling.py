@@ -331,3 +331,31 @@ def test_focal_grid_agg_plan_two_exchanges_no_join(spark):
     plan = focal_grid_agg(pts, res=16, radius=1)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange") == 2, plan
+
+
+def test_geohash_and_quadkey_canonical_vectors(spark):
+    """The encodes must match the PUBLIC standards, not merely be
+    self-consistent: Niemeyer's canonical geohash example
+    (57.64911, 10.40744) -> u4pruydqqvj (Wikipedia/Geohash), and the
+    Bing tile-system doc example tile (x=3, y=5) level 3 -> '213'."""
+    from pyspark.sql import functions as F
+
+    from osmflat_rs_spark.functions.geo import geohash_expr, quadkey_expr
+
+    df = spark.createDataFrame([(57.64911, 10.40744)], "lat double, lon double")
+    for prec, want in ((11, "u4pruydqqvj"), (6, "u4pruy"), (1, "u")):
+        got = df.select(geohash_expr(F.col("lat"), F.col("lon"), prec)).first()[0]
+        assert got == want, (prec, got)
+
+    t = spark.createDataFrame([(3, 5, "213"), (0, 0, "000"), (7, 7, "333")],
+                              "tx long, ty long, want string")
+    bad = t.filter(quadkey_expr(F.col("tx"), F.col("ty"), 3) != F.col("want")).count()
+    assert bad == 0
+
+    # prefix property: zoom-(z-1) quadkey of the parent tile is the
+    # z-key's prefix (the pyramid-pruning contract)
+    r = spark.createDataFrame([(1234, 2222)], "tx long, ty long").select(
+        quadkey_expr(F.col("tx"), F.col("ty"), 12).alias("k12"),
+        quadkey_expr(F.shiftright(F.col("tx"), 1), F.shiftright(F.col("ty"), 1), 11).alias("k11"),
+    ).first()
+    assert r["k12"][:11] == r["k11"]
