@@ -537,6 +537,48 @@ def zonal_stats(
     )
 
 
+def zonal_partials(
+    points: DataFrame,
+    polygons: DataFrame,
+    value_col: str,
+    point_id: str = "node_idx",
+    lat: str = "lat",
+    lon: str = "lon",
+    **pip_kwargs,
+) -> DataFrame:
+    """The MERGEABLE core of ``zonal_stats`` — (polygon_id, n_pts,
+    sum_val, min_val, max_val) with no avg (a ratio is not mergeable;
+    its numerator and denominator are). Partials from disjoint point
+    subsets re-aggregate to the full answer via ``zonal_from_partials``,
+    which is what gives zonal statistics a streaming form for free
+    (``streaming/incremental.stream_zonal_partials``) — the same
+    partial-sketch pattern as hotspot cell counts."""
+    pairs = pip_join(
+        points, polygons, point_id=point_id, lat=lat, lon=lon,
+        carry_cols=[value_col], **pip_kwargs,
+    )
+    v = F.col(value_col)
+    return pairs.groupBy("polygon_id").agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        F.sum(v).alias("sum_val"),
+        F.min(v).alias("min_val"),
+        F.max(v).alias("max_val"),
+    )
+
+
+def zonal_from_partials(partials: DataFrame) -> DataFrame:
+    """Merge zonal partials (union of ``zonal_partials`` outputs over any
+    point-set partition) into the full per-polygon statistics; avg is
+    derived at read time from the merged sum and count."""
+    return partials.groupBy("polygon_id").agg(
+        F.sum("n_pts").alias("n_pts"),
+        F.sum("sum_val").alias("sum_val"),
+        (F.sum("sum_val") / F.sum("n_pts")).alias("avg_val"),
+        F.min("min_val").alias("min_val"),
+        F.max("max_val").alias("max_val"),
+    )
+
+
 def polygon_intersect_join(
     polys_a: DataFrame,
     polys_b: DataFrame,

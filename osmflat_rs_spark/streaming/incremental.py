@@ -593,6 +593,36 @@ def stream_cell_count_partials(
     )
 
 
+def stream_zonal_partials(
+    spark,
+    src_dir: str,
+    schema,
+    checkpoint_dir: str,
+    out_dir: str,
+    polygons,
+    value_col: str,
+    point_id: str = "event_id",
+    **pip_kwargs,
+):
+    """Streaming zonal statistics: `stream_sketch_partials` over
+    `spatial_join.zonal_partials` — each micro-batch runs the two-phase
+    pip kernel on ITS points only and appends a <= #polygons-row
+    (polygon_id, n_pts, sum_val, min_val, max_val) partial; the live
+    per-zone statistics at any moment are
+    ``zonal_from_partials(spark.read.parquet(out_dir))`` (avg derived at
+    read time from merged sum/count — a ratio is not mergeable, its
+    parts are). The maintained state never holds a point: bounded by
+    zones x batches on disk, the geofence-dashboard workload."""
+    from osmflat_rs_spark.operators.spatial_join import zonal_partials
+
+    return stream_sketch_partials(
+        spark, src_dir, schema, checkpoint_dir, out_dir,
+        lambda bdf: zonal_partials(
+            bdf, polygons, value_col, point_id=point_id, **pip_kwargs
+        ),
+    )
+
+
 def stream_cms_partials(
     spark,
     src_dir: str,

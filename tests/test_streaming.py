@@ -418,3 +418,52 @@ def test_stream_cell_count_partials_hotspots_match_batch(spark, tmp_path):
                     "cx", "cy", "cluster").distinct().collect()}
         assert got == want, min_pts
         assert len(got) > 0
+
+
+def test_stream_zonal_partials_matches_batch(spark, tmp_path):
+    """Streaming zonal statistics: after chunked arrival with a restart,
+    zonal_from_partials over the appended per-batch partials must equal
+    batch zonal_stats on the same points — counts/min/max exactly, the
+    float sums to IEEE-reassociation tolerance (different grouping of
+    the same addends)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from osmflat_rs_spark.fixtures import generate_polygons, polygons_to_spark
+    from osmflat_rs_spark.operators.spatial_join import zonal_from_partials, zonal_stats
+    from osmflat_rs_spark.streaming.incremental import stream_zonal_partials
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id",
+        (F.lit(524_000_000) + (F.col("event_id") * 48271) % 2_000_000).cast("long").alias("lat"),
+        (F.lit(132_000_000) + (F.col("event_id") * 16807) % 4_000_000).cast("long").alias("lon"),
+        F.col("value"),
+    )
+    polys = polygons_to_spark(spark, generate_polygons(n_poly=6))
+    schema = events.schema
+
+    events_dir = str(tmp_path / "events")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "zonal")
+    _os.makedirs(events_dir)
+
+    a, b = events.randomSplit([0.5, 0.5], seed=7)
+    a.write.mode("append").parquet(events_dir)
+    q = stream_zonal_partials(spark, events_dir, schema, ck, out, polys, "value")
+    q.awaitTermination(120)
+    b.write.mode("append").parquet(events_dir)
+    q = stream_zonal_partials(spark, events_dir, schema, ck, out, polys, "value")
+    q.awaitTermination(120)
+
+    got = {r["polygon_id"]: r for r in
+           zonal_from_partials(spark.read.parquet(out)).collect()}
+    want = {r["polygon_id"]: r for r in
+            zonal_stats(events, polys, "value", point_id="event_id").collect()}
+    assert set(got) == set(want) and len(want) >= 2
+    for pid, w in want.items():
+        g = got[pid]
+        assert g["n_pts"] == w["n_pts"]
+        assert g["min_val"] == w["min_val"] and g["max_val"] == w["max_val"]
+        assert abs(g["sum_val"] - w["sum_val"]) < 1e-6 * max(1.0, abs(w["sum_val"]))
+        assert abs(g["avg_val"] - w["avg_val"]) < 1e-9 * max(1.0, abs(w["avg_val"]))
