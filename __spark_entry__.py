@@ -653,6 +653,18 @@ def q_focal_grid_events(spark, sf_dir):
     return focal_grid_agg(pts, "lat", "lon", res=16, radius=1)
 
 
+def q_kde_events(spark, sf_dir):
+    """Grid kernel-density surface: per occupied cell, the Epanechnikov-
+    weighted neighbor count within Chebyshev radius 2 (bandwidth 3
+    cells) — focal_grid_agg's aggregate-first shape with a codegen
+    kernel weight on the fan offsets."""
+    from osmflat_rs_spark.operators.tiling import kde_grid
+
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    out = kde_grid(pts, "lat", "lon", res=16, radius=2, kernel="epanechnikov")
+    return out.select("ix", "iy", "n_self", F.round("density", 6).alias("density"))
+
+
 def q_idw_events(spark, sf_dir):
     """IDW spatial interpolation (Shepard, power=2) at the kNN gate's
     query points over the events' value field. The neighbor search is
@@ -1758,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coloc_events": q_coloc_events,
         "cell_index_events": q_cell_index_events,
         "focal_grid_events": q_focal_grid_events,
+        "kde_events": q_kde_events,
         "pip_anti_events": q_pip_anti_events,
         "idw_events": q_idw_events,
         "hotspot_events": q_hotspot_events,
@@ -2285,6 +2298,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(c2.n_self) AS BIGINT) AS n_focal
             FROM c c1 JOIN c c2
               ON abs(c1.ix - c2.ix) <= 1 AND abs(c1.iy - c2.iy) <= 1
+            GROUP BY 1, 2, 3
+        """,
+        "kde_events": f"""
+            WITH pts AS (SELECT * FROM {synth}),
+            g AS (SELECT GREATEST(0, LEAST({(1 << 16) - 1}, (lon + 1800000000) * {1 << 16} // 3600000000)) AS ix,
+                         GREATEST(0, LEAST({(1 << 16) - 1}, (lat + 900000000) * {1 << 16} // 1800000000)) AS iy
+                  FROM pts),
+            c AS (SELECT ix, iy, COUNT(*) AS n_self FROM g GROUP BY 1, 2)
+            SELECT c1.ix, c1.iy, c1.n_self,
+                   ROUND(SUM(c2.n_self * GREATEST(0.0, 1.0 -
+                     CAST((c2.ix - c1.ix) * (c2.ix - c1.ix)
+                        + (c2.iy - c1.iy) * (c2.iy - c1.iy) AS DOUBLE) / 9.0)), 6) AS density
+            FROM c c1 JOIN c c2
+              ON abs(c1.ix - c2.ix) <= 2 AND abs(c1.iy - c2.iy) <= 2
             GROUP BY 1, 2, 3
         """,
         "raster_events": f"""

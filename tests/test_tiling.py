@@ -359,3 +359,64 @@ def test_geohash_and_quadkey_canonical_vectors(spark):
         quadkey_expr(F.shiftright(F.col("tx"), 1), F.shiftright(F.col("ty"), 1), 11).alias("k11"),
     ).first()
     assert r["k12"][:11] == r["k11"]
+
+
+def test_kde_grid_matches_bruteforce_model(spark):
+    """kde_grid vs the brute-force kernel-weighted model for all three
+    kernels at radius 2 (rel 1e-12 — only summation order differs) and
+    the radius-0 identity (density == n_self * K(0) == n_self)."""
+    import numpy as np
+    import pandas as pd
+
+    from osmflat_rs_spark.functions.cells import quantize_np
+    from osmflat_rs_spark.operators.tiling import kde_grid
+
+    rng = np.random.RandomState(13)
+    n = 3000
+    lat = (524_000_000 + rng.randint(0, 2_000_000, n)).astype("int64")
+    lon = (132_000_000 + rng.randint(0, 4_000_000, n)).astype("int64")
+    pdf = pd.DataFrame({"lat": lat, "lon": lon})
+    res = 16
+    ix = quantize_np(lon, 180 * 10_000_000, 360 * 10_000_000, res)
+    iy = quantize_np(lat, 90 * 10_000_000, 180 * 10_000_000, res)
+    cells = pd.DataFrame({"ix": ix, "iy": iy}).groupby(["ix", "iy"], as_index=False).agg(
+        n_self=("ix", "size")
+    )
+
+    def kfun(kernel, d2, h2):
+        if kernel == "epanechnikov":
+            return np.maximum(0.0, 1.0 - d2 / h2)
+        if kernel == "triangular":
+            return np.maximum(0.0, 1.0 - np.sqrt(d2 / h2))
+        return np.exp(-(d2 / (h2 / 2.0)))
+
+    radius, h2 = 2, 9.0
+    df = spark.createDataFrame(pdf)
+    for kernel in ("epanechnikov", "triangular", "gaussian"):
+        want = {}
+        arr = cells.to_numpy()
+        for cx, cy, ns in arr:
+            dx = cells["ix"].to_numpy() - cx
+            dy = cells["iy"].to_numpy() - cy
+            m = (np.abs(dx) <= radius) & (np.abs(dy) <= radius)
+            d2 = (dx[m] ** 2 + dy[m] ** 2).astype("float64")
+            want[(cx, cy)] = (ns, float((cells["n_self"].to_numpy()[m] * kfun(kernel, d2, h2)).sum()))
+        got = {
+            (r["ix"], r["iy"]): (r["n_self"], r["density"])
+            for r in kde_grid(df, "lat", "lon", res=res, radius=radius, kernel=kernel).collect()
+        }
+        assert set(got) == set(want)
+        for k, (ns, dens) in want.items():
+            gns, gd = got[k]
+            assert gns == ns
+            assert abs(gd - dens) <= 1e-12 * max(1.0, abs(dens)), (kernel, k)
+
+    r0 = kde_grid(df, "lat", "lon", res=res, radius=0).collect()
+    assert all(abs(r["density"] - r["n_self"]) < 1e-12 for r in r0)
+
+    plan = (
+        kde_grid(df, "lat", "lon", res=res, radius=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan, plan[:2000]
+    assert plan.count("Exchange") <= 3  # two aggs (+ possible AQE read)
