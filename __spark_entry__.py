@@ -565,6 +565,30 @@ def q_pip_anti_events(spark, sf_dir):
     return pip_anti_join(pts, polys, point_id="event_id").select("event_id")
 
 
+def q_frechet_events(spark, sf_dir):
+    """Discrete-Fréchet (ORDERED) trajectory-similarity join on the same
+    32 patch trajectories as hausdorff_events, same tau — 14 pairs vs
+    Hausdorff's 28: the order sensitivity IS the gate's content. Engine:
+    shared lossless candidates + vectorized boolean reachability DP;
+    oracle: monotone-path reachability over allowed (d^2 <= tau^2) cells
+    as a recursive CTE — the decision form is native SQL, no DP values."""
+    from osmflat_rs_spark.operators.trajectory import frechet_join
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    tid = F.col("event_id") % 32
+    pts = ev.select(
+        tid.alias("tid"),
+        F.col("event_id"),
+        (F.lit(LAT0) + (tid % 8) * 250_000 + (F.col("event_id") * A_LAT) % 200_000)
+        .cast("long").alias("lat"),
+        (F.lit(LON0) + F.floor(tid / 8) * 1_000_000 + (F.col("event_id") * A_LON) % 800_000)
+        .cast("long").alias("lon"),
+    )
+    return frechet_join(pts, 320_000, traj_col="tid", order_col="event_id").select(
+        "traj_a", "traj_b"
+    )
+
+
 def q_quadkey_events(spark, sf_dir):
     """Bing quadkey interchange key per event at the engine ZOOM — one
     base-4 digit per level from the slippy tile coords (pure Catalyst
@@ -1761,6 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_events": q_pip_events,
         "zonal_stats_events": q_zonal_stats_events,
         "hausdorff_events": q_hausdorff_events,
+        "frechet_events": q_frechet_events,
         "quadkey_events": q_quadkey_events,
         "geohash_events": q_geohash_events,
         "pip_events_shuffle": q_pip_events_shuffle,
@@ -1977,6 +2002,39 @@ def oracle_sql() -> dict[str, str]:
         "pip_events": f"""
             SELECT 'hex' AS polygon_id, event_id FROM {synth}
             WHERE {_halfplanes_sql('lon', 'lat')}
+        """,
+        "frechet_events": f"""
+            WITH RECURSIVE
+            p AS (
+                SELECT event_id % 32 AS tid,
+                       ROW_NUMBER() OVER (PARTITION BY event_id % 32 ORDER BY event_id) - 1 AS seq,
+                       CAST({LAT0} + (event_id % 32 % 8) * 250000
+                            + (event_id * {A_LAT}) % 200000 AS BIGINT) AS lat,
+                       CAST({LON0} + ((event_id % 32) // 8) * 1000000
+                            + (event_id * {A_LON}) % 800000 AS BIGINT) AS lon
+                FROM events WHERE event_id < 1000
+            ),
+            sz AS (SELECT tid, COUNT(*) AS n FROM p GROUP BY tid),
+            allowed AS (
+                SELECT a.tid AS ta, b.tid AS tb, a.seq AS i, b.seq AS j
+                FROM p a JOIN p b ON a.tid < b.tid
+                WHERE (a.lat - b.lat) * (a.lat - b.lat)
+                    + (a.lon - b.lon) * (a.lon - b.lon)
+                    <= CAST(320000 AS BIGINT) * 320000
+            ),
+            reach(ta, tb, i, j) AS (
+                SELECT ta, tb, i, j FROM allowed WHERE i = 0 AND j = 0
+                UNION
+                SELECT al.ta, al.tb, al.i, al.j
+                FROM reach r JOIN allowed al
+                  ON al.ta = r.ta AND al.tb = r.tb
+                 AND al.i BETWEEN r.i AND r.i + 1
+                 AND al.j BETWEEN r.j AND r.j + 1
+                 AND (al.i > r.i OR al.j > r.j)
+            )
+            SELECT r.ta AS traj_a, r.tb AS traj_b FROM reach r
+            JOIN sz sa ON sa.tid = r.ta JOIN sz sb ON sb.tid = r.tb
+            WHERE r.i = sa.n - 1 AND r.j = sb.n - 1
         """,
         "quadkey_events": f"""
             WITH t AS (

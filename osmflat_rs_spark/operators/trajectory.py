@@ -124,52 +124,31 @@ def od_flows(
     )
 
 
-def hausdorff_join(
+def _traj_pruned_pairs(
     points: DataFrame,
     tau: int,
-    traj_col: str = "traj_id",
-    lat_col: str = "lat",
-    lon_col: str = "lon",
-    res: int | None = None,
-    block_rows: int = 4096,
+    traj_col: str,
+    lat_col: str,
+    lon_col: str,
+    res: int | None,
+    order_col: str | None = None,
 ) -> DataFrame:
-    """Trajectory-similarity self-join: all unordered trajectory pairs
-    whose symmetric Hausdorff distance (point-set form, planar
-    fixed-point units) is <= ``tau`` → DataFrame(traj_a, traj_b, h2)
-    with ``h2`` the EXACT int64 squared Hausdorff distance (traj_a <
-    traj_b). H(A,B) = max(h(A,B), h(B,A)), h directed = max over a of
-    min over b of dist — the standard trajectory/shape similarity
-    measure (Alt & Guibas, Handbook of Computational Geometry ch. 3);
-    order-free, so GPS sampling order never matters.
+    """Shared candidate pipeline for the trajectory-similarity joins
+    (Hausdorff and discrete Fréchet — both metrics <= tau force every
+    point of each trajectory within tau of SOME point of the other, so
+    the same lossless construction serves both):
 
-    Spark-first shape, three stages:
+    1. collapse each trajectory to coordinate arrays (ordered by
+       ``order_col`` via sort_array when given — Fréchet is
+       order-sensitive; unordered collect otherwise) + bbox + a
+       deterministic anchor (min (lat, lon) struct);
+    2. candidates = anchor cell equi-joined to the 3x3-dilated DISTINCT
+       point cells of the other side (cells sized >= tau), normalized
+       to (min, max) pairs and deduped;
+    3. bbox-dilation prune (bbox_A inside bbox_B (+) tau and
+       symmetrically) JVM-side BEFORE any array ships.
 
-    1. **Collapse** each trajectory once: coordinate arrays (struct
-       collect then JVM `transform` — one aggregate pass, no
-       order-coupling between two collect_lists), bbox, and a
-       deterministic anchor point (min (lat, lon) struct).
-    2. **Lossless candidates.** If H(A,B) <= tau then A's anchor lies
-       within tau of SOME B point, so with grid cells sized >= tau the
-       anchor's cell is in the 3x3 neighborhood of a B-point cell:
-       candidates = anchors equi-joined to the DISTINCT exploded B point
-       cells (map-side fan-out, one hash join — the coloc/radius
-       construction). Both directions hold, so one direction suffices;
-       pairs normalize to (min, max) and dedup. A second JVM-side
-       lossless prune: h(A,B) <= tau forces bbox_A inside bbox_B
-       dilated by tau (and symmetrically) — four comparisons per side
-       on the already-aggregated bboxes, before any array ships.
-    3. **Exact refine**: surviving pairs join the two coordinate-array
-       rows (arrays ship once per surviving pair — the acceptable
-       analog of the r4 ring-payload rule because the pair set is
-       pruned first) and an Arrow `mapInPandas` computes the exact
-       int64 distance matrix blockwise (``block_rows`` bounds the
-       na*nb working set), keeping pairs with max-min <= tau^2.
-
-    Scale contract: designed for many trajectories of BOUNDED size
-    (10^0-10^4 points each — a traj's array must fit a row); the
-    candidate count is the grid-hash bound Theta(sum n_a(cell)*n_b(cell))
-    over anchor cells only, far below the all-pairs square. Skewed mega-
-    cells are AQE skew-join territory, same as coloc.
+    → (traj_a, traj_b, _lats_a, _lons_a, _lats_b, _lons_b).
     """
     import math as _math
 
@@ -181,14 +160,23 @@ def hausdorff_join(
         0, min(cells.MAX_RES, int(_math.floor(_math.log2(1_800_000_000 / tau))))
     )
 
-    pts = points.select(
+    sel = [
         F.col(traj_col).alias("_tid"),
         F.col(lat_col).cast("long").alias("_lat"),
         F.col(lon_col).cast("long").alias("_lon"),
-    ).filter(F.col("_lat").isNotNull() & F.col("_lon").isNotNull())
+    ]
+    if order_col is not None:
+        sel.append(F.col(order_col).alias("_ord"))
+    pts = points.select(*sel).filter(
+        F.col("_lat").isNotNull() & F.col("_lon").isNotNull()
+    )
 
+    if order_col is not None:
+        pts_struct = F.sort_array(F.collect_list(F.struct("_ord", "_lat", "_lon")))
+    else:
+        pts_struct = F.collect_list(F.struct("_lat", "_lon"))
     trajs = pts.groupBy("_tid").agg(
-        F.collect_list(F.struct("_lat", "_lon")).alias("_pts"),
+        pts_struct.alias("_pts"),
         F.min("_lat").alias("_minlat"),
         F.max("_lat").alias("_maxlat"),
         F.min("_lon").alias("_minlon"),
@@ -239,7 +227,7 @@ def hausdorff_join(
         F.col("_maxlon").alias("_maxlon_b"),
     )
     t = F.lit(int(tau))
-    pruned = (
+    return (
         cand.join(a_side, "traj_a")
         .join(b_side, "traj_b")
         .filter(
@@ -254,6 +242,56 @@ def hausdorff_join(
         )
         .select("traj_a", "traj_b", "_lats_a", "_lons_a", "_lats_b", "_lons_b")
     )
+
+
+def hausdorff_join(
+    points: DataFrame,
+    tau: int,
+    traj_col: str = "traj_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    res: int | None = None,
+    block_rows: int = 4096,
+) -> DataFrame:
+    """Trajectory-similarity self-join: all unordered trajectory pairs
+    whose symmetric Hausdorff distance (point-set form, planar
+    fixed-point units) is <= ``tau`` → DataFrame(traj_a, traj_b, h2)
+    with ``h2`` the EXACT int64 squared Hausdorff distance (traj_a <
+    traj_b). H(A,B) = max(h(A,B), h(B,A)), h directed = max over a of
+    min over b of dist — the standard trajectory/shape similarity
+    measure (Alt & Guibas, Handbook of Computational Geometry ch. 3);
+    order-free, so GPS sampling order never matters.
+
+    Spark-first shape, three stages:
+
+    1. **Collapse** each trajectory once: coordinate arrays (struct
+       collect then JVM `transform` — one aggregate pass, no
+       order-coupling between two collect_lists), bbox, and a
+       deterministic anchor point (min (lat, lon) struct).
+    2. **Lossless candidates.** If H(A,B) <= tau then A's anchor lies
+       within tau of SOME B point, so with grid cells sized >= tau the
+       anchor's cell is in the 3x3 neighborhood of a B-point cell:
+       candidates = anchors equi-joined to the DISTINCT exploded B point
+       cells (map-side fan-out, one hash join — the coloc/radius
+       construction). Both directions hold, so one direction suffices;
+       pairs normalize to (min, max) and dedup. A second JVM-side
+       lossless prune: h(A,B) <= tau forces bbox_A inside bbox_B
+       dilated by tau (and symmetrically) — four comparisons per side
+       on the already-aggregated bboxes, before any array ships.
+    3. **Exact refine**: surviving pairs join the two coordinate-array
+       rows (arrays ship once per surviving pair — the acceptable
+       analog of the r4 ring-payload rule because the pair set is
+       pruned first) and an Arrow `mapInPandas` computes the exact
+       int64 distance matrix blockwise (``block_rows`` bounds the
+       na*nb working set), keeping pairs with max-min <= tau^2.
+
+    Scale contract: designed for many trajectories of BOUNDED size
+    (10^0-10^4 points each — a traj's array must fit a row); the
+    candidate count is the grid-hash bound Theta(sum n_a(cell)*n_b(cell))
+    over anchor cells only, far below the all-pairs square. Skewed mega-
+    cells are AQE skew-join territory, same as coloc.
+    """
+    pruned = _traj_pruned_pairs(points, tau, traj_col, lat_col, lon_col, res)
 
     tau2 = int(tau) ** 2
     blk = int(block_rows)
@@ -294,6 +332,95 @@ def hausdorff_join(
                     rows["traj_a"].append(ta)
                     rows["traj_b"].append(tb)
                     rows["h2"].append(h)
+            if rows["traj_a"]:
+                yield pd.DataFrame(rows)
+
+    return pruned.mapInPandas(_refine, schema=out_schema)
+
+
+def frechet_join(
+    points: DataFrame,
+    tau: int,
+    traj_col: str = "traj_id",
+    order_col: str = "ts",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    res: int | None = None,
+) -> DataFrame:
+    """ORDERED trajectory-similarity self-join: unordered pairs whose
+    DISCRETE FRECHET distance is <= ``tau`` → (traj_a, traj_b). The
+    Fréchet ("dog-leash") distance is the ordered twin of Hausdorff —
+    min over monotone couplings of the max coupled point distance (Eiter
+    & Mannila 1994) — so two routes tracing the same street in opposite
+    directions are Fréchet-far but Hausdorff-identical.
+
+    Candidates reuse ``hausdorff_join``'s lossless pipeline verbatim
+    (Fréchet >= Hausdorff, so Fréchet <= tau implies every Hausdorff
+    candidate condition; arrays are collected ORDERED by ``order_col``
+    via sort_array). The refine is the DECISION form: Fréchet <= tau iff
+    a monotone (right/down/diag) path of cells with d² <= tau² connects
+    (0,0) to (m-1,n-1) — evaluated per pair as a row-sweep boolean DP
+    whose horizontal propagation is vectorized (run-start/last-true
+    prefix maxima, no inner Python loop), with corner preconditions and
+    an empty-row early exit. Exact: int64 distances, no floats anywhere.
+    """
+    pruned = _traj_pruned_pairs(
+        points, tau, traj_col, lat_col, lon_col, res, order_col=order_col
+    )
+    tau2 = int(tau) ** 2
+    id_dtype = dict(points.dtypes)[traj_col]
+    out_schema = f"traj_a {id_dtype}, traj_b {id_dtype}"
+
+    def _refine(batches):
+        import numpy as np
+        import pandas as pd
+
+        def reachable(la, lo, lb, lob):
+            nb = len(lb)
+            if (
+                (la[0] - lb[0]) ** 2 + (lo[0] - lob[0]) ** 2 > tau2
+                or (la[-1] - lb[-1]) ** 2 + (lo[-1] - lob[-1]) ** 2 > tau2
+            ):
+                return False
+            idx = np.arange(nb)
+            prev = None
+            for i in range(len(la)):
+                allowed = ((la[i] - lb) ** 2 + (lo[i] - lob) ** 2) <= tau2
+                if i == 0:
+                    cur = np.logical_and.accumulate(allowed)
+                else:
+                    diag = np.concatenate(([False], prev[:-1]))
+                    base = allowed & (prev | diag)
+                    # rightward propagation within contiguous allowed
+                    # runs: reach iff a base-true sits at or before j in
+                    # THIS run (all cells between are allowed by run
+                    # contiguity, so the path can walk right)
+                    run_start = np.maximum.accumulate(
+                        np.where(
+                            np.concatenate(([True], allowed[1:] != allowed[:-1])),
+                            idx,
+                            -1,
+                        )
+                    )
+                    last_true = np.maximum.accumulate(np.where(base, idx, -1))
+                    cur = allowed & (last_true >= run_start) & (last_true >= 0)
+                if not cur.any():
+                    return False
+                prev = cur
+            return bool(prev[-1])
+
+        for pdf in batches:
+            rows = {"traj_a": [], "traj_b": []}
+            for ta, tb, la, lo, lb, lob in zip(
+                pdf["traj_a"], pdf["traj_b"], pdf["_lats_a"], pdf["_lons_a"],
+                pdf["_lats_b"], pdf["_lons_b"],
+            ):
+                if reachable(
+                    np.asarray(la, dtype=np.int64), np.asarray(lo, dtype=np.int64),
+                    np.asarray(lb, dtype=np.int64), np.asarray(lob, dtype=np.int64),
+                ):
+                    rows["traj_a"].append(ta)
+                    rows["traj_b"].append(tb)
             if rows["traj_a"]:
                 yield pd.DataFrame(rows)
 

@@ -250,3 +250,94 @@ def test_hausdorff_join_boundary_and_blocking(spark):
         # other -> h2 = 9999^2, kept. (1,3): traj1's far point is tau+1
         # from traj3 -> dropped (one unit past the boundary).
         assert got == {(1, 2): tau * tau, (2, 3): 9999 * 9999}, got
+
+
+def _frechet2_dp(la, lo, lb, lob):
+    """Scalar Eiter-Mannila DP — the independent oracle (exact int64)."""
+    d2 = (la[:, None] - lb[None, :]) ** 2 + (lo[:, None] - lob[None, :]) ** 2
+    m, n = d2.shape
+    ca = np.empty((m, n), dtype=np.int64)
+    ca[0, 0] = d2[0, 0]
+    for j in range(1, n):
+        ca[0, j] = max(ca[0, j - 1], d2[0, j])
+    for i in range(1, m):
+        ca[i, 0] = max(ca[i - 1, 0], d2[i, 0])
+        for j in range(1, n):
+            ca[i, j] = max(d2[i, j], min(ca[i - 1, j], ca[i - 1, j - 1], ca[i, j - 1]))
+    return int(ca[-1, -1])
+
+
+def test_frechet_join_matches_dp_oracle_and_is_order_sensitive(spark):
+    """frechet_join's reachability decision vs the Eiter-Mannila value DP
+    on random cluster trajectories at two taus; input ROW order must not
+    matter (order comes from order_col); a reversed copy of a trajectory
+    is Hausdorff-identical but Fréchet-far."""
+    import pandas as pd
+
+    from osmflat_rs_spark.operators.trajectory import frechet_join, hausdorff_join
+
+    rng = np.random.default_rng(9)
+    frames = []
+    for t in range(16):
+        n = int(rng.integers(4, 40))
+        clat = 524_000_000 + int(rng.integers(0, 900_000))
+        clon = 132_000_000 + int(rng.integers(0, 1_800_000))
+        frames.append(
+            pd.DataFrame(
+                {
+                    "traj_id": np.full(n, t, dtype=np.int64),
+                    "seq": np.arange(n, dtype=np.int64),
+                    "lat": clat + rng.integers(0, 200_000, n),
+                    "lon": clon + rng.integers(0, 200_000, n),
+                }
+            )
+        )
+    pdf = pd.concat(frames, ignore_index=True)
+    groups = {
+        t: g.sort_values("seq") for t, g in pdf.groupby("traj_id")
+    }
+    for tau in (300_000, 500_000):
+        want = set()
+        ids = sorted(groups)
+        for ii, a in enumerate(ids):
+            for b in ids[ii + 1 :]:
+                ga, gb = groups[a], groups[b]
+                f2 = _frechet2_dp(
+                    ga["lat"].to_numpy(np.int64), ga["lon"].to_numpy(np.int64),
+                    gb["lat"].to_numpy(np.int64), gb["lon"].to_numpy(np.int64),
+                )
+                if f2 <= tau * tau:
+                    want.add((int(a), int(b)))
+        # shuffle row order: results must be identical (seq defines order)
+        shuffled = pdf.sample(frac=1.0, random_state=3).reset_index(drop=True)
+        df = spark.createDataFrame(shuffled)
+        got = {
+            (r["traj_a"], r["traj_b"])
+            for r in frechet_join(df, tau, traj_col="traj_id", order_col="seq").collect()
+        }
+        assert got == want, (tau, got ^ want)
+        assert (tau != 500_000) or len(want) > 3  # density sanity
+
+    # order sensitivity: traj 100 = traj 0 reversed (same point SET)
+    g0 = groups[0]
+    rev = g0.iloc[::-1].copy()
+    rev["traj_id"] = 100
+    rev["seq"] = np.arange(len(rev), dtype=np.int64)
+    both = pd.concat([g0, rev], ignore_index=True)
+    df2 = spark.createDataFrame(both)
+    h = {
+        (r["traj_a"], r["traj_b"])
+        for r in hausdorff_join(df2, 10_000, traj_col="traj_id").collect()
+    }
+    assert (0, 100) in h  # identical sets -> Hausdorff 0
+    span2 = _frechet2_dp(
+        g0["lat"].to_numpy(np.int64), g0["lon"].to_numpy(np.int64),
+        rev["lat"].to_numpy(np.int64), rev["lon"].to_numpy(np.int64),
+    )
+    tau_mid = int(np.sqrt(span2)) - 1  # strictly below the reversed Fréchet
+    if tau_mid > 0:
+        f = {
+            (r["traj_a"], r["traj_b"])
+            for r in frechet_join(df2, tau_mid, traj_col="traj_id", order_col="seq").collect()
+        }
+        assert (0, 100) not in f
