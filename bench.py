@@ -240,7 +240,12 @@ def _ensure_tables_parquet(spark, n_nodes: int) -> str:
 
     base = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp/spark_graft_bench")
     out = f"{base}/tables_{n_nodes}"
-    if not os.path.exists(os.path.join(out, "nodes", "_SUCCESS")):
+    # guard on BOTH tables: a run killed between the two writes leaves
+    # nodes/_SUCCESS behind, and a nodes-only guard would then skip prep
+    # forever and die at the ways_geo read (seen after a session abort)
+    if not all(
+        os.path.exists(os.path.join(out, t, "_SUCCESS")) for t in ("nodes", "ways_geo")
+    ):
         docs = spark.read.parquet(_ensure_docs_parquet(spark, n_nodes))
         t = ingest(docs, compute_metrics=False, with_dims=False)
         t["nodes"].select("node_idx", "osm_id", "lat", "lon").repartition(64).write.mode(
