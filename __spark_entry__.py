@@ -1108,6 +1108,26 @@ def q_seg_intersections_events(spark, sf_dir):
     return segment_intersection_join(segs, cell_size=1 << 14)
 
 
+def q_clip_tiles_events(spark, sf_dir):
+    """Vector-tile cut: the same synthetic GPS-trace segments as the
+    intersection gate, Liang–Barsky-clipped to 2^16 fixed-point grid
+    cells and quantized to MVT-style 4096-extent tile-local ints —
+    map-only codegen (zero shuffle, zero Python; the plan a 10^12-
+    segment tile cut must have)."""
+    _prep(spark)
+    from osmflat_rs_spark.operators.clip import clip_segments_to_grid
+
+    e = _synth_coords(_t(spark, sf_dir, "events"))
+    segs = e.select(
+        F.col("event_id").alias("sid"),
+        F.col("lon").alias("x1"),
+        F.col("lat").alias("y1"),
+        (F.col("lon") + (F.col("event_id") * 48271 + 11) % 131073 - 65536).alias("x2"),
+        (F.col("lat") + (F.col("event_id") * 16807 + 7) % 131073 - 65536).alias("y2"),
+    )
+    return clip_segments_to_grid(segs, cell_size=1 << 16, extent=4096)
+
+
 def q_repetition_docs(spark, sf_dir):
     """Gopher-style repetition quality signals: most-frequent-2-gram
     character fraction + duplicated-3-gram positional-coverage fraction,
@@ -1827,6 +1847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_docs": q_contamination_docs,
         "unigram_logprob_docs": q_unigram_logprob_docs,
         "seg_intersections_events": q_seg_intersections_events,
+        "clip_tiles_events": q_clip_tiles_events,
         "kmv_distinct_events": q_kmv_distinct_events,
         "hist_quantiles_events": q_hist_quantiles_events,
         "bloom_probe_customers": q_bloom_probe_customers,
@@ -2586,6 +2607,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b FROM cand
             WHERE ((o1 < 0) <> (o2 < 0)) AND o1 <> 0 AND o2 <> 0
               AND ((o3 < 0) <> (o4 < 0)) AND o3 <> 0 AND o4 <> 0
+        """,
+        # Vector-tile cut: bbox cell fan-out + Liang–Barsky clip +
+        # 4096-extent quantization, every float step in the engine's
+        # exact operation order (cell_size 2^16 keeps the floor division
+        # exact in doubles; round is HALF-UP in both engines for the
+        # non-negative local coords, so the hash compare is bit-exact).
+        "clip_tiles_events": f"""
+            WITH s AS (
+              SELECT event_id AS sid,
+                     CAST(lon AS DOUBLE) AS x0,
+                     CAST(lat AS DOUBLE) AS y0,
+                     CAST(lon + (event_id * 48271 + 11) % 131073 - 65536 AS DOUBLE) - CAST(lon AS DOUBLE) AS dx,
+                     CAST(lat + (event_id * 16807 + 7) % 131073 - 65536 AS DOUBLE) - CAST(lat AS DOUBLE) AS dy
+              FROM {synth}
+            ),
+            seg AS (
+              SELECT sid, x0, y0, dx, dy,
+                     CAST(floor(least(x0, x0 + dx) / 65536.0) AS BIGINT) AS cx_lo,
+                     CAST(floor(greatest(x0, x0 + dx) / 65536.0) AS BIGINT) AS cx_hi,
+                     CAST(floor(least(y0, y0 + dy) / 65536.0) AS BIGINT) AS cy_lo,
+                     CAST(floor(greatest(y0, y0 + dy) / 65536.0) AS BIGINT) AS cy_hi
+              FROM s
+            ),
+            fan AS (
+              SELECT sid, x0, y0, dx, dy,
+                     gx.cell_x, gy.cell_y,
+                     CAST(gx.cell_x AS DOUBLE) * 65536.0 AS xmn,
+                     CAST(gy.cell_y AS DOUBLE) * 65536.0 AS ymn
+              FROM seg,
+                   UNNEST(generate_series(cx_lo, cx_hi)) AS gx(cell_x),
+                   UNNEST(generate_series(cy_lo, cy_hi)) AS gy(cell_y)
+            ),
+            win AS (
+              SELECT *,
+                greatest(0.0,
+                  CASE WHEN dx <> 0.0 THEN least((xmn - x0) / dx, (xmn + 65536.0 - x0) / dx)
+                       ELSE CASE WHEN x0 >= xmn AND x0 <= xmn + 65536.0 THEN 0.0 ELSE 2.0 END END,
+                  CASE WHEN dy <> 0.0 THEN least((ymn - y0) / dy, (ymn + 65536.0 - y0) / dy)
+                       ELSE CASE WHEN y0 >= ymn AND y0 <= ymn + 65536.0 THEN 0.0 ELSE 2.0 END END) AS t0,
+                least(1.0,
+                  CASE WHEN dx <> 0.0 THEN greatest((xmn - x0) / dx, (xmn + 65536.0 - x0) / dx)
+                       ELSE CASE WHEN x0 >= xmn AND x0 <= xmn + 65536.0 THEN 1.0 ELSE -1.0 END END,
+                  CASE WHEN dy <> 0.0 THEN greatest((ymn - y0) / dy, (ymn + 65536.0 - y0) / dy)
+                       ELSE CASE WHEN y0 >= ymn AND y0 <= ymn + 65536.0 THEN 1.0 ELSE -1.0 END END) AS t1
+              FROM fan
+            ),
+            q AS (
+              SELECT sid, cell_x, cell_y,
+                CAST(round(((x0 + t0 * dx) - xmn) * 4096.0 / 65536.0) AS INTEGER) AS u0,
+                CAST(round(((y0 + t0 * dy) - ymn) * 4096.0 / 65536.0) AS INTEGER) AS v0,
+                CAST(round(((x0 + t1 * dx) - xmn) * 4096.0 / 65536.0) AS INTEGER) AS u1,
+                CAST(round(((y0 + t1 * dy) - ymn) * 4096.0 / 65536.0) AS INTEGER) AS v1
+              FROM win WHERE t0 <= t1
+            )
+            SELECT sid, cell_x, cell_y, u0, v0, u1, v1 FROM q
+            WHERE u0 <> u1 OR v0 <> v1
         """,
         # Gopher repetition signals: top-2-gram char fraction + duplicated
         # 3-gram POSITIONAL coverage (distinct positions — overlaps never
