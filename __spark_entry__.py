@@ -689,6 +689,30 @@ def q_kde_events(spark, sf_dir):
     return out.select("ix", "iy", "n_self", F.round("density", 6).alias("density"))
 
 
+def q_contour_events(spark, sf_dir):
+    """Marching-squares iso-contour of the event count surface at res 16,
+    level 2.5 (half-integer: no corner sits ON the contour). One cell-agg
+    shuffle + one block-corner pivot shuffle, then the case table and edge
+    interpolation as a codegen projection — the heatmap→isoline
+    vectorization step for the SVG/JSON sinks (reference renders the
+    raster directly, render-roads.rs; this is its level-set)."""
+    from osmflat_rs_spark.functions.cells import grid_exprs
+    from osmflat_rs_spark.operators.contour import contour_segments
+
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    ix, iy = grid_exprs(F.col("lat"), F.col("lon"), 16)
+    grid = pts.groupBy(ix.alias("ix"), iy.alias("iy")).agg(F.count("*").alias("v"))
+    out = contour_segments(grid, "v", 2.5)
+    return out.select(
+        "bx",
+        "by",
+        F.round("x0", 6).alias("x0"),
+        F.round("y0", 6).alias("y0"),
+        F.round("x1", 6).alias("x1"),
+        F.round("y1", 6).alias("y1"),
+    )
+
+
 def q_idw_events(spark, sf_dir):
     """IDW spatial interpolation (Shepard, power=2) at the kNN gate's
     query points over the events' value field. The neighbor search is
@@ -1816,6 +1840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_index_events": q_cell_index_events,
         "focal_grid_events": q_focal_grid_events,
         "kde_events": q_kde_events,
+        "contour_events": q_contour_events,
         "pip_anti_events": q_pip_anti_events,
         "idw_events": q_idw_events,
         "hotspot_events": q_hotspot_events,
@@ -2392,6 +2417,65 @@ def oracle_sql() -> dict[str, str]:
             FROM c c1 JOIN c c2
               ON abs(c1.ix - c2.ix) <= 2 AND abs(c1.iy - c2.iy) <= 2
             GROUP BY 1, 2, 3
+        """,
+        # marching squares mirrored literally: same corner-bit order
+        # (bit i = dx + 2*dy), same strict > test, same center-average
+        # saddle rule (cases 5/10 → pseudo-cases 50/51/100/101), same
+        # (level-va)/(vb-va) interpolation on the same integer-count
+        # doubles — bit-identical division, 6-decimal round both sides
+        "contour_events": f"""
+            WITH pts AS (SELECT * FROM {synth}),
+            g AS (SELECT GREATEST(0, LEAST({(1 << 16) - 1}, (lon + 1800000000) * {1 << 16} // 3600000000)) AS ix,
+                         GREATEST(0, LEAST({(1 << 16) - 1}, (lat + 900000000) * {1 << 16} // 1800000000)) AS iy
+                  FROM pts),
+            c AS (SELECT ix, iy, CAST(COUNT(*) AS DOUBLE) AS v FROM g GROUP BY 1, 2),
+            fan AS (SELECT c.ix - d.dx AS bx, c.iy - d.dy AS by,
+                           d.dx + 2 * d.dy AS corner, c.v
+                    FROM c, (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) d(dx, dy)),
+            blk AS (SELECT bx, by,
+                      COALESCE(MAX(CASE WHEN corner = 0 THEN v END), 0.0) AS v00,
+                      COALESCE(MAX(CASE WHEN corner = 1 THEN v END), 0.0) AS v10,
+                      COALESCE(MAX(CASE WHEN corner = 2 THEN v END), 0.0) AS v01,
+                      COALESCE(MAX(CASE WHEN corner = 3 THEN v END), 0.0) AS v11
+                    FROM fan GROUP BY 1, 2),
+            cs AS (SELECT *,
+                     CAST(v00 > 2.5 AS INT) + 2 * CAST(v10 > 2.5 AS INT)
+                     + 4 * CAST(v11 > 2.5 AS INT) + 8 * CAST(v01 > 2.5 AS INT) AS c0,
+                     (v00 + v10 + v01 + v11) / 4.0 AS ctr
+                   FROM blk),
+            eff AS (SELECT *, CASE WHEN c0 = 5 AND ctr > 2.5 THEN 50
+                                   WHEN c0 = 5 THEN 51
+                                   WHEN c0 = 10 AND ctr > 2.5 THEN 100
+                                   WHEN c0 = 10 THEN 101
+                                   ELSE c0 END AS cc
+                    FROM cs),
+            seg AS (SELECT e.*, m.ea, m.eb
+                    FROM eff e
+                    JOIN (VALUES
+                      (1,'W','S'),(2,'S','E'),(3,'W','E'),(4,'E','N'),
+                      (6,'S','N'),(7,'W','N'),(8,'N','W'),(9,'S','N'),
+                      (11,'E','N'),(12,'W','E'),(13,'S','E'),(14,'W','S'),
+                      (50,'S','E'),(50,'W','N'),(51,'W','S'),(51,'E','N'),
+                      (100,'W','S'),(100,'E','N'),(101,'S','E'),(101,'W','N')
+                    ) m(cc, ea, eb) ON e.cc = m.cc)
+            SELECT bx, by,
+              ROUND(bx + CASE ea WHEN 'S' THEN (2.5 - v00) / (v10 - v00)
+                                 WHEN 'E' THEN 1.0
+                                 WHEN 'N' THEN (2.5 - v01) / (v11 - v01)
+                                 ELSE 0.0 END, 6) AS x0,
+              ROUND(by + CASE ea WHEN 'S' THEN 0.0
+                                 WHEN 'E' THEN (2.5 - v10) / (v11 - v10)
+                                 WHEN 'N' THEN 1.0
+                                 ELSE (2.5 - v00) / (v01 - v00) END, 6) AS y0,
+              ROUND(bx + CASE eb WHEN 'S' THEN (2.5 - v00) / (v10 - v00)
+                                 WHEN 'E' THEN 1.0
+                                 WHEN 'N' THEN (2.5 - v01) / (v11 - v01)
+                                 ELSE 0.0 END, 6) AS x1,
+              ROUND(by + CASE eb WHEN 'S' THEN 0.0
+                                 WHEN 'E' THEN (2.5 - v10) / (v11 - v10)
+                                 WHEN 'N' THEN 1.0
+                                 ELSE (2.5 - v00) / (v01 - v00) END, 6) AS y1
+            FROM seg
         """,
         "raster_events": f"""
             WITH pts AS (SELECT * FROM {synth}),
