@@ -67,6 +67,22 @@ HOLE_RING = [
     (134_000_000, 524_600_000),
 ]
 
+# fill gate: 9 overlapping hexagons (3 sizes x 3x3 grid of centers,
+# scaled/shifted copies of HEX_RING — exact ints) + the hexhole polygon
+FILL_POLYS = [
+    (
+        f"fp{i:02d}",
+        [
+            (
+                133_000_000 + (i % 3) * 1_500_000 + (lo - 134_000_000) * (2 + i % 3) // 4,
+                524_500_000 + (i // 3) * 900_000 + (la - 525_000_000) * (2 + i % 3) // 4,
+            )
+            for lo, la in HEX_RING
+        ],
+    )
+    for i in range(9)
+]
+
 KNN_QUERIES = [(f"q{i:02d}", 524_200_000 + i * 173_000, 132_500_000 + i * 317_000) for i in range(10)]
 KNN_K = 5
 # fixed-point-unit radius for the sqeuclid cell cover: expected 5th-NN
@@ -428,6 +444,27 @@ def q_pip_events_holes(spark, sf_dir):
         schema="polygon_id string, rings array<array<struct<lat:long,lon:long>>>",
     )
     return pip_join(pts, polys, point_id="event_id").select("polygon_id", "event_id")
+
+
+def q_fill_cells(spark, sf_dir):
+    """Polygon interior rasterization: all res-16 cells whose exact
+    integer center each polygon contains (boundary-inclusive even-odd —
+    the hexhole polygon's hole stays unfilled). Candidates are an in-row
+    bbox fan-out on the POLYGON side + one distinct, refined by the
+    standard two-phase PIP join; the oracle re-derives every (polygon,
+    cell) pair from a generous global cell universe with the literal
+    half-plane predicates — different candidate structure, same exact
+    arithmetic."""
+    from osmflat_rs_spark.operators.fill import polygon_fill_cells
+
+    rows = [(pid, [[(la, lo) for lo, la in ring]]) for pid, ring in FILL_POLYS]
+    rows.append(
+        ("hexhole", [[(la, lo) for lo, la in HEX_RING], [(la, lo) for lo, la in HOLE_RING]])
+    )
+    polys = spark.createDataFrame(
+        rows, schema="polygon_id string, rings array<array<struct<lat:long,lon:long>>>"
+    )
+    return polygon_fill_cells(polys, res=16)
 
 
 def q_knn_events(spark, sf_dir):
@@ -1556,6 +1593,41 @@ def _halfplanes_sql(lon: str, lat: str) -> str:
     return _ring_halfplanes_sql(HEX_RING, lon, lat)
 
 
+def _fill_cells_oracle_sql(res: int = 16) -> str:
+    """fill_cells oracle: every cell of a padded GLOBAL bbox universe
+    tested against each polygon's literal half-planes (the engine fans
+    out per-polygon bboxes instead — both are lossless supersets)."""
+    lon_span, lat_span = 3_600_000_000, 1_800_000_000
+    verts = [v for _, ring in FILL_POLYS for v in ring] + HEX_RING
+
+    def quant(v, off, span):
+        return max(0, min((1 << res) - 1, (v + off) * (1 << res) // span))
+
+    gix0 = quant(min(lo for lo, _ in verts), lon_span // 2, lon_span) - 2
+    gix1 = quant(max(lo for lo, _ in verts), lon_span // 2, lon_span) + 2
+    giy0 = quant(min(la for _, la in verts), lat_span // 2, lat_span) - 2
+    giy1 = quant(max(la for _, la in verts), lat_span // 2, lat_span) + 2
+    cells = f"""
+      WITH cells AS (
+        SELECT gx.ix AS ix, gy.iy AS iy,
+               (2 * gx.ix + 1) * {lon_span} // {1 << (res + 1)} - {lon_span // 2} AS clon,
+               (2 * gy.iy + 1) * {lat_span} // {1 << (res + 1)} - {lat_span // 2} AS clat
+        FROM generate_series({gix0}, {gix1}) gx(ix),
+             generate_series({giy0}, {giy1}) gy(iy))
+    """
+    branches = [
+        f"SELECT '{pid}' AS polygon_id, ix, iy FROM cells "
+        f"WHERE {_ring_halfplanes_sql(ring, 'clon', 'clat')}"
+        for pid, ring in FILL_POLYS
+    ]
+    branches.append(
+        "SELECT 'hexhole' AS polygon_id, ix, iy FROM cells "
+        f"WHERE ({_ring_halfplanes_sql(HEX_RING, 'clon', 'clat')}) "
+        f"AND NOT ({_ring_halfplanes_sql(HOLE_RING, 'clon', 'clat', strict=True)})"
+    )
+    return cells + " UNION ALL ".join(branches)
+
+
 def _haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
     s = 10_000_000.0
     r = 6372797.560856
@@ -1834,6 +1906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_events": q_geohash_events,
         "pip_events_shuffle": q_pip_events_shuffle,
         "pip_events_holes": q_pip_events_holes,
+        "fill_cells": q_fill_cells,
         "knn_events": q_knn_events,
         "radius_events": q_radius_events,
         "coloc_events": q_coloc_events,
@@ -2169,6 +2242,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_halfplanes_sql('lon', 'lat')}
               AND NOT ({_ring_halfplanes_sql(HOLE_RING, 'lon', 'lat', strict=True)})
         """,
+        # interior fill re-derived from a GENEROUS global cell universe
+        # (different candidate structure than the engine's per-polygon
+        # bbox fan-out — cells outside a polygon fail its half-planes, so
+        # the supersets agree exactly); same integer midpoint formula,
+        # same boundary-inclusive even-odd on the hexhole
+        "fill_cells": _fill_cells_oracle_sql(),
         "knn_events": f"""
             WITH pts AS (SELECT * FROM {synth}),
             q(query_id, qlat, qlon) AS (VALUES {knn_vals}),
