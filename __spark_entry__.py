@@ -446,6 +446,29 @@ def q_pip_events_holes(spark, sf_dir):
     return pip_join(pts, polys, point_id="event_id").select("polygon_id", "event_id")
 
 
+RESAMPLE_STEP_US = 21_600_000_000  # 6h
+
+
+def q_resample_events(spark, sf_dir):
+    """Uniform-time trajectory resampling (per-user pings → epoch-aligned
+    6h ticks, linear interpolation): one lead window + in-row tick
+    fan-out + codegen interpolation. Exact long tick indices (`div`),
+    identical IEEE double interpolation both engines, 6-decimal round."""
+    from osmflat_rs_spark.operators.trajectory import resample_time
+
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    out = resample_time(
+        pts, "user_id", RESAMPLE_STEP_US, ts_col="ts", value_cols=("lat", "lon"),
+        order_cols=("event_id",),
+    )
+    # NO rounding: the interpolation is a single non-reassociated IEEE
+    # expression — both engines produce bit-identical doubles, and
+    # decimal rounding would only REINTRODUCE divergence (Spark rounds
+    # via BigDecimal, DuckDB in floating point: at 5e8 magnitude the
+    # 6th decimal differs by 1 ulp on ~0.6% of rows — measured)
+    return out.select("user_id", "tick_us", "lat", "lon")
+
+
 def q_fill_cells(spark, sf_dir):
     """Polygon interior rasterization: all res-16 cells whose exact
     integer center each polygon contains (boundary-inclusive even-odd —
@@ -1907,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_events_shuffle": q_pip_events_shuffle,
         "pip_events_holes": q_pip_events_holes,
         "fill_cells": q_fill_cells,
+        "resample_events": q_resample_events,
         "knn_events": q_knn_events,
         "radius_events": q_radius_events,
         "coloc_events": q_coloc_events,
@@ -2248,6 +2272,35 @@ def oracle_sql() -> dict[str, str]:
         # the supersets agree exactly); same integer midpoint formula,
         # same boundary-inclusive even-odd on the hexhole
         "fill_cells": _fill_cells_oracle_sql(),
+        # bounded-series restatement of the in-row tick fan-out (512
+        # ticks/segment covers any gap at 6h steps over a 30-day table);
+        # `//` mirrors the engine's exact `div` tick indices
+        "resample_events": f"""
+            WITH pts AS (SELECT user_id, event_id, epoch_us(ts) AS t0,
+                                CAST(lat AS DOUBLE) AS lat, CAST(lon AS DOUBLE) AS lon
+                         FROM {synth}),
+            seg AS (SELECT user_id, t0, lat, lon,
+                           LEAD(t0) OVER w AS t1,
+                           LEAD(lat) OVER w AS lat1, LEAD(lon) OVER w AS lon1
+                    FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY t0, event_id)),
+            ks AS (SELECT *, (t0 + {RESAMPLE_STEP_US} - 1) // {RESAMPLE_STEP_US} AS k0,
+                             (t1 - 1) // {RESAMPLE_STEP_US} AS k1
+                   FROM seg WHERE t1 IS NOT NULL),
+            interior AS (
+              SELECT user_id,
+                     (k0 + g) * {RESAMPLE_STEP_US} AS tick_us,
+                     lat + (lat1 - lat) * (CAST((k0 + g) * {RESAMPLE_STEP_US} - t0 AS DOUBLE)
+                                           / CAST(t1 - t0 AS DOUBLE)) AS lat,
+                     lon + (lon1 - lon) * (CAST((k0 + g) * {RESAMPLE_STEP_US} - t0 AS DOUBLE)
+                                           / CAST(t1 - t0 AS DOUBLE)) AS lon
+              FROM ks, generate_series(0, 511) s(g)
+              WHERE g <= k1 - k0),
+            final AS (
+              SELECT user_id, t0 AS tick_us, lat, lon
+              FROM seg WHERE t1 IS NULL AND t0 % {RESAMPLE_STEP_US} = 0)
+            SELECT user_id, tick_us, lat, lon
+            FROM (SELECT * FROM interior UNION ALL SELECT * FROM final)
+        """,
         "knn_events": f"""
             WITH pts AS (SELECT * FROM {synth}),
             q(query_id, qlat, qlon) AS (VALUES {knn_vals}),

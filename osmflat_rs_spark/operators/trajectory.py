@@ -425,3 +425,99 @@ def frechet_join(
                 yield pd.DataFrame(rows)
 
     return pruned.mapInPandas(_refine, schema=out_schema)
+
+
+def resample_time(
+    pts: DataFrame,
+    key: str | list[str],
+    step_us: int,
+    ts_col: str = "ts",
+    value_cols: tuple = ("lat", "lon"),
+    order_cols: tuple = (),
+) -> DataFrame:
+    """Uniform-time trajectory resampling: one row per key per epoch-
+    aligned tick, linearly interpolated between the bracketing pings.
+
+    The normalization step a trajectory-training pipeline runs before
+    any fixed-length model input: irregular pings → positions at every
+    ``step_us`` microseconds. Ticks are EPOCH-aligned (t = k·step), so
+    resampled series are directly comparable/joinable across keys — the
+    same alignment the interval/as-of operators use.
+
+    Semantics (mirrored literally by the SQL oracle):
+
+    - consecutive points (ordered by ``ts_col`` then ``order_cols``;
+      pass a unique id to pin ties) bracket the half-open span
+      [t_i, t_{i+1}); each grid tick inside it interpolates at
+      f = (tick − t_i)/(t_{i+1} − t_i) (doubles — same IEEE ops both
+      engines);
+    - the FINAL ping additionally emits its own tick when it sits
+      exactly on the grid (closed right end of the whole trajectory);
+    - equal-timestamp pairs span an empty half-open interval → no rows,
+      no division by zero;
+    - a single-ping trajectory resamples to nothing unless that ping is
+      grid-aligned.
+
+    Scale shape: one window (the per-key lead — the operator's only
+    shuffle), then an IN-ROW ``explode(sequence(k0, k1))`` fan-out
+    proportional to the OUTPUT tick count, and a codegen interpolation
+    projection. No joins, no per-row Python.
+
+    → key cols + ``tick_us`` (BIGINT epoch µs) + interpolated
+    ``value_cols`` (doubles).
+    """
+    if step_us < 1:
+        raise ValueError(f"step_us must be >= 1, got {step_us}")
+    keys = [key] if isinstance(key, str) else list(key)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(*keys).orderBy(ts_col, *order_cols)
+    step = F.lit(int(step_us))
+    seg = pts.select(
+        *keys,
+        F.col(ts_col),
+        *[F.col(c) for c in order_cols],
+        us.alias("_t0"),
+        *[F.col(c).cast("double").alias(f"_v0_{c}") for c in value_cols],
+    ).select(
+        *keys,
+        "_t0",
+        F.lead("_t0").over(w).alias("_t1"),
+        *[F.col(f"_v0_{c}") for c in value_cols],
+        *[F.lead(f"_v0_{c}").over(w).alias(f"_v1_{c}") for c in value_cols],
+    )
+    # interior ticks of [t0, t1): k in [ceil(t0/step), ceil(t1/step)-1].
+    # `div` = exact long division (double `/` + cast can cross an
+    # integer boundary at large t/small step; the oracle uses `//`)
+    k0 = F.expr(f"(_t0 + {int(step_us)} - 1) div {int(step_us)}")
+    k1 = F.expr(f"(_t1 - 1) div {int(step_us)}")
+    interior = (
+        seg.filter(F.col("_t1").isNotNull())
+        .withColumn("_k0", k0)
+        .withColumn("_k1", k1)
+        .filter(F.col("_k1") >= F.col("_k0"))
+        .withColumn("_k", F.explode(F.sequence(F.col("_k0"), F.col("_k1"))))
+        .withColumn("tick_us", F.col("_k") * step)
+        .withColumn(
+            "_f",
+            (F.col("tick_us") - F.col("_t0")).cast("double")
+            / (F.col("_t1") - F.col("_t0")).cast("double"),
+        )
+        .select(
+            *keys,
+            "tick_us",
+            *[
+                (F.col(f"_v0_{c}") + (F.col(f"_v1_{c}") - F.col(f"_v0_{c}")) * F.col("_f")).alias(c)
+                for c in value_cols
+            ],
+        )
+    )
+    # closed right end: the final ping, iff grid-aligned
+    final = (
+        seg.filter(F.col("_t1").isNull() & (F.col("_t0") % step == 0))
+        .select(
+            *keys,
+            F.col("_t0").alias("tick_us"),
+            *[F.col(f"_v0_{c}").alias(c) for c in value_cols],
+        )
+    )
+    return interior.unionByName(final)

@@ -341,3 +341,86 @@ def test_frechet_join_matches_dp_oracle_and_is_order_sensitive(spark):
             for r in frechet_join(df2, tau_mid, traj_col="traj_id", order_col="seq").collect()
         }
         assert (0, 100) not in f
+
+
+def test_resample_time_matches_model(spark):
+    """resample_time vs a plain-Python model: random irregular pings
+    (with duplicate timestamps and grid-aligned endpoints forced in),
+    epoch-aligned ticks, half-open segments, closed aligned right end."""
+    import numpy as np
+    import pandas as pd
+
+    from osmflat_rs_spark.operators.trajectory import resample_time
+
+    rng = np.random.RandomState(7)
+    step = 3_600_000_000  # 1h in µs
+    rows = []
+    for tid in range(12):
+        n = rng.randint(1, 15)
+        t = np.sort(rng.randint(0, 90 * step, n).astype("int64")) + 1_700_000_000_000_000
+        if tid == 3 and n >= 2:
+            t[1] = t[0]  # duplicate timestamp: empty half-open span
+        if tid == 5:
+            t[-1] = (t[-1] // step) * step  # aligned final ping
+        for i, ti in enumerate(t):
+            rows.append((tid, int(ti), int(rng.randint(-900, 900)) * 1_000_000,
+                         int(rng.randint(-1800, 1800)) * 1_000_000, i))
+    pdf = pd.DataFrame(rows, columns=["tid", "t_us", "lat", "lon", "seq"])
+
+    want = set()
+    for tid, grp in pdf.groupby("tid"):
+        g = grp.sort_values(["t_us", "seq"]).reset_index(drop=True)
+        for i in range(len(g) - 1):
+            t0, t1 = int(g.t_us[i]), int(g.t_us[i + 1])
+            k0, k1 = -((-t0) // step), (t1 - 1) // step
+            for k in range(k0, k1 + 1):
+                f = (k * step - t0) / (t1 - t0)
+                la = float(g.lat[i]) + (float(g.lat[i + 1]) - float(g.lat[i])) * f
+                lo = float(g.lon[i]) + (float(g.lon[i + 1]) - float(g.lon[i])) * f
+                want.add((tid, k * step, round(la, 6), round(lo, 6)))
+        tl = int(g.t_us.iloc[-1])
+        if tl % step == 0:
+            want.add((tid, tl, round(float(g.lat.iloc[-1]), 6), round(float(g.lon.iloc[-1]), 6)))
+
+    df = spark.createDataFrame(pdf).withColumn(
+        "ts", F.timestamp_micros(F.col("t_us"))
+    ).repartition(5)
+    out = resample_time(df, "tid", step, ts_col="ts", order_cols=("seq",))
+    got = {
+        (r["tid"], r["tick_us"], round(r["lat"], 6), round(r["lon"], 6))
+        for r in out.collect()
+    }
+    assert got == want
+    assert len(got) > 100, "model too small to be meaningful"
+
+
+def test_resample_time_plan_one_shuffle_no_join(spark):
+    from osmflat_rs_spark.operators.trajectory import resample_time
+
+    df = spark.range(200).selectExpr(
+        "id % 8 AS tid",
+        "timestamp_micros(1700000000000000 + id * 777777777) AS ts",
+        "CAST(id AS DOUBLE) AS lat",
+        "CAST(-id AS DOUBLE) AS lon",
+        "id AS seq",
+    )
+    plan = (
+        resample_time(df, "tid", 1_000_000_000, order_cols=("seq",))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    # one window shuffle per union branch over the same child — Spark
+    # reuses or repeats the Exchange but never joins
+    assert plan.count("Window") <= 2 and "Exchange" in plan
+
+
+def test_resample_time_rejects_bad_step(spark):
+    import pytest as _pytest
+
+    from osmflat_rs_spark.operators.trajectory import resample_time
+
+    df = spark.range(1).selectExpr("id AS tid", "timestamp_micros(id) AS ts", "1.0 AS lat")
+    with _pytest.raises(ValueError):
+        resample_time(df, "tid", 0, value_cols=("lat",))
