@@ -448,6 +448,29 @@ def q_pip_events_holes(spark, sf_dir):
 
 RESAMPLE_STEP_US = 21_600_000_000  # 6h
 
+# shortest-path gate: deterministic sparse digraph (150 nodes, 3
+# out-edges each, no self-loops by construction), bounded at 10 hops so
+# the oracle is a finite recursive walk
+SSSP_N, SSSP_SOURCES, SSSP_HOPS = 150, (0, 50, 100), 10
+
+
+def q_sssp_graph(spark, sf_dir):
+    """Multi-source hop-bounded shortest paths (distributed Bellman-Ford,
+    delta relaxation, per-round localCheckpoint). The hop bound is part
+    of the semantics — exactly a bounded recursive-CTE walk in DuckDB."""
+    from osmflat_rs_spark.operators.graph import shortest_paths
+
+    edges = (
+        spark.range(SSSP_N)
+        .select(F.col("id").alias("src"), F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"))
+        .selectExpr(
+            "src",
+            f"(src * 31 + k) % {SSSP_N} AS dst",
+        )
+        .selectExpr("src", "dst", "(src * 7 + dst * 13) % 20 + 1 AS w")
+    )
+    return shortest_paths(edges, list(SSSP_SOURCES), SSSP_HOPS)
+
 
 def q_resample_events(spark, sf_dir):
     """Uniform-time trajectory resampling (per-user pings → epoch-aligned
@@ -1931,6 +1954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_events_holes": q_pip_events_holes,
         "fill_cells": q_fill_cells,
         "resample_events": q_resample_events,
+        "sssp_graph": q_sssp_graph,
         "knn_events": q_knn_events,
         "radius_events": q_radius_events,
         "coloc_events": q_coloc_events,
@@ -2272,6 +2296,23 @@ def oracle_sql() -> dict[str, str]:
         # the supersets agree exactly); same integer midpoint formula,
         # same boundary-inclusive even-odd on the hexhole
         "fill_cells": _fill_cells_oracle_sql(),
+        # the walk enumerates every (source, node, dist, hops) tuple the
+        # bounded Bellman-Ford could produce (UNION dedups; dists are
+        # bounded so the closure is small) — MIN collapses to the answer
+        "sssp_graph": f"""
+            WITH RECURSIVE e AS (
+              SELECT src, (src * 31 + k) % {SSSP_N} AS dst,
+                     (src * 7 + ((src * 31 + k) % {SSSP_N}) * 13) % 20 + 1 AS w
+              FROM generate_series(0, {SSSP_N - 1}) s(src), generate_series(1, 3) t(k)),
+            walk(source, node, dist, hops) AS (
+              SELECT source, source, 0, 0
+              FROM (VALUES {', '.join(f'({s})' for s in SSSP_SOURCES)}) s(source)
+              UNION
+              SELECT w.source, e.dst, w.dist + e.w, w.hops + 1
+              FROM walk w JOIN e ON e.src = w.node
+              WHERE w.hops < {SSSP_HOPS})
+            SELECT source, node, MIN(dist) AS dist FROM walk GROUP BY 1, 2
+        """,
         # bounded-series restatement of the in-row tick fan-out (512
         # ticks/segment covers any gap at 6h steps over a 30-day table);
         # `//` mirrors the engine's exact `div` tick indices

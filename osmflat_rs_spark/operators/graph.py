@@ -109,3 +109,84 @@ def dedup_cluster_representatives(
     return cc.select(
         "node", "component", (F.col("node") == F.col("component")).alias("is_representative")
     )
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: list,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Multi-source hop-bounded shortest paths (distributed Bellman-Ford
+    with delta relaxation) → (source, node, dist).
+
+    ``dist`` is the minimum total ``weight`` over DIRECTED paths from
+    ``source`` with at most ``max_hops`` edges; unreachable (source,
+    node) pairs emit no row; the source itself is distance 0. The hop
+    bound is part of the SEMANTICS (it makes the result finite-path-
+    enumerable — exactly restatable as a bounded recursive SQL walk —
+    and is the routing-domain "within N segments" question); when the
+    frontier drains earlier, the loop exits early with the identical
+    answer, because no longer path can improve a settled distance
+    under non-negative weights (validated).
+
+    Scale shape (same discipline as ``connected_components``):
+
+    - per-round state is ONE (source, node, dist) row per settled pair;
+      only the FRONTIER (pairs improved last round — the delta) joins
+      the edge table, so relaxation work tracks the wavefront, not the
+      settled mass;
+    - each round is one equi-join (frontier ⋈ edges on node = src,
+      broadcast-eligible when the frontier is small) + one map-side-
+      combined min-agg + one min-merge against the settled table;
+    - rounds end with an EAGER localCheckpoint (lineage trap) and a
+      driver-side emptiness check (one scalar action, bounded by
+      ``max_hops``).
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(src).cast("long").alias("_es"),
+        F.col(dst).cast("long").alias("_ed"),
+        F.col(weight).cast("long").alias("_ew"),
+    )
+    neg = e.filter(F.col("_ew") < 0).limit(1).count()
+    if neg:
+        raise ValueError("shortest_paths requires non-negative weights")
+    dist = spark.createDataFrame(
+        [(int(s), int(s), 0) for s in sources], "source long, node long, dist long"
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for _ in range(max_hops):
+        relaxed = (
+            frontier.join(e, frontier["node"] == e["_es"])
+            .select("source", F.col("_ed").alias("node"), (F.col("dist") + F.col("_ew")).alias("dist"))
+            .groupBy("source", "node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        # strictly-better candidates only (the delta)
+        improved = (
+            relaxed.join(
+                dist.select("source", "node", F.col("dist").alias("_old")),
+                ["source", "node"],
+                "left",
+            )
+            .filter(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
+            .select("source", "node", "dist")
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.unionByName(improved)
+            .groupBy("source", "node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return dist

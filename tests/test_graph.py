@@ -80,3 +80,78 @@ def test_validation_and_guard(spark):
     chain = spark.createDataFrame([(i, i + 1) for i in range(50)], "src long, dst long")
     with pytest.raises(RuntimeError):
         connected_components(chain, max_iter=1)
+
+
+def _bf_model(edges, sources, max_hops):
+    """Plain-Python bounded Bellman-Ford: dist[s][v] = min weight over
+    directed paths with <= max_hops edges."""
+    out = {}
+    for s in sources:
+        dist = {s: 0}
+        for _ in range(max_hops):
+            nxt = dict(dist)
+            for (u, v, w) in edges:
+                if u in dist and dist[u] + w < nxt.get(v, float("inf")):
+                    nxt[v] = dist[u] + w
+            dist = nxt
+        for v, d in dist.items():
+            out[(s, v)] = d
+    return out
+
+
+def test_shortest_paths_matches_model_random(spark):
+    import numpy as np
+
+    from osmflat_rs_spark.operators.graph import shortest_paths
+
+    rng = np.random.RandomState(3)
+    n = 60
+    edges = []
+    for u in range(n):
+        for _ in range(3):
+            v = int(rng.randint(0, n))
+            if v != u:
+                edges.append((u, v, int(rng.randint(1, 20))))
+    df = spark.createDataFrame(edges, "src long, dst long, w long").repartition(6)
+    for hops in (0, 1, 3, 8):
+        got = {
+            (r["source"], r["node"]): r["dist"]
+            for r in shortest_paths(df, [0, 17, 42], hops).collect()
+        }
+        want = _bf_model(edges, [0, 17, 42], hops)
+        assert got == want, f"max_hops={hops}"
+
+
+def test_shortest_paths_hop_bound_is_semantic(spark):
+    """A cheap long path vs an expensive short path: the bound decides."""
+    from osmflat_rs_spark.operators.graph import shortest_paths
+
+    # 0->1->2->3 costs 3 (3 hops); 0->3 direct costs 10 (1 hop)
+    edges = [(0, 1, 1), (1, 2, 1), (2, 3, 1), (0, 3, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    d1 = {r["node"]: r["dist"] for r in shortest_paths(df, [0], 1).collect()}
+    d3 = {r["node"]: r["dist"] for r in shortest_paths(df, [0], 3).collect()}
+    assert d1[3] == 10 and d3[3] == 3
+    assert d1 == {0: 0, 1: 1, 3: 10}
+
+
+def test_shortest_paths_early_exit_equals_full(spark):
+    """Once the frontier drains, more hops change nothing (the early
+    exit is an optimization, not a semantics change)."""
+    from osmflat_rs_spark.operators.graph import shortest_paths
+
+    edges = [(0, 1, 2), (1, 2, 2), (2, 0, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    a = {(r["source"], r["node"]): r["dist"] for r in shortest_paths(df, [0], 5).collect()}
+    b = {(r["source"], r["node"]): r["dist"] for r in shortest_paths(df, [0], 50).collect()}
+    assert a == b == {(0, 0): 0, (0, 1): 2, (0, 2): 4}
+
+
+def test_shortest_paths_rejects_negative_weight(spark):
+    import pytest as _pytest
+
+    from osmflat_rs_spark.operators.graph import shortest_paths
+
+    df = spark.createDataFrame([(0, 1, -1)], "src long, dst long, w long")
+    with _pytest.raises(ValueError):
+        shortest_paths(df, [0], 3)
