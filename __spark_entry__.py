@@ -454,6 +454,22 @@ RESAMPLE_STEP_US = 21_600_000_000  # 6h
 SSSP_N, SSSP_SOURCES, SSSP_HOPS = 150, (0, 50, 100), 10
 
 
+RIPLEY_RADII = (50_000, 100_000, 200_000, 400_000)
+RIPLEY_AREA = float(LATSPAN) * float(LONSPAN)
+
+
+def q_ripley_events(spark, sf_dir):
+    """Ripley's K point-pattern statistic at 4 radii: ONE self radius-
+    join at max(r) (cell-cover candidates, exact int64 d²), all radii as
+    conditional sums over the same pair pass, in-row unpivot. Oracle is
+    the brute-force inequality self-join with FILTER counts — identical
+    integer pair counts and identical IEEE k_hat expression."""
+    from osmflat_rs_spark.operators.hotspot import ripley_k
+
+    pts = _synth_coords(_t(spark, sf_dir, "events")).select("event_id", "lat", "lon")
+    return ripley_k(pts, list(RIPLEY_RADII), RIPLEY_AREA, id_col="event_id")
+
+
 def q_sssp_graph(spark, sf_dir):
     """Multi-source hop-bounded shortest paths (distributed Bellman-Ford,
     delta relaxation, per-round localCheckpoint). The hop bound is part
@@ -1955,6 +1971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fill_cells": q_fill_cells,
         "resample_events": q_resample_events,
         "sssp_graph": q_sssp_graph,
+        "ripley_events": q_ripley_events,
         "knn_events": q_knn_events,
         "radius_events": q_radius_events,
         "coloc_events": q_coloc_events,
@@ -2299,6 +2316,23 @@ def oracle_sql() -> dict[str, str]:
         # the walk enumerates every (source, node, dist, hops) tuple the
         # bounded Bellman-Ford could produce (UNION dedups; dists are
         # bounded so the closure is small) — MIN collapses to the answer
+        "ripley_events": f"""
+            WITH pts AS (SELECT event_id, lat, lon FROM {synth}),
+            pr AS (SELECT (a.lat - b.lat) * (a.lat - b.lat)
+                        + (a.lon - b.lon) * (a.lon - b.lon) AS d2
+                   FROM pts a JOIN pts b
+                     ON a.event_id <> b.event_id
+                    AND abs(a.lat - b.lat) <= {max(RIPLEY_RADII)}
+                    AND abs(a.lon - b.lon) <= {max(RIPLEY_RADII)}),
+            agg AS (SELECT {', '.join(f'COUNT(*) FILTER (WHERE d2 <= {r * r}) AS n{i}' for i, r in enumerate(RIPLEY_RADII))}
+                    FROM pr),
+            nn AS (SELECT COUNT(*) AS n FROM pts),
+            unp AS ({' UNION ALL '.join(f'SELECT CAST({r} AS BIGINT) AS r, n{i} AS n_pairs FROM agg' for i, r in enumerate(RIPLEY_RADII))})
+            SELECT r, n_pairs,
+                   CAST({RIPLEY_AREA!r} AS DOUBLE) * CAST(n_pairs AS DOUBLE)
+                     / CAST(n * (n - 1) AS DOUBLE) AS k_hat
+            FROM unp, nn
+        """,
         "sssp_graph": f"""
             WITH RECURSIVE e AS (
               SELECT src, (src * 31 + k) % {SSSP_N} AS dst,

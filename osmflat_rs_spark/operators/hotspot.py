@@ -137,3 +137,66 @@ def hotspot_clusters(
     )
     labeled = hotspot_from_cell_counts(cell_counts(points, cell_size, lat, lon), min_pts)
     return pts.join(labeled, ["cx", "cy"]).select(id_col, "cx", "cy", "cluster")
+
+
+def ripley_k(
+    points: DataFrame,
+    radii: list,
+    area: float,
+    id_col: str = "node_idx",
+    lat: str = "lat",
+    lon: str = "lon",
+    metric: str = "sqeuclid",
+    res: int | None = None,
+    backend=None,
+) -> DataFrame:
+    """Ripley's K point-pattern statistic (naive estimator, no edge
+    correction) at every radius in ``radii`` → (r, n_pairs, k_hat).
+
+    K̂(r) = A · Σ_{i≠j} 1[d_ij ≤ r] / (n·(n−1)) — the classic test of
+    clustering vs complete spatial randomness (CSR: K̂(r) ≈ πr²;
+    above = clustered, below = dispersed). ``area`` is the observation
+    window A in squared coordinate units; the caller states it (an
+    engine-guessed bbox would silently change the statistic).
+
+    Scale shape: ONE self radius-join at max(radii) — the same
+    cell-cover candidate machinery as kNN/radius (`knn.radius_join`,
+    exact: the cover is a superset of the metric disk) — then every
+    radius is a conditional sum over the SAME pair pass (one map-side-
+    combined reduce, no per-radius rescan), unpivoted in-row. With
+    ``metric='sqeuclid'`` the per-radius comparisons are exact int64
+    (radii must be integers in fixed-point units).
+
+    n counts the points the join sees (non-null coordinates) — one
+    scalar driver action, same class as the CC convergence check.
+    """
+    from osmflat_rs_spark.operators.knn import radius_join
+
+    rs = sorted({int(r) for r in radii})
+    if not rs or rs[0] < 1:
+        raise ValueError(f"radii must be positive, got {radii}")
+    if metric == "sqeuclid" and any(float(r) != int(r) for r in radii):
+        raise ValueError("sqeuclid radii must be integers (exact int64 compares)")
+    n = points.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull()).count()
+    if n < 2:
+        raise ValueError(f"need >= 2 points, got {n}")
+    # the cover machinery types query_id as STRING (its Arrow batch
+    # schema) — stringify the self-side id and compare as strings
+    q = points.select(F.col(id_col).cast("string").alias("query_id"), F.col(lat), F.col(lon))
+    pairs = radius_join(
+        points, q, radius_m=float(rs[-1]), res=res, metric=metric,
+        id_col=id_col, backend=backend,
+    ).filter(F.col("query_id") != F.col(id_col).cast("string"))
+    bounds = [r * r if metric == "sqeuclid" else float(r) for r in rs]
+    sums = pairs.agg(
+        *[
+            F.sum((F.col("dist_m") <= F.lit(b)).cast("long")).alias(f"_n{i}")
+            for i, b in enumerate(bounds)
+        ]
+    )
+    stack_args = ", ".join(f"CAST({r} AS BIGINT), coalesce(_n{i}, 0L)" for i, r in enumerate(rs))
+    out = sums.selectExpr(f"stack({len(rs)}, {stack_args}) AS (r, n_pairs)")
+    return out.withColumn(
+        "k_hat",
+        F.lit(float(area)) * F.col("n_pairs").cast("double") / F.lit(float(n * (n - 1))),
+    )

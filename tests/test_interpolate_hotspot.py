@@ -239,3 +239,52 @@ def test_morans_i_matches_dense_oracle(spark):
     assert row["n"] == n and row["s0"] == s0
     assert row["i"] == pytest.approx(want, rel=1e-9)
     assert row["i"] > 0.3  # clustered blobs autocorrelate strongly
+
+
+def test_ripley_k_matches_bruteforce(spark):
+    """ripley_k vs the all-pairs NumPy count at 4 radii; k_hat formula
+    identical IEEE ops; coincident points counted (i≠j by id, not by
+    distance); CSR sanity (k_hat within a loose factor of pi*r^2)."""
+    import numpy as np
+
+    from osmflat_rs_spark.operators.hotspot import ripley_k
+
+    rng = np.random.RandomState(9)
+    n = 800
+    lat = rng.randint(0, 1_000_000, n).astype("int64")
+    lon = rng.randint(0, 2_000_000, n).astype("int64")
+    lat[5], lon[5] = lat[4], lon[4]  # exact duplicate point
+    ids = np.arange(n, dtype="int64")
+    df = spark.createDataFrame(
+        [(int(i), int(la), int(lo)) for i, la, lo in zip(ids, lat, lon)],
+        "node_idx long, lat long, lon long",
+    ).repartition(6)
+    radii = [20_000, 50_000, 100_000, 200_000]
+    area = 1_000_000.0 * 2_000_000.0
+    got = {r["r"]: (r["n_pairs"], r["k_hat"]) for r in ripley_k(df, radii, area).collect()}
+
+    dla = lat[:, None] - lat[None, :]
+    dlo = lon[:, None] - lon[None, :]
+    d2 = dla * dla + dlo * dlo
+    np.fill_diagonal(d2, np.iinfo(np.int64).max)
+    for r in radii:
+        npairs = int((d2 <= r * r).sum())
+        k = area * float(npairs) / float(n * (n - 1))
+        assert got[r] == (npairs, k), r
+    # CSR sanity at the smallest radius (edge effects grow with r)
+    import math
+
+    assert 0.5 * math.pi * radii[0] ** 2 < got[radii[0]][1] < 2.0 * math.pi * radii[0] ** 2
+
+
+def test_ripley_k_validation(spark):
+    import pytest as _pytest
+
+    from osmflat_rs_spark.operators.hotspot import ripley_k
+
+    df = spark.createDataFrame([(1, 0, 0)], "node_idx long, lat long, lon long")
+    with _pytest.raises(ValueError):
+        ripley_k(df, [100], 1.0)  # n < 2
+    df2 = spark.createDataFrame([(1, 0, 0), (2, 5, 5)], "node_idx long, lat long, lon long")
+    with _pytest.raises(ValueError):
+        ripley_k(df2, [], 1.0)
