@@ -454,6 +454,73 @@ RESAMPLE_STEP_US = 21_600_000_000  # 6h
 SSSP_N, SSSP_SOURCES, SSSP_HOPS = 150, (0, 50, 100), 10
 
 
+SIMPLIFY_EPS = 600_000
+
+
+def q_simplify_events(spark, sf_dir):
+    """Exact Ramer–Douglas–Peucker polyline simplification of each
+    user's trajectory (line-distance variant, smallest-index tie rule,
+    degenerate-chord point fallback — module docstring pins all three).
+    Engine: one groupBy shuffle + per-line exact-bigint DP in Arrow
+    batches; oracle: the SAME recursion as a DuckDB recursive CTE over
+    (uid, lo, hi) ranges with HUGEINT cross² compares — kept vertices
+    are the distinct range endpoints."""
+    from osmflat_rs_spark.operators.simplify import simplify_lines
+
+    pts = _synth_coords(_t(spark, sf_dir, "events")).select(
+        "user_id", "event_id", "ts", "lat", "lon"
+    )
+    out = simplify_lines(pts, "user_id", SIMPLIFY_EPS, order_cols=("ts", "event_id"))
+    return out.select("user_id", "event_id", "lat", "lon")
+
+
+def _simplify_oracle_sql() -> str:
+    eps2 = SIMPLIFY_EPS * SIMPLIFY_EPS
+
+    def m(p):
+        cross = f"(vb.lon - va.lon) * ({p}.lat - va.lat) - (vb.lat - va.lat) * ({p}.lon - va.lon)"
+        d2 = f"({p}.lon - va.lon) * ({p}.lon - va.lon) + ({p}.lat - va.lat) * ({p}.lat - va.lat)"
+        return (
+            f"(CASE WHEN vb.lat = va.lat AND vb.lon = va.lon THEN CAST({d2} AS HUGEINT) "
+            f"ELSE CAST({cross} AS HUGEINT) * CAST({cross} AS HUGEINT) END)"
+        )
+
+    thr = (
+        f"(CASE WHEN vb.lat = va.lat AND vb.lon = va.lon THEN CAST({eps2} AS HUGEINT) "
+        f"ELSE CAST({eps2} AS HUGEINT) * CAST((vb.lon - va.lon) * (vb.lon - va.lon) "
+        f"+ (vb.lat - va.lat) * (vb.lat - va.lat) AS HUGEINT) END)"
+    )
+    return f"""
+        WITH RECURSIVE v AS (
+          SELECT user_id AS uid, event_id, lat, lon,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS i
+          FROM ({_SYNTH_SQL})),
+        nn AS (SELECT uid, COUNT(*) AS n FROM v GROUP BY 1),
+        rec(uid, lo, hi) AS (
+          SELECT uid, 0, n - 1 FROM nn WHERE n >= 2
+          UNION ALL
+          SELECT s.uid, u.a, u.b FROM (
+            SELECT r.uid, r.lo, r.hi,
+                   (SELECT MIN(p.i) FROM v p
+                     WHERE p.uid = r.uid AND p.i > r.lo AND p.i < r.hi
+                       AND {m('p')} > {thr}
+                       AND {m('p')} = (SELECT MAX({m('q')}) FROM v q
+                                       WHERE q.uid = r.uid AND q.i > r.lo AND q.i < r.hi)) AS sp
+            FROM rec r
+            JOIN v va ON va.uid = r.uid AND va.i = r.lo
+            JOIN v vb ON vb.uid = r.uid AND vb.i = r.hi
+            WHERE r.hi - r.lo > 1
+          ) s, LATERAL (VALUES (s.lo, s.sp), (s.sp, s.hi)) u(a, b)
+          WHERE s.sp IS NOT NULL
+        ),
+        kept AS (
+          SELECT uid, lo AS i FROM rec UNION SELECT uid, hi FROM rec
+          UNION SELECT uid, 0 FROM nn WHERE n = 1)
+        SELECT v.uid AS user_id, v.event_id, v.lat, v.lon
+        FROM kept JOIN v ON v.uid = kept.uid AND v.i = kept.i
+    """
+
+
 RIPLEY_RADII = (50_000, 100_000, 200_000, 400_000)
 RIPLEY_AREA = float(LATSPAN) * float(LONSPAN)
 
@@ -1972,6 +2039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_events": q_resample_events,
         "sssp_graph": q_sssp_graph,
         "ripley_events": q_ripley_events,
+        "simplify_events": q_simplify_events,
         "knn_events": q_knn_events,
         "radius_events": q_radius_events,
         "coloc_events": q_coloc_events,
@@ -2316,6 +2384,7 @@ def oracle_sql() -> dict[str, str]:
         # the walk enumerates every (source, node, dist, hops) tuple the
         # bounded Bellman-Ford could produce (UNION dedups; dists are
         # bounded so the closure is small) — MIN collapses to the answer
+        "simplify_events": _simplify_oracle_sql(),
         "ripley_events": f"""
             WITH pts AS (SELECT event_id, lat, lon FROM {synth}),
             pr AS (SELECT (a.lat - b.lat) * (a.lat - b.lat)
