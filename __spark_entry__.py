@@ -521,6 +521,52 @@ def _simplify_oracle_sql() -> str:
     """
 
 
+# DBSCAN gate: the Weyl-lattice synth coords have near-CONSTANT local
+# density (measured: neighbor counts 14-15 at r=60k on all 10k points) —
+# any threshold makes everything core or everything noise, and the
+# all-core case percolates into one giant component that blows up the
+# oracle closure. The gate therefore builds a deterministic CLUSTERED
+# set: 25 dense 60k-square blobs (event_id < 8000) over a sparse
+# background (the rest) — cores inside blobs, borders at blob skirts,
+# background noise, all exercised.
+DBSCAN_R, DBSCAN_MINPTS = 30_000, 20
+
+
+def _dbscan_coords(events: DataFrame) -> DataFrame:
+    b = F.col("event_id") % 25
+    clustered = F.col("event_id") < 8000
+    lat = F.when(
+        clustered,
+        F.lit(LAT0) + (b * 79241) % 1_900_000 + (F.col("event_id") * 48271) % 60_000,
+    ).otherwise(F.lit(LAT0) + (F.col("event_id") * A_LAT) % F.lit(LATSPAN))
+    lon = F.when(
+        clustered,
+        F.lit(LON0) + (b * 152917) % 3_900_000 + (F.col("event_id") * 16807) % 60_000,
+    ).otherwise(F.lit(LON0) + (F.col("event_id") * A_LON) % F.lit(LONSPAN))
+    return events.select("event_id", lat.cast("long").alias("lat"), lon.cast("long").alias("lon"))
+
+
+_DBSCAN_SQL = f"""SELECT event_id,
+    CAST(CASE WHEN event_id < 8000
+         THEN {LAT0} + (event_id % 25 * 79241) % 1900000 + (event_id * 48271) % 60000
+         ELSE {LAT0} + (event_id * {A_LAT}) % {LATSPAN} END AS BIGINT) AS lat,
+    CAST(CASE WHEN event_id < 8000
+         THEN {LON0} + (event_id % 25 * 152917) % 3900000 + (event_id * 16807) % 60000
+         ELSE {LON0} + (event_id * {A_LON}) % {LONSPAN} END AS BIGINT) AS lon
+    FROM events"""
+
+
+def q_dbscan_events(spark, sf_dir):
+    """Point-level exact DBSCAN (Ester et al. 1996): one self radius-
+    join, neighbor-count core test, connected components over core-core
+    edges (min-core-id labels), min-label border assignment, noise
+    absent. Pure composition of radius_join + connected_components."""
+    from osmflat_rs_spark.operators.hotspot import dbscan
+
+    pts = _dbscan_coords(_t(spark, sf_dir, "events"))
+    return dbscan(pts, DBSCAN_R, DBSCAN_MINPTS, id_col="event_id")
+
+
 RIPLEY_RADII = (50_000, 100_000, 200_000, 400_000)
 RIPLEY_AREA = float(LATSPAN) * float(LONSPAN)
 
@@ -2040,6 +2086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_graph": q_sssp_graph,
         "ripley_events": q_ripley_events,
         "simplify_events": q_simplify_events,
+        "dbscan_events": q_dbscan_events,
         "knn_events": q_knn_events,
         "radius_events": q_radius_events,
         "coloc_events": q_coloc_events,
@@ -2385,6 +2432,35 @@ def oracle_sql() -> dict[str, str]:
         # bounded Bellman-Ford could produce (UNION dedups; dists are
         # bounded so the closure is small) — MIN collapses to the answer
         "simplify_events": _simplify_oracle_sql(),
+        # DBSCAN: min-label closure over core-core edges (UNION-deduped
+        # recursive propagation — components are blob-sized, so the
+        # closure is m² per blob, bounded by construction), then
+        # min-label border assignment; core test = pair count >= minpts-1
+        # (|N_eps| includes self)
+        "dbscan_events": f"""
+            WITH RECURSIVE pts AS ({_DBSCAN_SQL}),
+            pr AS (SELECT a.event_id AS a, b.event_id AS b FROM pts a JOIN pts b
+                   ON a.event_id <> b.event_id
+                  AND abs(a.lat - b.lat) <= {DBSCAN_R} AND abs(a.lon - b.lon) <= {DBSCAN_R}
+                  AND (a.lat - b.lat) * (a.lat - b.lat)
+                    + (a.lon - b.lon) * (a.lon - b.lon) <= CAST({DBSCAN_R * DBSCAN_R} AS BIGINT)),
+            core AS (SELECT a AS id FROM pr GROUP BY a HAVING COUNT(*) >= {DBSCAN_MINPTS - 1}),
+            ce AS (SELECT pr.a, pr.b FROM pr
+                   JOIN core ca ON ca.id = pr.a JOIN core cb ON cb.id = pr.b),
+            lbl(node, l) AS (
+              SELECT id, id FROM core
+              UNION
+              SELECT ce.b, lbl.l FROM lbl JOIN ce ON ce.a = lbl.node),
+            comp AS (SELECT node, MIN(l) AS cluster FROM lbl GROUP BY node),
+            border AS (
+              SELECT pr.a AS event_id, MIN(c.cluster) AS cluster, FALSE AS is_core
+              FROM pr JOIN comp c ON c.node = pr.b
+              WHERE pr.a NOT IN (SELECT id FROM core)
+              GROUP BY pr.a)
+            SELECT node AS event_id, cluster, TRUE AS is_core FROM comp
+            UNION ALL
+            SELECT event_id, cluster, is_core FROM border
+        """,
         "ripley_events": f"""
             WITH pts AS (SELECT event_id, lat, lon FROM {synth}),
             pr AS (SELECT (a.lat - b.lat) * (a.lat - b.lat)

@@ -200,3 +200,74 @@ def ripley_k(
         "k_hat",
         F.lit(float(area)) * F.col("n_pairs").cast("double") / F.lit(float(n * (n - 1))),
     )
+
+
+def dbscan(
+    points: DataFrame,
+    radius: int,
+    min_pts: int,
+    id_col: str = "node_idx",
+    lat: str = "lat",
+    lon: str = "lon",
+    res: int | None = None,
+    backend=None,
+) -> DataFrame:
+    """Point-level DBSCAN (Ester et al. 1996) → (id, cluster, is_core).
+
+    The exact-geometry companion to the grid-DBSCAN above (`hotspot_
+    clusters` trades boundary precision for cell aggregation; this one
+    keeps the metric): CORE points have ≥ ``min_pts`` neighbors within
+    ``radius`` INCLUDING THEMSELVES (the classic |N_eps(p)| convention);
+    clusters are connected components of the core-core neighbor graph,
+    labeled by MINIMUM core id (deterministic, partition-invariant);
+    BORDER points (non-core with ≥1 core neighbor) take the MINIMUM
+    cluster label over their core neighbors — the classic algorithm's
+    first-come assignment made deterministic; NOISE points emit no row.
+
+    Composition of the engine's own primitives — no new kernel:
+
+    1. one exact self radius-join (`knn.radius_join` cell-cover
+       machinery) — the only O(pairs) stage;
+    2. per-point neighbor counts (map-side-combined agg) → core set;
+    3. `graph.connected_components` on core-core edges (O(log n)
+       min-label + pointer-jumping rounds), isolated cores via
+       self-loops;
+    4. border assignment = one semi-filtered join + min-agg.
+    """
+    from osmflat_rs_spark.operators.graph import connected_components
+    from osmflat_rs_spark.operators.knn import radius_join
+
+    if min_pts < 1:
+        raise ValueError(f"min_pts must be >= 1, got {min_pts}")
+    q = points.select(F.col(id_col).cast("string").alias("query_id"), F.col(lat), F.col(lon))
+    pairs = (
+        radius_join(points, q, radius_m=float(radius), res=res, metric="sqeuclid",
+                    id_col=id_col, backend=backend)
+        .select(F.col("query_id").cast("long").alias("a"), F.col(id_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    deg = pairs.groupBy("a").agg(F.count(F.lit(1)).alias("_nbrs"))
+    core = deg.filter(F.col("_nbrs") >= F.lit(int(min_pts) - 1)).select(F.col("a").alias("cid"))
+    core_edges = (
+        pairs.join(F.broadcast(core).withColumnRenamed("cid", "a"), "a", "left_semi")
+        .join(F.broadcast(core).withColumnRenamed("cid", "b"), "b", "left_semi")
+    )
+    # isolated cores label themselves via self-loops (CC contract)
+    cc_in = core_edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        core.select(F.col("cid").alias("src"), F.col("cid").alias("dst"))
+    )
+    labels = connected_components(cc_in)  # (node, component)
+    cores_out = labels.select(
+        F.col("node").alias(id_col),
+        F.col("component").alias("cluster"),
+        F.lit(True).alias("is_core"),
+    )
+    border = (
+        pairs.join(F.broadcast(core.withColumnRenamed("cid", "b")), "b", "left_semi")
+        .join(labels.withColumnRenamed("node", "b"), "b")
+        .join(F.broadcast(core.withColumnRenamed("cid", "a")), "a", "left_anti")
+        .groupBy("a")
+        .agg(F.min("component").alias("cluster"))
+        .select(F.col("a").alias(id_col), "cluster", F.lit(False).alias("is_core"))
+    )
+    return cores_out.unionByName(border)

@@ -288,3 +288,70 @@ def test_ripley_k_validation(spark):
     df2 = spark.createDataFrame([(1, 0, 0), (2, 5, 5)], "node_idx long, lat long, lon long")
     with _pytest.raises(ValueError):
         ripley_k(df2, [], 1.0)
+
+
+def test_dbscan_matches_bruteforce(spark):
+    """Point-level DBSCAN vs an independent NumPy + union-find model:
+    core/border/noise partition, min-core-id labels, min-label border
+    assignment (including a border point between two clusters)."""
+    import numpy as np
+
+    from osmflat_rs_spark.operators.hotspot import dbscan
+
+    rng = np.random.RandomState(21)
+    pts = []
+    # two dense blobs + sparse background noise
+    for cx, cy in ((100_000, 100_000), (400_000, 120_000)):
+        pts += [
+            (cx + int(rng.randint(-30_000, 30_000)), cy + int(rng.randint(-30_000, 30_000)))
+            for _ in range(60)
+        ]
+    pts += [(int(rng.randint(0, 600_000)), int(rng.randint(0, 300_000))) for _ in range(80)]
+    ids = list(range(len(pts)))
+    df = spark.createDataFrame(
+        [(i, la, lo) for i, (lo, la) in zip(ids, pts)], "node_idx long, lat long, lon long"
+    ).repartition(5)
+    radius, min_pts = 25_000, 6
+
+    lon = np.array([p[0] for p in pts], dtype=np.int64)
+    lat = np.array([p[1] for p in pts], dtype=np.int64)
+    d2 = (lon[:, None] - lon[None, :]) ** 2 + (lat[:, None] - lat[None, :]) ** 2
+    nbr = d2 <= radius * radius  # includes self on diagonal
+    is_core = nbr.sum(axis=1) >= min_pts
+
+    parent = list(range(len(pts)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(len(pts)):
+        if not is_core[i]:
+            continue
+        for j in range(len(pts)):
+            if i < j and is_core[j] and nbr[i, j]:
+                parent[find(i)] = find(j)
+    comp = {}
+    for i in range(len(pts)):
+        if is_core[i]:
+            comp.setdefault(find(i), []).append(i)
+    label = {}
+    for members in comp.values():
+        m = min(members)
+        for i in members:
+            label[i] = m
+    want = {i: (label[i], True) for i in range(len(pts)) if is_core[i]}
+    for i in range(len(pts)):
+        if is_core[i]:
+            continue
+        cands = [label[j] for j in range(len(pts)) if is_core[j] and nbr[i, j]]
+        if cands:
+            want[i] = (min(cands), False)
+
+    got = {r["node_idx"]: (r["cluster"], r["is_core"]) for r in dbscan(df, radius, min_pts).collect()}
+    assert got == want
+    assert sum(1 for _, c in got.values() if c) > 50, "model degenerate: too few cores"
+    assert any(not c for _, c in got.values()), "no border points exercised"
+    assert len(got) < len(pts), "no noise points exercised"
