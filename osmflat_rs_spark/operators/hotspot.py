@@ -237,8 +237,12 @@ def dbscan(
     from osmflat_rs_spark.operators.graph import connected_components
     from osmflat_rs_spark.operators.knn import radius_join
 
-    if min_pts < 1:
-        raise ValueError(f"min_pts must be >= 1, got {min_pts}")
+    if min_pts < 2:
+        # min_pts=1 would make ISOLATED points core (|N_eps|={self}),
+        # but an isolated point never enters the pairs relation — the
+        # degenerate every-point-own-cluster case is a select, not a
+        # join; demand a real density threshold.
+        raise ValueError(f"min_pts must be >= 2, got {min_pts}")
     q = points.select(F.col(id_col).cast("string").alias("query_id"), F.col(lat), F.col(lon))
     pairs = (
         radius_join(points, q, radius_m=float(radius), res=res, metric="sqeuclid",

@@ -355,3 +355,11 @@ def test_dbscan_matches_bruteforce(spark):
     assert sum(1 for _, c in got.values() if c) > 50, "model degenerate: too few cores"
     assert any(not c for _, c in got.values()), "no border points exercised"
     assert len(got) < len(pts), "no noise points exercised"
+
+
+def test_dbscan_min_pts_validation(spark):
+    from osmflat_rs_spark.operators.hotspot import dbscan
+
+    df = spark.createDataFrame([(1, 0, 0)], "node_idx long, lat long, lon long")
+    with pytest.raises(ValueError, match="min_pts"):
+        dbscan(df, 10, 1)
