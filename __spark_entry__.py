@@ -998,6 +998,25 @@ def q_morans_i_events(spark, sf_dir):
     return out.select(F.round("i", 9).alias("i"), "n", "s0")
 
 
+def q_lisa_events(spark, sf_dir):
+    """Local Moran's I (Anselin 1995 LISA) with the HH/LL/HL/LH cluster
+    map — the per-cell decomposition of morans_i_events, same sparse-
+    analytic engine form (empty bbox cells enter moments and lags in
+    closed form). Oracle: independent DENSE formulation — every bbox
+    cell materialized via generate_series, textbook per-cell lag sums
+    and raw m2/m4 moments. Round-6 on the doubles."""
+    from osmflat_rs_spark.operators.tiling import local_morans_i
+
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    out = local_morans_i(pts, res=16, radius=2)
+    return out.select(
+        "ix", "iy", "x", "w",
+        F.round("ii", 6).alias("ii"),
+        F.round("z", 6).alias("z"),
+        "quadrant",
+    )
+
+
 def q_raster_events(spark, sf_dir):
     """F7 Bresenham-family rasterization (render-roads.rs:132-155) as a
     scalar-explode DDA (pure JVM int arithmetic, one codegen stage)."""
@@ -2102,6 +2121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_events": q_snap_events,
         "gi_star_events": q_gi_star_events,
         "morans_i_events": q_morans_i_events,
+        "lisa_events": q_lisa_events,
         "poly_intersect_events": q_poly_intersect_events,
         "raster_events": q_raster_events,
         "tile_events": q_tile_events,
@@ -2609,6 +2629,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT ROUND((CAST(m.n AS DOUBLE) / pairs.s0) * pairs.num / m.ss, 9) AS i,
                    m.n AS n, pairs.s0 AS s0
             FROM m CROSS JOIN pairs
+        """,
+        # LISA: independent dense oracle — materialize every bbox cell,
+        # per-cell lag sums from the explicit neighbor join, raw m2/m4
+        # moments, Anselin's randomization E/Var for the z-score.
+        "lisa_events": f"""
+            WITH pts AS (SELECT * FROM {synth}),
+            g AS (SELECT GREATEST(0, LEAST({(1 << 16) - 1}, (lon + 1800000000) * {1 << 16} // 3600000000)) AS ix,
+                         GREATEST(0, LEAST({(1 << 16) - 1}, (lat + 900000000) * {1 << 16} // 1800000000)) AS iy
+                  FROM pts),
+            c AS (SELECT ix, iy, COUNT(*) AS x FROM g GROUP BY 1, 2),
+            bb AS (SELECT MIN(ix) AS ix0, MAX(ix) AS ix1, MIN(iy) AS iy0, MAX(iy) AS iy1 FROM c),
+            dense AS (
+                SELECT xs.ix, ys.iy, COALESCE(c.x, 0) AS x
+                FROM (SELECT UNNEST(generate_series(ix0, ix1)) AS ix FROM bb) xs
+                CROSS JOIN (SELECT UNNEST(generate_series(iy0, iy1)) AS iy FROM bb) ys
+                LEFT JOIN c ON c.ix = xs.ix AND c.iy = ys.iy),
+            m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(CAST(x AS DOUBLE)) AS xbar FROM dense),
+            mm AS (SELECT m.n, m.xbar,
+                          SUM((CAST(d.x AS DOUBLE) - m.xbar) * (CAST(d.x AS DOUBLE) - m.xbar)) / m.n AS m2,
+                          SUM((CAST(d.x AS DOUBLE) - m.xbar) * (CAST(d.x AS DOUBLE) - m.xbar)
+                            * (CAST(d.x AS DOUBLE) - m.xbar) * (CAST(d.x AS DOUBLE) - m.xbar)) / m.n AS m4
+                   FROM dense d CROSS JOIN m GROUP BY m.n, m.xbar),
+            l AS (SELECT a.ix, a.iy, a.x,
+                         CAST(COUNT(*) AS DOUBLE) AS wp,
+                         SUM(CAST(b.x AS DOUBLE) - mm.xbar) AS lagdev
+                  FROM dense a JOIN dense b
+                    ON abs(a.ix - b.ix) <= 2 AND abs(a.iy - b.iy) <= 2
+                   AND NOT (a.ix = b.ix AND a.iy = b.iy)
+                  CROSS JOIN mm
+                  WHERE a.x > 0
+                  GROUP BY a.ix, a.iy, a.x),
+            f AS (SELECT l.*, mm.n, mm.xbar, mm.m2, mm.m4 / (mm.m2 * mm.m2) AS b2
+                  FROM l CROSS JOIN mm),
+            f2 AS (SELECT *,
+                          ((CAST(x AS DOUBLE) - xbar) / m2) * lagdev AS ii,
+                          -wp / (n - 1.0) AS e,
+                          wp * (n - b2) / (n - 1.0)
+                            + (wp * wp - wp) * (2.0 * b2 - n) / ((n - 1.0) * (n - 2.0))
+                            - wp * wp / ((n - 1.0) * (n - 1.0)) AS var
+                   FROM f)
+            SELECT ix, iy, x, CAST(wp AS BIGINT) AS w,
+                   ROUND(CASE WHEN m2 > 0 THEN ii END, 6) AS ii,
+                   ROUND(CASE WHEN n > 3 AND m2 > 0 AND var > 0 THEN (ii - e) / SQRT(var) END, 6) AS z,
+                   CASE WHEN CAST(x AS DOUBLE) > xbar AND lagdev > 0 THEN 'HH'
+                        WHEN CAST(x AS DOUBLE) < xbar AND lagdev < 0 THEN 'LL'
+                        WHEN CAST(x AS DOUBLE) > xbar AND lagdev < 0 THEN 'HL'
+                        WHEN CAST(x AS DOUBLE) < xbar AND lagdev > 0 THEN 'LH' END AS quadrant
+            FROM f2
         """,
         # IDW: brute-force kNN (valid: the engine's operator is exact
         # when settled, asserted in tests) + the same weighted form;

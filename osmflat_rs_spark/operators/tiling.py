@@ -620,3 +620,96 @@ def morans_i(
         (lx >= k) & (ly >= k) & (den > 0), (n / s0) * num / den
     )
     return agg.select(i.alias("i"), n.cast("long").alias("n"), s0.cast("long").alias("s0"))
+
+
+def local_morans_i(
+    pts: DataFrame,
+    lat: str = "lat",
+    lon: str = "lon",
+    res: int = 18,
+    radius: int = 1,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Local Moran's I (Anselin 1995 "LISA") — the per-cell decomposition
+    of :func:`morans_i`, plus the HH/LL/HL/LH cluster map GeoDa ships as
+    "LISA cluster analysis". Binary box weights within Chebyshev
+    ``radius``, w_ii = 0, over the bbox grid of occupied cells; empty
+    bbox cells participate in every moment and every spatial lag with
+    x = 0 — analytically, never materialized (the gi_star/morans_i
+    trick):
+
+    - lag deviation Σ_j w_ij (x_j − x̄) = (wx − x) − x̄·W', with wx the
+      self-inclusive focal sum and W' the clamped window area minus 1;
+    - global moments m2, m4 from ONE tiny aggregate over occupied cells
+      (empties contribute x̄² resp. x̄⁴ each, in closed form);
+    - I_i = ((x_i − x̄)/m2) · lagdev_i;
+    - analytic randomization moments (Anselin 1995 eqs. 12-13, binary
+      weights: Σw² = W', ΣΣ w_ik w_ih (k≠h) = W'² − W'):
+      E[I_i] = −W'/(n−1),
+      Var[I_i] = W'(n−b2)/(n−1) + (W'²−W')(2b2−n)/((n−1)(n−2))
+                 − W'²/(n−1)², with b2 = m4/m2²;
+      z_i = (I_i − E)/√Var — NULL when n ≤ 3, m2 = 0 or Var ≤ 0;
+    - quadrant: HH/LL (spatial clusters) vs HL/LH (spatial outliers) by
+      the signs of (x_i − x̄) and lagdev; NULL on either-zero ties.
+
+    Everything after focal_grid_agg's two exchanges is expression-only
+    plus the 1-row broadcast join — same scale shape as gi_star. Only
+    OCCUPIED cells emit rows (empty cells have LISA values too — their
+    x deviation is −x̄ — but materializing them is a choice the caller
+    can make by unioning the dense grid; at 100 TB the occupied set is
+    the workload). → (ix, iy, x, w, ii, z, quadrant)."""
+    f = focal_grid_agg(pts, lat=lat, lon=lon, res=res, radius=radius, value_col=value_col)
+    x_self = F.col("v_self") if value_col is not None else F.col("n_self")
+    x_focal = F.col("v_focal") if value_col is not None else F.col("n_focal")
+    cells = f.select("ix", "iy", x_self.alias("x"), x_focal.alias("wx"))
+    xd = F.col("x").cast("double")
+    g = cells.agg(
+        F.min("ix").alias("ix0"), F.max("ix").alias("ix1"),
+        F.min("iy").alias("iy0"), F.max("iy").alias("iy1"),
+        F.sum(xd).alias("sx"), F.sum(xd * xd).alias("sxx"),
+        F.sum(xd * xd * xd).alias("sxxx"), F.sum(xd * xd * xd * xd).alias("sxxxx"),
+        F.count(F.lit(1)).cast("double").alias("occ"),
+    )
+    j = cells.join(F.broadcast(g))
+    n = ((F.col("ix1") - F.col("ix0") + 1) * (F.col("iy1") - F.col("iy0") + 1)).cast("double")
+    wfull = (
+        (F.least(F.col("ix") + radius, F.col("ix1")) - F.greatest(F.col("ix") - radius, F.col("ix0")) + 1)
+        * (F.least(F.col("iy") + radius, F.col("iy1")) - F.greatest(F.col("iy") - radius, F.col("iy0")) + 1)
+    ).cast("double")
+    wp = wfull - F.lit(1.0)
+    xbar = F.col("sx") / n
+    m2 = F.col("sxx") / n - xbar * xbar
+    # Σ_occ (x−x̄)⁴ expanded in raw moments; empties add (n−occ)·x̄⁴
+    cdev4 = (
+        F.col("sxxxx")
+        - F.lit(4.0) * xbar * F.col("sxxx")
+        + F.lit(6.0) * xbar * xbar * F.col("sxx")
+        - F.lit(4.0) * xbar * xbar * xbar * F.col("sx")
+        + F.col("occ") * xbar * xbar * xbar * xbar
+    )
+    m4 = (cdev4 + (n - F.col("occ")) * xbar * xbar * xbar * xbar) / n
+    b2 = m4 / (m2 * m2)
+    x = F.col("x").cast("double")
+    lagdev = (F.col("wx").cast("double") - x) - xbar * wp
+    ii = ((x - xbar) / m2) * lagdev
+    e_i = -wp / (n - F.lit(1.0))
+    var_i = (
+        wp * (n - b2) / (n - F.lit(1.0))
+        + (wp * wp - wp) * (F.lit(2.0) * b2 - n) / ((n - F.lit(1.0)) * (n - F.lit(2.0)))
+        - (wp * wp) / ((n - F.lit(1.0)) * (n - F.lit(1.0)))
+    )
+    ok = (n > 3) & (m2 > 0)
+    z = F.when(ok & (var_i > 0), (ii - e_i) / F.sqrt(var_i))
+    quadrant = (
+        F.when((x > xbar) & (lagdev > 0), F.lit("HH"))
+        .when((x < xbar) & (lagdev < 0), F.lit("LL"))
+        .when((x > xbar) & (lagdev < 0), F.lit("HL"))
+        .when((x < xbar) & (lagdev > 0), F.lit("LH"))
+    )
+    return j.select(
+        "ix", "iy", "x",
+        wp.cast("long").alias("w"),
+        F.when(m2 > 0, ii).alias("ii"),
+        z.alias("z"),
+        quadrant.alias("quadrant"),
+    )

@@ -363,3 +363,136 @@ def test_dbscan_min_pts_validation(spark):
     df = spark.createDataFrame([(1, 0, 0)], "node_idx long, lat long, lon long")
     with pytest.raises(ValueError, match="min_pts"):
         dbscan(df, 10, 1)
+
+
+def test_local_morans_i_matches_dense_oracle(spark):
+    """LISA vs a dense NumPy oracle that materializes the empty bbox
+    cells: I_i, analytic z, and the HH/LL/HL/LH quadrant for every
+    occupied cell (rel 1e-9 on the doubles, exact on x/w/quadrant)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from osmflat_rs_spark.functions.cells import grid_exprs
+    from osmflat_rs_spark.operators.tiling import local_morans_i
+
+    rng = np.random.default_rng(31)
+    X, Y = 132_000_000, 524_000_000
+    pts = []
+    for bx, by in [(100_000, 80_000), (500_000, 300_000)]:
+        for _ in range(220):
+            pts.append((int(Y + by + rng.normal(0, 40_000)), int(X + bx + rng.normal(0, 40_000))))
+    for _ in range(120):
+        pts.append((int(Y + rng.integers(0, 400_000)), int(X + rng.integers(0, 800_000))))
+    df = spark.createDataFrame(pts, "lat long, lon long")
+    res, r = 16, 1
+    ix, iy = grid_exprs(F.col("lat"), F.col("lon"), res)
+    assign = [(row["ix"], row["iy"]) for row in df.select(ix.alias("ix"), iy.alias("iy")).collect()]
+    ix0 = min(a for a, _ in assign); ix1 = max(a for a, _ in assign)
+    iy0 = min(b for _, b in assign); iy1 = max(b for _, b in assign)
+    grid = np.zeros((ix1 - ix0 + 1, iy1 - iy0 + 1))
+    for a, b in assign:
+        grid[a - ix0, b - iy0] += 1
+    n = grid.size
+    dev = grid - grid.mean()
+    m2 = (dev ** 2).sum() / n
+    m4 = (dev ** 4).sum() / n
+    b2 = m4 / m2 ** 2
+    A, B = grid.shape
+    want = {}
+    for a in range(A):
+        for b in range(B):
+            if grid[a, b] == 0:
+                continue
+            sl = dev[max(0, a - r):a + r + 1, max(0, b - r):b + r + 1]
+            wp = sl.size - 1
+            lagdev = sl.sum() - dev[a, b]
+            ii = dev[a, b] / m2 * lagdev
+            e = -wp / (n - 1)
+            var = (
+                wp * (n - b2) / (n - 1)
+                + (wp * wp - wp) * (2 * b2 - n) / ((n - 1) * (n - 2))
+                - wp * wp / (n - 1) ** 2
+            )
+            z = (ii - e) / np.sqrt(var) if var > 0 else None
+            quad = (
+                "HH" if dev[a, b] > 0 and lagdev > 0
+                else "LL" if dev[a, b] < 0 and lagdev < 0
+                else "HL" if dev[a, b] > 0 and lagdev < 0
+                else "LH" if dev[a, b] < 0 and lagdev > 0
+                else None
+            )
+            want[(a + ix0, b + iy0)] = (int(grid[a, b]), wp, ii, z, quad)
+    got = {
+        (row["ix"], row["iy"]): (row["x"], row["w"], row["ii"], row["z"], row["quadrant"])
+        for row in local_morans_i(df, res=res, radius=r).collect()
+    }
+    assert set(got) == set(want)
+    assert len(got) > 80
+    quads = {v[4] for v in got.values()}
+    assert {"HH", "LH"} <= quads, quads  # clusters AND outliers exercised
+    for k, (x, wp, ii, z, quad) in want.items():
+        gx, gw, gii, gz, gquad = got[k]
+        assert gx == x and gw == wp and gquad == quad, k
+        assert gii == pytest.approx(ii, rel=1e-9), k
+        if z is None:
+            assert gz is None, k
+        else:
+            assert gz == pytest.approx(z, rel=1e-9), k
+
+
+def test_local_morans_i_moments_match_permutation(spark):
+    """The analytic E/Var (Anselin 1995 randomization moments, binary
+    weights) behind the operator's z-score, validated INDEPENDENTLY by
+    Monte-Carlo: permute the cell values over the bbox grid, recompute
+    I_i each time, and compare the operator's z to the MC z."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from osmflat_rs_spark.functions.cells import grid_exprs
+    from osmflat_rs_spark.operators.tiling import local_morans_i
+
+    rng = np.random.default_rng(7)
+    X, Y = 132_000_000, 524_000_000
+    pts = [
+        (int(Y + rng.integers(0, 250_000)), int(X + rng.integers(0, 250_000)))
+        for _ in range(120)
+    ]
+    df = spark.createDataFrame(pts, "lat long, lon long")
+    res, r = 16, 1
+    ix, iy = grid_exprs(F.col("lat"), F.col("lon"), res)
+    assign = [(row["ix"], row["iy"]) for row in df.select(ix.alias("ix"), iy.alias("iy")).collect()]
+    ix0 = min(a for a, _ in assign); ix1 = max(a for a, _ in assign)
+    iy0 = min(b for _, b in assign); iy1 = max(b for _, b in assign)
+    grid = np.zeros((ix1 - ix0 + 1, iy1 - iy0 + 1))
+    for a, b in assign:
+        grid[a - ix0, b - iy0] += 1
+    A, B = grid.shape
+    n = grid.size
+    assert n >= 16 and (grid == 0).any()
+    # target: the occupied cell nearest the grid center (full window)
+    occ = np.argwhere(grid > 0)
+    ca, cb = min(map(tuple, occ), key=lambda t: abs(t[0] - A // 2) + abs(t[1] - B // 2))
+    vals = grid.ravel()
+    m2 = ((vals - vals.mean()) ** 2).mean()
+    # neighbor flat indices of (ca, cb), self excluded
+    nbrs = [
+        na * B + nb
+        for na in range(max(0, ca - r), min(A, ca + r + 1))
+        for nb in range(max(0, cb - r), min(B, cb + r + 1))
+        if (na, nb) != (ca, cb)
+    ]
+    self_idx = ca * B + cb
+    trials = 60_000
+    perms = np.array([rng.permutation(vals) for _ in range(trials)])
+    devp = perms - vals.mean()
+    i_mc = devp[:, self_idx] / m2 * devp[:, nbrs].sum(axis=1)
+    got = {
+        (row["ix"], row["iy"]): row
+        for row in local_morans_i(df, res=res, radius=r).collect()
+    }
+    row = got[(ca + ix0, cb + iy0)]
+    dev = vals.reshape(A, B) - vals.mean()
+    ii_obs = dev[ca, cb] / m2 * sum(dev.ravel()[j] for j in nbrs)
+    assert row["ii"] == pytest.approx(ii_obs, rel=1e-9)
+    z_mc = (ii_obs - i_mc.mean()) / i_mc.std(ddof=1)
+    assert row["z"] == pytest.approx(z_mc, rel=0.05), (row["z"], z_mc)
