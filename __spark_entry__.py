@@ -1017,6 +1017,27 @@ def q_lisa_events(spark, sf_dir):
     )
 
 
+TREND_RES, TREND_BIN_US = 13, 2 * 86_400 * 10**6  # 2-day bins → ~15 bins
+
+
+def q_trend_events(spark, sf_dir):
+    """Emerging-hot-spot trend: space-time cube (ONE groupBy) →
+    per-cell Mann-Kendall S with tie-corrected variance, continuity-
+    corrected z, Theil-Sen median slope — all bounded in-row
+    expressions over the dense global-bin series (missing bins = 0).
+    Oracle: dense per-cell pair self-join + MEDIAN in DuckDB."""
+    from osmflat_rs_spark.operators.trend import emerging_hotspots
+
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    out = emerging_hotspots(pts, res=TREND_RES, bin_us=TREND_BIN_US)
+    return out.select(
+        "ix", "iy", "s",
+        F.round("var_s", 6).alias("var_s"),
+        F.round("z", 6).alias("z"),
+        F.round("sen", 6).alias("sen"),
+    )
+
+
 def q_raster_events(spark, sf_dir):
     """F7 Bresenham-family rasterization (render-roads.rs:132-155) as a
     scalar-explode DDA (pure JVM int arithmetic, one codegen stage)."""
@@ -2122,6 +2143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gi_star_events": q_gi_star_events,
         "morans_i_events": q_morans_i_events,
         "lisa_events": q_lisa_events,
+        "trend_events": q_trend_events,
         "poly_intersect_events": q_poly_intersect_events,
         "raster_events": q_raster_events,
         "tile_events": q_tile_events,
@@ -2677,6 +2699,39 @@ def oracle_sql() -> dict[str, str]:
                         WHEN CAST(x AS DOUBLE) > xbar AND lagdev < 0 THEN 'HL'
                         WHEN CAST(x AS DOUBLE) < xbar AND lagdev > 0 THEN 'LH' END AS quadrant
             FROM f2
+        """,
+        # Mann-Kendall trend: dense per-cell series (missing bins = 0),
+        # pair self-join for S and the Theil-Sen MEDIAN slope, tie-group
+        # correction for Var(S), continuity-corrected z.
+        "trend_events": f"""
+            WITH pts AS (SELECT * FROM {synth}),
+            g AS (SELECT GREATEST(0, LEAST({(1 << TREND_RES) - 1}, (lon + 1800000000) * {1 << TREND_RES} // 3600000000)) AS ix,
+                         GREATEST(0, LEAST({(1 << TREND_RES) - 1}, (lat + 900000000) * {1 << TREND_RES} // 1800000000)) AS iy,
+                         CAST(FLOOR(epoch_us(ts) / {TREND_BIN_US}) AS BIGINT) AS tbin
+                  FROM pts),
+            cube AS (SELECT ix, iy, tbin, COUNT(*) AS n FROM g GROUP BY 1, 2, 3),
+            rng AS (SELECT MIN(tbin) AS t0, MAX(tbin) AS t1 FROM cube),
+            cells AS (SELECT DISTINCT ix, iy FROM cube),
+            dense AS (SELECT c.ix, c.iy, t.tbin, COALESCE(cu.n, 0) AS v
+                      FROM cells c
+                      CROSS JOIN (SELECT UNNEST(generate_series(t0, t1)) AS tbin FROM rng) t
+                      LEFT JOIN cube cu ON cu.ix = c.ix AND cu.iy = c.iy AND cu.tbin = t.tbin),
+            pr AS (SELECT a.ix, a.iy,
+                          CAST(SUM(SIGN(b.v - a.v)) AS BIGINT) AS s,
+                          MEDIAN(CAST(b.v - a.v AS DOUBLE) / CAST(b.tbin - a.tbin AS DOUBLE)) AS sen
+                   FROM dense a JOIN dense b ON a.ix = b.ix AND a.iy = b.iy AND b.tbin > a.tbin
+                   GROUP BY 1, 2),
+            tg AS (SELECT ix, iy, CAST(SUM(cnt * (cnt - 1) * (2 * cnt + 5)) AS BIGINT) AS tie_term
+                   FROM (SELECT ix, iy, v, COUNT(*) AS cnt FROM dense GROUP BY 1, 2, 3)
+                   GROUP BY 1, 2),
+            tt AS (SELECT CAST(t1 - t0 + 1 AS BIGINT) AS t FROM rng)
+            SELECT pr.ix, pr.iy, pr.s,
+                   ROUND(CAST(t * (t - 1) * (2 * t + 5) - tie_term AS DOUBLE) / 18.0, 6) AS var_s,
+                   ROUND(CASE WHEN t * (t - 1) * (2 * t + 5) - tie_term > 0 THEN
+                        CAST(CASE WHEN pr.s > 0 THEN pr.s - 1 WHEN pr.s < 0 THEN pr.s + 1 ELSE 0 END AS DOUBLE)
+                        / SQRT(CAST(t * (t - 1) * (2 * t + 5) - tie_term AS DOUBLE) / 18.0) END, 6) AS z,
+                   ROUND(pr.sen, 6) AS sen
+            FROM pr JOIN tg ON tg.ix = pr.ix AND tg.iy = pr.iy CROSS JOIN tt
         """,
         # IDW: brute-force kNN (valid: the engine's operator is exact
         # when settled, asserted in tests) + the same weighted form;

@@ -1,0 +1,173 @@
+"""Space-time cube + Mann-Kendall / Theil-Sen trend — the "emerging
+hot spot" workflow (ArcGIS Space Time Pattern Mining): aggregate events
+into a (cell_x, cell_y, time_bin) cube, then score every cell's time
+series for monotone trend.
+
+Scale shape (the whole point at 100 TB): the cube is ONE map-side-
+combined groupBy that reduces the raw points to occupied (cell, bin)
+rows; the trend statistics are then bounded IN-ROW expressions over
+each cell's dense T-length series (T = number of global time bins, a
+caller knob — the contract is T ≤ ~1000, the in-row pair scan is
+O(T²) per cell with zero additional shuffles). Two exchanges total,
+both keyed by cell; no self-join over the cube, no per-point window.
+
+Reference anchor: the reference renders static per-pixel densities
+(osmflat-rs render-roads.rs accumulation); the cube is that raster
+given a time axis, and Mann-Kendall is the standard nonparametric
+trend test (Mann 1945, Kendall 1975) + Theil-Sen slope (Sen 1968)
+ArcGIS applies per cube cell.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def space_time_cube(
+    pts: DataFrame,
+    lat: str = "lat",
+    lon: str = "lon",
+    ts: str = "ts",
+    res: int = 14,
+    bin_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Aggregate points into the space-time cube → (ix, iy, tbin, n).
+
+    One map-side-combined groupBy; ``tbin`` is the floored epoch-µs
+    bin index (floor division — pre-1970 timestamps bin correctly).
+    NULL coordinates/timestamps are dropped (no cell to live in)."""
+    from osmflat_rs_spark.functions.cells import grid_exprs
+
+    if bin_us <= 0:
+        raise ValueError(f"bin_us must be > 0, got {bin_us}")
+    ix, iy = grid_exprs(F.col(lat), F.col(lon), res)
+    # NTZ-tolerant epoch µs (sessions._us contract: session pinned UTC,
+    # so the NTZ->TZ cast is exact)
+    t = F.floor(F.unix_micros(F.col(ts).cast("timestamp")) / F.lit(bin_us)).cast("long")
+    return (
+        pts.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull() & F.col(ts).isNotNull())
+        .groupBy(ix.alias("ix"), iy.alias("iy"), t.alias("tbin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _pair_scan(vals: Column, t: Column, fn) -> Column:
+    """Flattened upper-triangle (i < j) scan over a T-length array:
+    fn(v_i, v_j, i, j) per pair. Guarded for T < 2 (Spark's sequence
+    runs DESCENDING when start > stop — never let that happen)."""
+    inner = lambda i: F.transform(
+        F.sequence(i + 1, t - 1),
+        lambda j: fn(F.get(vals, i), F.get(vals, j), i, j),
+    )
+    return F.when(
+        t >= 2, F.flatten(F.transform(F.sequence(F.lit(0), t - 2), inner))
+    ).otherwise(F.array().cast("array<double>"))
+
+
+def mann_kendall(
+    cube: DataFrame,
+    cell_cols: tuple[str, ...] = ("ix", "iy"),
+    tbin: str = "tbin",
+    value: str = "n",
+    t_range: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Mann-Kendall trend test + Theil-Sen slope per cube cell →
+    (*cell_cols, s, var_s, z, sen).
+
+    Every cell's series is densified IN-ROW to the global bin range
+    (missing bins = 0 — absence of events IS the observation; pass
+    ``t_range`` to pin the range, else one tiny min/max aggregate is
+    broadcast). Then, per cell, pure expressions:
+
+    - S = Σ_{i<j} sign(v_j − v_i) — the MK statistic;
+    - Var(S) = [T(T−1)(2T+5) − Σ_g t_g(t_g−1)(2t_g+5)]/18 with the
+      tie-group correction (counts tie heavily — mandatory);
+    - z = (S∓1)/√Var (continuity-corrected), 0 at S=0, NULL when
+      Var = 0 (a fully-tied series has no trend evidence);
+    - sen = median over pairs of (v_j − v_i)/(j − i) — the robust
+      slope in value-per-bin units (even count → mean of the two
+      middle slopes, the MEDIAN convention DuckDB shares).
+
+    The cube must be unique on (*cell_cols, tbin) — `space_time_cube`
+    guarantees it; a duplicate key fails loudly in map_from_entries."""
+    if t_range is not None:
+        t0, t1 = (F.lit(int(t_range[0])), F.lit(int(t_range[1])))
+        g = cube
+    else:
+        rng = cube.agg(F.min(tbin).alias("_t0"), F.max(tbin).alias("_t1"))
+        g = cube.join(F.broadcast(rng))
+        t0, t1 = F.col("_t0"), F.col("_t1")
+    per_cell = g.groupBy(*cell_cols).agg(
+        F.map_from_entries(F.collect_list(F.struct(tbin, value))).alias("_m"),
+        F.first(t0).alias("_a"),
+        F.first(t1).alias("_b"),
+    )
+    vals = F.transform(
+        F.sequence(F.col("_a"), F.col("_b")),
+        lambda b: F.coalesce(F.try_element_at(F.col("_m"), b), F.lit(0)).cast("long"),
+    )
+    per_cell = per_cell.withColumn("_v", vals).withColumn("_t", F.size("_v"))
+    t = F.col("_t").cast("long")
+
+    signs = _pair_scan(F.col("_v"), F.col("_t"), lambda a, b, i, j: F.signum(b - a))
+    s = F.aggregate(signs, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long"))
+
+    tie_counts = F.transform(
+        F.array_distinct(F.col("_v")),
+        lambda v: F.size(F.filter(F.col("_v"), lambda e: e == v)).cast("long"),
+    )
+    tie_term = F.aggregate(
+        tie_counts,
+        F.lit(0).cast("long"),
+        lambda acc, c: acc + c * (c - 1) * (2 * c + 5),
+    )
+    var_s = (
+        (t * (t - 1) * (2 * t + 5) - tie_term).cast("double") / F.lit(18.0)
+    )
+
+    slopes = F.array_sort(
+        _pair_scan(
+            F.col("_v"),
+            F.col("_t"),
+            lambda a, b, i, j: (b - a).cast("double") / (j - i).cast("double"),
+        )
+    )
+    m = F.size(slopes)
+    mid = ((m - 1) / 2).cast("int")
+    sen = F.when(
+        m > 0,
+        F.when(m % 2 == 1, F.get(slopes, mid)).otherwise(
+            (F.get(slopes, (m / 2).cast("int") - 1) + F.get(slopes, (m / 2).cast("int"))) / 2.0
+        ),
+    )
+
+    out = per_cell.withColumn("_s", s).withColumn("_var", var_s)
+    z = F.when(
+        F.col("_var") > 0,
+        F.when(F.col("_s") > 0, (F.col("_s") - 1).cast("double"))
+        .when(F.col("_s") < 0, (F.col("_s") + 1).cast("double"))
+        .otherwise(F.lit(0.0))
+        / F.sqrt(F.col("_var")),
+    )
+    return out.select(
+        *cell_cols,
+        F.col("_s").alias("s"),
+        F.col("_var").alias("var_s"),
+        z.alias("z"),
+        sen.alias("sen"),
+    )
+
+
+def emerging_hotspots(
+    pts: DataFrame,
+    lat: str = "lat",
+    lon: str = "lon",
+    ts: str = "ts",
+    res: int = 14,
+    bin_us: int = 86_400_000_000,
+) -> DataFrame:
+    """The composed workflow: space_time_cube → mann_kendall. A cell
+    with z ≥ 1.96 is an intensifying (emerging) hot spot, z ≤ −1.96 a
+    diminishing one; `sen` is the rate in events/bin."""
+    return mann_kendall(space_time_cube(pts, lat=lat, lon=lon, ts=ts, res=res, bin_us=bin_us))

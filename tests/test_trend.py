@@ -1,0 +1,123 @@
+"""Mann-Kendall / Theil-Sen space-time trend vs a pure-Python oracle."""
+
+import datetime
+
+import numpy as np
+import pytest
+
+
+def _mk_oracle(vals):
+    """Textbook MK with tie correction + Theil-Sen median slope."""
+    t = len(vals)
+    s = 0
+    slopes = []
+    for i in range(t):
+        for j in range(i + 1, t):
+            d = vals[j] - vals[i]
+            s += (d > 0) - (d < 0)
+            slopes.append(d / (j - i))
+    ties = {}
+    for v in vals:
+        ties[v] = ties.get(v, 0) + 1
+    tie_term = sum(c * (c - 1) * (2 * c + 5) for c in ties.values())
+    var = (t * (t - 1) * (2 * t + 5) - tie_term) / 18.0
+    if var > 0:
+        z = (s - 1) / var ** 0.5 if s > 0 else (s + 1) / var ** 0.5 if s < 0 else 0.0
+    else:
+        z = None
+    slopes.sort()
+    m = len(slopes)
+    if m == 0:
+        sen = None
+    elif m % 2 == 1:
+        sen = slopes[(m - 1) // 2]
+    else:
+        sen = (slopes[m // 2 - 1] + slopes[m // 2]) / 2
+    return s, var, z, sen
+
+
+def test_mann_kendall_matches_python_oracle(spark):
+    """Random tied integer series (zero-filled holes included) per cell
+    vs the textbook oracle — exact s/var_s, rel-1e-12 z/sen."""
+    from osmflat_rs_spark.operators.trend import mann_kendall
+
+    rng = np.random.default_rng(13)
+    t0, t1 = 100, 115
+    rows, want = [], {}
+    for cell in range(12):
+        series = {}
+        for b in range(t0, t1 + 1):
+            if rng.random() < 0.75:  # leave holes -> zero-fill path
+                v = int(rng.integers(0, 5))  # small ints -> heavy ties
+                if v > 0:
+                    series[b] = v
+        for b, v in series.items():
+            rows.append((cell, 0, b, v))
+        dense = [series.get(b, 0) for b in range(t0, t1 + 1)]
+        want[cell] = _mk_oracle(dense)
+    # ensure at least one cell emits no cube rows at all is impossible
+    # (a cube only has occupied cells) -- cells with rows only
+    present = {c for c, _, _, _ in rows}
+    df = spark.createDataFrame(rows, "ix long, iy long, tbin long, n long").repartition(4)
+    got = {
+        r["ix"]: (r["s"], r["var_s"], r["z"], r["sen"])
+        for r in mann_kendall(df).collect()
+    }
+    assert set(got) == present
+    for c in got:
+        s, var, z, sen = want[c]
+        gs, gvar, gz, gsen = got[c]
+        assert gs == s and gvar == pytest.approx(var, abs=1e-9), c
+        if z is None:
+            assert gz is None, c
+        else:
+            assert gz == pytest.approx(z, rel=1e-12), c
+        assert gsen == pytest.approx(sen, rel=1e-12), c
+
+
+def test_mann_kendall_edge_series(spark):
+    """Strictly increasing (max S), constant (Var 0 -> NULL z), and a
+    single-bin global range (T=1: no pairs)."""
+    from osmflat_rs_spark.operators.trend import mann_kendall
+
+    inc = [(1, 0, b, b + 1) for b in range(8)]          # strictly increasing
+    const = [(2, 0, b, 3) for b in range(8)]            # all tied
+    df = spark.createDataFrame(inc + const, "ix long, iy long, tbin long, n long")
+    got = {r["ix"]: r for r in mann_kendall(df).collect()}
+    t = 8
+    assert got[1]["s"] == t * (t - 1) // 2
+    assert got[1]["z"] > 2 and got[1]["sen"] == 1.0
+    assert got[2]["s"] == 0 and got[2]["var_s"] == 0.0 and got[2]["z"] is None
+    assert got[2]["sen"] == 0.0
+
+    one = spark.createDataFrame([(9, 9, 42, 5)], "ix long, iy long, tbin long, n long")
+    row = mann_kendall(one).collect()[0]
+    assert row["s"] == 0 and row["var_s"] == 0.0 and row["z"] is None and row["sen"] is None
+
+
+def test_emerging_hotspots_end_to_end(spark):
+    """Planted intensifying + diminishing blobs over 12 daily bins:
+    signs and significance come out right; a steady cell scores |z|
+    small."""
+    from osmflat_rs_spark.operators.trend import emerging_hotspots
+
+    rng = np.random.default_rng(3)
+    X, Y = 132_000_000, 524_000_000
+    OFF = 40_000_000  # separate blob cells at res 14
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for day in range(12):
+        ts = base + datetime.timedelta(days=day, hours=3)
+        for _ in range(2 + 3 * day):        # intensifying
+            rows.append((ts, Y + int(rng.integers(0, 2000)), X + int(rng.integers(0, 2000))))
+        for _ in range(40 - 3 * day):       # diminishing
+            rows.append((ts, Y + OFF + int(rng.integers(0, 2000)), X + int(rng.integers(0, 2000))))
+        for _ in range(5):                  # steady
+            rows.append((ts, Y + int(rng.integers(0, 2000)), X + OFF + int(rng.integers(0, 2000))))
+    df = spark.createDataFrame(rows, "ts timestamp, lat long, lon long")
+    got = emerging_hotspots(df, res=14).collect()
+    assert len(got) == 3
+    by_sen = sorted(got, key=lambda r: r["sen"])
+    assert by_sen[0]["z"] < -1.96 and by_sen[0]["sen"] == pytest.approx(-3.0, abs=0.5)
+    assert by_sen[2]["z"] > 1.96 and by_sen[2]["sen"] == pytest.approx(3.0, abs=0.5)
+    assert abs(by_sen[1]["z"] or 0.0) < 1.96
