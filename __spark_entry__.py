@@ -1019,6 +1019,53 @@ def q_lisa_events(spark, sf_dir):
 
 TREND_RES, TREND_BIN_US = 13, 2 * 86_400 * 10**6  # 2-day bins → ~15 bins
 
+# Map-matching gate: a literal road grid over the synth coord box —
+# 6 horizontal roads 400k apart (max point→road distance 200k < the
+# 250k radius, so every point matches) + 2 diagonals; ONE Python list
+# feeds both the engine DataFrame and the oracle VALUES.
+MAPMATCH_SEGS = [
+    *[
+        (j + 1, LAT0 + j * 400_000, LON0 - 100_000, LAT0 + j * 400_000, LON0 + LONSPAN + 100_000)
+        for j in range(6)
+    ],
+    (7, LAT0, LON0, LAT0 + LATSPAN, LON0 + LONSPAN),
+    (8, LAT0 + LATSPAN, LON0, LAT0, LON0 + LONSPAN),
+]
+MAPMATCH_R, MAPMATCH_K = 250_000, 3
+MAPMATCH_SIGMA, MAPMATCH_BETA = 120_000.0, 60_000.0
+MAPMATCH_USERS, MAPMATCH_STEPS = 12, 5
+
+
+def q_mapmatch_events(spark, sf_dir):
+    """HMM map-matching (Newson-Krumm): Viterbi-optimal segment per
+    trajectory point over top-k snap candidates — candidates from the
+    distributed cell-cover snap join, the DP as applyInPandas per
+    entity (O(T·k²), left-to-right IEEE accumulation). Oracle: FULL
+    path enumeration as a recursive CTE (bounded: ≤k^T paths per user
+    at T=5, k=3), min by (cost, path), parallel-unnest the winner."""
+    from osmflat_rs_spark.operators.mapmatch import map_match
+
+    pts = _synth_coords(_t(spark, sf_dir, "events")).filter(
+        F.col("user_id") < MAPMATCH_USERS
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pts = pts.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= MAPMATCH_STEPS
+    )
+    segs = spark.createDataFrame(
+        MAPMATCH_SEGS, "sid long, lat1 long, lon1 long, lat2 long, lon2 long"
+    )
+    out = map_match(
+        pts, segs, radius=MAPMATCH_R, k=MAPMATCH_K,
+        sigma=MAPMATCH_SIGMA, beta=MAPMATCH_BETA,
+    )
+    return out.select(
+        F.col("entity").alias("user_id"), "step",
+        F.col("point_id").alias("event_id"), "sid",
+        F.round("snap_lon", 6).alias("snap_lon"),
+        F.round("snap_lat", 6).alias("snap_lat"),
+    )
+
 
 def q_trend_events(spark, sf_dir):
     """Emerging-hot-spot trend: space-time cube (ONE groupBy) →
@@ -2144,6 +2191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morans_i_events": q_morans_i_events,
         "lisa_events": q_lisa_events,
         "trend_events": q_trend_events,
+        "mapmatch_events": q_mapmatch_events,
         "poly_intersect_events": q_poly_intersect_events,
         "raster_events": q_raster_events,
         "tile_events": q_tile_events,
@@ -2733,6 +2781,70 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(pr.sen, 6) AS sen
             FROM pr JOIN tg ON tg.ix = pr.ix AND tg.iy = pr.iy CROSS JOIN tt
         """,
+        # Map-matching: candidates restate the snap IEEE tree; the
+        # Viterbi is verified by FULL PATH ENUMERATION — the recursive
+        # CTE extends every partial path one step (bounded <= k^T per
+        # user), the winner is min (cost, path), parallel-unnested.
+        "mapmatch_events": f"""
+            WITH RECURSIVE pts0 AS (SELECT * FROM {{synth}} WHERE user_id < {MAPMATCH_USERS}),
+            p AS (SELECT user_id, event_id, ts, lat, lon,
+                         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                  FROM pts0),
+            q AS (SELECT user_id, event_id, ts, lat, lon FROM p WHERE rn <= {MAPMATCH_STEPS}),
+            seg(sid, y1, x1, y2, x2) AS (VALUES {{seg_vals}}),
+            d AS (SELECT q.user_id, q.event_id, q.ts, q.lat AS py, q.lon AS px,
+                         seg.sid, seg.x1, seg.y1,
+                         CAST(seg.x2 - seg.x1 AS DOUBLE) AS dx,
+                         CAST(seg.y2 - seg.y1 AS DOUBLE) AS dy
+                  FROM q CROSS JOIN seg),
+            e AS (SELECT *, dx * dx + dy * dy AS len2 FROM d),
+            t0 AS (SELECT *, CASE WHEN len2 > 0
+                                  THEN (CAST(px - x1 AS DOUBLE) * dx + CAST(py - y1 AS DOUBLE) * dy) / len2
+                                  ELSE 0.0 END AS t FROM e),
+            t1 AS (SELECT *, GREATEST(0.0, LEAST(1.0, t)) AS tc FROM t0),
+            t2 AS (SELECT *, CAST(x1 AS DOUBLE) + tc * dx AS qx,
+                             CAST(y1 AS DOUBLE) + tc * dy AS qy FROM t1),
+            t3 AS (SELECT user_id, event_id, ts, px, py, sid, qx, qy,
+                          (CAST(px AS DOUBLE) - qx) * (CAST(px AS DOUBLE) - qx)
+                        + (CAST(py AS DOUBLE) - qy) * (CAST(py AS DOUBLE) - qy) AS d2
+                   FROM t2),
+            f AS (SELECT * FROM t3 WHERE d2 <= {float(MAPMATCH_R) ** 2!r}),
+            ck AS (SELECT * FROM (
+                     SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_id ORDER BY d2, sid) AS rnk
+                     FROM f) WHERE rnk <= {MAPMATCH_K}),
+            st AS (SELECT user_id, event_id,
+                          CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS step
+                   FROM (SELECT DISTINCT user_id, event_id, ts FROM ck)),
+            c AS (SELECT ck.*, st.step, CAST(ck.px AS DOUBLE) AS gx, CAST(ck.py AS DOUBLE) AS gy
+                  FROM ck JOIN st ON st.user_id = ck.user_id AND st.event_id = ck.event_id),
+            walk(user_id, step, cost, gx, gy, qx, qy, sids, pids, qxs, qys) AS (
+                SELECT user_id, step, d2 / {2.0 * MAPMATCH_SIGMA * MAPMATCH_SIGMA!r},
+                       gx, gy, qx, qy, [sid], [event_id], [qx], [qy]
+                FROM c WHERE step = 1
+                UNION ALL
+                SELECT w.user_id, c.step,
+                       (w.cost + ABS(SQRT((c.qx - w.qx) * (c.qx - w.qx) + (c.qy - w.qy) * (c.qy - w.qy))
+                                   - SQRT((c.gx - w.gx) * (c.gx - w.gx) + (c.gy - w.gy) * (c.gy - w.gy)))
+                               / {MAPMATCH_BETA!r})
+                         + c.d2 / {2.0 * MAPMATCH_SIGMA * MAPMATCH_SIGMA!r},
+                       c.gx, c.gy, c.qx, c.qy,
+                       list_append(w.sids, c.sid), list_append(w.pids, c.event_id),
+                       list_append(w.qxs, c.qx), list_append(w.qys, c.qy)
+                FROM walk w JOIN c ON c.user_id = w.user_id AND c.step = w.step + 1),
+            nmax AS (SELECT user_id, MAX(step) AS tmax FROM st GROUP BY 1),
+            fin AS (SELECT w.*, ROW_NUMBER() OVER (PARTITION BY w.user_id ORDER BY w.cost, w.sids) AS rk
+                    FROM walk w JOIN nmax ON nmax.user_id = w.user_id AND w.step = nmax.tmax)
+            SELECT user_id,
+                   CAST(UNNEST(generate_series(1, len(sids))) AS BIGINT) AS step,
+                   UNNEST(pids) AS event_id,
+                   UNNEST(sids) AS sid,
+                   ROUND(UNNEST(qxs), 6) AS snap_lon,
+                   ROUND(UNNEST(qys), 6) AS snap_lat
+            FROM fin WHERE rk = 1
+        """.format(
+            synth=synth,
+            seg_vals=", ".join(f"({s}, {y1}, {x1}, {y2}, {x2})" for s, y1, x1, y2, x2 in MAPMATCH_SEGS),
+        ),
         # IDW: brute-force kNN (valid: the engine's operator is exact
         # when settled, asserted in tests) + the same weighted form;
         # with the sqeuclid metric and power=2 the weight is 1/d2, no

@@ -60,6 +60,7 @@ def nearest_segment_join(
     seg_id: str = "sid",
     exact_fallback: bool = False,
     broadcast_queries: bool = True,
+    k: int = 1,
 ) -> DataFrame:
     """→ (point_id, seg_id, d2, t, snap_lon, snap_lat): the nearest
     segment within ``radius`` fixed-point units per query point
@@ -69,9 +70,20 @@ def nearest_segment_join(
     ``points`` needs (point_id, lat, lon); ``segments`` needs
     (seg_id, lat1, lon1, lat2, lon2) — all fixed-point int64.
     ``cell_size`` only tunes candidate counts (soundness is cover-level,
-    see module docstring): ~2·radius is a good default relation."""
+    see module docstring): ~2·radius is a good default relation.
+
+    ``k > 1`` returns the k nearest in-radius segments per query with a
+    1-based ``rank`` column (same (d², sid) order) — the candidate set
+    for HMM map-matching (`operators.mapmatch`). Shared-cell duplicates
+    of one segment are bit-identical rows, so unlike the top-1 path
+    (where they collapse at rank 1 for free) k > 1 dedups
+    (point, sid) first — an exact dedup of exact duplicates."""
     if radius < 1:
         raise ValueError(f"radius must be >= 1, got {radius}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if k > 1 and exact_fallback:
+        raise ValueError("exact_fallback is a top-1 contract; use k=1")
     from osmflat_rs_spark.operators.segments import _cover_fn
 
     cs = int(cell_size)
@@ -121,6 +133,12 @@ def nearest_segment_join(
         qx.alias("snap_lon"), qy.alias("snap_lat"),
     ).filter(F.col("d2") <= F.lit(float(radius) ** 2))
     w = Window.partitionBy(point_id).orderBy(F.col("d2").asc(), F.col("sid").asc())
+    if k > 1:
+        return (
+            scored.dropDuplicates([point_id, "sid"])
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
     best = scored.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1).drop("_rk")
     if not exact_fallback:
         return best
