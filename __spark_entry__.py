@@ -998,6 +998,21 @@ def q_morans_i_events(spark, sf_dir):
     return out.select(F.round("i", 9).alias("i"), "n", "s0")
 
 
+def q_gearys_c_events(spark, sf_dir):
+    """Geary's C — the pairwise-difference spatial-autocorrelation
+    scalar, complement of morans_i_events (same grid, same weights, same
+    sparse-analytic engine form: the ΣΣ w_ij (x_i−x_j)² double sum
+    reduces to two occupied-cell aggregates + closed-form S0; empty bbox
+    cells never materialized). Oracle: independent DENSE formulation —
+    generate_series materializes every bbox cell and computes the
+    textbook pairwise sum over the explicit neighbor join. Round-9."""
+    from osmflat_rs_spark.operators.tiling import gearys_c
+
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    out = gearys_c(pts, res=16, radius=2)
+    return out.select(F.round("c", 9).alias("c"), "n", "s0")
+
+
 def q_lisa_events(spark, sf_dir):
     """Local Moran's I (Anselin 1995 LISA) with the HH/LL/HL/LH cluster
     map — the per-cell decomposition of morans_i_events, same sparse-
@@ -2189,6 +2204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_events": q_snap_events,
         "gi_star_events": q_gi_star_events,
         "morans_i_events": q_morans_i_events,
+        "gearys_c_events": q_gearys_c_events,
         "lisa_events": q_lisa_events,
         "trend_events": q_trend_events,
         "mapmatch_events": q_mapmatch_events,
@@ -2697,6 +2713,35 @@ def oracle_sql() -> dict[str, str]:
                  AND NOT (a.ix = b.ix AND a.iy = b.iy)
                 CROSS JOIN m)
             SELECT ROUND((CAST(m.n AS DOUBLE) / pairs.s0) * pairs.num / m.ss, 9) AS i,
+                   m.n AS n, pairs.s0 AS s0
+            FROM m CROSS JOIN pairs
+        """,
+        # Geary's C: INDEPENDENT dense oracle — materialize every bbox
+        # cell and state the textbook pairwise squared-difference sum.
+        "gearys_c_events": f"""
+            WITH pts AS (SELECT * FROM {synth}),
+            g AS (SELECT GREATEST(0, LEAST({(1 << 16) - 1}, (lon + 1800000000) * {1 << 16} // 3600000000)) AS ix,
+                         GREATEST(0, LEAST({(1 << 16) - 1}, (lat + 900000000) * {1 << 16} // 1800000000)) AS iy
+                  FROM pts),
+            c AS (SELECT ix, iy, COUNT(*) AS x FROM g GROUP BY 1, 2),
+            bb AS (SELECT MIN(ix) AS ix0, MAX(ix) AS ix1, MIN(iy) AS iy0, MAX(iy) AS iy1 FROM c),
+            dense AS (
+                SELECT xs.ix, ys.iy, COALESCE(c.x, 0) AS x
+                FROM (SELECT UNNEST(generate_series(ix0, ix1)) AS ix FROM bb) xs
+                CROSS JOIN (SELECT UNNEST(generate_series(iy0, iy1)) AS iy FROM bb) ys
+                LEFT JOIN c ON c.ix = xs.ix AND c.iy = ys.iy),
+            m AS (SELECT COUNT(*) AS n, AVG(CAST(x AS DOUBLE)) AS xbar,
+                         SUM((CAST(x AS DOUBLE) - (SELECT AVG(CAST(x AS DOUBLE)) FROM dense))
+                           * (CAST(x AS DOUBLE) - (SELECT AVG(CAST(x AS DOUBLE)) FROM dense))) AS ss
+                  FROM dense),
+            pairs AS (
+                SELECT SUM((CAST(a.x AS DOUBLE) - CAST(b.x AS DOUBLE))
+                         * (CAST(a.x AS DOUBLE) - CAST(b.x AS DOUBLE))) AS num,
+                       COUNT(*) AS s0
+                FROM dense a JOIN dense b
+                  ON abs(a.ix - b.ix) <= 2 AND abs(a.iy - b.iy) <= 2
+                 AND NOT (a.ix = b.ix AND a.iy = b.iy))
+            SELECT ROUND(((CAST(m.n AS DOUBLE) - 1.0) / (2.0 * pairs.s0)) * pairs.num / m.ss, 9) AS c,
                    m.n AS n, pairs.s0 AS s0
             FROM m CROSS JOIN pairs
         """,

@@ -622,6 +622,76 @@ def morans_i(
     return agg.select(i.alias("i"), n.cast("long").alias("n"), s0.cast("long").alias("s0"))
 
 
+def gearys_c(
+    pts: DataFrame,
+    lat: str = "lat",
+    lon: str = "lon",
+    res: int = 18,
+    radius: int = 1,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Geary's C (Geary 1954) — the pairwise-difference complement of
+    :func:`morans_i`: C = ((n−1)/(2·S0)) · ΣΣ w_ij (x_i − x_j)² /
+    Σ(x_i − x̄)², <1 clustered, 1 random, >1 dispersed. Moran's I is a
+    cross-product statistic (sensitive to global structure); Geary's C
+    is a squared-difference one (sensitive to local contrast) — spatial
+    packages (spdep, PySAL esda.Geary) always report the pair. Same
+    binary box weights (Chebyshev ``radius``, w_ii = 0) over the bbox
+    grid of occupied cells, empty cells participating with x = 0. One
+    row: (c, n, s0).
+
+    Same sparse-analytic reduction as morans_i — nothing materializes
+    the empty cells. With w_ij symmetric, the double sum expands to
+
+        ΣΣ w_ij (x_i − x_j)² = 2·Σ_i W'_i x_i² − 2·Σ_i x_i·lag_i
+
+    where W'_i = clamped-window-area − 1 and lag_i = wx_i − x_i; every
+    term is zero on empty cells (x = 0), so TWO occupied-cell aggregates
+    (Σ x²·W and Σ x·(wx − x), the second shared with morans_i) plus the
+    separable S0 = SW − n closed form finish the statistic. The
+    denominator Σ(x−x̄)² = Σx² − n·x̄² is morans_i's exactly. Axes
+    shorter than 2r+1 (double-clamped windows) return NULL, same
+    contract as morans_i. The driver gate's oracle is an INDEPENDENT
+    dense formulation — generate_series materializes every bbox cell and
+    computes the textbook pairwise sum directly."""
+    f = focal_grid_agg(pts, lat=lat, lon=lon, res=res, radius=radius, value_col=value_col)
+    x_self = F.col("v_self") if value_col is not None else F.col("n_self")
+    x_focal = F.col("v_focal") if value_col is not None else F.col("n_focal")
+    cells = f.select("ix", "iy", x_self.alias("x"), x_focal.alias("wx"))
+    bbox = cells.agg(
+        F.min("ix").alias("ix0"), F.max("ix").alias("ix1"),
+        F.min("iy").alias("iy0"), F.max("iy").alias("iy1"),
+    )
+    j = cells.join(F.broadcast(bbox))
+    w = (
+        (F.least(F.col("ix") + radius, F.col("ix1")) - F.greatest(F.col("ix") - radius, F.col("ix0")) + 1)
+        * (F.least(F.col("iy") + radius, F.col("iy1")) - F.greatest(F.col("iy") - radius, F.col("iy0")) + 1)
+    ).cast("double")
+    x = F.col("x").cast("double")
+    wx = F.col("wx").cast("double")
+    agg = j.groupBy("ix0", "ix1", "iy0", "iy1").agg(
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * x * (w - F.lit(1.0))).alias("sxxw"),
+        F.sum(x * (wx - x)).alias("sxwx"),
+    )
+    lx = (F.col("ix1") - F.col("ix0") + 1).cast("double")
+    ly = (F.col("iy1") - F.col("iy0") + 1).cast("double")
+    k = F.lit(float(2 * radius + 1))
+    rr = F.lit(float(radius * (radius + 1)))
+    sw = (k * lx - rr) * (k * ly - rr)
+    n = lx * ly
+    xbar = F.col("sx") / n
+    s0 = sw - n
+    pair_sum = F.lit(2.0) * (F.col("sxxw") - F.col("sxwx"))
+    den = F.col("sxx") - n * xbar * xbar
+    c = F.when(
+        (lx >= k) & (ly >= k) & (den > 0),
+        ((n - F.lit(1.0)) / (F.lit(2.0) * s0)) * pair_sum / den,
+    )
+    return agg.select(c.alias("c"), n.cast("long").alias("n"), s0.cast("long").alias("s0"))
+
+
 def local_morans_i(
     pts: DataFrame,
     lat: str = "lat",

@@ -241,6 +241,73 @@ def test_morans_i_matches_dense_oracle(spark):
     assert row["i"] > 0.3  # clustered blobs autocorrelate strongly
 
 
+def test_gearys_c_matches_dense_oracle(spark):
+    """Geary's C: the engine's sparse-analytic form vs a dense NumPy
+    pairwise double-sum over the materialized bbox grid. Clustered data
+    scores well below 1; shuffled labels ~1 (complement of Moran)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from osmflat_rs_spark.functions.cells import grid_exprs
+    from osmflat_rs_spark.operators.tiling import gearys_c
+
+    rng = np.random.default_rng(31)
+    X, Y = 132_000_000, 524_000_000
+    pts = []
+    for bx, by in [(100_000, 80_000), (500_000, 300_000), (700_000, 120_000)]:
+        for _ in range(250):
+            pts.append((int(Y + by + rng.normal(0, 40_000)), int(X + bx + rng.normal(0, 40_000))))
+    for _ in range(100):
+        pts.append((int(Y + rng.integers(0, 400_000)), int(X + rng.integers(0, 800_000))))
+    df = spark.createDataFrame(pts, "lat long, lon long")
+    res, r = 16, 1
+    ix, iy = grid_exprs(F.col("lat"), F.col("lon"), res)
+    assign = [(row["ix"], row["iy"]) for row in df.select(ix.alias("ix"), iy.alias("iy")).collect()]
+    ix0 = min(a for a, _ in assign); ix1 = max(a for a, _ in assign)
+    iy0 = min(b for _, b in assign); iy1 = max(b for _, b in assign)
+    grid = np.zeros((ix1 - ix0 + 1, iy1 - iy0 + 1))
+    for a, b in assign:
+        grid[a - ix0, b - iy0] += 1
+    n = grid.size
+    num = 0.0
+    s0 = 0
+    A, B = grid.shape
+    for a in range(A):
+        for b in range(B):
+            for da in range(-r, r + 1):
+                for db in range(-r, r + 1):
+                    if (da, db) == (0, 0):
+                        continue
+                    na, nb = a + da, b + db
+                    if 0 <= na < A and 0 <= nb < B:
+                        num += (grid[a, b] - grid[na, nb]) ** 2
+                        s0 += 1
+    dev = grid - grid.mean()
+    want = ((n - 1) / (2 * s0)) * num / (dev ** 2).sum()
+    row = gearys_c(df, res=res, radius=r).collect()[0]
+    assert row["n"] == n and row["s0"] == s0
+    assert row["c"] == pytest.approx(want, rel=1e-9)
+    assert row["c"] < 0.9  # clustered blobs: local contrast well below CSR
+
+    # shuffled (uniform) control: C should sit near 1
+    flat = grid.flatten()
+    rng.shuffle(flat)
+    shuf = flat.reshape(grid.shape)
+    num_s = 0.0
+    for a in range(A):
+        for b in range(B):
+            for da in range(-r, r + 1):
+                for db in range(-r, r + 1):
+                    if (da, db) == (0, 0):
+                        continue
+                    na, nb = a + da, b + db
+                    if 0 <= na < A and 0 <= nb < B:
+                        num_s += (shuf[a, b] - shuf[na, nb]) ** 2
+    dev_s = shuf - shuf.mean()
+    c_shuf = ((n - 1) / (2 * s0)) * num_s / (dev_s ** 2).sum()
+    assert abs(c_shuf - 1.0) < 0.25
+
+
 def test_ripley_k_matches_bruteforce(spark):
     """ripley_k vs the all-pairs NumPy count at 4 radii; k_hat formula
     identical IEEE ops; coincident points counted (i≠j by id, not by
