@@ -1223,6 +1223,28 @@ def q_dwell_events(spark, sf_dir):
     )
 
 
+def q_geofence_events(spark, sf_dir):
+    """Geofence enter/exit transitions — per-user membership diff
+    between consecutive fixes over two OVERLAPPING convex fences
+    (HEX_RING + ZONAL_HEX2, the zonal pair): ONE pip_join (entity+ts
+    through the carry-cols seam), one per-fix set collapse, one
+    entity-keyed lag window; enters/exits as in-row array_except.
+    First-fix convention: enter for every containing fence. Oracle:
+    per-fence half-plane membership + lag + list_filter diff in DuckDB
+    — the window semantics stated independently."""
+    from osmflat_rs_spark.operators.trajectory import geofence_transitions
+
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    fences = spark.createDataFrame(
+        [
+            ("hex", [(la, lo) for lo, la in HEX_RING], "district"),
+            ("hex2", [(la, lo) for lo, la in ZONAL_HEX2], "district"),
+        ],
+        schema="polygon_id string, ring array<struct<lat:long,lon:long>>, kind string",
+    )
+    return geofence_transitions(pts, fences)
+
+
 SNAP_RADIUS = 4_000  # fixed-point units. Unlike kNN's radius (a
 # performance knob under an exact-k contract), snap's radius IS the
 # semantics: out-of-radius queries drop identically on engine and
@@ -2200,6 +2222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idw_events": q_idw_events,
         "hotspot_events": q_hotspot_events,
         "dwell_events": q_dwell_events,
+        "geofence_events": q_geofence_events,
         "od_flows_events": q_od_flows_events,
         "snap_events": q_snap_events,
         "gi_star_events": q_gi_star_events,
@@ -2910,6 +2933,26 @@ def oracle_sql() -> dict[str, str]:
                               ELSE SUM(value / d2) / SUM(1.0 / d2) END, 6) AS idw,
                    COUNT(*) AS n_neighbors
             FROM r GROUP BY query_id
+        """,
+        # Geofence transitions: per-fence half-plane membership, lag
+        # window per user, list_filter set diffs — the membership-flip
+        # semantics stated independently of the engine's pip kernel.
+        "geofence_events": f"""
+            WITH pts AS (SELECT * FROM {synth}),
+            m AS (SELECT user_id, ts, event_id,
+                         list_sort(list_filter([
+                             CASE WHEN {_ring_halfplanes_sql(HEX_RING, 'lon', 'lat')} THEN 'hex' END,
+                             CASE WHEN {_ring_halfplanes_sql(ZONAL_HEX2, 'lon', 'lat')} THEN 'hex2' END
+                         ], x -> x IS NOT NULL)) AS fences
+                  FROM pts),
+            s AS (SELECT *, COALESCE(LAG(fences) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                                     []) AS prev
+                  FROM m)
+            SELECT user_id, ts, event_id, u.f AS fence, 'enter' AS kind
+            FROM s, UNNEST(list_filter(s.fences, x -> NOT list_contains(s.prev, x))) AS u(f)
+            UNION ALL
+            SELECT user_id, ts, event_id, u.f AS fence, 'exit' AS kind
+            FROM s, UNNEST(list_filter(s.prev, x -> NOT list_contains(s.fences, x))) AS u(f)
         """,
         # Stay-points: identical window formulation (DuckDB's LAG/SUM
         # windows); epoch_us keeps timestamps integer-exact; cx/cy

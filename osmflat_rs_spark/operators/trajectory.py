@@ -521,3 +521,85 @@ def resample_time(
         )
     )
     return interior.unionByName(final)
+
+
+def geofence_transitions(
+    pts: DataFrame,
+    fences: DataFrame,
+    entity_col: str = "user_id",
+    point_id: str = "event_id",
+    ts_col: str = "ts",
+    lat: str = "lat",
+    lon: str = "lon",
+    **pip_kwargs,
+) -> DataFrame:
+    """Geofence enter/exit detection — the standard telematics/fleet
+    primitive (reference anchor: the same containment kernel as
+    spatial_join.pip_join, here composed along each entity's time axis):
+    for every entity, diff the set of containing fences between
+    consecutive fixes and emit one row per membership flip.
+
+    → DataFrame(entity, ts, point_id, fence, kind) with kind ∈
+    {'enter', 'exit'}: ``enter`` when a fence contains this fix but not
+    the entity's previous fix, ``exit`` when the previous fix was inside
+    and this one is not. Convention: an entity's FIRST fix emits
+    ``enter`` for every fence containing it (prev = ∅); disappearance
+    of an entity emits nothing (no synthetic exit at stream end —
+    callers with session semantics can union one). A fix inside k
+    fences diffs all k memberships at once (overlapping fences are
+    first-class, same contract as zonal_stats).
+
+    Scale shape: ONE pip_join (two-phase cell-cover kernel — entity and
+    timestamp ride the ``carry_cols`` seam, so no re-join against the
+    point table), ONE groupBy collapsing pairs to a per-fix sorted fence
+    set (the no-fence fixes enter via a zero-shuffle unionByName with a
+    NULL fence — collect_set drops it), and ONE entity-keyed window for
+    the lag diff. The diff itself is in-row ``array_except`` on sorted
+    arrays; explode emits nothing for unchanged fixes, so steady-state
+    trajectories (the 100-TB common case: most fixes flip nothing) cost
+    zero output rows past the window."""
+    from osmflat_rs_spark.operators.spatial_join import pip_join
+
+    slim = pts.select(point_id, lat, lon, entity_col, ts_col)
+    pairs = pip_join(
+        slim,
+        fences,
+        point_id=point_id,
+        lat=lat,
+        lon=lon,
+        carry_cols=[entity_col, ts_col],
+        **pip_kwargs,
+    )
+    tagged = pairs.select(point_id, entity_col, ts_col, "polygon_id").unionByName(
+        slim.select(
+            point_id, entity_col, ts_col, F.lit(None).cast("string").alias("polygon_id")
+        )
+    )
+    per_fix = tagged.groupBy(point_id, entity_col, ts_col).agg(
+        F.sort_array(F.collect_set("polygon_id")).alias("_fences")
+    )
+    w = Window.partitionBy(entity_col).orderBy(ts_col, point_id)
+    prev = F.coalesce(
+        F.lag("_fences").over(w), F.array().cast("array<string>")
+    )
+    diffed = per_fix.withColumn(
+        "_ev",
+        F.concat(
+            F.transform(
+                F.array_except(F.col("_fences"), prev),
+                lambda x: F.struct(x.alias("fence"), F.lit("enter").alias("kind")),
+            ),
+            F.transform(
+                F.array_except(prev, F.col("_fences")),
+                lambda x: F.struct(x.alias("fence"), F.lit("exit").alias("kind")),
+            ),
+        ),
+    )
+    ev = diffed.select(
+        entity_col, ts_col, point_id, F.explode("_ev").alias("_e")
+    )
+    return ev.select(
+        entity_col, ts_col, point_id,
+        F.col("_e.fence").alias("fence"),
+        F.col("_e.kind").alias("kind"),
+    )

@@ -424,3 +424,74 @@ def test_resample_time_rejects_bad_step(spark):
     df = spark.range(1).selectExpr("id AS tid", "timestamp_micros(id) AS ts", "1.0 AS lat")
     with _pytest.raises(ValueError):
         resample_time(df, "tid", 0, value_cols=("lat",))
+
+
+def test_geofence_transitions_matches_simulation(spark):
+    """geofence_transitions vs a pure-Python per-entity membership-diff
+    simulation over two OVERLAPPING square fences: first-fix enters,
+    multi-fence flips, steady-state fixes emit nothing; input row order
+    is irrelevant (window orders by ts, point_id)."""
+    import numpy as np
+
+    from osmflat_rs_spark.operators.trajectory import geofence_transitions
+
+    X, Y = 132_000_000, 524_000_000
+    S = 400_000
+
+    # fence A: [X, X+2S] x [Y, Y+2S]; fence B overlaps: [X+S, X+3S] x [Y+S, Y+3S]
+    fences = [
+        ("A", [(Y, X), (Y, X + 2 * S), (Y + 2 * S, X + 2 * S), (Y + 2 * S, X)], "zone"),
+        ("B", [(Y + S, X + S), (Y + S, X + 3 * S), (Y + 3 * S, X + 3 * S), (Y + 3 * S, X + S)], "zone"),
+    ]
+    polys = spark.createDataFrame(
+        fences, schema="polygon_id string, ring array<struct<lat:long,lon:long>>, kind string"
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    eid = 0
+    for u in range(6):
+        for t in range(12):
+            la = int(Y - S + rng.integers(0, 5 * S))
+            lo = int(X - S + rng.integers(0, 5 * S))
+            rows.append((u, t, eid, la, lo))
+            eid += 1
+    # pin one deterministic walk straight through both fences
+    walk = [(-S // 2, S), (S // 2, S), (S + S // 2, S + S // 2), (2 * S + S // 2, 2 * S - 1), (4 * S, 4 * S)]
+    for t, (dx, dy) in enumerate(walk):
+        rows.append((99, t, eid, Y + dy, X + dx))
+        eid += 1
+
+    def inside(f, la, lo):
+        if f == "A":
+            return X <= lo <= X + 2 * S and Y <= la <= Y + 2 * S
+        return X + S <= lo <= X + 3 * S and Y + S <= la <= Y + 3 * S
+
+    want = set()
+    by_user = {}
+    for u, t, e, la, lo in rows:
+        by_user.setdefault(u, []).append((t, e, la, lo))
+    for u, fixes in by_user.items():
+        fixes.sort()
+        prev = set()
+        for t, e, la, lo in fixes:
+            cur = {f for f in ("A", "B") if inside(f, la, lo)}
+            for f in sorted(cur - prev):
+                want.add((u, t, e, f, "enter"))
+            for f in sorted(prev - cur):
+                want.add((u, t, e, f, "exit"))
+            prev = cur
+
+    rng.shuffle(rows)  # input order must not matter
+    pts = spark.createDataFrame(
+        [(int(u), int(t), int(e), int(la), int(lo)) for u, t, e, la, lo in rows],
+        "user_id long, ts long, event_id long, lat long, lon long",
+    )
+    got = {
+        (r["user_id"], r["ts"], r["event_id"], r["fence"], r["kind"])
+        for r in geofence_transitions(pts, polys, ts_col="ts").collect()
+    }
+    assert got == want
+    # behavioral pins: the deterministic walk enters A, then B, exits A, exits B
+    walk_ev = sorted((t, f, k) for (u, t, e, f, k) in want if u == 99)
+    assert walk_ev == [(1, "A", "enter"), (2, "B", "enter"), (3, "A", "exit"), (4, "B", "exit")]
