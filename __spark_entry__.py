@@ -453,6 +453,10 @@ RESAMPLE_STEP_US = 21_600_000_000  # 6h
 # the oracle is a finite recursive walk
 SSSP_N, SSSP_SOURCES, SSSP_HOPS = 150, (0, 50, 100), 10
 
+# pagerank gate: same 150-node / 3-out-edge mesh, 4 exact-integer power
+# iterations (scaled ranks stay far below int64 — guard in the operator)
+PAGERANK_ITERS = 4
+
 
 SIMPLIFY_EPS = 600_000
 
@@ -472,6 +476,32 @@ def q_simplify_events(spark, sf_dir):
     )
     out = simplify_lines(pts, "user_id", SIMPLIFY_EPS, order_cols=("ts", "event_id"))
     return out.select("user_id", "event_id", "lat", "lon")
+
+
+def _pagerank_oracle_sql() -> str:
+    """Chained-CTE restatement of the exact-integer power iteration:
+    r_{t+1}(v) = 9·60^t + 17·Σ_{u→v} r_t(u) — every intermediate BIGINT
+    (DuckDB SUM widens to HUGEINT, so each round re-casts)."""
+    ctes = [
+        f"e AS (SELECT src, (src * 31 + k) % {SSSP_N} AS dst\n"
+        f"       FROM generate_series(0, {SSSP_N - 1}) s(src), generate_series(1, 3) t(k))",
+        f"n AS (SELECT CAST(range AS BIGINT) AS node FROM range({SSSP_N}))",
+        "r0 AS (SELECT node, CAST(1 AS BIGINT) AS r FROM n)",
+    ]
+    for t in range(PAGERANK_ITERS):
+        tele = 9 * 60**t
+        ctes.append(
+            f"r{t + 1} AS (SELECT n.node,\n"
+            f"   CAST({tele} + 17 * COALESCE(SUM(p.r), 0) AS BIGINT) AS r\n"
+            f"   FROM n LEFT JOIN (SELECT e.dst, r{t}.r FROM e JOIN r{t} ON r{t}.node = e.src) p\n"
+            f"     ON p.dst = n.node GROUP BY n.node)"
+        )
+    denom = SSSP_N * 60**PAGERANK_ITERS
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT node, r AS rank_scaled,\n"
+        f"  CAST((r * CAST(1000000000 AS BIGINT)) // {denom} AS BIGINT) AS rank_ppb\n"
+        f"FROM r{PAGERANK_ITERS}"
+    )
 
 
 def _simplify_oracle_sql() -> str:
@@ -599,6 +629,22 @@ def q_sssp_graph(spark, sf_dir):
         .selectExpr("src", "dst", "(src * 7 + dst * 13) % 20 + 1 AS w")
     )
     return shortest_paths(edges, list(SSSP_SOURCES), SSSP_HOPS)
+
+
+def q_pagerank_graph(spark, sf_dir):
+    """PageRank centrality over the same deterministic 150-node road
+    mesh as the SSSP gate: 4 power iterations in EXACT integer
+    arithmetic (rank scaled by n·60^t — see pagerank_uniform), so the
+    oracle's chained CTEs reproduce every value bit-for-bit with no
+    float tolerance anywhere."""
+    from osmflat_rs_spark.operators.graph import pagerank_uniform
+
+    edges = (
+        spark.range(SSSP_N)
+        .select(F.col("id").alias("src"), F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"))
+        .selectExpr("src", f"(src * 31 + k) % {SSSP_N} AS dst")
+    )
+    return pagerank_uniform(edges, SSSP_N, 3, PAGERANK_ITERS)
 
 
 def q_resample_events(spark, sf_dir):
@@ -2208,6 +2254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fill_cells": q_fill_cells,
         "resample_events": q_resample_events,
         "sssp_graph": q_sssp_graph,
+        "pagerank_graph": q_pagerank_graph,
         "ripley_events": q_ripley_events,
         "simplify_events": q_simplify_events,
         "dbscan_events": q_dbscan_events,
@@ -2621,6 +2668,7 @@ def oracle_sql() -> dict[str, str]:
               WHERE w.hops < {SSSP_HOPS})
             SELECT source, node, MIN(dist) AS dist FROM walk GROUP BY 1, 2
         """,
+        "pagerank_graph": _pagerank_oracle_sql(),
         # bounded-series restatement of the in-row tick fan-out (512
         # ticks/segment covers any gap at 6h steps over a 30-day table);
         # `//` mirrors the engine's exact `div` tick indices

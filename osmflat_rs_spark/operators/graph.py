@@ -111,6 +111,100 @@ def dedup_cluster_representatives(
     )
 
 
+def pagerank_uniform(
+    edges: DataFrame,
+    n_nodes: int,
+    out_degree: int,
+    iters: int,
+    d_num: int = 17,
+    d_den: int = 20,
+    src: str = "src",
+    dst: str = "dst",
+    validate: bool = True,
+) -> DataFrame:
+    """PageRank power iteration in EXACT integer arithmetic →
+    (node, rank_scaled, rank_ppb), for graphs whose every node has the
+    same out-degree (the gate's synthetic road mesh; also the shape of
+    k-regular similarity graphs from kNN joins).
+
+    With damping d = d_num/d_den and uniform out-degree g, define the
+    scaled rank R_t(v) = rank_t(v) · n · (d_den·g)^t. Then the power
+    iteration rank' = (1−d)/n + d·Σ_in rank/g becomes PURE BIGINT
+    recurrence:
+
+        R_0(v)     = 1
+        R_{t+1}(v) = (d_den−d_num)·g·(d_den·g)^t + d_num·Σ_{u→v} R_t(u)
+
+    so every intermediate is an exact integer, partition- and order-
+    invariant — the gate hash-checks VALUES, not a float tolerance
+    (total mass Σ_v R_t = n·(d_den·g)^t exactly, asserted in tests).
+    ``rank_ppb`` = floor(R_T·10⁹ / (n·(d_den·g)^T)) is the rank in
+    parts-per-billion, still exact integer division in both engines.
+
+    Scale shape (same discipline as ``shortest_paths``): per round ONE
+    (node, R) row per node; one equi-join against the re-scanned edge
+    table + one map-side-combined sum + a left join back onto the node
+    range for the teleport term; eager localCheckpoint per round (the
+    iterative-lineage trap). Fixed ``iters`` — no driver-side
+    convergence action at all. Multi-edges contribute multiply
+    (multigraph semantics, documented); dangling nodes are rejected by
+    ``validate`` because uniform out-degree is the integrality
+    precondition.
+
+    The reference has no ranking operator (its graphs are the static
+    ways/relations forest); this is north-rule surface — centrality over
+    the road mesh the engine already builds shortest paths on.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if not (0 < d_num < d_den):
+        raise ValueError(f"need 0 < d_num < d_den, got {d_num}/{d_den}")
+    base = d_den * out_degree
+    if n_nodes * base**iters * 10**9 >= 2**63:
+        raise ValueError(
+            f"rank_ppb would overflow int64: n·(d_den·g)^T·1e9 = "
+            f"{n_nodes * base**iters * 10**9} >= 2^63 — lower iters or d_den"
+        )
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).cast("long").alias("_s"), F.col(dst).cast("long").alias("_d"))
+    if validate:
+        bad_deg = e.groupBy("_s").count().filter(F.col("count") != out_degree).limit(1).count()
+        n_src = e.select("_s").distinct().count()
+        if bad_deg or n_src != n_nodes:
+            raise ValueError(
+                f"pagerank_uniform requires every node in [0, {n_nodes}) to have "
+                f"out-degree exactly {out_degree} (found non-uniform degree: "
+                f"{bool(bad_deg)}, distinct sources: {n_src})"
+            )
+    nodes = spark.range(n_nodes).select(F.col("id").alias("node"))
+    ranks = nodes.select("node", F.lit(1).cast("long").alias("r"))
+    for t in range(iters):
+        tele = (d_den - d_num) * out_degree * base**t
+        contrib = (
+            e.join(ranks, e["_s"] == ranks["node"])
+            .groupBy(F.col("_d").alias("node"))
+            .agg(F.sum("r").alias("_in"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(tele) + F.lit(d_num) * F.coalesce(F.col("_in"), F.lit(0))
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    denom = n_nodes * base**iters
+    return ranks.select(
+        "node",
+        F.col("r").alias("rank_scaled"),
+        F.expr(f"(r * CAST(1000000000 AS BIGINT)) div CAST({denom} AS BIGINT)").alias(
+            "rank_ppb"
+        ),
+    )
+
+
 def shortest_paths(
     edges: DataFrame,
     sources: list,

@@ -155,3 +155,63 @@ def test_shortest_paths_rejects_negative_weight(spark):
     df = spark.createDataFrame([(0, 1, -1)], "src long, dst long, w long")
     with _pytest.raises(ValueError):
         shortest_paths(df, [0], 3)
+
+
+def _np_pagerank(edges, n, iters, d=0.85):
+    import numpy as np
+
+    deg = np.zeros(n)
+    for u, _ in edges:
+        deg[u] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.full(n, (1 - d) / n)
+        for u, v in edges:
+            nxt[v] += d * r[u] / deg[u]
+        r = nxt
+    return r
+
+
+def test_pagerank_exact_mass_and_float_parity(spark):
+    """Σ rank_scaled == n·60^T exactly (integer mass conservation), and
+    rank_scaled/denominator matches a dense float power iteration."""
+    from osmflat_rs_spark.operators.graph import pagerank_uniform
+
+    n, g, iters = 60, 3, 4
+    edges = [(u, (u * 31 + k) % n) for u in range(n) for k in (1, 2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: (r["rank_scaled"], r["rank_ppb"]) for r in
+           pagerank_uniform(df, n, g, iters).collect()}
+    denom = n * (20 * g) ** iters
+    assert sum(v[0] for v in out.values()) == denom
+    ref = _np_pagerank(edges, n, iters)
+    for v in range(n):
+        assert abs(out[v][0] / denom - ref[v]) < 1e-12
+        assert out[v][1] == out[v][0] * 10**9 // denom
+
+
+def test_pagerank_rejects_nonuniform_and_overflow(spark):
+    import pytest as _pytest
+
+    from osmflat_rs_spark.operators.graph import pagerank_uniform
+
+    bad = spark.createDataFrame([(0, 1), (1, 0), (1, 2), (2, 0), (2, 1)], "src long, dst long")
+    with _pytest.raises(ValueError, match="out-degree"):
+        pagerank_uniform(bad, 3, 2, 2)
+    ok = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    with _pytest.raises(ValueError, match="overflow"):
+        pagerank_uniform(ok, 2, 1, 30)
+
+
+def test_pagerank_partition_invariance(spark):
+    """Same ranks whether the edge table arrives in 1 or 13 partitions —
+    the integrality claim is exactly this (no float reassociation)."""
+    from osmflat_rs_spark.operators.graph import pagerank_uniform
+
+    n = 40
+    edges = [(u, (u * 31 + k) % n) for u in range(n) for k in (1, 2, 3)]
+    a = spark.createDataFrame(edges, "src long, dst long").coalesce(1)
+    b = spark.createDataFrame(edges, "src long, dst long").repartition(13)
+    ra = sorted((r["node"], r["rank_scaled"]) for r in pagerank_uniform(a, n, 3, 4).collect())
+    rb = sorted((r["node"], r["rank_scaled"]) for r in pagerank_uniform(b, n, 3, 4).collect())
+    assert ra == rb
