@@ -1393,6 +1393,73 @@ def q_fingerprint_docs(spark, sf_dir):
     return fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def _with_synth_pii(docs):
+    """documents + deterministic md5(doc_id)-derived PII suffix (one
+    email, one IPv4, one intl phone per doc) so the scrub gate exercises
+    real matches; the oracle synthesizes the identical suffix."""
+    h = F.md5(F.col("doc_id").cast("string"))
+
+    def _oct(i):
+        return (F.conv(F.substring(h, i, 2), 16, 10).cast("long") % 255).cast("string")
+
+    num = F.conv(F.substring(h, 7, 7), 16, 10).cast("long") % F.lit(10**9)
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.substring(h, 1, 6), F.lit("@example.com via 10."),
+            _oct(1), F.lit("."), _oct(3), F.lit("."), _oct(5),
+            F.lit(" call +49"), F.lpad(num.cast("string"), 9, "0"),
+        ).alias("text"),
+    )
+
+
+def q_pii_scrub_docs(spark, sf_dir):
+    """PII redaction (email/IPv4/phone → typed tokens): map-only codegen
+    regexp pipeline over documents carrying synthesized deterministic
+    PII; counts are per-stage (each pattern counted on the text already
+    scrubbed by its predecessors — contract order)."""
+    from osmflat_rs_spark.operators.textops import pii_scrub
+
+    out = pii_scrub(_with_synth_pii(_t(spark, sf_dir, "documents")), "doc_id", "text")
+    return out.select(
+        "doc_id", F.md5("text_clean").alias("clean_fp"), "n_email", "n_ipv4", "n_phone"
+    )
+
+
+def _pii_oracle_sql() -> str:
+    """Oracle generated from the SAME PII_PATTERNS table the engine
+    uses (single source of truth; plain-string build — no f-string
+    brace doubling for the regex quantifiers)."""
+    from osmflat_rs_spark.operators.textops import PII_PATTERNS
+
+    synth = (
+        "SELECT doc_id, text || ' contact user' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)"
+        " || '@example.com via 10.'"
+        " || (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT % 255) || '.'"
+        " || (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 3, 2))::BIGINT % 255) || '.'"
+        " || (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 2))::BIGINT % 255)"
+        " || ' call +49' || lpad(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 7, 7))::BIGINT"
+        " % 1000000000 AS VARCHAR), 9, '0') AS t0 FROM documents"
+    )
+    ctes = ["pii AS (" + synth + ")"]
+    prev = "pii"
+    for i, (name, pat, token) in enumerate(PII_PATTERNS):
+        lit = pat.replace("'", "''")
+        ctes.append(
+            f"s{i} AS (SELECT *, CAST(len(regexp_extract_all(t{i}, '{lit}')) AS BIGINT)"
+            f" AS n_{name}, regexp_replace(t{i}, '{lit}', '{token}', 'g') AS t{i + 1}"
+            f" FROM {prev})"
+        )
+        prev = f"s{i}"
+    n = len(PII_PATTERNS)
+    cols = ", ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT doc_id, md5(t{n}) AS clean_fp, {cols} FROM {prev}"
+    )
+
+
 def q_string_offsets_docs(spark, sf_dir):
     """S8/A7 string-intern offsets via the scalable two-pass exclusive
     prefix sum (strings.rs:134-145 semantics: offset = Σ (len+1) of
@@ -2289,6 +2356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_reassemble_docs": q_span_reassemble_docs,
         "dedup_exact_docs": q_dedup_exact_docs,
         "fingerprint_docs": q_fingerprint_docs,
+        "pii_scrub_docs": q_pii_scrub_docs,
         "winnow_fingerprint_docs": q_winnow_fingerprint_docs,
         "string_offsets_docs": q_string_offsets_docs,
         "token_count_docs": q_token_count_docs,
@@ -3286,6 +3354,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_docs": (
             f"SELECT doc_id, md5(regexp_replace(lower(text), '{_WS_SQL}+', ' ', 'g')) AS fp FROM documents"
         ),
+        "pii_scrub_docs": _pii_oracle_sql(),
         "string_offsets_docs": f"""
             WITH ws AS (SELECT DISTINCT unnest({_ws_split_sql()}) AS w
                         FROM documents)

@@ -488,3 +488,35 @@ def pack_sequences(
             (seg_start - F.col("seq_id") * capacity).alias("seq_off"),
         )
     )
+
+
+# PII scrubbing — the redaction pass every LLM training pipeline runs
+# before tokenization (emails / IPv4s / intl phone numbers → typed
+# placeholder tokens). Patterns live in ONE table so the engine and the
+# SQL oracle are generated from the same source; every pattern stays in
+# the Java-regex ∩ RE2 common subset (no backrefs, no lookaround, ASCII
+# \d/\b in both), which is what makes the gate hash-exact cross-engine.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{7,15}", "<PHONE>"),
+)
+
+
+def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Redact PII → (id, text_clean, n_email, n_ipv4, n_phone).
+
+    Patterns apply in PII_PATTERNS order, each COUNTED on the text as
+    already scrubbed by the previous ones (an email's host never
+    double-counts as an IPv4, a phone inside a replaced span is gone) —
+    the order is part of the contract and the oracle restates it.
+    Pure codegen column expressions: regexp_extract_all (count) +
+    regexp_replace per pattern, zero shuffles, zero Python — the plan a
+    10^12-document scrub must have (map-only, pushdown-transparent).
+    """
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0))).cast("long").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, token)
+    return df.select(F.col(id_col), cur.alias("text_clean"), *counts)

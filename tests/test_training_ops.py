@@ -1323,3 +1323,37 @@ def test_pq_topk_precoded_codes_identical(spark):
     precoded = {(r["query_id"], r["rank"], r["vec_id"], r["cosine"])
                 for r in pq_topk(emb, q, books, k=5, oversample=8, codes=codes).collect()}
     assert inline == precoded
+
+
+def test_pii_scrub_semantics(spark):
+    """Hand-built texts: each pattern redacts + counts; the stage order
+    contract (count on already-scrubbed text) means an email's host is
+    consumed before the IPv4 pass; clean text is a fixpoint."""
+    from osmflat_rs_spark.operators.textops import pii_scrub
+
+    rows = [
+        (1, "mail a.b-c%d@sub.example.org and x@y.io now"),
+        (2, "server 10.1.2.3 and 255.255.255.255, version 1.2 not ip"),
+        (3, "call +4915712345678 or +1234567 but not +123456"),
+        (4, "joe@10.2.3.4 stays: host has no alpha TLD, then ip matches"),
+        (5, "clean text with no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in pii_scrub(df, "doc_id", "text").collect()}
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_phone"]) == (2, 0, 0)
+    assert out[1]["text_clean"] == "mail <EMAIL> and <EMAIL> now"
+    assert (out[2]["n_email"], out[2]["n_ipv4"]) == (0, 2)
+    assert out[2]["text_clean"] == "server <IP> and <IP>, version 1.2 not ip"
+    assert (out[3]["n_phone"], out[3]["text_clean"]) == (
+        2, "call <PHONE> or <PHONE> but not +123456")
+    # email pattern needs an alpha TLD, so joe@10.2.3.4 is NOT an email;
+    # the ip stage then catches the host
+    assert (out[4]["n_email"], out[4]["n_ipv4"]) == (0, 1)
+    assert out[4]["text_clean"].startswith("joe@<IP> stays")
+    assert out[5]["text_clean"] == rows[4][1]
+    assert (out[5]["n_email"], out[5]["n_ipv4"], out[5]["n_phone"]) == (0, 0, 0)
+    # fixpoint: scrubbing scrubbed text changes nothing
+    again = pii_scrub(
+        spark.createDataFrame([(1, out[1]["text_clean"])], "doc_id long, text string"),
+        "doc_id", "text").collect()[0]
+    assert again["text_clean"] == out[1]["text_clean"]
