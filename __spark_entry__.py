@@ -597,6 +597,22 @@ def q_dbscan_events(spark, sf_dir):
     return dbscan(pts, DBSCAN_R, DBSCAN_MINPTS, id_col="event_id")
 
 
+ISOLATED_R = 15_000
+
+
+def q_isolated_events(spark, sf_dir):
+    """Distance anti-join (isolated points): the clustered DBSCAN synth
+    makes the blobs definitively non-isolated (killed by the phase-1
+    same-cell prune with zero pair generation) while sparse Weyl
+    background points survive to the exact radius semi-join."""
+    from osmflat_rs_spark.operators.knn import isolated_points
+
+    pts = _dbscan_coords(_t(spark, sf_dir, "events"))
+    return isolated_points(
+        pts, ISOLATED_R, metric="sqeuclid", id_col="event_id"
+    ).select("event_id", "lat", "lon")
+
+
 RIPLEY_RADII = (50_000, 100_000, 200_000, 400_000)
 RIPLEY_AREA = float(LATSPAN) * float(LONSPAN)
 
@@ -2322,6 +2338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_events": q_resample_events,
         "sssp_graph": q_sssp_graph,
         "pagerank_graph": q_pagerank_graph,
+        "isolated_events": q_isolated_events,
         "ripley_events": q_ripley_events,
         "simplify_events": q_simplify_events,
         "dbscan_events": q_dbscan_events,
@@ -2737,6 +2754,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, node, MIN(dist) AS dist FROM walk GROUP BY 1, 2
         """,
         "pagerank_graph": _pagerank_oracle_sql(),
+        # bbox-pruned inequality self-join; d² in DOUBLE (exact for any
+        # pair that can pass the r² threshold; far pairs only need the
+        # boolean, where 1-ulp error at 1e19 magnitude cannot flip it)
+        "isolated_events": f"""
+            WITH e AS ({_DBSCAN_SQL}),
+            hit AS (SELECT DISTINCT a.event_id FROM e a JOIN e b
+                    ON b.event_id <> a.event_id
+                   AND b.lat BETWEEN a.lat - {ISOLATED_R} AND a.lat + {ISOLATED_R}
+                   AND b.lon BETWEEN a.lon - {ISOLATED_R} AND a.lon + {ISOLATED_R}
+                   AND CAST(b.lat - a.lat AS DOUBLE) * CAST(b.lat - a.lat AS DOUBLE)
+                     + CAST(b.lon - a.lon AS DOUBLE) * CAST(b.lon - a.lon AS DOUBLE)
+                     <= {ISOLATED_R * ISOLATED_R})
+            SELECT event_id, lat, lon FROM e
+            WHERE event_id NOT IN (SELECT event_id FROM hit)
+        """,
         # bounded-series restatement of the in-row tick fan-out (512
         # ticks/segment covers any gap at 6h steps over a 30-day table);
         # `//` mirrors the engine's exact `div` tick indices

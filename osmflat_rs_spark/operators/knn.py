@@ -496,3 +496,82 @@ def knn_join(
         else pd.DataFrame(columns=["query_id", "rank", "node_idx", "dist_m"])
     )
     return spark.createDataFrame(out, schema="query_id string, rank int, node_idx long, dist_m double")
+
+
+def isolated_points(
+    points: DataFrame,
+    radius_m: float,
+    res: int | None = None,
+    metric: str = "sqeuclid",
+    id_col: str = "node_idx",
+    backend=None,
+    dense_prune: bool = True,
+) -> DataFrame:
+    """Distance ANTI-join: points with NO other point within
+    ``radius_m`` → the input's (id, lat, lon) rows that are isolated.
+    The spatial complement of ``radius_join`` — outlier detection,
+    sensor-coverage gaps, "safe to thin" filters.
+
+    Two-phase, mirroring the interior/boundary split of the PIP kernel:
+
+    1. DENSE PRUNE (sqeuclid only, ``dense_prune``): at the finest res
+       whose cell DIAGONAL is ≤ r, any two co-cell points are within r
+       by construction — ONE cell-keyed exchange (count-over-cell
+       window; no pair generation, no distance math) eliminates every
+       point of every ≥2-occupancy cell. In clustered data (the
+       100-TB common case — that's what "hot cells" means) this kills
+       the overwhelming majority before phase 2.
+    2. The survivors (co-cell singletons) run the exact
+       ``radius_join`` as queries against the FULL point set; any
+       non-self pair within r disqualifies; a left_anti keeps the rest.
+       Output size of the pair stage is bounded by survivors ×
+       neighbors-within-r — survivors are by construction in sparse
+       neighborhoods, so the blowup the naive self-join hits on dense
+       clusters cannot happen here.
+
+    Exactness: phase 1 only ever removes TRUE non-isolated points
+    (diagonal bound), phase 2 is the unconditionally-exact radius join
+    — no approximation anywhere. No reference analog (the reference has
+    no distance predicates at all); north-rule spatial surface.
+    """
+    from osmflat_rs_spark.functions.cells import _LAT_SPAN, _LON_SPAN, MAX_RES
+
+    pts = points.select(
+        F.col(id_col), F.col("lat").cast("long"), F.col("lon").cast("long")
+    ).filter(F.col("lat").isNotNull() & F.col("lon").isNotNull())
+    survivors = pts
+    if dense_prune and metric == "sqeuclid":
+        r2 = float(radius_m) ** 2
+        inner = next(
+            (
+                s
+                for s in range(MAX_RES + 1)
+                if (_LON_SPAN / 2**s) ** 2 + (_LAT_SPAN / 2**s) ** 2 <= r2
+            ),
+            None,
+        )
+        if inner is not None:
+            cell = cells.cell_id_expr(F.col("lat"), F.col("lon"), inner)
+            counted = pts.withColumn("_c", cell).withColumn(
+                "_n", F.count("*").over(Window.partitionBy("_c"))
+            )
+            survivors = counted.filter(F.col("_n") == 1).select(id_col, "lat", "lon")
+    # the cover kernel's Arrow schema types query_id as string — ship the
+    # id through as its string form and anti-join on that
+    q = survivors.select(
+        F.col(id_col).cast("string").alias("query_id"), F.col("lat"), F.col("lon")
+    )
+    pairs = radius_join(
+        pts, q, radius_m=radius_m, res=res, metric=metric, id_col=id_col,
+        backend=backend,
+    )
+    hit = (
+        pairs.filter(F.col("query_id") != F.col(id_col).cast("string"))
+        .select(F.col("query_id").alias("_qid"))
+        .distinct()
+    )
+    return (
+        survivors.withColumn("_qid", F.col(id_col).cast("string"))
+        .join(hit, "_qid", "left_anti")
+        .drop("_qid")
+    )

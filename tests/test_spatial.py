@@ -514,3 +514,39 @@ def test_zonal_stats_exact_and_no_rejoin(spark):
     )
     assert "SortMergeJoin" not in plan, plan[:3000]
     assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+
+
+def test_isolated_points_matches_bruteforce(spark):
+    """Mixed clustered + sparse synth vs an O(n²) NumPy oracle; the
+    phase-1 dense prune must change nothing (prune on == prune off);
+    exact-duplicate coordinates are never isolated."""
+    import numpy as np
+
+    from osmflat_rs_spark.operators.knn import isolated_points
+
+    rng = np.random.default_rng(11)
+    base_lat, base_lon = 520_000_000, 131_000_000
+    pts = []
+    for b in range(6):  # 6 tight blobs of 30
+        cl_lat = base_lat + b * 2_000_000
+        cl_lon = base_lon + b * 3_000_000
+        for _ in range(30):
+            pts.append((cl_lat + int(rng.integers(0, 5_000)),
+                        cl_lon + int(rng.integers(0, 5_000))))
+    for _ in range(60):  # sparse background
+        pts.append((base_lat + int(rng.integers(0, 40_000_000)),
+                    base_lon + int(rng.integers(0, 40_000_000))))
+    pts.append(pts[-1])  # exact duplicate pair: both non-isolated
+    rows = [(i, la, lo) for i, (la, lo) in enumerate(pts)]
+    r = 200_000
+    arr = np.array([(la, lo) for _, la, lo in rows], dtype=np.float64)
+    d2 = ((arr[:, None, :] - arr[None, :, :]) ** 2).sum(axis=2)
+    np.fill_diagonal(d2, np.inf)
+    want = {i for i in range(len(rows)) if d2[i].min() > r * r}
+    df = spark.createDataFrame(rows, "node_idx long, lat long, lon long")
+    got = {r_["node_idx"] for r_ in isolated_points(df, r).collect()}
+    assert got == want and 0 < len(got) < len(rows)
+    got_np = {r_["node_idx"] for r_ in
+              isolated_points(df, r, dense_prune=False).collect()}
+    assert got_np == want
+    assert rows[-1][0] not in got and rows[-2][0] not in got
