@@ -1575,6 +1575,16 @@ def q_unigram_logprob_docs(spark, sf_dir):
     return unigram_logprob(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_bigram_logprob_docs(spark, sf_dir):
+    """Bigram-LM quality score (add-one smoothing over the corpus's own
+    bigram counts): in-row slice-zip bigrams, one explode feeding both
+    count aggregates and the scoring join — unigram_logprob's shape,
+    sequence-aware."""
+    from osmflat_rs_spark.operators.textops import bigram_logprob
+
+    return bigram_logprob(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 def q_seg_intersections_events(spark, sf_dir):
     """Segment-intersection spatial self-join: 10k deterministic short
     segments (GPS-trace-like: synth point + bounded delta per event),
@@ -2374,6 +2384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": q_dedup_exact_docs,
         "fingerprint_docs": q_fingerprint_docs,
         "pii_scrub_docs": q_pii_scrub_docs,
+        "bigram_logprob_docs": q_bigram_logprob_docs,
         "winnow_fingerprint_docs": q_winnow_fingerprint_docs,
         "string_offsets_docs": q_string_offsets_docs,
         "token_count_docs": q_token_count_docs,
@@ -3387,6 +3398,24 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, md5(regexp_replace(lower(text), '{_WS_SQL}+', ' ', 'g')) AS fp FROM documents"
         ),
         "pii_scrub_docs": _pii_oracle_sql(),
+        "bigram_logprob_docs": f"""
+            WITH base AS (SELECT doc_id, {_ws_split_sql()} AS ws FROM documents),
+            v AS (SELECT COUNT(DISTINCT tok) AS vs
+                  FROM (SELECT unnest(ws) AS tok FROM base)),
+            g AS (SELECT doc_id, ws[u.i + 1] AS w1, ws[u.i + 2] AS w2
+                  FROM base, UNNEST(range(0, len(ws) - 1)) AS u(i)
+                  WHERE len(ws) >= 2),
+            cb AS (SELECT w1, w2, COUNT(*) AS cb FROM g GROUP BY 1, 2),
+            c1 AS (SELECT w1, COUNT(*) AS c1 FROM g GROUP BY 1),
+            scored AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   round(AVG(-log2(CAST(cb + 1 AS DOUBLE) / CAST(c1 + vs AS DOUBLE))), 6)
+                     AS avg_neg_log2p
+                   FROM g JOIN cb USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+                   GROUP BY doc_id)
+            SELECT doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   avg_neg_log2p
+            FROM documents LEFT JOIN scored USING (doc_id)
+        """,
         "string_offsets_docs": f"""
             WITH ws AS (SELECT DISTINCT unnest({_ws_split_sql()}) AS w
                         FROM documents)

@@ -520,3 +520,64 @@ def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         counts.append(F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0))).cast("long").alias(f"n_{name}"))
         cur = F.regexp_replace(cur, pat, token)
     return df.select(F.col(id_col), cur.alias("text_clean"), *counts)
+
+
+def bigram_logprob(
+    docs: DataFrame, id_col: str, text_col: str, broadcast_vocab: bool = True
+) -> DataFrame:
+    """Corpus-bigram-LM quality score with add-one smoothing → (id,
+    n_bigrams, avg_neg_log2p): the sequence-aware step up from
+    `unigram_logprob` (word-salad text scores high here even when its
+    unigram distribution looks natural). p(w2|w1) = (c(w1,w2) + 1) /
+    (c(w1·) + V) — Laplace over the corpus's own bigram counts, V = the
+    corpus unigram vocabulary size; score = mean −log2 p over the doc's
+    bigrams; docs with < 2 tokens keep a row with NULL score.
+
+    Plan shape: bigrams are built IN-ROW (two array slices zipped —
+    codegen, no self-join on token position), then ONE explode feeds
+    both the count aggregates and the scoring join, exactly the
+    unigram operator's shape. The bigram table is Zipf-shaped but
+    distinct-bounded; with ``broadcast_vocab`` both count tables
+    broadcast so scoring adds zero exchanges beyond the per-doc mean
+    (set False when distinct bigrams outgrow the broadcast budget —
+    then it's two shuffle joins keyed by w1w2/w1).
+    """
+    w = words_expr(F.col(text_col))
+    n = F.size(w)
+    grams = F.when(
+        n >= 2,
+        F.arrays_zip(
+            F.slice(w, 1, n - 1).alias("w1"), F.slice(w, 2, n - 1).alias("w2")
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = docs.select(
+        F.col(id_col), F.explode(grams).alias("g")
+    ).select(id_col, F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    toks = docs.select(F.explode(words_expr(F.col(text_col))).alias("tok"))
+    vsize = toks.agg(F.count_distinct("tok").alias("_v"))
+    bcnt = bg.groupBy("w1", "w2").agg(F.count("*").alias("_cb"))
+    ccnt = bg.groupBy("w1").agg(F.count("*").alias("_c1"))
+    if broadcast_vocab:
+        bcnt, ccnt = F.broadcast(bcnt), F.broadcast(ccnt)
+    scored = (
+        bg.join(bcnt, ["w1", "w2"]).join(ccnt, "w1").crossJoin(F.broadcast(vsize))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    -F.log2(
+                        (F.col("_cb") + F.lit(1)).cast("double")
+                        / (F.col("_c1") + F.col("_v")).cast("double")
+                    )
+                ),
+                6,
+            ).alias("avg_neg_log2p"),
+        )
+    )
+    ids = docs.select(F.col(id_col)).distinct()
+    return ids.join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+        F.col("avg_neg_log2p"),
+    )

@@ -1357,3 +1357,40 @@ def test_pii_scrub_semantics(spark):
         spark.createDataFrame([(1, out[1]["text_clean"])], "doc_id long, text string"),
         "doc_id", "text").collect()[0]
     assert again["text_clean"] == out[1]["text_clean"]
+
+
+def test_bigram_logprob_matches_handcomputed(spark):
+    """Tiny corpus where every add-one probability is hand-derivable;
+    word-salad doc scores strictly worse than the stereotyped one even
+    though its unigram distribution is identical."""
+    import math
+
+    from osmflat_rs_spark.operators.textops import bigram_logprob
+
+    rows = [
+        (1, "a b a b a b"),
+        (2, "b a b a b a"),   # same unigrams, same bigram structure reversed
+        (3, "a a b b a a"),   # word salad vs the corpus's dominant a->b chain
+        (4, "solo"),          # < 2 tokens -> NULL score
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in
+           bigram_logprob(df, "doc_id", "text").collect()}
+    # corpus bigrams: from docs 1-3; V = 4 ('a','b','solo', and ''
+    # from the empty doc — words_expr yields [''] on empty text)
+    toks = [t.split(" ") for t in ("a b a b a b", "b a b a b a", "a a b b a a")]
+    cb, c1 = {}, {}
+    for ws in toks:
+        for x, y in zip(ws, ws[1:]):
+            cb[(x, y)] = cb.get((x, y), 0) + 1
+            c1[x] = c1.get(x, 0) + 1
+    V = 4
+    for did, text in rows[:3]:
+        ws = text.split(" ")
+        lps = [-math.log2((cb[(x, y)] + 1) / (c1[x] + V)) for x, y in zip(ws, ws[1:])]
+        assert abs(out[did]["avg_neg_log2p"] - round(sum(lps) / len(lps), 6)) < 2e-6
+        assert out[did]["n_bigrams"] == 5
+    assert out[4]["avg_neg_log2p"] is None and out[4]["n_bigrams"] == 0
+    assert out[5]["avg_neg_log2p"] is None and out[5]["n_bigrams"] == 0
+    assert out[3]["avg_neg_log2p"] > out[1]["avg_neg_log2p"]
