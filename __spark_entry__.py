@@ -599,6 +599,28 @@ def q_dbscan_events(spark, sf_dir):
 
 ISOLATED_R = 15_000
 
+# skyline gate: x = squared distance to the box center, y = synthetic cost
+SKY_CLAT, SKY_CLON = LAT0 + LATSPAN // 2, LON0 + LONSPAN // 2
+
+
+def q_skyline_events(spark, sf_dir):
+    """2-D Pareto skyline (closest-and-cheapest frontier): per-x min
+    collapse + windowless strict-prefix min + broadcast dimension join
+    — no global-order window, no quadratic self-join (that's the
+    oracle's job)."""
+    from osmflat_rs_spark.operators.skyline import skyline_2d
+
+    e = _synth_coords(_t(spark, sf_dir, "events"))
+    scored = e.select(
+        "event_id",
+        (
+            (F.col("lat") - SKY_CLAT) * (F.col("lat") - SKY_CLAT)
+            + (F.col("lon") - SKY_CLON) * (F.col("lon") - SKY_CLON)
+        ).alias("d2"),
+        ((F.col("event_id") * 7919) % 1_000_000).alias("cost"),
+    )
+    return skyline_2d(scored, "d2", "cost").select("event_id", "d2", "cost")
+
 
 def q_isolated_events(spark, sf_dir):
     """Distance anti-join (isolated points): the clustered DBSCAN synth
@@ -2349,6 +2371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_graph": q_sssp_graph,
         "pagerank_graph": q_pagerank_graph,
         "isolated_events": q_isolated_events,
+        "skyline_events": q_skyline_events,
         "ripley_events": q_ripley_events,
         "simplify_events": q_simplify_events,
         "dbscan_events": q_dbscan_events,
@@ -2765,6 +2788,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, node, MIN(dist) AS dist FROM walk GROUP BY 1, 2
         """,
         "pagerank_graph": _pagerank_oracle_sql(),
+        "skyline_events": f"""
+            WITH e AS (SELECT event_id,
+                (lat - {SKY_CLAT}) * (lat - {SKY_CLAT})
+                  + (lon - {SKY_CLON}) * (lon - {SKY_CLON}) AS d2,
+                (event_id * 7919) % 1000000 AS cost
+              FROM ({_SYNTH_SQL}))
+            SELECT event_id, d2, cost FROM e p
+            WHERE NOT EXISTS (SELECT 1 FROM e q
+                WHERE q.d2 <= p.d2 AND q.cost <= p.cost
+                  AND (q.d2 < p.d2 OR q.cost < p.cost))
+        """,
         # bbox-pruned inequality self-join; d² in DOUBLE (exact for any
         # pair that can pass the r² threshold; far pairs only need the
         # boolean, where 1-ulp error at 1e19 magnitude cannot flip it)

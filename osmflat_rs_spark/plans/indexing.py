@@ -323,3 +323,74 @@ def audit_dense_index(
                 )
             expect = lastv + 1
     return total
+
+
+def exclusive_prefix_min(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "prefmin",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``out_col`` = MIN(value) over all rows strictly before this one in
+    ``order_col`` order (NULL for the global first row) — the scalable
+    form of ``MIN(v) OVER (ORDER BY o ROWS UNBOUNDED PRECEDING ... -1)``,
+    same two-pass windowless composition as ``exclusive_prefix_sum``
+    (range partition = the only shuffle; per-partition minima → driver
+    exclusive running min over #partitions values; map-only Arrow
+    cummin over the cached sorted partitions). ``order_col`` values must
+    be unique (same contract and reason as the prefix sum; callers here
+    pass groupBy-distinct keys). Min is idempotent/commutative, so
+    unlike the sum there is no overflow story; NULL values in
+    ``value_col`` are not allowed (asserted cheaply via the totals
+    collect)."""
+    import numpy as np
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = df.sparkSession
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    part = (
+        df.repartitionByRange(n_part, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("_v", F.col(value_col).cast("long"))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    stats = part.groupBy("_pid").agg(
+        F.min("_v").alias("m"), F.max(F.col("_v").isNull().cast("int")).alias("has_null")
+    ).collect()
+    if any(r["has_null"] for r in stats):
+        part.unpersist()
+        raise ValueError(f"exclusive_prefix_min: NULL {value_col!r} values not allowed")
+    mins = {r["_pid"]: r["m"] for r in stats}
+    offsets, acc = {}, None
+    for pid in sorted(mins):
+        offsets[pid] = acc  # min of all EARLIER partitions (None = -inf absent)
+        acc = mins[pid] if acc is None else min(acc, mins[pid])
+
+    out_fields = [f for f in part.schema.fields if f.name not in ("_v", "_pid")]
+    out_schema = StructType(out_fields + [StructField(out_col, LongType(), True)])
+    out_names = [f.name for f in out_schema.fields]
+    sent = (1 << 63) - 1
+
+    def _cummin(batches):
+        acc = "unset"
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if acc == "unset":
+                acc = offsets.get(int(pdf["_pid"].iloc[0]))
+            v = pdf["_v"].to_numpy(dtype=np.int64)
+            run = np.minimum.accumulate(v)
+            # exclusive: shift one right; seed with the earlier-partition min
+            seed = sent if acc is None else int(acc)
+            pref = np.concatenate([[seed], np.minimum(run[:-1], seed)])
+            pdf = pdf.drop(columns=["_v", "_pid"])
+            vals = pd.array(pref, dtype="Int64")
+            vals[pref == sent] = pd.NA  # no earlier row anywhere -> NULL
+            pdf[out_col] = vals
+            acc = int(min(seed, run[-1]))
+            yield pdf[out_names]
+
+    return part.mapInPandas(_cummin, schema=out_schema)
