@@ -1419,6 +1419,29 @@ def q_span_reassemble_docs(spark, sf_dir):
     )
 
 
+def q_interleave_docs(spark, sf_dir):
+    """Interleave-structure profile over the input-hint span model:
+    spans synthesized in-row from tokens (kind from exact arithmetic on
+    (doc_id, position)), then the pure-map run-length profile."""
+    from osmflat_rs_spark.operators.multimodal import interleave_profile
+
+    d = _t(spark, sf_dir, "documents")
+    is_media = lambda i: (F.col("doc_id") * 31 + i * 7) % 5 == 0  # noqa: E731
+    spans = F.transform(
+        F.split(F.col("text"), " "),
+        lambda t, i: F.struct(
+            F.when(is_media(i), F.lit("media")).otherwise(F.lit("text")).alias("kind"),
+            t.alias("text"),
+            F.when(
+                is_media(i),
+                F.concat(F.lit("m:"), F.col("doc_id").cast("string"), F.lit(":"), i.cast("string")),
+            ).alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    return interleave_profile(d.withColumn("spans", spans))
+
+
 def q_dedup_exact_docs(spark, sf_dir):
     from osmflat_rs_spark.operators.dedup import exact_dedup
 
@@ -2408,6 +2431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": q_fingerprint_docs,
         "pii_scrub_docs": q_pii_scrub_docs,
         "bigram_logprob_docs": q_bigram_logprob_docs,
+        "interleave_docs": q_interleave_docs,
         "winnow_fingerprint_docs": q_winnow_fingerprint_docs,
         "string_offsets_docs": q_string_offsets_docs,
         "token_count_docs": q_token_count_docs,
@@ -2788,6 +2812,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, node, MIN(dist) AS dist FROM walk GROUP BY 1, 2
         """,
         "pagerank_graph": _pagerank_oracle_sql(),
+        "interleave_docs": """
+            WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            k AS (SELECT doc_id, CAST(u.i AS BIGINT) AS o,
+                         CASE WHEN (doc_id * 31 + u.i * 7) % 5 = 0
+                              THEN 'media' ELSE 'text' END AS kind
+                  FROM base, UNNEST(range(0, len(ws))) AS u(i)),
+            g AS (SELECT doc_id, o, kind,
+                         CASE WHEN lag(kind) OVER (PARTITION BY doc_id ORDER BY o)
+                              IS DISTINCT FROM kind THEN 1 ELSE 0 END AS chg FROM k),
+            r AS (SELECT doc_id, kind,
+                         SUM(chg) OVER (PARTITION BY doc_id ORDER BY o) AS grp FROM g),
+            runs AS (SELECT doc_id, grp, COUNT(*) AS rl FROM r GROUP BY 1, 2),
+            a1 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+                          CAST(SUM(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS BIGINT)
+                            AS n_media
+                   FROM k GROUP BY 1),
+            a2 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+                          CAST(MAX(rl) AS BIGINT) AS max_run FROM runs GROUP BY 1)
+            SELECT doc_id, n_spans, n_media, n_runs, max_run,
+                   CAST((1000 * n_media) // n_spans AS BIGINT) AS media_permille
+            FROM a1 JOIN a2 USING (doc_id)
+        """,
         "skyline_events": f"""
             WITH e AS (SELECT event_id,
                 (lat - {SKY_CLAT}) * (lat - {SKY_CLAT})

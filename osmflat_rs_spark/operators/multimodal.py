@@ -244,3 +244,68 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
         "media_ref",
         F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).alias("frame_idx"),
     )
+
+
+def interleave_profile(
+    df: DataFrame, id_col: str = "doc_id", spans_col: str = "spans"
+) -> DataFrame:
+    """Per-document structure profile of the interleaved span sequence →
+    (id, n_spans, n_media, n_runs, max_run, media_permille).
+
+    The input-table contract (doc_id, spans:array<struct<kind, text,
+    media_ref, offset>>) carries text and media interleaved; curation
+    policies key on the SHAPE of that interleaving (media-only docs,
+    text walls, rapid alternation), so: n_runs = number of maximal
+    same-kind runs in offset order, max_run = longest such run,
+    media_permille = ⌊1000·n_media/n_spans⌋ (exact integer — no float
+    ratio in the gate hash).
+
+    Entirely IN-ROW: spans are re-sorted by offset with an array_sort
+    comparator (the engine never trusts physical span order — same
+    invariant as ingest), kinds projected with transform, run
+    boundaries counted by zipping the kind list against itself shifted
+    one slot, and max_run via a single aggregate-HOF fold (struct
+    accumulator, left-to-right). Zero shuffles, zero Python — a pure
+    map over 10^12 docs. Zero-span docs emit (0, 0, 0, 0, NULL).
+    """
+    spans = F.array_sort(
+        F.col(spans_col),
+        lambda a, b: F.when(a["offset"] < b["offset"], F.lit(-1))
+        .when(a["offset"] > b["offset"], F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    kinds = F.transform(spans, lambda s: s["kind"])
+    n = F.size(kinds)
+    n_media = F.size(F.filter(kinds, lambda k: k == F.lit("media")))
+    changes = F.size(
+        F.filter(
+            F.zip_with(
+                F.slice(kinds, 1, n - 1), F.slice(kinds, 2, n - 1), lambda a, b: a != b
+            ),
+            lambda x: x,
+        )
+    )
+    n_runs = F.when(n == 0, F.lit(0)).otherwise(changes + 1)
+    fold = F.aggregate(
+        kinds,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("cur"), F.lit(0).alias("best")
+        ),
+        lambda acc, k: F.struct(
+            k.alias("prev"),
+            F.when(k == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1)).alias("cur"),
+            F.greatest(
+                acc["best"],
+                F.when(k == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_spans"),
+        n_media.cast("long").alias("n_media"),
+        n_runs.cast("long").alias("n_runs"),
+        fold.cast("long").alias("max_run"),
+        F.when(n > 0, F.floor(F.lit(1000) * n_media / n)).cast("long").alias("media_permille"),
+    )

@@ -1394,3 +1394,37 @@ def test_bigram_logprob_matches_handcomputed(spark):
     assert out[4]["avg_neg_log2p"] is None and out[4]["n_bigrams"] == 0
     assert out[5]["avg_neg_log2p"] is None and out[5]["n_bigrams"] == 0
     assert out[3]["avg_neg_log2p"] > out[1]["avg_neg_log2p"]
+
+
+def test_interleave_profile_semantics(spark):
+    """Hand-built span sequences incl. shuffled offsets (re-sort
+    contract), zero-span docs, single-kind docs."""
+    from osmflat_rs_spark.operators.multimodal import interleave_profile
+
+    def mk(kinds, shuffle=False):
+        spans = [(k, f"t{i}", None if k == "text" else f"m{i}", i)
+                 for i, k in enumerate(kinds)]
+        if shuffle:
+            spans = spans[::-1]
+        return spans
+
+    rows = [
+        (1, mk(["text", "text", "media", "media", "media", "text"])),
+        (2, mk(["media", "text", "media", "text"], shuffle=True)),
+        (3, mk(["text"] * 4)),
+        (4, []),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    out = {r["doc_id"]: r.asDict() for r in interleave_profile(df).collect()}
+    assert out[1] == {"doc_id": 1, "n_spans": 6, "n_media": 3, "n_runs": 3,
+                      "max_run": 3, "media_permille": 500}
+    # doc 2 arrives offset-reversed; the profile must re-sort: m t m t -> 4 runs
+    assert out[2] == {"doc_id": 2, "n_spans": 4, "n_media": 2, "n_runs": 4,
+                      "max_run": 1, "media_permille": 500}
+    assert out[3] == {"doc_id": 3, "n_spans": 4, "n_media": 0, "n_runs": 1,
+                      "max_run": 4, "media_permille": 0}
+    assert out[4] == {"doc_id": 4, "n_spans": 0, "n_media": 0, "n_runs": 0,
+                      "max_run": 0, "media_permille": None}
