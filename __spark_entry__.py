@@ -597,6 +597,20 @@ def q_dbscan_events(spark, sf_dir):
     return dbscan(pts, DBSCAN_R, DBSCAN_MINPTS, id_col="event_id")
 
 
+MOVE_VMAX = 50  # units/s — mixes speeding/clean pairs at the gate SFs
+
+
+def q_movement_events(spark, sf_dir):
+    """Per-fix movement profile: ONE entity-keyed lag window, then pure
+    codegen exact-int arithmetic — octant sectors from sign/magnitude
+    compares (no atan2), speeding via cross-multiplied integer compare
+    (no float speed), truncated-seconds dt contract."""
+    from osmflat_rs_spark.operators.trajectory import movement_profile
+
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    return movement_profile(pts, "user_id", MOVE_VMAX, ts_col="ts", order_cols=("event_id",))
+
+
 ISOLATED_R = 15_000
 
 # skyline gate: x = squared distance to the box center, y = synthetic cost
@@ -2432,6 +2446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_docs": q_pii_scrub_docs,
         "bigram_logprob_docs": q_bigram_logprob_docs,
         "interleave_docs": q_interleave_docs,
+        "movement_events": q_movement_events,
         "winnow_fingerprint_docs": q_winnow_fingerprint_docs,
         "string_offsets_docs": q_string_offsets_docs,
         "token_count_docs": q_token_count_docs,
@@ -2812,6 +2827,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, node, MIN(dist) AS dist FROM walk GROUP BY 1, 2
         """,
         "pagerank_graph": _pagerank_oracle_sql(),
+        "movement_events": f"""
+            WITH pts AS (SELECT user_id, event_id, epoch_us(ts) AS t, lat, lon
+                         FROM ({_SYNTH_SQL})),
+            seg AS (SELECT user_id, t AS t0, lat, lon,
+                           LEAD(t) OVER w AS t1, LEAD(lat) OVER w AS la1,
+                           LEAD(lon) OVER w AS lo1
+                    FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+            d AS (SELECT user_id, t0, t1 - t0 AS dt_us, lo1 - lon AS dx,
+                         la1 - lat AS dy, (t1 - t0) // 1000000 AS dt_s
+                  FROM seg WHERE t1 IS NOT NULL)
+            SELECT user_id, t0 AS t0_us, dt_us, dx * dx + dy * dy AS d2,
+              CASE WHEN dx = 0 AND dy = 0 THEN 'still'
+                   WHEN abs(dy) >= 2 * abs(dx) THEN
+                        CASE WHEN dy > 0 THEN 'N' ELSE 'S' END
+                   WHEN abs(dx) >= 2 * abs(dy) THEN
+                        CASE WHEN dx > 0 THEN 'E' ELSE 'W' END
+                   WHEN dx > 0 AND dy > 0 THEN 'NE'
+                   WHEN dx > 0 AND dy < 0 THEN 'SE'
+                   WHEN dx < 0 AND dy > 0 THEN 'NW'
+                   ELSE 'SW' END AS sector,
+              CASE WHEN dt_s >= 1
+                   THEN dx * dx + dy * dy > {MOVE_VMAX * MOVE_VMAX} * dt_s * dt_s
+              END AS speeding
+            FROM d
+        """,
         "interleave_docs": """
             WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
             k AS (SELECT doc_id, CAST(u.i AS BIGINT) AS o,

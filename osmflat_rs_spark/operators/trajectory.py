@@ -603,3 +603,81 @@ def geofence_transitions(
         F.col("_e.fence").alias("fence"),
         F.col("_e.kind").alias("kind"),
     )
+
+
+def movement_profile(
+    pts: DataFrame,
+    entity_col: str,
+    vmax_units_per_s: int,
+    ts_col: str = "ts",
+    order_cols: tuple = (),
+) -> DataFrame:
+    """Per-fix movement profile over consecutive fixes → (entity, t0_us,
+    dt_us, d2, sector, speeding): the telematics feature pass (speed
+    violations, heading histograms, gap detection feeds) downstream of
+    every trajectory ingest.
+
+    Exact-integer discipline throughout — no atan2, no float speed:
+
+    - ``sector`` is an octant class from pure sign/magnitude compares:
+      'still' (zero displacement); cardinal N/S/E/W when the dominant
+      axis is ≥ 2× the other (the exact-rational stand-in for 22.5°
+      boundaries — a FIXED documented contract, not an approximation
+      of one); diagonal NE/NW/SE/SW otherwise.
+    - ``speeding`` = dt_s ≥ 1 AND d2 > vmax²·dt_s², with dt_s = dt_us
+      div 10⁶ (truncated whole seconds — the documented contract;
+      sub-second pairs report speeding = NULL, callers treat them as
+      'instant'). All int64: d2 ≤ 2·(coord span)², vmax²·dt_s² bounded
+      by the guard below.
+
+    One entity-keyed lag window — the only exchange; everything else is
+    codegen arithmetic. Overflow guard: vmax ≤ 3·10⁴ units/s keeps
+    vmax²·dt_s² < 2^63 for gaps up to a month; larger vmax raises.
+    """
+    if not (0 < vmax_units_per_s <= 30_000):
+        raise ValueError(
+            f"vmax_units_per_s must be in (0, 30000], got {vmax_units_per_s} "
+            "(int64 overflow guard: vmax^2 * dt_s^2 must fit)"
+        )
+    w = Window.partitionBy(entity_col).orderBy(ts_col, *order_cols)
+    # NTZ-tolerant epoch µs — the resample_time/_us contract (a plain
+    # CAST(ts AS LONG) would yield SECONDS)
+    t0 = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    d = (
+        pts.select(
+            F.col(entity_col),
+            t0.alias("_t0"),
+            F.col("lat").cast("long").alias("_la"),
+            F.col("lon").cast("long").alias("_lo"),
+            F.lead(t0).over(w).alias("_t1"),
+            F.lead(F.col("lat").cast("long")).over(w).alias("_la1"),
+            F.lead(F.col("lon").cast("long")).over(w).alias("_lo1"),
+        )
+        .filter(F.col("_t1").isNotNull())
+    )
+    dx = F.col("_lo1") - F.col("_lo")
+    dy = F.col("_la1") - F.col("_la")
+    ax, ay = F.abs(dx), F.abs(dy)
+    sector = (
+        F.when((dx == 0) & (dy == 0), "still")
+        .when(ay >= 2 * ax, F.when(dy > 0, "N").otherwise("S"))
+        .when(ax >= 2 * ay, F.when(dx > 0, "E").otherwise("W"))
+        .when((dx > 0) & (dy > 0), "NE")
+        .when((dx > 0) & (dy < 0), "SE")
+        .when((dx < 0) & (dy > 0), "NW")
+        .otherwise("SW")
+    )
+    dt_us = F.col("_t1") - F.col("_t0")
+    dt_s = F.expr("(_t1 - _t0) div 1000000")
+    d2 = dx * dx + dy * dy
+    speeding = F.when(
+        dt_s >= 1, d2 > F.lit(vmax_units_per_s * vmax_units_per_s) * dt_s * dt_s
+    )
+    return d.select(
+        F.col(entity_col),
+        F.col("_t0").alias("t0_us"),
+        dt_us.cast("long").alias("dt_us"),
+        d2.cast("long").alias("d2"),
+        sector.alias("sector"),
+        speeding.alias("speeding"),
+    )

@@ -495,3 +495,42 @@ def test_geofence_transitions_matches_simulation(spark):
     # behavioral pins: the deterministic walk enters A, then B, exits A, exits B
     walk_ev = sorted((t, f, k) for (u, t, e, f, k) in want if u == 99)
     assert walk_ev == [(1, "A", "enter"), (2, "B", "enter"), (3, "A", "exit"), (4, "B", "exit")]
+
+
+def test_movement_profile_semantics(spark):
+    """Hand-built fixes: octant classes incl. boundary ties, still pair,
+    sub-second NULL-speeding contract, exact speeding threshold edge."""
+    from datetime import datetime, timezone
+
+    from osmflat_rs_spark.operators.trajectory import movement_profile
+
+    def ts(us):
+        return datetime.fromtimestamp(us / 1e6, tz=timezone.utc).replace(tzinfo=None)
+
+    rows = [
+        # u1: E (dx=10, dy=0), then exactly-2:1 boundary -> cardinal N,
+        # then diagonal NE (dx=3, dy=4), then still
+        ("u1", ts(0), 1, 0, 0),
+        ("u1", ts(1_000_000), 2, 0, 10),
+        ("u1", ts(2_000_000), 3, 10, 15),       # dy=10, dx=5 -> |dy|>=2|dx| -> N
+        ("u1", ts(3_000_000), 4, 14, 18),       # dy=4, dx=3 -> NE
+        ("u1", ts(3_500_000), 5, 14, 18),       # still; dt < 1s -> speeding NULL
+        # u2: speeding edge — vmax=5, dt=1s: d2=25 NOT speeding, d2=26 speeding
+        ("u2", ts(0), 1, 0, 0),
+        ("u2", ts(1_000_000), 2, 0, 5),         # d2=25 == 25 -> False
+        ("u2", ts(2_000_000), 3, 1, 10),        # dx=5, dy=1 -> E, d2=26 -> True
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, event_id long, lat long, lon long")
+    out = movement_profile(df, "user_id", 5, order_cols=("event_id",)).collect()
+    got = {(r["user_id"], r["t0_us"]): (r["sector"], r["speeding"], r["d2"], r["dt_us"])
+           for r in out}
+    assert len(out) == 6  # 4 + 2 pairs (last fix of each entity emits none)
+    assert got[("u1", 0)] == ("E", True, 100, 1_000_000)
+    assert got[("u1", 1_000_000)] == ("N", True, 125, 1_000_000)
+    assert got[("u1", 2_000_000)] == ("NE", False, 25, 1_000_000)
+    assert got[("u1", 3_000_000)] == ("still", None, 0, 500_000)
+    assert got[("u2", 0)] == ("E", False, 25, 1_000_000)
+    assert got[("u2", 1_000_000)] == ("E", True, 26, 1_000_000)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="vmax"):
+        movement_profile(df, "user_id", 50_000)
