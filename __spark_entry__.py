@@ -597,6 +597,18 @@ def q_dbscan_events(spark, sf_dir):
     return dbscan(pts, DBSCAN_R, DBSCAN_MINPTS, id_col="event_id")
 
 
+def q_hll_distinct_events(spark, sf_dir):
+    """Portable HyperLogLog distinct estimate over event_id: relational
+    (bucket, rho) registers on the engine-wide md5 hash, integer-exact
+    harmonic sum (2^(40−rho) terms), ONE IEEE division for the estimate
+    — the whole sketch pipeline bit-reproducible in SQL (the gap the
+    JVM HLL++ binary can't close)."""
+    from osmflat_rs_spark.operators.sketch import hll_build, hll_estimate
+
+    e = _t(spark, sf_dir, "events")
+    return hll_estimate(hll_build(e, "event_id"))
+
+
 MOVE_VMAX = 50  # units/s — mixes speeding/clean pairs at the gate SFs
 
 
@@ -2447,6 +2459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob_docs": q_bigram_logprob_docs,
         "interleave_docs": q_interleave_docs,
         "movement_events": q_movement_events,
+        "hll_distinct_events": q_hll_distinct_events,
         "winnow_fingerprint_docs": q_winnow_fingerprint_docs,
         "string_offsets_docs": q_string_offsets_docs,
         "token_count_docs": q_token_count_docs,
@@ -2827,6 +2840,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, node, MIN(dist) AS dist FROM walk GROUP BY 1, 2
         """,
         "pagerank_graph": _pagerank_oracle_sql(),
+        "hll_distinct_events": (lambda _num: f"""
+            WITH h AS (SELECT CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                                   AS BIGINT) AS h FROM events),
+            r AS (SELECT h & 255 AS bucket,
+                         CASE WHEN (h >> 8) = 0 THEN 40
+                              ELSE LEAST(40, 53 - length(bin(h >> 8))) END AS rho
+                  FROM h),
+            reg AS (SELECT bucket, CAST(MAX(rho) AS BIGINT) AS rho FROM r GROUP BY 1),
+            agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                           CAST(SUM(CAST(1 AS BIGINT) << CAST(40 - rho AS INTEGER))
+                                AS BIGINT) AS sp
+                    FROM reg)
+            , fin AS (SELECT n_buckets,
+                   CAST(sp + (256 - n_buckets) * (CAST(1 AS BIGINT) << 40) AS BIGINT)
+                     AS s_scaled FROM agg)
+            SELECT n_buckets, s_scaled,
+                   round(CASE WHEN n_buckets < 256
+                              AND {_num!r} / CAST(s_scaled AS DOUBLE) <= 640.0
+                         THEN 256.0 * ln(256.0 / CAST(256 - n_buckets AS DOUBLE))
+                         ELSE {_num!r} / CAST(s_scaled AS DOUBLE) END, 3) AS est
+            FROM fin
+        """)(__import__("osmflat_rs_spark.operators.sketch", fromlist=["x"]).HLL_ALPHA_256 * 256 * 256 * 2.0**40),
         "movement_events": f"""
             WITH pts AS (SELECT user_id, event_id, epoch_us(ts) AS t, lat, lon
                          FROM ({_SYNTH_SQL})),

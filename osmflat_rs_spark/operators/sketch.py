@@ -372,3 +372,94 @@ def bloom_probe(
             (F.coalesce(F.col("_hits"), F.lit(0)) == k).alias("maybe_present"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog (Flajolet et al. 2007) — the fifth relational
+# mergeable sketch. `approx_distinct` above wraps Spark's JVM HLL++,
+# whose register binary is engine-specific (stated there as the reason
+# it has no SQL gate); THIS form keeps the registers as (bucket,
+# rho_max) ROWS over the engine-wide md5 hash family, so build, merge,
+# and even the harmonic-mean ESTIMATE are bit-reproducible in ANSI SQL.
+#
+# Integrality trick for the estimate: Σ 2^(−rho) is a float sum whose
+# order Spark does not define — instead compute S = Σ 2^(RHO_CAP − rho)
+# with rho clamped to RHO_CAP = 40: every term is an exact int64
+# (≤ 2^40, m·2^40 ≪ 2^63), the per-group SUM is order-invariant integer
+# arithmetic, and the final estimate α·m²·2^RHO_CAP / S is ONE exact-int
+# division performed in IEEE double — bit-identical cross-engine. The
+# clamp biases nothing below ~2^38 distinct keys (rho > 40 needs a
+# 40-leading-zero hash; its unclamped term differs from the clamped one
+# by < 1 in S, i.e. a relative error < 2^-40·m).
+
+HLL_RHO_CAP = 40
+# alpha_m for m = 256 (Flajolet's constant for m >= 128); exactly
+# representable as the double literal both engines parse
+HLL_ALPHA_256 = 0.7123045810054689
+
+
+def hll_build(df: DataFrame, key_col: str, m: int = 256) -> DataFrame:
+    """HLL registers of ``key_col`` → (bucket, rho) rows, rho = clamped
+    position of the leading 1-bit in the 52-bit hash window (0-empty
+    buckets simply absent — merge/estimate treat absence as rho 0).
+    One map-side-combined groupBy bounded at m rows per task."""
+    if m != 256:
+        raise ValueError(f"this portable form pins m=256 (alpha constant), got {m}")
+    h = md5_int60(F.col(key_col).cast("string"))
+    bucket = h.bitwiseAND(F.lit(m - 1))
+    w = F.shiftright(h, 8)  # high 52 bits (h is non-negative)
+    # rho = 53 - bit_length(w) for w > 0 (bin() strips leading zeros in
+    # BOTH engines); w == 0 means 52 leading zeros -> rho 53, clamped
+    rho = F.when(w == 0, F.lit(HLL_RHO_CAP)).otherwise(
+        F.least(F.lit(HLL_RHO_CAP), F.lit(53) - F.length(F.bin(w)))
+    )
+    return (
+        df.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").cast("long").alias("rho"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Register-wise MAX == build over the concatenated inputs (tested)."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bucket").agg(F.max("rho").cast("long").alias("rho"))
+
+
+def hll_estimate(sketch: DataFrame, m: int = 256) -> DataFrame:
+    """One row (n_buckets, s_scaled, est) from HLL registers.
+
+    S = Σ_buckets 2^(CAP − rho) with absent buckets contributing 2^CAP —
+    exact int64, order-invariant. est = α·m²·2^CAP / S (raw Flajolet
+    estimate), with the paper's SMALL-RANGE correction: when raw est
+    ≤ 2.5·m and some bucket is empty, linear counting
+    m·ln(m/(m−n_buckets)) replaces it (ln of a ratio of exact ints —
+    one libm call, deterministic cross-engine at the 3-decimal round).
+    No large-range correction (the 60-bit hash space makes collisions
+    irrelevant below ~2^50 distinct). Rounded to 3 decimals."""
+    if m != 256:
+        raise ValueError(f"this portable form pins m=256, got {m}")
+    agg = sketch.agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        # shiftleft's Column-API bit count must be a Python int — the
+        # variable shift goes through the SQL expression form
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), cast({HLL_RHO_CAP} - rho as int))"))
+        .cast("long")
+        .alias("_s_present"),
+    )
+    empty_term = F.shiftleft(F.lit(1).cast("long"), HLL_RHO_CAP)
+    s_scaled = (F.col("_s_present") + (F.lit(m) - F.col("n_buckets")) * empty_term).cast("long")
+    # numerator folded to ONE Python-computed double literal so the raw
+    # estimate is a single IEEE division cross-engine
+    raw = F.lit(HLL_ALPHA_256 * m * m * 2.0**HLL_RHO_CAP) / s_scaled.cast("double")
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / (F.lit(m) - F.col("n_buckets")).cast("double"))
+    est = F.when((F.col("n_buckets") < m) & (raw <= 2.5 * m), lc).otherwise(raw)
+    return agg.select(
+        "n_buckets",
+        s_scaled.alias("s_scaled"),
+        F.round(est, 3).alias("est"),
+    )

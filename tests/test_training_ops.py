@@ -1428,3 +1428,25 @@ def test_interleave_profile_semantics(spark):
                       "max_run": 4, "media_permille": 0}
     assert out[4] == {"doc_id": 4, "n_spans": 0, "n_media": 0, "n_runs": 0,
                       "max_run": 0, "media_permille": None}
+
+
+def test_hll_portable_accuracy_and_merge(spark):
+    """Portable HLL: estimate within ~3/sqrt(256)≈19% of truth at three
+    cardinalities; merge == build-over-concat (register-exact); estimate
+    invariant to partition layout."""
+    from osmflat_rs_spark.operators.sketch import hll_build, hll_estimate, hll_merge
+
+    for n in (300, 5_000, 60_000):
+        df = spark.range(n).select(F.col("id").alias("k"))
+        est = hll_estimate(hll_build(df, "k")).collect()[0]["est"]
+        assert abs(est - n) / n < 0.19, (n, est)
+    a = spark.range(0, 4_000).select(F.col("id").alias("k"))
+    b = spark.range(2_000, 7_000).select(F.col("id").alias("k"))  # overlap
+    merged = hll_merge(hll_build(a, "k"), hll_build(b, "k"))
+    direct = hll_build(a.unionByName(b), "k")
+    mrows = sorted((r["bucket"], r["rho"]) for r in merged.collect())
+    drows = sorted((r["bucket"], r["rho"]) for r in direct.collect())
+    assert mrows == drows
+    est1 = hll_estimate(hll_build(a.repartition(13), "k")).collect()[0]
+    est2 = hll_estimate(hll_build(a.coalesce(1), "k")).collect()[0]
+    assert est1 == est2
