@@ -597,6 +597,23 @@ def q_dbscan_events(spark, sf_dir):
     return dbscan(pts, DBSCAN_R, DBSCAN_MINPTS, id_col="event_id")
 
 
+def q_diameter_users(spark, sf_dir):
+    """Per-user point-set diameter via the hull reduction (farthest pair
+    is realized by hull corners — strict convexity means non-corner
+    pairs can't even tie): monotone chain + O(h²) corner scan in one
+    applyInPandas kernel. Oracle ignores the hull entirely: brute
+    all-pairs max with the same lexicographic pair contract."""
+    _prep(spark)
+    from osmflat_rs_spark.operators.hull import point_set_diameter
+
+    pts = (
+        _synth_coords(_t(spark, sf_dir, "events"))
+        .filter(F.col("user_id") % 10 == 0)
+        .select("user_id", "lat", "lon")
+    )
+    return point_set_diameter(pts, "user_id")
+
+
 def q_hll_distinct_events(spark, sf_dir):
     """Portable HyperLogLog distinct estimate over event_id: relational
     (bucket, rho) registers on the engine-wide md5 hash, integer-exact
@@ -2460,6 +2477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleave_docs": q_interleave_docs,
         "movement_events": q_movement_events,
         "hll_distinct_events": q_hll_distinct_events,
+        "diameter_users": q_diameter_users,
         "winnow_fingerprint_docs": q_winnow_fingerprint_docs,
         "string_offsets_docs": q_string_offsets_docs,
         "token_count_docs": q_token_count_docs,
@@ -2840,6 +2858,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, node, MIN(dist) AS dist FROM walk GROUP BY 1, 2
         """,
         "pagerank_graph": _pagerank_oracle_sql(),
+        "diameter_users": f"""
+            WITH pts AS (SELECT user_id, lat, lon FROM ({_SYNTH_SQL})
+                         WHERE user_id % 10 = 0),
+            pairs AS (SELECT a.user_id,
+                             (a.lat - b.lat) * (a.lat - b.lat)
+                               + (a.lon - b.lon) * (a.lon - b.lon) AS d2,
+                             a.lat AS lat_a, a.lon AS lon_a,
+                             b.lat AS lat_b, b.lon AS lon_b
+                      FROM pts a JOIN pts b ON a.user_id = b.user_id
+                      WHERE (a.lat, a.lon) <= (b.lat, b.lon)),
+            sel AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                        ORDER BY d2 DESC, lat_a, lon_a, lat_b, lon_b) AS rk
+                    FROM pairs)
+            SELECT user_id, d2 AS diam2, lat_a, lon_a, lat_b, lon_b
+            FROM sel WHERE rk = 1
+        """,
         "hll_distinct_events": (lambda _num: f"""
             WITH h AS (SELECT CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
                                    AS BIGINT) AS h FROM events),

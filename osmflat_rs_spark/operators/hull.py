@@ -85,3 +85,88 @@ def convex_hull(
 
     out = slim.groupBy("g").applyInPandas(_per_group, schema="g long, lat long, lon long")
     return out.select(F.col("g").alias(group_col), "lat", "lon")
+
+
+def point_set_diameter(
+    df: DataFrame,
+    group_col: str,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Per-group farthest pair → (group, diam2, lat_a, lon_a, lat_b,
+    lon_b): squared point-set diameter with the realizing pair, exact
+    int64 (the "how spread out is this user's footprint" reduction).
+
+    The classic reduction makes it scale: the farthest pair of a set
+    is realized by CONVEX HULL CORNERS (squared distance along any
+    segment is strictly convex, so an interior or mid-edge point can
+    never even TIE a corner pair — the tie-break below therefore sees
+    every candidate), so the kernel runs monotone-chain O(n log n) and
+    an all-pairs scan over h corners only — O(h²) with h typically
+    ≪ n. One groupBy-applyInPandas exchange, same shape as
+    ``convex_hull``.
+
+    Determinism contract: among pairs achieving the maximum d², the
+    endpoints are ordered (lat, lon) ≤ (lat, lon) within the pair and
+    the lexicographically smallest (lat_a, lon_a, lat_b, lon_b) wins.
+    Single-point groups emit the degenerate (p, p) pair with diam2 0
+    (as do all-identical groups — coordinates, not ids, are the
+    output, so duplicates are indistinguishable and deterministic)."""
+    slim = df.select(
+        F.col(group_col).cast("long").alias("g"),
+        F.col(lat_col).cast("long").alias("lat"),
+        F.col(lon_col).cast("long").alias("lon"),
+    )
+
+    def _per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pts = pdf[["lat", "lon"]].to_numpy(np.int64)
+        hull = _hull_of(pts)
+        if len(hull) == 1:
+            la, lo = int(hull[0, 0]), int(hull[0, 1])
+            best = (0, la, lo, la, lo)
+        else:
+            diff = hull[:, None, :] - hull[None, :, :]
+            span = int(np.abs(diff).max())
+            if span > 2_100_000_000:
+                # dx²+dy² would overflow int64 (world-span fixed-point
+                # coords reach ±3.6e9): exact Python ints over the h
+                # hull corners — h is small, the quadratic is cheap
+                pys = [(int(a), int(b)) for a, b in hull.tolist()]
+                d2m = {}
+                for i, (ax, ay) in enumerate(pys):
+                    for j, (bx, by) in enumerate(pys):
+                        d2m[(i, j)] = (ax - bx) ** 2 + (ay - by) ** 2
+                m = max(d2m.values())
+                if m >= 1 << 63:
+                    raise ValueError(
+                        f"point_set_diameter: diam² {m} exceeds int64 for group "
+                        f"{int(pdf['g'].iloc[0])} — translate coordinates to a "
+                        "local origin first (the output column is BIGINT)"
+                    )
+                ii_jj = [k for k, v in d2m.items() if v == m]
+                ii = np.array([k[0] for k in ii_jj])
+                jj = np.array([k[1] for k in ii_jj])
+            else:
+                d2 = (diff[..., 0] ** 2 + diff[..., 1] ** 2)
+                m = int(d2.max())
+                ii, jj = np.nonzero(d2 == m)
+            cands = []
+            for i, j in zip(ii.tolist(), jj.tolist()):
+                a = (int(hull[i, 0]), int(hull[i, 1]))
+                b = (int(hull[j, 0]), int(hull[j, 1]))
+                lo_p, hi_p = (a, b) if a <= b else (b, a)
+                cands.append((m, lo_p[0], lo_p[1], hi_p[0], hi_p[1]))
+            best = min(cands, key=lambda t: t[1:])
+        return pd.DataFrame(
+            [{
+                "g": pdf["g"].iloc[0], "diam2": best[0],
+                "lat_a": best[1], "lon_a": best[2],
+                "lat_b": best[3], "lon_b": best[4],
+            }]
+        )
+
+    out = slim.groupBy("g").applyInPandas(
+        _per_group,
+        schema="g long, diam2 long, lat_a long, lon_a long, lat_b long, lon_b long",
+    )
+    return out.select(F.col("g").alias(group_col), "diam2", "lat_a", "lon_a", "lat_b", "lon_b")

@@ -84,3 +84,53 @@ def test_hull_spark_groups_and_partition_invariance(spark):
         want += [(g, la, lo) for la, lo in _oracle_hull(pts)]
     assert got == sorted(want)
     assert sorted(map(tuple, convex_hull(df.repartition(7), "g").collect())) == got
+
+
+def test_point_set_diameter_matches_bruteforce(spark):
+    """Random groups vs brute-force all-pairs; degenerate single-point
+    and all-identical groups; tie determinism (square's two diagonals)."""
+    import numpy as np
+
+    from osmflat_rs_spark.operators.hull import point_set_diameter
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for g in range(6):
+        for _ in range(40):
+            rows.append((g, int(rng.integers(-5_000, 5_000)), int(rng.integers(-5_000, 5_000))))
+    rows.append((100, 7, 9))                      # single point
+    rows += [(101, 3, 3)] * 4                     # all identical
+    rows += [(102, 0, 0), (102, 0, 10), (102, 10, 0), (102, 10, 10)]  # square: tied diagonals
+    df = spark.createDataFrame(rows, "user_id long, lat long, lon long")
+    got = {r["user_id"]: (r["diam2"], r["lat_a"], r["lon_a"], r["lat_b"], r["lon_b"])
+           for r in point_set_diameter(df, "user_id").collect()}
+    by_g = {}
+    for g, la, lo in rows:
+        by_g.setdefault(g, []).append((la, lo))
+    for g, pts in by_g.items():
+        best = None
+        for a in pts:
+            for b in pts:
+                if a <= b:
+                    d2 = (a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2
+                    key = (-d2, a[0], a[1], b[0], b[1])
+                    if best is None or key < best:
+                        best = key
+        want = (-best[0], best[1], best[2], best[3], best[4])
+        assert got[g] == want, (g, got[g], want)
+    assert got[100] == (0, 7, 9, 7, 9)
+    assert got[101] == (0, 3, 3, 3, 3)
+    assert got[102] == (200, 0, 0, 10, 10)  # min-lex diagonal of the two
+
+
+def test_point_set_diameter_overflow_guard(spark):
+    import pytest as _pytest
+
+    from osmflat_rs_spark.operators.hull import point_set_diameter
+
+    df = spark.createDataFrame(
+        [(1, -1_800_000_000, -3_600_000_000), (1, 1_800_000_000, 3_600_000_000)],
+        "user_id long, lat long, lon long",
+    )
+    with _pytest.raises(Exception, match="int64|diam"):
+        point_set_diameter(df, "user_id").collect()
