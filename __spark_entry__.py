@@ -640,6 +640,44 @@ def q_movement_events(spark, sf_dir):
     return movement_profile(pts, "user_id", MOVE_VMAX, ts_col="ts", order_cols=("event_id",))
 
 
+MOVE_SPLIT = "2024-01-16 00:00:00"  # mid-range ts cut: both halves non-empty
+
+
+def q_stream_movement_events(spark, sf_dir):
+    """Stateful streaming twin of movement_events: the synth fixes
+    replayed time-split as TWO availableNow runs against one checkpoint
+    (per-entity last-fix state stitches the batch boundary — no seam
+    pair lost, none duplicated); the unioned appends hash-match the
+    BATCH operator's oracle."""
+    import shutil
+    import tempfile
+
+    from osmflat_rs_spark.streaming.incremental import stream_movement_profile
+
+    pts = _synth_coords(_t(spark, sf_dir, "events")).select(
+        "user_id", "ts", "event_id", "lat", "lon"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_move_")
+    pts_dir, ckpt, out = f"{tmp}/pts", f"{tmp}/ck", f"{tmp}/out"
+    schema = "user_id long, ts timestamp, event_id long, lat long, lon long"
+    cut = F.lit(MOVE_SPLIT).cast("timestamp")
+    try:
+        pts.filter(F.col("ts") < cut).write.mode("append").parquet(pts_dir)
+        q1 = stream_movement_profile(spark, pts_dir, schema, ckpt, out, MOVE_VMAX)
+        if not q1.awaitTermination(300):
+            q1.stop()
+            raise RuntimeError("stream_movement batch 1 did not finish in 300s")
+        pts.filter(F.col("ts") >= cut).write.mode("append").parquet(pts_dir)
+        q2 = stream_movement_profile(spark, pts_dir, schema, ckpt, out, MOVE_VMAX)
+        if not q2.awaitTermination(300):
+            q2.stop()
+            raise RuntimeError("stream_movement batch 2 did not finish in 300s")
+        res = spark.read.parquet(out).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return res.select("entity", "t0_us", "dt_us", "d2", "sector", "speeding")
+
+
 ISOLATED_R = 15_000
 
 # skyline gate: x = squared distance to the box center, y = synthetic cost
@@ -2478,6 +2516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "movement_events": q_movement_events,
         "hll_distinct_events": q_hll_distinct_events,
         "diameter_users": q_diameter_users,
+        "stream_movement_events": q_stream_movement_events,
         "winnow_fingerprint_docs": q_winnow_fingerprint_docs,
         "string_offsets_docs": q_string_offsets_docs,
         "token_count_docs": q_token_count_docs,
@@ -2907,6 +2946,34 @@ def oracle_sql() -> dict[str, str]:
                          la1 - lat AS dy, (t1 - t0) // 1000000 AS dt_s
                   FROM seg WHERE t1 IS NOT NULL)
             SELECT user_id, t0 AS t0_us, dt_us, dx * dx + dy * dy AS d2,
+              CASE WHEN dx = 0 AND dy = 0 THEN 'still'
+                   WHEN abs(dy) >= 2 * abs(dx) THEN
+                        CASE WHEN dy > 0 THEN 'N' ELSE 'S' END
+                   WHEN abs(dx) >= 2 * abs(dy) THEN
+                        CASE WHEN dx > 0 THEN 'E' ELSE 'W' END
+                   WHEN dx > 0 AND dy > 0 THEN 'NE'
+                   WHEN dx > 0 AND dy < 0 THEN 'SE'
+                   WHEN dx < 0 AND dy > 0 THEN 'NW'
+                   ELSE 'SW' END AS sector,
+              CASE WHEN dt_s >= 1
+                   THEN dx * dx + dy * dy > {MOVE_VMAX * MOVE_VMAX} * dt_s * dt_s
+              END AS speeding
+            FROM d
+        """,
+        # the streaming twin is held to the BATCH semantics: identical
+        # oracle, entity stringified (the state-store key type)
+        "stream_movement_events": f"""
+            WITH pts AS (SELECT CAST(user_id AS VARCHAR) AS entity, event_id,
+                                epoch_us(ts) AS t, lat, lon
+                         FROM ({_SYNTH_SQL})),
+            seg AS (SELECT entity, t AS t0, lat, lon,
+                           LEAD(t) OVER w AS t1, LEAD(lat) OVER w AS la1,
+                           LEAD(lon) OVER w AS lo1
+                    FROM pts WINDOW w AS (PARTITION BY entity ORDER BY t, event_id)),
+            d AS (SELECT entity, t0, t1 - t0 AS dt_us, lo1 - lon AS dx,
+                         la1 - lat AS dy, (t1 - t0) // 1000000 AS dt_s
+                  FROM seg WHERE t1 IS NOT NULL)
+            SELECT entity, t0 AS t0_us, dt_us, dx * dx + dy * dy AS d2,
               CASE WHEN dx = 0 AND dy = 0 THEN 'still'
                    WHEN abs(dy) >= 2 * abs(dx) THEN
                         CASE WHEN dy > 0 THEN 'N' ELSE 'S' END

@@ -666,3 +666,127 @@ def hist_from_partials(spark, out_dir: str) -> DataFrame:
 
     parts = spark.read.option("basePath", out_dir).parquet(out_dir + "/batch_id=*")
     return parts.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def stream_movement_profile(
+    spark,
+    pts_dir: str,
+    schema,
+    checkpoint_dir: str,
+    out_dir: str,
+    vmax_units_per_s: int,
+    entity_col: str = "user_id",
+    order_col: str = "event_id",
+):
+    """STATEFUL streaming form of ``trajectory.movement_profile``:
+    per-entity speed/heading features as fixes ARRIVE, one output row
+    per consecutive fix pair — the continuous telematics feed (speed
+    alerts, heading histograms) instead of the nightly batch window.
+
+    State per entity is ONE row (last fix: t_us, lat, lon) in the
+    checkpointed state store — restart-surviving, bounded by #entities,
+    and the cross-batch stitch: the first fix of a new micro-batch
+    pairs with the state's last fix, so batch boundaries emit no seam.
+    The kernel replicates the batch operator's EXACT integer contract
+    (octant sectors by sign/magnitude compares, speeding by
+    cross-multiplied int compare, truncated-seconds dt) in Python ints
+    — the gate proves it: replaying the input as two availableNow runs
+    against one checkpoint and unioning the appends hash-matches the
+    BATCH operator's oracle bit-for-bit.
+
+    Ordering contract (the standard streaming caveat, stated): per
+    entity, fixes must arrive in non-decreasing event time across
+    micro-batches; a fix older than the state's last fix is DROPPED
+    (counted nowhere) rather than silently emitting a negative-dt pair.
+    Within a micro-batch, arrival order is irrelevant (the kernel
+    sorts by (t, order_col))."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import BooleanType, LongType, StringType, StructField, StructType
+
+    if not (0 < vmax_units_per_s <= 30_000):
+        raise ValueError(f"vmax_units_per_s must be in (0, 30000], got {vmax_units_per_s}")
+    v2 = vmax_units_per_s * vmax_units_per_s
+
+    stream = spark.readStream.schema(schema).parquet(pts_dir)
+    prepped = stream.select(
+        F.col(entity_col).cast("string").alias("entity"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.col(order_col).cast("long").alias("o"),
+        F.col("lat").cast("long").alias("lat"),
+        F.col("lon").cast("long").alias("lon"),
+    )
+    out_schema = StructType(
+        [
+            StructField("entity", StringType()),
+            StructField("t0_us", LongType()),
+            StructField("dt_us", LongType()),
+            StructField("d2", LongType()),
+            StructField("sector", StringType()),
+            StructField("speeding", BooleanType()),  # nullable tri-state
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("t_us", LongType()),
+            StructField("o", LongType()),
+            StructField("lat", LongType()),
+            StructField("lon", LongType()),
+        ]
+    )
+
+    def _sector(dx: int, dy: int) -> str:
+        ax, ay = abs(dx), abs(dy)
+        if dx == 0 and dy == 0:
+            return "still"
+        if ay >= 2 * ax:
+            return "N" if dy > 0 else "S"
+        if ax >= 2 * ay:
+            return "E" if dx > 0 else "W"
+        if dx > 0:
+            return "NE" if dy > 0 else "SE"
+        return "NW" if dy > 0 else "SW"
+
+    def profile_fn(key, pdfs, state: GroupState):
+        rows = []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            yield pd.DataFrame(
+                {c.name: [] for c in out_schema.fields}
+            )
+            return
+        fixes = pd.concat(chunks).sort_values(["t_us", "o"], kind="mergesort")
+        if state.exists:
+            lt, lo_ord, lla, llo = state.get
+            prev = (int(lt), int(lo_ord), int(lla), int(llo))
+        else:
+            prev = None
+        for t, o, la, lo in fixes[["t_us", "o", "lat", "lon"]].itertuples(index=False):
+            t, o, la, lo = int(t), int(o), int(la), int(lo)
+            if prev is not None:
+                if (t, o) < (prev[0], prev[1]):
+                    continue  # late fix: dropped by contract
+                dt = t - prev[0]
+                dx, dy = lo - prev[3], la - prev[2]
+                d2 = dx * dx + dy * dy
+                dt_s = dt // 1_000_000
+                speeding = None if dt_s < 1 else bool(d2 > v2 * dt_s * dt_s)
+                rows.append((key[0], prev[0], dt, d2, _sector(dx, dy), speeding))
+            prev = (t, o, la, lo)
+        state.update((prev[0], prev[1], prev[2], prev[3]))
+        yield pd.DataFrame(
+            rows, columns=[c.name for c in out_schema.fields]
+        )
+
+    profiled = prepped.groupBy("entity").applyInPandasWithState(
+        profile_fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    return (
+        profiled.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

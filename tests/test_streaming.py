@@ -467,3 +467,40 @@ def test_stream_zonal_partials_matches_batch(spark, tmp_path):
         assert g["min_val"] == w["min_val"] and g["max_val"] == w["max_val"]
         assert abs(g["sum_val"] - w["sum_val"]) < 1e-6 * max(1.0, abs(w["sum_val"]))
         assert abs(g["avg_val"] - w["avg_val"]) < 1e-9 * max(1.0, abs(w["avg_val"]))
+
+
+def test_stream_movement_profile_stitch_and_late_drop(spark, tmp_path):
+    """Two availableNow runs: the batch-boundary pair is emitted exactly
+    once (state stitch), and a fix older than the state's last fix is
+    dropped by the documented contract."""
+    from datetime import datetime
+
+    from osmflat_rs_spark.streaming.incremental import stream_movement_profile
+
+    pts_dir, ckpt, out = str(tmp_path / "pts"), str(tmp_path / "ck"), str(tmp_path / "out")
+    schema = "user_id long, ts timestamp, event_id long, lat long, lon long"
+
+    def ts(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    b1 = [(1, ts(0), 1, 0, 0), (1, ts(1), 2, 0, 10)]
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(pts_dir)
+    q = stream_movement_profile(spark, pts_dir, schema, ckpt, out, 5)
+    assert q.awaitTermination(120)
+    # batch 2: one in-order fix (stitches with ts(1)) and one LATE fix
+    late = datetime(2024, 1, 1, 0, 0, 0, 500_000)  # OLDER than state's ts(1)
+    b2 = [(1, ts(3), 3, 0, 30), (1, late, 9, 99, 99)]
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(pts_dir)
+    q = stream_movement_profile(spark, pts_dir, schema, ckpt, out, 5)
+    assert q.awaitTermination(120)
+    rows = sorted(
+        ((r["t0_us"], r["dt_us"], r["d2"], r["sector"], r["speeding"])
+         for r in spark.read.parquet(out).collect())
+    )
+    # pairs: (t0)->(t1) d2=100 E speeding; (t1)->(t3) d2=400, dt=2s,
+    # 400 > 25*4 -> speeding. The late 0.5s fix appears NOWHERE.
+    base = 1_704_067_200_000_000  # 2024-01-01 epoch us
+    assert rows == [
+        (base, 1_000_000, 100, "E", True),
+        (base + 1_000_000, 2_000_000, 400, "E", True),
+    ]
