@@ -1117,6 +1117,41 @@ def run_coloc_bench(spark, cpus: int, n_points: int = 16_000_000) -> dict:
     return out
 
 
+def run_pagerank_bench(spark, cpus: int, n_nodes: int = 10_000_000, iters: int = 3) -> dict:
+    """Iterative-loop scaling evidence: exact-integer PageRank over a
+    uniform 3-out synthetic mesh (spark.range construction — pure JVM).
+    Per round: edges ⋈ ranks equi-join + map-side-combined sum +
+    teleport left-join + eager localCheckpoint. What the bench pins:
+    per-round cost is flat across rounds (the localCheckpoint lineage
+    discipline — without it round t re-walks rounds 0..t-1), and the
+    join+agg round scales with cores. validate=False: the range
+    construction guarantees uniform out-degree; the two validation
+    aggregates would double the scan count being measured."""
+    from pyspark.sql import functions as F
+
+    from osmflat_rs_spark.operators.graph import pagerank_uniform
+
+    edges = (
+        spark.range(n_nodes)
+        .select(
+            F.col("id").alias("src"),
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
+        )
+        .selectExpr("src", f"(src * 31 + k) % {n_nodes} AS dst")
+    )
+    out = {"cpus": cpus, "n_nodes": n_nodes, "iters": iters}
+    best = 1e9
+    for _ in range(2):
+        t0 = time.time()
+        ranks = pagerank_uniform(edges, n_nodes, 3, iters, validate=False)
+        mass = ranks.agg(F.sum("rank_scaled").alias("m")).collect()[0]["m"]
+        best = min(best, time.time() - t0)
+    assert mass == n_nodes * 60**iters, f"mass violated: {mass}"
+    out["sec"] = round(best, 3)
+    out["relaxations_per_sec"] = round(n_nodes * 3 * iters / best)
+    return out
+
+
 def run_encode_bench(spark, cpus: int, n_points: int = 32_000_000) -> dict:
     """VERDICT r4 #5: measured contract for the cell-encode stage per
     backend — Morton is a pure-JVM codegen expression; S2 is a
@@ -1484,6 +1519,22 @@ def main():
         )
         out["metric"] = "hausdorff trajectory-similarity join throughput (constant density)"
         out["unit"] = "points/sec"
+        print(json.dumps(out))
+        spark.stop()
+        return
+
+    if "--pagerank" in sys.argv:
+        from osmflat_rs_spark.session import get_spark
+
+        cpus = CPUS if "--cpus" not in sys.argv else int(sys.argv[sys.argv.index("--cpus") + 1])
+        spark = get_spark(
+            "bench-pagerank", master=f"local[{cpus}]", shuffle_partitions=max(8, 2 * cpus)
+        )
+        out = run_pagerank_bench(
+            spark, cpus, n_nodes=int(os.environ.get("SPARK_GRAFT_PAGERANK_N", "10000000"))
+        )
+        out["metric"] = "exact-int PageRank edge-relaxation throughput (3-regular mesh)"
+        out["unit"] = "relaxations/sec"
         print(json.dumps(out))
         spark.stop()
         return

@@ -160,11 +160,15 @@ def pagerank_uniform(
     if not (0 < d_num < d_den):
         raise ValueError(f"need 0 < d_num < d_den, got {d_num}/{d_den}")
     base = d_den * out_degree
-    if n_nodes * base**iters * 10**9 >= 2**63:
+    if n_nodes * base**iters >= 2**62:
         raise ValueError(
-            f"rank_ppb would overflow int64: n·(d_den·g)^T·1e9 = "
-            f"{n_nodes * base**iters * 10**9} >= 2^63 — lower iters or d_den"
+            f"scaled ranks would overflow int64: n·(d_den·g)^T = "
+            f"{n_nodes * base**iters} >= 2^62 — lower iters or d_den"
         )
+    # the ppb projection multiplies by 1e9 BEFORE dividing; when the
+    # worst-case product can overflow (big graphs), emit NULL ppb and
+    # keep the exact rank_scaled (callers divide driver-side instead)
+    ppb_safe = n_nodes * base**iters * 10**9 < 2**63
     spark = edges.sparkSession
     e = edges.select(F.col(src).cast("long").alias("_s"), F.col(dst).cast("long").alias("_d"))
     if validate:
@@ -196,13 +200,12 @@ def pagerank_uniform(
             .localCheckpoint(eager=True)
         )
     denom = n_nodes * base**iters
-    return ranks.select(
-        "node",
-        F.col("r").alias("rank_scaled"),
-        F.expr(f"(r * CAST(1000000000 AS BIGINT)) div CAST({denom} AS BIGINT)").alias(
-            "rank_ppb"
-        ),
+    ppb = (
+        F.expr(f"(r * CAST(1000000000 AS BIGINT)) div CAST({denom} AS BIGINT)")
+        if ppb_safe
+        else F.lit(None).cast("long")
     )
+    return ranks.select("node", F.col("r").alias("rank_scaled"), ppb.alias("rank_ppb"))
 
 
 def shortest_paths(

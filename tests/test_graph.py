@@ -200,7 +200,16 @@ def test_pagerank_rejects_nonuniform_and_overflow(spark):
         pagerank_uniform(bad, 3, 2, 2)
     ok = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
     with _pytest.raises(ValueError, match="overflow"):
-        pagerank_uniform(ok, 2, 1, 30)
+        pagerank_uniform(ok, 2, 1, 40)
+    # big-graph regime: scaled ranks fit, ppb would not -> NULL ppb
+    n = 40
+    edges = [(u, (u * 31 + k) % n) for u in range(n) for k in (1, 2, 3)]
+    big = spark.createDataFrame(edges, "src long, dst long")
+    # force the ppb-unsafe branch by checking the seam directly: T where
+    # n*60^T*1e9 >= 2^63 but n*60^T < 2^62  (n=40: T=6)
+    out = pagerank_uniform(big, n, 3, 6).collect()
+    assert all(r["rank_ppb"] is None for r in out)
+    assert sum(r["rank_scaled"] for r in out) == n * 60**6
 
 
 def test_pagerank_partition_invariance(spark):
