@@ -640,6 +640,42 @@ def q_movement_events(spark, sf_dir):
     return movement_profile(pts, "user_id", MOVE_VMAX, ts_col="ts", order_cols=("event_id",))
 
 
+def q_chaikin_users(spark, sf_dir):
+    """Chaikin corner-cutting (2 passes, keep-endpoints, coords scaled
+    by 4² exact ints): ONE groupBy collects each user's ordered
+    polyline; both subdivision passes are in-row Catalyst HOFs — zero
+    Python, codegen — then one posexplode."""
+    from osmflat_rs_spark.operators.simplify import chaikin_smooth
+
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    return chaikin_smooth(pts, "user_id", ("ts", "event_id"), iters=2)
+
+
+def _chaikin_pass_sql(src: str, dst: str) -> str:
+    """One keep-endpoints subdivision pass: T(user_id,pos,la,lo) →
+    T'(user_id,pos,la,lo) with coords ×4 — mirrors the engine's in-row
+    [P0, Q0, R0, …, Pn-1] layout and its consecutive 0-based pos."""
+    return f"""
+            cnt_{dst} AS (SELECT user_id, COUNT(*) AS n FROM {src} GROUP BY 1),
+            seg_{dst} AS (SELECT user_id, pos, la, lo,
+                          LEAD(la) OVER w AS la1, LEAD(lo) OVER w AS lo1,
+                          row_number() OVER w AS rn
+                          FROM {src}
+                          WINDOW w AS (PARTITION BY user_id ORDER BY pos)),
+            {dst} AS (
+              SELECT s.user_id, 0 AS pos, 4 * la AS la, 4 * lo AS lo
+              FROM seg_{dst} s JOIN cnt_{dst} USING (user_id) WHERE rn = 1
+              UNION ALL
+              SELECT s.user_id, 2 * (n - 1) + 1, 4 * la, 4 * lo
+              FROM seg_{dst} s JOIN cnt_{dst} USING (user_id) WHERE rn = n AND n >= 2
+              UNION ALL
+              SELECT user_id, 2 * rn - 1, 3 * la + la1, 3 * lo + lo1
+              FROM seg_{dst} WHERE la1 IS NOT NULL
+              UNION ALL
+              SELECT user_id, 2 * rn, la + 3 * la1, lo + 3 * lo1
+              FROM seg_{dst} WHERE la1 IS NOT NULL)"""
+
+
 MOVE_SPLIT = "2024-01-16 00:00:00"  # mid-range ts cut: both halves non-empty
 
 
@@ -2517,6 +2553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_events": q_hll_distinct_events,
         "diameter_users": q_diameter_users,
         "stream_movement_events": q_stream_movement_events,
+        "chaikin_users": q_chaikin_users,
         "winnow_fingerprint_docs": q_winnow_fingerprint_docs,
         "string_offsets_docs": q_string_offsets_docs,
         "token_count_docs": q_token_count_docs,
@@ -2959,6 +2996,16 @@ def oracle_sql() -> dict[str, str]:
                    THEN dx * dx + dy * dy > {MOVE_VMAX * MOVE_VMAX} * dt_s * dt_s
               END AS speeding
             FROM d
+        """,
+        "chaikin_users": f"""
+            WITH p0 AS (SELECT user_id,
+                               row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) - 1 AS pos,
+                               lat AS la, lon AS lo
+                        FROM ({_SYNTH_SQL})),
+            {_chaikin_pass_sql("p0", "p1")},
+            {_chaikin_pass_sql("p1", "p2")}
+            SELECT user_id, pos, la AS lat_s, lo AS lon_s FROM p2
         """,
         # the streaming twin is held to the BATCH semantics: identical
         # oracle, entity stringified (the state-store key type)

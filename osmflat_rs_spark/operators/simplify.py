@@ -102,3 +102,80 @@ def simplify_lines(
 
     pts = vertices.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull())
     return pts.groupBy(*keys).applyInPandas(_simplify, schema=schema)
+
+
+def chaikin_smooth(
+    vertices: DataFrame,
+    key: str | list[str],
+    order_cols: tuple = (),
+    iters: int = 2,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Chaikin corner-cutting smoothing (Chaikin 1974) → (key..., pos,
+    lat_s, lon_s): the rendering-side complement of RDP — RDP REMOVES
+    vertices within tolerance, Chaikin INSERTS the ¼/¾ subdivision
+    points that round corners for display. Keep-endpoints variant:
+    [P₀, Q₀, R₀, …, Q_{n−2}, R_{n−2}, P_{n−1}] per pass with
+    Qᵢ = ¾Pᵢ + ¼Pᵢ₊₁ and Rᵢ = ¼Pᵢ + ¾Pᵢ₊₁.
+
+    Exact-integer contract: output coordinates are scaled by 4^iters
+    (each pass multiplies by 4: Q = 3Pᵢ + Pᵢ₊₁, R = Pᵢ + 3Pᵢ₊₁,
+    endpoints by 4), so every value is an exact int64 — no float mixes,
+    hash-exact oracle. Fixed-point world coords stay far under the
+    bound (5.4e8 · 4² ≈ 8.6e9); ``iters`` ≤ 15 guarded.
+
+    Plan shape: ONE groupBy shuffle collects each line's ordered vertex
+    array; the K subdivision passes are IN-ROW Catalyst HOFs (sequence
+    + F.get + flatten — zero Python, codegen) and the result explodes
+    back to rows. Output size is ~2^K·n rows — K is small by nature
+    (2-3 passes saturate visual smoothness). Singleton lines pass
+    through (scaled)."""
+    if not order_cols:
+        raise ValueError("order_cols is required (smoothing is order-defined)")
+    if not (1 <= iters <= 15):
+        raise ValueError(f"iters must be in [1, 15], got {iters}")
+    keys = [key] if isinstance(key, str) else list(key)
+    pts = vertices.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull())
+    ordered = pts.groupBy(*keys).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(*[F.col(c) for c in order_cols], F.col(lat), F.col(lon))
+            )
+        ).alias("_arr")
+    )
+    arr = F.transform(
+        F.col("_arr"), lambda s: F.struct(s[lat].cast("long").alias("la"), s[lon].cast("long").alias("lo"))
+    )
+    # each pass references its input array ~6 times; bind it to a real
+    # projected column per pass so CollapseProject's non-cheap-alias
+    # guard keeps the boundary and pass k evaluates ONCE per row (the
+    # inlined form recomputes pass k-1 per element access — measured
+    # superlinear blowup at 2 passes x 40-vertex lines)
+    ordered = ordered.select(*keys, arr.alias("_arr"))
+    arr = F.col("_arr")
+    for _ in range(iters):
+        n = F.size(arr)
+        first, last = F.get(arr, 0), F.get(arr, n - 1)
+        scale4 = lambda p: F.struct((4 * p["la"]).alias("la"), (4 * p["lo"]).alias("lo"))  # noqa: E731
+
+        def _mid(a, i):
+            p, q = F.get(a, i), F.get(a, i + 1)
+            return F.array(
+                F.struct((3 * p["la"] + q["la"]).alias("la"), (3 * p["lo"] + q["lo"]).alias("lo")),
+                F.struct((p["la"] + 3 * q["la"]).alias("la"), (p["lo"] + 3 * q["lo"]).alias("lo")),
+            )
+        a_ref = arr
+        nxt = F.when(n < 2, F.transform(arr, scale4)).otherwise(
+            F.concat(
+                F.array(scale4(first)),
+                F.flatten(F.transform(F.sequence(F.lit(0), n - 2), lambda i: _mid(a_ref, i))),
+                F.array(scale4(last)),
+            )
+        )
+        ordered = ordered.select(*keys, nxt.alias("_arr"))
+        arr = F.col("_arr")
+    out = ordered.select(*keys, F.posexplode(arr).alias("pos", "_p"))
+    return out.select(
+        *keys, "pos", F.col("_p.la").alias("lat_s"), F.col("_p.lo").alias("lon_s")
+    )

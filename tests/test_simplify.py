@@ -101,3 +101,47 @@ def test_rdp_requires_order(spark):
     df = _mk(spark, [(0, 0), (1, 1)])
     with pytest.raises(ValueError):
         simplify_lines(df, "tid", 10)
+
+
+def test_chaikin_matches_reference_impl(spark):
+    """Engine vs a plain-Python keep-endpoints Chaikin at 1 and 3
+    passes; singleton and two-point lines; order-scramble invariance."""
+    import numpy as np
+    import pytest as _pytest
+
+    from osmflat_rs_spark.operators.simplify import chaikin_smooth
+
+    def ref(pts, iters):
+        cur = [(x * 1, y * 1) for x, y in pts]
+        for _ in range(iters):
+            if len(cur) < 2:
+                cur = [(4 * x, 4 * y) for x, y in cur]
+                continue
+            nxt = [(4 * cur[0][0], 4 * cur[0][1])]
+            for (x0, y0), (x1, y1) in zip(cur, cur[1:]):
+                nxt.append((3 * x0 + x1, 3 * y0 + y1))
+                nxt.append((x0 + 3 * x1, y0 + 3 * y1))
+            nxt.append((4 * cur[-1][0], 4 * cur[-1][1]))
+            cur = nxt
+        return cur
+
+    rng = np.random.default_rng(31)
+    lines = {
+        1: [(int(rng.integers(-1000, 1000)), int(rng.integers(-1000, 1000))) for _ in range(12)],
+        2: [(7, 9)],
+        3: [(0, 0), (100, -40)],
+    }
+    rows = [(k, o, la, lo) for k, pts in lines.items() for o, (la, lo) in enumerate(pts)]
+    rng.shuffle(rows)  # input order must not matter (array_sort contract)
+    df = spark.createDataFrame(rows, "k long, o long, lat long, lon long")
+    for iters in (1, 3):
+        got = {}
+        for r in chaikin_smooth(df, "k", ("o",), iters=iters).collect():
+            got.setdefault(r["k"], []).append((r["pos"], r["lat_s"], r["lon_s"]))
+        for k, pts in lines.items():
+            want = [(i, la, lo) for i, (la, lo) in enumerate(ref(pts, iters))]
+            assert sorted(got[k]) == want, (k, iters)
+    with _pytest.raises(ValueError, match="iters"):
+        chaikin_smooth(df, "k", ("o",), iters=0)
+    with _pytest.raises(ValueError, match="order_cols"):
+        chaikin_smooth(df, "k", ())
