@@ -802,6 +802,100 @@ def q_pagerank_graph(spark, sf_dir):
     return pagerank_uniform(edges, SSSP_N, 3, PAGERANK_ITERS)
 
 
+# graph-analytics gates: a composite deterministic graph — triangle-rich
+# 100-node core mesh + 10 attached 5-node chains, so the k-core peel
+# takes 5 rounds (model-verified) and link prediction has 220 pairs
+KCORE_K = 2
+KCORE_ORACLE_ROUNDS = 8  # fixpoint at 5; extra rounds are idempotent
+
+
+def _gate_graph_edges(spark):
+    """The composite gate graph as a raw (src, dst) edge list — the
+    operators canonicalize to a simple undirected graph themselves."""
+    core = (
+        spark.range(100)
+        .select(
+            F.col("id").alias("src"),
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
+        )
+        .selectExpr("src", "(src * 31 + k) % 100 AS dst")
+        .filter("src <> dst")
+    )
+    heads = spark.range(10).selectExpr("id AS src", "100 + 5 * id AS dst")
+    chains = (
+        spark.range(10)
+        .selectExpr("id AS c")
+        .select("c", F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("j"))
+        .selectExpr("100 + 5 * c + j AS src", "101 + 5 * c + j AS dst")
+    )
+    return core.unionByName(heads).unionByName(chains).select("src", "dst")
+
+
+# the same graph in DuckDB: UNION (distinct) of the three edge families,
+# already canonicalized to u < v
+_GATE_GRAPH_SQL = """
+    SELECT LEAST(s.src, (s.src * 31 + t.k) % 100) AS u,
+           GREATEST(s.src, (s.src * 31 + t.k) % 100) AS v
+    FROM generate_series(0, 99) s(src), generate_series(1, 3) t(k)
+    WHERE s.src <> (s.src * 31 + t.k) % 100
+    UNION
+    SELECT c.c AS u, 100 + 5 * c.c AS v FROM generate_series(0, 9) c(c)
+    UNION
+    SELECT 100 + 5 * c.c + j.j AS u, 101 + 5 * c.c + j.j AS v
+    FROM generate_series(0, 9) c(c), generate_series(0, 3) j(j)
+"""
+
+
+def q_triangles_graph(spark, sf_dir):
+    """Exact per-node triangle counts via the degree-oriented wedge join
+    (orientation bounds wedge fan-out by O(sqrt(m)) — the published
+    curse-of-the-last-reducer fix). Oracle: canonical u<v<w 3-way
+    self-join; both sides exact integers."""
+    from osmflat_rs_spark.operators.graph import triangle_count
+
+    return triangle_count(_gate_graph_edges(spark))
+
+
+def q_linkpred_graph(spark, sf_dir):
+    """Common-neighbor link prediction over non-adjacent pairs:
+    exact n_common/deg counts + one IEEE division for jaccard (bit-
+    restatable in SQL, no tolerance)."""
+    from osmflat_rs_spark.operators.graph import common_neighbor_pairs
+
+    return common_neighbor_pairs(_gate_graph_edges(spark), min_common=2)
+
+
+def q_kcore_graph(spark, sf_dir):
+    """k-core by distributed iterative peeling (confluent fixpoint →
+    partition-invariant; engine exits at convergence, oracle chains a
+    fixed 8 peel rounds past the model-verified 5-round fixpoint)."""
+    from osmflat_rs_spark.operators.graph import k_core
+
+    return k_core(_gate_graph_edges(spark), KCORE_K)
+
+
+def _kcore_oracle_sql() -> str:
+    ctes = [
+        f"ge AS ({_GATE_GRAPH_SQL})",
+        "adj AS (SELECT u, v FROM ge UNION ALL SELECT v AS u, u AS v FROM ge)",
+        "n0 AS (SELECT DISTINCT u AS node FROM adj)",
+    ]
+    for t in range(KCORE_ORACLE_ROUNDS):
+        ctes.append(
+            f"n{t + 1} AS (SELECT a.u AS node FROM adj a\n"
+            f"  JOIN n{t} x ON x.node = a.u JOIN n{t} y ON y.node = a.v\n"
+            f"  GROUP BY a.u HAVING COUNT(*) >= {KCORE_K})"
+        )
+    last = f"n{KCORE_ORACLE_ROUNDS}"
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT a.u AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+        FROM adj a JOIN {last} x ON x.node = a.u JOIN {last} y ON y.node = a.v
+        GROUP BY a.u
+        """
+    )
+
+
 def q_resample_events(spark, sf_dir):
     """Uniform-time trajectory resampling (per-user pings → epoch-aligned
     6h ticks, linear interpolation): one lead window + in-row tick
@@ -2518,6 +2612,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_events": q_resample_events,
         "sssp_graph": q_sssp_graph,
         "pagerank_graph": q_pagerank_graph,
+        "triangles_graph": q_triangles_graph,
+        "linkpred_graph": q_linkpred_graph,
+        "kcore_graph": q_kcore_graph,
         "isolated_events": q_isolated_events,
         "skyline_events": q_skyline_events,
         "ripley_events": q_ripley_events,
@@ -2942,6 +3039,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, node, MIN(dist) AS dist FROM walk GROUP BY 1, 2
         """,
         "pagerank_graph": _pagerank_oracle_sql(),
+        "triangles_graph": f"""
+            WITH ge AS ({_GATE_GRAPH_SQL}),
+            deg AS (SELECT node, COUNT(*) AS deg FROM
+                      (SELECT u AS node FROM ge UNION ALL SELECT v FROM ge)
+                    GROUP BY node),
+            tri AS (SELECT a.u AS x, a.v AS y, b.v AS z
+                    FROM ge a JOIN ge b ON b.u = a.u AND b.v > a.v
+                    JOIN ge c ON c.u = a.v AND c.v = b.v),
+            per AS (SELECT node, COUNT(*) AS c FROM
+                      (SELECT x AS node FROM tri UNION ALL
+                       SELECT y FROM tri UNION ALL SELECT z FROM tri)
+                    GROUP BY node)
+            SELECT deg.node, CAST(COALESCE(per.c, 0) AS BIGINT) AS n_tri
+            FROM deg LEFT JOIN per ON per.node = deg.node
+        """,
+        "linkpred_graph": f"""
+            WITH ge AS ({_GATE_GRAPH_SQL}),
+            adj AS (SELECT u, v FROM ge UNION ALL SELECT v AS u, u AS v FROM ge),
+            deg AS (SELECT u AS node, COUNT(*) AS deg FROM adj GROUP BY u),
+            pr AS (SELECT a.v AS node_a, b.v AS node_b, COUNT(*) AS n_common
+                   FROM adj a JOIN adj b ON a.u = b.u AND a.v < b.v
+                   GROUP BY a.v, b.v HAVING COUNT(*) >= 2),
+            np AS (SELECT pr.* FROM pr WHERE NOT EXISTS
+                     (SELECT 1 FROM ge WHERE ge.u = pr.node_a AND ge.v = pr.node_b))
+            SELECT node_a, node_b, CAST(n_common AS BIGINT) AS n_common,
+                   CAST(da.deg AS BIGINT) AS deg_a, CAST(db.deg AS BIGINT) AS deg_b,
+                   CAST(n_common AS DOUBLE)
+                     / CAST(da.deg + db.deg - n_common AS DOUBLE) AS jaccard
+            FROM np JOIN deg da ON da.node = np.node_a
+                    JOIN deg db ON db.node = np.node_b
+        """,
+        "kcore_graph": _kcore_oracle_sql(),
         "diameter_users": f"""
             WITH pts AS (SELECT user_id, lat, lon FROM ({_SYNTH_SQL})
                          WHERE user_id % 10 = 0),

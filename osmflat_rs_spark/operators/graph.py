@@ -208,6 +208,219 @@ def pagerank_uniform(
     return ranks.select("node", F.col("r").alias("rank_scaled"), ppb.alias("rank_ppb"))
 
 
+def _simple_undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Canonical simple undirected edge list → (u, v) with u < v,
+    self-loops dropped, duplicates collapsed. Every graph-analytics
+    operator below starts here so multigraph noise in the input never
+    changes the answer."""
+    a = edges.select(F.col(src).cast("long").alias("_a"), F.col(dst).cast("long").alias("_b"))
+    return (
+        a.filter(F.col("_a") != F.col("_b"))
+        .select(
+            F.least("_a", "_b").alias("u"),
+            F.greatest("_a", "_b").alias("v"),
+        )
+        .distinct()
+    )
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Exact per-node triangle counts → (node, n_tri), one row per node
+    that appears in a simple (non-loop) edge; each triangle contributes
+    1 to each of its three vertices.
+
+    Scale shape — DEGREE-ORIENTED wedge join (the published MapReduce
+    recipe, Cohen 2009 / Suri & Vassilvitskii 2011 "Counting Triangles
+    and the Curse of the Last Reducer"): orient every undirected edge
+    from its (degree, id)-SMALLER endpoint to its larger one, generate
+    wedges only at the low end (self-join of oriented edges on the
+    source), and close each wedge with a semi-shaped inner join back
+    onto the oriented edge set. Orientation bounds out-degree by
+    O(sqrt(m)), so total wedge rows are O(m^{3/2}) regardless of skew —
+    a star graph generates ZERO wedges at its hub instead of deg²
+    (tests pin this shape). Everything is codegen equi-joins and exact
+    integer counts; no Python, no floats, no windows.
+    """
+    e = _simple_undirected(edges, src, dst).persist()
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient by (deg, id) lexicographically: u→v iff (deg_u, u) <
+    # (deg_v, v) — explicit two-column compare, NOT a packed bigint key,
+    # so 64-bit node ids (real OSM ids exceed 2^32) stay correct
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("_du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("_dv"))
+    u_first = (F.col("_du") < F.col("_dv")) | (
+        (F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+            F.when(u_first, F.col("_dv")).otherwise(F.col("_du")).alias("deg_hi"),
+        )
+        .persist()
+    )
+    w1 = oriented.select(
+        F.col("lo").alias("apex"), F.col("hi").alias("b"), F.col("deg_hi").alias("deg_b")
+    )
+    w2 = oriented.select(
+        F.col("lo").alias("apex"), F.col("hi").alias("c"), F.col("deg_hi").alias("deg_c")
+    )
+    # wedges at the apex with a canonical (deg, id) order between the
+    # two out-neighbors, then close on the oriented edge (b, c) — each
+    # triangle is found exactly once, at its orientation-minimal vertex
+    wedges = w1.join(w2, "apex").filter(
+        (F.col("deg_b") < F.col("deg_c"))
+        | ((F.col("deg_b") == F.col("deg_c")) & (F.col("b") < F.col("c")))
+    )
+    closing = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    tri = wedges.join(closing, ["b", "c"]).select("apex", "b", "c")
+    per_node = (
+        tri.select(F.col("apex").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    out = deg.join(per_node, "node", "left").select(
+        "node", F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri")
+    )
+    e.unpersist()
+    return out
+
+
+def common_neighbor_pairs(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 1,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Link prediction by shared neighborhoods → (node_a, node_b,
+    n_common, deg_a, deg_b, jaccard) for every NON-ADJACENT pair with
+    at least ``min_common`` common neighbors, node_a < node_b.
+
+    ``n_common``/``deg_*`` are exact integers; ``jaccard`` =
+    n_common / (deg_a + deg_b − n_common) is one IEEE division on
+    exact-int operands — deterministic and restatable in SQL with no
+    tolerance. Existing edges are REMOVED (an anti-join on the simple
+    edge set): the operator predicts links, it does not re-score them.
+
+    Scale shape: one wedge self-join keyed on the shared neighbor (the
+    same adjacency re-scanned), map-side-combinable count per pair. A
+    hub of degree d fans out d·(d−1)/2 wedge rows, so ``max_degree``
+    (when set) drops middles above the cap BEFORE wedge generation —
+    the standard, documented semantics change (pairs whose only common
+    neighbors are mega-hubs disappear; recommended at web scale where
+    hub co-citation is uninformative anyway).
+    """
+    if min_common < 1:
+        raise ValueError(f"min_common must be >= 1, got {min_common}")
+    e = _simple_undirected(edges, src, dst).persist()
+    adj = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = adj.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    mids = adj.select(F.col("u").alias("mid"), F.col("v").alias("leaf"))
+    if max_degree is not None:
+        ok = deg.filter(F.col("deg") <= max_degree).select(F.col("node").alias("mid"))
+        mids = mids.join(ok, "mid")
+    wa = mids.select("mid", F.col("leaf").alias("node_a"))
+    wb = mids.select("mid", F.col("leaf").alias("node_b"))
+    pairs = (
+        wa.join(wb, "mid")
+        .filter(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    # predicted links only: drop pairs that are already edges
+    pairs = pairs.join(
+        e.select(F.col("u").alias("node_a"), F.col("v").alias("node_b")),
+        ["node_a", "node_b"],
+        "left_anti",
+    )
+    da = deg.select(F.col("node").alias("node_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("node_b"), F.col("deg").alias("deg_b"))
+    out = (
+        pairs.join(da, "node_a")
+        .join(db, "node_b")
+        .select(
+            "node_a",
+            "node_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("deg_a").cast("long").alias("deg_a"),
+            F.col("deg_b").cast("long").alias("deg_b"),
+            (
+                F.col("n_common").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    e.unpersist()
+    return out
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 100,
+) -> DataFrame:
+    """The k-core of the undirected simple graph → (node, core_deg):
+    the maximal induced subgraph in which every node has degree ≥ k;
+    ``core_deg`` is the node's degree WITHIN that subgraph.
+
+    Algorithm: distributed iterative peeling — each round computes
+    degrees over the surviving edge set (one map-side-combined agg),
+    drops nodes below k, and semi-joins the edge set down to survivors
+    on both endpoints. The fixpoint is unique and order-independent
+    (peeling is confluent: removing any below-k node never makes
+    another node eligible to stay), so the result is partition-
+    invariant and restatable as a fixed chain of SQL CTEs (the gate
+    oracle) — extra rounds past convergence are idempotent. Per-round
+    lineage is cut with an eager localCheckpoint; convergence is one
+    driver-side scalar per round (bounded: each non-final round removes
+    ≥ 1 node, and the loop exits as soon as a round removes none).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    e = _simple_undirected(edges, src, dst)
+    adj = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    n_prev = adj.select("u").distinct().count()
+    for _ in range(max_iter):
+        deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("u")
+        n_now = keep.count()
+        if n_now == n_prev:
+            return deg.filter(F.col("deg") >= k).select(
+                F.col("u").alias("node"), F.col("deg").cast("long").alias("core_deg")
+            )
+        if n_now == 0:
+            spark = edges.sparkSession
+            return spark.createDataFrame([], "node long, core_deg long")
+        adj = (
+            adj.join(keep, "u")
+            .join(keep.select(F.col("u").alias("v")), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        n_prev = n_now
+    raise RuntimeError(f"k_core: no convergence in {max_iter} rounds")
+
+
 def shortest_paths(
     edges: DataFrame,
     sources: list,

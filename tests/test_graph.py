@@ -224,3 +224,179 @@ def test_pagerank_partition_invariance(spark):
     ra = sorted((r["node"], r["rank_scaled"]) for r in pagerank_uniform(a, n, 3, 4).collect())
     rb = sorted((r["node"], r["rank_scaled"]) for r in pagerank_uniform(b, n, 3, 4).collect())
     assert ra == rb
+
+
+# ---------------------------------------------------------------- triangles
+
+
+def _model_graph(edges):
+    adj = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    return adj
+
+
+def _model_triangles(edges):
+    adj = _model_graph(edges)
+    per = {n: 0 for n in adj}
+    for u in adj:
+        for v in adj[u]:
+            if v <= u:
+                continue
+            for w in adj[u] & adj[v]:
+                if w > v:
+                    for x in (u, v, w):
+                        per[x] += 1
+    return per
+
+
+def test_triangle_count_matches_model_random(spark):
+    import numpy as np
+
+    from osmflat_rs_spark.operators.graph import triangle_count
+
+    rng = np.random.default_rng(11)
+    edges = [(int(rng.integers(0, 60)), int(rng.integers(0, 60))) for _ in range(400)]
+    edges = [(u, v) for u, v in edges if u != v]
+    want = _model_triangles(edges)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_tri"] for r in triangle_count(df).collect()}
+    assert got == want
+    # partition invariance
+    got2 = {r["node"]: r["n_tri"] for r in triangle_count(df.repartition(7)).collect()}
+    assert got2 == want
+
+
+def test_triangle_count_clique_star_and_dupes(spark):
+    from osmflat_rs_spark.operators.graph import triangle_count
+
+    # K5: every node is in C(4,2) = 6 triangles; duplicate + reversed +
+    # self-loop edges must not change the counts (simple-graph contract)
+    k5 = [(i, j) for i in range(5) for j in range(5) if i != j]
+    noisy = k5 + k5[:7] + [(2, 2), (4, 4)]
+    df = spark.createDataFrame(noisy, "src long, dst long")
+    got = {r["node"]: r["n_tri"] for r in triangle_count(df).collect()}
+    assert got == {i: 6 for i in range(5)}
+    # star graph: hub has huge degree but ZERO triangles (and the
+    # degree orientation generates no wedge at the hub)
+    star = [(100, 200 + i) for i in range(50)]
+    got = {r["node"]: r["n_tri"] for r in triangle_count(
+        spark.createDataFrame(star, "src long, dst long")).collect()}
+    assert set(got.values()) == {0} and len(got) == 51
+
+
+def test_triangle_count_64bit_ids(spark):
+    """Node ids above 2^32 — the (deg, id) orientation must stay exact
+    (a packed deg*2^32+id key would collide here)."""
+    from osmflat_rs_spark.operators.graph import triangle_count
+
+    base = 2**33
+    tri = [(base, base + 1), (base + 1, base + 2), (base + 2, base)]
+    extra = [(base, base + 10), (base + 1, base + 10)]  # second triangle
+    df = spark.createDataFrame(tri + extra, "src long, dst long")
+    got = {r["node"]: r["n_tri"] for r in triangle_count(df).collect()}
+    assert got == {base: 2, base + 1: 2, base + 2: 1, base + 10: 1}
+
+
+# ------------------------------------------------------------- link pred
+
+
+def _model_linkpred(edges, min_common, max_degree=None):
+    adj = _model_graph(edges)
+    out = {}
+    nodes = sorted(adj)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if b in adj[a]:
+                continue
+            mids = adj[a] & adj[b]
+            if max_degree is not None:
+                mids = {m for m in mids if len(adj[m]) <= max_degree}
+            c = len(mids)
+            if c >= min_common:
+                da, db = len(adj[a]), len(adj[b])
+                out[(a, b)] = (c, da, db, c / (da + db - c))
+    return out
+
+
+def test_common_neighbor_pairs_matches_model(spark):
+    import numpy as np
+
+    from osmflat_rs_spark.operators.graph import common_neighbor_pairs
+
+    rng = np.random.default_rng(13)
+    edges = [(int(rng.integers(0, 40)), int(rng.integers(0, 40))) for _ in range(150)]
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for mc in (1, 2, 3):
+        want = _model_linkpred(edges, mc)
+        got = {
+            (r["node_a"], r["node_b"]): (r["n_common"], r["deg_a"], r["deg_b"], r["jaccard"])
+            for r in common_neighbor_pairs(df, min_common=mc).collect()
+        }
+        assert got == want  # jaccard is one IEEE division — bit-exact
+
+
+def test_common_neighbor_pairs_max_degree_semantics(spark):
+    """Dropping mega-hub middles removes pairs whose ONLY common
+    neighbors are hubs; other pairs keep counts minus the hub middles."""
+    from osmflat_rs_spark.operators.graph import common_neighbor_pairs
+
+    # hub 0 connects to 1..10; besides, 1-2 share the low-degree mid 20
+    edges = [(0, i) for i in range(1, 11)] + [(1, 20), (2, 20)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    full = {(r["node_a"], r["node_b"]): r["n_common"]
+            for r in common_neighbor_pairs(df).collect()}
+    assert full[(1, 2)] == 2 and full[(3, 4)] == 1
+    capped = {(r["node_a"], r["node_b"]): r["n_common"]
+              for r in common_neighbor_pairs(df, max_degree=5).collect()}
+    # hub-0 middles are gone; the low-degree mids (20, and 1/2 for the
+    # non-adjacent hub—20 pair) survive
+    assert capped == {(1, 2): 1, (0, 20): 2}
+
+
+# ----------------------------------------------------------------- k-core
+
+
+def _model_kcore(edges, k):
+    adj = _model_graph(edges)
+    nodes = set(adj)
+    while True:
+        drop = {n for n in nodes if len(adj[n] & nodes) < k}
+        if not drop:
+            break
+        nodes -= drop
+    return {n: len(adj[n] & nodes) for n in nodes}
+
+
+def test_k_core_matches_model_and_partition_invariant(spark):
+    import numpy as np
+
+    from osmflat_rs_spark.operators.graph import k_core
+
+    rng = np.random.default_rng(17)
+    edges = [(int(rng.integers(0, 80)), int(rng.integers(0, 80))) for _ in range(200)]
+    edges = [(u, v) for u, v in edges if u != v]
+    # attach a chain so peeling takes several rounds
+    edges += [(200 + i, 201 + i) for i in range(6)] + [(0, 200)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for k in (2, 3, 4):
+        want = _model_kcore(edges, k)
+        got = {r["node"]: r["core_deg"] for r in k_core(df, k).collect()}
+        assert got == want
+        got2 = {r["node"]: r["core_deg"] for r in k_core(df.repartition(9), k).collect()}
+        assert got2 == want
+
+
+def test_k_core_empty_and_validation(spark):
+    import pytest as _pytest
+
+    from osmflat_rs_spark.operators.graph import k_core
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(5)], "src long, dst long")
+    assert k_core(chain, 2).count() == 0  # a chain has no 2-core
+    with _pytest.raises(ValueError):
+        k_core(chain, 0)
