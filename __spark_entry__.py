@@ -1761,6 +1761,65 @@ def q_token_count_docs(spark, sf_dir):
     return token_count(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+BM25_TERMS = ("join", "vector", "stream")
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def q_bm25_docs(spark, sf_dir):
+    """Okapi BM25 relevance against a fixed 3-term query: dl in-row,
+    token explode filtered to the query terms before its one shuffle,
+    corpus stats reduced to one broadcast row; the 3 per-term
+    contributions sum as one fixed left-associated IEEE expression both
+    engines evaluate identically (round 6, engine contract)."""
+    from osmflat_rs_spark.operators.textops import bm25_score
+
+    return bm25_score(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", list(BM25_TERMS),
+        k1=BM25_K1, b=BM25_B,
+    )
+
+
+def _bm25_oracle_sql() -> str:
+    tok = _ws_split_sql("lower(text)")
+    terms = BM25_TERMS
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    tf_cols = ",\n".join(
+        f"  SUM(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n".join(
+        f"  (SELECT COUNT(*) FROM tf WHERE tf{i} > 0) AS df{i}"
+        for i in range(len(terms))
+    )
+    # float constants as shortest-round-trip strings parsed by CAST —
+    # bit-identical to the Spark side's F.lit on the same Python floats
+    k1 = f"CAST('{BM25_K1!r}' AS DOUBLE)"
+    k1p1 = f"CAST('{BM25_K1 + 1.0!r}' AS DOUBLE)"
+    omb = f"CAST('{1.0 - BM25_B!r}' AS DOUBLE)"
+    bb = f"CAST('{BM25_B!r}' AS DOUBLE)"
+    avgdl = "(CAST(st.sdl AS DOUBLE) / CAST(st.n AS DOUBLE))"
+    norm = f"({omb} + {bb} * (CAST(b.dl AS DOUBLE) / {avgdl}))"
+    contribs = " + ".join(
+        f"(ln((CAST(st.n AS DOUBLE) - CAST(st.df{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(st.df{i} AS DOUBLE) + 0.5) + 1.0)"
+        f" * ((CAST(tf.tf{i} AS DOUBLE) * {k1p1})"
+        f" / (CAST(tf.tf{i} AS DOUBLE) + {k1} * {norm})))"
+        for i in range(len(terms))
+    )
+    return f"""
+        WITH base AS (SELECT doc_id, len({tok}) AS dl FROM documents),
+        tk AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+        tf AS (SELECT doc_id, {tf_cols}
+               FROM tk WHERE term IN ({in_list}) GROUP BY doc_id),
+        st AS (SELECT (SELECT COUNT(*) FROM base) AS n,
+                      (SELECT SUM(dl) FROM base) AS sdl,
+               {df_cols})
+        SELECT b.doc_id, CAST(b.dl AS BIGINT) AS n_tokens,
+               round({contribs}, 6) AS score
+        FROM base b JOIN tf ON tf.doc_id = b.doc_id, st
+    """
+
+
 def q_chunk_docs(spark, sf_dir):
     """Sliding-window token chunking (``textops.chunk_tokens``, r5) —
     the training-data context-window splitter; HF stride convention
@@ -2667,6 +2726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_docs": q_lang_id_docs,
         "quality_docs": q_quality_docs,
         "tfidf_docs": q_tfidf_docs,
+        "bm25_docs": q_bm25_docs,
         "repetition_docs": q_repetition_docs,
         "contamination_docs": q_contamination_docs,
         "unigram_logprob_docs": q_unigram_logprob_docs,
@@ -3946,6 +4006,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # TF-IDF: df recomputed from the tf table (docs containing term),
         # idf = ln(N/df), ties by term ascending — mirrors tfidf_top_terms.
+        "bm25_docs": _bm25_oracle_sql(),
         "tfidf_docs": f"""
             WITH toks AS (SELECT doc_id, unnest({_ws_split_sql()}) AS term FROM documents),
             tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),

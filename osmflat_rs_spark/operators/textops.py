@@ -581,3 +581,88 @@ def bigram_logprob(
         F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
         F.col("avg_neg_log2p"),
     )
+
+
+def bm25_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list,
+    k1: float = 1.2,
+    b: float = 0.75,
+    keep_zero: bool = False,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed query →
+    (id, n_tokens, score): the retrieval-quality scorer a training-data
+    pipeline uses to mine topical subsets (the reference has no
+    relevance surface — same §2.9 mandate as tfidf_top_terms).
+
+    score = Σ_t idf_t · tf_t·(k1+1) / (tf_t + k1·(1−b + b·dl/avgdl)),
+    idf_t = ln((N − df_t + ½)/(df_t + ½) + 1) — the BM25+ idf, strictly
+    positive so stopword queries never flip sign. The per-term
+    contributions are summed IN THE CALLER'S TERM ORDER as one fixed
+    left-associated expression (query terms are plan-time constants),
+    so the float result is a deterministic IEEE evaluation both engines
+    reproduce; output rounds to 6 decimals (engine-wide contract).
+
+    Plan shape at 100 TB: dl is computed IN-ROW (no explode); the token
+    explode is filtered to the query terms BEFORE its one groupBy, so
+    the shuffle carries only matching (doc, term) rows — corpus bytes
+    never shuffle; per-term tf lands as conditional-sum columns (no
+    pivot); corpus stats (N, Σdl, df_t) reduce to ONE row broadcast
+    back. ``keep_zero=False`` (default) emits only docs containing ≥ 1
+    query term — the retrieval shape; True left-joins every doc with
+    score 0 for the zero-match rest.
+    """
+    terms = list(dict.fromkeys(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    if k1 <= 0 or not (0 <= b <= 1):
+        raise ValueError(f"need k1 > 0 and 0 <= b <= 1, got k1={k1}, b={b}")
+    toks = words_expr(F.col(text_col))
+    base = df.select(F.col(id_col), F.size(toks).alias("dl"))
+    matched = (
+        df.select(F.col(id_col), F.explode(toks).alias("_term"))
+        .filter(F.col("_term").isin(terms))
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.sum(F.when(F.col("_term") == t, 1).otherwise(0)).alias(f"_tf{i}")
+                for i, t in enumerate(terms)
+            ]
+        )
+    )
+    stats = (
+        base.agg(
+            F.count("*").alias("_n"), F.sum("dl").alias("_sdl")
+        )
+        .crossJoin(
+            F.broadcast(
+                matched.agg(
+                    *[
+                        F.sum(F.when(F.col(f"_tf{i}") > 0, 1).otherwise(0)).alias(f"_df{i}")
+                        for i in range(len(terms))
+                    ]
+                )
+            )
+        )
+    )
+    joined = (
+        base.join(matched, id_col, "left" if keep_zero else "inner")
+        .crossJoin(F.broadcast(stats))
+    )
+    n_d = F.col("_n").cast("double")
+    avgdl = F.col("_sdl").cast("double") / n_d
+    norm = F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+    score = None
+    for i in range(len(terms)):
+        tf = F.coalesce(F.col(f"_tf{i}"), F.lit(0)).cast("double")
+        dfr = F.coalesce(F.col(f"_df{i}"), F.lit(0)).cast("double")
+        idf = F.log((n_d - dfr + F.lit(0.5)) / (dfr + F.lit(0.5)) + F.lit(1.0))
+        contrib = idf * ((tf * F.lit(k1 + 1.0)) / (tf + F.lit(k1) * norm))
+        score = contrib if score is None else score + contrib
+    return joined.select(
+        F.col(id_col),
+        F.col("dl").cast("long").alias("n_tokens"),
+        F.round(score, 6).alias("score"),
+    )

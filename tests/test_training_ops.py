@@ -1450,3 +1450,85 @@ def test_hll_portable_accuracy_and_merge(spark):
     est1 = hll_estimate(hll_build(a.repartition(13), "k")).collect()[0]
     est2 = hll_estimate(hll_build(a.coalesce(1), "k")).collect()[0]
     assert est1 == est2
+
+
+# ------------------------------------------------------------------- BM25
+
+
+def _model_bm25(texts, terms, k1=1.2, b=0.75):
+    """Pure-Python BM25 over whitespace-lowered tokens, same formula
+    and same left-associated term-order summation as the operator."""
+    import math
+
+    toks = {i: t.lower().strip().split() if t.strip() else [""] for i, t in texts.items()}
+    n = len(texts)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfreq = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    out = {}
+    for i, v in toks.items():
+        dl = len(v)
+        s = 0.0
+        hit = False
+        for t in terms:
+            tf = v.count(t)
+            hit = hit or tf > 0
+            idf = math.log((n - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1.0)
+            s = s + idf * ((tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * (dl / avgdl))))
+        if hit:
+            out[i] = (dl, round(s, 6))
+    return out
+
+
+def test_bm25_matches_model_random(spark):
+    import numpy as np
+
+    from osmflat_rs_spark.operators.textops import bm25_score
+
+    rng = np.random.default_rng(23)
+    vocab = ["join", "scan", "row", "vector", "stream", "batch", "the", "a"]
+    texts = {
+        i: " ".join(rng.choice(vocab, size=rng.integers(3, 25)))
+        for i in range(60)
+    }
+    terms = ["join", "vector", "stream"]
+    want = _model_bm25(texts, terms)
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["score"])
+        for r in bm25_score(df, "doc_id", "text", terms).collect()
+    }
+    assert set(got) == set(want)
+    for i in got:
+        assert got[i][0] == want[i][0]
+        assert abs(got[i][1] - want[i][1]) < 1e-9
+    # partition invariance
+    got2 = {
+        r["doc_id"]: (r["n_tokens"], r["score"])
+        for r in bm25_score(df.repartition(7), "doc_id", "text", terms).collect()
+    }
+    assert got2 == got
+
+
+def test_bm25_keep_zero_and_validation(spark):
+    import pytest as _pytest
+
+    from osmflat_rs_spark.operators.textops import bm25_score
+
+    df = spark.createDataFrame(
+        [(0, "join scan join"), (1, "row row row"), (2, "the a the")],
+        "doc_id long, text string",
+    )
+    hits = bm25_score(df, "doc_id", "text", ["join"]).collect()
+    assert [r["doc_id"] for r in hits] == [0]
+    allrows = {r["doc_id"]: r["score"] for r in
+               bm25_score(df, "doc_id", "text", ["join"], keep_zero=True).collect()}
+    assert set(allrows) == {0, 1, 2} and allrows[1] == 0.0 and allrows[2] == 0.0
+    assert allrows[0] > 0
+    with _pytest.raises(ValueError):
+        bm25_score(df, "doc_id", "text", [])
+    with _pytest.raises(ValueError):
+        bm25_score(df, "doc_id", "text", ["x"], b=1.5)
+    # duplicate query terms collapse (idempotent scoring)
+    one = {r["doc_id"]: r["score"] for r in
+           bm25_score(df, "doc_id", "text", ["join", "join"]).collect()}
+    assert one == {0: allrows[0]}
