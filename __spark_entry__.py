@@ -1761,6 +1761,31 @@ def q_token_count_docs(spark, sf_dir):
     return token_count(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_funnel_events(spark, sf_dir):
+    """Ordered conversion funnel view→click→purchase: K bounded passes
+    (filter pushed to scan + min-agg + equi-join on the shrinking
+    converted-user table), greedy-earliest strict-after semantics
+    restated by the oracle's chained min-CTEs."""
+    from osmflat_rs_spark.operators.sessions import funnel_steps
+
+    return funnel_steps(_t(spark, sf_dir, "events"), list(FUNNEL_STEPS))
+
+
+def q_mean_center_events(spark, sf_dir):
+    """Centrography per event_type (mean center, standard distance,
+    deviational-ellipse orientation): ONE map-side-combined aggregate
+    whose five moment sums are exact DECIMAL(38,0)/HUGEINT integers —
+    reassociation-proof shuffle, floats only in the final projection."""
+    from osmflat_rs_spark.operators.hotspot import mean_center
+
+    return mean_center(
+        _synth_coords(_t(spark, sf_dir, "events")), "event_type"
+    )
+
+
 BM25_TERMS = ("join", "vector", "stream")
 BM25_K1, BM25_B = 1.2, 0.75
 
@@ -2727,6 +2752,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_docs": q_quality_docs,
         "tfidf_docs": q_tfidf_docs,
         "bm25_docs": q_bm25_docs,
+        "funnel_events": q_funnel_events,
+        "mean_center_events": q_mean_center_events,
         "repetition_docs": q_repetition_docs,
         "contamination_docs": q_contamination_docs,
         "unigram_logprob_docs": q_unigram_logprob_docs,
@@ -4007,6 +4034,46 @@ def oracle_sql() -> dict[str, str]:
         # TF-IDF: df recomputed from the tf table (docs containing term),
         # idf = ln(N/df), ties by term ascending — mirrors tfidf_top_terms.
         "bm25_docs": _bm25_oracle_sql(),
+        "funnel_events": f"""
+            WITH s1 AS (SELECT user_id, MIN(ts) AS ts_step1 FROM events
+                        WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, MIN(e.ts) AS ts_step2
+                   FROM events e JOIN s1 ON s1.user_id = e.user_id
+                   WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s1.ts_step1
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, MIN(e.ts) AS ts_step3
+                   FROM events e JOIN s2 ON s2.user_id = e.user_id
+                   WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.ts_step2
+                   GROUP BY e.user_id)
+            SELECT s1.user_id, s1.ts_step1, s2.ts_step2, s3.ts_step3,
+                   CAST(CASE WHEN s3.ts_step3 IS NOT NULL THEN 3
+                             WHEN s2.ts_step2 IS NOT NULL THEN 2
+                             ELSE 1 END AS BIGINT) AS steps_reached
+            FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
+                    LEFT JOIN s3 ON s3.user_id = s1.user_id
+        """,
+        "mean_center_events": f"""
+            WITH pts AS (SELECT event_type, lat, lon FROM ({_SYNTH_SQL})),
+            agg AS (SELECT event_type, COUNT(*) AS n,
+                           SUM(lat) AS sx, SUM(lon) AS sy,
+                           SUM(lat * lat) AS sxx, SUM(lon * lon) AS syy,
+                           SUM(lat * lon) AS sxy
+                    FROM pts GROUP BY event_type)
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_lat,
+                   round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_lon,
+                   round(sqrt((CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                          - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                         + (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+                          - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))), 6) AS std_dist,
+                   round(atan2(2.0 * (CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+                          - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))),
+                         (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                          - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                         - (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+                          - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))) / 2.0, 6) AS ellipse_theta
+            FROM agg
+        """,
         "tfidf_docs": f"""
             WITH toks AS (SELECT doc_id, unnest({_ws_split_sql()}) AS term FROM documents),
             tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),

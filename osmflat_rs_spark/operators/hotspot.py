@@ -275,3 +275,62 @@ def dbscan(
         .select(F.col("a").alias(id_col), "cluster", F.lit(False).alias("is_core"))
     )
     return cores_out.unionByName(border)
+
+
+def mean_center(
+    pts: DataFrame,
+    group_col: str,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Spatial central tendency per group → (group, n, mean_lat,
+    mean_lon, std_dist, ellipse_theta): the classic centrography trio
+    (mean center, standard distance, standard-deviational-ellipse
+    orientation) over fixed-point planar coordinates.
+
+    Exactness contract: all five sums (Σlat, Σlon, Σlat², Σlon²,
+    Σlat·lon) accumulate as DECIMAL(38,0) — exact integers at ANY corpus
+    size (int64 would overflow at ~10^12 rows × (5·10^8)² products;
+    Spark decimal sums and DuckDB HUGEINT sums are both exact and
+    order-invariant), so the shuffle is reassociation-proof. Floats
+    appear only in the FINAL projection: one correctly-rounded
+    decimal→double conversion per sum, then a fixed IEEE expression —
+    mean = S/n, var via the computational formula Σx²/n − mean², θ =
+    atan2(2·cov, var_lat − var_lon)/2 (atan2 is libm, not correctly
+    rounded, hence the engine-wide round-6 output contract).
+
+    Plan: ONE map-side-combined aggregate over the corpus — the same
+    single-shuffle shape as A2/A4 (SURVEY §2.6), no second pass for the
+    moments. θ is measured from the +lat axis toward +lon, in
+    (−π/2, π/2]; degenerate groups (var_lat = var_lon, cov = 0 —
+    includes n = 1) emit θ = 0 by atan2(0, 0) = 0 in both engines.
+    """
+    dec = "decimal(38,0)"
+    la, lo = F.col(lat).cast("long"), F.col(lon).cast("long")
+    # per-row products stay in int64 (|coord| <= 1.8e9 fixed-point ⇒
+    # product <= 3.3e18 < 2^63); only the SUMS widen to decimal
+    agg = pts.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(la.cast(dec)).alias("_sx"),
+        F.sum(lo.cast(dec)).alias("_sy"),
+        F.sum((la * la).cast(dec)).alias("_sxx"),
+        F.sum((lo * lo).cast(dec)).alias("_syy"),
+        F.sum((la * lo).cast(dec)).alias("_sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    mean_lat, mean_lon = sx / nd, sy / nd
+    var_lat = sxx / nd - mean_lat * mean_lat
+    var_lon = syy / nd - mean_lon * mean_lon
+    cov = sxy / nd - mean_lat * mean_lon
+    theta = F.atan2(F.lit(2.0) * cov, var_lat - var_lon) / F.lit(2.0)
+    return agg.select(
+        group_col,
+        F.col("n").cast("long").alias("n"),
+        F.round(mean_lat, 6).alias("mean_lat"),
+        F.round(mean_lon, 6).alias("mean_lon"),
+        F.round(F.sqrt(var_lat + var_lon), 6).alias("std_dist"),
+        F.round(theta, 6).alias("ellipse_theta"),
+    )

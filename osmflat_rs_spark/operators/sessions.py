@@ -138,3 +138,59 @@ def stream_sessionize(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel completion per user → (user, ts_step1..ts_stepK,
+    steps_reached): the conversion-analysis primitive (view → click →
+    purchase). ``ts_step_i`` is the EARLIEST event of type ``steps[i]``
+    STRICTLY AFTER the user's ``ts_step_{i-1}`` (greedy-earliest is the
+    standard funnel semantics and is provably optimal: taking the
+    earliest completion of each prefix can never prevent a later step
+    from completing); NULL once a step is unreached. Strictness means
+    same-timestamp events never satisfy two consecutive steps — the
+    deterministic contract, restated by the oracle's chained min-CTEs.
+
+    Scale shape: step i is one filter (type = steps[i] — pushed to the
+    scan) + one map-side-combined min-agg keyed by user + one
+    broadcast-eligible equi-join against the (user, ts_{i-1}) table,
+    whose size is BOUNDED BY CONVERTED USERS (monotonically shrinking —
+    the funnel itself prunes the work). K steps = K bounded passes; no
+    per-user event collection, no windows over the raw log.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    u, t = F.col(user_col), F.col(ts_col)
+    reached = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(u.alias("user"))
+        .agg(F.min(t).alias("ts_step1"))
+    )
+    out = reached
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            events.filter(F.col(type_col) == step)
+            .select(u.alias("user"), t.alias("_ts"))
+            .join(reached.select("user", F.col(f"ts_step{i - 1}").alias("_prev")), "user")
+            .filter(F.col("_ts") > F.col("_prev"))
+            .groupBy("user")
+            .agg(F.min("_ts").alias(f"ts_step{i}"))
+        )
+        out = out.join(nxt, "user", "left")
+        reached = nxt
+    done_cols = [F.when(F.col(f"ts_step{i}").isNotNull(), 1).otherwise(0)
+                 for i in range(1, len(steps) + 1)]
+    total = done_cols[0]
+    for c in done_cols[1:]:
+        total = total + c
+    return out.select(
+        F.col("user").alias(user_col),
+        *[f"ts_step{i}" for i in range(1, len(steps) + 1)],
+        total.cast("long").alias("steps_reached"),
+    )

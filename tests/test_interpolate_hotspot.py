@@ -563,3 +563,47 @@ def test_local_morans_i_moments_match_permutation(spark):
     assert row["ii"] == pytest.approx(ii_obs, rel=1e-9)
     z_mc = (ii_obs - i_mc.mean()) / i_mc.std(ddof=1)
     assert row["z"] == pytest.approx(z_mc, rel=0.05), (row["z"], z_mc)
+
+
+# -------------------------------------------------------------- mean center
+
+
+def test_mean_center_matches_numpy(spark):
+    import math
+
+    import numpy as np
+
+    from osmflat_rs_spark.operators.hotspot import mean_center
+
+    rng = np.random.default_rng(37)
+    rows = []
+    for g in ("a", "b"):
+        for _ in range(200):
+            rows.append((g, int(rng.integers(-900_000_000, 900_000_000)),
+                         int(rng.integers(-1_800_000_000, 1_800_000_000))))
+    df = spark.createDataFrame(rows, "g string, lat long, lon long")
+    got = {r["g"]: r.asDict() for r in mean_center(df, "g").collect()}
+    for g in ("a", "b"):
+        la = np.array([r[1] for r in rows if r[0] == g], dtype=np.float64)
+        lo = np.array([r[2] for r in rows if r[0] == g], dtype=np.float64)
+        assert got[g]["n"] == 200
+        assert abs(got[g]["mean_lat"] - la.mean()) < 1e-4
+        assert abs(got[g]["mean_lon"] - lo.mean()) < 1e-4
+        sd = math.sqrt(la.var() + lo.var())
+        assert abs(got[g]["std_dist"] - sd) < max(1e-4, sd * 1e-9)
+        th = math.atan2(2 * ((la * lo).mean() - la.mean() * lo.mean()),
+                        la.var() - lo.var()) / 2
+        assert abs(got[g]["ellipse_theta"] - th) < 1e-5
+    # exact-sum partition invariance: the decimal accumulators make the
+    # rounded outputs BIT-identical across layouts
+    got2 = {r["g"]: r.asDict() for r in mean_center(df.repartition(17), "g").collect()}
+    assert got2 == got
+
+
+def test_mean_center_degenerate_single_point(spark):
+    from osmflat_rs_spark.operators.hotspot import mean_center
+
+    df = spark.createDataFrame([("x", 5, -7)], "g string, lat long, lon long")
+    r = mean_center(df, "g").collect()[0]
+    assert (r["n"], r["mean_lat"], r["mean_lon"]) == (1, 5.0, -7.0)
+    assert r["std_dist"] == 0.0 and r["ellipse_theta"] == 0.0

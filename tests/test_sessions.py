@@ -124,3 +124,90 @@ def test_stream_sessionize_matches_batch(spark):
         got[["user_id", "start_us", "n_events"]].astype("int64"),
         want.astype("int64"),
     )
+
+# ------------------------------------------------------------------ funnel
+
+
+def _model_funnel(rows, steps):
+    """rows: (user, ts, type); greedy-earliest strict-after funnel."""
+    out = {}
+    byu = {}
+    for u, ts, ty in rows:
+        byu.setdefault(u, []).append((ts, ty))
+    for u, evs in byu.items():
+        evs.sort()
+        prev = None
+        hit = []
+        for step in steps:
+            cand = [ts for ts, ty in evs if ty == step and (prev is None or ts > prev)]
+            if not cand:
+                break
+            prev = min(cand)
+            hit.append(prev)
+        if hit:
+            out[u] = hit
+    return out
+
+
+def test_funnel_hand_cases(spark):
+    from osmflat_rs_spark.operators.sessions import funnel_steps
+
+    rows = [
+        # u1 completes A(1) -> B(5) -> C(7); the B at ts=1 is NOT after A
+        (1, 1, "A"), (1, 1, "B"), (1, 5, "B"), (1, 7, "C"),
+        # u2 has B,C but never A -> no row at all
+        (2, 1, "B"), (2, 2, "C"),
+        # u3 reaches A only (C precedes A)
+        (3, 2, "C"), (3, 4, "A"),
+        # u4: strictness — B at the SAME ts as A does not advance
+        (4, 10, "A"), (4, 10, "B"),
+        # u5: greedy-earliest still completes (A=1, B=2, C=3 beats A=2)
+        (5, 1, "A"), (5, 2, "B"), (5, 2, "A"), (5, 3, "C"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    got = {
+        r["user_id"]: (r["ts_step1"], r["ts_step2"], r["ts_step3"], r["steps_reached"])
+        for r in funnel_steps(df, ["A", "B", "C"]).collect()
+    }
+    assert got == {
+        1: (1, 5, 7, 3),
+        3: (4, None, None, 1),
+        4: (10, None, None, 1),
+        5: (1, 2, 3, 3),
+    }
+
+
+def test_funnel_matches_model_random(spark):
+    import numpy as np
+
+    from osmflat_rs_spark.operators.sessions import funnel_steps
+
+    rng = np.random.default_rng(31)
+    types = ["A", "B", "C", "X"]
+    rows = [
+        (int(rng.integers(0, 30)), int(rng.integers(0, 50)), types[rng.integers(0, 4)])
+        for _ in range(600)
+    ]
+    steps = ["A", "B", "C"]
+    want = _model_funnel(rows, steps)
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    got = {}
+    for r in funnel_steps(df, steps).collect():
+        hit = [r[f"ts_step{i}"] for i in (1, 2, 3)]
+        hit = [h for h in hit if h is not None]
+        got[r["user_id"]] = hit
+        assert r["steps_reached"] == len(hit)
+    assert got == want
+    got2 = {r["user_id"]: r["steps_reached"]
+            for r in funnel_steps(df.repartition(7), steps).collect()}
+    assert got2 == {u: len(h) for u, h in want.items()}
+
+
+def test_funnel_validation(spark):
+    import pytest as _pytest
+
+    from osmflat_rs_spark.operators.sessions import funnel_steps
+
+    df = spark.createDataFrame([(1, 1, "A")], "user_id long, ts long, event_type string")
+    with _pytest.raises(ValueError):
+        funnel_steps(df, [])
