@@ -1786,6 +1786,49 @@ def q_mean_center_events(spark, sf_dir):
     )
 
 
+FREQ_PAIRS_NUM, FREQ_PAIRS_DEN = 3, 5
+
+
+def q_freq_pairs_docs(spark, sf_dir):
+    """Apriori-pruned frequent token pairs (2-itemsets) at exact
+    rational support ≥ 3/5 of the corpus: infrequent items are dropped
+    before ANY pair forms (monotonicity), pairs come from a codegen
+    self-equi-join of the pruned (doc, item) table; lift is one IEEE
+    division on exact ints (round 6)."""
+    from osmflat_rs_spark.operators.textops import frequent_pairs
+
+    return frequent_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        min_support_frac=(FREQ_PAIRS_NUM, FREQ_PAIRS_DEN),
+    )
+
+
+def _freq_pairs_oracle_sql() -> str:
+    tok = _ws_split_sql("lower(text)")
+    num, den = FREQ_PAIRS_NUM, FREQ_PAIRS_DEN
+    return f"""
+        WITH items AS (SELECT doc_id, unnest(list_distinct({tok})) AS item
+                       FROM documents),
+        nn AS (SELECT COUNT(*) AS n FROM documents),
+        supp AS (SELECT item, COUNT(*) AS support FROM items GROUP BY item),
+        freq AS (SELECT item, support FROM supp, nn
+                 WHERE support * {den} >= {num} * nn.n),
+        pr AS (SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_docs
+               FROM items a JOIN freq fa ON fa.item = a.item
+                    JOIN items b ON b.doc_id = a.doc_id AND b.item > a.item
+                    JOIN freq fb ON fb.item = b.item
+               GROUP BY 1, 2)
+        SELECT pr.item_a, pr.item_b, CAST(pr.n_docs AS BIGINT) AS n_docs,
+               CAST(fa.support AS BIGINT) AS support_a,
+               CAST(fb.support AS BIGINT) AS support_b,
+               round(CAST(pr.n_docs * nn.n AS DOUBLE)
+                     / CAST(fa.support * fb.support AS DOUBLE), 6) AS lift
+        FROM pr JOIN freq fa ON fa.item = pr.item_a
+                JOIN freq fb ON fb.item = pr.item_b, nn
+        WHERE pr.n_docs * {den} >= {num} * nn.n
+    """
+
+
 BM25_TERMS = ("join", "vector", "stream")
 BM25_K1, BM25_B = 1.2, 0.75
 
@@ -2752,6 +2795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_docs": q_quality_docs,
         "tfidf_docs": q_tfidf_docs,
         "bm25_docs": q_bm25_docs,
+        "freq_pairs_docs": q_freq_pairs_docs,
         "funnel_events": q_funnel_events,
         "mean_center_events": q_mean_center_events,
         "repetition_docs": q_repetition_docs,
@@ -4034,6 +4078,7 @@ def oracle_sql() -> dict[str, str]:
         # TF-IDF: df recomputed from the tf table (docs containing term),
         # idf = ln(N/df), ties by term ascending — mirrors tfidf_top_terms.
         "bm25_docs": _bm25_oracle_sql(),
+        "freq_pairs_docs": _freq_pairs_oracle_sql(),
         "funnel_events": f"""
             WITH s1 AS (SELECT user_id, MIN(ts) AS ts_step1 FROM events
                         WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id),

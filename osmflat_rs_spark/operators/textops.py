@@ -666,3 +666,91 @@ def bm25_score(
         F.col("dl").cast("long").alias("n_tokens"),
         F.round(score, 6).alias("score"),
     )
+
+
+def frequent_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_support: int | None = None,
+    min_support_frac: tuple | None = None,
+    broadcast_items: bool = True,
+) -> DataFrame:
+    """Frequent co-occurring token pairs (2-itemsets, Apriori-pruned) →
+    (item_a, item_b, n_docs, support_a, support_b, lift): the
+    market-basket / co-occurrence miner over document tokens (item_a <
+    item_b; support counts DOCUMENTS, each doc's tokens deduped first).
+
+    Threshold is EXACT: ``min_support`` is an absolute doc count, or
+    ``min_support_frac=(num, den)`` an exact rational of the corpus
+    size (support·den ≥ num·N in integers — no float threshold edge).
+    ``lift`` = (n_docs·N)/(support_a·support_b), exact-int operands,
+    one IEEE division, round-6 contract.
+
+    Scale shape — the Apriori prune IS the plan: (1) one explode of
+    in-row-deduped tokens feeds the item-support aggregate; (2) items
+    below threshold are dropped BEFORE any pair is formed (a pair of
+    infrequent items can't be frequent — the monotonicity lemma), via a
+    broadcast semi-join (``broadcast_items=False`` for a shuffle join
+    when the frequent vocabulary outgrows the broadcast budget); (3)
+    pairs come from a self-equi-join of the PRUNED (doc, item) table on
+    doc — whole-stage codegen, no per-row Python, fan-out bounded by
+    per-doc FREQUENT-item counts, with AQE handling doc skew; (4) one
+    map-side-combined pair count + the threshold filter.
+    """
+    if (min_support is None) == (min_support_frac is None):
+        raise ValueError("pass exactly one of min_support / min_support_frac")
+    if min_support is not None and min_support < 1:
+        raise ValueError(f"min_support must be >= 1, got {min_support}")
+    if min_support_frac is not None:
+        num, den = min_support_frac
+        if num < 0 or den < 1:
+            raise ValueError(f"need num >= 0, den >= 1, got {min_support_frac}")
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(words_expr(F.col(text_col)))).alias("item"),
+    )
+    supp = toks.groupBy("item").agg(F.count("*").alias("support"))
+    if min_support is not None:
+        freq = supp.filter(F.col("support") >= min_support)
+        thr = F.col("n_docs") >= min_support
+    else:
+        n_tot = df.agg(F.count("*").alias("_n"))
+        freq = supp.crossJoin(F.broadcast(n_tot)).filter(
+            F.col("support") * F.lit(den) >= F.lit(num) * F.col("_n")
+        ).select("item", "support")
+        thr = None  # applied below with the joined _n column
+    fr = F.broadcast(freq) if broadcast_items else freq
+    pruned = toks.join(fr.select("item"), "item").select("_id", "item")
+    a = pruned.select("_id", F.col("item").alias("item_a"))
+    b = pruned.select("_id", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "_id")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    n_tot = df.agg(F.count("*").alias("_n"))
+    pairs = pairs.crossJoin(F.broadcast(n_tot))
+    if thr is not None:
+        pairs = pairs.filter(thr)
+    else:
+        pairs = pairs.filter(F.col("n_docs") * F.lit(den) >= F.lit(num) * F.col("_n"))
+    sa = freq.select(F.col("item").alias("item_a"), F.col("support").alias("support_a"))
+    sb = freq.select(F.col("item").alias("item_b"), F.col("support").alias("support_b"))
+    return (
+        pairs.join(F.broadcast(sa) if broadcast_items else sa, "item_a")
+        .join(F.broadcast(sb) if broadcast_items else sb, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("support_a").cast("long").alias("support_a"),
+            F.col("support_b").cast("long").alias("support_b"),
+            F.round(
+                (F.col("n_docs") * F.col("_n")).cast("double")
+                / (F.col("support_a") * F.col("support_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )

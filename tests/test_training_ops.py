@@ -1532,3 +1532,80 @@ def test_bm25_keep_zero_and_validation(spark):
     one = {r["doc_id"]: r["score"] for r in
            bm25_score(df, "doc_id", "text", ["join", "join"]).collect()}
     assert one == {0: allrows[0]}
+
+
+# --------------------------------------------------------------- freq pairs
+
+
+def _model_freq_pairs(texts, num, den):
+    import itertools
+
+    sets = {i: set(t.lower().strip().split()) if t.strip() else {""}
+            for i, t in texts.items()}
+    n = len(texts)
+    supp = {}
+    for s in sets.values():
+        for it in s:
+            supp[it] = supp.get(it, 0) + 1
+    out = {}
+    items = sorted(supp)
+    for a, b in itertools.combinations(items, 2):
+        c = sum(1 for s in sets.values() if a in s and b in s)
+        if c * den >= num * n and supp[a] * den >= num * n and supp[b] * den >= num * n:
+            out[(a, b)] = (c, supp[a], supp[b], round(c * n / (supp[a] * supp[b]), 6))
+    return out
+
+
+def test_frequent_pairs_matches_model(spark):
+    import numpy as np
+
+    from osmflat_rs_spark.operators.textops import frequent_pairs
+
+    rng = np.random.default_rng(41)
+    vocab = ["a", "b", "c", "d", "e", "f", "g", "rare1", "rare2"]
+    probs = np.array([0.8, 0.7, 0.6, 0.5, 0.4, 0.3, 0.2, 0.05, 0.02])
+    texts = {}
+    for i in range(80):
+        words = [w for w, p in zip(vocab, probs) if rng.random() < p]
+        # duplicates in the text must not double-count support
+        texts[i] = " ".join(words + words[:2]) if words else "x"
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    num, den = 1, 4
+    want = _model_freq_pairs(texts, num, den)
+    got = {
+        (r["item_a"], r["item_b"]): (r["n_docs"], r["support_a"], r["support_b"], r["lift"])
+        for r in frequent_pairs(df, "doc_id", "text", min_support_frac=(num, den)).collect()
+    }
+    assert got == want
+    # absolute threshold form agrees when it encodes the same bound
+    import math
+
+    abs_thr = math.ceil(num * len(texts) / den)
+    got_abs = {
+        (r["item_a"], r["item_b"]): r["n_docs"]
+        for r in frequent_pairs(df, "doc_id", "text", min_support=abs_thr).collect()
+    }
+    assert got_abs == {k: v[0] for k, v in want.items()}
+    # shuffle-join prune path and partition layout: same answer
+    got_sh = {
+        (r["item_a"], r["item_b"]): (r["n_docs"], r["support_a"], r["support_b"], r["lift"])
+        for r in frequent_pairs(
+            df.repartition(7), "doc_id", "text",
+            min_support_frac=(num, den), broadcast_items=False,
+        ).collect()
+    }
+    assert got_sh == want
+
+
+def test_frequent_pairs_validation(spark):
+    import pytest as _pytest
+
+    from osmflat_rs_spark.operators.textops import frequent_pairs
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        frequent_pairs(df, "doc_id", "text")
+    with _pytest.raises(ValueError):
+        frequent_pairs(df, "doc_id", "text", min_support=2, min_support_frac=(1, 2))
+    with _pytest.raises(ValueError):
+        frequent_pairs(df, "doc_id", "text", min_support=0)
