@@ -1786,6 +1786,26 @@ def q_mean_center_events(spark, sf_dir):
     )
 
 
+SITE_N, SITE_A_LAT, SITE_A_LON = 12, 173_933, 339_721
+
+
+def q_service_areas_events(spark, sf_dir):
+    """Voronoi service areas: 12 deterministic sites over the synth
+    bbox; per-event nearest site folds IN-ROW over the broadcast site
+    array (exact decimal d², (d2, sid) struct argmin — zero assignment
+    shuffle), then one exact-sum rollup. Oracle: cross-join + window
+    argmin with HUGEINT d²."""
+    from osmflat_rs_spark.operators.knn import service_areas
+
+    sites = spark.range(SITE_N).selectExpr(
+        "id AS site_id",
+        f"CAST({LAT0} + (id * {SITE_A_LAT}) % {LATSPAN} AS LONG) AS lat",
+        f"CAST({LON0} + (id * {SITE_A_LON}) % {LONSPAN} AS LONG) AS lon",
+    )
+    pts = _synth_coords(_t(spark, sf_dir, "events")).select("event_id", "lat", "lon")
+    return service_areas(pts, sites)
+
+
 FREQ_PAIRS_NUM, FREQ_PAIRS_DEN = 3, 5
 
 
@@ -2796,6 +2816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_docs": q_tfidf_docs,
         "bm25_docs": q_bm25_docs,
         "freq_pairs_docs": q_freq_pairs_docs,
+        "service_areas_events": q_service_areas_events,
         "funnel_events": q_funnel_events,
         "mean_center_events": q_mean_center_events,
         "repetition_docs": q_repetition_docs,
@@ -4079,6 +4100,23 @@ def oracle_sql() -> dict[str, str]:
         # idf = ln(N/df), ties by term ascending — mirrors tfidf_top_terms.
         "bm25_docs": _bm25_oracle_sql(),
         "freq_pairs_docs": _freq_pairs_oracle_sql(),
+        "service_areas_events": f"""
+            WITH pts AS (SELECT event_id, lat, lon FROM ({_SYNTH_SQL})),
+            sites AS (SELECT g.s AS site_id,
+                             CAST({LAT0} + (g.s * {SITE_A_LAT}) % {LATSPAN} AS BIGINT) AS slat,
+                             CAST({LON0} + (g.s * {SITE_A_LON}) % {LONSPAN} AS BIGINT) AS slon
+                      FROM generate_series(0, {SITE_N - 1}) g(s)),
+            asn AS (SELECT event_id, site_id, d2,
+                           ROW_NUMBER() OVER (PARTITION BY event_id
+                                              ORDER BY d2, site_id) AS rn
+                    FROM (SELECT p.event_id, s.site_id,
+                                 CAST(p.lat - s.slat AS HUGEINT) * CAST(p.lat - s.slat AS HUGEINT)
+                               + CAST(p.lon - s.slon AS HUGEINT) * CAST(p.lon - s.slon AS HUGEINT) AS d2
+                          FROM pts p, sites s))
+            SELECT site_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+                   round(sqrt(CAST(SUM(d2) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)), 6) AS rms_d
+            FROM asn WHERE rn = 1 GROUP BY site_id
+        """,
         "funnel_events": f"""
             WITH s1 AS (SELECT user_id, MIN(ts) AS ts_step1 FROM events
                         WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id),

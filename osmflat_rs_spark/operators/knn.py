@@ -575,3 +575,108 @@ def isolated_points(
         .join(hit, "_qid", "left_anti")
         .drop("_qid")
     )
+
+
+def service_areas(
+    points: DataFrame,
+    sites: DataFrame,
+    point_id: str = "event_id",
+    site_id: str = "site_id",
+    lat: str = "lat",
+    lon: str = "lon",
+    max_sites_inrow: int = 10_000,
+    assign_only: bool = False,
+) -> DataFrame:
+    """Voronoi service areas: assign every point to its NEAREST site
+    (exact int² planar distance, ties by smallest site id) and roll up
+    → (site, n_points, rms_d) — the facility / reverse-kNN rollup
+    ("how many events does each depot capture, and how tightly").
+    ``rms_d`` = √(Σd²/n) in coordinate units — RMS rather than mean-d²
+    deliberately: it keeps the float's MAGNITUDE in the coordinate
+    range, inside the band where round-6 is engine-portable (DuckDB's
+    round computes x·10⁶, which itself rounds once x exceeds 2^53/10⁶ ≈
+    9e9 — raw mean-d² at ~1e10 hash-diverged exactly there).
+    ``assign_only=True`` returns the per-point assignment
+    (point, site, d2) instead.
+
+    Scale shape — the SMALL-SITES regime (the common one: depots,
+    cities, cells of interest), complementary to ``knn_join_bulk``:
+    sites are collected to the driver (bounded by ``max_sites_inrow``,
+    loud failure beyond — the same driver-table contract as the SRP
+    hyperplanes / IVF centroids) and folded per point IN-ROW with an
+    ordered ``F.aggregate`` over the site array literal — ZERO shuffle
+    for the assignment, one map-side-combined aggregate for the rollup.
+    For large site tables use ``knn_join_bulk(k=1)`` (cell-cover
+    equi-join) instead; this operator refuses rather than degrade.
+
+    Exactness: d² accumulates as DECIMAL(38,0) (coordinate deltas up to
+    3.6e9 square past 2^63 — the knn.py clamp lesson; decimal keeps the
+    argmin exact and ANSI-overflow-proof), the site fold is an ordered
+    left fold (deterministic ties without relying on input order), and
+    the rollup sums d² exactly; floats appear only in the final
+    √(Σd²/n) projection (round-6 contract).
+    """
+    srows = sites.select(
+        F.col(site_id).cast("long").alias("sid"),
+        F.col(lat).cast("long").alias("slat"),
+        F.col(lon).cast("long").alias("slon"),
+    ).collect()
+    if not srows:
+        raise ValueError("sites is empty")
+    if len(srows) > max_sites_inrow:
+        raise ValueError(
+            f"{len(srows)} sites exceeds max_sites_inrow={max_sites_inrow}; "
+            "use knn_join_bulk(k=1) for large site tables"
+        )
+    srows = sorted(srows, key=lambda r: r["sid"])
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(r["sid"]).cast("long").alias("sid"),
+                F.lit(r["slat"]).cast("long").alias("slat"),
+                F.lit(r["slon"]).cast("long").alias("slon"),
+            )
+            for r in srows
+        ]
+    )
+    dec = "decimal(38,0)"
+
+    init = F.struct(
+        F.lit(None).cast(dec).alias("d2"), F.lit(None).cast("long").alias("sid")
+    )
+
+    def merge(acc, s):
+        dla = (F.col("_plat") - s["slat"]).cast(dec)
+        dlo = (F.col("_plon") - s["slon"]).cast(dec)
+        # (d2, sid) struct comparison IS the (dist asc, id asc) argmin
+        cand = F.struct((dla * dla + dlo * dlo).alias("d2"), s["sid"].alias("sid"))
+        return F.when(acc["sid"].isNull() | (cand < acc), cand).otherwise(acc)
+
+    best = F.aggregate(arr, init, merge)
+    assigned = points.select(
+        F.col(point_id).alias("point"),
+        F.col(lat).cast("long").alias("_plat"),
+        F.col(lon).cast("long").alias("_plon"),
+    ).withColumn("_best", best)
+    assigned = assigned.select(
+        "point",
+        F.col("_best.sid").alias(site_id),
+        F.col("_best.d2").alias("d2"),
+    )
+    if assign_only:
+        return assigned
+    return (
+        assigned.groupBy(site_id)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.sum("d2").alias("_sd2"),
+        )
+        .select(
+            site_id,
+            "n_points",
+            F.round(
+                F.sqrt(F.col("_sd2").cast("double") / F.col("n_points").cast("double")),
+                6,
+            ).alias("rms_d"),
+        )
+    )

@@ -550,3 +550,85 @@ def test_isolated_points_matches_bruteforce(spark):
               isolated_points(df, r, dense_prune=False).collect()}
     assert got_np == want
     assert rows[-1][0] not in got and rows[-2][0] not in got
+
+
+# ----------------------------------------------------------- service areas
+
+
+def test_service_areas_matches_model(spark):
+    import numpy as np
+
+    from osmflat_rs_spark.operators.knn import service_areas
+
+    rng = np.random.default_rng(43)
+    pts = [(i, int(rng.integers(0, 10_000)), int(rng.integers(0, 10_000)))
+           for i in range(300)]
+    sts = [(s, int(rng.integers(0, 10_000)), int(rng.integers(0, 10_000)))
+           for s in range(7)]
+    pdf = spark.createDataFrame(pts, "event_id long, lat long, lon long")
+    sdf = spark.createDataFrame(sts, "site_id long, lat long, lon long")
+
+    def nearest(px, py):
+        best = None
+        for s, sx, sy in sts:
+            d2 = (px - sx) ** 2 + (py - sy) ** 2
+            if best is None or (d2, s) < best:
+                best = (d2, s)
+        return best
+
+    want_assign = {i: nearest(x, y) for i, x, y in pts}
+    got_assign = {
+        r["point"]: (int(r["d2"]), r["site_id"])
+        for r in service_areas(pdf, sdf, assign_only=True).collect()
+    }
+    assert got_assign == want_assign
+    import math
+
+    agg = {}
+    for d2, s in want_assign.values():
+        n, sd = agg.get(s, (0, 0))
+        agg[s] = (n + 1, sd + d2)
+    want_roll = {s: (n, round(math.sqrt(sd / n), 6)) for s, (n, sd) in agg.items()}
+    got_roll = {
+        r["site_id"]: (r["n_points"], r["rms_d"])
+        for r in service_areas(pdf, sdf).collect()
+    }
+    assert got_roll == want_roll
+    # partition invariance (assignment is in-row; rollup exact sums)
+    got2 = {
+        r["site_id"]: (r["n_points"], r["rms_d"])
+        for r in service_areas(pdf.repartition(11), sdf).collect()
+    }
+    assert got2 == got_roll
+
+
+def test_service_areas_tie_break_and_overflow_range(spark):
+    from osmflat_rs_spark.operators.knn import service_areas
+
+    # equidistant sites -> smallest site id wins
+    pdf = spark.createDataFrame([(1, 0, 0)], "event_id long, lat long, lon long")
+    sdf = spark.createDataFrame([(9, 0, 10), (3, 0, -10)], "site_id long, lat long, lon long")
+    r = service_areas(pdf, sdf, assign_only=True).collect()[0]
+    assert r["site_id"] == 3 and int(r["d2"]) == 100
+    # antipodal fixed-point deltas: (3.6e9)^2 would overflow int64 —
+    # decimal keeps it exact
+    pdf = spark.createDataFrame([(1, 900_000_000, 1_800_000_000)],
+                                "event_id long, lat long, lon long")
+    sdf = spark.createDataFrame([(0, -900_000_000, -1_800_000_000)],
+                                "site_id long, lat long, lon long")
+    r = service_areas(pdf, sdf, assign_only=True).collect()[0]
+    assert int(r["d2"]) == 1_800_000_000**2 + 3_600_000_000**2
+
+
+def test_service_areas_validation(spark):
+    import pytest as _pytest
+
+    from osmflat_rs_spark.operators.knn import service_areas
+
+    pdf = spark.createDataFrame([(1, 0, 0)], "event_id long, lat long, lon long")
+    empty = spark.createDataFrame([], "site_id long, lat long, lon long")
+    with _pytest.raises(ValueError, match="empty"):
+        service_areas(pdf, empty)
+    sdf = spark.createDataFrame([(1, 0, 0), (2, 5, 5)], "site_id long, lat long, lon long")
+    with _pytest.raises(ValueError, match="max_sites_inrow"):
+        service_areas(pdf, sdf, max_sites_inrow=1)
