@@ -874,6 +874,75 @@ def q_kcore_graph(spark, sf_dir):
     return k_core(_gate_graph_edges(spark), KCORE_K)
 
 
+def q_clustering_graph(spark, sf_dir):
+    """Local clustering coefficient (triangle_count's oriented wedge
+    join + one degree join); coef = 2T/(deg·(deg−1)) — one IEEE
+    division on exact ints, deg-1 nodes emit 0.0 by contract."""
+    from osmflat_rs_spark.operators.graph import clustering_coefficient
+
+    return clustering_coefficient(_gate_graph_edges(spark))
+
+
+def q_assortativity_graph(spark, sf_dir):
+    """Newman degree assortativity: one-row (m, r); the three moment
+    sums over edge-endpoint pairs accumulate as exact decimal/HUGEINT,
+    r is a fixed IEEE expression on them (round 6)."""
+    from osmflat_rs_spark.operators.graph import degree_assortativity
+
+    return degree_assortativity(_gate_graph_edges(spark))
+
+
+ADAPT_LEVEL, ADAPT_CAP = 18, 20
+
+
+def q_adaptive_grid_events(spark, sf_dir):
+    """Adaptive quadtree aggregation: coarsest leaf cover with ≤ cap
+    points per cell (forced leaves at max_level). One point-sized
+    exchange + max_level occupied-cell rollups; the split test is LOCAL
+    because subtree counts are monotone up the hierarchy."""
+    from osmflat_rs_spark.operators.tiling import adaptive_grid
+
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    return adaptive_grid(pts, max_level=ADAPT_LEVEL, cap=ADAPT_CAP)
+
+
+def _adaptive_oracle_sql() -> str:
+    lon_off, lon_span = 1_800_000_000, 3_600_000_000
+    lat_off, lat_span = 900_000_000, 1_800_000_000
+    L, cap = ADAPT_LEVEL, ADAPT_CAP
+
+    def q(col, off, span):
+        n = 1 << L
+        return (
+            f"GREATEST(0, LEAST({n - 1}, "
+            f"CAST(FLOOR((({col} + {off}) * {n}) / {span}) AS BIGINT)))"
+        )
+
+    ctes = [
+        f"pts AS (SELECT lat, lon FROM ({_SYNTH_SQL}))",
+        f"c{L} AS (SELECT {q('lon', lon_off, lon_span)} AS ix, "
+        f"{q('lat', lat_off, lat_span)} AS iy, COUNT(*) AS n FROM pts GROUP BY 1, 2)",
+    ]
+    for lvl in range(L - 1, -1, -1):
+        ctes.append(
+            f"c{lvl} AS (SELECT ix // 2 AS ix, iy // 2 AS iy, SUM(n) AS n "
+            f"FROM c{lvl + 1} GROUP BY 1, 2)"
+        )
+    branches = [
+        f"SELECT CAST(0 AS INT) AS level, ix, iy, CAST(n AS BIGINT) AS n "
+        f"FROM c0 WHERE n <= {cap}"
+    ]
+    for lvl in range(1, L + 1):
+        own = f"AND c{lvl}.n <= {cap}" if lvl < L else ""
+        branches.append(
+            f"SELECT CAST({lvl} AS INT) AS level, c{lvl}.ix, c{lvl}.iy, "
+            f"CAST(c{lvl}.n AS BIGINT) AS n "
+            f"FROM c{lvl} JOIN c{lvl - 1} p ON p.ix = c{lvl}.ix // 2 "
+            f"AND p.iy = c{lvl}.iy // 2 WHERE p.n > {cap} {own}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(branches)
+
+
 def _kcore_oracle_sql() -> str:
     ctes = [
         f"ge AS ({_GATE_GRAPH_SQL})",
@@ -2762,6 +2831,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_graph": q_triangles_graph,
         "linkpred_graph": q_linkpred_graph,
         "kcore_graph": q_kcore_graph,
+        "clustering_graph": q_clustering_graph,
+        "assortativity_graph": q_assortativity_graph,
+        "adaptive_grid_events": q_adaptive_grid_events,
         "isolated_events": q_isolated_events,
         "skyline_events": q_skyline_events,
         "ripley_events": q_ripley_events,
@@ -3223,6 +3295,51 @@ def oracle_sql() -> dict[str, str]:
                     JOIN deg db ON db.node = np.node_b
         """,
         "kcore_graph": _kcore_oracle_sql(),
+        "clustering_graph": f"""
+            WITH ge AS ({_GATE_GRAPH_SQL}),
+            deg AS (SELECT node, COUNT(*) AS deg FROM
+                      (SELECT u AS node FROM ge UNION ALL SELECT v FROM ge)
+                    GROUP BY node),
+            tri AS (SELECT a.u AS x, a.v AS y, b.v AS z
+                    FROM ge a JOIN ge b ON b.u = a.u AND b.v > a.v
+                    JOIN ge c ON c.u = a.v AND c.v = b.v),
+            per AS (SELECT node, COUNT(*) AS c FROM
+                      (SELECT x AS node FROM tri UNION ALL
+                       SELECT y FROM tri UNION ALL SELECT z FROM tri)
+                    GROUP BY node)
+            SELECT deg.node, CAST(COALESCE(per.c, 0) AS BIGINT) AS n_tri,
+                   CAST(deg.deg AS BIGINT) AS deg,
+                   round(CASE WHEN deg.deg >= 2 THEN
+                     (2.0 * CAST(COALESCE(per.c, 0) AS DOUBLE))
+                       / CAST(deg.deg * (deg.deg - 1) AS DOUBLE)
+                   ELSE 0.0 END, 6) AS coef
+            FROM deg LEFT JOIN per ON per.node = deg.node
+        """,
+        "assortativity_graph": f"""
+            WITH ge AS ({_GATE_GRAPH_SQL}),
+            deg AS (SELECT node, COUNT(*) AS deg FROM
+                      (SELECT u AS node FROM ge UNION ALL SELECT v FROM ge)
+                    GROUP BY node),
+            agg AS (SELECT COUNT(*) AS m,
+                           SUM(CAST(du.deg * dv.deg AS HUGEINT)) AS sxy,
+                           SUM(CAST(du.deg + dv.deg AS HUGEINT)) AS sx,
+                           SUM(CAST(du.deg * du.deg + dv.deg * dv.deg AS HUGEINT)) AS sxx
+                    FROM ge JOIN deg du ON du.node = ge.u
+                            JOIN deg dv ON dv.node = ge.v)
+            SELECT CAST(m AS BIGINT) AS m,
+                   round(CASE WHEN (CAST(sxx AS DOUBLE) / CAST(m * 2 AS DOUBLE)
+                          - (CAST(sx AS DOUBLE) / CAST(m * 2 AS DOUBLE))
+                            * (CAST(sx AS DOUBLE) / CAST(m * 2 AS DOUBLE))) > 0
+                   THEN (CAST(sxy AS DOUBLE) / CAST(m AS DOUBLE)
+                          - (CAST(sx AS DOUBLE) / CAST(m * 2 AS DOUBLE))
+                            * (CAST(sx AS DOUBLE) / CAST(m * 2 AS DOUBLE)))
+                        / (CAST(sxx AS DOUBLE) / CAST(m * 2 AS DOUBLE)
+                          - (CAST(sx AS DOUBLE) / CAST(m * 2 AS DOUBLE))
+                            * (CAST(sx AS DOUBLE) / CAST(m * 2 AS DOUBLE)))
+                   ELSE NULL END, 6) AS r
+            FROM agg
+        """,
+        "adaptive_grid_events": _adaptive_oracle_sql(),
         "diameter_users": f"""
             WITH pts AS (SELECT user_id, lat, lon FROM ({_SYNTH_SQL})
                          WHERE user_id % 10 = 0),

@@ -369,6 +369,103 @@ def common_neighbor_pairs(
     return out
 
 
+def clustering_coefficient(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Local clustering coefficient per node → (node, n_tri, deg, coef):
+    coef = 2·T_v / (deg_v·(deg_v−1)) — how close the node's
+    neighborhood is to a clique (the transitivity companion of
+    :func:`triangle_count`; global transitivity is the caller's one-row
+    aggregate 3·ΣT / Σwedges over these exact columns). Degree-1 nodes
+    have no wedge and emit coef = 0.0 by contract (not NULL — the
+    convention that keeps downstream averages total).
+
+    n_tri/deg are exact ints straight from the triangle/degree
+    aggregates; coef is ONE IEEE division on exact operands (round-6
+    contract). Plan: triangle_count's oriented wedge join + one degree
+    join — no new shuffle shape.
+    """
+    tri = triangle_count(edges, src=src, dst=dst)
+    e = _simple_undirected(edges, src, dst)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return tri.join(deg, "node").select(
+        "node",
+        "n_tri",
+        F.col("deg").cast("long").alias("deg"),
+        F.round(
+            F.when(
+                F.col("deg") >= 2,
+                (F.lit(2.0) * F.col("n_tri").cast("double"))
+                / (F.col("deg") * (F.col("deg") - 1)).cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("coef"),
+    )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Newman's degree assortativity coefficient → ONE row (m, r):
+    the Pearson correlation of endpoint degrees over all edge-endpoint
+    pairs of the undirected simple graph (r > 0: hubs attach to hubs;
+    r < 0: hub-and-spoke). Social graphs are assortative, road/infra
+    meshes disassortative — a one-number topology fingerprint.
+
+    Exactness: with each undirected edge contributing BOTH (deg_u,
+    deg_v) and (deg_v, deg_u), the three sums Σxy, Σ(x+y), Σ(x²+y²)
+    accumulate as DECIMAL(38,0) (degree products can reach n² — int64
+    sums would overflow at web scale; decimal/HUGEINT sums are exact
+    and order-invariant). r = (S_xy/M − μ²) / (S_xx/M − μ²) with
+    M = 2m, μ = S_x/M — a fixed IEEE expression on the exact sums
+    (round-6). Degenerate variance (regular graphs) emits NULL r.
+
+    Plan: one degree aggregate + two broadcast-eligible joins onto the
+    edge list + ONE global one-row aggregate — no self-joins, no
+    windows.
+    """
+    e = _simple_undirected(edges, src, dst)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("_du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("_dv"))
+    dec = "decimal(38,0)"
+    x, y = F.col("_du").cast("long"), F.col("_dv").cast("long")
+    agg = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum((x * y).cast(dec)).alias("_sxy"),
+            F.sum((x + y).cast(dec)).alias("_sx"),
+            F.sum((x * x + y * y).cast(dec)).alias("_sxx"),
+        )
+    )
+    # over the M = 2m ordered endpoint pairs: Σxy_pairs = 2·Σxy_edges,
+    # so E[xy] = S_xy/m; first-element sums are Σ(x+y) and Σ(x²+y²)
+    big_m = (F.col("m") * 2).cast("double")
+    mu = F.col("_sx").cast("double") / big_m
+    cov = F.col("_sxy").cast("double") / F.col("m").cast("double") - mu * mu
+    var = F.col("_sxx").cast("double") / big_m - mu * mu
+    return agg.select(
+        "m",
+        F.round(F.when(var > 0, cov / var), 6).alias("r"),
+    )
+
+
 def k_core(
     edges: DataFrame,
     k: int,

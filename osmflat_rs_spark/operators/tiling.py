@@ -783,3 +783,86 @@ def local_morans_i(
         z.alias("z"),
         quadrant.alias("quadrant"),
     )
+
+
+def adaptive_grid(
+    pts: DataFrame,
+    lat: str = "lat",
+    lon: str = "lon",
+    max_level: int = 12,
+    cap: int = 1000,
+) -> DataFrame:
+    """Adaptive quadtree aggregation → (level, ix, iy, n): the COARSEST
+    set of grid cells in which no cell holds more than ``cap`` points
+    (cells still overfull at ``max_level`` become forced leaves). The
+    output is a complete, non-overlapping leaf cover of the occupied
+    space — the adaptive heatmap / load-balancing tile set (dense
+    downtown splits to level 12, empty ocean stays one coarse cell),
+    the classic quadtree index build restated relationally.
+
+    Correctness hinge: subtree counts are MONOTONE up the hierarchy
+    (a parent's count ≥ any child's), so "every ancestor is overfull"
+    collapses to "the immediate parent is overfull" — the split test is
+    LOCAL, and the whole operator needs no iteration-until-fixpoint:
+    a cell at level l > 0 is a leaf iff parent.n > cap AND (own n ≤ cap
+    OR l = max_level); the level-0 cell is a leaf iff n ≤ cap (or
+    max_level = 0). Deterministic, partition-invariant, and exactly
+    restatable as chained SQL CTEs (the gate oracle).
+
+    Scale shape: points are touched ONCE (one map-side-combined groupBy
+    at the finest level); every coarser level's counts ROLL UP from the
+    level below (shiftright parent keys — aggregates over occupied-cell
+    rows, whose count shrinks ~4× per level); the leaf tests are
+    cell-keyed equi-joins between adjacent levels. Total: one
+    point-sized exchange + max_level cell-sized rollups, all lazy (no
+    driver actions), all codegen.
+    """
+    from osmflat_rs_spark.functions.cells import MAX_RES, grid_exprs
+
+    if not (0 <= max_level <= MAX_RES):
+        raise ValueError(f"max_level must be in [0, {MAX_RES}], got {max_level}")
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    ix, iy = grid_exprs(F.col(lat), F.col(lon), max_level)
+    base = pts.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull())
+    counts = {
+        max_level: base.groupBy(ix.alias("ix"), iy.alias("iy")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+    }
+    for lvl in range(max_level - 1, -1, -1):
+        counts[lvl] = (
+            counts[lvl + 1]
+            .groupBy(
+                F.shiftright("ix", 1).alias("ix"), F.shiftright("iy", 1).alias("iy")
+            )
+            .agg(F.sum("n").alias("n"))
+        )
+    leaves = []
+    for lvl in range(0, max_level + 1):
+        c = counts[lvl]
+        if lvl == 0:
+            leaf = c if max_level == 0 else c.filter(F.col("n") <= cap)
+        else:
+            par = counts[lvl - 1].select(
+                F.col("ix").alias("_pix"), F.col("iy").alias("_piy"),
+                F.col("n").alias("_pn"),
+            )
+            own_ok = (
+                F.lit(True) if lvl == max_level else (F.col("n") <= cap)
+            )
+            leaf = (
+                c.join(
+                    par,
+                    (F.shiftright(c["ix"], 1) == par["_pix"])
+                    & (F.shiftright(c["iy"], 1) == par["_piy"]),
+                )
+                .filter((F.col("_pn") > cap) & own_ok)
+                .select("ix", "iy", "n")
+            )
+        leaves.append(leaf.select(F.lit(lvl).cast("int").alias("level"), "ix", "iy",
+                                  F.col("n").cast("long").alias("n")))
+    out = leaves[0]
+    for lf in leaves[1:]:
+        out = out.unionByName(lf)
+    return out

@@ -400,3 +400,70 @@ def test_k_core_empty_and_validation(spark):
     assert k_core(chain, 2).count() == 0  # a chain has no 2-core
     with _pytest.raises(ValueError):
         k_core(chain, 0)
+
+
+# -------------------------------------------------- clustering/assortativity
+
+
+def test_clustering_coefficient_matches_model(spark):
+    import numpy as np
+
+    from osmflat_rs_spark.operators.graph import clustering_coefficient
+
+    rng = np.random.default_rng(19)
+    edges = [(int(rng.integers(0, 40)), int(rng.integers(0, 40))) for _ in range(150)]
+    edges = [(u, v) for u, v in edges if u != v]
+    adj = _model_graph(edges)
+    tri = _model_triangles(edges)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: (r["n_tri"], r["deg"], r["coef"])
+           for r in clustering_coefficient(df).collect()}
+    for n in adj:
+        d = len(adj[n])
+        coef = round(2.0 * tri[n] / (d * (d - 1)), 6) if d >= 2 else 0.0
+        assert got[n] == (tri[n], d, coef)
+    # K4: every node coef exactly 1
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    got = {r["node"]: r["coef"] for r in clustering_coefficient(
+        spark.createDataFrame(k4, "src long, dst long")).collect()}
+    assert got == {i: 1.0 for i in range(4)}
+
+
+def test_degree_assortativity_model_and_edges(spark):
+    import numpy as np
+
+    from osmflat_rs_spark.operators.graph import degree_assortativity
+
+    def model_r(edges):
+        adj = _model_graph(edges)
+        se = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+        xs, ys = [], []
+        for u, v in se:
+            du, dv = len(adj[u]), len(adj[v])
+            xs += [du, dv]
+            ys += [dv, du]
+        xs, ys = np.array(xs, dtype=float), np.array(ys, dtype=float)
+        vx = (xs * xs).mean() - xs.mean() ** 2
+        if vx <= 0:
+            return len(se), None
+        cov = (xs * ys).mean() - xs.mean() * ys.mean()
+        return len(se), cov / vx
+
+    rng = np.random.default_rng(29)
+    edges = [(int(rng.integers(0, 50)), int(rng.integers(0, 50))) for _ in range(160)]
+    edges = [(u, v) for u, v in edges if u != v]
+    m_want, r_want = model_r(edges)
+    row = degree_assortativity(
+        spark.createDataFrame(edges, "src long, dst long")).collect()[0]
+    assert row["m"] == m_want
+    assert abs(row["r"] - round(r_want, 6)) < 1e-9
+    # star graph: perfectly disassortative, r = -1
+    star = [(0, i) for i in range(1, 8)]
+    row = degree_assortativity(
+        spark.createDataFrame(star, "src long, dst long")).collect()[0]
+    assert row["r"] == -1.0
+    # regular graph (cycle): zero degree variance -> NULL by contract
+    cyc = [(i, (i + 1) % 6) for i in range(6)]
+    row = degree_assortativity(
+        spark.createDataFrame(cyc, "src long, dst long")).collect()[0]
+    assert row["m"] == 6 and row["r"] is None

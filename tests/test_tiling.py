@@ -420,3 +420,86 @@ def test_kde_grid_matches_bruteforce_model(spark):
     )
     assert "Join" not in plan, plan[:2000]
     assert plan.count("Exchange") <= 3  # two aggs (+ possible AQE read)
+
+
+# ------------------------------------------------------------ adaptive grid
+
+
+def _q(c, off, span, L):
+    import math
+
+    v = math.floor(((c + off) * (1 << L)) / span)  # same IEEE division
+    return max(0, min((1 << L) - 1, v))
+
+
+def _model_adaptive(points, max_level, cap):
+    """Pure-Python quadtree: counts at finest, roll up, local leaf test."""
+    from osmflat_rs_spark.functions.cells import _LAT_OFF, _LAT_SPAN, _LON_OFF, _LON_SPAN
+
+    counts = {max_level: {}}
+    for la, lo in points:
+        key = (_q(lo, _LON_OFF, _LON_SPAN, max_level), _q(la, _LAT_OFF, _LAT_SPAN, max_level))
+        counts[max_level][key] = counts[max_level].get(key, 0) + 1
+    for lvl in range(max_level - 1, -1, -1):
+        up = {}
+        for (x, y), n in counts[lvl + 1].items():
+            up[(x >> 1, y >> 1)] = up.get((x >> 1, y >> 1), 0) + n
+        counts[lvl] = up
+    leaves = {}
+    for lvl in range(0, max_level + 1):
+        for (x, y), n in counts[lvl].items():
+            if lvl == 0:
+                if n <= cap or max_level == 0:
+                    leaves[(lvl, x, y)] = n
+            else:
+                pn = counts[lvl - 1][(x >> 1, y >> 1)]
+                if pn > cap and (n <= cap or lvl == max_level):
+                    leaves[(lvl, x, y)] = n
+    return leaves
+
+
+def test_adaptive_grid_matches_model_and_partitions_space(spark):
+    import numpy as np
+
+    from osmflat_rs_spark.operators.tiling import adaptive_grid
+
+    rng = np.random.default_rng(47)
+    # a dense blob + sparse background => mixed leaf levels
+    pts = [(int(rng.normal(520_000_000, 50_000)), int(rng.normal(133_000_000, 50_000)))
+           for _ in range(700)]
+    pts += [(int(rng.integers(-900_000_000, 900_000_000)),
+             int(rng.integers(-1_800_000_000, 1_800_000_000))) for _ in range(300)]
+    df = spark.createDataFrame(pts, "lat long, lon long")
+    max_level, cap = 8, 50
+    want = _model_adaptive(pts, max_level, cap)
+    got = {(r["level"], r["ix"], r["iy"]): r["n"]
+           for r in adaptive_grid(df, max_level=max_level, cap=cap).collect()}
+    assert got == want
+    assert len({lvl for lvl, _, _ in got}) > 1  # genuinely adaptive
+    # leaf counts partition the corpus exactly
+    assert sum(got.values()) == len(pts)
+    # partition invariance
+    got2 = {(r["level"], r["ix"], r["iy"]): r["n"]
+            for r in adaptive_grid(df.repartition(13), max_level=max_level, cap=cap).collect()}
+    assert got2 == want
+
+
+def test_adaptive_grid_edges(spark):
+    import pytest as _pytest
+
+    from osmflat_rs_spark.operators.tiling import adaptive_grid
+
+    # duplicates past cap become a forced max-level leaf
+    df = spark.createDataFrame([(1_000_000, 2_000_000)] * 7, "lat long, lon long")
+    rows = adaptive_grid(df, max_level=4, cap=3).collect()
+    assert len(rows) == 1 and rows[0]["level"] == 4 and rows[0]["n"] == 7
+    # cap >= n -> the single root leaf
+    rows = adaptive_grid(df, max_level=4, cap=100).collect()
+    assert len(rows) == 1 and rows[0]["level"] == 0 and rows[0]["n"] == 7
+    # max_level=0 -> root is the forced leaf
+    rows = adaptive_grid(df, max_level=0, cap=1).collect()
+    assert len(rows) == 1 and rows[0]["level"] == 0
+    with _pytest.raises(ValueError):
+        adaptive_grid(df, max_level=-1)
+    with _pytest.raises(ValueError):
+        adaptive_grid(df, cap=0)
