@@ -1875,6 +1875,16 @@ def q_service_areas_events(spark, sf_dir):
     return service_areas(pts, sites)
 
 
+def q_transitions_events(spark, sf_dir):
+    """First-order Markov event-transition matrix: one entity-keyed lag
+    window + one map-side pair count; row-conditional p from a
+    #types-sized aggregate OF the pair table (no second corpus pass).
+    Ordering key (ts, event_id) — canonical in both engines."""
+    from osmflat_rs_spark.operators.sessions import event_transitions
+
+    return event_transitions(_t(spark, sf_dir, "events"))
+
+
 FREQ_PAIRS_NUM, FREQ_PAIRS_DEN = 3, 5
 
 
@@ -2890,6 +2900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freq_pairs_docs": q_freq_pairs_docs,
         "service_areas_events": q_service_areas_events,
         "funnel_events": q_funnel_events,
+        "transitions_events": q_transitions_events,
         "mean_center_events": q_mean_center_events,
         "repetition_docs": q_repetition_docs,
         "contamination_docs": q_contamination_docs,
@@ -4217,6 +4228,18 @@ def oracle_sql() -> dict[str, str]:
         # idf = ln(N/df), ties by term ascending — mirrors tfidf_top_terms.
         "bm25_docs": _bm25_oracle_sql(),
         "freq_pairs_docs": _freq_pairs_oracle_sql(),
+        "transitions_events": """
+            WITH seq AS (SELECT user_id, event_type,
+                                LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+                         FROM events),
+            pr AS (SELECT event_type AS from_type, nxt AS to_type, COUNT(*) AS n
+                   FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+            tot AS (SELECT from_type, SUM(n) AS tot FROM pr GROUP BY 1)
+            SELECT pr.from_type, pr.to_type, CAST(pr.n AS BIGINT) AS n,
+                   round(CAST(pr.n AS DOUBLE) / CAST(tot.tot AS DOUBLE), 6) AS p
+            FROM pr JOIN tot ON tot.from_type = pr.from_type
+        """,
         "service_areas_events": f"""
             WITH pts AS (SELECT event_id, lat, lon FROM ({_SYNTH_SQL})),
             sites AS (SELECT g.s AS site_id,

@@ -245,7 +245,10 @@ def triangle_count(
     (tests pin this shape). Everything is codegen equi-joins and exact
     integer counts; no Python, no floats, no windows.
     """
-    e = _simple_undirected(edges, src, dst).persist()
+    # fully LAZY plan (no persist: there is no driver action here, and
+    # the multiply-referenced stages dedupe via ReusedExchange at run
+    # time — repo style for one-shot lazy operators)
+    e = _simple_undirected(edges, src, dst)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))
@@ -268,7 +271,6 @@ def triangle_count(
             F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
             F.when(u_first, F.col("_dv")).otherwise(F.col("_du")).alias("deg_hi"),
         )
-        .persist()
     )
     w1 = oriented.select(
         F.col("lo").alias("apex"), F.col("hi").alias("b"), F.col("deg_hi").alias("deg_b")
@@ -292,11 +294,9 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_tri"))
     )
-    out = deg.join(per_node, "node", "left").select(
+    return deg.join(per_node, "node", "left").select(
         "node", F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri")
     )
-    e.unpersist()
-    return out
 
 
 def common_neighbor_pairs(
@@ -326,7 +326,7 @@ def common_neighbor_pairs(
     """
     if min_common < 1:
         raise ValueError(f"min_common must be >= 1, got {min_common}")
-    e = _simple_undirected(edges, src, dst).persist()
+    e = _simple_undirected(edges, src, dst)
     adj = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = adj.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
     mids = adj.select(F.col("u").alias("mid"), F.col("v").alias("leaf"))
@@ -365,7 +365,6 @@ def common_neighbor_pairs(
             ).alias("jaccard"),
         )
     )
-    e.unpersist()
     return out
 
 

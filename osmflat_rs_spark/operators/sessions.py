@@ -194,3 +194,49 @@ def funnel_steps(
         *[f"ts_step{i}" for i in range(1, len(steps) + 1)],
         total.cast("long").alias("steps_reached"),
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_cols: tuple = ("event_id",),
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams
+    → (from_type, to_type, n, p): counts of consecutive (type_i →
+    type_j) pairs in (ts, *order_cols) order, and the row-conditional
+    probability p = n / Σ_j n (the clickstream "what happens next"
+    matrix; rows where the user has a next event — the last event of
+    each user emits no pair).
+
+    Determinism: the ordering key is (ts, *order_cols) — callers pass a
+    unique tiebreaker (default event_id) so same-timestamp events have
+    one canonical order in both engines. Counts are exact ints; p is
+    ONE IEEE division per row on exact operands (round-6 contract).
+
+    Scale shape: one entity-keyed lag window (the movement_profile /
+    sessionize shuffle — per-user cost bounded by the user's own
+    events, AQE handles hot-key skew) + one map-side-combined pair
+    count; the row totals come from a #types-sized aggregate OF the
+    pair table (never a second corpus pass), broadcast back.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), *[F.col(c).asc() for c in order_cols]
+    )
+    pairs = (
+        events.withColumn("_next", F.lead(type_col).over(w))
+        .filter(F.col("_next").isNotNull())
+        .groupBy(F.col(type_col).alias("from_type"), F.col("_next").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("_tot"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n").cast("double") / F.col("_tot").cast("double"), 6).alias("p"),
+        )
+    )

@@ -825,11 +825,48 @@ def adaptive_grid(
         raise ValueError(f"cap must be >= 1, got {cap}")
     ix, iy = grid_exprs(F.col(lat), F.col(lon), max_level)
     base = pts.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull())
-    counts = {
-        max_level: base.groupBy(ix.alias("ix"), iy.alias("iy")).agg(
-            F.count(F.lit(1)).alias("n")
-        )
-    }
+    finest = base.groupBy(ix.alias("ix"), iy.alias("iy")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return adaptive_grid_from_counts(finest, max_level=max_level, cap=cap)
+
+
+def adaptive_grid_cell_counts(
+    pts: DataFrame,
+    lat: str = "lat",
+    lon: str = "lon",
+    max_level: int = 12,
+) -> DataFrame:
+    """The MERGEABLE part of :func:`adaptive_grid`: finest-level
+    occupied-cell counts (ix, iy, n). Counts merge by re-summing, so
+    this is the partial a streaming maintenance job appends per batch
+    (see ``incremental.stream_adaptive_partials``) — the leaf test
+    stays a READ-time knob (cap can be re-cut on the same partials)."""
+    from osmflat_rs_spark.functions.cells import MAX_RES, grid_exprs
+
+    if not (0 <= max_level <= MAX_RES):
+        raise ValueError(f"max_level must be in [0, {MAX_RES}], got {max_level}")
+    ix, iy = grid_exprs(F.col(lat), F.col(lon), max_level)
+    return (
+        pts.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull())
+        .groupBy(ix.alias("ix"), iy.alias("iy"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def adaptive_grid_from_counts(
+    finest: DataFrame,
+    max_level: int,
+    cap: int,
+) -> DataFrame:
+    """Rollup + local leaf test over pre-aggregated finest-level cell
+    counts (ix, iy, n) — the read-time half shared by the batch
+    operator and the streaming-partials form (merge partials with a
+    groupBy-sum first; re-summed counts are the SAME table the batch
+    aggregate would produce, so both forms agree exactly)."""
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    counts = {max_level: finest}
     for lvl in range(max_level - 1, -1, -1):
         counts[lvl] = (
             counts[lvl + 1]

@@ -790,3 +790,147 @@ def stream_movement_profile(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_adaptive_partials(
+    spark,
+    src_dir: str,
+    schema,
+    checkpoint_dir: str,
+    out_dir: str,
+    max_level: int,
+    lat: str = "lat",
+    lon: str = "lon",
+):
+    """Streaming adaptive-quadtree maintenance: `stream_sketch_partials`
+    over `tiling.adaptive_grid_cell_counts` — each micro-batch appends
+    ITS finest-level occupied-cell counts (bounded by the batch's
+    cells), and the live adaptive leaf cover at any moment is
+    ``adaptive_from_partials(spark.read.parquet(out_dir), max_level,
+    cap)``: counts merge by re-summing, the rollup + local leaf test
+    run on the merged CELL table (never on the stream's points), and
+    ``cap`` stays a READ-time knob — the same partials re-cut at any
+    capacity. The dashboard form of the batch operator, state bounded
+    by occupied cells × batches on disk."""
+    from osmflat_rs_spark.operators.tiling import adaptive_grid_cell_counts
+
+    return stream_sketch_partials(
+        spark, src_dir, schema, checkpoint_dir, out_dir,
+        lambda bdf: adaptive_grid_cell_counts(bdf, lat=lat, lon=lon, max_level=max_level),
+    )
+
+
+def adaptive_from_partials(partials, max_level: int, cap: int):
+    """Merge appended finest-cell partials (groupBy-sum — re-summed
+    counts are exactly the batch aggregate's table) and cut the leaf
+    cover at ``cap``."""
+    from pyspark.sql import functions as F
+
+    from osmflat_rs_spark.operators.tiling import adaptive_grid_from_counts
+
+    merged = partials.groupBy("ix", "iy").agg(F.sum("n").alias("n"))
+    return adaptive_grid_from_counts(merged, max_level=max_level, cap=cap)
+
+
+def stream_funnel_steps(
+    spark,
+    src_dir: str,
+    schema,
+    checkpoint_dir: str,
+    out_dir: str,
+    steps: list,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+):
+    """STATEFUL streaming form of ``sessions.funnel_steps``: step
+    completions as events ARRIVE — one append row (user, step, ts_us)
+    the moment a user's funnel advances (the live conversion feed).
+
+    Equivalence to the batch operator (tested): processing each user's
+    events in (ts, order) order and advancing exactly when the event's
+    type matches the NEXT needed step with ts STRICTLY after the last
+    reached step reproduces the batch chained-min semantics — any
+    earlier candidate for step i has ts ≤ ts_{i-1} at the moment it is
+    scanned (the scan is time-ordered), so the first taken event IS the
+    greedy-earliest minimum.
+
+    State per user: the last processed (t_us, order) pair + the reached
+    step timestamps — bounded by #users × K, checkpointed,
+    restart-surviving; batch boundaries stitch seamlessly (the state
+    carries funnel progress across micro-batches). Ordering contract as
+    in ``stream_movement_profile``: per user, non-decreasing event time
+    across micro-batches; a late event is DROPPED loudly-by-contract
+    (within a batch, arrival order is irrelevant — the kernel sorts).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    steps = list(steps)
+
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    prepped = stream.select(
+        F.col(user_col).cast("string").alias("user"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t_us"),
+        F.col(order_col).cast("long").alias("o"),
+        F.col(type_col).cast("string").alias("typ"),
+    )
+    out_schema = StructType(
+        [
+            StructField("user", StringType()),
+            StructField("step", IntegerType()),
+            StructField("ts_us", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("t_us", LongType()),
+            StructField("o", LongType()),
+            StructField("reached", ArrayType(LongType())),
+        ]
+    )
+
+    def funnel_fn(key, pdfs, state: GroupState):
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            yield pd.DataFrame({c.name: [] for c in out_schema.fields})
+            return
+        evs = pd.concat(chunks).sort_values(["t_us", "o"], kind="mergesort")
+        if state.exists:
+            lt, lo, reached = state.get
+            last = (int(lt), int(lo))
+            reached = [int(x) for x in reached]
+        else:
+            last, reached = None, []
+        rows = []
+        for t, o, typ in evs[["t_us", "o", "typ"]].itertuples(index=False):
+            t, o = int(t), int(o)
+            if last is not None and (t, o) < last:
+                continue  # late event: dropped by contract
+            last = (t, o)
+            if len(reached) < len(steps) and typ == steps[len(reached)]:
+                if not reached or t > reached[-1]:
+                    reached.append(t)
+                    rows.append((key[0], len(reached), t))
+        if last is not None:
+            state.update((last[0], last[1], reached))
+        yield pd.DataFrame(rows, columns=[c.name for c in out_schema.fields])
+
+    advanced = prepped.groupBy("user").applyInPandasWithState(
+        funnel_fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    return (
+        advanced.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

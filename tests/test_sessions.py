@@ -211,3 +211,48 @@ def test_funnel_validation(spark):
     df = spark.createDataFrame([(1, 1, "A")], "user_id long, ts long, event_type string")
     with _pytest.raises(ValueError):
         funnel_steps(df, [])
+
+
+# -------------------------------------------------------- event transitions
+
+
+def test_event_transitions_matches_model(spark):
+    import numpy as np
+
+    from osmflat_rs_spark.operators.sessions import event_transitions
+
+    rng = np.random.default_rng(53)
+    types = ["A", "B", "C"]
+    rows = [(int(rng.integers(0, 20)), int(rng.integers(0, 40)), i,
+             types[rng.integers(0, 3)]) for i in range(400)]
+    # model: per user sort by (ts, event_id), count consecutive pairs
+    byu = {}
+    for u, ts, eid, ty in rows:
+        byu.setdefault(u, []).append((ts, eid, ty))
+    cnt = {}
+    for evs in byu.values():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            cnt[(a, b)] = cnt.get((a, b), 0) + 1
+    tot = {}
+    for (a, _), n in cnt.items():
+        tot[a] = tot.get(a, 0) + n
+    want = {k: (n, round(n / tot[k[0]], 6)) for k, n in cnt.items()}
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long, event_type string")
+    got = {(r["from_type"], r["to_type"]): (r["n"], r["p"])
+           for r in event_transitions(df).collect()}
+    assert got == want
+    got2 = {(r["from_type"], r["to_type"]): (r["n"], r["p"])
+            for r in event_transitions(df.repartition(7)).collect()}
+    assert got2 == want
+
+
+def test_event_transitions_tie_order_and_last_event(spark):
+    from osmflat_rs_spark.operators.sessions import event_transitions
+
+    # same-ts events order by the event_id tiebreaker; the last event
+    # of each user emits no pair
+    rows = [(1, 5, 1, "A"), (1, 5, 2, "B"), (1, 9, 3, "C"), (2, 1, 4, "X")]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long, event_type string")
+    got = {(r["from_type"], r["to_type"]): r["n"] for r in event_transitions(df).collect()}
+    assert got == {("A", "B"): 1, ("B", "C"): 1}

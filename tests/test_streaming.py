@@ -504,3 +504,104 @@ def test_stream_movement_profile_stitch_and_late_drop(spark, tmp_path):
         (base, 1_000_000, 100, "E", True),
         (base + 1_000_000, 2_000_000, 400, "E", True),
     ]
+
+
+def test_stream_adaptive_partials_matches_batch(spark, tmp_path):
+    """Streaming adaptive quadtree: after chunked arrival with a
+    restart, adaptive_from_partials over the appended finest-cell
+    partials must equal batch adaptive_grid EXACTLY (counts are
+    integers — re-summing partials is the batch aggregate), and cap
+    stays a read-time knob (two caps cut from the same partials)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from osmflat_rs_spark.operators.tiling import adaptive_grid
+    from osmflat_rs_spark.streaming.incremental import (
+        adaptive_from_partials,
+        stream_adaptive_partials,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id",
+        (F.lit(524_000_000) + (F.col("event_id") * 48271) % 2_000_000).cast("long").alias("lat"),
+        (F.lit(132_000_000) + (F.col("event_id") * 16807) % 4_000_000).cast("long").alias("lon"),
+    )
+    schema = events.schema
+    events_dir = str(tmp_path / "events")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "adaptive")
+    _os.makedirs(events_dir)
+
+    max_level = 18
+    a, b = events.randomSplit([0.5, 0.5], seed=11)
+    a.write.mode("append").parquet(events_dir)
+    q = stream_adaptive_partials(spark, events_dir, schema, ck, out, max_level)
+    q.awaitTermination(120)
+    b.write.mode("append").parquet(events_dir)
+    q = stream_adaptive_partials(spark, events_dir, schema, ck, out, max_level)
+    q.awaitTermination(120)
+
+    partials = spark.read.parquet(out)
+    for cap in (5, 40):
+        got = {(r["level"], r["ix"], r["iy"]): r["n"]
+               for r in adaptive_from_partials(partials, max_level, cap).collect()}
+        want = {(r["level"], r["ix"], r["iy"]): r["n"]
+                for r in adaptive_grid(events, max_level=max_level, cap=cap).collect()}
+        assert got == want and len(want) > 1
+        assert sum(got.values()) == events.count()
+
+
+def test_stream_funnel_matches_batch(spark, tmp_path):
+    """Two availableNow runs split IN TIME against one checkpoint: the
+    unioned step-completion appends must pivot to exactly the batch
+    funnel (cross-batch state stitch: a funnel that starts in run 1 and
+    completes in run 2 emits each step exactly once)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from osmflat_rs_spark.operators.sessions import funnel_steps
+    from osmflat_rs_spark.streaming.incremental import stream_funnel_steps
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    steps = ["view", "click", "purchase"]
+    schema = events.schema
+    src = str(tmp_path / "events")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "funnel")
+    _os.makedirs(src)
+
+    # split BY TIME so the per-user non-decreasing-event-time contract
+    # holds across the two runs by construction, and funnels genuinely
+    # straddle the batch boundary
+    tmu = F.unix_micros(F.col("ts").cast("timestamp"))
+    mid = events.select(tmu.alias("t")).approxQuantile("t", [0.5], 0.0)[0]
+    a = events.filter(tmu <= mid)
+    b = events.filter(tmu > mid)
+    assert a.count() > 0 and b.count() > 0
+
+    a.write.mode("append").parquet(src)
+    q = stream_funnel_steps(spark, src, schema, ck, out, steps)
+    q.awaitTermination(120)
+    b.write.mode("append").parquet(src)
+    q = stream_funnel_steps(spark, src, schema, ck, out, steps)
+    q.awaitTermination(120)
+
+    got_rows = spark.read.parquet(out).collect()
+    got = {}
+    for r in got_rows:
+        got.setdefault(int(r["user"]), {})[r["step"]] = r["ts_us"]
+    want = {}
+    for r in funnel_steps(events, steps).collect():
+        w = {}
+        for i in (1, 2, 3):
+            v = r[f"ts_step{i}"]
+            if v is not None:
+                w[i] = int(v.timestamp() * 1_000_000)
+        want[r["user_id"]] = w
+    assert got == want
+    # each completion emitted exactly once
+    assert len(got_rows) == sum(len(w) for w in want.values())
