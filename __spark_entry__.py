@@ -1875,6 +1875,23 @@ def q_service_areas_events(spark, sf_dir):
     return service_areas(pts, sites)
 
 
+DENSIFY_GAP = 250_000
+
+
+def q_densify_events(spark, sf_dir):
+    """Polyline densification: no hop exceeds DENSIFY_GAP chessboard
+    units — k via exact integer ceil-div (`div`, not a double cast:
+    Spark truncates where DuckDB CAST rounds), lerp as the single
+    non-reassociated IEEE expression both engines reproduce bit-for-bit
+    (the resample_events precedent, unrounded)."""
+    from osmflat_rs_spark.operators.trajectory import densify_segments
+
+    pts = _synth_coords(_t(spark, sf_dir, "events")).select(
+        "user_id", "ts", "event_id", "lat", "lon"
+    )
+    return densify_segments(pts, "user_id", DENSIFY_GAP)
+
+
 def q_transitions_events(spark, sf_dir):
     """First-order Markov event-transition matrix: one entity-keyed lag
     window + one map-side pair count; row-conditional p from a
@@ -2901,6 +2918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "service_areas_events": q_service_areas_events,
         "funnel_events": q_funnel_events,
         "transitions_events": q_transitions_events,
+        "densify_events": q_densify_events,
         "mean_center_events": q_mean_center_events,
         "repetition_docs": q_repetition_docs,
         "contamination_docs": q_contamination_docs,
@@ -4228,6 +4246,28 @@ def oracle_sql() -> dict[str, str]:
         # idf = ln(N/df), ties by term ascending — mirrors tfidf_top_terms.
         "bm25_docs": _bm25_oracle_sql(),
         "freq_pairs_docs": _freq_pairs_oracle_sql(),
+        "densify_events": f"""
+            WITH pts AS (SELECT user_id, ts, event_id, lat, lon FROM ({_SYNTH_SQL})),
+            seg AS (SELECT user_id, lat AS la0, lon AS lo0,
+                           LEAD(lat) OVER w AS la1, LEAD(lon) OVER w AS lo1,
+                           ROW_NUMBER() OVER w - 1 AS seg
+                    FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            kk AS (SELECT user_id, seg, la0, lo0, la1, lo1,
+                          GREATEST(1, (GREATEST(ABS(la1 - la0), ABS(lo1 - lo0))
+                                       + {DENSIFY_GAP - 1}) // {DENSIFY_GAP}) AS k
+                   FROM seg WHERE la1 IS NOT NULL),
+            dense AS (SELECT user_id, seg, s.j AS j, k,
+                             CAST(la0 AS DOUBLE) + CAST(la1 - la0 AS DOUBLE)
+                               * (CAST(s.j AS DOUBLE) / CAST(k AS DOUBLE)) AS lat_d,
+                             CAST(lo0 AS DOUBLE) + CAST(lo1 - lo0 AS DOUBLE)
+                               * (CAST(s.j AS DOUBLE) / CAST(k AS DOUBLE)) AS lon_d
+                      FROM kk, generate_series(0, 63) s(j) WHERE s.j < k),
+            fin AS (SELECT user_id, seg, CAST(0 AS BIGINT) AS j, CAST(0 AS BIGINT) AS k,
+                           CAST(la0 AS DOUBLE) AS lat_d, CAST(lo0 AS DOUBLE) AS lon_d
+                    FROM seg WHERE la1 IS NULL)
+            SELECT user_id, seg, CAST(j AS BIGINT) AS j, CAST(k AS BIGINT) AS k, lat_d, lon_d
+            FROM (SELECT * FROM dense UNION ALL SELECT * FROM fin)
+        """,
         "transitions_events": """
             WITH seq AS (SELECT user_id, event_type,
                                 LEAD(event_type) OVER (PARTITION BY user_id

@@ -681,3 +681,101 @@ def movement_profile(
         sector.alias("sector"),
         speeding.alias("speeding"),
     )
+
+
+def densify_segments(
+    pts: DataFrame,
+    key_col: str,
+    max_gap: int,
+    lat: str = "lat",
+    lon: str = "lon",
+    ts_col: str = "ts",
+    order_cols: tuple = ("event_id",),
+) -> DataFrame:
+    """Polyline densification (the spatial complement of
+    :func:`resample_time` and the inverse of :mod:`simplify`): insert
+    evenly-spaced vertices along each consecutive segment so no hop
+    exceeds ``max_gap`` CHESSBOARD units → (key, seg, j, k, lat_d,
+    lon_d). Segment i splits into k = max(1, ceil(L∞/max_gap)) parts
+    (L∞ = max(|Δlat|, |Δlon|) — exact integer, so k is exact integer
+    arithmetic: (L + g − 1) div g on non-negative ints, no float
+    boundary); row (seg, j) is the point at fraction j/k, j = 0..k−1
+    (segment starts included, ends excluded — shared vertices emit
+    once), plus the line's final vertex as (seg = n−1, j = 0, k = 0).
+
+    Float contract (the resample_time precedent): the interpolation
+    lat0 + (lat1−lat0)·(j/k) is a single non-reassociated IEEE
+    expression — both engines produce bit-identical doubles, and NO
+    rounding is applied (rounding would only reintroduce divergence).
+
+    Scale shape: ONE entity-keyed lead window (the sessionize shuffle)
+    + an in-row ``F.sequence`` fan-out (bounded by L∞/max_gap per
+    segment — the caller's knob) — no joins, no Python.
+    """
+    if max_gap < 1:
+        raise ValueError(f"max_gap must be >= 1, got {max_gap}")
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), *[F.col(c).asc() for c in order_cols]
+    )
+    seg = (
+        pts.select(
+            F.col(key_col).alias("_k"),
+            F.col(ts_col).alias("_ts"),
+            *[F.col(c).alias(f"_o{i}") for i, c in enumerate(order_cols)],
+            F.col(lat).cast("long").alias("_la0"),
+            F.col(lon).cast("long").alias("_lo0"),
+        )
+        .withColumn("_la1", F.lead("_la0").over(
+            Window.partitionBy("_k").orderBy(F.col("_ts").asc(),
+                                             *[F.col(f"_o{i}").asc() for i in range(len(order_cols))])))
+        .withColumn("_lo1", F.lead("_lo0").over(
+            Window.partitionBy("_k").orderBy(F.col("_ts").asc(),
+                                             *[F.col(f"_o{i}").asc() for i in range(len(order_cols))])))
+        .withColumn(
+            "_seg",
+            F.row_number().over(
+                Window.partitionBy("_k").orderBy(F.col("_ts").asc(),
+                                                 *[F.col(f"_o{i}").asc() for i in range(len(order_cols))])
+            ) - 1,
+        )
+    )
+    # interior + start rows: one per (segment, j < k)
+    inner = seg.filter(F.col("_la1").isNotNull())
+    # exact ceil-div on non-negative ints: `div` (NOT a double divide +
+    # cast — Spark's cast truncates, DuckDB's CAST rounds-to-nearest)
+    k = F.greatest(
+        F.lit(1).cast("long"),
+        F.expr(
+            f"(greatest(abs(_la1 - _la0), abs(_lo1 - _lo0)) + {max_gap - 1}) div {max_gap}"
+        ),
+    )
+    dense = (
+        inner.withColumn("_kparts", k)
+        .withColumn("_j", F.explode(F.sequence(F.lit(0).cast("long"), F.col("_kparts") - 1)))
+        .select(
+            F.col("_k").alias(key_col),
+            F.col("_seg").alias("seg"),
+            F.col("_j").alias("j"),
+            F.col("_kparts").alias("k"),
+            (
+                F.col("_la0").cast("double")
+                + (F.col("_la1") - F.col("_la0")).cast("double")
+                * (F.col("_j").cast("double") / F.col("_kparts").cast("double"))
+            ).alias("lat_d"),
+            (
+                F.col("_lo0").cast("double")
+                + (F.col("_lo1") - F.col("_lo0")).cast("double")
+                * (F.col("_j").cast("double") / F.col("_kparts").cast("double"))
+            ).alias("lon_d"),
+        )
+    )
+    # the final vertex of each line, marked (j=0, k=0)
+    last = seg.filter(F.col("_la1").isNull()).select(
+        F.col("_k").alias(key_col),
+        F.col("_seg").alias("seg"),
+        F.lit(0).cast("long").alias("j"),
+        F.lit(0).cast("long").alias("k"),
+        F.col("_la0").cast("double").alias("lat_d"),
+        F.col("_lo0").cast("double").alias("lon_d"),
+    )
+    return dense.unionByName(last)

@@ -534,3 +534,73 @@ def test_movement_profile_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="vmax"):
         movement_profile(df, "user_id", 50_000)
+
+
+# ----------------------------------------------------------------- densify
+
+
+def _model_densify(rows, max_gap):
+    """rows: (key, ts, eid, lat, lon) — same ceil-div + IEEE lerp."""
+    byk = {}
+    for k_, ts, eid, la, lo in rows:
+        byk.setdefault(k_, []).append((ts, eid, la, lo))
+    out = {}
+    for k_, evs in byk.items():
+        evs.sort()
+        for i, ((_, _, la0, lo0), (_, _, la1, lo1)) in enumerate(zip(evs, evs[1:])):
+            li = max(abs(la1 - la0), abs(lo1 - lo0))
+            kp = max(1, (li + max_gap - 1) // max_gap)
+            for j in range(kp):
+                f = j / kp
+                out[(k_, i, j)] = (kp, la0 + (la1 - la0) * f, lo0 + (lo1 - lo0) * f)
+        last = evs[-1]
+        out[(k_, len(evs) - 1, 0) if len(evs) > 1 else (k_, 0, 0)] = (
+            0, float(last[2]), float(last[3]),
+        ) if len(evs) > 1 else (0, float(last[2]), float(last[3]))
+    return out
+
+
+def test_densify_matches_model_bit_exact(spark):
+    import numpy as np
+
+    from osmflat_rs_spark.operators.trajectory import densify_segments
+
+    rng = np.random.default_rng(59)
+    rows = [(int(rng.integers(0, 6)), int(rng.integers(0, 100)), i,
+             int(rng.integers(-5000, 5000)), int(rng.integers(-5000, 5000)))
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long, lat long, lon long")
+    got = {(r["user_id"], r["seg"], r["j"]): (r["k"], r["lat_d"], r["lon_d"])
+           for r in densify_segments(df, "user_id", 700).collect()}
+    want = _model_densify(rows, 700)
+    assert got == want  # IEEE lerp — bit-exact, no tolerance
+    # every hop in output order is within max_gap (the operator's point)
+    for k_ in {r[0] for r in rows}:
+        seq = sorted(((s, j) for (u, s, j) in got if u == k_))
+        pts = [got[(k_, s, j)][1:] for s, j in seq]
+        for (a1, o1), (a2, o2) in zip(pts, pts[1:]):
+            assert max(abs(a2 - a1), abs(o2 - o1)) <= 700 + 1e-9
+    got2 = {(r["user_id"], r["seg"], r["j"]): (r["k"], r["lat_d"], r["lon_d"])
+            for r in densify_segments(df.repartition(7), "user_id", 700).collect()}
+    assert got2 == want
+
+
+def test_densify_edges(spark):
+    import pytest as _pytest
+
+    from osmflat_rs_spark.operators.trajectory import densify_segments
+
+    # duplicate consecutive points -> one start row (k=1), no blow-up;
+    # a single-point line emits just its final-vertex row
+    rows = [(1, 0, 0, 10, 10), (1, 1, 1, 10, 10), (1, 2, 2, 10, 17),
+            (2, 0, 3, 5, 5)]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long, lat long, lon long")
+    got = {(r["user_id"], r["seg"], r["j"]): (r["k"], r["lat_d"], r["lon_d"])
+           for r in densify_segments(df, "user_id", 3).collect()}
+    assert got[(1, 0, 0)] == (1, 10.0, 10.0)          # zero-length seg
+    assert got[(1, 1, 0)][0] == 3                      # ceil(7/3) = 3
+    assert got[(1, 1, 1)][2] == 10 + 7 * (1 / 3)
+    assert got[(1, 2, 0)] == (0, 10.0, 17.0)           # final vertex
+    assert got[(2, 0, 0)] == (0, 5.0, 5.0)             # singleton line
+    with _pytest.raises(ValueError):
+        densify_segments(df, "user_id", 0)
