@@ -1875,6 +1875,22 @@ def q_service_areas_events(spark, sf_dir):
     return service_areas(pts, sites)
 
 
+QUANTILE_QS = ((1, 2), (9, 10), (99, 100))
+
+
+def q_quantile_events(spark, sf_dir):
+    """Exact distributed quantiles WITHOUT a global sort: count-based
+    binary search on the value domain (log2(range) cached column scans,
+    the legitimate bounded driver loop), exact rational ranks k =
+    ceil(num·n/den) in pure integers. Oracle: global ROW_NUMBER rank —
+    same numbers, the opposite (sort-based) plan."""
+    from osmflat_rs_spark.plans.indexing import exact_quantile
+
+    pts = _synth_coords(_t(spark, sf_dir, "events")).select("lat")
+    rows = exact_quantile(pts, "lat", list(QUANTILE_QS))
+    return spark.createDataFrame(rows, "num long, den long, k long, value long")
+
+
 DENSIFY_GAP = 250_000
 
 
@@ -2919,6 +2935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_events": q_funnel_events,
         "transitions_events": q_transitions_events,
         "densify_events": q_densify_events,
+        "quantile_events": q_quantile_events,
         "mean_center_events": q_mean_center_events,
         "repetition_docs": q_repetition_docs,
         "contamination_docs": q_contamination_docs,
@@ -4246,6 +4263,18 @@ def oracle_sql() -> dict[str, str]:
         # idf = ln(N/df), ties by term ascending — mirrors tfidf_top_terms.
         "bm25_docs": _bm25_oracle_sql(),
         "freq_pairs_docs": _freq_pairs_oracle_sql(),
+        "quantile_events": f"""
+            WITH pts AS (SELECT lat FROM ({_SYNTH_SQL}) WHERE lat IS NOT NULL),
+            nn AS (SELECT COUNT(*) AS n FROM pts),
+            ranks AS (SELECT q.num, q.den,
+                             (q.num * nn.n + q.den - 1) // q.den AS k
+                      FROM (VALUES {', '.join(f'({n}, {d})' for n, d in QUANTILE_QS)})
+                           q(num, den), nn),
+            ordered AS (SELECT lat, ROW_NUMBER() OVER (ORDER BY lat) AS rn FROM pts)
+            SELECT CAST(r.num AS BIGINT) AS num, CAST(r.den AS BIGINT) AS den,
+                   CAST(r.k AS BIGINT) AS k, CAST(o.lat AS BIGINT) AS value
+            FROM ranks r JOIN ordered o ON o.rn = r.k
+        """,
         "densify_events": f"""
             WITH pts AS (SELECT user_id, ts, event_id, lat, lon FROM ({_SYNTH_SQL})),
             seg AS (SELECT user_id, lat AS la0, lon AS lo0,

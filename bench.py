@@ -1189,6 +1189,81 @@ def run_encode_bench(spark, cpus: int, n_points: int = 32_000_000) -> dict:
     return out
 
 
+def run_triangles_bench(spark, cpus: int, n_nodes: int = 4_000_000) -> dict:
+    """Graph-analytics throughput: exact triangle counting over a
+    3-out deterministic mesh (m = 3n edge rows, near-uniform degree ~6
+    so the degree orientation's wedge bound is exercised without skew
+    pathology). Pure codegen equi-joins; the number measured is
+    undirected-edge rows per second through the full count (canonicalize
+    + orient + wedge join + close + per-node rollup). Run once per
+    process at ONE level; two-level scaling via fresh processes."""
+    from pyspark.sql import functions as F
+
+    from osmflat_rs_spark.operators.graph import triangle_count
+
+    edges = (
+        spark.range(n_nodes)
+        .select(
+            F.col("id").alias("src"),
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
+        )
+        .selectExpr("src", f"(src * 31 + k) % {n_nodes} AS dst")
+    )
+    out = {"cpus": cpus, "n_nodes": n_nodes, "n_edge_rows": 3 * n_nodes}
+    best, tri_total = 1e9, None
+    for _ in range(2):
+        t0 = time.time()
+        tri = triangle_count(edges)
+        total = tri.agg(F.sum("n_tri").alias("t")).collect()[0]["t"]
+        best = min(best, time.time() - t0)
+        tri_total = total
+    out["sec"] = round(best, 3)
+    out["triangles_x3"] = int(tri_total)
+    out["edges_per_sec"] = round(3 * n_nodes / best)
+    return out
+
+
+def run_adaptive_bench(spark, cpus: int, n_points: int = 32_000_000) -> dict:
+    """Adaptive-quadtree build throughput: one point-sized exchange +
+    max_level occupied-cell rollups + per-level parent joins. Points
+    are a dense blob + uniform background (so the leaf set is genuinely
+    mixed-level); measured points/sec through the full leaf cover with
+    a total-count invariant check (leaves partition the corpus)."""
+    from pyspark.sql import functions as F
+
+    from osmflat_rs_spark.operators.tiling import adaptive_grid
+
+    pts = spark.range(n_points).select(
+        F.when(
+            F.col("id") % 4 == 0,
+            (F.lit(520_000_000) + (F.col("id") * 97) % F.lit(1_000_000)),
+        )
+        .otherwise((F.col("id") * 48271) % F.lit(1_700_000_000) - F.lit(850_000_000))
+        .cast("long")
+        .alias("lat"),
+        F.when(
+            F.col("id") % 4 == 0,
+            (F.lit(133_000_000) + (F.col("id") * 89) % F.lit(1_000_000)),
+        )
+        .otherwise((F.col("id") * 16807) % F.lit(3_500_000_000) - F.lit(1_750_000_000))
+        .cast("long")
+        .alias("lon"),
+    )
+    out = {"cpus": cpus, "n_points": n_points, "max_level": 14, "cap": 100_000}
+    best, nsum, nleaves = 1e9, None, None
+    for _ in range(2):
+        t0 = time.time()
+        leaves = adaptive_grid(pts, max_level=14, cap=100_000)
+        row = leaves.agg(F.sum("n").alias("s"), F.count("*").alias("c")).collect()[0]
+        best = min(best, time.time() - t0)
+        nsum, nleaves = row["s"], row["c"]
+    assert nsum == n_points, f"leaf cover lost rows: {nsum} != {n_points}"
+    out["sec"] = round(best, 3)
+    out["n_leaves"] = int(nleaves)
+    out["points_per_sec"] = round(n_points / best)
+    return out
+
+
 def run_segments_bench(spark, cpus: int, n_segs: int = 1_000_000) -> dict:
     """Segment-intersection join throughput at constant spatial density.
 
@@ -1535,6 +1610,38 @@ def main():
         )
         out["metric"] = "exact-int PageRank edge-relaxation throughput (3-regular mesh)"
         out["unit"] = "relaxations/sec"
+        print(json.dumps(out))
+        spark.stop()
+        return
+
+    if "--triangles" in sys.argv:
+        from osmflat_rs_spark.session import get_spark
+
+        cpus = CPUS if "--cpus" not in sys.argv else int(sys.argv[sys.argv.index("--cpus") + 1])
+        spark = get_spark(
+            "bench-triangles", master=f"local[{cpus}]", shuffle_partitions=max(8, 2 * cpus)
+        )
+        out = run_triangles_bench(
+            spark, cpus, n_nodes=int(os.environ.get("SPARK_GRAFT_TRI_N", "4000000"))
+        )
+        out["metric"] = "exact triangle counting throughput (3-out mesh)"
+        out["unit"] = "edges/sec"
+        print(json.dumps(out))
+        spark.stop()
+        return
+
+    if "--adaptive" in sys.argv:
+        from osmflat_rs_spark.session import get_spark
+
+        cpus = CPUS if "--cpus" not in sys.argv else int(sys.argv[sys.argv.index("--cpus") + 1])
+        spark = get_spark(
+            "bench-adaptive", master=f"local[{cpus}]", shuffle_partitions=max(8, 2 * cpus)
+        )
+        out = run_adaptive_bench(
+            spark, cpus, n_points=int(os.environ.get("SPARK_GRAFT_ADAPT_N", "32000000"))
+        )
+        out["metric"] = "adaptive quadtree leaf-cover build throughput (blob+background)"
+        out["unit"] = "points/sec"
         print(json.dumps(out))
         spark.stop()
         return

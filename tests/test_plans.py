@@ -437,3 +437,44 @@ def test_pip_shuffle_bucketed_cell_points_skip_point_exchange(spark, tmp_path, p
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_cell_pip")
+
+
+# ------------------------------------------------------------ exact quantile
+
+
+def test_exact_quantile_matches_sorted_model(spark):
+    import numpy as np
+
+    from osmflat_rs_spark.plans.indexing import exact_quantile
+
+    rng = np.random.default_rng(61)
+    vals = [int(v) for v in rng.integers(-10_000, 10_000, size=501)]
+    vals += [vals[0]] * 17  # heavy duplicate block
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    s = sorted(vals)
+    n = len(vals)
+    for num, den in ((1, 2), (9, 10), (1, 518), (518, 518), (99, 100)):
+        k = (num * n + den - 1) // den
+        got = exact_quantile(df, "x", [(num, den)])
+        assert got == [(num, den, k, s[k - 1])]
+    # batch call and partition invariance
+    multi = exact_quantile(df.repartition(9), "x", [(1, 2), (3, 4)])
+    assert multi == [(1, 2, (n + 1) // 2, s[(n + 1) // 2 - 1]),
+                     (3, 4, (3 * n + 3) // 4, s[(3 * n + 3) // 4 - 1])]
+
+
+def test_exact_quantile_validation(spark):
+    import pytest as _pytest
+
+    from osmflat_rs_spark.plans.indexing import exact_quantile
+
+    df = spark.createDataFrame([(1,)], "x long")
+    with _pytest.raises(ValueError):
+        exact_quantile(df, "x", [])
+    with _pytest.raises(ValueError):
+        exact_quantile(df, "x", [(0, 10)])
+    with _pytest.raises(ValueError):
+        exact_quantile(df, "x", [(11, 10)])
+    empty = spark.createDataFrame([], "x long")
+    with _pytest.raises(ValueError, match="empty"):
+        exact_quantile(empty, "x", [(1, 2)])
