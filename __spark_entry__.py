@@ -1875,6 +1875,25 @@ def q_service_areas_events(spark, sf_dir):
     return service_areas(pts, sites)
 
 
+EDIT_DIST_MAX = 16
+
+
+def q_editdist_docs(spark, sf_dir):
+    """Blocked edit-distance self-join over each doc's 6-token prefix
+    string: length-band blocking (lossless: |len diff| ≤ d forces
+    same-or-adjacent ⌊len/(d+1)⌋ buckets), canonicalize + dedupe before
+    the ONE thresholded levenshtein verify (early-exit DP band). Oracle
+    is the brute-force cross join with DuckDB's levenshtein — identical
+    unit-cost distances on ASCII."""
+    from osmflat_rs_spark.operators.dedup import edit_distance_join, words_expr
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_join(F.slice(words_expr(F.col("text")), 1, 6), " ").alias("st"),
+    )
+    return edit_distance_join(docs, "doc_id", "st", EDIT_DIST_MAX)
+
+
 QUANTILE_QS = ((1, 2), (9, 10), (99, 100))
 
 
@@ -2936,6 +2955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitions_events": q_transitions_events,
         "densify_events": q_densify_events,
         "quantile_events": q_quantile_events,
+        "editdist_docs": q_editdist_docs,
         "mean_center_events": q_mean_center_events,
         "repetition_docs": q_repetition_docs,
         "contamination_docs": q_contamination_docs,
@@ -4263,6 +4283,16 @@ def oracle_sql() -> dict[str, str]:
         # idf = ln(N/df), ties by term ascending — mirrors tfidf_top_terms.
         "bm25_docs": _bm25_oracle_sql(),
         "freq_pairs_docs": _freq_pairs_oracle_sql(),
+        "editdist_docs": f"""
+            WITH s AS (SELECT doc_id,
+                              array_to_string(list_slice({_ws_split_sql("lower(text)")}, 1, 6), ' ') AS st
+                       FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(levenshtein(a.st, b.st) AS BIGINT) AS dist
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE abs(length(a.st) - length(b.st)) <= {EDIT_DIST_MAX}
+              AND levenshtein(a.st, b.st) <= {EDIT_DIST_MAX}
+        """,
         "quantile_events": f"""
             WITH pts AS (SELECT lat FROM ({_SYNTH_SQL}) WHERE lat IS NOT NULL),
             nn AS (SELECT COUNT(*) AS n FROM pts),

@@ -1609,3 +1609,72 @@ def test_frequent_pairs_validation(spark):
         frequent_pairs(df, "doc_id", "text", min_support=2, min_support_frac=(1, 2))
     with _pytest.raises(ValueError):
         frequent_pairs(df, "doc_id", "text", min_support=0)
+
+
+# ------------------------------------------------------------ edit distance
+
+
+def _lev(a, b):
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_join_matches_bruteforce(spark):
+    import numpy as np
+
+    from osmflat_rs_spark.operators.dedup import edit_distance_join
+
+    rng = np.random.default_rng(67)
+    base = ["spark join engine", "spark joint engine", "tile raster sink",
+            "tile raster sync", "knn lookup", "completely different string here"]
+    rows = []
+    for i in range(60):
+        s = base[rng.integers(0, len(base))]
+        # random single-char edits
+        s = list(s)
+        for _ in range(rng.integers(0, 3)):
+            p = rng.integers(0, len(s))
+            s[p] = chr(ord('a') + rng.integers(0, 26))
+        rows.append((i, "".join(s)))
+    for d in (0, 2, 5):
+        want = {
+            (a, b): _lev(sa, sb)
+            for (a, sa) in rows for (b, sb) in rows
+            if a < b and _lev(sa, sb) <= d
+        }
+        df = spark.createDataFrame(rows, "doc_id long, st string")
+        got = {(r["id_a"], r["id_b"]): r["dist"]
+               for r in edit_distance_join(df, "doc_id", "st", d).collect()}
+        assert got == want, f"d={d}"
+    # partition invariance at d=5
+    got2 = {(r["id_a"], r["id_b"]): r["dist"]
+            for r in edit_distance_join(
+                spark.createDataFrame(rows, "doc_id long, st string").repartition(7),
+                "doc_id", "st", 5).collect()}
+    assert got2 == want
+
+
+def test_edit_distance_join_band_is_lossless_and_validates(spark):
+    import pytest as _pytest
+
+    from osmflat_rs_spark.operators.dedup import edit_distance_join
+
+    # strings straddling a bucket boundary: len 5 and len 9 with d=4
+    # (bucket width 5: buckets 1 and 1 -> fine) and len 4 vs len 8
+    # (buckets 0 and 1 -> adjacent-bucket probe must catch it)
+    rows = [(1, "aaaa"), (2, "aaaaaaaa"), (3, "zzzz")]
+    df = spark.createDataFrame(rows, "doc_id long, st string")
+    got = {(r["id_a"], r["id_b"]): r["dist"]
+           for r in edit_distance_join(df, "doc_id", "st", 4).collect()}
+    # (1,2) crosses buckets 0->1 (the adjacent-bucket probe);
+    # (2,3) is dist 8 > 4 and must be excluded
+    assert got == {(1, 2): 4, (1, 3): 4}
+    with _pytest.raises(ValueError):
+        edit_distance_join(df, "doc_id", "st", -1)
