@@ -390,6 +390,24 @@ def q_ring_area_users(spark, sf_dir):
     )
 
 
+def q_ring_normalize_users(spark, sf_dir):
+    """Ring-orientation normalization (``geo.normalize_rings``, r5) —
+    the OGC winding repair (outer CCW / holes CW) over each user's
+    ordered ring, role alternating by user parity so both the keep and
+    the flip paths are exercised. Exact-int shoelace sign decides;
+    anchor-preserving reversal (v0 then the tail reversed) as in-row
+    Catalyst HOFs, one posexplode. Oracle restates the same shoelace +
+    list_reverse in DuckDB — integer-exact rows."""
+    from osmflat_rs_spark.functions.geo import normalize_rings
+
+    pts = _synth_coords(_t(spark, sf_dir, "events")).withColumn(
+        "role", F.when(F.col("user_id") % 2 == 0, F.lit("outer")).otherwise(F.lit("inner"))
+    )
+    return normalize_rings(
+        pts, "user_id", ["ts", "event_id"], role_col="role", lat0=LAT0, lon0=LON0
+    )
+
+
 def q_pip_events(spark, sf_dir):
     """Two-phase cell-cover PIP join (north rule): coarse Morton-cell
     equi-join (broadcast cover) → exact int64 refinement (mapInPandas)."""
@@ -1075,6 +1093,27 @@ def q_coloc_events(spark, sf_dir):
         F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
     )
     return coloc_pairs(
+        pts, radius=COLOC_RADIUS_FIXED, window_us=COLOC_WINDOW_US, id_col="event_id"
+    )
+
+
+def q_knox_events(spark, sf_dir):
+    """Knox space-time interaction statistic (``coloc.knox_statistic``,
+    r5): one row of exact-int pair counts — spacetime (x_knox), spatial
+    (n_space), temporal (n_time), total — plus the independence-null
+    expected value and Poisson z, each a fixed left-associated IEEE
+    expression over the exact counts (round-6, well inside the <9e9
+    portability band). Engine side is three sub-quadratic grid/band
+    COUNT joins; the oracle is the one brute-force pair scan with
+    conditional counts — opposite plans, identical integers."""
+    _prep(spark)
+    from osmflat_rs_spark.operators.coloc import knox_statistic
+
+    pts = _synth_coords(_t(spark, sf_dir, "events")).select(
+        "event_id", "lat", "lon",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+    )
+    return knox_statistic(
         pts, radius=COLOC_RADIUS_FIXED, window_us=COLOC_WINDOW_US, id_col="event_id"
     )
 
@@ -2877,6 +2916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_events": q_bbox_events,
         "road_length_users": q_road_length_users,
         "ring_area_users": q_ring_area_users,
+        "ring_normalize_users": q_ring_normalize_users,
         "cms_heavy_users": q_cms_heavy_users,
         "pip_events": q_pip_events,
         "zonal_stats_events": q_zonal_stats_events,
@@ -2904,6 +2944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_events": q_knn_events,
         "radius_events": q_radius_events,
         "coloc_events": q_coloc_events,
+        "knox_events": q_knox_events,
         "cell_index_events": q_cell_index_events,
         "focal_grid_events": q_focal_grid_events,
         "kde_events": q_kde_events,
@@ -3123,6 +3164,43 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(slat / n / 1e7, 4) AS c_lat,
                    ROUND(slon / n / 1e7, 4) AS c_lon
             FROM rings
+        """,
+        # ring winding repair: same shoelace sign + anchor-preserving
+        # list_reverse, per-vertex fan-out via unnest(range)
+        "ring_normalize_users": f"""
+            WITH pts AS (SELECT *,
+                   CASE WHEN user_id % 2 = 0 THEN 'outer' ELSE 'inner' END AS role
+                   FROM {synth}),
+            rings AS (
+              SELECT user_id, any_value(role) AS role,
+                     list(struct_pack(lat := lat, lon := lon) ORDER BY ts, event_id) AS ring,
+                     COUNT(*) AS n
+              FROM pts GROUP BY user_id HAVING COUNT(*) >= 3
+            ),
+            sh AS (
+              SELECT *, CAST(list_sum(list_transform(range(1, CAST(n AS BIGINT) + 1), i ->
+                     (ring[CAST(i AS BIGINT)].lon - {LON0}) * (ring[CAST(i % n AS BIGINT) + 1].lat - {LAT0})
+                   - (ring[CAST(i % n AS BIGINT) + 1].lon - {LON0}) * (ring[CAST(i AS BIGINT)].lat - {LAT0})
+                   )) AS BIGINT) AS a2
+              FROM rings
+            ),
+            fl AS (
+              SELECT user_id, n,
+                     CASE WHEN a2 > 0 THEN 'ccw' WHEN a2 < 0 THEN 'cw'
+                          ELSE 'degenerate' END AS orientation,
+                     ((a2 > 0 AND role = 'inner') OR (a2 < 0 AND role != 'inner')) AS was_reversed,
+                     CASE WHEN ((a2 > 0 AND role = 'inner') OR (a2 < 0 AND role != 'inner'))
+                          THEN ring[1:1] || list_reverse(ring[2:])
+                          ELSE ring END AS normed
+              FROM sh
+            ),
+            ex AS (SELECT user_id, orientation, was_reversed, normed,
+                          unnest(range(1, CAST(n AS BIGINT) + 1)) AS i FROM fl)
+            SELECT user_id, CAST(i - 1 AS INT) AS pos,
+                   normed[CAST(i AS BIGINT)].lat AS lat,
+                   normed[CAST(i AS BIGINT)].lon AS lon,
+                   orientation, was_reversed
+            FROM ex
         """,
         "road_length_users": f"""
             WITH pts AS (SELECT * FROM {synth}),
@@ -3615,6 +3693,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE (a.lat - b.lat) * (a.lat - b.lat) + (a.lon - b.lon) * (a.lon - b.lon)
                   <= {COLOC_RADIUS_FIXED ** 2}
               AND abs(a.t - b.t) <= {COLOC_WINDOW_US}
+        """,
+        # Knox: brute-force conditional pair counts; expected/z restated
+        # with the engine's exact IEEE expression tree (CAST / nullif /
+        # * / sqrt in the same left-associated order).
+        "knox_events": f"""
+            WITH pts AS (SELECT event_id, lat, lon, epoch_us(ts) AS t FROM {synth}),
+            n AS (SELECT COUNT(*) AS n_points FROM pts),
+            c AS (SELECT
+                    COUNT(*) FILTER (
+                      (a.lat - b.lat) * (a.lat - b.lat) + (a.lon - b.lon) * (a.lon - b.lon)
+                        <= {COLOC_RADIUS_FIXED ** 2}
+                      AND abs(a.t - b.t) <= {COLOC_WINDOW_US}) AS x_knox,
+                    COUNT(*) FILTER (
+                      (a.lat - b.lat) * (a.lat - b.lat) + (a.lon - b.lon) * (a.lon - b.lon)
+                        <= {COLOC_RADIUS_FIXED ** 2}) AS n_space,
+                    COUNT(*) FILTER (abs(a.t - b.t) <= {COLOC_WINDOW_US}) AS n_time
+                  FROM pts a JOIN pts b ON a.event_id < b.event_id)
+            SELECT n.n_points, n.n_points * (n.n_points - 1) // 2 AS n_pairs,
+                   c.x_knox, c.n_space, c.n_time,
+                   round(CAST(c.n_space AS DOUBLE) / nullif(n.n_points * (n.n_points - 1) // 2, 0)
+                         * c.n_time, 6) AS expected,
+                   round((c.x_knox - CAST(c.n_space AS DOUBLE)
+                            / nullif(n.n_points * (n.n_points - 1) // 2, 0) * c.n_time)
+                         / sqrt(nullif(CAST(c.n_space AS DOUBLE)
+                            / nullif(n.n_points * (n.n_points - 1) // 2, 0) * c.n_time, 0.0)),
+                         6) AS z
+            FROM n, c
         """,
         # Gi*: same grid + inequality-self-join focal sums as the focal
         # gate, global moments from a 1-row CTE, the textbook z formula

@@ -183,6 +183,96 @@ def shoelace_ring_stats(
     )
 
 
+def normalize_rings(
+    df,
+    group_col: str,
+    order_cols: list[str],
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    role_col: str | None = None,
+    lat0: int = 0,
+    lon0: int = 0,
+    min_vertices: int = 3,
+):
+    """Ring-orientation normalization — the winding repair every
+    multipolygon consumer needs (the OGC/GeoJSON convention: outer
+    rings counter-clockwise, holes clockwise; OSM ways carry NO
+    orientation guarantee, reference analog: the outer rings
+    render-features.rs:133-149 assembles arrive in whatever direction
+    the mapper drew them).
+
+    Per group: build the closed ring (ordered by ``order_cols``),
+    compute the EXACT-int64 shoelace signed double-area (same
+    translation-bounded fold as ``shoelace_ring_stats``), and emit the
+    vertices re-enumerated in the TARGET winding — reversed iff the
+    sign disagrees with the ring's role (CCW for outer, CW when
+    ``role_col`` says 'inner'). Reversal keeps the FIRST vertex as the
+    anchor (v0, v{n−1}, …, v1): deterministic start point, same closed
+    traverse. Degenerate rings (area2x = 0, collinear) pass through
+    unreversed and are labeled.
+
+    → (group_col, pos, lat, lon, orientation, was_reversed):
+    ``orientation`` is the ORIGINAL winding ('ccw'/'cw'/'degenerate'),
+    ``pos`` the 0-based position in normalized order. Physical shape:
+    ONE groupBy building the ring in-row, the shoelace fold and the
+    conditional reverse as Catalyst HOFs, one posexplode — no window,
+    no second exchange, no Python; bit-stable (exact ints end to end).
+    """
+    struct_cols = [F.col(c) for c in order_cols] + [
+        F.col(lat_col).alias("_lat"),
+        F.col(lon_col).alias("_lon"),
+    ]
+    aggs = [
+        F.sort_array(F.collect_list(F.struct(*struct_cols))).alias("ring"),
+        F.count("*").alias("_n"),
+    ]
+    if role_col is not None:
+        aggs.append(F.first(role_col).alias("_role"))
+    g = df.groupBy(group_col).agg(*aggs).filter(F.col("_n") >= min_vertices)
+    n = F.col("_n")
+
+    def _x(i):
+        return F.get(F.col("ring"), i)["_lon"] - F.lit(lon0)
+
+    def _y(i):
+        return F.get(F.col("ring"), i)["_lat"] - F.lit(lat0)
+
+    area2x = F.aggregate(
+        F.sequence(F.lit(0), (n - 1).cast("int")),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + (_x(i) * _y((i + 1) % n) - _x((i + 1) % n) * _y(i)),
+    )
+    g = g.withColumn("_a2", area2x)
+    want_ccw = (
+        F.lit(True) if role_col is None else (F.col("_role") != F.lit("inner"))
+    )
+    flip = ((F.col("_a2") > 0) & ~want_ccw) | ((F.col("_a2") < 0) & want_ccw)
+    # anchor-preserving reversal: v0 then the tail reversed
+    normed = F.when(
+        flip,
+        F.concat(F.slice(F.col("ring"), 1, 1), F.reverse(F.slice(F.col("ring"), 2, 1 << 30))),
+    ).otherwise(F.col("ring"))
+    return (
+        g.select(
+            group_col,
+            F.when(F.col("_a2") > 0, F.lit("ccw"))
+            .when(F.col("_a2") < 0, F.lit("cw"))
+            .otherwise(F.lit("degenerate"))
+            .alias("orientation"),
+            flip.alias("was_reversed"),
+            F.posexplode(normed).alias("pos", "_v"),
+        )
+        .select(
+            group_col,
+            "pos",
+            F.col("_v._lat").alias(lat_col),
+            F.col("_v._lon").alias(lon_col),
+            "orientation",
+            "was_reversed",
+        )
+    )
+
+
 def simplify_radial(
     df,
     group_col: str,

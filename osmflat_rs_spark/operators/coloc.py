@@ -201,3 +201,135 @@ def coloc_join(
         # coloc_pairs). Build side = right, the non-exploded table.
         rk = rk.hint("shuffle_hash")
     return _exact(lk.join(rk, ["_jx", "_jy", "_jb"]), left_id, right_id, radius, window_us)
+
+
+def knox_statistic(
+    points: DataFrame,
+    radius: int,
+    window_us: int,
+    id_col: str = "event_id",
+    t_col: str = "t_us",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    res: int | None = None,
+) -> DataFrame:
+    """Knox space-time interaction statistic (Knox 1964, the classic
+    epidemiology test: do events cluster in space AND time together,
+    beyond what their spatial and temporal clusterings explain?) →
+    ONE row (n_points, n_pairs, x_knox, n_space, n_time, expected, z):
+
+    - ``x_knox``  = #pairs with d² ≤ radius² AND |Δt| ≤ window_us,
+    - ``n_space`` = #pairs with d² ≤ radius² (any time),
+    - ``n_time``  = #pairs with |Δt| ≤ window_us (any place),
+    - ``n_pairs`` = n·(n−1)/2 exact integer,
+    - ``expected`` = n_space/n_pairs · n_time (the independence null),
+    - ``z`` = (x − expected)/√expected (Poisson approximation; NULL
+      when expected is 0).
+
+    Scale shape — three SUB-QUADRATIC pair COUNTS, never all-pairs:
+    x_knox reuses ``coloc_pairs``'s composite (cell_x, cell_y,
+    time_bucket) grid join; n_space is the same join on the spatial
+    key alone (3×3 explode); n_time is a 1-D time-band self-join
+    (bucket ⌊t/window⌋, explode {−1,0,1} — the same
+    exactly-once-by-unique-home-key argument as ``coloc_pairs``, then
+    ``id_a < id_b`` once). Each count is a map-side-combined aggregate
+    of an equi-join — no pair row survives past its partial count, so
+    the only full-pair materialization anywhere is zero. All counts
+    exact int64; ``expected``/``z`` are the ONLY floats, emitted as the
+    fixed left-associated IEEE expression CAST(n_space AS DOUBLE) /
+    n_pairs * n_time (cross-engine bit-identical; round-6 portable
+    while expected < 9e9 — the engine-wide float-portability band).
+
+    n_time's band join degrades to per-bucket all-pairs when the whole
+    corpus shares one window-sized bucket — same declared trade as
+    every banded self-join here; pick window ≪ time span. No reference
+    analog (the reference has no temporal column); beyond-reference
+    spatial statistics alongside Ripley's K / Moran's I / Geary's C.
+    """
+    if window_us <= 0:
+        raise ValueError(f"window_us must be positive, got {window_us}")
+    r = res if res is not None else pick_coloc_res(int(radius))
+    base = _keyed(points, id_col, t_col, lat_col, lon_col, r, window_us)
+    r2 = F.lit(int(radius) ** 2)
+
+    # spacetime pairs (the coloc join, counted)
+    x_df = (
+        _exploded(base, "id_a", "a")
+        .join(_plain(base, "id_b", "b").hint("shuffle_hash"), ["_jx", "_jy", "_jb"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            ((F.col("lat_a") - F.col("lat_b")) * (F.col("lat_a") - F.col("lat_b"))
+             + (F.col("lon_a") - F.col("lon_b")) * (F.col("lon_a") - F.col("lon_b")) <= r2)
+            & (F.abs(F.col("t_a") - F.col("t_b")) <= F.lit(int(window_us)))
+        )
+        .agg(F.count(F.lit(1)).alias("x_knox"))
+    )
+
+    # spatial-only pairs: 3x3 cell neighborhood, time ignored
+    off = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    sp_probe = (
+        base.withColumn("_dx", F.explode(off))
+        .withColumn("_dy", F.explode(off))
+        .select(
+            F.col("_cid").alias("id_a"),
+            F.col("_lat").alias("lat_a"),
+            F.col("_lon").alias("lon_a"),
+            (F.col("_ix") + F.col("_dx")).alias("_jx"),
+            (F.col("_iy") + F.col("_dy")).alias("_jy"),
+        )
+    )
+    sp_home = base.select(
+        F.col("_cid").alias("id_b"),
+        F.col("_lat").alias("lat_b"),
+        F.col("_lon").alias("lon_b"),
+        F.col("_ix").alias("_jx"),
+        F.col("_iy").alias("_jy"),
+    )
+    ns_df = (
+        sp_probe.join(sp_home.hint("shuffle_hash"), ["_jx", "_jy"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("lat_a") - F.col("lat_b")) * (F.col("lat_a") - F.col("lat_b"))
+            + (F.col("lon_a") - F.col("lon_b")) * (F.col("lon_a") - F.col("lon_b")) <= r2
+        )
+        .agg(F.count(F.lit(1)).alias("n_space"))
+    )
+
+    # temporal-only pairs: 1-D band on the window-sized bucket
+    t_probe = base.withColumn("_db", F.explode(off)).select(
+        F.col("_cid").alias("id_a"),
+        F.col("_t").alias("t_a"),
+        (F.col("_tb") + F.col("_db")).alias("_jb"),
+    )
+    t_home = base.select(
+        F.col("_cid").alias("id_b"), F.col("_t").alias("t_b"), F.col("_tb").alias("_jb")
+    )
+    nt_df = (
+        t_probe.join(t_home.hint("shuffle_hash"), ["_jb"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.abs(F.col("t_a") - F.col("t_b")) <= F.lit(int(window_us)))
+        .agg(F.count(F.lit(1)).alias("n_time"))
+    )
+
+    n_df = base.agg(F.count(F.lit(1)).alias("n_points")).withColumn(
+        "n_pairs", F.expr("n_points * (n_points - 1) div 2")
+    )
+    # nullif guards the n < 2 corpus (n_pairs = 0): expected and z go
+    # NULL instead of an engine-divergent inf/err division
+    e_raw = (
+        F.col("n_space").cast("double") / F.nullif(F.col("n_pairs"), F.lit(0)) * F.col("n_time")
+    )
+    return (
+        n_df.crossJoin(x_df).crossJoin(ns_df).crossJoin(nt_df)
+        .select(
+            "n_points",
+            "n_pairs",
+            "x_knox",
+            "n_space",
+            "n_time",
+            F.round(e_raw, 6).alias("expected"),
+            F.round(
+                (F.col("x_knox") - e_raw) / F.sqrt(F.nullif(e_raw, F.lit(0.0))), 6
+            ).alias("z"),
+        )
+    )

@@ -351,3 +351,61 @@ def test_chunk_and_pack_plan_shapes(spark):
     )
     assert "Exchange hashpartitioning" not in pack_plan, pack_plan[:3000]
     assert "rangepartitioning" in pack_plan, pack_plan[:3000]
+
+
+# ------------------------------------------------------------------ knox
+
+
+def _brute_knox(pdf: pd.DataFrame, radius: int, window_us: int):
+    lat = pdf["lat"].to_numpy(dtype=np.int64)
+    lon = pdf["lon"].to_numpy(dtype=np.int64)
+    t = pdf["t_us"].to_numpy(dtype=np.int64)
+    n = len(pdf)
+    x = ns = nt = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            s = (int(lat[i] - lat[j]) ** 2 + int(lon[i] - lon[j]) ** 2) <= radius * radius
+            tm = abs(int(t[i] - t[j])) <= window_us
+            ns += s
+            nt += tm
+            x += s and tm
+    return x, ns, nt, n * (n - 1) // 2
+
+
+def test_knox_statistic_matches_bruteforce(spark):
+    from osmflat_rs_spark.operators.coloc import knox_statistic
+
+    pdf = _synth_points(300, seed=11)
+    radius, window = 120_000, 60_000_000_000
+    x, ns, nt, npairs = _brute_knox(pdf, radius, window)
+    assert x > 0 and ns > x and nt > x  # the case is non-degenerate
+    row = knox_statistic(
+        spark.createDataFrame(pdf), radius=radius, window_us=window
+    ).collect()[0]
+    assert (row["n_points"], row["n_pairs"]) == (300, npairs)
+    assert (row["x_knox"], row["n_space"], row["n_time"]) == (x, ns, nt)
+    e = ns / npairs * nt
+    assert row["expected"] == round(e, 6)
+    assert abs(row["z"] - (x - e) / math.sqrt(e)) < 1e-6
+
+    # partition invariance (counts are exact ints; floats are one fixed
+    # IEEE expression over them, so the whole row is bit-stable)
+    row2 = knox_statistic(
+        spark.createDataFrame(pdf).repartition(13), radius=radius, window_us=window
+    ).collect()[0]
+    assert row2.asDict() == row.asDict()
+
+
+def test_knox_statistic_degenerate_and_validation(spark):
+    import pytest as _pytest
+
+    from osmflat_rs_spark.operators.coloc import knox_statistic
+
+    one = spark.createDataFrame(
+        [(1, 10, 10, 100)], "event_id long, lat long, lon long, t_us long"
+    )
+    row = knox_statistic(one, radius=100, window_us=100).collect()[0]
+    assert (row["n_points"], row["n_pairs"], row["x_knox"]) == (1, 0, 0)
+    assert row["expected"] is None and row["z"] is None
+    with _pytest.raises(ValueError):
+        knox_statistic(one, radius=100, window_us=0)

@@ -503,3 +503,75 @@ def test_adaptive_grid_edges(spark):
         adaptive_grid(df, max_level=-1)
     with _pytest.raises(ValueError):
         adaptive_grid(df, cap=0)
+
+
+# ----------------------------------------------------- ring normalization
+
+
+def test_normalize_rings_winding_and_anchor(spark):
+    from osmflat_rs_spark.functions.geo import normalize_rings
+
+    # square CCW (area2x > 0), square CW, collinear degenerate
+    ccw = [(0, 0), (0, 10), (10, 10), (10, 0)]          # (lat, lon) CCW? compute below
+    cw = list(reversed(ccw))
+    flat = [(0, 0), (0, 5), (0, 10)]
+    rows = []
+    for rid, ring in (("a", ccw), ("b", cw), ("c", flat)):
+        rows += [(rid, i, la, lo) for i, (la, lo) in enumerate(ring)]
+    df = spark.createDataFrame(rows, "ring_id string, ord int, lat long, lon long")
+    out = normalize_rings(df, "ring_id", ["ord"]).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["ring_id"], []).append(r)
+    for rid in by:
+        by[rid].sort(key=lambda r: r["pos"])
+
+    # shoelace with x=lon, y=lat: ccw list = (0,0)->(10,0)->(10,10)->(0,10)
+    # in (x,y) terms = counter-clockwise -> positive -> stays
+    def shoelace(vs):
+        s = 0
+        for i in range(len(vs)):
+            x1, y1 = vs[i][1], vs[i][0]
+            x2, y2 = vs[(i + 1) % len(vs)][1], vs[(i + 1) % len(vs)][0]
+            s += x1 * y2 - x2 * y1
+        return s
+
+    assert shoelace(ccw) > 0 and shoelace(cw) < 0 and shoelace(flat) == 0
+    a = by["a"]
+    assert a[0]["orientation"] == "ccw" and not a[0]["was_reversed"]
+    assert [(r["lat"], r["lon"]) for r in a] == ccw
+    b = by["b"]
+    assert b[0]["orientation"] == "cw" and b[0]["was_reversed"]
+    got_b = [(r["lat"], r["lon"]) for r in b]
+    # anchor-preserving reversal of cw: first vertex kept, tail reversed
+    assert got_b == [cw[0]] + list(reversed(cw[1:]))
+    assert shoelace(got_b) > 0
+    c = by["c"]
+    assert c[0]["orientation"] == "degenerate" and not c[0]["was_reversed"]
+    assert [(r["lat"], r["lon"]) for r in c] == flat
+
+
+def test_normalize_rings_roles_and_invariance(spark):
+    from osmflat_rs_spark.functions.geo import normalize_rings
+
+    ccw = [(0, 0), (0, 10), (10, 10), (10, 0)]
+    rows = [("outerring", i, la, lo, "outer") for i, (la, lo) in enumerate(ccw)]
+    rows += [("holering", i, la, lo, "inner") for i, (la, lo) in enumerate(ccw)]
+    df = spark.createDataFrame(
+        rows, "ring_id string, ord int, lat long, lon long, role string"
+    )
+    out = normalize_rings(df, "ring_id", ["ord"], role_col="role").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["ring_id"], []).append(r)
+    for rid in by:
+        by[rid].sort(key=lambda r: r["pos"])
+    # outer keeps ccw; the SAME ccw ring as a hole must flip to cw
+    assert not by["outerring"][0]["was_reversed"]
+    assert by["holering"][0]["was_reversed"]
+    assert [(r["lat"], r["lon"]) for r in by["holering"]] == [ccw[0]] + list(
+        reversed(ccw[1:])
+    )
+    # partition invariance
+    out2 = normalize_rings(df.repartition(5), "ring_id", ["ord"], role_col="role").collect()
+    assert sorted(map(tuple, out2)) == sorted(map(tuple, out))
