@@ -913,6 +913,31 @@ def q_assortativity_graph(spark, sf_dir):
 ADAPT_LEVEL, ADAPT_CAP = 18, 20
 
 
+def q_stitch_events(spark, sf_dir):
+    """Polyline stitching / line merge (``graph.stitch_lines``, r5):
+    segments synthesized from event_id in blocks of 20 — even blocks
+    close into rings, odd blocks stay open paths (their closing segment
+    is filtered out) — so the ring / path classification and the exact
+    degree rollups are all exercised. Engine = distributed min-label CC
+    + two map-side rollups; oracle = recursive-CTE label walk + the
+    same degree arithmetic. All-integer row set."""
+    from osmflat_rs_spark.operators.graph import stitch_lines
+
+    e = F.col("event_id")
+    seg = (
+        _t(spark, sf_dir, "events")
+        .select("event_id")
+        .filter(~((e % 20 == 19) & (F.expr("event_id div 20") % 2 == 1)))
+        .select(
+            e.alias("seg_id"),
+            e.alias("a"),
+            F.when(e % 20 == 19, e - 19).otherwise(e + 1).alias("b"),
+            (F.lit(1) + e % 5).cast("long").alias("w"),
+        )
+    )
+    return stitch_lines(seg, "seg_id", "a", "b", weight_col="w")
+
+
 def q_adaptive_grid_events(spark, sf_dir):
     """Adaptive quadtree aggregation: coarsest leaf cover with ≤ cap
     points per cell (forced leaves at max_level). One point-sized
@@ -2936,6 +2961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_graph": q_clustering_graph,
         "assortativity_graph": q_assortativity_graph,
         "adaptive_grid_events": q_adaptive_grid_events,
+        "stitch_events": q_stitch_events,
         "isolated_events": q_isolated_events,
         "skyline_events": q_skyline_events,
         "ripley_events": q_ripley_events,
@@ -4801,6 +4827,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, MIN(lbl) AS component,
                    node = MIN(lbl) AS is_representative
             FROM walk GROUP BY node
+        """,
+        # line merge: recursive-CTE min-label walk over the endpoint
+        # graph + the same exact degree rollups as the engine
+        "stitch_events": """
+            WITH RECURSIVE seg AS (
+              SELECT event_id AS sid, event_id AS a,
+                     CASE WHEN event_id % 20 = 19 THEN event_id - 19
+                          ELSE event_id + 1 END AS b,
+                     CAST(1 + event_id % 5 AS BIGINT) AS w
+              FROM events
+              WHERE NOT (event_id % 20 = 19 AND (event_id // 20) % 2 = 1)
+            ),
+            e AS (SELECT a AS u, b AS v FROM seg WHERE a != b
+                  UNION SELECT b, a FROM seg WHERE a != b),
+            nodes AS (SELECT DISTINCT u AS node
+                      FROM (SELECT a AS u FROM seg UNION SELECT b FROM seg)),
+            walk(node, lbl) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT e.v, w.lbl FROM walk w JOIN e ON e.u = w.node
+            ),
+            cc AS (SELECT node, MIN(lbl) AS component FROM walk GROUP BY node),
+            degs AS (SELECT node, COUNT(*) AS deg
+                     FROM (SELECT a AS node FROM seg UNION ALL SELECT b FROM seg)
+                     GROUP BY node),
+            per_seg AS (SELECT cc.component, COUNT(*) AS n_segments,
+                               CAST(SUM(s.w) AS BIGINT) AS total_weight
+                        FROM seg s JOIN cc ON cc.node = s.a GROUP BY 1),
+            per_node AS (SELECT cc.component, COUNT(*) AS n_nodes,
+                                CAST(SUM(deg % 2) AS BIGINT) AS n_odd_nodes,
+                                MAX(deg) AS max_degree
+                         FROM degs JOIN cc USING (node) GROUP BY 1)
+            SELECT p.component AS chain_id, p.n_segments, q.n_nodes,
+                   q.n_odd_nodes, q.max_degree,
+                   (q.n_odd_nodes = 0 AND q.max_degree = 2) AS is_ring,
+                   (q.n_odd_nodes = 2 AND q.max_degree <= 2) AS is_path,
+                   p.total_weight
+            FROM per_seg p JOIN per_node q USING (component)
         """,
         "stream_neardup_docs": _stream_neardup_sql(0.5),
         "ngram_jaccard_docs": f"""

@@ -596,3 +596,81 @@ def shortest_paths(
         )
         frontier = improved
     return dist
+
+
+def stitch_lines(
+    segments: DataFrame,
+    seg_id: str = "seg_id",
+    a_col: str = "a",
+    b_col: str = "b",
+    weight_col: str | None = None,
+    max_iter: int = 30,
+) -> DataFrame:
+    """Polyline stitching (line merge): group line segments into maximal
+    connected chains by SHARED ENDPOINT NODE ID, one row per chain —
+    the network-topology rollup (which ways form one road? is this
+    boundary a closed ring?) behind OSM relation assembly (reference
+    analog: the outer-way rings render-features.rs:133-149 walks were
+    pre-stitched by the mapper; real inputs arrive as loose ways).
+
+    Contract: endpoints are NODE IDS, not coordinates — coordinate-keyed
+    stitching is quantize-then-stitch (callers snap first). Segments are
+    an undirected MULTIGRAPH (parallel segments both count); a
+    self-loop (a = b) is a one-segment ring and contributes 2 to its
+    node's degree. → (chain_id, n_segments, n_nodes, n_odd_nodes,
+    max_degree, is_ring, is_path[, total_weight]):
+
+    - ``chain_id`` = min endpoint id in the component (deterministic),
+    - ``is_ring``  = every node degree exactly 2 (a single closed walk
+      with no junctions),
+    - ``is_path``  = exactly two odd-degree endpoints and no node above
+      degree 2 (one open walk); components with junctions (degree ≥ 3)
+      are neither and the caller sees them via ``max_degree``,
+    - ``total_weight`` = exact integer sum of ``weight_col`` if given.
+
+    Physical shape: the O(log n) min-label + pointer-jumping
+    ``connected_components`` over the endpoint graph (its documented
+    bounded driver loop), then two map-side-combined rollups (segment
+    counts/weights; node degrees) joined on the chain key — no
+    per-chain collect, no Python, all counts exact int64.
+    """
+    cols = [
+        F.col(seg_id).alias("_sid"),
+        F.col(a_col).cast("long").alias("_a"),
+        F.col(b_col).cast("long").alias("_b"),
+    ]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("long").alias("_w"))
+    e = segments.select(*cols)
+    cc = connected_components(e, "_a", "_b", max_iter=max_iter)
+
+    seg_lab = e.join(cc.withColumnRenamed("node", "_a"), "_a")
+    seg_aggs = [F.count(F.lit(1)).alias("n_segments")]
+    if weight_col is not None:
+        seg_aggs.append(F.sum("_w").alias("total_weight"))
+    per_seg = seg_lab.groupBy("component").agg(*seg_aggs)
+
+    incid = e.select(F.col("_a").alias("node")).unionAll(
+        e.select(F.col("_b").alias("node"))
+    )
+    deg = incid.groupBy("node").agg(F.count(F.lit(1)).alias("_deg"))
+    per_node = (
+        deg.join(cc, "node")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum((F.col("_deg") % 2).cast("long")).alias("n_odd_nodes"),
+            F.max("_deg").alias("max_degree"),
+        )
+    )
+    out = per_seg.join(per_node, "component").select(
+        F.col("component").alias("chain_id"),
+        "n_segments",
+        "n_nodes",
+        "n_odd_nodes",
+        "max_degree",
+        ((F.col("n_odd_nodes") == 0) & (F.col("max_degree") == 2)).alias("is_ring"),
+        ((F.col("n_odd_nodes") == 2) & (F.col("max_degree") <= 2)).alias("is_path"),
+        *([F.col("total_weight")] if weight_col is not None else []),
+    )
+    return out

@@ -467,3 +467,106 @@ def test_degree_assortativity_model_and_edges(spark):
     row = degree_assortativity(
         spark.createDataFrame(cyc, "src long, dst long")).collect()[0]
     assert row["m"] == 6 and row["r"] is None
+
+
+# ------------------------------------------------------------ stitch_lines
+
+
+def _brute_stitch(segs):
+    # segs: list of (sid, a, b, w)
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+
+    for _, a, b, _ in segs:
+        union(a, b)
+    deg = {}
+    for _, a, b, _ in segs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    out = {}
+    for _, a, b, w in segs:
+        c = find(a)
+        r = out.setdefault(c, {"n_segments": 0, "total_weight": 0, "nodes": set()})
+        r["n_segments"] += 1
+        r["total_weight"] += w
+    for n in deg:
+        out[find(n)]["nodes"].add(n)
+    rows = {}
+    for c, r in out.items():
+        # min-find again after all unions (path compression settles)
+        c2 = find(c)
+        ds = [deg[n] for n in r["nodes"]]
+        n_odd = sum(d % 2 for d in ds)
+        mx = max(ds)
+        rows[c2] = (
+            r["n_segments"], len(r["nodes"]), n_odd, mx,
+            n_odd == 0 and mx == 2, n_odd == 2 and mx <= 2, r["total_weight"],
+        )
+    return rows
+
+
+def test_stitch_lines_topology_classes(spark):
+    from osmflat_rs_spark.operators.graph import stitch_lines
+
+    segs = (
+        # open path 1-2-3-4
+        [(0, 1, 2, 5), (1, 2, 3, 5), (2, 3, 4, 5)]
+        # closed ring 10-11-12-10
+        + [(3, 10, 11, 1), (4, 11, 12, 1), (5, 12, 10, 1)]
+        # Y junction at 20
+        + [(6, 20, 21, 2), (7, 20, 22, 2), (8, 20, 23, 2)]
+        # self-loop ring
+        + [(9, 30, 30, 7)]
+        # parallel edges (multigraph 2-cycle)
+        + [(10, 40, 41, 3), (11, 40, 41, 4)]
+    )
+    want = _brute_stitch(segs)
+    df = spark.createDataFrame(segs, "seg_id long, a long, b long, w long")
+    got = {
+        r["chain_id"]: (
+            r["n_segments"], r["n_nodes"], r["n_odd_nodes"], r["max_degree"],
+            r["is_ring"], r["is_path"], r["total_weight"],
+        )
+        for r in stitch_lines(df, "seg_id", "a", "b", weight_col="w").collect()
+    }
+    assert got == want
+    # the specific classes we constructed
+    assert got[1][5] and not got[1][4]        # path
+    assert got[10][4] and not got[10][5]      # ring
+    assert not got[20][4] and not got[20][5] and got[20][3] == 3  # junction
+    assert got[30] == (1, 1, 0, 2, True, False, 7)  # self-loop ring
+    assert got[40][4]                          # parallel pair is a 2-cycle ring
+
+
+def test_stitch_lines_random_and_partition_invariance(spark):
+    import numpy as np
+
+    from osmflat_rs_spark.operators.graph import stitch_lines
+
+    rng = np.random.default_rng(5)
+    segs = [
+        (i, int(rng.integers(0, 60)), int(rng.integers(0, 60)), int(rng.integers(1, 9)))
+        for i in range(120)
+    ]
+    want = _brute_stitch(segs)
+    df = spark.createDataFrame(segs, "seg_id long, a long, b long, w long")
+    for d in (df, df.repartition(11)):
+        got = {
+            r["chain_id"]: (
+                r["n_segments"], r["n_nodes"], r["n_odd_nodes"], r["max_degree"],
+                r["is_ring"], r["is_path"], r["total_weight"],
+            )
+            for r in stitch_lines(d, "seg_id", "a", "b", weight_col="w").collect()
+        }
+        assert got == want
