@@ -1619,6 +1619,27 @@ def q_asof_purchase_view(spark, sf_dir):
 SESSION_GAP_S = 21_600  # 6h; sf0.01 median inter-event gap per user ≈ 7.3h
 
 
+def q_merge_intervals_events(spark, sf_dir):
+    """Per-user interval coalescing (``intervals.merge_intervals``, r5)
+    — coverage union of [t, t + dur] validity windows (dur deterministic
+    from event_id, 10–90 min, so runs genuinely overlap, touch, and
+    split): ONE sort shuffle carrying both window passes (running max of
+    prior ends → start-flag → prefix-sum run id), then a map-side-
+    combinable rollup. Oracle restates the identical ANSI window frames
+    in DuckDB — all-integer rows."""
+    from osmflat_rs_spark.operators.intervals import merge_intervals
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + (F.lit(1) + F.col("event_id") % 9) * F.lit(600_000_000)
+        ).alias("e"),
+    )
+    return merge_intervals(ev, "user_id", "s", "e")
+
+
 def q_sessions_events(spark, sf_dir):
     """Gap-based sessionization → per-session stats. One shuffle total:
     the session index is a lag-diff + running sum window, and the stats
@@ -2994,6 +3015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid_events": q_tile_pyramid_events,
         "asof_purchase_view": q_asof_purchase_view,
         "interval_join_events": q_interval_join_events,
+        "merge_intervals_events": q_merge_intervals_events,
         "sessions_events": q_sessions_events,
         "span_explode_docs": q_span_explode_docs,
         "span_reassemble_docs": q_span_reassemble_docs,
@@ -4803,6 +4825,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         # interval overlap: the oracle is the plain inequality join —
         # the engine's bucketing is candidate machinery, never semantics
+        # interval coalescing: identical ANSI window frames restated
+        "merge_intervals_events": """
+            WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+                               epoch_us(ts) + (1 + event_id % 9) * 600000000 AS e
+                        FROM events),
+            fl AS (SELECT user_id, s, e,
+                          CASE WHEN s > coalesce(MAX(e) OVER (
+                                 PARTITION BY user_id ORDER BY s, e
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                               -4611686018427387904)
+                               THEN 1 ELSE 0 END AS nw
+                   FROM iv),
+            runs AS (SELECT *, SUM(nw) OVER (PARTITION BY user_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+                     FROM fl)
+            SELECT user_id, MIN(s) AS m_start, MAX(e) AS m_end, COUNT(*) AS n_source
+            FROM runs GROUP BY user_id, run
+        """,
         "interval_join_events": """
             WITH iv AS (SELECT event_id, event_type, epoch_us(ts) AS s,
                                epoch_us(ts) + (event_id * 9973) % 1800000000 AS e

@@ -77,3 +77,75 @@ def interval_join(
         & (F.col("bucket") == _fdiv(F.greatest(F.col("l_s"), F.col("r_s")), bucket_size))
     )
     return joined.select("l_id", "r_id")
+
+
+def merge_intervals(
+    df: DataFrame,
+    group_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Per-group interval coalescing (the classic "merge overlapping
+    intervals", distributed): the union of each group's closed
+    [start, end] intervals as maximal disjoint runs →
+    (group, m_start, m_end, n_source) — the coverage/uptime/validity
+    primitive (total watched time, sensor coverage gaps, lock spans)
+    that ``interval_join`` deliberately does not answer.
+
+    Merge rule: overlap-or-TOUCH coalesces (next.start ≤ run.end joins
+    the run; a gap of ≥ 1 unit splits). Everything exact int64.
+
+    Physical shape — the textbook sweep made relational with ONE sort
+    shuffle: over (group ORDER BY start, end) compute the running max
+    of prior ends (ROWS UNBOUNDED PRECEDING TO 1 PRECEDING); a row
+    STARTS a new run iff start > that max (NULL max = first row); the
+    prefix sum of start-flags over the same window frame is the run id;
+    one groupBy (group, run) emits min(start), max(end), count. Both
+    windows share the single partition-by-group sort (one Exchange +
+    one Sort in the plan); the final groupBy is map-side-combinable.
+    Determinism: ORDER BY (start, end) — rows tied on both are
+    interchangeable (symmetric flags), rows tied on start alone are
+    pinned by end, so the flag column is partition- and
+    tie-order-invariant. Per-group state is one window partition — the
+    standard skew caveat (a single entity owning 10^9 intervals
+    serializes its own partition; pre-aggregate such groups or split by
+    time first).
+
+    NULL or inverted (start > end) rows are dropped — the engine-wide
+    poison contract.
+    """
+    from pyspark.sql import Window
+
+    s = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(start_col).cast("long").alias("_s"),
+        F.col(end_col).cast("long").alias("_e"),
+    ).filter(
+        F.col("_s").isNotNull() & F.col("_e").isNotNull() & (F.col("_s") <= F.col("_e"))
+    )
+    w = (
+        Window.partitionBy("_g")
+        .orderBy("_s", "_e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = s.withColumn(
+        "_new",
+        F.when(F.col("_s") > F.coalesce(F.max("_e").over(w), F.lit(-(1 << 62))), 1)
+        .otherwise(0)
+        .cast("long"),
+    )
+    w2 = (
+        Window.partitionBy("_g")
+        .orderBy("_s", "_e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = flagged.withColumn("_run", F.sum("_new").over(w2))
+    return (
+        runs.groupBy("_g", "_run")
+        .agg(
+            F.min("_s").alias("m_start"),
+            F.max("_e").alias("m_end"),
+            F.count(F.lit(1)).alias("n_source"),
+        )
+        .select(F.col("_g").alias(group_col), "m_start", "m_end", "n_source")
+    )

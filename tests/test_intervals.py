@@ -53,3 +53,64 @@ def test_validation(spark):
             _mk(spark, [(1, 0, 1)]), _mk(spark, [(2, 0, 1)]),
             "iid", "s", "e", "iid", "s", "e", bucket_size=0,
         )
+
+
+# ----------------------------------------------------------- merge_intervals
+
+
+def _brute_merge(rows):
+    # rows: (g, s, e) -> {g: [(m_start, m_end, n_source), ...]}
+    out = {}
+    for g in {r[0] for r in rows}:
+        ivs = sorted((s, e) for gg, s, e in rows if gg == g and s <= e)
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+                merged[-1][2] += 1
+            else:
+                merged.append([s, e, 1])
+        out[g] = sorted(tuple(m) for m in merged)
+    return out
+
+
+def test_merge_intervals_model_parity(spark):
+    from osmflat_rs_spark.operators.intervals import merge_intervals
+
+    rng = np.random.default_rng(21)
+    rows = []
+    for i in range(400):
+        g = int(rng.integers(0, 8))
+        s = int(rng.integers(0, 1000))
+        rows.append((g, s, s + int(rng.integers(0, 60))))
+    want = _brute_merge(rows)
+    df = spark.createDataFrame(rows, "g long, s long, e long")
+    for d in (df, df.repartition(7)):
+        got = {}
+        for r in merge_intervals(d, "g", "s", "e").collect():
+            got.setdefault(r["g"], []).append((r["m_start"], r["m_end"], r["n_source"]))
+        got = {g: sorted(v) for g, v in got.items()}
+        assert got == want
+
+
+def test_merge_intervals_touch_gap_and_poison(spark):
+    from osmflat_rs_spark.operators.intervals import merge_intervals
+
+    rows = [
+        ("u", 1, 2), ("u", 2, 5),      # touch -> merges
+        ("u", 7, 9),                   # gap of 2 -> splits
+        ("v", 1, 2), ("v", 3, 5),      # integer-adjacent -> splits (closed contract)
+        ("w", 5, 3),                   # inverted -> dropped
+        ("w", None, 4),                # null -> dropped
+        ("w", 0, 10), ("w", 2, 3),     # containment -> one run, n_source 2
+    ]
+    df = spark.createDataFrame(rows, "g string, s long, e long")
+    got = {}
+    for r in merge_intervals(df, "g", "s", "e").collect():
+        got.setdefault(r["g"], []).append((r["m_start"], r["m_end"], r["n_source"]))
+    got = {g: sorted(v) for g, v in got.items()}
+    assert got == {
+        "u": [(1, 5, 2), (7, 9, 1)],
+        "v": [(1, 2, 1), (3, 5, 1)],
+        "w": [(0, 10, 2)],
+    }
