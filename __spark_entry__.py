@@ -1619,6 +1619,34 @@ def q_asof_purchase_view(spark, sf_dir):
 SESSION_GAP_S = 21_600  # 6h; sf0.01 median inter-event gap per user ≈ 7.3h
 
 
+def q_bbox_join_events(spark, sf_dir):
+    """Rectangle-overlap join (``bbox.bbox_join``, r5) — the R-tree
+    query primitive as a grid equi-join with EXACTLY-ONCE min-corner
+    cell ownership (no distinct anywhere): event bboxes split even/odd
+    into the two sides, half-extents deterministic from event_id so
+    pairs touch, contain, and straddle cell borders. Oracle = the
+    brute-force inequality join; the intersection box is exact int64
+    in both engines."""
+    _prep(spark)
+    from osmflat_rs_spark.operators.bbox import bbox_join
+
+    e = F.col("event_id")
+    boxes = _synth_coords(_t(spark, sf_dir, "events")).select(
+        "event_id",
+        (F.col("lon") - (F.lit(1) + e % 7) * 3_000).alias("x_min"),
+        (F.col("lat") - (F.lit(1) + e % 5) * 3_000).alias("y_min"),
+        (F.col("lon") + (F.lit(1) + e % 7) * 3_000).alias("x_max"),
+        (F.col("lat") + (F.lit(1) + e % 5) * 3_000).alias("y_max"),
+    )
+    return bbox_join(
+        boxes.filter(e % 2 == 0).withColumnRenamed("event_id", "id_a"),
+        boxes.filter(e % 2 == 1).withColumnRenamed("event_id", "id_b"),
+        cell_size=50_000,
+        left_id="id_a",
+        right_id="id_b",
+    )
+
+
 def q_merge_intervals_events(spark, sf_dir):
     """Per-user interval coalescing (``intervals.merge_intervals``, r5)
     — coverage union of [t, t + dur] validity windows (dur deterministic
@@ -1926,6 +1954,19 @@ def q_funnel_events(spark, sf_dir):
     from osmflat_rs_spark.operators.sessions import funnel_steps
 
     return funnel_steps(_t(spark, sf_dir, "events"), list(FUNNEL_STEPS))
+
+
+def q_grouped_quantile_events(spark, sf_dir):
+    """Per-group EXACT discrete quantiles (``plans.indexing.
+    grouped_quantile``, r5) — median and p90 of each user's lat: one
+    window sort shuffle + a broadcast (group, k) rank table, ranks in
+    pure integer ceil arithmetic (the global ``quantile_events`` gate's
+    no-float-ceil contract, per group). Oracle = ROW_NUMBER + the same
+    integer k — all-integer rows."""
+    from osmflat_rs_spark.plans.indexing import grouped_quantile
+
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    return grouped_quantile(pts, "user_id", "lat", [(1, 2), (9, 10)])
 
 
 def q_mean_center_events(spark, sf_dir):
@@ -3016,6 +3057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_view": q_asof_purchase_view,
         "interval_join_events": q_interval_join_events,
         "merge_intervals_events": q_merge_intervals_events,
+        "bbox_join_events": q_bbox_join_events,
         "sessions_events": q_sessions_events,
         "span_explode_docs": q_span_explode_docs,
         "span_reassemble_docs": q_span_reassemble_docs,
@@ -3044,6 +3086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitions_events": q_transitions_events,
         "densify_events": q_densify_events,
         "quantile_events": q_quantile_events,
+        "grouped_quantile_events": q_grouped_quantile_events,
         "editdist_docs": q_editdist_docs,
         "mean_center_events": q_mean_center_events,
         "repetition_docs": q_repetition_docs,
@@ -4446,6 +4489,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE abs(length(a.st) - length(b.st)) <= {EDIT_DIST_MAX}
               AND levenshtein(a.st, b.st) <= {EDIT_DIST_MAX}
         """,
+        "grouped_quantile_events": f"""
+            WITH pts AS (SELECT user_id, lat FROM ({_SYNTH_SQL}) WHERE lat IS NOT NULL),
+            r AS (SELECT user_id, lat,
+                         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY lat) AS rn
+                  FROM pts),
+            c AS (SELECT user_id, COUNT(*) AS n FROM pts GROUP BY user_id),
+            k AS (SELECT user_id, CAST(q_num AS BIGINT) AS q_num,
+                         CAST(q_den AS BIGINT) AS q_den,
+                         (q_num * n + q_den - 1) // q_den AS k
+                  FROM c CROSS JOIN (VALUES (1, 2), (9, 10)) q(q_num, q_den))
+            SELECT k.user_id, k.q_num, k.q_den, k.k, r.lat AS value
+            FROM k JOIN r ON r.user_id = k.user_id AND r.rn = k.k
+        """,
         "quantile_events": f"""
             WITH pts AS (SELECT lat FROM ({_SYNTH_SQL}) WHERE lat IS NOT NULL),
             nn AS (SELECT COUNT(*) AS n FROM pts),
@@ -4825,6 +4881,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         # interval overlap: the oracle is the plain inequality join —
         # the engine's bucketing is candidate machinery, never semantics
+        # bbox overlap: brute-force inequality join; intersection box
+        # is exact int arithmetic in both engines
+        "bbox_join_events": f"""
+            WITH b AS (SELECT event_id,
+                              lon - (1 + event_id % 7) * 3000 AS x_min,
+                              lat - (1 + event_id % 5) * 3000 AS y_min,
+                              lon + (1 + event_id % 7) * 3000 AS x_max,
+                              lat + (1 + event_id % 5) * 3000 AS y_max
+                       FROM {synth})
+            SELECT a.event_id AS id_a, c.event_id AS id_b,
+                   GREATEST(a.x_min, c.x_min) AS ix_min,
+                   GREATEST(a.y_min, c.y_min) AS iy_min,
+                   LEAST(a.x_max, c.x_max) AS ix_max,
+                   LEAST(a.y_max, c.y_max) AS iy_max
+            FROM b a JOIN b c ON a.event_id % 2 = 0 AND c.event_id % 2 = 1
+            WHERE GREATEST(a.x_min, c.x_min) <= LEAST(a.x_max, c.x_max)
+              AND GREATEST(a.y_min, c.y_min) <= LEAST(a.y_max, c.y_max)
+        """,
         # interval coalescing: identical ANSI window frames restated
         "merge_intervals_events": """
             WITH iv AS (SELECT user_id, epoch_us(ts) AS s,

@@ -1117,6 +1117,90 @@ def run_coloc_bench(spark, cpus: int, n_points: int = 16_000_000) -> dict:
     return out
 
 
+def run_knox_bench(spark, cpus: int, n_points: int = 8_000_000) -> dict:
+    """Knox space-time statistic throughput. Density must be constant
+    per MARGINAL, not per composite key: the spatial-only count joins
+    on the cell alone (all time buckets of a cell collapse together)
+    and the temporal-only count on the bucket alone — a --coloc-style
+    constant-spacetime-density synth makes those two marginal joins
+    quadratic in n. Here the grid is sized so each SPATIAL cell holds
+    ~64 points AND each TIME bucket holds ~64 points (span grows with
+    n on all axes), so all three pair-count joins (27-key spacetime,
+    9-key spatial, 3-key temporal band) are candidate-linear and die
+    into map-side partial counts — zero pair rows materialized."""
+    from pyspark.sql import functions as F
+
+    from osmflat_rs_spark.operators.coloc import knox_statistic, pick_coloc_res
+
+    radius, window_us = 100_000, 3_600_000_000
+    res = pick_coloc_res(radius)
+    cell_lat = 1_800_000_000 >> res
+    cell_lon = 3_600_000_000 >> res
+    per_marginal = 64
+    sx = max(1, round((n_points / per_marginal) ** 0.5))
+    sy = sx
+    nb = max(1, n_points // per_marginal)
+    pts = spark.range(n_points).select(
+        F.col("id").alias("event_id"),
+        (F.lit(500_000_000) + F.abs(F.xxhash64(F.col("id"), F.lit(31))) % F.lit(sy * cell_lat))
+        .cast("long").alias("lat"),
+        (F.lit(100_000_000) + F.abs(F.xxhash64(F.col("id"), F.lit(32))) % F.lit(sx * cell_lon))
+        .cast("long").alias("lon"),
+        (F.abs(F.xxhash64(F.col("id"), F.lit(33))) % F.lit(nb * window_us))
+        .cast("long").alias("t_us"),
+    )
+    out = {"cpus": cpus, "n_points": n_points, "n_keys": sx * sy * nb, "res": res}
+    best, row = 1e9, None
+    for _ in range(2):
+        t0 = time.time()
+        row = knox_statistic(pts, radius=radius, window_us=window_us).collect()[0]
+        best = min(best, time.time() - t0)
+    out["sec"] = round(best, 3)
+    out["x_knox"] = int(row["x_knox"])
+    out["n_space"] = int(row["n_space"])
+    out["n_time"] = int(row["n_time"])
+    out["points_per_sec"] = round(n_points / best)
+    return out
+
+
+def run_stitch_bench(spark, cpus: int, n_segments: int = 16_000_000) -> dict:
+    """Line-merge throughput: segments in blocks of 32 (even blocks
+    close into rings, odd stay open paths — the gate synth at scale),
+    so components are bounded and the min-label CC converges in ~log2
+    rounds. What the bench pins: per-round frontier joins + the two
+    degree/weight rollups stay edge-linear; segments/sec through the
+    full chain classification. Invariant checked in-bench: every block
+    yields exactly one chain."""
+    from pyspark.sql import functions as F
+
+    from osmflat_rs_spark.operators.graph import stitch_lines
+
+    e = F.col("id")
+    seg = (
+        spark.range(n_segments)
+        .filter(~((e % 32 == 31) & ((e / 32).cast("long") % 2 == 1)))
+        .select(
+            e.alias("seg_id"),
+            e.alias("a"),
+            F.when(e % 32 == 31, e - 31).otherwise(e + 1).alias("b"),
+            (F.lit(1) + e % 5).cast("long").alias("w"),
+        )
+    )
+    n_blocks = n_segments // 32
+    out = {"cpus": cpus, "n_segments": n_segments, "n_blocks": n_blocks}
+    best, n_chains = 1e9, None
+    for _ in range(2):
+        t0 = time.time()
+        n_chains = stitch_lines(seg, "seg_id", "a", "b", weight_col="w").count()
+        best = min(best, time.time() - t0)
+    if n_chains != n_blocks:
+        raise AssertionError(f"chain invariant broken: {n_chains} != {n_blocks}")
+    out["sec"] = round(best, 3)
+    out["n_chains"] = int(n_chains)
+    out["segments_per_sec"] = round(n_segments / best)
+    return out
+
+
 def run_pagerank_bench(spark, cpus: int, n_nodes: int = 10_000_000, iters: int = 3) -> dict:
     """Iterative-loop scaling evidence: exact-integer PageRank over a
     uniform 3-out synthetic mesh (spark.range construction — pure JVM).
@@ -1658,6 +1742,38 @@ def main():
         )
         out["metric"] = "spatiotemporal co-location self-join throughput (constant density)"
         out["unit"] = "points/sec"
+        print(json.dumps(out))
+        spark.stop()
+        return
+
+    if "--knox" in sys.argv:
+        from osmflat_rs_spark.session import get_spark
+
+        cpus = CPUS if "--cpus" not in sys.argv else int(sys.argv[sys.argv.index("--cpus") + 1])
+        spark = get_spark(
+            "bench-knox", master=f"local[{cpus}]", shuffle_partitions=max(8, 2 * cpus)
+        )
+        out = run_knox_bench(
+            spark, cpus, n_points=int(os.environ.get("SPARK_GRAFT_KNOX_N", "8000000"))
+        )
+        out["metric"] = "Knox space-time statistic throughput (constant density)"
+        out["unit"] = "points/sec"
+        print(json.dumps(out))
+        spark.stop()
+        return
+
+    if "--stitch" in sys.argv:
+        from osmflat_rs_spark.session import get_spark
+
+        cpus = CPUS if "--cpus" not in sys.argv else int(sys.argv[sys.argv.index("--cpus") + 1])
+        spark = get_spark(
+            "bench-stitch", master=f"local[{cpus}]", shuffle_partitions=max(8, 2 * cpus)
+        )
+        out = run_stitch_bench(
+            spark, cpus, n_segments=int(os.environ.get("SPARK_GRAFT_STITCH_N", "16000000"))
+        )
+        out["metric"] = "polyline stitching throughput (32-segment blocks, rings+paths)"
+        out["unit"] = "segments/sec"
         print(json.dumps(out))
         spark.stop()
         return

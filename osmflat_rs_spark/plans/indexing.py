@@ -465,3 +465,75 @@ def exact_quantile(
         return out
     finally:
         proj.unpersist()
+
+
+def grouped_quantile(
+    df,
+    group_col: str,
+    col: str,
+    qs: list,
+):
+    """EXACT per-group discrete quantiles → DataFrame
+    (group, q_num, q_den, k, value): for each group and each exact
+    rational q = (num, den), ``value`` is the group's k-th smallest
+    element with k = ceil(num·n/den) computed in PURE INTEGER
+    arithmetic ((num·n + den − 1) div den — same no-float-ceil contract
+    as ``exact_quantile``; duplicates counted with multiplicity, NULLs
+    excluded).
+
+    The GROUPED complement of ``exact_quantile``: the global form
+    binary-searches the value domain because a global sort is the
+    enemy at 100 TB; per GROUP the sort is already partitioned, so the
+    relational shape is the right one here — ONE window sort shuffle
+    (row_number over (group ORDER BY value)), a per-group count, the
+    tiny (group × len(qs)) rank table BROADCAST back onto the ranked
+    rows, and the equi-join on (group, rank = k) keeps one row per
+    (group, q). No driver loop, no second exchange of the corpus
+    (the broadcast join preserves the window's partitioning). Ties
+    share a value, so the output is tie-order- and
+    partition-invariant. Standard window-skew caveat: one group owning
+    10^9 rows serializes its partition — pre-split such groups.
+
+    Raises on an empty ``qs`` or a rational outside (0, 1].
+    """
+    from pyspark.sql import Window
+
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    for num, den in qs:
+        if den <= 0 or num <= 0 or num > den:
+            raise ValueError(f"quantile must be a rational in (0, 1], got {num}/{den}")
+    base = df.select(
+        F.col(group_col).alias("_g"), F.col(col).cast("long").alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    w = Window.partitionBy("_g").orderBy("_v")
+    ranked = base.withColumn("_rn", F.row_number().over(w))
+    counts = base.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
+    ks = counts.select(
+        "_g",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(num).cast("long").alias("q_num"),
+                        F.lit(den).cast("long").alias("q_den"),
+                        F.expr(f"(({num} * _n) + {den} - 1) div {den}").alias("k"),
+                    )
+                    for num, den in qs
+                ]
+            )
+        ).alias("_q"),
+    ).select("_g", "_q.q_num", "_q.q_den", "_q.k")
+    return (
+        ranked.join(
+            F.broadcast(ks),
+            (ranked["_g"] == ks["_g"]) & (ranked["_rn"] == ks["k"]),
+        )
+        .select(
+            ranked["_g"].alias(group_col),
+            "q_num",
+            "q_den",
+            "k",
+            F.col("_v").alias("value"),
+        )
+    )

@@ -114,3 +114,80 @@ def test_merge_intervals_touch_gap_and_poison(spark):
         "v": [(1, 2, 1), (3, 5, 1)],
         "w": [(0, 10, 2)],
     }
+
+
+# ---------------------------------------------------------------- bbox_join
+
+
+def _brute_bbox(lt, rt):
+    out = set()
+    for li, lx0, ly0, lx1, ly1 in lt:
+        for ri, rx0, ry0, rx1, ry1 in rt:
+            ox0, oy0 = max(lx0, rx0), max(ly0, ry0)
+            ox1, oy1 = min(lx1, rx1), min(ly1, ry1)
+            if ox0 <= ox1 and oy0 <= oy1:
+                out.add((li, ri, ox0, oy0, ox1, oy1))
+    return out
+
+
+def _rand_boxes(n, seed, lo=-500, hi=500, wmax=80):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        x0 = int(rng.integers(lo, hi))
+        y0 = int(rng.integers(lo, hi))
+        rows.append((i, x0, y0, x0 + int(rng.integers(0, wmax)), y0 + int(rng.integers(0, wmax))))
+    return rows
+
+
+def test_bbox_join_matches_bruteforce_any_cell_size(spark):
+    from osmflat_rs_spark.operators.bbox import bbox_join
+
+    lt, rt = _rand_boxes(80, 1), _rand_boxes(90, 2)
+    want = _brute_bbox(lt, rt)
+    schema = "id long, x_min long, y_min long, x_max long, y_max long"
+    ldf = spark.createDataFrame(lt, schema).withColumnRenamed("id", "la")
+    rdf = spark.createDataFrame(rt, schema).withColumnRenamed("id", "rb")
+    for cell in (7, 64, 1000, 10**9):  # incl. one-cell-world: still exactly-once
+        got = {
+            tuple(r)
+            for r in bbox_join(ldf, rdf, cell, left_id="la", right_id="rb").collect()
+        }
+        assert got == want, f"cell={cell}"
+    # broadcast path identical
+    got_b = {
+        tuple(r)
+        for r in bbox_join(ldf, rdf, 64, left_id="la", right_id="rb",
+                           broadcast_right=True).collect()
+    }
+    assert got_b == want
+
+
+def test_bbox_join_touching_containment_poison_validation(spark):
+    from osmflat_rs_spark.operators.bbox import bbox_join
+
+    schema = "id long, x_min long, y_min long, x_max long, y_max long"
+    lt = [(1, 0, 0, 10, 10), (2, -30, -30, -20, -20), (3, 5, 3, 2, 8)]  # 3 inverted
+    rt = [(10, 10, 10, 20, 20),   # touches corner of 1
+          (11, 2, 2, 3, 3),       # contained in 1
+          (12, -25, -25, -24, -24),  # inside 2 (negative coords)
+          (13, 100, 100, None, 110)]  # poison
+    got = {
+        tuple(r)
+        for r in bbox_join(
+            spark.createDataFrame(lt, schema).withColumnRenamed("id", "la"),
+            spark.createDataFrame(rt, schema).withColumnRenamed("id", "rb"),
+            8, left_id="la", right_id="rb",
+        ).collect()
+    }
+    assert got == {
+        (1, 10, 10, 10, 10, 10),
+        (1, 11, 2, 2, 3, 3),
+        (2, 12, -25, -25, -24, -24),
+    }
+    ldf = spark.createDataFrame(lt, schema)
+    with pytest.raises(ValueError):
+        bbox_join(ldf.withColumnRenamed("id", "la"),
+                  ldf.withColumnRenamed("id", "rb"), 0, left_id="la", right_id="rb")
+    with pytest.raises(ValueError):
+        bbox_join(ldf, ldf, 8, left_id="id", right_id="id")  # colliding ids

@@ -478,3 +478,53 @@ def test_exact_quantile_validation(spark):
     empty = spark.createDataFrame([], "x long")
     with _pytest.raises(ValueError, match="empty"):
         exact_quantile(empty, "x", [(1, 2)])
+
+
+# ----------------------------------------------------------- grouped_quantile
+
+
+def test_grouped_quantile_matches_sorted_model(spark):
+    import math
+
+    import numpy as np
+
+    from osmflat_rs_spark.plans.indexing import grouped_quantile
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for g in range(6):
+        n = int(rng.integers(1, 120))
+        vals = rng.integers(-50, 50, n)
+        rows += [(g, int(v)) for v in vals]
+    qs = [(1, 2), (9, 10), (1, 1), (1, 100)]
+    want = set()
+    for g in {r[0] for r in rows}:
+        vs = sorted(v for gg, v in rows if gg == g)
+        for num, den in qs:
+            k = -(-num * len(vs) // den)  # exact ceil
+            want.add((g, num, den, k, vs[k - 1]))
+    df = spark.createDataFrame(rows, "g long, v long")
+    for d in (df, df.repartition(7)):
+        got = {tuple(r) for r in grouped_quantile(d, "g", "v", qs).collect()}
+        assert got == want
+
+
+def test_grouped_quantile_duplicates_nulls_validation(spark):
+    import pytest as _pytest
+
+    from osmflat_rs_spark.plans.indexing import grouped_quantile
+
+    rows = [("a", 5), ("a", 5), ("a", 5), ("a", 9), ("a", None), ("b", 1)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {tuple(r) for r in grouped_quantile(df, "g", "v", [(1, 2), (1, 1)]).collect()}
+    # group a: 4 non-null values [5,5,5,9]; median k=2 -> 5, max k=4 -> 9
+    assert got == {
+        ("a", 1, 2, 2, 5), ("a", 1, 1, 4, 9),
+        ("b", 1, 2, 1, 1), ("b", 1, 1, 1, 1),
+    }
+    with _pytest.raises(ValueError):
+        grouped_quantile(df, "g", "v", [])
+    with _pytest.raises(ValueError):
+        grouped_quantile(df, "g", "v", [(0, 2)])
+    with _pytest.raises(ValueError):
+        grouped_quantile(df, "g", "v", [(3, 2)])
