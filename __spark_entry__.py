@@ -2287,6 +2287,24 @@ def q_clip_tiles_events(spark, sf_dir):
     return clip_segments_to_grid(segs, cell_size=1 << 16, extent=4096)
 
 
+FH_DIM = 16
+
+
+def q_feature_hash_docs(spark, sf_dir):
+    """Hashing-trick vectorizer (``textops.feature_hash``, r5) — each
+    doc's signed dim-16 count vector from the portable md5-60bit hash
+    family, posexploded to (doc_id, i, v) rows so the gate hashes pure
+    integers. Zero shuffles engine-side (one in-row fold per doc);
+    oracle rebuilds the identical vectors with list HOFs over the
+    shared tokenizer template."""
+    from osmflat_rs_spark.operators.textops import feature_hash
+
+    out = feature_hash(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", dim=FH_DIM, signed=True
+    )
+    return out.select("doc_id", F.posexplode("vec").alias("i", "v"))
+
+
 def q_repetition_docs(spark, sf_dir):
     """Gopher-style repetition quality signals: most-frequent-2-gram
     character fraction + duplicated-3-gram positional-coverage fraction,
@@ -3089,6 +3107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_quantile_events": q_grouped_quantile_events,
         "editdist_docs": q_editdist_docs,
         "mean_center_events": q_mean_center_events,
+        "feature_hash_docs": q_feature_hash_docs,
         "repetition_docs": q_repetition_docs,
         "contamination_docs": q_contamination_docs,
         "unigram_logprob_docs": q_unigram_logprob_docs,
@@ -4466,6 +4485,17 @@ def oracle_sql() -> dict[str, str]:
                         WHEN de_ratio >= fr_ratio AND de_ratio > 0 THEN 'de'
                         WHEN fr_ratio > 0 THEN 'fr' ELSE 'unk' END AS lang_pred
             FROM r
+        """,
+        "feature_hash_docs": f"""
+            WITH toks AS (SELECT doc_id, {_ws_split_sql()} AS ws FROM documents),
+            vecs AS (SELECT doc_id,
+                            list_transform(range(0, 16), i ->
+                              CAST(coalesce(list_sum(list_transform(ws, t ->
+                                CASE WHEN CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 16 = i THEN (CAST('0x' || substr(md5('s:' || t), 1, 15) AS BIGINT) % 2 * 2 - 1) ELSE 0 END)), 0) AS BIGINT)
+                            ) AS vec
+                     FROM toks),
+            ex AS (SELECT doc_id, vec, unnest(range(0, 16)) AS i FROM vecs)
+            SELECT doc_id, CAST(i AS INT) AS i, vec[CAST(i AS BIGINT) + 1] AS v FROM ex
         """,
         "quality_docs": f"""
             WITH base AS (SELECT doc_id, length(text) AS n_chars,

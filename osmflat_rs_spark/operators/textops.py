@@ -754,3 +754,64 @@ def frequent_pairs(
             ).alias("lift"),
         )
     )
+
+
+def feature_hash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int = 64,
+    signed: bool = True,
+) -> DataFrame:
+    """Hashing-trick vectorizer (Weinberger et al. 2009, ICML — the
+    "feature hashing" paper; sklearn's HashingVectorizer): each doc →
+    a FIXED dim-wide integer vector, vec[b] = Σ over tokens with
+    bucket(t) = b of sign(t) — the vocabulary-free embedding for cheap
+    clustering / mixing / linear models over a 100 TB corpus, where a
+    fitted vocabulary (TF-IDF's df pass) is itself a corpus-wide
+    shuffle this operator deliberately avoids.
+
+    bucket(t) = md5-60bit(t) mod dim and sign(t) = ±1 from an
+    independent seeded digest — the engine's portable hash family
+    (``dedup.md5_int60``), so the SQL oracle reproduces vectors
+    bit-for-bit. The signed variant makes collisions cancel in
+    expectation (the paper's unbiasedness construction);
+    ``signed=False`` gives plain non-negative counts. Duplicate tokens
+    count with multiplicity. → (id, vec: array<long> of length dim) —
+    exact ints, no floats anywhere.
+
+    Physical shape: ZERO shuffles and zero Python — tokens map once to
+    (bucket, sign) structs in-row, then one ``aggregate`` HOF folds an
+    int64 accumulator array of width dim. Cost is O(dim · tokens) array
+    updates per doc, evaluated in Catalyst's interpreted HOF path (the
+    r3 MinHash lesson): fine for dim ≤ a few hundred; for dim in the
+    thousands, prefer the explode → (id, bucket) count → map_from_
+    entries regroup, which trades one id-keyed Exchange for O(tokens)
+    work. dim is the knob — state it with the model, not the data.
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    from osmflat_rs_spark.operators.dedup import md5_int60
+
+    toks = words_expr(F.col(text_col))
+    # (bucket, sign) per token, hashed ONCE; sign from an independent
+    # seeded digest ('s:' prefix keeps it off the bucket digest)
+    bs = F.transform(
+        toks,
+        lambda t: F.struct(
+            F.pmod(md5_int60(t), F.lit(dim)).alias("b"),
+            (
+                (F.pmod(md5_int60(F.concat(F.lit("s:"), t)), F.lit(2)) * 2 - 1)
+                if signed
+                else F.lit(1)
+            ).cast("long").alias("s"),
+        ),
+    )
+    vec = F.aggregate(
+        bs,
+        F.array_repeat(F.lit(0).cast("long"), dim),
+        lambda acc, e: F.transform(
+            acc, lambda v, i: v + F.when(e["b"] == i.cast("long"), e["s"]).otherwise(F.lit(0))
+        ),
+    )
+    return df.select(F.col(id_col), vec.alias("vec"))
