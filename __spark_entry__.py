@@ -732,6 +732,49 @@ def q_stream_movement_events(spark, sf_dir):
     return res.select("entity", "t0_us", "dt_us", "d2", "sector", "speeding")
 
 
+def q_stream_merge_intervals_events(spark, sf_dir):
+    """Stateful streaming twin of merge_intervals_events (``incremental.
+    stream_merge_intervals``, r5): the same per-user validity windows
+    replayed time-split as TWO availableNow runs against one checkpoint
+    — per-entity open-run state stitches the batch boundary, only
+    CLOSED runs append. Oracle = the batch window SQL minus each user's
+    LAST (still-open-in-state) run — exact parity by construction."""
+    import shutil
+    import tempfile
+
+    from osmflat_rs_spark.streaming.incremental import stream_merge_intervals
+
+    iv = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + (F.lit(1) + F.col("event_id") % 9) * F.lit(600_000_000)
+        ).alias("e"),
+    )
+    cut = F.unix_micros(F.lit(MOVE_SPLIT).cast("timestamp"))
+    tmp = tempfile.mkdtemp(prefix="stream_merge_")
+    src, ckpt, out = f"{tmp}/iv", f"{tmp}/ck", f"{tmp}/out"
+    schema = "user_id long, s long, e long"
+    try:
+        iv.filter(F.col("s") < cut).write.mode("append").parquet(src)
+        q1 = stream_merge_intervals(spark, src, schema, ckpt, out)
+        if not q1.awaitTermination(300):
+            q1.stop()
+            raise RuntimeError("stream_merge batch 1 did not finish in 300s")
+        iv.filter(F.col("s") >= cut).write.mode("append").parquet(src)
+        q2 = stream_merge_intervals(spark, src, schema, ckpt, out)
+        if not q2.awaitTermination(300):
+            q2.stop()
+            raise RuntimeError("stream_merge batch 2 did not finish in 300s")
+        res = spark.read.parquet(out).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return res.select(
+        F.col("entity").cast("long").alias("user_id"), "m_start", "m_end", "n_source"
+    )
+
+
 ISOLATED_R = 15_000
 
 # skyline gate: x = squared distance to the box center, y = synthetic cost
@@ -3075,6 +3118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_view": q_asof_purchase_view,
         "interval_join_events": q_interval_join_events,
         "merge_intervals_events": q_merge_intervals_events,
+        "stream_merge_intervals_events": q_stream_merge_intervals_events,  # stateful streaming, oracled
         "bbox_join_events": q_bbox_join_events,
         "sessions_events": q_sessions_events,
         "span_explode_docs": q_span_explode_docs,
@@ -4928,6 +4972,28 @@ def oracle_sql() -> dict[str, str]:
             FROM b a JOIN b c ON a.event_id % 2 = 0 AND c.event_id % 2 = 1
             WHERE GREATEST(a.x_min, c.x_min) <= LEAST(a.x_max, c.x_max)
               AND GREATEST(a.y_min, c.y_min) <= LEAST(a.y_max, c.y_max)
+        """,
+        # streaming twin: batch runs minus each user's last (open) run
+        "stream_merge_intervals_events": """
+            WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+                               epoch_us(ts) + (1 + event_id % 9) * 600000000 AS e
+                        FROM events),
+            fl AS (SELECT user_id, s, e,
+                          CASE WHEN s > coalesce(MAX(e) OVER (
+                                 PARTITION BY user_id ORDER BY s, e
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                               -4611686018427387904)
+                               THEN 1 ELSE 0 END AS nw
+                   FROM iv),
+            runs AS (SELECT *, SUM(nw) OVER (PARTITION BY user_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+                     FROM fl),
+            m AS (SELECT user_id, MIN(s) AS m_start, MAX(e) AS m_end,
+                         COUNT(*) AS n_source
+                  FROM runs GROUP BY user_id, run),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                               ORDER BY m_start DESC) AS rk FROM m)
+            SELECT user_id, m_start, m_end, n_source FROM r WHERE rk > 1
         """,
         # interval coalescing: identical ANSI window frames restated
         "merge_intervals_events": """

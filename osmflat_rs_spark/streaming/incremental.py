@@ -934,3 +934,106 @@ def stream_funnel_steps(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_merge_intervals(
+    spark,
+    src_dir: str,
+    schema,
+    checkpoint_dir: str,
+    out_dir: str,
+    entity_col: str = "user_id",
+    start_col: str = "s",
+    end_col: str = "e",
+):
+    """STATEFUL streaming form of ``intervals.merge_intervals``: per
+    entity, coalesce arriving closed [start, end] intervals into
+    maximal runs and EMIT each run the moment a gap closes it — the
+    continuous uptime/coverage feed (session spans, sensor coverage)
+    instead of the nightly batch union.
+
+    State per entity is ONE open run (m_start, m_end, n_source) plus
+    the last processed start — checkpointed, restart-surviving,
+    bounded by #entities. Append-mode streaming cannot retract, so
+    only CLOSED runs are emitted; each entity's final run stays open
+    in state forever (or until a later interval closes it). Batch
+    parity is therefore exact by construction: the union of appends
+    across any replay split equals the batch ``merge_intervals``
+    output minus each entity's LAST run — pinned by the time-split
+    test.
+
+    Ordering contract (same shape as ``stream_movement_profile``): per
+    entity, interval STARTS must be non-decreasing across
+    micro-batches; an interval starting before the last processed
+    start is DROPPED loudly-by-contract (it could overlap an
+    already-emitted run, which append mode cannot repair). Within a
+    micro-batch arrival order is irrelevant (the kernel sorts by
+    (start, end)); inverted rows (start > end) are dropped — the
+    batch operator's poison contract.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    prepped = stream.select(
+        F.col(entity_col).cast("string").alias("entity"),
+        F.col(start_col).cast("long").alias("s"),
+        F.col(end_col).cast("long").alias("e"),
+    ).filter(F.col("s").isNotNull() & F.col("e").isNotNull() & (F.col("s") <= F.col("e")))
+    out_schema = StructType(
+        [
+            StructField("entity", StringType()),
+            StructField("m_start", LongType()),
+            StructField("m_end", LongType()),
+            StructField("n_source", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("m_start", LongType()),
+            StructField("m_end", LongType()),
+            StructField("n_source", LongType()),
+            StructField("last_s", LongType()),
+        ]
+    )
+
+    def merge_fn(key, pdfs, state: GroupState):
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            yield pd.DataFrame({c.name: [] for c in out_schema.fields})
+            return
+        ivs = pd.concat(chunks).sort_values(["s", "e"], kind="mergesort")
+        if state.exists:
+            ms, me, n, last_s = (int(x) for x in state.get)
+            run = [ms, me, n]
+        else:
+            run, last_s = None, None
+        rows = []
+        for s, e in ivs[["s", "e"]].itertuples(index=False):
+            s, e = int(s), int(e)
+            if last_s is not None and s < last_s:
+                continue  # late start: dropped by contract
+            last_s = s
+            if run is not None and s <= run[1]:
+                run[1] = max(run[1], e)
+                run[2] += 1
+            else:
+                if run is not None:
+                    rows.append((key[0], run[0], run[1], run[2]))
+                run = [s, e, 1]
+        state.update((run[0], run[1], run[2], last_s))
+        yield pd.DataFrame(rows, columns=[c.name for c in out_schema.fields])
+
+    merged = prepped.groupBy("entity").applyInPandasWithState(
+        merge_fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    return (
+        merged.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -605,3 +605,42 @@ def test_stream_funnel_matches_batch(spark, tmp_path):
     assert got == want
     # each completion emitted exactly once
     assert len(got_rows) == sum(len(w) for w in want.values())
+
+
+def test_stream_merge_intervals_matches_batch_minus_open_runs(spark, tmp_path):
+    """Time-split two-run replay against one checkpoint: the union of
+    streamed appends equals batch merge_intervals minus each entity's
+    LAST (still-open) run; a batch-straddling run is emitted exactly
+    once; a late start is dropped by the documented contract."""
+    from osmflat_rs_spark.operators.intervals import merge_intervals
+    from osmflat_rs_spark.streaming.incremental import stream_merge_intervals
+
+    src, ckpt, out = str(tmp_path / "iv"), str(tmp_path / "ck"), str(tmp_path / "out")
+    schema = "user_id long, s long, e long"
+    # u1: [0,10],[5,20] | split | [30,35],[50,51] -> runs (0,20,2),(30,35,1) closed, (50,51,1) open
+    # u2: [0,3] | split | [2,9] straddles the batch boundary (2 <= 3 -> same run, stays open)
+    # u3: [10,12] | split | [0,1] LATE (start < last_s) -> dropped
+    b1 = [(1, 0, 10), (1, 5, 20), (2, 0, 3), (3, 10, 12)]
+    b2 = [(1, 30, 35), (1, 50, 51), (2, 2, 9), (3, 0, 1)]
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(src)
+    q = stream_merge_intervals(spark, src, schema, ckpt, out)
+    assert q.awaitTermination(120)
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+    q = stream_merge_intervals(spark, src, schema, ckpt, out)
+    assert q.awaitTermination(120)
+    got = sorted(
+        (int(r["entity"]), r["m_start"], r["m_end"], r["n_source"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [(1, 0, 20, 2), (1, 30, 35, 1)]
+    # batch parity: appends == batch output minus each entity's last run
+    # (computed over the NON-LATE rows, per the stated ordering contract)
+    batch_in = spark.createDataFrame(
+        [r for r in b1 + b2 if r != (3, 0, 1)], schema
+    )
+    batch = {
+        (r["user_id"], r["m_start"], r["m_end"], r["n_source"])
+        for r in merge_intervals(batch_in, "user_id", "s", "e").collect()
+    }
+    open_runs = {(1, 50, 51, 1), (2, 0, 9, 2), (3, 10, 12, 1)}
+    assert set(got) == batch - open_runs
