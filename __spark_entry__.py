@@ -2500,6 +2500,20 @@ def q_ngram_jaccard_docs(spark, sf_dir):
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", "source", 0.6)
 
 
+def q_containment_docs(spark, sf_dir):
+    """Exact word-set CONTAINMENT ≥ 0.5 (``dedup.containment_pairs``,
+    r5) — ORDERED pairs |A∩B|/|A|: the asymmetric subset-duplication
+    signal jaccard misses (snippet-inside-page). Same in-row
+    array_intersect shape as the jaccard gate; the oracle is the same
+    brute-force word-set join with the asymmetric formula and BOTH
+    directions kept."""
+    from osmflat_rs_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", "source", threshold=0.5
+    )
+
+
 def q_ngram_jaccard_prefix_docs(spark, sf_dir):
     """The r5 PPJoin-style prefix-filtered form of the SAME exact-jaccard
     operator (lossless candidate generation: df-ordered prefix-token
@@ -3167,6 +3181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_docs": q_minhash_pairs_docs,
         "dedup_clusters_docs": q_dedup_clusters_docs,  # iterative CC, oracled via recursive CTE
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
+        "containment_docs": q_containment_docs,
         "ngram_jaccard_prefix_docs": q_ngram_jaccard_prefix_docs,
         "simhash_docs": q_simhash_docs,
         "dup_spans_docs": q_dup_spans_docs,
@@ -5091,6 +5106,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(i.inter, 0) AS DOUBLE) / (p.na + p.nb - COALESCE(i.inter, 0)) AS jaccard
             FROM pairs p LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
             WHERE CAST(COALESCE(i.inter, 0) AS DOUBLE) / (p.na + p.nb - COALESCE(i.inter, 0)) >= 0.6
+        """,
+        "containment_docs": f"""
+            WITH wset AS (SELECT DISTINCT doc_id, source,
+                                 unnest({_ws_split_sql()}) AS w FROM documents),
+            sizes AS (SELECT doc_id, source, COUNT(*) AS n FROM wset GROUP BY 1, 2),
+            pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na
+                      FROM sizes a JOIN sizes b ON a.source = b.source
+                           AND a.doc_id != b.doc_id),
+            inter AS (SELECT wa.doc_id AS id_a, wb.doc_id AS id_b, COUNT(*) AS inter
+                      FROM wset wa JOIN wset wb ON wa.source = wb.source AND wa.w = wb.w
+                           AND wa.doc_id != wb.doc_id
+                      GROUP BY 1, 2)
+            SELECT p.id_a, p.id_b,
+                   CAST(COALESCE(i.inter, 0) AS DOUBLE) / CAST(p.na AS DOUBLE) AS containment
+            FROM pairs p LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+            WHERE CAST(COALESCE(i.inter, 0) AS DOUBLE) / CAST(p.na AS DOUBLE) >= 0.5
         """,
         "simhash_docs": _simhash_sql(16),
         # Duplicated-passage spans: same 60-bit md5-slice gram hash, same

@@ -1201,6 +1201,51 @@ def run_stitch_bench(spark, cpus: int, n_segments: int = 16_000_000) -> dict:
     return out
 
 
+def run_bbox_bench(spark, cpus: int, n_boxes: int = 8_000_000) -> dict:
+    """Rectangle-overlap join throughput at constant overlap density:
+    n boxes per side, centers xxhash64-scattered over a domain sized so
+    expected pair count stays ~linear in n (domain area grows with n),
+    box extents ~1 cell. What the bench pins: in-row covers (no
+    pre-shuffle), ONE hash equi-join on the cell, exactly-once
+    ownership (pair count == semantics with no distinct stage), and
+    wall-clock tracking candidates, not corpus²."""
+    from pyspark.sql import functions as F
+
+    from osmflat_rs_spark.operators.bbox import bbox_join
+
+    cell = 1000
+    # domain side grows with sqrt(n): ~1 box per cell-sized tile per side
+    side = max(1, int((n_boxes) ** 0.5)) * cell
+    half_max = 600
+
+    def boxes(seed_a, seed_b, idc):
+        return spark.range(n_boxes).select(
+            F.col("id").alias(idc),
+            (F.abs(F.xxhash64(F.col("id"), F.lit(seed_a))) % F.lit(side)).alias("_cx0"),
+            (F.abs(F.xxhash64(F.col("id"), F.lit(seed_b))) % F.lit(side)).alias("_cy0"),
+            (F.lit(1) + F.abs(F.xxhash64(F.col("id"), F.lit(seed_a + 7))) % F.lit(half_max)).alias("_hx"),
+            (F.lit(1) + F.abs(F.xxhash64(F.col("id"), F.lit(seed_b + 7))) % F.lit(half_max)).alias("_hy"),
+        ).select(
+            idc,
+            (F.col("_cx0") - F.col("_hx")).alias("x_min"),
+            (F.col("_cy0") - F.col("_hy")).alias("y_min"),
+            (F.col("_cx0") + F.col("_hx")).alias("x_max"),
+            (F.col("_cy0") + F.col("_hy")).alias("y_max"),
+        )
+
+    lt, rt = boxes(11, 12, "la"), boxes(21, 22, "rb")
+    out = {"cpus": cpus, "n_boxes": n_boxes, "cell": cell}
+    best, n_pairs = 1e9, None
+    for _ in range(2):
+        t0 = time.time()
+        n_pairs = bbox_join(lt, rt, cell, left_id="la", right_id="rb").count()
+        best = min(best, time.time() - t0)
+    out["sec"] = round(best, 3)
+    out["n_pairs"] = int(n_pairs)
+    out["boxes_per_sec"] = round(n_boxes / best)
+    return out
+
+
 def run_pagerank_bench(spark, cpus: int, n_nodes: int = 10_000_000, iters: int = 3) -> dict:
     """Iterative-loop scaling evidence: exact-integer PageRank over a
     uniform 3-out synthetic mesh (spark.range construction — pure JVM).
@@ -1742,6 +1787,22 @@ def main():
         )
         out["metric"] = "spatiotemporal co-location self-join throughput (constant density)"
         out["unit"] = "points/sec"
+        print(json.dumps(out))
+        spark.stop()
+        return
+
+    if "--bbox" in sys.argv:
+        from osmflat_rs_spark.session import get_spark
+
+        cpus = CPUS if "--cpus" not in sys.argv else int(sys.argv[sys.argv.index("--cpus") + 1])
+        spark = get_spark(
+            "bench-bbox", master=f"local[{cpus}]", shuffle_partitions=max(8, 2 * cpus)
+        )
+        out = run_bbox_bench(
+            spark, cpus, n_boxes=int(os.environ.get("SPARK_GRAFT_BBOX_N", "8000000"))
+        )
+        out["metric"] = "rectangle-overlap join throughput (constant overlap density)"
+        out["unit"] = "boxes/sec"
         print(json.dumps(out))
         spark.stop()
         return

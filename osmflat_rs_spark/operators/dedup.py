@@ -719,3 +719,65 @@ def edit_distance_join(
         .filter(F.col("dist") >= 0)
         .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bucket_col: str,
+    threshold: float = 0.8,
+    salt: int | None = None,
+) -> DataFrame:
+    """Exact word-set CONTAINMENT ≥ threshold within a bucket →
+    ORDERED pairs (id_a, id_b, containment) where containment =
+    |A∩B| / |A| — "a's vocabulary is inside b" — the asymmetric dedup
+    signal symmetric jaccard structurally misses: a snippet quoted
+    whole inside a long page scores jaccard |A|/|B| ≈ 0 but containment
+    1.0 (the Broder 1997 resemblance-vs-containment distinction; the
+    subset-duplication case in training-data dedup).
+
+    Same physical shape as ``ngram_jaccard_pairs(method='allpairs')``:
+    in-row distinct word sets, per-bucket pair join carrying the arrays
+    (no word-level corpus shuffle), one ``array_intersect`` per
+    surviving candidate, optional triangle ``salt`` for hot buckets.
+    LOSSLESS prune before the intersect: |A∩B| ≤ min(|A|,|B|), so
+    containment ≤ min(na,nb)/na — the bound is applied with the SAME
+    float division shape as the final filter, so no qualifying pair is
+    dropped (the jaccard operator's prune argument, asymmetric form).
+    Ordered output: each (a≠b) pair meets exactly once per direction;
+    expect both (a,b) and (b,a) when the sets are near-equal.
+    Per-bucket O(n²) is the declared bound — same trade as the jaccard
+    all-pairs form; route giant buckets through MinHash-LSH first.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(bucket_col).alias("_bk"),
+        F.array_distinct(words_expr(F.col(text_col))).alias("ws"),
+    ).withColumn("n", F.size("ws").cast("long"))
+    a = base.select(
+        F.col("_bk"), F.col("_id").alias("id_a"), F.col("n").alias("na"), F.col("ws").alias("wa")
+    )
+    b = base.select(
+        F.col("_bk"), F.col("_id").alias("id_b"), F.col("n").alias("nb"), F.col("ws").alias("wb")
+    )
+    keys = ["_bk"]
+    if salt and salt > 1:
+        a = a.withColumn("_ck", F.explode(F.sequence(F.lit(0).cast("int"), F.lit(salt - 1).cast("int"))))
+        b = b.withColumn("_ck", F.pmod(F.xxhash64(F.col("id_b")), F.lit(salt)).cast("int"))
+        keys = keys + ["_ck"]
+    prune_ok = (
+        F.least(F.col("na"), F.col("nb")).cast("double") / F.col("na").cast("double")
+        >= F.lit(threshold)
+    )
+    inter = F.size(F.array_intersect("wa", "wb")).cast("long")
+    return (
+        a.join(b, keys)
+        .filter((F.col("id_a") != F.col("id_b")) & prune_ok)
+        .select(
+            "id_a",
+            "id_b",
+            (inter.cast("double") / F.col("na").cast("double")).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

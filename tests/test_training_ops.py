@@ -1750,3 +1750,52 @@ def test_feature_hash_partition_invariance_and_signed_cancellation(spark):
     # than unsigned under collisions (sanity: every vec sums tokens)
     uns = {r["doc_id"]: r["vec"] for r in feature_hash(df, "doc_id", "text", dim=32, signed=False).collect()}
     assert all(sum(v) == 30 for v in uns.values())
+
+
+# ------------------------------------------------------------- containment
+
+
+def test_containment_pairs_asymmetric_and_model(spark):
+    import re
+
+    import pytest as _pytest
+
+    from osmflat_rs_spark.operators.dedup import containment_pairs
+
+    page = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "alpha beta gamma", "s"),          # snippet contained in page
+        (2, page, "s"),
+        (3, "alpha beta gamma x", "s"),        # near-miss (3/4 = 0.75)
+        (4, "unrelated words entirely", "s"),
+        (5, "alpha  beta gamma", "s"),         # whitespace-variant of 1
+        (6, "other bucket alpha beta gamma", "t"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    def toks(t):
+        return set(re.split(WS_PY + "+", re.sub("^" + WS_PY + "+|" + WS_PY + "+$", "", t.lower())))
+
+    want = {}
+    for ia, ta, ba in rows:
+        for ib, tb, bb in rows:
+            if ia == ib or ba != bb:
+                continue
+            A, B = toks(ta), toks(tb)
+            c = len(A & B) / len(A)
+            if c >= 0.8:
+                want[(ia, ib)] = c
+    for salt in (None, 3):
+        got = {
+            (r["id_a"], r["id_b"]): r["containment"]
+            for r in containment_pairs(
+                df, "doc_id", "text", "source", threshold=0.8, salt=salt
+            ).collect()
+        }
+        assert got == want, f"salt={salt}"
+    # the asymmetry is the point: snippet->page yes, page->snippet no
+    assert (1, 2) in want and (2, 1) not in want
+    # near-equal sets give BOTH directions
+    assert (1, 5) in want and (5, 1) in want
+    # jaccard would reject snippet-in-page at the same threshold
+    assert len(toks(rows[0][1]) & toks(page)) / len(toks(rows[0][1]) | toks(page)) < 0.8
