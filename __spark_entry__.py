@@ -1999,6 +1999,27 @@ def q_funnel_events(spark, sf_dir):
     return funnel_steps(_t(spark, sf_dir, "events"), list(FUNNEL_STEPS))
 
 
+def q_hampel_events(spark, sf_dir):
+    """Hampel median/MAD outlier filter (``plans.indexing.
+    hampel_outliers``, r5) over a deterministic heavy-tailed value
+    (synth lat + a spike on every 53rd event, ~2%): two integer-rank
+    medians + a CROSS-MULTIPLIED threshold — zero floats anywhere.
+    Oracle restates both ROW_NUMBER medians and the same exact-int
+    compare."""
+    from osmflat_rs_spark.plans.indexing import hampel_outliers
+
+    e = F.col("event_id")
+    pts = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        (
+            (e * A_LAT) % F.lit(LATSPAN)
+            + F.when(e % 53 == 0, F.lit(40_000_000)).otherwise(F.lit(0))
+        ).cast("long").alias("v"),
+    )
+    return hampel_outliers(pts, "user_id", "event_id", "v", 3, 1)
+
+
 def q_grouped_quantile_events(spark, sf_dir):
     """Per-group EXACT discrete quantiles (``plans.indexing.
     grouped_quantile``, r5) — median and p90 of each user's lat: one
@@ -3163,6 +3184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densify_events": q_densify_events,
         "quantile_events": q_quantile_events,
         "grouped_quantile_events": q_grouped_quantile_events,
+        "hampel_events": q_hampel_events,
         "editdist_docs": q_editdist_docs,
         "mean_center_events": q_mean_center_events,
         "feature_hash_docs": q_feature_hash_docs,
@@ -4577,6 +4599,29 @@ def oracle_sql() -> dict[str, str]:
             FROM s a JOIN s b ON a.doc_id < b.doc_id
             WHERE abs(length(a.st) - length(b.st)) <= {EDIT_DIST_MAX}
               AND levenshtein(a.st, b.st) <= {EDIT_DIST_MAX}
+        """,
+        "hampel_events": f"""
+            WITH pts AS (SELECT user_id, event_id,
+                                CAST((event_id * {A_LAT}) % {LATSPAN}
+                                     + CASE WHEN event_id % 53 = 0 THEN 40000000 ELSE 0 END
+                                     AS BIGINT) AS v
+                         FROM events),
+            c AS (SELECT user_id, COUNT(*) AS n FROM pts GROUP BY user_id),
+            r AS (SELECT user_id, v,
+                         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY v) AS rn
+                  FROM pts),
+            med AS (SELECT r.user_id, r.v AS med
+                    FROM r JOIN c USING (user_id) WHERE r.rn = (c.n + 1) // 2),
+            d AS (SELECT p.user_id, p.event_id, p.v, m.med, abs(p.v - m.med) AS dev
+                  FROM pts p JOIN med m USING (user_id)),
+            r2 AS (SELECT user_id, dev,
+                          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dev) AS rn
+                   FROM d),
+            mad AS (SELECT r2.user_id, r2.dev AS mad
+                    FROM r2 JOIN c USING (user_id) WHERE r2.rn = (c.n + 1) // 2)
+            SELECT d.event_id, d.user_id, d.v AS value, d.med, md.mad
+            FROM d JOIN mad md USING (user_id)
+            WHERE d.dev * 1 > md.mad * 3
         """,
         "grouped_quantile_events": f"""
             WITH pts AS (SELECT user_id, lat FROM ({_SYNTH_SQL}) WHERE lat IS NOT NULL),

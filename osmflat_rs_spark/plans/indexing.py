@@ -537,3 +537,64 @@ def grouped_quantile(
             F.col("_v").alias("value"),
         )
     )
+
+
+def hampel_outliers(
+    df,
+    group_col: str,
+    id_col: str,
+    col: str,
+    k_num: int = 3,
+    k_den: int = 1,
+):
+    """Hampel identifier (the median/MAD robust outlier filter — the
+    standard replacement for mean±kσ, which outliers themselves drag):
+    per group, flag rows with |x − median| > (k_num/k_den) · MAD, where
+    MAD is the median absolute deviation. The training-data quality
+    use: per-source length/score outlier rejection that a handful of
+    corrupt documents cannot skew, because median and MAD have
+    breakdown point ½ (vs 0 for mean/σ).
+
+    EXACT end to end: both medians via ``grouped_quantile``'s integer
+    rank contract, deviations are int64 |x − med|, and the threshold
+    compare is CROSS-MULTIPLIED — dev · k_den > mad · k_num — so no
+    float ever appears (k is an exact rational, the engine-wide
+    no-float-edge rule). MAD = 0 (a majority-duplicate group) flags
+    every dev > 0 row — the standard Hampel degeneracy, inherent to
+    the estimator, stated here rather than patched.
+
+    → (id, group, value, med, mad) for OUTLIER rows only. Physical
+    shape: two window sort shuffles (values, then deviations — the
+    ``grouped_quantile`` plan each time) and two broadcast joins of the
+    per-group scalar tables back onto the rows; the corpus itself never
+    exchanges beyond the two per-group sorts.
+    """
+    if k_num <= 0 or k_den <= 0:
+        raise ValueError(f"k must be a positive rational, got {k_num}/{k_den}")
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(id_col).alias("_id"),
+        F.col(col).cast("long").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    med = (
+        grouped_quantile(base, "_g", "_v", [(1, 2)])
+        .select(F.col("_g").alias("_mg"), F.col("value").alias("med"))
+    )
+    devs = base.join(
+        F.broadcast(med), base["_g"] == med["_mg"]
+    ).select("_g", "_id", "_v", "med", F.abs(F.col("_v") - F.col("med")).alias("_dev"))
+    mad = (
+        grouped_quantile(devs, "_g", "_dev", [(1, 2)])
+        .select(F.col("_g").alias("_dg"), F.col("value").alias("mad"))
+    )
+    return (
+        devs.join(F.broadcast(mad), devs["_g"] == mad["_dg"])
+        .filter(F.col("_dev") * F.lit(int(k_den)) > F.col("mad") * F.lit(int(k_num)))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_g").alias(group_col),
+            F.col("_v").alias("value"),
+            "med",
+            "mad",
+        )
+    )

@@ -528,3 +528,99 @@ def test_grouped_quantile_duplicates_nulls_validation(spark):
         grouped_quantile(df, "g", "v", [(0, 2)])
     with _pytest.raises(ValueError):
         grouped_quantile(df, "g", "v", [(3, 2)])
+
+
+def test_bbox_join_plan_one_join_no_dedup(spark):
+    """Lock the bbox_join scale claims (operators/bbox.py docstring):
+    covers are built in-row (no exchange feeds the explodes), there is
+    exactly ONE join, NO dedup stage of any kind (exactly-once is by
+    min-corner ownership, not by distinct/aggregate), and no Python."""
+    from osmflat_rs_spark.operators.bbox import bbox_join
+
+    def boxes(idc):
+        return spark.range(100).repartition(4).select(
+            F.col("id").alias(idc),
+            (F.col("id") * 13 % 500).alias("x_min"),
+            (F.col("id") * 7 % 500).alias("y_min"),
+            (F.col("id") * 13 % 500 + 20).alias("x_max"),
+            (F.col("id") * 7 % 500 + 20).alias("y_max"),
+        )
+
+    plan = _plan(bbox_join(boxes("la"), boxes("rb"), 64, left_id="la", right_id="rb"))
+    assert "Python" not in plan and "MapInPandas" not in plan and "Window" not in plan
+    assert "HashAggregate" not in plan  # no distinct/dedup stage anywhere
+    # count join NODES via their detail headers ("(15) ShuffledHashJoin"),
+    # not the tree rendering (each node prints twice in formatted mode)
+    join_nodes = [
+        ln for ln in plan.splitlines()
+        if ln.startswith("(") and any(
+            j in ln for j in ("ShuffledHashJoin", "SortMergeJoin", "BroadcastHashJoin")
+        )
+    ]
+    assert len(join_nodes) == 1, plan
+
+
+def test_merge_intervals_plan_single_sort_shuffle(spark):
+    """Lock the merge_intervals shape (docstring: both window passes
+    ride ONE partition-by-group sort — one Exchange, one Sort — and the
+    final rollup re-uses the partitioning, so no second exchange)."""
+    from osmflat_rs_spark.operators.intervals import merge_intervals
+
+    df = spark.range(200).repartition(4).select(
+        (F.col("id") % 9).alias("g"),
+        (F.col("id") * 17 % 1000).alias("s"),
+        (F.col("id") * 17 % 1000 + 30).alias("e"),
+    )
+    plan = _plan(merge_intervals(df, "g", "s", "e"))
+    assert "Python" not in plan
+    blocks = plan.split("\n\n")
+    exchanges = [
+        b for b in blocks
+        if b.splitlines() and b.splitlines()[0].endswith("Exchange") and "hashpartitioning" in b
+    ]
+    assert len(exchanges) == 1, plan
+    sorts = [ln for ln in plan.splitlines() if ln.strip().startswith("(") and ln.rstrip().endswith("Sort")]
+    assert len(sorts) == 1, plan
+
+
+# ------------------------------------------------------------ hampel
+
+
+def test_hampel_outliers_matches_model(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from osmflat_rs_spark.plans.indexing import hampel_outliers
+
+    rng = np.random.default_rng(13)
+    rows = []
+    rid = 0
+    for g in range(5):
+        n = int(rng.integers(5, 80))
+        vals = list(rng.integers(90, 110, n)) + list(rng.integers(0, 1000, max(1, n // 10)))
+        for v in vals:
+            rows.append((rid, g, int(v)))
+            rid += 1
+    want = set()
+    for g in {r[1] for r in rows}:
+        vs = sorted(v for _, gg, v in rows if gg == g)
+        med = vs[-(-len(vs) // 2) - 1]
+        ds = sorted(abs(v - med) for _, gg, v in rows if gg == g)
+        mad = ds[-(-len(ds) // 2) - 1]
+        for i, gg, v in rows:
+            if gg == g and abs(v - med) * 1 > mad * 3:
+                want.add((i, g, v, med, mad))
+    df = spark.createDataFrame(rows, "rid long, g long, v long")
+    for d in (df, df.repartition(7)):
+        got = {tuple(r) for r in hampel_outliers(d, "g", "rid", "v", 3, 1).collect()}
+        assert got == want
+    assert want  # non-degenerate case
+
+    # MAD = 0 degeneracy: majority duplicates flag every dev > 0 row
+    dup = spark.createDataFrame(
+        [(i, "a", 5) for i in range(6)] + [(9, "a", 6)], "rid long, g string, v long"
+    )
+    got = {tuple(r) for r in hampel_outliers(dup, "g", "rid", "v", 3, 1).collect()}
+    assert got == {(9, "a", 6, 5, 0)}
+    with _pytest.raises(ValueError):
+        hampel_outliers(dup, "g", "rid", "v", 0, 1)
