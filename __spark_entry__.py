@@ -2555,6 +2555,23 @@ def q_simhash_docs(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"), "doc_id", "text").withColumnRenamed("_id", "doc_id")
 
 
+def q_hamming_simhash_docs(spark, sf_dir):
+    """Banded Hamming near-dup join (``dedup.hamming_neardup_pairs``,
+    r5) over 16-bit SimHash fingerprints, distance ≤ 2: multi-index
+    pigeonhole banding (3 bands — qualifying pairs match exactly on
+    ≥ 1), first-match band ownership so no distinct stage exists, one
+    bit_count(XOR) verify per candidate. The same operator serves
+    image dHash (``multimodal.dhash_images``, 64-bit — model-tested).
+    Oracle = brute-force bit_count cross join over the simhash oracle's
+    own fingerprints."""
+    from osmflat_rs_spark.operators.dedup import hamming_neardup_pairs, simhash
+
+    sh = simhash(_t(spark, sf_dir, "documents"), "doc_id", "text").withColumnRenamed(
+        "_id", "doc_id"
+    )
+    return hamming_neardup_pairs(sh, "doc_id", "simhash", bits=16, max_hamming=2)
+
+
 def q_dup_spans_docs(spark, sf_dir):
     """Cross-document duplicated PASSAGES (ExactSubstr of Lee et al. 2022
     as a relational plan): maximal word spans covered by 8-grams that
@@ -3206,6 +3223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_docs": q_containment_docs,
         "ngram_jaccard_prefix_docs": q_ngram_jaccard_prefix_docs,
         "simhash_docs": q_simhash_docs,
+        "hamming_simhash_docs": q_hamming_simhash_docs,
         "dup_spans_docs": q_dup_spans_docs,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_srp": q_embedding_neardup_srp,  # recall-floor + subset gate (oracled)
@@ -5169,6 +5187,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(COALESCE(i.inter, 0) AS DOUBLE) / CAST(p.na AS DOUBLE) >= 0.5
         """,
         "simhash_docs": _simhash_sql(16),
+        "hamming_simhash_docs": f"""
+            WITH sh AS MATERIALIZED ({_simhash_sql(16)})
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+        """,
         # Duplicated-passage spans: same 60-bit md5-slice gram hash, same
         # tokenizer template, same interval-merge (merge when the next
         # k-gram starts within prev span end + 1).

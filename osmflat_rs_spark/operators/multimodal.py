@@ -309,3 +309,53 @@ def interleave_profile(
         fold.cast("long").alias("max_run"),
         F.when(n > 0, F.floor(F.lit(1000) * n_media / n)).cast("long").alias("media_permille"),
     )
+
+
+DHASH_SCHEMA = "media_ref string, dhash long"
+
+
+def dhash_images(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image → (media_ref,
+    dhash int64): decode → nearest-neighbor resample to 9×8 grayscale
+    (the same floor-sampling grid as ``resize_images``) → 64 horizontal
+    gradient bits (pixel[y,x+1] > pixel[y,x]), packed row-major with
+    bit 0 the top-left comparison. Robust to rescaling/recompression
+    where exact digests fail — the image half of the dedup family; feed
+    the hashes to ``dedup.hamming_neardup_pairs(bits=64)`` for the
+    banded near-dup join (hamming ≤ ~3 is the conventional dup bar).
+
+    Arrow-batched mapInPandas; ``fake=True`` routes the digest-seeded
+    pseudo-decoder (deterministic zero-dependency path, same contract
+    as ``extract_features``). Pure NumPy bit packing — the hash of a
+    given pixel grid is engine- and partition-invariant by
+    construction."""
+    D_W, D_H = 9, 8
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            hashes = []
+            for payload, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                if fake:
+                    img = _fake_decode(bytes(payload), int(w), int(h))
+                else:
+                    img = decode_image(bytes(payload))
+                ih, iw = img.shape[0], img.shape[1]
+                ys = np.minimum((np.arange(D_H) * ih) // D_H, ih - 1).astype(np.intp)
+                xs = np.minimum((np.arange(D_W) * iw) // D_W, iw - 1).astype(np.intp)
+                g = img[np.ix_(ys, xs)].astype(np.int16)
+                diff_bits = (g[:, 1:] > g[:, :-1]).flatten()  # row-major, 64 bits
+                val = 0
+                for i, b in enumerate(diff_bits):
+                    if b:
+                        val |= 1 << i
+                # wrap to signed int64 (bit 63 set -> negative long)
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                hashes.append(val)
+            out = pdf[["media_ref"]].copy()
+            out["dhash"] = np.array(hashes, dtype=np.int64)
+            yield out
+
+    return media.mapInPandas(op, schema=DHASH_SCHEMA)

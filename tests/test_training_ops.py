@@ -1799,3 +1799,96 @@ def test_containment_pairs_asymmetric_and_model(spark):
     assert (1, 5) in want and (5, 1) in want
     # jaccard would reject snippet-in-page at the same threshold
     assert len(toks(rows[0][1]) & toks(page)) / len(toks(rows[0][1]) | toks(page)) < 0.8
+
+
+# ----------------------------------------------------- hamming join + dhash
+
+
+def test_hamming_neardup_pairs_matches_bruteforce(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from osmflat_rs_spark.operators.dedup import hamming_neardup_pairs
+
+    rng = np.random.default_rng(44)
+    base_hashes = rng.integers(-(1 << 62), 1 << 62, 30, dtype=np.int64)
+    rows = []
+    rid = 0
+    for h in base_hashes:
+        rows.append((rid, int(h))); rid += 1
+        # planted near-dups: flip 1..4 random bits
+        for nf in (1, 3, 4):
+            v = int(h)
+            for b in rng.choice(64, size=nf, replace=False):
+                v ^= 1 << int(b)
+            if v >= 1 << 63:
+                v -= 1 << 64
+            rows.append((rid, v)); rid += 1
+    df = spark.createDataFrame(rows, "doc_id long, h long")
+    for k in (0, 1, 3):
+        want = {
+            (a, b): bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+            for (a, ha) in rows for (b, hb) in rows
+            if a < b and bin((ha ^ hb) & ((1 << 64) - 1)).count("1") <= k
+        }
+        got = {(r["id_a"], r["id_b"]): r["hamming"]
+               for r in hamming_neardup_pairs(df, "doc_id", "h", bits=64, max_hamming=k).collect()}
+        assert got == want, f"k={k}"
+    # exact duplicates match on EVERY band yet appear exactly once (k=3)
+    dup = spark.createDataFrame([(1, -12345), (2, -12345)], "doc_id long, h long")
+    out = hamming_neardup_pairs(dup, "doc_id", "h", bits=64, max_hamming=3).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in out] == [(1, 2, 0)]
+    with _pytest.raises(ValueError):
+        hamming_neardup_pairs(df, "doc_id", "h", bits=64, max_hamming=64)
+    with _pytest.raises(ValueError):
+        hamming_neardup_pairs(df, "doc_id", "h", bits=0)
+
+
+def test_dhash_images_model_and_robustness(spark):
+    import numpy as np
+
+    from osmflat_rs_spark.operators.dedup import hamming_neardup_pairs
+    from osmflat_rs_spark.operators.multimodal import dhash_images
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 36), dtype=np.uint8)
+    big = img.repeat(3, axis=0).repeat(3, axis=1)       # 3x nearest upscale
+    tweak = img.copy(); tweak[0, 0] ^= 0xFF             # one-pixel change
+    other = rng.integers(0, 256, (24, 36), dtype=np.uint8)
+
+    def p5(a):
+        return b"P5\n%d %d\n255\n" % (a.shape[1], a.shape[0]) + a.tobytes()
+
+    rows = [
+        ("orig", "image", 36, 24, bytearray(p5(img))),
+        ("big", "image", 108, 72, bytearray(p5(big))),
+        ("tweak", "image", 36, 24, bytearray(p5(tweak))),
+        ("other", "image", 36, 24, bytearray(p5(other))),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_ref string, media_type string, width int, height int, payload binary"
+    )
+    got = {r["media_ref"]: r["dhash"] for r in dhash_images(media).collect()}
+
+    # python model for orig
+    ys = np.minimum((np.arange(8) * 24) // 8, 23)
+    xs = np.minimum((np.arange(9) * 36) // 9, 35)
+    g = img[np.ix_(ys, xs)].astype(np.int16)
+    bits = (g[:, 1:] > g[:, :-1]).flatten()
+    val = sum(1 << i for i, b in enumerate(bits) if b)
+    if val >= 1 << 63:
+        val -= 1 << 64
+    assert got["orig"] == val
+    # scale-invariance: 3x nearest upscale samples identical pixels
+    assert got["big"] == got["orig"]
+    # one-pixel tweak: hamming small; unrelated image: large
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(got["tweak"], got["orig"]) <= 2
+    assert ham(got["other"], got["orig"]) > 10
+    # end-to-end: dhash -> banded hamming join finds the planted dups
+    hashes = dhash_images(media).withColumnRenamed("media_ref", "doc_id")
+    pairs = {(r["id_a"], r["id_b"]) for r in hamming_neardup_pairs(
+        hashes, "doc_id", "dhash", bits=64, max_hamming=3).collect()}
+    assert ("big", "orig") in pairs and ("orig", "tweak") in pairs
+    assert not any("other" in p for p in pairs)
