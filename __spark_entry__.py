@@ -1989,6 +1989,35 @@ def q_token_count_docs(spark, sf_dir):
 FUNNEL_STEPS = ("view", "click", "purchase")
 
 
+COHORT_PERIOD_US = 7 * 24 * 3_600_000_000
+
+
+def q_scd2_events(spark, sf_dir):
+    """Type-2 SCD history (``sessions.scd2_history``, r5): each user's
+    event_type change log → half-open validity intervals with no-op
+    updates collapsed (null-safe change compare — NULL↔value is a
+    change, NULL↔NULL is not). One sort shuffle carries the collapse
+    and the lead pass. Oracle = LAG ... IS DISTINCT FROM + LEAD over
+    the kept rows — identical ANSI windows, all-integer timestamps."""
+    from osmflat_rs_spark.operators.sessions import scd2_history
+
+    ev = _t(spark, sf_dir, "events")
+    return scd2_history(ev, "user_id", "ts", ["event_type"], order_cols=("event_id",))
+
+
+def q_cohort_events(spark, sf_dir):
+    """Cohort retention matrix (``sessions.cohort_retention``, r5):
+    users cohorted by first-activity week (fixed epoch periods, exact
+    integer floor), each later active week counted once — one
+    min-aggregate + one (user, period) distinct + a rollup. Oracle =
+    the same integer division in DuckDB."""
+    from osmflat_rs_spark.operators.sessions import cohort_retention
+
+    return cohort_retention(
+        _t(spark, sf_dir, "events"), "user_id", "ts", period_us=COHORT_PERIOD_US
+    )
+
+
 def q_funnel_events(spark, sf_dir):
     """Ordered conversion funnel view→click→purchase: K bounded passes
     (filter pushed to scan + min-agg + equi-join on the shrinking
@@ -3197,6 +3226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freq_pairs_docs": q_freq_pairs_docs,
         "service_areas_events": q_service_areas_events,
         "funnel_events": q_funnel_events,
+        "scd2_events": q_scd2_events,
+        "cohort_events": q_cohort_events,
         "transitions_events": q_transitions_events,
         "densify_events": q_densify_events,
         "quantile_events": q_quantile_events,
@@ -4687,6 +4718,29 @@ def oracle_sql() -> dict[str, str]:
                     FROM seg WHERE la1 IS NULL)
             SELECT user_id, seg, CAST(j AS BIGINT) AS j, CAST(k AS BIGINT) AS k, lat_d, lon_d
             FROM (SELECT * FROM dense UNION ALL SELECT * FROM fin)
+        """,
+        "scd2_events": """
+            WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type
+                        FROM events),
+            l AS (SELECT *,
+                         LAG(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS pv,
+                         LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS pt
+                  FROM ev),
+            k AS (SELECT * FROM l WHERE pt IS NULL OR event_type IS DISTINCT FROM pv),
+            o AS (SELECT user_id, t AS valid_from,
+                         LEAD(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS valid_to,
+                         event_type
+                  FROM k)
+            SELECT user_id, valid_from, valid_to,
+                   valid_to IS NULL AS is_current, event_type
+            FROM o
+        """,
+        "cohort_events": f"""
+            WITH p AS (SELECT DISTINCT user_id,
+                              epoch_us(ts) // {COHORT_PERIOD_US} AS p FROM events),
+            f AS (SELECT user_id, MIN(p) AS cohort FROM p GROUP BY user_id)
+            SELECT f.cohort, p.p - f.cohort AS period_offset, COUNT(*) AS n_users
+            FROM p JOIN f USING (user_id) GROUP BY 1, 2
         """,
         "transitions_events": """
             WITH seq AS (SELECT user_id, event_type,

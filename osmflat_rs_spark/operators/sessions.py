@@ -240,3 +240,95 @@ def event_transitions(
             F.round(F.col("n").cast("double") / F.col("_tot").cast("double"), 6).alias("p"),
         )
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_cols: list[str],
+    order_cols: tuple = (),
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change log: per
+    key, each record becomes a VALIDITY INTERVAL [valid_from, valid_to)
+    — the half-open convention (valid_to = the next change's timestamp;
+    NULL = current) every warehouse uses for as-of reconstruction. The
+    engine's ``asof`` join answers "state at time t" against exactly
+    this shape.
+
+    Consecutive records with IDENTICAL attributes are COLLAPSED first
+    (the no-op-update case: a feed that re-emits unchanged rows must
+    not fragment history), via one lag compare over the same
+    (key ORDER BY ts, order_cols) window the lead pass uses — both
+    windows plus the collapse ride ONE sort shuffle. All timestamps are
+    exact int64 microseconds. Ties on the full (ts, *order_cols) key
+    are the caller's data error; order_cols exists to break ts ties
+    deterministically (the engine-wide determinism contract).
+
+    → (key, valid_from, valid_to, is_current, *attr_cols).
+    """
+    from pyspark.sql import Window
+
+    order = [F.col("_t")] + [F.col(c) for c in order_cols]
+    base = df.select(
+        F.col(key_col).alias("_k"),
+        _us(F.col(ts_col)).alias("_t"),
+        *[F.col(c) for c in order_cols],
+        *[F.col(c) for c in attr_cols],
+    ).filter(F.col("_t").isNotNull())
+    w = Window.partitionBy("_k").orderBy(*order)
+    # collapse no-op updates: keep a row only if ANY attribute differs
+    # from the previous row (or it is the first)
+    # eqNullSafe: NULL-vs-value is a CHANGE and NULL-vs-NULL is not —
+    # plain == would yield NULL and the keep-filter would drop the row
+    changed = F.lit(False)
+    for c in attr_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(F.col(c)).over(w))
+    first = F.lag(F.col("_t")).over(w).isNull()
+    kept = base.withColumn("_keep", first | changed).filter(F.col("_keep"))
+    w2 = Window.partitionBy("_k").orderBy(*order)
+    out = kept.withColumn("valid_to", F.lead(F.col("_t")).over(w2))
+    return out.select(
+        F.col("_k").alias(key_col),
+        F.col("_t").alias("valid_from"),
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+        *[F.col(c) for c in attr_cols],
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_us: int = 7 * 24 * 3_600_000_000,
+) -> DataFrame:
+    """Cohort retention matrix — the product-analytics staple beside
+    funnel/transitions: users are cohorted by their FIRST-activity
+    period (⌊t_first/period⌋, exact integer floor on microseconds), and
+    each later active period counts them once →
+    (cohort, period_offset, n_users) with offset 0 = the cohort's own
+    size (every user is active in their first period by definition).
+
+    Scale shape: one min-aggregate for first activity (map-side
+    combined), one distinct over (user, period) — the only
+    corpus-sized exchange — then a broadcast-sized rollup; counts are
+    exact, no windows, no Python. Period boundaries are fixed epochs
+    (not calendar months) — the deterministic convention the oracle
+    reproduces with the same integer division.
+    """
+    if period_us <= 0:
+        raise ValueError(f"period_us must be positive, got {period_us}")
+    t = _us(F.col(ts_col))
+    # exact any-sign floor division (the engine-wide pmod trick)
+    period = ((t - F.pmod(t, F.lit(int(period_us)))) / F.lit(int(period_us))).cast("long")
+    base = events.select(
+        F.col(user_col).alias("_u"), period.alias("_p")
+    ).filter(F.col("_p").isNotNull())
+    firsts = base.groupBy("_u").agg(F.min("_p").alias("cohort"))
+    active = base.distinct()
+    return (
+        active.join(firsts, "_u")
+        .groupBy("cohort", (F.col("_p") - F.col("cohort")).alias("period_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

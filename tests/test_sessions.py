@@ -256,3 +256,88 @@ def test_event_transitions_tie_order_and_last_event(spark):
     df = spark.createDataFrame(rows, "user_id long, ts long, event_id long, event_type string")
     got = {(r["from_type"], r["to_type"]): r["n"] for r in event_transitions(df).collect()}
     assert got == {("A", "B"): 1, ("B", "C"): 1}
+
+
+# ------------------------------------------------------------ scd2 + cohort
+
+
+def test_scd2_history_collapse_and_intervals(spark):
+    from datetime import datetime
+
+    from osmflat_rs_spark.operators.sessions import scd2_history
+
+    def ts(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        # key A: v1, re-emitted v1 (collapse), v2, v2 with null attr2, current v3
+        ("A", ts(0), 1, "v1", 10),
+        ("A", ts(1), 2, "v1", 10),     # no-op update -> collapsed
+        ("A", ts(2), 3, "v2", 10),
+        ("A", ts(3), 4, "v2", None),   # null counts as a change
+        ("A", ts(4), 5, "v2", None),   # null == null -> collapsed
+        ("A", ts(5), 6, "v3", 20),
+        # key B: single record -> one current row
+        ("B", ts(9), 7, "x", 1),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, eid long, a1 string, a2 long")
+    out = sorted(
+        (r["k"], r["valid_from"], r["valid_to"], r["is_current"], r["a1"], r["a2"])
+        for r in scd2_history(df, "k", "ts", ["a1", "a2"], order_cols=("eid",)).collect()
+    )
+    base = 1_704_067_200_000_000
+    S = 1_000_000
+    assert out == [
+        ("A", base + 0 * S, base + 2 * S, False, "v1", 10),
+        ("A", base + 2 * S, base + 3 * S, False, "v2", 10),
+        ("A", base + 3 * S, base + 5 * S, False, "v2", None),
+        ("A", base + 5 * S, None, True, "v3", 20),
+        ("B", base + 9 * S, None, True, "x", 1),
+    ]
+    # partition invariance
+    out2 = sorted(
+        (r["k"], r["valid_from"], r["valid_to"], r["is_current"], r["a1"], r["a2"])
+        for r in scd2_history(
+            df.repartition(5), "k", "ts", ["a1", "a2"], order_cols=("eid",)
+        ).collect()
+    )
+    assert out2 == out
+
+
+def test_cohort_retention_matches_model(spark):
+    from datetime import datetime, timedelta
+
+    import pytest as _pytest
+
+    from osmflat_rs_spark.operators.sessions import cohort_retention
+
+    day = 24 * 3_600_000_000
+    rows, want = [], {}
+    model = {}
+    t0 = datetime(2024, 1, 1)
+    # users: u in cohort by first activity week
+    acts = {
+        1: [0, 1, 8, 15],        # cohort 0 (wk of day 0), active wks 0,1,2
+        2: [3, 20],              # cohort 0, active wks 0, 2
+        3: [7, 7, 9],            # cohort 1, active wk 1 (dups collapse)
+        4: [16],                 # cohort 2
+    }
+    for u, days in acts.items():
+        for d in days:
+            rows.append((u, t0 + timedelta(days=d)))
+    epoch_off = (t0 - datetime(1970, 1, 1)).days // 7  # week periods since epoch
+    for u, days in acts.items():
+        weeks = sorted({((t0 + timedelta(days=d)) - datetime(1970, 1, 1)).days // 7 for d in days})
+        c = weeks[0]
+        for w in weeks:
+            model[(c, w - c)] = model.get((c, w - c), 0) + 1
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r["cohort"], r["period_offset"]): r["n_users"]
+        for r in cohort_retention(df, period_us=7 * day).collect()
+    }
+    assert got == model
+    # offset-0 equals cohort sizes; all offsets non-negative
+    assert all(off >= 0 for _, off in got)
+    with _pytest.raises(ValueError):
+        cohort_retention(df, period_us=0)
