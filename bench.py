@@ -1246,6 +1246,83 @@ def run_bbox_bench(spark, cpus: int, n_boxes: int = 8_000_000) -> dict:
     return out
 
 
+def run_hamming_bench(spark, cpus: int, n_hashes: int = 32_000_000) -> dict:
+    """Block-combination Hamming join throughput (n_blocks=6 → 20
+    tables × ~32-bit keys): n 64-bit fingerprints in planted pairs
+    (odd row = even row's hash with one flipped bit → exactly n/2 true
+    pairs; bases xxhash64-random). The simple
+    k+1 banding is measured NOT to finish here (16-bit keys → n²/2^16
+    accidental candidates — the birthday blowup the operator docstring
+    documents); the block scheme's accidental density is n²·20/2^32.
+    Pins hashes/sec through explode + join + verify + output-sized
+    dedup, and that the planted pair count comes back exact."""
+    from pyspark.sql import functions as F
+
+    from osmflat_rs_spark.operators.dedup import hamming_neardup_pairs
+
+    # planted pairs: each odd row = the preceding even row's hash with
+    # ONE flipped bit -> exactly n/2 true pairs at distance 1, the rest
+    # xxhash64-random (accidental <=3 matches ~ n^2*20/2^32 with the
+    # block keys; negligible vs the planted count)
+    base_h = F.xxhash64((F.col("id") / 2).cast("long"), F.lit(7))
+    flip = F.when(
+        F.col("id") % 2 == 1,
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(xxhash64(id, 9), 64) AS INT))"),
+    ).otherwise(F.lit(0).cast("long"))
+    df = spark.range(n_hashes).select(
+        F.col("id").alias("doc_id"), base_h.bitwiseXOR(flip).alias("h")
+    )
+    out = {"cpus": cpus, "n_hashes": n_hashes}
+    best, n_pairs = 1e9, None
+    for _ in range(2):
+        t0 = time.time()
+        n_pairs = hamming_neardup_pairs(
+            df, "doc_id", "h", bits=64, max_hamming=3, n_blocks=6
+        ).count()
+        best = min(best, time.time() - t0)
+    if n_pairs < n_hashes // 2:  # every planted pair must be found
+        raise AssertionError(f"recall broken: {n_pairs} < {n_hashes // 2}")
+    out["sec"] = round(best, 3)
+    out["n_pairs"] = int(n_pairs)
+    out["hashes_per_sec"] = round(n_hashes / best)
+    return out
+
+
+def run_editdist_bench(spark, cpus: int, n_strings: int = 4_000_000) -> dict:
+    """Q-gram prefix-filtered edit-distance join throughput at d=2
+    (`method='qgram'`, the Ed-Join scale path): 32/33-char md5 keys
+    in planted pairs (odd row = even row's key + one appended
+    char -> exactly n/2 true pairs at distance 1). The pure length-band
+    method is measured NOT to finish on this corpus (every string
+    shares one of two 3-wide length bands -> per-bucket all-pairs, the
+    degradation its docstring declares); the prefix join's accidental
+    candidates are bounded by gram df, so wall-clock is ~linear. The
+    planted-pair count is asserted in-bench."""
+    from pyspark.sql import functions as F
+
+    from osmflat_rs_spark.operators.dedup import edit_distance_join
+
+    base = F.md5((F.col("id") / 2).cast("long").cast("string"))  # 32 hex chars
+    st = F.when(F.col("id") % 2 == 1, F.concat(base, F.lit("q"))).otherwise(base)
+    df = spark.range(n_strings).select(F.col("id").alias("doc_id"), st.alias("st"))
+    out = {"cpus": cpus, "n_strings": n_strings}
+    best, n_pairs = 1e9, None
+    for _ in range(2):
+        t0 = time.time()
+        # q=6: hex-alphabet keys need 16^q >> n (the operator contract;
+        # q=3 = 4,096 grams measured quadratic at 10^6 strings, and even
+        # q=5 = 1.05M grams saturated at 2M strings — per-string cost
+        # doubled). 16^6 = 16.8M keeps gram df O(1) to ~5M strings.
+        n_pairs = edit_distance_join(df, "doc_id", "st", 2, method="qgram", q=6).count()
+        best = min(best, time.time() - t0)
+    if n_pairs < n_strings // 2:  # every planted pair must be found
+        raise AssertionError(f"recall broken: {n_pairs} < {n_strings // 2}")
+    out["sec"] = round(best, 3)
+    out["n_pairs"] = int(n_pairs)
+    out["strings_per_sec"] = round(n_strings / best)
+    return out
+
+
 def run_pagerank_bench(spark, cpus: int, n_nodes: int = 10_000_000, iters: int = 3) -> dict:
     """Iterative-loop scaling evidence: exact-integer PageRank over a
     uniform 3-out synthetic mesh (spark.range construction — pure JVM).
@@ -1787,6 +1864,38 @@ def main():
         )
         out["metric"] = "spatiotemporal co-location self-join throughput (constant density)"
         out["unit"] = "points/sec"
+        print(json.dumps(out))
+        spark.stop()
+        return
+
+    if "--hamming" in sys.argv:
+        from osmflat_rs_spark.session import get_spark
+
+        cpus = CPUS if "--cpus" not in sys.argv else int(sys.argv[sys.argv.index("--cpus") + 1])
+        spark = get_spark(
+            "bench-hamming", master=f"local[{cpus}]", shuffle_partitions=max(8, 2 * cpus)
+        )
+        out = run_hamming_bench(
+            spark, cpus, n_hashes=int(os.environ.get("SPARK_GRAFT_HAM_N", "32000000"))
+        )
+        out["metric"] = "banded Hamming near-dup join throughput (64-bit, k=3)"
+        out["unit"] = "hashes/sec"
+        print(json.dumps(out))
+        spark.stop()
+        return
+
+    if "--editdist" in sys.argv:
+        from osmflat_rs_spark.session import get_spark
+
+        cpus = CPUS if "--cpus" not in sys.argv else int(sys.argv[sys.argv.index("--cpus") + 1])
+        spark = get_spark(
+            "bench-editdist", master=f"local[{cpus}]", shuffle_partitions=max(8, 2 * cpus)
+        )
+        out = run_editdist_bench(
+            spark, cpus, n_strings=int(os.environ.get("SPARK_GRAFT_ED_N", "4000000"))
+        )
+        out["metric"] = "qgram prefix-filtered edit-distance join throughput (d=2)"
+        out["unit"] = "strings/sec"
         print(json.dumps(out))
         spark.stop()
         return

@@ -661,6 +661,8 @@ def edit_distance_join(
     id_col: str,
     str_col: str,
     max_dist: int,
+    method: str = "band",
+    q: int = 3,
 ) -> DataFrame:
     """Blocked edit-distance self-join → (id_a, id_b, dist): unordered
     pairs whose strings are within Levenshtein ``max_dist`` (id_a <
@@ -689,12 +691,26 @@ def edit_distance_join(
     """
     if max_dist < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
-    w = max_dist + 1
-    s = df.select(
+    if method not in ("band", "qgram"):
+        raise ValueError(f"method must be 'band' or 'qgram', got {method!r}")
+    if q < 1:
+        raise ValueError(f"q must be >= 1, got {q}")
+    prepared = df.select(
         F.col(id_col).alias("_id"),
         F.col(str_col).alias("_s"),
         F.length(F.col(str_col)).alias("_ln"),
-    ).withColumn("_home", F.expr(f"_ln div {w}"))
+    )
+    if method == "qgram":
+        return _editdist_qgram(prepared, max_dist, q)
+    return _editdist_band(prepared, max_dist)
+
+
+def _editdist_band(prepared: DataFrame, max_dist: int) -> DataFrame:
+    """The length-band candidate scheme of ``edit_distance_join`` over a
+    prepared (_id, _s, _ln) frame (shared by method='band' and the
+    qgram path's short-string subset)."""
+    w = max_dist + 1
+    s = prepared.withColumn("_home", F.expr(f"_ln div {w}"))
     probe = s.withColumn(
         "_bkt", F.explode(F.array(F.col("_home"), F.col("_home") + 1))
     ).select(F.col("_id").alias("_ida"), F.col("_s").alias("_sa"),
@@ -789,6 +805,7 @@ def hamming_neardup_pairs(
     hash_col: str,
     bits: int,
     max_hamming: int = 3,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """All unordered pairs whose ``bits``-wide integer fingerprints are
     within Hamming distance ``max_hamming`` → (id_a, id_b, hamming).
@@ -814,11 +831,27 @@ def hamming_neardup_pairs(
     value) — AQE skew split plus the verify's cheapness bound it; the
     within-cluster quadratic is genuine duplication, the thing being
     found.
+
+    **Corpus-size regime — pick the scheme.** Simple k+1 banding keys
+    on bits/(k+1)-wide values (16 bits at 64/k=3), so ACCIDENTAL
+    candidate density grows ~n²·(k+1)/2^(bits/(k+1)) — fine to ~10^5
+    rows, a birthday blowup at 10^7 (measured: 4M random hashes did
+    not finish where the block scheme takes seconds). ``n_blocks=B``
+    switches to Manku et al.'s block-combination tables: split into B
+    blocks; distance ≤ k corrupts ≤ k blocks, so some C(B−k of B)
+    combination is fully intact — key on EVERY (B−k)-block
+    combination (C(B,k) tables, key width bits·(B−k)/B, e.g. B=6,k=3
+    → 20 tables × ~32-bit keys → density n²·20/2^32). The trade is
+    table fan-out (C(B,k)× explode) for key width; pairs can match
+    several tables, so this path dedups with one OUTPUT-sized
+    ``dropDuplicates`` (pairs are few; candidates were the problem).
     """
     if bits < 1 or bits > 64:
         raise ValueError(f"bits must be in [1, 64], got {bits}")
     if not (0 <= max_hamming < bits):
         raise ValueError(f"max_hamming must be in [0, bits), got {max_hamming}")
+    if n_blocks is not None:
+        return _hamming_blocks(df, id_col, hash_col, bits, max_hamming, n_blocks)
     nb = max_hamming + 1
     w = bits // nb  # last band absorbs the remainder
     if w < 1:
@@ -861,3 +894,157 @@ def hamming_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def _hamming_blocks(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    bits: int,
+    max_hamming: int,
+    n_blocks: int,
+) -> DataFrame:
+    """Block-combination Hamming tables (``hamming_neardup_pairs``
+    docstring, the large-corpus regime): key every (B−k)-combination of
+    B bit-blocks; pigeonhole guarantees a fully-intact combination for
+    every pair within distance k. Keys pack the combination's block
+    values positionally into one int64 (width ≤ bits − k·min_block ≤
+    64), join on (table_idx, key), verify with bit_count, dedup at
+    OUTPUT size."""
+    import itertools
+
+    k = max_hamming
+    if n_blocks <= k:
+        raise ValueError(f"n_blocks must exceed max_hamming, got {n_blocks} <= {k}")
+    if n_blocks > bits:
+        raise ValueError(f"n_blocks={n_blocks} exceeds bits={bits}")
+    w = bits // n_blocks
+    widths = [w] * (n_blocks - 1) + [bits - w * (n_blocks - 1)]
+    offs = [w * j for j in range(n_blocks)]
+    combos = list(itertools.combinations(range(n_blocks), n_blocks - k))
+
+    def block(h, j):
+        mask = F.lit(-1 if widths[j] >= 64 else (1 << widths[j]) - 1).cast("long")
+        return F.shiftrightunsigned(h.cast("long"), offs[j]).bitwiseAND(mask)
+
+    def key_for(h, combo):
+        # positional pack: block values side by side, LSB-first
+        kexpr = F.lit(0).cast("long")
+        shift = 0
+        for j in combo:
+            kexpr = kexpr + F.shiftleft(block(h, j), shift)
+            shift += widths[j]
+        if shift > 63:
+            raise ValueError(
+                f"combination key width {shift} exceeds 63 bits — raise n_blocks"
+            )
+        return kexpr
+
+    def key_of(h):
+        kv = F.when(F.col("_c") == 0, key_for(h, combos[0]))
+        for ci in range(1, len(combos)):
+            kv = kv.when(F.col("_c") == ci, key_for(h, combos[ci]))
+        return kv
+
+    base = df.select(F.col(id_col).alias("_id"), F.col(hash_col).cast("long").alias("_h"))
+    cs = F.explode(F.array(*[F.lit(c) for c in range(len(combos))]))
+    probe = (
+        base.select(F.col("_id").alias("id_a"), F.col("_h").alias("_ha"))
+        .withColumn("_c", cs)
+        .withColumn("_kv", key_of(F.col("_ha")))
+    )
+    home = (
+        base.select(F.col("_id").alias("id_b"), F.col("_h").alias("_hb"))
+        .withColumn("_c", cs)
+        .withColumn("_kv", key_of(F.col("_hb")))
+    )
+    ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast("long")
+    return (
+        probe.join(home.hint("shuffle_hash"), ["_c", "_kv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def _editdist_qgram(prepared: DataFrame, max_dist: int, q: int) -> DataFrame:
+    """Ed-Join-style q-gram prefix filtering (Xiao et al., VLDB'08 —
+    the published scale path for edit-distance joins; the length band
+    alone degrades to per-bucket all-pairs whenever the corpus shares
+    few lengths, measured in `bench.py --editdist`).
+
+    Count-filter foundation: one edit changes at most ``q`` of a
+    string's positional q-gram SLOTS, so ED(a,b) ≤ d ⇒ the gram BAG
+    difference |Ga \\ Gb| ≤ q·d. Bags are realized as occurrence-
+    indexed elements (gram, occ) — bag intersection ≡ Σ min(counts),
+    insensitive to which occurrence shifted, so the bound survives
+    occurrence renumbering. Prefix theorem (the jaccard prefix
+    operator's lemma, applied with pair overlap bound o =
+    max(la,lb) − q + 1 − q·d): both strings' (q·d+1)-prefixes in one
+    global (df asc, element) order must share an element — candidates
+    come from ONE equi-join on prefix elements, LOSSLESS, never
+    all-pairs; the within-cluster quadratic survives only among true
+    near-dups.
+
+    The overlap bound is only ≥ 1 when max(la,lb) ≥ q + q·d — shorter
+    pairs may legitimately share NO gram (e.g. q=3, d=2: "abcde" vs
+    two-substitution "axcye" have disjoint gram sets), so every pair
+    whose LONGER member is ≤ q−1+q·d routes through the length-band
+    scheme (a short-string subset whose band join is tiny), and the
+    qgram path keeps only pairs with greatest(len) ≥ q+q·d — disjoint
+    and complete (then min ≥ max−d ≥ q, both sides own grams, and
+    o ≥ 1 makes the prefix join lossless). Verification is
+    the same ONE thresholded ``levenshtein`` as the band path —
+    identical outputs, parity-tested.
+    """
+    from pyspark.sql import Window
+
+    d = max_dist
+    cut = q - 1 + q * d  # below this, the count filter gives no guarantee
+    short_pairs = _editdist_band(prepared.filter(F.col("_ln") <= cut), d)
+
+    longs = prepared.filter(F.col("_ln") >= q)
+    grams = longs.withColumn(
+        "_i", F.explode(F.sequence(F.lit(1), F.col("_ln") - q + 1))
+    ).select("_id", "_s", "_ln", F.substring(F.col("_s"), F.col("_i"), q).alias("_g"), "_i")
+    w_occ = Window.partitionBy("_id", "_g").orderBy("_i")
+    elems = grams.withColumn("_occ", F.row_number().over(w_occ))
+    dfreq = elems.groupBy("_g", "_occ").agg(F.count(F.lit(1)).alias("_df"))
+    w_doc = Window.partitionBy("_id").orderBy(
+        F.col("_df").asc(), F.col("_g").asc(), F.col("_occ").asc()
+    )
+    pref = (
+        elems.join(dfreq, ["_g", "_occ"])
+        .withColumn("_rn", F.row_number().over(w_doc))
+        .filter(F.col("_rn") <= q * d + 1)
+    )
+    pa = pref.select(
+        "_g", "_occ", F.col("_id").alias("_ida"), F.col("_s").alias("_sa"),
+        F.col("_ln").alias("_la"),
+    )
+    pb = pref.select(
+        "_g", "_occ", F.col("_id").alias("_idb"), F.col("_s").alias("_sb"),
+        F.col("_ln").alias("_lb"),
+    )
+    cand = (
+        pa.join(pb, ["_g", "_occ"])
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(F.abs(F.col("_la") - F.col("_lb")) <= d)
+        .filter(F.greatest(F.col("_la"), F.col("_lb")) > cut)
+        .select(
+            F.col("_ida").alias("id_a"),
+            F.col("_idb").alias("id_b"),
+            F.col("_sa").alias("_x"),
+            F.col("_sb").alias("_y"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dist = F.levenshtein(F.col("_x"), F.col("_y"), d)
+    long_pairs = (
+        cand.withColumn("dist", dist)
+        .filter(F.col("dist") >= 0)
+        .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+    )
+    return short_pairs.unionByName(long_pairs)

@@ -1653,6 +1653,9 @@ def test_edit_distance_join_matches_bruteforce(spark):
         got = {(r["id_a"], r["id_b"]): r["dist"]
                for r in edit_distance_join(df, "doc_id", "st", d).collect()}
         assert got == want, f"d={d}"
+        got_q = {(r["id_a"], r["id_b"]): r["dist"]
+                 for r in edit_distance_join(df, "doc_id", "st", d, method="qgram").collect()}
+        assert got_q == want, f"qgram d={d}"
     # partition invariance at d=5
     got2 = {(r["id_a"], r["id_b"]): r["dist"]
             for r in edit_distance_join(
@@ -1816,14 +1819,13 @@ def test_hamming_neardup_pairs_matches_bruteforce(spark):
     rid = 0
     for h in base_hashes:
         rows.append((rid, int(h))); rid += 1
-        # planted near-dups: flip 1..4 random bits
+        # planted near-dups: flip 1..4 random bits (in unsigned space —
+        # XOR on a negative Python int escapes 64 bits)
         for nf in (1, 3, 4):
-            v = int(h)
+            u = int(h) & ((1 << 64) - 1)
             for b in rng.choice(64, size=nf, replace=False):
-                v ^= 1 << int(b)
-            if v >= 1 << 63:
-                v -= 1 << 64
-            rows.append((rid, v)); rid += 1
+                u ^= 1 << int(b)
+            rows.append((rid, u - (1 << 64) if u >= 1 << 63 else u)); rid += 1
     df = spark.createDataFrame(rows, "doc_id long, h long")
     for k in (0, 1, 3):
         want = {
@@ -1892,3 +1894,82 @@ def test_dhash_images_model_and_robustness(spark):
         hashes, "doc_id", "dhash", bits=64, max_hamming=3).collect()}
     assert ("big", "orig") in pairs and ("orig", "tweak") in pairs
     assert not any("other" in p for p in pairs)
+
+
+def test_hamming_blocks_scheme_matches_bands_and_brute(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from osmflat_rs_spark.operators.dedup import hamming_neardup_pairs
+
+    rng = np.random.default_rng(91)
+    rows = []
+    rid = 0
+    for h in rng.integers(-(1 << 62), 1 << 62, 25, dtype=np.int64):
+        rows.append((rid, int(h))); rid += 1
+        for nf in (1, 2, 3, 5):
+            u = int(h) & ((1 << 64) - 1)  # unsigned space: XOR stays in 64 bits
+            for b in rng.choice(64, size=nf, replace=False):
+                u ^= 1 << int(b)
+            rows.append((rid, u - (1 << 64) if u >= 1 << 63 else u)); rid += 1
+    df = spark.createDataFrame(rows, "doc_id long, h long")
+    for k in (1, 3):
+        want = {
+            (a, b): bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+            for (a, ha) in rows for (b, hb) in rows
+            if a < b and bin((ha ^ hb) & ((1 << 64) - 1)).count("1") <= k
+        }
+        bands = {(r["id_a"], r["id_b"]): r["hamming"]
+                 for r in hamming_neardup_pairs(df, "doc_id", "h", bits=64, max_hamming=k).collect()}
+        for nb in (k + 2, 6, 8):
+            blocks = {(r["id_a"], r["id_b"]): r["hamming"]
+                      for r in hamming_neardup_pairs(
+                          df, "doc_id", "h", bits=64, max_hamming=k, n_blocks=nb).collect()}
+            assert blocks == want == bands, f"k={k} nb={nb}"
+    with _pytest.raises(ValueError):
+        hamming_neardup_pairs(df, "doc_id", "h", bits=64, max_hamming=3, n_blocks=3)
+    with _pytest.raises(ValueError):
+        hamming_neardup_pairs(df, "doc_id", "h", bits=64, max_hamming=3, n_blocks=65)
+
+
+def test_edit_distance_qgram_boundary_regime(spark):
+    """The count-filter guarantee needs max(len) >= q + q*d; pairs below
+    that can share NO gram (q=3, d=2: 'abcde' vs two-substitution
+    'axcye' have disjoint gram sets) and MUST route through the band
+    subset — this pins the routing cut at q-1+q*d."""
+    import pytest as _pytest
+
+    from osmflat_rs_spark.operators.dedup import edit_distance_join
+
+    rows = [
+        (1, "abcde"), (2, "axcye"),            # d=2, disjoint grams, len 5
+        (3, "ab"), (4, "b"),                   # shorter than q entirely
+        (5, "abcdefghijkl"), (6, "abxdefghijyl"),  # len 12 >= q+q*d: qgram regime
+        (7, "zzzzzzzzzzzz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, st string")
+    want = {
+        (a, b): _lev(sa, sb)
+        for (a, sa) in rows for (b, sb) in rows
+        if a < b and _lev(sa, sb) <= 2
+    }
+    assert (1, 2) in want and (5, 6) in want  # both regimes non-trivial
+    for method in ("band", "qgram"):
+        got = {(r["id_a"], r["id_b"]): r["dist"]
+               for r in edit_distance_join(df, "doc_id", "st", 2, method=method).collect()}
+        assert got == want, method
+    # duplicate-gram strings: occurrence-indexed bag elements
+    dup_rows = [(1, "aaaaaaaaaaaa"), (2, "aaaaabaaaaaa"), (3, "aaabbbaaabbb")]
+    ddf = spark.createDataFrame(dup_rows, "doc_id long, st string")
+    want2 = {
+        (a, b): _lev(sa, sb)
+        for (a, sa) in dup_rows for (b, sb) in dup_rows
+        if a < b and _lev(sa, sb) <= 2
+    }
+    got2 = {(r["id_a"], r["id_b"]): r["dist"]
+            for r in edit_distance_join(ddf, "doc_id", "st", 2, method="qgram").collect()}
+    assert got2 == want2
+    with _pytest.raises(ValueError):
+        edit_distance_join(df, "doc_id", "st", 2, method="nope")
+    with _pytest.raises(ValueError):
+        edit_distance_join(df, "doc_id", "st", 2, method="qgram", q=0)
