@@ -1165,6 +1165,30 @@ def q_coloc_events(spark, sf_dir):
     )
 
 
+KMEANS_CENTS = [
+    (LAT0 + LATSPAN // 4, LON0 + LONSPAN // 4),
+    (LAT0 + LATSPAN // 4, LON0 + 3 * LONSPAN // 4),
+    (LAT0 + 3 * LATSPAN // 4, LON0 + LONSPAN // 2),
+    (LAT0 + LATSPAN // 2, LON0 + LONSPAN // 2),
+]
+
+
+def q_kmeans_step_events(spark, sf_dir):
+    """One exact Lloyd assignment + partial-sum step (``knn.
+    kmeans_assign_step``, r5) over four fixed centroids: argmin of
+    int64 squared distances with first-match (lowest-index) ties,
+    map-side-combined integer sums — the distributed k-means inner
+    loop as an all-integer gate (the iterated float trainer,
+    ``ann.train_ivf_centroids_distributed``, stays model-tested; this
+    pins its assignment semantics cross-engine). Oracle restates
+    list_position(list_min) over the same distance list."""
+    _prep(spark)
+    from osmflat_rs_spark.operators.knn import kmeans_assign_step
+
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    return kmeans_assign_step(pts, KMEANS_CENTS)
+
+
 def q_knox_events(spark, sf_dir):
     """Knox space-time interaction statistic (``coloc.knox_statistic``,
     r5): one row of exact-int pair counts — spacetime (x_knox), spatial
@@ -3175,6 +3199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_events": q_radius_events,
         "coloc_events": q_coloc_events,
         "knox_events": q_knox_events,
+        "kmeans_step_events": q_kmeans_step_events,
         "cell_index_events": q_cell_index_events,
         "focal_grid_events": q_focal_grid_events,
         "kde_events": q_kde_events,
@@ -3934,6 +3959,22 @@ def oracle_sql() -> dict[str, str]:
                   <= {COLOC_RADIUS_FIXED ** 2}
               AND abs(a.t - b.t) <= {COLOC_WINDOW_US}
         """,
+        # kmeans step: list_position(list_min) = first-match argmin
+        "kmeans_step_events": f"""
+            WITH pts AS (SELECT lat, lon FROM {synth}
+                         WHERE lat IS NOT NULL AND lon IS NOT NULL),
+            a AS (SELECT lat, lon,
+                         CAST(list_position(d, list_min(d)) - 1 AS BIGINT) AS cluster
+                  FROM (SELECT lat, lon, [{{dists}}] AS d FROM pts))
+            SELECT cluster, COUNT(*) AS n,
+                   CAST(SUM(lat) AS BIGINT) AS sum_lat,
+                   CAST(SUM(lon) AS BIGINT) AS sum_lon
+            FROM a GROUP BY cluster
+        """.replace("{dists}", ", ".join(
+            "(lat - {c0}) * (lat - {c0}) + (lon - {c1}) * (lon - {c1})"
+            .replace("{c0}", str(c0)).replace("{c1}", str(c1))
+            for c0, c1 in KMEANS_CENTS
+        )),
         # Knox: brute-force conditional pair counts; expected/z restated
         # with the engine's exact IEEE expression tree (CAST / nullif /
         # * / sqrt in the same left-associated order).

@@ -680,3 +680,51 @@ def service_areas(
             ).alias("rms_d"),
         )
     )
+
+
+def kmeans_assign_step(
+    points: DataFrame,
+    centroids: list,
+    id_col: str = "event_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """ONE exact Lloyd assignment + partial-sum step over fixed integer
+    centroids → (cluster, n, sum_lat, sum_lon): the inner loop of every
+    distributed k-means (the IVF coarse quantizer's float form is
+    ``ann.train_ivf_centroids_distributed``), restated on the engine's
+    fixed-point coordinates so EVERY value is an exact int64 —
+    assignment is argmin of squared euclidean with ties to the LOWEST
+    cluster index (stated, deterministic), sums are map-side-combined
+    int64 (no float reassociation anywhere, so the step is bit-stable
+    and SQL-gateable where the iterated float trainer is not).
+
+    ``centroids`` is a driver-side list of (lat, lon) ints (k is small
+    by definition — it IS the broadcast side); the argmin is
+    array_min + array_position over a k-element distance array —
+    expression size LINEAR in k (a chained-CASE running best doubles
+    per step, ~2^k nodes), and array_position's first-match semantics
+    IS the lowest-index tie rule. One projection, one groupBy. Callers
+    iterate by feeding means back in; this single step is the
+    gate-able unit.
+    """
+    if not centroids:
+        raise ValueError("centroids must be non-empty")
+    la, lo = F.col(lat_col).cast("long"), F.col(lon_col).cast("long")
+
+    def d2(c):
+        clat, clon = int(c[0]), int(c[1])
+        return (la - F.lit(clat)) * (la - F.lit(clat)) + (lo - F.lit(clon)) * (lo - F.lit(clon))
+
+    arr = F.array(*[d2(c) for c in centroids])
+    best_i = F.array_position(arr, F.array_min(arr)) - 1  # 1-based, first match
+    return (
+        points.filter(la.isNotNull() & lo.isNotNull())
+        .select(best_i.cast("long").alias("cluster"), la.alias("_la"), lo.alias("_lo"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_la").alias("sum_lat"),
+            F.sum("_lo").alias("sum_lon"),
+        )
+    )

@@ -632,3 +632,34 @@ def test_service_areas_validation(spark):
     sdf = spark.createDataFrame([(1, 0, 0), (2, 5, 5)], "site_id long, lat long, lon long")
     with _pytest.raises(ValueError, match="max_sites_inrow"):
         service_areas(pdf, sdf, max_sites_inrow=1)
+
+
+# -------------------------------------------------------------- kmeans step
+
+
+def test_kmeans_assign_step_exact_model(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from osmflat_rs_spark.operators.knn import kmeans_assign_step
+
+    rng = np.random.default_rng(17)
+    pts = [(i, int(rng.integers(-100, 100)), int(rng.integers(-100, 100))) for i in range(300)]
+    cents = [(-50, -50), (0, 0), (50, 50), (-50, 50)]
+    want = {}
+    for _, la, lo in pts:
+        ds = [(la - c[0]) ** 2 + (lo - c[1]) ** 2 for c in cents]
+        ci = ds.index(min(ds))  # first match = lowest index on ties
+        n, sl, so = want.get(ci, (0, 0, 0))
+        want[ci] = (n + 1, sl + la, so + lo)
+    df = spark.createDataFrame(pts, "event_id long, lat long, lon long")
+    for d in (df, df.repartition(7)):
+        got = {r["cluster"]: (r["n"], r["sum_lat"], r["sum_lon"])
+               for r in kmeans_assign_step(d, cents).collect()}
+        assert got == want
+    # tie goes to the LOWEST index: a point equidistant to c0/c1
+    tie = spark.createDataFrame([(1, 0, 0)], "event_id long, lat long, lon long")
+    out = kmeans_assign_step(tie, [(0, 10), (0, -10)]).collect()
+    assert [(r["cluster"], r["n"]) for r in out] == [(0, 1)]
+    with _pytest.raises(ValueError):
+        kmeans_assign_step(tie, [])
