@@ -1173,6 +1173,46 @@ KMEANS_CENTS = [
 ]
 
 
+# convex AOI for the Cyrus-Beck gate: a CCW pentagon around the middle
+# of the synth domain, sized so segments cross, touch, and miss it
+AOI_POLY = [
+    (LON0 + 1_000_000, LAT0 + 300_000),
+    (LON0 + 3_200_000, LAT0 + 600_000),
+    (LON0 + 3_000_000, LAT0 + 1_500_000),
+    (LON0 + 1_800_000, LAT0 + 1_800_000),
+    (LON0 + 700_000, LAT0 + 1_200_000),
+]
+
+
+def q_clip_convex_events(spark, sf_dir):
+    """Cyrus–Beck convex-AOI segment clipping (``clip.
+    clip_segments_convex``, r5): the tile-cut gate's GPS-trace segments
+    clipped to a CCW pentagon — m unrolled integer half-plane tests,
+    map-only, zero shuffle; floats only in the −S/D divisions and the
+    final p + t·d, in ONE fixed op order the oracle mirrors literally —
+    emitted UNROUNDED, bit-identical cross-engine (each float is a
+    single correctly-rounded op from exact ints; rounding would
+    reintroduce the midpoint-semantics divergence it usually prevents).
+    Coordinates here are (x=lon, y=lat)."""
+    _prep(spark)
+    from osmflat_rs_spark.operators.clip import clip_segments_convex
+
+    e = _synth_coords(_t(spark, sf_dir, "events"))
+    segs = e.select(
+        F.col("event_id").alias("sid"),
+        F.col("lon").alias("x0"),
+        F.col("lat").alias("y0"),
+        (F.col("lon") + (F.col("event_id") * 48271 + 11) % 131073 - 65536).alias("x1"),
+        (F.col("lat") + (F.col("event_id") * 16807 + 7) % 131073 - 65536).alias("y1"),
+    )
+    # UNROUNDED on purpose (the densify precedent): every step is one
+    # correctly-rounded IEEE op from exact ints, so the doubles are
+    # bit-identical cross-engine — round-6 would be WEAKER here (a
+    # coordinate landed exactly on a .xxx0635 decimal midpoint and
+    # Spark's HALF_UP-on-BigDecimal disagreed with DuckDB's float round)
+    return clip_segments_convex(segs, AOI_POLY, id_col="sid")
+
+
 def q_kmeans_step_events(spark, sf_dir):
     """One exact Lloyd assignment + partial-sum step (``knn.
     kmeans_assign_step``, r5) over four fixed centroids: argmin of
@@ -3200,6 +3240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coloc_events": q_coloc_events,
         "knox_events": q_knox_events,
         "kmeans_step_events": q_kmeans_step_events,
+        "clip_convex_events": q_clip_convex_events,
         "cell_index_events": q_cell_index_events,
         "focal_grid_events": q_focal_grid_events,
         "kde_events": q_kde_events,
@@ -3292,6 +3333,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_neardup_docs": q_stream_neardup_docs,  # stateful streaming, oracled
         "stream_pip_events": q_stream_pip_events,  # stream-static PIP, oracled
     }
+
+
+
+
+def _clip_convex_sql(synth: str) -> str:
+    m = len(AOI_POLY)
+    lo = ["CAST(0.0 AS DOUBLE)"]
+    hi = ["CAST(1.0 AS DOUBLE)"]
+    ok = []
+    for i in range(m):
+        ax, ay = AOI_POLY[i]
+        bx, by = AOI_POLY[(i + 1) % m]
+        nx, ny = -(by - ay), (bx - ax)
+        s_ = f"({nx} * (x0 - {ax}) + {ny} * (y0 - {ay}))"
+        d_ = f"({nx} * dx + {ny} * dy)"
+        t_ = f"(-CAST({s_} AS DOUBLE) / CAST({d_} AS DOUBLE))"
+        ok.append(f"({d_} != 0 OR {s_} >= 0)")
+        lo.append(f"CASE WHEN {d_} > 0 THEN {t_} ELSE CAST(0.0 AS DOUBLE) END")
+        hi.append(f"CASE WHEN {d_} < 0 THEN {t_} ELSE CAST(1.0 AS DOUBLE) END")
+    ok_sql = " AND ".join(ok)
+    lo_sql = "GREATEST(" + ", ".join(lo) + ")"
+    hi_sql = "LEAST(" + ", ".join(hi) + ")"
+    return f"""
+        WITH segs AS (
+          SELECT event_id AS sid, lon AS x0, lat AS y0,
+                 lon + (event_id * 48271 + 11) % 131073 - 65536 AS x1,
+                 lat + (event_id * 16807 + 7) % 131073 - 65536 AS y1
+          FROM {synth}
+        ),
+        d AS (SELECT *, x1 - x0 AS dx, y1 - y0 AS dy FROM segs),
+        w AS (SELECT sid, x0, y0, dx, dy, {lo_sql} AS t0, {hi_sql} AS t1
+              FROM d WHERE {ok_sql})
+        SELECT sid, t0, t1,
+               CAST(x0 AS DOUBLE) + t0 * CAST(dx AS DOUBLE) AS cx0,
+               CAST(y0 AS DOUBLE) + t0 * CAST(dy AS DOUBLE) AS cy0,
+               CAST(x0 AS DOUBLE) + t1 * CAST(dx AS DOUBLE) AS cx1,
+               CAST(y0 AS DOUBLE) + t1 * CAST(dy AS DOUBLE) AS cy1
+        FROM w WHERE t0 <= t1
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3959,6 +4039,9 @@ def oracle_sql() -> dict[str, str]:
                   <= {COLOC_RADIUS_FIXED ** 2}
               AND abs(a.t - b.t) <= {COLOC_WINDOW_US}
         """,
+        # Cyrus-Beck convex clip: the m unrolled half-plane tests with
+        # the identical fixed float op order (built by _clip_convex_sql)
+        "clip_convex_events": _clip_convex_sql(synth),
         # kmeans step: list_position(list_min) = first-match argmin
         "kmeans_step_events": f"""
             WITH pts AS (SELECT lat, lon FROM {synth}

@@ -140,3 +140,73 @@ def clip_segments_to_grid(
         )
     )
     return clipped.filter((F.col("u0") != F.col("u1")) | (F.col("v0") != F.col("v1")))
+
+
+def clip_segments_convex(
+    segments: DataFrame,
+    polygon: list,
+    id_col: str = "seg_id",
+    x0: str = "x0",
+    y0: str = "y0",
+    x1: str = "x1",
+    y1: str = "y1",
+) -> DataFrame:
+    """Cyrus–Beck segment clipping to ONE convex polygon (the
+    area-of-interest cut — "give me the road network inside this
+    viewport/boundary", the convex-AOI counterpart of the grid cut
+    above): each input segment → at most one clipped piece, with the
+    parametric window [t0, t1] and the clipped endpoints.
+
+    ``polygon`` is a driver-side list of (x, y) int vertices in CCW
+    order (an AOI is one small literal by definition — the same
+    broadcast-by-literal contract as the k-means centroids); the m
+    half-plane tests unroll to m codegen'd integer dot products —
+    map-only, ZERO shuffle, zero Python, the grid cut's scale shape.
+
+    Exactness: S = n·(p0 − a) and D = n·d are exact int64 (inward
+    normals of CCW edges are (−ey, ex), products bounded by coordinate
+    spans²); the only floats are the −S/D divisions (exact int64
+    operands < 2^53) folded through one fixed max/min order and the
+    final p + t·d projection — the module's oracle contract, so the
+    gate hash-compares bit-for-bit after round-6. Parallel edges
+    (D = 0) reject the whole segment iff it lies outside that
+    half-plane (S < 0). Degenerate touches (t0 = t1) are kept;
+    zero-length segments clip to themselves iff inside.
+    """
+    if len(polygon) < 3:
+        raise ValueError(f"polygon needs >= 3 vertices, got {len(polygon)}")
+    px0, py0 = F.col(x0).cast("long"), F.col(y0).cast("long")
+    dx = F.col(x1).cast("long") - px0
+    dy = F.col(y1).cast("long") - py0
+
+    # linear-size fold: per-edge candidates with NEUTRAL elements (0/1)
+    # inside one greatest/least — a chained-when running max duplicates
+    # the accumulated tree per edge (~2^m nodes, the kmeans lesson)
+    lo_cands, hi_cands = [F.lit(0.0)], [F.lit(1.0)]
+    ok = F.lit(True)
+    m = len(polygon)
+    for i in range(m):
+        ax, ay = int(polygon[i][0]), int(polygon[i][1])
+        bx, by = int(polygon[(i + 1) % m][0]), int(polygon[(i + 1) % m][1])
+        ex, ey = bx - ax, by - ay
+        nx, ny = -ey, ex  # inward (left) normal of a CCW edge
+        s = F.lit(nx) * (px0 - F.lit(ax)) + F.lit(ny) * (py0 - F.lit(ay))
+        d = F.lit(nx) * dx + F.lit(ny) * dy
+        t = -s.cast("double") / d.cast("double")
+        ok = ok & ((d != 0) | (s >= 0))
+        lo_cands.append(F.when(d > 0, t).otherwise(F.lit(0.0)))
+        hi_cands.append(F.when(d < 0, t).otherwise(F.lit(1.0)))
+    t_lo = F.greatest(*lo_cands)
+    t_hi = F.least(*hi_cands)
+
+    out = segments.select(
+        F.col(id_col),
+        t_lo.alias("t0"),
+        t_hi.alias("t1"),
+        (px0.cast("double") + t_lo * dx.cast("double")).alias("cx0"),
+        (py0.cast("double") + t_lo * dy.cast("double")).alias("cy0"),
+        (px0.cast("double") + t_hi * dx.cast("double")).alias("cx1"),
+        (py0.cast("double") + t_hi * dy.cast("double")).alias("cy1"),
+        ok.alias("_ok"),
+    )
+    return out.filter(F.col("_ok") & (F.col("t0") <= F.col("t1"))).drop("_ok")

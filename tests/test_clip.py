@@ -142,3 +142,72 @@ def test_plan_is_map_only(spark):
     plan = clip_segments_to_grid(df, CS)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+# --------------------------------------------------------------- cyrus-beck
+
+
+def _cb_model(p0, p1, poly):
+    """Reference Cyrus-Beck with Python floats (same op order)."""
+    dx, dy = p1[0] - p0[0], p1[1] - p0[1]
+    t0, t1 = 0.0, 1.0
+    m = len(poly)
+    for i in range(m):
+        ax, ay = poly[i]
+        bx, by = poly[(i + 1) % m]
+        nx, ny = -(by - ay), (bx - ax)
+        s = nx * (p0[0] - ax) + ny * (p0[1] - ay)
+        d = nx * dx + ny * dy
+        if d == 0:
+            if s < 0:
+                return None
+            continue
+        t = -s / d
+        if d > 0:
+            t0 = max(t0, t)
+        else:
+            t1 = min(t1, t)
+    if t0 > t1:
+        return None
+    return (t0, t1, p0[0] + t0 * dx, p0[1] + t0 * dy, p0[0] + t1 * dx, p0[1] + t1 * dy)
+
+
+def test_clip_segments_convex_matches_model(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from osmflat_rs_spark.operators.clip import clip_segments_convex
+
+    poly = [(0, 0), (100, 0), (130, 60), (50, 120), (-20, 60)]  # convex CCW
+    rng = np.random.default_rng(23)
+    segs = [
+        (i, int(rng.integers(-80, 200)), int(rng.integers(-80, 200)),
+         int(rng.integers(-80, 200)), int(rng.integers(-80, 200)))
+        for i in range(400)
+    ]
+    # hand cases: fully inside, fully outside, crossing, touching edge,
+    # zero-length inside and outside
+    segs += [
+        (1000, 40, 40, 60, 60),
+        (1001, -70, -70, -60, -60),
+        (1002, -50, 30, 200, 30),
+        (1003, 0, 0, 100, 0),      # lies ON the bottom edge
+        (1004, 50, 50, 50, 50),    # zero-length inside
+        (1005, -50, -50, -50, -50),
+    ]
+    want = {}
+    for sid, a, b, c, d in segs:
+        r = _cb_model((a, b), (c, d), poly)
+        if r is not None:
+            want[sid] = tuple(round(v, 9) for v in r)
+    df = spark.createDataFrame(segs, "seg_id long, x0 long, y0 long, x1 long, y1 long")
+    rows = clip_segments_convex(df, poly).collect()
+    got = {r["seg_id"]: tuple(round(v, 9) for v in
+                              (r["t0"], r["t1"], r["cx0"], r["cy0"], r["cx1"], r["cy1"]))
+           for r in rows}
+    assert got == want
+    assert 1000 in got and got[1000][:2] == (0.0, 1.0)
+    assert 1001 not in got and 1005 not in got
+    assert 1002 in got and 1003 in got and 1004 in got
+    with _pytest.raises(ValueError):
+        clip_segments_convex(df, [(0, 0), (1, 1)])
