@@ -1617,6 +1617,24 @@ def q_mapmatch_events(spark, sf_dir):
     )
 
 
+def q_ols_events(spark, sf_dir):
+    """Per-user exact-rational OLS (``trend.grouped_ols``, r5): fit
+    lat − LAT0 against a bounded synthetic regressor (event_id % 1000 —
+    bounded so DECIMAL(38) products of the moment sums never overflow,
+    the stated contract); slope/intercept returned as UNREDUCED
+    numerator/denominator integers — NO division, NO float, the gate
+    hash-compares exact values. Oracle = HUGEINT moment sums + the same
+    closed forms."""
+    from osmflat_rs_spark.operators.trend import grouped_ols
+
+    pts = _synth_coords(_t(spark, sf_dir, "events")).select(
+        "user_id",
+        (F.col("event_id") % 1000).alias("x"),
+        (F.col("lat") - F.lit(LAT0)).alias("y"),
+    )
+    return grouped_ols(pts, "user_id", "x", "y")
+
+
 def q_trend_events(spark, sf_dir):
     """Emerging-hot-spot trend: space-time cube (ONE groupBy) →
     per-cell Mann-Kendall S with tie-corrected variance, continuity-
@@ -3257,6 +3275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gearys_c_events": q_gearys_c_events,
         "lisa_events": q_lisa_events,
         "trend_events": q_trend_events,
+        "ols_events": q_ols_events,
         "mapmatch_events": q_mapmatch_events,
         "poly_intersect_events": q_poly_intersect_events,
         "raster_events": q_raster_events,
@@ -4866,6 +4885,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT f.cohort, p.p - f.cohort AS period_offset, COUNT(*) AS n_users
             FROM p JOIN f USING (user_id) GROUP BY 1, 2
         """,
+        "ols_events": f"""
+            WITH pts AS (SELECT user_id, event_id % 1000 AS x,
+                                lat - {LAT0} AS y FROM {{synth_inner}}),
+            m AS (SELECT user_id, COUNT(*) AS n,
+                         SUM(CAST(x AS HUGEINT)) AS sx,
+                         SUM(CAST(y AS HUGEINT)) AS sy,
+                         SUM(CAST(x * x AS HUGEINT)) AS sxx,
+                         SUM(CAST(x * y AS HUGEINT)) AS sxy
+                  FROM pts GROUP BY user_id)
+            SELECT user_id, n,
+                   CASE WHEN n * sxx - sx * sx != 0
+                        THEN n * sxy - sx * sy END AS slope_num,
+                   CASE WHEN n * sxx - sx * sx != 0
+                        THEN sy * sxx - sx * sxy END AS icept_num,
+                   nullif(n * sxx - sx * sx, 0) AS den
+            FROM m
+        """.replace("{synth_inner}", synth),
         "transitions_events": """
             WITH seq AS (SELECT user_id, event_type,
                                 LEAD(event_type) OVER (PARTITION BY user_id

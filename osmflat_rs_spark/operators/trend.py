@@ -171,3 +171,59 @@ def emerging_hotspots(
     with z ≥ 1.96 is an intensifying (emerging) hot spot, z ≤ −1.96 a
     diminishing one; `sen` is the rate in events/bin."""
     return mann_kendall(space_time_cube(pts, lat=lat, lon=lon, ts=ts, res=res, bin_us=bin_us))
+
+
+def grouped_ols(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group ordinary-least-squares line as EXACT RATIONALS → one
+    row per group (n, slope_num, slope_den, icept_num, icept_den): the
+    parametric complement of Mann-Kendall/Theil-Sen above (those rank;
+    OLS fits), emitted WITHOUT any division so every value is an exact
+    integer and the gate hash-compares bit-for-bit:
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        intercept = (Σy·Σx² − Σx·Σxy) / (n·Σx² − (Σx)²)
+
+    numerators and the shared denominator are returned UNREDUCED (no
+    gcd — both engines agree on the raw moment arithmetic; callers
+    divide at read time, or reduce if they need canonical form).
+    Groups whose x is constant (den = 0: n < 2 or all-equal x) emit
+    NULL numerators/denominator — the vertical-line case, stated.
+
+    Scale shape: ONE map-side-combined aggregate; the five moment sums
+    accumulate as DECIMAL(38,0) (exact, order-invariant — the
+    mean_center precedent: int64 sums overflow at ~10^12 rows while
+    per-row products stay in int64 for |x|,|y| ≤ ~3·10⁹), and the
+    closed-form combinations are DECIMAL products of those sums. No
+    window, no second exchange, no float anywhere.
+    """
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    dec = "decimal(38,0)"
+    g = (
+        df.filter(x.isNotNull() & y.isNotNull())
+        .groupBy(F.col(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x.cast(dec)).alias("_sx"),
+            F.sum(y.cast(dec)).alias("_sy"),
+            F.sum((x * x).cast(dec)).alias("_sxx"),
+            F.sum((x * y).cast(dec)).alias("_sxy"),
+        )
+    )
+    nn = F.col("n").cast(dec)
+    den = nn * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    s_num = nn * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    i_num = F.col("_sy") * F.col("_sxx") - F.col("_sx") * F.col("_sxy")
+    guard = F.nullif(den, F.lit(0).cast(dec))
+    return g.select(
+        group_col,
+        "n",
+        F.when(guard.isNotNull(), s_num).alias("slope_num"),
+        F.when(guard.isNotNull(), i_num).alias("icept_num"),
+        guard.alias("den"),
+    )

@@ -121,3 +121,49 @@ def test_emerging_hotspots_end_to_end(spark):
     assert by_sen[0]["z"] < -1.96 and by_sen[0]["sen"] == pytest.approx(-3.0, abs=0.5)
     assert by_sen[2]["z"] > 1.96 and by_sen[2]["sen"] == pytest.approx(3.0, abs=0.5)
     assert abs(by_sen[1]["z"] or 0.0) < 1.96
+
+
+# ------------------------------------------------------------- grouped ols
+
+
+def test_grouped_ols_exact_rationals(spark):
+    import numpy as np
+
+    from osmflat_rs_spark.operators.trend import grouped_ols
+
+    rng = np.random.default_rng(31)
+    rows = []
+    for g in range(5):
+        n = int(rng.integers(2, 60))
+        for _ in range(n):
+            x = int(rng.integers(-500, 500))
+            rows.append((g, x, 3 * x + 7 + int(rng.integers(-40, 40))))
+    rows += [(9, 5, 1), (9, 5, 2), (9, 5, 3)]   # constant x -> NULL line
+    rows += [(8, 1, 10)]                          # n = 1 -> NULL line
+    want = {}
+    for g in {r[0] for r in rows}:
+        pts = [(x, y) for gg, x, y in rows if gg == g]
+        n = len(pts)
+        sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts); sxy = sum(x * y for x, y in pts)
+        den = n * sxx - sx * sx
+        if den == 0:
+            want[g] = (n, None, None, None)
+        else:
+            want[g] = (n, n * sxy - sx * sy, sy * sxx - sx * sxy, den)
+    df = spark.createDataFrame(rows, "g long, x long, y long")
+    for d in (df, df.repartition(7)):
+        got = {
+            r["g"]: (
+                r["n"],
+                None if r["slope_num"] is None else int(r["slope_num"]),
+                None if r["icept_num"] is None else int(r["icept_num"]),
+                None if r["den"] is None else int(r["den"]),
+            )
+            for r in grouped_ols(d, "g", "x", "y").collect()
+        }
+        assert got == want
+    # sanity: the recovered slope is ~3 for the noisy-linear groups
+    for g in range(5):
+        n, sn, _, dn = want[g]
+        assert abs(sn / dn - 3) < 0.5
