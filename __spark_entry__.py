@@ -1336,6 +1336,33 @@ def q_frechet_events(spark, sf_dir):
     )
 
 
+
+def q_dtw_events(spark, sf_dir):
+    """Exact int64 DTW trajectory-similarity join on the same 32 patch
+    trajectories as frechet_events: pairs with DTW cost (sum of squared
+    coupled step distances over the best monotone warp, Sakoe & Chiba
+    1978) <= 1e13, WITH the exact cost. Engine: shared lossless
+    candidate prune (tau = isqrt(C)) + pure-codegen nested-fold DP
+    (dtw_expr) — zero Python; oracle: the identical DP as a recursive
+    CTE over DP rows with the inner column scan as a list reduce. All
+    arithmetic int64 → bit-exact."""
+    from osmflat_rs_spark.operators.trajectory import dtw_join
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    tid = F.col("event_id") % 32
+    pts = ev.select(
+        tid.alias("tid"),
+        F.col("event_id"),
+        (F.lit(LAT0) + (tid % 8) * 250_000 + (F.col("event_id") * A_LAT) % 200_000)
+        .cast("long").alias("lat"),
+        (F.lit(LON0) + F.floor(tid / 8) * 1_000_000 + (F.col("event_id") * A_LON) % 800_000)
+        .cast("long").alias("lon"),
+    )
+    return dtw_join(
+        pts, 10_000_000_000_000, traj_col="tid", order_col="event_id"
+    ).select("traj_a", "traj_b", "dtw")
+
+
 def q_quadkey_events(spark, sf_dir):
     """Bing quadkey interchange key per event at the engine ZOOM — one
     base-4 digit per level from the slippy tile coords (pure Catalyst
@@ -3233,6 +3260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats_events": q_zonal_stats_events,
         "hausdorff_events": q_hausdorff_events,
         "frechet_events": q_frechet_events,
+        "dtw_events": q_dtw_events,
         "quadkey_events": q_quadkey_events,
         "geohash_events": q_geohash_events,
         "pip_events_shuffle": q_pip_events_shuffle,
@@ -3579,6 +3607,44 @@ def oracle_sql() -> dict[str, str]:
         "pip_events": f"""
             SELECT 'hex' AS polygon_id, event_id FROM {synth}
             WHERE {_halfplanes_sql('lon', 'lat')}
+        """,
+        "dtw_events": f"""
+            WITH RECURSIVE
+            p AS (
+                SELECT event_id % 32 AS tid,
+                       ROW_NUMBER() OVER (PARTITION BY event_id % 32 ORDER BY event_id) - 1 AS seq,
+                       CAST({LAT0} + (event_id % 32 % 8) * 250000
+                            + (event_id * {A_LAT}) % 200000 AS BIGINT) AS lat,
+                       CAST({LON0} + ((event_id % 32) // 8) * 1000000
+                            + (event_id * {A_LON}) % 800000 AS BIGINT) AS lon
+                FROM events WHERE event_id < 1000
+            ),
+            tr AS (SELECT tid, list([lat, lon] ORDER BY seq) AS pts FROM p GROUP BY tid),
+            pz AS (
+              SELECT a.tid AS ta, b.tid AS tb, a.pts AS pa, b.pts AS pb,
+                     list_transform(list_zip(b.pts, range(1, len(b.pts)+1)),
+                                    s -> [CAST(s[2] AS BIGINT), s[1][1], s[1][2]]) AS pbi
+              FROM tr a JOIN tr b ON a.tid < b.tid
+            ),
+            dp(ta, tb, i, row) AS (
+              SELECT ta, tb, 0,
+                     list_prepend(CAST(0 AS BIGINT),
+                                  list_transform(pb, q -> CAST(10000000000000000 AS BIGINT)))
+              FROM pz
+              UNION ALL
+              SELECT d.ta, d.tb, d.i + 1,
+                reduce(list_prepend(CAST([10000000000000000] AS BIGINT[]), z.pbi),
+                  (cur, q) -> list_append(cur,
+                     (z.pa[d.i+1][1]-q[2])*(z.pa[d.i+1][1]-q[2])
+                   + (z.pa[d.i+1][2]-q[3])*(z.pa[d.i+1][2]-q[3])
+                   + least(d.row[q[1]+1], d.row[q[1]], cur[-1])))
+              FROM dp d JOIN pz z ON z.ta = d.ta AND z.tb = d.tb
+              WHERE d.i < len(z.pa)
+            )
+            SELECT d.ta AS traj_a, d.tb AS traj_b,
+                   CAST(d.row[len(z.pb)+1] AS BIGINT) AS dtw
+            FROM dp d JOIN pz z ON z.ta=d.ta AND z.tb=d.tb
+            WHERE d.i = len(z.pa) AND d.row[len(z.pb)+1] <= 10000000000000
         """,
         "frechet_events": f"""
             WITH RECURSIVE

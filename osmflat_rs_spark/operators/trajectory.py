@@ -22,7 +22,7 @@ it and Catalyst plans NO second exchange (same contract as
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -779,3 +779,79 @@ def densify_segments(
         F.col("_lo0").cast("double").alias("lon_d"),
     )
     return dense.unionByName(last)
+
+
+def dtw_expr(lats_a, lons_a, lats_b, lons_b) -> Column:
+    """EXACT int64 dynamic-time-warping cost between two in-row
+    coordinate sequences: min over monotone warping paths of the SUM of
+    squared euclidean step costs (Sakoe & Chiba 1978, the classic sum
+    form; contrast frechet_join's max form).
+
+    Pure whole-stage-codegen expression — the DP runs as a nested
+    ``F.aggregate`` fold (rows of the (n+1)x(m+1) table; the inner fold
+    carries the growing current row, so element_at(cur, -1) is the
+    left neighbor and ``prev`` the row above). No Python, no UDF, no
+    shuffle: per-pair cost is O(n*m) inside the JVM.
+
+    Int64 contract (same discipline as the other exact geo ops): with
+    fixed-point inputs, max squared step cost * (n+m) must stay below
+    the 1e16 sentinel; callers with degree-scale fixed-point coords
+    (|delta| <= ~4e6) and trajectories up to ~1e4 points are 2 orders
+    inside it. NULL coords must be filtered upstream (the join does)."""
+    INF = F.lit(10_000_000_000_000_000)
+    pa = F.arrays_zip(lats_a.alias("x"), lons_a.alias("y"))
+    pb = F.arrays_zip(lats_b.alias("x"), lons_b.alias("y"))
+    row0 = F.concat(F.array(F.lit(0).cast("long")), F.transform(lats_b, lambda _: INF))
+
+    def step(prev, p):
+        def inner(cur, q):
+            j = F.size(cur)
+            cost = (p["x"] - q["x"]) * (p["x"] - q["x"]) + (p["y"] - q["y"]) * (
+                p["y"] - q["y"]
+            )
+            best = F.least(
+                F.element_at(prev, j + 1), F.element_at(prev, j), F.element_at(cur, -1)
+            )
+            return F.concat(cur, F.array(cost + best))
+
+        return F.aggregate(pb, F.array(INF), inner)
+
+    return F.element_at(F.aggregate(pa, row0, step), F.size(lats_b) + 1)
+
+
+def dtw_join(
+    points: DataFrame,
+    max_cost: int,
+    traj_col: str = "traj_id",
+    order_col: str = "ts",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    res: int | None = None,
+) -> DataFrame:
+    """ORDERED trajectory-similarity self-join on DTW cost: unordered
+    pairs whose exact int64 DTW cost (see ``dtw_expr``) is <=
+    ``max_cost`` → (traj_a, traj_b, dtw).
+
+    Candidates reuse ``_traj_pruned_pairs`` with tau = isqrt(max_cost),
+    which is LOSSLESS for DTW: every point of each trajectory is coupled
+    to >= 1 point of the other, and each coupled squared distance is <=
+    the DTW sum, so DTW <= C implies Hausdorff <= sqrt(C) — exactly the
+    condition the shared prune was built for. The refine is the in-row
+    codegen DP — where ``frechet_join`` refines in an Arrow batch, DTW's
+    sum form fits a pure JVM fold, so this one never leaves the JVM."""
+    import math as _math
+
+    if max_cost <= 0:
+        raise ValueError(f"max_cost must be positive, got {max_cost}")
+    tau = max(1, _math.isqrt(int(max_cost)))
+    pruned = _traj_pruned_pairs(
+        points, tau, traj_col, lat_col, lon_col, res, order_col=order_col
+    )
+    d = dtw_expr(
+        F.col("_lats_a"), F.col("_lons_a"), F.col("_lats_b"), F.col("_lons_b")
+    )
+    return (
+        pruned.withColumn("dtw", d)
+        .filter(F.col("dtw") <= F.lit(int(max_cost)))
+        .select("traj_a", "traj_b", "dtw")
+    )

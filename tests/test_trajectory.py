@@ -604,3 +604,99 @@ def test_densify_edges(spark):
     assert got[(2, 0, 0)] == (0, 5.0, 5.0)             # singleton line
     with _pytest.raises(ValueError):
         densify_segments(df, "user_id", 0)
+
+
+def _dtw_dp(la, lo, lb, lob):
+    """Scalar Sakoe-Chiba sum-form DP — the independent oracle (int64)."""
+    d2 = (la[:, None] - lb[None, :]) ** 2 + (lo[:, None] - lob[None, :]) ** 2
+    m, n = d2.shape
+    INF = 1 << 62
+    ca = np.full((m + 1, n + 1), INF, dtype=np.int64)
+    ca[0, 0] = 0
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            ca[i, j] = d2[i - 1, j - 1] + min(
+                ca[i - 1, j], ca[i, j - 1], ca[i - 1, j - 1]
+            )
+    return int(ca[-1, -1])
+
+
+def test_dtw_join_matches_dp_oracle_and_threshold_is_exact(spark):
+    """dtw_join's in-row codegen DP vs the scalar Sakoe-Chiba oracle on
+    random cluster trajectories: every surfaced pair's cost is EXACTLY
+    the oracle's, the <= max_cost boundary is inclusive, and no pair the
+    oracle admits is missing (the isqrt prune is lossless). Row order
+    must not matter (order comes from order_col)."""
+    import pandas as pd
+
+    from osmflat_rs_spark.operators.trajectory import dtw_join
+
+    rng = np.random.default_rng(17)
+    frames = []
+    for t in range(14):
+        n = int(rng.integers(3, 32))
+        clat = 524_000_000 + int(rng.integers(0, 700_000))
+        clon = 132_000_000 + int(rng.integers(0, 1_400_000))
+        frames.append(
+            pd.DataFrame(
+                {
+                    "traj_id": np.full(n, t, dtype=np.int64),
+                    "seq": np.arange(n, dtype=np.int64),
+                    "lat": clat + rng.integers(0, 150_000, n),
+                    "lon": clon + rng.integers(0, 150_000, n),
+                }
+            )
+        )
+    pdf = pd.concat(frames, ignore_index=True)
+    groups = {t: g.sort_values("seq") for t, g in pdf.groupby("traj_id")}
+    ids = sorted(groups)
+    all_costs = {}
+    for ii, a in enumerate(ids):
+        for b in ids[ii + 1 :]:
+            ga, gb = groups[a], groups[b]
+            all_costs[(int(a), int(b))] = _dtw_dp(
+                ga["lat"].to_numpy(np.int64), ga["lon"].to_numpy(np.int64),
+                gb["lat"].to_numpy(np.int64), gb["lon"].to_numpy(np.int64),
+            )
+    # pick max_cost as an EXACT achieved cost -> boundary inclusivity
+    costs_sorted = sorted(all_costs.values())
+    max_cost = costs_sorted[len(costs_sorted) // 3]
+    want = {k: v for k, v in all_costs.items() if v <= max_cost}
+    assert want and len(want) < len(all_costs)  # nontrivial split
+    assert max_cost in want.values()  # boundary case present
+    shuffled = pdf.sample(frac=1.0, random_state=5).reset_index(drop=True)
+    df = spark.createDataFrame(shuffled)
+    got = {
+        (r["traj_a"], r["traj_b"]): r["dtw"]
+        for r in dtw_join(
+            df, max_cost, traj_col="traj_id", order_col="seq"
+        ).collect()
+    }
+    assert got == want, (max_cost, set(got) ^ set(want))
+
+
+def test_dtw_join_order_sensitivity_and_identity(spark):
+    """A trajectory vs its reversed copy has a large DTW cost (order
+    matters); vs an identical copy the cost is exactly 0."""
+    import pandas as pd
+
+    from osmflat_rs_spark.operators.trajectory import dtw_join
+
+    n = 12
+    lat = 524_000_000 + np.arange(n, dtype=np.int64) * 9_000
+    lon = 132_000_000 + np.arange(n, dtype=np.int64) * 4_000
+    rows = []
+    for tid, (la, lo) in {
+        0: (lat, lon), 1: (lat, lon), 2: (lat[::-1], lon[::-1])
+    }.items():
+        for s in range(n):
+            rows.append((tid, s, int(la[s]), int(lo[s])))
+    df = spark.createDataFrame(rows, "traj_id long, seq long, lat long, lon long")
+    got = {
+        (r["traj_a"], r["traj_b"]): r["dtw"]
+        for r in dtw_join(df, 10**15, traj_col="traj_id", order_col="seq").collect()
+    }
+    assert got[(0, 1)] == 0
+    rev = _dtw_dp(lat, lon, lat[::-1], lon[::-1].copy())
+    assert got[(0, 2)] == rev and rev > 0
+    assert got[(1, 2)] == rev
