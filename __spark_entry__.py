@@ -362,6 +362,38 @@ def q_road_length_users(spark, sf_dir):
     return seg.groupBy("user_id").agg(F.round(F.sum("seg_m"), 2).alias("dist_m"))
 
 
+
+def q_bearing_stats_events(spark, sf_dir):
+    """Per-user circular (directional) statistics over the movement
+    trace: initial great-circle bearing per consecutive segment (same
+    lead window as road_length_users), then the Mardia first-order
+    stats — circular mean direction, resultant length, circular
+    variance. Engine: operators/circular.py (pure codegen trig + ONE
+    map-side-combined groupBy); oracle: identical formulas in SQL.
+    Floats cross engines via the established ROUND discipline."""
+    from osmflat_rs_spark.operators.circular import bearing_rad, circular_stats
+
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        pts.withColumn("lat2", F.lead("lat").over(w))
+        .withColumn("lon2", F.lead("lon").over(w))
+        .filter(F.col("lat2").isNotNull())
+        .withColumn(
+            "theta",
+            bearing_rad(F.col("lat"), F.col("lon"), F.col("lat2"), F.col("lon2")),
+        )
+    )
+    st = circular_stats(seg, ["user_id"], "theta")
+    return st.select(
+        "user_id",
+        "n",
+        F.round(F.degrees("mean_dir"), 4).alias("mean_bearing_deg"),
+        F.round("resultant", 6).alias("resultant"),
+        F.round("circ_var", 6).alias("circ_var"),
+    )
+
+
 def q_cms_heavy_users(spark, sf_dir):
     """Count-min sketch (4×256) of per-user event frequency, point
     estimates for every distinct user. The sketch is RELATIONAL (r, c,
@@ -3253,6 +3285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_users": q_semi_join_users,
         "bbox_events": q_bbox_events,
         "road_length_users": q_road_length_users,
+        "bearing_stats_events": q_bearing_stats_events,
         "ring_area_users": q_ring_area_users,
         "ring_normalize_users": q_ring_normalize_users,
         "cms_heavy_users": q_cms_heavy_users,
@@ -3593,6 +3626,34 @@ def oracle_sql() -> dict[str, str]:
                    normed[CAST(i AS BIGINT)].lon AS lon,
                    orientation, was_reversed
             FROM ex
+        """,
+        "bearing_stats_events": f"""
+            WITH s AS (
+              SELECT user_id,
+                     LEAD(lat) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lat2,
+                     LEAD(lon) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lon2,
+                     lat, lon
+              FROM {synth}
+            ),
+            b AS (
+              SELECT user_id,
+                     ATAN2(
+                       SIN(RADIANS(lon2 / 10000000.0) - RADIANS(lon / 10000000.0))
+                         * COS(RADIANS(lat2 / 10000000.0)),
+                       COS(RADIANS(lat / 10000000.0)) * SIN(RADIANS(lat2 / 10000000.0))
+                         - SIN(RADIANS(lat / 10000000.0)) * COS(RADIANS(lat2 / 10000000.0))
+                           * COS(RADIANS(lon2 / 10000000.0) - RADIANS(lon / 10000000.0))
+                     ) AS theta
+              FROM s WHERE lat2 IS NOT NULL
+            ),
+            g AS (SELECT user_id, COUNT(*) AS n,
+                         SUM(SIN(theta)) AS sv, SUM(COS(theta)) AS cv
+                  FROM b GROUP BY user_id)
+            SELECT user_id, CAST(n AS BIGINT) AS n,
+                   ROUND(DEGREES(ATAN2(sv, cv)), 4) AS mean_bearing_deg,
+                   ROUND(SQRT(sv * sv + cv * cv) / n, 6) AS resultant,
+                   ROUND(1.0 - SQRT(sv * sv + cv * cv) / n, 6) AS circ_var
+            FROM g
         """,
         "road_length_users": f"""
             WITH pts AS (SELECT * FROM {synth}),

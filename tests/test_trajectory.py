@@ -700,3 +700,68 @@ def test_dtw_join_order_sensitivity_and_identity(spark):
     rev = _dtw_dp(lat, lon, lat[::-1], lon[::-1].copy())
     assert got[(0, 2)] == rev and rev > 0
     assert got[(1, 2)] == rev
+
+
+def test_circular_stats_wraparound_and_numpy_parity(spark):
+    """Circular mean of headings straddling north is ~0 deg (where the
+    arithmetic mean would say 180); random-angle groups match a numpy
+    model to float tolerance; resultant is 1.0 for identical headings."""
+    import pandas as pd
+
+    from osmflat_rs_spark.operators.circular import circular_stats
+
+    rng = np.random.default_rng(23)
+    frames = [
+        pd.DataFrame({"g": 0, "theta": np.radians([359.0, 1.0])}),
+        pd.DataFrame({"g": 1, "theta": np.full(5, 0.7)}),
+    ]
+    for g in (2, 3, 4):
+        frames.append(
+            pd.DataFrame({"g": g, "theta": rng.uniform(-np.pi, np.pi, 40)})
+        )
+    pdf = pd.concat(frames, ignore_index=True)
+    out = {
+        r["g"]: r
+        for r in circular_stats(
+            spark.createDataFrame(pdf), ["g"], "theta"
+        ).collect()
+    }
+    assert abs(out[0]["mean_dir"]) < 1e-9 and out[0]["n"] == 2
+    assert abs(out[1]["resultant"] - 1.0) < 1e-12
+    assert abs(out[1]["mean_dir"] - 0.7) < 1e-12
+    for g in (2, 3, 4):
+        th = pdf[pdf["g"] == g]["theta"].to_numpy()
+        s, c = np.sin(th).sum(), np.cos(th).sum()
+        assert abs(out[g]["mean_dir"] - np.arctan2(s, c)) < 1e-9
+        r = np.hypot(s, c) / len(th)
+        assert abs(out[g]["resultant"] - r) < 1e-9
+        assert abs(out[g]["circ_var"] - (1 - r)) < 1e-9
+
+
+def test_bearing_rad_cardinal_directions(spark):
+    """Due north -> 0; due east at the equator -> pi/2; due south -> pi;
+    due west -> -pi/2 (navigation convention, (-pi, pi])."""
+    from osmflat_rs_spark.operators.circular import bearing_rad
+
+    rows = [
+        (0, 0, 0, 10_000_000, 0),        # north: +1 deg lat
+        (1, 0, 0, 0, 10_000_000),        # east at equator: +1 deg lon
+        (2, 10_000_000, 0, 0, 0),        # south
+        (3, 0, 10_000_000, 0, 0),        # west
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, lat long, lon long, lat2 long, lon2 long"
+    )
+    got = {
+        r["id"]: r["b"]
+        for r in df.select(
+            "id",
+            bearing_rad(
+                F.col("lat"), F.col("lon"), F.col("lat2"), F.col("lon2")
+            ).alias("b"),
+        ).collect()
+    }
+    assert abs(got[0] - 0.0) < 1e-12
+    assert abs(got[1] - np.pi / 2) < 1e-9
+    assert abs(abs(got[2]) - np.pi) < 1e-9
+    assert abs(got[3] + np.pi / 2) < 1e-9
