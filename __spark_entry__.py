@@ -1353,16 +1353,7 @@ def q_frechet_events(spark, sf_dir):
     as a recursive CTE — the decision form is native SQL, no DP values."""
     from osmflat_rs_spark.operators.trajectory import frechet_join
 
-    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
-    tid = F.col("event_id") % 32
-    pts = ev.select(
-        tid.alias("tid"),
-        F.col("event_id"),
-        (F.lit(LAT0) + (tid % 8) * 250_000 + (F.col("event_id") * A_LAT) % 200_000)
-        .cast("long").alias("lat"),
-        (F.lit(LON0) + F.floor(tid / 8) * 1_000_000 + (F.col("event_id") * A_LON) % 800_000)
-        .cast("long").alias("lon"),
-    )
+    pts = _q_traj32(spark, sf_dir)
     return frechet_join(pts, 320_000, traj_col="tid", order_col="event_id").select(
         "traj_a", "traj_b"
     )
@@ -1380,9 +1371,20 @@ def q_dtw_events(spark, sf_dir):
     arithmetic int64 → bit-exact."""
     from osmflat_rs_spark.operators.trajectory import dtw_join
 
+    pts = _q_traj32(spark, sf_dir)
+    return dtw_join(
+        pts, 10_000_000_000_000, traj_col="tid", order_col="event_id"
+    ).select("traj_a", "traj_b", "dtw")
+
+
+def _q_traj32(spark, sf_dir):
+    """The shared 32-patch synthetic-trajectory construction of the
+    trajectory-similarity gates (hausdorff/frechet/dtw/lcss/edr):
+    SF-invariant (first 1000 events), one trajectory per event_id % 32,
+    ordered by event_id."""
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
     tid = F.col("event_id") % 32
-    pts = ev.select(
+    return ev.select(
         tid.alias("tid"),
         F.col("event_id"),
         (F.lit(LAT0) + (tid % 8) * 250_000 + (F.col("event_id") * A_LAT) % 200_000)
@@ -1390,9 +1392,37 @@ def q_dtw_events(spark, sf_dir):
         (F.lit(LON0) + F.floor(tid / 8) * 1_000_000 + (F.col("event_id") * A_LON) % 800_000)
         .cast("long").alias("lon"),
     )
-    return dtw_join(
-        pts, 10_000_000_000_000, traj_col="tid", order_col="event_id"
-    ).select("traj_a", "traj_b", "dtw")
+
+
+def q_lcss_events(spark, sf_dir):
+    """LCSS (longest common subsequence under an eps match radius,
+    Vlachos ICDE 2002) trajectory-similarity join on the same 32 patch
+    trajectories as dtw_events: pairs with >= 2 matched points at eps =
+    120k fixed-point units, WITH the exact match count. Engine: lossless
+    any-match cell prune + pure-codegen nested-fold DP (lcss_expr) —
+    zero Python; oracle: the identical integer DP as a recursive CTE
+    (list reduce per DP row). All arithmetic int64 → bit-exact."""
+    from osmflat_rs_spark.operators.trajectory import lcss_join
+
+    pts = _q_traj32(spark, sf_dir)
+    return lcss_join(
+        pts, 120_000, 2, traj_col="tid", order_col="event_id"
+    ).select("traj_a", "traj_b", "lcss")
+
+
+def q_edr_events(spark, sf_dir):
+    """EDR (edit distance on real sequence, Chen SIGMOD 2005) trajectory
+    join on the same 32 patch trajectories: pairs with edit distance <=
+    28 at the same eps = 120k, WITH the exact distance. Includes the
+    zero-match escape leg (EDR of a matchless pair = max(n, m) — pairs
+    of short-enough trajectories qualify with no shared cell). Engine:
+    codegen nested-fold DP; oracle: identical DP as a recursive CTE."""
+    from osmflat_rs_spark.operators.trajectory import edr_join
+
+    pts = _q_traj32(spark, sf_dir)
+    return edr_join(
+        pts, 120_000, 28, traj_col="tid", order_col="event_id"
+    ).select("traj_a", "traj_b", "edr")
 
 
 def q_quadkey_events(spark, sf_dir):
@@ -1434,15 +1464,7 @@ def q_hausdorff_events(spark, sf_dir):
     aggregation over the brute-force point-pair join in DuckDB."""
     from osmflat_rs_spark.operators.trajectory import hausdorff_join
 
-    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
-    tid = F.col("event_id") % 32
-    pts = ev.select(
-        tid.alias("tid"),
-        (F.lit(LAT0) + (tid % 8) * 250_000 + (F.col("event_id") * A_LAT) % 200_000)
-        .cast("long").alias("lat"),
-        (F.lit(LON0) + F.floor(tid / 8) * 1_000_000 + (F.col("event_id") * A_LON) % 800_000)
-        .cast("long").alias("lon"),
-    )
+    pts = _q_traj32(spark, sf_dir)
     return hausdorff_join(pts, 320_000, traj_col="tid").select("traj_a", "traj_b", "h2")
 
 
@@ -3294,6 +3316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hausdorff_events": q_hausdorff_events,
         "frechet_events": q_frechet_events,
         "dtw_events": q_dtw_events,
+        "lcss_events": q_lcss_events,
+        "edr_events": q_edr_events,
         "quadkey_events": q_quadkey_events,
         "geohash_events": q_geohash_events,
         "pip_events_shuffle": q_pip_events_shuffle,
@@ -3706,6 +3730,90 @@ def oracle_sql() -> dict[str, str]:
                    CAST(d.row[len(z.pb)+1] AS BIGINT) AS dtw
             FROM dp d JOIN pz z ON z.ta=d.ta AND z.tb=d.tb
             WHERE d.i = len(z.pa) AND d.row[len(z.pb)+1] <= 10000000000000
+        """,
+        "lcss_events": f"""
+            WITH RECURSIVE
+            p AS (
+                SELECT event_id % 32 AS tid,
+                       ROW_NUMBER() OVER (PARTITION BY event_id % 32 ORDER BY event_id) - 1 AS seq,
+                       CAST({LAT0} + (event_id % 32 % 8) * 250000
+                            + (event_id * {A_LAT}) % 200000 AS BIGINT) AS lat,
+                       CAST({LON0} + ((event_id % 32) // 8) * 1000000
+                            + (event_id * {A_LON}) % 800000 AS BIGINT) AS lon
+                FROM events WHERE event_id < 1000
+            ),
+            tr AS (SELECT tid, list([lat, lon] ORDER BY seq) AS pts FROM p GROUP BY tid),
+            pz AS (
+              SELECT a.tid AS ta, b.tid AS tb, a.pts AS pa, b.pts AS pb,
+                     list_transform(list_zip(b.pts, range(1, len(b.pts)+1)),
+                                    s -> [CAST(s[2] AS BIGINT), s[1][1], s[1][2]]) AS pbi
+              FROM tr a JOIN tr b ON a.tid < b.tid
+            ),
+            dp(ta, tb, i, row) AS (
+              SELECT ta, tb, 0,
+                     list_prepend(CAST(0 AS BIGINT),
+                                  list_transform(pb, q -> CAST(0 AS BIGINT)))
+              FROM pz
+              UNION ALL
+              SELECT d.ta, d.tb, d.i + 1,
+                reduce(list_prepend(CAST([0] AS BIGINT[]), z.pbi),
+                  (cur, q) -> list_append(cur,
+                     CASE WHEN (z.pa[d.i+1][1]-q[2])*(z.pa[d.i+1][1]-q[2])
+                             + (z.pa[d.i+1][2]-q[3])*(z.pa[d.i+1][2]-q[3])
+                             <= CAST(120000 AS BIGINT) * 120000
+                          THEN d.row[q[1]] + 1
+                          ELSE greatest(d.row[q[1]+1], cur[-1]) END))
+              FROM dp d JOIN pz z ON z.ta = d.ta AND z.tb = d.tb
+              WHERE d.i < len(z.pa)
+            )
+            SELECT d.ta AS traj_a, d.tb AS traj_b,
+                   CAST(d.row[len(z.pb)+1] AS BIGINT) AS lcss
+            FROM dp d JOIN pz z ON z.ta=d.ta AND z.tb=d.tb
+            WHERE d.i = len(z.pa) AND d.row[len(z.pb)+1] >= 2
+        """,
+        "edr_events": f"""
+            WITH RECURSIVE
+            p AS (
+                SELECT event_id % 32 AS tid,
+                       ROW_NUMBER() OVER (PARTITION BY event_id % 32 ORDER BY event_id) - 1 AS seq,
+                       CAST({LAT0} + (event_id % 32 % 8) * 250000
+                            + (event_id * {A_LAT}) % 200000 AS BIGINT) AS lat,
+                       CAST({LON0} + ((event_id % 32) // 8) * 1000000
+                            + (event_id * {A_LON}) % 800000 AS BIGINT) AS lon
+                FROM events WHERE event_id < 1000
+            ),
+            tr AS (SELECT tid, list([lat, lon] ORDER BY seq) AS pts FROM p GROUP BY tid),
+            pz AS (
+              SELECT a.tid AS ta, b.tid AS tb, a.pts AS pa, b.pts AS pb,
+                     list_transform(list_zip(b.pts, range(1, len(b.pts)+1)),
+                                    s -> [CAST(s[2] AS BIGINT), s[1][1], s[1][2]]) AS pbi
+              FROM tr a JOIN tr b ON a.tid < b.tid
+            ),
+            dp(ta, tb, i, row) AS (
+              SELECT ta, tb, 0,
+                     list_prepend(CAST(0 AS BIGINT),
+                                  list_transform(range(1, len(pb)+1),
+                                                 x -> CAST(x AS BIGINT)))
+              FROM pz
+              UNION ALL
+              SELECT d.ta, d.tb, d.i + 1,
+                reduce(list_prepend([CAST(d.i + 1 AS BIGINT)], z.pbi),
+                  (cur, q) -> list_append(cur,
+                     least(
+                       d.row[q[1]]
+                         + CASE WHEN (z.pa[d.i+1][1]-q[2])*(z.pa[d.i+1][1]-q[2])
+                                   + (z.pa[d.i+1][2]-q[3])*(z.pa[d.i+1][2]-q[3])
+                                   <= CAST(120000 AS BIGINT) * 120000
+                                THEN 0 ELSE 1 END,
+                       d.row[q[1]+1] + 1,
+                       cur[-1] + 1)))
+              FROM dp d JOIN pz z ON z.ta = d.ta AND z.tb = d.tb
+              WHERE d.i < len(z.pa)
+            )
+            SELECT d.ta AS traj_a, d.tb AS traj_b,
+                   CAST(d.row[len(z.pb)+1] AS BIGINT) AS edr
+            FROM dp d JOIN pz z ON z.ta=d.ta AND z.tb=d.tb
+            WHERE d.i = len(z.pa) AND d.row[len(z.pb)+1] <= 28
         """,
         "frechet_events": f"""
             WITH RECURSIVE

@@ -124,6 +124,52 @@ def od_flows(
     )
 
 
+def _traj_points(
+    points: DataFrame,
+    traj_col: str,
+    lat_col: str,
+    lon_col: str,
+    order_col: str | None,
+) -> DataFrame:
+    """Normalized per-point projection shared by the trajectory joins:
+    (_tid, _lat, _lon[, _ord]) with NULL coordinates dropped."""
+    sel = [
+        F.col(traj_col).alias("_tid"),
+        F.col(lat_col).cast("long").alias("_lat"),
+        F.col(lon_col).cast("long").alias("_lon"),
+    ]
+    if order_col is not None:
+        sel.append(F.col(order_col).alias("_ord"))
+    return points.select(*sel).filter(
+        F.col("_lat").isNotNull() & F.col("_lon").isNotNull()
+    )
+
+
+def _collapse_trajs(pts: DataFrame, order_col: str | None) -> DataFrame:
+    """Collapse a ``_traj_points`` projection to one row per trajectory:
+    coordinate arrays (ordered by ``_ord`` via sort_array when the join
+    is order-sensitive; unordered collect otherwise), bbox, and the
+    deterministic min-(lat, lon) anchor. One aggregate pass — the two
+    axes come from ONE struct collect so they can never decouple."""
+    if order_col is not None:
+        pts_struct = F.sort_array(F.collect_list(F.struct("_ord", "_lat", "_lon")))
+    else:
+        pts_struct = F.collect_list(F.struct("_lat", "_lon"))
+    return pts.groupBy("_tid").agg(
+        pts_struct.alias("_pts"),
+        F.min("_lat").alias("_minlat"),
+        F.max("_lat").alias("_maxlat"),
+        F.min("_lon").alias("_minlon"),
+        F.max("_lon").alias("_maxlon"),
+        F.min(F.struct("_lat", "_lon")).alias("_anchor"),
+    ).select(
+        "_tid",
+        F.transform("_pts", lambda s: s["_lat"]).alias("_lats"),
+        F.transform("_pts", lambda s: s["_lon"]).alias("_lons"),
+        "_minlat", "_maxlat", "_minlon", "_maxlon", "_anchor",
+    )
+
+
 def _traj_pruned_pairs(
     points: DataFrame,
     tau: int,
@@ -160,34 +206,8 @@ def _traj_pruned_pairs(
         0, min(cells.MAX_RES, int(_math.floor(_math.log2(1_800_000_000 / tau))))
     )
 
-    sel = [
-        F.col(traj_col).alias("_tid"),
-        F.col(lat_col).cast("long").alias("_lat"),
-        F.col(lon_col).cast("long").alias("_lon"),
-    ]
-    if order_col is not None:
-        sel.append(F.col(order_col).alias("_ord"))
-    pts = points.select(*sel).filter(
-        F.col("_lat").isNotNull() & F.col("_lon").isNotNull()
-    )
-
-    if order_col is not None:
-        pts_struct = F.sort_array(F.collect_list(F.struct("_ord", "_lat", "_lon")))
-    else:
-        pts_struct = F.collect_list(F.struct("_lat", "_lon"))
-    trajs = pts.groupBy("_tid").agg(
-        pts_struct.alias("_pts"),
-        F.min("_lat").alias("_minlat"),
-        F.max("_lat").alias("_maxlat"),
-        F.min("_lon").alias("_minlon"),
-        F.max("_lon").alias("_maxlon"),
-        F.min(F.struct("_lat", "_lon")).alias("_anchor"),
-    ).select(
-        "_tid",
-        F.transform("_pts", lambda s: s["_lat"]).alias("_lats"),
-        F.transform("_pts", lambda s: s["_lon"]).alias("_lons"),
-        "_minlat", "_maxlat", "_minlon", "_maxlon", "_anchor",
-    )
+    pts = _traj_points(points, traj_col, lat_col, lon_col, order_col)
+    trajs = _collapse_trajs(pts, order_col)
 
     ax, ay = cells.grid_exprs(F.col("_anchor._lat"), F.col("_anchor._lon"), r)
     anchors = trajs.select(F.col("_tid").alias("_ta"), ax.alias("_jx"), ay.alias("_jy"))
@@ -854,4 +874,220 @@ def dtw_join(
         pruned.withColumn("dtw", d)
         .filter(F.col("dtw") <= F.lit(int(max_cost)))
         .select("traj_a", "traj_b", "dtw")
+    )
+
+
+def _traj_match_pairs(
+    points: DataFrame,
+    eps: int,
+    traj_col: str,
+    lat_col: str,
+    lon_col: str,
+    res: int | None,
+    order_col: str | None,
+    include_short_leq: int | None = None,
+) -> DataFrame:
+    """Candidate pipeline for the MATCH-counting similarity joins (LCSS,
+    EDR). Their prune condition differs fundamentally from the
+    Hausdorff/Fréchet/DTW one (`_traj_pruned_pairs`): those metrics
+    force EVERY point near the other trajectory, so anchor-cell + bbox
+    dilation are lossless; LCSS >= 1 (or EDR below the no-match cost)
+    only guarantees at least ONE point pair within ``eps``. The lossless
+    candidate set is therefore trajectory pairs whose point-cell sets
+    touch: A's raw distinct cells equi-joined to B's 3x3-dilated
+    distinct cells at cell size >= eps (euclid <= eps implies chebyshev
+    <= eps implies adjacent cells). No bbox prune — bboxes of LCSS-close
+    trajectories can differ arbitrarily (one long trajectory can match a
+    short one on a brief overlap).
+
+    ``include_short_leq`` (EDR's zero-match escape): with no match at
+    all EDR(A, B) = max(|A|, |B|) exactly, so pairs where BOTH
+    trajectories have <= ``include_short_leq`` points qualify without
+    sharing any cell; union the (tiny, length-filtered) self-join of
+    those in. → (traj_a, traj_b, _lats_a, _lons_a, _lats_b, _lons_b).
+    """
+    import math as _math
+
+    from osmflat_rs_spark.functions import cells
+
+    if eps <= 0:
+        raise ValueError(f"eps must be positive, got {eps}")
+    r = res if res is not None else max(
+        0, min(cells.MAX_RES, int(_math.floor(_math.log2(1_800_000_000 / eps))))
+    )
+
+    pts = _traj_points(points, traj_col, lat_col, lon_col, order_col)
+    trajs = _collapse_trajs(pts, order_col)
+
+    ax, ay = cells.grid_exprs(F.col("_lat"), F.col("_lon"), r)
+    acells = pts.select(F.col("_tid").alias("_ta"), ax.alias("_jx"), ay.alias("_jy")).distinct()
+    off = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    bcells = (
+        acells.select(F.col("_ta").alias("_tb"), "_jx", "_jy")
+        .withColumn("_dx", F.explode(off))
+        .withColumn("_dy", F.explode(off))
+        .select("_tb", (F.col("_jx") + F.col("_dx")).alias("_jx"),
+                (F.col("_jy") + F.col("_dy")).alias("_jy"))
+        .distinct()
+    )
+    cand = (
+        acells.join(bcells, ["_jx", "_jy"])
+        .filter(F.col("_ta") != F.col("_tb"))
+        .select(
+            F.least("_ta", "_tb").alias("traj_a"),
+            F.greatest("_ta", "_tb").alias("traj_b"),
+        )
+        .distinct()
+    )
+    if include_short_leq is not None:
+        sh = trajs.filter(F.size("_lats") <= int(include_short_leq)).select("_tid")
+        sp = (
+            sh.select(F.col("_tid").alias("traj_a"))
+            .join(sh.select(F.col("_tid").alias("traj_b")),
+                  F.col("traj_a") < F.col("traj_b"))
+        )
+        cand = cand.union(sp).distinct()
+
+    a_side = trajs.select(
+        F.col("_tid").alias("traj_a"),
+        F.col("_lats").alias("_lats_a"), F.col("_lons").alias("_lons_a"),
+    )
+    b_side = trajs.select(
+        F.col("_tid").alias("traj_b"),
+        F.col("_lats").alias("_lats_b"), F.col("_lons").alias("_lons_b"),
+    )
+    return cand.join(a_side, "traj_a").join(b_side, "traj_b")
+
+
+def lcss_expr(lats_a, lons_a, lats_b, lons_b, eps: int) -> Column:
+    """EXACT longest-common-subsequence similarity between two in-row
+    coordinate sequences (Vlachos, Kollios & Gunopulos, ICDE 2002): the
+    length of the longest monotone pairing in which every matched pair
+    lies within euclidean ``eps`` (squared-int comparison — no sqrt).
+    The classic LCSS recurrence: match -> diag + 1, else
+    max(up, left).
+
+    Same pure whole-stage-codegen nested-fold shape as ``dtw_expr`` —
+    the inner fold builds DP row i with ``element_at(cur, -1)`` as the
+    left neighbor and ``prev`` as row i-1. No Python, no UDF, no
+    shuffle; O(n*m) int64 per pair inside the JVM. The ICDE-2002
+    temporal window delta is NOT constrained (pre-trim sequences if
+    needed)."""
+    e2 = F.lit(int(eps) * int(eps))
+    zero = F.lit(0).cast("long")
+    pa = F.arrays_zip(lats_a.alias("x"), lons_a.alias("y"))
+    pb = F.arrays_zip(lats_b.alias("x"), lons_b.alias("y"))
+    row0 = F.concat(F.array(zero), F.transform(lats_b, lambda _: zero))
+
+    def step(prev, p):
+        def inner(cur, q):
+            j = F.size(cur)
+            d2 = (p["x"] - q["x"]) * (p["x"] - q["x"]) + (p["y"] - q["y"]) * (
+                p["y"] - q["y"]
+            )
+            val = F.when(d2 <= e2, F.element_at(prev, j) + F.lit(1)).otherwise(
+                F.greatest(F.element_at(prev, j + 1), F.element_at(cur, -1))
+            )
+            return F.concat(cur, F.array(val))
+
+        return F.aggregate(pb, F.array(zero), inner)
+
+    return F.element_at(F.aggregate(pa, row0, step), F.size(lats_b) + 1)
+
+
+def edr_expr(lats_a, lons_a, lats_b, lons_b, eps: int) -> Column:
+    """EXACT Edit Distance on Real sequence (Chen, Özsu & Oria, SIGMOD
+    2005): edit distance where two points "agree" when within euclidean
+    ``eps`` (subcost 0) and disagree otherwise (subcost 1), insert/
+    delete cost 1. Robust to noise like LCSS but metric-like (respects
+    gaps). Same codegen nested-fold DP as ``dtw_expr``/``lcss_expr``;
+    row 0 is [0..m] and row i starts at i (= prev[1] + 1 — no explicit
+    index needed inside the fold)."""
+    e2 = F.lit(int(eps) * int(eps))
+    one = F.lit(1).cast("long")
+    pa = F.arrays_zip(lats_a.alias("x"), lons_a.alias("y"))
+    pb = F.arrays_zip(lats_b.alias("x"), lons_b.alias("y"))
+    row0 = F.sequence(F.lit(0).cast("long"), F.size(lats_b).cast("long"))
+
+    def step(prev, p):
+        def inner(cur, q):
+            j = F.size(cur)
+            d2 = (p["x"] - q["x"]) * (p["x"] - q["x"]) + (p["y"] - q["y"]) * (
+                p["y"] - q["y"]
+            )
+            sub = F.when(d2 <= e2, F.lit(0)).otherwise(F.lit(1)).cast("long")
+            val = F.least(
+                F.element_at(prev, j) + sub,
+                F.element_at(prev, j + 1) + one,
+                F.element_at(cur, -1) + one,
+            )
+            return F.concat(cur, F.array(val))
+
+        return F.aggregate(pb, F.array(F.element_at(prev, 1) + one), inner)
+
+    return F.element_at(F.aggregate(pa, row0, step), F.size(lats_b) + 1)
+
+
+def lcss_join(
+    points: DataFrame,
+    eps: int,
+    min_matches: int = 1,
+    traj_col: str = "traj_id",
+    order_col: str = "ts",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    res: int | None = None,
+) -> DataFrame:
+    """ORDERED trajectory-similarity self-join on LCSS: unordered pairs
+    whose exact LCSS match count (see ``lcss_expr``) is >=
+    ``min_matches`` → (traj_a, traj_b, lcss). Candidates are the
+    any-match cell prune (`_traj_match_pairs`) — lossless for
+    ``min_matches`` >= 1 because LCSS >= 1 requires at least one point
+    pair within eps. Normalize to a similarity in [0, 1] downstream with
+    lcss / least(n, m) if needed."""
+    if min_matches < 1:
+        raise ValueError(f"min_matches must be >= 1, got {min_matches}")
+    cand = _traj_match_pairs(
+        points, eps, traj_col, lat_col, lon_col, res, order_col
+    )
+    l = lcss_expr(
+        F.col("_lats_a"), F.col("_lons_a"), F.col("_lats_b"), F.col("_lons_b"), eps
+    )
+    return (
+        cand.withColumn("lcss", l)
+        .filter(F.col("lcss") >= F.lit(int(min_matches)))
+        .select("traj_a", "traj_b", "lcss")
+    )
+
+
+def edr_join(
+    points: DataFrame,
+    eps: int,
+    max_dist: int,
+    traj_col: str = "traj_id",
+    order_col: str = "ts",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    res: int | None = None,
+) -> DataFrame:
+    """ORDERED trajectory-similarity self-join on EDR: unordered pairs
+    with exact edit distance (see ``edr_expr``) <= ``max_dist`` →
+    (traj_a, traj_b, edr). Candidates: the any-match cell prune PLUS the
+    zero-match escape — a no-match pair costs exactly max(n, m), so
+    pairs of trajectories both <= ``max_dist`` points long qualify with
+    no shared cell and are unioned in (`_traj_match_pairs
+    include_short_leq`). Lossless for any threshold."""
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    cand = _traj_match_pairs(
+        points, eps, traj_col, lat_col, lon_col, res, order_col,
+        include_short_leq=int(max_dist),
+    )
+    d = edr_expr(
+        F.col("_lats_a"), F.col("_lons_a"), F.col("_lats_b"), F.col("_lons_b"), eps
+    )
+    return (
+        cand.withColumn("edr", d)
+        .filter(F.col("edr") <= F.lit(int(max_dist)))
+        .select("traj_a", "traj_b", "edr")
     )

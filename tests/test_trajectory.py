@@ -765,3 +765,162 @@ def test_bearing_rad_cardinal_directions(spark):
     assert abs(got[1] - np.pi / 2) < 1e-9
     assert abs(abs(got[2]) - np.pi) < 1e-9
     assert abs(got[3] + np.pi / 2) < 1e-9
+
+
+def _lcss_dp(la, lo, lb, lob, eps):
+    """Scalar Vlachos-2002 LCSS DP (no temporal window) — int oracle."""
+    m, n = len(la), len(lb)
+    e2 = eps * eps
+    dp = np.zeros((m + 1, n + 1), dtype=np.int64)
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            d2 = (la[i - 1] - lb[j - 1]) ** 2 + (lo[i - 1] - lob[j - 1]) ** 2
+            if d2 <= e2:
+                dp[i, j] = dp[i - 1, j - 1] + 1
+            else:
+                dp[i, j] = max(dp[i - 1, j], dp[i, j - 1])
+    return int(dp[-1, -1])
+
+
+def _edr_dp(la, lo, lb, lob, eps):
+    """Scalar Chen-2005 EDR DP — int oracle."""
+    m, n = len(la), len(lb)
+    e2 = eps * eps
+    dp = np.zeros((m + 1, n + 1), dtype=np.int64)
+    dp[0, :] = np.arange(n + 1)
+    dp[:, 0] = np.arange(m + 1)
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            d2 = (la[i - 1] - lb[j - 1]) ** 2 + (lo[i - 1] - lob[j - 1]) ** 2
+            sub = 0 if d2 <= e2 else 1
+            dp[i, j] = min(dp[i - 1, j - 1] + sub, dp[i - 1, j] + 1, dp[i, j - 1] + 1)
+    return int(dp[-1, -1])
+
+
+def _random_cluster_trajs(rng, n_traj=12):
+    import pandas as pd
+
+    frames = []
+    for t in range(n_traj):
+        n = int(rng.integers(3, 24))
+        clat = 524_000_000 + int(rng.integers(0, 500_000))
+        clon = 132_000_000 + int(rng.integers(0, 900_000))
+        frames.append(
+            pd.DataFrame(
+                {
+                    "traj_id": np.full(n, t, dtype=np.int64),
+                    "seq": np.arange(n, dtype=np.int64),
+                    "lat": clat + rng.integers(0, 120_000, n),
+                    "lon": clon + rng.integers(0, 120_000, n),
+                }
+            )
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
+def test_lcss_join_matches_dp_oracle_and_prune_is_lossless(spark):
+    """lcss_join's codegen DP vs the scalar LCSS oracle over random
+    cluster trajectories: every brute-force pair with lcss >= threshold
+    is surfaced with the EXACT match count (any-match cell prune loses
+    nothing), and nothing extra appears. Row order must not matter."""
+    from osmflat_rs_spark.operators.trajectory import lcss_join
+
+    rng = np.random.default_rng(31)
+    pdf = _random_cluster_trajs(rng)
+    eps, min_matches = 40_000, 2
+    groups = {t: g.sort_values("seq") for t, g in pdf.groupby("traj_id")}
+    ids = sorted(groups)
+    want = {}
+    for ii, a in enumerate(ids):
+        for b in ids[ii + 1 :]:
+            ga, gb = groups[a], groups[b]
+            v = _lcss_dp(
+                ga["lat"].to_numpy(np.int64), ga["lon"].to_numpy(np.int64),
+                gb["lat"].to_numpy(np.int64), gb["lon"].to_numpy(np.int64), eps,
+            )
+            if v >= min_matches:
+                want[(int(a), int(b))] = v
+    assert want  # nontrivial
+    shuffled = pdf.sample(frac=1.0, random_state=7).reset_index(drop=True)
+    got = {
+        (r["traj_a"], r["traj_b"]): r["lcss"]
+        for r in lcss_join(
+            spark.createDataFrame(shuffled), eps, min_matches,
+            traj_col="traj_id", order_col="seq",
+        ).collect()
+    }
+    assert got == want, set(got) ^ set(want)
+
+
+def test_edr_join_matches_dp_oracle_including_zero_match_short_pairs(spark):
+    """edr_join vs the scalar EDR oracle: exact distances, inclusive
+    threshold, AND the zero-match escape — two far-apart short
+    trajectories (no shared cell at eps) with max(n, m) <= max_dist must
+    still surface, with edr == max(n, m)."""
+    import pandas as pd
+
+    from osmflat_rs_spark.operators.trajectory import edr_join
+
+    rng = np.random.default_rng(41)
+    pdf = _random_cluster_trajs(rng, n_traj=8)
+    # two SHORT far-apart trajectories: zero matches vs everything
+    far = []
+    for tid, base in ((100, -800_000_000), (101, 800_000_000)):
+        for s in range(3):
+            far.append((tid, s, base + s * 10_000, base // 2 + s * 10_000))
+    pdf = pd.concat(
+        [pdf, pd.DataFrame(far, columns=["traj_id", "seq", "lat", "lon"])],
+        ignore_index=True,
+    )
+    eps, max_dist = 40_000, 14
+    groups = {t: g.sort_values("seq") for t, g in pdf.groupby("traj_id")}
+    ids = sorted(groups)
+    want = {}
+    for ii, a in enumerate(ids):
+        for b in ids[ii + 1 :]:
+            ga, gb = groups[a], groups[b]
+            v = _edr_dp(
+                ga["lat"].to_numpy(np.int64), ga["lon"].to_numpy(np.int64),
+                gb["lat"].to_numpy(np.int64), gb["lon"].to_numpy(np.int64), eps,
+            )
+            if v <= max_dist:
+                want[(int(a), int(b))] = v
+    # the engineered zero-match short pair must be in the oracle set
+    assert want[(100, 101)] == 3
+    got = {
+        (r["traj_a"], r["traj_b"]): r["edr"]
+        for r in edr_join(
+            spark.createDataFrame(pdf), eps, max_dist,
+            traj_col="traj_id", order_col="seq",
+        ).collect()
+    }
+    assert got == want, set(got) ^ set(want)
+
+
+def test_lcss_edr_identity_properties(spark):
+    """LCSS(A, A) == |A| (and passes any min_matches <= |A|);
+    EDR(A, A) == 0; EDR to a one-point-perturbed copy == 1."""
+    import pandas as pd
+
+    from osmflat_rs_spark.operators.trajectory import edr_join, lcss_join
+
+    n = 10
+    lat = 524_000_000 + np.arange(n, dtype=np.int64) * 90_000
+    lon = 132_000_000 + np.arange(n, dtype=np.int64) * 40_000
+    lat2 = lat.copy()
+    lat2[4] += 5_000_000  # far outside eps
+    rows = []
+    for tid, (la, lo) in {0: (lat, lon), 1: (lat, lon), 2: (lat2, lon)}.items():
+        for s in range(n):
+            rows.append((tid, s, int(la[s]), int(lo[s])))
+    df = spark.createDataFrame(rows, "traj_id long, seq long, lat long, lon long")
+    lc = {
+        (r["traj_a"], r["traj_b"]): r["lcss"]
+        for r in lcss_join(df, 10_000, 1, traj_col="traj_id", order_col="seq").collect()
+    }
+    assert lc[(0, 1)] == n and lc[(0, 2)] == n - 1
+    ed = {
+        (r["traj_a"], r["traj_b"]): r["edr"]
+        for r in edr_join(df, 10_000, n, traj_col="traj_id", order_col="seq").collect()
+    }
+    assert ed[(0, 1)] == 0 and ed[(0, 2)] == 1
