@@ -394,6 +394,51 @@ def q_bearing_stats_events(spark, sf_dir):
     )
 
 
+def q_xtrack_events(spark, sf_dir):
+    """Signed cross-track + along-track distance from every event to the
+    fixed great-circle route (52.40, 13.20) → (52.60, 13.60) — the
+    standard route-adherence projection (Aviation Formulary): xt =
+    asin(sin(d13)·sin(θ13−θ12))·R, at = ±acos(cos(d13)/cos(xt))·R.
+    Engine: functions/nav.py pure codegen trig; oracle: identical
+    term-ordered formulas (incl. the [-1,1] clamps) in SQL."""
+    from osmflat_rs_spark.functions import nav
+    from osmflat_rs_spark.functions.geo import to_degrees
+
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    la, lo = to_degrees(F.col("lat")), to_degrees(F.col("lon"))
+    a_lat, a_lon = F.lit(52.40), F.lit(13.20)
+    b_lat, b_lon = F.lit(52.60), F.lit(13.60)
+    return pts.select(
+        "event_id",
+        F.round(nav.cross_track_m(la, lo, a_lat, a_lon, b_lat, b_lon), 2).alias("xtrack_m"),
+        F.round(nav.along_track_m(la, lo, a_lat, a_lon, b_lat, b_lon), 2).alias("atrack_m"),
+    )
+
+
+def q_rhumb_events(spark, sf_dir):
+    """Rhumb-line (loxodrome) distance + constant bearing from every
+    event to the patch center (52.50, 13.40), plus the direct geodesic:
+    the destination point after travelling (event_id % 5000 + 100) m on
+    bearing (event_id % 360)°. Engine: functions/nav.py codegen trig
+    (isometric-latitude rhumb form with the Bowditch east-west guard);
+    oracle: identical formulas in SQL."""
+    from osmflat_rs_spark.functions import nav
+    from osmflat_rs_spark.functions.geo import to_degrees
+
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    la, lo = to_degrees(F.col("lat")), to_degrees(F.col("lon"))
+    brg = F.radians((F.col("event_id") % 360).cast("double"))
+    dist = ((F.col("event_id") % 5000) + 100).cast("double")
+    return pts.select(
+        "event_id",
+        F.round(nav.rhumb_distance_m(la, lo, F.lit(52.50), F.lit(13.40)), 2).alias("rhumb_m"),
+        F.round(F.degrees(nav.rhumb_bearing_rad(la, lo, F.lit(52.50), F.lit(13.40))), 4)
+        .alias("rhumb_brg_deg"),
+        F.round(nav.destination_lat_deg(la, brg, dist), 6).alias("dest_lat"),
+        F.round(nav.destination_lon_deg(la, lo, brg, dist), 6).alias("dest_lon"),
+    )
+
+
 def q_cms_heavy_users(spark, sf_dir):
     """Count-min sketch (4×256) of per-user event frequency, point
     estimates for every distinct user. The sketch is RELATIONAL (r, c,
@@ -3308,6 +3353,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_events": q_bbox_events,
         "road_length_users": q_road_length_users,
         "bearing_stats_events": q_bearing_stats_events,
+        "xtrack_events": q_xtrack_events,
+        "rhumb_events": q_rhumb_events,
         "ring_area_users": q_ring_area_users,
         "ring_normalize_users": q_ring_normalize_users,
         "cms_heavy_users": q_cms_heavy_users,
@@ -3678,6 +3725,85 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SQRT(sv * sv + cv * cv) / n, 6) AS resultant,
                    ROUND(1.0 - SQRT(sv * sv + cv * cv) / n, 6) AS circ_var
             FROM g
+        """,
+        "xtrack_events": f"""
+            WITH s AS (
+              SELECT event_id, lat / 10000000.0 AS plat, lon / 10000000.0 AS plon
+              FROM {synth}
+            ),
+            c AS (
+              SELECT event_id,
+                2 * ASIN(SQRT(
+                    SIN((RADIANS(plat) - RADIANS(52.40)) / 2)
+                      * SIN((RADIANS(plat) - RADIANS(52.40)) / 2)
+                  + COS(RADIANS(52.40)) * COS(RADIANS(plat))
+                      * SIN((RADIANS(plon) - RADIANS(13.20)) / 2)
+                      * SIN((RADIANS(plon) - RADIANS(13.20)) / 2)
+                )) AS d13,
+                ATAN2(
+                  SIN(RADIANS(plon) - RADIANS(13.20)) * COS(RADIANS(plat)),
+                  COS(RADIANS(52.40)) * SIN(RADIANS(plat))
+                    - SIN(RADIANS(52.40)) * COS(RADIANS(plat))
+                      * COS(RADIANS(plon) - RADIANS(13.20))
+                ) AS t13,
+                ATAN2(
+                  SIN(RADIANS(13.60) - RADIANS(13.20)) * COS(RADIANS(52.60)),
+                  COS(RADIANS(52.40)) * SIN(RADIANS(52.60))
+                    - SIN(RADIANS(52.40)) * COS(RADIANS(52.60))
+                      * COS(RADIANS(13.60) - RADIANS(13.20))
+                ) AS t12
+              FROM s
+            ),
+            x AS (
+              SELECT event_id, d13, t13, t12,
+                ASIN(LEAST(1.0, GREATEST(-1.0, SIN(d13) * SIN(t13 - t12)))) AS xt
+              FROM c
+            )
+            SELECT event_id,
+                   ROUND(xt * 6372797.560856, 2) AS xtrack_m,
+                   ROUND(
+                     (CASE WHEN COS(t13 - t12) < 0.0 THEN -1.0 ELSE 1.0 END)
+                     * ACOS(LEAST(1.0, GREATEST(-1.0, COS(d13) / COS(xt))))
+                     * 6372797.560856, 2) AS atrack_m
+            FROM x
+        """,
+        "rhumb_events": f"""
+            WITH s AS (
+              SELECT event_id, lat / 10000000.0 AS plat, lon / 10000000.0 AS plon
+              FROM {synth}
+            ),
+            r AS (
+              SELECT event_id, plat, plon,
+                RADIANS(52.50) - RADIANS(plat) AS dlat,
+                LN(TAN(PI() / 4 + RADIANS(52.50) / 2)
+                   / TAN(PI() / 4 + RADIANS(plat) / 2)) AS dpsi,
+                CASE WHEN RADIANS(13.40) - RADIANS(plon) > PI()
+                       THEN RADIANS(13.40) - RADIANS(plon) - 2 * PI()
+                     WHEN RADIANS(13.40) - RADIANS(plon) <= -PI()
+                       THEN RADIANS(13.40) - RADIANS(plon) + 2 * PI()
+                     ELSE RADIANS(13.40) - RADIANS(plon) END AS dlon,
+                RADIANS(CAST(event_id % 360 AS DOUBLE)) AS brg,
+                CAST(event_id % 5000 + 100 AS DOUBLE) / 6372797.560856 AS delta
+              FROM s
+            ),
+            t AS (
+              SELECT event_id, plat, plon, dlat, dpsi, dlon, brg, delta,
+                CASE WHEN ABS(dpsi) > 1e-12 THEN dlat / dpsi
+                     ELSE COS(RADIANS(plat)) END AS q,
+                LEAST(1.0, GREATEST(-1.0,
+                  SIN(RADIANS(plat)) * COS(delta)
+                  + COS(RADIANS(plat)) * SIN(delta) * COS(brg))) AS sinphi2
+              FROM r
+            )
+            SELECT event_id,
+                   ROUND(SQRT(dlat * dlat + q * q * dlon * dlon)
+                         * 6372797.560856, 2) AS rhumb_m,
+                   ROUND(DEGREES(ATAN2(dlon, dpsi)), 4) AS rhumb_brg_deg,
+                   ROUND(DEGREES(ASIN(sinphi2)), 6) AS dest_lat,
+                   ROUND(plon + DEGREES(ATAN2(
+                       SIN(brg) * SIN(delta) * COS(RADIANS(plat)),
+                       COS(delta) - SIN(RADIANS(plat)) * sinphi2)), 6) AS dest_lon
+            FROM t
         """,
         "road_length_users": f"""
             WITH pts AS (SELECT * FROM {synth}),

@@ -1,0 +1,133 @@
+"""Navigation functions (functions/nav.py) vs a numpy spherical model
+and geometric invariants: on-route points have zero cross-track, rhumb
+distance >= great-circle and equals it on meridians, destination point
+round-trips through the inverse great-circle distance."""
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from osmflat_rs_spark.functions.geo import EARTH_RADIUS_M
+from osmflat_rs_spark.functions import nav
+
+R = float(EARTH_RADIUS_M)
+
+
+def _np_bearing(lat1, lon1, lat2, lon2):
+    p1, p2 = np.radians(lat1), np.radians(lat2)
+    dl = np.radians(lon2) - np.radians(lon1)
+    return np.arctan2(
+        np.sin(dl) * np.cos(p2),
+        np.cos(p1) * np.sin(p2) - np.sin(p1) * np.cos(p2) * np.cos(dl),
+    )
+
+
+def _np_angle(lat1, lon1, lat2, lon2):
+    dlat_h = (np.radians(lat2) - np.radians(lat1)) / 2
+    dlon_h = (np.radians(lon2) - np.radians(lon1)) / 2
+    a = np.sin(dlat_h) ** 2 + np.cos(np.radians(lat1)) * np.cos(
+        np.radians(lat2)
+    ) * np.sin(dlon_h) ** 2
+    return 2 * np.arcsin(np.sqrt(a))
+
+
+def test_cross_track_numpy_parity_and_on_route_zero(spark):
+    """Random points vs the numpy formulary; a point ON the route's
+    great circle (the start itself, and the midpoint by construction on
+    the equator route) has |xt| ~ 0; sign flips across the route."""
+    rng = np.random.default_rng(11)
+    a = (52.40, 13.20)
+    b = (52.60, 13.60)
+    lats = 52.4 + rng.uniform(0, 0.2, 50)
+    lons = 13.2 + rng.uniform(0, 0.4, 50)
+    rows = [(i, float(lats[i]), float(lons[i])) for i in range(50)]
+    rows.append((100, a[0], a[1]))  # on route: xt == 0 exactly
+    df = spark.createDataFrame(rows, "id long, plat double, plon double")
+    got = {
+        r["id"]: (r["xt"], r["at"])
+        for r in df.select(
+            "id",
+            nav.cross_track_m(
+                F.col("plat"), F.col("plon"),
+                F.lit(a[0]), F.lit(a[1]), F.lit(b[0]), F.lit(b[1]),
+            ).alias("xt"),
+            nav.along_track_m(
+                F.col("plat"), F.col("plon"),
+                F.lit(a[0]), F.lit(a[1]), F.lit(b[0]), F.lit(b[1]),
+            ).alias("at"),
+        ).collect()
+    }
+    assert abs(got[100][0]) < 1e-6 and abs(got[100][1]) < 1e-6
+    t12 = _np_bearing(*a, *b)
+    signs = set()
+    for i in range(50):
+        d13 = _np_angle(*a, lats[i], lons[i])
+        t13 = _np_bearing(*a, lats[i], lons[i])
+        xt = np.arcsin(np.clip(np.sin(d13) * np.sin(t13 - t12), -1, 1))
+        at = np.arccos(np.clip(np.cos(d13) / np.cos(xt), -1, 1))
+        if np.cos(t13 - t12) < 0:
+            at = -at
+        assert abs(got[i][0] - xt * R) < 1e-6, i
+        assert abs(got[i][1] - at * R) < 1e-6, i
+        signs.add(got[i][0] > 0)
+    assert signs == {True, False}  # points on both sides of the route
+
+
+def test_rhumb_vs_great_circle_and_meridian_equality(spark):
+    """Rhumb distance >= great-circle everywhere; on a meridian (same
+    lon) the two coincide; rhumb bearing on a due-east course is 90°."""
+    rows = [
+        (0, 52.40, 13.30, 52.55, 13.30),   # meridian
+        (1, 52.50, 13.20, 52.50, 13.55),   # east-west (the dpsi guard path)
+        (2, 52.41, 13.21, 52.58, 13.57),   # diagonal
+    ]
+    df = spark.createDataFrame(rows, "id long, a double, b double, c double, d double")
+    from osmflat_rs_spark.functions.geo import haversine_m
+
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            nav.rhumb_distance_m(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("rh"),
+            haversine_m(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("gc"),
+            F.degrees(
+                nav.rhumb_bearing_rad(F.col("a"), F.col("b"), F.col("c"), F.col("d"))
+            ).alias("brg"),
+        ).collect()
+    }
+    for i in (0, 1, 2):
+        assert out[i]["rh"] >= out[i]["gc"] - 1e-9
+    assert abs(out[0]["rh"] - out[0]["gc"]) < 1e-6      # meridian: equal
+    assert abs(out[0]["brg"]) < 1e-9                     # due north
+    assert abs(out[1]["brg"] - 90.0) < 1e-9              # due east
+    # east-west rhumb length = dlon * cos(lat) * R (small-circle arc)
+    want = math.radians(0.35) * math.cos(math.radians(52.5)) * R
+    assert abs(out[1]["rh"] - want) < 1e-6
+
+
+def test_destination_point_roundtrip(spark):
+    """destination(p, brg, d) must land at great-circle distance d from
+    p (the direct problem inverts the inverse one), and bearing 0 moves
+    due north (same lon)."""
+    rng = np.random.default_rng(23)
+    rows = [
+        (i, 52.4 + float(rng.uniform(0, 0.2)), 13.2 + float(rng.uniform(0, 0.4)),
+         float(rng.uniform(0, 2 * math.pi)), float(rng.uniform(50, 20000)))
+        for i in range(30)
+    ]
+    rows.append((100, 52.5, 13.4, 0.0, 5000.0))
+    df = spark.createDataFrame(rows, "id long, plat double, plon double, brg double, d double")
+    got = df.select(
+        "id", "plat", "plon", "d",
+        nav.destination_lat_deg(F.col("plat"), F.col("brg"), F.col("d")).alias("la2"),
+        nav.destination_lon_deg(
+            F.col("plat"), F.col("plon"), F.col("brg"), F.col("d")
+        ).alias("lo2"),
+    ).collect()
+    for r in got:
+        back = _np_angle(r["plat"], r["plon"], r["la2"], r["lo2"]) * R
+        assert abs(back - r["d"]) < 1e-3, (r["id"], back, r["d"])
+        if r["id"] == 100:
+            assert abs(r["lo2"] - 13.4) < 1e-12
+            assert r["la2"] > 52.5
