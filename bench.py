@@ -1073,6 +1073,50 @@ def run_hausdorff_bench(spark, cpus: int, n_traj: int = 100_000, pts_per: int = 
     return out
 
 
+def run_lcss_bench(spark, cpus: int, n_traj: int = 100_000, pts_per: int = 40) -> dict:
+    """LCSS trajectory-similarity join at constant cell density — the
+    codegen nested-fold DP family's bench (lcss_expr is the same fold
+    shape as dtw_expr, so this row stands in for DTW/EDR too). Same
+    scatter as run_hausdorff_bench (~4 trajectory centers per 440k
+    cell, 150k patches); the DP cost is pts_per^2 int64 codegen ops per
+    surviving candidate pair. Reports points/sec over collapse +
+    any-match cell candidates + in-JVM DP refine."""
+    from pyspark.sql import functions as F
+
+    from osmflat_rs_spark.operators.trajectory import lcss_join
+
+    eps = 40_000
+    cell = 439_453
+    per_cell = 4
+    n_cells = max(4, n_traj // per_cell)
+    sx = max(1, int(round(n_cells ** 0.5)))
+    sy = max(1, n_cells // sx)
+    n_points = n_traj * pts_per
+    base = spark.range(n_points).select(
+        (F.col("id") / pts_per).cast("long").alias("traj_id"), F.col("id").alias("pid")
+    )
+    clat = 400_000_000 + (F.abs(F.xxhash64(F.col("traj_id"), F.lit(41))) % F.lit(sy * cell))
+    clon = 100_000_000 + (F.abs(F.xxhash64(F.col("traj_id"), F.lit(42))) % F.lit(sx * cell))
+    pts = base.select(
+        "traj_id",
+        "pid",
+        (clat + F.abs(F.xxhash64(F.col("pid"), F.lit(43))) % F.lit(150_000)).cast("long").alias("lat"),
+        (clon + F.abs(F.xxhash64(F.col("pid"), F.lit(44))) % F.lit(150_000)).cast("long").alias("lon"),
+    )
+    out = {"cpus": cpus, "n_traj": n_traj, "pts_per": pts_per, "n_points": n_points, "eps": eps}
+    best = 1e9
+    for _ in range(2):
+        t0 = time.time()
+        n_pairs = lcss_join(
+            pts, eps, min_matches=3, traj_col="traj_id", order_col="pid"
+        ).count()
+        best = min(best, time.time() - t0)
+    out["sec"] = round(best, 3)
+    out["n_pairs"] = n_pairs
+    out["points_per_sec"] = round(n_points / best)
+    return out
+
+
 def run_coloc_bench(spark, cpus: int, n_points: int = 16_000_000) -> dict:
     """Spatiotemporal co-location self-join at constant spacetime
     density: n points xxhash64-scattered over a grid x time-range sized
@@ -1799,6 +1843,22 @@ def main():
             spark, cpus, n_traj=int(os.environ.get("SPARK_GRAFT_HAUS_NTRAJ", "100000"))
         )
         out["metric"] = "hausdorff trajectory-similarity join throughput (constant density)"
+        out["unit"] = "points/sec"
+        print(json.dumps(out))
+        spark.stop()
+        return
+
+    if "--lcss" in sys.argv:
+        from osmflat_rs_spark.session import get_spark
+
+        cpus = CPUS if "--cpus" not in sys.argv else int(sys.argv[sys.argv.index("--cpus") + 1])
+        spark = get_spark(
+            "bench-lcss", master=f"local[{cpus}]", shuffle_partitions=max(8, 2 * cpus)
+        )
+        out = run_lcss_bench(
+            spark, cpus, n_traj=int(os.environ.get("SPARK_GRAFT_LCSS_NTRAJ", "100000"))
+        )
+        out["metric"] = "LCSS trajectory-similarity join throughput (codegen DP family)"
         out["unit"] = "points/sec"
         print(json.dumps(out))
         spark.stop()
