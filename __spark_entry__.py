@@ -1128,6 +1128,51 @@ def _kcore_oracle_sql() -> str:
     )
 
 
+LPA_ITERS = 4
+
+
+def q_lpa_graph(spark, sf_dir):
+    """Community detection by synchronous deterministic label
+    propagation (Raghavan 2007, GraphX-style fixed rounds) over the
+    composite gate graph: every node simultaneously adopts its
+    neighbors' most frequent label, ties to the smallest, 4 rounds.
+    Engine: one join + one map-side count + one struct-argmax per
+    round; oracle: the identical rounds as chained CTEs (ROW_NUMBER
+    argmax). Pure integer labels → bit-exact."""
+    from osmflat_rs_spark.operators.graph import label_propagation
+
+    return label_propagation(_gate_graph_edges(spark), iters=LPA_ITERS)
+
+
+def _lpa_oracle_sql() -> str:
+    ctes = [
+        f"ge AS ({_GATE_GRAPH_SQL})",
+        "ed AS (SELECT u, v FROM ge UNION SELECT v AS u, u AS v FROM ge)",
+        "l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM ed)",
+    ]
+    for t in range(LPA_ITERS):
+        ctes.append(
+            f"c{t + 1} AS (SELECT ed.u AS node, l.lbl, COUNT(*) AS c\n"
+            f"  FROM ed JOIN l{t} l ON l.node = ed.v GROUP BY ed.u, l.lbl)"
+        )
+        ctes.append(
+            f"w{t + 1} AS (SELECT node, lbl FROM (\n"
+            f"  SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node\n"
+            f"    ORDER BY c DESC, lbl ASC) AS rn FROM c{t + 1}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"l{t + 1} AS (SELECT p.node, COALESCE(w{t + 1}.lbl, p.lbl) AS lbl\n"
+            f"  FROM l{t} p LEFT JOIN w{t + 1} ON w{t + 1}.node = p.node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT CAST(node AS BIGINT) AS node, CAST(lbl AS BIGINT) AS community
+        FROM l{LPA_ITERS}
+        """
+    )
+
+
 def q_resample_events(spark, sf_dir):
     """Uniform-time trajectory resampling (per-user pings → epoch-aligned
     6h ticks, linear interpolation): one lead window + in-row tick
@@ -3376,6 +3421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_graph": q_triangles_graph,
         "linkpred_graph": q_linkpred_graph,
         "kcore_graph": q_kcore_graph,
+        "lpa_graph": q_lpa_graph,
         "clustering_graph": q_clustering_graph,
         "assortativity_graph": q_assortativity_graph,
         "adaptive_grid_events": q_adaptive_grid_events,
@@ -4164,6 +4210,7 @@ def oracle_sql() -> dict[str, str]:
                     JOIN deg db ON db.node = np.node_b
         """,
         "kcore_graph": _kcore_oracle_sql(),
+        "lpa_graph": _lpa_oracle_sql(),
         "clustering_graph": f"""
             WITH ge AS ({_GATE_GRAPH_SQL}),
             deg AS (SELECT node, COUNT(*) AS deg FROM

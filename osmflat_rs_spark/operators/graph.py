@@ -111,6 +111,61 @@ def dedup_cluster_representatives(
     )
 
 
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS deterministic label
+    propagation (Raghavan, Albert & Kumara 2007, made reproducible):
+    labels start as node ids; each round EVERY node simultaneously
+    adopts the most frequent label among its neighbors, ties broken by
+    the smallest label; nodes with no neighbors keep their label. A
+    FIXED ``iters`` round count is the contract — asynchronous/random
+    LPA is non-deterministic and synchronous LPA can 2-cycle on
+    bipartite structure, so "run to convergence" is not well-defined;
+    fixed rounds make the result bit-reproducible and SQL-restatable
+    (the classic GraphX LPA makes the same choice).
+
+    Scale shape per round: one hash join (labels onto the symmetric
+    edge list, labels broadcast when small), one map-side-combined
+    (node, label) count, one (node) max-struct argmax — no windows;
+    lineage truncated per round with localCheckpoint (the
+    connected_components discipline). → (node, community)."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    a = edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+    both = a.unionByName(a.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    e = both.filter(F.col("u") != F.col("v")).distinct().persist()
+    labels = (
+        both.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        nb = e.join(labels, e["v"] == labels["node"]).select(
+            F.col("u").alias("node"), "lbl"
+        )
+        counts = nb.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        # argmax by (count DESC, label ASC) as ONE max over a struct —
+        # no per-node window; the negated label makes the struct order
+        # match the tie rule
+        win = (
+            counts.groupBy("node")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))).alias("m"))
+            .select("node", (-F.col("m.nl")).alias("wlbl"))
+        )
+        labels = (
+            labels.join(win, "node", "left")
+            .select("node", F.coalesce("wlbl", "lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return labels.select("node", F.col("lbl").alias("community"))
+
+
 def pagerank_uniform(
     edges: DataFrame,
     n_nodes: int,

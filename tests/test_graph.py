@@ -570,3 +570,75 @@ def test_stitch_lines_random_and_partition_invariance(spark):
             for r in stitch_lines(d, "seg_id", "a", "b", weight_col="w").collect()
         }
         assert got == want
+
+
+def _lpa_model(edges, iters):
+    """Pure-Python synchronous LPA: most frequent neighbor label, ties
+    to smallest; isolated nodes keep theirs."""
+    from collections import Counter
+
+    adj = {}
+    for u, v in edges:
+        if u == v:
+            adj.setdefault(u, set())
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    lbl = {n: n for n in adj}
+    for _ in range(iters):
+        new = {}
+        for n, nbrs in adj.items():
+            if not nbrs:
+                new[n] = lbl[n]
+                continue
+            cnt = Counter(lbl[m] for m in nbrs)
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        lbl = new
+    return lbl
+
+
+def test_label_propagation_two_cliques_with_bridge(spark):
+    """Two 6-cliques joined by one bridge edge resolve to exactly two
+    communities (each labeled by its clique's minimum id) within 3
+    rounds — the canonical LPA sanity case."""
+    from osmflat_rs_spark.operators.graph import label_propagation
+
+    edges = []
+    for base in (0, 10):
+        for i in range(6):
+            for j in range(i + 1, 6):
+                edges.append((base + i, base + j))
+    edges.append((5, 10))  # bridge
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(df, iters=3).collect()
+    }
+    assert got == _lpa_model(edges, 3)
+    comms = {}
+    for n, c in got.items():
+        comms.setdefault(c, set()).add(n)
+    assert len(comms) == 2
+    assert comms[0] == {0, 1, 2, 3, 4, 5}
+    assert comms[10] == {10, 11, 12, 13, 14, 15}
+
+
+def test_label_propagation_matches_model_random_and_partition_invariant(spark):
+    """Random sparse graph: bit parity with the synchronous model at 4
+    rounds, invariant to input partitioning, self-loops register
+    isolated nodes which keep their own label."""
+    from osmflat_rs_spark.operators.graph import label_propagation
+
+    rng = np.random.default_rng(13)
+    edges = {(int(a), int(b)) for a, b in rng.integers(0, 60, (150, 2))}
+    edges.add((99, 99))  # isolated via self-loop
+    want = _lpa_model(sorted(edges), 4)
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    for d in (df, df.repartition(13)):
+        got = {
+            r["node"]: r["community"]
+            for r in label_propagation(d, iters=4).collect()
+        }
+        assert got == want
+    assert want[99] == 99
