@@ -1075,12 +1075,13 @@ def run_hausdorff_bench(spark, cpus: int, n_traj: int = 100_000, pts_per: int = 
 
 def run_lcss_bench(spark, cpus: int, n_traj: int = 100_000, pts_per: int = 40) -> dict:
     """LCSS trajectory-similarity join at constant cell density — the
-    codegen nested-fold DP family's bench (lcss_expr is the same fold
-    shape as dtw_expr, so this row stands in for DTW/EDR too). Same
-    scatter as run_hausdorff_bench (~4 trajectory centers per 440k
-    cell, 150k patches); the DP cost is pts_per^2 int64 codegen ops per
-    surviving candidate pair. Reports points/sec over collapse +
-    any-match cell candidates + in-JVM DP refine."""
+    DP trajectory-join family's bench (LCSS/EDR/DTW share the candidate
+    pipeline and the batch-vectorized Arrow DP refine; the in-JVM fold
+    alternative is refine='expr'). Same scatter as run_hausdorff_bench
+    (~4 trajectory centers per 440k cell, 150k patches); DP cost is
+    pts_per^2 int64 per surviving candidate pair, vectorized ACROSS the
+    Arrow batch. Reports points/sec over collapse + any-match cell
+    candidates + DP refine."""
     from pyspark.sql import functions as F
 
     from osmflat_rs_spark.operators.trajectory import lcss_join
@@ -1858,7 +1859,7 @@ def main():
         out = run_lcss_bench(
             spark, cpus, n_traj=int(os.environ.get("SPARK_GRAFT_LCSS_NTRAJ", "100000"))
         )
-        out["metric"] = "LCSS trajectory-similarity join throughput (codegen DP family)"
+        out["metric"] = "LCSS trajectory-similarity join throughput (DP trajectory-join family)"
         out["unit"] = "points/sec"
         print(json.dumps(out))
         spark.stop()

@@ -847,6 +847,7 @@ def dtw_join(
     lat_col: str = "lat",
     lon_col: str = "lon",
     res: int | None = None,
+    refine: str = "arrow",
 ) -> DataFrame:
     """ORDERED trajectory-similarity self-join on DTW cost: unordered
     pairs whose exact int64 DTW cost (see ``dtw_expr``) is <=
@@ -856,9 +857,17 @@ def dtw_join(
     which is LOSSLESS for DTW: every point of each trajectory is coupled
     to >= 1 point of the other, and each coupled squared distance is <=
     the DTW sum, so DTW <= C implies Hausdorff <= sqrt(C) — exactly the
-    condition the shared prune was built for. The refine is the in-row
-    codegen DP — where ``frechet_join`` refines in an Arrow batch, DTW's
-    sum form fits a pure JVM fold, so this one never leaves the JVM."""
+    condition the shared prune was built for.
+
+    ``refine``: ``"arrow"`` (default) refines in a batch-vectorized
+    NumPy DP — DTW's weighted min forbids the LCSS/EDR scan trick, so
+    the inner j loop stays Python but every step is an O(batch) NumPy
+    op (across-pair vectorization). ``"expr"`` uses the in-JVM
+    ``dtw_expr`` fold — UDF-free, but Spark evaluates higher-order
+    lambdas INTERPRETED (boxed, ~1 ms per 40x40 pair measured), so at
+    many-candidate scale it is allocation-bound; right when Python
+    workers are unavailable or the pair count is tiny. Both paths are
+    exact int64 and return identical rows."""
     import math as _math
 
     if max_cost <= 0:
@@ -867,14 +876,87 @@ def dtw_join(
     pruned = _traj_pruned_pairs(
         points, tau, traj_col, lat_col, lon_col, res, order_col=order_col
     )
-    d = dtw_expr(
-        F.col("_lats_a"), F.col("_lons_a"), F.col("_lats_b"), F.col("_lons_b")
+    if refine == "expr":
+        d = dtw_expr(
+            F.col("_lats_a"), F.col("_lons_a"), F.col("_lats_b"), F.col("_lons_b")
+        )
+        return (
+            pruned.withColumn("dtw", d)
+            .filter(F.col("dtw") <= F.lit(int(max_cost)))
+            .select("traj_a", "traj_b", "dtw")
+        )
+    if refine != "arrow":
+        raise ValueError(f"refine must be 'arrow' or 'expr', got {refine!r}")
+    id_dtype = dict(points.dtypes)[traj_col]
+    return pruned.mapInPandas(
+        _dtw_refine(int(max_cost)),
+        schema=f"traj_a {id_dtype}, traj_b {id_dtype}, dtw long",
     )
-    return (
-        pruned.withColumn("dtw", d)
-        .filter(F.col("dtw") <= F.lit(int(max_cost)))
-        .select("traj_a", "traj_b", "dtw")
-    )
+
+
+def _dtw_refine(max_cost: int):
+    """Across-pair vectorized exact int64 DTW for Arrow batches: pad the
+    batch to (maxn, maxm), advance the DP with plain (i, j) loops whose
+    body is O(batch) NumPy (the weighted min blocks the row-scan trick
+    LCSS/EDR use, but across-pair vectorization still removes the
+    per-pair interpreter cost). Padded cells only ever propagate
+    RIGHTWARD past each pair's true m, and padded rows lie below its
+    true n; every pair's answer is snapshotted at (n_i, m_i), so
+    padding never leaks. Same int64 overflow contract as dtw_expr."""
+    import numpy as np
+    import pandas as pd
+
+    def refine(batches):
+        for pdf in batches:
+            P = len(pdf)
+            if P == 0:
+                continue
+            la = [np.asarray(x, dtype=np.int64) for x in pdf["_lats_a"]]
+            lo = [np.asarray(x, dtype=np.int64) for x in pdf["_lons_a"]]
+            lb = [np.asarray(x, dtype=np.int64) for x in pdf["_lats_b"]]
+            lob = [np.asarray(x, dtype=np.int64) for x in pdf["_lons_b"]]
+            n = np.array([len(x) for x in la], dtype=np.int64)
+            m = np.array([len(x) for x in lb], dtype=np.int64)
+            maxn, maxm = int(n.max()), int(m.max())
+            A_lat = np.zeros((P, maxn), dtype=np.int64)
+            A_lon = np.zeros((P, maxn), dtype=np.int64)
+            B_lat = np.zeros((P, maxm), dtype=np.int64)
+            B_lon = np.zeros((P, maxm), dtype=np.int64)
+            for p in range(P):
+                A_lat[p, : n[p]] = la[p]
+                A_lon[p, : n[p]] = lo[p]
+                B_lat[p, : m[p]] = lb[p]
+                B_lon[p, : m[p]] = lob[p]
+            INF = np.int64(10_000_000_000_000_000)  # dtw_expr's sentinel
+            res = np.zeros(P, dtype=np.int64)
+            prev = np.full((P, maxm + 1), INF, dtype=np.int64)
+            prev[:, 0] = 0
+            for i in range(1, maxn + 1):
+                dlat = A_lat[:, i - 1, None] - B_lat
+                dlon = A_lon[:, i - 1, None] - B_lon
+                d2 = dlat * dlat + dlon * dlon
+                cur = np.empty_like(prev)
+                cur[:, 0] = INF
+                for j in range(1, maxm + 1):
+                    best = np.minimum(
+                        np.minimum(prev[:, j], prev[:, j - 1]), cur[:, j - 1]
+                    )
+                    cur[:, j] = d2[:, j - 1] + best
+                sel = n == i
+                if sel.any():
+                    res[sel] = cur[sel, m[sel]]
+                prev = cur
+            keep = res <= max_cost
+            if keep.any():
+                yield pd.DataFrame(
+                    {
+                        "traj_a": pdf["traj_a"].to_numpy()[keep],
+                        "traj_b": pdf["traj_b"].to_numpy()[keep],
+                        "dtw": res[keep],
+                    }
+                )
+
+    return refine
 
 
 def _traj_match_pairs(
@@ -1037,6 +1119,7 @@ def lcss_join(
     lat_col: str = "lat",
     lon_col: str = "lon",
     res: int | None = None,
+    refine: str = "arrow",
 ) -> DataFrame:
     """ORDERED trajectory-similarity self-join on LCSS: unordered pairs
     whose exact LCSS match count (see ``lcss_expr``) is >=
@@ -1044,19 +1127,33 @@ def lcss_join(
     any-match cell prune (`_traj_match_pairs`) — lossless for
     ``min_matches`` >= 1 because LCSS >= 1 requires at least one point
     pair within eps. Normalize to a similarity in [0, 1] downstream with
-    lcss / least(n, m) if needed."""
+    lcss / least(n, m) if needed.
+
+    ``refine``: ``"arrow"`` (default — the scale path: batch-vectorized
+    NumPy DP, measured ~20x the fold at 50k trajectories) or ``"expr"``
+    (the in-JVM ``lcss_expr`` fold — no Python workers, right when the
+    pair count is small or Python workers are unavailable). Both are
+    exact int64 and return identical rows."""
     if min_matches < 1:
         raise ValueError(f"min_matches must be >= 1, got {min_matches}")
     cand = _traj_match_pairs(
         points, eps, traj_col, lat_col, lon_col, res, order_col
     )
-    l = lcss_expr(
-        F.col("_lats_a"), F.col("_lons_a"), F.col("_lats_b"), F.col("_lons_b"), eps
-    )
-    return (
-        cand.withColumn("lcss", l)
-        .filter(F.col("lcss") >= F.lit(int(min_matches)))
-        .select("traj_a", "traj_b", "lcss")
+    if refine == "expr":
+        l = lcss_expr(
+            F.col("_lats_a"), F.col("_lons_a"), F.col("_lats_b"), F.col("_lons_b"), eps
+        )
+        return (
+            cand.withColumn("lcss", l)
+            .filter(F.col("lcss") >= F.lit(int(min_matches)))
+            .select("traj_a", "traj_b", "lcss")
+        )
+    if refine != "arrow":
+        raise ValueError(f"refine must be 'arrow' or 'expr', got {refine!r}")
+    id_dtype = dict(points.dtypes)[traj_col]
+    return cand.mapInPandas(
+        _lcss_edr_refine("lcss", int(eps), int(min_matches)),
+        schema=f"traj_a {id_dtype}, traj_b {id_dtype}, lcss long",
     )
 
 
@@ -1069,6 +1166,7 @@ def edr_join(
     lat_col: str = "lat",
     lon_col: str = "lon",
     res: int | None = None,
+    refine: str = "arrow",
 ) -> DataFrame:
     """ORDERED trajectory-similarity self-join on EDR: unordered pairs
     with exact edit distance (see ``edr_expr``) <= ``max_dist`` →
@@ -1076,18 +1174,136 @@ def edr_join(
     zero-match escape — a no-match pair costs exactly max(n, m), so
     pairs of trajectories both <= ``max_dist`` points long qualify with
     no shared cell and are unioned in (`_traj_match_pairs
-    include_short_leq`). Lossless for any threshold."""
+    include_short_leq`). Lossless for any threshold.
+
+    ``refine``: ``"arrow"`` (default, batch-vectorized NumPy DP — the
+    scale path) or ``"expr"`` (in-JVM fold); identical exact rows."""
     if max_dist < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
     cand = _traj_match_pairs(
         points, eps, traj_col, lat_col, lon_col, res, order_col,
         include_short_leq=int(max_dist),
     )
-    d = edr_expr(
-        F.col("_lats_a"), F.col("_lons_a"), F.col("_lats_b"), F.col("_lons_b"), eps
+    if refine == "expr":
+        d = edr_expr(
+            F.col("_lats_a"), F.col("_lons_a"), F.col("_lats_b"), F.col("_lons_b"), eps
+        )
+        return (
+            cand.withColumn("edr", d)
+            .filter(F.col("edr") <= F.lit(int(max_dist)))
+            .select("traj_a", "traj_b", "edr")
+        )
+    if refine != "arrow":
+        raise ValueError(f"refine must be 'arrow' or 'expr', got {refine!r}")
+    id_dtype = dict(points.dtypes)[traj_col]
+    return cand.mapInPandas(
+        _lcss_edr_refine("edr", int(eps), int(max_dist)),
+        schema=f"traj_a {id_dtype}, traj_b {id_dtype}, edr long",
     )
-    return (
-        cand.withColumn("edr", d)
-        .filter(F.col("edr") <= F.lit(int(max_dist)))
-        .select("traj_a", "traj_b", "edr")
-    )
+
+
+def _lcss_edr_refine(kind: str, eps: int, threshold: int):
+    """Arrow refine for the match-counting DPs, vectorized ACROSS pairs:
+    the whole candidate batch advances one DP row per outer step as a
+    few NumPy ops on (P, m+1) int64 arrays — no per-pair Python loop.
+
+    Row vectorization (the inner j scan is sequential in the textbook
+    form; both rows reduce to associative scans):
+
+    - LCSS: cur[j] = max(cur[j-1], prev[j], match_j ? prev[j-1]+1) and
+      DP rows are nondecreasing in j, so cur = running max of
+      t[j] = max(prev[j], match_j ? prev[j-1]+1) — one
+      ``np.maximum.accumulate``.
+    - EDR: cur[j] = min(t[j], cur[j-1]+1) with t[j] = min(prev[j-1] +
+      sub_j, prev[j]+1) is a (min, +) scan: cur[j] = j +
+      running-min(t[k] - k) — one ``np.minimum.accumulate``.
+
+    Match tests stay EXACT int64: deltas are range-checked (|d| <= eps)
+    before squaring so the squares can never overflow, matching the
+    codegen exprs bit-for-bit. Pairs with different lengths are padded
+    to the batch max; each pair's answer is snapshotted from DP row
+    n_i at column m_i, so padding never leaks into results."""
+    import numpy as np
+    import pandas as pd
+
+    col = kind  # output column name: "lcss" | "edr"
+
+    def refine(batches):
+        for pdf in batches:
+            P = len(pdf)
+            if P == 0:
+                continue
+            la = [np.asarray(x, dtype=np.int64) for x in pdf["_lats_a"]]
+            lo = [np.asarray(x, dtype=np.int64) for x in pdf["_lons_a"]]
+            lb = [np.asarray(x, dtype=np.int64) for x in pdf["_lats_b"]]
+            lob = [np.asarray(x, dtype=np.int64) for x in pdf["_lons_b"]]
+            n = np.array([len(x) for x in la], dtype=np.int64)
+            m = np.array([len(x) for x in lb], dtype=np.int64)
+            maxn, maxm = int(n.max()), int(m.max())
+            A_lat = np.zeros((P, maxn), dtype=np.int64)
+            A_lon = np.zeros((P, maxn), dtype=np.int64)
+            # pad sentinel: far outside any valid fixed-point coordinate
+            # (|coord| < 4e9) yet small enough that subtraction and abs
+            # can never wrap int64 (int64-max padding would: A - pad
+            # underflows for negative A, and abs(int64 min) is itself)
+            PAD = np.int64(1) << 50
+            B_lat = np.full((P, maxm), PAD, dtype=np.int64)
+            B_lon = np.full((P, maxm), PAD, dtype=np.int64)
+            for p in range(P):
+                A_lat[p, : n[p]] = la[p]
+                A_lon[p, : n[p]] = lo[p]
+                B_lat[p, : m[p]] = lb[p]
+                B_lon[p, : m[p]] = lob[p]
+            e = np.int64(eps)
+            e2 = e * e
+            res = np.zeros(P, dtype=np.int64)
+            if kind == "edr":
+                res[:] = np.maximum(n, m)  # n==0 or padded-row fallback
+                prev = np.broadcast_to(
+                    np.arange(maxm + 1, dtype=np.int64), (P, maxm + 1)
+                ).copy()
+            else:
+                prev = np.zeros((P, maxm + 1), dtype=np.int64)
+            done0 = n == 0
+            if kind == "lcss":
+                res[done0] = 0
+            jj = np.arange(maxm + 1, dtype=np.int64)
+            for i in range(1, maxn + 1):
+                dlat = A_lat[:, i - 1, None] - B_lat
+                dlon = A_lon[:, i - 1, None] - B_lon
+                near = (np.abs(dlat) <= e) & (np.abs(dlon) <= e)
+                dlat_s = np.where(near, dlat, 0)
+                dlon_s = np.where(near, dlon, 0)
+                match = near & (dlat_s * dlat_s + dlon_s * dlon_s <= e2)
+                cur = np.empty_like(prev)
+                if kind == "lcss":
+                    cur[:, 0] = 0
+                    t = np.maximum(
+                        prev[:, 1:], np.where(match, prev[:, :-1] + 1, 0)
+                    )
+                    np.maximum.accumulate(t, axis=1, out=cur[:, 1:])
+                else:
+                    t = np.empty_like(prev)
+                    t[:, 0] = i
+                    np.minimum(
+                        prev[:, :-1] + np.where(match, 0, 1),
+                        prev[:, 1:] + 1,
+                        out=t[:, 1:],
+                    )
+                    np.minimum.accumulate(t - jj, axis=1, out=cur)
+                    cur += jj
+                sel = n == i
+                if sel.any():
+                    res[sel] = cur[sel, m[sel]]
+                prev = cur
+            keep = res >= threshold if kind == "lcss" else res <= threshold
+            if keep.any():
+                yield pd.DataFrame(
+                    {
+                        "traj_a": pdf["traj_a"].to_numpy()[keep],
+                        "traj_b": pdf["traj_b"].to_numpy()[keep],
+                        col: res[keep],
+                    }
+                )
+
+    return refine

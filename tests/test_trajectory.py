@@ -924,3 +924,51 @@ def test_lcss_edr_identity_properties(spark):
         for r in edr_join(df, 10_000, n, traj_col="traj_id", order_col="seq").collect()
     }
     assert ed[(0, 1)] == 0 and ed[(0, 2)] == 1
+
+
+def test_lcss_edr_arrow_and_expr_refines_identical(spark):
+    """The batch-vectorized Arrow DP and the in-JVM fold must return
+    IDENTICAL rows (both exact int64) — including ragged lengths,
+    negative coordinates, and the EDR short-pair escape leg."""
+    import pandas as pd
+
+    from osmflat_rs_spark.operators.trajectory import dtw_join, edr_join, lcss_join
+
+    rng = np.random.default_rng(53)
+    frames = []
+    for t in range(10):
+        n = int(rng.integers(2, 30))
+        clat = int(rng.integers(-400_000, 400_000))
+        clon = int(rng.integers(-400_000, 400_000))
+        frames.append(
+            pd.DataFrame(
+                {
+                    "traj_id": np.full(n, t, dtype=np.int64),
+                    "seq": np.arange(n, dtype=np.int64),
+                    "lat": clat + rng.integers(0, 120_000, n),
+                    "lon": clon + rng.integers(0, 120_000, n),
+                }
+            )
+        )
+    df = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+    for join, kw, col in (
+        (lcss_join, {"min_matches": 1}, "lcss"),
+        (edr_join, {"max_dist": 20}, "edr"),
+        (dtw_join, {}, "dtw"),
+    ):
+        thr = 10**13 if col == "dtw" else 50_000
+        a = {
+            (r["traj_a"], r["traj_b"]): r[col]
+            for r in join(
+                df, thr, traj_col="traj_id", order_col="seq",
+                refine="arrow", **kw,
+            ).collect()
+        }
+        e = {
+            (r["traj_a"], r["traj_b"]): r[col]
+            for r in join(
+                df, thr, traj_col="traj_id", order_col="seq",
+                refine="expr", **kw,
+            ).collect()
+        }
+        assert a == e and a
