@@ -467,6 +467,23 @@ def q_ring_area_users(spark, sf_dir):
     )
 
 
+def q_sphere_area_users(spark, sf_dir):
+    """Per-user SPHERICAL ring area (Chamberlain-Duquette line
+    integral, JPL 2007 — the turf.js/PostGIS-sphere estimator) over the
+    same ordered event rings as ring_area_users: the geodesic
+    complement of the exact planar shoelace. One window shuffle + the
+    groupBy it satisfies; oracle mirrors the wrapped-lead closure and
+    term order. ROUND(_, 2) m² — reorder noise is ~1e-5 m² at this
+    ring scale (doc'd in the function)."""
+    from osmflat_rs_spark.functions.geo import sphere_ring_area_m2
+
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    out = sphere_ring_area_m2(pts, "user_id", ["ts", "event_id"])
+    return out.select(
+        "user_id", "n_vertices", F.round("area_m2", 2).alias("area_m2")
+    )
+
+
 def q_ring_normalize_users(spark, sf_dir):
     """Ring-orientation normalization (``geo.normalize_rings``, r5) —
     the OGC winding repair (outer CCW / holes CW) over each user's
@@ -3401,6 +3418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xtrack_events": q_xtrack_events,
         "rhumb_events": q_rhumb_events,
         "ring_area_users": q_ring_area_users,
+        "sphere_area_users": q_sphere_area_users,
         "ring_normalize_users": q_ring_normalize_users,
         "cms_heavy_users": q_cms_heavy_users,
         "pip_events": q_pip_events,
@@ -3690,6 +3708,28 @@ def oracle_sql() -> dict[str, str]:
         # Shoelace: EXACT int64 on (lat0, lon0)-translated coords — the
         # one geometry gate with no float fold at all; centroid division
         # happens once at the end on exact integer sums.
+        "sphere_area_users": f"""
+            WITH s AS (
+              SELECT user_id, ts, event_id,
+                     RADIANS(lat / 10000000.0) AS phi,
+                     RADIANS(lon / 10000000.0) AS lam
+              FROM {synth}
+            ),
+            c AS (
+              SELECT user_id, phi, lam,
+                     COALESCE(LEAD(phi) OVER w, FIRST_VALUE(phi) OVER w2) AS phi2,
+                     COALESCE(LEAD(lam) OVER w, FIRST_VALUE(lam) OVER w2) AS lam2
+              FROM s
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+                     w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND UNBOUNDED FOLLOWING)
+            )
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_vertices,
+                   ROUND(ABS(SUM((lam2 - lam) * (2 + SIN(phi) + SIN(phi2))))
+                         * (CAST(6372797.560856 AS DOUBLE) * CAST(6372797.560856 AS DOUBLE) / 2), 2) AS area_m2
+            FROM c GROUP BY user_id
+        """,
         "ring_area_users": f"""
             WITH pts AS (SELECT * FROM {synth}),
             rings AS (

@@ -397,3 +397,57 @@ def geohash_expr(lat_deg: Column, lon_deg: Column, precision: int = 8) -> Column
             idx = idx + bit * F.lit(1 << (4 - m))
         chars.append(F.get(alphabet, idx.cast("int")))
     return F.concat(*chars)
+
+
+def sphere_ring_area_m2(
+    pts,
+    group_cols,
+    order_cols,
+    lat: str = "lat",
+    lon: str = "lon",
+):
+    """Spherical polygon area per group — the GEODESIC complement of
+    ``shoelace_ring_stats``'s exact planar double-area: the
+    Chamberlain & Duquette line-integral (JPL 2007, "Some Algorithms
+    for Polygons on a Sphere", eq. 14; the formula turf.js/PostGIS-
+    sphere use)
+
+        area = | sum_i (lam_{i+1} - lam_i) * (2 + sin phi_i +
+               sin phi_{i+1}) | * R^2 / 2
+
+    over the closed ring of each group's points ordered by
+    ``order_cols`` (closure last -> first supplied via a wrapped lead).
+    Exact for polygons whose edges are "rhumb-ish" small steps — the
+    standard spherical-area estimator for map-scale rings; NOT the
+    ellipsoid (use a geodesic library for survey-grade area).
+
+    Scale shape: one window shuffle keyed by the group + the groupBy it
+    already satisfies (the sessions/stay_points partitioning contract).
+    → (*group_cols, n_vertices, area_m2). Inputs are FIXED-POINT ints;
+    groups need >= 3 points for a meaningful area (fewer → 0.0)."""
+    from pyspark.sql import Window
+
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    w = Window.partitionBy(*groups).orderBy(*order_cols)
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    base = pts.select(
+        *groups,
+        *order_cols,
+        F.radians(to_degrees(F.col(lat))).alias("_phi"),
+        F.radians(to_degrees(F.col(lon))).alias("_lam"),
+    )
+    closed = base.select(
+        *groups,
+        "_phi",
+        "_lam",
+        F.coalesce(F.lead("_phi").over(w), F.first("_phi").over(wfull)).alias("_phi2"),
+        F.coalesce(F.lead("_lam").over(w), F.first("_lam").over(wfull)).alias("_lam2"),
+    )
+    term = (F.col("_lam2") - F.col("_lam")) * (
+        F.lit(2.0) + F.sin(F.col("_phi")) + F.sin(F.col("_phi2"))
+    )
+    half_r2 = EARTH_RADIUS_M * EARTH_RADIUS_M / 2.0
+    return closed.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        (F.abs(F.sum(term)) * F.lit(half_r2)).alias("area_m2"),
+    )

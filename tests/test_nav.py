@@ -131,3 +131,51 @@ def test_destination_point_roundtrip(spark):
         if r["id"] == 100:
             assert abs(r["lo2"] - 13.4) < 1e-12
             assert r["la2"] > 52.5
+
+
+def test_sphere_ring_area_square_and_numpy_parity(spark):
+    """Chamberlain-Duquette spherical area: a ~1km x ~1km fixed-point
+    'square' at 52.5N has area ~ (dlat_m * dlon_m * cos(lat)) within
+    0.2%; random rings match the numpy restatement of the line integral
+    exactly (same formula, same double ops)."""
+    from osmflat_rs_spark.functions.geo import sphere_ring_area_m2
+
+    rng = np.random.default_rng(7)
+    rows = []
+    # group 0: an axis-aligned square, 0.01 deg on each side, CCW
+    sq = [(525_000_000, 134_000_000), (525_000_000, 134_100_000),
+          (525_100_000, 134_100_000), (525_100_000, 134_000_000)]
+    for s, (la, lo) in enumerate(sq):
+        rows.append((0, s, la, lo))
+    # random rings
+    for g in (1, 2, 3):
+        n = int(rng.integers(4, 30))
+        for s in range(n):
+            rows.append(
+                (g, s,
+                 int(524_000_000 + rng.integers(0, 2_000_000)),
+                 int(132_000_000 + rng.integers(0, 4_000_000)))
+            )
+    df = spark.createDataFrame(rows, "user_id long, seq long, lat long, lon long")
+    got = {
+        r["user_id"]: (r["n_vertices"], r["area_m2"])
+        for r in sphere_ring_area_m2(df, "user_id", ["seq"]).collect()
+    }
+    R = EARTH_RADIUS_M
+    # square sanity: planar estimate dlat_m * dlon_m * cos(mid lat)
+    dlat_m = math.radians(0.01) * R
+    dlon_m = math.radians(0.01) * R * math.cos(math.radians(52.505))
+    approx = dlat_m * dlon_m
+    assert got[0][0] == 4
+    assert abs(got[0][1] - approx) / approx < 0.002
+    # numpy parity on the random rings
+    by_g = {}
+    for g, s, la, lo in rows:
+        by_g.setdefault(g, []).append((s, la, lo))
+    for g, pts in by_g.items():
+        pts.sort()
+        phi = np.radians(np.array([p[1] for p in pts]) / 1e7)
+        lam = np.radians(np.array([p[2] for p in pts]) / 1e7)
+        phi2, lam2 = np.roll(phi, -1), np.roll(lam, -1)
+        want = abs(np.sum((lam2 - lam) * (2 + np.sin(phi) + np.sin(phi2)))) * (R * R / 2)
+        assert abs(got[g][1] - want) < 1e-6 * max(1.0, want), g
