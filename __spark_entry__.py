@@ -1612,6 +1612,29 @@ def q_focal_grid_events(spark, sf_dir):
     return focal_grid_agg(pts, "lat", "lon", res=16, radius=1)
 
 
+def q_hillshade_events(spark, sf_dir):
+    """Horn slope/aspect/hillshade (gdaldem/ESRI algorithm) over the
+    event density grid at res 16 with the published defaults (azimuth
+    315, altitude 45): aggregate-first 9-target Horn-weight fan, then
+    pure codegen trig per cell. The central-difference sums are exact
+    integers in doubles (counts x integer weights), so dzdx/dzdy are
+    order-independent and the trig is bit-identical cross-engine; zen/
+    azm constants are embedded as Python reprs in the oracle."""
+    from osmflat_rs_spark.operators.tiling import hillshade_grid
+
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    out = hillshade_grid(pts, "lat", "lon", res=16)
+    return out.select(
+        "ix", "iy",
+        F.col("n_self").cast("long").alias("n_self"),
+        F.round("dzdx", 6).alias("dzdx"),
+        F.round("dzdy", 6).alias("dzdy"),
+        F.round("slope_deg", 6).alias("slope_deg"),
+        F.round("aspect_rad", 6).alias("aspect_rad"),
+        F.round("hillshade", 4).alias("hillshade"),
+    )
+
+
 def q_kde_events(spark, sf_dir):
     """Grid kernel-density surface: per occupied cell, the Epanechnikov-
     weighted neighbor count within Chebyshev radius 2 (bandwidth 3
@@ -3458,6 +3481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_index_events": q_cell_index_events,
         "focal_grid_events": q_focal_grid_events,
         "kde_events": q_kde_events,
+        "hillshade_events": q_hillshade_events,
         "contour_events": q_contour_events,
         "pip_anti_events": q_pip_anti_events,
         "idw_events": q_idw_events,
@@ -4948,6 +4972,34 @@ def oracle_sql() -> dict[str, str]:
             FROM c c1 JOIN c c2
               ON abs(c1.ix - c2.ix) <= 1 AND abs(c1.iy - c2.iy) <= 1
             GROUP BY 1, 2, 3
+        """,
+        "hillshade_events": f"""
+            WITH pts AS (SELECT * FROM {synth}),
+            g AS (SELECT GREATEST(0, LEAST({(1 << 16) - 1}, (lon + 1800000000) * {1 << 16} // 3600000000)) AS ix,
+                         GREATEST(0, LEAST({(1 << 16) - 1}, (lat + 900000000) * {1 << 16} // 1800000000)) AS iy
+                  FROM pts),
+            c AS (SELECT ix, iy, CAST(COUNT(*) AS DOUBLE) AS z FROM g GROUP BY 1, 2),
+            f AS (SELECT c.ix - rx.r AS tx, c.iy - ry.r AS ty,
+                         CASE WHEN rx.r = 0 AND ry.r = 0 THEN c.z ELSE 0.0 END AS self_z,
+                         c.z * (rx.r * (2 - ABS(ry.r))) AS zwx,
+                         c.z * (ry.r * (2 - ABS(rx.r))) AS zwy
+                  FROM c, generate_series(-1, 1) rx(r), generate_series(-1, 1) ry(r)),
+            a AS (SELECT tx AS ix, ty AS iy, SUM(self_z) AS n_self,
+                         SUM(zwx) / 8.0 AS dzdx, SUM(zwy) / 8.0 AS dzdy
+                  FROM f GROUP BY 1, 2),
+            t AS (SELECT ix, iy, n_self, dzdx, dzdy,
+                         ATAN(1.0 * SQRT(dzdx * dzdx + dzdy * dzdy)) AS slope,
+                         CASE WHEN dzdx = 0.0 AND dzdy = 0.0 THEN 0.0
+                              ELSE ATAN2(dzdy, -dzdx) END AS aspect
+                  FROM a)
+            SELECT ix, iy, CAST(n_self AS BIGINT) AS n_self,
+                   ROUND(dzdx, 6) AS dzdx, ROUND(dzdy, 6) AS dzdy,
+                   ROUND(DEGREES(slope), 6) AS slope_deg,
+                   ROUND(aspect, 6) AS aspect_rad,
+                   ROUND(255.0 * GREATEST(0.0,
+                         0.7071067811865476 * COS(slope)
+                         + 0.7071067811865475 * SIN(slope) * COS(2.356194490192345 - aspect)), 4) AS hillshade
+            FROM t
         """,
         "kde_events": f"""
             WITH pts AS (SELECT * FROM {synth}),

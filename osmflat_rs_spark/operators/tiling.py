@@ -903,3 +903,92 @@ def adaptive_grid_from_counts(
     for lf in leaves[1:]:
         out = out.unionByName(lf)
     return out
+
+
+def hillshade_grid(
+    pts: DataFrame,
+    lat: str = "lat",
+    lon: str = "lon",
+    res: int = 18,
+    cellsize_x: float = 1.0,
+    cellsize_y: float = 1.0,
+    z_factor: float = 1.0,
+    azimuth_deg: float = 315.0,
+    altitude_deg: float = 45.0,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Horn slope / aspect / hillshade (Horn 1981; the ``gdaldem
+    hillshade`` / ESRI algorithm) over the occupied-cell density grid:
+    z(cell) = point count (or sum of ``value_col``), absent cells are
+    z = 0 (density-surface semantics — NOT DEM nodata), and every cell
+    within Chebyshev distance 1 of an occupied cell gets an output row.
+
+    Plan shape (focal_grid_agg's aggregate-first contract): ONE
+    map-side-combined groupBy reduces points to occupied cells; each
+    cell then fans its z to its 9 neighbor TARGETS in-row, carrying the
+    two Horn weights — wx = rx*(2-|ry|), wy = ry*(2-|rx|) for the
+    source's offset (rx, ry) from the target — and one re-aggregate
+    yields both central-difference sums at once. Slope/aspect/hillshade
+    are then pure codegen trig per cell:
+
+        dzdx = sum(z*wx) / (8*cellsize_x); dzdy = sum(z*wy) / (8*cellsize_y)
+        slope = atan(z_factor * hypot(dzdx, dzdy))
+        aspect = atan2(dzdy, -dzdx)
+        shade = 255 * max(0, cos(zen)cos(slope)
+                              + sin(zen)sin(slope)cos(azm - aspect))
+
+    with zen = radians(90 - altitude), azm = radians((360 - azimuth +
+    90) mod 360) — the published ESRI constants. → (ix, iy, n_self,
+    dzdx, dzdy, slope_deg, aspect_rad, hillshade)."""
+    import math as _math
+
+    from osmflat_rs_spark.functions.cells import grid_exprs
+
+    ix, iy = grid_exprs(F.col(lat), F.col(lon), res)
+    base = pts.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull())
+    z = (
+        F.sum(F.col(value_col)) if value_col is not None else F.count("*")
+    ).cast("double").alias("z")
+    per_cell = base.groupBy(ix.alias("ix"), iy.alias("iy")).agg(z)
+
+    span = F.sequence(F.lit(-1), F.lit(1))
+    fan = (
+        per_cell.withColumn("_rx", F.explode(span))
+        .withColumn("_ry", F.explode(span))
+        .select(
+            (F.col("ix") - F.col("_rx")).alias("tx"),
+            (F.col("iy") - F.col("_ry")).alias("ty"),
+            ((F.col("_rx") == 0) & (F.col("_ry") == 0)).alias("_is_self"),
+            (F.col("z") * (F.col("_rx") * (F.lit(2) - F.abs("_ry")))).alias("_zwx"),
+            (F.col("z") * (F.col("_ry") * (F.lit(2) - F.abs("_rx")))).alias("_zwy"),
+            "z",
+        )
+    )
+    agg = fan.groupBy(F.col("tx").alias("ix"), F.col("ty").alias("iy")).agg(
+        F.sum(F.when(F.col("_is_self"), F.col("z")).otherwise(F.lit(0.0))).alias("n_self"),
+        F.sum("_zwx").alias("_sx"),
+        F.sum("_zwy").alias("_sy"),
+    )
+    dzdx = F.col("_sx") / F.lit(8.0 * float(cellsize_x))
+    dzdy = F.col("_sy") / F.lit(8.0 * float(cellsize_y))
+    slope = F.atan(F.lit(float(z_factor)) * F.sqrt(dzdx * dzdx + dzdy * dzdy))
+    # flat cells pinned to aspect 0: atan2(0, -0.0) is signed-zero
+    # DEPENDENT (Spark negate keeps +0.0 -> 0; engines with -0.0 -> pi),
+    # so the convention must be explicit to be cross-engine stable
+    aspect = F.when((dzdx == F.lit(0.0)) & (dzdy == F.lit(0.0)), F.lit(0.0)).otherwise(
+        F.atan2(dzdy, -dzdx)
+    )
+    zen = _math.radians(90.0 - float(altitude_deg))
+    azm = _math.radians((360.0 - float(azimuth_deg) + 90.0) % 360.0)
+    shade = F.lit(255.0) * F.greatest(
+        F.lit(0.0),
+        F.lit(_math.cos(zen)) * F.cos(slope)
+        + F.lit(_math.sin(zen)) * F.sin(slope) * F.cos(F.lit(azm) - aspect),
+    )
+    return agg.select(
+        "ix", "iy", "n_self",
+        dzdx.alias("dzdx"), dzdy.alias("dzdy"),
+        F.degrees(slope).alias("slope_deg"),
+        aspect.alias("aspect_rad"),
+        shade.alias("hillshade"),
+    )

@@ -575,3 +575,83 @@ def test_normalize_rings_roles_and_invariance(spark):
     # partition invariance
     out2 = normalize_rings(df.repartition(5), "ring_id", ["ord"], role_col="role").collect()
     assert sorted(map(tuple, out2)) == sorted(map(tuple, out))
+
+
+def test_hillshade_grid_matches_horn_model_and_ramp_invariant(spark):
+    """hillshade_grid vs a numpy restatement of Horn's method over the
+    occupied+dilated cell set (absent neighbors = 0), on random points;
+    plus the ramp invariant: a uniform-count east-increasing staircase
+    grid has aspect pointing due west in the interior (atan2 convention:
+    dzdx > 0, dzdy = 0 -> aspect = pi) and identical interior slope."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from osmflat_rs_spark.functions.cells import quantize_np
+    from osmflat_rs_spark.operators.tiling import hillshade_grid
+
+    rng = np.random.RandomState(29)
+    n = 2500
+    lat = (524_000_000 + rng.randint(0, 1_000_000, n)).astype("int64")
+    lon = (132_000_000 + rng.randint(0, 2_000_000, n)).astype("int64")
+    pdf = pd.DataFrame({"lat": lat, "lon": lon})
+    res = 16
+    got = {
+        (r["ix"], r["iy"]): r
+        for r in hillshade_grid(
+            spark.createDataFrame(pdf), "lat", "lon", res=res
+        ).collect()
+    }
+
+    ix = quantize_np(lon, 180 * 10_000_000, 360 * 10_000_000, res)
+    iy = quantize_np(lat, 90 * 10_000_000, 180 * 10_000_000, res)
+    z = {}
+    for a, b in zip(ix, iy):
+        z[(int(a), int(b))] = z.get((int(a), int(b)), 0) + 1
+    targets = {(c[0] - rx, c[1] - ry) for c in z for rx in (-1, 0, 1) for ry in (-1, 0, 1)}
+    assert set(got) == targets
+    zen = math.radians(45.0)
+    azm = math.radians(135.0)
+    for t in targets:
+        zn = lambda rx, ry: z.get((t[0] + rx, t[1] + ry), 0)
+        sx = sum(zn(rx, ry) * rx * (2 - abs(ry)) for rx in (-1, 0, 1) for ry in (-1, 0, 1))
+        sy = sum(zn(rx, ry) * ry * (2 - abs(rx)) for rx in (-1, 0, 1) for ry in (-1, 0, 1))
+        dzdx, dzdy = sx / 8.0, sy / 8.0
+        slope = math.atan(math.hypot(dzdx, dzdy))
+        aspect = 0.0 if dzdx == 0 and dzdy == 0 else math.atan2(dzdy, -dzdx)
+        shade = 255.0 * max(
+            0.0,
+            math.cos(zen) * math.cos(slope)
+            + math.sin(zen) * math.sin(slope) * math.cos(azm - aspect),
+        )
+        r = got[t]
+        assert r["n_self"] == z.get(t, 0)
+        assert abs(r["dzdx"] - dzdx) < 1e-12 and abs(r["dzdy"] - dzdy) < 1e-12
+        assert abs(math.radians(r["slope_deg"]) - slope) < 1e-12
+        assert abs(r["aspect_rad"] - aspect) < 1e-12
+        assert abs(r["hillshade"] - shade) < 1e-9
+
+    # ramp: cell column k (east) gets k points -> interior dzdx = 1,
+    # dzdy = 0 (cellsize 1), aspect = atan2(0, -1) = pi, slope = 45 deg
+    rows = []
+    eid = 0
+    for k in range(1, 9):
+        for j in range(6):
+            for _ in range(k):
+                # one point per (col k, row j) repetition, centered in cell
+                rows.append((524_000_000 + j * 27466 + 100,
+                             132_000_000 + k * 54932 + 100))
+                eid += 1
+    ramp = spark.createDataFrame(pd.DataFrame(rows, columns=["lat", "lon"]))
+    out = {(r["ix"], r["iy"]): r for r in hillshade_grid(ramp, res=16).collect()}
+    occupied = sorted({c for c in out if out[c]["n_self"] > 0})
+    xs = sorted({c[0] for c in occupied})
+    ys = sorted({c[1] for c in occupied})
+    interior = [c for c in occupied if c[0] in xs[1:-1] and c[1] in ys[1:-1]]
+    assert interior
+    for c in interior:
+        r = out[c]
+        assert abs(r["dzdx"] - 1.0) < 1e-12 and abs(r["dzdy"]) < 1e-12
+        assert abs(r["aspect_rad"] - math.pi) < 1e-12
+        assert abs(r["slope_deg"] - 45.0) < 1e-9
