@@ -484,6 +484,26 @@ def q_sphere_area_users(spark, sf_dir):
     )
 
 
+def q_ring_centroid_users(spark, sf_dir):
+    """Per-user AREA-WEIGHTED polygon centroid (the labeling centroid,
+    C = sum (v_i + v_{i+1})·cross_i / (3·area2x)) over the same ordered
+    event rings as ring_area_users. cross stays exact int64; the
+    numerator folds in DOUBLE but IN-ROW in fixed ring order, so the
+    IEEE sequence is identical in both engines (oracle mirrors term
+    order in a list reduce). area2x exact; centroids ROUND(6)."""
+    from osmflat_rs_spark.functions.geo import ring_centroid_stats
+
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    out = ring_centroid_stats(
+        pts, "user_id", ["ts", "event_id"], lat0=LAT0, lon0=LON0
+    )
+    return out.select(
+        "user_id", "n_vertices", "area2x",
+        F.round("cx_deg", 6).alias("cx_deg"),
+        F.round("cy_deg", 6).alias("cy_deg"),
+    )
+
+
 def q_ring_normalize_users(spark, sf_dir):
     """Ring-orientation normalization (``geo.normalize_rings``, r5) —
     the OGC winding repair (outer CCW / holes CW) over each user's
@@ -3441,6 +3461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xtrack_events": q_xtrack_events,
         "rhumb_events": q_rhumb_events,
         "ring_area_users": q_ring_area_users,
+        "ring_centroid_users": q_ring_centroid_users,
         "sphere_area_users": q_sphere_area_users,
         "ring_normalize_users": q_ring_normalize_users,
         "cms_heavy_users": q_cms_heavy_users,
@@ -3753,6 +3774,44 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(ABS(SUM((lam2 - lam) * (2 + SIN(phi) + SIN(phi2))))
                          * (CAST(6372797.560856 AS DOUBLE) * CAST(6372797.560856 AS DOUBLE) / 2), 2) AS area_m2
             FROM c GROUP BY user_id
+        """,
+        "ring_centroid_users": f"""
+            WITH tr AS (
+              SELECT user_id,
+                     list([lat - {LAT0}, lon - {LON0}] ORDER BY ts, event_id) AS r,
+                     COUNT(*) AS n
+              FROM {synth} GROUP BY user_id HAVING COUNT(*) >= 3
+            ),
+            ed AS (
+              SELECT user_id, n,
+                list_transform(range(1, n + 1), i -> [
+                  CAST(r[i][2] * r[i % n + 1][1]
+                     - r[i % n + 1][2] * r[i][1] AS DOUBLE),
+                  CAST(r[i][2] + r[i % n + 1][2] AS DOUBLE)
+                    * CAST(r[i][2] * r[i % n + 1][1]
+                         - r[i % n + 1][2] * r[i][1] AS DOUBLE),
+                  CAST(r[i][1] + r[i % n + 1][1] AS DOUBLE)
+                    * CAST(r[i][2] * r[i % n + 1][1]
+                         - r[i % n + 1][2] * r[i][1] AS DOUBLE)]) AS e
+              FROM tr
+            ),
+            a AS (
+              SELECT user_id, n,
+                reduce(list_prepend(CAST([0, 0, 0] AS DOUBLE[]), e),
+                  (acc, t) -> [acc[1] + t[1], acc[2] + t[2], acc[3] + t[3]]) AS s
+              FROM ed
+            ),
+            b AS (
+              SELECT user_id, n, CAST(s[1] AS BIGINT) AS area2x,
+                     s[2] AS cxn, s[3] AS cyn
+              FROM a
+            )
+            SELECT user_id, CAST(n AS BIGINT) AS n_vertices, area2x,
+                   ROUND((CAST({LON0} AS DOUBLE)
+                          + cxn / (3.0 * CAST(area2x AS DOUBLE))) / 10000000.0, 6) AS cx_deg,
+                   ROUND((CAST({LAT0} AS DOUBLE)
+                          + cyn / (3.0 * CAST(area2x AS DOUBLE))) / 10000000.0, 6) AS cy_deg
+            FROM b WHERE area2x <> 0
         """,
         "ring_area_users": f"""
             WITH pts AS (SELECT * FROM {synth}),

@@ -451,3 +451,85 @@ def sphere_ring_area_m2(
         F.count(F.lit(1)).alias("n_vertices"),
         (F.abs(F.sum(term)) * F.lit(half_r2)).alias("area_m2"),
     )
+
+
+def ring_centroid_stats(
+    df,
+    group_col: str,
+    order_cols: list[str],
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    lat0: int = 0,
+    lon0: int = 0,
+    min_vertices: int = 3,
+):
+    """Per-group AREA-WEIGHTED polygon centroid (the standard
+    polygon-labeling centroid, not ``shoelace_ring_stats``'s vertex
+    mean): C = (1 / (3 * area2x)) * sum (v_i + v_{i+1}) * cross_i with
+    cross_i = x_i*y_{i+1} - x_{i+1}*y_i, over the implicitly-closed
+    ring ordered by ``order_cols``.
+
+    Numeric contract: ``cross_i`` stays EXACT int64 under the same
+    translation bound as ``shoelace_ring_stats``; the (v_i + v_{i+1}) *
+    cross_i product would overflow int64 (~1.3e20 at the bound), so the
+    numerator folds in DOUBLE — but the fold runs IN-ROW over the ring
+    array in a fixed order, so the IEEE sequence is identical across
+    engines and partitionings (the SQL oracle mirrors term order
+    exactly): bit-stable without being all-integer. Degenerate rings
+    (area2x = 0 — the centroid is undefined) are dropped.
+
+    → (group_col, n_vertices, area2x, cx_deg, cy_deg)."""
+    ordered = F.sort_array(
+        F.collect_list(F.struct(*[F.col(c) for c in order_cols],
+                                F.col(lat_col).alias("_lat"), F.col(lon_col).alias("_lon")))
+    )
+    g = (
+        df.groupBy(group_col)
+        .agg(ordered.alias("ring"), F.count("*").alias("n_vertices"))
+        .filter(F.col("n_vertices") >= min_vertices)
+    )
+    n = F.col("n_vertices")
+
+    def _x(i):
+        return F.get(F.col("ring"), i)["_lon"] - F.lit(lon0)
+
+    def _y(i):
+        return F.get(F.col("ring"), i)["_lat"] - F.lit(lat0)
+
+    def _cross(i):
+        j = (i + 1) % n
+        return _x(i) * _y(j) - _x(j) * _y(i)
+
+    seq = F.sequence(F.lit(0), (n - 1).cast("int"))
+    area2x = F.aggregate(
+        seq, F.lit(0).cast("long"), lambda acc, i: acc + _cross(i)
+    )
+    cx_num = F.aggregate(
+        seq,
+        F.lit(0.0),
+        lambda acc, i: acc
+        + (_x(i) + _x((i + 1) % n)).cast("double") * _cross(i).cast("double"),
+    )
+    cy_num = F.aggregate(
+        seq,
+        F.lit(0.0),
+        lambda acc, i: acc
+        + (_y(i) + _y((i + 1) % n)).cast("double") * _cross(i).cast("double"),
+    )
+    out = g.select(
+        group_col,
+        "n_vertices",
+        area2x.alias("area2x"),
+        cx_num.alias("_cxn"),
+        cy_num.alias("_cyn"),
+    ).filter(F.col("area2x") != 0)
+    scale = float(COORD_SCALE)
+    return out.select(
+        group_col,
+        "n_vertices",
+        "area2x",
+        ((F.lit(float(lon0)) + F.col("_cxn") / (F.lit(3.0) * F.col("area2x").cast("double")))
+         / F.lit(scale)).alias("cx_deg"),
+        ((F.lit(float(lat0)) + F.col("_cyn") / (F.lit(3.0) * F.col("area2x").cast("double")))
+         / F.lit(scale)).alias("cy_deg"),
+    )

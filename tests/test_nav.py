@@ -179,3 +179,59 @@ def test_sphere_ring_area_square_and_numpy_parity(spark):
         phi2, lam2 = np.roll(phi, -1), np.roll(lam, -1)
         want = abs(np.sum((lam2 - lam) * (2 + np.sin(phi) + np.sin(phi2)))) * (R * R / 2)
         assert abs(got[g][1] - want) < 1e-6 * max(1.0, want), g
+
+
+def test_ring_centroid_square_center_and_model_parity(spark):
+    """Area-weighted centroid of an axis-aligned square is its exact
+    center (where the vertex mean would drift if vertices are uneven);
+    random rings match the numpy restatement; orientation (CW vs CCW)
+    does not change the centroid (signs cancel)."""
+    from osmflat_rs_spark.functions.geo import ring_centroid_stats
+
+    rng = np.random.default_rng(37)
+    rows = []
+    # group 0: square with an EXTRA collinear vertex on one edge — the
+    # vertex mean is biased toward that edge, the area centroid is not
+    sq = [(524_000_000, 132_000_000), (524_000_000, 132_200_000),
+          (524_000_000, 132_400_000),  # extra collinear vertex: the
+          # first three share lat, so the south edge carries 3 of the
+          # 5 vertices and biases the vertex mean
+          (524_400_000, 132_400_000), (524_400_000, 132_000_000)]
+    for s, (la, lo) in enumerate(sq):
+        rows.append((0, s, la, lo))
+    for g in (1, 2):
+        n = int(rng.integers(4, 20))
+        for s in range(n):
+            rows.append((g, s,
+                         int(524_000_000 + rng.integers(0, 2_000_000)),
+                         int(132_000_000 + rng.integers(0, 4_000_000))))
+    # group 3: group 1 reversed (opposite orientation)
+    g1 = sorted([r for r in rows if r[0] == 1], key=lambda r: r[1])
+    for s, r in enumerate(reversed(g1)):
+        rows.append((3, s, r[2], r[3]))
+    df = spark.createDataFrame(rows, "user_id long, seq long, lat long, lon long")
+    got = {
+        r["user_id"]: r
+        for r in ring_centroid_stats(
+            df, "user_id", ["seq"], lat0=524_000_000, lon0=132_000_000
+        ).collect()
+    }
+    assert abs(got[0]["cx_deg"] - 13.22) < 1e-9      # center lon
+    assert abs(got[0]["cy_deg"] - 52.42) < 1e-9      # center lat
+    # orientation invariance
+    assert abs(got[1]["cx_deg"] - got[3]["cx_deg"]) < 1e-9
+    assert abs(got[1]["cy_deg"] - got[3]["cy_deg"]) < 1e-9
+    assert got[1]["area2x"] == -got[3]["area2x"]
+    # numpy model parity
+    for g in (1, 2):
+        pts = sorted([r for r in rows if r[0] == g], key=lambda r: r[1])
+        y = np.array([p[2] - 524_000_000 for p in pts], dtype=np.int64)
+        x = np.array([p[3] - 132_000_000 for p in pts], dtype=np.int64)
+        xn, yn = np.roll(x, -1), np.roll(y, -1)
+        cross = x * yn - xn * y
+        a2 = int(cross.sum())
+        cx = (132_000_000 + float(((x + xn).astype(float) * cross.astype(float)).sum()) / (3.0 * a2)) / 1e7
+        cy = (524_000_000 + float(((y + yn).astype(float) * cross.astype(float)).sum()) / (3.0 * a2)) / 1e7
+        assert got[g]["area2x"] == a2
+        assert abs(got[g]["cx_deg"] - cx) < 1e-9
+        assert abs(got[g]["cy_deg"] - cy) < 1e-9
