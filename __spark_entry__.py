@@ -1655,6 +1655,36 @@ def q_hillshade_events(spark, sf_dir):
     )
 
 
+# pentagram AOI (self-intersecting ring): the canonical fill-rule
+# separator — its core is inside under NONZERO winding, outside under
+# even-odd. Vertices P0..P4 at 72° steps connected 0-2-4-1-3 (lat, lon).
+PENTAGRAM = [
+    (525600000, 134000000), (524514590, 133529772), (525185410, 134760845),
+    (525185410, 133239155), (524514590, 134470228),
+]
+
+
+def q_pip_winding_events(spark, sf_dir):
+    """Point-in-polygon under the NONZERO winding fill rule
+    (SVG/PostScript) against the self-intersecting pentagram AOI —
+    the rule where the star's core counts as inside (even-odd excludes
+    it; the unit tests pin the contrast). Engine: pip_join_direct —
+    broadcast bbox prefilter JVM-side, exact int64 signed-crossing
+    refine in one Arrow batch, the point side never shuffles. Oracle:
+    per-edge signed-crossing sum + boundary test with the kernel's
+    exact half-open/strict-left conventions."""
+    from osmflat_rs_spark.operators.spatial_join import pip_join_direct
+
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    polys = spark.createDataFrame(
+        [("star", [(la, lo) for (la, lo) in PENTAGRAM], "aoi")],
+        schema="polygon_id string, ring array<struct<lat:long,lon:long>>, kind string",
+    )
+    return pip_join_direct(
+        pts, polys, point_id="event_id", fill_rule="nonzero"
+    ).select("polygon_id", "event_id")
+
+
 def q_kde_events(spark, sf_dir):
     """Grid kernel-density surface: per occupied cell, the Epanechnikov-
     weighted neighbor count within Chebyshev radius 2 (bandwidth 3
@@ -3502,6 +3532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_index_events": q_cell_index_events,
         "focal_grid_events": q_focal_grid_events,
         "kde_events": q_kde_events,
+        "pip_winding_events": q_pip_winding_events,
         "hillshade_events": q_hillshade_events,
         "contour_events": q_contour_events,
         "pip_anti_events": q_pip_anti_events,
@@ -5059,6 +5090,30 @@ def oracle_sql() -> dict[str, str]:
                          0.7071067811865476 * COS(slope)
                          + 0.7071067811865475 * SIN(slope) * COS(2.356194490192345 - aspect)), 4) AS hillshade
             FROM t
+        """,
+        "pip_winding_events": f"""
+            WITH pts AS (SELECT event_id, lat AS py, lon AS px FROM {synth}),
+            e(x1, y1, x2, y2) AS (VALUES (134000000, 525600000, 133529772, 524514590), (133529772, 524514590, 134760845, 525185410), (134760845, 525185410, 133239155, 525185410), (133239155, 525185410, 134470228, 524514590), (134470228, 524514590, 134000000, 525600000)),
+            t AS (
+              SELECT p.event_id,
+                MAX(CASE WHEN (e.x2 - e.x1) * (p.py - e.y1)
+                              = (e.y2 - e.y1) * (p.px - e.x1)
+                          AND p.px BETWEEN LEAST(e.x1, e.x2) AND GREATEST(e.x1, e.x2)
+                          AND p.py BETWEEN LEAST(e.y1, e.y2) AND GREATEST(e.y1, e.y2)
+                     THEN 1 ELSE 0 END) AS on_boundary,
+                SUM(CASE WHEN (e.y1 > p.py) <> (e.y2 > p.py) THEN
+                      CASE WHEN e.y2 - e.y1 > 0
+                             AND (e.y2 - e.y1) * (p.px - e.x1)
+                               < (e.x2 - e.x1) * (p.py - e.y1) THEN 1
+                           WHEN e.y2 - e.y1 < 0
+                             AND (e.y2 - e.y1) * (p.px - e.x1)
+                               > (e.x2 - e.x1) * (p.py - e.y1) THEN -1
+                           ELSE 0 END
+                    ELSE 0 END) AS winding
+              FROM pts p CROSS JOIN e GROUP BY p.event_id
+            )
+            SELECT 'star' AS polygon_id, event_id
+            FROM t WHERE on_boundary = 1 OR winding <> 0
         """,
         "kde_events": f"""
             WITH pts AS (SELECT * FROM {synth}),

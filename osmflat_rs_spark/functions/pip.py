@@ -33,38 +33,58 @@ def points_in_polygon(px: np.ndarray, py: np.ndarray, xs: np.ndarray, ys: np.nda
     vertices (implicit closure). Returns bool array; boundary counts as
     inside. All comparisons are integer-exact.
     """
-    boundary, parity = _ring_tests(px, py, xs, ys)
+    boundary, parity, _ = _ring_tests(px, py, xs, ys)
     return boundary | parity
 
 
-def points_in_rings(px: np.ndarray, py: np.ndarray, rings: list[tuple[np.ndarray, np.ndarray]]) -> np.ndarray:
-    """Multi-ring EVEN-ODD containment (r4: polygons with holes).
+def points_in_rings(
+    px: np.ndarray,
+    py: np.ndarray,
+    rings: list[tuple[np.ndarray, np.ndarray]],
+    fill_rule: str = "evenodd",
+) -> np.ndarray:
+    """Multi-ring containment (r4: polygons with holes; r5: fill rule).
+
+    ``fill_rule``: ``"evenodd"`` (default — XOR of per-ring crossing
+    parities, the OGC/reference multipolygon rule; orientation-blind,
+    so nested islands come out right regardless of winding) or
+    ``"nonzero"`` (the SVG/PostScript winding rule: sum of SIGNED ray
+    crossings != 0). The rules differ on self-intersecting rings — a
+    pentagram's core is INSIDE under nonzero, outside under even-odd —
+    and under nonzero, holes must wind OPPOSITE to the outer ring to
+    subtract.
 
     ``rings`` is [(xs, ys), ...] — conventionally rings[0] the outer
-    ring and the rest holes, but the rule is pure even-odd (XOR of
-    per-ring crossing parities), so nested islands (ring in hole in
-    outer) come out right too. A point ON ANY ring boundary counts as
-    inside — the polygon's boundary includes its holes' boundaries
-    (matching the single-ring kernel's boundary-inclusive contract).
+    ring and the rest holes. A point ON ANY ring boundary counts as
+    inside under both rules — the polygon's boundary includes its
+    holes' boundaries (matching the single-ring kernel's
+    boundary-inclusive contract).
 
     Reference anchor: the reference assembles only ``role == "outer"``
     rings (osmflat/examples/render-features.rs:133-149); this extends
     the same multipolygon relation model to ``role='inner'`` members
     (VERDICT r03 "What's missing" #1)."""
+    if fill_rule not in ("evenodd", "nonzero"):
+        raise ValueError(f"fill_rule must be 'evenodd' or 'nonzero', got {fill_rule!r}")
     px = np.asarray(px, dtype=np.int64)
     py = np.asarray(py, dtype=np.int64)
     parity = np.zeros(px.shape[0], dtype=bool)
     boundary = np.zeros(px.shape[0], dtype=bool)
+    winding = np.zeros(px.shape[0], dtype=np.int64)
     for xs, ys in rings:
-        b, p = _ring_tests(px, py, xs, ys)
+        b, p, w = _ring_tests(px, py, xs, ys)
         parity ^= p
+        winding += w
         boundary |= b
+    if fill_rule == "nonzero":
+        return boundary | (winding != 0)
     return boundary | parity
 
 
-def _ring_tests(px: np.ndarray, py: np.ndarray, xs: np.ndarray, ys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """(on_boundary, crossing_parity) for one ring — the composable form
-    the even-odd multi-ring rule XORs/ORs over."""
+def _ring_tests(px: np.ndarray, py: np.ndarray, xs: np.ndarray, ys: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(on_boundary, crossing_parity, signed_winding) for one ring — the
+    composable form the multi-ring rules XOR (even-odd) or sum
+    (nonzero winding) over."""
     px = np.asarray(px, dtype=np.int64)
     py = np.asarray(py, dtype=np.int64)
     xs = np.asarray(xs, dtype=np.int64)
@@ -72,6 +92,7 @@ def _ring_tests(px: np.ndarray, py: np.ndarray, xs: np.ndarray, ys: np.ndarray) 
     _assert_domain(px, py, xs, ys)
     boundary = np.zeros(px.shape[0], dtype=bool)
     parity = np.zeros(px.shape[0], dtype=bool)
+    winding = np.zeros(px.shape[0], dtype=np.int64)
     # chunk sized so E*chunk stays bounded: the kernel materializes ~8
     # (E x chunk) int64/bool intermediates, so a fixed 65536-point chunk
     # against a 100k-vertex ring would need ~52 GB per array (executor
@@ -79,10 +100,11 @@ def _ring_tests(px: np.ndarray, py: np.ndarray, xs: np.ndarray, ys: np.ndarray) 
     # of ring size (r3 review)
     chunk = max(1, min(_CHUNK, _ELEM_BUDGET // max(1, xs.shape[0])))
     for s in range(0, px.shape[0], chunk):
-        b, p = _pip_chunk(px[s : s + chunk], py[s : s + chunk], xs, ys)
+        b, p, w = _pip_chunk(px[s : s + chunk], py[s : s + chunk], xs, ys)
         boundary[s : s + chunk] = b
         parity[s : s + chunk] = p
-    return boundary, parity
+        winding[s : s + chunk] = w
+    return boundary, parity, winding
 
 
 _LON_BOUND = 1_800_000_000  # ±180° fixed-point
@@ -143,9 +165,14 @@ def _pip_chunk(px: np.ndarray, py: np.ndarray, xs: np.ndarray, ys: np.ndarray) -
     # point is strictly left of the edge at ray height:
     #   px < x1 + (py-y1) * dxe/dye  ⟺  sign-aware integer compare
     left = np.where(dye > 0, rhs < lhs, rhs > lhs)
-    crossings = (straddles & left).sum(axis=0)
+    hits = straddles & left
+    crossings = hits.sum(axis=0)
+    # signed winding: upward edges (dye > 0) +1, downward -1 — same
+    # half-open straddle and strict-left tests, so parity == (|winding
+    # contributions| count) % 2 by construction
+    winding = (hits * np.where(dye > 0, np.int64(1), np.int64(-1))).sum(axis=0)
 
-    return on_boundary, (crossings % 2 == 1)
+    return on_boundary, (crossings % 2 == 1), winding
 
 
 def convex_contains(px: np.ndarray, py: np.ndarray, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
@@ -235,14 +262,20 @@ class PolygonIndex:
     def rings_of(self, i: int) -> list[tuple[np.ndarray, np.ndarray]]:
         return [self.ring(i, r) for r in range(self.n_rings(i))]
 
-    def contains(self, i: int, px: np.ndarray, py: np.ndarray) -> np.ndarray:
-        """bbox pre-filter then exact even-odd PIP for polygon ``i`` over
-        a point batch — the per-(cell, polygon) refinement kernel."""
+    def contains(
+        self, i: int, px: np.ndarray, py: np.ndarray, fill_rule: str = "evenodd"
+    ) -> np.ndarray:
+        """bbox pre-filter then exact PIP for polygon ``i`` over a point
+        batch — the per-(cell, polygon) refinement kernel. ``fill_rule``
+        as in :func:`points_in_rings` (even-odd default; "nonzero" for
+        the SVG winding rule over self-intersecting rings)."""
         xmin, xmax, ymin, ymax = self.bbox[i]
         cand = (px >= xmin) & (px <= xmax) & (py >= ymin) & (py <= ymax)
         out = np.zeros(px.shape[0], dtype=bool)
         if cand.any():
-            out[cand] = points_in_rings(px[cand], py[cand], self.rings_of(i))
+            out[cand] = points_in_rings(
+                px[cand], py[cand], self.rings_of(i), fill_rule=fill_rule
+            )
         return out
 
 

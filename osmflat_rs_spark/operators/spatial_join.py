@@ -707,3 +707,86 @@ def polygon_intersect_join(
             yield pdf.loc[keep, ["id_a", "id_b"]]
 
     return pairs.mapInPandas(_verify, schema=f"id_a {ta}, id_b {tb}")
+
+
+def pip_join_direct(
+    points: DataFrame,
+    polygons: DataFrame,
+    point_id: str = "node_idx",
+    lat: str = "lat",
+    lon: str = "lon",
+    fill_rule: str = "evenodd",
+) -> DataFrame:
+    """→ DataFrame(polygon_id, <point_id>) — exact containment pairs
+    under an explicit FILL RULE: "evenodd" (the two-phase joins' rule)
+    or "nonzero" (SVG/PostScript winding — the rules differ on
+    self-intersecting rings; see functions/pip.points_in_rings).
+
+    The DIRECT broadcast form: no cell cover — polygons broadcast as a
+    packed index, the point table pre-filters against a broadcast bbox
+    table JVM-side (BroadcastNestedLoopJoin on four range predicates),
+    and surviving (point, polygon) candidates refine in one Arrow
+    batch. Scale contract: AOI-scale polygon sets (the geofence/clip
+    regime, 10s–1000s of polygons whose bboxes are selective); the
+    point side — the 10^12-row side — never shuffles. For large or
+    dense polygon tables use `pip_join`/`pip_join_shuffle` (even-odd
+    only: their interior-cell short-circuit classifies covers with the
+    even-odd kernel, so a nonzero-rule cover would need its own
+    classified-cover construction — out of contract here)."""
+    import pandas as pd
+
+    spark = points.sparkSession
+    index = build_polygon_index(polygons)
+    if fill_rule not in ("evenodd", "nonzero"):
+        raise ValueError(f"fill_rule must be 'evenodd' or 'nonzero', got {fill_rule!r}")
+
+    boxes = pd.DataFrame(
+        {
+            "polygon_id": list(index.ids),
+            "_xmin": index.bbox[:, 0],
+            "_xmax": index.bbox[:, 1],
+            "_ymin": index.bbox[:, 2],
+            "_ymax": index.bbox[:, 3],
+        }
+    )
+    bdf = spark.createDataFrame(boxes)
+    pts = points.select(
+        F.col(point_id).alias("_pt_id"),
+        F.col(lat).cast("long").alias("_lat"),
+        F.col(lon).cast("long").alias("_lon"),
+    )
+    cand = pts.join(
+        F.broadcast(bdf),
+        (F.col("_lon") >= F.col("_xmin"))
+        & (F.col("_lon") <= F.col("_xmax"))
+        & (F.col("_lat") >= F.col("_ymin"))
+        & (F.col("_lat") <= F.col("_ymax")),
+    ).select("_pt_id", "_lat", "_lon", "polygon_id")
+
+    bc = spark.sparkContext.broadcast(index)
+    id_dtype = dict(points.dtypes)[point_id]
+
+    def refine(batches):
+        idx: PolygonIndex = bc.value
+        id_to_i = {pid: i for i, pid in enumerate(idx.ids)}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            keep_parts = []
+            for pid, grp in pdf.groupby("polygon_id", sort=False):
+                mask = idx.contains(
+                    id_to_i[pid],
+                    grp["_lon"].to_numpy(np.int64),
+                    grp["_lat"].to_numpy(np.int64),
+                    fill_rule=fill_rule,
+                )
+                if mask.any():
+                    out = grp.loc[mask, ["_pt_id"]].copy()
+                    out["polygon_id"] = pid
+                    keep_parts.append(out)
+            if keep_parts:
+                yield pd.concat(keep_parts)[["polygon_id", "_pt_id"]]
+
+    return cand.mapInPandas(
+        refine, schema=f"polygon_id string, _pt_id {id_dtype}"
+    ).withColumnRenamed("_pt_id", point_id)

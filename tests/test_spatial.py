@@ -663,3 +663,55 @@ def test_kmeans_assign_step_exact_model(spark):
     assert [(r["cluster"], r["n"]) for r in out] == [(0, 1)]
     with _pytest.raises(ValueError):
         kmeans_assign_step(tie, [])
+
+
+def test_pip_join_direct_fill_rules_pentagram_and_evenodd_parity(spark, tables, model, poly_df, poly_pdf):
+    """Fill rules: the pentagram's CORE is inside under nonzero and
+    outside under even-odd; the star's five tips are inside under both;
+    and on simple (non-self-intersecting) polygons pip_join_direct
+    agrees with the two-phase pip_join pair-for-pair under BOTH rules."""
+    import numpy as np
+    import pandas as pd
+
+    from osmflat_rs_spark.operators.spatial_join import pip_join, pip_join_direct
+
+    penta = [
+        (525600000, 134000000), (524514590, 133529772), (525185410, 134760845),
+        (525185410, 133239155), (524514590, 134470228),
+    ]
+    polys = spark.createDataFrame(
+        [("star", [(la, lo) for (la, lo) in penta], "aoi")],
+        schema="polygon_id string, ring array<struct<lat:long,lon:long>>, kind string",
+    )
+    # core point = centroid of the inner pentagon region; tip points just
+    # inside each star point; outside points beyond the bbox
+    probe = [(0, 525_000_000, 134_000_000)]                   # core
+    for i, (la, lo) in enumerate(penta):
+        # nudge 2% toward the center: strictly inside the tip triangle
+        probe.append((10 + i,
+                      int(la + (525_000_000 - la) * 0.02),
+                      int(lo + (134_000_000 - lo) * 0.02)))
+    probe.append((99, 526_500_000, 134_000_000))              # outside bbox
+    pts = spark.createDataFrame(probe, "event_id long, lat long, lon long")
+    nz = {r["event_id"] for r in pip_join_direct(
+        pts, polys, point_id="event_id", fill_rule="nonzero").collect()}
+    eo = {r["event_id"] for r in pip_join_direct(
+        pts, polys, point_id="event_id", fill_rule="evenodd").collect()}
+    assert 0 in nz and 0 not in eo            # the core separates the rules
+    tips = {10, 11, 12, 13, 14}
+    assert tips <= nz and tips <= eo
+    assert 99 not in nz and 99 not in eo
+
+    # simple polygons: direct == two-phase under both rules
+    want = {
+        (r["polygon_id"], r["node_idx"])
+        for r in pip_join(tables["nodes"], poly_df).collect()
+    }
+    for rule in ("evenodd", "nonzero"):
+        got = {
+            (r["polygon_id"], r["node_idx"])
+            for r in pip_join_direct(
+                tables["nodes"], poly_df, fill_rule=rule
+            ).collect()
+        }
+        assert got == want, rule
