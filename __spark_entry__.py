@@ -504,6 +504,25 @@ def q_ring_centroid_users(spark, sf_dir):
     )
 
 
+def q_compactness_users(spark, sf_dir):
+    """Per-user ring perimeter + Polsby-Popper compactness (4πA/P² —
+    the isoperimetric shape quotient) over the same ordered event
+    rings: haversine perimeter along the wrapped closed ring +
+    Chamberlain-Duquette spherical area, one window shuffle. Oracle
+    mirrors both folds (reference-order haversine, CD term) and the
+    quotient; perimeter ROUND(2), area ROUND(2), PP ROUND(8)."""
+    from osmflat_rs_spark.functions.geo import ring_compactness
+
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    out = ring_compactness(pts, "user_id", ["ts", "event_id"])
+    return out.select(
+        "user_id", "n_vertices",
+        F.round("perimeter_m", 2).alias("perimeter_m"),
+        F.round("area_m2", 2).alias("area_m2"),
+        F.round("polsby_popper", 8).alias("polsby_popper"),
+    )
+
+
 def q_ring_normalize_users(spark, sf_dir):
     """Ring-orientation normalization (``geo.normalize_rings``, r5) —
     the OGC winding repair (outer CCW / holes CW) over each user's
@@ -3492,6 +3511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rhumb_events": q_rhumb_events,
         "ring_area_users": q_ring_area_users,
         "ring_centroid_users": q_ring_centroid_users,
+        "compactness_users": q_compactness_users,
         "sphere_area_users": q_sphere_area_users,
         "ring_normalize_users": q_ring_normalize_users,
         "cms_heavy_users": q_cms_heavy_users,
@@ -3805,6 +3825,46 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(ABS(SUM((lam2 - lam) * (2 + SIN(phi) + SIN(phi2))))
                          * (CAST(6372797.560856 AS DOUBLE) * CAST(6372797.560856 AS DOUBLE) / 2), 2) AS area_m2
             FROM c GROUP BY user_id
+        """,
+        "compactness_users": f"""
+            WITH s AS (
+              SELECT user_id, ts, event_id,
+                     lat / 10000000.0 AS la, lon / 10000000.0 AS lo
+              FROM {synth}
+            ),
+            c AS (
+              SELECT user_id, la, lo,
+                     COALESCE(LEAD(la) OVER w, FIRST_VALUE(la) OVER w2) AS la2,
+                     COALESCE(LEAD(lo) OVER w, FIRST_VALUE(lo) OVER w2) AS lo2
+              FROM s
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+                     w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND UNBOUNDED FOLLOWING)
+            ),
+            t AS (
+              SELECT user_id,
+                2 * ASIN(SQRT(
+                    SIN((RADIANS(la2) - RADIANS(la)) / 2)
+                      * SIN((RADIANS(la2) - RADIANS(la)) / 2)
+                  + COS(RADIANS(la)) * COS(RADIANS(la2))
+                      * SIN((RADIANS(lo2) - RADIANS(lo)) / 2)
+                      * SIN((RADIANS(lo2) - RADIANS(lo)) / 2)
+                )) * CAST(6372797.560856 AS DOUBLE) AS seg,
+                (RADIANS(lo2) - RADIANS(lo))
+                  * (2 + SIN(RADIANS(la)) + SIN(RADIANS(la2))) AS cd
+              FROM c
+            ),
+            g AS (
+              SELECT user_id, COUNT(*) AS n, SUM(seg) AS p,
+                     ABS(SUM(cd)) * (CAST(6372797.560856 AS DOUBLE)
+                                     * CAST(6372797.560856 AS DOUBLE) / 2) AS a
+              FROM t GROUP BY user_id
+            )
+            SELECT user_id, CAST(n AS BIGINT) AS n_vertices,
+                   ROUND(p, 2) AS perimeter_m, ROUND(a, 2) AS area_m2,
+                   ROUND(12.566370614359172 * a / (p * p), 8) AS polsby_popper
+            FROM g WHERE p > 0
         """,
         "ring_centroid_users": f"""
             WITH tr AS (

@@ -533,3 +533,63 @@ def ring_centroid_stats(
         ((F.lit(float(lat0)) + F.col("_cyn") / (F.lit(3.0) * F.col("area2x").cast("double")))
          / F.lit(scale)).alias("cy_deg"),
     )
+
+
+def ring_compactness(
+    pts,
+    group_cols,
+    order_cols,
+    lat: str = "lat",
+    lon: str = "lon",
+):
+    """Per-group ring perimeter + Polsby-Popper compactness — the
+    isoperimetric-quotient shape metric (Polsby & Popper 1991, the
+    gerrymandering-literature standard): PP = 4*pi*A / P^2, 1.0 for a
+    circle, → 0 as the ring contorts. A is the Chamberlain-Duquette
+    spherical area (`sphere_ring_area_m2`), P the haversine perimeter
+    along the closed ring (wrapped lead, reference formula order).
+    One window shuffle + the groupBy it satisfies.
+
+    → (*group_cols, n_vertices, perimeter_m, area_m2, polsby_popper).
+    Groups with a zero perimeter (all points identical) are dropped —
+    the quotient is undefined there."""
+    import math as _math
+
+    from pyspark.sql import Window
+
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    w = Window.partitionBy(*groups).orderBy(*order_cols)
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    base = pts.select(
+        *groups,
+        *order_cols,
+        to_degrees(F.col(lat)).alias("_la"),
+        to_degrees(F.col(lon)).alias("_lo"),
+    )
+    closed = base.select(
+        *groups,
+        "_la",
+        "_lo",
+        F.coalesce(F.lead("_la").over(w), F.first("_la").over(wfull)).alias("_la2"),
+        F.coalesce(F.lead("_lo").over(w), F.first("_lo").over(wfull)).alias("_lo2"),
+    )
+    seg = haversine_m(F.col("_la"), F.col("_lo"), F.col("_la2"), F.col("_lo2"))
+    phi = F.radians(F.col("_la"))
+    phi2 = F.radians(F.col("_la2"))
+    cd_term = (F.radians(F.col("_lo2")) - F.radians(F.col("_lo"))) * (
+        F.lit(2.0) + F.sin(phi) + F.sin(phi2)
+    )
+    half_r2 = EARTH_RADIUS_M * EARTH_RADIUS_M / 2.0
+    agg = closed.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.sum(seg).alias("perimeter_m"),
+        (F.abs(F.sum(cd_term)) * F.lit(half_r2)).alias("area_m2"),
+    )
+    pp = (
+        F.lit(4.0 * _math.pi)
+        * F.col("area_m2")
+        / (F.col("perimeter_m") * F.col("perimeter_m"))
+    )
+    return agg.filter(F.col("perimeter_m") > 0).select(
+        *groups, "n_vertices", "perimeter_m", "area_m2", pp.alias("polsby_popper")
+    )

@@ -235,3 +235,45 @@ def test_ring_centroid_square_center_and_model_parity(spark):
         assert got[g]["area2x"] == a2
         assert abs(got[g]["cx_deg"] - cx) < 1e-9
         assert abs(got[g]["cy_deg"] - cy) < 1e-9
+
+
+def test_ring_compactness_circle_square_ordering(spark):
+    """Polsby-Popper: a 64-gon 'circle' scores ~1 (>0.99), an
+    axis-aligned square ~pi/4, and a long thin rectangle far less —
+    the canonical compactness ordering; perimeter matches the summed
+    haversine model."""
+    from osmflat_rs_spark.functions.geo import haversine_m  # noqa: F401
+    from osmflat_rs_spark.functions.geo import ring_compactness
+
+    rows = []
+    # 64-gon around (52.5, 13.4), radius ~0.05 deg lat (lon scaled by
+    # 1/cos(lat) so the shape is metrically round)
+    k = math.cos(math.radians(52.5))
+    for s in range(64):
+        th = 2 * math.pi * s / 64
+        rows.append((0, s,
+                     int(525_000_000 + 500_000 * math.sin(th)),
+                     int(134_000_000 + 500_000 / k * math.cos(th))))
+    # square ~ 0.04 x 0.04 deg-lat-equivalent
+    sqv = [(0, 0), (0, 1), (1, 1), (1, 0)]
+    for s, (a, b) in enumerate(sqv):
+        rows.append((1, s,
+                     524_000_000 + a * 400_000,
+                     132_000_000 + int(b * 400_000 / k)))
+    # 16:1 thin rectangle of the same area
+    for s, (a, b) in enumerate(sqv):
+        rows.append((2, s,
+                     524_000_000 + a * 100_000,
+                     132_000_000 + int(b * 1_600_000 / k)))
+    df = spark.createDataFrame(rows, "user_id long, seq long, lat long, lon long")
+    got = {
+        r["user_id"]: r
+        for r in ring_compactness(df, "user_id", ["seq"]).collect()
+    }
+    assert got[0]["polsby_popper"] > 0.99
+    assert abs(got[1]["polsby_popper"] - math.pi / 4) < 0.01
+    assert got[2]["polsby_popper"] < 0.45
+    assert got[0]["polsby_popper"] > got[1]["polsby_popper"] > got[2]["polsby_popper"]
+    # perimeter of the square ~ 4 * 0.04deg-lat in meters (within 0.5%)
+    side = math.radians(0.04) * R
+    assert abs(got[1]["perimeter_m"] - 4 * side) / (4 * side) < 0.005
