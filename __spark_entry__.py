@@ -523,6 +523,65 @@ def q_compactness_users(spark, sf_dir):
     )
 
 
+GEOMEDIAN_ITERS = 5
+
+
+def q_geomedian_users(spark, sf_dir):
+    """Per-user geometric median (Weiszfeld, 5 fixed rounds from the
+    exact-decimal mean-center init) — the robust central point.
+    Engine: per round one broadcast join + one map-side aggregate;
+    oracle: the identical rounds as chained CTEs. Group double sums
+    reorder across engines at ~1e-15 relative; output ROUND(2) in
+    fixed-point units leaves 5 orders of margin."""
+    from osmflat_rs_spark.operators.hotspot import geometric_median
+
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    out = geometric_median(pts, "user_id", iters=GEOMEDIAN_ITERS)
+    return out.select(
+        "user_id", "n",
+        F.round("med_lat", 2).alias("med_lat"),
+        F.round("med_lon", 2).alias("med_lon"),
+    )
+
+
+def _geomedian_oracle_sql() -> str:
+    ctes = [
+        f"s AS (SELECT user_id, lat, lon FROM ({_SYNTH_SQL}))",
+        "m0 AS (SELECT user_id, COUNT(*) AS n,\n"
+        "  CAST(SUM(CAST(lat AS HUGEINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS cy,\n"
+        "  CAST(SUM(CAST(lon AS HUGEINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS cx\n"
+        "  FROM s GROUP BY user_id)",
+    ]
+    for t in range(GEOMEDIAN_ITERS):
+        ctes.append(
+            f"j{t + 1} AS (SELECT e.user_id, m.n, m.cy AS py, m.cx AS px,\n"
+            f"  SQRT((CAST(e.lon AS DOUBLE) - m.cx) * (CAST(e.lon AS DOUBLE) - m.cx)\n"
+            f"     + (CAST(e.lat AS DOUBLE) - m.cy) * (CAST(e.lat AS DOUBLE) - m.cy)) AS d,\n"
+            f"  CAST(e.lat AS DOUBLE) AS y, CAST(e.lon AS DOUBLE) AS x\n"
+            f"  FROM s e JOIN m{t} m ON m.user_id = e.user_id)"
+        )
+        ctes.append(
+            f"m{t + 1} AS (SELECT user_id, MAX(n) AS n,\n"
+            f"  CASE WHEN SUM(CASE WHEN d > 0.0 THEN 1.0 / d ELSE 0.0 END) > 0\n"
+            f"       THEN SUM(CASE WHEN d > 0.0 THEN (1.0 / d) * y ELSE 0.0 END)\n"
+            f"          / SUM(CASE WHEN d > 0.0 THEN 1.0 / d ELSE 0.0 END)\n"
+            f"       ELSE MAX(py) END AS cy,\n"
+            f"  CASE WHEN SUM(CASE WHEN d > 0.0 THEN 1.0 / d ELSE 0.0 END) > 0\n"
+            f"       THEN SUM(CASE WHEN d > 0.0 THEN (1.0 / d) * x ELSE 0.0 END)\n"
+            f"          / SUM(CASE WHEN d > 0.0 THEN 1.0 / d ELSE 0.0 END)\n"
+            f"       ELSE MAX(px) END AS cx\n"
+            f"  FROM j{t + 1} GROUP BY user_id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT user_id, CAST(n AS BIGINT) AS n,
+               ROUND(cy, 2) AS med_lat, ROUND(cx, 2) AS med_lon
+        FROM m{GEOMEDIAN_ITERS}
+        """
+    )
+
+
 def q_ring_normalize_users(spark, sf_dir):
     """Ring-orientation normalization (``geo.normalize_rings``, r5) —
     the OGC winding repair (outer CCW / holes CW) over each user's
@@ -3512,6 +3571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ring_area_users": q_ring_area_users,
         "ring_centroid_users": q_ring_centroid_users,
         "compactness_users": q_compactness_users,
+        "geomedian_users": q_geomedian_users,
         "sphere_area_users": q_sphere_area_users,
         "ring_normalize_users": q_ring_normalize_users,
         "cms_heavy_users": q_cms_heavy_users,
@@ -4424,6 +4484,7 @@ def oracle_sql() -> dict[str, str]:
                     JOIN deg db ON db.node = np.node_b
         """,
         "kcore_graph": _kcore_oracle_sql(),
+        "geomedian_users": _geomedian_oracle_sql(),
         "lpa_graph": _lpa_oracle_sql(),
         "clustering_graph": f"""
             WITH ge AS ({_GATE_GRAPH_SQL}),

@@ -334,3 +334,80 @@ def mean_center(
         F.round(F.sqrt(var_lat + var_lon), 6).alias("std_dist"),
         F.round(theta, 6).alias("ellipse_theta"),
     )
+
+
+def geometric_median(
+    pts: DataFrame,
+    group_col: str,
+    lat: str = "lat",
+    lon: str = "lon",
+    iters: int = 5,
+    broadcast_medians: bool = True,
+) -> DataFrame:
+    """Per-group GEOMETRIC MEDIAN (the L1/Fermat point — the robust
+    companion of `mean_center`: minimizes the SUM of distances, so one
+    far outlier moves it barely at all) by a FIXED number of Weiszfeld
+    iterations (Weiszfeld 1937): m' = sum(p/d) / sum(1/d) with d the
+    euclidean distance to the current estimate; points exactly AT the
+    estimate contribute 0 that round (the standard simple variant —
+    mirrored verbatim in the oracle); if every point coincides (all
+    d = 0) the estimate is already the median and is kept.
+
+    Fixed ``iters`` is the determinism contract (like the LPA rounds):
+    run-to-convergence depends on float tolerance; five rounds from the
+    mean-center init resolve typical clouds to ~1e-6 of the fixpoint.
+
+    Scale shape per round: one join of the one-row-per-group medians
+    table onto the points (broadcast by default — pass
+    ``broadcast_medians=False`` when the group count itself is huge)
+    + one map-side-combined aggregate. Init = exact-decimal mean center
+    (the `mean_center` discipline). → (group, n, med_lat, med_lon),
+    fixed-point doubles."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    dec = "decimal(38,0)"
+    base = pts.select(
+        F.col(group_col).alias("_g"),
+        F.col(lat).cast("long").alias("_y"),
+        F.col(lon).cast("long").alias("_x"),
+    ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    init = base.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_y").cast(dec)).alias("_sy"),
+        F.sum(F.col("_x").cast(dec)).alias("_sx"),
+    )
+    med = init.select(
+        "_g",
+        "n",
+        (F.col("_sy").cast("double") / F.col("n").cast("double")).alias("_cy"),
+        (F.col("_sx").cast("double") / F.col("n").cast("double")).alias("_cx"),
+    )
+    for _ in range(iters):
+        m = F.broadcast(med) if broadcast_medians else med
+        j = base.join(m, "_g")
+        dx = F.col("_x").cast("double") - F.col("_cx")
+        dy = F.col("_y").cast("double") - F.col("_cy")
+        d = F.sqrt(dx * dx + dy * dy)
+        w = F.when(d > F.lit(0.0), F.lit(1.0) / d).otherwise(F.lit(0.0))
+        upd = j.groupBy("_g").agg(
+            F.first("n").alias("n"),
+            F.first("_cy").alias("_py"),
+            F.first("_cx").alias("_px"),
+            F.sum(w * F.col("_y").cast("double")).alias("_wy"),
+            F.sum(w * F.col("_x").cast("double")).alias("_wx"),
+            F.sum(w).alias("_sw"),
+        )
+        med = upd.select(
+            "_g",
+            "n",
+            F.when(F.col("_sw") > 0, F.col("_wy") / F.col("_sw"))
+            .otherwise(F.col("_py")).alias("_cy"),
+            F.when(F.col("_sw") > 0, F.col("_wx") / F.col("_sw"))
+            .otherwise(F.col("_px")).alias("_cx"),
+        )
+    return med.select(
+        F.col("_g").alias(group_col),
+        "n",
+        F.col("_cy").alias("med_lat"),
+        F.col("_cx").alias("med_lon"),
+    )

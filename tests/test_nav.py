@@ -277,3 +277,48 @@ def test_ring_compactness_circle_square_ordering(spark):
     # perimeter of the square ~ 4 * 0.04deg-lat in meters (within 0.5%)
     side = math.radians(0.04) * R
     assert abs(got[1]["perimeter_m"] - 4 * side) / (4 * side) < 0.005
+
+
+def test_geometric_median_robustness_and_model_parity(spark):
+    """The geometric median barely moves under one far outlier (where
+    the mean center lurches toward it); values match a numpy Weiszfeld
+    restatement with the identical skip-at-zero rule; a group whose
+    points all coincide returns that point."""
+    from osmflat_rs_spark.operators.hotspot import geometric_median, mean_center
+
+    rng = np.random.default_rng(61)
+    rows = []
+    cloud = [(int(524_000_000 + rng.integers(0, 100_000)),
+              int(132_000_000 + rng.integers(0, 100_000))) for _ in range(40)]
+    for g, extra in ((0, []), (1, [(900_000_000, 1_700_000_000)])):  # far outlier
+        for la, lo in cloud + extra:
+            rows.append((g, la, lo))
+    for _ in range(5):
+        rows.append((2, 524_500_000, 133_000_000))  # degenerate: one point
+    df = spark.createDataFrame(rows, "user_id long, lat long, lon long")
+    got = {
+        r["user_id"]: (r["med_lat"], r["med_lon"], r["n"])
+        for r in geometric_median(df, "user_id", iters=5).collect()
+    }
+    mc = {
+        r["user_id"]: (r["mean_lat"], r["mean_lon"])
+        for r in mean_center(df, "user_id").collect()
+    }
+    # robustness: the outlier moves the median < 2000 fixed units but
+    # the mean by millions
+    assert abs(got[1][0] - got[0][0]) < 2_000
+    assert abs(mc[1][0] - mc[0][0]) > 5_000_000
+    assert got[2] == (524_500_000.0, 133_000_000.0, 5)
+
+    def model(pts, iters=5):
+        p = np.array(pts, dtype=np.float64)
+        c = p.mean(axis=0)
+        for _ in range(iters):
+            d = np.sqrt(((p - c) ** 2).sum(axis=1))
+            w = np.where(d > 0, 1.0 / d, 0.0)
+            if w.sum() > 0:
+                c = (p * w[:, None]).sum(axis=0) / w.sum()
+        return c
+    for g, pts in ((0, cloud), (1, cloud + [(900_000_000, 1_700_000_000)])):
+        want = model(pts)
+        assert abs(got[g][0] - want[0]) < 1e-3 and abs(got[g][1] - want[1]) < 1e-3, g
