@@ -1971,7 +1971,17 @@ def q_ols_events(spark, sf_dir):
         (F.col("event_id") % 1000).alias("x"),
         (F.col("lat") - F.lit(LAT0)).alias("y"),
     )
-    return grouped_ols(pts, "user_id", "x", "y")
+    out = grouped_ols(pts, "user_id", "x", "y")
+    # the operator returns DECIMAL(38,0) (its any-scale contract); at
+    # this gate's bounded regressor the values fit BIGINT — cast both
+    # sides so the driver's type-sensitive hash sees identical types
+    # (sweep probe: HUGEINT/DECIMAL widening flagged)
+    return out.select(
+        "user_id", "n",
+        F.col("slope_num").cast("long").alias("slope_num"),
+        F.col("icept_num").cast("long").alias("icept_num"),
+        F.col("den").cast("long").alias("den"),
+    )
 
 
 def q_trend_events(spark, sf_dir):
@@ -5630,11 +5640,11 @@ def oracle_sql() -> dict[str, str]:
                          SUM(CAST(x * y AS HUGEINT)) AS sxy
                   FROM pts GROUP BY user_id)
             SELECT user_id, n,
-                   CASE WHEN n * sxx - sx * sx != 0
-                        THEN n * sxy - sx * sy END AS slope_num,
-                   CASE WHEN n * sxx - sx * sx != 0
-                        THEN sy * sxx - sx * sxy END AS icept_num,
-                   nullif(n * sxx - sx * sx, 0) AS den
+                   CAST(CASE WHEN n * sxx - sx * sx != 0
+                        THEN n * sxy - sx * sy END AS BIGINT) AS slope_num,
+                   CAST(CASE WHEN n * sxx - sx * sx != 0
+                        THEN sy * sxx - sx * sxy END AS BIGINT) AS icept_num,
+                   CAST(nullif(n * sxx - sx * sx, 0) AS BIGINT) AS den
             FROM m
         """.replace("{synth_inner}", synth),
         "transitions_events": """
