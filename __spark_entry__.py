@@ -523,6 +523,29 @@ def q_compactness_users(spark, sf_dir):
     )
 
 
+def q_areal_interp_users(spark, sf_dir):
+    """Areal-weighted (dasymetric) interpolation: each user's event
+    count transfers from the user's bbox rectangle onto the 500k-unit
+    grid proportionally to EXACT integer overlap area — the classic
+    polygon→zone attribute transfer, rectangle form. Engine: in-row
+    cell fan-out + codegen min/max clipping + ONE groupBy (no join);
+    oracle: the same clipping over a generate_series lateral fan.
+    Per-source conservation (outputs sum back to inputs) is pinned in
+    the unit test; ROUND(6)."""
+    from osmflat_rs_spark.operators.bbox import areal_interpolate
+
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    rects = pts.groupBy("user_id").agg(
+        F.min("lon").alias("x_min"),
+        F.min("lat").alias("y_min"),
+        F.max("lon").alias("x_max"),
+        F.max("lat").alias("y_max"),
+        F.count(F.lit(1)).alias("value"),
+    )
+    out = areal_interpolate(rects, 500_000, id_col="user_id")
+    return out.select("cx", "cy", F.round("value", 6).alias("value"))
+
+
 GEOMEDIAN_ITERS = 5
 
 
@@ -3582,6 +3605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ring_centroid_users": q_ring_centroid_users,
         "compactness_users": q_compactness_users,
         "geomedian_users": q_geomedian_users,
+        "areal_interp_users": q_areal_interp_users,
         "sphere_area_users": q_sphere_area_users,
         "ring_normalize_users": q_ring_normalize_users,
         "cms_heavy_users": q_cms_heavy_users,
@@ -4494,6 +4518,33 @@ def oracle_sql() -> dict[str, str]:
                     JOIN deg db ON db.node = np.node_b
         """,
         "kcore_graph": _kcore_oracle_sql(),
+        "areal_interp_users": f"""
+            WITH src AS (
+              SELECT user_id, MIN(lon) AS x0, MIN(lat) AS y0,
+                     MAX(lon) AS x1, MAX(lat) AS y1, COUNT(*) AS v
+              FROM {synth} GROUP BY user_id
+            ),
+            s AS (SELECT * FROM src WHERE (x1 - x0) * (y1 - y0) > 0),
+            g0 AS (
+              SELECT s.*, UNNEST(range(x0 // 500000, x1 // 500000 + 1)) AS cx
+              FROM s
+            ),
+            g AS (
+              SELECT g0.*, UNNEST(range(y0 // 500000, y1 // 500000 + 1)) AS cy
+              FROM g0
+            ),
+            t AS (
+              SELECT cx, cy, v,
+                     LEAST(x1, (cx + 1) * 500000) - GREATEST(x0, cx * 500000) AS ox,
+                     LEAST(y1, (cy + 1) * 500000) - GREATEST(y0, cy * 500000) AS oy,
+                     (x1 - x0) * (y1 - y0) AS a
+              FROM g
+            )
+            SELECT cx, cy,
+                   ROUND(SUM(CAST(v AS DOUBLE)
+                             * (CAST(ox * oy AS DOUBLE) / CAST(a AS DOUBLE))), 6) AS value
+            FROM t WHERE ox > 0 AND oy > 0 GROUP BY cx, cy
+        """,
         "geomedian_users": _geomedian_oracle_sql(),
         "lpa_graph": _lpa_oracle_sql(),
         "clustering_graph": f"""

@@ -116,3 +116,62 @@ def bbox_join(
             oy1.alias("iy_max"),
         )
     )
+
+
+def areal_interpolate(
+    rects: DataFrame,
+    cell: int,
+    id_col: str = "id",
+    cols: tuple[str, str, str, str] = ("x_min", "y_min", "x_max", "y_max"),
+    value_col: str = "value",
+) -> DataFrame:
+    """Areal-weighted interpolation (the dasymetric transfer of GIS:
+    Goodchild & Lam 1980) from axis-aligned source rectangles onto the
+    regular ``cell``-sized grid: each source's value is split across
+    the grid cells it overlaps PROPORTIONALLY TO EXACT INTEGER OVERLAP
+    AREA → (cx, cy, value). The weight denominator is the source's own
+    geometric area, so each source's value is conserved: the output
+    sums back to the input total (up to IEEE addition).
+
+    Scale shape: the in-row `sequence x sequence` cell fan-out of
+    `bbox_join` (cover size = extent / cell — size ``cell`` near the
+    median rect edge), the per-(rect, cell) clipped overlap as pure
+    codegen min/max integer arithmetic, then ONE map-side-combined
+    groupBy(cx, cy). No join at all — the grid is implicit.
+
+    Degenerate rects (zero geometric area — a point or a line has
+    nothing to apportion) and zero-width boundary slivers (a rect edge
+    exactly on a cell boundary covers the neighbor cell with overlap
+    0) are dropped on BOTH engines' side of the gate."""
+    if cell < 1:
+        raise ValueError(f"cell must be >= 1, got {cell}")
+    x0, y0, x1, y1 = cols
+    b = rects.select(
+        F.col(id_col).alias("s_id"),
+        F.col(x0).cast("long").alias("sx0"),
+        F.col(y0).cast("long").alias("sy0"),
+        F.col(x1).cast("long").alias("sx1"),
+        F.col(y1).cast("long").alias("sy1"),
+        F.col(value_col).alias("_v"),
+    ).filter(
+        F.col("sx0").isNotNull() & F.col("sy0").isNotNull()
+        & F.col("sx1").isNotNull() & F.col("sy1").isNotNull()
+    )
+    area = (F.col("sx1") - F.col("sx0")) * (F.col("sy1") - F.col("sy0"))
+    b = b.filter(area > 0).withColumn("_a", area)
+    cov = _covered(b, "s", cell)
+    ox = F.least(F.col("sx1"), (F.col("_cx") + 1) * F.lit(cell)) - F.greatest(
+        F.col("sx0"), F.col("_cx") * F.lit(cell)
+    )
+    oy = F.least(F.col("sy1"), (F.col("_cy") + 1) * F.lit(cell)) - F.greatest(
+        F.col("sy0"), F.col("_cy") * F.lit(cell)
+    )
+    part = cov.withColumn("_ox", ox).withColumn("_oy", oy).filter(
+        (F.col("_ox") > 0) & (F.col("_oy") > 0)
+    )
+    w = (F.col("_ox") * F.col("_oy")).cast("double") / F.col("_a").cast("double")
+    return (
+        part.select("_cx", "_cy", (F.col("_v").cast("double") * w).alias("_t"))
+        .groupBy(F.col("_cx").alias("cx"), F.col("_cy").alias("cy"))
+        .agg(F.sum("_t").alias("value"))
+    )

@@ -322,3 +322,38 @@ def test_geometric_median_robustness_and_model_parity(spark):
     for g, pts in ((0, cloud), (1, cloud + [(900_000_000, 1_700_000_000)])):
         want = model(pts)
         assert abs(got[g][0] - want[0]) < 1e-3 and abs(got[g][1] - want[1]) < 1e-3, g
+
+
+def test_areal_interpolate_known_split_and_conservation(spark):
+    """A rect straddling four cells splits its value by exact area
+    fractions; per-source mass is conserved (outputs sum to inputs);
+    degenerate (zero-area) rects drop; a rect edge exactly on a cell
+    boundary leaves no zero-weight sliver row."""
+    from osmflat_rs_spark.operators.bbox import areal_interpolate
+
+    cell = 1000
+    rows = [
+        # 1: straddles 4 cells: [500,1500]x[750,1250]; area 500000
+        (1, 500, 750, 1500, 1250, 80.0),
+        # 2: exactly one cell, edges ON the boundaries of cell (2,2)
+        (2, 2000, 2000, 3000, 3000, 7.0),
+        # 3: degenerate line
+        (3, 5000, 5000, 5000, 6000, 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, x_min long, y_min long, x_max long, y_max long, value double"
+    )
+    got = {
+        (r["cx"], r["cy"]): r["value"]
+        for r in areal_interpolate(df, cell).collect()
+    }
+    # rect 1 quadrant areas: x splits 500/500, y splits 250/250 of a
+    # 1000x500 box -> each quadrant 1/4 of the value
+    for c in [(0, 0), (1, 0), (0, 1), (1, 1)]:
+        assert abs(got[c] - 20.0) < 1e-12, c
+    # rect 2: boundary-aligned -> all mass in (2,2); the sliver cells
+    # (3,2),(2,3),(3,3) its fdiv cover touches must NOT appear
+    assert abs(got[(2, 2)] - 7.0) < 1e-12
+    assert (3, 2) not in got and (2, 3) not in got and (3, 3) not in got
+    # degenerate rect contributes nowhere
+    assert abs(sum(got.values()) - 87.0) < 1e-9
