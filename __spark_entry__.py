@@ -1786,6 +1786,29 @@ def q_pip_winding_events(spark, sf_dir):
     ).select("polygon_id", "event_id")
 
 
+# viewshed observer: the res-16 cell of the patch center (52.5, 13.4)
+VIEW_OX = (134_000_000 + 1_800_000_000) * (1 << 16) // 3_600_000_000
+VIEW_OY = (525_000_000 + 900_000_000) * (1 << 16) // 1_800_000_000
+
+
+def q_viewshed_events(spark, sf_dir):
+    """Grid viewshed (gdal_viewshed-style line-of-sight) from the patch
+    center over the event density surface at res 16, observer height 2:
+    a cell is visible iff no intermediate DDA-line cell blocks the
+    sight line (cross-multiplied slope compare; d as doubles of exact
+    integer squares — mirrored verbatim). Engine: one density agg +
+    the scalar-explode DDA fan + one broadcast grid join + one
+    max-obstruction groupBy; oracle: the same DDA closed form
+    (_dda_sql) + identical comparison."""
+    from osmflat_rs_spark.operators.tiling import viewshed_grid
+
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    out = viewshed_grid(pts, (VIEW_OX, VIEW_OY), observer_height=2.0, res=16)
+    return out.select(
+        "ix", "iy", F.col("z").cast("long").alias("z"), "visible"
+    )
+
+
 def q_kde_events(spark, sf_dir):
     """Grid kernel-density surface: per occupied cell, the Epanechnikov-
     weighted neighbor count within Chebyshev radius 2 (bandwidth 3
@@ -3648,6 +3671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kde_events": q_kde_events,
         "pip_winding_events": q_pip_winding_events,
         "hillshade_events": q_hillshade_events,
+        "viewshed_events": q_viewshed_events,
         "contour_events": q_contour_events,
         "pip_anti_events": q_pip_anti_events,
         "idw_events": q_idw_events,
@@ -5244,6 +5268,39 @@ def oracle_sql() -> dict[str, str]:
             FROM c c1 JOIN c c2
               ON abs(c1.ix - c2.ix) <= 1 AND abs(c1.iy - c2.iy) <= 1
             GROUP BY 1, 2, 3
+        """,
+        "viewshed_events": f"""
+            WITH pts AS (SELECT * FROM {synth}),
+            g AS (SELECT GREATEST(0, LEAST({(1 << 16) - 1}, (lon + 1800000000) * {1 << 16} // 3600000000)) AS ix,
+                         GREATEST(0, LEAST({(1 << 16) - 1}, (lat + 900000000) * {1 << 16} // 1800000000)) AS iy
+                  FROM pts),
+            c AS (SELECT ix, iy, CAST(COUNT(*) AS DOUBLE) AS z FROM g GROUP BY 1, 2),
+            zo AS (SELECT COALESCE((SELECT z FROM c WHERE ix = {VIEW_OX} AND iy = {VIEW_OY}), 0.0)
+                          + 2.0 AS zo),
+            tgt AS (SELECT ix AS tx, iy AS ty, z AS zt FROM c
+                    WHERE NOT (ix = {VIEW_OX} AND iy = {VIEW_OY})),
+            seg2 AS (SELECT tx, ty, zt,
+                            CAST({VIEW_OX} AS BIGINT) AS x0,
+                            CAST({VIEW_OY} AS BIGINT) AS y0,
+                            tx AS x1, ty AS y1
+                     FROM tgt),
+            {_dda_sql('seg2', 'tx, ty, zt')},
+            mids AS (SELECT d.*, COALESCE(c.z, 0.0) AS zc
+                     FROM dda d LEFT JOIN c ON c.ix = d.x AND c.iy = d.y
+                     WHERE NOT (d.x = {VIEW_OX} AND d.y = {VIEW_OY})
+                       AND NOT (d.x = d.tx AND d.y = d.ty)),
+            ob AS (SELECT tx, ty,
+                     MAX(CASE WHEN (zc - zo.zo)
+                                * SQRT(CAST((tx - {VIEW_OX}) * (tx - {VIEW_OX})
+                                          + (ty - {VIEW_OY}) * (ty - {VIEW_OY}) AS DOUBLE))
+                              >= (zt - zo.zo)
+                                * SQRT(CAST((x - {VIEW_OX}) * (x - {VIEW_OX})
+                                          + (y - {VIEW_OY}) * (y - {VIEW_OY}) AS DOUBLE))
+                          THEN 1 ELSE 0 END) AS b
+                   FROM mids, zo GROUP BY tx, ty)
+            SELECT t.tx AS ix, t.ty AS iy, CAST(t.zt AS BIGINT) AS z,
+                   COALESCE(ob.b, 0) = 0 AS visible
+            FROM tgt t LEFT JOIN ob ON ob.tx = t.tx AND ob.ty = t.ty
         """,
         "hillshade_events": f"""
             WITH pts AS (SELECT * FROM {synth}),

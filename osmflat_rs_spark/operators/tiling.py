@@ -992,3 +992,93 @@ def hillshade_grid(
         aspect.alias("aspect_rad"),
         shade.alias("hillshade"),
     )
+
+
+def viewshed_grid(
+    pts: DataFrame,
+    observer: tuple[int, int],
+    observer_height: float = 0.0,
+    res: int = 18,
+    lat: str = "lat",
+    lon: str = "lon",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Grid VIEWSHED (gdal_viewshed / Wang-Robinson line-of-sight) over
+    the occupied-cell density surface: a target cell is VISIBLE from
+    the observer cell iff no intermediate cell on the DDA line blocks
+    the sight line — i.e. for every strict between-cell c,
+    (z_c - z_o) * d_t < (z_t - z_o) * d_c (cross-multiplied slope
+    compare, d = euclidean cell distance as a double of exact integer
+    squares — the one float, mirrored verbatim in the oracle).
+    z = per-cell point count (or ``value_col`` sum), absent cells 0;
+    z_o = observer cell's z + ``observer_height``.
+
+    Scale shape: ONE density aggregate, then the scalar-explode DDA
+    fan (one codegen stage, sum of line lengths = O(occupied x radius)
+    — the inherent viewshed cost; bound the input to the analysis
+    window upstream), one left join back to the density grid for
+    intermediate elevations (broadcast when the occupied set is small),
+    one groupBy(target) max-obstruction. → (ix, iy, z, visible);
+    the observer's own cell is omitted (self-visibility is vacuous)."""
+    from osmflat_rs_spark.functions.cells import grid_exprs
+
+    ox, oy = int(observer[0]), int(observer[1])
+    ix, iy = grid_exprs(F.col(lat), F.col(lon), res)
+    base = pts.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull())
+    z = (
+        F.sum(F.col(value_col)) if value_col is not None else F.count("*")
+    ).cast("double").alias("z")
+    cells = base.groupBy(ix.alias("ix"), iy.alias("iy")).agg(z)
+
+    spark = pts.sparkSession
+    obs_z = cells.filter((F.col("ix") == ox) & (F.col("iy") == oy)).select(
+        F.col("z").alias("_zraw")
+    )
+    # attach the observer elevation as a 1-row broadcast: left-join a
+    # literal single row so an UNOCCUPIED observer cell yields z_o = 0
+    # instead of an empty frame
+    one = spark.createDataFrame([(1,)], "k int")
+    obs1 = one.join(
+        F.broadcast(obs_z.withColumn("k", F.lit(1))), "k", "left"
+    ).select((F.coalesce(F.col("_zraw"), F.lit(0.0)) + F.lit(float(observer_height))).alias("_zo"))
+
+    targets = cells.filter(~((F.col("ix") == ox) & (F.col("iy") == oy))).select(
+        F.col("ix").alias("tx"), F.col("iy").alias("ty"), F.col("z").alias("zt")
+    )
+    seg = targets.crossJoin(F.broadcast(obs1)).select(
+        "tx", "ty", "zt", "_zo",
+        F.lit(ox).cast("long").alias("x0"),
+        F.lit(oy).cast("long").alias("y0"),
+        F.col("tx").cast("long").alias("x1"),
+        F.col("ty").cast("long").alias("y1"),
+    )
+    line = dda_expand(seg, ["tx", "ty", "zt", "_zo"])
+    mids = line.filter(
+        ~((F.col("x") == ox) & (F.col("y") == oy))
+        & ~((F.col("x") == F.col("tx")) & (F.col("y") == F.col("ty")))
+    )
+    grid = cells.select(
+        F.col("ix").alias("x"), F.col("iy").alias("y"), F.col("z").alias("zc")
+    )
+    j = mids.join(F.broadcast(grid), ["x", "y"], "left").withColumn(
+        "zc", F.coalesce(F.col("zc"), F.lit(0.0))
+    )
+    dmid = F.sqrt(
+        ((F.col("x") - F.lit(ox)) * (F.col("x") - F.lit(ox))
+         + (F.col("y") - F.lit(oy)) * (F.col("y") - F.lit(oy))).cast("double")
+    )
+    dtgt = F.sqrt(
+        ((F.col("tx") - F.lit(ox)) * (F.col("tx") - F.lit(ox))
+         + (F.col("ty") - F.lit(oy)) * (F.col("ty") - F.lit(oy))).cast("double")
+    )
+    blocked = (
+        (F.col("zc") - F.col("_zo")) * dtgt >= (F.col("zt") - F.col("_zo")) * dmid
+    ).cast("int")
+    obstr = j.groupBy("tx", "ty").agg(F.max(blocked).alias("_b"))
+    out = targets.join(obstr, ["tx", "ty"], "left").select(
+        F.col("tx").alias("ix"),
+        F.col("ty").alias("iy"),
+        F.col("zt").alias("z"),
+        (F.coalesce(F.col("_b"), F.lit(0)) == 0).alias("visible"),
+    )
+    return out

@@ -655,3 +655,89 @@ def test_hillshade_grid_matches_horn_model_and_ramp_invariant(spark):
         assert abs(r["dzdx"] - 1.0) < 1e-12 and abs(r["dzdy"]) < 1e-12
         assert abs(r["aspect_rad"] - math.pi) < 1e-12
         assert abs(r["slope_deg"] - 45.0) < 1e-9
+
+
+def test_viewshed_wall_occlusion_and_model_parity(spark):
+    """A tall wall hides low cells behind it but not a tower that peeks
+    over; cells in front stay visible; full parity with a python
+    restatement of the same DDA + slope-compare on random fields."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from osmflat_rs_spark.functions.cells import quantize_np
+    from osmflat_rs_spark.operators.tiling import viewshed_grid
+
+    res = 16
+    # work directly in grid space: pick a base cell and offsets
+    base_lat, base_lon = 524_000_000, 132_000_000
+    cell_lat = 1_800_000_000 / (1 << 16)
+    cell_lon = 3_600_000_000 / (1 << 16)
+
+    def coord(dx, dy):
+        # center of the cell at (base + dx, base + dy)
+        return (int(base_lat + (dy + 0.5) * cell_lat),
+                int(base_lon + (dx + 0.5) * cell_lon))
+
+    rows = []
+    def put(dx, dy, n):
+        la, lo = coord(dx, dy)
+        rows.extend([(la, lo)] * n)
+
+    put(0, 0, 1)      # observer cell, z=1
+    put(2, 0, 9)      # the wall, z=9
+    put(1, 0, 2)      # in front of the wall: visible
+    put(4, 0, 2)      # low, behind the wall: hidden
+    put(6, 0, 40)     # tall tower behind: peeks over
+    put(0, 3, 3)      # off-axis: visible
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["lat", "lon"]))
+    ox = int(quantize_np(np.array([coord(0, 0)[1]]), 180 * 10_000_000, 360 * 10_000_000, res)[0])
+    oy = int(quantize_np(np.array([coord(0, 0)[0]]), 90 * 10_000_000, 180 * 10_000_000, res)[0])
+    got = {
+        (r["ix"] - ox, r["iy"] - oy): (r["z"], r["visible"])
+        for r in viewshed_grid(df, (ox, oy), observer_height=0.0, res=res).collect()
+    }
+    assert got[(1, 0)] == (2.0, True)
+    assert got[(2, 0)] == (9.0, True)
+    assert got[(4, 0)] == (2.0, False)   # wall slope 9-1 over d=2 blocks
+    assert got[(6, 0)] == (40.0, True)   # 40 @ d=6 beats wall slope
+    assert got[(0, 3)] == (3.0, True)
+
+    # random-field parity with a python model
+    rng = np.random.default_rng(71)
+    field = {}
+    for _ in range(60):
+        field[(int(rng.integers(0, 12)), int(rng.integers(0, 12)))] = int(rng.integers(1, 8))
+    rows2 = []
+    for (dx, dy), n in field.items():
+        la, lo = coord(dx, dy)
+        rows2.extend([(la, lo)] * n)
+    df2 = spark.createDataFrame(pd.DataFrame(rows2, columns=["lat", "lon"]))
+    got2 = {
+        (r["ix"] - ox, r["iy"] - oy): r["visible"]
+        for r in viewshed_grid(df2, (ox, oy), observer_height=2.0, res=res).collect()
+    }
+
+    def dda(x0, y0, x1, y1):
+        m = max(abs(x1 - x0), abs(y1 - y0))
+        sx = 1 if x1 >= x0 else -1
+        sy = 1 if y1 >= y0 else -1
+        return [(x0 + sx * ((2 * abs(x1 - x0) * i + m) // (2 * m)),
+                 y0 + sy * ((2 * abs(y1 - y0) * i + m) // (2 * m)))
+                for i in range(m + 1)] if m else [(x0, y0)]
+
+    zo = field.get((0, 0), 0) + 2.0
+    for t, zt in field.items():
+        if t == (0, 0):
+            continue
+        dt = math.sqrt(t[0] ** 2 + t[1] ** 2)
+        blocked = False
+        for c in dda(0, 0, t[0], t[1]):
+            if c == (0, 0) or c == t:
+                continue
+            zc = float(field.get(c, 0))
+            dc = math.sqrt(c[0] ** 2 + c[1] ** 2)
+            if (zc - zo) * dt >= (zt - zo) * dc:
+                blocked = True
+        assert got2[t] == (not blocked), t
