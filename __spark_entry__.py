@@ -2242,6 +2242,41 @@ def q_geofence_events(spark, sf_dir):
     return geofence_transitions(pts, fences)
 
 
+LINREF_RADIUS = 300_000  # linear-referencing gate: sparse 4-route net
+
+
+def q_linear_ref_events(spark, sf_dir):
+    """Linear referencing (milepost location): snap the synthetic query
+    points to a 4-route network (users 0-3's ordered event polylines)
+    and return the cumulative ALONG-ROUTE offset of the snap point —
+    `snap.linear_reference`, the nearest_segment_join composition.
+    d2/t/seg_len are bit-identical IEEE expressions (the snap gate's
+    discipline); offset rounds to 2 because the per-route running
+    length is an ordered window SUM whose reduction order DuckDB does
+    not pin (segment-tree frames) — the one reassociation-exposed
+    float here."""
+    from osmflat_rs_spark.operators.snap import linear_reference
+
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    routes = pts.filter(F.col("user_id") < 4).select(
+        F.col("user_id").alias("route_id"),
+        F.col("event_id").alias("seq"),
+        "lat", "lon",
+    )
+    ev = _t(spark, sf_dir, "events")
+    q = ev.filter(F.col("event_id") < 2000).select(
+        F.col("event_id").alias("query_id"),
+        (F.lit(LAT0) + (F.col("event_id") * 24571) % LATSPAN).cast("long").alias("lat"),
+        (F.lit(LON0) + (F.col("event_id") * 39119) % LONSPAN).cast("long").alias("lon"),
+    )
+    out = linear_reference(q, routes, LINREF_RADIUS)
+    return out.select(
+        "query_id", "route_id", "seq", "d2", "t",
+        F.round("offset", 2).alias("offset"),
+        "seg_len",
+    )
+
+
 SNAP_RADIUS = 4_000  # fixed-point units. Unlike kNN's radius (a
 # performance knob under an exact-k contract), snap's radius IS the
 # semantics: out-of-radius queries drop identically on engine and
@@ -3680,6 +3715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geofence_events": q_geofence_events,
         "od_flows_events": q_od_flows_events,
         "snap_events": q_snap_events,
+        "linear_ref_events": q_linear_ref_events,
         "gi_star_events": q_gi_star_events,
         "morans_i_events": q_morans_i_events,
         "gearys_c_events": q_gearys_c_events,
@@ -5168,6 +5204,49 @@ def oracle_sql() -> dict[str, str]:
         # Snap: brute-force all-pairs with the engine's exact expression
         # tree (int diffs cast to double, clamped projection, d2 rank);
         # filter-before-rank matches the engine's radius gate.
+        "linear_ref_events": f"""
+            WITH pts AS (SELECT * FROM {synth}),
+            r0 AS (SELECT user_id AS rid, event_id, lat, lon FROM pts WHERE user_id < 4),
+            seg0 AS (SELECT rid, ROW_NUMBER() OVER w AS seq,
+                            lat AS y1, lon AS x1,
+                            LEAD(lat) OVER w AS y2, LEAD(lon) OVER w AS x2
+                     FROM r0 WINDOW w AS (PARTITION BY rid ORDER BY event_id)),
+            seg1 AS (SELECT *, SQRT(CAST(x2 - x1 AS DOUBLE) * CAST(x2 - x1 AS DOUBLE)
+                                  + CAST(y2 - y1 AS DOUBLE) * CAST(y2 - y1 AS DOUBLE)) AS len
+                     FROM seg0 WHERE y2 IS NOT NULL),
+            seg AS (SELECT *,
+                           rid * 1000000 + seq AS sid,
+                           COALESCE(SUM(len) OVER (PARTITION BY rid ORDER BY seq
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cum
+                    FROM seg1),
+            q AS (SELECT event_id AS query_id,
+                         CAST({LAT0} + (event_id * 24571) % {LATSPAN} AS BIGINT) AS py,
+                         CAST({LON0} + (event_id * 39119) % {LONSPAN} AS BIGINT) AS px
+                  FROM events WHERE event_id < 2000),
+            d AS (SELECT q.query_id, s.sid, s.rid, s.seq, s.len, s.cum,
+                         q.px, q.py, s.x1, s.y1,
+                         CAST(s.x2 - s.x1 AS DOUBLE) AS dx,
+                         CAST(s.y2 - s.y1 AS DOUBLE) AS dy
+                  FROM q CROSS JOIN seg s),
+            e AS (SELECT *, dx * dx + dy * dy AS len2 FROM d),
+            t0 AS (SELECT *, CASE WHEN len2 > 0
+                                  THEN (CAST(px - x1 AS DOUBLE) * dx + CAST(py - y1 AS DOUBLE) * dy) / len2
+                                  ELSE 0.0 END AS t FROM e),
+            t1 AS (SELECT *, GREATEST(0.0, LEAST(1.0, t)) AS tc FROM t0),
+            t2 AS (SELECT *, CAST(x1 AS DOUBLE) + tc * dx AS qx,
+                             CAST(y1 AS DOUBLE) + tc * dy AS qy FROM t1),
+            t3 AS (SELECT query_id, sid, rid, seq, len, cum, tc,
+                          (CAST(px AS DOUBLE) - qx) * (CAST(px AS DOUBLE) - qx)
+                        + (CAST(py AS DOUBLE) - qy) * (CAST(py AS DOUBLE) - qy) AS d2
+                   FROM t2),
+            f AS (SELECT * FROM t3 WHERE d2 <= {float(LINREF_RADIUS) ** 2})
+            SELECT query_id, CAST(rid AS BIGINT) AS route_id,
+                   CAST(seq AS INT) AS seq, d2, tc AS t,
+                   ROUND(cum + tc * len, 2) AS offset, len AS seg_len
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY d2 ASC, sid ASC) AS rnk FROM f)
+            WHERE rnk = 1
+        """,
         "snap_events": f"""
             WITH pts AS (SELECT * FROM {synth}),
             seg AS (SELECT event_id AS sid, lat AS y1, lon AS x1,

@@ -157,3 +157,82 @@ def nearest_segment_join(
     )
     fb = fb_scored.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1).drop("_rk")
     return best.unionByName(fb)
+
+
+def linear_reference(
+    points: DataFrame,
+    routes: DataFrame,
+    radius: int,
+    route_id: str = "route_id",
+    seq_col: str = "seq",
+    lat: str = "lat",
+    lon: str = "lon",
+    point_id: str = "query_id",
+    cell_size: int = 1 << 16,
+    max_seq: int = 1_000_000,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """LINEAR REFERENCING (milepost / route-offset location): snap each
+    point to its nearest in-radius route segment and return the
+    cumulative distance ALONG the route to the snap point — the
+    measure every route-based schema (mileposts, bus stops, road
+    inventories) keys on. → (point_id, route_id, seq, d2, t, offset,
+    seg_len); offset and lengths in fixed-point units (planar — the
+    snap metric's own space).
+
+    Composition, no new kernel: routes (ordered vertices per route)
+    → segments via one lead window + a running-length window (both on
+    the same partition key: ONE shuffle), packed into
+    `nearest_segment_join`'s cover machinery (sid = route_id *
+    ``max_seq`` + seq — seqs must stay below ``max_seq``), then the
+    snap's clamped projection parameter t converts to offset =
+    cum_start + t * seg_len. The per-route running sum is an ordered
+    window fold, so its IEEE sequence is deterministic and
+    SQL-restatable."""
+    w = Window.partitionBy(route_id).orderBy(seq_col)
+    seg = (
+        routes.select(
+            F.col(route_id).cast("long").alias("_rid"),
+            F.col(seq_col).alias("_s"),
+            F.col(lat).cast("long").alias("lat1"),
+            F.col(lon).cast("long").alias("lon1"),
+            F.lead(F.col(lat).cast("long")).over(w).alias("lat2"),
+            F.lead(F.col(lon).cast("long")).over(w).alias("lon2"),
+            F.row_number().over(w).alias("_seq"),
+        )
+        .filter(F.col("lat2").isNotNull())
+    )
+    if max_seq < 1:
+        raise ValueError(f"max_seq must be >= 1, got {max_seq}")
+    dx = (F.col("lon2") - F.col("lon1")).cast("double")
+    dy = (F.col("lat2") - F.col("lat1")).cast("double")
+    seg = seg.withColumn("_len", F.sqrt(dx * dx + dy * dy))
+    w2 = Window.partitionBy("_rid").orderBy("_seq").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    seg = seg.withColumn("_cum", F.coalesce(F.sum("_len").over(w2), F.lit(0.0)))
+    seg = seg.withColumn(
+        "sid", F.col("_rid") * F.lit(int(max_seq)) + F.col("_seq")
+    )
+    snapped = nearest_segment_join(
+        points,
+        seg.select("sid", "lat1", "lon1", "lat2", "lon2"),
+        radius,
+        cell_size=cell_size,
+        point_id=point_id,
+        seg_id="sid",
+        broadcast_queries=broadcast_queries,
+    )
+    meta = seg.select(
+        "sid", F.col("_rid").alias(route_id), F.col("_seq").alias("seq"),
+        "_len", "_cum",
+    )
+    return snapped.join(F.broadcast(meta), "sid").select(
+        point_id,
+        route_id,
+        "seq",
+        "d2",
+        "t",
+        (F.col("_cum") + F.col("t") * F.col("_len")).alias("offset"),
+        F.col("_len").alias("seg_len"),
+    )

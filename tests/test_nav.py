@@ -357,3 +357,36 @@ def test_areal_interpolate_known_split_and_conservation(spark):
     assert (3, 2) not in got and (2, 3) not in got and (3, 3) not in got
     # degenerate rect contributes nowhere
     assert abs(sum(got.values()) - 87.0) < 1e-9
+
+
+def test_linear_reference_offsets_on_known_route(spark):
+    """On an L-shaped route with known vertex spacing the snapped
+    offset equals (sum of prior segment lengths + within-segment
+    projection) by hand; out-of-radius points are absent; ties and
+    clamping behave like nearest_segment_join."""
+    from osmflat_rs_spark.operators.snap import linear_reference
+
+    # route 7: east 1000 units, east 2000, then north 1000 (L corner)
+    verts = [(0, 0), (0, 1000), (0, 3000), (1000, 3000)]
+    routes = spark.createDataFrame(
+        [(7, s, la + 524_000_000, lo + 132_000_000) for s, (la, lo) in enumerate(verts)],
+        "route_id long, seq long, lat long, lon long",
+    )
+    qpts = [
+        (0, 524_000_050, 132_000_500),   # above seg1 midpoint: offset 500
+        (1, 524_000_050, 132_002_500),   # above seg2 at 1500 in: offset 2500
+        (2, 524_000_500, 132_003_040),   # right of seg3: clamps x, offset 3500
+        (3, 524_900_000, 132_900_000),   # far away: absent
+    ]
+    q = spark.createDataFrame(qpts, "query_id long, lat long, lon long")
+    got = {
+        r["query_id"]: r
+        for r in linear_reference(q, routes, 200, point_id="query_id").collect()
+    }
+    assert 3 not in got and len(got) == 3
+    assert abs(got[0]["offset"] - 500.0) < 1e-9 and got[0]["seq"] == 1
+    assert abs(got[1]["offset"] - 2500.0) < 1e-9 and got[1]["seq"] == 2
+    assert abs(got[2]["offset"] - 3500.0) < 1e-9 and got[2]["seq"] == 3
+    assert abs(got[0]["d2"] - 50.0 ** 2) < 1e-9
+    # within-segment parameter for query 1: 1500 into the 2000 segment
+    assert abs(got[1]["t"] - 0.75) < 1e-12
