@@ -83,7 +83,7 @@ def _boundary_cells(res):
         nr = [(np.array([lo for lo, _ in HOLE], dtype=np.int64), np.array([la for _, la in HOLE], dtype=np.int64))]
         from osmflat_rs_spark.functions.pip import _ring_tests
 
-        b, _p = _ring_tests(
+        b, _p, _w = _ring_tests(
             np.array([clon], dtype=np.int64), np.array([clat], dtype=np.int64), nr[0][0], nr[0][1]
         )
         if b[0]:
