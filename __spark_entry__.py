@@ -1756,6 +1756,26 @@ def q_hillshade_events(spark, sf_dir):
     )
 
 
+def q_hexbin_events(spark, sf_dir):
+    """Hexagonal-bin density aggregation (d3-hexbin analog, exact
+    cube-round assignment at circumradius 1e6 fixed units) over the
+    synthetic event points — pure codegen (q, r) keys + one hash agg.
+    Oracle mirrors the double arithmetic token for token (same repr
+    literals, same op order), so bin assignment is bit-identical
+    cross-engine; centers and the value sum are rounded for the hash."""
+    from osmflat_rs_spark.operators.tiling import hexbin_agg
+
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    out = hexbin_agg(pts, "lat", "lon", size=100_000, value_col="value")
+    return out.select(
+        "q", "r",
+        F.round("cx", 4).alias("cx"),
+        F.round("cy", 4).alias("cy"),
+        "n",
+        F.round("sum_val", 6).alias("sum_val"),
+    )
+
+
 # pentagram AOI (self-intersecting ring): the canonical fill-rule
 # separator — its core is inside under NONZERO winding, outside under
 # even-odd. Vertices P0..P4 at 72° steps connected 0-2-4-1-3 (lat, lon).
@@ -3706,6 +3726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kde_events": q_kde_events,
         "pip_winding_events": q_pip_winding_events,
         "hillshade_events": q_hillshade_events,
+        "hexbin_events": q_hexbin_events,
         "viewshed_events": q_viewshed_events,
         "contour_events": q_contour_events,
         "pip_anti_events": q_pip_anti_events,
@@ -5408,6 +5429,38 @@ def oracle_sql() -> dict[str, str]:
                          0.7071067811865476 * COS(slope)
                          + 0.7071067811865475 * SIN(slope) * COS(2.356194490192345 - aspect)), 4) AS hillshade
             FROM t
+        """,
+        # hexbin: the double arithmetic below mirrors hex_qr_exprs token
+        # for token (same shortest-repr literals, same op order) so the
+        # cube-round bin assignment is bit-identical cross-engine
+        "hexbin_events": f"""
+            WITH pts AS (SELECT * FROM {synth}),
+            f AS (SELECT value,
+                         (CAST(lon AS DOUBLE) * 0.5773502691896257
+                          - CAST(lat AS DOUBLE) * 0.3333333333333333) / 100000.0 AS xf,
+                         (CAST(lat AS DOUBLE) * 0.6666666666666666) / 100000.0 AS zf
+                  FROM pts),
+            c AS (SELECT value, xf, zf, -xf - zf AS yf,
+                         CAST(FLOOR(xf + 0.5) AS BIGINT) AS rx,
+                         CAST(FLOOR(-xf - zf + 0.5) AS BIGINT) AS ry,
+                         CAST(FLOOR(zf + 0.5) AS BIGINT) AS rz
+                  FROM f),
+            d AS (SELECT value, rx, ry, rz,
+                         ABS(CAST(rx AS DOUBLE) - xf) AS dx,
+                         ABS(CAST(ry AS DOUBLE) - yf) AS dy,
+                         ABS(CAST(rz AS DOUBLE) - zf) AS dz
+                  FROM c),
+            h AS (SELECT value,
+                         CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END AS q,
+                         CASE WHEN (dx > dy AND dx > dz) OR dy > dz THEN rz
+                              ELSE -rx - ry END AS r
+                  FROM d)
+            SELECT q, r,
+                   ROUND((CAST(q AS DOUBLE) + CAST(r AS DOUBLE) / 2.0) * 173205.0807568877, 4) AS cx,
+                   ROUND(CAST(r AS DOUBLE) * 150000.0, 4) AS cy,
+                   COUNT(*) AS n,
+                   ROUND(SUM(value), 6) AS sum_val
+            FROM h GROUP BY 1, 2
         """,
         "pip_winding_events": f"""
             WITH pts AS (SELECT event_id, lat AS py, lon AS px FROM {synth}),

@@ -1082,3 +1082,86 @@ def viewshed_grid(
         (F.coalesce(F.col("_b"), F.lit(0)) == 0).alias("visible"),
     )
     return out
+
+
+# --- hexagonal binning -----------------------------------------------------
+
+# double constants shared verbatim with the SQL oracle (same literals,
+# same op order → bit-identical IEEE results cross-engine)
+_SQ3 = 1.7320508075688772       # repr(math.sqrt(3.0))
+_SQ3_3 = 0.5773502691896257     # repr(math.sqrt(3.0) / 3.0)
+_THIRD = 0.3333333333333333     # repr(1.0 / 3.0)
+_TWO_THIRDS = 0.6666666666666666  # repr(2.0 / 3.0)
+
+
+def hex_qr_exprs(lat_fixed: Column, lon_fixed: Column, size: int) -> tuple[Column, Column]:
+    """Axial hex coordinates (q, r) of the pointy-top hexagon (circumradius
+    ``size`` fixed-point units, hex centered at the axial lattice point)
+    containing the point — the exact cube-rounding construction (Red Blob
+    Games' canonical hex-grid algorithm; same family as the reference's
+    quantized cell keys, osmflatc/src/osmpbf.rs granularity rescale).
+
+    Pure Catalyst doubles: fractional axial coords, cube round via
+    floor(v + 0.5) (NOT half-even round() — floor is an exact IEEE op with
+    identical semantics in every engine), then the one-coordinate repair
+    that keeps q + r + s = 0. Both columns are BIGINT. The entire chain is
+    whole-stage-codegen'd — a hexbin over 10^12 points is scan + one
+    map-side-combined hash aggregate, zero Python, zero shuffle beyond the
+    final (q, r) agg exchange.
+
+    Cross-engine exactness contract: every constant is embedded as the
+    shortest-repr double literal and the expression tree (mul → sub → div)
+    matches the oracle SQL token for token, so candidates at a hex boundary
+    tie-break identically (IEEE doubles are deterministic; only op ORDER
+    matters, and it is pinned)."""
+    x = lon_fixed.cast("double")
+    y = lat_fixed.cast("double")
+    s = float(size)
+    qf = (x * F.lit(_SQ3_3) - y * F.lit(_THIRD)) / F.lit(s)
+    rf = (y * F.lit(_TWO_THIRDS)) / F.lit(s)
+    xf, zf = qf, rf
+    yf = -xf - zf
+    rx = F.floor(xf + F.lit(0.5))
+    ry = F.floor(yf + F.lit(0.5))
+    rz = F.floor(zf + F.lit(0.5))
+    dx = F.abs(rx.cast("double") - xf)
+    dy = F.abs(ry.cast("double") - yf)
+    dz = F.abs(rz.cast("double") - zf)
+    fix_x = (dx > dy) & (dx > dz)
+    q = F.when(fix_x, -ry - rz).otherwise(rx)
+    # rz is repaired only when NEITHER the x-repair nor the y-repair fires
+    r = F.when(fix_x | (dy > dz), rz).otherwise(-rx - ry)
+    return q.cast("long"), r.cast("long")
+
+
+def hexbin_agg(
+    pts: DataFrame,
+    lat: str = "lat",
+    lon: str = "lon",
+    size: int = 500_000,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Hexagonal-bin aggregation (the d3-hexbin / matplotlib-hexbin
+    analytics primitive, exact cube-round assignment) → (q, r, cx, cy, n
+    [, sum_val]) — one row per non-empty hexagon; (cx, cy) is the hex
+    center in fixed-point doubles (cx = size·√3·(q + r/2), cy = size·1.5·r).
+
+    Scale shape: identical to the density grid — the (q, r) key is two
+    codegen expressions on the scan, the aggregate is map-side partial,
+    and the only exchange is the final hash agg keyed by ~#occupied-hexes
+    (data-bounded, not point-bounded). Hexes beat squares for density
+    readouts (uniform 6-neighborhood, lower quantization anisotropy);
+    this is the binning layer under hex-heatmaps and choropleth rollups."""
+    qc, rc = hex_qr_exprs(F.col(lat), F.col(lon), size)
+    base = pts.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull())
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if value_col is not None:
+        aggs.append(F.sum(F.col(value_col)).alias("sum_val"))
+    out = base.groupBy(qc.alias("q"), rc.alias("r")).agg(*aggs)
+    s = float(size)
+    cx = (F.col("q").cast("double") + F.col("r").cast("double") / F.lit(2.0)) * F.lit(s * _SQ3)
+    cy = F.col("r").cast("double") * F.lit(s * 1.5)
+    cols = ["q", "r", cx.alias("cx"), cy.alias("cy"), "n"]
+    if value_col is not None:
+        cols.append("sum_val")
+    return out.select(*cols)

@@ -741,3 +741,60 @@ def test_viewshed_wall_occlusion_and_model_parity(spark):
             if (zc - zo) * dt >= (zt - zo) * dc:
                 blocked = True
         assert got2[t] == (not blocked), t
+
+
+def test_hexbin_nearest_center_property(spark):
+    """Cube-round hex assignment IS nearest-center assignment for a
+    regular pointy-top hex lattice: verify every random point's assigned
+    hex center is (weakly) closest among the 3x3 axial neighborhood, and
+    that the bin counts conserve the point count."""
+    import numpy as np
+
+    from osmflat_rs_spark.operators.tiling import hexbin_agg, _SQ3
+
+    rng = np.random.default_rng(42)
+    n = 4000
+    size = 1_000_000
+    lat = rng.integers(-80_000_000, 80_000_000, n)
+    lon = rng.integers(-170_000_000, 170_000_000, n)
+    df = spark.createDataFrame(
+        list(zip(range(n), map(int, lat), map(int, lon))), "pid long, lat long, lon long"
+    )
+    out = hexbin_agg(df, size=size).collect()
+    assert sum(r["n"] for r in out) == n
+
+    # per-point assignment via the same exprs, checked against brute force
+    from osmflat_rs_spark.operators.tiling import hex_qr_exprs
+    from pyspark.sql import functions as F
+
+    qc, rc = hex_qr_exprs(F.col("lat"), F.col("lon"), size)
+    rows = df.select("lat", "lon", qc.alias("q"), rc.alias("r")).collect()
+    for row in rows[:500]:
+        x, y = float(row["lon"]), float(row["lat"])
+        q0, r0 = row["q"], row["r"]
+
+        def center(q, r):
+            return (size * _SQ3 * (q + r / 2.0), size * 1.5 * r)
+
+        cx0, cy0 = center(q0, r0)
+        d0 = (x - cx0) ** 2 + (y - cy0) ** 2
+        for dq in (-1, 0, 1):
+            for dr in (-1, 0, 1):
+                cx, cy = center(q0 + dq, r0 + dr)
+                d = (x - cx) ** 2 + (y - cy) ** 2
+                # strict closer-neighbor would mean a wrong bin; allow
+                # boundary ties within float epsilon of the compare
+                assert d >= d0 * (1 - 1e-12), (q0, r0, dq, dr, d, d0)
+
+
+def test_hexbin_value_sum(spark):
+    from osmflat_rs_spark.operators.tiling import hexbin_agg
+
+    df = spark.createDataFrame(
+        [(1, 10, 10, 2.0), (2, 12, 11, 3.0), (3, 90_000_000, 0, 5.0)],
+        "pid long, lat long, lon long, v double",
+    )
+    out = {(r["q"], r["r"]): r for r in hexbin_agg(df, size=1_000_000, value_col="v").collect()}
+    # first two points share the origin hex; the third is far away
+    assert out[(0, 0)]["n"] == 2 and out[(0, 0)]["sum_val"] == 5.0
+    assert sum(r["n"] for r in out.values()) == 3
