@@ -1756,6 +1756,26 @@ def q_hillshade_events(spark, sf_dir):
     )
 
 
+def q_flow_acc_events(spark, sf_dir):
+    """D8 flow direction + accumulation (ESRI/GRASS hydrology pair) over
+    the res-16 event density grid: steepest strict descent by exact
+    drop²·(2/d²) keys, canonical-N8 tie order, then leaf-front peeling —
+    acc = upstream cell count (self excluded). Oracle: the same argmax as
+    a ROW_NUMBER window and the transitive closure as a recursive CTE
+    (each (source, downstream-cell) pair exactly once — paths are simple
+    because z strictly decreases), acc = pairs grouped by the downstream
+    cell."""
+    from osmflat_rs_spark.operators.flow import flow_accumulation_grid
+
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    return flow_accumulation_grid(pts, "lat", "lon", res=16).select(
+        "ix", "iy", "z",
+        F.col("rx").cast("long").alias("rx"),
+        F.col("ry").cast("long").alias("ry"),
+        "acc",
+    )
+
+
 def q_hexbin_events(spark, sf_dir):
     """Hexagonal-bin density aggregation (d3-hexbin analog, exact
     cube-round assignment at circumradius 1e6 fixed units) over the
@@ -3727,6 +3747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_winding_events": q_pip_winding_events,
         "hillshade_events": q_hillshade_events,
         "hexbin_events": q_hexbin_events,
+        "flow_acc_events": q_flow_acc_events,
         "viewshed_events": q_viewshed_events,
         "contour_events": q_contour_events,
         "pip_anti_events": q_pip_anti_events,
@@ -5429,6 +5450,43 @@ def oracle_sql() -> dict[str, str]:
                          0.7071067811865476 * COS(slope)
                          + 0.7071067811865475 * SIN(slope) * COS(2.356194490192345 - aspect)), 4) AS hillshade
             FROM t
+        """,
+        # D8 flow accumulation: argmax mirrored as a window, transitive
+        # closure as a recursive CTE (paths are simple: z strictly drops)
+        "flow_acc_events": f"""
+            WITH RECURSIVE pts AS (SELECT * FROM {synth}),
+            g AS (SELECT GREATEST(0, LEAST(65535, (lon + 1800000000) * 65536 // 3600000000)) AS ix,
+                         GREATEST(0, LEAST(65535, (lat + 900000000) * 65536 // 1800000000)) AS iy
+                  FROM pts),
+            c AS (SELECT ix, iy, COUNT(*) AS z FROM g GROUP BY 1, 2),
+            n AS (SELECT a.ix, a.iy, b.ix AS nx, b.iy AS ny,
+                         (a.z - b.z) * (a.z - b.z)
+                           * (CASE WHEN a.ix = b.ix OR a.iy = b.iy THEN 2 ELSE 1 END) AS key,
+                         CASE WHEN b.ix - a.ix = 1  AND b.iy - a.iy = 0  THEN 0
+                              WHEN b.ix - a.ix = -1 AND b.iy - a.iy = 0  THEN 1
+                              WHEN b.ix - a.ix = 0  AND b.iy - a.iy = 1  THEN 2
+                              WHEN b.ix - a.ix = 0  AND b.iy - a.iy = -1 THEN 3
+                              WHEN b.ix - a.ix = 1  AND b.iy - a.iy = 1  THEN 4
+                              WHEN b.ix - a.ix = 1  AND b.iy - a.iy = -1 THEN 5
+                              WHEN b.ix - a.ix = -1 AND b.iy - a.iy = 1  THEN 6
+                              ELSE 7 END AS i
+                  FROM c a JOIN c b
+                    ON ABS(a.ix - b.ix) <= 1 AND ABS(a.iy - b.iy) <= 1
+                   AND NOT (a.ix = b.ix AND a.iy = b.iy) AND b.z < a.z),
+            r AS (SELECT ix, iy, nx, ny FROM (
+                    SELECT *, ROW_NUMBER() OVER (PARTITION BY ix, iy
+                                                 ORDER BY key DESC, i ASC) AS rn
+                    FROM n) WHERE rn = 1),
+            e AS (SELECT ix * 4294967296 + iy AS src, nx * 4294967296 + ny AS dst FROM r),
+            walk(src, cur) AS (
+                SELECT src, dst FROM e
+                UNION ALL
+                SELECT w.src, e.dst FROM walk w JOIN e ON w.cur = e.src),
+            a AS (SELECT cur AS id, COUNT(*) AS acc FROM walk GROUP BY 1)
+            SELECT c.ix, c.iy, c.z, r.nx AS rx, r.ny AS ry,
+                   COALESCE(a.acc, 0) AS acc
+            FROM c LEFT JOIN r USING (ix, iy)
+                   LEFT JOIN a ON c.ix * 4294967296 + c.iy = a.id
         """,
         # hexbin: the double arithmetic below mirrors hex_qr_exprs token
         # for token (same shortest-repr literals, same op order) so the
