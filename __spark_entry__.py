@@ -1756,6 +1756,23 @@ def q_hillshade_events(spark, sf_dir):
     )
 
 
+def q_emb_cov(spark, sf_dir):
+    """Distributed embedding covariance (the PCA/whitening moment pass):
+    values quantized to the 1e-6 int64 lattice (floor(x·1e6 + 0.5) —
+    exact IEEE chain, identical cross-engine), all moments EXACT integer
+    sums (decimal(38,0) merge — order-independent), covariance one
+    rational per (i, j) evaluated from exact numerator/denominator.
+    Oracle: the same lattice and moments via generate_series over the
+    array — bit-identical up to the shared ROUND(…, 9)."""
+    from osmflat_rs_spark.operators.pca import embedding_covariance
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_covariance(emb, "embedding", quant=1e-6)
+    return out.select(
+        "i", "j", "n", F.round("cov", 9).alias("cov")
+    )
+
+
 def q_flow_acc_events(spark, sf_dir):
     """D8 flow direction + accumulation (ESRI/GRASS hydrology pair) over
     the res-16 event density grid: steepest strict descent by exact
@@ -3748,6 +3765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hillshade_events": q_hillshade_events,
         "hexbin_events": q_hexbin_events,
         "flow_acc_events": q_flow_acc_events,
+        "emb_cov": q_emb_cov,
         "viewshed_events": q_viewshed_events,
         "contour_events": q_contour_events,
         "pip_anti_events": q_pip_anti_events,
@@ -5450,6 +5468,26 @@ def oracle_sql() -> dict[str, str]:
                          0.7071067811865476 * COS(slope)
                          + 0.7071067811865475 * SIN(slope) * COS(2.356194490192345 - aspect)), 4) AS hillshade
             FROM t
+        """,
+        # embedding covariance on the 1e-6 int64 lattice: exact integer
+        # moments both sides; the only float ops are the shared final
+        # rational→double division and the 1e-12 rescale
+        "emb_cov": """
+            WITH q AS (SELECT vec_id,
+                              generate_subscripts(embedding, 1) - 1 AS i,
+                              CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS v
+                       FROM embeddings),
+            s AS (SELECT i, SUM(v) AS si FROM q GROUP BY 1),
+            cnt AS (SELECT COUNT(*) AS n FROM embeddings),
+            p AS (SELECT a.i AS i, b.i AS j, SUM(a.v * b.v) AS sij
+                  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+                  GROUP BY 1, 2)
+            SELECT p.i, p.j, cnt.n,
+                   ROUND(CAST(cnt.n * p.sij - sa.si * sb.si AS DOUBLE)
+                         / CAST(cnt.n * (cnt.n - 1) AS DOUBLE) * 1e-12, 9) AS cov
+            FROM p CROSS JOIN cnt
+                 JOIN s sa ON p.i = sa.i
+                 JOIN s sb ON p.j = sb.i
         """,
         # D8 flow accumulation: argmax mirrored as a window, transitive
         # closure as a recursive CTE (paths are simple: z strictly drops)

@@ -1,0 +1,124 @@
+"""Distributed covariance + PCA over an embedding column — the
+whitening/decorrelation step of a training-data pipeline (and the spine
+of an IVF-style ANN index in the rotated basis).
+
+Exactness design: floats never sum in float. Each embedding value is
+quantized to an int64 lattice (``v = floor(x·1/quant + 0.5)`` — float32
+widening to double is exact, the scale-and-floor is one deterministic
+IEEE op chain, identical in any engine), and every moment (Σv_i, Σv_iv_j,
+n) is an EXACT integer sum — order-independent, shuffle-safe, and
+bit-reproducible against the SQL oracle. The covariance is then one
+rational per (i, j): (n·S_ij − Σ_iΣ_j) / (n·(n−1)) · quant², evaluated in
+doubles from exact integer numerator/denominator (same int64→double
+nearest-rounding everywhere).
+
+Scale shape: one ``mapInPandas`` pass emits per-BATCH partial moment
+rows — d·(d+1)/2 pair rows + d dim-sum rows + 1 count row per Arrow
+batch (d=64 → 2,145 slim rows per ~10k-row batch; the corpus itself
+never shuffles). The only exchange is the final groupBy over ≤(d²) keys,
+summed as DECIMAL(38,0) so 10^12-row corpora cannot overflow the int64
+partials' sum. The d×d result is driver-small by construction — eigen
+decomposition (``pca_components``) is a NumPy ``eigh`` on d×d, and the
+projection ships the k×d component matrix back as a broadcast.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# sentinel j values for the non-pair moment rows
+_J_DIMSUM = -1
+_J_COUNT = -2
+
+
+def _moment_partials(vec_col: str, scale: float):
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            v = np.floor(x * scale + 0.5).astype(np.int64)
+            n, d = v.shape
+            g = v.T @ v  # exact: |v| ≤ scale, per-cell ≤ n·scale² < 2^63 per batch
+            iu, ju = np.triu_indices(d)
+            out_i = np.concatenate([iu, np.arange(d), [-2]])
+            out_j = np.concatenate([ju, np.full(d, _J_DIMSUM), [_J_COUNT]])
+            out_s = np.concatenate([g[iu, ju], v.sum(axis=0), [n]])
+            yield pd.DataFrame({"i": out_i.astype(np.int32), "j": out_j.astype(np.int32), "s": out_s})
+
+    return gen
+
+
+def embedding_covariance(
+    df: DataFrame, vec_col: str = "embedding", quant: float = 1e-6
+) -> DataFrame:
+    """→ (i, j, n, cov) for 0 ≤ i ≤ j < d — the upper triangle of the
+    sample covariance matrix (ddof=1) of the quantized embeddings.
+    ``quant`` is the lattice step (1e-6 keeps 6 significant decimals of
+    unit-norm embeddings; the quantization IS the declared contract, so
+    engine and oracle agree exactly rather than 'closely')."""
+    scale = 1.0 / float(quant)
+    parts = df.select(vec_col).mapInPandas(
+        _moment_partials(vec_col, scale), schema="i int, j int, s long"
+    )
+    agg = parts.groupBy("i", "j").agg(F.sum(F.col("s").cast("decimal(38,0)")).alias("s"))
+    n_df = agg.filter(F.col("j") == _J_COUNT).select(F.col("s").cast("long").alias("n"))
+    dims = agg.filter(F.col("j") == _J_DIMSUM).select(
+        F.col("i").alias("_d"), F.col("s").alias("_sum")
+    )
+    pairs = agg.filter(F.col("j") >= 0)
+    out = (
+        pairs.join(F.broadcast(n_df))
+        .join(F.broadcast(dims).withColumnRenamed("_d", "_di").withColumnRenamed("_sum", "_si"), F.col("i") == F.col("_di"))
+        .join(F.broadcast(dims).withColumnRenamed("_d", "_dj").withColumnRenamed("_sum", "_sj"), F.col("j") == F.col("_dj"))
+    )
+    numer = (F.col("n").cast("decimal(38,0)") * F.col("s") - F.col("_si") * F.col("_sj")).cast("double")
+    denom = (F.col("n") * (F.col("n") - F.lit(1))).cast("double")
+    cov = numer / denom * F.lit(float(quant) * float(quant))
+    return out.select("i", "j", "n", cov.alias("cov"))
+
+
+def pca_components(cov_df: DataFrame, d: int, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-side eigen decomposition of the (tiny, d×d) covariance →
+    (eigenvalues desc [k], components [k, d]). Sign convention: each
+    component's largest-|entry| coordinate is positive (eigh's sign is
+    arbitrary; this pins a deterministic one)."""
+    rows = cov_df.collect()
+    m = np.zeros((d, d))
+    for r in rows:
+        m[r["i"], r["j"]] = r["cov"]
+        m[r["j"], r["i"]] = r["cov"]
+    w, v = np.linalg.eigh(m)
+    order = np.argsort(w)[::-1][:k]
+    vals, comps = w[order], v[:, order].T
+    for c in comps:
+        if c[np.argmax(np.abs(c))] < 0:
+            c *= -1.0
+    return vals, comps
+
+
+def pca_project(
+    df: DataFrame, components: np.ndarray, vec_col: str = "embedding", out_col: str = "pca"
+) -> DataFrame:
+    """Project embeddings onto the (broadcast) component rows →
+    input columns + ``out_col`` array<double> of length k. One Arrow
+    map pass, the k×d matrix rides the closure (a few KB)."""
+    comps = np.ascontiguousarray(components, dtype=np.float64)
+    cols = list(df.columns)
+    dtypes = dict(df.dtypes)
+    out_schema = ", ".join([f"{c} {dtypes[c]}" for c in cols] + [f"{out_col} array<double>"])
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            p = x @ comps.T
+            pdf = pdf.copy()
+            pdf[out_col] = list(p)
+            yield pdf
+
+    return df.mapInPandas(gen, schema=out_schema)
