@@ -2856,6 +2856,22 @@ def q_pack_docs(spark, sf_dir):
     )
 
 
+def q_boilerplate_docs(spark, sf_dir):
+    """CCNet-style boilerplate strip (``textops.boilerplate_strip``,
+    r5): lines (3-token windows of the WS-contract word stream)
+    repeating in >= 2 distinct docs of the same ``source`` are dropped;
+    per doc -> line count, stripped count, surviving text in order.
+    One (source, line) frequency exchange + one id-keyed reassembly;
+    the oracle restates it with generate_series line fan-out + ordered
+    string_agg with NULL-skip for the stripped lines."""
+    from osmflat_rs_spark.operators.textops import boilerplate_strip
+
+    return boilerplate_strip(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", "source",
+        line_words=3, min_docs=2,
+    )
+
+
 def q_lang_id_docs(spark, sf_dir):
     from osmflat_rs_spark.operators.textops import lang_id
 
@@ -3810,6 +3826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_docs": q_token_count_docs,
         "chunk_docs": q_chunk_docs,
         "pack_docs": q_pack_docs,
+        "boilerplate_docs": q_boilerplate_docs,
         "lang_id_docs": q_lang_id_docs,
         "quality_docs": q_quality_docs,
         "tfidf_docs": q_tfidf_docs,
@@ -5807,6 +5824,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(toks[(chunk_idx * {CHUNK_STRIDE} + 1):(chunk_idx * {CHUNK_STRIDE} + {CHUNK_WINDOW})]) AS INT) AS n_tok,
                    array_to_string(toks[(chunk_idx * {CHUNK_STRIDE} + 1):(chunk_idx * {CHUNK_STRIDE} + {CHUNK_WINDOW})], ' ') AS chunk_text
             FROM c
+        """,
+        # boilerplate strip: generate_series line fan-out (scalar-list
+        # form — the table-function form can't take column args), the
+        # same >= 2-distinct-docs-per-source rule, ordered string_agg
+        # whose NULL-skip drops the stripped lines
+        "boilerplate_docs": f"""
+            WITH t AS (SELECT doc_id, source, {_ws_split_sql()} AS ws FROM documents),
+            l AS (SELECT doc_id, source,
+                         unnest(list_transform(
+                             generate_series(0, CAST(ceil(len(ws) / 3.0) AS BIGINT) - 1),
+                             k -> struct_pack(li := k,
+                                              line := array_to_string(ws[k*3+1 : k*3+3], ' ')))) AS e
+                  FROM t),
+            le AS (SELECT doc_id, source, e.li AS li, e.line AS line FROM l),
+            b AS (SELECT source, line FROM le
+                  GROUP BY 1, 2 HAVING COUNT(DISTINCT doc_id) >= 2),
+            j AS (SELECT le.doc_id, le.li, le.line, (b.line IS NOT NULL) AS boiler
+                  FROM le LEFT JOIN b ON le.source = b.source AND le.line = b.line)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+                   COALESCE(string_agg(CASE WHEN NOT boiler THEN line END, ' ' ORDER BY li),
+                            '') AS clean_text
+            FROM j GROUP BY 1
         """,
         # packing: naive window-SUM offsets + generate_series segment
         # explode — the engine's two-pass prefix sum must agree exactly.

@@ -815,3 +815,81 @@ def feature_hash(
         ),
     )
     return df.select(F.col(id_col), vec.alias("vec"))
+
+
+def boilerplate_strip(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    line_words: int = 8,
+    min_docs: int = 3,
+) -> DataFrame:
+    """CCNet-style boilerplate removal — drop lines that repeat across
+    many documents of the same group (domain/source): navigation bars,
+    cookie banners, license footers. A line is *boilerplate* when it
+    appears verbatim in >= ``min_docs`` DISTINCT documents within its
+    ``group_col`` partition (reference analog: the dedup-by-repeated-
+    paragraph stage every web-corpus pipeline runs before training).
+
+    Lines here are the tokenizer-contract word stream regrouped in
+    consecutive ``line_words``-token windows (the synthetic corpus has
+    no newlines; a real corpus would pass its own pre-split lines —
+    the counting/stripping plan is identical either way).
+
+    -> (id, n_lines, n_boiler, clean_text): per doc, total lines, lines
+    stripped, and the surviving lines rejoined in original order.
+
+    Scale shape: line fan-out is a pure codegen map (no shuffle);
+    the document-frequency count is ONE exchange keyed (group, line) —
+    count(DISTINCT id) per line partial-aggregates map-side after the
+    in-map (group, line, id) dedup Spark plans for it; the boilerplate
+    mark rejoins on the same (group, line) key (AQE reuses the
+    exchange), and the final reassembly is one id-keyed aggregate whose
+    collect_list is bounded by the doc's own line count — nothing is
+    ever corpus-wide in memory. Skew note: a pathological group where
+    ONE line appears in 10^9 docs only inflates a count, never a
+    collect — the frequency table stays |distinct lines| rows.
+    """
+    if line_words < 1:
+        raise ValueError(f"line_words must be >= 1, got {line_words}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    toks = words_expr(F.col(text_col))
+    n_lines = F.ceil(F.size("_toks") / F.lit(line_words)).cast("int")
+    lines = (
+        df.select(F.col(id_col), F.col(group_col).alias("_g"), toks.alias("_toks"))
+        .withColumn("_li", F.explode(F.sequence(F.lit(0), n_lines - 1)))
+        .select(
+            F.col(id_col),
+            "_g",
+            "_li",
+            F.array_join(
+                F.slice(F.col("_toks"), F.col("_li") * line_words + 1, line_words), " "
+            ).alias("_line"),
+        )
+    )
+    boiler = (
+        lines.groupBy("_g", "_line")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("_g", "_line", F.lit(True).alias("_boiler"))
+    )
+    marked = lines.join(boiler, ["_g", "_line"], "left")
+    keep = F.col("_boiler").isNull()
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.when(keep, 0).otherwise(1)).cast("long").alias("n_boiler"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(keep, F.struct(F.col("_li"), F.col("_line"))))
+                    ),
+                    lambda s: s["_line"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )

@@ -1973,3 +1973,54 @@ def test_edit_distance_qgram_boundary_regime(spark):
         edit_distance_join(df, "doc_id", "st", 2, method="nope")
     with _pytest.raises(ValueError):
         edit_distance_join(df, "doc_id", "st", 2, method="qgram", q=0)
+
+
+def test_boilerplate_strip_known_corpus(spark):
+    """Hand-built corpus: a 'cookie banner' line repeated across 3 docs of
+    source A must be stripped from each; the same line under source B with
+    only one doc survives; order of surviving lines is preserved."""
+    from osmflat_rs_spark.operators.textops import boilerplate_strip
+
+    banner = "accept all cookies"
+    rows = [
+        (1, f"{banner} alpha beta gamma", "A"),
+        (2, f"delta echo foxtrot {banner}", "A"),
+        (3, f"{banner} golf hotel india", "A"),
+        (4, f"{banner} juliet kilo lima", "B"),  # unique within B -> kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_strip(
+            df, "doc_id", "text", "source", line_words=3, min_docs=3
+        ).collect()
+    }
+    assert len(out) == 4
+    # each A doc: 2 lines, 1 boiler, banner gone, own words kept in order
+    assert (out[1]["n_lines"], out[1]["n_boiler"]) == (2, 1)
+    assert out[1]["clean_text"] == "alpha beta gamma"
+    assert out[2]["clean_text"] == "delta echo foxtrot"
+    assert out[3]["clean_text"] == "golf hotel india"
+    # B doc untouched (banner df=1 in B)
+    assert out[4]["n_boiler"] == 0
+    assert out[4]["clean_text"] == "accept all cookies juliet kilo lima"
+
+
+def test_boilerplate_strip_all_boiler_and_validation(spark):
+    """Docs whose every line is boilerplate still emit a row with empty
+    clean_text; bad params raise."""
+    import pytest
+
+    from osmflat_rs_spark.operators.textops import boilerplate_strip
+
+    df = spark.createDataFrame(
+        [(i, "same exact line", "A") for i in range(4)],
+        "doc_id long, text string, source string",
+    )
+    got = boilerplate_strip(df, "doc_id", "text", "source", line_words=3, min_docs=2)
+    for r in got.collect():
+        assert (r["n_lines"], r["n_boiler"], r["clean_text"]) == (1, 1, "")
+    with pytest.raises(ValueError):
+        boilerplate_strip(df, "doc_id", "text", "source", line_words=0)
+    with pytest.raises(ValueError):
+        boilerplate_strip(df, "doc_id", "text", "source", min_docs=1)
