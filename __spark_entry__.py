@@ -3128,6 +3128,23 @@ def q_dedup_clusters_docs(spark, sf_dir):
     return dedup_cluster_representatives(pairs)
 
 
+def q_dedup_retain_docs(spark, sf_dir):
+    """Retain-BEST per duplicate cluster (``dedup.retain_best``, r5):
+    same MinHash-LSH pair graph as dedup_clusters_docs, but the
+    survivor is the highest-score member (BIGINT word count; ties to
+    lowest doc_id) rather than min-id — the selection real pipelines
+    run. Corpus-side work is one left join + one argmax-struct
+    aggregate; oracle = recursive-CTE CC + ROW_NUMBER window."""
+    from osmflat_rs_spark.operators.dedup import minhash_dedup, retain_best, words_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_dedup(docs, "doc_id", "text", threshold=0.5).select("id_a", "id_b")
+    scored = docs.select(
+        "doc_id", F.size(words_expr(F.col("text"))).cast("long").alias("score")
+    )
+    return retain_best(scored, pairs, "doc_id", "score")
+
+
 def q_ngram_jaccard_docs(spark, sf_dir):
     """Blocked exact word-set jaccard (block = source) ≥ 0.6."""
     from osmflat_rs_spark.operators.dedup import ngram_jaccard_pairs
@@ -3858,6 +3875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_events": q_weighted_sample_events,
         "minhash_pairs_docs": q_minhash_pairs_docs,
         "dedup_clusters_docs": q_dedup_clusters_docs,  # iterative CC, oracled via recursive CTE
+        "dedup_retain_docs": q_dedup_retain_docs,  # retain-best survivor per cluster
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "containment_docs": q_containment_docs,
         "ngram_jaccard_prefix_docs": q_ngram_jaccard_prefix_docs,
@@ -6450,6 +6468,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, MIN(lbl) AS component,
                    node = MIN(lbl) AS is_representative
             FROM walk GROUP BY node
+        """,
+        # retain-best: the same recursive-CTE CC, singletons via LEFT
+        # JOIN + COALESCE, survivor by ROW_NUMBER(score DESC, id ASC)
+        "dedup_retain_docs": f"""
+            WITH RECURSIVE pairs AS MATERIALIZED ({_minhash_sql(0.5)}),
+            e AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+            nodes AS (SELECT DISTINCT u AS node FROM e),
+            walk(node, lbl) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT e.v, w.lbl FROM walk w JOIN e ON e.u = w.node
+            ),
+            cc AS (SELECT node, MIN(lbl) AS component FROM walk GROUP BY node),
+            q AS (SELECT doc_id, CAST(len({_ws_split_sql()}) AS BIGINT) AS score
+                  FROM documents),
+            m AS (SELECT q.doc_id, COALESCE(cc.component, q.doc_id) AS component,
+                         q.score
+                  FROM q LEFT JOIN cc ON cc.node = q.doc_id)
+            SELECT doc_id, component, score,
+                   ROW_NUMBER() OVER (PARTITION BY component
+                                      ORDER BY score DESC, doc_id ASC) = 1 AS keep
+            FROM m
         """,
         # line merge: recursive-CTE min-label walk over the endpoint
         # graph + the same exact degree rollups as the engine

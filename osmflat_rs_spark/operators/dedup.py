@@ -1048,3 +1048,63 @@ def _editdist_qgram(prepared: DataFrame, max_dist: int, q: int) -> DataFrame:
         .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
     )
     return short_pairs.unionByName(long_pairs)
+
+
+def retain_best(
+    scored: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Near-dup retain-best: given EVERY document with a quality score
+    and the near-dup pair graph, pick one survivor per duplicate cluster
+    — the highest-score member, ties to the LOWEST id (deterministic) —
+    and keep every singleton. This is the selection step real pipelines
+    run after MinHash clustering: drop the dups but keep the *best*
+    copy, not an arbitrary one (``dedup_cluster_representatives`` keeps
+    the min-id copy; this keeps the max-quality copy).
+
+    -> (id, component, score, keep): all input docs, their duplicate
+    component (own id when unpaired), and the keep decision.
+
+    Scale shape: components come from the O(log n) min-label/pointer-
+    jumping CC (graph.connected_components) over the pair graph only —
+    the corpus never enters the iteration; the corpus-wide work is one
+    left join onto the (node, component) table and ONE map-side-combined
+    aggregate per component computing max(struct(score, -id)) — the
+    argmax is a 16-byte partial, never a per-group collect, and the
+    keep-mark rejoin shares the component key with the aggregate so AQE
+    reuses the exchange. Scores compare as their column type — use an
+    integer score for a bit-stable contract (float NaN sorts above all
+    values in Spark but below in some engines; the oracle gate uses a
+    BIGINT token count for exactly this reason).
+    """
+    from osmflat_rs_spark.operators.graph import connected_components
+
+    cc = connected_components(pairs, src=id_a, dst=id_b)
+    m = (
+        scored.select(F.col(id_col), F.col(score_col).alias("_score"))
+        .join(cc, scored[id_col] == cc["node"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+            F.col("_score"),
+        )
+    )
+    best = m.groupBy("component").agg(
+        F.max(F.struct(F.col("_score"), (-F.col(id_col)).alias("_nid"))).alias("_b")
+    )
+    return (
+        m.join(best, "component")
+        .select(
+            F.col(id_col),
+            "component",
+            F.col("_score").alias("score"),
+            (
+                (F.col("_score") == F.col("_b")["_score"])
+                & (F.col(id_col) == -F.col("_b")["_nid"])
+            ).alias("keep"),
+        )
+    )

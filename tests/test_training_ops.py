@@ -2024,3 +2024,28 @@ def test_boilerplate_strip_all_boiler_and_validation(spark):
         boilerplate_strip(df, "doc_id", "text", "source", line_words=0)
     with pytest.raises(ValueError):
         boilerplate_strip(df, "doc_id", "text", "source", min_docs=1)
+
+
+def test_retain_best_keeps_max_quality_and_singletons(spark):
+    """Cluster {1,2,3} keeps the max-score member (2); tie cluster {10,11}
+    keeps the LOWER id; singleton 99 keeps itself with its own component."""
+    from osmflat_rs_spark.operators.dedup import retain_best
+
+    scored = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 7), (10, 4), (11, 4), (99, 1)],
+        "doc_id long, score long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r for r in retain_best(scored, pairs).collect()}
+    assert len(got) == 6
+    assert [got[i]["component"] for i in (1, 2, 3)] == [1, 1, 1]
+    assert [got[i]["keep"] for i in (1, 2, 3)] == [False, True, False]
+    assert (got[10]["keep"], got[11]["keep"]) == (True, False)
+    assert got[99]["component"] == 99 and got[99]["keep"]
+    # exactly one survivor per component
+    from collections import Counter
+
+    kept = Counter(r["component"] for r in got.values() if r["keep"])
+    assert all(v == 1 for v in kept.values()) and len(kept) == 3
