@@ -3031,6 +3031,19 @@ def q_weighted_sample_events(spark, sf_dir):
     )
 
 
+def q_temperature_mix_docs(spark, sf_dir):
+    """Temperature-scaled domain mixing (``sampling.temperature_mix``,
+    r5): per-lang budget ∝ sqrt(n_lang) on the 1e-6 int64 lattice
+    (exact-integer normalizer), deterministic md5-hash acceptance —
+    the LLM multi-corpus rebalancer as one broadcast join + codegen
+    filter. 300-doc budget over the lang domains."""
+    from osmflat_rs_spark.operators.sampling import temperature_mix
+
+    return temperature_mix(
+        _t(spark, sf_dir, "documents"), "doc_id", "lang", total=300, alpha=0.5
+    )
+
+
 def q_minhash_pairs_docs(spark, sf_dir):
     """MinHash+LSH near-dup: shingle → 8 minhashes → 4 bands → bucket
     join → exact jaccard ≥ 0.5 (the full pipeline IS the semantics)."""
@@ -3873,6 +3886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hull_users": q_hull_users,
         "stratified_events": q_stratified_events,
         "weighted_sample_events": q_weighted_sample_events,
+        "temperature_mix_docs": q_temperature_mix_docs,
         "minhash_pairs_docs": q_minhash_pairs_docs,
         "dedup_clusters_docs": q_dedup_clusters_docs,  # iterative CC, oracled via recursive CTE
         "dedup_retain_docs": q_dedup_retain_docs,  # retain-best survivor per cluster
@@ -6302,6 +6316,23 @@ def oracle_sql() -> dict[str, str]:
                              ORDER BY ln(u) / wt DESC, event_id ASC) AS rk
                   FROM w)
             SELECT event_type, event_id, rk FROM r WHERE rk <= 25
+        """,
+        # temperature mix: sqrt on the 1e-6 lattice, exact-int
+        # normalizer, one int->double division chain, shared md5-u accept
+        "temperature_mix_docs": """
+            WITH c AS (SELECT lang, COUNT(*) AS n_domain FROM documents GROUP BY 1),
+            w AS (SELECT lang, n_domain,
+                         CAST(floor(sqrt(CAST(n_domain AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS w
+                  FROM c),
+            tot AS (SELECT SUM(w) AS tw FROM w),
+            r AS (SELECT lang, n_domain,
+                         CAST(floor(300.0 * CAST(w AS DOUBLE) / CAST(tw AS DOUBLE) + 0.5) AS BIGINT) AS budget
+                  FROM w, tot)
+            SELECT d.doc_id, d.lang, r.n_domain, r.budget,
+                   (CAST('0x' || substr(md5('tm:' || d.doc_id::VARCHAR), 1, 15) AS BIGINT) + 1)
+                       / 1152921504606846976.0
+                   < CAST(r.budget AS DOUBLE) / CAST(r.n_domain AS DOUBLE) AS keep
+            FROM documents d JOIN r USING (lang)
         """,
         "minhash_pairs_docs": _minhash_sql(0.5),
         # Bloom filter: identical seeded-md5 bit scheme, so the set-bit

@@ -106,3 +106,82 @@ def weighted_sample(
     )
     keep = ([group_col] if group_col is not None else []) + [id_col, "rk"]
     return out.select(*keep)
+
+
+def temperature_mix(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    total: int,
+    alpha: float = 0.5,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled domain mixing — the multi-corpus rebalancing
+    step of LLM data pipelines (GPT-3/PaLM style): domain d's share of a
+    ``total``-doc budget is n_d^alpha / SUM_e n_e^alpha (alpha < 1
+    flattens the mixture toward small domains; alpha = 1 is natural
+    sampling), realized by DETERMINISTIC hash acceptance so the whole
+    decision is a pure column expression.
+
+    -> (id, domain, n_domain, budget, keep): every doc, its domain size,
+    the domain's doc budget, and the keep decision. Realized keep counts
+    are within O(sqrt(budget)) of budget (Bernoulli by deterministic
+    hash u — the standard trade of rate-based sampling; exact-budget
+    selection per domain is ``weighted_sample``'s top-n machinery).
+
+    Exactness: n_d^alpha is quantized to the 1/``quant`` int64 lattice
+    (w_d = floor(n_d^alpha * quant + 0.5); for alpha = 0.5 the power is
+    the IEEE correctly-rounded sqrt, so w_d is engine-portable —
+    arbitrary alpha uses libm pow, documented as potentially last-ulp
+    divergent cross-engine), the normalizer W = SUM(w_d) is an EXACT
+    integer sum, budgets come from one int->double division chain
+    (exact while total * w_d < 2^53), and acceptance compares the
+    shared-contract md5 u against budget/n_d — every engine computing
+    the same integers computes the same keeps, no rounding cliff
+    anywhere.
+
+    Scale shape: ONE map-side-combined count per domain (|domains|
+    rows), a broadcast of the |domains|-row rate table back onto the
+    corpus, and a codegen filter expression — the corpus itself never
+    shuffles and nothing is corpus-wide on the driver.
+    """
+    if total < 0:
+        raise ValueError(f"total must be >= 0, got {total}")
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    from osmflat_rs_spark.operators.dedup import md5_int60
+
+    nd = F.col("n_domain").cast("double")
+    powed = F.sqrt(nd) if alpha == 0.5 else F.pow(nd, F.lit(float(alpha)))
+    counts = (
+        df.groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("n_domain"))
+        .withColumn("_w", F.floor(powed * quant + F.lit(0.5)).cast("long"))
+    )
+    # The normalizer derives from `counts` itself; alias both sides so the
+    # self-lineage crossJoin doesn't leave `_w` ambiguous to the analyzer.
+    tot = counts.agg(F.sum("_w").alias("_W")).alias("t")
+    rates = counts.alias("c").crossJoin(F.broadcast(tot)).select(
+        F.col(f"c.{domain_col}").alias(domain_col),
+        F.col("c.n_domain").alias("n_domain"),
+        F.floor(
+            F.lit(float(total))
+            * F.col("c._w").cast("double")
+            / F.col("t._W").cast("double")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("budget"),
+    )
+    u = (md5_int60(F.concat(F.lit("tm:"), F.col(id_col).cast("string"))) + 1) / F.lit(
+        _HSPACE
+    )
+    return df.select(id_col, domain_col).join(F.broadcast(rates), domain_col).select(
+        F.col(id_col),
+        F.col(domain_col),
+        "n_domain",
+        "budget",
+        (u < F.col("budget").cast("double") / F.col("n_domain").cast("double")).alias(
+            "keep"
+        ),
+    )

@@ -1020,6 +1020,46 @@ def test_weighted_sample_excludes_nonpositive_and_matches_single_window(spark):
         sampling.weighted_sample(df, "i", "w", n=0)
 
 
+def test_temperature_mix_budgets_and_keep_semantics(spark):
+    from osmflat_rs_spark.operators import sampling
+
+    # three domains with 1600 / 400 / 100 docs: alpha=0.5 weights are
+    # 40 / 20 / 10 -> budgets 4/7, 2/7, 1/7 of the total (rounded)
+    rows = [(f"a{i}", "a") for i in range(1600)]
+    rows += [(f"b{i}", "b") for i in range(400)]
+    rows += [(f"c{i}", "c") for i in range(100)]
+    df = spark.createDataFrame(rows, schema="doc_id string, dom string")
+    out = sampling.temperature_mix(df, "doc_id", "dom", total=700, alpha=0.5)
+    recs = out.collect()
+    assert len(recs) == 2100  # every doc surfaces with its decision
+    budgets = {r["dom"]: r["budget"] for r in recs}
+    assert budgets == {"a": 400, "b": 200, "c": 100}
+    # alpha=1.0 is natural sampling: budget proportional to n_domain
+    nat = {
+        r["dom"]: r["budget"]
+        for r in sampling.temperature_mix(
+            df, "doc_id", "dom", total=700, alpha=1.0
+        ).collect()
+    }
+    assert nat == {"a": 533, "b": 133, "c": 33}
+    # Bernoulli realization lands within ~4 sigma of the budget, and the
+    # decision is deterministic across partition layouts
+    kept = {}
+    for r in recs:
+        if r["keep"]:
+            kept[r["dom"]] = kept.get(r["dom"], 0) + 1
+    for d, b in budgets.items():
+        assert abs(kept.get(d, 0) - b) <= 4 * (b**0.5) + 1, (d, kept.get(d), b)
+    again = sampling.temperature_mix(
+        df.repartition(13), "doc_id", "dom", total=700, alpha=0.5
+    ).collect()
+    assert sorted(map(tuple, recs)) == sorted(map(tuple, again))
+    with pytest.raises(ValueError):
+        sampling.temperature_mix(df, "doc_id", "dom", total=10, alpha=0.0)
+    with pytest.raises(ValueError):
+        sampling.temperature_mix(df, "doc_id", "dom", total=-1)
+
+
 # ---------------------------------------------------------------------------
 # Gopher repetition signals
 
