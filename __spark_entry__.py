@@ -1044,6 +1044,27 @@ def q_ripley_events(spark, sf_dir):
     return ripley_k(pts, list(RIPLEY_RADII), RIPLEY_AREA, id_col="event_id")
 
 
+VARIO_W = 100_000  # lag width, fixed-point units
+VARIO_LAGS = 4
+
+
+def q_variogram_events(spark, sf_dir):
+    """Empirical (Matheron) semivariogram over the event value field:
+    ONE self radius-join at max lag (cell-cover candidates, exact int64
+    d² and (Δv)²), unordered-pair dedup, floor(sqrt(d²)/w) lag binning,
+    γ̂ = Σ(Δv)²/(2N) as one exact-int division. Values are pre-scaled
+    to int64 cents so every sum is exact; the oracle is the brute
+    bbox-prefiltered inequality self-join with the identical IEEE lag
+    and gamma expressions."""
+    from osmflat_rs_spark.operators.hotspot import empirical_variogram
+
+    pts = _synth_coords(_t(spark, sf_dir, "events")).select(
+        "event_id", "lat", "lon",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    return empirical_variogram(pts, VARIO_W, VARIO_LAGS, id_col="event_id")
+
+
 def q_sssp_graph(spark, sf_dir):
     """Multi-source hop-bounded shortest paths (distributed Bellman-Ford,
     delta relaxation, per-round localCheckpoint). The hop bound is part
@@ -3796,6 +3817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isolated_events": q_isolated_events,
         "skyline_events": q_skyline_events,
         "ripley_events": q_ripley_events,
+        "variogram_events": q_variogram_events,
         "simplify_events": q_simplify_events,
         "dbscan_events": q_dbscan_events,
         "knn_events": q_knn_events,
@@ -4639,6 +4661,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST({RIPLEY_AREA!r} AS DOUBLE) * CAST(n_pairs AS DOUBLE)
                      / CAST(n * (n - 1) AS DOUBLE) AS k_hat
             FROM unp, nn
+        """,
+        # variogram: identical int64 d²/(Δv)², identical IEEE
+        # floor(sqrt/w) lag and SUM/(2·COUNT) gamma expressions
+        "variogram_events": f"""
+            WITH pts AS (SELECT event_id, lat, lon,
+                                CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                         FROM {synth}),
+            pr AS (SELECT (a.lat - b.lat) * (a.lat - b.lat)
+                        + (a.lon - b.lon) * (a.lon - b.lon) AS d2,
+                          (a.v - b.v) * (a.v - b.v) AS dv2
+                   FROM pts a JOIN pts b
+                     ON a.event_id < b.event_id
+                    AND abs(a.lat - b.lat) <= {VARIO_W * VARIO_LAGS}
+                    AND abs(a.lon - b.lon) <= {VARIO_W * VARIO_LAGS}),
+            lg AS (SELECT CAST(floor(sqrt(CAST(d2 AS DOUBLE)) / {float(VARIO_W)!r}) AS BIGINT) AS lag,
+                          dv2
+                   FROM pr WHERE d2 <= {(VARIO_W * VARIO_LAGS) ** 2})
+            SELECT lag,
+                   CAST(lag * {VARIO_W} AS BIGINT) AS h_lo,
+                   CAST((lag + 1) * {VARIO_W} AS BIGINT) AS h_hi,
+                   COUNT(*) AS n_pairs,
+                   CAST(SUM(dv2) AS DOUBLE) / (2.0 * CAST(COUNT(*) AS DOUBLE)) AS gamma
+            FROM lg WHERE lag < {VARIO_LAGS}
+            GROUP BY lag ORDER BY lag
         """,
         "sssp_graph": f"""
             WITH RECURSIVE e AS (

@@ -607,3 +607,57 @@ def test_mean_center_degenerate_single_point(spark):
     r = mean_center(df, "g").collect()[0]
     assert (r["n"], r["mean_lat"], r["mean_lon"]) == (1, 5.0, -7.0)
     assert r["std_dist"] == 0.0 and r["ellipse_theta"] == 0.0
+
+
+def test_empirical_variogram_matches_bruteforce(spark):
+    """empirical_variogram vs the all-pairs NumPy gamma at 4 lags:
+    identical pair counts, bit-identical gamma (exact int64 sums, one
+    IEEE division), unordered pairs counted once, coincident distinct
+    points land in lag 0, pairs at exactly max distance excluded."""
+    import numpy as np
+
+    from osmflat_rs_spark.operators.hotspot import empirical_variogram
+
+    rng = np.random.RandomState(17)
+    n = 600
+    lat = rng.randint(0, 1_000_000, n).astype("int64")
+    lon = rng.randint(0, 2_000_000, n).astype("int64")
+    v = rng.randint(-500, 500, n).astype("int64")
+    lat[5], lon[5] = lat[4], lon[4]  # nugget pair: d = 0, different v
+    ids = np.arange(n, dtype="int64")
+    df = spark.createDataFrame(
+        [(int(i), int(la), int(lo), int(vv)) for i, la, lo, vv in zip(ids, lat, lon, v)],
+        "node_idx long, lat long, lon long, v long",
+    ).repartition(6)
+    w, nlags = 100_000, 4
+    rows = empirical_variogram(df, w, nlags).collect()
+    got = {r["lag"]: (r["h_lo"], r["h_hi"], r["n_pairs"], r["gamma"]) for r in rows}
+
+    iu = np.triu_indices(n, k=1)
+    dla = (lat[:, None] - lat[None, :])[iu]
+    dlo = (lon[:, None] - lon[None, :])[iu]
+    d2 = dla * dla + dlo * dlo
+    dv2 = ((v[:, None] - v[None, :])[iu]) ** 2
+    lag = np.floor(np.sqrt(d2.astype("float64")) / float(w)).astype("int64")
+    keep = d2 <= (w * nlags) ** 2  # the radius-join bound
+    for i in range(nlags):
+        m = keep & (lag == i)
+        npairs = int(m.sum())
+        s = int(dv2[m].sum())
+        gamma = float(s) / (2.0 * float(npairs))
+        assert got[i] == (i * w, (i + 1) * w, npairs, gamma), i
+    assert sorted(got) == list(range(nlags))
+    # the nugget pair sits in lag 0
+    assert got[0][2] >= 1
+
+
+def test_empirical_variogram_validation(spark):
+    import pytest as _pytest
+
+    from osmflat_rs_spark.operators.hotspot import empirical_variogram
+
+    df = spark.createDataFrame([(1, 0, 0, 1)], "node_idx long, lat long, lon long, v long")
+    with _pytest.raises(ValueError):
+        empirical_variogram(df, 0, 4)
+    with _pytest.raises(ValueError):
+        empirical_variogram(df, 100, 0)
