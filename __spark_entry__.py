@@ -2011,6 +2011,29 @@ def q_gearys_c_events(spark, sf_dir):
     return out.select(F.round("c", 9).alias("c"), "n", "s0")
 
 
+JC_RES, JC_THRESHOLD = 15, 8  # ~32% Black cells at sf0.01
+
+
+def q_joincount_events(spark, sf_dir):
+    """Join-count statistics (Cliff & Ord) — the binary-field member of
+    the autocorrelation family: occupied res-15 cells marked Black when
+    ≥ 8 events land in them, BB/WW/BW counted over rook-adjacent pairs
+    (union of two shifted EQUI-joins on the cell table — no theta-join),
+    z-score vs nonfree-sampling expectation. Counts and the degree
+    moment are exact int64; E/Var/z are the identical chained-division
+    IEEE expressions on both engines, rounded at 9."""
+    from osmflat_rs_spark.operators.tiling import join_counts
+
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    out = join_counts(pts, res=JC_RES, threshold=JC_THRESHOLD)
+    return out.select(
+        "n", "nb", "jj", "bb", "ww", "bw",
+        F.round("e_bb", 9).alias("e_bb"),
+        F.round("var_bb", 9).alias("var_bb"),
+        F.round("z_bb", 9).alias("z_bb"),
+    )
+
+
 def q_lisa_events(spark, sf_dir):
     """Local Moran's I (Anselin 1995 LISA) with the HH/LL/HL/LH cluster
     map — the per-cell decomposition of morans_i_events, same sparse-
@@ -3847,6 +3870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gi_star_events": q_gi_star_events,
         "morans_i_events": q_morans_i_events,
         "gearys_c_events": q_gearys_c_events,
+        "joincount_events": q_joincount_events,
         "lisa_events": q_lisa_events,
         "trend_events": q_trend_events,
         "ols_events": q_ols_events,
@@ -5148,6 +5172,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT ROUND(((CAST(m.n AS DOUBLE) - 1.0) / (2.0 * pairs.s0)) * pairs.num / m.ss, 9) AS c,
                    m.n AS n, pairs.s0 AS s0
             FROM m CROSS JOIN pairs
+        """,
+        # join counts: identical grid/threshold/edge construction, exact
+        # int64 counts + degree moment, identical chained-division E/Var/z
+        "joincount_events": f"""
+            WITH pts AS (SELECT * FROM {synth}),
+            g AS (SELECT GREATEST(0, LEAST({(1 << JC_RES) - 1}, (lon + 1800000000) * {1 << JC_RES} // 3600000000)) AS ix,
+                         GREATEST(0, LEAST({(1 << JC_RES) - 1}, (lat + 900000000) * {1 << JC_RES} // 1800000000)) AS iy
+                  FROM pts),
+            c AS (SELECT ix, iy,
+                         CASE WHEN COUNT(*) >= {JC_THRESHOLD} THEN 1 ELSE 0 END AS b
+                  FROM g GROUP BY 1, 2),
+            ed AS (SELECT a.ix, a.iy, w.ix AS jx, w.iy AS jy, a.b, w.b AS b2
+                   FROM c a JOIN c w ON w.ix = a.ix - 1 AND w.iy = a.iy
+                   UNION ALL
+                   SELECT a.ix, a.iy, s.ix, s.iy, a.b, s.b
+                   FROM c a JOIN c s ON s.ix = a.ix AND s.iy = a.iy - 1),
+            ends AS (SELECT ix, iy FROM ed UNION ALL SELECT jx, jy FROM ed),
+            mm AS (SELECT CAST(SUM(k * (k - 1)) AS BIGINT) AS m
+                   FROM (SELECT ix, iy, COUNT(*) AS k FROM ends GROUP BY 1, 2)),
+            tot AS (SELECT COUNT(*) AS n, CAST(SUM(b) AS BIGINT) AS nb FROM c),
+            ea AS (SELECT COUNT(*) AS jj,
+                          CAST(SUM(b * b2) AS BIGINT) AS bb,
+                          CAST(SUM((1 - b) * (1 - b2)) AS BIGINT) AS ww
+                   FROM ed),
+            fin AS (SELECT n, nb, jj, bb, ww, m,
+                           CAST(nb * (nb - 1) AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) AS p2
+                    FROM tot CROSS JOIN ea CROSS JOIN mm),
+            fx AS (SELECT *,
+                          CAST(jj AS DOUBLE) * p2 AS e_bb,
+                          CAST(jj AS DOUBLE) * p2
+                            + CAST(m AS DOUBLE) * (p2 * (CAST(nb - 2 AS DOUBLE) / CAST(n - 2 AS DOUBLE)))
+                            + CAST(jj * (jj - 1) - m AS DOUBLE)
+                              * (p2 * (CAST((nb - 2) * (nb - 3) AS DOUBLE) / CAST((n - 2) * (n - 3) AS DOUBLE)))
+                            - (CAST(jj AS DOUBLE) * p2) * (CAST(jj AS DOUBLE) * p2) AS var_bb
+                   FROM fin)
+            SELECT n, nb, jj, bb, ww, CAST(jj - bb - ww AS BIGINT) AS bw,
+                   ROUND(e_bb, 9) AS e_bb,
+                   ROUND(var_bb, 9) AS var_bb,
+                   ROUND(CASE WHEN n >= 4 AND var_bb > 0
+                              THEN (CAST(bb AS DOUBLE) - e_bb) / sqrt(var_bb) END, 9) AS z_bb
+            FROM fx
         """,
         # LISA: independent dense oracle — materialize every bbox cell,
         # per-cell lag sums from the explicit neighbor join, raw m2/m4

@@ -1165,3 +1165,93 @@ def hexbin_agg(
     if value_col is not None:
         cols.append("sum_val")
     return out.select(*cols)
+
+
+def join_counts(
+    pts: DataFrame,
+    lat: str = "lat",
+    lon: str = "lon",
+    res: int = 16,
+    threshold: int = 2,
+) -> DataFrame:
+    """Join-count statistics (Cliff & Ord) — the BINARY-field member of
+    the spatial-autocorrelation family next to :func:`morans_i` /
+    :func:`gearys_c`: mark each occupied grid cell Black (point count ≥
+    ``threshold``) or White, count Black-Black / White-White / mixed
+    pairs over ROOK-adjacent occupied cells, and z-score BB against its
+    expectation under nonfree (hypergeometric) sampling. One row:
+    (n, nb, jj, bb, ww, bw, e_bb, var_bb, z_bb) — z_bb ≫ 0 means dense
+    cells clump spatially.
+
+    Scale shape: aggregate FIRST (one map-side-combined groupBy to
+    occupied cells), then everything runs on the cell table — rook
+    edges as a union of two shifted EQUI-joins (no OR-join, no
+    theta-join), degrees from one endpoint explode, one global
+    aggregate. The raw points are touched exactly once.
+
+    Exactness: n, nb, jj, bb, ww, bw, and the degree moment m =
+    Σ kᵢ(kᵢ−1) are exact int64; E[BB] = J·p₂ and Var(BB) = J·p₂ + m·p₃
+    + (J(J−1)−m)·p₄ − (J·p₂)² use p₂ = nb(nb−1)/(n(n−1)) as ONE
+    int-ratio division and p₃ = p₂·(nb−2)/(n−2), p₄ = p₂·(nb−2)(nb−3)/
+    ((n−2)(n−3)) as chained divisions so no int64 product exceeds nb²·J
+    (the nb⁴ textbook numerator would overflow at ~10⁵ cells). z is
+    NULL when n < 4 or Var ≤ 0 (degenerate: all-Black or all-White).
+    No reference analog; north-rule spatial-analytics surface.
+    """
+    from osmflat_rs_spark.functions.cells import grid_exprs
+
+    if threshold < 1:
+        raise ValueError(f"threshold must be >= 1, got {threshold}")
+    ix, iy = grid_exprs(F.col(lat), F.col(lon), res)
+    cells = (
+        pts.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull())
+        .groupBy(ix.alias("ix"), iy.alias("iy"))
+        .agg((F.count("*") >= threshold).cast("long").alias("b"))
+    )
+    east = cells.select((F.col("ix") + 1).alias("ix"), "iy", F.col("b").alias("b2"))
+    north = cells.select("ix", (F.col("iy") + 1).alias("iy"), F.col("b").alias("b2"))
+    edges = (
+        cells.join(east, ["ix", "iy"])
+        .select("ix", "iy", (F.col("ix") - 1).alias("jx"), F.col("iy").alias("jy"), "b", "b2")
+        .unionByName(
+            cells.join(north, ["ix", "iy"]).select(
+                "ix", "iy", F.col("ix").alias("jx"), (F.col("iy") - 1).alias("jy"), "b", "b2"
+            )
+        )
+    )
+    # degree moment: every edge endpoint once, k_i per cell, m = Σ k(k−1)
+    ends = edges.select("ix", "iy").unionAll(
+        edges.select(F.col("jx").alias("ix"), F.col("jy").alias("iy"))
+    )
+    m_row = (
+        ends.groupBy("ix", "iy")
+        .agg(F.count("*").alias("k"))
+        .agg(F.coalesce(F.sum(F.col("k") * (F.col("k") - 1)), F.lit(0)).alias("m"))
+    )
+    tot = cells.agg(F.count("*").alias("n"), F.sum("b").alias("nb"))
+    e_agg = edges.agg(
+        F.count("*").alias("jj"),
+        F.coalesce(F.sum(F.col("b") * F.col("b2")), F.lit(0)).alias("bb"),
+        F.coalesce(F.sum((1 - F.col("b")) * (1 - F.col("b2"))), F.lit(0)).alias("ww"),
+    )
+    row = tot.join(F.broadcast(e_agg)).join(F.broadcast(m_row))
+    n, nb, jj, m = (F.col(c).cast("long") for c in ("n", "nb", "jj", "m"))
+    jjd, md = (F.col(c).cast("double") for c in ("jj", "m"))
+    # try_divide: a 1-cell input makes n(n−1) = 0 — degenerate inputs
+    # return NULL stats instead of an ANSI divide-by-zero; the quotient
+    # is the same IEEE division everywhere else
+    p2 = F.try_divide((nb * (nb - 1)).cast("double"), (n * (n - 1)).cast("double"))
+    p3 = p2 * F.try_divide((nb - 2).cast("double"), (n - 2).cast("double"))
+    p4 = p2 * F.try_divide(
+        ((nb - 2) * (nb - 3)).cast("double"), ((n - 2) * (n - 3)).cast("double")
+    )
+    e_bb = jjd * p2
+    var_bb = jjd * p2 + md * p3 + (jj * (jj - 1) - m).cast("double") * p4 - e_bb * e_bb
+    z_bb = F.when((n >= 4) & (var_bb > 0), (F.col("bb").cast("double") - e_bb) / F.sqrt(var_bb))
+    return row.select(
+        n.alias("n"), nb.alias("nb"), jj.alias("jj"),
+        F.col("bb").cast("long").alias("bb"),
+        F.col("ww").cast("long").alias("ww"),
+        (jj - F.col("bb") - F.col("ww")).cast("long").alias("bw"),
+        e_bb.alias("e_bb"), var_bb.alias("var_bb"), z_bb.alias("z_bb"),
+    )

