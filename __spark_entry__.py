@@ -2936,6 +2936,17 @@ def q_tfidf_docs(spark, sf_dir):
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
 
 
+def q_novelty_docs(spark, sf_dir):
+    """Corpus 3-gram novelty score (the memorization proxy): fraction of
+    each doc's distinct word-shingles with corpus document-frequency 1.
+    A df=1 shingle's owner IS its min(doc_id), so novel counts fall out
+    of the same groupBy(shingle) that computes df — no join back onto
+    the exploded shingle table. Exact counts, one IEEE division."""
+    from osmflat_rs_spark.operators.textops import ngram_novelty
+
+    return ngram_novelty(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+
+
 def q_contamination_docs(spark, sf_dir):
     """Benchmark decontamination (GPT-3-style n-gram overlap): docs
     sharing any word 5-gram with the deterministic pseudo-benchmark
@@ -3906,6 +3917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_docs": q_lang_id_docs,
         "quality_docs": q_quality_docs,
         "tfidf_docs": q_tfidf_docs,
+        "novelty_docs": q_novelty_docs,
         "bm25_docs": q_bm25_docs,
         "freq_pairs_docs": q_freq_pairs_docs,
         "service_areas_events": q_service_areas_events,
@@ -6246,6 +6258,28 @@ def oracle_sql() -> dict[str, str]:
             ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term ASC) AS rk
                        FROM scored)
             SELECT doc_id, term, tf, round(s, 6) AS score FROM ranked WHERE rk <= 3
+        """,
+        # novelty: identical shingle construction to the minhash oracle,
+        # df=1 owner trick restated relationally, one int-ratio division
+        "novelty_docs": f"""
+            WITH base AS (SELECT doc_id, lower(text) AS ltext,
+                                 {_ws_split_sql()} AS ws FROM documents),
+            sh0 AS (SELECT doc_id,
+                           unnest(CASE WHEN len(ws) >= 3
+                                  THEN list_transform(generate_series(0, len(ws) - 3),
+                                                      i -> array_to_string(list_slice(ws, i + 1, i + 3), ' '))
+                                  ELSE [ltext] END) AS shingle
+                    FROM base),
+            sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+            per_doc AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY 1),
+            dfr AS (SELECT shingle, COUNT(*) AS dfc, MIN(doc_id) AS owner
+                    FROM sh GROUP BY 1),
+            novel AS (SELECT owner AS doc_id, COUNT(*) AS n_novel
+                      FROM dfr WHERE dfc = 1 GROUP BY 1)
+            SELECT p.doc_id, p.n_shingles,
+                   CAST(COALESCE(v.n_novel, 0) AS BIGINT) AS n_novel,
+                   CAST(COALESCE(v.n_novel, 0) AS DOUBLE) / CAST(p.n_shingles AS DOUBLE) AS novelty
+            FROM per_doc p LEFT JOIN novel v USING (doc_id)
         """,
         # Proper segment crossings: brute-force bbox-prefilter pairs,
         # HUGEINT orientation signs (the engine's float-filter + bigint

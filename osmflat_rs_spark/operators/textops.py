@@ -893,3 +893,48 @@ def boilerplate_strip(
             ).alias("clean_text"),
         )
     )
+
+
+def ngram_novelty(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Corpus n-gram novelty score — the memorization/duplication proxy
+    LLM data pipelines gate on (the inverse of Lee et al.'s dedup
+    signal): per document, the fraction of its DISTINCT k-word shingles
+    that appear in NO other document
+    → (doc_id, n_shingles, n_novel, novelty). novelty 1.0 = wholly
+    original text; low novelty = boilerplate/template/copied content.
+
+    Scale shape — no shingle-table self-join and no join BACK of the
+    document-frequency table onto the exploded shingles (the naive form
+    re-shuffles the whole corpus's shingles a second time): a shingle
+    with corpus df = 1 has exactly one owner, which IS its min(_id), so
+    the novel-count per doc falls out of the SAME groupBy(shingle)
+    aggregate that computes df — filter df = 1, regroup by owner. Two
+    key-partitioned shuffles total (shingle, then doc id), both
+    map-side combined; shingling itself is the in-row codegen HOF
+    (`dedup._shingle_arr`, zero shuffle).
+
+    Exactness: counts are exact int64; novelty is ONE int-ratio IEEE
+    division. Docs shorter than k words carry their full lowercased
+    text as the single shingle (the `_shingle_arr` contract), so
+    n_shingles ≥ 1 and the division never sees zero."""
+    from osmflat_rs_spark.operators.dedup import shingles
+
+    sh = shingles(df, id_col, text_col, k)  # distinct (_id, shingle)
+    per_doc = sh.groupBy("_id").agg(F.count("*").alias("n_shingles"))
+    novel = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("_df"), F.min("_id").alias("_owner"))
+        .filter(F.col("_df") == 1)
+        .groupBy("_owner")
+        .agg(F.count("*").alias("n_novel"))
+    )
+    out = per_doc.join(novel, per_doc["_id"] == novel["_owner"], "left")
+    return out.select(
+        F.col("_id").alias(id_col),
+        "n_shingles",
+        F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+        (
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
+            / F.col("n_shingles").cast("double")
+        ).alias("novelty"),
+    )

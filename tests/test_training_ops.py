@@ -2089,3 +2089,32 @@ def test_retain_best_keeps_max_quality_and_singletons(spark):
 
     kept = Counter(r["component"] for r in got.values() if r["keep"])
     assert all(v == 1 for v in kept.values()) and len(kept) == 3
+
+
+def test_ngram_novelty_small_corpus(spark):
+    """ngram_novelty vs a hand-computed corpus: shared shingles score 0,
+    unique score 1, partially-copied docs get the exact fraction; short
+    docs (< k words) ride their full text as one shingle; in-doc repeats
+    don't inflate counts (distinct shingles)."""
+    from osmflat_rs_spark.operators.textops import ngram_novelty
+
+    docs = [
+        ("a", "the quick brown fox jumps"),          # shingles: 3
+        ("b", "the quick brown fox sleeps"),         # shares 2-of-3 with a
+        ("c", "wholly original text here now"),      # unique: novelty 1.0
+        ("d", "tiny doc"),                           # < k: full text shingle
+        ("e", "tiny doc"),                           # duplicate of d: both 0.0
+        ("f", "echo echo echo echo echo echo"),      # one distinct shingle, unique
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string").repartition(3)
+    got = {r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty"])
+           for r in ngram_novelty(df, "doc_id", "text", k=3).collect()}
+    # a: {the quick brown, quick brown fox, brown fox jumps};
+    # b shares the first two -> each has exactly 1 novel shingle
+    assert got["a"] == (3, 1, 1.0 / 3.0)
+    assert got["b"] == (3, 1, 1.0 / 3.0)
+    assert got["c"] == (3, 3, 1.0)
+    assert got["d"] == (1, 0, 0.0)
+    assert got["e"] == (1, 0, 0.0)
+    # f: 4 positions of 'echo echo echo', all identical -> 1 distinct, novel
+    assert got["f"] == (1, 1, 1.0)
