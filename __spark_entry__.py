@@ -2936,6 +2936,20 @@ def q_tfidf_docs(spark, sf_dir):
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
 
 
+HRW_SHARDS = 7
+
+
+def q_hrw_shard_docs(spark, sf_dir):
+    """Rendezvous (HRW) shard assignment over doc_id: argmax of the
+    shared 60-bit md5 weight across 7 shards, computed as one in-row
+    struct-array max — zero shuffle, pure codegen, bit-identical in any
+    ANSI engine. Consistency (removing a shard remaps only its own
+    keys) is pinned by the pytest model test."""
+    from osmflat_rs_spark.operators.sampling import hrw_shard
+
+    return hrw_shard(_t(spark, sf_dir, "documents"), "doc_id", HRW_SHARDS)
+
+
 def q_novelty_docs(spark, sf_dir):
     """Corpus 3-gram novelty score (the memorization proxy): fraction of
     each doc's distinct word-shingles with corpus document-frequency 1.
@@ -3918,6 +3932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_docs": q_quality_docs,
         "tfidf_docs": q_tfidf_docs,
         "novelty_docs": q_novelty_docs,
+        "hrw_shard_docs": q_hrw_shard_docs,
         "bm25_docs": q_bm25_docs,
         "freq_pairs_docs": q_freq_pairs_docs,
         "service_areas_events": q_service_areas_events,
@@ -6258,6 +6273,18 @@ def oracle_sql() -> dict[str, str]:
             ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term ASC) AS rk
                        FROM scored)
             SELECT doc_id, term, tf, round(s, 6) AS score FROM ranked WHERE rk <= 3
+        """,
+        # HRW: identical 60-bit md5 weight, argmax via window with the
+        # same (weight, shard) lexicographic tie-break as array_max
+        "hrw_shard_docs": f"""
+            WITH h AS (SELECT doc_id, s,
+                              {_MD5I.format(x="doc_id || ':' || CAST(s AS VARCHAR)")} AS weight
+                       FROM documents, generate_series(0, {HRW_SHARDS - 1}) t(s)),
+            r AS (SELECT doc_id, CAST(s AS BIGINT) AS shard, weight,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY weight DESC, s DESC) AS rk
+                  FROM h)
+            SELECT doc_id, shard, weight FROM r WHERE rk = 1
         """,
         # novelty: identical shingle construction to the minhash oracle,
         # df=1 owner trick restated relationally, one int-ratio division

@@ -185,3 +185,36 @@ def temperature_mix(
             "keep"
         ),
     )
+
+
+def hrw_shard(df: DataFrame, id_col: str, n_shards: int) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding — the consistent
+    assignment a distributed writer/cache layer wants: each key goes to
+    argmax_s hash(key, s) over the shard set, so REMOVING a shard remaps
+    ONLY the keys that lived on it (every other key's argmax is
+    untouched) and ADDING one steals ~1/(n+1) of each shard — no global
+    reshuffle, unlike ``pmod(hash, n)`` where changing n remaps almost
+    everything. → (id, shard, weight).
+
+    Scale shape: ZERO shuffle, pure whole-stage-codegen — the per-shard
+    weights are an in-row literal struct array, the winner is ONE
+    ``array_max`` (Spark orders structs lexicographically: weight first,
+    shard as the deterministic tie-break). n_shards is bounded by the
+    in-row array (fine through thousands; a 10^6-shard ring wants a
+    different algorithm). The weight is the shared 60-bit md5 integer
+    contract (``dedup.md5_int60``), so any ANSI engine reproduces the
+    assignment bit-for-bit."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key = F.col(id_col).cast("string")
+    arr = F.array(
+        *[
+            F.struct(
+                md5_int60(F.concat(key, F.lit(f":{s}"))).alias("weight"),
+                F.lit(s).cast("long").alias("shard"),
+            )
+            for s in range(int(n_shards))
+        ]
+    )
+    best = F.array_max(arr)
+    return df.select(F.col(id_col), best["shard"].alias("shard"), best["weight"].alias("weight"))

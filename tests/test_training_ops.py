@@ -2118,3 +2118,48 @@ def test_ngram_novelty_small_corpus(spark):
     assert got["e"] == (1, 0, 0.0)
     # f: 4 positions of 'echo echo echo', all identical -> 1 distinct, novel
     assert got["f"] == (1, 1, 1.0)
+
+
+def test_hrw_shard_consistency_property(spark):
+    """The rendezvous property that justifies the operator: dropping the
+    last shard (n=8 -> n=7) remaps ONLY keys that lived on shard 7;
+    every other key keeps its exact assignment. Plus balance sanity and
+    the Python-side md5 model for the winner."""
+    import hashlib
+
+    from osmflat_rs_spark.operators.sampling import hrw_shard
+
+    df = spark.createDataFrame(
+        [(f"doc{i:04d}",) for i in range(400)], "doc_id string"
+    ).repartition(4)
+    a8 = {r["doc_id"]: r["shard"] for r in hrw_shard(df, "doc_id", 8).collect()}
+    a7 = {r["doc_id"]: r["shard"] for r in hrw_shard(df, "doc_id", 7).collect()}
+    moved = {k for k in a8 if a7[k] != a8[k]}
+    assert moved == {k for k, s in a8.items() if s == 7}
+    # independent model: argmax of the 60-bit md5 slice, shard tie-break
+    def model(key, n):
+        best = max(
+            (int(hashlib.md5(f"{key}:{s}".encode()).hexdigest()[:15], 16), s)
+            for s in range(n)
+        )
+        return best[1]
+
+    for k in list(a8)[:50]:
+        assert a8[k] == model(k, 8), k
+    # balance: no empty shard at 400 keys / 8 shards
+    from collections import Counter
+
+    c = Counter(a8.values())
+    assert len(c) == 8 and min(c.values()) > 10
+
+
+def test_hrw_shard_validation(spark):
+    import pytest as _pytest
+
+    from osmflat_rs_spark.operators.sampling import hrw_shard
+
+    df = spark.createDataFrame([("a",)], "doc_id string")
+    with _pytest.raises(ValueError):
+        hrw_shard(df, "doc_id", 0)
+    one = hrw_shard(df, "doc_id", 1).collect()[0]
+    assert one["shard"] == 0
