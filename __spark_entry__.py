@@ -1099,6 +1099,25 @@ def q_pagerank_graph(spark, sf_dir):
     return pagerank_uniform(edges, SSSP_N, 3, PAGERANK_ITERS)
 
 
+HITS_ITERS = 2
+
+
+def q_hits_graph(spark, sf_dir):
+    """HITS hubs & authorities over the same deterministic 150-node mesh
+    as the SSSP/PageRank gates: 2 full rounds of the UNNORMALIZED exact-
+    int64 recurrence (normalization only rescales at fixed iteration
+    count), so the oracle's chained CTEs reproduce every value
+    bit-for-bit — no float tolerance anywhere."""
+    from osmflat_rs_spark.operators.graph import hits_scores
+
+    edges = (
+        spark.range(SSSP_N)
+        .select(F.col("id").alias("src"), F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"))
+        .selectExpr("src", f"(src * 31 + k) % {SSSP_N} AS dst")
+    )
+    return hits_scores(edges, SSSP_N, HITS_ITERS)
+
+
 # graph-analytics gates: a composite deterministic graph — triangle-rich
 # 100-node core mesh + 10 attached 5-node chains, so the k-core peel
 # takes 5 rounds (model-verified) and link prediction has 220 pairs
@@ -3854,6 +3873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_events": q_resample_events,
         "sssp_graph": q_sssp_graph,
         "pagerank_graph": q_pagerank_graph,
+        "hits_graph": q_hits_graph,
         "triangles_graph": q_triangles_graph,
         "linkpred_graph": q_linkpred_graph,
         "kcore_graph": q_kcore_graph,
@@ -4752,6 +4772,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, node, MIN(dist) AS dist FROM walk GROUP BY 1, 2
         """,
         "pagerank_graph": _pagerank_oracle_sql(),
+        # HITS: chained CTEs, one per half-round — exact integers
+        "hits_graph": f"""
+            WITH e AS (SELECT src, (src * 31 + k) % {SSSP_N} AS dst
+                       FROM generate_series(0, {SSSP_N - 1}) s(src),
+                            generate_series(1, 3) t(k)),
+            nd AS (SELECT i AS node FROM generate_series(0, {SSSP_N - 1}) g(i)),
+            a1 AS (SELECT nd.node, CAST(COALESCE(x.s, 0) AS BIGINT) AS a
+                   FROM nd LEFT JOIN (SELECT dst AS node, COUNT(*) AS s
+                                      FROM e GROUP BY 1) x USING (node)),
+            h1 AS (SELECT nd.node, CAST(COALESCE(x.s, 0) AS BIGINT) AS h
+                   FROM nd LEFT JOIN (SELECT e.src AS node, SUM(a1.a) AS s
+                                      FROM e JOIN a1 ON a1.node = e.dst
+                                      GROUP BY 1) x USING (node)),
+            a2 AS (SELECT nd.node, CAST(COALESCE(x.s, 0) AS BIGINT) AS a
+                   FROM nd LEFT JOIN (SELECT e.dst AS node, SUM(h1.h) AS s
+                                      FROM e JOIN h1 ON h1.node = e.src
+                                      GROUP BY 1) x USING (node)),
+            h2 AS (SELECT nd.node, CAST(COALESCE(x.s, 0) AS BIGINT) AS h
+                   FROM nd LEFT JOIN (SELECT e.src AS node, SUM(a2.a) AS s
+                                      FROM e JOIN a2 ON a2.node = e.dst
+                                      GROUP BY 1) x USING (node))
+            SELECT nd.node, h2.h AS hub, a2.a AS auth
+            FROM nd JOIN h2 USING (node) JOIN a2 USING (node)
+        """,
         "triangles_graph": f"""
             WITH ge AS ({_GATE_GRAPH_SQL}),
             deg AS (SELECT node, COUNT(*) AS deg FROM

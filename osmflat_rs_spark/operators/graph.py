@@ -729,3 +729,72 @@ def stitch_lines(
         *([F.col("total_weight")] if weight_col is not None else []),
     )
     return out
+
+
+def hits_scores(
+    edges: DataFrame,
+    n_nodes: int,
+    iters: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS (Kleinberg) hubs & authorities in EXACT integer arithmetic
+    → (node, hub, auth): the link-analysis complement of
+    :func:`pagerank_uniform` — authorities are pointed AT by good hubs,
+    hubs point TO good authorities.
+
+    The textbook iteration normalizes each round; normalization only
+    rescales (the fixpoint is the dominant eigenvector pair of AᵀA /
+    AAᵀ), so for a FIXED iteration count the UNNORMALIZED integer
+    recurrence carries the identical ranking with no float anywhere:
+
+        h_0(v)     = 1
+        a_{t+1}(v) = Σ_{u→v} h_t(u)
+        h_{t+1}(u) = Σ_{u→v} a_{t+1}(v)
+
+    Every intermediate is exact int64 and partition-/order-invariant —
+    the gate hash-checks values, not tolerances. Values grow like
+    (d_in·d_out)^iters: caller keeps ``iters`` small (the classic
+    guidance — HITS ranking stabilizes in a handful of rounds);
+    per-node sums are monotone so overflow surfaces as an ANSI error,
+    never a silent wrap. Multi-edges contribute multiply (multigraph
+    semantics, same as pagerank_uniform).
+
+    Scale shape: per half-round ONE edge equi-join + ONE map-side-
+    combined sum keyed by node, left-joined back onto the node range
+    (sinks/sources get 0); eager localCheckpoint per round cuts the
+    iterative lineage. No driver-side convergence action.
+
+    No reference analog (static ways forest); north-rule graph surface.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).cast("long").alias("_s"), F.col(dst).cast("long").alias("_d"))
+    nodes = spark.range(n_nodes).select(F.col("id").alias("node"))
+    h = nodes.select("node", F.lit(1).cast("long").alias("h"))
+    a = None
+    for _ in range(iters):
+        a = (
+            nodes.join(
+                e.join(h, e["_s"] == h["node"])
+                .groupBy(F.col("_d").alias("node"))
+                .agg(F.sum("h").alias("_in")),
+                "node",
+                "left",
+            )
+            .select("node", F.coalesce(F.col("_in"), F.lit(0)).cast("long").alias("a"))
+            .localCheckpoint(eager=True)
+        )
+        h = (
+            nodes.join(
+                e.join(a, e["_d"] == a["node"])
+                .groupBy(F.col("_s").alias("node"))
+                .agg(F.sum("a").alias("_out")),
+                "node",
+                "left",
+            )
+            .select("node", F.coalesce(F.col("_out"), F.lit(0)).cast("long").alias("h"))
+            .localCheckpoint(eager=True)
+        )
+    return h.join(a, "node").select("node", "h", F.col("a").alias("auth")).withColumnRenamed("h", "hub")

@@ -642,3 +642,51 @@ def test_label_propagation_matches_model_random_and_partition_invariant(spark):
         }
         assert got == want
     assert want[99] == 99
+
+
+def test_hits_scores_matches_numpy_power_iteration(spark):
+    """hits_scores vs NumPy AᵀA power iteration on a small digraph:
+    exact integer values equal the matrix recurrence, and the RANKING
+    matches the normalized textbook HITS after the same iterations.
+    Sinks/sources get 0; multi-edges contribute multiply."""
+    import numpy as np
+
+    from osmflat_rs_spark.operators.graph import hits_scores
+
+    n = 12
+    rng = np.random.RandomState(7)
+    A = np.zeros((n, n), dtype=np.int64)
+    edges = []
+    for _ in range(30):
+        u, v = rng.randint(0, n, 2)
+        if u != v:
+            A[u, v] += 1  # multigraph: duplicates allowed and counted
+            edges.append((int(u), int(v)))
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(3)
+    iters = 3
+    got = {r["node"]: (r["hub"], r["auth"]) for r in hits_scores(df, n, iters).collect()}
+
+    h = np.ones(n, dtype=np.int64)
+    a = None
+    for _ in range(iters):
+        a = A.T @ h
+        h = A @ a
+    for v in range(n):
+        assert got[v] == (int(h[v]), int(a[v])), v
+    # ranking parity with the normalized float iteration
+    hf = np.ones(n)
+    for _ in range(iters):
+        af = A.T @ hf; af = af / (np.linalg.norm(af) or 1.0)
+        hf = A @ af; hf = hf / (np.linalg.norm(hf) or 1.0)
+    top_int = max(range(n), key=lambda v: got[v][0])
+    assert top_int == int(np.argmax(hf))
+
+
+def test_hits_scores_validation(spark):
+    import pytest as _pytest
+
+    from osmflat_rs_spark.operators.graph import hits_scores
+
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with _pytest.raises(ValueError):
+        hits_scores(df, 2, 0)
