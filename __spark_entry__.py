@@ -1118,6 +1118,25 @@ def q_hits_graph(spark, sf_dir):
     return hits_scores(edges, SSSP_N, HITS_ITERS)
 
 
+WALK_LEN, WALKS_PER_NODE = 4, 2
+
+
+def q_walks_graph(spark, sf_dir):
+    """Deterministic random-walk corpus (DeepWalk sampling, hash-driven
+    neighbor choice) over the 150-node mesh: 2 walks per node, 4 steps,
+    neighbor index = md5₆₀('rw:walk:step') mod sorted out-degree. Every
+    row is a pure function of the graph — the recursive-CTE oracle
+    reproduces the corpus bit-for-bit."""
+    from osmflat_rs_spark.operators.graph import random_walks
+
+    edges = (
+        spark.range(SSSP_N)
+        .select(F.col("id").alias("src"), F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"))
+        .selectExpr("src", f"(src * 31 + k) % {SSSP_N} AS dst")
+    )
+    return random_walks(edges, SSSP_N, WALK_LEN, WALKS_PER_NODE)
+
+
 # graph-analytics gates: a composite deterministic graph — triangle-rich
 # 100-node core mesh + 10 attached 5-node chains, so the k-core peel
 # takes 5 rounds (model-verified) and link prediction has 220 pairs
@@ -3874,6 +3893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_graph": q_sssp_graph,
         "pagerank_graph": q_pagerank_graph,
         "hits_graph": q_hits_graph,
+        "walks_graph": q_walks_graph,
         "triangles_graph": q_triangles_graph,
         "linkpred_graph": q_linkpred_graph,
         "kcore_graph": q_kcore_graph,
@@ -4772,6 +4792,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, node, MIN(dist) AS dist FROM walk GROUP BY 1, 2
         """,
         "pagerank_graph": _pagerank_oracle_sql(),
+        # walks: recursive CTE, same md5 choice on the sorted list
+        "walks_graph": f"""
+            WITH RECURSIVE e AS (SELECT src, (src * 31 + k) % {SSSP_N} AS dst
+                       FROM generate_series(0, {SSSP_N - 1}) s(src),
+                            generate_series(1, 3) t(k)),
+            adj AS (SELECT src AS node, list_sort(list(dst)) AS nbrs
+                    FROM e GROUP BY 1),
+            walk(walk_id, step, node) AS (
+              SELECT i * {WALKS_PER_NODE} + w, CAST(0 AS BIGINT), i
+              FROM generate_series(0, {SSSP_N - 1}) g(i),
+                   generate_series(0, {WALKS_PER_NODE - 1}) ww(w)
+              UNION ALL
+              SELECT walk_id, step + 1,
+                     nbrs[CAST(('0x' || substr(md5('rw:' || CAST(walk_id AS VARCHAR)
+                                 || ':' || CAST(step AS VARCHAR)), 1, 15))::BIGINT
+                          % len(nbrs) AS BIGINT) + 1]
+              FROM walk JOIN adj USING (node)
+              WHERE step < {WALK_LEN}
+            )
+            SELECT walk_id, step, node FROM walk
+        """,
         # HITS: chained CTEs, one per half-round — exact integers
         "hits_graph": f"""
             WITH e AS (SELECT src, (src * 31 + k) % {SSSP_N} AS dst

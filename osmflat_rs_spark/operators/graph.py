@@ -798,3 +798,75 @@ def hits_scores(
             .localCheckpoint(eager=True)
         )
     return h.join(a, "node").select("node", "h", F.col("a").alias("auth")).withColumnRenamed("h", "hub")
+
+
+def random_walks(
+    edges: DataFrame,
+    n_nodes: int,
+    walk_len: int,
+    walks_per_node: int = 1,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic random-walk corpus (the DeepWalk/node2vec sampling
+    step restated for a reproducible distributed engine) → exploded
+    (walk_id, step, node) rows: ``walks_per_node`` walks start at every
+    node and take up to ``walk_len`` steps; at step t walk w picks
+    neighbor index md5₆₀('rw:w:t') mod out-degree in the SORTED
+    neighbor list. Hash-driven choice means the walk corpus is a pure
+    function of the graph — partition-invariant, resumable, and
+    reproducible by any ANSI engine (the gate hash-checks every row) —
+    while distributionally it IS the uniform random walk (the 60-bit
+    hash is equidistributed mod small degrees). Multi-edges weight the
+    choice by multiplicity (the neighbor list keeps duplicates).
+
+    Scale shape: adjacency is ONE groupBy(src) into in-row sorted
+    neighbor arrays; each step is ONE equi-join of the live frontier
+    against it (keyed by node, map-side combinable, broadcastable for
+    small graphs) + a codegen index pick; eager localCheckpoint per
+    step cuts the iterative lineage. Dead-end nodes end their walks
+    early (inner join drops them); emitted prefixes are kept. Output
+    size is exactly Σ walks · (1 + steps-until-sink) — bounded by
+    n·walks_per_node·(walk_len+1).
+
+    No reference analog; graph-training-data surface (the walk corpus
+    is what a skip-gram embedding trainer consumes).
+    """
+    if walk_len < 1 or walks_per_node < 1:
+        raise ValueError(
+            f"need walk_len >= 1 and walks_per_node >= 1, got {walk_len}, {walks_per_node}"
+        )
+    from osmflat_rs_spark.operators.dedup import md5_int60
+
+    spark = edges.sparkSession
+    adj = (
+        edges.select(F.col(src).cast("long").alias("node"), F.col(dst).cast("long").alias("_d"))
+        .groupBy("node")
+        .agg(F.sort_array(F.collect_list("_d")).alias("_nbrs"))
+    )
+    cur = spark.range(n_nodes).select(
+        F.col("id").alias("node"), F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("_w")
+    ).select(
+        (F.col("node") * walks_per_node + F.col("_w")).alias("walk_id"),
+        F.lit(0).cast("long").alias("step"),
+        "node",
+    )
+    outs = [cur]
+    for t in range(walk_len):
+        h = md5_int60(
+            F.concat(F.lit("rw:"), F.col("walk_id").cast("string"), F.lit(f":{t}"))
+        )
+        cur = (
+            cur.join(adj, "node")
+            .select(
+                "walk_id",
+                F.lit(t + 1).cast("long").alias("step"),
+                F.get(F.col("_nbrs"), (h % F.size("_nbrs")).cast("int")).alias("node"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        outs.append(cur)
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.select("walk_id", "step", "node")

@@ -690,3 +690,58 @@ def test_hits_scores_validation(spark):
     df = spark.createDataFrame([(0, 1)], "src long, dst long")
     with _pytest.raises(ValueError):
         hits_scores(df, 2, 0)
+
+
+def test_random_walks_model_and_deadends(spark):
+    """random_walks vs a Python model on a digraph WITH a dead end:
+    every emitted row matches the md5-mod choice over the sorted
+    neighbor list; walks hitting the sink stop early but keep their
+    prefix; multi-edges double their pick probability slot; output is
+    partition-invariant."""
+    import hashlib
+
+    from osmflat_rs_spark.operators.graph import random_walks
+
+    edges = [(0, 1), (0, 2), (0, 2), (1, 3), (2, 0), (2, 3)]  # 3 is a sink
+    n, L, W = 4, 3, 2
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(3)
+    got = {(r["walk_id"], r["step"]): r["node"] for r in random_walks(df, n, L, W).collect()}
+
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+    for u in adj:
+        adj[u].sort()
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    want = {}
+    for start in range(n):
+        for w in range(W):
+            wid = start * W + w
+            node = start
+            want[(wid, 0)] = node
+            for t in range(L):
+                if node not in adj:
+                    break
+                nbrs = adj[node]
+                node = nbrs[h60(f"rw:{wid}:{t}") % len(nbrs)]
+                want[(wid, t + 1)] = node
+    assert got == want
+    # sink-started walks emit exactly one row
+    for w in range(W):
+        wid = 3 * W + w
+        assert [k for k in got if k[0] == wid] == [(wid, 0)]
+
+
+def test_random_walks_validation(spark):
+    import pytest as _pytest
+
+    from osmflat_rs_spark.operators.graph import random_walks
+
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with _pytest.raises(ValueError):
+        random_walks(df, 2, 0)
+    with _pytest.raises(ValueError):
+        random_walks(df, 2, 3, 0)
