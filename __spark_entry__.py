@@ -2072,6 +2072,26 @@ def q_joincount_events(spark, sf_dir):
     )
 
 
+def q_morph_close_events(spark, sf_dir):
+    """Morphological closing (dilate∘erode, Chebyshev-1 window) of the
+    thresholded res-15 density grid — the raster-cleanup step that fills
+    pinholes before vectorization. Sparse-set formulation: offset fan +
+    distinct, inverse fan + vote count == 9; background cells never
+    materialize. Exact integer cells; the oracle restates both fans."""
+    from osmflat_rs_spark.functions.cells import grid_exprs
+    from osmflat_rs_spark.operators.fill import morph_binary
+
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    gx, gy = grid_exprs(F.col("lat"), F.col("lon"), JC_RES)
+    cells = (
+        pts.groupBy(gx.alias("ix"), gy.alias("iy"))
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= JC_THRESHOLD)
+        .select("ix", "iy")
+    )
+    return morph_binary(cells, radius=1, op="close")
+
+
 def q_lisa_events(spark, sf_dir):
     """Local Moran's I (Anselin 1995 LISA) with the HH/LL/HL/LH cluster
     map — the per-cell decomposition of morans_i_events, same sparse-
@@ -3936,6 +3956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morans_i_events": q_morans_i_events,
         "gearys_c_events": q_gearys_c_events,
         "joincount_events": q_joincount_events,
+        "morph_close_events": q_morph_close_events,
         "lisa_events": q_lisa_events,
         "trend_events": q_trend_events,
         "ols_events": q_ols_events,
@@ -5325,6 +5346,21 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CASE WHEN n >= 4 AND var_bb > 0
                               THEN (CAST(bb AS DOUBLE) - e_bb) / sqrt(var_bb) END, 9) AS z_bb
             FROM fx
+        """,
+        # closing: same two sparse fans — dilate distinct, erode votes
+        "morph_close_events": f"""
+            WITH pts AS (SELECT * FROM {synth}),
+            g AS (SELECT GREATEST(0, LEAST({(1 << JC_RES) - 1}, (lon + 1800000000) * {1 << JC_RES} // 3600000000)) AS ix,
+                         GREATEST(0, LEAST({(1 << JC_RES) - 1}, (lat + 900000000) * {1 << JC_RES} // 1800000000)) AS iy
+                  FROM pts),
+            b AS (SELECT ix, iy FROM g GROUP BY ix, iy HAVING COUNT(*) >= {JC_THRESHOLD}),
+            offs AS (SELECT dx, dy FROM generate_series(-1, 1) a(dx),
+                                        generate_series(-1, 1) c(dy)),
+            dil AS (SELECT DISTINCT b.ix + dx AS ix, b.iy + dy AS iy FROM b, offs),
+            clo AS (SELECT ix, iy
+                    FROM (SELECT d.ix - o.dx AS ix, d.iy - o.dy AS iy FROM dil d, offs o)
+                    GROUP BY 1, 2 HAVING COUNT(*) = 9)
+            SELECT ix, iy FROM clo
         """,
         # LISA: independent dense oracle — materialize every bbox cell,
         # per-cell lag sums from the explicit neighbor join, raw m2/m4

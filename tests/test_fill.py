@@ -142,3 +142,64 @@ def test_fill_plan_no_crossjoin_one_distinct(spark):
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "BroadcastHashJoin" in plan  # candidates ⋈ broadcast cover
+
+
+def test_morph_binary_matches_scipy_free_model(spark):
+    """morph_binary vs a dense NumPy model of square-window morphology
+    on a speckled blob: dilate superset, erode subset, open removes the
+    isolated speckle, close fills the pinhole; open/close idempotence
+    (applying twice changes nothing)."""
+    import numpy as np
+
+    from osmflat_rs_spark.operators.fill import morph_binary
+
+    H = W = 16
+    img = np.zeros((H, W), dtype=bool)
+    img[4:10, 4:10] = True
+    img[6, 6] = False          # pinhole -> close fills it
+    img[13, 13] = True         # speckle -> open removes it
+    cells = [(int(x), int(y)) for y in range(H) for x in range(W) if img[y, x]]
+    df = spark.createDataFrame(cells, "ix long, iy long").repartition(4)
+
+    def got_set(op, d):
+        return {(r["ix"], r["iy"]) for r in morph_binary(d, 1, op).collect()}
+
+    def dense_pad(opseq):
+        """Apply ops on a padded frame; return the cell set in original coords."""
+        r, m = 1, 3
+        pad = np.zeros((H + 2 * m, W + 2 * m), dtype=bool)
+        pad[m:H + m, m:W + m] = img
+        for op in opseq:
+            out = np.zeros_like(pad)
+            for y in range(r, pad.shape[0] - r):
+                for x in range(r, pad.shape[1] - r):
+                    win = pad[y - r:y + r + 1, x - r:x + r + 1]
+                    out[y, x] = win.any() if op == "dilate" else win.all()
+            pad = out
+        return {(int(x) - m, int(y) - m) for y, x in zip(*np.nonzero(pad))}
+
+    assert got_set("dilate", df) == dense_pad(["dilate"])
+    assert got_set("erode", df) == dense_pad(["erode"])
+    opened = got_set("open", df)
+    closed = got_set("close", df)
+    assert opened == dense_pad(["erode", "dilate"])
+    assert closed == dense_pad(["dilate", "erode"])
+    assert (13, 13) not in opened          # speckle gone
+    assert (6, 6) in closed                # pinhole filled
+    # idempotence: open(open(X)) == open(X), close(close(X)) == close(X)
+    odf = spark.createDataFrame(sorted(opened), "ix long, iy long")
+    cdf = spark.createDataFrame(sorted(closed), "ix long, iy long")
+    assert got_set("open", odf) == opened
+    assert got_set("close", cdf) == closed
+
+
+def test_morph_binary_validation(spark):
+    import pytest as _pytest
+
+    from osmflat_rs_spark.operators.fill import morph_binary
+
+    df = spark.createDataFrame([(0, 0)], "ix long, iy long")
+    with _pytest.raises(ValueError):
+        morph_binary(df, 0, "close")
+    with _pytest.raises(ValueError):
+        morph_binary(df, 1, "sharpen")
