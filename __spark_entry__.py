@@ -1044,6 +1044,18 @@ def q_ripley_events(spark, sf_dir):
     return ripley_k(pts, list(RIPLEY_RADII), RIPLEY_AREA, id_col="event_id")
 
 
+def q_gfunction_events(spark, sf_dir):
+    """Nearest-neighbour distance distribution Ĝ(r) at the Ripley radii,
+    censored at max(r) (the bounded-join contract): one self radius-join,
+    one min per point, all radii as conditional sums over the same min
+    table. Oracle: brute bbox-prefiltered min self-join with FILTER
+    counts — identical integers, one IEEE division."""
+    from osmflat_rs_spark.operators.hotspot import g_function
+
+    pts = _synth_coords(_t(spark, sf_dir, "events")).select("event_id", "lat", "lon")
+    return g_function(pts, list(RIPLEY_RADII), id_col="event_id")
+
+
 VARIO_W = 100_000  # lag width, fixed-point units
 VARIO_LAGS = 4
 
@@ -3926,6 +3938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline_events": q_skyline_events,
         "ripley_events": q_ripley_events,
         "variogram_events": q_variogram_events,
+        "gfunction_events": q_gfunction_events,
         "simplify_events": q_simplify_events,
         "dbscan_events": q_dbscan_events,
         "knn_events": q_knn_events,
@@ -4773,6 +4786,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST({RIPLEY_AREA!r} AS DOUBLE) * CAST(n_pairs AS DOUBLE)
                      / CAST(n * (n - 1) AS DOUBLE) AS k_hat
             FROM unp, nn
+        """,
+        # G-function: per-point min over the bounded pair set, FILTER
+        # counts per radius, one division — censored-at-rmax contract
+        "gfunction_events": f"""
+            WITH pts AS (SELECT event_id, lat, lon FROM {synth}),
+            pr AS (SELECT a.event_id AS qid,
+                          (a.lat - b.lat) * (a.lat - b.lat)
+                        + (a.lon - b.lon) * (a.lon - b.lon) AS d2
+                   FROM pts a JOIN pts b
+                     ON a.event_id <> b.event_id
+                    AND abs(a.lat - b.lat) <= {max(RIPLEY_RADII)}
+                    AND abs(a.lon - b.lon) <= {max(RIPLEY_RADII)}),
+            nn AS (SELECT qid, MIN(d2) AS nnd FROM pr
+                   WHERE d2 <= {max(RIPLEY_RADII) ** 2} GROUP BY qid),
+            agg AS (SELECT {', '.join(f'COUNT(*) FILTER (WHERE nnd <= {r * r}) AS n{i}' for i, r in enumerate(RIPLEY_RADII))}
+                    FROM nn),
+            cnt AS (SELECT COUNT(*) AS n FROM pts),
+            unp AS ({' UNION ALL '.join(f'SELECT CAST({r} AS BIGINT) AS r, n{i} AS n_within FROM agg' for i, r in enumerate(RIPLEY_RADII))})
+            SELECT r, n_within,
+                   CAST(n_within AS DOUBLE) / CAST(n AS DOUBLE) AS g_hat
+            FROM unp, cnt
         """,
         # variogram: identical int64 d²/(Δv)², identical IEEE
         # floor(sqrt/w) lag and SUM/(2·COUNT) gamma expressions

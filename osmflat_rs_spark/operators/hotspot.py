@@ -478,3 +478,63 @@ def empirical_variogram(
         "n_pairs",
         (F.col("_s").cast("double") / (F.lit(2.0) * F.col("n_pairs").cast("double"))).alias("gamma"),
     ).orderBy("lag")
+
+
+def g_function(
+    points: DataFrame,
+    radii: list,
+    id_col: str = "node_idx",
+    lat: str = "lat",
+    lon: str = "lon",
+    metric: str = "sqeuclid",
+    res: int | None = None,
+    backend=None,
+) -> DataFrame:
+    """Nearest-neighbour distance distribution Ĝ(r) (the G-function,
+    censored at max(radii) — spatstat's standard border treatment
+    restated for a bounded join): for each radius, the fraction of
+    points whose NEAREST other point lies within r
+    → (r, n_within, g_hat). Reads against :func:`ripley_k`: K counts
+    ALL pairs per radius, G only each point's closest — together they
+    separate clustering intensity from clustering reach.
+
+    Scale shape: ONE self radius-join at max(radii) (cell-cover
+    candidates, exact int64 d² with ``metric='sqeuclid'``), ONE
+    map-side-combined min per point, then every radius is a conditional
+    sum over the same min table, unpivoted in-row. Points with no
+    neighbour within max(radii) are censored (count in n, not in any
+    n_within) — the CENSORING IS THE CONTRACT, not an approximation:
+    an uncensored exact-NN oracle would need the unbounded all-pairs
+    min. n is one scalar driver action (non-null coords), same class
+    as the Ripley count.
+    """
+    from osmflat_rs_spark.operators.knn import radius_join
+
+    rs = sorted({int(r) for r in radii})
+    if not rs or rs[0] < 1:
+        raise ValueError(f"radii must be positive, got {radii}")
+    if metric == "sqeuclid" and any(float(r) != int(r) for r in radii):
+        raise ValueError("sqeuclid radii must be integers (exact int64 compares)")
+    n = points.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull()).count()
+    if n < 2:
+        raise ValueError(f"need >= 2 points, got {n}")
+    q = points.select(F.col(id_col).cast("string").alias("query_id"), F.col(lat), F.col(lon))
+    pairs = radius_join(
+        points, q, radius_m=float(rs[-1]), res=res, metric=metric,
+        id_col=id_col, backend=backend,
+    ).filter(F.col("query_id") != F.col(id_col).cast("string"))
+    nn = pairs.groupBy("query_id").agg(F.min("dist_m").alias("_nn"))
+    bounds = [r * r if metric == "sqeuclid" else float(r) for r in rs]
+    sums = nn.agg(
+        *[
+            F.sum((F.col("_nn") <= F.lit(b)).cast("long")).alias(f"_n{i}")
+            for i, b in enumerate(bounds)
+        ]
+    )
+    stack_args = ", ".join(
+        f"CAST({r} AS BIGINT), coalesce(_n{i}, 0L)" for i, r in enumerate(rs)
+    )
+    out = sums.selectExpr(f"stack({len(rs)}, {stack_args}) AS (r, n_within)")
+    return out.withColumn(
+        "g_hat", F.col("n_within").cast("double") / F.lit(float(n))
+    )

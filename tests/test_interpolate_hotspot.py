@@ -661,3 +661,41 @@ def test_empirical_variogram_validation(spark):
         empirical_variogram(df, 0, 4)
     with _pytest.raises(ValueError):
         empirical_variogram(df, 100, 0)
+
+
+def test_g_function_matches_bruteforce(spark):
+    """g_function vs the all-pairs NumPy nearest-neighbour distances:
+    exact within-counts at 4 radii, censoring at max(r) (isolated point
+    counted in n but in no bucket), duplicate point lands in the
+    smallest bucket, g_hat = n_within/n bit-identical."""
+    import numpy as np
+
+    from osmflat_rs_spark.operators.hotspot import g_function
+
+    rng = np.random.RandomState(31)
+    n = 500
+    lat = rng.randint(0, 1_000_000, n).astype("int64")
+    lon = rng.randint(0, 2_000_000, n).astype("int64")
+    lat[5], lon[5] = lat[4], lon[4]     # coincident pair: NN distance 0
+    lat[0], lon[0] = 900_000_000 // 2, 1_700_000_000 // 2  # far outlier: censored
+    ids = np.arange(n, dtype="int64")
+    df = spark.createDataFrame(
+        [(int(i), int(la), int(lo)) for i, la, lo in zip(ids, lat, lon)],
+        "node_idx long, lat long, lon long",
+    ).repartition(6)
+    radii = [20_000, 50_000, 100_000, 200_000]
+    got = {r["r"]: (r["n_within"], r["g_hat"]) for r in g_function(df, radii).collect()}
+
+    dla = lat[:, None] - lat[None, :]
+    dlo = lon[:, None] - lon[None, :]
+    d2 = dla * dla + dlo * dlo
+    np.fill_diagonal(d2, np.iinfo(np.int64).max)
+    nnd = d2.min(axis=1)
+    for r in radii:
+        nw = int((nnd <= r * r).sum())
+        assert got[r] == (nw, float(nw) / float(n)), r
+    # the outlier is censored: its NN distance exceeds max(r)
+    assert nnd[0] > radii[-1] ** 2
+    # monotone non-decreasing in r, and the dup pair guarantees >= 2 at the smallest
+    vals = [got[r][0] for r in radii]
+    assert vals == sorted(vals) and vals[0] >= 2
