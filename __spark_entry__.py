@@ -2084,6 +2084,23 @@ def q_joincount_events(spark, sf_dir):
     )
 
 
+def q_entropy_events(spark, sf_dir):
+    """Per-cell categorical diversity of the event_type mix at res 14:
+    Shannon entropy via the nested-aggregate-free ln(n) − Σc·ln(c)/n
+    form, exact-int Simpson, richness. Two keyed aggregations; entropy
+    rounded at 9 (the one float fold), simpson at 12 (single exact-int
+    division, rounding only normalizes -0.0)."""
+    from osmflat_rs_spark.operators.tiling import grid_diversity
+
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    out = grid_diversity(pts, "event_type", res=14)
+    return out.select(
+        "ix", "iy", "n", "richness",
+        F.round("entropy", 9).alias("entropy"),
+        F.round("simpson", 12).alias("simpson"),
+    )
+
+
 def q_morph_close_events(spark, sf_dir):
     """Morphological closing (dilate∘erode, Chebyshev-1 window) of the
     thresholded res-15 density grid — the raster-cleanup step that fills
@@ -3970,6 +3987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gearys_c_events": q_gearys_c_events,
         "joincount_events": q_joincount_events,
         "morph_close_events": q_morph_close_events,
+        "entropy_events": q_entropy_events,
         "lisa_events": q_lisa_events,
         "trend_events": q_trend_events,
         "ols_events": q_ols_events,
@@ -5380,6 +5398,23 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CASE WHEN n >= 4 AND var_bb > 0
                               THEN (CAST(bb AS DOUBLE) - e_bb) / sqrt(var_bb) END, 9) AS z_bb
             FROM fx
+        """,
+        # diversity: same ln(n) − Σc·ln(c)/n and exact-int Simpson
+        "entropy_events": f"""
+            WITH pts AS (SELECT * FROM {synth}),
+            g AS (SELECT GREATEST(0, LEAST({(1 << 14) - 1}, (lon + 1800000000) * {1 << 14} // 3600000000)) AS ix,
+                         GREATEST(0, LEAST({(1 << 14) - 1}, (lat + 900000000) * {1 << 14} // 1800000000)) AS iy,
+                         event_type
+                  FROM pts),
+            pc AS (SELECT ix, iy, event_type, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+            a AS (SELECT ix, iy, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS richness,
+                         SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS slnc,
+                         CAST(SUM(c * c) AS BIGINT) AS sc2
+                  FROM pc GROUP BY 1, 2)
+            SELECT ix, iy, n, richness,
+                   ROUND(ln(CAST(n AS DOUBLE)) - slnc / CAST(n AS DOUBLE), 9) AS entropy,
+                   ROUND(1.0 - CAST(sc2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 12) AS simpson
+            FROM a
         """,
         # closing: same two sparse fans — dilate distinct, erode votes
         "morph_close_events": f"""

@@ -1255,3 +1255,51 @@ def join_counts(
         (jj - F.col("bb") - F.col("ww")).cast("long").alias("bw"),
         e_bb.alias("e_bb"), var_bb.alias("var_bb"), z_bb.alias("z_bb"),
     )
+
+
+def grid_diversity(
+    pts: DataFrame,
+    category_col: str,
+    lat: str = "lat",
+    lon: str = "lon",
+    res: int = 14,
+) -> DataFrame:
+    """Per-cell categorical diversity — the landscape-ecology triple
+    over a point attribute: Shannon entropy H = −Σ p·ln p, species
+    richness (distinct categories), and the Simpson index 1 − Σ p²,
+    per occupied grid cell → (ix, iy, n, richness, entropy, simpson).
+    The land-use-mix / POI-diversity summary every urban-analytics
+    pipeline derives from an OSM-style point table.
+
+    Scale shape: TWO map-side-combinable aggregations and nothing else —
+    groupBy (cell, category) then groupBy cell; both shuffles are keyed
+    and partial-aggregated, the point table is touched once.
+
+    Numeric form: H = −Σ(c/n)·ln(c/n) needs n INSIDE the sum (a nested
+    aggregate); the algebraic twin H = ln(n) − (Σ c·ln c)/n doesn't, so
+    one pass computes Σc, Σc·ln c, Σc² together. Simpson 1 − Σc²/n² is
+    then EXACT-int arithmetic plus one division; entropy's Σ c·ln c is
+    the engine's one float fold here (addition order is engine- and
+    partition-dependent — callers round, same class as every multi-term
+    float fold). NULL categories are kept as their own class; NULL
+    coordinates are dropped (no cell).
+    """
+    from osmflat_rs_spark.functions.cells import grid_exprs
+
+    ix, iy = grid_exprs(F.col(lat), F.col(lon), res)
+    base = pts.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull())
+    per_cat = base.groupBy(
+        ix.alias("ix"), iy.alias("iy"), F.col(category_col).alias("_cat")
+    ).agg(F.count("*").alias("_c"))
+    agg = per_cat.groupBy("ix", "iy").agg(
+        F.sum("_c").alias("n"),
+        F.count("*").alias("richness"),
+        F.sum(F.col("_c").cast("double") * F.log(F.col("_c").cast("double"))).alias("_slnc"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_sc2"),
+    )
+    nd = F.col("n").cast("double")
+    return agg.select(
+        "ix", "iy", "n", "richness",
+        (F.log(nd) - F.col("_slnc") / nd).alias("entropy"),
+        (F.lit(1.0) - F.col("_sc2").cast("double") / (nd * nd)).alias("simpson"),
+    )

@@ -881,3 +881,47 @@ def test_join_counts_degenerate_all_one_color(spark):
     one = spark.createDataFrame([(1, 0, 0), (2, 1, 1)], "node_idx long, lat long, lon long")
     r1 = join_counts(one, res=res, threshold=1).collect()[0]
     assert r1["n"] == 1 and r1["z_bb"] is None and r1["var_bb"] is None
+
+
+def test_grid_diversity_matches_model(spark):
+    """grid_diversity vs a Python model on hand-placed cells: exact n /
+    richness / Simpson, entropy to 1e-12 of -Σ p·ln p (the ln(n) −
+    Σc·ln(c)/n identity), NULL category is its own class, single-class
+    cell has entropy 0 and simpson 0."""
+    import math
+
+    from osmflat_rs_spark.operators.tiling import grid_diversity
+
+    res = 12
+    def cell_coords(ix, iy):
+        lon = int((ix + 0.5) * 3_600_000_000 / (1 << res)) - 1_800_000_000
+        lat = int((iy + 0.5) * 1_800_000_000 / (1 << res)) - 900_000_000
+        return lat, lon
+
+    mixes = {
+        (100, 200): ["a"] * 4 + ["b"] * 4,           # uniform 2-class
+        (101, 200): ["a"] * 6 + ["b"] * 2 + [None],  # skewed 3-class w/ NULL
+        (102, 200): ["z"] * 5,                        # single class
+    }
+    rows = []
+    i = 0
+    for (ix, iy), cats in mixes.items():
+        la, lo = cell_coords(ix, iy)
+        for c in cats:
+            rows.append((i, la, lo, c)); i += 1
+    df = spark.createDataFrame(rows, "node_idx long, lat long, lon long, cat string").repartition(3)
+    got = {(r["ix"], r["iy"]): r for r in grid_diversity(df, "cat", res=res).collect()}
+
+    for (ix, iy), cats in mixes.items():
+        from collections import Counter
+
+        cnt = Counter(cats)
+        n = len(cats)
+        r = got[(ix, iy)]
+        assert (r["n"], r["richness"]) == (n, len(cnt))
+        h = -sum((c / n) * math.log(c / n) for c in cnt.values())
+        s = 1.0 - sum(c * c for c in cnt.values()) / (n * n)
+        assert abs(r["entropy"] - h) < 1e-12
+        assert abs(r["simpson"] - s) < 1e-15
+    single = got[(102, 200)]
+    assert single["entropy"] == 0.0 and single["simpson"] == 0.0
