@@ -1044,6 +1044,29 @@ def q_ripley_events(spark, sf_dir):
     return ripley_k(pts, list(RIPLEY_RADII), RIPLEY_AREA, id_col="event_id")
 
 
+HUFF_FACILITIES = [
+    (f"f{i}", 524_200_000 + i * 173_000, 132_500_000 + i * 317_000, 1 + (i % 5))
+    for i in range(10)
+]
+HUFF_RADIUS = 600_000
+
+
+def q_huff_events(spark, sf_dir):
+    """Huff probabilistic market share at 10 facilities (the kNN gate's
+    lattice, attractiveness 1..5): regularized inverse-square weight
+    A/(d²+1) on exact int64 d², one groupBy(point) normalizer, one join
+    back. p rounded at 9 (the ≤10-term float normalizer is the one
+    reassociation-sensitive fold)."""
+    from osmflat_rs_spark.operators.interpolate import huff_probabilities
+
+    pts = _synth_coords(_t(spark, sf_dir, "events")).select("event_id", "lat", "lon")
+    out = huff_probabilities(pts, HUFF_FACILITIES, HUFF_RADIUS, id_col="event_id")
+    return out.select(
+        "event_id", "facility_id", "attractiveness", "d2",
+        F.round("p", 9).alias("p"),
+    )
+
+
 def q_gfunction_events(spark, sf_dir):
     """Nearest-neighbour distance distribution Ĝ(r) at the Ripley radii,
     censored at max(r) (the bounded-join contract): one self radius-join,
@@ -3956,6 +3979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ripley_events": q_ripley_events,
         "variogram_events": q_variogram_events,
         "gfunction_events": q_gfunction_events,
+        "huff_events": q_huff_events,
         "simplify_events": q_simplify_events,
         "dbscan_events": q_dbscan_events,
         "knn_events": q_knn_events,
@@ -4804,6 +4828,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST({RIPLEY_AREA!r} AS DOUBLE) * CAST(n_pairs AS DOUBLE)
                      / CAST(n * (n - 1) AS DOUBLE) AS k_hat
             FROM unp, nn
+        """,
+        # Huff: same regularized rational weight, window-sum normalizer
+        "huff_events": f"""
+            WITH pts AS (SELECT event_id, lat, lon FROM {synth}),
+            fac AS (SELECT * FROM (VALUES {', '.join(f"('{fid}', {fla}, {flo}, {fa})" for fid, fla, flo, fa in HUFF_FACILITIES)})
+                    t(facility_id, flat, flon, attractiveness)),
+            pr AS (SELECT p.event_id, f.facility_id, f.attractiveness,
+                          (p.lat - f.flat) * (p.lat - f.flat)
+                        + (p.lon - f.flon) * (p.lon - f.flon) AS d2
+                   FROM pts p JOIN fac f
+                     ON abs(p.lat - f.flat) <= {HUFF_RADIUS}
+                    AND abs(p.lon - f.flon) <= {HUFF_RADIUS}),
+            w AS (SELECT event_id, facility_id, attractiveness, d2,
+                         CAST(attractiveness AS DOUBLE) / (CAST(d2 AS DOUBLE) + 1.0) AS wt
+                  FROM pr WHERE d2 <= {HUFF_RADIUS ** 2})
+            SELECT event_id, facility_id, CAST(attractiveness AS BIGINT) AS attractiveness, d2,
+                   ROUND(wt / SUM(wt) OVER (PARTITION BY event_id), 9) AS p
+            FROM w
         """,
         # G-function: per-point min over the bounded pair set, FILTER
         # counts per radius, one division — censored-at-rmax contract

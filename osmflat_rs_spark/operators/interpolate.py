@@ -78,3 +78,72 @@ def idw_interpolate(
             "n_neighbors",
         )
     )
+
+
+def huff_probabilities(
+    points: DataFrame,
+    facilities,
+    radius: float,
+    id_col: str = "node_idx",
+    lat: str = "lat",
+    lon: str = "lon",
+    res: int | None = None,
+    backend=None,
+) -> DataFrame:
+    """Huff spatial-interaction model (Huff 1963) — probabilistic market
+    share: each demand point patronizes facility j with probability
+    p_ij = w_ij / Σ_k w_ik over the facilities within ``radius``, where
+    the weight is the REGULARIZED inverse-square gravity term
+
+        w_ij = A_j / (d²_ij + 1)
+
+    (exact int64 d² in fixed-point units; the +1 keeps a point sitting
+    exactly ON a facility finite while preserving the β=2 decay — the
+    regularization IS the declared contract, making every weight ONE
+    rational of exact integers instead of a pow() chain). → (id,
+    facility_id, attractiveness, d2, p); points with no facility in
+    range emit nothing (outside every market area).
+
+    ``facilities``: list of (facility_id, lat, lon, attractiveness)
+    tuples — the small dimension side (drives the broadcast cell cover
+    of ``knn.radius_join``; the demand table never moves). One keyed
+    groupBy(point) for the normalizer + one equi-join back — the only
+    shuffles, both on the point id.
+    """
+    from osmflat_rs_spark.operators.knn import radius_join
+
+    rows = list(facilities)
+    if not rows:
+        raise ValueError("need at least one facility")
+    spark = points.sparkSession
+    fac = spark.createDataFrame(
+        rows, schema="query_id string, lat long, lon long, attractiveness long"
+    )
+    pairs = radius_join(
+        points,
+        fac.select("query_id", "lat", "lon"),
+        radius_m=float(radius),
+        res=res,
+        metric="sqeuclid",
+        id_col=id_col,
+        backend=backend,
+    )
+    att = F.broadcast(fac.select(F.col("query_id"), F.col("attractiveness")))
+    w = pairs.join(att, "query_id").select(
+        F.col(id_col),
+        F.col("query_id").alias("facility_id"),
+        "attractiveness",
+        F.col("dist_m").cast("long").alias("d2"),
+        (
+            F.col("attractiveness").cast("double")
+            / (F.col("dist_m").cast("double") + F.lit(1.0))
+        ).alias("_w"),
+    )
+    tot = w.groupBy(id_col).agg(F.sum("_w").alias("_tw"))
+    return (
+        w.join(tot, id_col)
+        .select(
+            id_col, "facility_id", "attractiveness", "d2",
+            (F.col("_w") / F.col("_tw")).alias("p"),
+        )
+    )

@@ -699,3 +699,47 @@ def test_g_function_matches_bruteforce(spark):
     # monotone non-decreasing in r, and the dup pair guarantees >= 2 at the smallest
     vals = [got[r][0] for r in radii]
     assert vals == sorted(vals) and vals[0] >= 2
+
+
+def test_huff_probabilities_matches_model(spark):
+    """huff_probabilities vs a Python model: regularized A/(d2+1)
+    weights, per-point normalization sums to 1, point sitting exactly ON
+    a facility stays finite and dominates, out-of-range points emit
+    nothing, attractiveness doubles the share at equal distance."""
+    import numpy as np
+
+    from osmflat_rs_spark.operators.interpolate import huff_probabilities
+
+    facs = [("fA", 0, 0, 2), ("fB", 0, 2_000, 1), ("fC", 900_000, 900_000, 5)]
+    pts = [
+        (1, 0, 0),          # ON fA
+        (2, 0, 1_000),      # midway fA/fB
+        (3, 10_000, 10_000),
+        (4, 5_000_000, 5_000_000),  # out of range of everything
+    ]
+    df = spark.createDataFrame(pts, "node_idx long, lat long, lon long").repartition(2)
+    rows = huff_probabilities(df, facs, 100_000).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["node_idx"], {})[r["facility_id"]] = (r["d2"], r["p"])
+    assert 4 not in got
+    # model
+    for pid, pla, plo in pts[:3]:
+        ws = {}
+        for fid, fla, flo, a in facs:
+            d2 = (pla - fla) ** 2 + (plo - flo) ** 2
+            if d2 <= 100_000 ** 2:
+                ws[fid] = (d2, a / (d2 + 1.0))
+        tot = sum(w for _, w in ws.values())
+        assert set(got[pid]) == set(ws), pid
+        for fid, (d2, w) in ws.items():
+            gd2, gp = got[pid][fid]
+            assert gd2 == d2
+            assert abs(gp - w / tot) < 1e-12
+    # ON-facility point: fA share ~ 1 (d2=0 -> w=2 vs fB w=1/(2000^2+1))
+    assert got[1]["fA"][1] > 0.999999
+    # per-point probabilities sum to 1
+    for pid in (1, 2, 3):
+        assert abs(sum(p for _, p in got[pid].values()) - 1.0) < 1e-12
+    # midway point: equal distance, attractiveness 2 vs 1 -> 2/3 vs 1/3
+    assert abs(got[2]["fA"][1] - 2.0 / 3.0) < 1e-9
