@@ -1051,6 +1051,20 @@ HUFF_FACILITIES = [
 HUFF_RADIUS = 600_000
 
 
+def q_winsorize_events(spark, sf_dir):
+    """Per-event-type winsorization of the cents value at the exact
+    (1/20, 19/20) discrete quantiles: one window pass computes both
+    caps, the (group × 2) cap table broadcasts back, the clamp is pure
+    int64 LEAST/GREATEST — bit-exact on both engines."""
+    from osmflat_rs_spark.plans.indexing import winsorize
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    return winsorize(ev, "event_type", "v")
+
+
 def q_huff_events(spark, sf_dir):
     """Huff probabilistic market share at 10 facilities (the kNN gate's
     lattice, attractiveness 1..5): regularized inverse-square weight
@@ -3980,6 +3994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variogram_events": q_variogram_events,
         "gfunction_events": q_gfunction_events,
         "huff_events": q_huff_events,
+        "winsorize_events": q_winsorize_events,
         "simplify_events": q_simplify_events,
         "dbscan_events": q_dbscan_events,
         "knn_events": q_knn_events,
@@ -4828,6 +4843,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST({RIPLEY_AREA!r} AS DOUBLE) * CAST(n_pairs AS DOUBLE)
                      / CAST(n * (n - 1) AS DOUBLE) AS k_hat
             FROM unp, nn
+        """,
+        # winsorize: identical integer-ceil ranks, int64 clamp
+        "winsorize_events": """
+            WITH pts AS (SELECT event_id, event_type,
+                                CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                         FROM events),
+            r AS (SELECT event_type, v,
+                         row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+                         COUNT(*) OVER (PARTITION BY event_type) AS n
+                  FROM pts WHERE v IS NOT NULL),
+            caps AS (SELECT event_type,
+                            MIN(CASE WHEN rn = (1 * n + 19) // 20 THEN v END) AS lo_cap,
+                            MIN(CASE WHEN rn = (19 * n + 19) // 20 THEN v END) AS hi_cap
+                     FROM r GROUP BY 1)
+            SELECT p.event_id, p.event_type, p.v, c.lo_cap, c.hi_cap,
+                   CASE WHEN p.v IS NOT NULL
+                        THEN GREATEST(c.lo_cap, LEAST(c.hi_cap, p.v)) END AS value_w
+            FROM pts p LEFT JOIN caps c USING (event_type)
         """,
         # Huff: same regularized rational weight, window-sum normalizer
         "huff_events": f"""

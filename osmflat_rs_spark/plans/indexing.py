@@ -598,3 +598,52 @@ def hampel_outliers(
             "mad",
         )
     )
+
+
+def winsorize(
+    df,
+    group_col: str,
+    col: str,
+    lo=(1, 20),
+    hi=(19, 20),
+):
+    """Per-group winsorization (outlier clipping) at EXACT discrete
+    quantiles → input rows + (lo_cap, hi_cap, value_w): every value is
+    clamped into [Q_lo, Q_hi] of its OWN group, the standard
+    heavy-tail cleaning step before aggregates/regression (and before
+    token-count/length features in a training-data pipeline).
+
+    Composition, not a new kernel: :func:`grouped_quantile` computes
+    both caps in ONE window pass (its rank table carries every q), the
+    tiny (group × 2) cap table pivots in-row and BROADCASTS onto the
+    input — the corpus is never re-shuffled (same discipline as the
+    quantile operator itself). Caps are the group's actual k-th
+    smallest elements (exact integers — no interpolation), so the
+    clamp is pure int64 LEAST/GREATEST and any ANSI engine reproduces
+    it bit-for-bit. NULL values pass through unclamped (they carry no
+    magnitude to clip); groups too small for distinct caps clamp to
+    their own min/max — a no-op, the right degenerate behavior.
+    """
+    lo_n, lo_d = int(lo[0]), int(lo[1])
+    hi_n, hi_d = int(hi[0]), int(hi[1])
+    if lo_n * hi_d > hi_n * lo_d:
+        raise ValueError(f"lo quantile {lo} must be <= hi quantile {hi}")
+    caps = (
+        grouped_quantile(df, group_col, col, [(lo_n, lo_d), (hi_n, hi_d)])
+        .groupBy(F.col(group_col).alias("_wg"))
+        .agg(
+            F.min(F.when((F.col("q_num") == lo_n) & (F.col("q_den") == lo_d), F.col("value"))).alias("lo_cap"),
+            F.min(F.when((F.col("q_num") == hi_n) & (F.col("q_den") == hi_d), F.col("value"))).alias("hi_cap"),
+        )
+    )
+    j = df.join(
+        F.broadcast(caps), df[group_col] == caps["_wg"], "left"
+    )
+    v = F.col(col).cast("long")
+    clamped = F.greatest(F.col("lo_cap"), F.least(F.col("hi_cap"), v))
+    return j.select(
+        *[df[c] for c in df.columns],
+        "lo_cap",
+        "hi_cap",
+        F.when(v.isNotNull(), clamped).alias("value_w"),
+    )

@@ -530,6 +530,45 @@ def test_grouped_quantile_duplicates_nulls_validation(spark):
         grouped_quantile(df, "g", "v", [(3, 2)])
 
 
+def test_winsorize_matches_numpy_model(spark):
+    """winsorize clamps each value into its group's exact [Q_lo, Q_hi]
+    discrete quantiles (k-th smallest, integer-ceil ranks), NULLs pass
+    through, and tiny groups clamp to their own min/max (a no-op)."""
+    import numpy as np
+
+    from osmflat_rs_spark.plans.indexing import winsorize
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for g in range(5):
+        n = int(rng.integers(1, 200))
+        for v in rng.integers(-1000, 1000, n):
+            rows.append((g, int(v)))
+    rows.append((0, None))
+    want = {}
+    for g in {r[0] for r in rows}:
+        vs = sorted(v for gg, v in rows if gg == g and v is not None)
+        n = len(vs)
+        lo = vs[-(-1 * n // 20) - 1]
+        hi = vs[-(-19 * n // 20) - 1]
+        want[g] = (lo, hi)
+    df = spark.createDataFrame(rows, "g long, v long")
+    for d in (df, df.repartition(7)):
+        got = winsorize(d, "g", "v").collect()
+        assert len(got) == len(rows)
+        for r in got:
+            lo, hi = want[r["g"]]
+            assert (r["lo_cap"], r["hi_cap"]) == (lo, hi)
+            if r["v"] is None:
+                assert r["value_w"] is None
+            else:
+                assert r["value_w"] == max(lo, min(hi, r["v"]))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        winsorize(df, "g", "v", lo=(19, 20), hi=(1, 20))
+
+
 def test_bbox_join_plan_one_join_no_dedup(spark):
     """Lock the bbox_join scale claims (operators/bbox.py docstring):
     covers are built in-row (no exchange feeds the explodes), there is
