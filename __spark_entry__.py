@@ -3187,6 +3187,15 @@ def q_repetition_docs(spark, sf_dir):
     )
 
 
+def q_lexdiv_docs(spark, sf_dir):
+    """Lexical diversity (TTR + hapax fraction) per document: zero-
+    shuffle in-row sorted-run counting; the oracle recomputes the same
+    counts through the completely different explode -> group path."""
+    from osmflat_rs_spark.operators.textops import lexical_diversity
+
+    return lexical_diversity(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 def q_kmv_distinct_events(spark, sf_dir):
     """KMV bottom-64 distinct sketch over event_id: portable relational
     state (the 64 smallest md5 hashes), estimate reproduced bit-for-bit
@@ -4079,6 +4088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mean_center_events": q_mean_center_events,
         "feature_hash_docs": q_feature_hash_docs,
         "repetition_docs": q_repetition_docs,
+        "lexdiv_docs": q_lexdiv_docs,
         "contamination_docs": q_contamination_docs,
         "unigram_logprob_docs": q_unigram_logprob_docs,
         "seg_intersections_events": q_seg_intersections_events,
@@ -6238,6 +6248,23 @@ def oracle_sql() -> dict[str, str]:
                                 ELSE [list_min(hlist)] END AS f
                     FROM hs)
             SELECT doc_id, unnest(f) AS fp FROM fps
+        """,
+        # lexical diversity: independent explode->group restatement of
+        # the in-row sorted-run counts (split yields [''] on empty text,
+        # so every doc has n_tokens >= 1 and both ratios are defined)
+        "lexdiv_docs": f"""
+            WITH t AS (SELECT doc_id, {_ws_split_sql()} AS toks FROM documents),
+            x AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+            tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM x GROUP BY 1, 2),
+            a AS (SELECT doc_id,
+                         CAST(SUM(c) AS INT) AS n_tokens,
+                         CAST(COUNT(*) AS BIGINT) AS n_types,
+                         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+                  FROM tc GROUP BY 1)
+            SELECT doc_id, n_tokens, n_types, n_hapax,
+                   CAST(n_types AS DOUBLE) / n_tokens AS ttr,
+                   CAST(n_hapax AS DOUBLE) / n_types AS hapax_ratio
+            FROM a
         """,
         "token_count_docs": f"""
             SELECT doc_id, len({_ws_split_sql()}) AS n_ws_tokens,

@@ -938,3 +938,67 @@ def ngram_novelty(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Data
             / F.col("n_shingles").cast("double")
         ).alias("novelty"),
     )
+
+
+def lexical_diversity(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_tokens, n_types, n_hapax, ttr, hapax_ratio): per-document
+    lexical-diversity profile — type-token ratio and hapax-legomena
+    fraction, two standard corpus-quality features (low TTR flags
+    boilerplate/spam; a high hapax share flags OCR noise and gibberish)
+    next to :func:`quality_score` in a training-data filter stack.
+
+    Scale shape: ZERO shuffle. Instead of the explode → groupBy(doc,
+    token) exchange (whose payload is the corpus re-keyed by token),
+    the token array is sorted IN ROW (``array_sort``) and every count
+    falls out of run boundaries of the sorted array: a type is a run,
+    a hapax is a run of length 1. Adjacent-equal flags come from one
+    ``zip_with`` over the array and its shift; run-of-1 positions from
+    a second ``zip_with`` over the 0-padded flag array. All built-in
+    array expressions — JVM-side, map-only, partition-count preserved —
+    so the operator composes under any upstream partitioning without
+    adding an exchange (same discipline as minhash shingling,
+    dedup.py). Per-row cost O(T log T) in the doc's token count.
+
+    Tokenization is the repo-wide ``words_expr`` contract (lowercase,
+    explicit Unicode WS class, edge-strip; empty text yields the ['']
+    singleton — counted as one token/one type on BOTH engines, so no
+    zero-denominator cliffs exist and ratios are always defined).
+    Reference analog: per-entity tag-statistics loops
+    (osmflat-rs/examples/count.rs:24-43) — the same one-pass-per-entity
+    statistics discipline, here over token multisets.
+    """
+    toks = F.array_sort(words_expr(F.col(text_col)))
+    d = df.select(F.col(id_col), toks.alias("_t"))
+    n = F.size(F.col("_t"))
+    zero = F.lit(0).cast("long")
+    # eqp[i] = 1 iff sorted[i+1] == sorted[i]  (length n-1, [] when n=1)
+    eqp = F.zip_with(
+        F.slice(F.col("_t"), 1, n - 1),
+        F.slice(F.col("_t"), 2, n - 1),
+        lambda a, b: (a == b).cast("long"),
+    )
+    d = d.select(d[id_col], n.alias("n_tokens"), eqp.alias("_e"))
+    n_eq = F.aggregate("_e", zero, lambda acc, x: acc + x)
+    # pad flags with 0 at both ends: a run of length 1 at i is
+    # (no equal-neighbour before) AND (none after).
+    padded = F.concat(F.array(zero), F.col("_e"), F.array(zero))
+    run1 = F.zip_with(
+        F.slice(padded, 1, F.col("n_tokens")),
+        F.slice(padded, 2, F.col("n_tokens")),
+        lambda a, b: (F.lit(1) - a) * (F.lit(1) - b),
+    )
+    n_hapax = F.aggregate(run1, zero, lambda acc, x: acc + x)
+    d = d.select(
+        d[id_col],
+        "n_tokens",
+        (F.col("n_tokens") - n_eq).alias("n_types"),
+        n_hapax.alias("n_hapax"),
+    )
+    return d.select(
+        d[id_col],
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        (F.col("n_types").cast("double") / F.col("n_tokens")).alias("ttr"),
+        (F.col("n_hapax").cast("double") / F.col("n_types")).alias("hapax_ratio"),
+    )

@@ -2163,3 +2163,45 @@ def test_hrw_shard_validation(spark):
         hrw_shard(df, "doc_id", 0)
     one = hrw_shard(df, "doc_id", 1).collect()[0]
     assert one["shard"] == 0
+
+
+# lexical diversity (TTR / hapax)
+
+
+def test_lexical_diversity_matches_counter_model(spark):
+    """Zero-shuffle sorted-run counts equal the Counter model, including
+    the ws-contract edges: empty text (the [''] singleton), NBSP splits,
+    all-duplicate and all-unique docs, multi-partition invariance."""
+    import re as _re
+    from collections import Counter
+
+    rng = np.random.default_rng(31)
+    vocab = ["aa", "bb", "ccc", "d", "ee"]
+    docs = [
+        (i, " ".join(rng.choice(vocab, size=rng.integers(1, 40))))
+        for i in range(50)
+    ]
+    docs += [
+        (100, ""),
+        (101, " \t  "),
+        (102, "x y　x"),
+        (103, "same same same"),
+        (104, "all words here unique"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for d in (df, df.repartition(7)):
+        got = {
+            r["doc_id"]: r.asDict()
+            for r in textops.lexical_diversity(d, "doc_id", "text").collect()
+        }
+        for doc_id, text in docs:
+            ws = _re.split(WS_PY + "+", text.strip().lower())
+            c = Counter(ws)
+            n_tok, n_ty = len(ws), len(c)
+            n_hap = sum(1 for v in c.values() if v == 1)
+            r = got[doc_id]
+            assert (r["n_tokens"], r["n_types"], r["n_hapax"]) == (n_tok, n_ty, n_hap), (doc_id, text)
+            assert r["ttr"] == n_ty / n_tok
+            assert r["hapax_ratio"] == n_hap / n_ty
+    # the empty doc is one ''-token: ratios defined, no cliffs
+    assert got[100]["n_tokens"] == 1 and got[100]["ttr"] == 1.0
