@@ -3196,6 +3196,28 @@ def q_lexdiv_docs(spark, sf_dir):
     return lexical_diversity(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_zipf_docs(spark, sf_dir):
+    """Per-lang Zipf rank-frequency slope over the top-128 tokens:
+    skew-capped two-phase rank, closed-form OLS in ln-ln space."""
+    from osmflat_rs_spark.operators.textops import zipf_slope
+
+    return zipf_slope(_t(spark, sf_dir, "documents"), "text", "lang", top_r=128)
+
+
+def q_dsir_docs(spark, sf_dir):
+    """DSIR importance weights: hashed uni+bigram log-likelihood ratio
+    of the lang='en' target model vs the whole-corpus source model,
+    4096 portable md5 buckets, Laplace smoothing, ROUND-9 floats."""
+    from pyspark.sql import functions as F
+
+    from osmflat_rs_spark.operators.textops import dsir_importance
+
+    return dsir_importance(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        F.col("lang") == "en", dim=4096,
+    )
+
+
 def q_kmv_distinct_events(spark, sf_dir):
     """KMV bottom-64 distinct sketch over event_id: portable relational
     state (the 64 smallest md5 hashes), estimate reproduced bit-for-bit
@@ -4089,6 +4111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_hash_docs": q_feature_hash_docs,
         "repetition_docs": q_repetition_docs,
         "lexdiv_docs": q_lexdiv_docs,
+        "zipf_docs": q_zipf_docs,
+        "dsir_docs": q_dsir_docs,
         "contamination_docs": q_contamination_docs,
         "unigram_logprob_docs": q_unigram_logprob_docs,
         "seg_intersections_events": q_seg_intersections_events,
@@ -6265,6 +6289,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_types AS DOUBLE) / n_tokens AS ttr,
                    CAST(n_hapax AS DOUBLE) / n_types AS hapax_ratio
             FROM a
+        """,
+        # Zipf: single-window restatement of the two-phase rank, same
+        # (count desc, token asc) tie-break, ROUND-9 ln-float contract
+        "zipf_docs": f"""
+            WITH t AS (SELECT lang AS g, unnest({_ws_split_sql()}) AS tok FROM documents),
+            tf AS (SELECT g, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+            rk AS (SELECT g, c, row_number() OVER (PARTITION BY g ORDER BY c DESC, tok) AS rk
+                   FROM tf),
+            top AS (SELECT g, ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+                    FROM rk WHERE rk <= 128),
+            a AS (SELECT g, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+                  FROM top GROUP BY 1),
+            f AS (SELECT g, n, n * sxx - sx * sx AS den,
+                         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_raw,
+                         sx, sy
+                  FROM a)
+            SELECT g AS lang, CAST(n AS BIGINT) AS n_ranks,
+                   CASE WHEN den <> 0 THEN ROUND(slope_raw, 9) END AS slope,
+                   CASE WHEN den <> 0 THEN ROUND((sy - slope_raw * sx) / n, 9) END AS intercept
+            FROM f
+        """,
+        # DSIR: same md5-bucket uni+bigram features, conditional-agg
+        # target/source counts, Laplace over all 4096 buckets, ROUND 9
+        "dsir_docs": f"""
+            WITH t AS (SELECT doc_id, lang = 'en' AS tgt, {_ws_split_sql()} AS ws
+                       FROM documents),
+            fe AS (SELECT doc_id, tgt,
+                          list_concat(ws,
+                            CASE WHEN len(ws) >= 2
+                                 THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])
+                                 ELSE [] END) AS fs
+                   FROM t),
+            ex AS (SELECT doc_id, tgt,
+                          unnest(list_transform(fs, f -> CAST('0x' || substr(md5(f), 1, 15) AS BIGINT) % 4096)) AS b
+                   FROM fe),
+            dist AS (SELECT b, COUNT(*) AS cs,
+                            SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+                     FROM ex GROUP BY 1),
+            tot AS (SELECT ln(SUM(cs) + 4096.0) - ln(SUM(ct) + 4096.0) AS c FROM dist),
+            lr AS (SELECT b, ln(CAST(ct AS DOUBLE) + 1) - ln(CAST(cs AS DOUBLE) + 1) AS lr
+                   FROM dist),
+            db AS (SELECT doc_id, b, COUNT(*) AS m FROM ex GROUP BY 1, 2),
+            w AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_feats, SUM(m * lr) AS s
+                  FROM db JOIN lr USING (b) GROUP BY 1)
+            SELECT doc_id, n_feats, ROUND(s + n_feats * tot.c, 9) AS log_weight
+            FROM w, tot
         """,
         "token_count_docs": f"""
             SELECT doc_id, len({_ws_split_sql()}) AS n_ws_tokens,

@@ -1002,3 +1002,142 @@ def lexical_diversity(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         (F.col("n_types").cast("double") / F.col("n_tokens")).alias("ttr"),
         (F.col("n_hapax").cast("double") / F.col("n_types")).alias("hapax_ratio"),
     )
+
+
+def zipf_slope(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    top_r: int = 128,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """(group, n_ranks, slope, intercept): per-group Zipf
+    rank-frequency fit — OLS of ln(freq) on ln(rank) over the group's
+    ``top_r`` most frequent tokens (count desc, token asc tie-break).
+    A healthy natural-language corpus sits near slope −1 (Zipf 1949);
+    a shallow slope flags templated/boilerplate shards and a cliff
+    flags token spam — a standard corpus-level diagnostic next to the
+    per-doc :func:`lexical_diversity` in a training-data QA stack.
+
+    Scale shape: tokens reduce map-side into (group, token) partial
+    counts (one exchange keyed by the vocabulary — the corpus itself
+    is never re-shuffled), then the rank window runs over the
+    skew-capped two-phase top-n (sampling._two_phase_top_n) so no
+    reducer ever sorts a whole language's vocabulary; the fit
+    consumes exactly ``top_r`` rows per group via closed-form OLS
+    sums. ln-derived outputs are ROUND(·, 9) on both engines (the
+    entropy-gate float contract); the ≤ top_r-term sums keep
+    reassociation error ~1e-12, far inside the rounding.
+
+    Groups with a single ranked token have a degenerate (zero)
+    normal-equation denominator and yield NULL slope/intercept.
+    """
+    from osmflat_rs_spark.operators.sampling import _two_phase_top_n
+
+    if top_r < 2:
+        raise ValueError(f"top_r must be >= 2, got {top_r}")
+    toks = df.select(
+        F.col(group_col).alias("_g"),
+        F.explode(words_expr(F.col(text_col))).alias("_tok"),
+    )
+    tf = toks.groupBy("_g", "_tok").agg(F.count(F.lit(1)).alias("_c"))
+    ranked = _two_phase_top_n(
+        tf, ["_g"], [F.col("_c").desc(), F.col("_tok").asc()], top_r, salt_buckets
+    )
+    pts = ranked.select(
+        "_g",
+        F.log(F.col("rk").cast("double")).alias("_x"),
+        F.log(F.col("_c").cast("double")).alias("_y"),
+    )
+    a = pts.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    )
+    den = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    slope_raw = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / den
+    icept_raw = (F.col("_sy") - slope_raw * F.col("_sx")) / F.col("_n")
+    return a.select(
+        F.col("_g").alias(group_col),
+        F.col("_n").cast("long").alias("n_ranks"),
+        F.when(den != 0, F.round(slope_raw, 9)).alias("slope"),
+        F.when(den != 0, F.round(icept_raw, 9)).alias("intercept"),
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_target,
+    dim: int = 4096,
+) -> DataFrame:
+    """(id, n_feats, log_weight): DSIR data-selection importance
+    weights (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling") — per document, the hashed-n-gram
+    log-likelihood ratio ln p_target(doc)/ln p_source(doc) under two
+    bag-of-buckets unigram models: features are word uni+bigrams
+    hashed into ``dim`` buckets (the portable ``md5_int60`` family, so
+    the SQL oracle reproduces every bucket), the target distribution
+    is estimated from rows where ``is_target`` holds, the source
+    distribution from the WHOLE corpus, both Laplace-(+1)-smoothed
+    over all ``dim`` buckets. High log_weight = "looks like the
+    target domain" — resample on it to tilt a 100-TB crawl toward a
+    quality corpus without training a classifier.
+
+    Scale shape: ONE explode pass builds both distributions via
+    conditional aggregation (no second corpus scan), the bucket
+    dictionary is ≤ dim rows and BROADCASTS onto the per-(doc,
+    bucket) multiplicities, and the only corpus-keyed exchanges are
+    the (doc,bucket) reduce and the final per-doc sum — nothing
+    all-pairs, nothing driver-side. Per-doc weights sum m_b·lr_b over
+    DISTINCT buckets (multiplicity as an exact int64 factor), so the
+    float work per doc is ≤ min(n_feats, dim) terms; ln-derived
+    output carries the repo's ROUND(·, 9) contract.
+    """
+    from osmflat_rs_spark.operators.dedup import md5_int60
+
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    toks = words_expr(F.col(text_col))
+    n = F.size(toks)
+    bi = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    feats = F.concat(toks, bi)
+    bks = F.transform(feats, lambda t: F.pmod(md5_int60(t), F.lit(dim)))
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        is_target.cast("boolean").alias("_tgt"),
+        F.explode(bks).alias("_b"),
+    )
+    dist = ex.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_cs"),
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).cast("long").alias("_ct"),
+    )
+    totals = dist.agg(
+        (F.log(F.sum("_cs") + F.lit(dim).cast("double"))
+         - F.log(F.sum("_ct") + F.lit(dim).cast("double"))).alias("_const")
+    )
+    lr = dist.select(
+        "_b",
+        (F.log(F.col("_ct").cast("double") + 1) - F.log(F.col("_cs").cast("double") + 1)).alias("_lr"),
+    )
+    db = ex.groupBy("_id", "_b").agg(F.count(F.lit(1)).alias("_m"))
+    per_doc = (
+        db.join(F.broadcast(lr), "_b")
+        .groupBy("_id")
+        .agg(
+            F.sum("_m").cast("long").alias("n_feats"),
+            F.sum(F.col("_m") * F.col("_lr")).alias("_s"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(totals)).select(
+        F.col("_id").alias(id_col),
+        "n_feats",
+        F.round(F.col("_s") + F.col("n_feats") * F.col("_const"), 9).alias("log_weight"),
+    )

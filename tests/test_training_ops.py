@@ -2205,3 +2205,105 @@ def test_lexical_diversity_matches_counter_model(spark):
             assert r["hapax_ratio"] == n_hap / n_ty
     # the empty doc is one ''-token: ratios defined, no cliffs
     assert got[100]["n_tokens"] == 1 and got[100]["ttr"] == 1.0
+
+
+def test_zipf_slope_matches_numpy_ols(spark):
+    """Closed-form ln-ln OLS equals numpy lstsq on the same ranked
+    counts; two-phase salting is output-invariant; a single-type group
+    yields NULL slope (degenerate normal equations)."""
+    import re as _re
+    from collections import Counter
+
+    rng = np.random.default_rng(41)
+    vocab = [f"w{i}" for i in range(40)]
+    p = np.array([1.0 / (i + 1) for i in range(40)]); p /= p.sum()
+    docs = [
+        (i, "en" if i % 2 == 0 else "de",
+         " ".join(rng.choice(vocab, size=rng.integers(5, 60), p=p)))
+        for i in range(80)
+    ]
+    docs.append((200, "xx", "solo solo solo"))
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    outs = []
+    for sb in (1, 8):
+        got = {
+            r["lang"]: r.asDict()
+            for r in textops.zipf_slope(df, "text", "lang", top_r=16, salt_buckets=sb).collect()
+        }
+        outs.append(got)
+    assert outs[0] == outs[1]
+    got = outs[0]
+    for lang in ("en", "de"):
+        c = Counter(
+            t
+            for _, lg, tx in docs
+            if lg == lang
+            for t in _re.split(WS_PY + "+", tx.strip().lower())
+        )
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:16]
+        x = np.log(np.arange(1, len(top) + 1, dtype=float))
+        y = np.log(np.array([v for _, v in top], dtype=float))
+        A = np.vstack([x, np.ones_like(x)]).T
+        slope, icept = np.linalg.lstsq(A, y, rcond=None)[0]
+        assert got[lang]["n_ranks"] == len(top)
+        assert abs(got[lang]["slope"] - slope) < 1e-7
+        assert abs(got[lang]["intercept"] - icept) < 1e-7
+    assert got["xx"]["n_ranks"] == 1 and got["xx"]["slope"] is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        textops.zipf_slope(df, "text", "lang", top_r=1)
+
+
+def test_dsir_importance_matches_python_model(spark):
+    """Bucketed uni+bigram LLR against an exact Counter model (same md5
+    buckets, same Laplace smoothing); target-like docs outrank
+    off-target ones; multi-partition invariance."""
+    import hashlib
+    import math
+    import re as _re
+    from collections import Counter
+
+    def b60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % 64
+
+    rng = np.random.default_rng(7)
+    tgt_vocab, src_vocab = ["alpha", "beta", "gamma"], ["uno", "dos", "tres"]
+    docs = []
+    for i in range(30):
+        tgt = i % 2 == 0
+        vocab = tgt_vocab if tgt else src_vocab
+        docs.append((i, tgt, " ".join(rng.choice(vocab, size=rng.integers(2, 20)))))
+    docs.append((100, False, ""))  # [''] singleton, no bigrams
+    df = spark.createDataFrame(docs, "doc_id long, tgt boolean, text string")
+
+    def feats(text):
+        ws = _re.split(WS_PY + "+", text.strip().lower())
+        return ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    cs, ct = Counter(), Counter()
+    for _, tgt, tx in docs:
+        for f in feats(tx):
+            cs[b60(f)] += 1
+            if tgt:
+                ct[b60(f)] += 1
+    const = math.log(sum(cs.values()) + 64) - math.log(sum(ct.values()) + 64)
+    want = {}
+    for doc_id, _, tx in docs:
+        fs = feats(tx)
+        s = sum(math.log(ct[b60(f)] + 1) - math.log(cs[b60(f)] + 1) for f in fs)
+        want[doc_id] = (len(fs), round(s + len(fs) * const, 9))
+    from pyspark.sql import functions as F
+
+    for d in (df, df.repartition(5)):
+        got = {
+            r["doc_id"]: (r["n_feats"], r["log_weight"])
+            for r in textops.dsir_importance(d, "doc_id", "text", F.col("tgt"), dim=64).collect()
+        }
+        for doc_id, (nf, lw) in want.items():
+            assert got[doc_id][0] == nf
+            assert abs(got[doc_id][1] - lw) < 1e-8, (doc_id, got[doc_id], lw)
+    # separation: every pure-target doc outweighs every pure-source doc
+    tgt_ws = [got[i][1] for i, t, _ in docs if t]
+    src_ws = [got[i][1] for i, t, tx in docs if not t and tx]
+    assert min(tgt_ws) > max(src_ws)
