@@ -1841,6 +1841,16 @@ def q_focal_grid_events(spark, sf_dir):
     return focal_grid_agg(pts, "lat", "lon", res=16, radius=1)
 
 
+def q_focal_mode_events(spark, sf_dir):
+    """Focal majority (mode) filter: per occupied res-16 cell, the most
+    frequent event_type within Chebyshev radius 1, ties to the smallest
+    category via one struct-min aggregate (no rank window)."""
+    from osmflat_rs_spark.operators.tiling import focal_mode
+
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    return focal_mode(pts, "event_type", "lat", "lon", res=16, radius=1)
+
+
 def q_hillshade_events(spark, sf_dir):
     """Horn slope/aspect/hillshade (gdaldem/ESRI algorithm) over the
     event density grid at res 16 with the published defaults (azimuth
@@ -3218,6 +3228,49 @@ def q_dsir_docs(spark, sf_dir):
     )
 
 
+def q_ipf_events(spark, sf_dir):
+    """Doubly-constrained gravity model: IPF/Furness balancing of a
+    distance-decay seed over ~32 coarse zones, margins = zone counts,
+    3 unrolled iterations. The zone-pair seed is a cross of two
+    aggregated zone tables (bounded by design); the oracle restates
+    each scaling as a window sum."""
+    from osmflat_rs_spark.operators.interpolate import ipf_balance
+
+    Z = 500_000
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    zones = pts.groupBy(
+        F.expr(f"lat div {Z}").alias("zx"), F.expr(f"lon div {Z}").alias("zy")
+    ).agg(F.count(F.lit(1)).alias("tot"))
+    a, b = zones.alias("a"), zones.alias("b")
+    od = a.crossJoin(b).select(
+        (F.col("a.zx") * 1000 + F.col("a.zy")).alias("o"),
+        (F.col("b.zx") * 1000 + F.col("b.zy")).alias("d"),
+        (
+            F.lit(1_000_000.0)
+            / (
+                1
+                + (F.col("a.zx") - F.col("b.zx")) * (F.col("a.zx") - F.col("b.zx"))
+                + (F.col("a.zy") - F.col("b.zy")) * (F.col("a.zy") - F.col("b.zy"))
+            )
+        ).alias("seed"),
+    )
+    om = zones.select((F.col("zx") * 1000 + F.col("zy")).alias("o"), "tot")
+    dm = zones.select((F.col("zx") * 1000 + F.col("zy")).alias("d"), "tot")
+    out = ipf_balance(od, "o", "d", "seed", om, dm, iters=3)
+    return out.select("o", "d", F.round("t", 6).alias("t"))
+
+
+def q_split_docs(spark, sf_dir):
+    """Leakage-safe train/val/test split: the split is hashed from the
+    near-dup CLUSTER (MinHash-LSH pairs -> connected components;
+    singletons = own cluster), so duplicates never straddle a split."""
+    from osmflat_rs_spark.operators.dedup import cluster_safe_split, minhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_dedup(docs, "doc_id", "text", threshold=0.5).select("id_a", "id_b")
+    return cluster_safe_split(docs, "doc_id", pairs, test_pct=10, val_pct=10)
+
+
 def q_kmv_distinct_events(spark, sf_dir):
     """KMV bottom-64 distinct sketch over event_id: portable relational
     state (the 64 smallest md5 hashes), estimate reproduced bit-for-bit
@@ -4025,6 +4078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variogram_events": q_variogram_events,
         "gfunction_events": q_gfunction_events,
         "huff_events": q_huff_events,
+        "ipf_events": q_ipf_events,
         "winsorize_events": q_winsorize_events,
         "simplify_events": q_simplify_events,
         "dbscan_events": q_dbscan_events,
@@ -4036,6 +4090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_convex_events": q_clip_convex_events,
         "cell_index_events": q_cell_index_events,
         "focal_grid_events": q_focal_grid_events,
+        "focal_mode_events": q_focal_mode_events,
         "kde_events": q_kde_events,
         "pip_winding_events": q_pip_winding_events,
         "hillshade_events": q_hillshade_events,
@@ -4127,7 +4182,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix_docs": q_temperature_mix_docs,
         "minhash_pairs_docs": q_minhash_pairs_docs,
         "dedup_clusters_docs": q_dedup_clusters_docs,  # iterative CC, oracled via recursive CTE
-        "dedup_retain_docs": q_dedup_retain_docs,  # retain-best survivor per cluster
+        "dedup_retain_docs": q_dedup_retain_docs,
+        "split_docs": q_split_docs,  # retain-best survivor per cluster
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "containment_docs": q_containment_docs,
         "ngram_jaccard_prefix_docs": q_ngram_jaccard_prefix_docs,
@@ -5894,6 +5950,28 @@ def oracle_sql() -> dict[str, str]:
               ON abs(c1.ix - c2.ix) <= 1 AND abs(c1.iy - c2.iy) <= 1
             GROUP BY 1, 2, 3
         """,
+        # focal mode: self-join restatement; rank window reproduces the
+        # struct-min (count desc, cat asc) tie-break
+        "focal_mode_events": f"""
+            WITH pts AS (SELECT * FROM {synth}),
+            g AS (SELECT GREATEST(0, LEAST({(1 << 16) - 1}, (lon + 1800000000) * {1 << 16} // 3600000000)) AS ix,
+                         GREATEST(0, LEAST({(1 << 16) - 1}, (lat + 900000000) * {1 << 16} // 1800000000)) AS iy,
+                         event_type AS cat
+                  FROM pts),
+            per AS (SELECT ix, iy, cat, COUNT(*) AS n FROM g GROUP BY 1, 2, 3),
+            occ AS (SELECT ix, iy, CAST(SUM(n) AS BIGINT) AS n_self FROM per GROUP BY 1, 2),
+            nb AS (SELECT o.ix, o.iy, p.cat, CAST(SUM(p.n) AS BIGINT) AS nc
+                   FROM occ o JOIN per p
+                     ON abs(o.ix - p.ix) <= 1 AND abs(o.iy - p.iy) <= 1
+                   GROUP BY 1, 2, 3),
+            rk AS (SELECT ix, iy, cat, nc,
+                          row_number() OVER (PARTITION BY ix, iy ORDER BY nc DESC, cat) AS rn,
+                          SUM(nc) OVER (PARTITION BY ix, iy) AS n_focal
+                   FROM nb)
+            SELECT o.ix, o.iy, o.n_self, CAST(r.n_focal AS BIGINT) AS n_focal,
+                   r.cat AS mode_cat, r.nc AS n_mode
+            FROM occ o JOIN rk r ON r.ix = o.ix AND r.iy = o.iy AND r.rn = 1
+        """,
         "viewshed_events": f"""
             WITH pts AS (SELECT * FROM {synth}),
             g AS (SELECT GREATEST(0, LEAST({(1 << 16) - 1}, (lon + 1800000000) * {1 << 16} // 3600000000)) AS ix,
@@ -6336,6 +6414,55 @@ def oracle_sql() -> dict[str, str]:
                   FROM db JOIN lr USING (b) GROUP BY 1)
             SELECT doc_id, n_feats, ROUND(s + n_feats * tot.c, 9) AS log_weight
             FROM w, tot
+        """,
+        # IPF: window-sum restatement of the three row/column scalings
+        "ipf_events": f"""
+            WITH pts AS ({_SYNTH_SQL}),
+            z AS (SELECT lat // 500000 AS zx, lon // 500000 AS zy, COUNT(*) AS tot
+                  FROM pts GROUP BY 1, 2),
+            od0 AS (SELECT a.zx * 1000 + a.zy AS o, b.zx * 1000 + b.zy AS d,
+                           a.tot AS o_tot, b.tot AS d_tot,
+                           1000000.0 / (1 + (a.zx - b.zx) * (a.zx - b.zx)
+                                          + (a.zy - b.zy) * (a.zy - b.zy)) AS t
+                    FROM z a, z b),
+            r1 AS (SELECT o, d, o_tot, d_tot,
+                          t * o_tot / (SUM(t) OVER (PARTITION BY o)) AS t FROM od0),
+            c1 AS (SELECT o, d, o_tot, d_tot,
+                          t * d_tot / (SUM(t) OVER (PARTITION BY d)) AS t FROM r1),
+            r2 AS (SELECT o, d, o_tot, d_tot,
+                          t * o_tot / (SUM(t) OVER (PARTITION BY o)) AS t FROM c1),
+            c2 AS (SELECT o, d, o_tot, d_tot,
+                          t * d_tot / (SUM(t) OVER (PARTITION BY d)) AS t FROM r2),
+            r3 AS (SELECT o, d, o_tot, d_tot,
+                          t * o_tot / (SUM(t) OVER (PARTITION BY o)) AS t FROM c2),
+            c3 AS (SELECT o, d, o_tot, d_tot,
+                          t * d_tot / (SUM(t) OVER (PARTITION BY d)) AS t FROM r3)
+            SELECT o, d, ROUND(t, 6) AS t FROM c3
+        """,
+        # leakage-safe split: recursive-CTE CC over the same pair graph,
+        # singleton clusters via LEFT JOIN, portable md5 bucket mod 100
+        "split_docs": f"""
+            WITH RECURSIVE pairs AS MATERIALIZED ({_minhash_sql(0.5)}),
+            e AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+            nodes AS (SELECT DISTINCT u AS node FROM e),
+            walk(node, lbl) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT e.v, w.lbl FROM walk w JOIN e ON e.u = w.node
+            ),
+            cc AS (SELECT node, MIN(lbl) AS component FROM walk GROUP BY node),
+            base AS (SELECT d.doc_id,
+                            COALESCE(cc.component, d.doc_id) AS cluster
+                     FROM documents d LEFT JOIN cc ON cc.node = d.doc_id),
+            b AS (SELECT doc_id, cluster,
+                         CAST('0x' || substr(md5('split:' || CAST(cluster AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bk
+                  FROM base)
+            SELECT doc_id, cluster,
+                   CASE WHEN bk < 10 THEN 'test'
+                        WHEN bk < 20 THEN 'val'
+                        ELSE 'train' END AS split
+            FROM b
         """,
         "token_count_docs": f"""
             SELECT doc_id, len({_ws_split_sql()}) AS n_ws_tokens,

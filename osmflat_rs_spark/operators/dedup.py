@@ -1108,3 +1108,54 @@ def retain_best(
             ).alias("keep"),
         )
     )
+
+
+def cluster_safe_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    test_pct: int = 10,
+    val_pct: int = 10,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """(id, cluster, split): leakage-safe train/val/test assignment —
+    the split is a deterministic hash of the document's NEAR-DUP
+    CLUSTER, not of the document, so no two near-duplicates ever land
+    on opposite sides of a train/eval boundary (the contamination mode
+    train-test splits by doc id silently create; cf. the dedup papers'
+    motivation — Lee et al. 2022 measure eval inflation from exactly
+    these cross-split duplicates).
+
+    Composition, not a new kernel: components come from
+    ``graph.connected_components`` over the near-dup pair graph
+    (min-label + pointer jumping, O(log n) rounds on the PAIRED subset
+    only); unpaired docs are their own singleton cluster via LEFT JOIN
+    + COALESCE (the retain_best shape). The bucket is
+    ``md5_int60('split:' || cluster) mod 100`` — the engine's portable
+    hash family, so the SQL oracle reproduces every assignment and the
+    split is stable across runs, partitionings, and engines. Corpus
+    touched once (one id-keyed equi-join against the component map);
+    thresholds are integer percents, raising unless
+    0 <= test+val <= 100.
+    """
+    from osmflat_rs_spark.operators.graph import connected_components
+
+    if not (0 <= test_pct and 0 <= val_pct and test_pct + val_pct <= 100):
+        raise ValueError(f"bad split percents: test={test_pct}, val={val_pct}")
+    cc = connected_components(pairs, src=id_a, dst=id_b)
+    j = df.select(F.col(id_col)).join(cc, df[id_col] == cc["node"], "left")
+    cluster = F.coalesce(F.col("component"), df[id_col]).alias("cluster")
+    out = j.select(df[id_col], cluster)
+    bucket = F.pmod(
+        md5_int60(F.concat(F.lit("split:"), F.col("cluster").cast("string"))),
+        F.lit(100),
+    )
+    return out.select(
+        id_col,
+        "cluster",
+        F.when(bucket < test_pct, "test")
+        .when(bucket < test_pct + val_pct, "val")
+        .otherwise("train")
+        .alias("split"),
+    )

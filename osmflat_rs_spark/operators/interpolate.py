@@ -147,3 +147,62 @@ def huff_probabilities(
             (F.col("_w") / F.col("_tw")).alias("p"),
         )
     )
+
+
+def ipf_balance(
+    od: "DataFrame",
+    o_col: str,
+    d_col: str,
+    seed_col: str,
+    o_marg: "DataFrame",
+    d_marg: "DataFrame",
+    iters: int = 3,
+):
+    """Iterative proportional fitting (Furness balancing) of a
+    doubly-constrained spatial-interaction matrix (Deming & Stephan
+    1940; the gravity-model workhorse of every trip-distribution
+    stack): given a seed T⁰_od > 0 (typically a distance-decay kernel)
+    and target margins O_o, D_d (ΣO = ΣD), alternately rescale rows to
+    meet O and columns to meet D for ``iters`` rounds → (o, d, t).
+
+    Scale shape: zones are inherently bounded (the aggregated corpus,
+    ~10³-10⁵), so margins and per-round row/column sums are zone-sized
+    tables that BROADCAST; the zone-pair matrix is the only large
+    relation and it is never re-keyed beyond the two groupBy
+    aggregates each round (2·iters exchanges on (o) / (d) — the
+    honest relational IPF; nothing driver-side, no crossJoin here:
+    building the seed pairs is the caller's choice). Float contract:
+    each scaling divides by a same-magnitude positive row/column sum,
+    so reassociation error stays ~1e-13 relative; callers round the
+    final t (the gate uses ROUND 6).
+
+    Requires seed > 0 on every retained pair (a zero row/column sum
+    would divide by zero — raise early instead of emitting NULLs), and
+    margin frames with exactly (key, total) columns named
+    ``{o,d}_col`` + 'tot'.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    t = od.select(
+        F.col(o_col), F.col(d_col), F.col(seed_col).cast("double").alias("_t")
+    )
+    for _ in range(iters):
+        rs = t.groupBy(o_col).agg(F.sum("_t").alias("_rs"))
+        t = (
+            t.join(F.broadcast(o_marg), o_col)
+            .join(F.broadcast(rs), o_col)
+            .select(
+                o_col, d_col,
+                (F.col("_t") * F.col("tot") / F.col("_rs")).alias("_t"),
+            )
+        )
+        cs = t.groupBy(d_col).agg(F.sum("_t").alias("_cs"))
+        t = (
+            t.join(F.broadcast(d_marg), d_col)
+            .join(F.broadcast(cs), d_col)
+            .select(
+                o_col, d_col,
+                (F.col("_t") * F.col("tot") / F.col("_cs")).alias("_t"),
+            )
+        )
+    return t.select(o_col, d_col, F.col("_t").alias("t"))

@@ -1303,3 +1303,72 @@ def grid_diversity(
         (F.log(nd) - F.col("_slnc") / nd).alias("entropy"),
         (F.lit(1.0) - F.col("_sc2").cast("double") / (nd * nd)).alias("simpson"),
     )
+
+
+def focal_mode(
+    pts: DataFrame,
+    cat_col: str,
+    lat: str = "lat",
+    lon: str = "lon",
+    res: int = 18,
+    radius: int = 1,
+) -> DataFrame:
+    """Focal MAJORITY filter — the categorical twin of
+    ``focal_grid_agg`` (GIS "majority/mode" neighborhood statistic,
+    the standard smoothing for categorical rasters like land-cover):
+    for every OCCUPIED grid cell, the most frequent category among
+    points within Chebyshev ``radius`` → (ix, iy, n_self, n_focal,
+    mode_cat, n_mode). Ties break deterministically to the SMALLEST
+    category (count desc, category asc).
+
+    Plan shape is focal_grid_agg's with one extra key: reduce the
+    corpus to (cell, category) partials FIRST, fan the reduced rows to
+    their (2r+1)² neighbor targets in-row, re-aggregate per (target,
+    category), then collapse categories per cell with ONE struct-min
+    aggregate — min(struct(-n, cat)) IS the (count desc, cat asc)
+    argmax, so no rank window and no join-back; occupied-cell
+    filtering rides the same aggregate via the self flag. Everything
+    exact int64; three exchanges total, all keyed by grid cell.
+    """
+    from osmflat_rs_spark.functions.cells import grid_exprs
+
+    if radius < 0:
+        raise ValueError(f"radius must be >= 0, got {radius}")
+    ix, iy = grid_exprs(F.col(lat), F.col(lon), res)
+    base = pts.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull())
+    per = base.groupBy(
+        ix.alias("ix"), iy.alias("iy"), F.col(cat_col).alias("cat")
+    ).agg(F.count("*").alias("n"))
+    span = F.sequence(F.lit(-radius), F.lit(radius))
+    fan = (
+        per.withColumn("_dx", F.explode(span))
+        .withColumn("_dy", F.explode(span))
+        .select(
+            (F.col("ix") + F.col("_dx")).alias("tx"),
+            (F.col("iy") + F.col("_dy")).alias("ty"),
+            ((F.col("_dx") == 0) & (F.col("_dy") == 0)).alias("_is_self"),
+            "cat",
+            "n",
+        )
+    )
+    agg = fan.groupBy(
+        F.col("tx").alias("ix"), F.col("ty").alias("iy"), "cat"
+    ).agg(
+        F.sum(F.when(F.col("_is_self"), F.col("n")).otherwise(F.lit(0))).alias("_ns"),
+        F.sum("n").alias("_nc"),
+    )
+    best = F.min(F.struct((-F.col("_nc")).alias("neg"), F.col("cat").alias("c")))
+    return (
+        agg.groupBy("ix", "iy")
+        .agg(
+            F.sum("_ns").alias("n_self"),
+            F.sum("_nc").alias("n_focal"),
+            best.alias("_b"),
+        )
+        .filter(F.col("n_self") > 0)
+        .select(
+            "ix", "iy", "n_self", "n_focal",
+            F.col("_b.c").alias("mode_cat"),
+            (-F.col("_b.neg")).alias("n_mode"),
+        )
+    )

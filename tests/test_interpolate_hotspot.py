@@ -743,3 +743,53 @@ def test_huff_probabilities_matches_model(spark):
         assert abs(sum(p for _, p in got[pid].values()) - 1.0) < 1e-12
     # midway point: equal distance, attractiveness 2 vs 1 -> 2/3 vs 1/3
     assert abs(got[2]["fA"][1] - 2.0 / 3.0) < 1e-9
+
+
+def test_ipf_balance_matches_numpy_and_converges(spark):
+    """3-round Furness balancing equals the numpy matrix model, and the
+    row margins after a row-scaling round hit the targets exactly (the
+    defining IPF invariant); partition-layout invariance; iters >= 1."""
+    from pyspark.sql import functions as F
+
+    from osmflat_rs_spark.operators.interpolate import ipf_balance
+
+    rng = np.random.default_rng(17)
+    n_o, n_d = 6, 5
+    seed = rng.uniform(0.5, 3.0, (n_o, n_d))
+    o_tot = rng.integers(10, 50, n_o).astype(float)
+    d_tot = rng.integers(5, 40, n_d).astype(float)
+    d_tot *= o_tot.sum() / d_tot.sum()
+
+    T = seed.copy()
+    for _ in range(3):
+        T *= (o_tot / T.sum(axis=1))[:, None]
+        T *= d_tot / T.sum(axis=0)
+
+    rows = [
+        (int(i), int(j), float(seed[i, j]))
+        for i in range(n_o)
+        for j in range(n_d)
+    ]
+    od = spark.createDataFrame(rows, "o int, d int, seed double")
+    om = spark.createDataFrame(
+        [(int(i), float(o_tot[i])) for i in range(n_o)], "o int, tot double"
+    )
+    dm = spark.createDataFrame(
+        [(int(j), float(d_tot[j])) for j in range(n_d)], "d int, tot double"
+    )
+    for src in (od, od.repartition(7)):
+        got = {
+            (r["o"], r["d"]): r["t"]
+            for r in ipf_balance(src, "o", "d", "seed", om, dm, iters=3).collect()
+        }
+        assert len(got) == n_o * n_d
+        for i in range(n_o):
+            for j in range(n_d):
+                assert abs(got[(i, j)] - T[i, j]) < 1e-9
+    # column margins exact after the final column scaling
+    col_sums = np.zeros(n_d)
+    for (i, j), t in got.items():
+        col_sums[j] += t
+    assert np.allclose(col_sums, d_tot, rtol=1e-12)
+    with pytest.raises(ValueError):
+        ipf_balance(od, "o", "d", "seed", om, dm, iters=0)

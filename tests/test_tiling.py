@@ -925,3 +925,57 @@ def test_grid_diversity_matches_model(spark):
         assert abs(r["simpson"] - s) < 1e-15
     single = got[(102, 200)]
     assert single["entropy"] == 0.0 and single["simpson"] == 0.0
+
+
+def test_focal_mode_matches_brute_force(spark):
+    """Struct-min majority equals the brute-force Chebyshev model
+    including the (count desc, cat asc) tie-break; radius 0 is the
+    per-cell mode; negative radius raises."""
+    import numpy as np
+    import pytest as _pytest
+
+    from osmflat_rs_spark.functions.cells import MAX_RES  # noqa: F401
+    from osmflat_rs_spark.operators.tiling import focal_mode
+
+    rng = np.random.default_rng(53)
+    cats = ["a", "b", "c"]
+    # small fixed-point lat/lon patch so several cells are adjacent
+    rows = []
+    for i in range(400):
+        la = int(rng.integers(0, 40)) * 27466 + 5
+        lo = int(rng.integers(0, 40)) * 54932 + 5
+        rows.append((la, lo, cats[int(rng.integers(0, 3))]))
+    rows.append((None, 123, "a"))
+    df = spark.createDataFrame(rows, "lat long, lon long, cat string")
+    res = 16
+    span_lon, span_lat = 3_600_000_000, 1_800_000_000
+
+    def cell(la, lo):
+        ix = max(0, min((1 << res) - 1, (lo + span_lon // 2) * (1 << res) // span_lon))
+        iy = max(0, min((1 << res) - 1, (la + span_lat // 2) * (1 << res) // span_lat))
+        return ix, iy
+
+    from collections import Counter, defaultdict
+
+    per = defaultdict(Counter)
+    for la, lo, c in rows:
+        if la is not None:
+            per[cell(la, lo)][c] += 1
+    for radius in (0, 1):
+        got = {
+            (r["ix"], r["iy"]): r.asDict()
+            for r in focal_mode(df, "cat", res=res, radius=radius).collect()
+        }
+        assert set(got) == set(per)
+        for (ix, iy), cnt in per.items():
+            acc = Counter()
+            for (jx, jy), c2 in per.items():
+                if abs(jx - ix) <= radius and abs(jy - iy) <= radius:
+                    acc.update(c2)
+            mode_cat, n_mode = min(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+            r = got[(ix, iy)]
+            assert r["n_self"] == sum(cnt.values())
+            assert r["n_focal"] == sum(acc.values())
+            assert (r["mode_cat"], r["n_mode"]) == (mode_cat, n_mode)
+    with _pytest.raises(ValueError):
+        focal_mode(df, "cat", radius=-1)

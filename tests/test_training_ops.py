@@ -2307,3 +2307,39 @@ def test_dsir_importance_matches_python_model(spark):
     tgt_ws = [got[i][1] for i, t, _ in docs if t]
     src_ws = [got[i][1] for i, t, tx in docs if not t and tx]
     assert min(tgt_ws) > max(src_ws)
+
+
+def test_cluster_safe_split_no_leakage_and_hash_model(spark):
+    """Every component member inherits the component-min cluster and one
+    shared split; singletons hash on their own id; assignments equal the
+    md5 bucket model; bad percents raise."""
+    import hashlib
+
+    from osmflat_rs_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    # components: {0..3} via a chain, {10,11}, rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: (r["cluster"], r["split"])
+        for r in dd.cluster_safe_split(docs, "doc_id", pairs, 10, 10).collect()
+    }
+    assert len(got) == 40
+    assert {got[i][0] for i in (0, 1, 2, 3)} == {0}
+    assert {got[i][1] for i in (0, 1, 2, 3)} == {got[0][1]}
+    assert got[10][0] == 10 and got[11][0] == 10 and got[10][1] == got[11][1]
+
+    def model(cluster):
+        bk = int(hashlib.md5(f"split:{cluster}".encode()).hexdigest()[:15], 16) % 100
+        return "test" if bk < 10 else ("val" if bk < 20 else "train")
+
+    for i, (cl, sp) in got.items():
+        if i not in (0, 1, 2, 3, 10, 11):
+            assert cl == i
+        assert sp == model(cl), (i, cl, sp)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dd.cluster_safe_split(docs, "doc_id", pairs, 60, 60)
