@@ -1511,6 +1511,52 @@ def q_radius_events(spark, sf_dir):
     return out.select("query_id", "event_id", F.col("dist_m").alias("d2"))
 
 
+def q_hansen_events(spark, sf_dir):
+    """Hansen gravity accessibility at the kNN query lattice: sum of
+    w·R²/(R²+d²) over events within the gate radius (exact int64 d²
+    via the radius-join machinery), zero-neighbor queries kept at 0."""
+    _prep(spark)
+    from osmflat_rs_spark.operators.interpolate import hansen_accessibility
+
+    pts = _synth_coords(_t(spark, sf_dir, "events")).select(
+        "event_id", "lat", "lon",
+        (F.pmod(F.col("event_id"), F.lit(5)) + 1).cast("long").alias("w"),
+    )
+    q = spark.createDataFrame(KNN_QUERIES, schema="query_id string, lat long, lon long")
+    return hansen_accessibility(
+        pts, q, radius_m=KNN_RADIUS_FIXED, weight_col="w",
+        scale_l2=KNN_RADIUS_FIXED ** 2, res=CELL_RES, id_col="event_id",
+    )
+
+
+def q_gravity_events(spark, sf_dir):
+    """Gravity-model calibration over user-transition flows: consecutive
+    events per user become zone-to-zone trips (coarse 500k zones), then
+    one closed-form log-log OLS of margin-normalized flow on ln(d2+1).
+    Slope = -beta/2."""
+    from pyspark.sql import Window
+
+    from osmflat_rs_spark.operators.interpolate import gravity_calibrate
+
+    Z = 500_000
+    pts = _synth_coords(_t(spark, sf_dir, "events")).select(
+        "user_id", "event_id",
+        F.expr(f"lat div {Z}").alias("zx"), F.expr(f"lon div {Z}").alias("zy"),
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    tr = pts.select(
+        (F.lag("zx").over(w) * 1000 + F.lag("zy").over(w)).alias("o"),
+        (F.col("zx") * 1000 + F.col("zy")).alias("d"),
+        (F.col("zx") - F.lag("zx").over(w)).alias("dx"),
+        (F.col("zy") - F.lag("zy").over(w)).alias("dy"),
+    ).filter(F.col("o").isNotNull())
+    flows = tr.groupBy("o", "d").agg(
+        F.count(F.lit(1)).alias("t"),
+        F.first(F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy")).alias("d2"),
+    )
+    return gravity_calibrate(flows, "o", "d", "t", "d2")
+
+
 def q_coloc_events(spark, sf_dir):
     """Spatiotemporal co-location self-join (``coloc.coloc_pairs``, r5)
     — all event pairs within BOTH the gate radius and the 1h window, via
@@ -4084,6 +4130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan_events": q_dbscan_events,
         "knn_events": q_knn_events,
         "radius_events": q_radius_events,
+        "hansen_events": q_hansen_events,
+        "gravity_events": q_gravity_events,
         "coloc_events": q_coloc_events,
         "knox_events": q_knox_events,
         "kmeans_step_events": q_kmeans_step_events,
@@ -5368,6 +5416,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, rnk, event_id, d2 FROM (
               SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2 ASC, event_id ASC) AS rnk
               FROM d) WHERE rnk <= {KNN_K}
+        """,
+        # Hansen accessibility: brute-force radius + same rational kernel
+        "hansen_events": f"""
+            WITH pts AS (SELECT *, event_id % 5 + 1 AS w FROM {synth}),
+            q(query_id, qlat, qlon) AS (VALUES {knn_vals}),
+            pr AS (SELECT q.query_id, p.w,
+                          (p.lat - q.qlat) * (p.lat - q.qlat)
+                          + (p.lon - q.qlon) * (p.lon - q.qlon) AS d2
+                   FROM pts p CROSS JOIN q
+                   WHERE (p.lat - q.qlat) * (p.lat - q.qlat)
+                         + (p.lon - q.qlon) * (p.lon - q.qlon)
+                         <= {KNN_RADIUS_FIXED ** 2}),
+            a AS (SELECT query_id, COUNT(*) AS n_within,
+                         SUM(CAST(w * {KNN_RADIUS_FIXED ** 2} AS DOUBLE)
+                             / ({KNN_RADIUS_FIXED ** 2} + d2)) AS acc
+                  FROM pr GROUP BY 1)
+            SELECT q.query_id,
+                   COALESCE(a.n_within, 0) AS n_within,
+                   ROUND(COALESCE(a.acc, 0.0), 9) AS access
+            FROM q LEFT JOIN a USING (query_id)
+        """,
+        # gravity calibration: lag-window flows, margin ln-subtraction,
+        # closed-form OLS, ROUND-9 ln-float contract
+        "gravity_events": f"""
+            WITH pts AS (SELECT user_id, event_id,
+                                lat // 500000 AS zx, lon // 500000 AS zy
+                         FROM ({synth}) s),
+            tr AS (SELECT lag(zx) OVER w * 1000 + lag(zy) OVER w AS o,
+                          zx * 1000 + zy AS d,
+                          zx - lag(zx) OVER w AS dx,
+                          zy - lag(zy) OVER w AS dy
+                   FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+            flows AS (SELECT o, d, COUNT(*) AS t, MIN(dx * dx + dy * dy) AS d2
+                      FROM tr WHERE o IS NOT NULL GROUP BY 1, 2),
+            om AS (SELECT o, SUM(t) AS ot FROM flows GROUP BY 1),
+            dm AS (SELECT d, SUM(t) AS dt FROM flows GROUP BY 1),
+            xy AS (SELECT ln(CAST(f.d2 AS DOUBLE) + 1) AS x,
+                          ln(CAST(f.t AS DOUBLE)) - ln(CAST(om.ot AS DOUBLE))
+                          - ln(CAST(dm.dt AS DOUBLE)) AS y
+                   FROM flows f JOIN om USING (o) JOIN dm USING (d)),
+            a AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                         SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+                  FROM xy)
+            SELECT CAST(n AS BIGINT) AS n_pairs,
+                   CASE WHEN n * sxx - sx * sx <> 0
+                        THEN ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) END AS slope,
+                   CASE WHEN n * sxx - sx * sx <> 0
+                        THEN ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 9) END AS intercept,
+                   CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
+                        THEN ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                                   / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) END AS r2
+            FROM a
         """,
         "radius_events": f"""
             WITH pts AS (SELECT * FROM {synth}),

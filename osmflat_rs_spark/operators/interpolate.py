@@ -206,3 +206,128 @@ def ipf_balance(
             )
         )
     return t.select(o_col, d_col, F.col("_t").alias("t"))
+
+
+def hansen_accessibility(
+    points: "DataFrame",
+    queries: "DataFrame",
+    radius_m: float,
+    weight_col: str,
+    scale_l2: int,
+    res: int | None = None,
+    id_col: str = "node_idx",
+    query_id: str = "query_id",
+):
+    """Hansen (1959) gravity accessibility: per query location q,
+    A_q = Σ over in-range opportunities j of w_j · f(d_qj) with the
+    regularized rational kernel f(d) = L²/(L² + d²) — "how much
+    opportunity is reachable from here", the classic potential /
+    accessibility index of transport geography (the open-ended kernel
+    truncated at ``radius_m``, the standard practical form).
+
+    Composition over the engine's radius machinery: candidates and
+    exact int64 d² come from ``knn.radius_join`` (metric='sqeuclid' —
+    vectorized covers → cell equi-join, NO crossJoin), weights arrive
+    by one id-equi-join back to the point table (the IDW join-back
+    shape), then one per-query aggregate. Zero-neighbor queries
+    survive with A = 0 via a left join from the query table. Exactness:
+    w·L² and L²+d² are exact int64 (caller keeps w·scale_l2 < 2^53),
+    each kernel term is one exact double division, and only the
+    ≤ |neighbors|-term sum is reassociation-sensitive — callers round
+    (the gate uses ROUND 9). → (query_id, n_within, access).
+    """
+    from osmflat_rs_spark.operators.knn import radius_join
+
+    if scale_l2 < 1:
+        raise ValueError(f"scale_l2 must be >= 1, got {scale_l2}")
+    pairs = radius_join(
+        points.select(id_col, "lat", "lon"),
+        queries,
+        radius_m=radius_m,
+        res=res,
+        metric="sqeuclid",
+        id_col=id_col,
+    )
+    w = points.select(F.col(id_col), F.col(weight_col).alias("_w"))
+    l2 = F.lit(int(scale_l2)).cast("long")
+    per = (
+        pairs.join(w, id_col)
+        .groupBy(query_id)
+        .agg(
+            F.count(F.lit(1)).alias("n_within"),
+            F.sum(
+                (F.col("_w") * l2).cast("double") / (l2 + F.col("dist_m"))
+            ).alias("_a"),
+        )
+    )
+    return queries.select(query_id).join(per, query_id, "left").select(
+        query_id,
+        F.coalesce(F.col("n_within"), F.lit(0).cast("long")).alias("n_within"),
+        F.round(F.coalesce(F.col("_a"), F.lit(0.0)), 9).alias("access"),
+    )
+
+
+def gravity_calibrate(
+    flows: "DataFrame",
+    o_col: str,
+    d_col: str,
+    flow_col: str,
+    d2_col: str,
+):
+    """One-row gravity-model calibration: OLS of
+    y = ln T_od − ln O_o − ln D_d  on  x = ln(d² + 1) over observed
+    flows (T > 0), where O/D are the flows' own margins — the
+    log-linearized unconstrained gravity model T ≈ k·O·D·d^(−β), so
+    the fitted slope is −β/2 (x carries d², twice the log of
+    distance; +1 keeps intra-zonal d = 0 pairs defined). The standard
+    companion to :func:`ipf_balance`: calibrate β here, seed IPF with
+    d^(−β) there. → (n_pairs, slope, intercept, r2), ln-floats under
+    the repo's ROUND(·, 9) contract.
+
+    Scale shape: margins are two zone-sized aggregates BROADCAST back
+    onto the flow table (flows are never re-keyed), and the fit is one
+    closed-form global aggregate over the six OLS sums — no iteration,
+    nothing driver-side. y uses ln-subtraction, not division, so both
+    engines see identical operands. Degenerate inputs (< 2 pairs or a
+    constant x) yield NULL slope/intercept/r2.
+    """
+    t = flows.filter(F.col(flow_col) > 0).select(
+        F.col(o_col).alias("_o"),
+        F.col(d_col).alias("_d"),
+        F.col(flow_col).cast("long").alias("_t"),
+        F.col(d2_col).cast("long").alias("_d2"),
+    )
+    om = t.groupBy("_o").agg(F.sum("_t").alias("_ot"))
+    dm = t.groupBy("_d").agg(F.sum("_t").alias("_dt"))
+    pts = (
+        t.join(F.broadcast(om), "_o")
+        .join(F.broadcast(dm), "_d")
+        .select(
+            F.log(F.col("_d2").cast("double") + 1).alias("_x"),
+            (
+                F.log(F.col("_t").cast("double"))
+                - F.log(F.col("_ot").cast("double"))
+                - F.log(F.col("_dt").cast("double"))
+            ).alias("_y"),
+        )
+    )
+    a = pts.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    den = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    num = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    deny = F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    slope = num / den
+    icept = (F.col("_sy") - slope * F.col("_sx")) / F.col("_n")
+    ok = den != 0
+    return a.select(
+        F.col("_n").cast("long").alias("n_pairs"),
+        F.when(ok, F.round(slope, 9)).alias("slope"),
+        F.when(ok, F.round(icept, 9)).alias("intercept"),
+        F.when(ok & (deny != 0), F.round(num * num / (den * deny), 9)).alias("r2"),
+    )

@@ -793,3 +793,82 @@ def test_ipf_balance_matches_numpy_and_converges(spark):
     assert np.allclose(col_sums, d_tot, rtol=1e-12)
     with pytest.raises(ValueError):
         ipf_balance(od, "o", "d", "seed", om, dm, iters=0)
+
+
+def test_hansen_accessibility_matches_brute_force(spark):
+    """Composed radius-join accessibility equals the all-pairs model;
+    zero-neighbor queries survive with access 0."""
+    from osmflat_rs_spark.operators.interpolate import hansen_accessibility
+
+    rng = np.random.default_rng(61)
+    pts = [
+        (i, int(rng.integers(0, 2_000_000)), int(rng.integers(0, 2_000_000)),
+         int(rng.integers(1, 6)))
+        for i in range(300)
+    ]
+    qs = [("q0", 1_000_000, 1_000_000), ("q1", 200_000, 1_800_000),
+          ("qfar", 900_000_000, 900_000_000)]
+    R = 400_000
+    L2 = R * R
+    pdf = spark.createDataFrame(pts, "pid long, lat long, lon long, w long")
+    qdf = spark.createDataFrame(qs, "query_id string, lat long, lon long")
+    got = {
+        r["query_id"]: (r["n_within"], r["access"])
+        for r in hansen_accessibility(
+            pdf, qdf, radius_m=R, weight_col="w", scale_l2=L2,
+            res=14, id_col="pid",
+        ).collect()
+    }
+    for qid, qla, qlo in qs:
+        terms = [
+            (w * L2) / (L2 + (la - qla) ** 2 + (lo - qlo) ** 2)
+            for _, la, lo, w in pts
+            if (la - qla) ** 2 + (lo - qlo) ** 2 <= R * R
+        ]
+        assert got[qid][0] == len(terms)
+        assert abs(got[qid][1] - round(sum(terms), 9)) < 1e-6, qid
+    assert got["qfar"] == (0, 0.0)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hansen_accessibility(pdf, qdf, radius_m=R, weight_col="w",
+                             scale_l2=0, id_col="pid")
+
+
+def test_gravity_calibrate_recovers_beta(spark):
+    """On flows synthesized exactly as T = round(K·O·D·(d²+1)^(-b/2)),
+    the fitted slope recovers -b/2 closely and matches numpy lstsq on
+    the same margin-normalized points; degenerate input yields NULLs."""
+    import math
+
+    from osmflat_rs_spark.operators.interpolate import gravity_calibrate
+
+    rng = np.random.default_rng(67)
+    zones = [(i, int(rng.integers(0, 20)), int(rng.integers(0, 20))) for i in range(8)]
+    beta = 1.6
+    rows = []
+    for i, xi, yi in zones:
+        for j, xj, yj in zones:
+            d2 = (xi - xj) ** 2 + (yi - yj) ** 2
+            t = int(round(500.0 * (d2 + 1) ** (-beta / 2)))
+            if t > 0:
+                rows.append((i, j, t, d2))
+    df = spark.createDataFrame(rows, "o long, d long, t long, d2 long")
+    r = gravity_calibrate(df, "o", "d", "t", "d2").collect()[0]
+    # numpy model on the same (x, y)
+    ot = {}; dt = {}
+    for o, d, t, d2 in rows:
+        ot[o] = ot.get(o, 0) + t
+        dt[d] = dt.get(d, 0) + t
+    x = np.array([math.log(d2 + 1) for _, _, _, d2 in rows])
+    y = np.array([math.log(t) - math.log(ot[o]) - math.log(dt[d]) for o, d, t, _ in rows])
+    A = np.vstack([x, np.ones_like(x)]).T
+    slope, icept = np.linalg.lstsq(A, y, rcond=None)[0]
+    assert r["n_pairs"] == len(rows)
+    assert abs(r["slope"] - slope) < 1e-7 and abs(r["intercept"] - icept) < 1e-7
+    assert 0.0 <= r["r2"] <= 1.0 and r["r2"] > 0.8
+    # rounding error aside, slope should sit near -beta/2
+    assert abs(r["slope"] - (-beta / 2)) < 0.15
+    one = spark.createDataFrame([(0, 1, 5, 4)], "o long, d long, t long, d2 long")
+    r1 = gravity_calibrate(one, "o", "d", "t", "d2").collect()[0]
+    assert r1["slope"] is None and r1["r2"] is None
