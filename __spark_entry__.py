@@ -1065,6 +1065,32 @@ def q_winsorize_events(spark, sf_dir):
     return winsorize(ev, "event_type", "v")
 
 
+def q_robust_scale_events(spark, sf_dir):
+    """Per-event-type robust z-scores: exact discrete median/Q1/Q3 from
+    one grouped-quantile pass, one exact int64-diff IEEE division — no
+    rounding contract needed anywhere."""
+    from osmflat_rs_spark.plans.indexing import robust_scale
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    return robust_scale(ev, "event_type", "v")
+
+
+def q_benford_events(spark, sf_dir):
+    """Benford first-digit audit of the positive cents values per
+    event_type: string-head digit (no float log on the value), exact
+    frac, ROUND-9 benford_p, ROUND-6 chi-square over all 9 digits."""
+    from osmflat_rs_spark.plans.indexing import benford
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    return benford(ev, "event_type", "v")
+
+
 def q_huff_events(spark, sf_dir):
     """Huff probabilistic market share at 10 facilities (the kNN gate's
     lattice, attractiveness 1..5): regularized inverse-square weight
@@ -1095,6 +1121,16 @@ def q_gfunction_events(spark, sf_dir):
 
 VARIO_W = 100_000  # lag width, fixed-point units
 VARIO_LAGS = 4
+
+
+def q_clark_evans_events(spark, sf_dir):
+    """Clark-Evans nearest-neighbour index censored at the Ripley rmax:
+    one self radius-join + per-point min (the G-function machinery),
+    CSR expectation from the exact-int bbox window."""
+    from osmflat_rs_spark.operators.hotspot import clark_evans
+
+    pts = _synth_coords(_t(spark, sf_dir, "events")).select("event_id", "lat", "lon")
+    return clark_evans(pts, rmax=max(RIPLEY_RADII), id_col="event_id")
 
 
 def q_variogram_events(spark, sf_dir):
@@ -3317,6 +3353,14 @@ def q_split_docs(spark, sf_dir):
     return cluster_safe_split(docs, "doc_id", pairs, test_pct=10, val_pct=10)
 
 
+def q_kl_docs(spark, sf_dir):
+    """Per-lang corpus drift: KL(P_lang || P_corpus) over 1024 smoothed
+    md5 unigram buckets, zero-count buckets fanned back in per group."""
+    from osmflat_rs_spark.operators.textops import corpus_kl
+
+    return corpus_kl(_t(spark, sf_dir, "documents"), "text", "lang", dim=1024)
+
+
 def q_kmv_distinct_events(spark, sf_dir):
     """KMV bottom-64 distinct sketch over event_id: portable relational
     state (the 64 smallest md5 hashes), estimate reproduced bit-for-bit
@@ -4123,9 +4167,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ripley_events": q_ripley_events,
         "variogram_events": q_variogram_events,
         "gfunction_events": q_gfunction_events,
+        "clark_evans_events": q_clark_evans_events,
         "huff_events": q_huff_events,
         "ipf_events": q_ipf_events,
         "winsorize_events": q_winsorize_events,
+        "robust_scale_events": q_robust_scale_events,
+        "benford_events": q_benford_events,
         "simplify_events": q_simplify_events,
         "dbscan_events": q_dbscan_events,
         "knn_events": q_knn_events,
@@ -4216,6 +4263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexdiv_docs": q_lexdiv_docs,
         "zipf_docs": q_zipf_docs,
         "dsir_docs": q_dsir_docs,
+        "kl_docs": q_kl_docs,
         "contamination_docs": q_contamination_docs,
         "unigram_logprob_docs": q_unigram_logprob_docs,
         "seg_intersections_events": q_seg_intersections_events,
@@ -4982,6 +5030,54 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(n * (n - 1) AS DOUBLE) AS k_hat
             FROM unp, nn
         """,
+        # Benford: string-head digit, full 9-digit grid per group
+        "benford_events": """
+            WITH pts AS (SELECT event_type,
+                                CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                         FROM events),
+            pos AS (SELECT event_type,
+                           CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit
+                    FROM pts WHERE v > 0),
+            cnt AS (SELECT event_type, digit, COUNT(*) AS n_digit
+                    FROM pos GROUP BY 1, 2),
+            grid AS (SELECT DISTINCT event_type, UNNEST(generate_series(1, 9)) AS digit
+                     FROM cnt),
+            fl AS (SELECT g.event_type, CAST(g.digit AS INT) AS digit,
+                            COALESCE(c.n_digit, 0) AS n_digit
+                     FROM grid g LEFT JOIN cnt c
+                       ON c.event_type = g.event_type AND c.digit = g.digit),
+            t AS (SELECT *, SUM(n_digit) OVER (PARTITION BY event_type) AS n_total,
+                         log10(1.0 + 1.0 / digit) AS p
+                  FROM fl),
+            u AS (SELECT *, (n_digit - n_total * p) * (n_digit - n_total * p)
+                            / (n_total * p) AS c
+                  FROM t)
+            SELECT event_type, digit, CAST(n_digit AS BIGINT) AS n_digit,
+                   CAST(n_total AS BIGINT) AS n_total,
+                   CAST(n_digit AS DOUBLE) / n_total AS frac,
+                   ROUND(p, 9) AS benford_p,
+                   ROUND(SUM(c) OVER (PARTITION BY event_type), 6) AS chi2
+            FROM u
+        """,
+        # robust scale: same integer-ceil ranks, exact IEEE division
+        "robust_scale_events": """
+            WITH pts AS (SELECT event_id, event_type,
+                                CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                         FROM events),
+            r AS (SELECT event_type, v,
+                         row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+                         COUNT(*) OVER (PARTITION BY event_type) AS n
+                  FROM pts WHERE v IS NOT NULL),
+            caps AS (SELECT event_type,
+                            MIN(CASE WHEN rn = (1 * n + 3) // 4 THEN v END) AS q1,
+                            MIN(CASE WHEN rn = (1 * n + 1) // 2 THEN v END) AS med,
+                            MIN(CASE WHEN rn = (3 * n + 3) // 4 THEN v END) AS q3
+                     FROM r GROUP BY 1)
+            SELECT p.event_id, p.event_type, p.v, c.med, c.q1, c.q3,
+                   CASE WHEN p.v IS NOT NULL AND c.q3 - c.q1 <> 0
+                        THEN CAST(p.v - c.med AS DOUBLE) / CAST(c.q3 - c.q1 AS DOUBLE) END AS robust_z
+            FROM pts p LEFT JOIN caps c USING (event_type)
+        """,
         # winsorize: identical integer-ceil ranks, int64 clamp
         "winsorize_events": """
             WITH pts AS (SELECT event_id, event_type,
@@ -5020,6 +5116,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         # G-function: per-point min over the bounded pair set, FILTER
         # counts per radius, one division — censored-at-rmax contract
+        # Clark-Evans: same censored NN min as the G oracle, CSR window
+        # constants restated literally
+        "clark_evans_events": f"""
+            WITH pts AS (SELECT event_id, lat, lon FROM {synth}),
+            st AS (SELECT COUNT(*) AS n,
+                          (MAX(lat) - MIN(lat)) * (MAX(lon) - MIN(lon)) AS area
+                   FROM pts),
+            pr AS (SELECT a.event_id AS qid,
+                          (a.lat - b.lat) * (a.lat - b.lat)
+                        + (a.lon - b.lon) * (a.lon - b.lon) AS d2
+                   FROM pts a JOIN pts b
+                     ON a.event_id <> b.event_id
+                    AND abs(a.lat - b.lat) <= {max(RIPLEY_RADII)}
+                    AND abs(a.lon - b.lon) <= {max(RIPLEY_RADII)}),
+            nn AS (SELECT qid, MIN(d2) AS nnd FROM pr
+                   WHERE d2 <= {max(RIPLEY_RADII) ** 2} GROUP BY qid),
+            a AS (SELECT COUNT(*) AS n_nn, SUM(sqrt(CAST(nnd AS DOUBLE))) AS sd FROM nn),
+            c AS (SELECT n, area,
+                         0.5 * sqrt(CAST(area AS DOUBLE) / n) AS expected,
+                         0.26136 * sqrt(CAST(area AS DOUBLE)) / n AS se
+                  FROM st)
+            SELECT CAST(c.n AS BIGINT) AS n, CAST(a.n_nn AS BIGINT) AS n_nn,
+                   ROUND(a.sd / a.n_nn, 4) AS mean_nnd,
+                   ROUND(c.expected, 6) AS expected_nnd,
+                   ROUND(a.sd / a.n_nn / c.expected, 6) AS r_index,
+                   ROUND((a.sd / a.n_nn - c.expected) / c.se, 6) AS z
+            FROM a, c
+        """,
         "gfunction_events": f"""
             WITH pts AS (SELECT event_id, lat, lon FROM {synth}),
             pr AS (SELECT a.event_id AS qid,
@@ -6563,6 +6687,31 @@ def oracle_sql() -> dict[str, str]:
                         WHEN bk < 20 THEN 'val'
                         ELSE 'train' END AS split
             FROM b
+        """,
+        # corpus KL: same buckets + smoothing; full grid via range join
+        "kl_docs": f"""
+            WITH t AS (SELECT lang AS g, unnest({_ws_split_sql()}) AS tok FROM documents),
+            ex AS (SELECT g, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 1024 AS b
+                   FROM t),
+            cl AS (SELECT g, b, COUNT(*) AS cl FROM ex GROUP BY 1, 2),
+            cb AS (SELECT b, COUNT(*) AS cb FROM ex GROUP BY 1),
+            nl AS (SELECT g, COUNT(*) AS nl FROM ex GROUP BY 1),
+            nn AS (SELECT COUNT(*) AS n FROM ex),
+            grid AS (SELECT nl.g, nl.nl, r.range AS b
+                     FROM nl CROSS JOIN range(0, 1024) r),
+            j AS (SELECT grid.g, grid.nl,
+                         COALESCE(cl.cl, 0) AS cl, COALESCE(cb.cb, 0) AS cb, nn.n
+                  FROM grid LEFT JOIN cl ON cl.g = grid.g AND cl.b = grid.b
+                            LEFT JOIN cb ON cb.b = grid.b
+                            CROSS JOIN nn),
+            terms AS (SELECT g, nl,
+                             (CAST(cl AS DOUBLE) + 1) / (CAST(nl AS DOUBLE) + 1024)
+                             * (ln(CAST(cl AS DOUBLE) + 1) - ln(CAST(nl AS DOUBLE) + 1024)
+                                - ln(CAST(cb AS DOUBLE) + 1) + ln(CAST(n AS DOUBLE) + 1024)) AS term
+                      FROM j)
+            SELECT g AS lang, CAST(MIN(nl) AS BIGINT) AS n_tokens,
+                   ROUND(SUM(term), 6) AS kl
+            FROM terms GROUP BY 1
         """,
         "token_count_docs": f"""
             SELECT doc_id, len({_ws_split_sql()}) AS n_ws_tokens,

@@ -538,3 +538,69 @@ def g_function(
     return out.withColumn(
         "g_hat", F.col("n_within").cast("double") / F.lit(float(n))
     )
+
+
+def clark_evans(
+    points: DataFrame,
+    rmax: int,
+    id_col: str = "node_idx",
+    lat: str = "lat",
+    lon: str = "lon",
+    res: int | None = None,
+) -> DataFrame:
+    """One-row Clark & Evans (1954) nearest-neighbour index, censored
+    at ``rmax`` (the same bounded-join contract as :func:`g_function`):
+    R = mean observed NN distance / expected NN distance under CSR
+    (0.5/√density over the bbox window), with the classic z-score
+    (SE = 0.26136·√A/n). R < 1 = clustered, R ≈ 1 = Poisson, R → 2.15
+    = perfectly dispersed — the single-number summary the G-function
+    curve integrates.
+
+    Scale shape: the SAME one self radius-join + per-point min as the
+    G-function (cell covers, exact int64 d²), then one global
+    aggregate; n and the bbox window are one bounded driver action
+    (six scalars). Points whose NN lies beyond rmax are censored out
+    of the observed mean (they count in n and density) — the censoring
+    is the contract, as an uncensored NN needs the unbounded all-pairs
+    min. √d² is one IEEE sqrt per point (bit-identical across
+    engines); the n-term mean is the only reassociation-sensitive sum,
+    so mean_nnd carries ROUND 4 and the derived ratios ROUND 6.
+    """
+    from osmflat_rs_spark.operators.knn import radius_join
+
+    if rmax < 1:
+        raise ValueError(f"rmax must be >= 1, got {rmax}")
+    base = points.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull())
+    st = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(lat).alias("la0"), F.max(lat).alias("la1"),
+        F.min(lon).alias("lo0"), F.max(lon).alias("lo1"),
+    ).collect()[0]
+    n = int(st["n"])
+    if n < 2:
+        raise ValueError(f"need >= 2 points, got {n}")
+    area = (int(st["la1"]) - int(st["la0"])) * (int(st["lo1"]) - int(st["lo0"]))
+    if area <= 0:
+        raise ValueError("degenerate (zero-area) bbox window")
+    q = base.select(F.col(id_col).cast("string").alias("query_id"), F.col(lat), F.col(lon))
+    pairs = radius_join(
+        base, q, radius_m=float(rmax), res=res, metric="sqeuclid", id_col=id_col
+    ).filter(F.col("query_id") != F.col(id_col).cast("string"))
+    nn = pairs.groupBy("query_id").agg(F.min("dist_m").alias("_nn"))
+    import math
+
+    expected = 0.5 * math.sqrt(area / n)
+    se = 0.26136 * math.sqrt(float(area)) / n
+    a = nn.agg(
+        F.count(F.lit(1)).alias("n_nn"),
+        F.sum(F.sqrt(F.col("_nn").cast("double"))).alias("_sd"),
+    )
+    mean = F.col("_sd") / F.col("n_nn")
+    return a.select(
+        F.lit(n).cast("long").alias("n"),
+        F.col("n_nn").cast("long").alias("n_nn"),
+        F.round(mean, 4).alias("mean_nnd"),
+        F.lit(round(expected, 6)).alias("expected_nnd"),
+        F.round(mean / F.lit(expected), 6).alias("r_index"),
+        F.round((mean - F.lit(expected)) / F.lit(se), 6).alias("z"),
+    )

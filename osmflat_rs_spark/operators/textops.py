@@ -1141,3 +1141,68 @@ def dsir_importance(
         "n_feats",
         F.round(F.col("_s") + F.col("n_feats") * F.col("_const"), 9).alias("log_weight"),
     )
+
+
+def corpus_kl(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    dim: int = 1024,
+) -> DataFrame:
+    """(group, n_tokens, kl): per-group corpus drift — KL(P_group ‖
+    P_corpus) between Laplace-smoothed hashed-unigram bucket
+    distributions (the same portable ``md5_int60`` bucket family as
+    :func:`dsir_importance`). The monitoring scalar for a sharded
+    ingest: a shard whose KL jumps is no longer drawn from the corpus
+    distribution — dedupe/contamination/language drift screens key off
+    exactly this (cf. importance resampling's LLR, which this is the
+    expectation of under P_group).
+
+    Scale shape: one explode pass feeds BOTH distributions via
+    conditional-free double aggregation (a (group, bucket) reduce and
+    a (bucket) reduce over the same stream), the full group × dim grid
+    is rebuilt in-row (explode over ``sequence`` — zero-count buckets
+    MUST contribute their smoothed mass or the sum is silently wrong),
+    and the corpus dictionary (≤ dim rows) BROADCASTS. The per-group
+    sum spans exactly ``dim`` ln-terms → ROUND(kl, 6) contract.
+    """
+    from osmflat_rs_spark.operators.dedup import md5_int60
+
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    toks = words_expr(F.col(text_col))
+    ex = df.select(
+        F.col(group_col).alias("_g"),
+        F.explode(F.transform(toks, lambda t: F.pmod(md5_int60(t), F.lit(dim)))).alias("_b"),
+    )
+    cl = ex.groupBy("_g", "_b").agg(F.count(F.lit(1)).alias("_cl"))
+    cb = ex.groupBy("_b").agg(F.count(F.lit(1)).alias("_cb"))
+    nl = ex.groupBy("_g").agg(F.count(F.lit(1)).alias("_nl"))
+    nn = ex.agg(F.count(F.lit(1)).alias("_n"))
+    grid = nl.withColumn("_b", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(dim - 1).cast("long"))))
+    j = (
+        grid.join(cl, ["_g", "_b"], "left")
+        .join(F.broadcast(cb), "_b", "left")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "_g", "_nl",
+            F.coalesce(F.col("_cl"), F.lit(0).cast("long")).alias("_cl"),
+            F.coalesce(F.col("_cb"), F.lit(0).cast("long")).alias("_cb"),
+            "_n",
+        )
+    )
+    p = (F.col("_cl").cast("double") + 1) / (F.col("_nl").cast("double") + dim)
+    term = p * (
+        F.log(F.col("_cl").cast("double") + 1)
+        - F.log(F.col("_nl").cast("double") + dim)
+        - F.log(F.col("_cb").cast("double") + 1)
+        + F.log(F.col("_n").cast("double") + dim)
+    )
+    return (
+        j.groupBy("_g")
+        .agg(
+            F.first("_nl").alias("n_tokens"),
+            F.round(F.sum(term), 6).alias("kl"),
+        )
+        .select(F.col("_g").alias(group_col), "n_tokens", "kl")
+    )

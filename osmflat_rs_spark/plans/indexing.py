@@ -647,3 +647,105 @@ def winsorize(
         "hi_cap",
         F.when(v.isNotNull(), clamped).alias("value_w"),
     )
+
+
+def robust_scale(
+    df,
+    group_col: str,
+    col: str,
+):
+    """Per-group robust standardization (median/IQR z-score) → input
+    rows + (med, q1, q3, robust_z = (v − median)/(Q3 − Q1)): the
+    outlier-insensitive feature scaling (sklearn's RobustScaler) that
+    pairs with :func:`winsorize` in a cleaning stack — winsorize clips
+    the tails, robust_scale normalizes what's left without letting
+    those tails move the scale.
+
+    Same composition discipline as winsorize: ONE
+    :func:`grouped_quantile` pass computes all three exact discrete
+    quantiles (k-th smallest, integer-ceil ranks — no interpolation),
+    the (group × 3) cap table pivots and BROADCASTS, and the z is one
+    exact int64 subtraction + one IEEE division — bit-identical on any
+    ANSI engine with NO rounding contract needed. NULL values pass
+    through with NULL z; zero-IQR groups (over half the group equal)
+    yield NULL z rather than ±inf — flag, don't fabricate.
+    """
+    qs = [(1, 4), (1, 2), (3, 4)]
+    caps = (
+        grouped_quantile(df, group_col, col, qs)
+        .groupBy(F.col(group_col).alias("_rg"))
+        .agg(
+            F.min(F.when((F.col("q_num") == 1) & (F.col("q_den") == 4), F.col("value"))).alias("q1"),
+            F.min(F.when((F.col("q_num") == 1) & (F.col("q_den") == 2), F.col("value"))).alias("med"),
+            F.min(F.when((F.col("q_num") == 3) & (F.col("q_den") == 4), F.col("value"))).alias("q3"),
+        )
+    )
+    j = df.join(F.broadcast(caps), df[group_col] == caps["_rg"], "left")
+    v = F.col(col).cast("long")
+    iqr = F.col("q3") - F.col("q1")
+    return j.select(
+        *[df[c] for c in df.columns],
+        "med",
+        "q1",
+        "q3",
+        F.when(
+            v.isNotNull() & (iqr != 0),
+            (v - F.col("med")).cast("double") / iqr.cast("double"),
+        ).alias("robust_z"),
+    )
+
+
+def benford(
+    df,
+    group_col: str,
+    col: str,
+):
+    """Per-group Benford first-digit audit → (group, digit 1..9,
+    n_digit, n_total, frac, benford_p, chi2): observed leading-digit
+    distribution of positive integer values against Benford's law
+    p(d) = log10(1 + 1/d), plus the group's 8-df chi-square statistic
+    — the standard screen for fabricated/synthetic numeric columns in
+    a data-quality pass (Benford 1938; Nigrini's forensic-accounting
+    use).
+
+    Exactness: the leading digit comes from the decimal STRING head
+    (both engines format int64 identically — no log10-of-value
+    float edge at powers of ten), frac is one exact IEEE division,
+    and only benford_p (log10, ROUND 9) and chi2 (a 9-term float sum,
+    ROUND 6) carry rounding contracts. Zero-count digits are fanned
+    back in per group (a chi-square without the missing digits would
+    be silently wrong), so every group emits exactly 9 rows. Scale
+    shape: one corpus groupBy((group, digit)) reduce; everything after
+    runs on the 9·|groups| table (in-row digit fan-out, 9-row window
+    for the chi-square — bounded by construction).
+    """
+    from pyspark.sql import Window
+
+    pos = df.filter(F.col(col) > 0).select(
+        F.col(group_col).alias("_g"),
+        F.substring(F.col(col).cast("long").cast("string"), 1, 1).cast("int").alias("digit"),
+    )
+    cnt = pos.groupBy("_g", "digit").agg(F.count(F.lit(1)).alias("n_digit"))
+    grid = (
+        cnt.select("_g")
+        .distinct()
+        .withColumn("digit", F.explode(F.sequence(F.lit(1), F.lit(9))))
+    )
+    full = grid.join(cnt, ["_g", "digit"], "left").select(
+        "_g", "digit", F.coalesce(F.col("n_digit"), F.lit(0).cast("long")).alias("n_digit")
+    )
+    w = Window.partitionBy("_g")
+    p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    full = full.withColumn("n_total", F.sum("n_digit").over(w))
+    exp = F.col("n_total") * p
+    dev = F.col("n_digit") - exp
+    full = full.withColumn("_c", dev * dev / exp)
+    return full.select(
+        F.col("_g").alias(group_col),
+        "digit",
+        "n_digit",
+        "n_total",
+        (F.col("n_digit").cast("double") / F.col("n_total")).alias("frac"),
+        F.round(p, 9).alias("benford_p"),
+        F.round(F.sum("_c").over(w), 6).alias("chi2"),
+    )

@@ -872,3 +872,42 @@ def test_gravity_calibrate_recovers_beta(spark):
     one = spark.createDataFrame([(0, 1, 5, 4)], "o long, d long, t long, d2 long")
     r1 = gravity_calibrate(one, "o", "d", "t", "d2").collect()[0]
     assert r1["slope"] is None and r1["r2"] is None
+
+
+def test_clark_evans_matches_brute_force(spark):
+    """Censored NN mean, CSR expectation from the exact bbox, R and z
+    against a brute-force model; clustered points give R < 1."""
+    import math
+
+    from osmflat_rs_spark.operators.hotspot import clark_evans
+
+    rng = np.random.default_rng(83)
+    # two tight clusters -> strongly clustered pattern
+    pts = []
+    for cx, cy in ((200_000, 200_000), (1_500_000, 1_500_000)):
+        for i in range(60):
+            pts.append((len(pts), cx + int(rng.integers(0, 30_000)),
+                        cy + int(rng.integers(0, 30_000))))
+    df = spark.createDataFrame(pts, "pid long, lat long, lon long")
+    rmax = 400_000
+    r = clark_evans(df, rmax=rmax, id_col="pid", res=14).collect()[0]
+    n = len(pts)
+    la = [p[1] for p in pts]; lo = [p[2] for p in pts]
+    area = (max(la) - min(la)) * (max(lo) - min(lo))
+    nnd = []
+    for i, lai, loi in pts:
+        best = min(
+            (lai - laj) ** 2 + (loi - loj) ** 2
+            for j, laj, loj in pts if j != i
+        )
+        if best <= rmax * rmax:
+            nnd.append(math.sqrt(best))
+    expected = 0.5 * math.sqrt(area / n)
+    se = 0.26136 * math.sqrt(area) / n
+    mean = sum(nnd) / len(nnd)
+    assert r["n"] == n and r["n_nn"] == len(nnd)
+    assert abs(r["mean_nnd"] - mean) < 1e-3
+    assert r["expected_nnd"] == round(expected, 6)
+    assert abs(r["r_index"] - mean / expected) < 1e-5
+    assert abs(r["z"] - (mean - expected) / se) < 1e-4
+    assert r["r_index"] < 1.0 and r["z"] < 0

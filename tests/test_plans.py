@@ -663,3 +663,68 @@ def test_hampel_outliers_matches_model(spark):
     assert got == {(9, "a", 6, 5, 0)}
     with _pytest.raises(ValueError):
         hampel_outliers(dup, "g", "rid", "v", 0, 1)
+
+
+def test_robust_scale_matches_numpy_model(spark):
+    """Exact discrete median/Q1/Q3 (k-th smallest, integer-ceil ranks)
+    drive the robust z; NULL v and zero-IQR groups yield NULL z."""
+    import numpy as np
+
+    from osmflat_rs_spark.plans.indexing import robust_scale
+
+    rng = np.random.default_rng(71)
+    rows = []
+    for g in range(4):
+        for v in rng.integers(-500, 500, int(rng.integers(3, 100))):
+            rows.append((g, int(v)))
+    rows += [(9, 7), (9, 7), (9, 7), (0, None)]
+    df = spark.createDataFrame(rows, "g long, v long")
+    caps = {}
+    for g in {r[0] for r in rows}:
+        vs = sorted(v for gg, v in rows if gg == g and v is not None)
+        n = len(vs)
+        q1 = vs[-(-1 * n // 4) - 1]
+        med = vs[-(-1 * n // 2) - 1]
+        q3 = vs[-(-3 * n // 4) - 1]
+        caps[g] = (q1, med, q3)
+    got = robust_scale(df, "g", "v").collect()
+    assert len(got) == len(rows)
+    for r in got:
+        q1, med, q3 = caps[r["g"]]
+        assert (r["q1"], r["med"], r["q3"]) == (q1, med, q3)
+        if r["v"] is None or q3 == q1:
+            assert r["robust_z"] is None
+        else:
+            assert r["robust_z"] == (r["v"] - med) / (q3 - q1)
+
+
+def test_benford_matches_counter_model(spark):
+    """String-head digits, 9-row-per-group grid with zero fills, exact
+    frac, chi-square against the Counter model; non-positive dropped."""
+    import math
+    from collections import Counter
+
+    import numpy as np
+
+    from osmflat_rs_spark.plans.indexing import benford
+
+    rng = np.random.default_rng(73)
+    rows = [("a", int(v)) for v in rng.integers(1, 10_000, 300)]
+    rows += [("b", int(10 ** rng.uniform(0, 4))) for _ in range(300)]
+    rows += [("a", -5), ("a", 0), ("b", 9)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {(r["g"], r["digit"]): r.asDict() for r in benford(df, "g", "v").collect()}
+    assert len(got) == 18
+    for g in ("a", "b"):
+        c = Counter(int(str(v)[0]) for gg, v in rows if gg == g and v > 0)
+        n = sum(c.values())
+        chi2 = sum(
+            (c.get(d, 0) - n * math.log10(1 + 1 / d)) ** 2 / (n * math.log10(1 + 1 / d))
+            for d in range(1, 10)
+        )
+        for d in range(1, 10):
+            r = got[(g, d)]
+            assert r["n_digit"] == c.get(d, 0) and r["n_total"] == n
+            assert r["frac"] == c.get(d, 0) / n
+            assert r["benford_p"] == round(math.log10(1 + 1 / d), 9)
+            assert abs(r["chi2"] - chi2) < 1e-5

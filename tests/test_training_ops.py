@@ -2343,3 +2343,46 @@ def test_cluster_safe_split_no_leakage_and_hash_model(spark):
 
     with _pytest.raises(ValueError):
         dd.cluster_safe_split(docs, "doc_id", pairs, 60, 60)
+
+
+def test_corpus_kl_matches_counter_model(spark):
+    """Smoothed bucket KL against the Counter model (all dim buckets,
+    including zero-count ones); identical-distribution group scores
+    lower than a disjoint-vocab group; KL >= 0."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    def b(s, dim):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % dim
+
+    dim = 32
+    rng = np.random.default_rng(79)
+    shared = ["red", "green", "blue", "cyan"]
+    rows = []
+    for i in range(40):
+        rows.append((i, "base", " ".join(rng.choice(shared, size=10))))
+    for i in range(40, 60):
+        rows.append((i, "odd", " ".join(rng.choice(["xx", "yy", "zz"], size=10))))
+    df = spark.createDataFrame(rows, "doc_id long, g string, text string")
+    got = {
+        r["g"]: (r["n_tokens"], r["kl"])
+        for r in textops.corpus_kl(df, "text", "g", dim=dim).collect()
+    }
+    cl, cb = {}, Counter()
+    nl = Counter()
+    for _, g, tx in rows:
+        for t in tx.split(" "):
+            cl.setdefault(g, Counter())[b(t, dim)] += 1
+            cb[b(t, dim)] += 1
+            nl[g] += 1
+    N = sum(cb.values())
+    for g in ("base", "odd"):
+        kl = 0.0
+        for bb in range(dim):
+            p = (cl[g].get(bb, 0) + 1) / (nl[g] + dim)
+            q = (cb.get(bb, 0) + 1) / (N + dim)
+            kl += p * math.log(p / q)
+        assert got[g][0] == nl[g]
+        assert abs(got[g][1] - kl) < 1e-5, g
+    assert got["odd"][1] > got["base"][1] > -1e-9
