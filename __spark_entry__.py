@@ -1133,6 +1133,16 @@ def q_clark_evans_events(spark, sf_dir):
     return clark_evans(pts, rmax=max(RIPLEY_RADII), id_col="event_id")
 
 
+def q_spatial_chi2_events(spark, sf_dir):
+    """Chi-square independence of (res-12 cell) x event_type: exact int
+    contingency counts, zero-observation pairs folded in closed form
+    (never materializing the cells x cats grid)."""
+    from osmflat_rs_spark.operators.hotspot import spatial_chi2
+
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    return spatial_chi2(pts, "event_type", "lat", "lon", res=12)
+
+
 def q_variogram_events(spark, sf_dir):
     """Empirical (Matheron) semivariogram over the event value field:
     ONE self radius-join at max lag (cell-cover candidates, exact int64
@@ -1931,6 +1941,16 @@ def q_focal_mode_events(spark, sf_dir):
 
     pts = _synth_coords(_t(spark, sf_dir, "events"))
     return focal_mode(pts, "event_type", "lat", "lon", res=16, radius=1)
+
+
+def q_curvature_events(spark, sf_dir):
+    """Zevenbergen-Thorne general/profile/plan curvature over the res-16
+    event density grid: all structural sums are exact integer-valued
+    doubles, flat cells pinned to 0.0."""
+    from osmflat_rs_spark.operators.tiling import curvature_grid
+
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    return curvature_grid(pts, "lat", "lon", res=16, cellsize=1.0)
 
 
 def q_hillshade_events(spark, sf_dir):
@@ -3361,6 +3381,14 @@ def q_kl_docs(spark, sf_dir):
     return corpus_kl(_t(spark, sf_dir, "documents"), "text", "lang", dim=1024)
 
 
+def q_heaps_docs(spark, sf_dir):
+    """Per-lang Heaps'-law fit: OLS of ln(types) on ln(tokens) across
+    docs, per-doc counts from the zero-shuffle sorted-run machinery."""
+    from osmflat_rs_spark.operators.textops import heaps_fit
+
+    return heaps_fit(_t(spark, sf_dir, "documents"), "doc_id", "text", "lang")
+
+
 def q_kmv_distinct_events(spark, sf_dir):
     """KMV bottom-64 distinct sketch over event_id: portable relational
     state (the 64 smallest md5 hashes), estimate reproduced bit-for-bit
@@ -4168,6 +4196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variogram_events": q_variogram_events,
         "gfunction_events": q_gfunction_events,
         "clark_evans_events": q_clark_evans_events,
+        "spatial_chi2_events": q_spatial_chi2_events,
         "huff_events": q_huff_events,
         "ipf_events": q_ipf_events,
         "winsorize_events": q_winsorize_events,
@@ -4189,6 +4218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kde_events": q_kde_events,
         "pip_winding_events": q_pip_winding_events,
         "hillshade_events": q_hillshade_events,
+        "curvature_events": q_curvature_events,
         "hexbin_events": q_hexbin_events,
         "flow_acc_events": q_flow_acc_events,
         "emb_cov": q_emb_cov,
@@ -4264,6 +4294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_docs": q_zipf_docs,
         "dsir_docs": q_dsir_docs,
         "kl_docs": q_kl_docs,
+        "heaps_docs": q_heaps_docs,
         "contamination_docs": q_contamination_docs,
         "unigram_logprob_docs": q_unigram_logprob_docs,
         "seg_intersections_events": q_seg_intersections_events,
@@ -5116,6 +5147,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         # G-function: per-point min over the bounded pair set, FILTER
         # counts per radius, one division — censored-at-rmax contract
+        # spatial chi2: same closed-form zero-pair folding
+        "spatial_chi2_events": f"""
+            WITH pts AS (SELECT * FROM {synth}),
+            g AS (SELECT GREATEST(0, LEAST({(1 << 12) - 1}, (lon + 1800000000) * {1 << 12} // 3600000000)) AS ix,
+                         GREATEST(0, LEAST({(1 << 12) - 1}, (lat + 900000000) * {1 << 12} // 1800000000)) AS iy,
+                         event_type AS cat
+                  FROM pts),
+            obs AS (SELECT ix, iy, cat, COUNT(*) AS o FROM g GROUP BY 1, 2, 3),
+            r AS (SELECT ix, iy, SUM(o) AS rt FROM obs GROUP BY 1, 2),
+            c AS (SELECT cat, SUM(o) AS ct FROM obs GROUP BY 1),
+            t AS (SELECT SUM(o) AS n FROM obs),
+            j AS (SELECT obs.o, r.rt, c.ct, t.n,
+                         CAST(r.rt * c.ct AS DOUBLE) / t.n AS e
+                  FROM obs JOIN r USING (ix, iy) JOIN c USING (cat) CROSS JOIN t),
+            a AS (SELECT MIN(n) AS n, SUM((o - e) * (o - e) / e - e) AS s FROM j),
+            dims AS (SELECT COUNT(DISTINCT (ix, iy)) AS n_cells,
+                            COUNT(DISTINCT cat) AS n_cats
+                     FROM obs)
+            SELECT CAST(a.n AS BIGINT) AS n,
+                   CAST(d.n_cells AS BIGINT) AS n_cells,
+                   CAST(d.n_cats AS BIGINT) AS n_cats,
+                   CAST((d.n_cells - 1) * (d.n_cats - 1) AS BIGINT) AS df,
+                   ROUND(a.s + a.n, 6) AS chi2
+            FROM a, dims d
+        """,
         # Clark-Evans: same censored NN min as the G oracle, CSR window
         # constants restated literally
         "clark_evans_events": f"""
@@ -6196,6 +6252,40 @@ def oracle_sql() -> dict[str, str]:
                    r.cat AS mode_cat, r.nc AS n_mode
             FROM occ o JOIN rk r ON r.ix = o.ix AND r.iy = o.iy AND r.rn = 1
         """,
+        # ZT curvature: join restatement of the stencil fan; identical
+        # expression tree over exact integer-valued sums
+        "curvature_events": f"""
+            WITH pts AS (SELECT * FROM {synth}),
+            g AS (SELECT GREATEST(0, LEAST({(1 << 16) - 1}, (lon + 1800000000) * {1 << 16} // 3600000000)) AS ix,
+                         GREATEST(0, LEAST({(1 << 16) - 1}, (lat + 900000000) * {1 << 16} // 1800000000)) AS iy
+                  FROM pts),
+            c AS (SELECT ix, iy, CAST(COUNT(*) AS DOUBLE) AS z FROM g GROUP BY 1, 2),
+            tgt AS (SELECT DISTINCT c.ix + dx.x AS ix, c.iy + dy.y AS iy
+                    FROM c, (VALUES (-1), (0), (1)) dx(x), (VALUES (-1), (0), (1)) dy(y)),
+            s AS (SELECT t.ix, t.iy,
+                         COALESCE(SUM(CASE WHEN s.ix - t.ix = 0 AND s.iy - t.iy = 0 THEN s.z END), 0.0) AS z5,
+                         COALESCE(SUM(CASE WHEN abs(s.ix - t.ix) = 1 AND s.iy - t.iy = 0 THEN s.z END), 0.0) AS sh,
+                         COALESCE(SUM(CASE WHEN s.ix - t.ix = 0 AND abs(s.iy - t.iy) = 1 THEN s.z END), 0.0) AS sv,
+                         COALESCE(SUM(s.z * (s.ix - t.ix) * (s.iy - t.iy)), 0.0) AS sd,
+                         COALESCE(SUM(CASE WHEN s.iy - t.iy = 0 THEN s.z * (s.ix - t.ix) ELSE 0.0 END), 0.0) AS sg,
+                         COALESCE(SUM(CASE WHEN s.ix - t.ix = 0 THEN s.z * (s.iy - t.iy) ELSE 0.0 END), 0.0) AS sh2
+                  FROM tgt t JOIN c s
+                    ON abs(s.ix - t.ix) <= 1 AND abs(s.iy - t.iy) <= 1
+                  GROUP BY 1, 2),
+            k AS (SELECT ix, iy, z5, sg, sh2,
+                         (sh / 2 - z5) / 1.0 AS d, (sv / 2 - z5) / 1.0 AS e,
+                         sd / 4.0 AS f, sg / 2.0 AS g, sh2 / 2.0 AS h
+                  FROM s)
+            SELECT ix, iy, CAST(z5 AS BIGINT) AS n_self,
+                   ROUND(-2.0 * (d + e), 9) + 0.0 AS general,
+                   CASE WHEN sg = 0 AND sh2 = 0 THEN 0.0
+                        ELSE ROUND(-2.0 * (d * g * g + e * h * h + f * g * h) / (g * g + h * h), 9) + 0.0
+                   END AS profile,
+                   CASE WHEN sg = 0 AND sh2 = 0 THEN 0.0
+                        ELSE ROUND(2.0 * (d * h * h + e * g * g - f * g * h) / (g * g + h * h), 9) + 0.0
+                   END AS plan
+            FROM k
+        """,
         "viewshed_events": f"""
             WITH pts AS (SELECT * FROM {synth}),
             g AS (SELECT GREATEST(0, LEAST({(1 << 16) - 1}, (lon + 1800000000) * {1 << 16} // 3600000000)) AS ix,
@@ -6712,6 +6802,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT g AS lang, CAST(MIN(nl) AS BIGINT) AS n_tokens,
                    ROUND(SUM(term), 6) AS kl
             FROM terms GROUP BY 1
+        """,
+        # Heaps: per-doc counts via the explode->group path, same OLS
+        "heaps_docs": f"""
+            WITH t AS (SELECT doc_id, lang, {_ws_split_sql()} AS toks FROM documents),
+            x AS (SELECT doc_id, lang, unnest(toks) AS tok FROM t),
+            tc AS (SELECT doc_id, lang, tok, COUNT(*) AS c FROM x GROUP BY 1, 2, 3),
+            pd AS (SELECT doc_id, lang, SUM(c) AS n_tokens, COUNT(*) AS n_types
+                   FROM tc GROUP BY 1, 2),
+            xy AS (SELECT lang AS g, ln(CAST(n_tokens AS DOUBLE)) AS x,
+                          ln(CAST(n_types AS DOUBLE)) AS y
+                   FROM pd),
+            a AS (SELECT g, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                         SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+                  FROM xy GROUP BY 1)
+            SELECT g AS lang, CAST(n AS BIGINT) AS n_docs,
+                   CASE WHEN n * sxx - sx * sx <> 0
+                        THEN ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) END AS beta,
+                   CASE WHEN n * sxx - sx * sx <> 0
+                        THEN ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 9) END AS ln_k,
+                   CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
+                        THEN ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                                   / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) END AS r2
+            FROM a
         """,
         "token_count_docs": f"""
             SELECT doc_id, len({_ws_split_sql()}) AS n_ws_tokens,

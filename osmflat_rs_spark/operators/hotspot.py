@@ -604,3 +604,61 @@ def clark_evans(
         F.round(mean / F.lit(expected), 6).alias("r_index"),
         F.round((mean - F.lit(expected)) / F.lit(se), 6).alias("z"),
     )
+
+
+def spatial_chi2(
+    points: DataFrame,
+    cat_col: str,
+    lat: str = "lat",
+    lon: str = "lon",
+    res: int = 12,
+) -> DataFrame:
+    """One-row chi-square test of INDEPENDENCE between location (grid
+    cell) and a categorical mark → (n, n_cells, n_cats, df, chi2):
+    are the categories distributed across space the way the overall
+    mix predicts, or do types segregate? The contingency-table
+    complement of the join-count statistic (which tests ADJACENCY
+    structure; this tests composition per cell).
+
+    Scale shape: one (cell, category) groupBy reduces the corpus;
+    margins are a cell-keyed aggregate (big, stays distributed) and a
+    category-keyed aggregate (tiny, BROADCASTS with the grand total).
+    Expected counts only exist for observed (cell, cat) pairs in the
+    sum Σ(O−E)²/E over ALL |cells|×|cats| combinations — the missing
+    zero-observation pairs contribute Σ_missing E = n − Σ_observed E,
+    folded in CLOSED FORM: chi2 = Σ_obs((O−E)²/E − E) + n. So the
+    full-grid fan-out is never materialized (at res 12+ it would dwarf
+    the data). All O are exact ints; E = row·col/n is one exact-int
+    product per pair divided once; ROUND(chi2, 6) is the only float
+    contract.
+    """
+    from osmflat_rs_spark.functions.cells import grid_exprs
+
+    ix, iy = grid_exprs(F.col(lat), F.col(lon), res)
+    base = points.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull())
+    obs = base.groupBy(
+        ix.alias("ix"), iy.alias("iy"), F.col(cat_col).alias("cat")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows = obs.groupBy("ix", "iy").agg(F.sum("o").alias("rt"))
+    cols = obs.groupBy("cat").agg(F.sum("o").alias("ct"))
+    tot = obs.agg(F.sum("o").alias("n"), F.count(F.lit(1)).alias("n_obs"))
+    j = (
+        obs.join(rows, ["ix", "iy"])
+        .join(F.broadcast(cols), "cat")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = (F.col("rt") * F.col("ct")).cast("double") / F.col("n")
+    dev = F.col("o") - e
+    a = j.agg(
+        F.first("n").alias("n"),
+        F.sum(dev * dev / e - e).alias("_s"),
+        F.countDistinct("ix", "iy").alias("n_cells"),
+        F.countDistinct("cat").alias("n_cats"),
+    )
+    return a.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+        F.col("n_cats").cast("long").alias("n_cats"),
+        ((F.col("n_cells") - 1) * (F.col("n_cats") - 1)).cast("long").alias("df"),
+        F.round(F.col("_s") + F.col("n"), 6).alias("chi2"),
+    )

@@ -940,7 +940,9 @@ def ngram_novelty(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Data
     )
 
 
-def lexical_diversity(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def lexical_diversity(
+    df: DataFrame, id_col: str, text_col: str, carry_cols: tuple = ()
+) -> DataFrame:
     """(id, n_tokens, n_types, n_hapax, ttr, hapax_ratio): per-document
     lexical-diversity profile — type-token ratio and hapax-legomena
     fraction, two standard corpus-quality features (low TTR flags
@@ -968,7 +970,8 @@ def lexical_diversity(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     statistics discipline, here over token multisets.
     """
     toks = F.array_sort(words_expr(F.col(text_col)))
-    d = df.select(F.col(id_col), toks.alias("_t"))
+    carry = [F.col(c) for c in carry_cols]
+    d = df.select(F.col(id_col), *carry, toks.alias("_t"))
     n = F.size(F.col("_t"))
     zero = F.lit(0).cast("long")
     # eqp[i] = 1 iff sorted[i+1] == sorted[i]  (length n-1, [] when n=1)
@@ -977,7 +980,7 @@ def lexical_diversity(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.slice(F.col("_t"), 2, n - 1),
         lambda a, b: (a == b).cast("long"),
     )
-    d = d.select(d[id_col], n.alias("n_tokens"), eqp.alias("_e"))
+    d = d.select(d[id_col], *carry_cols, n.alias("n_tokens"), eqp.alias("_e"))
     n_eq = F.aggregate("_e", zero, lambda acc, x: acc + x)
     # pad flags with 0 at both ends: a run of length 1 at i is
     # (no equal-neighbour before) AND (none after).
@@ -990,12 +993,14 @@ def lexical_diversity(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     n_hapax = F.aggregate(run1, zero, lambda acc, x: acc + x)
     d = d.select(
         d[id_col],
+        *carry_cols,
         "n_tokens",
         (F.col("n_tokens") - n_eq).alias("n_types"),
         n_hapax.alias("n_hapax"),
     )
     return d.select(
         d[id_col],
+        *carry_cols,
         "n_tokens",
         "n_types",
         "n_hapax",
@@ -1205,4 +1210,55 @@ def corpus_kl(
             F.round(F.sum(term), 6).alias("kl"),
         )
         .select(F.col("_g").alias(group_col), "n_tokens", "kl")
+    )
+
+
+def heaps_fit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+) -> DataFrame:
+    """(group, n_docs, beta, ln_k, r2): per-group Heaps'-law fit —
+    OLS of ln(types) on ln(tokens) across the group's documents
+    (V ≈ K·N^β; natural corpora sit near β ≈ 0.4-0.6 — Heaps 1978).
+    A β drifting toward 1 flags unmixed/unique-ID-heavy shards, toward
+    0 templated ones; the cross-document complement of the per-corpus
+    :func:`zipf_slope` (the two exponents are duals under the Zipf
+    model).
+
+    Composition: per-doc (n_tokens, n_types) come from
+    :func:`lexical_diversity` (carried group column, zero-shuffle
+    sorted-run counting), so the ONLY exchange is the per-group OLS
+    aggregate over
+    six closed-form sums. Empty docs contribute the ([''], 1, 1)
+    point (ln 1 = 0) rather than a NULL cliff. Degenerate groups
+    (constant ln-tokens) yield NULL fit columns. ln-floats under the
+    repo's ROUND(·, 9) contract.
+    """
+    ld = lexical_diversity(df, id_col, text_col, carry_cols=(group_col,))
+    pts = ld.select(
+        F.col(group_col).alias("_g"),
+        F.log(F.col("n_tokens").cast("double")).alias("_x"),
+        F.log(F.col("n_types").cast("double")).alias("_y"),
+    )
+    a = pts.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    den = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    num = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    deny = F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    beta = num / den
+    lnk = (F.col("_sy") - beta * F.col("_sx")) / F.col("_n")
+    return a.select(
+        F.col("_g").alias(group_col),
+        F.col("_n").cast("long").alias("n_docs"),
+        F.when(den != 0, F.round(beta, 9)).alias("beta"),
+        F.when(den != 0, F.round(lnk, 9)).alias("ln_k"),
+        F.when((den != 0) & (deny != 0), F.round(num * num / (den * deny), 9)).alias("r2"),
     )

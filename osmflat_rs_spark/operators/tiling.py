@@ -1372,3 +1372,87 @@ def focal_mode(
             (-F.col("_b.neg")).alias("n_mode"),
         )
     )
+
+
+def curvature_grid(
+    pts: DataFrame,
+    lat: str = "lat",
+    lon: str = "lon",
+    res: int = 18,
+    cellsize: float = 1.0,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Zevenbergen & Thorne (1987) surface curvature over the
+    occupied-cell density grid (the ``gdaldem``/ESRI Curvature tool's
+    algorithm): per cell, GENERAL curvature −2(D+E), PROFILE curvature
+    (along-slope, −2(DG²+EH²+FGH)/(G²+H²)) and PLAN curvature
+    (across-slope, 2(DH²+EG²−FGH)/(G²+H²)) from the 3×3 quadric fit
+
+        D = ((z4+z6)/2 − z5)/L²   E = ((z2+z8)/2 − z5)/L²
+        F = (−z1+z3+z7−z9)/4L²   G = (−z4+z6)/2L   H = (z2−z8)/2L.
+
+    Same plan as :func:`hillshade_grid` (aggregate-first, in-row
+    9-target fan, one re-aggregate): each occupied cell ships its z
+    with FIVE 0/±1 stencil weights, so every structural sum (Sh, Sv,
+    Sd, Sg, Sh2, z5) is a sum of INTEGER-valued doubles — exact in any
+    accumulation order — and the curvatures are short deterministic
+    IEEE expression trees over dyadic rationals (the oracle mirrors
+    the exact tree; ROUND 9 guards the two ratio outputs). Flat cells
+    (G = H = 0) pin profile/plan to 0.0 explicitly — the division
+    would be 0/0 — and every output adds +0.0 to collapse IEEE
+    negative zero (ROUND keeps −0.0 on some engines and not others;
+    the hash gate distinguishes them). → (ix, iy, n_self, general,
+    profile, plan).
+    """
+    from osmflat_rs_spark.functions.cells import grid_exprs
+
+    ix, iy = grid_exprs(F.col(lat), F.col(lon), res)
+    base = pts.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull())
+    z = (
+        F.sum(F.col(value_col)) if value_col is not None else F.count("*")
+    ).cast("double").alias("z")
+    per_cell = base.groupBy(ix.alias("ix"), iy.alias("iy")).agg(z)
+
+    span = F.sequence(F.lit(-1), F.lit(1))
+    rx, ry = F.col("_rx"), F.col("_ry")
+    fan = (
+        per_cell.withColumn("_rx", F.explode(span))
+        .withColumn("_ry", F.explode(span))
+        .select(
+            (F.col("ix") - rx).alias("tx"),
+            (F.col("iy") - ry).alias("ty"),
+            ((rx == 0) & (ry == 0)).alias("_is_self"),
+            (F.col("z") * ((F.abs(rx) == 1) & (ry == 0)).cast("int")).alias("_zh"),
+            (F.col("z") * ((rx == 0) & (F.abs(ry) == 1)).cast("int")).alias("_zv"),
+            (F.col("z") * (rx * ry)).alias("_zd"),
+            (F.col("z") * F.when(ry == 0, rx).otherwise(F.lit(0))).alias("_zg"),
+            (F.col("z") * F.when(rx == 0, ry).otherwise(F.lit(0))).alias("_zh2"),
+            "z",
+        )
+    )
+    agg = fan.groupBy(F.col("tx").alias("ix"), F.col("ty").alias("iy")).agg(
+        F.sum(F.when(F.col("_is_self"), F.col("z")).otherwise(F.lit(0.0))).alias("n_self"),
+        F.sum("_zh").alias("_sh"),
+        F.sum("_zv").alias("_sv"),
+        F.sum("_zd").alias("_sd"),
+        F.sum("_zg").alias("_sg"),
+        F.sum("_zh2").alias("_sh2"),
+    )
+    L = float(cellsize)
+    d = (F.col("_sh") / 2 - F.col("n_self")) / F.lit(L * L)
+    e = (F.col("_sv") / 2 - F.col("n_self")) / F.lit(L * L)
+    f = F.col("_sd") / F.lit(4 * L * L)
+    g = F.col("_sg") / F.lit(2 * L)
+    h = F.col("_sh2") / F.lit(2 * L)
+    den = g * g + h * h
+    flat = (F.col("_sg") == 0) & (F.col("_sh2") == 0)
+    profile = F.lit(-2.0) * (d * g * g + e * h * h + f * g * h) / den
+    plan = F.lit(2.0) * (d * h * h + e * g * g - f * g * h) / den
+    return agg.select(
+        "ix",
+        "iy",
+        F.col("n_self").cast("long").alias("n_self"),
+        (F.round(F.lit(-2.0) * (d + e), 9) + F.lit(0.0)).alias("general"),
+        F.when(flat, F.lit(0.0)).otherwise(F.round(profile, 9) + F.lit(0.0)).alias("profile"),
+        F.when(flat, F.lit(0.0)).otherwise(F.round(plan, 9) + F.lit(0.0)).alias("plan"),
+    )

@@ -911,3 +911,45 @@ def test_clark_evans_matches_brute_force(spark):
     assert abs(r["r_index"] - mean / expected) < 1e-5
     assert abs(r["z"] - (mean - expected) / se) < 1e-4
     assert r["r_index"] < 1.0 and r["z"] < 0
+
+
+def test_spatial_chi2_matches_contingency_model(spark):
+    """Closed-form zero-pair folding equals the full-grid chi-square on
+    a small contingency; segregated pattern scores huge, proportional
+    pattern scores ~0."""
+    from collections import Counter
+
+    from osmflat_rs_spark.operators.hotspot import spatial_chi2
+
+    res = 12
+    # two cells, two categories, perfectly segregated
+    seg = [(100_000, 100_000, "a")] * 30 + [(100_000, 80_000_000, "b")] * 30
+    # same two cells, identical mixes -> independence
+    prop = ([(100_000, 100_000, "a")] * 20 + [(100_000, 100_000, "b")] * 10
+            + [(100_000, 80_000_000, "a")] * 40 + [(100_000, 80_000_000, "b")] * 20)
+    for rows, expect_big in ((seg, True), (prop, False)):
+        df = spark.createDataFrame(rows, "lat long, lon long, cat string")
+        r = spatial_chi2(df, "cat", res=res).collect()[0]
+
+        def cell(la, lo):
+            ix = (lo + 1_800_000_000) * (1 << res) // 3_600_000_000
+            iy = (la + 900_000_000) * (1 << res) // 1_800_000_000
+            return ix, iy
+
+        obs = Counter((cell(la, lo), c) for la, lo, c in rows)
+        cells = {k for k, _ in obs}
+        cats = {c for _, c in obs}
+        n = sum(obs.values())
+        rt = Counter(); ct = Counter()
+        for (k, c), o in obs.items():
+            rt[k] += o
+            ct[c] += o
+        chi2 = sum(
+            (obs.get((k, c), 0) - rt[k] * ct[c] / n) ** 2 / (rt[k] * ct[c] / n)
+            for k in cells
+            for c in cats
+        )
+        assert r["n"] == n and r["n_cells"] == len(cells) and r["n_cats"] == len(cats)
+        assert r["df"] == (len(cells) - 1) * (len(cats) - 1)
+        assert abs(r["chi2"] - chi2) < 1e-6
+        assert (r["chi2"] > 10) == expect_big

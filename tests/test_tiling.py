@@ -979,3 +979,63 @@ def test_focal_mode_matches_brute_force(spark):
             assert (r["mode_cat"], r["n_mode"]) == (mode_cat, n_mode)
     with _pytest.raises(ValueError):
         focal_mode(df, "cat", radius=-1)
+
+
+def test_curvature_grid_matches_quadric_model(spark):
+    """ZT curvature against the direct 3x3 quadric model on a dense
+    synthetic patch; flat cells pinned to exactly 0.0; halo cells
+    (n_self=0) present and correct."""
+    import numpy as np
+
+    from osmflat_rs_spark.operators.tiling import curvature_grid
+
+    rng = np.random.default_rng(97)
+    # build a deterministic multiset of points over a small patch
+    rows = []
+    counts = {}
+    for gx in range(10):
+        for gy in range(10):
+            c = int(rng.integers(0, 5))
+            counts[(gx, gy)] = c
+            la = gy * 27466 + 3
+            lo = gx * 54932 + 3
+            rows += [(la, lo)] * c
+    df = spark.createDataFrame(rows, "lat long, lon long")
+    res = 16
+
+    def cell(la, lo):
+        ix = (lo + 1_800_000_000) * (1 << res) // 3_600_000_000
+        iy = (la + 900_000_000) * (1 << res) // 1_800_000_000
+        return ix, iy
+
+    z = {}
+    for (gx, gy), c in counts.items():
+        if c:
+            z[cell(gy * 27466 + 3, gx * 54932 + 3)] = float(c)
+    got = {(r["ix"], r["iy"]): r.asDict() for r in curvature_grid(df, res=res).collect()}
+    want_cells = set()
+    for (ix, iy) in z:
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                want_cells.add((ix + dx, iy + dy))
+    assert set(got) == want_cells
+    for (ix, iy) in want_cells:
+
+        def zz(dx, dy):
+            return z.get((ix + dx, iy + dy), 0.0)
+
+        z5 = zz(0, 0)
+        d = (zz(-1, 0) + zz(1, 0)) / 2 - z5
+        e = (zz(0, -1) + zz(0, 1)) / 2 - z5
+        f = sum(zz(dx, dy) * dx * dy for dx in (-1, 1) for dy in (-1, 1)) / 4.0
+        gg = (-zz(-1, 0) + zz(1, 0)) / 2.0
+        h = (-zz(0, -1) + zz(0, 1)) / 2.0
+        r = got[(ix, iy)]
+        assert r["n_self"] == int(z5)
+        assert abs(r["general"] - (-2.0) * (d + e)) < 1e-6
+        if gg == 0 and h == 0:
+            assert r["profile"] == 0.0 and r["plan"] == 0.0
+        else:
+            den = gg * gg + h * h
+            assert abs(r["profile"] - (-2.0) * (d * gg * gg + e * h * h + f * gg * h) / den) < 1e-6
+            assert abs(r["plan"] - 2.0 * (d * h * h + e * gg * gg - f * gg * h) / den) < 1e-6

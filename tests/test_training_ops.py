@@ -2386,3 +2386,45 @@ def test_corpus_kl_matches_counter_model(spark):
         assert got[g][0] == nl[g]
         assert abs(got[g][1] - kl) < 1e-5, g
     assert got["odd"][1] > got["base"][1] > -1e-9
+
+
+def test_heaps_fit_matches_numpy_and_detects_regimes(spark):
+    """Heaps beta equals numpy lstsq over per-doc (ln tokens, ln types);
+    an all-unique-token group fits beta ~= 1, an all-same-token group
+    beta ~= 0; constant-length degenerate group yields NULLs."""
+    rng = np.random.default_rng(89)
+    rows = []
+    uid = 0
+    for i in range(30):
+        n = int(rng.integers(5, 80))
+        toks = []
+        for _ in range(n):
+            toks.append(f"u{uid}")
+            uid += 1
+        rows.append((i, "uniq", " ".join(toks)))
+    for i in range(30, 60):
+        n = int(rng.integers(5, 80))
+        rows.append((i, "const", " ".join(["same"] * n)))
+    for i in range(60, 64):
+        rows.append((i, "deg", "a b"))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        r["lang"]: r.asDict()
+        for r in textops.heaps_fit(df, "doc_id", "text", "lang").collect()
+    }
+    import math
+
+    for lang in ("uniq", "const"):
+        pts = [
+            (math.log(len(tx.split())), math.log(len(set(tx.split()))))
+            for _, lg, tx in rows
+            if lg == lang
+        ]
+        x = np.array([p[0] for p in pts]); y = np.array([p[1] for p in pts])
+        A = np.vstack([x, np.ones_like(x)]).T
+        beta, lnk = np.linalg.lstsq(A, y, rcond=None)[0]
+        assert abs(got[lang]["beta"] - beta) < 1e-7
+        assert abs(got[lang]["ln_k"] - lnk) < 1e-7
+    assert abs(got["uniq"]["beta"] - 1.0) < 1e-6
+    assert abs(got["const"]["beta"]) < 1e-6
+    assert got["deg"]["beta"] is None and got["deg"]["r2"] is None
