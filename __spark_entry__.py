@@ -2367,6 +2367,31 @@ def q_ols_events(spark, sf_dir):
     )
 
 
+def q_seasonal_events(spark, sf_dir):
+    """Hour-of-day seasonal profile of the cents value per event_type:
+    exact int sums, IEEE-exact means and indices, no rounding."""
+    from osmflat_rs_spark.operators.trend import seasonal_profile
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    return seasonal_profile(ev, "event_type", "ts", "v", period_hours=24)
+
+
+def q_changepoint_events(spark, sf_dir):
+    """AMOC mean-shift change-point per event_type over the event_id
+    order: prefix-sum window + in-aggregate argmax, exact int64 sums,
+    deterministic float argmax with smallest-t ties."""
+    from osmflat_rs_spark.operators.trend import changepoint_amoc
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    return changepoint_amoc(ev, "event_type", "event_id", "v")
+
+
 def q_trend_events(spark, sf_dir):
     """Emerging-hot-spot trend: space-time cube (ONE groupBy) →
     per-cell Mann-Kendall S with tie-corrected variance, continuity-
@@ -2439,6 +2464,23 @@ def q_tile_pyramid_events(spark, sf_dir):
         min_zoom=ZOOM - 4,
         sums={"sum_cents": F.floor(F.col("value") * 100).cast("long")},
     )
+
+
+def q_interp_events(spark, sf_dir):
+    """Linear-interpolation join: each purchase gets the user's view
+    value linearly interpolated between the bracketing views (exact-hit
+    collapse, flat extrapolation at the edges) — one exchange, both
+    brackets from two range frames over the same sort."""
+    from osmflat_rs_spark.operators.asof import interp_join
+
+    e = _t(spark, sf_dir, "events")
+    pur = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.min(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("v"))
+    )
+    return interp_join(pur, views, on="user_id", value_col="v")
 
 
 def q_asof_purchase_view(spark, sf_dir):
@@ -4240,6 +4282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_events": q_entropy_events,
         "lisa_events": q_lisa_events,
         "trend_events": q_trend_events,
+        "seasonal_events": q_seasonal_events,
+        "changepoint_events": q_changepoint_events,
         "ols_events": q_ols_events,
         "mapmatch_events": q_mapmatch_events,
         "poly_intersect_events": q_poly_intersect_events,
@@ -4247,6 +4291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_events": q_tile_events,
         "tile_pyramid_events": q_tile_pyramid_events,
         "asof_purchase_view": q_asof_purchase_view,
+        "interp_events": q_interp_events,
         "interval_join_events": q_interval_join_events,
         "merge_intervals_events": q_merge_intervals_events,
         "stream_merge_intervals_events": q_stream_merge_intervals_events,  # stateful streaming, oracled
@@ -6575,6 +6620,72 @@ def oracle_sql() -> dict[str, str]:
             """
             for z in range(ZOOM, ZOOM - 5, -1)
         ),
+        # interpolation join: two native ASOF joins (backward + forward),
+        # identical exact-int ratio arithmetic
+        "interp_events": """
+            WITH pur AS (SELECT event_id, user_id, ts FROM events
+                         WHERE event_type = 'purchase'),
+            v AS (SELECT user_id, ts, MIN(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v
+                  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+            lo AS (SELECT l.event_id, epoch_us(r.ts) AS t_lo, r.v AS v_lo
+                   FROM pur l ASOF LEFT JOIN v r
+                     ON l.user_id = r.user_id AND l.ts >= r.ts),
+            hi AS (SELECT l.event_id, epoch_us(r.ts) AS t_hi, r.v AS v_hi
+                   FROM pur l ASOF LEFT JOIN v r
+                     ON l.user_id = r.user_id AND l.ts <= r.ts)
+            SELECT p.user_id, p.event_id, p.ts, lo.t_lo, lo.v_lo, hi.t_hi, hi.v_hi,
+                   CASE WHEN lo.t_lo IS NULL AND hi.t_hi IS NULL THEN NULL
+                        WHEN lo.t_lo IS NULL THEN CAST(hi.v_hi AS DOUBLE)
+                        WHEN hi.t_hi IS NULL THEN CAST(lo.v_lo AS DOUBLE)
+                        WHEN hi.t_hi = lo.t_lo THEN CAST(lo.v_lo AS DOUBLE)
+                        ELSE CAST(lo.v_lo AS DOUBLE)
+                             + CAST(hi.v_hi - lo.v_lo AS DOUBLE)
+                               * (CAST(epoch_us(p.ts) - lo.t_lo AS DOUBLE)
+                                  / CAST(hi.t_hi - lo.t_lo AS DOUBLE))
+                   END AS v_interp
+            FROM pur p JOIN lo USING (event_id) JOIN hi USING (event_id)
+        """,
+        # seasonal profile: identical int64 hour bucket + exact means
+        "seasonal_events": """
+            WITH b AS (SELECT event_type,
+                              CAST((epoch_us(ts) // 3600000000) % 24 AS INT) AS hour,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                       FROM events
+                       WHERE value IS NOT NULL),
+            ph AS (SELECT event_type, hour, COUNT(*) AS n, SUM(v) AS s
+                   FROM b GROUP BY 1, 2),
+            pk AS (SELECT event_type, SUM(n) AS kn, SUM(s) AS ks FROM ph GROUP BY 1)
+            SELECT ph.event_type, ph.hour, ph.n,
+                   CAST(ph.s AS DOUBLE) / ph.n AS mean_v,
+                   CAST(pk.ks AS DOUBLE) / pk.kn AS key_mean,
+                   CAST(ph.s AS DOUBLE) / ph.n - CAST(pk.ks AS DOUBLE) / pk.kn AS seasonal_idx
+            FROM ph JOIN pk USING (event_type)
+        """,
+        # AMOC: identical prefix-sum candidates, rank-1 by (stat desc, t)
+        "changepoint_events": """
+            WITH b AS (SELECT event_type AS k, event_id AS o,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                       FROM events WHERE value IS NOT NULL),
+            r AS (SELECT k, o, v,
+                         row_number() OVER w AS t,
+                         SUM(v) OVER (PARTITION BY k ORDER BY o
+                                      ROWS UNBOUNDED PRECEDING) AS s,
+                         COUNT(*) OVER (PARTITION BY k) AS n,
+                         SUM(v) OVER (PARTITION BY k) AS tot
+                  FROM b WINDOW w AS (PARTITION BY k ORDER BY o)),
+            cand AS (SELECT k, o, t, n,
+                            CAST(s AS DOUBLE) / t AS ml,
+                            CAST(tot - s AS DOUBLE) / (n - t) AS mr,
+                            abs(CAST(s AS DOUBLE) / t - CAST(tot - s AS DOUBLE) / (n - t))
+                              * sqrt(CAST(t * (n - t) AS DOUBLE) / n) AS st
+                     FROM r WHERE t < n),
+            rk AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY st DESC, t) AS rn
+                   FROM cand)
+            SELECT k AS event_type, CAST(n AS BIGINT) AS n,
+                   CAST(t AS BIGINT) AS t_star, o AS split_order,
+                   ml AS mean_l, mr AS mean_r, st AS stat
+            FROM rk WHERE rn = 1
+        """,
         "asof_purchase_view": """
             SELECT l.event_id, l.user_id, r.view_event_id,
                    epoch_us(l.ts) - epoch_us(r.vts) AS gap_us, r.view_value

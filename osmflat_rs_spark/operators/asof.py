@@ -129,3 +129,92 @@ def asof_join(
     out_cols.append(m["__ts"].alias(right_ts + suffix))
     out_cols += [m[c].alias(c + suffix) for c in right_cols]
     return matched.select(*out_cols)
+
+
+def interp_join(
+    queries: DataFrame,
+    series: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_col: str = "v",
+) -> DataFrame:
+    """Linear-interpolation temporal join — for every query row, the
+    series value linearly interpolated between the bracketing fixes of
+    the same key → query columns + (t_lo, v_lo, t_hi, v_hi, v_interp).
+    The continuous complement of :func:`asof_join` (asof = step/hold
+    interpolation); pandas/kdb's ``interpolate at times`` with LEFT
+    semantics: row count == query count, always.
+
+    Boundary contract: exact-timestamp hits return that fix (both
+    brackets collapse onto it); queries before the first / after the
+    last fix take the nearest side's value (flat extrapolation); keys
+    with no fixes yield NULLs. v_interp = v_lo + (v_hi−v_lo)·(t−t_lo)/
+    (t_hi−t_lo) over exact int64 microseconds and int64 values — one
+    double ratio, one multiply, one add: deterministic IEEE, no
+    rounding contract.
+
+    Scale shape: ONE exchange. Both sides union-tag once (the asof_join
+    trade — never the range join's per-key cartesian); the backward
+    bracket is ``last(payload, ignorenulls)`` over RANGE(-∞, 0] and the
+    forward one ``first(payload, ignorenulls)`` over RANGE[0, +∞) on
+    the SAME partitioning and µs ordering, so Catalyst hosts both
+    frames in a single Window over a single sort — range frames (not
+    row frames) make equal-timestamp fixes visible to BOTH directions
+    regardless of union tag order.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = F.struct(
+        F.unix_micros(F.col(right_ts).cast("timestamp")).alias("t"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    r = series.select(
+        *[F.col(k) for k in keys],
+        F.unix_micros(F.col(right_ts).cast("timestamp")).alias("__t"),
+        F.lit(0).alias("__tag"),
+        payload.alias("__p"),
+        *[
+            F.lit(None).cast(dict(queries.dtypes)[c]).alias(c)
+            for c in queries.columns
+            if c not in keys
+        ],
+    )
+    l = queries.select(
+        *[F.col(k) for k in keys],
+        F.unix_micros(F.col(left_ts).cast("timestamp")).alias("__t"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
+        *[F.col(c) for c in queries.columns if c not in keys],
+    )
+    u = r.unionByName(l)
+    back = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t").asc())
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t").asc())
+        .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    m = u.withColumn("__lo", F.last("__p", ignorenulls=True).over(back)).withColumn(
+        "__hi", F.first("__p", ignorenulls=True).over(fwd)
+    ).filter(F.col("__tag") == 1)
+    lo, hi = F.col("__lo"), F.col("__hi")
+    t = F.col("__t")
+    ratio = (t - lo["t"]).cast("double") / (hi["t"] - lo["t"]).cast("double")
+    interp = F.when(lo.isNull() & hi.isNull(), F.lit(None).cast("double")).otherwise(
+        F.when(lo.isNull(), hi["v"].cast("double"))
+        .when(hi.isNull(), lo["v"].cast("double"))
+        .when(hi["t"] == lo["t"], lo["v"].cast("double"))
+        .otherwise(lo["v"].cast("double") + (hi["v"] - lo["v"]).cast("double") * ratio)
+    )
+    return m.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c) for c in queries.columns if c not in keys],
+        lo["t"].alias("t_lo"),
+        lo["v"].alias("v_lo"),
+        hi["t"].alias("t_hi"),
+        hi["v"].alias("v_hi"),
+        interp.alias("v_interp"),
+    )

@@ -227,3 +227,139 @@ def grouped_ols(
         F.when(guard.isNotNull(), i_num).alias("icept_num"),
         guard.alias("den"),
     )
+
+
+def seasonal_profile(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    period_hours: int = 24,
+) -> DataFrame:
+    """(key, hour, n, mean_v, key_mean, seasonal_idx): additive
+    seasonal decomposition of a metric by hour-of-period — the
+    telemetry-cleaning table behind "is this hour's value anomalous
+    FOR this hour": per (key, hour-of-period) mean, the key's overall
+    mean, and the seasonal index (their difference). The classical
+    STL-lite first pass; subtract seasonal_idx from raw values to get
+    the deseasonalized residual stream.
+
+    Exactness: hour = (epoch µs ÷ 3 600 000 000) mod period — pure
+    int64 on both engines; means are one exact-int sum divided once
+    (IEEE-exact, no rounding contract); seasonal_idx is one exact
+    subtraction of those quotients. Scale shape: one (key, hour)
+    groupBy reduces the corpus; the per-key rollup re-aggregates the
+    REDUCED table (never rescans the corpus) and BROADCASTS back onto
+    it. NULL values are excluded from both means symmetrically.
+    """
+    if period_hours < 1:
+        raise ValueError(f"period_hours must be >= 1, got {period_hours}")
+    us_per_hour = 3_600_000_000
+    hour = F.pmod(
+        F.floor(F.unix_micros(F.col(ts_col).cast("timestamp")) / us_per_hour),
+        F.lit(period_hours),
+    ).cast("int")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col).alias("_k"), hour.alias("hour"), F.col(value_col).cast("long").alias("_v")
+    )
+    ph = base.groupBy("_k", "hour").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_v").alias("_s")
+    )
+    pk = ph.groupBy("_k").agg(
+        F.sum("n").alias("_kn"), F.sum("_s").alias("_ks")
+    )
+    mean_v = F.col("_s").cast("double") / F.col("n")
+    key_mean = F.col("_ks").cast("double") / F.col("_kn")
+    return ph.join(F.broadcast(pk), "_k").select(
+        F.col("_k").alias(key_col),
+        "hour",
+        "n",
+        mean_v.alias("mean_v"),
+        key_mean.alias("key_mean"),
+        (mean_v - key_mean).alias("seasonal_idx"),
+    )
+
+
+def changepoint_amoc(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """(key, n, t_star, split_order, mean_l, mean_r, stat): at-most-one
+    change-point (AMOC) mean-shift detection per key — the split t
+    maximizing the CUSUM-scaled shift |mean_L − mean_R|·√(t(n−t)/n)
+    over the ``order_col`` sequence (Hinkley 1970's likelihood-ratio
+    statistic for a Gaussian mean change, restated without σ). The
+    offline "did this series break, and where" primitive; run residuals
+    from :func:`seasonal_profile` through it to find level shifts the
+    seasonality doesn't explain.
+
+    Distributed shape: ONE window sort per key (prefix sum +
+    row_number over order_col) — the sequential-looking scan is
+    prefix-summable, so no driver loop and no per-key collect; the
+    argmax collapses in the same aggregate via max(struct(stat, −t)),
+    deterministic at float ties (smallest t wins). Keys with n < 2
+    yield NULL split columns. Exactness: prefix sums are exact int64;
+    each candidate's means are one exact division; the statistic is a
+    short deterministic IEEE tree, so both engines pick the SAME
+    argmax row — no rounding contract anywhere. Standard window-skew
+    caveat: one key owning 10⁹ rows serializes its partition.
+    """
+    from pyspark.sql import Window
+
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col).alias("_k"),
+        F.col(order_col).alias("_o"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    w = Window.partitionBy("_k").orderBy("_o")
+    wall = Window.partitionBy("_k")
+    r = (
+        base.withColumn("_t", F.row_number().over(w))
+        .withColumn("_s", F.sum("_v").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("_n", F.count(F.lit(1)).over(wall))
+        .withColumn("_tot", F.sum("_v").over(wall))
+    )
+    t, n = F.col("_t"), F.col("_n")
+    mean_l = F.col("_s").cast("double") / t
+    mean_r = (F.col("_tot") - F.col("_s")).cast("double") / (n - t)
+    stat = F.abs(mean_l - mean_r) * F.sqrt((t * (n - t)).cast("double") / n)
+    cand = r.filter(t < n).select(
+        "_k", "_o", t.alias("_ct"), n.alias("n"),
+        mean_l.alias("_ml"), mean_r.alias("_mr"), stat.alias("_st"),
+    )
+    best = F.max(
+        F.struct(
+            F.col("_st").alias("s"),
+            (-F.col("_ct")).alias("nt"),
+            F.col("_o").alias("o"),
+            F.col("_ml").alias("ml"),
+            F.col("_mr").alias("mr"),
+        )
+    )
+    single = (
+        base.groupBy("_k").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") < 2)
+        .select(
+            F.col("_k").alias(key_col), F.col("n").cast("long").alias("n"),
+            F.lit(None).cast("long").alias("t_star"),
+            F.lit(None).cast(dict(base.dtypes)["_o"]).alias("split_order"),
+            F.lit(None).cast("double").alias("mean_l"),
+            F.lit(None).cast("double").alias("mean_r"),
+            F.lit(None).cast("double").alias("stat"),
+        )
+    )
+    out = (
+        cand.groupBy("_k")
+        .agg(F.first("n").alias("n"), best.alias("_b"))
+        .select(
+            F.col("_k").alias(key_col),
+            F.col("n").cast("long").alias("n"),
+            (-F.col("_b.nt")).cast("long").alias("t_star"),
+            F.col("_b.o").alias("split_order"),
+            F.col("_b.ml").alias("mean_l"),
+            F.col("_b.mr").alias("mean_r"),
+            F.col("_b.s").alias("stat"),
+        )
+    )
+    return out.unionByName(single)

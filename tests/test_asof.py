@@ -127,3 +127,60 @@ def test_asof_one_shuffle_no_join(spark):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" not in plan
     assert "Window" in plan
+
+def test_interp_join_matches_python_model(spark):
+    """Bracketing + linear interpolation against a brute-force model:
+    exact hits collapse, edges extrapolate flat, missing keys NULL out,
+    and row count always equals the query count."""
+    import datetime
+
+    import numpy as np
+
+    from osmflat_rs_spark.operators.asof import interp_join
+
+    rng = np.random.default_rng(103)
+    fixes = {}
+    rows_s = []
+    for u in (1, 2):
+        ts = sorted(int(t) for t in rng.choice(np.arange(100, 10_000, 7), 20, replace=False))
+        fixes[u] = [(t, int(rng.integers(-50, 50))) for t in ts]
+        rows_s += [(u, t, v) for t, v in fixes[u]]
+    qs = []
+    qid = 0
+    for u in (1, 2, 9):  # 9 has no fixes
+        for t in [1, 150, fixes.get(u, [(500, 0)])[3][0] if u in fixes else 500,
+                  5000, 99_999]:
+            qs.append((qid, u, int(t)))
+            qid += 1
+
+    def mk(t):
+        return datetime.datetime.utcfromtimestamp(t)
+
+    sdf = spark.createDataFrame(
+        [(u, mk(t), v) for u, t, v in rows_s], "user long, ts timestamp, v long"
+    )
+    qdf = spark.createDataFrame(
+        [(q, u, mk(t)) for q, u, t in qs], "qid long, user long, ts timestamp"
+    )
+    got = {
+        r["qid"]: r.asDict()
+        for r in interp_join(qdf, sdf, on="user", value_col="v").collect()
+    }
+    assert len(got) == len(qs)
+    for q, u, t in qs:
+        r = got[q]
+        f = fixes.get(u, [])
+        lo = max(((ft, fv) for ft, fv in f if ft <= t), default=None)
+        hi = min(((ft, fv) for ft, fv in f if ft >= t), default=None)
+        if lo is None and hi is None:
+            assert r["v_interp"] is None and r["t_lo"] is None and r["t_hi"] is None
+        elif lo is None:
+            assert r["v_interp"] == float(hi[1])
+        elif hi is None:
+            assert r["v_interp"] == float(lo[1])
+        elif lo[0] == hi[0]:
+            assert r["v_interp"] == float(lo[1])
+            assert r["t_lo"] == lo[0] * 1_000_000 and r["t_hi"] == hi[0] * 1_000_000
+        else:
+            want = lo[1] + (hi[1] - lo[1]) * ((t - lo[0]) / (hi[0] - lo[0]))
+            assert abs(r["v_interp"] - want) < 1e-9, (q, r, want)

@@ -167,3 +167,85 @@ def test_grouped_ols_exact_rationals(spark):
     for g in range(5):
         n, sn, _, dn = want[g]
         assert abs(sn / dn - 3) < 0.5
+
+
+# --------------------------------------------------------- seasonal profile
+
+
+def test_seasonal_profile_matches_counter_model(spark):
+    """Exact hour bucketing + means against a dict model; NULL values
+    excluded from both means; seasonal indices sum (weighted) to 0."""
+    import numpy as np
+
+    from osmflat_rs_spark.operators.trend import seasonal_profile
+
+    rng = np.random.default_rng(101)
+    rows = []
+    for i in range(500):
+        us = int(rng.integers(0, 10)) * 3_600_000_000 + int(rng.integers(0, 3_600_000_000))
+        rows.append(("a" if i % 2 else "b",
+                     int(us),
+                     int(rng.integers(-100, 100)) if i % 17 else None))
+    import datetime
+
+    df = spark.createDataFrame(
+        [(k, datetime.datetime.utcfromtimestamp(us / 1e6), v) for k, us, v in rows],
+        "k string, ts timestamp, v long",
+    )
+    got = {
+        (r["k"], r["hour"]): r.asDict()
+        for r in seasonal_profile(df, "k", "ts", "v", period_hours=24).collect()
+    }
+    from collections import defaultdict
+
+    ph = defaultdict(list)
+    for k, us, v in rows:
+        if v is not None:
+            ph[(k, (us // 3_600_000_000) % 24)].append(v)
+    assert set(got) == set(ph)
+    for (k, h), vs in ph.items():
+        allv = [v for (kk, _), lst in ph.items() if kk == k for v in lst]
+        r = got[(k, h)]
+        assert r["n"] == len(vs)
+        assert r["mean_v"] == sum(vs) / len(vs)
+        assert r["key_mean"] == sum(allv) / len(allv)
+        assert r["seasonal_idx"] == sum(vs) / len(vs) - sum(allv) / len(allv)
+    for k in ("a", "b"):
+        wsum = sum(got[(k, h)]["n"] * got[(k, h)]["seasonal_idx"]
+                   for (kk, h) in got if kk == k)
+        assert abs(wsum) < 1e-6
+
+
+# ----------------------------------------------------------- AMOC changepoint
+
+
+def test_changepoint_amoc_finds_planted_shift(spark):
+    """Planted level shift is recovered at the exact split; statistic
+    matches the brute-force model; n<2 keys yield NULL split; smallest-t
+    tie-break is honored on a symmetric series."""
+    import math
+
+    from osmflat_rs_spark.operators.trend import changepoint_amoc
+
+    rows = []
+    for i in range(40):
+        rows.append(("shift", i, 10 if i < 25 else 60))
+    rows += [("single", 0, 5)]
+    rows += [("tie", 0, 0), ("tie", 1, 100), ("tie", 2, 0)]
+    df = spark.createDataFrame(rows, "k string, o long, v long")
+    got = {r["k"]: r.asDict() for r in changepoint_amoc(df, "k", "o", "v").collect()}
+    assert got["shift"]["t_star"] == 25 and got["shift"]["split_order"] == 24
+    vs = [v for k, _, v in rows if k == "shift"]
+
+    def stat(t):
+        ml = sum(vs[:t]) / t
+        mr = sum(vs[t:]) / (len(vs) - t)
+        return abs(ml - mr) * math.sqrt(t * (len(vs) - t) / len(vs))
+
+    best = max(range(1, len(vs)), key=lambda t: (stat(t), -t))
+    assert got["shift"]["t_star"] == best
+    assert abs(got["shift"]["stat"] - stat(best)) < 1e-9
+    assert got["shift"]["mean_l"] == 10.0 and got["shift"]["mean_r"] == 60.0
+    assert got["single"]["n"] == 1 and got["single"]["t_star"] is None
+    # symmetric: stat(1) == stat(2); smallest t wins
+    assert got["tie"]["t_star"] == 1
