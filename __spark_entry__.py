@@ -1143,6 +1143,26 @@ def q_spatial_chi2_events(spark, sf_dir):
     return spatial_chi2(pts, "event_type", "lat", "lon", res=12)
 
 
+def q_homerange_events(spark, sf_dir):
+    """95% volume contour of the res-12 density surface: windowless
+    global density ranking (range-partitioned exclusive prefix sum),
+    exact-int membership 100*cum0 < 95*N."""
+    from osmflat_rs_spark.operators.hotspot import home_range
+
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    return home_range(pts, q_pct=95, res=12)
+
+
+def q_segregation_events(spark, sf_dir):
+    """Theil information-theory segregation H of event_type across
+    res-12 cells: two aggregates over the reduced (cell, cat) table via
+    the n*E decomposition identity."""
+    from osmflat_rs_spark.operators.hotspot import segregation_h
+
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    return segregation_h(pts, "event_type", res=12)
+
+
 def q_variogram_events(spark, sf_dir):
     """Empirical (Matheron) semivariogram over the event value field:
     ONE self radius-join at max lag (cell-cover candidates, exact int64
@@ -1951,6 +1971,16 @@ def q_curvature_events(spark, sf_dir):
 
     pts = _synth_coords(_t(spark, sf_dir, "events"))
     return curvature_grid(pts, "lat", "lon", res=16, cellsize=1.0)
+
+
+def q_overlay_events(spark, sf_dir):
+    """Weighted-overlay suitability at res 16: 60/40 blend of min-max
+    normalized cell density and radius-1 focal density — exact-int
+    normalizers, deterministic IEEE blend, no rounding."""
+    from osmflat_rs_spark.operators.tiling import weighted_overlay
+
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    return weighted_overlay(pts, res=16, radius=1, w_density=60, w_focal=40)
 
 
 def q_hillshade_events(spark, sf_dir):
@@ -4239,6 +4269,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gfunction_events": q_gfunction_events,
         "clark_evans_events": q_clark_evans_events,
         "spatial_chi2_events": q_spatial_chi2_events,
+        "homerange_events": q_homerange_events,
+        "segregation_events": q_segregation_events,
         "huff_events": q_huff_events,
         "ipf_events": q_ipf_events,
         "winsorize_events": q_winsorize_events,
@@ -4257,6 +4289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_index_events": q_cell_index_events,
         "focal_grid_events": q_focal_grid_events,
         "focal_mode_events": q_focal_mode_events,
+        "overlay_events": q_overlay_events,
         "kde_events": q_kde_events,
         "pip_winding_events": q_pip_winding_events,
         "hillshade_events": q_hillshade_events,
@@ -5192,6 +5225,48 @@ def oracle_sql() -> dict[str, str]:
         """,
         # G-function: per-point min over the bounded pair set, FILTER
         # counts per radius, one division — censored-at-rmax contract
+        # home range: single-window restatement of the two-pass rank
+        "homerange_events": f"""
+            WITH pts AS (SELECT * FROM {synth}),
+            g AS (SELECT GREATEST(0, LEAST({(1 << 12) - 1}, (lon + 1800000000) * {1 << 12} // 3600000000)) AS ix,
+                         GREATEST(0, LEAST({(1 << 12) - 1}, (lat + 900000000) * {1 << 12} // 1800000000)) AS iy
+                  FROM pts),
+            c AS (SELECT ix, iy, COUNT(*) AS n FROM g GROUP BY 1, 2),
+            t AS (SELECT SUM(n) AS nt FROM c),
+            r AS (SELECT ix, iy, n,
+                         SUM(n) OVER (ORDER BY n DESC, ix * {1 << 12} + iy
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM c)
+            SELECT ix, iy, n, CAST(cum AS BIGINT) AS cum,
+                   100 * (cum - n) < 95 * t.nt AS in_range
+            FROM r, t
+        """,
+        # segregation: direct per-cell entropy restatement (no identity)
+        "segregation_events": f"""
+            WITH pts AS (SELECT * FROM {synth}),
+            g AS (SELECT GREATEST(0, LEAST({(1 << 12) - 1}, (lon + 1800000000) * {1 << 12} // 3600000000)) AS ix,
+                         GREATEST(0, LEAST({(1 << 12) - 1}, (lat + 900000000) * {1 << 12} // 1800000000)) AS iy,
+                         event_type AS cat
+                  FROM pts),
+            obs AS (SELECT ix, iy, cat, COUNT(*) AS o FROM g GROUP BY 1, 2, 3),
+            cell AS (SELECT ix, iy, SUM(o) AS nc,
+                            ln(CAST(SUM(o) AS DOUBLE))
+                            - SUM(CAST(o AS DOUBLE) * ln(CAST(o AS DOUBLE)))
+                              / SUM(o) AS ec
+                     FROM obs GROUP BY 1, 2),
+            cat AS (SELECT cat, SUM(o) AS ct FROM obs GROUP BY 1),
+            tot AS (SELECT SUM(nc) AS N, COUNT(*) AS n_cells FROM cell),
+            eg AS (SELECT ln(CAST(t.N AS DOUBLE))
+                          - SUM(CAST(c.ct AS DOUBLE) * ln(CAST(c.ct AS DOUBLE))) / t.N AS e,
+                          COUNT(*) AS n_cats
+                   FROM cat c, tot t GROUP BY t.N),
+            num AS (SELECT SUM(CAST(nc AS DOUBLE) * ec) AS snce FROM cell)
+            SELECT CAST(t.N AS BIGINT) AS n, CAST(t.n_cells AS BIGINT) AS n_cells,
+                   CAST(eg.n_cats AS BIGINT) AS n_cats,
+                   ROUND(eg.e, 6) AS entropy,
+                   ROUND(1.0 - num.snce / (t.N * eg.e), 6) AS h
+            FROM tot t, eg, num
+        """,
         # spatial chi2: same closed-form zero-pair folding
         "spatial_chi2_events": f"""
             WITH pts AS (SELECT * FROM {synth}),
@@ -6274,6 +6349,30 @@ def oracle_sql() -> dict[str, str]:
             FROM c c1 JOIN c c2
               ON abs(c1.ix - c2.ix) <= 1 AND abs(c1.iy - c2.iy) <= 1
             GROUP BY 1, 2, 3
+        """,
+        # weighted overlay: self-join focal + identical normalize/blend
+        "overlay_events": f"""
+            WITH pts AS (SELECT * FROM {synth}),
+            g AS (SELECT GREATEST(0, LEAST({(1 << 16) - 1}, (lon + 1800000000) * {1 << 16} // 3600000000)) AS ix,
+                         GREATEST(0, LEAST({(1 << 16) - 1}, (lat + 900000000) * {1 << 16} // 1800000000)) AS iy
+                  FROM pts),
+            c AS (SELECT ix, iy, COUNT(*) AS n_self FROM g GROUP BY 1, 2),
+            f AS (SELECT c1.ix, c1.iy, c1.n_self,
+                         CAST(SUM(c2.n_self) AS BIGINT) AS n_focal
+                  FROM c c1 JOIN c c2
+                    ON abs(c1.ix - c2.ix) <= 1 AND abs(c1.iy - c2.iy) <= 1
+                  GROUP BY 1, 2, 3),
+            st AS (SELECT MIN(n_self) AS d0, MAX(n_self) AS d1,
+                          MIN(n_focal) AS f0, MAX(n_focal) AS f1
+                   FROM f)
+            SELECT f.ix, f.iy, f.n_self, f.n_focal,
+                   (60.0 * (CASE WHEN st.d1 = st.d0 THEN 0.0
+                                 ELSE CAST(f.n_self - st.d0 AS DOUBLE)
+                                      / CAST(st.d1 - st.d0 AS DOUBLE) END)
+                    + 40.0 * (CASE WHEN st.f1 = st.f0 THEN 0.0
+                                   ELSE CAST(f.n_focal - st.f0 AS DOUBLE)
+                                        / CAST(st.f1 - st.f0 AS DOUBLE) END)) / 100.0 AS suit
+            FROM f, st
         """,
         # focal mode: self-join restatement; rank window reproduces the
         # struct-min (count desc, cat asc) tie-break

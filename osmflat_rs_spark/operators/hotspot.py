@@ -662,3 +662,112 @@ def spatial_chi2(
         ((F.col("n_cells") - 1) * (F.col("n_cats") - 1)).cast("long").alias("df"),
         F.round(F.col("_s") + F.col("n"), 6).alias("chi2"),
     )
+
+
+def home_range(
+    points: DataFrame,
+    q_pct: int = 95,
+    lat: str = "lat",
+    lon: str = "lon",
+    res: int = 12,
+) -> DataFrame:
+    """q%-volume contour of the occupied-cell density surface → (ix,
+    iy, n, cum, in_range): the minimal set of highest-density cells
+    holding ≥ q% of the mass — the home-range / utilization-
+    distribution estimator of movement ecology (Worton 1989's kernel
+    UD isopleth, restated on the exact count raster), and the "where
+    does 95% of the traffic live" question of capacity planning.
+
+    Scale shape: the corpus reduces to occupied cells first; the
+    global density ranking uses :func:`plans.indexing.
+    exclusive_prefix_sum` — range-partitioned by a composite order key
+    (−n, cell), per-partition totals to the driver, map-only Arrow
+    cumsum — so there is NO single-partition window over the cell
+    table (the naive ORDER BY plan), and the only full exchange is the
+    range partition. Membership is exact integer arithmetic:
+    in_range ⇔ 100·(exclusive cum) < q·N, i.e. the cell starts before
+    the q% threshold; ties in density break by cell id inside the
+    order key. The order key packs (−n, ix, iy) into one int64 —
+    valid while n < 2^(62−2·res).
+    """
+    from osmflat_rs_spark.functions.cells import grid_exprs
+    from osmflat_rs_spark.plans.indexing import exclusive_prefix_sum
+
+    if not (0 < q_pct <= 100):
+        raise ValueError(f"q_pct must be in (0, 100], got {q_pct}")
+    ix, iy = grid_exprs(F.col(lat), F.col(lon), res)
+    base = points.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull())
+    cells = base.groupBy(ix.alias("ix"), iy.alias("iy")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    side = 1 << res
+    ok = (-F.col("n")) * F.lit(side * side).cast("long") + (
+        F.col("ix") * side + F.col("iy")
+    )
+    ranked = exclusive_prefix_sum(
+        cells.withColumn("_ok", ok), "_ok", F.col("n"), out_col="_cum0"
+    )
+    tot = cells.agg(F.sum("n").alias("_N"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "ix",
+            "iy",
+            "n",
+            (F.col("_cum0") + F.col("n")).alias("cum"),
+            (F.lit(100) * F.col("_cum0") < F.lit(int(q_pct)) * F.col("_N")).alias("in_range"),
+        )
+    )
+
+
+def segregation_h(
+    points: DataFrame,
+    cat_col: str,
+    lat: str = "lat",
+    lon: str = "lon",
+    res: int = 12,
+) -> DataFrame:
+    """One-row Theil information-theory segregation index → (n,
+    n_cells, n_cats, entropy, h): H = 1 − Σ_c n_c·E_c / (N·E), the
+    entropy-decomposition measure of how much less diverse cells are
+    than the region (Theil & Finizza 1971; the multigroup standard in
+    segregation studies). H = 0 ⇔ every cell mirrors the global mix,
+    H = 1 ⇔ every cell is single-category.
+
+    Scale shape: one (cell, category) groupBy reduces the corpus; the
+    algebraic identity Σ_c n_c·E_c = Σ_c n_c·ln n_c − Σ_{c,cat} o·ln o
+    turns the per-cell entropies into TWO plain aggregates over that
+    reduced table (no per-cell pivot, no second corpus pass); the
+    category margin (tiny) gives the global entropy the same way.
+    ln-float sums over the reduced tables → ROUND(·, 6) contract on
+    the two entropy outputs.
+    """
+    from osmflat_rs_spark.functions.cells import grid_exprs
+
+    ix, iy = grid_exprs(F.col(lat), F.col(lon), res)
+    base = points.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull())
+    obs = base.groupBy(
+        ix.alias("ix"), iy.alias("iy"), F.col(cat_col).alias("cat")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    cells = obs.groupBy("ix", "iy").agg(F.sum("o").alias("nc"))
+    cats = obs.groupBy("cat").agg(F.sum("o").alias("ct"))
+    xlnx = lambda c: c.cast("double") * F.log(c.cast("double"))  # noqa: E731
+    s1 = obs.agg(F.sum(xlnx(F.col("o"))).alias("_solno"), F.countDistinct("cat").alias("_ncat_obs"))
+    s2 = cells.agg(
+        F.sum(xlnx(F.col("nc"))).alias("_snlnn"),
+        F.sum("nc").alias("_N"),
+        F.count(F.lit(1)).alias("_ncell"),
+    )
+    s3 = cats.agg(F.sum(xlnx(F.col("ct"))).alias("_sclnc"), F.count(F.lit(1)).alias("_ncat"))
+    j = s2.crossJoin(F.broadcast(s1)).crossJoin(F.broadcast(s3))
+    N = F.col("_N").cast("double")
+    e_global = F.log(N) - F.col("_sclnc") / N
+    sum_nc_ec = F.col("_snlnn") - F.col("_solno")
+    h = F.lit(1.0) - sum_nc_ec / (N * e_global)
+    return j.select(
+        F.col("_N").cast("long").alias("n"),
+        F.col("_ncell").cast("long").alias("n_cells"),
+        F.col("_ncat").cast("long").alias("n_cats"),
+        F.round(e_global, 6).alias("entropy"),
+        F.round(h, 6).alias("h"),
+    )

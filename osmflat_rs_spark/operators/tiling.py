@@ -1456,3 +1456,51 @@ def curvature_grid(
         F.when(flat, F.lit(0.0)).otherwise(F.round(profile, 9) + F.lit(0.0)).alias("profile"),
         F.when(flat, F.lit(0.0)).otherwise(F.round(plan, 9) + F.lit(0.0)).alias("plan"),
     )
+
+
+def weighted_overlay(
+    pts: DataFrame,
+    lat: str = "lat",
+    lon: str = "lon",
+    res: int = 18,
+    radius: int = 1,
+    w_density: int = 60,
+    w_focal: int = 40,
+) -> DataFrame:
+    """Weighted-overlay suitability surface (the classic GIS
+    multi-criteria overlay, ESRI "Weighted Overlay" restated on the
+    density raster) → (ix, iy, n_self, n_focal, suit): each occupied
+    cell's own density and its Chebyshev-``radius`` neighborhood
+    density are min-max normalized over the occupied set and blended
+    with integer weights, suit = (w_d·norm(n) + w_f·norm(focal)) /
+    (w_d + w_f) ∈ [0, 1].
+
+    Composition: the two ingredient rasters ARE
+    :func:`focal_grid_agg`'s output (aggregate-first, in-row fan);
+    this adds one six-scalar aggregate BROADCAST back and pure
+    arithmetic — normalizers are exact-int differences divided once,
+    the blend is two products and one add (deterministic IEEE, no
+    rounding contract). Degenerate layers (min = max) normalize to
+    0.0 rather than dividing by zero. Weights must be positive ints.
+    """
+    if w_density < 0 or w_focal < 0 or w_density + w_focal == 0:
+        raise ValueError(f"bad weights: {w_density}, {w_focal}")
+    f = focal_grid_agg(pts, lat, lon, res=res, radius=radius)
+    st = f.agg(
+        F.min("n_self").alias("_d0"), F.max("n_self").alias("_d1"),
+        F.min("n_focal").alias("_f0"), F.max("n_focal").alias("_f1"),
+    )
+
+    def norm(col, lo, hi):
+        return F.when(F.col(hi) == F.col(lo), F.lit(0.0)).otherwise(
+            (F.col(col) - F.col(lo)).cast("double")
+            / (F.col(hi) - F.col(lo)).cast("double")
+        )
+
+    suit = (
+        F.lit(float(w_density)) * norm("n_self", "_d0", "_d1")
+        + F.lit(float(w_focal)) * norm("n_focal", "_f0", "_f1")
+    ) / F.lit(float(w_density + w_focal))
+    return f.crossJoin(F.broadcast(st)).select(
+        "ix", "iy", "n_self", "n_focal", suit.alias("suit")
+    )

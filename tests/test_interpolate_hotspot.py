@@ -953,3 +953,89 @@ def test_spatial_chi2_matches_contingency_model(spark):
         assert r["df"] == (len(cells) - 1) * (len(cats) - 1)
         assert abs(r["chi2"] - chi2) < 1e-6
         assert (r["chi2"] > 10) == expect_big
+
+
+def test_home_range_matches_sorted_model(spark):
+    """Membership equals the sorted cumulative model with (density
+    desc, cell) tie order; the in-range set is minimal and covers
+    >= q% of mass; q validation raises."""
+    import numpy as np
+
+    from osmflat_rs_spark.operators.hotspot import home_range
+
+    rng = np.random.default_rng(107)
+    rows = []
+    for gx in range(12):
+        for gy in range(12):
+            c = int(rng.integers(0, 20))
+            rows += [(gy * 439453 + 7, gx * 878906 + 7)] * c
+    df = spark.createDataFrame(rows, "lat long, lon long")
+    res = 12
+    got = {(r["ix"], r["iy"]): r.asDict() for r in home_range(df, 95, res=res).collect()}
+
+    def cell(la, lo):
+        return ((lo + 1_800_000_000) * (1 << res) // 3_600_000_000,
+                (la + 900_000_000) * (1 << res) // 1_800_000_000)
+
+    from collections import Counter
+
+    cnt = Counter(cell(la, lo) for la, lo in rows)
+    N = sum(cnt.values())
+    order = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0][0] * (1 << res) + kv[0][1]))
+    cum = 0
+    want = {}
+    for (k, n) in order:
+        want[k] = (n, cum + n, 100 * cum < 95 * N)
+        cum += n
+    assert set(got) == set(want)
+    for k, (n, c, inr) in want.items():
+        assert (got[k]["n"], got[k]["cum"], got[k]["in_range"]) == (n, c, inr), k
+    mass = sum(n for k, (n, c, inr) in want.items() if inr)
+    assert 100 * mass >= 95 * N
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        home_range(df, 0)
+
+
+def test_segregation_h_extremes_and_model(spark):
+    """H == 1 on fully segregated cells, ~0 on identical mixes, and the
+    general case matches the direct entropy model."""
+    import math
+    from collections import Counter, defaultdict
+
+    from osmflat_rs_spark.operators.hotspot import segregation_h
+
+    res = 12
+    seg = [(100_000, 100_000, "a")] * 25 + [(100_000, 80_000_000, "b")] * 25
+    mix = ([(100_000, 100_000, "a")] * 10 + [(100_000, 100_000, "b")] * 10
+           + [(100_000, 80_000_000, "a")] * 30 + [(100_000, 80_000_000, "b")] * 30)
+    import numpy as np
+
+    rng = np.random.default_rng(109)
+    gen = [(int(rng.integers(0, 4)) * 439_453 + 7, int(rng.integers(0, 4)) * 878_906 + 7,
+            str(rng.choice(["a", "b", "c"]))) for _ in range(400)]
+    for rows, expect in ((seg, 1.0), (mix, 0.0), (gen, None)):
+        df = spark.createDataFrame(rows, "lat long, lon long, cat string")
+        r = segregation_h(df, "cat", res=res).collect()[0]
+
+        def cell(la, lo):
+            return ((lo + 1_800_000_000) * (1 << res) // 3_600_000_000,
+                    (la + 900_000_000) * (1 << res) // 1_800_000_000)
+
+        obs = Counter((cell(la, lo), c) for la, lo, c in rows)
+        nc = defaultdict(int); ct = defaultdict(int)
+        for (k, c), o in obs.items():
+            nc[k] += o; ct[c] += o
+        N = sum(nc.values())
+        E = -sum(v / N * math.log(v / N) for v in ct.values())
+        num = 0.0
+        for k in nc:
+            ec = -sum(o / nc[k] * math.log(o / nc[k])
+                      for (kk, c), o in obs.items() if kk == k)
+            num += nc[k] * ec
+        want = 1.0 - num / (N * E)
+        assert abs(r["h"] - want) < 1e-5
+        assert abs(r["entropy"] - E) < 1e-5
+        if expect is not None:
+            assert abs(r["h"] - expect) < 1e-6

@@ -1039,3 +1039,39 @@ def test_curvature_grid_matches_quadric_model(spark):
             den = gg * gg + h * h
             assert abs(r["profile"] - (-2.0) * (d * gg * gg + e * h * h + f * gg * h) / den) < 1e-6
             assert abs(r["plan"] - 2.0 * (d * h * h + e * gg * gg - f * gg * h) / den) < 1e-6
+
+
+def test_weighted_overlay_matches_model(spark):
+    """Min-max normalize + 60/40 blend against the brute model; suit
+    spans [0,1]; degenerate single-cell layer normalizes to 0."""
+    import numpy as np
+
+    from osmflat_rs_spark.operators.tiling import weighted_overlay
+
+    rng = np.random.default_rng(113)
+    rows = []
+    for gx in range(8):
+        for gy in range(8):
+            c = int(rng.integers(1, 15))
+            rows += [(gy * 27466 + 3, gx * 54932 + 3)] * c
+    df = spark.createDataFrame(rows, "lat long, lon long")
+    res = 16
+    got = {(r["ix"], r["iy"]): r.asDict()
+           for r in weighted_overlay(df, res=res, radius=1).collect()}
+    ns = {k: v["n_self"] for k, v in got.items()}
+    nf = {k: v["n_focal"] for k, v in got.items()}
+    d0, d1 = min(ns.values()), max(ns.values())
+    f0, f1 = min(nf.values()), max(nf.values())
+    for k, r in got.items():
+        nd = 0.0 if d1 == d0 else (ns[k] - d0) / (d1 - d0)
+        ff = 0.0 if f1 == f0 else (nf[k] - f0) / (f1 - f0)
+        want = (60.0 * nd + 40.0 * ff) / 100.0
+        assert abs(r["suit"] - want) < 1e-12
+        assert 0.0 <= r["suit"] <= 1.0
+    one = spark.createDataFrame([(100, 100)], "lat long, lon long")
+    r = weighted_overlay(one, res=res).collect()[0]
+    assert r["suit"] == 0.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        weighted_overlay(df, w_density=0, w_focal=0)
