@@ -2422,6 +2422,20 @@ def q_changepoint_events(spark, sf_dir):
     return changepoint_amoc(ev, "event_type", "event_id", "v")
 
 
+def q_cusum_events(spark, sf_dir):
+    """Two-sided CUSUM drift detector per event_type over the event_id
+    order (mu=5000, slack=1000, h=20000 cents): Page's recurrence in its
+    drawdown form — pure window algebra, exact int64, no restart.
+    Oracle: the identical four window functions."""
+    from osmflat_rs_spark.operators.trend import cusum_scan
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    return cusum_scan(ev, "event_type", "event_id", "v", mu=5000, slack=1000, h=20000)
+
+
 def q_trend_events(spark, sf_dir):
     """Emerging-hot-spot trend: space-time cube (ONE groupBy) →
     per-cell Mann-Kendall S with tie-corrected variance, continuity-
@@ -3461,6 +3475,15 @@ def q_heaps_docs(spark, sf_dir):
     return heaps_fit(_t(spark, sf_dir, "documents"), "doc_id", "text", "lang")
 
 
+def q_cdc_docs(spark, sf_dir):
+    """Content-defined chunking at word granularity (mask 2^3): local
+    boundary decisions, md5 chunk digests — the storage-dedup /
+    incremental-sync chunker next to the fixed-stride chunk gate."""
+    from osmflat_rs_spark.operators.textops import cdc_chunks
+
+    return cdc_chunks(_t(spark, sf_dir, "documents"), "doc_id", "text", mask_bits=3)
+
+
 def q_kmv_distinct_events(spark, sf_dir):
     """KMV bottom-64 distinct sketch over event_id: portable relational
     state (the 64 smallest md5 hashes), estimate reproduced bit-for-bit
@@ -3468,6 +3491,18 @@ def q_kmv_distinct_events(spark, sf_dir):
     from osmflat_rs_spark.operators.sketch import kmv_build, kmv_estimate
 
     return kmv_estimate(kmv_build(_t(spark, sf_dir, "events"), "event_id", k=64), k=64)
+
+
+def q_kmv_setops_events(spark, sf_dir):
+    """KMV sketch algebra: union / Jaccard / intersection estimates for
+    viewer vs purchaser user sets from two bottom-64 sketches — set
+    sizes of table combinations without rescanning either table."""
+    from osmflat_rs_spark.operators.sketch import kmv_build, kmv_set_ops
+
+    e = _t(spark, sf_dir, "events")
+    ska = kmv_build(e.filter(F.col("event_type") == "view"), "user_id", k=64)
+    skb = kmv_build(e.filter(F.col("event_type") == "purchase"), "user_id", k=64)
+    return kmv_set_ops(ska, skb, k=64)
 
 
 def q_stratified_events(spark, sf_dir):
@@ -4317,6 +4352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_events": q_trend_events,
         "seasonal_events": q_seasonal_events,
         "changepoint_events": q_changepoint_events,
+        "cusum_events": q_cusum_events,
         "ols_events": q_ols_events,
         "mapmatch_events": q_mapmatch_events,
         "poly_intersect_events": q_poly_intersect_events,
@@ -4346,6 +4382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_offsets_docs": q_string_offsets_docs,
         "token_count_docs": q_token_count_docs,
         "chunk_docs": q_chunk_docs,
+        "cdc_docs": q_cdc_docs,
         "pack_docs": q_pack_docs,
         "boilerplate_docs": q_boilerplate_docs,
         "lang_id_docs": q_lang_id_docs,
@@ -4378,6 +4415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seg_intersections_events": q_seg_intersections_events,
         "clip_tiles_events": q_clip_tiles_events,
         "kmv_distinct_events": q_kmv_distinct_events,
+        "kmv_setops_events": q_kmv_setops_events,
         "hist_quantiles_events": q_hist_quantiles_events,
         "bloom_probe_customers": q_bloom_probe_customers,
         "simplify_users": q_simplify_users,
@@ -6760,6 +6798,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ph.s AS DOUBLE) / ph.n - CAST(pk.ks AS DOUBLE) / pk.kn AS seasonal_idx
             FROM ph JOIN pk USING (event_type)
         """,
+        # CUSUM: drawdown identity as four window functions
+        "cusum_events": """
+            WITH b AS (SELECT event_type AS key, event_id AS o,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                       FROM events WHERE value IS NOT NULL),
+            p AS (SELECT key, o, v,
+                         SUM(v - 6000) OVER w AS ph,
+                         SUM(4000 - v) OVER w AS pl
+                  FROM b WINDOW w AS (PARTITION BY key ORDER BY o
+                                      ROWS UNBOUNDED PRECEDING)),
+            d AS (SELECT key, o, v,
+                         ph - LEAST(0, MIN(ph) OVER w) AS s_hi,
+                         pl - LEAST(0, MIN(pl) OVER w) AS s_lo
+                  FROM p WINDOW w AS (PARTITION BY key ORDER BY o
+                                      ROWS UNBOUNDED PRECEDING))
+            SELECT key, o, v, CAST(s_hi AS BIGINT) AS s_hi,
+                   CAST(s_lo AS BIGINT) AS s_lo,
+                   s_hi > 20000 OR s_lo > 20000 AS alarm
+            FROM d
+        """,
         # AMOC: identical prefix-sum candidates, rank-1 by (stat desc, t)
         "changepoint_events": """
             WITH b AS (SELECT event_type AS k, event_id AS o,
@@ -7035,6 +7093,33 @@ def oracle_sql() -> dict[str, str]:
                         THEN ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
                                    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) END AS r2
             FROM a
+        """,
+        # CDC: same 32-bit hash family, list-lambda restatement
+        "cdc_docs": f"""
+            WITH base AS (SELECT doc_id, {_ws_split_sql()} AS ws FROM documents),
+            h AS (SELECT doc_id, ws,
+                         list_transform(ws, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hs
+                  FROM base),
+            b AS (SELECT doc_id, ws,
+                         list_filter(generate_series(1, len(ws)),
+                                     i -> hs[i] % 8 = 0 OR i = len(ws)) AS bp
+                  FROM h),
+            sp AS (SELECT doc_id, ws,
+                          list_concat([0], list_slice(bp, 1, len(bp) - 1)) AS st, bp
+                   FROM b),
+            ch AS (SELECT doc_id,
+                          list_transform(generate_series(1, len(bp)),
+                            j -> struct_pack(start_tok := st[j] + 1,
+                                             n_tok := bp[j] - st[j],
+                                             digest := md5(array_to_string(
+                                                 list_slice(ws, st[j] + 1, bp[j]), ' ')))) AS cs
+                   FROM sp)
+            SELECT doc_id, CAST(u.i - 1 AS INT) AS chunk_idx,
+                   CAST(c.start_tok AS INT) AS start_tok,
+                   CAST(c.n_tok AS INT) AS n_tok,
+                   c.digest AS digest
+            FROM ch, LATERAL (SELECT unnest(cs) AS c,
+                                     unnest(generate_series(1, len(cs))) AS i) u
         """,
         "token_count_docs": f"""
             SELECT doc_id, len({_ws_split_sql()}) AS n_ws_tokens,
@@ -7527,6 +7612,29 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
                               ELSE 63.0 * 1152921504606846976.0 / CAST(MAX(h) AS DOUBLE) END, 3) AS est_distinct
             FROM sk
+        """,
+        # KMV set ops: same bottom-64 family, membership in both
+        "kmv_setops_events": """
+            WITH ha AS (SELECT DISTINCT CAST('0x' || substr(md5(user_id::VARCHAR), 1, 15) AS BIGINT) AS h
+                        FROM events WHERE event_type = 'view'),
+            hb AS (SELECT DISTINCT CAST('0x' || substr(md5(user_id::VARCHAR), 1, 15) AS BIGINT) AS h
+                   FROM events WHERE event_type = 'purchase'),
+            ska AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+            skb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+            m AS (SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb) u
+                  ORDER BY h LIMIT 64),
+            agg AS (SELECT COUNT(*) AS n_h, MAX(h) AS hmax FROM m),
+            nb AS (SELECT COUNT(*) AS n_both FROM m
+                   WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)),
+            e AS (SELECT a.n_h, nb.n_both, a.hmax,
+                         CASE WHEN a.n_h < 64 THEN CAST(a.n_h AS DOUBLE)
+                              ELSE 63.0 * 1152921504606846976.0 / CAST(a.hmax AS DOUBLE)
+                         END AS eu
+                  FROM agg a, nb)
+            SELECT n_h, n_both, ROUND(eu, 3) AS est_union,
+                   ROUND(CAST(n_both AS DOUBLE) / n_h, 6) AS jaccard_est,
+                   ROUND(CAST(n_both AS DOUBLE) / n_h * eu, 3) AS est_intersection
+            FROM e
         """,
         # Samplers: the oracle is the single-window form; the engine's
         # two-phase salted windows are an exact-identity optimization.

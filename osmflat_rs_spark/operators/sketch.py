@@ -463,3 +463,40 @@ def hll_estimate(sketch: DataFrame, m: int = 256) -> DataFrame:
         s_scaled.alias("s_scaled"),
         F.round(est, 3).alias("est"),
     )
+
+
+def kmv_set_ops(sk_a: DataFrame, sk_b: DataFrame, k: int) -> DataFrame:
+    """One row (n_h, n_both, est_union, jaccard_est, est_intersection)
+    from two KMV sketches built with the same hash family — the Beyer
+    et al. 2007 (SIGMOD) bottom-k set-operation estimators: the merged
+    bottom-k of A ∪ B estimates the union like any KMV sketch, the
+    fraction ρ of those k hashes present in BOTH input sketches
+    estimates Jaccard, and ρ·Û estimates the intersection. This is
+    the point of sketch algebra at 100 TB: set sizes of arbitrary
+    table combinations from k-row summaries, no rescan.
+
+    Everything is determined by the ≤ k-row inputs: two broadcast
+    semi-joins mark common hashes, one aggregate builds the counts,
+    and the estimates are short IEEE trees (ROUND 3, the
+    kmv_estimate contract). When the union kept fewer than k hashes
+    the domain was smaller than k and ALL outputs are exact.
+    """
+    m = kmv_merge(k, sk_a.select("h"), sk_b.select("h"))
+    both = (
+        m.join(F.broadcast(sk_a.select("h")), "h", "semi")
+        .join(F.broadcast(sk_b.select("h")), "h", "semi")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    a = m.agg(F.count(F.lit(1)).alias("n_h"), F.max("h").alias("_hmax"))
+    j = a.crossJoin(F.broadcast(both))
+    est_u = F.when(F.col("n_h") < k, F.col("n_h").cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(2.0**60) / F.col("_hmax").cast("double")
+    )
+    rho = F.col("n_both").cast("double") / F.col("n_h")
+    return j.select(
+        "n_h",
+        "n_both",
+        F.round(est_u, 3).alias("est_union"),
+        F.round(rho, 6).alias("jaccard_est"),
+        F.round(rho * est_u, 3).alias("est_intersection"),
+    )

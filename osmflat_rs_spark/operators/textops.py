@@ -1262,3 +1262,67 @@ def heaps_fit(
         F.when(den != 0, F.round(lnk, 9)).alias("ln_k"),
         F.when((den != 0) & (deny != 0), F.round(num * num / (den * deny), 9)).alias("r2"),
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    mask_bits: int = 3,
+) -> DataFrame:
+    """Content-defined chunking (the Rabin/LBFS scheme of
+    Muthitacharoen et al., SOSP'01, at word granularity): a chunk
+    boundary falls AFTER every token whose hash ≡ 0 (mod 2^mask_bits)
+    — so boundaries depend only on LOCAL content, and an insertion
+    early in a document shifts at most one chunk instead of re-aligning
+    every fixed-stride window (the property that makes storage dedup
+    and incremental sync work; contrast :func:`chunk_tokens`' fixed
+    stride). Mean chunk length ≈ 2^mask_bits tokens; a forced boundary
+    closes the final chunk. → (id, chunk_idx, start_tok, n_tok,
+    digest), digest = md5 of the space-joined chunk — group equal
+    digests across a corpus for chunk-level dedup.
+
+    ENTIRELY in-row until the output explode (the winnowing
+    discipline): token hashes, boundary positions (filter over
+    sequence), chunk spans (zip_with of the boundary list against its
+    shift) and digests are all Catalyst array expressions,
+    bit-reproducible in ANSI SQL list lambdas via the md5-slice hash
+    family. Empty text yields the single ['']-token chunk.
+    """
+    if mask_bits < 0:
+        raise ValueError(f"mask_bits must be >= 0, got {mask_bits}")
+    mask = 1 << mask_bits
+    ws = words_expr(F.col(text_col))
+    base = df.select(F.col(id_col), ws.alias("_ws"))
+    hs = F.transform(
+        F.col("_ws"),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+    )
+    n = F.size(F.col("_ws"))
+    bp = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: (F.pmod(F.get(hs, i - 1), F.lit(mask)) == 0) | (i == n),
+    )
+    starts = F.concat(F.array(F.lit(0)), F.slice(bp, 1, F.size(bp) - 1))
+    spans = F.zip_with(
+        starts,
+        bp,
+        lambda s, e: F.struct((s + 1).alias("start"), (e - s).alias("len")),
+    )
+    chunks = F.transform(
+        spans,
+        lambda sp: F.struct(
+            sp["start"].alias("start_tok"),
+            sp["len"].alias("n_tok"),
+            F.md5(F.array_join(F.slice(F.col("_ws"), sp["start"], sp["len"]), " ")).alias("digest"),
+        ),
+    )
+    return base.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "_c")
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.col("_c.start_tok").alias("start_tok"),
+        F.col("_c.n_tok").alias("n_tok"),
+        F.col("_c.digest").alias("digest"),
+    )

@@ -363,3 +363,79 @@ def changepoint_amoc(
         )
     )
     return out.unionByName(single)
+
+
+def cusum_kernel(rows, mu: int, slack: int, h: int,
+                 p_hi: int = 0, min_hi: int = 0, p_lo: int = 0, min_lo: int = 0):
+    """The shared two-sided CUSUM recurrence (Page 1954) over exact
+    ints — SINGLE source of truth for the streaming twin (same parity
+    discipline as the MinHash scheme). Page's S⁺_t = max(0, S⁺_{t−1} +
+    v − μ − slack) is tracked in its drawdown form S⁺ = P − min(0,
+    min-prefix P) with P the plain running sum of (v − μ − slack) —
+    algebraically identical, and the form the BATCH operator can
+    window (a running sum + running min are prefix-computable; the
+    clipped recurrence alone is not). alarm = S⁺ > h or S⁻ > h (no
+    restart — the statistic keeps accumulating, Page's original).
+    rows = [(o, v)] pre-sorted by o; returns (out_rows, p_hi, min_hi,
+    p_lo, min_lo) with out_rows = [(o, v, s_hi, s_lo, alarm)]."""
+    out = []
+    for o, v in rows:
+        p_hi += v - mu - slack
+        min_hi = min(min_hi, p_hi)
+        p_lo += mu - slack - v
+        min_lo = min(min_lo, p_lo)
+        s_hi = p_hi - min(0, min_hi)
+        s_lo = p_lo - min(0, min_lo)
+        out.append((o, v, s_hi, s_lo, s_hi > h or s_lo > h))
+    return out, p_hi, min_hi, p_lo, min_lo
+
+
+def cusum_scan(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    mu: int,
+    slack: int,
+    h: int,
+) -> DataFrame:
+    """(key, o, v, s_hi, s_lo, alarm): per-key two-sided CUSUM drift
+    detector — the SEQUENTIAL change detector (alarms once cumulative
+    drift beyond ``slack`` around target ``mu`` exceeds ``h``)
+    complementing the offline argmax of :func:`changepoint_amoc`.
+
+    Distributed shape: Page's clipped recurrence looks
+    order-sequential, but its drawdown identity S_t = P_t − min(0,
+    min_{i≤t} P_i) (P = running raw sum) makes it PURE WINDOW algebra:
+    one shuffle keyed by ``key_col``, then a running sum and a running
+    min per side over the same sort — whole-stage-codegen JVM
+    expressions, no Arrow worker, no driver loop (and the SQL oracle
+    is four window functions instead of a recursive CTE). Everything
+    exact int64; alarm carries NO restart (the statistic keeps
+    accumulating — Page's original; a restart policy is a downstream
+    choice). NULL values are dropped; h/slack must be ≥ 0.
+    """
+    from pyspark.sql import Window
+
+    if h < 0 or slack < 0:
+        raise ValueError(f"h and slack must be >= 0, got h={h}, slack={slack}")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(order_col).cast("long").alias("o"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    w = Window.partitionBy("key").orderBy("o").rowsBetween(Window.unboundedPreceding, 0)
+    zero = F.lit(0).cast("long")
+    r = base.select(
+        "key", "o", "v",
+        F.sum(F.col("v") - F.lit(mu + slack)).over(w).alias("_ph"),
+        F.sum(F.lit(mu - slack) - F.col("v")).over(w).alias("_pl"),
+    )
+    # second window pass over the SAME partitioning/ordering — no new
+    # exchange, Catalyst stacks the Window nodes on one sort
+    r = r.select(
+        "key", "o", "v",
+        (F.col("_ph") - F.least(zero, F.min("_ph").over(w))).alias("s_hi"),
+        (F.col("_pl") - F.least(zero, F.min("_pl").over(w))).alias("s_lo"),
+    )
+    return r.withColumn("alarm", (F.col("s_hi") > h) | (F.col("s_lo") > h))

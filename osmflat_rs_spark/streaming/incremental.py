@@ -1037,3 +1037,106 @@ def stream_merge_intervals(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_cusum(
+    spark,
+    events_dir: str,
+    schema,
+    checkpoint_dir: str,
+    out_dir: str,
+    mu: int,
+    slack: int,
+    h: int,
+    key_col: str = "event_type",
+    order_col: str = "event_id",
+    value_expr: str = "CAST(floor(value * 100 + 0.5) AS LONG)",
+):
+    """STATEFUL streaming twin of ``trend.cusum_scan``: per-key
+    two-sided CUSUM drift alarms as values ARRIVE. State per key is
+    five ints (running sums + prefix mins + last_o, the drawdown form
+    of Page's recurrence) in the checkpointed store —
+    restart-surviving, bounded by #keys — and the recurrence is the
+    SHARED ``trend.cusum_kernel`` (single source of truth, the MinHash
+    parity discipline), so replaying a corpus through any number of
+    micro-batches appends exactly the batch scan's rows, bit-for-bit
+    (asserted in tests/test_streaming.py).
+
+    Ordering contract (as stream_movement_profile): per key,
+    ``order_col`` must be non-decreasing across micro-batches; a row
+    with o ≤ the state's last o is DROPPED (the recurrence is
+    order-sequential and cannot be repaired retroactively). Within a
+    micro-batch, arrival order is irrelevant (the kernel sorts).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import BooleanType, LongType, StringType, StructField, StructType
+
+    from osmflat_rs_spark.operators.trend import cusum_kernel
+
+    if h < 0 or slack < 0:
+        raise ValueError(f"h and slack must be >= 0, got h={h}, slack={slack}")
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    prepped = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(order_col).cast("long").alias("o"),
+        F.expr(value_expr).alias("v"),
+    ).filter(F.col("v").isNotNull())
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("o", LongType()),
+            StructField("v", LongType()),
+            StructField("s_hi", LongType()),
+            StructField("s_lo", LongType()),
+            StructField("alarm", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("p_hi", LongType()),
+            StructField("min_hi", LongType()),
+            StructField("p_lo", LongType()),
+            StructField("min_lo", LongType()),
+            StructField("last_o", LongType()),
+        ]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            yield pd.DataFrame({c.name: [] for c in out_schema.fields})
+            return
+        pdf = pd.concat(chunks).sort_values("o", kind="mergesort")
+        if state.exists:
+            p_hi, min_hi, p_lo, min_lo, last_o = (int(x) for x in state.get)
+        else:
+            p_hi, min_hi, p_lo, min_lo, last_o = 0, 0, 0, 0, None
+        rows = [
+            (int(o), int(v))
+            for o, v in pdf[["o", "v"]].itertuples(index=False)
+            if last_o is None or int(o) > last_o
+        ]
+        out, p_hi, min_hi, p_lo, min_lo = cusum_kernel(
+            rows, mu, slack, h, p_hi, min_hi, p_lo, min_lo
+        )
+        if rows:
+            last_o = rows[-1][0]
+        state.update((p_hi, min_hi, p_lo, min_lo, -1 if last_o is None else last_o))
+        yield pd.DataFrame(
+            [(key[0],) + r for r in out],
+            columns=[c.name for c in out_schema.fields],
+        )
+
+    scored = prepped.groupBy("key").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    return (
+        scored.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -644,3 +644,49 @@ def test_stream_merge_intervals_matches_batch_minus_open_runs(spark, tmp_path):
     }
     open_runs = {(1, 50, 51, 1), (2, 0, 9, 2), (3, 10, 12, 1)}
     assert set(got) == batch - open_runs
+
+
+def test_stream_cusum_matches_batch_scan(spark, tmp_path):
+    """Replaying the corpus in two availableNow micro-batch runs against
+    one checkpoint appends EXACTLY the batch cusum_scan rows
+    (bit-identical ints — the shared-kernel parity contract), and a late
+    row (o <= state's last o) is dropped by contract."""
+    from osmflat_rs_spark.operators.trend import cusum_scan
+    from osmflat_rs_spark.streaming.incremental import stream_cusum
+
+    ev_dir, ckpt, out = str(tmp_path / "ev"), str(tmp_path / "ck"), str(tmp_path / "out")
+    schema = "event_type string, event_id long, value double"
+    import numpy as np
+
+    rng = np.random.default_rng(131)
+    rows = []
+    for o in range(200):
+        for k in ("a", "b"):
+            v = float(rng.uniform(0, 100)) + (60.0 if (k == "a" and o > 120) else 0.0)
+            rows.append((k, o * 2 + (0 if k == "a" else 1), v))
+    half = len(rows) // 2
+    rows.sort(key=lambda r: r[1])
+    spark.createDataFrame(rows[:half], schema).write.mode("append").parquet(ev_dir)
+    q = stream_cusum(spark, ev_dir, schema, ckpt, out, mu=5000, slack=1000, h=20000)
+    assert q.awaitTermination(120)
+    # second batch: the rest, plus one LATE row (o=0 again) that must drop
+    late = [("a", 0, 999.0)]
+    spark.createDataFrame(rows[half:] + late, schema).write.mode("append").parquet(ev_dir)
+    q = stream_cusum(spark, ev_dir, schema, ckpt, out, mu=5000, slack=1000, h=20000)
+    assert q.awaitTermination(120)
+    got = sorted(
+        (r["key"], r["o"], r["v"], r["s_hi"], r["s_lo"], r["alarm"])
+        for r in spark.read.parquet(out).collect()
+    )
+    bdf = spark.createDataFrame(rows, schema).select(
+        "event_type", "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    want = sorted(
+        (r["key"], r["o"], r["v"], r["s_hi"], r["s_lo"], r["alarm"])
+        for r in cusum_scan(bdf, "event_type", "event_id", "v",
+                            mu=5000, slack=1000, h=20000).collect()
+    )
+    assert got == want
+    # drift was planted in key 'a' after o>240: alarms fire there only
+    assert any(a for k, o, v, sh, sl, a in got if k == "a")

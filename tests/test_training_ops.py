@@ -2428,3 +2428,76 @@ def test_heaps_fit_matches_numpy_and_detects_regimes(spark):
     assert abs(got["uniq"]["beta"] - 1.0) < 1e-6
     assert abs(got["const"]["beta"]) < 1e-6
     assert got["deg"]["beta"] is None and got["deg"]["r2"] is None
+
+
+def test_kmv_set_ops_exact_small_and_estimates_large(spark):
+    """Small domains: union/intersection/jaccard all exact. Large
+    domains: estimates within the ~1/sqrt(k-2) KMV band of truth."""
+    from osmflat_rs_spark.operators.sketch import kmv_build, kmv_set_ops
+
+    # small: A = 0..29, B = 20..49 -> union 50, inter 10, jac 0.2
+    a = spark.createDataFrame([(i,) for i in range(30)], "x long")
+    b = spark.createDataFrame([(i,) for i in range(20, 50)], "x long")
+    r = kmv_set_ops(kmv_build(a, "x", 64), kmv_build(b, "x", 64), 64).collect()[0]
+    assert r["n_h"] == 50 and r["est_union"] == 50.0
+    assert r["n_both"] == 10 and r["jaccard_est"] == 0.2
+    assert r["est_intersection"] == 10.0
+    # large: A = 0..9999, B = 5000..14999 -> union 15000, inter 5000
+    a = spark.createDataFrame([(i,) for i in range(10_000)], "x long")
+    b = spark.createDataFrame([(i,) for i in range(5_000, 15_000)], "x long")
+    k = 256
+    r = kmv_set_ops(kmv_build(a, "x", k), kmv_build(b, "x", k), k).collect()[0]
+    assert abs(r["est_union"] - 15_000) / 15_000 < 0.25
+    assert abs(r["jaccard_est"] - 1 / 3) < 0.15
+    assert abs(r["est_intersection"] - 5_000) / 5_000 < 0.45
+
+
+def test_cdc_chunks_model_and_shift_resilience(spark):
+    """Chunks equal the Python rolling model (boundaries where
+    hash%8==0), spans tile the doc exactly, and a prefix insertion
+    leaves every chunk after the insertion point's chunk identical
+    (the content-defined property a fixed stride lacks)."""
+    import hashlib
+
+    def h32(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+
+    rng = np.random.default_rng(127)
+    vocab = [f"w{i}" for i in range(60)]
+    toks = [str(rng.choice(vocab)) for _ in range(300)]
+    text_a = " ".join(toks)
+    text_b = " ".join(["inserted"] + toks)  # one-token prefix insertion
+    df = spark.createDataFrame(
+        [(1, text_a), (2, text_b), (3, "")], "doc_id long, text string"
+    )
+    got = {}
+    for r in textops.cdc_chunks(df, "doc_id", "text", mask_bits=3).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["start_tok"], r["n_tok"], r["digest"])
+        )
+    for did in got:
+        got[did].sort()
+
+    def model(ws):
+        bps = [i for i in range(1, len(ws) + 1) if h32(ws[i - 1]) % 8 == 0 or i == len(ws)]
+        out, prev = [], 0
+        for j, e in enumerate(bps):
+            chunk = ws[prev:e]
+            out.append((j, prev + 1, e - prev, hashlib.md5(" ".join(chunk).encode()).hexdigest()))
+            prev = e
+        return out
+
+    assert got[1] == model(toks)
+    assert got[2] == model(["inserted"] + toks)
+    assert got[3] == [(0, 1, 1, hashlib.md5(b"").hexdigest())]
+    # spans tile: starts/lengths cover 1..n without gaps
+    pos = 1
+    for _, st, ln, _ in got[1]:
+        assert st == pos
+        pos += ln
+    assert pos == len(toks) + 1
+    # shift resilience: all digests of doc 1 except the first chunk's
+    # appear in doc 2 as well
+    d1 = [d for _, _, _, d in got[1]][1:]
+    d2 = {d for _, _, _, d in got[2]}
+    assert all(d in d2 for d in d1)
