@@ -1091,6 +1091,32 @@ def q_benford_events(spark, sf_dir):
     return benford(ev, "event_type", "v")
 
 
+def q_gini_events(spark, sf_dir):
+    """Per-event-type Gini coefficient of the cents value: exact int64
+    Lorenz sums (tie-invariant), one deterministic IEEE expression."""
+    from osmflat_rs_spark.plans.indexing import gini
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    return gini(ev, "event_type", "v")
+
+
+def q_spearman_events(spark, sf_dir):
+    """Per-event-type Spearman rho between cents value and props length:
+    tie-correct average ranks kept as exact integer twice-ranks, one
+    closed-form six-sum aggregate."""
+    from osmflat_rs_spark.plans.indexing import spearman
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+        F.length("props").cast("long").alias("plen"),
+    )
+    return spearman(ev, "event_type", "v", "plen")
+
+
 def q_huff_events(spark, sf_dir):
     """Huff probabilistic market share at 10 facilities (the kNN gate's
     lattice, attractiveness 1..5): regularized inverse-square weight
@@ -3484,6 +3510,18 @@ def q_cdc_docs(spark, sf_dir):
     return cdc_chunks(_t(spark, sf_dir, "documents"), "doc_id", "text", mask_bits=3)
 
 
+def q_bpe_docs(spark, sf_dir):
+    """BPE merge-table trainer over the documents corpus (16 merges):
+    corpus touched once, rounds run on the Heaps-bounded vocabulary
+    table with one-row argmax pulls. Deterministic but not
+    SQL-restatable (iterative argmax + re-segmentation), so this gate
+    carries no oracle_sql — the pytest reference-BPE parity test is
+    the correctness check (the IVF-trainer precedent)."""
+    from osmflat_rs_spark.operators.textops import bpe_train
+
+    return bpe_train(_t(spark, sf_dir, "documents"), "text", n_merges=16)
+
+
 def q_kmv_distinct_events(spark, sf_dir):
     """KMV bottom-64 distinct sketch over event_id: portable relational
     state (the 64 smallest md5 hashes), estimate reproduced bit-for-bit
@@ -4311,6 +4349,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_events": q_winsorize_events,
         "robust_scale_events": q_robust_scale_events,
         "benford_events": q_benford_events,
+        "gini_events": q_gini_events,
+        "spearman_events": q_spearman_events,
         "simplify_events": q_simplify_events,
         "dbscan_events": q_dbscan_events,
         "knn_events": q_knn_events,
@@ -4383,6 +4423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_docs": q_token_count_docs,
         "chunk_docs": q_chunk_docs,
         "cdc_docs": q_cdc_docs,
+        "bpe_docs": q_bpe_docs,
         "pack_docs": q_pack_docs,
         "boilerplate_docs": q_boilerplate_docs,
         "lang_id_docs": q_lang_id_docs,
@@ -5176,6 +5217,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST({RIPLEY_AREA!r} AS DOUBLE) * CAST(n_pairs AS DOUBLE)
                      / CAST(n * (n - 1) AS DOUBLE) AS k_hat
             FROM unp, nn
+        """,
+        # Gini: same exact Lorenz sums
+        "gini_events": """
+            WITH b AS (SELECT event_type AS g,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                       FROM events WHERE value IS NOT NULL),
+            r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS i
+                  FROM b),
+            a AS (SELECT g, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS total,
+                         CAST(SUM(i * v) AS BIGINT) AS iw
+                  FROM r GROUP BY 1)
+            SELECT g AS event_type, CAST(n AS BIGINT) AS n, total,
+                   CASE WHEN total = 0 THEN 0.0
+                        ELSE 2.0 * iw / (n * total) - CAST(n + 1 AS DOUBLE) / n
+                   END AS gini
+            FROM a
+        """,
+        # Spearman: identical integer twice-ranks via value-range counts
+        "spearman_events": """
+            WITH b AS (SELECT event_type AS g,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+                              CAST(length(props) AS BIGINT) AS y
+                       FROM events
+                       WHERE value IS NOT NULL AND props IS NOT NULL),
+            r AS (SELECT g,
+                         COALESCE(COUNT(*) OVER (PARTITION BY g ORDER BY x
+                             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+                         + COUNT(*) OVER (PARTITION BY g ORDER BY x
+                             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rx,
+                         COALESCE(COUNT(*) OVER (PARTITION BY g ORDER BY y
+                             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+                         + COUNT(*) OVER (PARTITION BY g ORDER BY y
+                             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ry
+                  FROM b),
+            a AS (SELECT g, COUNT(*) AS n,
+                         CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+                         CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+                         CAST(SUM(ry * ry) AS BIGINT) AS syy,
+                         CAST(SUM(rx * ry) AS BIGINT) AS sxy
+                  FROM r GROUP BY 1)
+            SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+                   CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                        THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                                * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                   END AS rho
+            FROM a
         """,
         # Benford: string-head digit, full 9-digit grid per group
         "benford_events": """

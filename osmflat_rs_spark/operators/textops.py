@@ -1326,3 +1326,137 @@ def cdc_chunks(
         F.col("_c.n_tok").alias("n_tok"),
         F.col("_c.digest").alias("digest"),
     )
+
+
+def _bpe_merge_expr(sym, a: str, b: str):
+    """Greedy left-to-right in-row merge of adjacent (a, b) → 'ab' over
+    a symbol array — one fold; F.get (not element_at) keeps the
+    empty-accumulator probe NULL-safe under ANSI mode."""
+    return F.aggregate(
+        sym,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.get(acc, F.size(acc) - 1) == a) & (s == b),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 20,
+    max_word_len: int = 32,
+):
+    """Learn a byte-pair-encoding merge table from a corpus (Sennrich
+    et al. 2016, the subword tokenizer-training algorithm behind
+    GPT-2/RoBERTa vocabularies, word-internal variant) → (rank, left,
+    right, freq): at each rank, the corpus-wide most frequent adjacent
+    symbol pair (ties broken lexicographically — fully deterministic),
+    merged greedily left-to-right before the next round.
+
+    Scale shape — the part that matters at 100 TB: the corpus is
+    touched ONCE (tokenize → (word, freq) aggregate); all ``n_merges``
+    rounds run on that VOCABULARY table (Heaps-bounded, millions of
+    rows where the corpus has trillions): per round one in-row
+    adjacent-pair explode + weighted groupBy, a ONE-ROW argmax collect
+    (the bounded driver action — same class as the IVF trainer's k×dim
+    pull), and an in-row fold re-segmentation. ``localCheckpoint``
+    truncates the growing lineage each round so round r's plan does
+    not replay rounds 0..r−1. Stops early when no pair repeats.
+    Words longer than ``max_word_len`` chars are dropped (runaway
+    tokens — URLs, DNA — would dominate the fold cost; standard
+    practice). Deterministic end-to-end, so a pytest reference BPE
+    reproduces the table exactly.
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    wf = (
+        df.select(F.explode(words_expr(F.col(text_col))).alias("w"))
+        .filter((F.col("w") != "") & (F.length("w") <= max_word_len))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # char split: substring(w, i, 1) per position
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")), lambda i: F.col("w").substr(i, F.lit(1))
+    )
+    words = wf.select("freq", chars.alias("sym")).localCheckpoint(eager=True)
+    merges = []
+    for r in range(n_merges):
+        n = F.size("sym")
+        pairs = words.select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice("sym", 1, n - 1),
+                    F.slice("sym", 2, n - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.col("c").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["c"] < 2:
+            break
+        a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
+        merges.append((r, a, b, c))
+        words = words.select(
+            "freq", _bpe_merge_expr(F.col("sym"), a, b).alias("sym")
+        ).localCheckpoint(eager=True)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, freq long"
+    )
+
+
+def bpe_apply(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges,
+    max_word_len: int = 32,
+) -> DataFrame:
+    """Tokenize with a learned BPE merge table → (id, n_words,
+    n_subwords, subwords): every word is char-split and the merges
+    replay IN RANK ORDER (the same greedy fold as training — parity by
+    construction, both sides call ``_bpe_merge_expr``). ``merges`` is
+    the trainer's output DataFrame or a [(rank, left, right)] list;
+    the table is collected driver-side (it is vocabulary-small by
+    definition) and compiled into one chained in-row expression — the
+    application pass is map-only, zero shuffle, zero Python. Words
+    longer than ``max_word_len`` pass through unsplit (mirroring the
+    trainer's drop rule without losing text)."""
+    if hasattr(merges, "collect"):
+        rows = [(r["rank"], r["left"], r["right"]) for r in merges.collect()]
+    else:
+        rows = [(r[0], r[1], r[2]) for r in merges]
+    rows.sort()
+    ws = words_expr(F.col(text_col))
+    word_sub = F.when(
+        F.length(F.col("x")) <= max_word_len,
+        F.transform(
+            F.sequence(F.lit(1), F.length(F.col("x"))),
+            lambda i: F.col("x").substr(i, F.lit(1)),
+        ),
+    ).otherwise(F.array(F.col("x")))
+    base = df.select(
+        F.col(id_col), F.posexplode(ws).alias("_wi", "x")
+    ).filter(F.col("x") != "")
+    sym = word_sub
+    for _, a, b in rows:
+        sym = _bpe_merge_expr(sym, a, b)
+    per_word = base.select(id_col, "_wi", sym.alias("_sub"))
+    ordered = F.array_sort(F.collect_list(F.struct("_wi", "_sub")))
+    return per_word.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.size("_sub")).alias("n_subwords"),
+        F.flatten(F.transform(ordered, lambda e: e["_sub"])).alias("subwords"),
+    )

@@ -749,3 +749,121 @@ def benford(
         F.round(p, 9).alias("benford_p"),
         F.round(F.sum("_c").over(w), 6).alias("chi2"),
     )
+
+
+def gini(
+    df,
+    group_col: str,
+    col: str,
+):
+    """Per-group Gini coefficient → (group, n, total, gini): the
+    inequality of a non-negative value across a group, G =
+    (2·Σ i·x₍ᵢ₎)/(n·Σx) − (n+1)/n over the ascending sort (the exact
+    discrete Lorenz form; ties get deterministic ranks — equal values
+    share mass, so any tie order yields the same Σ i·x₍ᵢ₎ only under
+    the (value, arbitrary) sort, which is why the rank is assigned by
+    value alone and the identity Σ i·x over ANY value-sorted order is
+    tie-invariant: permuting equal x across adjacent ranks leaves the
+    products' sum unchanged). G = 0 ⇔ perfectly equal, → 1 ⇔ one row
+    holds everything. The economics twin of the spatial
+    :func:`~osmflat_rs_spark.operators.hotspot.segregation_h`.
+
+    Scale shape: one window sort per group (rank + weighted sum are
+    the same pass), one aggregate. EVERYTHING up to the final two
+    divisions is exact int64 (Σ i·x bounded by n·max·n — callers keep
+    n²·max < 2^63), so the output is one deterministic IEEE expression
+    — no rounding contract. Negative values raise (Gini is undefined);
+    NULLs are dropped; n = 1 yields G = 0.
+    """
+    from pyspark.sql import Window
+
+    base = df.filter(F.col(col).isNotNull()).select(
+        F.col(group_col).alias("_g"), F.col(col).cast("long").alias("_v")
+    )
+    w = Window.partitionBy("_g").orderBy("_v")
+    r = base.withColumn("_i", F.row_number().over(w))
+    a = r.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_v").alias("total"),
+        F.min("_v").alias("_mn"),
+        F.sum(F.col("_i") * F.col("_v")).alias("_iw"),
+    )
+    g = (
+        F.lit(2.0) * F.col("_iw") / (F.col("n") * F.col("total"))
+        - (F.col("n") + 1).cast("double") / F.col("n")
+    )
+    out = a.select(
+        F.col("_g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        "total",
+        F.when(F.col("_mn") < 0, F.raise_error("gini: negative values"))
+        .when(F.col("total") == 0, F.lit(0.0))
+        .otherwise(g)
+        .alias("gini"),
+    )
+    return out
+
+
+def spearman(
+    df,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+):
+    """Per-group Spearman rank correlation → (group, n, rho): Pearson
+    correlation of AVERAGE ranks (the tie-correct textbook form, not
+    the 6Σd²/n(n²−1) shortcut, which is wrong under ties) between two
+    columns — the monotone-association screen that survives outliers
+    and nonlinear scales where raw Pearson does not.
+
+    Scale shape: two window passes per group (one sort per variable;
+    average rank = (2·row-range midpoint) kept as an EXACT INTEGER
+    twice-rank, so rank arithmetic never touches floats), then one
+    closed-form six-sum aggregate. With twice-ranks r ∈ [2, 2n],
+    every sum is exact int64 (callers keep n³ < 2^61), and rho is one
+    deterministic IEEE expression — no rounding contract. Degenerate
+    groups (any constant variable, or n < 2) yield NULL rho. NULL
+    pairs are dropped whole (both columns must be present).
+    """
+    from pyspark.sql import Window
+
+    base = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()).select(
+        F.col(group_col).alias("_g"),
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+
+    def twice_rank(c):
+        # average rank of a tie run = (first + last)/2; doubled to stay
+        # integer: 2*avg = min_rank + max_rank, via two cumulative
+        # counts over the same sort
+        w_lt = Window.partitionBy("_g").orderBy(F.col(c)).rangeBetween(
+            Window.unboundedPreceding, -1
+        )
+        w_le = Window.partitionBy("_g").orderBy(F.col(c)).rangeBetween(
+            Window.unboundedPreceding, 0
+        )
+        n_lt = F.coalesce(F.count(F.lit(1)).over(w_lt), F.lit(0))
+        n_le = F.count(F.lit(1)).over(w_le)
+        return n_lt + 1 + n_le  # (n_lt + 1) + n_le = min + max rank
+
+    r = base.withColumn("_rx", twice_rank("_x")).withColumn("_ry", twice_rank("_y"))
+    a = r.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_rx").alias("_sx"),
+        F.sum("_ry").alias("_sy"),
+        F.sum(F.col("_rx") * F.col("_rx")).alias("_sxx"),
+        F.sum(F.col("_ry") * F.col("_ry")).alias("_syy"),
+        F.sum(F.col("_rx") * F.col("_ry")).alias("_sxy"),
+    )
+    num = (F.col("n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+    dx = F.col("n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    dy = F.col("n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    return a.select(
+        F.col("_g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.when(
+            (dx > 0) & (dy > 0),
+            num / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))),
+        ).alias("rho"),
+    )

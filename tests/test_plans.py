@@ -728,3 +728,72 @@ def test_benford_matches_counter_model(spark):
             assert r["frac"] == c.get(d, 0) / n
             assert r["benford_p"] == round(math.log10(1 + 1 / d), 9)
             assert abs(r["chi2"] - chi2) < 1e-5
+
+
+def test_gini_matches_model_and_extremes(spark):
+    """Exact Lorenz-form Gini against the sorted model; 0 for equal
+    values, -> 1 for one-holder; tie-order invariance under
+    repartition; negative values raise at evaluation."""
+    import numpy as np
+
+    from osmflat_rs_spark.plans.indexing import gini
+
+    rng = np.random.default_rng(137)
+    rows = [("r", int(v)) for v in rng.integers(0, 1000, 200)]
+    rows += [("eq", 7)] * 50
+    rows += [("one", 0)] * 99 + [("one", 10_000)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    for d in (df, df.repartition(7)):
+        got = {r["g"]: r.asDict() for r in gini(d, "g", "v").collect()}
+        for g in ("r", "eq", "one"):
+            vs = sorted(v for gg, v in rows if gg == g)
+            n, tot = len(vs), sum(vs)
+            want = 2.0 * sum((i + 1) * v for i, v in enumerate(vs)) / (n * tot) - (n + 1) / n
+            assert abs(got[g]["gini"] - want) < 1e-12
+            assert got[g]["n"] == n and got[g]["total"] == tot
+        assert got["eq"]["gini"] == 0.0
+        assert got["one"]["gini"] > 0.98
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    neg = spark.createDataFrame([("x", -1)], "g string, v long")
+    with _pytest.raises(Exception):
+        gini(neg, "g", "v").collect()
+
+
+def test_spearman_matches_scipy_style_model(spark):
+    """Tie-correct rho equals Pearson-on-average-ranks computed in
+    numpy (scipy definition); monotone data gives rho=1; constant
+    column gives NULL."""
+    import numpy as np
+
+    from osmflat_rs_spark.plans.indexing import spearman
+
+    rng = np.random.default_rng(139)
+    xs = rng.integers(0, 50, 300)   # heavy ties
+    ys = xs * 3 + rng.integers(-40, 40, 300)
+    rows = [("a", int(x), int(y)) for x, y in zip(xs, ys)]
+    rows += [("mono", i, i * i) for i in range(20)]
+    rows += [("const", 5, i) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {r["g"]: r.asDict() for r in spearman(df, "g", "x", "y").collect()}
+
+    def avg_ranks(v):
+        v = np.asarray(v)
+        order = np.argsort(v, kind="mergesort")
+        ranks = np.empty(len(v), dtype=float)
+        sv = v[order]
+        i = 0
+        while i < len(v):
+            j = i
+            while j + 1 < len(v) and sv[j + 1] == sv[i]:
+                j += 1
+            ranks[order[i : j + 1]] = (i + j) / 2 + 1
+            i = j + 1
+        return ranks
+
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    want = np.corrcoef(rx, ry)[0, 1]
+    assert abs(got["a"]["rho"] - want) < 1e-12
+    assert abs(got["mono"]["rho"] - 1.0) < 1e-12
+    assert got["const"]["rho"] is None

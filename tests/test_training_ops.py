@@ -2501,3 +2501,58 @@ def test_cdc_chunks_model_and_shift_resilience(spark):
     d1 = [d for _, _, _, d in got[1]][1:]
     d2 = {d for _, _, _, d in got[2]}
     assert all(d in d2 for d in d1)
+
+
+def test_bpe_train_matches_reference_and_apply_parity(spark):
+    """Distributed trainer reproduces an independent pure-Python BPE
+    (Sennrich tie-broken lexicographically) merge-for-merge on a random
+    corpus; apply replays the merges with per-doc subword counts
+    consistent with the reference segmentation."""
+    from collections import Counter
+
+    from osmflat_rs_spark.operators.textops import bpe_apply, bpe_train
+
+    rng = np.random.default_rng(149)
+    vocab = ["low", "lower", "lowest", "new", "newer", "newest", "wide", "wider"]
+    docs = [
+        (i, " ".join(rng.choice(vocab, size=int(rng.integers(3, 15)))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    K = 12
+    got = [(r["rank"], r["left"], r["right"], r["freq"])
+           for r in bpe_train(df, "text", n_merges=K).collect()]
+
+    # independent reference
+    wf = Counter(w for _, tx in docs for w in tx.split())
+    words = {w: [c for c in w] for w in wf}
+    want = []
+    for r in range(K):
+        pc = Counter()
+        for w, sym in words.items():
+            for a, b in zip(sym, sym[1:]):
+                pc[(a, b)] += wf[w]
+        if not pc:
+            break
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < 2:
+            break
+        want.append((r, a, b, c))
+        for w, sym in words.items():
+            out = []
+            for s in sym:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            words[w] = out
+    assert got == want, (got, want)
+
+    app = {r["doc_id"]: r.asDict()
+           for r in bpe_apply(df, "doc_id", "text", bpe_train(df, "text", n_merges=K)).collect()}
+    for i, tx in docs:
+        ws = tx.split()
+        segs = [s for w in ws for s in words[w]]
+        assert app[i]["n_words"] == len(ws)
+        assert app[i]["n_subwords"] == len(segs)
+        assert app[i]["subwords"] == segs
