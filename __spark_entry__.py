@@ -1649,6 +1649,26 @@ def q_gravity_events(spark, sf_dir):
     return gravity_calibrate(flows, "o", "d", "t", "d2")
 
 
+def q_kriging_events(spark, sf_dir):
+    """Ordinary kriging at the kNN query lattice (k=8, exponential
+    variogram): batched (k+1)-square Arrow solves over bulk-kNN
+    neighborhoods. Dense linear solves are not SQL-restatable, so this
+    gate is rows-only; the NumPy reference-solve pytest is the
+    correctness check (BPE/IVF-trainer precedent)."""
+    _prep(spark)
+    from osmflat_rs_spark.operators.interpolate import kriging_interpolate
+
+    pts = _synth_coords(_t(spark, sf_dir, "events")).select(
+        "event_id", "lat", "lon",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    q = spark.createDataFrame(KNN_QUERIES, schema="query_id string, lat long, lon long")
+    return kriging_interpolate(
+        pts, q, value_col="v", k=8, nugget=100.0, sill=2500.0,
+        range_=float(KNN_RADIUS_FIXED), res=CELL_RES,
+    )
+
+
 def q_coloc_events(spark, sf_dir):
     """Spatiotemporal co-location self-join (``coloc.coloc_pairs``, r5)
     — all event pairs within BOTH the gate radius and the 1h window, via
@@ -4376,6 +4396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contour_events": q_contour_events,
         "pip_anti_events": q_pip_anti_events,
         "idw_events": q_idw_events,
+        "kriging_events": q_kriging_events,
         "hotspot_events": q_hotspot_events,
         "dwell_events": q_dwell_events,
         "geofence_events": q_geofence_events,

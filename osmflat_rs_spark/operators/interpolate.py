@@ -331,3 +331,138 @@ def gravity_calibrate(
         F.when(ok, F.round(icept, 9)).alias("intercept"),
         F.when(ok & (deny != 0), F.round(num * num / (den * deny), 9)).alias("r2"),
     )
+
+
+def kriging_interpolate(
+    points: "DataFrame",
+    queries: "DataFrame",
+    value_col: str = "value",
+    k: int = 8,
+    nugget: float = 0.0,
+    sill: float = 1.0,
+    range_: float = 1.0,
+    model: str = "exponential",
+    id_col: str = "event_id",
+    **knn_kwargs,
+):
+    """Ordinary kriging → (query_id, kriged, kvar, n_neighbors): the
+    BLUE spatial interpolator (Matheron 1963/Cressie 1993) — per query,
+    weights solve the (k+1)×(k+1) ordinary-kriging system
+    [Γ 1; 1ᵀ 0]·[w; λ] = [γ(q,·); 1] under a fitted variogram model
+    γ(d) = nugget + (sill−nugget)·f(d/range) (f exponential 1−e^(−3h)
+    or spherical), prediction = Σwᵢzᵢ and kriging VARIANCE =
+    Σwᵢγ(q,i) + λ — the uncertainty surface IDW cannot give. Feed
+    (nugget, sill, range) from :func:`empirical_variogram`'s fitted
+    curve; this operator deliberately takes them as parameters (model
+    fitting is a tiny driver-side regression over the variogram
+    table).
+
+    Scale shape: neighbors come from ``knn_join_bulk`` (cell-cover
+    candidates, no crossJoin); ONE id-equi-join back fetches each
+    neighbor's (lat, lon, z); per-query groups collapse in-row
+    (array_sort(collect_list) — deterministic by neighbor id) and the
+    solves run BATCHED in one Arrow ``applyInPandas`` pass per
+    partition: queries stack into an (nq, k+1, k+1) tensor and ONE
+    vectorized ``np.linalg.solve`` handles the whole batch — no
+    per-query Python loop, no driver participation. Exactly-k groups
+    only (under-populated neighborhoods yield NULL prediction with
+    n_neighbors < k reported — flag, don't extrapolate).
+
+    Not SQL-restatable (dense linear solve), so gates carry no
+    oracle_sql; correctness is pinned by a direct NumPy
+    reference-model pytest (the BPE/IVF-trainer precedent).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if model not in ("exponential", "spherical"):
+        raise ValueError(f"unknown variogram model: {model!r}")
+    if sill < nugget or nugget < 0 or range_ <= 0:
+        raise ValueError(f"need 0 <= nugget <= sill and range > 0, got {nugget}, {sill}, {range_}")
+    from osmflat_rs_spark.operators.knn import knn_join_bulk
+
+    kw = dict(knn_kwargs)
+    kw.setdefault("metric", "sqeuclid")
+    nn = knn_join_bulk(points, queries, k=k, id_col=id_col, **kw)
+    pts = points.select(
+        F.col(id_col),
+        F.col("lat").alias("_plat"),
+        F.col("lon").alias("_plon"),
+        F.col(value_col).cast("double").alias("_z"),
+    )
+    qxy = queries.select("query_id", F.col("lat").alias("_qlat"), F.col("lon").alias("_qlon"))
+    j = nn.join(pts, id_col).join(qxy, "query_id")
+    grouped = j.groupBy("query_id").agg(
+        F.first("_qlat").alias("qlat"),
+        F.first("_qlon").alias("qlon"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).cast("string").alias("nid"),
+                    F.col("_plat").alias("la"),
+                    F.col("_plon").alias("lo"),
+                    F.col("_z").alias("z"),
+                )
+            )
+        ).alias("nb"),
+    )
+    nug, si, rg = float(nugget), float(sill), float(range_)
+    mdl = model
+
+    def solve_fn(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            full = pdf[pdf["nb"].map(len) == k].reset_index(drop=True)
+            part = pdf[pdf["nb"].map(len) != k]
+            out_rows = []
+            if len(full):
+                nq = len(full)
+                la = np.array([[e["la"] for e in nb] for nb in full["nb"]], dtype=np.float64)
+                lo = np.array([[e["lo"] for e in nb] for nb in full["nb"]], dtype=np.float64)
+                z = np.array([[e["z"] for e in nb] for nb in full["nb"]], dtype=np.float64)
+                qla = full["qlat"].to_numpy(np.float64)[:, None]
+                qlo = full["qlon"].to_numpy(np.float64)[:, None]
+
+                def gamma(d):
+                    h = d / rg
+                    if mdl == "exponential":
+                        f = 1.0 - np.exp(-3.0 * h)
+                    else:
+                        f = np.where(h >= 1.0, 1.0, 1.5 * h - 0.5 * h**3)
+                    g = nug + (si - nug) * f
+                    return np.where(d == 0.0, 0.0, g)
+
+                dij = np.sqrt(
+                    (la[:, :, None] - la[:, None, :]) ** 2
+                    + (lo[:, :, None] - lo[:, None, :]) ** 2
+                )
+                dq = np.sqrt((la - qla) ** 2 + (lo - qlo) ** 2)
+                A = np.zeros((nq, k + 1, k + 1))
+                A[:, :k, :k] = gamma(dij)
+                A[:, k, :k] = 1.0
+                A[:, :k, k] = 1.0
+                b = np.ones((nq, k + 1))
+                b[:, :k] = gamma(dq)
+                try:
+                    sol = np.linalg.solve(A, b[:, :, None])[:, :, 0]
+                except np.linalg.LinAlgError:
+                    # coincident neighbors make singular systems; fall
+                    # back to per-query least squares for this batch
+                    sol = np.stack(
+                        [np.linalg.lstsq(A[i], b[i], rcond=None)[0] for i in range(nq)]
+                    )
+                w, lam = sol[:, :k], sol[:, k]
+                pred = (w * z).sum(axis=1)
+                kvar = (w * gamma(dq)).sum(axis=1) + lam
+                for i in range(nq):
+                    out_rows.append((full["query_id"].iloc[i], float(pred[i]), float(kvar[i]), k))
+            for _, r in part.iterrows():
+                out_rows.append((r["query_id"], None, None, len(r["nb"])))
+            yield pd.DataFrame(out_rows, columns=["query_id", "kriged", "kvar", "n_neighbors"])
+
+    return grouped.mapInPandas(
+        solve_fn, "query_id string, kriged double, kvar double, n_neighbors int"
+    )

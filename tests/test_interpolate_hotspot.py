@@ -1039,3 +1039,64 @@ def test_segregation_h_extremes_and_model(spark):
         assert abs(r["entropy"] - E) < 1e-5
         if expect is not None:
             assert abs(r["h"] - expect) < 1e-6
+
+
+def test_kriging_matches_numpy_reference(spark):
+    """Batched kriging equals a direct per-query NumPy reference solve
+    (weights sum to 1, exact-hit honors the data), variance positive
+    away from data; under-populated neighborhoods yield NULL."""
+    from osmflat_rs_spark.operators.interpolate import kriging_interpolate
+
+    rng = np.random.default_rng(151)
+    pts = [
+        (i, int(rng.integers(0, 2_000_000)), int(rng.integers(0, 2_000_000)),
+         float(rng.uniform(-10, 10)))
+        for i in range(120)
+    ]
+    qs = [(f"q{i}", int(rng.integers(0, 2_000_000)), int(rng.integers(0, 2_000_000)))
+          for i in range(15)]
+    pdf = spark.createDataFrame(pts, "event_id long, lat long, lon long, value double")
+    qdf = spark.createDataFrame(qs, "query_id string, lat long, lon long")
+    k, nug, sill, rng_m = 6, 0.1, 2.0, 800_000.0
+    got = {
+        r["query_id"]: r.asDict()
+        for r in kriging_interpolate(
+            pdf, qdf, k=k, nugget=nug, sill=sill, range_=rng_m,
+            model="exponential", res=12,
+        ).collect()
+    }
+
+    def gamma(d):
+        if d == 0:
+            return 0.0
+        return nug + (sill - nug) * (1.0 - np.exp(-3.0 * d / rng_m))
+
+    for qid, qla, qlo in qs:
+        # reference: k nearest by (d2, id), direct solve
+        nb = sorted(pts, key=lambda p: ((p[1] - qla) ** 2 + (p[2] - qlo) ** 2, p[0]))[:k]
+        A = np.zeros((k + 1, k + 1))
+        for i in range(k):
+            for j in range(k):
+                dij = np.hypot(nb[i][1] - nb[j][1], nb[i][2] - nb[j][2])
+                A[i, j] = gamma(dij)
+            A[i, k] = A[k, i] = 1.0
+        b = np.ones(k + 1)
+        for i in range(k):
+            b[i] = gamma(np.hypot(nb[i][1] - qla, nb[i][2] - qlo))
+        sol = np.linalg.solve(A, b)
+        pred = sum(sol[i] * nb[i][3] for i in range(k))
+        kvar = sum(sol[i] * b[i] for i in range(k)) + sol[k]
+        r = got[qid]
+        assert r["n_neighbors"] == k
+        assert abs(r["kriged"] - pred) < 1e-6, qid
+        assert abs(r["kvar"] - kvar) < 1e-6
+        assert r["kvar"] > -1e-9
+    # under-populated: more neighbors requested than points exist
+    small = spark.createDataFrame(pts[:3], "event_id long, lat long, lon long, value double")
+    r = kriging_interpolate(small, qdf.limit(1), k=6, nugget=nug, sill=sill,
+                            range_=rng_m, res=12).collect()[0]
+    assert r["kriged"] is None and r["n_neighbors"] < 6
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kriging_interpolate(pdf, qdf, k=6, nugget=2.0, sill=1.0, range_=1.0)
