@@ -2482,6 +2482,21 @@ def q_cusum_events(spark, sf_dir):
     return cusum_scan(ev, "event_type", "event_id", "v", mu=5000, slack=1000, h=20000)
 
 
+def q_isotonic_events(spark, sf_dir):
+    """Weighted isotonic regression of cents value on capped props
+    length per event_type: corpus collapses to (group, x) int
+    sufficient statistics, PAVA per group; the oracle reproduces the
+    sequential algorithm through the exact minimax identity."""
+    from osmflat_rs_spark.operators.trend import isotonic_fit
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.least(F.length("props"), F.lit(63)).cast("long").alias("plen"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    return isotonic_fit(ev, "event_type", "plen", "v")
+
+
 def q_trend_events(spark, sf_dir):
     """Emerging-hot-spot trend: space-time cube (ONE groupBy) →
     per-cell Mann-Kendall S with tie-corrected variance, continuity-
@@ -4414,6 +4429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_events": q_seasonal_events,
         "changepoint_events": q_changepoint_events,
         "cusum_events": q_cusum_events,
+        "isotonic_events": q_isotonic_events,
         "ols_events": q_ols_events,
         "mapmatch_events": q_mapmatch_events,
         "poly_intersect_events": q_poly_intersect_events,
@@ -6906,6 +6922,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(pk.ks AS DOUBLE) / pk.kn AS key_mean,
                    CAST(ph.s AS DOUBLE) / ph.n - CAST(pk.ks AS DOUBLE) / pk.kn AS seasonal_idx
             FROM ph JOIN pk USING (event_type)
+        """,
+        # isotonic: PAVA via the exact minimax identity over range means
+        "isotonic_events": """
+            WITH b AS (SELECT event_type AS g,
+                              LEAST(length(props), 63) AS x,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                       FROM events WHERE value IS NOT NULL),
+            a AS (SELECT g, x, COUNT(*) AS n, SUM(v) AS s FROM b GROUP BY 1, 2),
+            r AS (SELECT g, x, n, s,
+                         row_number() OVER w AS i,
+                         SUM(s) OVER w AS cs,
+                         SUM(n) OVER w AS cn
+                  FROM a WINDOW w AS (PARTITION BY g ORDER BY x
+                                      ROWS UNBOUNDED PRECEDING)),
+            rng AS (SELECT r1.g, r1.i AS j, r2.i AS l,
+                           CAST(r2.cs - (r1.cs - r1.s) AS DOUBLE)
+                           / (r2.cn - (r1.cn - r1.n)) AS av
+                    FROM r r1 JOIN r r2 ON r1.g = r2.g AND r2.i >= r1.i),
+            mn AS (SELECT ri.g, ri.i, rng.j, MIN(rng.av) AS m
+                   FROM r ri JOIN rng ON rng.g = ri.g AND rng.j <= ri.i AND rng.l >= ri.i
+                   GROUP BY 1, 2, 3),
+            ft AS (SELECT g, i, MAX(m) AS fit FROM mn GROUP BY 1, 2)
+            SELECT r.g AS event_type, CAST(r.x AS BIGINT) AS x,
+                   CAST(r.n AS BIGINT) AS n,
+                   CAST(r.s AS DOUBLE) / r.n AS y_mean, ft.fit
+            FROM r JOIN ft ON ft.g = r.g AND ft.i = r.i
         """,
         # CUSUM: drawdown identity as four window functions
         "cusum_events": """

@@ -439,3 +439,67 @@ def cusum_scan(
         (F.col("_pl") - F.least(zero, F.min("_pl").over(w))).alias("s_lo"),
     )
     return r.withColumn("alarm", (F.col("s_hi") > h) | (F.col("s_lo") > h))
+
+
+def isotonic_fit(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group weighted isotonic (monotone non-decreasing) regression
+    → (group, x, n, y_mean, fit): the L2-optimal monotone fit of the
+    per-x means, computed by pool-adjacent-violators (PAVA; Barlow et
+    al. 1972) — THE calibration primitive (probability calibration,
+    monotone response curves, dose-response) sklearn users reach for.
+
+    Scale shape: the corpus collapses FIRST into the (group, x)
+    sufficient statistics (exact int64 Σv and n — one map-side-combined
+    groupBy; this is the only corpus-sized work), then PAVA runs per
+    group over the x-domain table (bounded by |x| distinct values) in
+    one Arrow pass. Fitted values are pooled-block means
+    (Σ_block v)/(n_block) — exact int sums divided once — so they are
+    bit-identical to the closed-form minimax characterization
+    fit(i) = max_{j≤i} min_{l≥i} avg(j..l), which is how the SQL
+    oracle reproduces the sequential algorithm WITHOUT recursion
+    (O(|x|³) per group — fine for the bounded domain, impossible for
+    the corpus; the identity is the whole trick). NULLs drop; x must
+    be integer-ordered.
+    """
+    import pandas as pd
+
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).cast("string").alias("g"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    agg = base.groupBy("g", "x").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    )
+
+    def pava(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("x", kind="mergesort").reset_index(drop=True)
+        # stack of blocks [x_start_idx, S, W]
+        blocks = []
+        for i in range(len(pdf)):
+            s, w = int(pdf["s"].iloc[i]), int(pdf["n"].iloc[i])
+            blocks.append([i, s, w])
+            while len(blocks) > 1 and blocks[-2][1] * blocks[-1][2] >= blocks[-1][1] * blocks[-2][2]:
+                _, s1, w1 = blocks.pop()
+                blocks[-1][1] += s1
+                blocks[-1][2] += w1
+        fit = [0.0] * len(pdf)
+        for bi, (start, s, w) in enumerate(blocks):
+            end = blocks[bi + 1][0] if bi + 1 < len(blocks) else len(pdf)
+            for i in range(start, end):
+                fit[i] = s / w
+        out = pdf[["g", "x", "n"]].copy()
+        out["y_mean"] = pdf["s"] / pdf["n"]
+        out["fit"] = fit
+        return out
+
+    return agg.groupBy("g").applyInPandas(
+        pava, "g string, x long, n long, y_mean double, fit double"
+    ).select(
+        F.col("g").alias(group_col), "x", "n", "y_mean", "fit"
+    )

@@ -249,3 +249,41 @@ def test_changepoint_amoc_finds_planted_shift(spark):
     assert got["single"]["n"] == 1 and got["single"]["t_star"] is None
     # symmetric: stat(1) == stat(2); smallest t wins
     assert got["tie"]["t_star"] == 1
+
+
+# ------------------------------------------------------------- isotonic PAVA
+
+
+def test_isotonic_fit_properties_and_hand_case(spark):
+    """PAVA fit is monotone, preserves the weighted mean, fixes the
+    textbook violator case exactly, and leaves already-monotone data
+    untouched."""
+    import numpy as np
+
+    from osmflat_rs_spark.operators.trend import isotonic_fit
+
+    # hand case: means [1, 3, 2] with weights [1, 1, 2]
+    rows = [("h", 0, 1), ("h", 1, 3), ("h", 2, 2), ("h", 2, 2)]
+    rows += [("m", 0, 1), ("m", 1, 2), ("m", 2, 5)]
+    rng = np.random.default_rng(157)
+    for x in range(30):
+        for _ in range(int(rng.integers(1, 8))):
+            rows.append(("r", x, int(rng.integers(0, 100)) + 2 * x))
+    df = spark.createDataFrame(rows, "g string, x long, v long")
+    got = {}
+    for r in isotonic_fit(df, "g", "x", "v").collect():
+        got.setdefault(r["g"], {})[r["x"]] = r
+    # violator pooled: blocks {1}, then {3,2,2} -> (3+4)/3
+    assert got["h"][0]["fit"] == 1.0
+    assert abs(got["h"][1]["fit"] - 7 / 3) < 1e-15
+    assert got["h"][2]["fit"] == got["h"][1]["fit"]
+    # monotone input unchanged
+    for x in (0, 1, 2):
+        assert got["m"][x]["fit"] == got["m"][x]["y_mean"]
+    # random group: monotone + weighted-mean preserving
+    xs = sorted(got["r"])
+    fits = [got["r"][x]["fit"] for x in xs]
+    assert all(a <= b + 1e-12 for a, b in zip(fits, fits[1:]))
+    wsum = sum(got["r"][x]["n"] * got["r"][x]["fit"] for x in xs)
+    vsum = sum(v for g, x, v in rows if g == "r")
+    assert abs(wsum - vsum) < 1e-6
