@@ -3014,6 +3014,29 @@ def q_cohort_events(spark, sf_dir):
     )
 
 
+def q_attribution_events(spark, sf_dir):
+    """Last-touch + linear attribution of purchases to view/click
+    touches within 1h: asof window for last-touch, bounded range join +
+    exact 1/n split for linear. Touch ties pre-reduced to min channel
+    per (user, ts) for cross-engine determinism."""
+    from osmflat_rs_spark.operators.sessions import attribution
+
+    e = _t(spark, sf_dir, "events")
+    touches = (
+        e.filter(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_type").alias("event_type"))
+    )
+    ev = touches.unionByName(
+        e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_type")
+    )
+    return attribution(
+        ev, "user_id", "ts", "event_type",
+        touch_types=("view", "click"), conversion_type="purchase",
+        window_us=3_600_000_000,
+    )
+
+
 def q_funnel_events(spark, sf_dir):
     """Ordered conversion funnel view→click→purchase: K bounded passes
     (filter pushed to scan + min-agg + equi-join on the shrinking
@@ -4472,6 +4495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freq_pairs_docs": q_freq_pairs_docs,
         "service_areas_events": q_service_areas_events,
         "funnel_events": q_funnel_events,
+        "attribution_events": q_attribution_events,
         "scd2_events": q_scd2_events,
         "cohort_events": q_cohort_events,
         "transitions_events": q_transitions_events,
@@ -6993,6 +7017,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(t AS BIGINT) AS t_star, o AS split_order,
                    ml AS mean_l, mr AS mean_r, st AS stat
             FROM rk WHERE rn = 1
+        """,
+        # attribution: native ASOF for last-touch, window 1/n for linear
+        "attribution_events": """
+            WITH touches AS (SELECT user_id AS u, epoch_us(ts) AS tt,
+                                    MIN(event_type) AS channel
+                             FROM events WHERE event_type IN ('view', 'click')
+                             GROUP BY 1, 2),
+            convs AS (SELECT user_id AS u, epoch_us(ts) AS ct,
+                             row_number() OVER () AS cid
+                      FROM events WHERE event_type = 'purchase'),
+            last AS (SELECT c.cid, t.channel, c.ct - t.tt AS gap
+                     FROM convs c ASOF LEFT JOIN touches t
+                       ON c.u = t.u AND c.ct >= t.tt),
+            nl AS (SELECT channel, COUNT(*) AS n_last FROM last
+                   WHERE channel IS NOT NULL AND gap <= 3600000000
+                   GROUP BY 1),
+            pairs AS (SELECT c.cid, t.channel
+                      FROM convs c JOIN touches t
+                        ON c.u = t.u AND t.tt <= c.ct
+                       AND t.tt >= c.ct - 3600000000),
+            pc AS (SELECT cid, COUNT(*) AS n FROM pairs GROUP BY 1),
+            lin2 AS (SELECT p.channel, SUM(1.0 / pc.n) AS credit_linear
+                     FROM pairs p JOIN pc USING (cid) GROUP BY 1),
+            base(channel) AS (VALUES ('view'), ('click'))
+            SELECT b.channel,
+                   COALESCE(nl.n_last, 0) AS n_last,
+                   ROUND(COALESCE(lin2.credit_linear, 0.0), 6) AS credit_linear
+            FROM base b LEFT JOIN nl USING (channel) LEFT JOIN lin2 USING (channel)
         """,
         "asof_purchase_view": """
             SELECT l.event_id, l.user_id, r.view_event_id,

@@ -332,3 +332,88 @@ def cohort_retention(
         .groupBy("cohort", (F.col("_p") - F.col("cohort")).alias("period_offset"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def attribution(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    touch_types: tuple,
+    conversion_type: str,
+    window_us: int,
+) -> DataFrame:
+    """Marketing attribution → (channel, n_last, credit_linear): for
+    every conversion, credit the touch events that preceded it within
+    ``window_us`` — LAST-TOUCH gives the whole conversion to the most
+    recent touch (the asof discipline), LINEAR splits it 1/n across
+    every in-window touch (Shapley's uniform special case). The two
+    standard models of funnel analytics, computed in one pass each.
+
+    Scale shape: last-touch is ONE union-tag window (the
+    ``asof_join`` trade — no per-conversion candidate blow-up);
+    linear is one range join bounded by the window (each conversion
+    matches only its ≤ window touches — the same bounded-output
+    contract as the interval join) followed by an exact 1/n split:
+    n is an exact int, so each conversion contributes exactly 1.0 of
+    credit and Σcredit_linear = conversions with in-window touches
+    (asserted in tests). Credit fractions are single IEEE divisions;
+    the final per-channel sums are the only reassociation-sensitive
+    fold → ROUND(credit_linear, 6). Channels with last-touch wins but
+    zero linear credit (or vice versa) cannot exist by construction;
+    touch types with no credit at all still emit a (channel, 0, 0.0)
+    row so the report is total over ``touch_types``. The per-conversion
+    1/n count is a window over the bounded pair table (NOT a broadcast
+    of the conversions-sized count map). Determinism caveat: touches
+    sharing one exact timestamp tie arbitrarily for last-touch —
+    pre-reduce such ties (e.g. min channel per (user, ts)) when exact
+    reproducibility is required, as the gate does.
+    """
+    from osmflat_rs_spark.operators.asof import asof_join
+
+    if window_us <= 0:
+        raise ValueError(f"window_us must be > 0, got {window_us}")
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    touches = events.filter(F.col(type_col).isin(*touch_types)).select(
+        F.col(user_col).alias("u"), t.alias("tt"),
+        F.col(ts_col).alias("_rts"), F.col(type_col).alias("channel")
+    )
+    convs = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("u"), t.alias("ct"),
+        F.col(ts_col).alias("_rts"),
+        F.monotonically_increasing_id().alias("_cid"),
+    )
+    # last touch: asof backward with tolerance (asof_join owns the
+    # timestamp->us conversion; hand it the raw timestamp column)
+    last = asof_join(
+        convs.select("u", F.col("_rts").alias("ts"), "_cid"),
+        touches.select("u", F.col("_rts").alias("ts"), "channel"),
+        on="u",
+        direction="backward",
+        tolerance_us=window_us,
+    )
+    n_last = last.filter(F.col("channel_right").isNotNull()).groupBy(
+        F.col("channel_right").alias("channel")
+    ).agg(F.count(F.lit(1)).alias("n_last"))
+    # linear: bounded range join, exact 1/n split per conversion
+    pairs = convs.join(touches, "u").filter(
+        (F.col("tt") <= F.col("ct")) & (F.col("tt") >= F.col("ct") - F.lit(window_us))
+    )
+    wc = Window.partitionBy("_cid")
+    linear = (
+        pairs.withColumn("_n", F.count(F.lit(1)).over(wc))
+        .groupBy("channel")
+        .agg(F.sum(F.lit(1.0) / F.col("_n")).alias("credit_linear"))
+    )
+    base = events.sparkSession.createDataFrame(
+        [(c,) for c in touch_types], "channel string"
+    )
+    return (
+        base.join(n_last, "channel", "left")
+        .join(linear, "channel", "left")
+        .select(
+            "channel",
+            F.coalesce(F.col("n_last"), F.lit(0).cast("long")).alias("n_last"),
+            F.round(F.coalesce(F.col("credit_linear"), F.lit(0.0)), 6).alias("credit_linear"),
+        )
+    )
