@@ -1189,6 +1189,34 @@ def q_segregation_events(spark, sf_dir):
     return segregation_h(pts, "event_type", res=12)
 
 
+def q_emst_events(spark, sf_dir):
+    """Euclidean minimum spanning forest of the event points over the
+    bounded radius graph (w = exact int64 d2): distributed Boruvka —
+    per-component argmin + CC contraction, O(log n) rounds. Iterative
+    contraction is not SQL-restatable, so rows-only; the Prim
+    edge-set-equality pytest is the correctness check."""
+    _prep(spark)
+    from osmflat_rs_spark.operators.graph import boruvka_mst
+    from osmflat_rs_spark.operators.knn import radius_join
+
+    pts = (
+        _synth_coords(_t(spark, sf_dir, "events"))
+        .filter(F.pmod(F.col("event_id"), F.lit(4)) == 0)
+        .select("event_id", "lat", "lon")
+    )
+    q = pts.select(F.col("event_id").cast("string").alias("query_id"), "lat", "lon")
+    pairs = radius_join(
+        pts, q, radius_m=KNN_RADIUS_FIXED, res=CELL_RES, metric="sqeuclid",
+        id_col="event_id",
+    ).filter(F.col("query_id") != F.col("event_id").cast("string"))
+    edges = pairs.select(
+        F.col("query_id").cast("long").alias("src"),
+        F.col("event_id").alias("dst"),
+        F.col("dist_m").alias("w"),
+    )
+    return boruvka_mst(edges)
+
+
 def q_variogram_events(spark, sf_dir):
     """Empirical (Matheron) semivariogram over the event value field:
     ONE self radius-join at max lag (cell-cover candidates, exact int64
@@ -4402,6 +4430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_chi2_events": q_spatial_chi2_events,
         "homerange_events": q_homerange_events,
         "segregation_events": q_segregation_events,
+        "emst_events": q_emst_events,
         "huff_events": q_huff_events,
         "ipf_events": q_ipf_events,
         "winsorize_events": q_winsorize_events,

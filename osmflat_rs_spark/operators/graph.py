@@ -870,3 +870,98 @@ def random_walks(
     for o in outs[1:]:
         res = res.unionByName(o)
     return res.select("walk_id", "step", "node")
+
+
+def boruvka_mst(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Minimum spanning forest by distributed Borůvka (1926; THE
+    MST algorithm that parallelizes — Kruskal/Prim are inherently
+    sequential) → (u, v, w) edges, u < v. Each round, every component
+    picks its lightest outgoing edge (ties broken by (w, u, v) — fully
+    deterministic, which also makes the forest unique and
+    SQL-comparable even with duplicate weights), the picked edges
+    merge components via :func:`connected_components` over the
+    contracted graph, and edges inside one component drop. O(log n)
+    rounds; each is two component-keyed aggregates + one CC call —
+    nothing driver-side but the convergence counter (one scalar per
+    round). Feed it the bounded radius-join graph and the output is
+    the SINGLE-LINKAGE backbone: cutting the forest at distance d
+    reproduces dbscan-style clusters for every d ≤ rmax at once
+    (HDBSCAN's first phase).
+
+    Input edges are undirected (one row per pair suffices); self-loops
+    drop. Not SQL-restatable (iterative contraction), so gates are
+    rows-only; the pytest reference is a pure-Python Prim run asserting
+    edge-set equality (unique by the deterministic tie-break).
+    """
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).cast("long").alias("u"),
+            F.greatest(F.col(src), F.col(dst)).cast("long").alias("v"),
+            F.col(weight).cast("long").alias("w"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = e.select(F.col("u").alias("node")).unionByName(
+        e.select(F.col("v").alias("node"))
+    ).distinct()
+    comp = nodes.select("node", F.col("node").alias("c")).localCheckpoint(eager=True)
+    mst = None
+    for _ in range(max_rounds):
+        cu = comp.select(F.col("node").alias("u"), F.col("c").alias("cu"))
+        cv = comp.select(F.col("node").alias("v"), F.col("c").alias("cv"))
+        live = (
+            e.join(cu, "u").join(cv, "v")
+            .filter(F.col("cu") != F.col("cv"))
+        )
+        if live.isEmpty():
+            break
+        # each live edge is outgoing for BOTH endpoint components; the
+        # per-component argmin must see both orientations before the
+        # min (two partial minima unioned as edges would let a
+        # component adopt a non-minimal edge and close a cycle)
+        sides = live.select(F.col("cu").alias("cc"), "w", "u", "v").unionByName(
+            live.select(F.col("cv").alias("cc"), "w", "u", "v")
+        )
+        picked = (
+            sides.groupBy("cc")
+            .agg(F.min(F.struct("w", "u", "v")).alias("_b"))
+            .select(F.col("_b.u").alias("u"), F.col("_b.v").alias("v"), F.col("_b.w").alias("w"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        mst = picked if mst is None else mst.unionByName(picked).distinct().localCheckpoint(eager=True)
+        # contract INCREMENTALLY: components over the SUPERNODE graph
+        # (this round's picked edges with endpoints mapped to current
+        # component ids) — a pseudo-forest of components, whose
+        # diameter stays small; rerunning CC over the whole
+        # accumulated MST instead would hand label propagation a tree
+        # of ever-growing diameter (observed: non-convergence at 10k
+        # points), the classic Boruvka implementation mistake.
+        comp_pairs = (
+            picked.join(cu, "u").join(cv, "v")
+            .select(F.col("cu").alias("pu"), F.col("cv").alias("pv"))
+            .filter(F.col("pu") != F.col("pv"))
+        )
+        sub = connected_components(comp_pairs, src="pu", dst="pv").select(
+            F.col("node").alias("_oc"), F.col("component").alias("_nc")
+        )
+        comp = (
+            comp.join(sub, comp["c"] == F.col("_oc"), "left")
+            .select("node", F.coalesce(F.col("_nc"), F.col("c")).alias("c"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        mst if mst is not None
+        else e.filter(F.lit(False)).select("u", "v", "w")
+    )
