@@ -3902,6 +3902,19 @@ def q_embedding_neardup_srp(spark, sf_dir):
     )
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Contrastive hard negatives for anchors 0,1,2: top-5 most similar
+    embeddings with a DIFFERENT label, rounded-cosine rank, vec_id
+    ties — the training-loop negative miner over the embeddings table."""
+    from osmflat_rs_spark.operators.ann import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    return hard_negatives(emb, q, k=5)
+
+
 def q_ann_topk(spark, sf_dir):
     """Brute-force cosine top-k (query vecs = corpus ids 0,1,2), ranked on
     rounded cosine with vec_id tie-break; self excluded BEFORE ranking."""
@@ -4567,6 +4580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_srp": q_embedding_neardup_srp,  # recall-floor + subset gate (oracled)
         "ann_topk": q_ann_topk,
+        "hard_negatives": q_hard_negatives,
         "ann_srp_topk": q_ann_srp_topk,  # recall@5-floor gate (oracled)
         "ann_srp_arrow_topk": q_ann_srp_arrow_topk,  # same gate, Arrow bulk encode
         "ann_ivf_topk": q_ann_ivf_topk,  # recall@5-floor gate (oracled)
@@ -8224,6 +8238,26 @@ def oracle_sql() -> dict[str, str]:
             FROM dots d JOIN norms na ON na.vec_id = d.id_a JOIN norms nb ON nb.vec_id = d.id_b
             WHERE d.dot / (na.nrm * nb.nrm) >= 0.4
         """,
+        # hard negatives: brute cosine + different-label filter
+        "hard_negatives": f"""
+            WITH {{_cb}},
+            qd AS (SELECT vec_id AS query_id, d, x FROM dims WHERE vec_id IN (0, 1, 2)),
+            ql AS (SELECT vec_id AS query_id, label AS qlab FROM embeddings
+                   WHERE vec_id IN (0, 1, 2)),
+            dots AS (SELECT q.query_id, c.vec_id, SUM(q.x * c.x) AS dot
+                     FROM qd q JOIN dims c ON q.d = c.d GROUP BY 1, 2),
+            cos AS (SELECT d.query_id, d.vec_id, e.label AS neg_label,
+                           ROUND(d.dot / (nq.nrm * nc.nrm), 4) AS cosine
+                    FROM dots d JOIN norms nq ON nq.vec_id = d.query_id
+                    JOIN norms nc ON nc.vec_id = d.vec_id
+                    JOIN embeddings e ON e.vec_id = d.vec_id
+                    JOIN ql ON ql.query_id = d.query_id
+                    WHERE e.label <> ql.qlab)
+            SELECT query_id, rank, vec_id, neg_label, cosine FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, vec_id ASC) AS rank
+              FROM cos) WHERE rank <= 5
+        """.replace("{_cb}", _cosine_block_sql()),
         "ann_topk": f"""
             WITH {_cosine_block_sql()},
             qd AS (SELECT vec_id AS query_id, d, x FROM dims WHERE vec_id IN (0, 1, 2)),

@@ -761,3 +761,54 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cosine")
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    class_col: str = "label",
+    query_id_col: str = "query_id",
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """(query_id, rank, vec_id, neg_label, cosine): per anchor, the
+    top-k most cosine-similar corpus vectors whose ``class_col``
+    DIFFERS from the anchor's — contrastive hard-negative mining (the
+    "most confusable wrong answer" set retrieval/embedding training
+    loops feed their loss; cf. DPR / SimCSE negative sampling).
+    Ranking on the rounded cosine with vec_id tie-break (the engine's
+    ANN determinism contract); same-class rows are excluded BEFORE the
+    window, so rank is dense over negatives.
+
+    Scale note: this is the EXACT baseline form (the corpus crossJoin
+    against a BROADCAST anchor set — the cosine_topk precedent: the
+    one crossJoin in the engine, by design, for bounded anchor sets).
+    For web-scale anchor sets, run ``srp_bucketed_topk`` per class
+    partition (negatives = buckets of every OTHER class) — the
+    exclusion then rides the bucket key, not a post-filter.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+        F.col(class_col).alias("_qc"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+        F.col(class_col).alias("neg_label"),
+    )
+    joined = _with_cosine(c.crossJoin(F.broadcast(q))).filter(
+        F.col("neg_label") != F.col("_qc")
+    )
+    cos = F.round(F.col("cosine"), round_digits) if round_digits is not None else F.col("cosine")
+    w = Window.partitionBy("query_id").orderBy(cos.desc(), F.col("vec_id").asc())
+    return (
+        joined.withColumn("c2", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "neg_label", F.col("c2").alias("cosine"))
+    )

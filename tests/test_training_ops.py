@@ -2556,3 +2556,42 @@ def test_bpe_train_matches_reference_and_apply_parity(spark):
         assert app[i]["n_words"] == len(ws)
         assert app[i]["n_subwords"] == len(segs)
         assert app[i]["subwords"] == segs
+
+
+def test_hard_negatives_excludes_same_class_and_ranks(spark):
+    """Every returned negative has a different label than its anchor,
+    ranks follow rounded-cosine desc with id ties, and the top negative
+    equals the brute-force model's."""
+    rng = np.random.default_rng(167)
+    rows = []
+    for i in range(60):
+        base = np.zeros(8)
+        lab = i % 3
+        base[lab] = 1.0
+        vec = (base + rng.normal(0, 0.2, 8)).astype(float)
+        rows.append((i, [float(x) for x in vec], lab))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    from osmflat_rs_spark.operators.ann import hard_negatives
+
+    got = {}
+    for r in hard_negatives(emb, q, k=3).collect():
+        got.setdefault(r["query_id"], []).append(r.asDict())
+    labs = {i: lab for i, _, lab in rows}
+    vecs = {i: np.array(v) for i, v, _ in rows}
+    for qid, lst in got.items():
+        lst.sort(key=lambda r: r["rank"])
+        assert len(lst) == 3
+        model = sorted(
+            (
+                (-round(float(vecs[i] @ vecs[qid] /
+                              (np.linalg.norm(vecs[i]) * np.linalg.norm(vecs[qid]))), 4), i)
+                for i in vecs
+                if labs[i] != labs[qid]
+            )
+        )[:3]
+        for r, (negc, i) in zip(lst, model):
+            assert labs[r["vec_id"]] != labs[qid]
+            assert r["vec_id"] == i and abs(r["cosine"] + negc) < 1e-9
