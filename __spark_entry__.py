@@ -3680,6 +3680,27 @@ def q_minhash_pairs_docs(spark, sf_dir):
     )
 
 
+def q_bloom_join_orders(spark, sf_dir):
+    """Bloom-pruned join: orders joined to BUILDING-segment customers
+    through an in-row literal-bitmap predicate (codegen bit arithmetic
+    at the scan) — result bit-identical to the plain join by the
+    no-false-negative guarantee, which is exactly what the oracle (a
+    plain SQL join) checks."""
+    from osmflat_rs_spark.operators.sketch import bloom_pruned_join
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderpriority", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select(F.col("c_custkey").alias("custkey"), "c_nationkey")
+    j = bloom_pruned_join(orders, cust, "custkey", m_bits=8192, k=4)
+    return j.groupBy("o_orderpriority", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias("cents"),
+    )
+
+
 def q_bloom_probe_customers(spark, sf_dir):
     """Bloom membership sketch (4th relational sketch): build over
     orders.o_custkey, probe every customer — no false negatives; the
@@ -4562,6 +4583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_setops_events": q_kmv_setops_events,
         "hist_quantiles_events": q_hist_quantiles_events,
         "bloom_probe_customers": q_bloom_probe_customers,
+        "bloom_join_orders": q_bloom_join_orders,
         "simplify_users": q_simplify_users,
         "hull_users": q_hull_users,
         "stratified_events": q_stratified_events,
@@ -7366,6 +7388,15 @@ def oracle_sql() -> dict[str, str]:
                    c.digest AS digest
             FROM ch, LATERAL (SELECT unnest(cs) AS c,
                                      unnest(generate_series(1, len(cs))) AS i) u
+        """,
+        # bloom-pruned join: the PLAIN join — no-false-negative identity
+        "bloom_join_orders": """
+            SELECT o.o_orderpriority, c.c_nationkey,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY 1, 2
         """,
         "token_count_docs": f"""
             SELECT doc_id, len({_ws_split_sql()}) AS n_ws_tokens,

@@ -500,3 +500,56 @@ def kmv_set_ops(sk_a: DataFrame, sk_b: DataFrame, k: int) -> DataFrame:
         F.round(rho, 6).alias("jaccard_est"),
         F.round(rho * est_u, 3).alias("est_intersection"),
     )
+
+
+def bloom_pruned_join(
+    big: DataFrame,
+    small: DataFrame,
+    key_col: str,
+    m_bits: int = 8192,
+    k: int = 4,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with a Bloom pre-filter on the BIG side — the classic
+    shuffle-reduction pattern (Spark 3.2's runtime row-group filter /
+    "bloom join", here as an explicit, engine-portable operator): the
+    small side's keys compress into an m_bits bitmap that rides into a
+    pure IN-ROW membership predicate on the big side, so non-matching
+    rows drop AT THE SCAN (predicate is codegen bit arithmetic — no
+    Python, no extra exchange) BEFORE the join ships any payload.
+    Bloom filters have NO false negatives, so the result is
+    bit-identical to the plain join — false positives only cost the
+    real join a few extra probe rows.
+
+    Scale shape: the bitmap is ≤ m_bits/64 int64 words collected once
+    (driver-bounded by construction, independent of either table's
+    size) and embedded as a LITERAL array — cheaper and
+    pushdown-friendlier than bloom_probe's per-key explode+join, which
+    exists for sketch algebra, not pruning. The join itself broadcasts
+    the small side (that's what makes it small). With a selective
+    small side the big table's shuffle/probe volume drops by the miss
+    rate; size m_bits ≈ 10·|small keys| for ~1% false positives.
+    """
+    if m_bits % 64 != 0:
+        raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
+    bits = [
+        r["bit"]
+        for r in bloom_build(small.select(key_col), key_col, m_bits, k).collect()
+    ]
+    words = [0] * (m_bits // 64)
+    for b in bits:
+        words[b // 64] |= 1 << (b % 64)
+    as_i64 = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    wcol = F.array(*[F.lit(w).cast("long") for w in as_i64])
+    pow2 = F.array(
+        *[F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long") for i in range(64)]
+    )
+    barr = bloom_bits(key_col, m_bits, k)
+    member = F.forall(
+        barr,
+        lambda b: F.get(wcol, F.floor(b / 64).cast("int")).bitwiseAND(
+            F.get(pow2, F.pmod(b, F.lit(64)).cast("int"))
+        )
+        != 0,
+    )
+    return big.filter(member).join(F.broadcast(small), key_col, how)

@@ -2595,3 +2595,32 @@ def test_hard_negatives_excludes_same_class_and_ranks(spark):
         for r, (negc, i) in zip(lst, model):
             assert labs[r["vec_id"]] != labs[qid]
             assert r["vec_id"] == i and abs(r["cosine"] + negc) < 1e-9
+
+
+def test_bloom_pruned_join_identity_and_plan(spark):
+    """Result equals the plain join exactly (no false negatives); the
+    predicate prunes most non-matching rows pre-join; the filter is
+    pure codegen (no Python, no extra Exchange)."""
+    import re
+
+    from osmflat_rs_spark.operators.sketch import bloom_pruned_join
+
+    big = spark.range(20_000).select(
+        (F.col("id") % 2000).alias("key"), F.col("id").alias("payload")
+    )
+    small = spark.range(50).select(
+        (F.col("id") * 40).alias("key"), F.lit("s").alias("tag")
+    )
+    j = bloom_pruned_join(big, small, "key", m_bits=4096, k=4)
+    got = sorted((r["key"], r["payload"]) for r in j.collect())
+    want = sorted(
+        (r["key"], r["payload"]) for r in big.join(small, "key").collect()
+    )
+    assert got == want and len(got) > 0
+    plan = j._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan and "mapInPandas" not in plan
+    # join output cardinality is the exact-match cardinality
+    assert bloom_pruned_join(big, small, "key", m_bits=4096, k=4).count() == len(want)
