@@ -1117,6 +1117,37 @@ def q_spearman_events(spark, sf_dir):
     return spearman(ev, "event_type", "v", "plen")
 
 
+def q_profile_events(spark, sf_dir):
+    """One-pass data-quality profile of the events table (portable-type
+    projection): exact n / nulls / distincts / min / max per column via
+    one multi-count_distinct aggregate + in-row stack."""
+    from osmflat_rs_spark.plans.indexing import profile_table
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        "props",
+    )
+    return profile_table(ev)
+
+
+def q_psi_events(spark, sf_dir):
+    """PSI drift between view and purchase cents distributions over 10
+    fixed bins of [0, 10000) + overflow bins, add-one smoothed."""
+    from osmflat_rs_spark.plans.indexing import psi
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    return psi(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "v", lo=0, hi=10_000, bins=10,
+    )
+
+
 def q_huff_events(spark, sf_dir):
     """Huff probabilistic market share at 10 facilities (the kNN gate's
     lattice, attractiveness 1..5): regularized inverse-square weight
@@ -4472,6 +4503,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_events": q_benford_events,
         "gini_events": q_gini_events,
         "spearman_events": q_spearman_events,
+        "profile_events": q_profile_events,
+        "psi_events": q_psi_events,
         "simplify_events": q_simplify_events,
         "dbscan_events": q_dbscan_events,
         "knn_events": q_knn_events,
@@ -5343,6 +5376,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST({RIPLEY_AREA!r} AS DOUBLE) * CAST(n_pairs AS DOUBLE)
                      / CAST(n * (n - 1) AS DOUBLE) AS k_hat
             FROM unp, nn
+        """,
+        # profile: per-column UNION ALL restatement of the one-pass agg
+        "profile_events": """
+            WITH ev AS (SELECT event_id, event_type, user_id,
+                               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                               epoch_us(ts) AS t_us, props
+                        FROM events)
+            SELECT 'event_id' AS column, COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                   CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+                   CAST(MIN(event_id) AS VARCHAR) AS min_s, CAST(MAX(event_id) AS VARCHAR) AS max_s
+            FROM ev
+            UNION ALL SELECT 'event_type', COUNT(*),
+                   CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT),
+                   MIN(event_type), MAX(event_type) FROM ev
+            UNION ALL SELECT 'user_id', COUNT(*),
+                   CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT),
+                   CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR) FROM ev
+            UNION ALL SELECT 'cents', COUNT(*),
+                   CAST(SUM(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(COUNT(DISTINCT cents) AS BIGINT),
+                   CAST(MIN(cents) AS VARCHAR), CAST(MAX(cents) AS VARCHAR) FROM ev
+            UNION ALL SELECT 't_us', COUNT(*),
+                   CAST(SUM(CASE WHEN t_us IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(COUNT(DISTINCT t_us) AS BIGINT),
+                   CAST(MIN(t_us) AS VARCHAR), CAST(MAX(t_us) AS VARCHAR) FROM ev
+            UNION ALL SELECT 'props', COUNT(*),
+                   CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(COUNT(DISTINCT props) AS BIGINT),
+                   MIN(props), MAX(props) FROM ev
+        """,
+        # PSI: identical grid, smoothing, and ln contract
+        "psi_events": """
+            WITH v AS (SELECT event_type,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                       FROM events WHERE value IS NOT NULL),
+            ba AS (SELECT CASE WHEN v < 0 THEN -1
+                               WHEN v >= 10000 THEN 10
+                               ELSE CAST(v // 1000 AS INT) END AS bin, COUNT(*) AS ca
+                   FROM v WHERE event_type = 'view' GROUP BY 1),
+            bb AS (SELECT CASE WHEN v < 0 THEN -1
+                               WHEN v >= 10000 THEN 10
+                               ELSE CAST(v // 1000 AS INT) END AS bin, COUNT(*) AS cb
+                   FROM v WHERE event_type = 'purchase' GROUP BY 1),
+            t AS (SELECT (SELECT COUNT(*) FROM v WHERE event_type = 'view') AS ta,
+                         (SELECT COUNT(*) FROM v WHERE event_type = 'purchase') AS tb),
+            grid AS (SELECT CAST(UNNEST(generate_series(-1, 10)) AS INT) AS bin),
+            j AS (SELECT g.bin, COALESCE(ba.ca, 0) AS n_a, COALESCE(bb.cb, 0) AS n_b
+                  FROM grid g LEFT JOIN ba USING (bin) LEFT JOIN bb USING (bin)),
+            x AS (SELECT bin, n_a, n_b,
+                         CAST(n_a + 1 AS DOUBLE) / (t.ta + 12) AS p,
+                         CAST(n_b + 1 AS DOUBLE) / (t.tb + 12) AS q
+                  FROM j, t)
+            SELECT bin, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, p, q,
+                   ROUND((p - q) * (ln(p) - ln(q)), 9) AS contrib,
+                   ROUND(SUM((p - q) * (ln(p) - ln(q))) OVER (), 6) AS psi
+            FROM x
         """,
         # Gini: same exact Lorenz sums
         "gini_events": """

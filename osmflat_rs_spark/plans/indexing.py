@@ -867,3 +867,111 @@ def spearman(
             num / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))),
         ).alias("rho"),
     )
+
+
+def profile_table(df, cols=None):
+    """One-pass data-quality profile → one row per column: (column, n,
+    n_null, n_distinct, min_s, max_s) — the audit table every ingest
+    pipeline prints before anything else (null saturation, constant
+    columns, key-cardinality sanity). Exact counts, not sketches: at
+    audit time you want the real number, and the profile runs once.
+
+    Scale shape: ONE aggregate pass over the table computes every
+    column's five statistics simultaneously (Catalyst plans the
+    multi-count_distinct via a single expand — one scan, one
+    exchange), then the 5·|cols| scalars unpivot in-row via ``stack``;
+    nothing is per-column scanned. min/max report as STRINGS cast from
+    the native type — portable for string/integral/date columns;
+    callers project floats to a fixed-point representation first if
+    they need cross-engine-identical formatting (float→string
+    formatting is engine-specific; the gate does exactly that).
+    """
+    cols = list(cols) if cols is not None else list(df.columns)
+    if not cols:
+        raise ValueError("no columns to profile")
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"_n_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"_nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _n_{c}, _nn_{c}, _nd_{c}, _mn_{c}, _mx_{c}" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (column, n, n_null, n_distinct, min_s, max_s)"
+    )
+
+
+def psi(
+    df_a,
+    df_b,
+    col: str,
+    lo: int,
+    hi: int,
+    bins: int = 10,
+):
+    """Population Stability Index between two populations of an
+    integer-valued column → per-bin rows (bin, n_a, n_b, p, q,
+    contrib, psi): PSI = Σ (p−q)·ln(p/q) over equal-width bins of
+    [lo, hi) plus two overflow bins — THE production drift monitor for
+    scores/features (rule of thumb: <0.1 stable, >0.25 shifted).
+    Counts are add-one smoothed over the full bin grid so empty bins
+    are defined and the index is finite — stated, because unsmoothed
+    PSI with bin-dropping is a different (and non-deterministic)
+    number.
+
+    Scale shape: each population reduces map-side to ≤ bins+2
+    (bin, count) rows — the mergeable-summary shape, so the whole
+    comparison after the two scans is constant-sized; the bin grid
+    rebuilds in-row and the two count tables broadcast onto it.
+    p/q are exact-int ratios divided once; ln-contributions carry
+    ROUND(·, 9), the total ROUND(·, 6) (a ≤ bins+2-term sum).
+    """
+    if bins < 1 or hi <= lo:
+        raise ValueError(f"need bins >= 1 and hi > lo, got bins={bins}, [{lo}, {hi})")
+    w = (hi - lo + bins - 1) // bins  # integer bin width, covers [lo, hi)
+
+    def binned(d):
+        v = F.col(col).cast("long")
+        b = (
+            F.when(v < lo, F.lit(-1))
+            .when(v >= lo + w * bins, F.lit(bins))
+            .otherwise(F.floor((v - lo) / w))
+        ).cast("int")
+        return (
+            d.filter(v.isNotNull())
+            .groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+    spark = df_a.sparkSession
+    grid = spark.range(-1, bins + 1).select(F.col("id").cast("int").alias("bin"))
+    ca = binned(df_a).withColumnRenamed("c", "_ca")
+    cb = binned(df_b).withColumnRenamed("c", "_cb")
+    ta = df_a.filter(F.col(col).isNotNull()).count()
+    tb = df_b.filter(F.col(col).isNotNull()).count()
+    n_bins = bins + 2
+    j = (
+        grid.join(F.broadcast(ca), "bin", "left")
+        .join(F.broadcast(cb), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce(F.col("_ca"), F.lit(0).cast("long")).alias("n_a"),
+            F.coalesce(F.col("_cb"), F.lit(0).cast("long")).alias("n_b"),
+        )
+    )
+    p = (F.col("n_a") + 1).cast("double") / F.lit(float(ta + n_bins))
+    q = (F.col("n_b") + 1).cast("double") / F.lit(float(tb + n_bins))
+    contrib = (p - q) * (F.log(p) - F.log(q))
+    from pyspark.sql import Window
+
+    j = j.select(
+        "bin", "n_a", "n_b", p.alias("p"), q.alias("q"),
+        F.round(contrib, 9).alias("contrib"),
+        F.round(F.sum(contrib).over(Window.partitionBy()), 6).alias("psi"),
+    )
+    return j

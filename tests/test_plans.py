@@ -797,3 +797,65 @@ def test_spearman_matches_scipy_style_model(spark):
     assert abs(got["a"]["rho"] - want) < 1e-12
     assert abs(got["mono"]["rho"] - 1.0) < 1e-12
     assert got["const"]["rho"] is None
+
+
+def test_profile_table_matches_pandas_model(spark):
+    """Exact per-column n / nulls / distincts / min / max in one pass,
+    including all-null and constant columns; empty col list raises."""
+    from osmflat_rs_spark.plans.indexing import profile_table
+
+    rows = [
+        (1, "a", None), (2, "b", None), (2, None, None), (5, "a", None),
+    ]
+    df = spark.createDataFrame(rows, "k long, s string, z string")
+    got = {r["column"]: r.asDict() for r in profile_table(df).collect()}
+    assert got["k"]["n"] == 4 and got["k"]["n_null"] == 0
+    assert got["k"]["n_distinct"] == 3
+    assert (got["k"]["min_s"], got["k"]["max_s"]) == ("1", "5")
+    assert got["s"]["n_null"] == 1 and got["s"]["n_distinct"] == 2
+    assert (got["s"]["min_s"], got["s"]["max_s"]) == ("a", "b")
+    assert got["z"]["n_null"] == 4 and got["z"]["n_distinct"] == 0
+    assert got["z"]["min_s"] is None and got["z"]["max_s"] is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        profile_table(df, cols=[])
+
+
+def test_psi_matches_model_and_detects_shift(spark):
+    """Smoothed PSI equals the Counter model; identical distributions
+    score ~0; a shifted distribution scores large; overflow bins
+    catch out-of-range mass."""
+    import math
+    from collections import Counter
+
+    import numpy as np
+
+    from osmflat_rs_spark.plans.indexing import psi
+
+    rng = np.random.default_rng(173)
+    a = [int(x) for x in rng.integers(0, 100, 2000)]
+    b_same = [int(x) for x in rng.integers(0, 100, 1500)]
+    b_shift = [int(x) + 60 for x in rng.integers(0, 100, 1500)]
+    lo, hi, bins = 0, 100, 10
+    w = 10
+    for b, expect_small in ((b_same, True), (b_shift, False)):
+        da = spark.createDataFrame([(v,) for v in a], "v long")
+        db = spark.createDataFrame([(v,) for v in b], "v long")
+        rowsx = psi(da, db, "v", lo, hi, bins).collect()
+
+        def bin_of(v):
+            return -1 if v < lo else (bins if v >= lo + w * bins else (v - lo) // w)
+
+        ca, cb = Counter(map(bin_of, a)), Counter(map(bin_of, b))
+        want = 0.0
+        for bb in range(-1, bins + 1):
+            p = (ca.get(bb, 0) + 1) / (len(a) + bins + 2)
+            q = (cb.get(bb, 0) + 1) / (len(b) + bins + 2)
+            want += (p - q) * math.log(p / q)
+        got = rowsx[0]["psi"]
+        assert abs(got - want) < 1e-5
+        assert (got < 0.02) == expect_small
+        assert len(rowsx) == bins + 2
+        for r in rowsx:
+            assert r["n_a"] == ca.get(r["bin"], 0) and r["n_b"] == cb.get(r["bin"], 0)
