@@ -1092,11 +1092,12 @@ def dsir_importance(
     target domain" — resample on it to tilt a 100-TB crawl toward a
     quality corpus without training a classifier.
 
-    Scale shape: ONE explode pass builds both distributions via
-    conditional aggregation (no second corpus scan), the bucket
-    dictionary is ≤ dim rows and BROADCASTS onto the per-(doc,
-    bucket) multiplicities, and the only corpus-keyed exchanges are
-    the (doc,bucket) reduce and the final per-doc sum — nothing
+    Scale shape: the corpus is exploded ONCE into a persisted (doc,
+    target-flag, bucket) multiplicity table — the single corpus-keyed
+    exchange — and BOTH distributions, the totals, and the per-doc
+    sums all derive from that reduced table (plan-audited: the naive
+    form recomputed the explode per consumer — three corpus passes);
+    the bucket dictionary is ≤ dim rows and BROADCASTS. Nothing
     all-pairs, nothing driver-side. Per-doc weights sum m_b·lr_b over
     DISTINCT buckets (multiplicity as an exact int64 factor), so the
     float work per doc is ≤ min(n_feats, dim) terms; ln-derived
@@ -1120,9 +1121,15 @@ def dsir_importance(
         is_target.cast("boolean").alias("_tgt"),
         F.explode(bks).alias("_b"),
     )
-    dist = ex.groupBy("_b").agg(
-        F.count(F.lit(1)).alias("_cs"),
-        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).cast("long").alias("_ct"),
+    # ONE corpus explode + ONE exchange: everything downstream derives
+    # from the (doc, bucket) multiplicity table (a plan audit caught the
+    # first draft recomputing the explode for each distribution — 6
+    # parquet scans, no ReusedExchange; at 100 TB that is three corpus
+    # passes for one)
+    db = ex.groupBy("_id", "_tgt", "_b").agg(F.count(F.lit(1)).alias("_m")).persist()
+    dist = db.groupBy("_b").agg(
+        F.sum("_m").alias("_cs"),
+        F.sum(F.when(F.col("_tgt"), F.col("_m")).otherwise(0)).cast("long").alias("_ct"),
     )
     totals = dist.agg(
         (F.log(F.sum("_cs") + F.lit(dim).cast("double"))
@@ -1132,7 +1139,6 @@ def dsir_importance(
         "_b",
         (F.log(F.col("_ct").cast("double") + 1) - F.log(F.col("_cs").cast("double") + 1)).alias("_lr"),
     )
-    db = ex.groupBy("_id", "_b").agg(F.count(F.lit(1)).alias("_m"))
     per_doc = (
         db.join(F.broadcast(lr), "_b")
         .groupBy("_id")
