@@ -1169,9 +1169,9 @@ def corpus_kl(
     exactly this (cf. importance resampling's LLR, which this is the
     expectation of under P_group).
 
-    Scale shape: one explode pass feeds BOTH distributions via
-    conditional-free double aggregation (a (group, bucket) reduce and
-    a (bucket) reduce over the same stream), the full group × dim grid
+    Scale shape: ONE explode pass reduces to the persisted (group,
+    bucket) table and every margin (bucket, group, grand total)
+    re-aggregates THAT, the full group × dim grid
     is rebuilt in-row (explode over ``sequence`` — zero-count buckets
     MUST contribute their smoothed mass or the sum is silently wrong),
     and the corpus dictionary (≤ dim rows) BROADCASTS. The per-group
@@ -1186,10 +1186,13 @@ def corpus_kl(
         F.col(group_col).alias("_g"),
         F.explode(F.transform(toks, lambda t: F.pmod(md5_int60(t), F.lit(dim)))).alias("_b"),
     )
-    cl = ex.groupBy("_g", "_b").agg(F.count(F.lit(1)).alias("_cl"))
-    cb = ex.groupBy("_b").agg(F.count(F.lit(1)).alias("_cb"))
-    nl = ex.groupBy("_g").agg(F.count(F.lit(1)).alias("_nl"))
-    nn = ex.agg(F.count(F.lit(1)).alias("_n"))
+    # one corpus explode; margins derive from the (group, bucket)
+    # reduce (the dsir plan-audit lesson: per-consumer recomputation
+    # triples the corpus passes)
+    cl = ex.groupBy("_g", "_b").agg(F.count(F.lit(1)).alias("_cl")).persist()
+    cb = cl.groupBy("_b").agg(F.sum("_cl").alias("_cb"))
+    nl = cl.groupBy("_g").agg(F.sum("_cl").alias("_nl"))
+    nn = cl.agg(F.sum("_cl").alias("_n"))
     grid = nl.withColumn("_b", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(dim - 1).cast("long"))))
     j = (
         grid.join(cl, ["_g", "_b"], "left")
