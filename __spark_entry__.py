@@ -1148,6 +1148,38 @@ def q_psi_events(spark, sf_dir):
     )
 
 
+def q_ks_events(spark, sf_dir):
+    """Exact two-sample KS between view and purchase cents: integer
+    d_num over merged cumulative counts, one division."""
+    from osmflat_rs_spark.plans.indexing import ks_two_sample
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    return ks_two_sample(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "v",
+    )
+
+
+def q_mwu_events(spark, sf_dir):
+    """Exact Mann-Whitney U (tie-corrected) between view and purchase
+    cents: integer twice-ranks, exact tie moments, one sqrt z."""
+    from osmflat_rs_spark.plans.indexing import mann_whitney_u
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    return mann_whitney_u(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "v",
+    )
+
+
 def q_huff_events(spark, sf_dir):
     """Huff probabilistic market share at 10 facilities (the kNN gate's
     lattice, attractiveness 1..5): regularized inverse-square weight
@@ -4505,6 +4537,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman_events": q_spearman_events,
         "profile_events": q_profile_events,
         "psi_events": q_psi_events,
+        "ks_events": q_ks_events,
+        "mwu_events": q_mwu_events,
         "simplify_events": q_simplify_events,
         "dbscan_events": q_dbscan_events,
         "knn_events": q_knn_events,
@@ -5435,6 +5469,57 @@ def oracle_sql() -> dict[str, str]:
                    ROUND((p - q) * (ln(p) - ln(q)), 9) AS contrib,
                    ROUND(SUM((p - q) * (ln(p) - ln(q))) OVER (), 6) AS psi
             FROM x
+        """,
+        # KS: identical exact integer cross-multiplied sup
+        "ks_events": """
+            WITH v AS (SELECT event_type,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                       FROM events WHERE value IS NOT NULL),
+            a AS (SELECT v, COUNT(*) AS ca FROM v WHERE event_type = 'view' GROUP BY 1),
+            b AS (SELECT v, COUNT(*) AS cb FROM v WHERE event_type = 'purchase' GROUP BY 1),
+            m AS (SELECT COALESCE(a.v, b.v) AS v, COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+                  FROM a FULL JOIN b USING (v)),
+            c AS (SELECT SUM(ca) OVER w AS fa, SUM(cb) OVER w AS fb
+                  FROM m WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+            t AS (SELECT MAX(fa) AS n_a, MAX(fb) AS n_b FROM c)
+            SELECT CAST(t.n_a AS BIGINT) AS n_a, CAST(t.n_b AS BIGINT) AS n_b,
+                   CAST(MAX(abs(c.fa * t.n_b - c.fb * t.n_a)) AS BIGINT) AS d_num,
+                   CAST(MAX(abs(c.fa * t.n_b - c.fb * t.n_a)) AS DOUBLE)
+                   / (CAST(t.n_a AS DOUBLE) * t.n_b) AS d
+            FROM c, t GROUP BY t.n_a, t.n_b
+        """,
+        # MWU: identical twice-ranks + exact tie moments
+        "mwu_events": """
+            WITH v AS (SELECT event_type,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                       FROM events WHERE value IS NOT NULL),
+            u AS (SELECT v, CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS a
+                  FROM v WHERE event_type IN ('view', 'purchase')),
+            r AS (SELECT v, a,
+                         COALESCE(COUNT(*) OVER (ORDER BY v
+                             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+                         + COUNT(*) OVER (ORDER BY v
+                             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r2
+                  FROM u),
+            ties AS (SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie3
+                     FROM (SELECT COUNT(*) AS t FROM u GROUP BY v)),
+            agg AS (SELECT CAST(SUM(a) AS BIGINT) AS n_a,
+                           CAST(SUM(1 - a) AS BIGINT) AS n_b,
+                           CAST(SUM(CASE WHEN a = 1 THEN r2 ELSE 0 END) AS BIGINT) AS ra2
+                    FROM r)
+            SELECT g.n_a, g.n_b,
+                   CAST(g.ra2 - g.n_a * (g.n_a + 1) AS BIGINT) AS u2,
+                   CASE WHEN CAST(g.n_a AS DOUBLE) * g.n_b / 12.0
+                             * (CAST(g.n_a + g.n_b + 1 AS DOUBLE)
+                                - CAST(t.tie3 AS DOUBLE)
+                                  / CAST((g.n_a + g.n_b) * (g.n_a + g.n_b - 1) AS DOUBLE)) > 0
+                        THEN ROUND(CAST(g.ra2 - g.n_a * (g.n_a + 1) - g.n_a * g.n_b AS DOUBLE)
+                             / (2.0 * sqrt(CAST(g.n_a AS DOUBLE) * g.n_b / 12.0
+                                * (CAST(g.n_a + g.n_b + 1 AS DOUBLE)
+                                   - CAST(t.tie3 AS DOUBLE)
+                                     / CAST((g.n_a + g.n_b) * (g.n_a + g.n_b - 1) AS DOUBLE)))), 9)
+                   END AS z
+            FROM agg g, ties t
         """,
         # Gini: same exact Lorenz sums
         "gini_events": """

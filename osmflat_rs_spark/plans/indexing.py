@@ -975,3 +975,118 @@ def psi(
         F.round(F.sum(contrib).over(Window.partitionBy()), 6).alias("psi"),
     )
     return j
+
+
+def ks_two_sample(
+    df_a,
+    df_b,
+    col: str,
+):
+    """One-row exact two-sample Kolmogorov–Smirnov statistic →
+    (n_a, n_b, d_num, d): D = max_v |F_a(v) − F_b(v)| over the merged
+    value domain, kept EXACT as the integer d_num = max |ca·n_b −
+    cb·n_a| over cumulative counts (d = d_num/(n_a·n_b) is the only
+    division, one IEEE op) — the distribution-free drift test
+    complementing :func:`psi` (PSI needs bins and smoothing; KS needs
+    neither and is exactly reproducible).
+
+    Scale shape: each side reduces map-side to (value, count); the
+    merged table sorts ONCE under a single global window — correct and
+    exact, with the stated caveat that a global ORDER BY serializes on
+    one reducer at extreme cardinalities (the exact_quantile
+    binary-search trick doesn't apply: D needs the running max of a
+    signed difference, not one rank) — for 10^12-cardinality domains,
+    pre-bucket into the histogram sketch and accept binned D. NULLs
+    drop; empty sides raise.
+    """
+    from pyspark.sql import Window
+
+    a = df_a.filter(F.col(col).isNotNull()).groupBy(
+        F.col(col).cast("long").alias("v")
+    ).agg(F.count(F.lit(1)).alias("ca"))
+    b = df_b.filter(F.col(col).isNotNull()).groupBy(
+        F.col(col).cast("long").alias("v")
+    ).agg(F.count(F.lit(1)).alias("cb"))
+    m = (
+        a.join(b, "v", "full")
+        .select(
+            "v",
+            F.coalesce(F.col("ca"), F.lit(0).cast("long")).alias("ca"),
+            F.coalesce(F.col("cb"), F.lit(0).cast("long")).alias("cb"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = m.select(
+        F.sum("ca").over(w).alias("fa"),
+        F.sum("cb").over(w).alias("fb"),
+    )
+    tot = cum.agg(F.max("fa").alias("n_a"), F.max("fb").alias("n_b"))
+    j = cum.crossJoin(F.broadcast(tot))
+    out = j.agg(
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+        F.max(F.abs(F.col("fa") * F.col("n_b") - F.col("fb") * F.col("n_a"))).alias("d_num"),
+    )
+    return out.select(
+        "n_a",
+        "n_b",
+        "d_num",
+        (F.col("d_num").cast("double") / (F.col("n_a") * F.col("n_b")).cast("double")).alias("d"),
+    )
+
+
+def mann_whitney_u(
+    df_a,
+    df_b,
+    col: str,
+):
+    """One-row exact Mann–Whitney U (Wilcoxon rank-sum) →
+    (n_a, n_b, u2, z): does population A stochastically dominate B?
+    U is computed from tie-correct average ranks kept as EXACT integer
+    twice-ranks (the :func:`spearman` machinery): u2 = 2·U_a =
+    Σ_A 2r − n_a(n_a+1) stays integral under ties, and the normal
+    z-score uses the tie-corrected variance 12·Var = n_a·n_b·(n+1 −
+    Σ(t³−t)/(n(n−1))) — every moment exact int64, z one sqrt+division.
+    The nonparametric A/B test that needs no distributional assumption
+    (location-shift alternative) — reads with :func:`ks_two_sample`
+    (any-difference) and :func:`psi` (binned drift).
+
+    Scale shape: union-tag the sides, ONE global sort window for the
+    twice-ranks (same serialization caveat as KS, same escape), one
+    aggregate. Ties across sides handled exactly; empty sides raise.
+    """
+    from pyspark.sql import Window
+
+    u = df_a.filter(F.col(col).isNotNull()).select(
+        F.col(col).cast("long").alias("v"), F.lit(1).alias("_a")
+    ).unionByName(
+        df_b.filter(F.col(col).isNotNull()).select(
+            F.col(col).cast("long").alias("v"), F.lit(0).alias("_a")
+        )
+    )
+    w_lt = Window.orderBy("v").rangeBetween(Window.unboundedPreceding, -1)
+    w_le = Window.orderBy("v").rangeBetween(Window.unboundedPreceding, 0)
+    r = u.select(
+        "v", "_a",
+        (F.coalesce(F.count(F.lit(1)).over(w_lt), F.lit(0)) + 1
+         + F.count(F.lit(1)).over(w_le)).alias("_r2"),
+    )
+    ties = u.groupBy("v").agg(F.count(F.lit(1)).alias("t")).agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("_tie3")
+    )
+    a = r.agg(
+        F.sum("_a").cast("long").alias("n_a"),
+        F.sum(F.lit(1) - F.col("_a")).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("_a") == 1, F.col("_r2")).otherwise(0)).cast("long").alias("_ra2"),
+    ).crossJoin(F.broadcast(ties))
+    na, nb = F.col("n_a"), F.col("n_b")
+    n = na + nb
+    u2 = F.col("_ra2") - na * (na + 1)  # 2*U_a = 2*R_a - n_a(n_a+1); _ra2 = 2*R_a
+    mean2 = na * nb  # 2*E[U]
+    # Var[U] = na*nb/12 * ((n+1) - tie3/(n(n-1)))
+    var = (
+        na.cast("double") * nb.cast("double") / 12.0
+        * ((n + 1).cast("double") - F.col("_tie3").cast("double") / (n * (n - 1)).cast("double"))
+    )
+    z = F.when(var > 0, (u2 - mean2).cast("double") / (2.0 * F.sqrt(var)))
+    return a.select(na.alias("n_a"), nb.alias("n_b"), u2.alias("u2"), F.round(z, 9).alias("z"))

@@ -859,3 +859,52 @@ def test_psi_matches_model_and_detects_shift(spark):
         assert len(rowsx) == bins + 2
         for r in rowsx:
             assert r["n_a"] == ca.get(r["bin"], 0) and r["n_b"] == cb.get(r["bin"], 0)
+
+
+def test_ks_and_mwu_match_reference_models(spark):
+    """KS D equals the brute-force sup over the merged domain (exact
+    fraction); MWU U and tie-corrected z match the textbook formulas;
+    identical samples give D=0 / z~0, shifted samples are detected."""
+    import math
+
+    import numpy as np
+
+    from osmflat_rs_spark.plans.indexing import ks_two_sample, mann_whitney_u
+
+    rng = np.random.default_rng(179)
+    a = [int(x) for x in rng.integers(0, 60, 800)]
+    for b, shifted in (
+        ([int(x) for x in rng.integers(0, 60, 500)], False),
+        ([int(x) + 25 for x in rng.integers(0, 60, 500)], True),
+    ):
+        da = spark.createDataFrame([(v,) for v in a], "v long")
+        db = spark.createDataFrame([(v,) for v in b], "v long")
+        ks = ks_two_sample(da, db, "v").collect()[0]
+        vals = sorted(set(a) | set(b))
+        dnum = max(
+            abs(sum(1 for x in a if x <= v) * len(b) - sum(1 for x in b if x <= v) * len(a))
+            for v in vals
+        )
+        assert (ks["n_a"], ks["n_b"], ks["d_num"]) == (len(a), len(b), dnum)
+        assert ks["d"] == dnum / (len(a) * len(b))
+        assert (ks["d"] > 0.25) == shifted
+
+        mw = mann_whitney_u(da, db, "v").collect()[0]
+        allv = sorted(a + b)
+
+        def avg_rank(v):
+            lt = sum(1 for x in allv if x < v)
+            le = sum(1 for x in allv if x <= v)
+            return (lt + 1 + le) / 2  # average rank
+
+        ra = sum(avg_rank(v) for v in a)
+        ua = ra - len(a) * (len(a) + 1) / 2
+        assert mw["u2"] == round(2 * ua)
+        n = len(a) + len(b)
+        from collections import Counter
+
+        tie3 = sum(t**3 - t for t in Counter(allv).values())
+        var = len(a) * len(b) / 12 * ((n + 1) - tie3 / (n * (n - 1)))
+        zc = (ua - len(a) * len(b) / 2) / math.sqrt(var)
+        assert abs(mw["z"] - zc) < 1e-9
+        assert (abs(mw["z"]) > 5) == shifted
