@@ -184,3 +184,31 @@ def test_raster_png_sink_roundtrip(tables, spark):
     raw = zlib.decompress(idat)
     pixels = b"".join(raw[y * (w + 1) + 1 : (y + 1) * (w + 1)] for y in range(h))
     assert pixels == pgm[len(f"P5\n{w} {h}\n255\n") :]
+
+
+def test_pcm_window_rms_known_signals(spark):
+    """Constant-amplitude PCM gives rms == |A|, a square wave too, the
+    final short window reports its true length, empty payload yields a
+    NULL row, odd byte length raises."""
+    import numpy as np
+    import pytest as _pytest
+
+    from osmflat_rs_spark.operators.multimodal import pcm_window_rms
+
+    const = np.full(600, 1000, dtype="<i2").tobytes()
+    square = np.tile(np.array([2000, -2000], dtype="<i2"), 128).tobytes()
+    rows = [(1, bytearray(const)), (2, bytearray(square)), (3, bytearray(b""))]
+    df = spark.createDataFrame(rows, "media_ref long, payload binary")
+    got = {}
+    for r in pcm_window_rms(df, win=256).collect():
+        got.setdefault(r["media_ref"], []).append(
+            (r["win_idx"], r["n_samples"], r["rms"])
+        )
+    for k in got:
+        got[k].sort()
+    assert got[1] == [(0, 256, 1000.0), (1, 256, 1000.0), (2, 88, 1000.0)]
+    assert got[2] == [(0, 256, 2000.0)]
+    assert got[3] == [(0, 0, None)]
+    bad = spark.createDataFrame([(9, bytearray(b"\x01\x02\x03"))], "media_ref long, payload binary")
+    with _pytest.raises(Exception):
+        pcm_window_rms(bad).collect()
