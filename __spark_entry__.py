@@ -1413,6 +1413,16 @@ _GATE_GRAPH_SQL = """
 """
 
 
+def q_copurchase_parts(spark, sf_dir):
+    """Market-basket co-occurrence of parts within orders (lineitem
+    baskets): in-row pair fan-out from sorted distinct item lists,
+    threshold 2 — the "bought together" projection."""
+    from osmflat_rs_spark.operators.graph import cooccurrence_pairs
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_count=2)
+
+
 def q_triangles_graph(spark, sf_dir):
     """Exact per-node triangle counts via the degree-oriented wedge join
     (orientation bounds wedge fan-out by O(sqrt(m)) — the published
@@ -4511,6 +4521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_graph": q_hits_graph,
         "walks_graph": q_walks_graph,
         "triangles_graph": q_triangles_graph,
+        "copurchase_parts": q_copurchase_parts,
         "linkpred_graph": q_linkpred_graph,
         "kcore_graph": q_kcore_graph,
         "lpa_graph": q_lpa_graph,
@@ -7574,6 +7585,18 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             WHERE c.c_mktsegment = 'BUILDING'
             GROUP BY 1, 2
+        """,
+        # co-purchase: self-join restatement of the in-row pair fan-out
+        "copurchase_parts": """
+            WITH b AS (SELECT l_orderkey AS bk, l_partkey AS it
+                       FROM lineitem GROUP BY 1, 2),
+            sz AS (SELECT bk, COUNT(*) AS n FROM b GROUP BY 1),
+            ok AS (SELECT bk FROM sz WHERE n BETWEEN 2 AND 64),
+            p AS (SELECT a.it AS item_a, c.it AS item_b
+                  FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it
+                  WHERE a.bk IN (SELECT bk FROM ok))
+            SELECT item_a, item_b, COUNT(*) AS n_baskets
+            FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2
         """,
         "token_count_docs": f"""
             SELECT doc_id, len({_ws_split_sql()}) AS n_ws_tokens,

@@ -965,3 +965,49 @@ def boruvka_mst(
         mst if mst is not None
         else e.filter(F.lit(False)).select("u", "v", "w")
     )
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_count: int = 2,
+    max_basket: int = 64,
+) -> DataFrame:
+    """Market-basket co-occurrence → (item_a, item_b, n_baskets) with
+    item_a < item_b: for every basket, every unordered pair of its
+    DISTINCT items counts once — the bipartite (basket × item) → item
+    projection behind "bought together" recommenders and co-view
+    graphs.
+
+    Scale shape: items reduce to per-basket DISTINCT lists first (one
+    exchange keyed by basket, map-side combine), pairs fan out IN-ROW
+    from the sorted item array (two nested sequence-explodes over a
+    list whose length is capped at ``max_basket`` — a 10⁶-item
+    mega-basket would otherwise explode quadratically; oversized
+    baskets are DROPPED and counted nowhere, the standard
+    market-basket hygiene, stated), and the pair table aggregates with
+    map-side combine. Sorting the array makes (a, b) canonical without
+    a post-hoc least/greatest pass.
+    """
+    if min_count < 1 or max_basket < 2:
+        raise ValueError(f"bad params: min_count={min_count}, max_basket={max_basket}")
+    baskets = (
+        df.groupBy(F.col(basket_col).alias("_b"))
+        .agg(F.array_sort(F.collect_set(F.col(item_col))).alias("_items"))
+        .filter((F.size("_items") >= 2) & (F.size("_items") <= max_basket))
+    )
+    n = F.size("_items")
+    pairs = (
+        baskets.withColumn("_i", F.explode(F.sequence(F.lit(0), n - 2)))
+        .withColumn("_j", F.explode(F.sequence(F.col("_i") + 1, n - 1)))
+        .select(
+            F.get("_items", F.col("_i")).alias("item_a"),
+            F.get("_items", F.col("_j")).alias("item_b"),
+        )
+    )
+    return (
+        pairs.groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+        .filter(F.col("n_baskets") >= min_count)
+    )

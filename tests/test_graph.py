@@ -800,3 +800,39 @@ def test_boruvka_mst_matches_prim_reference(spark):
     # forest size = n_nodes - n_components
     comps = 2  # main graph is connected with 250 random edges? verify via want
     assert len(got) == len(nodes) - (len(nodes) - len(want))
+
+
+def test_cooccurrence_pairs_matches_counter_model(spark):
+    """Unordered distinct pairs per basket, canonical order from the
+    sorted array, oversized baskets dropped whole, threshold applied."""
+    from collections import Counter
+    from itertools import combinations
+
+    from osmflat_rs_spark.operators.graph import cooccurrence_pairs
+
+    rows = [
+        (1, 10), (1, 20), (1, 10), (1, 30),     # distinct {10,20,30}
+        (2, 20), (2, 10),
+        (3, 10), (3, 20),
+        (4, 99),                                 # singleton: no pairs
+    ]
+    rows += [(5, i) for i in range(70)]          # oversized: dropped
+    df = spark.createDataFrame(rows, "basket long, item long")
+    got = {
+        (r["item_a"], r["item_b"]): r["n_baskets"]
+        for r in cooccurrence_pairs(df, "basket", "item", min_count=1, max_basket=64).collect()
+    }
+    want = Counter()
+    baskets = {}
+    for b, i in rows:
+        baskets.setdefault(b, set()).add(i)
+    for b, items in baskets.items():
+        if 2 <= len(items) <= 64:
+            for a, c in combinations(sorted(items), 2):
+                want[(a, c)] += 1
+    assert got == dict(want)
+    got2 = {
+        (r["item_a"], r["item_b"]): r["n_baskets"]
+        for r in cooccurrence_pairs(df, "basket", "item", min_count=3).collect()
+    }
+    assert got2 == {(10, 20): 3}
