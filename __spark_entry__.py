@@ -1180,6 +1180,18 @@ def q_mwu_events(spark, sf_dir):
     )
 
 
+def q_trimmed_mean_events(spark, sf_dir):
+    """10%-trimmed mean of cents per event_type: exact rational rank
+    cut, exact int sums, one IEEE division."""
+    from osmflat_rs_spark.plans.indexing import trimmed_mean
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    return trimmed_mean(ev, "event_type", "v", trim=(1, 10))
+
+
 def q_huff_events(spark, sf_dir):
     """Huff probabilistic market share at 10 facilities (the kNN gate's
     lattice, attractiveness 1..5): regularized inverse-square weight
@@ -4550,6 +4562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_events": q_psi_events,
         "ks_events": q_ks_events,
         "mwu_events": q_mwu_events,
+        "trimmed_mean_events": q_trimmed_mean_events,
         "simplify_events": q_simplify_events,
         "dbscan_events": q_dbscan_events,
         "knn_events": q_knn_events,
@@ -5531,6 +5544,25 @@ def oracle_sql() -> dict[str, str]:
                                      / CAST((g.n_a + g.n_b) * (g.n_a + g.n_b - 1) AS DOUBLE)))), 9)
                    END AS z
             FROM agg g, ties t
+        """,
+        # trimmed mean: identical exact rank cut
+        "trimmed_mean_events": """
+            WITH b AS (SELECT event_type AS g,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                       FROM events WHERE value IS NOT NULL),
+            r AS (SELECT g, v,
+                         row_number() OVER (PARTITION BY g ORDER BY v) AS r,
+                         COUNT(*) OVER (PARTITION BY g) AS n
+                  FROM b),
+            kept AS (SELECT g, n, v FROM r
+                     WHERE r > n // 10 AND r <= n - n // 10),
+            o AS (SELECT g, CAST(MIN(n) AS BIGINT) AS n,
+                         CAST(COUNT(*) AS BIGINT) AS n_used,
+                         CAST(SUM(v) AS BIGINT) AS s
+                  FROM kept GROUP BY 1)
+            SELECT g AS event_type, n, n_used,
+                   CASE WHEN n_used > 0 THEN CAST(s AS DOUBLE) / n_used END AS tmean
+            FROM o
         """,
         # Gini: same exact Lorenz sums
         "gini_events": """

@@ -1090,3 +1090,51 @@ def mann_whitney_u(
     )
     z = F.when(var > 0, (u2 - mean2).cast("double") / (2.0 * F.sqrt(var)))
     return a.select(na.alias("n_a"), nb.alias("n_b"), u2.alias("u2"), F.round(z, 9).alias("z"))
+
+
+def trimmed_mean(
+    df,
+    group_col: str,
+    col: str,
+    trim=(1, 10),
+):
+    """Per-group α-trimmed mean → (group, n, n_used, tmean): drop the
+    lowest and highest floor(n·α) values (α = trim num/den, exact
+    rational — no float n·α) and average the middle — the robust
+    location estimator between the mean (α=0) and the median (α→½),
+    the standard aggregate over winsorize-class heavy tails when you
+    want outliers GONE rather than clamped.
+
+    One window sort per group (rank + count in the same pass), an
+    exact-int rank filter, one exact-int sum → single IEEE division.
+    Ties share a value so any tie order yields the same trimmed sum
+    (the gini tie-invariance argument). α must sit in [0, 1/2), which
+    guarantees 2·floor(n·α) < n — every group keeps at least one row,
+    so tmean is always defined.
+    """
+    from pyspark.sql import Window
+
+    t_num, t_den = int(trim[0]), int(trim[1])
+    if not (0 <= t_num and 2 * t_num < t_den):
+        raise ValueError(f"trim must be a rational in [0, 1/2), got {trim}")
+    base = df.filter(F.col(col).isNotNull()).select(
+        F.col(group_col).alias("_g"), F.col(col).cast("long").alias("_v")
+    )
+    w = Window.partitionBy("_g").orderBy("_v")
+    wall = Window.partitionBy("_g")
+    r = base.withColumn("_r", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(wall)
+    )
+    k = F.floor(F.col("_n") * t_num / t_den).cast("long")
+    kept = r.filter((F.col("_r") > k) & (F.col("_r") <= F.col("_n") - k))
+    out = kept.groupBy("_g").agg(
+        F.first("_n").alias("n"),
+        F.count(F.lit(1)).alias("n_used"),
+        F.sum("_v").alias("_s"),
+    )
+    return out.select(
+        F.col("_g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_used").cast("long").alias("n_used"),
+        (F.col("_s").cast("double") / F.col("n_used")).alias("tmean"),
+    )

@@ -908,3 +908,29 @@ def test_ks_and_mwu_match_reference_models(spark):
         zc = (ua - len(a) * len(b) / 2) / math.sqrt(var)
         assert abs(mw["z"] - zc) < 1e-9
         assert (abs(mw["z"]) > 5) == shifted
+
+
+def test_trimmed_mean_matches_numpy_model(spark):
+    """Exact floor(n*alpha) cut per side equals the sorted model; alpha=0
+    reduces to the plain mean; singleton group defined; bad alpha raises."""
+    import numpy as np
+
+    from osmflat_rs_spark.plans.indexing import trimmed_mean
+
+    rng = np.random.default_rng(181)
+    rows = [("a", int(v)) for v in rng.integers(-500, 500, 97)]
+    rows += [("one", 42)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r["g"]: r.asDict() for r in trimmed_mean(df, "g", "v", trim=(1, 10)).collect()}
+    vs = sorted(v for g, v in rows if g == "a")
+    k = len(vs) // 10
+    mid = vs[k : len(vs) - k]
+    assert got["a"]["n"] == len(vs) and got["a"]["n_used"] == len(mid)
+    assert got["a"]["tmean"] == sum(mid) / len(mid)
+    assert got["one"] == {"g": "one", "n": 1, "n_used": 1, "tmean": 42.0}
+    got0 = {r["g"]: r["tmean"] for r in trimmed_mean(df, "g", "v", trim=(0, 1)).collect()}
+    assert got0["a"] == sum(vs) / len(vs)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        trimmed_mean(df, "g", "v", trim=(1, 2))
