@@ -3693,6 +3693,70 @@ def q_bpe_docs(spark, sf_dir):
     return bpe_train(_t(spark, sf_dir, "documents"), "text", n_merges=16)
 
 
+def q_cdc_dedup_docs(spark, sf_dir):
+    """Chunk-level storage accounting over the CDC chunker: unique vs
+    total chunks and token volume — the dedup-ratio number a
+    content-addressed store quotes (every repeated chunk stores once).
+    Pure composition on cdc_chunks; exact ints + two IEEE divisions."""
+    from osmflat_rs_spark.operators.textops import cdc_chunks
+
+    ch = cdc_chunks(_t(spark, sf_dir, "documents"), "doc_id", "text", mask_bits=3)
+    per = ch.groupBy("digest").agg(
+        F.count(F.lit(1)).alias("_n"), F.first("n_tok").alias("_t")
+    )
+    return per.agg(
+        F.sum("_n").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        F.sum(F.col("_n") * F.col("_t")).cast("long").alias("tok_total"),
+        F.sum("_t").cast("long").alias("tok_stored"),
+    ).select(
+        "n_chunks", "n_unique", "tok_total", "tok_stored",
+        (F.col("n_unique").cast("double") / F.col("n_chunks")).alias("unique_ratio"),
+        (F.lit(1.0) - F.col("tok_stored").cast("double") / F.col("tok_total")).alias("savings"),
+    )
+
+
+def q_heldout_ppl_docs(spark, sf_dir):
+    """Pipeline-composition capstone: unigram cross-entropy/perplexity
+    of the VAL split under a model trained on the TRAIN split, with the
+    split itself leakage-safe (hashed from near-dup clusters) — the
+    end-to-end eval loop every corpus pipeline runs, stitched from the
+    engine's own operators (minhash pairs -> CC split -> token counts
+    -> smoothed CE). ln-sums ROUND 6; ppl = exp(ce) ROUND 4."""
+    from osmflat_rs_spark.operators.dedup import cluster_safe_split, minhash_dedup, words_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_dedup(docs, "doc_id", "text", threshold=0.5).select("id_a", "id_b")
+    split = cluster_safe_split(docs, "doc_id", pairs, test_pct=10, val_pct=10)
+    toks = docs.join(split.select("doc_id", "split"), "doc_id").select(
+        "split", F.explode(words_expr(F.col("text"))).alias("tok")
+    )
+    train = toks.filter(F.col("split") == "train").groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tstats = train.agg(
+        F.sum("c").alias("_nt"), F.count(F.lit(1)).alias("_v")
+    )
+    val = toks.filter(F.col("split") == "val").join(train, "tok", "left")
+    scored = val.crossJoin(F.broadcast(tstats)).select(
+        (
+            F.log(F.coalesce(F.col("c"), F.lit(0)).cast("double") + 1)
+            - F.log((F.col("_nt") + F.col("_v") + 1).cast("double"))
+        ).alias("_lp")
+    )
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n_val_tok"),
+        F.round(-F.sum("_lp") / F.count(F.lit(1)), 6).alias("ce"),
+    )
+    return agg.crossJoin(F.broadcast(tstats)).select(
+        F.col("_nt").cast("long").alias("n_train_tok"),
+        F.col("_v").cast("long").alias("vocab"),
+        F.col("n_val_tok").cast("long").alias("n_val_tok"),
+        "ce",
+        F.round(F.exp(F.col("ce")), 4).alias("ppl"),
+    )
+
+
 def q_kmv_distinct_events(spark, sf_dir):
     """KMV bottom-64 distinct sketch over event_id: portable relational
     state (the 64 smallest md5 hashes), estimate reproduced bit-for-bit
@@ -4637,6 +4701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_docs": q_token_count_docs,
         "chunk_docs": q_chunk_docs,
         "cdc_docs": q_cdc_docs,
+        "cdc_dedup_docs": q_cdc_dedup_docs,
         "bpe_docs": q_bpe_docs,
         "pack_docs": q_pack_docs,
         "boilerplate_docs": q_boilerplate_docs,
@@ -4683,7 +4748,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_docs": q_minhash_pairs_docs,
         "dedup_clusters_docs": q_dedup_clusters_docs,  # iterative CC, oracled via recursive CTE
         "dedup_retain_docs": q_dedup_retain_docs,
-        "split_docs": q_split_docs,  # retain-best survivor per cluster
+        "split_docs": q_split_docs,
+        "heldout_ppl_docs": q_heldout_ppl_docs,  # retain-best survivor per cluster
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "containment_docs": q_containment_docs,
         "ngram_jaccard_prefix_docs": q_ngram_jaccard_prefix_docs,
@@ -7509,6 +7575,40 @@ def oracle_sql() -> dict[str, str]:
                           t * d_tot / (SUM(t) OVER (PARTITION BY d)) AS t FROM r3)
             SELECT o, d, ROUND(t, 6) AS t FROM c3
         """,
+        # held-out perplexity: split CC + smoothed unigram CE restated
+        "heldout_ppl_docs": f"""
+            WITH RECURSIVE pairs AS MATERIALIZED ({_minhash_sql(0.5)}),
+            e AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+            nodes AS (SELECT DISTINCT u AS node FROM e),
+            walk(node, lbl) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT e.v, w.lbl FROM walk w JOIN e ON e.u = w.node
+            ),
+            cc AS (SELECT node, MIN(lbl) AS component FROM walk GROUP BY node),
+            sp AS (SELECT d.doc_id,
+                          CASE WHEN CAST('0x' || substr(md5('split:' ||
+                                   CAST(COALESCE(cc.component, d.doc_id) AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 10 THEN 'test'
+                               WHEN CAST('0x' || substr(md5('split:' ||
+                                   CAST(COALESCE(cc.component, d.doc_id) AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 20 THEN 'val'
+                               ELSE 'train' END AS split
+                   FROM documents d LEFT JOIN cc ON cc.node = d.doc_id),
+            toks AS (SELECT sp.split, unnest({_ws_split_sql()}) AS tok
+                     FROM documents JOIN sp USING (doc_id)),
+            train AS (SELECT tok, COUNT(*) AS c FROM toks WHERE split = 'train' GROUP BY 1),
+            ts AS (SELECT SUM(c) AS nt, COUNT(*) AS v FROM train),
+            val AS (SELECT ln(COALESCE(tr.c, 0) + 1.0)
+                           - ln(CAST(ts.nt + ts.v + 1 AS DOUBLE)) AS lp
+                    FROM toks LEFT JOIN train tr USING (tok), ts
+                    WHERE toks.split = 'val'),
+            a AS (SELECT COUNT(*) AS n_val_tok, ROUND(-SUM(lp) / COUNT(*), 6) AS ce FROM val)
+            SELECT CAST(ts.nt AS BIGINT) AS n_train_tok,
+                   CAST(ts.v AS BIGINT) AS vocab,
+                   CAST(a.n_val_tok AS BIGINT) AS n_val_tok,
+                   a.ce, ROUND(exp(a.ce), 4) AS ppl
+            FROM a, ts
+        """,
         # leakage-safe split: recursive-CTE CC over the same pair graph,
         # singleton clusters via LEFT JOIN, portable md5 bucket mod 100
         "split_docs": f"""
@@ -7580,6 +7680,33 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
                         THEN ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
                                    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) END AS r2
+            FROM a
+        """,
+        # CDC dedup accounting: same chunk table, group by digest
+        "cdc_dedup_docs": f"""
+            WITH base AS (SELECT doc_id, {_ws_split_sql()} AS ws FROM documents),
+            h AS (SELECT doc_id, ws,
+                         list_transform(ws, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hs
+                  FROM base),
+            b AS (SELECT doc_id, ws,
+                         list_filter(generate_series(1, len(ws)),
+                                     i -> hs[i] % 8 = 0 OR i = len(ws)) AS bp
+                  FROM h),
+            sp AS (SELECT doc_id, ws,
+                          list_concat([0], list_slice(bp, 1, len(bp) - 1)) AS st, bp
+                   FROM b),
+            ch AS (SELECT md5(array_to_string(list_slice(ws, st[j] + 1, bp[j]), ' ')) AS digest,
+                          bp[j] - st[j] AS n_tok
+                   FROM sp, LATERAL (SELECT unnest(generate_series(1, len(bp))) AS j) u),
+            per AS (SELECT digest, COUNT(*) AS n, MIN(n_tok) AS t FROM ch GROUP BY 1),
+            a AS (SELECT CAST(SUM(n) AS BIGINT) AS n_chunks,
+                         CAST(COUNT(*) AS BIGINT) AS n_unique,
+                         CAST(SUM(n * t) AS BIGINT) AS tok_total,
+                         CAST(SUM(t) AS BIGINT) AS tok_stored
+                  FROM per)
+            SELECT n_chunks, n_unique, tok_total, tok_stored,
+                   CAST(n_unique AS DOUBLE) / n_chunks AS unique_ratio,
+                   1.0 - CAST(tok_stored AS DOUBLE) / tok_total AS savings
             FROM a
         """,
         # CDC: same 32-bit hash family, list-lambda restatement
