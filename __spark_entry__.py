@@ -4085,6 +4085,26 @@ def q_hard_negatives(spark, sf_dir):
     return hard_negatives(emb, q, k=5)
 
 
+def q_rrf_parts(spark, sf_dir):
+    """Reciprocal-rank fusion of two part rankers (cheapest-first and
+    largest-first top-20): exact rational RRF scores via one in-row
+    cross-multiplication fold — no ranker joins, no float ties."""
+    from pyspark.sql import Window
+
+    from osmflat_rs_spark.operators.ann import rrf_fuse
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        F.col("p_size").cast("long").alias("sz"),
+    )
+    w1 = Window.orderBy(F.col("cents").asc(), F.col("p_partkey").asc())
+    w2 = Window.orderBy(F.col("sz").desc(), F.col("p_partkey").asc())
+    r1 = part.select("p_partkey", F.row_number().over(w1).alias("rank")).filter(F.col("rank") <= 20)
+    r2 = part.select("p_partkey", F.row_number().over(w2).alias("rank")).filter(F.col("rank") <= 20)
+    return rrf_fuse([r1, r2], id_col="p_partkey", query_col=None, k=60)
+
+
 def q_ann_topk(spark, sf_dir):
     """Brute-force cosine top-k (query vecs = corpus ids 0,1,2), ranked on
     rounded cosine with vec_id tie-break; self excluded BEFORE ranking."""
@@ -4760,6 +4780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_srp": q_embedding_neardup_srp,  # recall-floor + subset gate (oracled)
         "ann_topk": q_ann_topk,
         "hard_negatives": q_hard_negatives,
+        "rrf_parts": q_rrf_parts,
         "ann_srp_topk": q_ann_srp_topk,  # recall@5-floor gate (oracled)
         "ann_srp_arrow_topk": q_ann_srp_arrow_topk,  # same gate, Arrow bulk encode
         "ann_ivf_topk": q_ann_ivf_topk,  # recall@5-floor gate (oracled)
@@ -8627,6 +8648,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(*) AS n_exact_pairs, TRUE AS recall_ok, TRUE AS srp_subset_of_exact
             FROM dots d JOIN norms na ON na.vec_id = d.id_a JOIN norms nb ON nb.vec_id = d.id_b
             WHERE d.dot / (na.nrm * nb.nrm) >= 0.4
+        """,
+        # RRF: same two window rankers; rational fold restated per
+        # cardinality (items appear in 1 or 2 rankings)
+        "rrf_parts": """
+            WITH p AS (SELECT p_partkey,
+                              CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents,
+                              CAST(p_size AS BIGINT) AS sz
+                       FROM part),
+            r1 AS (SELECT p_partkey, row_number() OVER (ORDER BY cents, p_partkey) AS rank
+                   FROM p QUALIFY rank <= 20),
+            r2 AS (SELECT p_partkey, row_number() OVER (ORDER BY sz DESC, p_partkey) AS rank
+                   FROM p QUALIFY rank <= 20),
+            u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2),
+            g AS (SELECT p_partkey, COUNT(*) AS m,
+                         MIN(rank) AS best_rank,
+                         MIN(rank) AS ra, MAX(rank) AS rb
+                  FROM u GROUP BY 1)
+            SELECT p_partkey,
+                   CASE WHEN m = 1 THEN 1
+                        ELSE (ra + 60) + (rb + 60) END AS rrf_num,
+                   CASE WHEN m = 1 THEN ra + 60
+                        ELSE (ra + 60) * (rb + 60) END AS rrf_den,
+                   CASE WHEN m = 1 THEN 1.0 / (ra + 60)
+                        ELSE CAST((ra + 60) + (rb + 60) AS DOUBLE) / ((ra + 60) * (rb + 60))
+                   END AS rrf,
+                   CAST(best_rank AS BIGINT) AS best_rank
+            FROM g
         """,
         # hard negatives: brute cosine + different-label filter
         "hard_negatives": f"""

@@ -812,3 +812,55 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "neg_label", F.col("c2").alias("cosine"))
     )
+
+
+def rrf_fuse(
+    rankings,
+    id_col: str = "vec_id",
+    query_col: str | None = "query_id",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009 — the default way
+    search stacks combine rankers, e.g. BM25 + dense ANN) →
+    ([query], id, rrf_num, rrf_den, rrf, best_rank): score =
+    Σ_rankers 1/(k + rank), summed over every input ranking the item
+    appears in. Kept EXACT as a rational: rrf_num/rrf_den accumulate
+    by exact-int cross-multiplication in one fold over the collected
+    rank array, so the fused ORDER is engine-portable with no float
+    tie ambiguity (rrf the double is derived, one division).
+
+    Scale shape: union the (already small) top-k ranking tables, one
+    groupBy((query), id) with an in-row fold — no joins between
+    rankers, no window. Input frames need ([query_col], id_col,
+    'rank'); k must be ≥ 1 (60 is the paper's constant).
+    """
+    if not rankings:
+        raise ValueError("need at least one ranking")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    keys = ([query_col] if query_col else []) + [id_col]
+    u = None
+    for r in rankings:
+        sel = r.select(*keys, F.col("rank").cast("long").alias("rank"))
+        u = sel if u is None else u.unionByName(sel)
+    g = u.groupBy(*keys).agg(
+        F.collect_list("rank").alias("_rs"), F.min("rank").alias("best_rank")
+    )
+    # exact rational sum: num/den += 1/(k+r)  =>  num = num*(k+r) + den
+    acc0 = F.struct(F.lit(0).cast("long").alias("n"), F.lit(1).cast("long").alias("d"))
+    folded = F.aggregate(
+        F.col("_rs"),
+        acc0,
+        lambda a, r: F.struct(
+            (a["n"] * (r + k) + a["d"]).alias("n"),
+            (a["d"] * (r + k)).alias("d"),
+        ),
+    )
+    g = g.withColumn("_f", folded)
+    return g.select(
+        *keys,
+        F.col("_f.n").alias("rrf_num"),
+        F.col("_f.d").alias("rrf_den"),
+        (F.col("_f.n").cast("double") / F.col("_f.d")).alias("rrf"),
+        "best_rank",
+    )

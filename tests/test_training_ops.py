@@ -2624,3 +2624,32 @@ def test_bloom_pruned_join_identity_and_plan(spark):
     assert "Python" not in plan and "mapInPandas" not in plan
     # join output cardinality is the exact-match cardinality
     assert bloom_pruned_join(big, small, "key", m_bits=4096, k=4).count() == len(want)
+
+
+def test_rrf_fuse_matches_fraction_model(spark):
+    """Exact rational RRF equals the Fraction model regardless of
+    ranking arrival order; items in one ranking score 1/(k+r); fused
+    order puts consensus items first."""
+    from fractions import Fraction
+
+    from osmflat_rs_spark.operators.ann import rrf_fuse
+
+    r1 = spark.createDataFrame([("q", 1, 1), ("q", 2, 2), ("q", 3, 3)],
+                               "query_id string, vec_id long, rank long")
+    r2 = spark.createDataFrame([("q", 3, 1), ("q", 1, 2), ("q", 9, 3)],
+                               "query_id string, vec_id long, rank long")
+    for order in ([r1, r2], [r2, r1]):
+        got = {r["vec_id"]: r.asDict() for r in rrf_fuse(order, k=60).collect()}
+        ranks = {1: [1, 2], 2: [2], 3: [3, 1], 9: [3]}
+        for vid, rs in ranks.items():
+            f = sum((Fraction(1, 60 + r) for r in rs), Fraction(0))
+            g = got[vid]
+            assert Fraction(g["rrf_num"], g["rrf_den"]) == f, vid
+            assert abs(g["rrf"] - float(f)) < 1e-15
+            assert g["best_rank"] == min(rs)
+    order_by_score = sorted(got, key=lambda v: -got[v]["rrf"])
+    assert order_by_score[0] in (1, 3)  # two-ranking items dominate
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rrf_fuse([], k=60)
