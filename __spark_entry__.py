@@ -4105,6 +4105,25 @@ def q_rrf_parts(spark, sf_dir):
     return rrf_fuse([r1, r2], id_col="p_partkey", query_col=None, k=60)
 
 
+def q_ndcg_ann(spark, sf_dir):
+    """nDCG@5 of the brute-force cosine ranking with same-label
+    relevance: two in-row sorts + folds per query, ROUND-6 log2 sums."""
+    from osmflat_rs_spark.operators.ann import ndcg_at_k
+
+    base = q_ann_topk(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    lab = emb.select(F.col("vec_id"), F.col("label"))
+    qlab = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("_ql")
+    )
+    r = (
+        base.join(F.broadcast(lab), "vec_id")
+        .join(F.broadcast(qlab), "query_id")
+        .withColumn("rel", (F.col("label") == F.col("_ql")).cast("int"))
+    )
+    return ndcg_at_k(r, rel_col="rel", k=5)
+
+
 def q_ann_topk(spark, sf_dir):
     """Brute-force cosine top-k (query vecs = corpus ids 0,1,2), ranked on
     rounded cosine with vec_id tie-break; self excluded BEFORE ranking."""
@@ -4781,6 +4800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "hard_negatives": q_hard_negatives,
         "rrf_parts": q_rrf_parts,
+        "ndcg_ann": q_ndcg_ann,
         "ann_srp_topk": q_ann_srp_topk,  # recall@5-floor gate (oracled)
         "ann_srp_arrow_topk": q_ann_srp_arrow_topk,  # same gate, Arrow bulk encode
         "ann_ivf_topk": q_ann_ivf_topk,  # recall@5-floor gate (oracled)
@@ -8676,6 +8696,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(best_rank AS BIGINT) AS best_rank
             FROM g
         """,
+        # nDCG: brute cosine top-5 + same-label relevance, window DCG
+        "ndcg_ann": f"""
+            WITH {{_cb}},
+            qd AS (SELECT vec_id AS query_id, d, x FROM dims WHERE vec_id IN (0, 1, 2)),
+            dots AS (SELECT q.query_id, c.vec_id, SUM(q.x * c.x) AS dot
+                     FROM qd q JOIN dims c ON q.d = c.d GROUP BY 1, 2),
+            cos AS (SELECT d.query_id, d.vec_id,
+                           ROUND(d.dot / (nq.nrm * nc.nrm), 4) AS cosine
+                    FROM dots d JOIN norms nq ON nq.vec_id = d.query_id
+                    JOIN norms nc ON nc.vec_id = d.vec_id
+                    WHERE d.query_id <> d.vec_id),
+            top AS (SELECT query_id, vec_id, rank FROM (
+                      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id ASC) AS rank
+                      FROM cos) WHERE rank <= 5),
+            rel AS (SELECT t.query_id, t.rank,
+                           CASE WHEN e.label = q.label THEN 1.0 ELSE 0.0 END AS rel
+                    FROM top t JOIN embeddings e ON e.vec_id = t.vec_id
+                    JOIN embeddings q ON q.vec_id = t.query_id),
+            ideal AS (SELECT query_id, rel,
+                             row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, rank) AS pos
+                      FROM rel),
+            a AS (SELECT r.query_id,
+                         CAST(SUM(CASE WHEN r.rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+                         ROUND(SUM(r.rel / log2(r.rank + 1.0)), 6) AS dcg
+                  FROM rel r GROUP BY 1),
+            b AS (SELECT query_id,
+                         ROUND(SUM(rel / log2(pos + 1.0)), 6) AS idcg,
+                         SUM(rel / log2(pos + 1.0)) AS idcg_raw
+                  FROM ideal GROUP BY 1),
+            raw AS (SELECT r.query_id, SUM(r.rel / log2(r.rank + 1.0)) AS dcg_raw
+                    FROM rel r GROUP BY 1)
+            SELECT a.query_id, a.n_rel, a.dcg, b.idcg,
+                   CASE WHEN b.idcg_raw > 0
+                        THEN ROUND(raw.dcg_raw / b.idcg_raw, 6) END AS ndcg
+            FROM a JOIN b USING (query_id) JOIN raw USING (query_id)
+        """.replace("{_cb}", _cosine_block_sql()),
         # hard negatives: brute cosine + different-label filter
         "hard_negatives": f"""
             WITH {{_cb}},

@@ -864,3 +864,56 @@ def rrf_fuse(
         (F.col("_f.n").cast("double") / F.col("_f.d")).alias("rrf"),
         "best_rank",
     )
+
+
+def ndcg_at_k(
+    ranking: DataFrame,
+    rel_col: str = "rel",
+    query_col: str = "query_id",
+    k: int = 5,
+) -> DataFrame:
+    """(query, n_rel, dcg, idcg, ndcg): nDCG@k of a ranked result table
+    — THE graded retrieval metric (Järvelin & Kekäläinen 2002),
+    closing the engine's eval loop next to the recall floors and
+    :func:`rrf_fuse`. DCG = Σ rel_i/log2(i+1) over ranks ≤ k; the
+    ideal ranking re-sorts the SAME k rows by relevance desc (ties by
+    rank — deterministic), so ndcg = dcg/idcg ∈ [0, 1], NULL when no
+    row is relevant (0/0 is "undefined", not "perfect").
+
+    Per-query work is k rows: two in-row sorts over collected arrays,
+    one fold each — no second window, no join. log2-floats carry
+    ROUND(·, 6) on all three outputs (≤ k-term sums).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    g = ranking.filter(F.col("rank") <= k).groupBy(query_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("rank"), F.col(rel_col).cast("double").alias("rel")))
+        ).alias("_byrank"),
+        F.sum((F.col(rel_col) > 0).cast("long")).alias("n_rel"),
+    )
+    dcg = F.aggregate(
+        F.col("_byrank"),
+        F.lit(0.0),
+        lambda a, e: a + e["rel"] / F.log2(e["rank"].cast("double") + 1),
+    )
+    ideal = F.array_sort(
+        F.transform(F.col("_byrank"), lambda e: F.struct((-e["rel"]).alias("nr"), e["rank"]))
+    )
+    idcg = F.aggregate(
+        F.zip_with(
+            ideal,
+            F.sequence(F.lit(1), F.size(ideal)),
+            lambda e, i: F.struct((-e["nr"]).alias("rel"), i.alias("pos")),
+        ),
+        F.lit(0.0),
+        lambda a, e: a + e["rel"] / F.log2(e["pos"].cast("double") + 1),
+    )
+    g = g.withColumn("_dcg", dcg).withColumn("_idcg", idcg)
+    return g.select(
+        query_col,
+        F.col("n_rel").cast("long").alias("n_rel"),
+        F.round("_dcg", 6).alias("dcg"),
+        F.round("_idcg", 6).alias("idcg"),
+        F.when(F.col("_idcg") > 0, F.round(F.col("_dcg") / F.col("_idcg"), 6)).alias("ndcg"),
+    )

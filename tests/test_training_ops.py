@@ -2653,3 +2653,25 @@ def test_rrf_fuse_matches_fraction_model(spark):
 
     with _pytest.raises(ValueError):
         rrf_fuse([], k=60)
+
+
+def test_ndcg_matches_hand_model(spark):
+    """nDCG equals the textbook computation on hand rankings: perfect
+    ordering = 1, inverted ordering < 1, no relevant rows -> NULL."""
+    import math
+
+    from osmflat_rs_spark.operators.ann import ndcg_at_k
+
+    rows = [
+        ("perfect", 1, 1), ("perfect", 2, 1), ("perfect", 3, 0),
+        ("inverted", 1, 0), ("inverted", 2, 0), ("inverted", 3, 1),
+        ("none", 1, 0), ("none", 2, 0),
+    ]
+    df = spark.createDataFrame(rows, "query_id string, rank long, rel int")
+    got = {r["query_id"]: r.asDict() for r in ndcg_at_k(df, k=5).collect()}
+    assert got["perfect"]["ndcg"] == 1.0 and got["perfect"]["n_rel"] == 2
+    dcg = 1 / math.log2(4)
+    idcg = 1 / math.log2(2)
+    assert abs(got["inverted"]["ndcg"] - round(dcg, 6) / round(idcg, 6)) < 2e-6
+    assert got["inverted"]["ndcg"] < 1.0
+    assert got["none"]["ndcg"] is None and got["none"]["n_rel"] == 0
