@@ -1292,6 +1292,19 @@ def q_emst_events(spark, sf_dir):
     return boruvka_mst(edges)
 
 
+def q_cramers_v_events(spark, sf_dir):
+    """Cramér's V effect size for the cell x event_type association:
+    V = sqrt(chi2 / (n·min(r−1, c−1))) derived from the spatial
+    chi-square gate — the bounded [0,1] strength number the raw chi2
+    (which grows with n) cannot give."""
+    base = q_spatial_chi2_events(spark, sf_dir)
+    mind = F.least(F.col("n_cells") - 1, F.col("n_cats") - 1)
+    return base.select(
+        "n", "chi2",
+        F.round(F.sqrt(F.col("chi2") / (F.col("n") * mind)), 6).alias("v"),
+    )
+
+
 def q_variogram_events(spark, sf_dir):
     """Empirical (Matheron) semivariogram over the event value field:
     ONE self radius-join at max lag (cell-cover candidates, exact int64
@@ -4651,6 +4664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gfunction_events": q_gfunction_events,
         "clark_evans_events": q_clark_evans_events,
         "spatial_chi2_events": q_spatial_chi2_events,
+        "cramers_v_events": q_cramers_v_events,
         "homerange_events": q_homerange_events,
         "segregation_events": q_segregation_events,
         "emst_events": q_emst_events,
@@ -5845,6 +5859,30 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(eg.e, 6) AS entropy,
                    ROUND(1.0 - num.snce / (t.N * eg.e), 6) AS h
             FROM tot t, eg, num
+        """,
+        # Cramer's V: chi2 oracle + the bounded effect-size derivation
+        "cramers_v_events": f"""
+            WITH pts AS (SELECT * FROM {synth}),
+            g AS (SELECT GREATEST(0, LEAST({(1 << 12) - 1}, (lon + 1800000000) * {1 << 12} // 3600000000)) AS ix,
+                         GREATEST(0, LEAST({(1 << 12) - 1}, (lat + 900000000) * {1 << 12} // 1800000000)) AS iy,
+                         event_type AS cat
+                  FROM pts),
+            obs AS (SELECT ix, iy, cat, COUNT(*) AS o FROM g GROUP BY 1, 2, 3),
+            r AS (SELECT ix, iy, SUM(o) AS rt FROM obs GROUP BY 1, 2),
+            c AS (SELECT cat, SUM(o) AS ct FROM obs GROUP BY 1),
+            t AS (SELECT SUM(o) AS n FROM obs),
+            j AS (SELECT obs.o, r.rt, c.ct, t.n,
+                         CAST(r.rt * c.ct AS DOUBLE) / t.n AS e
+                  FROM obs JOIN r USING (ix, iy) JOIN c USING (cat) CROSS JOIN t),
+            a AS (SELECT MIN(n) AS n, SUM((o - e) * (o - e) / e - e) AS s FROM j),
+            dims AS (SELECT COUNT(DISTINCT (ix, iy)) AS n_cells,
+                            COUNT(DISTINCT cat) AS n_cats
+                     FROM obs)
+            SELECT CAST(a.n AS BIGINT) AS n,
+                   ROUND(a.s + a.n, 6) AS chi2,
+                   ROUND(sqrt(ROUND(a.s + a.n, 6)
+                              / (a.n * LEAST(d.n_cells - 1, d.n_cats - 1))), 6) AS v
+            FROM a, dims d
         """,
         # spatial chi2: same closed-form zero-pair folding
         "spatial_chi2_events": f"""
