@@ -3770,6 +3770,15 @@ def q_heldout_ppl_docs(spark, sf_dir):
     )
 
 
+def q_js_docs(spark, sf_dir):
+    """Per-lang Jensen-Shannon divergence to the corpus over the same
+    1024 smoothed md5 buckets as kl_docs — symmetric, bounded by ln 2,
+    comparable across shards of different sizes."""
+    from osmflat_rs_spark.operators.textops import corpus_js
+
+    return corpus_js(_t(spark, sf_dir, "documents"), "text", "lang", dim=1024)
+
+
 def q_kmv_distinct_events(spark, sf_dir):
     """KMV bottom-64 distinct sketch over event_id: portable relational
     state (the 64 smallest md5 hashes), estimate reproduced bit-for-bit
@@ -4783,6 +4792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_docs": q_zipf_docs,
         "dsir_docs": q_dsir_docs,
         "kl_docs": q_kl_docs,
+        "js_docs": q_js_docs,
         "heaps_docs": q_heaps_docs,
         "contamination_docs": q_contamination_docs,
         "unigram_logprob_docs": q_unigram_logprob_docs,
@@ -7835,6 +7845,31 @@ def oracle_sql() -> dict[str, str]:
                   WHERE a.bk IN (SELECT bk FROM ok))
             SELECT item_a, item_b, COUNT(*) AS n_baskets
             FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        """,
+        # JS: same buckets/smoothing; mixture in the same expression
+        "js_docs": f"""
+            WITH t AS (SELECT lang AS g, unnest({_ws_split_sql()}) AS tok FROM documents),
+            ex AS (SELECT g, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 1024 AS b
+                   FROM t),
+            cl AS (SELECT g, b, COUNT(*) AS cl FROM ex GROUP BY 1, 2),
+            cb AS (SELECT b, SUM(cl) AS cb FROM cl GROUP BY 1),
+            nl AS (SELECT g, SUM(cl) AS nl FROM cl GROUP BY 1),
+            nn AS (SELECT SUM(cl) AS n FROM cl),
+            grid AS (SELECT nl.g, nl.nl, r.range AS b
+                     FROM nl CROSS JOIN range(0, 1024) r),
+            j AS (SELECT grid.g, grid.nl,
+                         COALESCE(cl.cl, 0) AS cl, COALESCE(cb.cb, 0) AS cb, nn.n
+                  FROM grid LEFT JOIN cl ON cl.g = grid.g AND cl.b = grid.b
+                            LEFT JOIN cb ON cb.b = grid.b
+                            CROSS JOIN nn),
+            terms AS (SELECT g, nl,
+                             (CAST(cl AS DOUBLE) + 1) / (CAST(nl AS DOUBLE) + 1024) AS p,
+                             (CAST(cb AS DOUBLE) + 1) / (CAST(n AS DOUBLE) + 1024) AS q
+                      FROM j)
+            SELECT g AS lang, CAST(MIN(nl) AS BIGINT) AS n_tokens,
+                   ROUND(SUM(p * (ln(p) - ln((p + q) / 2)) / 2
+                             + q * (ln(q) - ln((p + q) / 2)) / 2), 6) AS js
+            FROM terms GROUP BY 1
         """,
         "token_count_docs": f"""
             SELECT doc_id, len({_ws_split_sql()}) AS n_ws_tokens,

@@ -1469,3 +1469,63 @@ def bpe_apply(
         F.sum(F.size("_sub")).alias("n_subwords"),
         F.flatten(F.transform(ordered, lambda e: e["_sub"])).alias("subwords"),
     )
+
+
+def corpus_js(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    dim: int = 1024,
+) -> DataFrame:
+    """(group, n_tokens, js): per-group Jensen–Shannon divergence to
+    the corpus — the SYMMETRIC, bounded (≤ ln 2) sibling of
+    :func:`corpus_kl`: JS = ½KL(P‖M) + ½KL(Q‖M) with M = ½(P+Q) over
+    the same Laplace-smoothed md5 unigram buckets. Use KL to ask "is
+    this shard drawn from the corpus" (asymmetric, unbounded) and JS
+    when you need a comparable 0..ln2 score across shards of wildly
+    different sizes (√JS is a metric).
+
+    Same physical shape as corpus_kl (one corpus explode → persisted
+    (group, bucket) reduce, margins re-aggregate THAT, full group×dim
+    grid in-row, dictionary broadcast); the mixture M needs no extra
+    pass — it is an expression over the same (c_l, c_b) pair. ROUND 6.
+    """
+    from osmflat_rs_spark.operators.dedup import md5_int60
+
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    toks = words_expr(F.col(text_col))
+    ex = df.select(
+        F.col(group_col).alias("_g"),
+        F.explode(F.transform(toks, lambda t: F.pmod(md5_int60(t), F.lit(dim)))).alias("_b"),
+    )
+    cl = ex.groupBy("_g", "_b").agg(F.count(F.lit(1)).alias("_cl")).persist()
+    cb = cl.groupBy("_b").agg(F.sum("_cl").alias("_cb"))
+    nl = cl.groupBy("_g").agg(F.sum("_cl").alias("_nl"))
+    nn = cl.agg(F.sum("_cl").alias("_n"))
+    grid = nl.withColumn(
+        "_b", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(dim - 1).cast("long")))
+    )
+    j = (
+        grid.join(cl, ["_g", "_b"], "left")
+        .join(F.broadcast(cb), "_b", "left")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "_g", "_nl",
+            F.coalesce(F.col("_cl"), F.lit(0).cast("long")).alias("_cl"),
+            F.coalesce(F.col("_cb"), F.lit(0).cast("long")).alias("_cb"),
+            "_n",
+        )
+    )
+    p = (F.col("_cl").cast("double") + 1) / (F.col("_nl").cast("double") + dim)
+    q = (F.col("_cb").cast("double") + 1) / (F.col("_n").cast("double") + dim)
+    m = (p + q) / 2
+    term = (
+        p * (F.log(p) - F.log(m)) / 2
+        + q * (F.log(q) - F.log(m)) / 2
+    )
+    return (
+        j.groupBy("_g")
+        .agg(F.first("_nl").alias("n_tokens"), F.round(F.sum(term), 6).alias("js"))
+        .select(F.col("_g").alias(group_col), "n_tokens", "js")
+    )

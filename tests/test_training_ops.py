@@ -2675,3 +2675,44 @@ def test_ndcg_matches_hand_model(spark):
     assert abs(got["inverted"]["ndcg"] - round(dcg, 6) / round(idcg, 6)) < 2e-6
     assert got["inverted"]["ndcg"] < 1.0
     assert got["none"]["ndcg"] is None and got["none"]["n_rel"] == 0
+
+
+def test_corpus_js_bounded_and_matches_model(spark):
+    """Smoothed JS equals the Counter model, sits in [0, ln 2], and a
+    disjoint-vocab group scores higher than an in-distribution one."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    def b(s, dim):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % dim
+
+    dim = 32
+    rng = np.random.default_rng(191)
+    rows = []
+    for i in range(40):
+        rows.append((i, "base", " ".join(rng.choice(["r", "g", "bl", "cy"], size=10))))
+    for i in range(40, 60):
+        rows.append((i, "odd", " ".join(rng.choice(["xx", "yy", "zz"], size=10))))
+    df = spark.createDataFrame(rows, "doc_id long, g string, text string")
+    got = {
+        r["g"]: (r["n_tokens"], r["js"])
+        for r in textops.corpus_js(df, "text", "g", dim=dim).collect()
+    }
+    cl, cb, nl = {}, Counter(), Counter()
+    for _, g, tx in rows:
+        for t in tx.split(" "):
+            cl.setdefault(g, Counter())[b(t, dim)] += 1
+            cb[b(t, dim)] += 1
+            nl[g] += 1
+    N = sum(cb.values())
+    for g in ("base", "odd"):
+        js = 0.0
+        for bb in range(dim):
+            p = (cl[g].get(bb, 0) + 1) / (nl[g] + dim)
+            q = (cb.get(bb, 0) + 1) / (N + dim)
+            m = (p + q) / 2
+            js += p * math.log(p / m) / 2 + q * math.log(q / m) / 2
+        assert abs(got[g][1] - js) < 1e-5, g
+        assert -1e-9 <= got[g][1] <= math.log(2) + 1e-9
+    assert got["odd"][1] > got["base"][1]
