@@ -1305,6 +1305,16 @@ def q_cramers_v_events(spark, sf_dir):
     )
 
 
+def q_spatial_mi_events(spark, sf_dir):
+    """Mutual information + NMI of (res-12 cell) x event_type: observed
+    pairs only (zeros contribute exactly 0), margins from the reduced
+    table, ROUND-6 ln sums."""
+    from osmflat_rs_spark.operators.hotspot import spatial_mutual_information
+
+    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    return spatial_mutual_information(pts, "event_type", res=12)
+
+
 def q_variogram_events(spark, sf_dir):
     """Empirical (Matheron) semivariogram over the event value field:
     ONE self radius-join at max lag (cell-cover candidates, exact int64
@@ -4674,6 +4684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clark_evans_events": q_clark_evans_events,
         "spatial_chi2_events": q_spatial_chi2_events,
         "cramers_v_events": q_cramers_v_events,
+        "spatial_mi_events": q_spatial_mi_events,
         "homerange_events": q_homerange_events,
         "segregation_events": q_segregation_events,
         "emst_events": q_emst_events,
@@ -5869,6 +5880,37 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(eg.e, 6) AS entropy,
                    ROUND(1.0 - num.snce / (t.N * eg.e), 6) AS h
             FROM tot t, eg, num
+        """,
+        # MI/NMI: same reduced contingency, observed pairs only
+        "spatial_mi_events": f"""
+            WITH pts AS (SELECT * FROM {synth}),
+            g AS (SELECT GREATEST(0, LEAST({(1 << 12) - 1}, (lon + 1800000000) * {1 << 12} // 3600000000)) AS ix,
+                         GREATEST(0, LEAST({(1 << 12) - 1}, (lat + 900000000) * {1 << 12} // 1800000000)) AS iy,
+                         event_type AS cat
+                  FROM pts),
+            obs AS (SELECT ix, iy, cat, COUNT(*) AS o FROM g GROUP BY 1, 2, 3),
+            r AS (SELECT ix, iy, SUM(o) AS rt FROM obs GROUP BY 1, 2),
+            c AS (SELECT cat, SUM(o) AS ct FROM obs GROUP BY 1),
+            t AS (SELECT SUM(o) AS n FROM obs),
+            mi AS (SELECT SUM(CAST(obs.o AS DOUBLE) / t.n
+                              * (ln(CAST(obs.o AS DOUBLE)) + ln(CAST(t.n AS DOUBLE))
+                                 - ln(CAST(r.rt AS DOUBLE)) - ln(CAST(c.ct AS DOUBLE)))) AS mi
+                   FROM obs JOIN r USING (ix, iy) JOIN c USING (cat) CROSS JOIN t),
+            hr AS (SELECT ln(CAST(SUM(rt) AS DOUBLE))
+                          - SUM(CAST(rt AS DOUBLE) * ln(CAST(rt AS DOUBLE))) / SUM(rt) AS h_cell
+                   FROM r),
+            hc AS (SELECT ln(CAST(SUM(ct) AS DOUBLE))
+                          - SUM(CAST(ct AS DOUBLE) * ln(CAST(ct AS DOUBLE))) / SUM(ct) AS h_cat
+                   FROM c),
+            d AS (SELECT COUNT(DISTINCT (ix, iy)) AS n_cells,
+                         COUNT(DISTINCT cat) AS n_cats FROM obs)
+            SELECT CAST(t.n AS BIGINT) AS n,
+                   CAST(d.n_cells AS BIGINT) AS n_cells,
+                   CAST(d.n_cats AS BIGINT) AS n_cats,
+                   ROUND(mi.mi, 6) AS mi,
+                   CASE WHEN sqrt(hr.h_cell * hc.h_cat) > 0
+                        THEN ROUND(mi.mi / sqrt(hr.h_cell * hc.h_cat), 6) END AS nmi
+            FROM t, d, mi, hr, hc
         """,
         # Cramer's V: chi2 oracle + the bounded effect-size derivation
         "cramers_v_events": f"""

@@ -771,3 +771,62 @@ def segregation_h(
         F.round(e_global, 6).alias("entropy"),
         F.round(h, 6).alias("h"),
     )
+
+
+def spatial_mutual_information(
+    points: DataFrame,
+    cat_col: str,
+    lat: str = "lat",
+    lon: str = "lon",
+    res: int = 12,
+) -> DataFrame:
+    """One-row mutual information between location (grid cell) and a
+    categorical mark → (n, n_cells, n_cats, mi, nmi): MI =
+    Σ p(c,k)·ln(p(c,k)/(p(c)p(k))) over OBSERVED pairs (zero cells
+    contribute exactly 0 — no smoothing games needed, unlike the
+    chi-square's expected counts), normalized by √(H_cell·H_cat) to
+    the [0,1] NMI feature-selection score. The information-theoretic
+    companion to :func:`spatial_chi2` (χ² weights rare-cell surprises
+    quadratically; MI weights by actual probability mass) and the
+    pairwise generalization of :func:`segregation_h` (which equals
+    Theil's uncertainty coefficient U(cat|cell)).
+
+    Scale shape: identical to spatial_chi2 — one (cell, cat) corpus
+    reduce, margins re-aggregate THAT (cell margin distributed, cat
+    margin + grand total broadcast), one ln-sum → ROUND 6 on mi/nmi.
+    """
+    from osmflat_rs_spark.functions.cells import grid_exprs
+
+    ix, iy = grid_exprs(F.col(lat), F.col(lon), res)
+    base = points.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull())
+    obs = base.groupBy(
+        ix.alias("ix"), iy.alias("iy"), F.col(cat_col).alias("cat")
+    ).agg(F.count(F.lit(1)).alias("o")).persist()
+    rows = obs.groupBy("ix", "iy").agg(F.sum("o").alias("rt"))
+    cols = obs.groupBy("cat").agg(F.sum("o").alias("ct"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    j = (
+        obs.join(rows, ["ix", "iy"])
+        .join(F.broadcast(cols), "cat")
+        .crossJoin(F.broadcast(tot))
+    )
+    o, rt, ct, n = (F.col(c).cast("double") for c in ("o", "rt", "ct", "n"))
+    # MI in nats: Σ (o/n)·ln(o·n/(rt·ct))
+    term = o / n * (F.log(o) + F.log(n) - F.log(rt) - F.log(ct))
+    xlnx = lambda c: c * F.log(c)  # noqa: E731
+    hr = rows.agg((F.log(F.sum("rt").cast("double")) - F.sum(xlnx(F.col("rt").cast("double"))) / F.sum("rt")).alias("h_cell"))
+    hc = cols.agg((F.log(F.sum("ct").cast("double")) - F.sum(xlnx(F.col("ct").cast("double"))) / F.sum("ct")).alias("h_cat"))
+    a = j.agg(
+        F.first("n").cast("long").alias("n"),
+        F.countDistinct("ix", "iy").alias("n_cells"),
+        F.countDistinct("cat").alias("n_cats"),
+        F.sum(term).alias("_mi"),
+    ).crossJoin(F.broadcast(hr)).crossJoin(F.broadcast(hc))
+    den = F.sqrt(F.col("h_cell") * F.col("h_cat"))
+    return a.select(
+        "n",
+        F.col("n_cells").cast("long").alias("n_cells"),
+        F.col("n_cats").cast("long").alias("n_cats"),
+        F.round("_mi", 6).alias("mi"),
+        F.when(den > 0, F.round(F.col("_mi") / den, 6)).alias("nmi"),
+    )

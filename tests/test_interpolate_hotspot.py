@@ -1100,3 +1100,39 @@ def test_kriging_matches_numpy_reference(spark):
 
     with _pytest.raises(ValueError):
         kriging_interpolate(pdf, qdf, k=6, nugget=2.0, sill=1.0, range_=1.0)
+
+
+def test_spatial_mi_matches_sklearn_style_model(spark):
+    """MI equals the direct contingency computation; independent mixes
+    give MI ~ 0, segregated ones give NMI = 1."""
+    import math
+    from collections import Counter, defaultdict
+
+    from osmflat_rs_spark.operators.hotspot import spatial_mutual_information
+
+    res = 12
+    seg = [(100_000, 100_000, "a")] * 25 + [(100_000, 80_000_000, "b")] * 25
+    prop = ([(100_000, 100_000, "a")] * 20 + [(100_000, 100_000, "b")] * 10
+            + [(100_000, 80_000_000, "a")] * 40 + [(100_000, 80_000_000, "b")] * 20)
+    for rows, kind in ((seg, "seg"), (prop, "ind")):
+        df = spark.createDataFrame(rows, "lat long, lon long, cat string")
+        r = spatial_mutual_information(df, "cat", res=res).collect()[0]
+
+        def cell(la, lo):
+            return ((lo + 1_800_000_000) * (1 << res) // 3_600_000_000,
+                    (la + 900_000_000) * (1 << res) // 1_800_000_000)
+
+        obs = Counter((cell(la, lo), c) for la, lo, c in rows)
+        rt = defaultdict(int); ct = defaultdict(int)
+        for (k, c), o in obs.items():
+            rt[k] += o; ct[c] += o
+        n = sum(obs.values())
+        mi = sum(o / n * math.log(o * n / (rt[k] * ct[c])) for (k, c), o in obs.items())
+        assert abs(r["mi"] - mi) < 1e-5
+        if kind == "ind":
+            assert abs(r["mi"]) < 1e-9
+        else:
+            hr = -sum(v / n * math.log(v / n) for v in rt.values())
+            hc = -sum(v / n * math.log(v / n) for v in ct.values())
+            assert abs(r["nmi"] - mi / math.sqrt(hr * hc)) < 1e-5
+            assert abs(r["nmi"] - 1.0) < 1e-6
