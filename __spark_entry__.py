@@ -3311,6 +3311,14 @@ def q_transitions_events(spark, sf_dir):
     return event_transitions(_t(spark, sf_dir, "events"))
 
 
+def q_entropy_rate_events(spark, sf_dir):
+    """Entropy rate + predictability of the event-type Markov chain:
+    one ln-sum over the transition pair table."""
+    from osmflat_rs_spark.operators.sessions import markov_entropy_rate
+
+    return markov_entropy_rate(_t(spark, sf_dir, "events"))
+
+
 FREQ_PAIRS_NUM, FREQ_PAIRS_DEN = 3, 5
 
 
@@ -4791,6 +4799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_events": q_scd2_events,
         "cohort_events": q_cohort_events,
         "transitions_events": q_transitions_events,
+        "entropy_rate_events": q_entropy_rate_events,
         "densify_events": q_densify_events,
         "quantile_events": q_quantile_events,
         "grouped_quantile_events": q_grouped_quantile_events,
@@ -7527,6 +7536,27 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(nl.n_last, 0) AS n_last,
                    ROUND(COALESCE(lin2.credit_linear, 0.0), 6) AS credit_linear
             FROM base b LEFT JOIN nl USING (channel) LEFT JOIN lin2 USING (channel)
+        """,
+        # entropy rate: same lag pairs, -sum n ln(n/ft) / N
+        "entropy_rate_events": """
+            WITH o AS (SELECT user_id, event_type,
+                              LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxt
+                       FROM events),
+            pairs AS (SELECT event_type AS f, nxt AS t2, COUNT(*) AS n
+                      FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2),
+            ft AS (SELECT f, SUM(n) AS ftn FROM pairs GROUP BY 1),
+            a AS (SELECT CAST(SUM(p.n) AS BIGINT) AS n_pairs,
+                         SUM(p.n * (ln(CAST(ft.ftn AS DOUBLE)) - ln(CAST(p.n AS DOUBLE)))) AS hsum,
+                         COUNT(DISTINCT p.f) AS n_states
+                  FROM pairs p JOIN ft USING (f))
+            SELECT n_pairs, CAST(n_states AS BIGINT) AS n_states,
+                   ROUND(hsum / n_pairs, 6) AS h_rate,
+                   ROUND(ln(CAST(n_states AS DOUBLE)), 6) AS h_max,
+                   CASE WHEN n_states > 1
+                        THEN ROUND(1 - hsum / n_pairs / ln(CAST(n_states AS DOUBLE)), 6)
+                   END AS predictability
+            FROM a
         """,
         "asof_purchase_view": """
             SELECT l.event_id, l.user_id, r.view_event_id,

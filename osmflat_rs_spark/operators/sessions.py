@@ -417,3 +417,46 @@ def attribution(
             F.round(F.coalesce(F.col("credit_linear"), F.lit(0.0)), 6).alias("credit_linear"),
         )
     )
+
+
+def markov_entropy_rate(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_cols: tuple = ("event_id",),
+) -> DataFrame:
+    """One-row entropy rate of the first-order event-type chain →
+    (n_pairs, n_states, h_rate, h_max, predictability):
+    H = −Σ_i π̂_i Σ_j P_ij ln P_ij with π̂ the EMPIRICAL from-state
+    distribution — equivalently −Σ_pairs ln P(pair)/N, so it falls out
+    of the transition pair table in one ln-sum. H → 0 means the next
+    event is determined; predictability = 1 − H/ln(n_states) is the
+    bounded score product analytics quotes ("how scripted are our
+    users"). The sequence-level summary the per-cell
+    :func:`~osmflat_rs_spark.operators.hotspot.segregation_h` family
+    gives for space.
+
+    Scale shape: rides :func:`event_transitions`' machinery — one lag
+    window + one pair reduce; everything here is arithmetic over the
+    (#types²)-sized pair table. Exact counts; ln-sums ROUND 6.
+    """
+    pairs = event_transitions(events, user_col, ts_col, type_col, order_cols)
+    # recompute exact conditional from counts (the table's p is rounded)
+    tot = pairs.groupBy("from_type").agg(F.sum("n").alias("_ft"))
+    j = pairs.join(F.broadcast(tot), "from_type")
+    n, ft = F.col("n").cast("double"), F.col("_ft").cast("double")
+    a = j.agg(
+        F.sum("n").cast("long").alias("n_pairs"),
+        F.sum(F.col("n") * (F.log(ft) - F.log(n))).alias("_hsum"),
+        F.countDistinct("from_type").alias("n_states"),
+    )
+    h = F.col("_hsum") / F.col("n_pairs")
+    hmax = F.log(F.col("n_states").cast("double"))
+    return a.select(
+        "n_pairs",
+        F.col("n_states").cast("long").alias("n_states"),
+        F.round(h, 6).alias("h_rate"),
+        F.round(hmax, 6).alias("h_max"),
+        F.when(F.col("n_states") > 1, F.round(1 - h / hmax, 6)).alias("predictability"),
+    )

@@ -380,3 +380,44 @@ def test_attribution_matches_hand_model(spark):
     with _pytest.raises(ValueError):
         attribution(df, "user_id", "ts", "event_type",
                     ("view",), "purchase", window_us=0)
+
+
+def test_markov_entropy_rate_extremes_and_model(spark):
+    """Deterministic chains give h_rate = 0 / predictability = 1;
+    uniform chains give h_rate = ln(k); general case matches the
+    Counter model."""
+    import datetime
+    import math
+    from collections import Counter
+
+    from osmflat_rs_spark.operators.sessions import markov_entropy_rate
+
+    def mk(rows):
+        out = []
+        for u, seq in rows:
+            for i, t in enumerate(seq):
+                out.append((u, datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=i), i, t))
+        return spark.createDataFrame(out, "user_id long, ts timestamp, event_id long, event_type string")
+
+    det = mk([(1, ["a", "b", "a", "b", "a", "b"]), (2, ["a", "b", "a", "b"])])
+    r = markov_entropy_rate(det).collect()[0]
+    assert r["h_rate"] == 0.0 and r["predictability"] == 1.0
+
+    import numpy as np
+
+    rng = np.random.default_rng(193)
+    seqs = [(u, [str(rng.choice(["a", "b", "c"])) for _ in range(40)]) for u in range(6)]
+    gen = mk(seqs)
+    r = markov_entropy_rate(gen).collect()[0]
+    pairs = Counter()
+    for _, seq in seqs:
+        for x, y in zip(seq, seq[1:]):
+            pairs[(x, y)] += 1
+    ftot = Counter()
+    for (x, _), c in pairs.items():
+        ftot[x] += c
+    N = sum(pairs.values())
+    h = sum(c * (math.log(ftot[x]) - math.log(c)) for (x, _), c in pairs.items()) / N
+    assert r["n_pairs"] == N
+    assert abs(r["h_rate"] - h) < 1e-5
+    assert abs(r["predictability"] - (1 - h / math.log(3))) < 1e-5
