@@ -3137,6 +3137,27 @@ def q_scd2_events(spark, sf_dir):
     return scd2_history(ev, "user_id", "ts", ["event_type"], order_cols=("event_id",))
 
 
+def q_survival_events(spark, sf_dir):
+    """Kaplan-Meier user-retention curve: lifetime = hours between a
+    user's first and last event, right-censored when the user was
+    still active in the corpus's final 24h — the survival product as
+    prefix algebra over the distinct-times table."""
+    from osmflat_rs_spark.operators.sessions import kaplan_meier
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.min("us").alias("first_us"), F.max("us").alias("last_us")
+    )
+    horizon = per_user.agg(F.max("last_us").alias("_h"))
+    life = per_user.crossJoin(F.broadcast(horizon)).select(
+        ((F.col("last_us") - F.col("first_us")) / F.lit(3_600_000_000)).cast("long").alias("dur_h"),
+        (F.col("last_us") < F.col("_h") - F.lit(24 * 3_600_000_000)).cast("int").alias("event"),
+    )
+    return kaplan_meier(life, "dur_h", "event")
+
+
 def q_cohort_events(spark, sf_dir):
     """Cohort retention matrix (``sessions.cohort_retention``, r5):
     users cohorted by first-activity week (fixed epoch periods, exact
@@ -4798,6 +4819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_events": q_attribution_events,
         "scd2_events": q_scd2_events,
         "cohort_events": q_cohort_events,
+        "survival_events": q_survival_events,
         "transitions_events": q_transitions_events,
         "entropy_rate_events": q_entropy_rate_events,
         "densify_events": q_densify_events,
@@ -7557,6 +7579,31 @@ def oracle_sql() -> dict[str, str]:
                         THEN ROUND(1 - hsum / n_pairs / ln(CAST(n_states AS DOUBLE)), 6)
                    END AS predictability
             FROM a
+        """,
+        # Kaplan-Meier: identical reduced-table prefix algebra
+        "survival_events": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+            pu AS (SELECT user_id, MIN(us) AS f, MAX(us) AS l FROM e GROUP BY 1),
+            h AS (SELECT MAX(l) AS h FROM pu),
+            life AS (SELECT CAST((l - f) // 3600000000 AS BIGINT) AS t,
+                            CASE WHEN l < h.h - 86400000000 THEN 1 ELSE 0 END AS ev
+                     FROM pu, h),
+            per_t AS (SELECT t, CAST(SUM(ev) AS BIGINT) AS n_event,
+                             CAST(SUM(1 - ev) AS BIGINT) AS n_censored
+                      FROM life GROUP BY 1),
+            r AS (SELECT *,
+                         CAST(SUM(n_event + n_censored) OVER () 
+                              - COALESCE(SUM(n_event + n_censored) OVER
+                                  (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+                  FROM per_t),
+            s AS (SELECT *,
+                         ROUND(exp(SUM(CASE WHEN n_event > 0
+                                            THEN ln(CAST(n_risk - n_event AS DOUBLE) / n_risk)
+                                            ELSE 0.0 END)
+                                   OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 6) AS s
+                  FROM r)
+            SELECT t, n_risk, n_event, n_censored, s FROM s
         """,
         "asof_purchase_view": """
             SELECT l.event_id, l.user_id, r.view_event_id,

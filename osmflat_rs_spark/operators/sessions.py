@@ -460,3 +460,57 @@ def markov_entropy_rate(
         F.round(hmax, 6).alias("h_max"),
         F.when(F.col("n_states") > 1, F.round(1 - h / hmax, 6)).alias("predictability"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan–Meier survival curve with right-censoring → one row per
+    DISTINCT event time t: (t, n_risk, n_event, n_censored, s):
+    Ŝ(t) = Π_{t_i ≤ t} (1 − d_i/n_i) — THE retention/churn curve
+    (1958; what "survival of a user cohort" means when users who are
+    still active must not count as churned). ``duration_col`` =
+    observed time (int64), ``event_col`` = 1 if the terminal event was
+    OBSERVED at that time, 0 if censored there (subject left the
+    window still alive).
+
+    Scale shape: subjects reduce to per-(t, flag) counts first (one
+    corpus exchange); the curve lives on the DISTINCT-times table —
+    risk sets are a reverse cumulative sum and the product telescopes
+    as exp(Σ ln(1 − d/n)) over a forward cumulative window, so the
+    whole estimator is two window passes over the reduced table (the
+    classic sequential product restated as prefix algebra — the CUSUM
+    drawdown lesson again). Global ORDER BY on distinct times — fine
+    for any realistic time domain; pre-bucket otherwise. d_i/n_i and
+    the ln-sums carry ROUND(s, 6). Censored-only times emit rows with
+    n_event = 0 and unchanged s (they still shrink later risk sets).
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(duration_col).cast("long").alias("t"),
+        (F.col(event_col).cast("int") > 0).cast("int").alias("e"),
+    ).filter(F.col("t").isNotNull())
+    per_t = base.groupBy("t").agg(
+        F.sum("e").cast("long").alias("n_event"),
+        F.sum(F.lit(1) - F.col("e")).cast("long").alias("n_censored"),
+    )
+    w_all = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_before = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    tot = F.sum(F.col("n_event") + F.col("n_censored")).over(w_all)
+    gone_before = F.coalesce(
+        F.sum(F.col("n_event") + F.col("n_censored")).over(w_before), F.lit(0)
+    )
+    r = per_t.withColumn("n_risk", (tot - gone_before).cast("long"))
+    lnterm = F.when(
+        F.col("n_event") > 0,
+        F.log(
+            (F.col("n_risk") - F.col("n_event")).cast("double")
+            / F.col("n_risk").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    r = r.withColumn("s", F.round(F.exp(F.sum(lnterm).over(w_cum)), 6))
+    return r.select("t", "n_risk", "n_event", "n_censored", "s")

@@ -421,3 +421,36 @@ def test_markov_entropy_rate_extremes_and_model(spark):
     assert r["n_pairs"] == N
     assert abs(r["h_rate"] - h) < 1e-5
     assert abs(r["predictability"] - (1 - h / math.log(3))) < 1e-5
+
+
+def test_kaplan_meier_matches_lifelines_style_model(spark):
+    """KM curve equals the textbook product-limit computation on a hand
+    dataset with ties and censoring; survival is non-increasing;
+    censored-only times keep s unchanged but shrink later risk sets."""
+    rows = [
+        (2, 1), (3, 1), (3, 0), (5, 1), (5, 1), (8, 0), (9, 1), (9, 0), (12, 0),
+    ]
+    df = spark.createDataFrame(rows, "dur long, ev int")
+    from osmflat_rs_spark.operators.sessions import kaplan_meier
+
+    got = {r["t"]: r.asDict() for r in kaplan_meier(df, "dur", "ev").collect()}
+    # manual product-limit
+    n = len(rows)
+    s = 1.0
+    import collections
+
+    per = collections.defaultdict(lambda: [0, 0])
+    for t, e in rows:
+        per[t][0 if e else 1] += 1
+    at_risk = n
+    for t in sorted(per):
+        d, c = per[t]
+        r = got[t]
+        assert r["n_risk"] == at_risk and r["n_event"] == d and r["n_censored"] == c
+        if d:
+            s *= (at_risk - d) / at_risk
+        assert abs(r["s"] - s) < 5e-7, t
+        at_risk -= d + c
+    svals = [got[t]["s"] for t in sorted(got)]
+    assert all(a >= b - 1e-9 for a, b in zip(svals, svals[1:]))
+    assert got[8]["s"] == got[5]["s"]  # censored-only time: s unchanged
