@@ -3158,6 +3158,28 @@ def q_survival_events(spark, sf_dir):
     return kaplan_meier(life, "dur_h", "event")
 
 
+def q_logrank_events(spark, sf_dir):
+    """Log-rank test between a deterministic user A/B split (id
+    parity): same lifetimes/censoring as the KM gate, hypergeometric
+    expectations over shared risk sets — under the null split chi2
+    should sit small, and the arithmetic is fully oracled."""
+    from osmflat_rs_spark.operators.sessions import logrank_test
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.min("us").alias("first_us"), F.max("us").alias("last_us")
+    )
+    horizon = per_user.agg(F.max("last_us").alias("_h"))
+    life = per_user.crossJoin(F.broadcast(horizon)).select(
+        ((F.col("last_us") - F.col("first_us")) / F.lit(3_600_000_000)).cast("long").alias("dur_h"),
+        (F.col("last_us") < F.col("_h") - F.lit(24 * 3_600_000_000)).cast("int").alias("event"),
+        F.when(F.pmod(F.col("user_id"), F.lit(2)) == 0, F.lit("a")).otherwise(F.lit("b")).alias("seg"),
+    )
+    return logrank_test(life, "dur_h", "event", "seg")
+
+
 def q_cohort_events(spark, sf_dir):
     """Cohort retention matrix (``sessions.cohort_retention``, r5):
     users cohorted by first-activity week (fixed epoch periods, exact
@@ -4820,6 +4842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_events": q_scd2_events,
         "cohort_events": q_cohort_events,
         "survival_events": q_survival_events,
+        "logrank_events": q_logrank_events,
         "transitions_events": q_transitions_events,
         "entropy_rate_events": q_entropy_rate_events,
         "densify_events": q_densify_events,
@@ -7579,6 +7602,45 @@ def oracle_sql() -> dict[str, str]:
                         THEN ROUND(1 - hsum / n_pairs / ln(CAST(n_states AS DOUBLE)), 6)
                    END AS predictability
             FROM a
+        """,
+        # log-rank: identical risk sets + hypergeometric moments
+        "logrank_events": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+            pu AS (SELECT user_id, MIN(us) AS f, MAX(us) AS l FROM e GROUP BY 1),
+            h AS (SELECT MAX(l) AS h FROM pu),
+            life AS (SELECT CAST((l - f) // 3600000000 AS BIGINT) AS t,
+                            CASE WHEN l < h.h - 86400000000 THEN 1 ELSE 0 END AS ev,
+                            CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS g
+                     FROM pu, h),
+            per AS (SELECT t,
+                           SUM(CASE WHEN g = 'a' THEN ev ELSE 0 END) AS da,
+                           SUM(ev) AS d,
+                           SUM(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS ca,
+                           COUNT(*) AS c
+                    FROM life GROUP BY 1),
+            r AS (SELECT *,
+                         SUM(ca) OVER () - COALESCE(SUM(ca) OVER
+                             (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS na,
+                         SUM(c) OVER () - COALESCE(SUM(c) OVER
+                             (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nn
+                  FROM per),
+            f AS (SELECT * FROM r WHERE d > 0),
+            a AS (SELECT CAST(SUM(da) AS BIGINT) AS o_a,
+                         SUM(d * (CAST(na AS DOUBLE) / nn)) AS ea,
+                         SUM(CASE WHEN nn > 1
+                                  THEN d * (CAST(na AS DOUBLE) / nn)
+                                       * (1 - CAST(na AS DOUBLE) / nn)
+                                       * CAST(nn - d AS DOUBLE) / (nn - 1)
+                                  ELSE 0.0 END) AS v
+                  FROM f),
+            tt AS (SELECT SUM(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS n_a,
+                          SUM(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS n_b
+                   FROM life)
+            SELECT CAST(tt.n_a AS BIGINT) AS n_a, CAST(tt.n_b AS BIGINT) AS n_b,
+                   a.o_a, ROUND(a.ea, 6) AS e_a,
+                   CASE WHEN a.v > 0
+                        THEN ROUND((a.o_a - a.ea) * (a.o_a - a.ea) / a.v, 6) END AS chi2
+            FROM a, tt
         """,
         # Kaplan-Meier: identical reduced-table prefix algebra
         "survival_events": """

@@ -514,3 +514,70 @@ def kaplan_meier(
     ).otherwise(F.lit(0.0))
     r = r.withColumn("s", F.round(F.exp(F.sum(lnterm).over(w_cum)), 6))
     return r.select("t", "n_risk", "n_event", "n_censored", "s")
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+):
+    """One-row log-rank test (Mantel–Cox) comparing the survival of
+    exactly two groups → (n_a, n_b, o_a, e_a, chi2): at every distinct
+    event time, group A's observed deaths vs the hypergeometric
+    expectation d·n_a/n given the risk sets, χ² = (Σ(O−E))²/ΣV with
+    V = d·(n_a/n)·(1−n_a/n)·(n−d)/(n−1) — the standard "did cohort A
+    churn differently" significance companion to
+    :func:`kaplan_meier`'s curves.
+
+    Scale shape: per-(group, time) reduce first; risk sets are reverse
+    cumulative sums over the distinct-times table (two window passes,
+    same as KM), the test statistic one aggregate. The group column
+    must have exactly TWO values (raise otherwise — a k-group
+    log-rank is a different statistic); single-subject times where
+    n = 1 contribute zero variance and drop from ΣV exactly as the
+    textbook prescribes. Counts exact; e_a/chi2 ROUND 6.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.col(duration_col).cast("long").alias("t"),
+        (F.col(event_col).cast("int") > 0).cast("int").alias("e"),
+    ).filter(F.col("t").isNotNull())
+    gs = [r["g"] for r in base.select("g").distinct().orderBy("g").collect()]
+    if len(gs) != 2:
+        raise ValueError(f"logrank_test needs exactly 2 groups, got {gs}")
+    ga = gs[0]
+    per = base.groupBy("t").agg(
+        F.sum(F.when(F.col("g") == ga, F.col("e")).otherwise(0)).alias("da"),
+        F.sum("e").alias("d"),
+        F.sum(F.when(F.col("g") == ga, 1).otherwise(0)).alias("ca"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    w_all = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_before = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    na = (F.sum("ca").over(w_all) - F.coalesce(F.sum("ca").over(w_before), F.lit(0))).cast("long")
+    nn = (F.sum("c").over(w_all) - F.coalesce(F.sum("c").over(w_before), F.lit(0))).cast("long")
+    r = per.withColumn("na", na).withColumn("nn", nn).filter(F.col("d") > 0)
+    pa = F.col("na").cast("double") / F.col("nn")
+    ea = F.col("d") * pa
+    v = F.when(
+        F.col("nn") > 1,
+        F.col("d") * pa * (1 - pa) * (F.col("nn") - F.col("d")).cast("double")
+        / (F.col("nn") - 1),
+    ).otherwise(F.lit(0.0))
+    tots = base.groupBy().pivot("g", gs).count()
+    a = r.agg(
+        F.sum("da").cast("long").alias("o_a"),
+        F.sum(ea).alias("_ea"),
+        F.sum(v).alias("_v"),
+    ).crossJoin(F.broadcast(tots))
+    diff = F.col("o_a") - F.col("_ea")
+    return a.select(
+        F.col(ga).cast("long").alias("n_a"),
+        F.col(gs[1]).cast("long").alias("n_b"),
+        "o_a",
+        F.round("_ea", 6).alias("e_a"),
+        F.when(F.col("_v") > 0, F.round(diff * diff / F.col("_v"), 6)).alias("chi2"),
+    )

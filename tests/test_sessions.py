@@ -454,3 +454,48 @@ def test_kaplan_meier_matches_lifelines_style_model(spark):
     svals = [got[t]["s"] for t in sorted(got)]
     assert all(a >= b - 1e-9 for a, b in zip(svals, svals[1:]))
     assert got[8]["s"] == got[5]["s"]  # censored-only time: s unchanged
+
+
+def test_logrank_matches_textbook_model(spark):
+    """Log-rank O/E/V equal the hand hypergeometric computation;
+    identical groups give chi2 ~ 0; a strongly separated pair scores
+    large; >2 groups raise."""
+    import collections
+
+    from osmflat_rs_spark.operators.sessions import logrank_test
+
+    same = [("a", t, 1) for t in (2, 4, 6, 8)] + [("b", t, 1) for t in (2, 4, 6, 8)]
+    sep = [("a", t, 1) for t in (1, 2, 3, 4, 5)] + [("b", t, 1) for t in (20, 21, 22, 23, 24)]
+    for rows, expect_small in ((same, True), (sep, False)):
+        df = spark.createDataFrame(rows, "g string, t long, e int")
+        r = logrank_test(df, "t", "e", "g").collect()[0]
+        per = collections.defaultdict(lambda: [0, 0, 0, 0])  # da, d, ca, c
+        for g, t, e in rows:
+            per[t][1] += e
+            per[t][3] += 1
+            if g == "a":
+                per[t][0] += e
+                per[t][2] += 1
+        na = sum(1 for g, _, _ in rows if g == "a")
+        nn = len(rows)
+        oa = ea = v = 0.0
+        for t in sorted(per):
+            da, d, ca, c = per[t]
+            if d > 0:
+                p = na / nn
+                oa += da
+                ea += d * p
+                if nn > 1:
+                    v += d * p * (1 - p) * (nn - d) / (nn - 1)
+            na -= ca
+            nn -= c
+        assert r["o_a"] == oa
+        assert abs(r["e_a"] - ea) < 1e-5
+        chi2 = (oa - ea) ** 2 / v
+        assert abs(r["chi2"] - chi2) < 1e-4
+        assert (r["chi2"] < 0.5) == expect_small
+    import pytest as _pytest
+
+    three = spark.createDataFrame([("a", 1, 1), ("b", 2, 1), ("c", 3, 1)], "g string, t long, e int")
+    with _pytest.raises(ValueError):
+        logrank_test(three, "t", "e", "g")
