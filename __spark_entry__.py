@@ -2787,6 +2787,22 @@ def q_bbox_join_events(spark, sf_dir):
     )
 
 
+def q_concurrency_events(spark, sf_dir):
+    """Concurrent-active-users curve: per-user [first, last+1h) activity
+    intervals swept into change points + running concurrency — exact
+    ints, tie-free by same-instant delta collapse."""
+    from osmflat_rs_spark.operators.intervals import concurrency_curve
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    iv = e.groupBy("user_id").agg(
+        F.min("us").alias("s"),
+        (F.max("us") + F.lit(3_600_000_000)).alias("e"),
+    )
+    return concurrency_curve(iv, "s", "e")
+
+
 def q_merge_intervals_events(spark, sf_dir):
     """Per-user interval coalescing (``intervals.merge_intervals``, r5)
     — coverage union of [t, t + dur] validity windows (dur deterministic
@@ -4805,6 +4821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interp_events": q_interp_events,
         "interval_join_events": q_interval_join_events,
         "merge_intervals_events": q_merge_intervals_events,
+        "concurrency_events": q_concurrency_events,
         "stream_merge_intervals_events": q_stream_merge_intervals_events,  # stateful streaming, oracled
         "bbox_join_events": q_bbox_join_events,
         "sessions_events": q_sessions_events,
@@ -7666,6 +7683,20 @@ def oracle_sql() -> dict[str, str]:
                                    OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 6) AS s
                   FROM r)
             SELECT t, n_risk, n_event, n_censored, s FROM s
+        """,
+        # concurrency: identical collapsed change points + running sum
+        "concurrency_events": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+            iv AS (SELECT MIN(us) AS s, MAX(us) + 3600000000 AS en
+                   FROM e GROUP BY user_id),
+            pts AS (SELECT s AS t, 1 AS d FROM iv
+                    UNION ALL SELECT en, -1 FROM iv),
+            per AS (SELECT t, CAST(SUM(d) AS BIGINT) AS delta
+                    FROM pts GROUP BY 1 HAVING SUM(d) <> 0)
+            SELECT t, delta,
+                   CAST(SUM(delta) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS concurrent
+            FROM per
         """,
         "asof_purchase_view": """
             SELECT l.event_id, l.user_id, r.view_event_id,

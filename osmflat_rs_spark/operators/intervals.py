@@ -149,3 +149,40 @@ def merge_intervals(
         )
         .select(F.col("_g").alias(group_col), "m_start", "m_end", "n_source")
     )
+
+
+def concurrency_curve(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Sweep-line concurrency over half-open intervals [start, end) →
+    one row per CHANGE POINT (t, delta, concurrent): the classic
+    "how many sessions are open right now" curve (capacity planning,
+    license counting, max-overlap queries), with ``concurrent`` the
+    count immediately AFTER the change point takes effect.
+
+    Prefix algebra again (the CUSUM/KM discipline): intervals explode
+    to (start, +1) / (end, −1) endpoint deltas, same-timestamp deltas
+    COLLAPSE by summation into one change point (so ties need no
+    order convention at all — a departure and an arrival at the same
+    instant net out), and the curve is one running sum over the
+    distinct-endpoint table. Exact ints end to end; max concurrency
+    is ``max(concurrent)`` downstream. Degenerate intervals
+    (end ≤ start) raise — a negative-length session is corruption.
+    """
+    from pyspark.sql import Window
+
+    bad = df.filter(F.col(end_col) <= F.col(start_col)).limit(1).count()
+    if bad:
+        raise ValueError("concurrency_curve: found interval with end <= start")
+    pts = df.select(
+        F.col(start_col).cast("long").alias("t"), F.lit(1).alias("d")
+    ).unionByName(
+        df.select(F.col(end_col).cast("long").alias("t"), F.lit(-1).alias("d"))
+    )
+    per_t = pts.groupBy("t").agg(F.sum("d").cast("long").alias("delta")).filter(
+        F.col("delta") != 0
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return per_t.withColumn("concurrent", F.sum("delta").over(w).cast("long"))

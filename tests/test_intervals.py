@@ -191,3 +191,37 @@ def test_bbox_join_touching_containment_poison_validation(spark):
                   ldf.withColumnRenamed("id", "rb"), 0, left_id="la", right_id="rb")
     with pytest.raises(ValueError):
         bbox_join(ldf, ldf, 8, left_id="id", right_id="id")  # colliding ids
+
+
+def test_concurrency_curve_matches_sweep_model(spark):
+    """Running concurrency equals the brute sweep; same-instant
+    arrivals/departures net out into one change point; the curve
+    returns to zero; degenerate intervals raise."""
+    import pytest as _pytest
+
+    from osmflat_rs_spark.operators.intervals import concurrency_curve
+
+    iv = [(0, 10), (5, 15), (10, 20), (10, 12), (18, 25)]
+    df = spark.createDataFrame(iv, "s long, e long")
+    rows = sorted(
+        (r["t"], r["delta"], r["concurrent"])
+        for r in concurrency_curve(df, "s", "e").collect()
+    )
+    deltas = {}
+    for s, e in iv:
+        deltas[s] = deltas.get(s, 0) + 1
+        deltas[e] = deltas.get(e, 0) - 1
+    run = 0
+    want = []
+    for t in sorted(deltas):
+        if deltas[t] == 0:
+            continue
+        run += deltas[t]
+        want.append((t, deltas[t], run))
+    assert rows == want
+    # at t=10: one end (-1) and two starts (+2) -> single +1 change
+    # point, concurrency 2 -> 3
+    assert (10, 1, 3) in rows
+    assert rows[-1][2] == 0
+    with _pytest.raises(ValueError):
+        concurrency_curve(spark.createDataFrame([(5, 5)], "s long, e long"), "s", "e").collect()
