@@ -3232,6 +3232,23 @@ def q_attribution_events(spark, sf_dir):
     )
 
 
+def q_ab_conversion_events(spark, sf_dir):
+    """Wilson 95% conversion intervals for the parity A/B split:
+    converted = user had a purchase event; exact counts, deterministic
+    IEEE interval arithmetic."""
+    from osmflat_rs_spark.operators.sessions import ab_conversion
+
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
+    )
+    seg = per_user.select(
+        F.when(F.pmod(F.col("user_id"), F.lit(2)) == 0, F.lit("a")).otherwise(F.lit("b")).alias("seg"),
+        "conv",
+    )
+    return ab_conversion(seg, "seg", "conv")
+
+
 def q_funnel_events(spark, sf_dir):
     """Ordered conversion funnel view→click→purchase: K bounded passes
     (filter pushed to scan + min-agg + equi-join on the shrinking
@@ -4856,6 +4873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "service_areas_events": q_service_areas_events,
         "funnel_events": q_funnel_events,
         "attribution_events": q_attribution_events,
+        "ab_conversion_events": q_ab_conversion_events,
         "scd2_events": q_scd2_events,
         "cohort_events": q_cohort_events,
         "survival_events": q_survival_events,
@@ -7570,6 +7588,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(t AS BIGINT) AS t_star, o AS split_order,
                    ml AS mean_l, mr AS mean_r, st AS stat
             FROM rk WHERE rn = 1
+        """,
+        # A/B Wilson: identical counts + interval tree
+        "ab_conversion_events": """
+            WITH pu AS (SELECT user_id,
+                               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+                        FROM events GROUP BY 1),
+            g AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS seg,
+                         COUNT(*) AS n, SUM(conv) AS n_conv
+                  FROM pu GROUP BY 1),
+            c AS (SELECT seg, n, n_conv,
+                         CAST(n_conv AS DOUBLE) / n AS p,
+                         CAST(n AS DOUBLE) AS nd
+                  FROM g)
+            SELECT seg, CAST(n AS BIGINT) AS n, CAST(n_conv AS BIGINT) AS n_conv,
+                   ROUND(p, 6) AS rate,
+                   ROUND(GREATEST(0.0,
+                     (p + 1.959963984540054 * 1.959963984540054 / (2 * nd)) / (1 + 1.959963984540054 * 1.959963984540054 / nd)
+                     - (1.959963984540054 / (1 + 1.959963984540054 * 1.959963984540054 / nd))
+                       * sqrt(p * (1 - p) / nd + 1.959963984540054 * 1.959963984540054 / (4 * nd * nd))), 6) AS wilson_lo,
+                   ROUND(LEAST(1.0,
+                     (p + 1.959963984540054 * 1.959963984540054 / (2 * nd)) / (1 + 1.959963984540054 * 1.959963984540054 / nd)
+                     + (1.959963984540054 / (1 + 1.959963984540054 * 1.959963984540054 / nd))
+                       * sqrt(p * (1 - p) / nd + 1.959963984540054 * 1.959963984540054 / (4 * nd * nd))), 6) AS wilson_hi
+            FROM c
         """,
         # attribution: native ASOF for last-touch, window 1/n for linear
         "attribution_events": """

@@ -581,3 +581,37 @@ def logrank_test(
         F.round("_ea", 6).alias("e_a"),
         F.when(F.col("_v") > 0, F.round(diff * diff / F.col("_v"), 6)).alias("chi2"),
     )
+
+
+def ab_conversion(
+    df: DataFrame,
+    group_col: str,
+    converted_col: str,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Two-variant conversion readout → one row per group: (group, n,
+    n_conv, rate, wilson_lo, wilson_hi) plus the same columns work for
+    k variants — the Wilson score interval (1927), which unlike the
+    naive ±z√(p(1−p)/n) behaves at 0 %, 100 % and small n (the
+    standard product-analytics CI; z defaults to the two-sided 95 %
+    quantile). One exact-count aggregate per group; the interval is a
+    short deterministic IEEE tree → ROUND 6.
+    """
+    g = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col(converted_col).cast("int") > 0).cast("long")).alias("n_conv"),
+    )
+    n, x = F.col("n").cast("double"), F.col("n_conv").cast("double")
+    p = x / n
+    z2 = z * z
+    denom = 1 + z2 / n
+    center = (p + z2 / (2 * n)) / denom
+    half = (z / denom) * F.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+    return g.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_conv").cast("long").alias("n_conv"),
+        F.round(p, 6).alias("rate"),
+        F.round(F.greatest(F.lit(0.0), center - half), 6).alias("wilson_lo"),
+        F.round(F.least(F.lit(1.0), center + half), 6).alias("wilson_hi"),
+    )

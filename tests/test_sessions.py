@@ -499,3 +499,28 @@ def test_logrank_matches_textbook_model(spark):
     three = spark.createDataFrame([("a", 1, 1), ("b", 2, 1), ("c", 3, 1)], "g string, t long, e int")
     with _pytest.raises(ValueError):
         logrank_test(three, "t", "e", "g")
+
+
+def test_ab_conversion_wilson_properties(spark):
+    """Wilson interval matches the closed form, contains the rate, and
+    behaves at the 0% and 100% boundaries (no negative/over-1 bounds)."""
+    import math
+
+    from osmflat_rs_spark.operators.sessions import ab_conversion
+
+    rows = [("a", 1)] * 30 + [("a", 0)] * 70 + [("b", 1)] * 100 + [("z", 0)] * 10
+    df = spark.createDataFrame(rows, "g string, conv int")
+    got = {r["g"]: r.asDict() for r in ab_conversion(df, "g", "conv").collect()}
+    z = 1.959963984540054
+    for g, n, x in (("a", 100, 30), ("b", 100, 100), ("z", 10, 0)):
+        p = x / n
+        denom = 1 + z * z / n
+        center = (p + z * z / (2 * n)) / denom
+        half = (z / denom) * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+        r = got[g]
+        assert (r["n"], r["n_conv"]) == (n, x) and r["rate"] == round(p, 6)
+        assert abs(r["wilson_lo"] - max(0.0, center - half)) < 1e-6
+        assert abs(r["wilson_hi"] - min(1.0, center + half)) < 1e-6
+        assert 0.0 <= r["wilson_lo"] <= r["rate"] <= r["wilson_hi"] <= 1.0
+    assert got["b"]["wilson_hi"] == 1.0 and got["b"]["wilson_lo"] < 1.0
+    assert got["z"]["wilson_lo"] == 0.0 and got["z"]["wilson_hi"] > 0.0
