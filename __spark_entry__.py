@@ -3249,6 +3249,29 @@ def q_ab_conversion_events(spark, sf_dir):
     return ab_conversion(seg, "seg", "conv")
 
 
+def q_cuped_events(spark, sf_dir):
+    """CUPED adjustment of second-half spend by first-half spend per
+    user (parity A/B split): pooled theta from exact int64 moments,
+    per-group adjusted means and variance reduction."""
+    from osmflat_rs_spark.operators.sessions import cuped_adjust
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    mid = e.agg(((F.min("us") + F.max("us")) / 2).cast("long").alias("m"))
+    per = e.crossJoin(F.broadcast(mid)).groupBy("user_id").agg(
+        F.sum(F.when(F.col("us") < F.col("m"), F.col("v")).otherwise(0)).alias("x"),
+        F.sum(F.when(F.col("us") >= F.col("m"), F.col("v")).otherwise(0)).alias("y"),
+    )
+    seg = per.select(
+        F.when(F.pmod(F.col("user_id"), F.lit(2)) == 0, F.lit("a")).otherwise(F.lit("b")).alias("seg"),
+        "x", "y",
+    )
+    return cuped_adjust(seg, "seg", "y", "x")
+
+
 def q_funnel_events(spark, sf_dir):
     """Ordered conversion funnel view→click→purchase: K bounded passes
     (filter pushed to scan + min-agg + equi-join on the shrinking
@@ -4874,6 +4897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_events": q_funnel_events,
         "attribution_events": q_attribution_events,
         "ab_conversion_events": q_ab_conversion_events,
+        "cuped_events": q_cuped_events,
         "scd2_events": q_scd2_events,
         "cohort_events": q_cohort_events,
         "survival_events": q_survival_events,
@@ -7588,6 +7612,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(t AS BIGINT) AS t_star, o AS split_order,
                    ml AS mean_l, mr AS mean_r, st AS stat
             FROM rk WHERE rn = 1
+        """,
+        # CUPED: identical exact moments, pooled theta
+        "cuped_events": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                       FROM events),
+            m AS (SELECT CAST((MIN(us) + MAX(us)) / 2 AS BIGINT) AS m FROM e),
+            per AS (SELECT user_id,
+                           SUM(CASE WHEN us < m.m THEN v ELSE 0 END) AS x,
+                           SUM(CASE WHEN us >= m.m THEN v ELSE 0 END) AS y
+                    FROM e, m GROUP BY 1, m.m),
+            seg AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS g, x, y
+                    FROM per),
+            gg AS (SELECT g, COUNT(*) AS n,
+                          CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                          CAST(SUM(x * y) AS BIGINT) AS sxy,
+                          CAST(SUM(x * x) AS BIGINT) AS sxx,
+                          CAST(SUM(y * y) AS BIGINT) AS syy
+                   FROM seg GROUP BY 1),
+            p AS (SELECT SUM(n) AS pn, SUM(sx) AS px, SUM(sy) AS py,
+                         SUM(sxy) AS pxy, SUM(sxx) AS pxx
+                  FROM gg),
+            th AS (SELECT CASE WHEN CAST(pxx AS DOUBLE) / pn
+                                    - (CAST(px AS DOUBLE) / pn) * (CAST(px AS DOUBLE) / pn) > 0
+                               THEN (CAST(pxy AS DOUBLE) / pn
+                                     - (CAST(px AS DOUBLE) / pn) * (CAST(py AS DOUBLE) / pn))
+                                    / (CAST(pxx AS DOUBLE) / pn
+                                       - (CAST(px AS DOUBLE) / pn) * (CAST(px AS DOUBLE) / pn))
+                               ELSE 0.0 END AS theta,
+                          CAST(px AS DOUBLE) / pn AS xbar
+                   FROM p),
+            o AS (SELECT g, n,
+                         CAST(sy AS DOUBLE) / n AS mr,
+                         CAST(sx AS DOUBLE) / n AS mx,
+                         CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS vr,
+                         CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS cg,
+                         CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) AS vx
+                  FROM gg)
+            SELECT o.g AS seg, CAST(o.n AS BIGINT) AS n,
+                   ROUND(o.mr, 6) AS mean_raw,
+                   ROUND(o.mr - th.theta * (o.mx - th.xbar), 6) AS mean_adj,
+                   ROUND(o.vr, 6) AS var_raw,
+                   ROUND(o.vr - 2 * th.theta * o.cg + th.theta * th.theta * o.vx, 6) AS var_adj,
+                   ROUND(th.theta, 6) AS theta,
+                   CASE WHEN o.vr > 0
+                        THEN ROUND(1 - (o.vr - 2 * th.theta * o.cg
+                                        + th.theta * th.theta * o.vx) / o.vr, 6)
+                   END AS var_reduction
+            FROM o, th
         """,
         # A/B Wilson: identical counts + interval tree
         "ab_conversion_events": """

@@ -615,3 +615,64 @@ def ab_conversion(
         F.round(F.greatest(F.lit(0.0), center - half), 6).alias("wilson_lo"),
         F.round(F.least(F.lit(1.0), center + half), 6).alias("wilson_hi"),
     )
+
+
+def cuped_adjust(
+    df: DataFrame,
+    group_col: str,
+    metric_col: str,
+    covariate_col: str,
+):
+    """CUPED variance reduction (Deng et al. 2013, WSDM — the
+    experimentation-platform standard) → one row per group: (group, n,
+    mean_raw, mean_adj, var_raw, var_adj, theta, var_reduction):
+    adjust each unit's metric by its pre-experiment covariate,
+    ŷ = y − θ(x − x̄), with θ = cov(x, y)/var(x) POOLED across groups
+    (the unbiasedness condition — a per-group θ would bias the
+    contrast) — group means are unchanged in expectation while
+    variance drops by the squared correlation.
+
+    Everything from ONE aggregate over exact int64 sums (Σx, Σy, Σxy,
+    Σx², Σy² per group + pooled via a second tiny rollup): θ and the
+    variances are closed-form moment expressions → ROUND 6. Callers
+    keep n·max² < 2^63. Degenerate var(x) = 0 yields θ = 0 (no
+    adjustment) rather than NULLs — CUPED degrades to the raw metric.
+    """
+    g = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(covariate_col).cast("long")).alias("sx"),
+        F.sum(F.col(metric_col).cast("long")).alias("sy"),
+        F.sum((F.col(covariate_col).cast("long") * F.col(metric_col).cast("long"))).alias("sxy"),
+        F.sum((F.col(covariate_col).cast("long") * F.col(covariate_col).cast("long"))).alias("sxx"),
+        F.sum((F.col(metric_col).cast("long") * F.col(metric_col).cast("long"))).alias("syy"),
+    )
+    pooled = g.agg(
+        F.sum("n").alias("pn"), F.sum("sx").alias("px"), F.sum("sy").alias("py"),
+        F.sum("sxy").alias("pxy"), F.sum("sxx").alias("pxx"),
+    )
+    pn, px, py, pxy, pxx = (F.col(c).cast("double") for c in ("pn", "px", "py", "pxy", "pxx"))
+    varx_p = pxx / pn - (px / pn) * (px / pn)
+    cov_p = pxy / pn - (px / pn) * (py / pn)
+    theta = F.when(varx_p > 0, cov_p / varx_p).otherwise(F.lit(0.0))
+    pooled = pooled.select(theta.alias("theta"), (px / pn).alias("xbar"))
+    j = g.crossJoin(F.broadcast(pooled))
+    n, sx, sy, sxy, sxx, syy = (F.col(c).cast("double") for c in ("n", "sx", "sy", "sxy", "sxx", "syy"))
+    th, xb = F.col("theta"), F.col("xbar")
+    mean_raw = sy / n
+    mean_x = sx / n
+    var_raw = syy / n - mean_raw * mean_raw
+    # var(y - θx) = var(y) - 2θcov(x,y) + θ²var(x), all within-group
+    cov_g = sxy / n - mean_x * mean_raw
+    var_x = sxx / n - mean_x * mean_x
+    var_adj = var_raw - 2 * th * cov_g + th * th * var_x
+    mean_adj = mean_raw - th * (mean_x - xb)
+    return j.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.round(mean_raw, 6).alias("mean_raw"),
+        F.round(mean_adj, 6).alias("mean_adj"),
+        F.round(var_raw, 6).alias("var_raw"),
+        F.round(var_adj, 6).alias("var_adj"),
+        F.round(th, 6).alias("theta"),
+        F.when(var_raw > 0, F.round(1 - var_adj / var_raw, 6)).alias("var_reduction"),
+    )

@@ -524,3 +524,40 @@ def test_ab_conversion_wilson_properties(spark):
         assert 0.0 <= r["wilson_lo"] <= r["rate"] <= r["wilson_hi"] <= 1.0
     assert got["b"]["wilson_hi"] == 1.0 and got["b"]["wilson_lo"] < 1.0
     assert got["z"]["wilson_lo"] == 0.0 and got["z"]["wilson_hi"] > 0.0
+
+
+def test_cuped_reduces_variance_and_matches_numpy(spark):
+    """On correlated (x, y) data CUPED matches the numpy moment model
+    and removes ~rho^2 of variance; with an uncorrelated covariate
+    theta ~ 0 and nothing changes; zero-variance covariate degrades
+    to the raw metric."""
+    import numpy as np
+
+    from osmflat_rs_spark.operators.sessions import cuped_adjust
+
+    rng = np.random.default_rng(197)
+    rows = []
+    for g in ("a", "b"):
+        for _ in range(400):
+            x = int(rng.integers(0, 100))
+            y = 3 * x + int(rng.integers(0, 60)) + (20 if g == "b" else 0)
+            rows.append((g, x, y))
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {r["g"]: r.asDict() for r in cuped_adjust(df, "g", "y", "x").collect()}
+    X = np.array([x for _, x, _ in rows], dtype=float)
+    Y = np.array([y for _, _, y in rows], dtype=float)
+    theta = np.cov(X, Y, bias=True)[0, 1] / X.var()
+    assert abs(got["a"]["theta"] - theta) < 1e-5
+    for g in ("a", "b"):
+        xs = np.array([x for gg, x, _ in rows if gg == g], dtype=float)
+        ys = np.array([y for gg, _, y in rows if gg == g], dtype=float)
+        adj = ys - theta * (xs - X.mean())
+        assert abs(got[g]["mean_adj"] - adj.mean()) < 1e-4
+        assert abs(got[g]["var_adj"] - (ys.var() - 2 * theta * np.cov(xs, ys, bias=True)[0, 1]
+                                        + theta * theta * xs.var())) < 1e-3
+        assert got[g]["var_reduction"] > 0.5
+    # treatment effect preserved
+    assert abs((got["b"]["mean_adj"] - got["a"]["mean_adj"]) - 20) < 5
+    const = spark.createDataFrame([("a", 5, i) for i in range(10)], "g string, x long, y long")
+    r = cuped_adjust(const, "g", "y", "x").collect()[0]
+    assert r["theta"] == 0.0 and r["mean_adj"] == r["mean_raw"]
