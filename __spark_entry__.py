@@ -3272,6 +3272,20 @@ def q_cuped_events(spark, sf_dir):
     return cuped_adjust(seg, "seg", "y", "x")
 
 
+def q_sprt_events(spark, sf_dir):
+    """Wald SPRT over the per-user conversion stream in user_id order,
+    H0: p=0.9 vs H1: p=0.97 (conversion is near-universal at this SF):
+    constant-literal LLR increments, one running-sum window, first
+    crossing via in-aggregate min(struct)."""
+    from osmflat_rs_spark.operators.sessions import sprt_bernoulli
+
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
+    )
+    return sprt_bernoulli(per_user, "user_id", "conv", p0=0.9, p1=0.97)
+
+
 def q_funnel_events(spark, sf_dir):
     """Ordered conversion funnel view→click→purchase: K bounded passes
     (filter pushed to scan + min-agg + equi-join on the shrinking
@@ -4898,6 +4912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_events": q_attribution_events,
         "ab_conversion_events": q_ab_conversion_events,
         "cuped_events": q_cuped_events,
+        "sprt_events": q_sprt_events,
         "scd2_events": q_scd2_events,
         "cohort_events": q_cohort_events,
         "survival_events": q_survival_events,
@@ -7612,6 +7627,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(t AS BIGINT) AS t_star, o AS split_order,
                    ml AS mean_l, mr AS mean_r, st AS stat
             FROM rk WHERE rn = 1
+        """,
+        # SPRT: identical constant increments and boundaries
+        "sprt_events": """
+            WITH pu AS (SELECT user_id AS o,
+                               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x
+                        FROM events GROUP BY 1),
+            r AS (SELECT o, x,
+                         SUM(CASE WHEN x = 1 THEN 0.0749013081731177 ELSE -1.2039728043259361 END)
+                             OVER (ORDER BY o ROWS UNBOUNDED PRECEDING) AS llr,
+                         row_number() OVER (ORDER BY o) AS i
+                  FROM pu),
+            c AS (SELECT i, llr,
+                         CASE WHEN llr >= 2.9444389791664403 THEN 'accept_h1'
+                              WHEN llr <= -2.9444389791664403 THEN 'accept_h0' END AS d
+                  FROM r),
+            f AS (SELECT i, d, llr FROM c WHERE d IS NOT NULL ORDER BY i LIMIT 1),
+            lastr AS (SELECT llr FROM r ORDER BY i DESC LIMIT 1),
+            a AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS n_pos FROM pu)
+            SELECT CAST(a.n AS BIGINT) AS n, a.n_pos,
+                   CAST(ROUND(lastr.llr, 6) AS DOUBLE) AS llr_final,
+                   COALESCE(f.d, 'continue') AS decision,
+                   CAST(f.i AS BIGINT) AS n_decided,
+                   CAST(ROUND(f.llr, 6) AS DOUBLE) AS llr_at_decision
+            FROM a, lastr LEFT JOIN f ON TRUE
         """,
         # CUPED: identical exact moments, pooled theta
         "cuped_events": """

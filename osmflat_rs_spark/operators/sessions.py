@@ -676,3 +676,76 @@ def cuped_adjust(
         F.round(th, 6).alias("theta"),
         F.when(var_raw > 0, F.round(1 - var_adj / var_raw, 6)).alias("var_reduction"),
     )
+
+
+def sprt_bernoulli(
+    df: DataFrame,
+    order_col: str,
+    outcome_col: str,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+):
+    """Wald's sequential probability ratio test (1945) over an ordered
+    Bernoulli stream → one row: (n, n_pos, llr_final, decision,
+    n_decided, llr_at_decision): cumulative log-likelihood ratio
+    Σ ln(p1/p0) per success + ln((1−p1)/(1−p0)) per failure against
+    the Wald boundaries ln(β/(1−α)) / ln((1−β)/α); the FIRST crossing
+    decides ('accept_h1' / 'accept_h0'), later samples can't undo it
+    — the always-valid sequential test batch peeking violates.
+
+    Prefix algebra once more: the LLR is a running sum over the order
+    (one window), the first crossing an in-aggregate min(struct) over
+    the crossing rows — no driver loop, no resort. Per-row increments
+    are one of two CONSTANT doubles (computed once in Python, embedded
+    as literals — both engines add identical operands in identical
+    order, so the running sum is bit-deterministic). 'continue' means
+    the stream ended without crossing. Requires 0 < p0 < p1 < 1.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    if not (0 < p0 < p1 < 1):
+        raise ValueError(f"need 0 < p0 < p1 < 1, got {p0}, {p1}")
+    if not (0 < alpha < 1 and 0 < beta < 1):
+        raise ValueError(f"bad error rates: {alpha}, {beta}")
+    w_pos = math.log(p1 / p0)
+    w_neg = math.log((1 - p1) / (1 - p0))
+    lo = math.log(beta / (1 - alpha))
+    hi = math.log((1 - beta) / alpha)
+    base = df.select(
+        F.col(order_col).cast("long").alias("o"),
+        (F.col(outcome_col).cast("int") > 0).cast("int").alias("x"),
+    )
+    w = Window.orderBy("o").rowsBetween(Window.unboundedPreceding, 0)
+    inc = F.when(F.col("x") == 1, F.lit(w_pos)).otherwise(F.lit(w_neg))
+    r = base.select(
+        "o", "x",
+        F.sum(inc).over(w).alias("llr"),
+        F.row_number().over(Window.orderBy("o")).alias("i"),
+    )
+    crossing = F.when(F.col("llr") >= hi, F.lit("accept_h1")).when(
+        F.col("llr") <= lo, F.lit("accept_h0")
+    )
+    first = F.min(
+        F.when(
+            crossing.isNotNull(),
+            F.struct(F.col("i").alias("i"), crossing.alias("d"), F.col("llr").alias("l")),
+        )
+    )
+    a = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("n_pos"),
+        F.max(F.struct("i", "llr")).alias("_last"),
+        first.alias("_first"),
+    )
+    return a.select(
+        F.col("n").cast("long").alias("n"),
+        "n_pos",
+        F.round(F.col("_last.llr"), 6).alias("llr_final"),
+        F.coalesce(F.col("_first.d"), F.lit("continue")).alias("decision"),
+        F.col("_first.i").cast("long").alias("n_decided"),
+        F.round(F.col("_first.l"), 6).alias("llr_at_decision"),
+    )

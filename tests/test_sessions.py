@@ -561,3 +561,36 @@ def test_cuped_reduces_variance_and_matches_numpy(spark):
     const = spark.createDataFrame([("a", 5, i) for i in range(10)], "g string, x long, y long")
     r = cuped_adjust(const, "g", "y", "x").collect()[0]
     assert r["theta"] == 0.0 and r["mean_adj"] == r["mean_raw"]
+
+
+def test_sprt_decides_correctly_and_matches_model(spark):
+    """A stream drawn at p1 accepts H1 at the first boundary crossing
+    (matching the sequential Python model exactly); a p0 stream accepts
+    H0; decisions stick even if later data reverses; bad params raise."""
+    import math
+
+    import numpy as np
+
+    from osmflat_rs_spark.operators.sessions import sprt_bernoulli
+
+    p0, p1 = 0.3, 0.6
+    wp, wn = math.log(p1 / p0), math.log((1 - p1) / (1 - p0))
+    lo, hi = math.log(0.05 / 0.95), math.log(0.95 / 0.05)
+    rng = np.random.default_rng(199)
+    for p_true, want in ((0.6, "accept_h1"), (0.3, "accept_h0")):
+        xs = [int(rng.random() < p_true) for _ in range(400)]
+        df = spark.createDataFrame(list(enumerate(xs)), "o long, x int")
+        r = sprt_bernoulli(df, "o", "x", p0, p1).collect()[0]
+        llr, first = 0.0, None
+        for i, x in enumerate(xs, start=1):
+            llr += wp if x else wn
+            if first is None and (llr >= hi or llr <= lo):
+                first = (i, "accept_h1" if llr >= hi else "accept_h0", llr)
+        assert r["decision"] == want == first[1]
+        assert r["n_decided"] == first[0]
+        assert abs(r["llr_at_decision"] - first[2]) < 1e-6
+        assert abs(r["llr_final"] - llr) < 1e-6
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sprt_bernoulli(df, "o", "x", 0.6, 0.3)
