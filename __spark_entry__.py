@@ -1192,6 +1192,34 @@ def q_trimmed_mean_events(spark, sf_dir):
     return trimmed_mean(ev, "event_type", "v", trim=(1, 10))
 
 
+def q_conformal_events(spark, sf_dir):
+    """Split conformal intervals per event_type: predictor = exact
+    discrete median of the odd-user calibration split, q = exact
+    ((n+1)(1-alpha))-rank residual, coverage counted on even users —
+    distribution-free ~90% coverage, exact ints until one division."""
+    from osmflat_rs_spark.plans.indexing import split_conformal
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    cal = ev.filter(F.pmod(F.col("user_id"), F.lit(2)) == 1)
+    ev2 = ev.filter(F.pmod(F.col("user_id"), F.lit(2)) == 0)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("v")
+    wall = Window.partitionBy("event_type")
+    med = (
+        cal.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wall))
+        .filter(F.col("_rn") == F.floor((F.col("_n") + 1) / 2))
+        .select("event_type", F.col("v").alias("yhat"))
+    )
+    calp = cal.join(F.broadcast(med), "event_type")
+    evp = ev2.join(F.broadcast(med), "event_type")
+    return split_conformal(calp, evp, "event_type", "yhat", "v", alpha=(1, 10))
+
+
 def q_huff_events(spark, sf_dir):
     """Huff probabilistic market share at 10 facilities (the kNN gate's
     lattice, attractiveness 1..5): regularized inverse-square weight
@@ -4821,6 +4849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_events": q_ks_events,
         "mwu_events": q_mwu_events,
         "trimmed_mean_events": q_trimmed_mean_events,
+        "conformal_events": q_conformal_events,
         "simplify_events": q_simplify_events,
         "dbscan_events": q_dbscan_events,
         "knn_events": q_knn_events,
@@ -5833,6 +5862,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT g AS event_type, n, n_used,
                    CASE WHEN n_used > 0 THEN CAST(s AS DOUBLE) / n_used END AS tmean
             FROM o
+        """,
+        # conformal: identical exact median, rank and coverage
+        "conformal_events": """
+            WITH b AS (SELECT user_id, event_type,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                       FROM events WHERE value IS NOT NULL),
+            cal AS (SELECT * FROM b WHERE user_id % 2 = 1),
+            ev AS (SELECT * FROM b WHERE user_id % 2 = 0),
+            med AS (SELECT event_type, v AS yhat FROM (
+                      SELECT event_type, v,
+                             row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+                             COUNT(*) OVER (PARTITION BY event_type) AS n
+                      FROM cal) WHERE rn = (n + 1) // 2),
+            cr AS (SELECT c.event_type, abs(c.v - m.yhat) AS r
+                   FROM cal c JOIN med m USING (event_type)),
+            rk AS (SELECT event_type, r,
+                          row_number() OVER (PARTITION BY event_type ORDER BY r) AS rn,
+                          COUNT(*) OVER (PARTITION BY event_type) AS n
+                   FROM cr),
+            q AS (SELECT event_type, r AS q, CAST(n AS BIGINT) AS n_cal FROM rk
+                  WHERE rn = LEAST(n, ((n + 1) * 9 + 9) // 10)),
+            er AS (SELECT e.event_type, abs(e.v - m.yhat) AS r
+                   FROM ev e JOIN med m USING (event_type)),
+            a AS (SELECT er.event_type, MIN(q.n_cal) AS n_cal, MIN(q.q) AS q,
+                         COUNT(*) AS n_eval,
+                         SUM(CASE WHEN er.r <= q.q THEN 1 ELSE 0 END) AS n_covered
+                  FROM er JOIN q USING (event_type) GROUP BY 1)
+            SELECT event_type, n_cal, q, CAST(n_eval AS BIGINT) AS n_eval,
+                   CAST(n_covered AS BIGINT) AS n_covered,
+                   CAST(n_covered AS DOUBLE) / n_eval AS coverage
+            FROM a
         """,
         # Gini: same exact Lorenz sums
         "gini_events": """

@@ -1138,3 +1138,73 @@ def trimmed_mean(
         F.col("n_used").cast("long").alias("n_used"),
         (F.col("_s").cast("double") / F.col("n_used")).alias("tmean"),
     )
+
+
+def split_conformal(
+    cal,
+    eval_df,
+    group_col: str,
+    pred_col: str,
+    y_col: str,
+    alpha=(1, 10),
+):
+    """Split conformal prediction intervals per group → (group, n_cal,
+    q, n_eval, n_covered, coverage): the distribution-free guarantee
+    machine (Vovk; Lei et al. 2018) — q is the ⌈(n_cal+1)(1−α)⌉-th
+    smallest absolute calibration residual |y − ŷ|, and the interval
+    ŷ ± q then covers a FRESH point with probability ≥ 1 − α under
+    exchangeability, whatever the model. The modern answer to "how
+    wrong can this prediction be", as an engine operator.
+
+    Exactness end to end: residuals are int64, the rank is the exact
+    rational ⌈(n+1)(num_keep)/den⌉ computed in integer arithmetic
+    (clamped to n — the finite-sample edge where the guarantee is
+    vacuous), q is an actual k-th smallest element via
+    :func:`grouped_quantile`'s window machinery restated here with the
+    (n+1) offset, and coverage is an exact-int comparison count — one
+    float division at the very end. Scale shape: one window sort over
+    the calibration split per group, a broadcast (group × 1) q table
+    onto the eval split. α = (num, den) rational in (0, 1).
+    """
+    from pyspark.sql import Window
+
+    a_num, a_den = int(alpha[0]), int(alpha[1])
+    if not (0 < a_num < a_den):
+        raise ValueError(f"alpha must be a rational in (0, 1), got {alpha}")
+    keep_num = a_den - a_num  # 1 - alpha
+    r = cal.select(
+        F.col(group_col).alias("_g"),
+        F.abs(F.col(y_col).cast("long") - F.col(pred_col).cast("long")).alias("_r"),
+    ).filter(F.col("_r").isNotNull())
+    w = Window.partitionBy("_g").orderBy("_r")
+    wall = Window.partitionBy("_g")
+    ranked = r.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(wall)
+    )
+    # k = ceil((n+1)(1-alpha)) = ((n+1)*keep_num + den - 1) div den, clamped to n
+    k = F.least(
+        F.col("_n").cast("long"),
+        F.floor(((F.col("_n") + 1) * keep_num + a_den - 1) / a_den).cast("long"),
+    )
+    qtab = ranked.filter(F.col("_rn") == k).select(
+        "_g", F.col("_r").alias("q"), F.col("_n").cast("long").alias("n_cal")
+    )
+    ev = eval_df.select(
+        F.col(group_col).alias("_g"),
+        F.abs(F.col(y_col).cast("long") - F.col(pred_col).cast("long")).alias("_e"),
+    ).filter(F.col("_e").isNotNull())
+    j = ev.join(F.broadcast(qtab), "_g")
+    out = j.groupBy("_g").agg(
+        F.first("n_cal").alias("n_cal"),
+        F.first("q").alias("q"),
+        F.count(F.lit(1)).alias("n_eval"),
+        F.sum((F.col("_e") <= F.col("q")).cast("long")).alias("n_covered"),
+    )
+    return out.select(
+        F.col("_g").alias(group_col),
+        F.col("n_cal").cast("long").alias("n_cal"),
+        "q",
+        F.col("n_eval").cast("long").alias("n_eval"),
+        F.col("n_covered").cast("long").alias("n_covered"),
+        (F.col("n_covered").cast("double") / F.col("n_eval")).alias("coverage"),
+    )

@@ -934,3 +934,38 @@ def test_trimmed_mean_matches_numpy_model(spark):
 
     with _pytest.raises(ValueError):
         trimmed_mean(df, "g", "v", trim=(1, 2))
+
+
+def test_split_conformal_guarantee_and_model(spark):
+    """q equals the exact ceil((n+1)(1-alpha)) rank residual; empirical
+    coverage on exchangeable data meets ~1-alpha; alpha validated."""
+    import numpy as np
+
+    from osmflat_rs_spark.plans.indexing import split_conformal
+
+    rng = np.random.default_rng(211)
+    cal_rows, ev_rows = [], []
+    for g in ("a", "b"):
+        mu = 100 if g == "a" else -50
+        for i in range(300):
+            cal_rows.append((g, mu, mu + int(rng.integers(-40, 41))))
+        for i in range(300):
+            ev_rows.append((g, mu, mu + int(rng.integers(-40, 41))))
+    cal = spark.createDataFrame(cal_rows, "g string, yhat long, y long")
+    ev = spark.createDataFrame(ev_rows, "g string, yhat long, y long")
+    got = {r["g"]: r.asDict() for r in split_conformal(cal, ev, "g", "yhat", "y", alpha=(1, 10)).collect()}
+    for g in ("a", "b"):
+        res = sorted(abs(y - yh) for gg, yh, y in cal_rows if gg == g)
+        n = len(res)
+        k = min(n, -(-(n + 1) * 9 // 10))
+        q = res[k - 1]
+        r = got[g]
+        assert r["n_cal"] == n and r["q"] == q
+        cov = sum(1 for gg, yh, y in ev_rows if gg == g and abs(y - yh) <= q)
+        assert r["n_covered"] == cov
+        assert r["coverage"] == cov / r["n_eval"]
+        assert r["coverage"] >= 0.85  # 1 - alpha - sampling slack
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        split_conformal(cal, ev, "g", "yhat", "y", alpha=(3, 2))
