@@ -1220,6 +1220,64 @@ def q_conformal_events(spark, sf_dir):
     return split_conformal(calp, evp, "event_type", "yhat", "v", alpha=(1, 10))
 
 
+def q_bh_fdr_events(spark, sf_dir):
+    """Benjamini–Hochberg FDR over ~60 synthetic tests (event_type ×
+    user decile): rational p-values derived deterministically from the
+    exact per-test cents sum (mod 997, with the first three deciles
+    forced small so the step-up actually rejects), q = 1/4 — the
+    decision arithmetic is all-integer cross-multiplication."""
+    from osmflat_rs_spark.operators.sessions import bh_fdr
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.pmod(F.col("user_id"), F.lit(10)).alias("b"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    t = ev.groupBy("event_type", "b").agg(F.sum("cents").alias("s"))
+    tests = t.select(
+        F.concat(F.col("event_type"), F.lit(":"), F.col("b").cast("string")).alias("test"),
+        F.when(F.col("b") < 3, F.pmod(F.pmod(F.col("s"), F.lit(997)), F.lit(25)))
+        .otherwise(F.pmod(F.col("s"), F.lit(997)))
+        .alias("pn"),
+        F.lit(997).cast("long").alias("pd"),
+    )
+    return bh_fdr(tests, "test", "pn", "pd", q=(1, 4))
+
+
+def q_jackknife_events(spark, sf_dir):
+    """Delete-one-bucket jackknife SE for mean cents per event_type,
+    buckets = user_id mod 32 — per-bucket exact int sums, fixed-point
+    leave-one-out ratios, DECIMAL(38) squares, one float division."""
+    from osmflat_rs_spark.operators.sessions import jackknife_ratio
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.pmod(F.col("user_id"), F.lit(32)).alias("b"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+            F.lit(1).cast("long").alias("one"),
+        )
+        .filter(F.col("cents").isNotNull())
+    )
+    return jackknife_ratio(ev, "event_type", "b", "cents", "one")
+
+
+def q_bootstrap_events(spark, sf_dir):
+    """Poisson-bootstrap 95% CI for mean cents per event_type, 100
+    replicates: per-(row, replicate) Poisson(1) weight from the
+    md5-60bit inverse CDF, exact int64 replicate sums, exact order
+    statistics over the replicate means."""
+    from osmflat_rs_spark.operators.sessions import poisson_bootstrap
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    return poisson_bootstrap(ev, "event_type", "event_id", "cents", replicates=100)
+
+
 def q_huff_events(spark, sf_dir):
     """Huff probabilistic market share at 10 facilities (the kNN gate's
     lattice, attractiveness 1..5): regularized inverse-square weight
@@ -4850,6 +4908,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mwu_events": q_mwu_events,
         "trimmed_mean_events": q_trimmed_mean_events,
         "conformal_events": q_conformal_events,
+        "bh_fdr_events": q_bh_fdr_events,
+        "jackknife_events": q_jackknife_events,
+        "bootstrap_events": q_bootstrap_events,
         "simplify_events": q_simplify_events,
         "dbscan_events": q_dbscan_events,
         "knn_events": q_knn_events,
@@ -5893,6 +5954,109 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_covered AS BIGINT) AS n_covered,
                    CAST(n_covered AS DOUBLE) / n_eval AS coverage
             FROM a
+        """,
+        # BH-FDR: same all-integer step-up arithmetic
+        "bh_fdr_events": """
+            WITH b AS (SELECT event_type, ((user_id % 10) + 10) % 10 AS b,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                       FROM events),
+            t AS (SELECT event_type, b, SUM(cents) AS s FROM b GROUP BY 1, 2),
+            p AS (SELECT event_type || ':' || CAST(b AS VARCHAR) AS test,
+                         CASE WHEN b < 3 THEN ((((s % 997) + 997) % 997) % 25 + 25) % 25
+                              ELSE ((s % 997) + 997) % 997 END AS pn,
+                         CAST(997 AS BIGINT) AS pd
+                  FROM t),
+            r AS (SELECT test, pn, pd,
+                         row_number() OVER (ORDER BY CAST(pn AS DOUBLE) / pd ASC, test ASC) AS "rank",
+                         COUNT(*) OVER () AS m
+                  FROM p),
+            k AS (SELECT COALESCE(MAX(CASE WHEN pn * m * 4 <= "rank" * 1 * pd THEN "rank" END), 0) AS k FROM r)
+            SELECT test, CAST("rank" AS BIGINT) AS "rank", CAST(m AS BIGINT) AS m,
+                   round(CAST(pn AS DOUBLE) / pd, 6) AS p,
+                   "rank" <= k AS rejected
+            FROM r, k
+        """,
+        # jackknife: identical fixed-point leave-one-out algebra
+        "jackknife_events": """
+            WITH e AS (SELECT event_type, ((user_id % 32) + 32) % 32 AS b,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                       FROM events WHERE value IS NOT NULL),
+            bk AS (SELECT event_type, b, SUM(cents) AS sx, COUNT(*) AS sy
+                   FROM e GROUP BY 1, 2),
+            t AS (SELECT event_type, SUM(sx) AS tx, SUM(sy) AS ty, COUNT(*) AS j
+                  FROM bk GROUP BY 1),
+            r AS (SELECT bk.event_type, t.j, t.tx, t.ty,
+                         CASE WHEN (t.ty - bk.sy) <> 0 THEN
+                           CAST(floor(CAST(t.tx - bk.sx AS DOUBLE) / (t.ty - bk.sy)
+                                      * 1000000000.0 + 0.5) AS BIGINT)
+                         END AS rfp
+                  FROM bk JOIN t USING (event_type)),
+            a AS (SELECT event_type, MIN(j) AS n_buckets, MIN(tx) AS tx, MIN(ty) AS ty,
+                         COUNT(rfp) AS n_used, SUM(rfp) AS s1,
+                         SUM(CAST(rfp AS HUGEINT) * CAST(rfp AS HUGEINT)) AS s2
+                  FROM r GROUP BY 1),
+            v AS (SELECT event_type, n_buckets, n_used, tx, ty,
+                         CASE WHEN n_used > 1 THEN
+                           ((CAST(n_used AS DOUBLE) - 1) / n_used)
+                           * (CAST(s2 AS DOUBLE) / n_used
+                              - (CAST(s1 AS DOUBLE) / n_used) * (CAST(s1 AS DOUBLE) / n_used))
+                           / 1e18
+                         END AS var_jk
+                  FROM a),
+            f AS (SELECT event_type, n_buckets, n_used,
+                         CASE WHEN ty <> 0 THEN CAST(tx AS DOUBLE) / ty END AS ratio,
+                         CASE WHEN var_jk IS NOT NULL
+                              THEN sqrt(GREATEST(var_jk, 0.0)) END AS se
+                  FROM v)
+            SELECT event_type, CAST(n_buckets AS BIGINT) AS n_buckets,
+                   CAST(n_used AS BIGINT) AS n_used,
+                   round(ratio, 6) AS ratio, round(se, 6) AS se_jk,
+                   round(ratio - 1.96 * se, 6) AS ci_lo,
+                   round(ratio + 1.96 * se, 6) AS ci_hi
+            FROM f
+        """,
+        # Poisson bootstrap: same md5 inverse-CDF weights, sums, ranks
+        "bootstrap_events": """
+            WITH e AS (SELECT event_type, event_id,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                       FROM events WHERE value IS NOT NULL),
+            rep AS (SELECT e.event_type, e.event_id, e.v, r.range AS r
+                    FROM e CROSS JOIN range(100) r),
+            u AS (SELECT event_type, r, v,
+                         (CAST('0x' || substr(md5('pb:' || CAST(r AS VARCHAR) || ':'
+                              || CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) + 1)
+                             / 1152921504606846976.0 AS u
+                  FROM rep),
+            wt AS (SELECT event_type, r, v,
+                          CAST(u > 0.36787944117144233 AS BIGINT)
+                        + CAST(u > 0.7357588823428847 AS BIGINT)
+                        + CAST(u > 0.9196986029286058 AS BIGINT)
+                        + CAST(u > 0.9810118431238463 AS BIGINT)
+                        + CAST(u > 0.9963401531726563 AS BIGINT)
+                        + CAST(u > 0.9994058151824183 AS BIGINT)
+                        + CAST(u > 0.999916758850712 AS BIGINT)
+                        + CAST(u > 0.9999897508033253 AS BIGINT)
+                        + CAST(u > 0.999998874797402 AS BIGINT)
+                        + CAST(u > 0.9999998885745216 AS BIGINT) AS w
+                   FROM u),
+            m AS (SELECT event_type, r, SUM(w) AS sw, SUM(w * v) AS swv
+                  FROM wt GROUP BY 1, 2),
+            mm AS (SELECT event_type, r, CAST(swv AS DOUBLE) / sw AS mn
+                   FROM m WHERE sw > 0),
+            rk AS (SELECT event_type, mn, r,
+                          row_number() OVER (PARTITION BY event_type ORDER BY mn ASC, r ASC) AS rn,
+                          COUNT(*) OVER (PARTITION BY event_type) AS nr
+                   FROM mm),
+            ci AS (SELECT event_type, MIN(nr) AS reps,
+                          MIN(CASE WHEN rn = (nr * 25 + 999) // 1000 THEN mn END) AS lo,
+                          MIN(CASE WHEN rn = (nr * 975 + 999) // 1000 THEN mn END) AS hi
+                   FROM rk GROUP BY 1),
+            f AS (SELECT event_type, COUNT(*) AS n, SUM(v) AS sv FROM e GROUP BY 1)
+            SELECT f.event_type, CAST(n AS BIGINT) AS n,
+                   round(CAST(sv AS DOUBLE) / n, 6) AS mean_full,
+                   CAST(reps AS BIGINT) AS replicates,
+                   round(lo, 6) AS ci_lo, round(hi, 6) AS ci_hi
+            FROM f JOIN ci USING (event_type)
         """,
         # Gini: same exact Lorenz sums
         "gini_events": """

@@ -749,3 +749,235 @@ def sprt_bernoulli(
         F.col("_first.i").cast("long").alias("n_decided"),
         F.round(F.col("_first.l"), 6).alias("llr_at_decision"),
     )
+
+
+def bh_fdr(
+    df: DataFrame,
+    test_col: str,
+    p_num_col: str,
+    p_den_col: str,
+    q=(1, 20),
+):
+    """Benjamini–Hochberg step-up FDR control (1995) over a table of
+    hypothesis tests → one row per test: (test, rank, m, p, rejected)
+    — sort the m p-values ascending, find the LARGEST rank k with
+    p_(k) ≤ (k/m)·q, reject every test ranked ≤ k. The multiple-
+    comparisons gate every experimentation platform needs the moment
+    it runs more than one metric: per-test α would inflate false
+    discoveries m-fold; BH caps the expected FALSE-DISCOVERY RATE at q
+    while keeping far more power than Bonferroni.
+
+    Exactness: p-values arrive as rationals (p_num/p_den) and the
+    step-up condition is the cross-multiplied int64 comparison
+    p_num·m·q_den ≤ rank·q_num·p_den — no float enters the decision;
+    the reported ``p`` double is display-only (ROUND 6). Scale shape:
+    the input is one row per TEST (thousands, not billions — the
+    per-test p-values are upstream reductions), so the single global
+    rank window is driver-scale by construction; the cut rank k is a
+    1-row broadcast joined back. q = (num, den) rational in (0, 1).
+    """
+    q_num, q_den = int(q[0]), int(q[1])
+    if not (0 < q_num < q_den):
+        raise ValueError(f"q must be a rational in (0, 1), got {q}")
+    base = df.select(
+        F.col(test_col).alias("_t"),
+        F.col(p_num_col).cast("long").alias("_pn"),
+        F.col(p_den_col).cast("long").alias("_pd"),
+    )
+    p = F.col("_pn").cast("double") / F.col("_pd").cast("double")
+    ranked = base.select(
+        "_t", "_pn", "_pd", p.alias("_p"),
+        F.row_number().over(Window.orderBy(p.asc(), F.col("_t").asc())).alias("rank"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    cond = (F.col("_pn") * F.col("m") * F.lit(q_den)) <= (
+        F.col("rank") * F.lit(q_num) * F.col("_pd")
+    )
+    kcut = ranked.agg(
+        F.coalesce(F.max(F.when(cond, F.col("rank"))), F.lit(0)).cast("long").alias("_k")
+    )
+    return ranked.crossJoin(F.broadcast(kcut)).select(
+        F.col("_t").alias(test_col),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("m").cast("long").alias("m"),
+        F.round(F.col("_p"), 6).alias("p"),
+        (F.col("rank") <= F.col("_k")).alias("rejected"),
+    )
+
+
+def jackknife_ratio(
+    df: DataFrame,
+    group_col: str,
+    bucket_col: str,
+    num_col: str,
+    den_col: str,
+    fp_scale: int = 10**9,
+):
+    """Delete-one-BUCKET jackknife for a ratio metric → one row per
+    group: (group, n_buckets, n_used, ratio, se_jk, ci_lo, ci_hi) —
+    the standard variance estimator for Σx/Σy metrics (revenue per
+    session, CTR), whose per-unit deltas don't average: leave each
+    bucket j out, recompute R_j = (Σx−x_j)/(Σy−y_j), and
+    Var_jk = (J−1)/J · Σ(R_j − R̄)². Buckets (user-hash shards) are
+    the unit, so the estimator respects within-user correlation and
+    the whole thing is algebra over J partial sums — the reason every
+    large experimentation system jackknifes over buckets instead of
+    bootstrap-resampling rows.
+
+    Determinism contract: per-bucket sums are exact int64; each R_j is
+    ONE int÷int division (IEEE-exact), then snapped to the
+    ``fp_scale`` fixed-point lattice and squared in DECIMAL(38,0) so
+    the across-bucket Σ and Σ² are exact in any summation order — one
+    float division at the end (ROUND 6). Buckets where the
+    leave-one-out denominator is 0 are excluded (n_used < n_buckets
+    reports it). CI is ratio ± 1.96·se. Scale shape: one shuffle to
+    (group, bucket), a tiny per-group rollup broadcast back — J is
+    bounded (64-1024 buckets) regardless of row count.
+    """
+    b = df.groupBy(
+        F.col(group_col).alias("_g"), F.col(bucket_col).alias("_b")
+    ).agg(
+        F.sum(F.col(num_col).cast("long")).alias("_sx"),
+        F.sum(F.col(den_col).cast("long")).alias("_sy"),
+    )
+    tot = b.groupBy("_g").agg(
+        F.sum("_sx").alias("_tx"),
+        F.sum("_sy").alias("_ty"),
+        F.count(F.lit(1)).alias("_j"),
+    )
+    j = b.join(F.broadcast(tot), "_g")
+    lx = F.col("_tx") - F.col("_sx")
+    ly = F.col("_ty") - F.col("_sy")
+    rj = F.when(ly != 0, lx.cast("double") / ly.cast("double"))
+    rj_fp = F.floor(rj * F.lit(float(fp_scale)) + F.lit(0.5)).cast("long")
+    agg = j.select("_g", "_j", "_ty", "_tx", rj_fp.alias("_rfp")).groupBy("_g").agg(
+        F.first("_j").alias("n_buckets"),
+        F.first("_tx").alias("_tx"),
+        F.first("_ty").alias("_ty"),
+        F.count("_rfp").alias("n_used"),
+        F.sum("_rfp").alias("_s1"),
+        F.sum(F.col("_rfp").cast("decimal(38,0)") * F.col("_rfp").cast("decimal(38,0)")).alias("_s2"),
+    )
+    jd = F.col("n_used").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    fp2 = float(fp_scale) * float(fp_scale)
+    var_jk = F.when(
+        F.col("n_used") > 1,
+        ((jd - 1) / jd) * (s2 / jd - (s1 / jd) * (s1 / jd)) / F.lit(fp2),
+    )
+    # greatest() skips NULLs, so guard explicitly: undefined variance
+    # (n_used <= 1) must stay NULL, not collapse to se = 0
+    se = F.when(var_jk.isNotNull(), F.sqrt(F.greatest(var_jk, F.lit(0.0))))
+    ratio = F.when(
+        F.col("_ty") != 0, F.col("_tx").cast("double") / F.col("_ty").cast("double")
+    )
+    return agg.select(
+        F.col("_g").alias(group_col),
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        F.col("n_used").cast("long").alias("n_used"),
+        F.round(ratio, 6).alias("ratio"),
+        F.round(se, 6).alias("se_jk"),
+        F.round(ratio - 1.96 * se, 6).alias("ci_lo"),
+        F.round(ratio + 1.96 * se, 6).alias("ci_hi"),
+    )
+
+
+#: cumulative Poisson(1) CDF — P(W <= k) for k = 0..9; a hash-uniform
+#: u in [0,1) maps to weight w = #{thresholds < u} (truncated at 10,
+#: P(W > 10) ≈ 1e-8). Shared verbatim with the SQL oracle.
+POISSON1_CDF = (
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253, 0.999998874797402,
+    0.9999998885745216,
+)
+
+
+def poisson_bootstrap(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    replicates: int = 200,
+    lo_q=(25, 1000),
+    hi_q=(975, 1000),
+    seed: str = "pb",
+):
+    """Deterministic Poisson bootstrap CI for a per-group mean → one
+    row per group: (group, n, mean_full, replicates, ci_lo, ci_hi).
+    THE bootstrap that works on a cluster (Chamandy et al. 2012,
+    "Estimating Uncertainty for Massive Data Streams", Google):
+    classical bootstrap resampling needs n coordinated draws per
+    replicate, but multinomial(n, 1/n) → Poisson(1) per row as n→∞,
+    so each row independently gets weight w_{i,r} ~ Poisson(1) —
+    map-only weight generation, no coordination, one shuffle per
+    aggregate, and any replicate count R rides the same pass.
+
+    Determinism: w is the inverse-CDF of the engine-wide 60-bit md5
+    hash of (seed, replicate, id) against the shared POISSON1_CDF
+    literals — re-runs, retries, and the SQL oracle agree bit-for-bit.
+    Replicate means are exact int64 Σ(w·v)/Σw (one division); the CI
+    bounds are exact order statistics over the R means at ranks
+    ⌈R·lo_q⌉ / ⌈R·hi_q⌉ (rational, cross-multiplied). Scale: rows
+    fan out ×R BEFORE the shuffle but carry only (group, r, w·v, w) —
+    partial aggregation collapses them map-side, so shuffle bytes are
+    groups×R, not rows×R. ROUND 6 on the three reported doubles.
+    """
+    if replicates < 2:
+        raise ValueError(f"replicates must be >= 2, got {replicates}")
+    lo_n, lo_d = int(lo_q[0]), int(lo_q[1])
+    hi_n, hi_d = int(hi_q[0]), int(hi_q[1])
+    if not (0 < lo_n < lo_d and 0 < hi_n < hi_d):
+        raise ValueError(f"quantile specs must be rationals in (0,1): {lo_q}, {hi_q}")
+    from .dedup import md5_int60
+
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(value_col).cast("long").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    rep = base.select(
+        "_g", "_id", "_v", F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias("_r")
+    )
+    u = (
+        md5_int60(F.concat(F.lit(seed + ":"), F.col("_r").cast("string"), F.lit(":"), F.col("_id")))
+        + F.lit(1)
+    ).cast("double") / F.lit(2.0**60)
+    w = sum(((u > F.lit(t)).cast("long") for t in POISSON1_CDF), F.lit(0).cast("long"))
+    means = (
+        rep.select("_g", "_r", w.alias("_w"), (w * F.col("_v")).alias("_wv"))
+        .groupBy("_g", "_r")
+        .agg(F.sum("_w").alias("_sw"), F.sum("_wv").alias("_swv"))
+        .select(
+            "_g", "_r",
+            F.when(F.col("_sw") > 0, F.col("_swv").cast("double") / F.col("_sw").cast("double")).alias("_m"),
+        )
+        .filter(F.col("_m").isNotNull())
+    )
+    wrk = Window.partitionBy("_g").orderBy(F.col("_m").asc(), F.col("_r").asc())
+    ranked = means.select(
+        "_g", "_m",
+        F.row_number().over(wrk).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("_g")).alias("_R"),
+    )
+    # rank = ceil(R * q) cross-multiplied: smallest rn with rn*den >= R*num
+    lo_rank = F.floor((F.col("_R") * lo_n + lo_d - 1) / lo_d).cast("long")
+    hi_rank = F.floor((F.col("_R") * hi_n + hi_d - 1) / hi_d).cast("long")
+    ci = ranked.groupBy("_g").agg(
+        F.first("_R").cast("long").alias("replicates"),
+        F.min(F.when(F.col("_rn") == lo_rank, F.col("_m"))).alias("_lo"),
+        F.min(F.when(F.col("_rn") == hi_rank, F.col("_m"))).alias("_hi"),
+    )
+    full = base.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_v").alias("_sv")
+    )
+    out = full.join(ci, "_g")
+    return out.select(
+        F.col("_g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("_sv").cast("double") / F.col("n").cast("double"), 6).alias("mean_full"),
+        "replicates",
+        F.round(F.col("_lo"), 6).alias("ci_lo"),
+        F.round(F.col("_hi"), 6).alias("ci_hi"),
+    )
