@@ -1278,6 +1278,42 @@ def q_bootstrap_events(spark, sf_dir):
     return poisson_bootstrap(ev, "event_type", "event_id", "cents", replicates=100)
 
 
+def q_welch_events(spark, sf_dir):
+    """Welch unequal-variance t between the click and view arms on
+    cents — exact (n, Σx, Σx²) per arm, closed-form t and
+    Welch–Satterthwaite df in a pinned double op order."""
+    from osmflat_rs_spark.operators.sessions import welch_t
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    return welch_t(ev, "event_type", "cents", "click", "view")
+
+
+def q_acf_events(spark, sf_dir):
+    """Per-event_type sample ACF of cents at lags 1..3 in event_id
+    order — one window sort yields all lags, one groupBy holds the
+    exact int64 cross/head/tail sums, stack unpivots in-row."""
+    from osmflat_rs_spark.operators.trend import acf
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    return acf(ev, "event_type", "event_id", "cents", max_lag=3)
+
+
+def q_pmi_docs(spark, sf_dir):
+    """PMI collocations over the documents corpus (min_count 5):
+    in-row bigrams, shared explode for both reduces, broadcast vocab
+    join-back, one pinned-order ln over five exact counts."""
+    from osmflat_rs_spark.operators.textops import pmi_collocations
+
+    return pmi_collocations(_t(spark, sf_dir, "documents"), "doc_id", "text", min_count=5)
+
+
 def q_huff_events(spark, sf_dir):
     """Huff probabilistic market share at 10 facilities (the kNN gate's
     lattice, attractiveness 1..5): regularized inverse-square weight
@@ -4911,6 +4947,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bh_fdr_events": q_bh_fdr_events,
         "jackknife_events": q_jackknife_events,
         "bootstrap_events": q_bootstrap_events,
+        "welch_events": q_welch_events,
+        "acf_events": q_acf_events,
+        "pmi_docs": q_pmi_docs,
         "simplify_events": q_simplify_events,
         "dbscan_events": q_dbscan_events,
         "knn_events": q_knn_events,
@@ -6057,6 +6096,95 @@ def oracle_sql() -> dict[str, str]:
                    CAST(reps AS BIGINT) AS replicates,
                    round(lo, 6) AS ci_lo, round(hi, 6) AS ci_hi
             FROM f JOIN ci USING (event_type)
+        """,
+        # Welch t: same exact moments, same pinned double op order
+        "welch_events": """
+            WITH b AS (SELECT event_type,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                       FROM events WHERE event_type IN ('click', 'view')),
+            g AS (SELECT event_type, COUNT(*) AS n, SUM(v) AS sx,
+                         SUM(v * v) AS sxx
+                  FROM b GROUP BY 1),
+            a AS (SELECT n AS n_a, sx AS sx_a, sxx AS sxx_a FROM g WHERE event_type = 'click'),
+            bb AS (SELECT n AS n_b, sx AS sx_b, sxx AS sxx_b FROM g WHERE event_type = 'view'),
+            m AS (SELECT *,
+                         CAST(sx_a AS DOUBLE) / n_a AS ma,
+                         CAST(sx_b AS DOUBLE) / n_b AS mb
+                  FROM a CROSS JOIN bb),
+            vv AS (SELECT *,
+                          (CAST(sxx_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * ma) / (CAST(n_a AS DOUBLE) - 1) / n_a AS sea,
+                          (CAST(sxx_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * mb) / (CAST(n_b AS DOUBLE) - 1) / n_b AS seb
+                   FROM m)
+            SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                   round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+                   round(CASE WHEN n_a > 1 AND n_b > 1 AND sea + seb > 0
+                              THEN (ma - mb) / sqrt(sea + seb) END, 6) AS t,
+                   round(CASE WHEN n_a > 1 AND n_b > 1 AND sea + seb > 0
+                              THEN ((sea + seb) * (sea + seb))
+                                   / (sea * sea / (CAST(n_a AS DOUBLE) - 1)
+                                      + seb * seb / (CAST(n_b AS DOUBLE) - 1)) END, 6) AS df
+            FROM vv
+        """,
+        # ACF: same lag window, same exact sums, same closed form
+        "acf_events": """
+            WITH b AS (SELECT event_type AS k, event_id AS o,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+                       FROM events WHERE value IS NOT NULL),
+            l AS (SELECT k, x,
+                         lag(x, 1) OVER (PARTITION BY k ORDER BY o) AS l1,
+                         lag(x, 2) OVER (PARTITION BY k ORDER BY o) AS l2,
+                         lag(x, 3) OVER (PARTITION BY k ORDER BY o) AS l3
+                  FROM b),
+            g AS (SELECT k, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx,
+                         SUM(CASE WHEN l1 IS NOT NULL THEN x * l1 END) AS sxy1,
+                         SUM(CASE WHEN l1 IS NOT NULL THEN x END) AS st1,
+                         SUM(l1) AS sh1, COUNT(l1) AS np1,
+                         SUM(CASE WHEN l2 IS NOT NULL THEN x * l2 END) AS sxy2,
+                         SUM(CASE WHEN l2 IS NOT NULL THEN x END) AS st2,
+                         SUM(l2) AS sh2, COUNT(l2) AS np2,
+                         SUM(CASE WHEN l3 IS NOT NULL THEN x * l3 END) AS sxy3,
+                         SUM(CASE WHEN l3 IS NOT NULL THEN x END) AS st3,
+                         SUM(l3) AS sh3, COUNT(l3) AS np3
+                  FROM l GROUP BY 1),
+            s AS (SELECT k, n, sx, sxx, u.lag AS lag, u.sxy AS sxy, u.st AS st,
+                         u.sh AS sh, u.np AS np
+                  FROM g, UNNEST([
+                      {'lag': 1, 'sxy': sxy1, 'st': st1, 'sh': sh1, 'np': np1},
+                      {'lag': 2, 'sxy': sxy2, 'st': st2, 'sh': sh2, 'np': np2},
+                      {'lag': 3, 'sxy': sxy3, 'st': st3, 'sh': sh3, 'np': np3}
+                  ]) AS t(u)),
+            f AS (SELECT k, lag, n, np,
+                         CAST(sx AS DOUBLE) / n AS xbar,
+                         CAST(sxy AS DOUBLE) AS sxyd, CAST(sh AS DOUBLE) AS shd,
+                         CAST(st AS DOUBLE) AS std_, CAST(np AS DOUBLE) AS npd,
+                         CAST(sxx AS DOUBLE) AS sxxd, CAST(n AS DOUBLE) AS nd
+                  FROM s)
+            SELECT k AS event_type, CAST(lag AS BIGINT) AS lag,
+                   CAST(n AS BIGINT) AS n, CAST(np AS BIGINT) AS n_pairs,
+                   round(CASE WHEN np > 0 AND sxxd - nd * xbar * xbar > 0
+                              THEN (sxyd - xbar * (shd + std_) + npd * xbar * xbar)
+                                   / (sxxd - nd * xbar * xbar) END, 6) AS r
+            FROM f
+        """,
+        # PMI: same tokenizer, same counts, same single-ln float path
+        "pmi_docs": f"""
+            WITH base AS (SELECT doc_id, {_ws_split_sql()} AS ws FROM documents),
+            g AS (SELECT ws[u.i + 1] AS w1, ws[u.i + 2] AS w2
+                  FROM base, UNNEST(range(0, len(ws) - 1)) AS u(i)
+                  WHERE len(ws) >= 2),
+            toks AS (SELECT unnest(ws) AS tok FROM base),
+            uni AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1),
+            nu AS (SELECT COUNT(*) AS n_uni FROM toks),
+            nb AS (SELECT COUNT(*) AS n_bi FROM g),
+            cb AS (SELECT w1, w2, COUNT(*) AS c_xy FROM g GROUP BY 1, 2
+                   HAVING COUNT(*) >= 5)
+            SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy,
+                   CAST(u1.c AS BIGINT) AS c_x, CAST(u2.c AS BIGINT) AS c_y,
+                   round(ln((CAST(c_xy AS DOUBLE) * CAST(n_uni AS DOUBLE) * CAST(n_uni AS DOUBLE))
+                            / (CAST(n_bi AS DOUBLE) * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))), 6) AS pmi
+            FROM cb JOIN uni u1 ON cb.w1 = u1.tok
+                    JOIN uni u2 ON cb.w2 = u2.tok
+                    CROSS JOIN nu CROSS JOIN nb
         """,
         # Gini: same exact Lorenz sums
         "gini_events": """

@@ -981,3 +981,64 @@ def poisson_bootstrap(
         F.round(F.col("_lo"), 6).alias("ci_lo"),
         F.round(F.col("_hi"), 6).alias("ci_hi"),
     )
+
+
+def welch_t(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+):
+    """Welch's unequal-variance two-sample t-test (1947) → one row:
+    (n_a, n_b, mean_a, mean_b, t, df) — the default A/B mean test
+    (Student's equal-variance form is never safe on real metrics):
+    t = (m̄_a − m̄_b)/√(s²_a/n_a + s²_b/n_b) with the Welch–
+    Satterthwaite effective df. Complements the rank (MWU), CDF (KS)
+    and sequential (SPRT) tests already in this module.
+
+    One aggregate of exact int64 (n, Σx, Σx²) per arm — callers keep
+    n·max² < 2^63 — then closed-form double arithmetic (SAMPLE
+    variance, n−1) in a pinned op order, ROUND 6. Degenerate arms
+    (n < 2 or both variances 0) yield NULL t/df rather than ±inf.
+    Scale shape: one map-side-combined groupBy of two rows; nothing
+    else."""
+    g = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .groupBy(F.col(group_col).alias("_g"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value_col).cast("long")).alias("sx"),
+            F.sum(F.col(value_col).cast("long") * F.col(value_col).cast("long")).alias("sxx"),
+        )
+    )
+    a = g.filter(F.col("_g") == group_a).select(
+        F.col("n").alias("n_a"), F.col("sx").alias("sx_a"), F.col("sxx").alias("sxx_a")
+    )
+    b = g.filter(F.col("_g") == group_b).select(
+        F.col("n").alias("n_b"), F.col("sx").alias("sx_b"), F.col("sxx").alias("sxx_b")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ma = F.col("sx_a").cast("double") / na
+    mb = F.col("sx_b").cast("double") / nb
+    # sample variance via (sxx - sx*m) / (n-1): one subtraction of like
+    # magnitudes, same op order as the SQL oracle
+    va = (F.col("sxx_a").cast("double") - F.col("sx_a").cast("double") * ma) / (na - 1)
+    vb = (F.col("sxx_b").cast("double") - F.col("sx_b").cast("double") * mb) / (nb - 1)
+    sea = va / na
+    seb = vb / nb
+    se2 = sea + seb
+    t = F.when((F.col("n_a") > 1) & (F.col("n_b") > 1) & (se2 > 0), (ma - mb) / F.sqrt(se2))
+    dof = F.when(
+        (F.col("n_a") > 1) & (F.col("n_b") > 1) & (se2 > 0),
+        (se2 * se2) / (sea * sea / (na - 1) + seb * seb / (nb - 1)),
+    )
+    return j.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(t, 6).alias("t"),
+        F.round(dof, 6).alias("df"),
+    )

@@ -1529,3 +1529,74 @@ def corpus_js(
         .agg(F.first("_nl").alias("n_tokens"), F.round(F.sum(term), 6).alias("js"))
         .select(F.col("_g").alias(group_col), "n_tokens", "js")
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 5,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Pointwise-mutual-information collocations (Church & Hanks 1990)
+    → one row per adjacent bigram with c_xy ≥ min_count: (w1, w2,
+    c_xy, c_x, c_y, pmi) — the classic "which word pairs belong
+    together" extractor ("new york" scores high, "of the" scores ~0)
+    and the complement of :func:`bigram_logprob`: that scores DOCS by
+    the corpus LM, this scores the PAIRS themselves.
+
+    pmi = ln( p(x,y) / (p(x)·p(y)) ) with p(x,y) = c_xy/N_bi and
+    p(x) = c_x/N_uni — computed as ONE pinned-order double expression
+    over five exact int64 counts, ln((c_xy·N_uni·N_uni) /
+    (N_bi·c_x·c_y)), so both engines evaluate the identical float
+    path (ROUND 6). min_count is the standard sparsity guard (PMI of
+    a 1-count pair is pure noise).
+
+    Plan shape: bigrams in-row (two slices zipped, zero self-join),
+    ONE explode shared by the bigram and unigram reduces, both
+    map-side combined; the unigram table joins back twice — broadcast
+    when the vocab fits (``broadcast_vocab``), else two shuffle joins
+    keyed by the word. Scalar N's ride a 1-row broadcast. Output is
+    distinct-bigram-bounded (Zipf-truncated by min_count), never
+    corpus-row-bounded."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    w = words_expr(F.col(text_col))
+    n = F.size(w)
+    grams = F.when(
+        n >= 2,
+        F.arrays_zip(
+            F.slice(w, 1, n - 1).alias("w1"), F.slice(w, 2, n - 1).alias("w2")
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = docs.select(F.explode(grams).alias("g")).select(
+        F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
+    )
+    toks = docs.select(F.explode(words_expr(F.col(text_col))).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    nuni = toks.agg(F.count(F.lit(1)).alias("n_uni"))
+    bcnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    nbi = bg.agg(F.count(F.lit(1)).alias("n_bi"))
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c_x"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c_y"))
+    if broadcast_vocab:
+        u1, u2 = F.broadcast(u1), F.broadcast(u2)
+    cand = bcnt.filter(F.col("c_xy") >= min_count)
+    j = (
+        cand.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(nuni))
+        .crossJoin(F.broadcast(nbi))
+    )
+    nu = F.col("n_uni").cast("double")
+    pmi = F.log(
+        (F.col("c_xy").cast("double") * nu * nu)
+        / (F.col("n_bi").cast("double") * F.col("c_x").cast("double") * F.col("c_y").cast("double"))
+    )
+    return j.select(
+        "w1", "w2",
+        F.col("c_xy").cast("long").alias("c_xy"),
+        F.col("c_x").cast("long").alias("c_x"),
+        F.col("c_y").cast("long").alias("c_y"),
+        F.round(pmi, 6).alias("pmi"),
+    )

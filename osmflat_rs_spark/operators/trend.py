@@ -503,3 +503,87 @@ def isotonic_fit(
     ).select(
         F.col("g").alias(group_col), "x", "n", "y_mean", "fit"
     )
+
+
+def acf(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    max_lag: int = 5,
+):
+    """Sample autocorrelation function per key → one row per (key,
+    lag ∈ 1..max_lag): (key, lag, n, n_pairs, r) — the Box–Jenkins
+    identification primitive (which ARIMA order, is there residual
+    structure, is the metric i.i.d. enough to A/B-test daily). Uses
+    the standard SAMPLE-ACF convention: overall mean and full-series
+    variance in the denominator, r_k = Σ_{t≤n−k}(x_t−x̄)(x_{t+k}−x̄)
+    / Σ(x_t−x̄)², so r is guaranteed in [−1, 1] and matches
+    statsmodels' ``acf(adjusted=False)``.
+
+    Scale shape: ONE window sort per key produces all max_lag lagged
+    columns (the same sort the delta-decode family rides — W1/W3
+    machinery), then one map-side-combined groupBy(key) holds the
+    exact int64 cross/head/tail sums for every lag at once; the lag
+    axis is unpivoted in-row via ``stack``. No self-join, no per-lag
+    pass, shuffle bytes = keys × O(max_lag). Closed-form double
+    arithmetic from the exact sums (pinned op order, ROUND 6);
+    zero-variance or too-short series yield NULL r. Callers keep
+    n·max² < 2^63.
+    """
+    from pyspark.sql import Window
+
+    if not (1 <= max_lag <= 64):
+        raise ValueError(f"max_lag must be in [1, 64], got {max_lag}")
+    v = F.col(value_col).cast("long")
+    base = df.select(
+        F.col(key_col).alias("_k"), F.col(order_col).alias("_o"), v.alias("_x")
+    ).filter(F.col("_x").isNotNull())
+    w = Window.partitionBy("_k").orderBy("_o")
+    cols = [F.lag("_x", k).over(w).alias(f"_l{k}") for k in range(1, max_lag + 1)]
+    lagged = base.select("_k", "_x", *cols)
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+    ]
+    for k in range(1, max_lag + 1):
+        lk = F.col(f"_l{k}")
+        aggs += [
+            F.sum(F.when(lk.isNotNull(), F.col("_x") * lk)).alias(f"sxy{k}"),
+            F.sum(F.when(lk.isNotNull(), F.col("_x"))).alias(f"st{k}"),   # tail: t = k+1..n
+            F.sum(lk).alias(f"sh{k}"),                                     # head: t = 1..n-k
+            F.count(lk).alias(f"np{k}"),
+        ]
+    g = lagged.groupBy("_k").agg(*aggs)
+    # unpivot the lag axis in-row
+    stack_args = []
+    for k in range(1, max_lag + 1):
+        stack_args += [F.lit(k), F.col(f"sxy{k}"), F.col(f"st{k}"), F.col(f"sh{k}"), F.col(f"np{k}")]
+    st = g.select(
+        "_k", "n", "sx", "sxx",
+        F.expr(
+            f"stack({max_lag}, "
+            + ", ".join(
+                f"{k}L, sxy{k}, st{k}, sh{k}, np{k}" for k in range(1, max_lag + 1)
+            )
+            + ") as (lag, sxy, st, sh, np)"
+        ),
+    )
+    n = F.col("n").cast("double")
+    xbar = F.col("sx").cast("double") / n
+    # numerator = sxy - xbar*(sh + st) + n_pairs*xbar^2 ; denominator = sxx - n*xbar^2
+    num = (
+        F.col("sxy").cast("double")
+        - xbar * (F.col("sh").cast("double") + F.col("st").cast("double"))
+        + F.col("np").cast("double") * xbar * xbar
+    )
+    den = F.col("sxx").cast("double") - n * xbar * xbar
+    r = F.when((F.col("np") > 0) & (den > 0), num / den)
+    return st.select(
+        F.col("_k").alias(key_col),
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").cast("long").alias("n"),
+        F.col("np").cast("long").alias("n_pairs"),
+        F.round(r, 6).alias("r"),
+    )

@@ -715,3 +715,32 @@ def test_poisson_bootstrap_matches_hash_model_and_covers(spark):
         poisson_bootstrap(df, "g", "id", "v", replicates=1)
     with _pytest.raises(ValueError):
         poisson_bootstrap(df, "g", "id", "v", lo_q=(3, 2))
+
+
+def test_welch_t_matches_numpy_model(spark):
+    """t and df match the closed-form Welch model on unequal-variance
+    arms; a true mean shift gives |t| >> 2; degenerate arms go NULL."""
+    import numpy as np
+
+    from osmflat_rs_spark.operators.sessions import welch_t
+
+    rng = np.random.default_rng(239)
+    a = [int(x) for x in rng.integers(90, 131, 400)]          # mean ~110, narrow
+    b = [int(x) for x in rng.integers(60, 181, 300)]          # mean ~120, wide
+    rows = [("a", v) for v in a] + [("b", v) for v in b] + [("c", 999)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = welch_t(df, "g", "v", "a", "b").collect()[0].asDict()
+    na, nb = len(a), len(b)
+    ma, mb = np.mean(a), np.mean(b)
+    va, vb = np.var(a, ddof=1), np.var(b, ddof=1)
+    se2 = va / na + vb / nb
+    t = (ma - mb) / np.sqrt(se2)
+    dof = se2**2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    assert r["n_a"] == na and r["n_b"] == nb
+    assert abs(r["mean_a"] - ma) < 1e-6 and abs(r["mean_b"] - mb) < 1e-6
+    assert abs(r["t"] - t) < 1e-4 and abs(r["df"] - dof) < 1e-2
+    assert abs(r["t"]) > 2  # the shift is detected
+    # degenerate: single-row arm
+    one = spark.createDataFrame([("a", 5), ("b", 7)], "g string, v long")
+    r = welch_t(one, "g", "v", "a", "b").collect()[0]
+    assert r["t"] is None and r["df"] is None

@@ -2716,3 +2716,47 @@ def test_corpus_js_bounded_and_matches_model(spark):
         assert abs(got[g][1] - js) < 1e-5, g
         assert -1e-9 <= got[g][1] <= math.log(2) + 1e-9
     assert got["odd"][1] > got["base"][1]
+
+
+def test_pmi_collocations_matches_counter_model(spark):
+    """PMI values match the exact Counter model; collocated pairs beat
+    independent pairs; min_count prunes; broadcast and shuffle joins
+    agree exactly."""
+    import math
+    from collections import Counter
+
+    from osmflat_rs_spark.operators.textops import pmi_collocations
+
+    # 'new york' always together; 'aa bb' independent fillers
+    docs = []
+    for i in range(30):
+        docs.append((i, "new york " + ("aa " * (i % 3 + 1)) + "bb"))
+    for i in range(30, 60):
+        docs.append((i, "aa bb aa new bb york bb aa"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["w1"], r["w2"]): r.asDict() for r in
+           pmi_collocations(df, "doc_id", "text", min_count=5).collect()}
+    # model
+    uni, bi = Counter(), Counter()
+    for _, t in docs:
+        toks = t.split()
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    n_uni, n_bi = sum(uni.values()), sum(bi.values())
+    for (a, b), c in bi.items():
+        if c >= 5:
+            want = math.log((c * n_uni * n_uni) / (n_bi * uni[a] * uni[b]))
+            r = got[(a, b)]
+            assert r["c_xy"] == c and r["c_x"] == uni[a] and r["c_y"] == uni[b]
+            assert abs(r["pmi"] - want) < 1e-6
+    assert set(got) == {k for k, c in bi.items() if c >= 5}
+    # "new york" is a true collocation: pmi far above the independent pairs
+    assert got[("new", "york")]["pmi"] > got[("aa", "bb")]["pmi"] + 0.5
+    # shuffle-join variant agrees exactly
+    got2 = {(r["w1"], r["w2"]): r["pmi"] for r in
+            pmi_collocations(df, "doc_id", "text", min_count=5, broadcast_vocab=False).collect()}
+    assert got2 == {k: v["pmi"] for k, v in got.items()}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pmi_collocations(df, "doc_id", "text", min_count=0)

@@ -287,3 +287,45 @@ def test_isotonic_fit_properties_and_hand_case(spark):
     wsum = sum(got["r"][x]["n"] * got["r"][x]["fit"] for x in xs)
     vsum = sum(v for g, x, v in rows if g == "r")
     assert abs(wsum - vsum) < 1e-6
+
+
+def test_acf_matches_statsmodels_convention(spark):
+    """Per-key sample ACF matches the numpy full-variance-denominator
+    model (statsmodels acf(adjusted=False)); an AR-ish series shows
+    decaying positive r; white noise shows |r| small; short/constant
+    series yield NULL; max_lag validated."""
+    import numpy as np
+
+    from osmflat_rs_spark.operators.trend import acf
+
+    rng = np.random.default_rng(241)
+    # AR(1)-ish integer series: x_t = 0.8 x_{t-1} + noise, scaled ints
+    xs = [0.0]
+    for _ in range(499):
+        xs.append(0.8 * xs[-1] + rng.normal(0, 10))
+    ar = [int(round(v * 100)) for v in xs]
+    wn = [int(x) for x in rng.integers(-1000, 1001, 500)]
+    rows = [("ar", i, v) for i, v in enumerate(ar)] + [("wn", i, v) for i, v in enumerate(wn)]
+    rows += [("const", i, 7) for i in range(50)]
+    df = spark.createDataFrame(rows, "k string, t long, x long")
+    got = {(r["k"], r["lag"]): r.asDict() for r in acf(df, "k", "t", "x", max_lag=3).collect()}
+
+    def model(series, k):
+        s = np.asarray(series, dtype=float)
+        n = len(s)
+        xb = s.mean()
+        num = ((s[:-k] - xb) * (s[k:] - xb)).sum()
+        den = ((s - xb) ** 2).sum()
+        return num / den
+
+    for k in (1, 2, 3):
+        assert abs(got[("ar", k)]["r"] - model(ar, k)) < 1e-5
+        assert abs(got[("wn", k)]["r"] - model(wn, k)) < 1e-5
+        assert got[("const", k)]["r"] is None  # zero variance
+        assert got[("ar", k)]["n_pairs"] == 500 - k
+    assert got[("ar", 1)]["r"] > 0.6       # AR structure detected
+    assert abs(got[("wn", 1)]["r"]) < 0.15  # white noise ~ 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        acf(df, "k", "t", "x", max_lag=0)
