@@ -1314,6 +1314,57 @@ def q_pmi_docs(spark, sf_dir):
     return pmi_collocations(_t(spark, sf_dir, "documents"), "doc_id", "text", min_count=5)
 
 
+def q_permutation_events(spark, sf_dir):
+    """Hash-randomization test for the click-vs-view cents difference,
+    100 deterministic md5 relabelings — exact per-replicate int sums,
+    the tail count is an integer-exact double comparison."""
+    from osmflat_rs_spark.operators.sessions import permutation_test
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    return permutation_test(ev, "event_id", "event_type", "cents", "click", "view", n_perm=100)
+
+
+def q_cmh_events(spark, sf_dir):
+    """Cochran–Mantel–Haenszel click-vs-view conversion (cents > 500)
+    stratified by user octant — every per-stratum term snapped to the
+    1e6 fixed-point lattice by exact integer long division."""
+    from osmflat_rs_spark.operators.sessions import cmh_odds
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.pmod(F.col("user_id"), F.lit(8)).alias("s"),
+        "event_type",
+        (F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long") > 500).cast("int").alias("y"),
+    )
+    return cmh_odds(ev, "s", "event_type", "y", "click", "view")
+
+
+def q_decompose_events(spark, sf_dir):
+    """Classical period-7 additive decomposition of cents per
+    event_type over the dense event order — one window sort for the
+    MA trend, fixed-point phase means, broadcast join-back."""
+    from pyspark.sql import Window
+
+    from osmflat_rs_spark.operators.trend import decompose
+
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "event_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .withColumn("idx", (F.row_number().over(w) - 1).cast("long"))
+        .select("event_type", "idx", "cents")
+    )
+    return decompose(ev, "event_type", "idx", "cents", period=7)
+
+
 def q_huff_events(spark, sf_dir):
     """Huff probabilistic market share at 10 facilities (the kNN gate's
     lattice, attractiveness 1..5): regularized inverse-square weight
@@ -4950,6 +5001,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "welch_events": q_welch_events,
         "acf_events": q_acf_events,
         "pmi_docs": q_pmi_docs,
+        "permutation_events": q_permutation_events,
+        "cmh_events": q_cmh_events,
+        "decompose_events": q_decompose_events,
         "simplify_events": q_simplify_events,
         "dbscan_events": q_dbscan_events,
         "knn_events": q_knn_events,
@@ -6185,6 +6239,109 @@ def oracle_sql() -> dict[str, str]:
             FROM cb JOIN uni u1 ON cb.w1 = u1.tok
                     JOIN uni u2 ON cb.w2 = u2.tok
                     CROSS JOIN nu CROSS JOIN nb
+        """,
+        # permutation: same md5 relabeling, same exact sums
+        "permutation_events": """
+            WITH b AS (SELECT event_id AS id,
+                              CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                       FROM events
+                       WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+            o AS (SELECT SUM(CASE WHEN is_a = 1 THEN v END) AS s_a,
+                         COUNT(CASE WHEN is_a = 1 THEN 1 END) AS n_a,
+                         SUM(CASE WHEN is_a = 0 THEN v END) AS s_b,
+                         COUNT(CASE WHEN is_a = 0 THEN 1 END) AS n_b
+                  FROM b),
+            ob AS (SELECT n_a, n_b,
+                          CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b AS diff_obs
+                   FROM o),
+            rep AS (SELECT b.id, b.v, r.range AS r
+                    FROM b CROSS JOIN range(1, 101) r),
+            sd AS (SELECT r,
+                          CAST('0x' || substr(md5('perm:' || CAST(r AS VARCHAR) || ':'
+                               || CAST(id AS VARCHAR)), 1, 15) AS BIGINT) % 2 AS pa,
+                          v
+                   FROM rep),
+            pm AS (SELECT r,
+                          SUM(CASE WHEN pa = 1 THEN v END) AS sa,
+                          COUNT(CASE WHEN pa = 1 THEN 1 END) AS na,
+                          SUM(CASE WHEN pa = 0 THEN v END) AS sb,
+                          COUNT(CASE WHEN pa = 0 THEN 1 END) AS nb
+                   FROM sd GROUP BY 1),
+            d AS (SELECT CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb AS d
+                  FROM pm WHERE na > 0 AND nb > 0),
+            tl AS (SELECT COUNT(*) AS n_perm_used,
+                          SUM(CASE WHEN abs(d.d) >= abs(ob.diff_obs) THEN 1 ELSE 0 END) AS n_ge
+                   FROM d CROSS JOIN ob)
+            SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                   round(diff_obs, 6) AS diff_obs,
+                   CAST(n_perm_used AS BIGINT) AS n_perm,
+                   CAST(n_ge AS BIGINT) AS n_ge,
+                   round((CAST(n_ge AS DOUBLE) + 1) / (CAST(n_perm_used AS DOUBLE) + 1), 6) AS p
+            FROM ob CROSS JOIN tl
+        """,
+        # CMH: same exact fixed-point long-division lattice
+        "cmh_events": """
+            WITH b AS (SELECT ((user_id % 8) + 8) % 8 AS s, event_type,
+                              CASE WHEN CAST(floor(value * 100 + 0.5) AS BIGINT) > 500
+                                   THEN 1 ELSE 0 END AS y
+                       FROM events WHERE event_type IN ('click', 'view')),
+            st AS (SELECT s,
+                          SUM(CASE WHEN event_type = 'click' AND y = 1 THEN 1 ELSE 0 END) AS a,
+                          SUM(CASE WHEN event_type = 'click' AND y = 0 THEN 1 ELSE 0 END) AS bb,
+                          SUM(CASE WHEN event_type = 'view' AND y = 1 THEN 1 ELSE 0 END) AS c,
+                          SUM(CASE WHEN event_type = 'view' AND y = 0 THEN 1 ELSE 0 END) AS d
+                   FROM b GROUP BY 1),
+            n AS (SELECT *, a + bb + c + d AS nn FROM st WHERE a + bb + c + d > 0),
+            agg AS (SELECT COUNT(*) AS n_strata, SUM(nn) AS n_total, SUM(a) AS sum_a,
+                           SUM((a * d // nn) * 1000000 + ((a * d % nn) * 1000000 // nn)) AS or_num,
+                           SUM((bb * c // nn) * 1000000 + ((bb * c % nn) * 1000000 // nn)) AS or_den,
+                           SUM(((a + bb) * (a + c) // nn) * 1000000
+                               + (((a + bb) * (a + c) % nn) * 1000000 // nn)) AS e_fp,
+                           SUM(CASE WHEN nn > 1 THEN
+                                 ((a + bb) * (c + d) * (a + c) * (bb + d) // (nn * nn * (nn - 1))) * 1000000
+                                 + (((a + bb) * (c + d) * (a + c) * (bb + d) % (nn * nn * (nn - 1))) * 1000000
+                                    // (nn * nn * (nn - 1)))
+                               ELSE 0 END) AS var_fp
+                    FROM n)
+            SELECT CAST(n_strata AS BIGINT) AS n_strata, CAST(n_total AS BIGINT) AS n,
+                   round(CASE WHEN or_den > 0
+                              THEN CAST(or_num AS DOUBLE) / CAST(or_den AS DOUBLE) END, 6) AS or_mh,
+                   round(CASE WHEN var_fp > 0
+                              THEN (CAST(sum_a AS DOUBLE) - CAST(e_fp AS DOUBLE) / 1000000.0)
+                                   * (CAST(sum_a AS DOUBLE) - CAST(e_fp AS DOUBLE) / 1000000.0)
+                                   / (CAST(var_fp AS DOUBLE) / 1000000.0) END, 6) AS chi2_cmh
+            FROM agg
+        """,
+        # decomposition: same MA window, same fixed-point phase means
+        "decompose_events": """
+            WITH e AS (SELECT event_type AS k,
+                              CAST(row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1
+                                   AS BIGINT) AS o,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+                       FROM events WHERE value IS NOT NULL),
+            t AS (SELECT k, o, x,
+                         CASE WHEN COUNT(*) OVER w = 7
+                              THEN CAST(SUM(x) OVER w AS DOUBLE) / 7.0 END AS trend
+                  FROM e
+                  WINDOW w AS (PARTITION BY k ORDER BY o ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+            t2 AS (SELECT *, CAST(floor((CAST(x AS DOUBLE) - trend) * 1000000.0 + 0.5) AS BIGINT) AS det_fp,
+                          o % 7 AS ph
+                   FROM t),
+            p AS (SELECT k, ph, SUM(det_fp) AS sd, COUNT(det_fp) AS nd FROM t2 GROUP BY 1, 2),
+            ctr AS (SELECT k,
+                           SUM(CAST(floor(CAST(sd AS DOUBLE) / nd + 0.5) AS BIGINT)) AS sm,
+                           COUNT(*) AS np
+                    FROM p WHERE nd > 0 GROUP BY 1),
+            pm AS (SELECT p.k, p.ph,
+                          CASE WHEN nd > 0 THEN
+                            (floor(CAST(sd AS DOUBLE) / nd + 0.5) - CAST(sm AS DOUBLE) / np)
+                            / 1000000.0 END AS seas
+                   FROM p JOIN ctr USING (k))
+            SELECT t2.k AS event_type, t2.o AS idx, t2.x AS cents,
+                   round(trend, 6) AS trend, round(seas, 6) AS seasonal,
+                   round(CAST(x AS DOUBLE) - trend - seas, 6) AS resid
+            FROM t2 JOIN pm ON t2.k = pm.k AND t2.ph = pm.ph
         """,
         # Gini: same exact Lorenz sums
         "gini_events": """

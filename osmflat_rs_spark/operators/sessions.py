@@ -1042,3 +1042,195 @@ def welch_t(
         F.round(t, 6).alias("t"),
         F.round(dof, 6).alias("df"),
     )
+
+
+def permutation_test(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    n_perm: int = 200,
+    seed: str = "perm",
+):
+    """Monte-Carlo randomization test for a difference in means → one
+    row: (n_a, n_b, diff_obs, n_perm, n_ge, p) — the assumption-free
+    answer to "could this lift be label noise": re-label every unit at
+    random B times, recompute the arm difference under each
+    relabeling, and p = (1 + #{|diff_b| ≥ |diff_obs|}) / (B + 1)
+    (the add-one form is the exact finite-sample-valid estimator,
+    Phipson & Smyth 2010). Under H0 (exchangeable labels) the
+    relabeled diffs ARE draws from the null.
+
+    This is the hash-randomization variant every cluster uses:
+    labels are reassigned Bernoulli(1/2) by the engine-wide md5 hash
+    of (seed, replicate, id) rather than by a global shuffle — a
+    global permutation needs a total order + coordinated swap
+    (cluster-hostile), while hash relabeling is map-only and
+    deterministic (re-runs, retries and the SQL oracle agree
+    bit-for-bit). With unequal arm sizes the null it samples is
+    "labels assigned independently at fair coin", the standard
+    large-n approximation to the permutation null.
+
+    Exactness: per-(replicate, pseudo-arm) sums are int64; each
+    replicate diff is two int divisions and one subtraction (pinned
+    order); the ≥ comparison is double-vs-double on identical float
+    paths, so the count n_ge is integer-exact cross-engine. Scale
+    shape: rows fan out ×B carrying (replicate, side, v) — partial
+    aggregation collapses map-side; shuffle bytes are O(B), never
+    O(rows×B)."""
+    if n_perm < 1:
+        raise ValueError(f"n_perm must be >= 1, got {n_perm}")
+    from .dedup import md5_int60
+
+    base = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(id_col).cast("string").alias("_id"),
+        (F.col(group_col) == group_a).cast("int").alias("_is_a"),
+        F.col(value_col).cast("long").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    obs = base.groupBy("_is_a").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_v").alias("s")
+    )
+    oa = obs.filter(F.col("_is_a") == 1).select(
+        F.col("n").alias("n_a"), F.col("s").alias("s_a")
+    )
+    ob = obs.filter(F.col("_is_a") == 0).select(
+        F.col("n").alias("n_b"), F.col("s").alias("s_b")
+    )
+    o = oa.crossJoin(F.broadcast(ob)).select(
+        "n_a", "n_b",
+        (
+            F.col("s_a").cast("double") / F.col("n_a").cast("double")
+            - F.col("s_b").cast("double") / F.col("n_b").cast("double")
+        ).alias("diff_obs"),
+    )
+    rep = base.select(
+        "_id", "_v",
+        F.explode(F.sequence(F.lit(1), F.lit(n_perm))).alias("_r"),
+    )
+    side = (
+        F.pmod(
+            md5_int60(
+                F.concat(F.lit(seed + ":"), F.col("_r").cast("string"), F.lit(":"), F.col("_id"))
+            ),
+            F.lit(2),
+        )
+        == 1
+    ).cast("int")
+    perms = (
+        rep.select("_r", side.alias("_pa"), F.col("_v"))
+        .groupBy("_r")
+        .agg(
+            F.sum(F.when(F.col("_pa") == 1, F.col("_v"))).alias("sa"),
+            F.count(F.when(F.col("_pa") == 1, F.lit(1))).alias("na"),
+            F.sum(F.when(F.col("_pa") == 0, F.col("_v"))).alias("sb"),
+            F.count(F.when(F.col("_pa") == 0, F.lit(1))).alias("nb"),
+        )
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            (
+                F.col("sa").cast("double") / F.col("na").cast("double")
+                - F.col("sb").cast("double") / F.col("nb").cast("double")
+            ).alias("d")
+        )
+    )
+    tail = perms.crossJoin(F.broadcast(o)).agg(
+        F.count(F.lit(1)).alias("n_perm_used"),
+        F.sum((F.abs(F.col("d")) >= F.abs(F.col("diff_obs"))).cast("long")).alias("n_ge"),
+    )
+    return o.crossJoin(F.broadcast(tail)).select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round("diff_obs", 6).alias("diff_obs"),
+        F.col("n_perm_used").cast("long").alias("n_perm"),
+        F.col("n_ge").cast("long").alias("n_ge"),
+        F.round(
+            (F.col("n_ge").cast("double") + 1) / (F.col("n_perm_used").cast("double") + 1), 6
+        ).alias("p"),
+    )
+
+
+def _fpdiv(num, den, scale: int):
+    """floor(num·scale / den) via exact two-step integer long division
+    (num·scale can overflow int64; num div den + scaled remainder never
+    does for num < 2^53, den·scale < 2^63). num, den must be
+    non-negative int64 columns, den > 0."""
+    return F.expr(
+        f"(({num}) div ({den})) * {scale}L"
+        f" + (((({num}) % ({den})) * {scale}L) div ({den}))"
+    )
+
+
+def cmh_odds(
+    df: DataFrame,
+    stratum_col: str,
+    arm_col: str,
+    outcome_col: str,
+    arm_a,
+    arm_b,
+    scale: int = 10**6,
+):
+    """Cochran–Mantel–Haenszel stratified 2×2 analysis → one row:
+    (n_strata, n, or_mh, chi2_cmh) — the pooled odds ratio and
+    association test across confounder strata (country, platform,
+    cohort day): OR_MH = Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ), χ²_CMH =
+    (Σaᵢ − Σ E[aᵢ])² / Σ Var[aᵢ] — THE guard against Simpson's
+    paradox when a platform reads conversion across mixed segments
+    (uncorrected marginals can show the OPPOSITE sign of every
+    stratum, Simpson 1951; CMH weights each stratum's 2×2 by its
+    information content, Mantel & Haenszel 1959).
+
+    Determinism: every per-stratum term aᵢdᵢ/nᵢ, bᵢcᵢ/nᵢ,
+    E[aᵢ] = r1ᵢc1ᵢ/nᵢ and Var[aᵢ] = r1ᵢr2ᵢc1ᵢc2ᵢ/(nᵢ²(nᵢ−1)) is
+    snapped to the ``scale`` fixed-point lattice by EXACT integer
+    long division (:func:`_fpdiv` — two-step div/remainder so nothing
+    overflows int64), so the across-strata sums are exact integers in
+    any order; two float divisions at the end (ROUND 6). No
+    continuity correction (the uncorrected χ² is the cross-engine-
+    stable convention; document downstream if you need Yates).
+    Single-cell-empty strata contribute 0 to the sums they can't
+    inform, the standard MH behavior. Scale shape: one groupBy to the
+    strata table (bounded by distinct strata), then a 1-row reduce.
+    """
+    s = (
+        df.filter(F.col(arm_col).isin([arm_a, arm_b]))
+        .groupBy(F.col(stratum_col).alias("_s"))
+        .agg(
+            F.sum(((F.col(arm_col) == arm_a) & (F.col(outcome_col).cast("int") > 0)).cast("long")).alias("a"),
+            F.sum(((F.col(arm_col) == arm_a) & ~(F.col(outcome_col).cast("int") > 0)).cast("long")).alias("b"),
+            F.sum(((F.col(arm_col) == arm_b) & (F.col(outcome_col).cast("int") > 0)).cast("long")).alias("c"),
+            F.sum(((F.col(arm_col) == arm_b) & ~(F.col(outcome_col).cast("int") > 0)).cast("long")).alias("d"),
+        )
+        .withColumn("n", F.col("a") + F.col("b") + F.col("c") + F.col("d"))
+        .filter(F.col("n") > 0)
+    )
+    sc = int(scale)
+    agg = s.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum("n").alias("n_total"),
+        F.sum("a").alias("sum_a"),
+        F.sum(F.when(F.col("n") > 0, _fpdiv("a * d", "n", sc)).otherwise(F.lit(0))).alias("or_num"),
+        F.sum(F.when(F.col("n") > 0, _fpdiv("b * c", "n", sc)).otherwise(F.lit(0))).alias("or_den"),
+        F.sum(F.when(F.col("n") > 0, _fpdiv("(a + b) * (a + c)", "n", sc)).otherwise(F.lit(0))).alias("e_fp"),
+        F.sum(
+            F.when(
+                F.col("n") > 1,
+                _fpdiv("(a + b) * (c + d) * (a + c) * (b + d)", "n * n * (n - 1)", sc),
+            ).otherwise(F.lit(0))
+        ).alias("var_fp"),
+    )
+    num = F.col("sum_a").cast("double") - F.col("e_fp").cast("double") / F.lit(float(sc))
+    chi2 = F.when(
+        F.col("var_fp") > 0,
+        (num * num) / (F.col("var_fp").cast("double") / F.lit(float(sc))),
+    )
+    or_mh = F.when(
+        F.col("or_den") > 0, F.col("or_num").cast("double") / F.col("or_den").cast("double")
+    )
+    return agg.select(
+        F.col("n_strata").cast("long").alias("n_strata"),
+        F.col("n_total").cast("long").alias("n"),
+        F.round(or_mh, 6).alias("or_mh"),
+        F.round(chi2, 6).alias("chi2_cmh"),
+    )

@@ -587,3 +587,111 @@ def acf(
         F.col("np").cast("long").alias("n_pairs"),
         F.round(r, 6).alias("r"),
     )
+
+
+def decompose(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    period: int,
+    fp_scale: int = 10**6,
+):
+    """Classical additive seasonal decomposition per key → one row per
+    input row: (key, order, x, trend, seasonal, resid) — the
+    moving-average decomposition behind every "is the metric actually
+    down or is it just Saturday" dashboard (the first stage of STL,
+    Cleveland et al. 1990, with the classical MA trend instead of
+    loess): trend = the period-spanning centered moving average (for
+    even periods the classical 2×m MA — period+1 rows with
+    half-weight endpoints, so every phase contributes EXACTLY equal
+    weight and the seasonal never leaks into the trend; for odd
+    periods the plain period-row mean), seasonal = per-(key, phase)
+    mean of the detrended series re-centered to sum ~0 across
+    phases, resid = x − trend − seasonal.
+
+    Determinism: the even-period trend is the exact int64 numerator
+    2·Σwindow − x_first − x_last over ONE division by 2m (odd: Σ/m);
+    detrended values snap to the ``fp_scale`` lattice so the
+    per-phase and per-key means are exact-int sums in any partition
+    order — one division each after that (ROUND 6). Edge rows whose
+    centered window is incomplete get NULL trend/resid and do not
+    feed the seasonal means — the classical convention.
+
+    Scale shape: ONE window sort per key (rowsBetween ±h sum, count,
+    first, last — all O(1) frame state, codegen), one map-side-
+    combined groupBy for the (key, phase) means (output bounded by
+    keys × period), broadcast back. Phase = order mod period, so
+    ``order_col`` must be a dense integer index per key (the
+    dense-index operator produces one).
+    """
+    from pyspark.sql import Window
+
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    sc = float(int(fp_scale))
+    base = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(order_col).cast("long").alias("_o"),
+        F.col(value_col).cast("long").alias("_x"),
+    ).filter(F.col("_x").isNotNull())
+    even = period % 2 == 0
+    h = period // 2 if even else (period - 1) // 2
+    w = Window.partitionBy("_k").orderBy("_o").rowsBetween(-h, h)
+    full = 2 * h + 1
+    if even:
+        # 2 x m MA: half-weight endpoints -> exact int numerator / (2m)
+        num = (
+            2 * F.sum("_x").over(w)
+            - F.first("_x").over(w)
+            - F.last("_x").over(w)
+        )
+        trend = F.when(
+            F.count(F.lit(1)).over(w) == full,
+            num.cast("double") / F.lit(2.0 * period),
+        )
+    else:
+        trend = F.when(
+            F.count(F.lit(1)).over(w) == full,
+            F.sum("_x").over(w).cast("double") / F.lit(float(period)),
+        )
+    t = base.select("_k", "_o", "_x", trend.alias("_trend"))
+    det_fp = F.floor((F.col("_x").cast("double") - F.col("_trend")) * F.lit(sc) + F.lit(0.5)).cast(
+        "long"
+    )
+    t = t.withColumn("_det_fp", det_fp).withColumn("_ph", F.pmod(F.col("_o"), F.lit(period)))
+    ph = t.groupBy("_k", "_ph").agg(
+        F.sum("_det_fp").alias("_sd"), F.count("_det_fp").alias("_nd")
+    )
+    # re-center: subtract the mean of the phase means within each key
+    ctr = ph.filter(F.col("_nd") > 0).groupBy("_k").agg(
+        F.sum(
+            F.floor(F.col("_sd").cast("double") / F.col("_nd").cast("double") + F.lit(0.5)).cast(
+                "long"
+            )
+        ).alias("_sm"),
+        F.count(F.lit(1)).alias("_np"),
+    )
+    phm = (
+        ph.join(F.broadcast(ctr), "_k")
+        .select(
+            "_k", "_ph",
+            F.when(
+                F.col("_nd") > 0,
+                (
+                    F.floor(F.col("_sd").cast("double") / F.col("_nd").cast("double") + F.lit(0.5))
+                    - F.col("_sm").cast("double") / F.col("_np").cast("double")
+                )
+                / F.lit(sc),
+            ).alias("_seas"),
+        )
+    )
+    out = t.join(F.broadcast(phm), ["_k", "_ph"])
+    return out.select(
+        F.col("_k").alias(key_col),
+        F.col("_o").alias(order_col),
+        F.col("_x").alias(value_col),
+        F.round("_trend", 6).alias("trend"),
+        F.round("_seas", 6).alias("seasonal"),
+        F.round(F.col("_x").cast("double") - F.col("_trend") - F.col("_seas"), 6).alias("resid"),
+    )

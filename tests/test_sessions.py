@@ -744,3 +744,90 @@ def test_welch_t_matches_numpy_model(spark):
     one = spark.createDataFrame([("a", 5), ("b", 7)], "g string, v long")
     r = welch_t(one, "g", "v", "a", "b").collect()[0]
     assert r["t"] is None and r["df"] is None
+
+
+def test_permutation_test_matches_hash_model(spark):
+    """n_ge matches an exact Python reimplementation of the hash
+    relabeling; a large true shift gives p at the floor 1/(B+1); a
+    null difference gives p well above 0.05."""
+    import hashlib
+
+    import numpy as np
+
+    from osmflat_rs_spark.operators.sessions import permutation_test
+
+    rng = np.random.default_rng(251)
+    # strong effect: a ~ 200, b ~ 100
+    rows = [(i, "a", int(200 + rng.integers(-20, 21))) for i in range(150)]
+    rows += [(i + 150, "b", int(100 + rng.integers(-20, 21))) for i in range(150)]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    r = permutation_test(df, "id", "g", "v", "a", "b", n_perm=99).collect()[0].asDict()
+    assert r["n_a"] == 150 and r["n_b"] == 150 and r["n_perm"] == 99
+
+    def model_nge():
+        obs_a = [v for _, g, v in rows if g == "a"]
+        obs_b = [v for _, g, v in rows if g == "b"]
+        dobs = sum(obs_a) / len(obs_a) - sum(obs_b) / len(obs_b)
+        nge = 0
+        for b in range(1, 100):
+            sa = na = sb = nb = 0
+            for i, _, v in rows:
+                h = int(hashlib.md5(f"perm:{b}:{i}".encode()).hexdigest()[:15], 16)
+                if h % 2 == 1:
+                    sa += v; na += 1
+                else:
+                    sb += v; nb += 1
+            if na and nb and abs(sa / na - sb / nb) >= abs(dobs):
+                nge += 1
+        return nge, dobs
+
+    nge, dobs = model_nge()
+    assert r["n_ge"] == nge
+    assert r["diff_obs"] == round(dobs, 6)
+    assert r["p"] == round((nge + 1) / 100, 6)
+    assert r["p"] <= 0.02  # the shift is real
+    # null: identical distributions -> p not tiny
+    null_rows = [(i, "a" if i % 2 else "b", int(rng.integers(0, 100))) for i in range(300)]
+    df0 = spark.createDataFrame(null_rows, "id long, g string, v long")
+    p0 = permutation_test(df0, "id", "g", "v", "a", "b", n_perm=99).collect()[0]["p"]
+    assert p0 > 0.05
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        permutation_test(df, "id", "g", "v", "a", "b", n_perm=0)
+
+
+def test_cmh_matches_model_and_defeats_simpson(spark):
+    """OR_MH and chi2 match the exact fixed-point model; a Simpson
+    construction where every stratum favors A still yields OR > 1
+    while the pooled 2x2 would not."""
+    from osmflat_rs_spark.operators.sessions import cmh_odds
+
+    # stratum 1: A mostly treated, high base rate; stratum 2: inverse
+    # within each stratum A converts better than B
+    rows = []
+    def add(s, g, conv, n):
+        rows.extend([(s, g, 1)] * conv + [(s, g, 0)] * (n - conv))
+    add(1, "A", 81, 87); add(1, "B", 234, 270)   # 93% vs 87%
+    add(2, "A", 192, 263); add(2, "B", 55, 80)   # 73% vs 69%
+    df = spark.createDataFrame(rows, "s long, g string, y int")
+    r = cmh_odds(df, "s", "g", "y", "A", "B").collect()[0].asDict()
+    # exact fixed-point model
+    SC = 10**6
+    strata = {1: (81, 87 - 81, 234, 270 - 234), 2: (192, 263 - 192, 55, 80 - 55)}
+    def fpdiv(num, den):
+        q, rem = divmod(num, den)
+        return q * SC + rem * SC // den
+    orn = ord_ = efp = vfp = suma = 0
+    for a, b, c, d in strata.values():
+        n = a + b + c + d
+        suma += a
+        orn += fpdiv(a * d, n)
+        ord_ += fpdiv(b * c, n)
+        efp += fpdiv((a + b) * (a + c), n)
+        vfp += fpdiv((a + b) * (c + d) * (a + c) * (b + d), n * n * (n - 1))
+    num = suma - efp / SC
+    assert r["n_strata"] == 2 and r["n"] == 700
+    assert r["or_mh"] == round(orn / ord_, 6)
+    assert r["chi2_cmh"] == round(num * num / (vfp / SC), 6)
+    assert r["or_mh"] > 1.3  # stratified view favors A in both strata

@@ -329,3 +329,43 @@ def test_acf_matches_statsmodels_convention(spark):
 
     with _pytest.raises(ValueError):
         acf(df, "k", "t", "x", max_lag=0)
+
+
+def test_decompose_recovers_planted_seasonality(spark):
+    """trend + seasonal + resid == x on interior rows; the planted
+    period-4 pattern is recovered (seasonal correlates with the
+    plant, resid variance << raw variance); edges get NULL trend;
+    params validated."""
+    import numpy as np
+
+    from osmflat_rs_spark.operators.trend import decompose
+
+    rng = np.random.default_rng(257)
+    season = [400, -100, -250, -50]  # sums to 0
+    rows = []
+    for k in ("u", "v"):
+        for t in range(200):
+            x = 1000 + 2 * t + season[t % 4] + int(rng.integers(-20, 21))
+            rows.append((k, t, x))
+    df = spark.createDataFrame(rows, "k string, t long, x long")
+    got = {(r["k"], r["t"]): r.asDict() for r in decompose(df, "k", "t", "x", period=4).collect()}
+    assert len(got) == 400
+    xs = {(k, t): x for k, t, x in rows}
+    for (k, t), r in got.items():
+        assert r["x"] == xs[(k, t)]
+        if t < 2 or t >= 198:
+            assert r["trend"] is None and r["resid"] is None
+        else:
+            # additive identity holds to rounding
+            assert abs((r["trend"] + r["seasonal"] + r["resid"]) - r["x"]) < 2e-6
+    # seasonal pattern recovered: phase ordering matches the plant
+    ph = {p: got[("u", 100 + p)]["seasonal"] for p in range(4)}
+    assert ph[0] > ph[3] > ph[1] > ph[2]
+    assert abs(ph[0] - 400) < 30 and abs(ph[2] + 250) < 30
+    # residuals are small relative to the raw signal
+    interior = [r["resid"] for r in got.values() if r["resid"] is not None]
+    assert np.std(interior) < 40
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decompose(df, "k", "t", "x", period=1)
