@@ -1365,6 +1365,20 @@ def q_decompose_events(spark, sf_dir):
     return decompose(ev, "event_type", "idx", "cents", period=7)
 
 
+def q_did_events(spark, sf_dir):
+    """Difference-in-differences on cents: treat=click vs control=view,
+    pre/post = event_id parity — four exact moment cells, unpooled
+    Welch-form SE in a pinned double order."""
+    from osmflat_rs_spark.operators.sessions import diff_in_diff
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.pmod(F.col("event_id"), F.lit(2)).alias("per"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    return diff_in_diff(ev, "event_type", "per", "cents", "click", "view", 0, 1)
+
+
 def q_huff_events(spark, sf_dir):
     """Huff probabilistic market share at 10 facilities (the kNN gate's
     lattice, attractiveness 1..5): regularized inverse-square weight
@@ -5004,6 +5018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "permutation_events": q_permutation_events,
         "cmh_events": q_cmh_events,
         "decompose_events": q_decompose_events,
+        "did_events": q_did_events,
         "simplify_events": q_simplify_events,
         "dbscan_events": q_dbscan_events,
         "knn_events": q_knn_events,
@@ -6342,6 +6357,51 @@ def oracle_sql() -> dict[str, str]:
                    round(trend, 6) AS trend, round(seas, 6) AS seasonal,
                    round(CAST(x AS DOUBLE) - trend - seas, 6) AS resid
             FROM t2 JOIN pm ON t2.k = pm.k AND t2.ph = pm.ph
+        """,
+        # DiD: same four exact cells, same pinned closed form
+        "did_events": """
+            WITH b AS (SELECT event_type,
+                              ((event_id % 2) + 2) % 2 AS per,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                       FROM events WHERE event_type IN ('click', 'view')),
+            c AS (SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS t,
+                         per AS p, COUNT(*) AS n, SUM(v) AS sx, SUM(v * v) AS sxx
+                  FROM b GROUP BY 1, 2),
+            w AS (SELECT
+                    MAX(CASE WHEN t = 1 AND p = 0 THEN n END) AS n_tpre,
+                    MAX(CASE WHEN t = 1 AND p = 0 THEN sx END) AS sx_tpre,
+                    MAX(CASE WHEN t = 1 AND p = 0 THEN sxx END) AS sxx_tpre,
+                    MAX(CASE WHEN t = 1 AND p = 1 THEN n END) AS n_tpost,
+                    MAX(CASE WHEN t = 1 AND p = 1 THEN sx END) AS sx_tpost,
+                    MAX(CASE WHEN t = 1 AND p = 1 THEN sxx END) AS sxx_tpost,
+                    MAX(CASE WHEN t = 0 AND p = 0 THEN n END) AS n_cpre,
+                    MAX(CASE WHEN t = 0 AND p = 0 THEN sx END) AS sx_cpre,
+                    MAX(CASE WHEN t = 0 AND p = 0 THEN sxx END) AS sxx_cpre,
+                    MAX(CASE WHEN t = 0 AND p = 1 THEN n END) AS n_cpost,
+                    MAX(CASE WHEN t = 0 AND p = 1 THEN sx END) AS sx_cpost,
+                    MAX(CASE WHEN t = 0 AND p = 1 THEN sxx END) AS sxx_cpost
+                  FROM c),
+            m AS (SELECT *,
+                    CAST(sx_tpre AS DOUBLE) / n_tpre AS m_tpre,
+                    CAST(sx_tpost AS DOUBLE) / n_tpost AS m_tpost,
+                    CAST(sx_cpre AS DOUBLE) / n_cpre AS m_cpre,
+                    CAST(sx_cpost AS DOUBLE) / n_cpost AS m_cpost
+                  FROM w),
+            v2 AS (SELECT *,
+                    (CAST(sxx_tpre AS DOUBLE) - CAST(sx_tpre AS DOUBLE) * m_tpre) / (CAST(n_tpre AS DOUBLE) - 1) / n_tpre
+                  + (CAST(sxx_tpost AS DOUBLE) - CAST(sx_tpost AS DOUBLE) * m_tpost) / (CAST(n_tpost AS DOUBLE) - 1) / n_tpost
+                  + (CAST(sxx_cpre AS DOUBLE) - CAST(sx_cpre AS DOUBLE) * m_cpre) / (CAST(n_cpre AS DOUBLE) - 1) / n_cpre
+                  + (CAST(sxx_cpost AS DOUBLE) - CAST(sx_cpost AS DOUBLE) * m_cpost) / (CAST(n_cpost AS DOUBLE) - 1) / n_cpost AS se2,
+                    (m_tpost - m_tpre) - (m_cpost - m_cpre) AS did
+                   FROM m)
+            SELECT CAST(n_tpre AS BIGINT) AS n_tpre, CAST(n_tpost AS BIGINT) AS n_tpost,
+                   CAST(n_cpre AS BIGINT) AS n_cpre, CAST(n_cpost AS BIGINT) AS n_cpost,
+                   round(did, 6) AS did,
+                   round(CASE WHEN n_tpre > 1 AND n_tpost > 1 AND n_cpre > 1 AND n_cpost > 1
+                              AND se2 > 0 THEN sqrt(se2) END, 6) AS se,
+                   round(CASE WHEN n_tpre > 1 AND n_tpost > 1 AND n_cpre > 1 AND n_cpost > 1
+                              AND se2 > 0 THEN did / sqrt(se2) END, 6) AS t
+            FROM v2
         """,
         # Gini: same exact Lorenz sums
         "gini_events": """

@@ -1234,3 +1234,79 @@ def cmh_odds(
         F.round(or_mh, 6).alias("or_mh"),
         F.round(chi2, 6).alias("chi2_cmh"),
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    group_col: str,
+    period_col: str,
+    value_col: str,
+    treat,
+    control,
+    pre,
+    post,
+):
+    """Difference-in-differences → one row: (n_tpre, n_tpost, n_cpre,
+    n_cpost, did, se, t) — the workhorse quasi-experimental estimator
+    when randomization wasn't possible (feature shipped to one market,
+    policy hit one region): DiD = (ȳ_treat,post − ȳ_treat,pre) −
+    (ȳ_control,post − ȳ_control,pre) cancels both the group's level
+    and the common shock, leaving the causal effect under the
+    parallel-trends assumption (Card & Krueger 1994). The SE is the
+    unpooled four-cell Welch form √Σ s²ᵢ/nᵢ — each cell mean is
+    independent, so variances add.
+
+    One map-side-combined aggregate of exact int64 (n, Σx, Σx²) per
+    cell (callers keep n·max² < 2^63), then pinned-order closed-form
+    doubles (SAMPLE variance), ROUND 6. Any cell with n < 2 yields
+    NULL se/t but the point estimate still reports when all four
+    means exist. Scale shape: a four-row reduce; nothing else."""
+    cells = (
+        df.filter(F.col(group_col).isin([treat, control]) & F.col(period_col).isin([pre, post]))
+        .groupBy(
+            (F.col(group_col) == treat).cast("int").alias("_t"),
+            (F.col(period_col) == post).cast("int").alias("_p"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value_col).cast("long")).alias("sx"),
+            F.sum(F.col(value_col).cast("long") * F.col(value_col).cast("long")).alias("sxx"),
+        )
+    )
+    def cell(t, p, tag):
+        return cells.filter((F.col("_t") == t) & (F.col("_p") == p)).select(
+            F.col("n").alias(f"n_{tag}"),
+            F.col("sx").alias(f"sx_{tag}"),
+            F.col("sxx").alias(f"sxx_{tag}"),
+        )
+    j = (
+        cell(1, 0, "tpre")
+        .crossJoin(F.broadcast(cell(1, 1, "tpost")))
+        .crossJoin(F.broadcast(cell(0, 0, "cpre")))
+        .crossJoin(F.broadcast(cell(0, 1, "cpost")))
+    )
+    def m(tag):
+        return F.col(f"sx_{tag}").cast("double") / F.col(f"n_{tag}").cast("double")
+    def sv(tag):
+        n = F.col(f"n_{tag}").cast("double")
+        return (
+            (F.col(f"sxx_{tag}").cast("double") - F.col(f"sx_{tag}").cast("double") * m(tag))
+            / (n - 1)
+            / n
+        )
+    did = (m("tpost") - m("tpre")) - (m("cpost") - m("cpre"))
+    all_n2 = (
+        (F.col("n_tpre") > 1) & (F.col("n_tpost") > 1)
+        & (F.col("n_cpre") > 1) & (F.col("n_cpost") > 1)
+    )
+    se2 = sv("tpre") + sv("tpost") + sv("cpre") + sv("cpost")
+    se = F.when(all_n2 & (se2 > 0), F.sqrt(se2))
+    return j.select(
+        F.col("n_tpre").cast("long").alias("n_tpre"),
+        F.col("n_tpost").cast("long").alias("n_tpost"),
+        F.col("n_cpre").cast("long").alias("n_cpre"),
+        F.col("n_cpost").cast("long").alias("n_cpost"),
+        F.round(did, 6).alias("did"),
+        F.round(se, 6).alias("se"),
+        F.round(F.when(se.isNotNull(), did / se), 6).alias("t"),
+    )

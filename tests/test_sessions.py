@@ -831,3 +831,44 @@ def test_cmh_matches_model_and_defeats_simpson(spark):
     assert r["or_mh"] == round(orn / ord_, 6)
     assert r["chi2_cmh"] == round(num * num / (vfp / SC), 6)
     assert r["or_mh"] > 1.3  # stratified view favors A in both strata
+
+
+def test_diff_in_diff_recovers_planted_effect(spark):
+    """DiD recovers a planted treatment effect despite group level
+    differences and a common shock; matches the numpy closed form;
+    degenerate cells yield NULL se."""
+    import numpy as np
+
+    from osmflat_rs_spark.operators.sessions import diff_in_diff
+
+    rng = np.random.default_rng(263)
+    rows = []
+    # treat level 500, control level 100, common shock +50 post,
+    # true effect +30 on treat-post only
+    for g, lvl in (("t", 500), ("c", 100)):
+        for p, shock in (("pre", 0), ("post", 50)):
+            eff = 30 if (g == "t" and p == "post") else 0
+            for _ in range(400):
+                rows.append((g, p, lvl + shock + eff + int(rng.integers(-25, 26))))
+    df = spark.createDataFrame(rows, "g string, p string, v long")
+    r = diff_in_diff(df, "g", "p", "v", "t", "c", "pre", "post").collect()[0].asDict()
+
+    def cell(g, p):
+        return np.array([v for gg, pp, v in rows if gg == g and pp == p], dtype=float)
+
+    tpre, tpost, cpre, cpost = cell("t", "pre"), cell("t", "post"), cell("c", "pre"), cell("c", "post")
+    did = (tpost.mean() - tpre.mean()) - (cpost.mean() - cpre.mean())
+    se = np.sqrt(sum(c.var(ddof=1) / len(c) for c in (tpre, tpost, cpre, cpost)))
+    assert r["n_tpre"] == 400 and r["n_cpost"] == 400
+    assert abs(r["did"] - did) < 1e-6
+    assert abs(r["se"] - se) < 1e-6
+    assert abs(r["t"] - did / se) < 1e-4
+    assert abs(r["did"] - 30) < 3 * se  # effect recovered
+    assert abs(r["t"]) > 5
+    # degenerate cell
+    tiny = spark.createDataFrame(
+        [("t", "pre", 1), ("t", "post", 2), ("c", "pre", 3), ("c", "post", 4)],
+        "g string, p string, v long",
+    )
+    r2 = diff_in_diff(tiny, "g", "p", "v", "t", "c", "pre", "post").collect()[0]
+    assert r2["did"] == 0.0 and r2["se"] is None and r2["t"] is None
