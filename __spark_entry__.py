@@ -1379,6 +1379,23 @@ def q_did_events(spark, sf_dir):
     return diff_in_diff(ev, "event_type", "per", "cents", "click", "view", 0, 1)
 
 
+def q_betweenness_graph(spark, sf_dir):
+    """Sampled Brandes betweenness over the same deterministic 150-node
+    mesh as the SSSP gate, 10 pivot sources — exact-int sigma BFS, the
+    backward dependency pass on the 1e-9 fixed-point lattice (order-free
+    sums). Rows-only gate: the level-backward recursion is not
+    SQL-expressible; parity is pinned by the exact Python model in
+    tests/test_graph.py."""
+    from osmflat_rs_spark.operators.graph import betweenness
+
+    edges = (
+        spark.range(SSSP_N)
+        .select(F.col("id").alias("src"), F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"))
+        .selectExpr("src", f"(src * 31 + k) % {SSSP_N} AS dst")
+    )
+    return betweenness(edges, [i * 15 for i in range(10)], max_hops=SSSP_HOPS)
+
+
 def q_huff_events(spark, sf_dir):
     """Huff probabilistic market share at 10 facilities (the kNN gate's
     lattice, attractiveness 1..5): regularized inverse-square weight
@@ -5019,6 +5036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cmh_events": q_cmh_events,
         "decompose_events": q_decompose_events,
         "did_events": q_did_events,
+        "betweenness_graph": q_betweenness_graph,
         "simplify_events": q_simplify_events,
         "dbscan_events": q_dbscan_events,
         "knn_events": q_knn_events,

@@ -836,3 +836,102 @@ def test_cooccurrence_pairs_matches_counter_model(spark):
         for r in cooccurrence_pairs(df, "basket", "item", min_count=3).collect()
     }
     assert got2 == {(10, 20): 3}
+
+
+def test_betweenness_matches_model_and_finds_bridge(spark):
+    """Sampled Brandes with the fixed-point backward pass matches an
+    exact Python reimplementation node-for-node; the bridge node
+    between two cliques dominates; float Brandes agrees within the
+    lattice tolerance; params validated."""
+    from collections import defaultdict, deque
+
+    from osmflat_rs_spark.operators.graph import betweenness
+
+    # two 5-cliques joined through node 10
+    edges = []
+    for base in (0, 5):
+        for i in range(base, base + 5):
+            for j in range(i + 1, base + 5):
+                edges.append((i, j))
+    edges += [(4, 10), (10, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    nodes = sorted({u for e in edges for u in e})
+    got = {r["node"]: r["bc"] for r in betweenness(df, nodes, max_hops=10).collect()}
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v); adj[v].add(u)
+
+    SC = 10**9
+
+    def brandes_fp(s):
+        dist, sigma = {s: 0}, {s: 1}
+        levels = defaultdict(list)
+        levels[0].append(s)
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    levels[dist[w]].append(w)
+                    q.append(w)
+                if dist[w] == dist[u] + 1:
+                    sigma[w] = sigma.get(w, 0) + sigma[u]
+        dfp = {v: 0 for v in dist}
+        for lvl in range(max(levels) - 1, -1, -1):
+            for v in levels[lvl]:
+                acc = 0
+                for w in adj[v]:
+                    if dist.get(w) == lvl + 1:
+                        c = (sigma[v] / sigma[w]) * (SC + dfp[w]) + 0.5
+                        acc += int(c // 1)
+                dfp[v] = acc
+        return dfp
+
+    want = defaultdict(int)
+    for s in nodes:
+        for v, d in brandes_fp(s).items():
+            if v != s:
+                want[v] += d
+    for v in nodes:
+        assert got[v] == round(want[v] / SC, 6), (v, got[v], want[v] / SC)
+    # the bridge and its two gateways carry all cross-clique traffic;
+    # interior clique nodes carry none of it
+    assert got[10] == max(got.values())
+    assert min(got[v] for v in (4, 5, 10)) > 10 * max(
+        got[v] for v in nodes if v not in (4, 5, 10)
+    )
+    # float Brandes agreement within lattice tolerance
+    def brandes_float(s):
+        dist, sigma = {s: 0}, {s: 1}
+        levels = defaultdict(list); levels[0].append(s)
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1; levels[dist[w]].append(w); q.append(w)
+                if dist[w] == dist[u] + 1:
+                    sigma[w] = sigma.get(w, 0) + sigma[u]
+        delta = {v: 0.0 for v in dist}
+        for lvl in range(max(levels) - 1, -1, -1):
+            for v in levels[lvl]:
+                delta[v] = sum(
+                    (sigma[v] / sigma[w]) * (1 + delta[w])
+                    for w in adj[v] if dist.get(w) == lvl + 1
+                )
+        return delta
+    true = defaultdict(float)
+    for s in nodes:
+        for v, d in brandes_float(s).items():
+            if v != s:
+                true[v] += d
+    for v in nodes:
+        assert abs(got[v] - true[v]) < 1e-5
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        betweenness(df, nodes, max_hops=0)
+    with _pytest.raises(ValueError):
+        betweenness(df, [], max_hops=3)
