@@ -1396,6 +1396,38 @@ def q_betweenness_graph(spark, sf_dir):
     return betweenness(edges, [i * 15 for i in range(10)], max_hops=SSSP_HOPS)
 
 
+def q_w1_events(spark, sf_dir):
+    """Exact 1-Wasserstein distance between click and view cents — the
+    CDF-integral drift metric next to the KS sup-norm gate; w1_num is
+    an exact int64, one division at the end."""
+    from osmflat_rs_spark.plans.indexing import wasserstein1_two_sample
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    return wasserstein1_two_sample(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "view"),
+        "cents",
+    )
+
+
+def q_harmonic_graph(spark, sf_dir):
+    """Sampled harmonic centrality over the SSSP mesh from its three
+    sources — exact floor(1e9/dist) lattice terms, order-free sums;
+    the oracle reruns the bounded recursive walk and the same lattice."""
+    from osmflat_rs_spark.operators.graph import harmonic_centrality
+
+    edges = (
+        spark.range(SSSP_N)
+        .select(F.col("id").alias("src"), F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"))
+        .selectExpr("src", f"(src * 31 + k) % {SSSP_N} AS dst")
+        .selectExpr("src", "dst", "(src * 7 + dst * 13) % 20 + 1 AS w")
+    )
+    return harmonic_centrality(edges, list(SSSP_SOURCES), SSSP_HOPS)
+
+
 def q_huff_events(spark, sf_dir):
     """Huff probabilistic market share at 10 facilities (the kNN gate's
     lattice, attractiveness 1..5): regularized inverse-square weight
@@ -5037,6 +5069,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decompose_events": q_decompose_events,
         "did_events": q_did_events,
         "betweenness_graph": q_betweenness_graph,
+        "w1_events": q_w1_events,
+        "harmonic_graph": q_harmonic_graph,
         "simplify_events": q_simplify_events,
         "dbscan_events": q_dbscan_events,
         "knn_events": q_knn_events,
@@ -6420,6 +6454,51 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN n_tpre > 1 AND n_tpost > 1 AND n_cpre > 1 AND n_cpost > 1
                               AND se2 > 0 THEN did / sqrt(se2) END, 6) AS t
             FROM v2
+        """,
+        # W1: same cross-multiplied CDF-integral arithmetic
+        "w1_events": """
+            WITH b AS (SELECT event_type,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                       FROM events WHERE value IS NOT NULL),
+            a AS (SELECT v, COUNT(*) AS ca FROM b WHERE event_type = 'click' GROUP BY 1),
+            c AS (SELECT v, COUNT(*) AS cb FROM b WHERE event_type = 'view' GROUP BY 1),
+            m AS (SELECT COALESCE(a.v, c.v) AS v,
+                         COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+                  FROM a FULL OUTER JOIN c ON a.v = c.v),
+            cum AS (SELECT v,
+                           SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fa,
+                           SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fb,
+                           lead(v) OVER (ORDER BY v) AS nx
+                    FROM m),
+            t AS (SELECT MAX(fa) AS n_a, MAX(fb) AS n_b FROM cum),
+            agg AS (SELECT MIN(n_a) AS n_a, MIN(n_b) AS n_b,
+                           SUM(CASE WHEN nx IS NOT NULL
+                                    THEN (nx - v) * abs(fa * n_b - fb * n_a)
+                                    ELSE 0 END) AS w1_num
+                    FROM cum CROSS JOIN t)
+            SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                   CAST(w1_num AS BIGINT) AS w1_num,
+                   CAST(w1_num AS DOUBLE) / (n_a * n_b) AS w1
+            FROM agg
+        """,
+        # harmonic: the sssp walk + the same exact floor lattice
+        "harmonic_graph": f"""
+            WITH RECURSIVE e AS (
+              SELECT src, (src * 31 + k) % {SSSP_N} AS dst,
+                     (src * 7 + ((src * 31 + k) % {SSSP_N}) * 13) % 20 + 1 AS w
+              FROM generate_series(0, {SSSP_N - 1}) s(src), generate_series(1, 3) t(k)),
+            walk(source, node, dist, hops) AS (
+              SELECT source, source, 0, 0
+              FROM (VALUES {', '.join(f'({s})' for s in SSSP_SOURCES)}) s(source)
+              UNION
+              SELECT w.source, e.dst, w.dist + e.w, w.hops + 1
+              FROM walk w JOIN e ON e.src = w.node
+              WHERE w.hops < {SSSP_HOPS}),
+            d AS (SELECT source, node, MIN(dist) AS dist FROM walk GROUP BY 1, 2)
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS n_reached,
+                   round(CAST(SUM(1000000000 // dist) AS DOUBLE) / 1000000000.0, 6) AS hc
+            FROM d WHERE node <> source AND dist > 0
+            GROUP BY 1
         """,
         # Gini: same exact Lorenz sums
         "gini_events": """

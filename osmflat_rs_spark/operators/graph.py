@@ -1141,3 +1141,40 @@ def betweenness(
     return out.select(
         "node", F.round(F.col("_b").cast("double") / F.lit(sc), 6).alias("bc")
     )
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    sources: list,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    fp_scale: int = 10**9,
+) -> DataFrame:
+    """Sampled harmonic centrality → (node, n_reached, hc) — the
+    closeness variant that survives disconnection (Boldi & Vigna
+    2014): H(v) = Σ_{s≠v} 1/d(s, v), unreachable pairs contribute 0
+    instead of poisoning the sum like classic closeness does.
+    Composes directly on :func:`shortest_paths` (same hop-bounded
+    Bellman-Ford semantics, same sampled-pivot estimator shape as
+    :func:`betweenness` — rescale by n/K downstream).
+
+    Determinism: each term snaps to ``floor(fp_scale / d)`` by exact
+    integer division (d is the exact int64 weighted distance), so the
+    per-node sum is an order-free int64 sum; one float division at
+    the end (ROUND 6). A node distance-0 from a source (the source
+    itself) is excluded."""
+    d = shortest_paths(edges, sources, max_hops, src=src, dst=dst, weight=weight)
+    sc = int(fp_scale)
+    terms = d.filter((F.col("node") != F.col("source")) & (F.col("dist") > 0)).select(
+        "node", F.expr(f"{sc}L div dist").alias("_t")
+    )
+    out = terms.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_reached"), F.sum("_t").alias("_h")
+    )
+    return out.select(
+        "node",
+        F.col("n_reached").cast("long").alias("n_reached"),
+        F.round(F.col("_h").cast("double") / F.lit(float(sc)), 6).alias("hc"),
+    )

@@ -935,3 +935,48 @@ def test_betweenness_matches_model_and_finds_bridge(spark):
         betweenness(df, nodes, max_hops=0)
     with _pytest.raises(ValueError):
         betweenness(df, [], max_hops=3)
+
+
+def test_harmonic_centrality_matches_model(spark):
+    """hc equals the exact floor-lattice model over Dijkstra distances
+    on a small weighted graph; a disconnected node scores 0-reached
+    rows rather than poisoning anything."""
+    import heapq
+    from collections import defaultdict
+
+    from osmflat_rs_spark.operators.graph import harmonic_centrality
+
+    edges = [(0, 1, 2), (1, 2, 3), (2, 3, 1), (3, 0, 4), (1, 3, 9), (4, 5, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    sources = [0, 1, 4]
+    got = {r["node"]: r.asDict() for r in harmonic_centrality(df, sources, max_hops=8).collect()}
+
+    adj = defaultdict(list)
+    for u, v, w in edges:
+        adj[u].append((v, w))  # directed, like the operator
+
+    def dij(s):
+        dist = {s: 0}
+        pq = [(0, s)]
+        while pq:
+            d, u = heapq.heappop(pq)
+            if d > dist.get(u, 1 << 60):
+                continue
+            for v, w in adj[u]:
+                nd = d + w
+                if nd < dist.get(v, 1 << 60):
+                    dist[v] = nd
+                    heapq.heappush(pq, (nd, v))
+        return dist
+
+    SC = 10**9
+    want = defaultdict(lambda: [0, 0])
+    for s in sources:
+        for v, d in dij(s).items():
+            if v != s and d > 0:
+                want[v][0] += 1
+                want[v][1] += SC // d
+    assert set(got) == set(want)
+    for v, (nr, h) in want.items():
+        assert got[v]["n_reached"] == nr
+        assert got[v]["hc"] == round(h / SC, 6)

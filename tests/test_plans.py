@@ -969,3 +969,62 @@ def test_split_conformal_guarantee_and_model(spark):
 
     with _pytest.raises(ValueError):
         split_conformal(cal, ev, "g", "yhat", "y", alpha=(3, 2))
+
+
+def test_wasserstein1_matches_scipy_free_model(spark):
+    """w1 equals the exact CDF-integral model (cross-checked against
+    the sorted-sample formulation for equal n); a constant shift of c
+    yields exactly c; identical samples yield 0."""
+    import numpy as np
+
+    from osmflat_rs_spark.plans.indexing import wasserstein1_two_sample
+
+    rng = np.random.default_rng(269)
+    a = [int(x) for x in rng.integers(0, 500, 400)]
+    b = [int(x) for x in rng.integers(100, 900, 300)]
+    da = spark.createDataFrame([(v,) for v in a], "v long")
+    db = spark.createDataFrame([(v,) for v in b], "v long")
+    r = wasserstein1_two_sample(da, db, "v").collect()[0].asDict()
+
+    def w1_model(xs, ys):
+        vs = sorted(set(xs) | set(ys))
+        na, nb = len(xs), len(ys)
+        fa = fb = 0
+        xs_c = {v: xs.count(v) for v in set(xs)}
+        ys_c = {v: ys.count(v) for v in set(ys)}
+        num = 0
+        for v, nx in zip(vs, vs[1:] + [None]):
+            fa += xs_c.get(v, 0)
+            fb += ys_c.get(v, 0)
+            if nx is not None:
+                num += (nx - v) * abs(fa * nb - fb * na)
+        return num, num / (na * nb)
+
+    num, w1 = w1_model(a, b)
+    assert r["n_a"] == 400 and r["n_b"] == 300
+    assert r["w1_num"] == num
+    assert r["w1"] == w1
+    # equal-n cross-check: W1 = mean |sorted_a - sorted_b|
+    a2 = [int(x) for x in rng.integers(0, 1000, 250)]
+    b2 = [int(x) for x in rng.integers(0, 1000, 250)]
+    r2 = wasserstein1_two_sample(
+        spark.createDataFrame([(v,) for v in a2], "v long"),
+        spark.createDataFrame([(v,) for v in b2], "v long"),
+        "v",
+    ).collect()[0]
+    want = float(np.mean(np.abs(np.sort(a2) - np.sort(b2))))
+    assert abs(r2["w1"] - want) < 1e-9
+    # constant shift: exactly c
+    r3 = wasserstein1_two_sample(
+        spark.createDataFrame([(v,) for v in a2], "v long"),
+        spark.createDataFrame([(v + 17,) for v in a2], "v long"),
+        "v",
+    ).collect()[0]
+    assert r3["w1"] == 17.0
+    # identity: 0
+    r4 = wasserstein1_two_sample(
+        spark.createDataFrame([(v,) for v in a2], "v long"),
+        spark.createDataFrame([(v,) for v in a2], "v long"),
+        "v",
+    ).collect()[0]
+    assert r4["w1"] == 0.0
