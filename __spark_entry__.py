@@ -1428,6 +1428,23 @@ def q_harmonic_graph(spark, sf_dir):
     return harmonic_centrality(edges, list(SSSP_SOURCES), SSSP_HOPS)
 
 
+def q_lof_events(spark, sf_dir):
+    """Local Outlier Factor over a 1/8 subset of the synthetic lattice
+    (k=6) through the distributed kNN kernel — fixed-point lrd lattice,
+    order-free sums; the oracle is the brute-force all-pairs LOF, valid
+    because the kNN pass is exact."""
+    _prep(spark)
+    from osmflat_rs_spark.operators.knn import lof_scores
+
+    pts = (
+        _synth_coords(_t(spark, sf_dir, "events"))
+        .filter(F.pmod(F.col("event_id"), F.lit(8)) == 0)
+        .select(F.col("event_id").alias("node_idx"), "lat", "lon")
+    )
+    out = lof_scores(pts, k=6, res=CELL_RES, radius=float(KNN_RADIUS_FIXED))
+    return out.select(F.col("node_idx").alias("event_id"), "n_nn", "kdist", "lof")
+
+
 def q_huff_events(spark, sf_dir):
     """Huff probabilistic market share at 10 facilities (the kNN gate's
     lattice, attractiveness 1..5): regularized inverse-square weight
@@ -5071,6 +5088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_graph": q_betweenness_graph,
         "w1_events": q_w1_events,
         "harmonic_graph": q_harmonic_graph,
+        "lof_events": q_lof_events,
         "simplify_events": q_simplify_events,
         "dbscan_events": q_dbscan_events,
         "knn_events": q_knn_events,
@@ -6499,6 +6517,36 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(SUM(1000000000 // dist) AS DOUBLE) / 1000000000.0, 6) AS hc
             FROM d WHERE node <> source AND dist > 0
             GROUP BY 1
+        """,
+        # LOF: brute-force all-pairs restatement on the same lattice
+        "lof_events": f"""
+            WITH p AS (SELECT event_id,
+                              CAST({LAT0} + (event_id * {A_LAT}) % {LATSPAN} AS BIGINT) AS lat,
+                              CAST({LON0} + (event_id * {A_LON}) % {LONSPAN} AS BIGINT) AS lon
+                       FROM events WHERE event_id % 8 = 0),
+            pr AS (SELECT a.event_id AS pa, b.event_id AS pb,
+                          (a.lat - b.lat) * (a.lat - b.lat)
+                        + (a.lon - b.lon) * (a.lon - b.lon) AS d2
+                   FROM p a JOIN p b ON a.event_id <> b.event_id),
+            rk AS (SELECT pa, pb, d2,
+                          row_number() OVER (PARTITION BY pa ORDER BY d2 ASC, pb ASC) AS r
+                   FROM pr),
+            nn AS (SELECT pa, pb, d2 FROM rk WHERE r <= 6),
+            kd AS (SELECT pa, MAX(d2) AS kdist FROM nn GROUP BY 1),
+            rc AS (SELECT nn.pa, nn.pb, GREATEST(nn.d2, k2.kdist) AS reach
+                   FROM nn JOIN kd k2 ON nn.pb = k2.pa),
+            ld AS (SELECT pa, COUNT(*) AS n,
+                          CASE WHEN SUM(reach) > 0
+                               THEN (COUNT(*) * 1000000000000000) // SUM(reach) END AS lrd
+                   FROM rc GROUP BY 1),
+            nm AS (SELECT nn.pa, SUM(l2.lrd) AS slrd, COUNT(l2.lrd) AS nvalid
+                   FROM nn JOIN ld l2 ON nn.pb = l2.pa GROUP BY 1)
+            SELECT ld.pa AS event_id, CAST(ld.n AS BIGINT) AS n_nn,
+                   CAST(kd.kdist AS BIGINT) AS kdist,
+                   round(CASE WHEN ld.lrd > 0 AND nm.nvalid = ld.n
+                              THEN CAST(nm.slrd AS DOUBLE) / (CAST(ld.n AS DOUBLE) * CAST(ld.lrd AS DOUBLE))
+                         END, 6) AS lof
+            FROM ld JOIN kd ON ld.pa = kd.pa JOIN nm ON ld.pa = nm.pa
         """,
         # Gini: same exact Lorenz sums
         "gini_events": """

@@ -728,3 +728,109 @@ def kmeans_assign_step(
             F.sum("_lo").alias("sum_lon"),
         )
     )
+
+
+def lof_scores(
+    points: DataFrame,
+    k: int = 10,
+    res: int | None = None,
+    radius: float = 1000.0,
+    id_col: str = "node_idx",
+    fp_scale: int = 10**15,
+    exact_fallback: bool = True,
+    backend=None,
+) -> DataFrame:
+    """Local Outlier Factor (Breunig et al. 2000) over the corpus →
+    (id, n_nn, kdist, lof) — the density-RATIO outlier score: a point
+    is anomalous not because its neighbors are far (that's every
+    point in a sparse region) but because its local density is low
+    RELATIVE to its neighbors' — lof ≈ 1 inside any uniform region at
+    any density, ≫ 1 for true outliers. The corpus-scale anomaly
+    detector that composes entirely on the engine's distributed kNN.
+
+    Dissimilarity is the EXACT int64 squared-euclidean d² in
+    fixed-point coordinate units (a monotone transform of distance —
+    density ratios differ from textbook-euclid LOF but rank the same
+    neighbors, and integers keep every later sum exact; the declared
+    semantics). Pipeline: one ``knn_join_bulk`` self-query (k+1, self
+    row dropped, (d², id) tie-break re-rank), then pure joins over the
+    bounded k·n pair table: k-distance = the kth d²; reach(p,o) =
+    max(d²(p,o), kdist(o)); lrd snaps to the ``fp_scale`` lattice as
+    floor(n_nn·scale / Σreach) — exact integer long division, so the
+    Σ of neighbor lrds is an order-free int64 sum and lof =
+    Σlrd_o / (n_nn · lrd_p) is one float division (ROUND 6).
+
+    Degenerate duplicates (Σreach = 0: a point whose whole
+    neighborhood is coincident) yield NULL lof — the textbook
+    dist-to-kNN > 0 precondition surfaced instead of hidden. Scale
+    shape: the kNN candidate pass is the cell equi-join (no
+    crossJoin); everything after is 3 shuffles keyed by point id over
+    k·n rows."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    # the bulk-kNN cover stage's Arrow schema types query_id as string;
+    # ids travel as strings internally and are cast back on output
+    id_type = points.schema[id_col].dataType
+    q = points.select(F.col(id_col).cast("string").alias("query_id"), "lat", "lon")
+    nn = knn_join_bulk(
+        points,
+        q,
+        k=k + 1,
+        res=res,
+        radius_m=radius,
+        metric="sqeuclid",
+        id_col=id_col,
+        exact_fallback=exact_fallback,
+        backend=backend,
+    )
+    # joins are keyed by the STRING form (the cover stage's query_id
+    # type); ordering/tie-breaks use the ORIGINAL typed id so they match
+    # the kNN kernel's (d2, id) contract and the SQL oracle
+    pairs = nn.filter(F.col(id_col).cast("string") != F.col("query_id")).select(
+        F.col("query_id").alias("_p"),
+        F.col(id_col).cast("string").alias("_o"),
+        F.col(id_col).alias("_oid"),
+        F.col("dist_m").alias("_d2"),
+    )
+    w = Window.partitionBy("_p").orderBy(F.col("_d2").asc(), F.col("_oid").asc())
+    pairs = pairs.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k)
+    kd = pairs.groupBy("_p").agg(F.max("_d2").alias("kdist"))
+    sc = int(fp_scale)
+    reach = (
+        pairs.join(kd.select(F.col("_p").alias("_o"), F.col("kdist").alias("_okd")), "_o")
+        .select("_p", "_o", F.greatest(F.col("_d2"), F.col("_okd")).alias("_r"))
+    )
+    lrd = (
+        reach.groupBy("_p")
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum("_r").alias("_sr"))
+        .select(
+            "_p", "_n",
+            F.when(
+                F.col("_sr") > 0,
+                F.expr(f"(_n * {sc}L) div _sr"),
+            ).alias("_lrd"),
+        )
+    )
+    num = (
+        pairs.join(lrd.select(F.col("_p").alias("_o"), F.col("_lrd").alias("_olrd")), "_o")
+        .groupBy("_p")
+        .agg(F.sum("_olrd").alias("_slrd"), F.count("_olrd").alias("_nvalid"))
+    )
+    out = (
+        num.join(lrd, "_p")
+        .join(kd, "_p")
+        .select(
+            F.col("_p").cast(id_type).alias(id_col),
+            F.col("_n").cast("long").alias("n_nn"),
+            F.col("kdist").cast("long").alias("kdist"),
+            F.round(
+                F.when(
+                    (F.col("_lrd") > 0) & (F.col("_nvalid") == F.col("_n")),
+                    F.col("_slrd").cast("double")
+                    / (F.col("_n").cast("double") * F.col("_lrd").cast("double")),
+                ),
+                6,
+            ).alias("lof"),
+        )
+    )
+    return out

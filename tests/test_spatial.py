@@ -715,3 +715,57 @@ def test_pip_join_direct_fill_rules_pentagram_and_evenodd_parity(spark, tables, 
             ).collect()
         }
         assert got == want, rule
+
+
+def test_lof_matches_model_and_flags_outlier(spark):
+    """LOF matches an exact Python reimplementation (same (d2,id)
+    tie-break, same fixed-point lrd lattice) point-for-point; the
+    planted outlier scores far above the uniform cluster; duplicates
+    yield NULL; k validated."""
+    import numpy as np
+
+    from osmflat_rs_spark.operators.knn import lof_scores
+
+    rng = np.random.default_rng(271)
+    pts = [(i, int(rng.integers(0, 2000)), int(rng.integers(0, 2000))) for i in range(120)]
+    pts.append((120, 50_000, 50_000))  # far outlier
+    # coincident triple -> degenerate neighborhoods at k=2
+    pts += [(121, 90_000, 90_000), (122, 90_000, 90_000), (123, 90_000, 90_000)]
+    df = spark.createDataFrame(pts, "node_idx long, lat long, lon long")
+    K, SC = 6, 10**15
+    got = {r["node_idx"]: r.asDict() for r in
+           lof_scores(df, k=K, res=6, radius=200_000.0, fp_scale=SC).collect()}
+
+    # exact model
+    ids = [p[0] for p in pts]
+    coord = {p[0]: (p[1], p[2]) for p in pts}
+    def d2(a, b):
+        (x1, y1), (x2, y2) = coord[a], coord[b]
+        return (x1 - x2) ** 2 + (y1 - y2) ** 2
+    nn, kdist = {}, {}
+    for p in ids:
+        cand = sorted(((d2(p, o), o) for o in ids if o != p))[:K]
+        nn[p] = [o for _, o in cand]
+        kdist[p] = cand[-1][0]
+    lrd = {}
+    for p in ids:
+        sr = sum(max(d2(p, o), kdist[o]) for o in nn[p])
+        lrd[p] = (len(nn[p]) * SC) // sr if sr > 0 else None
+    want = {}
+    for p in ids:
+        if lrd[p] and all(lrd[o] is not None for o in nn[p]):
+            want[p] = round(sum(lrd[o] for o in nn[p]) / (len(nn[p]) * lrd[p]), 6)
+        else:
+            want[p] = None
+    assert set(got) == set(ids)
+    for p in ids:
+        assert got[p]["kdist"] == kdist[p], p
+        assert got[p]["lof"] == want[p], (p, got[p]["lof"], want[p])
+    # outlier dominates the uniform cluster
+    cluster_lofs = [got[p]["lof"] for p in range(120) if got[p]["lof"] is not None]
+    assert got[120]["lof"] > 3 * max(cluster_lofs)
+    assert np.median(cluster_lofs) < 1.5
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lof_scores(df, k=0)
