@@ -1445,6 +1445,30 @@ def q_lof_events(spark, sf_dir):
     return out.select(F.col("node_idx").alias("event_id"), "n_nn", "kdist", "lof")
 
 
+def q_als_events(spark, sf_dir):
+    """ALS item half-step over (user_id, event_type, cents): the
+    ratings table collapses to exact int64 sufficient statistics in
+    one groupBy, then a single vectorized Arrow batch solves the k x k
+    ridge systems. Rows-only gate (a dense LAPACK solve is not
+    SQL-restatable — same status as kriging); NumPy-model parity is
+    pinned in tests/test_training_ops.py."""
+    _prep(spark)
+    from osmflat_rs_spark.operators.factorize import als_item_step
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    out = als_item_step(ev, "user_id", "event_type", "cents", k=4, reg=0.05)
+    return out.select(
+        F.col("item").alias("event_type"), "n_ratings",
+        F.col("factors").getItem(0).alias("f0"),
+        F.col("factors").getItem(1).alias("f1"),
+        F.col("factors").getItem(2).alias("f2"),
+        F.col("factors").getItem(3).alias("f3"),
+    )
+
+
 def q_huff_events(spark, sf_dir):
     """Huff probabilistic market share at 10 facilities (the kNN gate's
     lattice, attractiveness 1..5): regularized inverse-square weight
@@ -5089,6 +5113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_events": q_w1_events,
         "harmonic_graph": q_harmonic_graph,
         "lof_events": q_lof_events,
+        "als_events": q_als_events,
         "simplify_events": q_simplify_events,
         "dbscan_events": q_dbscan_events,
         "knn_events": q_knn_events,

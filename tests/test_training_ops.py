@@ -2760,3 +2760,71 @@ def test_pmi_collocations_matches_counter_model(spark):
 
     with _pytest.raises(ValueError):
         pmi_collocations(df, "doc_id", "text", min_count=0)
+
+
+def test_als_item_step_matches_numpy_model_and_fits(spark):
+    """Per-item factors match a direct NumPy normal-equation solve on
+    the same exact integer sufficient statistics; on ratings generated
+    FROM the seeded user factors, the solved item factors reconstruct
+    the ratings far better than null factors; params validated."""
+    import hashlib
+
+    import numpy as np
+
+    from osmflat_rs_spark.operators.factorize import als_item_step
+
+    K, FP, REG, SEED = 4, 10**6, 0.05, "als"
+    span = 2 * FP + 1
+
+    def ufac(uid):
+        return np.array(
+            [
+                (int(hashlib.md5(f"{SEED}:{d}:{uid}".encode()).hexdigest()[:15], 16) % span) - FP
+                for d in range(K)
+            ],
+            dtype=np.int64,
+        )
+
+    rng = np.random.default_rng(277)
+    # planted item factors; ratings = round(u . v) + small noise
+    items = {i: rng.integers(-3, 4, K) for i in range(12)}
+    rows = []
+    for u in range(300):
+        a = ufac(u).astype(float) / FP
+        for i in rng.choice(12, size=6, replace=False):
+            r = int(round(float(a @ items[i]) * 100)) + int(rng.integers(-3, 4))
+            rows.append((u, int(i), r))
+    df = spark.createDataFrame(rows, "user long, item long, r long")
+    got = {r["item"]: r.asDict() for r in
+           als_item_step(df, "user", "item", "r", k=K, reg=REG, seed=SEED, fp=FP).collect()}
+
+    # model: same exact int sufficient stats -> same solve
+    for i in range(12):
+        ratings_i = [(u, r) for u, it, r in rows if it == i]
+        A_int = np.zeros((K, K), dtype=object)
+        b_int = np.zeros(K, dtype=object)
+        for u, r in ratings_i:
+            a = ufac(u)
+            A_int += np.outer(a, a)
+            b_int += a * r
+        n = len(ratings_i)
+        A = A_int.astype(np.float64) / FP**2 + REG * n * np.eye(K)
+        b = b_int.astype(np.float64) / FP
+        x = np.linalg.solve(A, b)
+        gi = got[i]
+        assert gi["n_ratings"] == n
+        assert list(np.round(x, 6)) == gi["factors"], i
+    # fit quality: solved factors beat the zero predictor by a lot
+    sse = sse0 = 0.0
+    for u, i, r in rows:
+        a = ufac(u).astype(float) / FP
+        pred = float(a @ np.array(got[i]["factors"]))
+        sse += (r - pred) ** 2
+        sse0 += float(r) ** 2
+    assert sse < 0.05 * sse0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        als_item_step(df, "user", "item", "r", k=0)
+    with _pytest.raises(ValueError):
+        als_item_step(df, "user", "item", "r", fp=1)
