@@ -1469,6 +1469,27 @@ def q_als_events(spark, sf_dir):
     )
 
 
+def q_gopher_docs(spark, sf_dir):
+    """Gopher-style quality rule bundle over documents (min_words 40
+    so both verdicts occur on the synthetic corpus) — every ratio rule
+    is an exact cross-multiplied integer comparison, pure codegen."""
+    from osmflat_rs_spark.operators.textops import gopher_rules
+
+    return gopher_rules(_t(spark, sf_dir, "documents"), "doc_id", "text", min_words=40)
+
+
+def q_markov_attr_events(spark, sf_dir):
+    """Markov removal-effect attribution over event journeys
+    (conversion = 'purchase'): exact int64 transition counts from one
+    window + one groupBy, absorbing-chain solve on the driver over the
+    channel-bounded matrix. Rows-only gate (dense solve); model parity
+    pinned in tests/test_sessions.py."""
+    from osmflat_rs_spark.operators.sessions import markov_attribution
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+    return markov_attribution(ev, "user_id", "event_id", "event_type", "purchase")
+
+
 def q_huff_events(spark, sf_dir):
     """Huff probabilistic market share at 10 facilities (the kNN gate's
     lattice, attractiveness 1..5): regularized inverse-square weight
@@ -5114,6 +5135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_graph": q_harmonic_graph,
         "lof_events": q_lof_events,
         "als_events": q_als_events,
+        "gopher_docs": q_gopher_docs,
+        "markov_attr_events": q_markov_attr_events,
         "simplify_events": q_simplify_events,
         "dbscan_events": q_dbscan_events,
         "knn_events": q_knn_events,
@@ -6572,6 +6595,33 @@ def oracle_sql() -> dict[str, str]:
                               THEN CAST(nm.slrd AS DOUBLE) / (CAST(ld.n AS DOUBLE) * CAST(ld.lrd AS DOUBLE))
                          END, 6) AS lof
             FROM ld JOIN kd ON ld.pa = kd.pa JOIN nm ON ld.pa = nm.pa
+        """,
+        # gopher: same tokenizer, same cross-multiplied integer rules
+        "gopher_docs": f"""
+            WITH b AS (SELECT doc_id, text, {_ws_split_sql()} AS ws FROM documents),
+            m AS (SELECT doc_id,
+                         CAST(len(ws) AS BIGINT) AS n,
+                         CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) AS tl,
+                         CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS nh,
+                         CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS ne,
+                         CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS na,
+                         list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)),
+                                     s -> s <> '') AS lines
+                  FROM b),
+            r AS (SELECT doc_id, n, tl, nh, ne, na,
+                         CAST(len(lines) AS BIGINT) AS nl,
+                         CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS nd
+                  FROM m)
+            SELECT doc_id, n AS n_words,
+                   n >= 40 AND n <= 100000 AS ok_word_count,
+                   tl >= 3 * n AND tl <= 10 * n AS ok_avg_word_len,
+                   (nh + ne) * 10 <= n * 1 AS ok_symbol_ratio,
+                   na * 5 >= n * 4 AS ok_alpha_words,
+                   nd * 10 <= nl * 3 AS ok_dup_lines,
+                   (n >= 40 AND n <= 100000) AND (tl >= 3 * n AND tl <= 10 * n)
+                   AND ((nh + ne) * 10 <= n * 1) AND (na * 5 >= n * 4)
+                   AND (nd * 10 <= nl * 3) AS pass_all
+            FROM r
         """,
         # Gini: same exact Lorenz sums
         "gini_events": """

@@ -1600,3 +1600,88 @@ def pmi_collocations(
         F.col("c_y").cast("long").alias("c_y"),
         F.round(pmi, 6).alias("pmi"),
     )
+
+
+def gopher_rules(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_avg_len: int = 3,
+    max_avg_len: int = 10,
+    max_symbol_ratio=(1, 10),
+    min_alpha_ratio=(4, 5),
+    max_dup_line_ratio=(3, 10),
+) -> DataFrame:
+    """Gopher-style repetition/quality rule bundle (Rae et al. 2021,
+    §A1.1 — the filter recipe most LLM corpus pipelines start from) →
+    one row per doc: (id, n_words, and one boolean per rule +
+    ``pass_all``). Rules, each INDEPENDENTLY reported so downstream
+    can ablate them instead of inheriting one opaque verdict:
+
+    - ``ok_word_count``: min_words ≤ n_words ≤ max_words;
+    - ``ok_avg_word_len``: mean word length in [min_avg_len,
+      max_avg_len] — decided in EXACT integer cross-multiplication
+      (Σlen ≥ min·n and Σlen ≤ max·n), no float mean;
+    - ``ok_symbol_ratio``: #hash-or-ellipsis symbols ≤ (num/den)·n_words;
+    - ``ok_alpha_words``: words containing ≥1 alphabetic char ≥
+      (num/den)·n_words;
+    - ``ok_dup_lines``: duplicate (post-trim, non-empty) lines ≤
+      (num/den)·#lines — the repetition rule, computed in-row from
+      the line split (distinct vs total line counts).
+
+    All ratio rules are exact rational comparisons (cross-multiplied
+    int64) — no division anywhere, so every engine agrees on every
+    boundary document. Pure codegen expressions over one row; zero
+    shuffles, zero Python. Empty/whitespace-only docs fail
+    ``ok_word_count`` (n_words counts the [''] sentinel's empty
+    string as one word of length 0 — the words_expr contract — so
+    min_words ≥ 1 rejects them through the length rule as intended).
+    """
+    for nm, (a, b) in (
+        ("max_symbol_ratio", max_symbol_ratio),
+        ("min_alpha_ratio", min_alpha_ratio),
+        ("max_dup_line_ratio", max_dup_line_ratio),
+    ):
+        if not (0 <= a <= b and b > 0):
+            raise ValueError(f"{nm} must be a rational in [0, 1], got {(a, b)}")
+    w = words_expr(F.col(text_col))
+    n = F.size(w).cast("long")
+    total_len = F.aggregate(w, F.lit(0).cast("long"), lambda s, x: s + F.length(x))
+    # '...' removal drops 3 chars per hit, '#' one: count hits, not chars
+    n_hash = (
+        F.length(F.col(text_col)) - F.length(F.regexp_replace(F.col(text_col), "#", ""))
+    ).cast("long")
+    n_ell = (
+        (
+            F.length(F.col(text_col))
+            - F.length(F.regexp_replace(F.col(text_col), r"\.\.\.", ""))
+        )
+        / 3
+    ).cast("long")
+    n_alpha_words = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))).cast("long")
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    n_lines = F.size(lines).cast("long")
+    n_dup_lines = (n_lines - F.size(F.array_distinct(lines)).cast("long")).cast("long")
+    sa, sb = int(max_symbol_ratio[0]), int(max_symbol_ratio[1])
+    aa, ab = int(min_alpha_ratio[0]), int(min_alpha_ratio[1])
+    da, db = int(max_dup_line_ratio[0]), int(max_dup_line_ratio[1])
+    ok_wc = (n >= min_words) & (n <= max_words)
+    ok_awl = (total_len >= F.lit(min_avg_len) * n) & (total_len <= F.lit(max_avg_len) * n)
+    ok_sym = (n_hash + n_ell) * F.lit(sb) <= n * F.lit(sa)
+    ok_alpha = n_alpha_words * F.lit(ab) >= n * F.lit(aa)
+    ok_dup = n_dup_lines * F.lit(db) <= n_lines * F.lit(da)
+    return docs.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        ok_wc.alias("ok_word_count"),
+        ok_awl.alias("ok_avg_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_dup.alias("ok_dup_lines"),
+        (ok_wc & ok_awl & ok_sym & ok_alpha & ok_dup).alias("pass_all"),
+    )

@@ -2828,3 +2828,47 @@ def test_als_item_step_matches_numpy_model_and_fits(spark):
         als_item_step(df, "user", "item", "r", k=0)
     with _pytest.raises(ValueError):
         als_item_step(df, "user", "item", "r", fp=1)
+
+
+def test_gopher_rules_hand_cases(spark):
+    """Each rule fires on its constructed violator and nowhere else;
+    boundary docs land exactly per the cross-multiplied contract;
+    bad rationals raise."""
+    from osmflat_rs_spark.operators.textops import gopher_rules
+
+    good = "the quick brown fox jumps over the lazy dog " * 8  # 72 words
+    short = "too short"
+    longwords = " ".join(["extraordinarily"] * 60)              # avg len 15
+    symbols = " ".join(["ok#"] * 30 + ["fine..."] * 30)         # 60 syms / 60 words
+    nonalpha = " ".join(["123"] * 40 + ["word"] * 20)           # 20/60 alpha
+    duplines = "\n".join(["unique line %d" % i for i in range(4)] + ["same line"] * 8)
+    duplines = (duplines + " ") * 1
+    # pad duplines to pass the word-count rule
+    duplines = duplines + "\n" + " ".join(["filler"] * 50)
+    docs = [
+        (0, good), (1, short), (2, longwords), (3, symbols), (4, nonalpha), (5, duplines),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in
+           gopher_rules(df, "doc_id", "text", min_words=50).collect()}
+    assert got[0]["pass_all"]
+    assert not got[1]["ok_word_count"] and not got[1]["pass_all"]
+    assert not got[2]["ok_avg_word_len"] and got[2]["ok_word_count"]
+    assert not got[3]["ok_symbol_ratio"]
+    assert not got[4]["ok_alpha_words"]
+    assert not got[5]["ok_dup_lines"]
+    # every violator fails exactly its own rule set
+    for i in (2, 3, 4, 5):
+        assert not got[i]["pass_all"]
+        assert got[i]["ok_word_count"], i
+    # boundary: symbol ratio exactly 1/10 passes (<=), one more fails
+    b1 = " ".join(["w"] * 9 + ["#"])          # 1 sym / 10 words
+    b2 = " ".join(["w"] * 8 + ["#", "#"])     # 2 syms / 10 words
+    bdf = spark.createDataFrame([(0, b1), (1, b2)], "doc_id long, text string")
+    bg = {r["doc_id"]: r["ok_symbol_ratio"] for r in
+          gopher_rules(bdf, "doc_id", "text", min_words=1).collect()}
+    assert bg[0] is True and bg[1] is False
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        gopher_rules(df, "doc_id", "text", max_symbol_ratio=(2, 0))
