@@ -1490,6 +1490,44 @@ def q_markov_attr_events(spark, sf_dir):
     return markov_attribution(ev, "user_id", "event_id", "event_type", "purchase")
 
 
+def q_rolling_ols_events(spark, sf_dir):
+    """Rolling 11-row OLS slope of cents per event_type over the dense
+    event order — constant offset moments, exact windowed int sums,
+    two divisions per row."""
+    from pyspark.sql import Window
+
+    from osmflat_rs_spark.operators.trend import rolling_ols
+
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type", "event_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .withColumn("idx", (F.row_number().over(w) - 1).cast("long"))
+        .select("event_type", "idx", "cents")
+    )
+    return rolling_ols(ev, "event_type", "idx", "cents", half_window=5)
+
+
+def q_trending_events(spark, sf_dir):
+    """Time-decayed trending top-10 user buckets per event_type — the
+    bucketed all-integer exponential decay (quarter-half-life table, no
+    pow), skew-capped two-phase top-n."""
+    from osmflat_rs_spark.operators.sketch import trending_topk
+
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("event_id").alias("_mx"))
+    j = ev.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        F.pmod(F.col("user_id"), F.lit(50)).alias("bucket"),
+        (F.col("_mx") - F.col("event_id")).alias("age"),
+    )
+    return trending_topk(j, "event_type", "bucket", "age", n=10, half_life=2000)
+
+
 def q_huff_events(spark, sf_dir):
     """Huff probabilistic market share at 10 facilities (the kNN gate's
     lattice, attractiveness 1..5): regularized inverse-square weight
@@ -5137,6 +5175,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "als_events": q_als_events,
         "gopher_docs": q_gopher_docs,
         "markov_attr_events": q_markov_attr_events,
+        "rolling_ols_events": q_rolling_ols_events,
+        "trending_events": q_trending_events,
         "simplify_events": q_simplify_events,
         "dbscan_events": q_dbscan_events,
         "knn_events": q_knn_events,
@@ -6622,6 +6662,48 @@ def oracle_sql() -> dict[str, str]:
                    AND ((nh + ne) * 10 <= n * 1) AND (na * 5 >= n * 4)
                    AND (nd * 10 <= nl * 3) AS pass_all
             FROM r
+        """,
+        # rolling OLS: same window sums, same constant moments
+        "rolling_ols_events": """
+            WITH e AS (SELECT event_type AS k,
+                              CAST(row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1
+                                   AS BIGINT) AS o,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+                       FROM events WHERE value IS NOT NULL),
+            t AS (SELECT k, o, x,
+                         COUNT(*) OVER w AS n,
+                         SUM(x) OVER w AS sy,
+                         SUM(o * x) OVER w AS soy
+                  FROM e
+                  WINDOW w AS (PARTITION BY k ORDER BY o ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING))
+            SELECT k AS event_type, o AS idx, x AS cents,
+                   CAST(n AS BIGINT) AS n_win,
+                   round(CASE WHEN n = 11 THEN CAST(soy - o * sy AS DOUBLE) / 110.0 END, 6) AS slope,
+                   round(CASE WHEN n = 11 THEN CAST(sy AS DOUBLE) / 11.0 END, 6) AS icept
+            FROM t
+        """,
+        # trending: same integer decay lattice, same top-n tie-break
+        "trending_events": """
+            WITH mx AS (SELECT MAX(event_id) AS m FROM events),
+            b AS (SELECT event_type AS g, ((user_id % 50) + 50) % 50 AS bucket,
+                         (m - event_id) AS age
+                  FROM events CROSS JOIN mx),
+            w AS (SELECT g, bucket,
+                         CASE WHEN ((age * 4) // 2000) // 4 > 42 THEN 0
+                              ELSE (1000000000000 *
+                                    ([1048576, 881743, 741455, 623487])[CAST((age * 4) // 2000 AS BIGINT) % 4 + 1])
+                                   // (CAST(1 AS BIGINT) << (CAST(((age * 4) // 2000) // 4 AS INT) + 20))
+                         END AS wfp
+                  FROM b),
+            gsum AS (SELECT g, bucket, COUNT(*) AS n_events, SUM(wfp) AS sfp
+                     FROM w GROUP BY 1, 2),
+            r AS (SELECT g, bucket, n_events, sfp,
+                         row_number() OVER (PARTITION BY g ORDER BY sfp DESC, bucket ASC) AS rk
+                  FROM gsum)
+            SELECT g AS event_type, bucket, CAST(n_events AS BIGINT) AS n_events,
+                   round(CAST(sfp AS DOUBLE) / 1000000000000.0, 6) AS score,
+                   CAST(rk AS BIGINT) AS rk
+            FROM r WHERE rk <= 10
         """,
         # Gini: same exact Lorenz sums
         "gini_events": """

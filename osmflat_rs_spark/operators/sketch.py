@@ -553,3 +553,79 @@ def bloom_pruned_join(
         != 0,
     )
     return big.filter(member).join(F.broadcast(small), key_col, how)
+
+
+#: quarter-step decay table: floor(2^(-j/4) * 2^20) for j = 0..3 — the
+#: fractional part of the bucketed exponential decay, shared verbatim
+#: with the SQL oracle (all-integer, so no cross-engine pow()).
+DECAY_T4 = (1048576, 881743, 741455, 623487)
+_DECAY_SHIFT = 20
+
+
+def trending_topk(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    age_col: str,
+    n: int = 10,
+    half_life: int = 1000,
+    fp: int = 10**12,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Time-decayed top-n items per group → (group, item, n_events,
+    score, rk) — "what's trending", the recency-weighted heavy-hitters
+    readout (a plain count window forgets nothing; exponential decay
+    demotes yesterday's spike automatically): each event contributes
+    weight 2^(−age/half_life), summed per (group, item), top-n by
+    decayed score.
+
+    Determinism without pow(): the decay is BUCKETED exponential on
+    quarter-half-life steps — k = (age·4) div half_life, weight_fp =
+    (fp · DECAY_T4[k mod 4]) >> (k div 4) — pure int64 arithmetic
+    (max relative step error 2^(1/4)−1 ≈ 19%, the declared
+    granularity; raise the table size if you need finer). Every
+    per-event weight is an exact integer, so the per-item sums are
+    order-free and the SQL oracle reproduces them bit-for-bit.
+    Ages must be ≥ 0 (negative ages raise via the domain guard);
+    shifts past 62 decay to exactly 0.
+
+    Scale shape: ONE map-side-combined groupBy to (group, item), then
+    the skew-capped two-phase top-n (sampling._two_phase_top_n — a
+    hot group is bounded at salt_buckets·n rows on the final
+    reducer). score = score_fp / fp, ROUND 6."""
+    from .sampling import _two_phase_top_n
+
+    if n < 1 or half_life < 1 or fp < 10**6:
+        raise ValueError(f"bad n/half_life/fp: {n}, {half_life}, {fp}")
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(item_col).alias("_it"),
+        F.col(age_col).cast("long").alias("_age"),
+    ).filter(F.col("_age").isNotNull())
+    # all-integer weight: (fp · T[k mod 4]) div 2^(k div 4 + 20) — the
+    # +20 normalizes the table's 2^20 fixed point so w ≤ fp. NULL on
+    # negative age (guarded below); exactly 0 once the shift passes 62.
+    w = F.expr(
+        f"CASE WHEN _age < 0 THEN NULL "
+        f"WHEN ((_age * 4) div {int(half_life)}L) div 4 > 42 THEN 0L "
+        f"ELSE ({int(fp)}L * element_at(array({', '.join(str(t) for t in DECAY_T4)}), "
+        f"CAST(pmod((_age * 4) div {int(half_life)}L, 4) AS INT) + 1)) "
+        f"div shiftleft(1L, CAST(((_age * 4) div {int(half_life)}L) div 4 AS INT) + {_DECAY_SHIFT}) END"
+    )
+    base = base.withColumn("_w", w)
+    neg = base.filter(F.col("_w").isNull()).limit(1).count()
+    if neg:
+        raise ValueError("trending_topk requires non-negative ages")
+    g = base.groupBy("_g", "_it").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("_w").alias("_sfp")
+    )
+    top = _two_phase_top_n(
+        g, ["_g"], [F.col("_sfp").desc(), F.col("_it").asc()], n, salt_buckets
+    )
+    return top.select(
+        F.col("_g").alias(group_col),
+        F.col("_it").alias(item_col),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(F.col("_sfp").cast("double") / F.lit(float(fp)), 6).alias("score"),
+        F.col("rk").cast("long").alias("rk"),
+    )

@@ -695,3 +695,60 @@ def decompose(
         F.round("_seas", 6).alias("seasonal"),
         F.round(F.col("_x").cast("double") - F.col("_trend") - F.col("_seas"), 6).alias("resid"),
     )
+
+
+def rolling_ols(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    half_window: int = 10,
+):
+    """Rolling OLS slope per key → one row per input row: (key, order,
+    x, n_win, slope, icept) — the local trend estimate under each
+    point ("is this metric accelerating RIGHT NOW"), the windowed twin
+    of :func:`grouped_ols`: over the centered 2h+1-row window, fit
+    value against the ROW OFFSET −h..h (so the slope is per-step and
+    the window's offset sums Σt, Σt² are CONSTANTS — only Σy and Σty
+    vary, halving the frame state).
+
+    Exactness: Σy and Σty ride the window as exact int64 (Σty via the
+    offset identity Σ(oᵢ−ō)yᵢ computed as Σoᵢyᵢ − ō·Σyᵢ with ō = the
+    center order, both terms exact ints — ``order_col`` must be a
+    DENSE per-key integer index so offsets are row offsets); slope =
+    Σty_centered / Σt² is ONE division by the constant integer
+    Σt² = h(h+1)(2h+1)/3, intercept = Σy/(2h+1) another (ROUND 6).
+    Edge rows with incomplete windows emit NULL slope. ONE window
+    sort per key; O(1) frame state; pure codegen."""
+    from pyspark.sql import Window
+
+    if half_window < 1:
+        raise ValueError(f"half_window must be >= 1, got {half_window}")
+    h = int(half_window)
+    full = 2 * h + 1
+    st2 = h * (h + 1) * (2 * h + 1) // 3  # sum of t^2 for t in -h..h
+    base = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(order_col).cast("long").alias("_o"),
+        F.col(value_col).cast("long").alias("_x"),
+    ).filter(F.col("_x").isNotNull())
+    w = Window.partitionBy("_k").orderBy("_o").rowsBetween(-h, h)
+    sy = F.sum("_x").over(w)
+    soy = F.sum(F.col("_o") * F.col("_x")).over(w)
+    cnt = F.count(F.lit(1)).over(w)
+    # centered cross-sum: Σ(o - o_center)·y = Σo·y − o_center·Σy, exact
+    sty = soy - F.col("_o") * sy
+    out = base.select(
+        "_k", "_o", "_x",
+        cnt.alias("_n"),
+        F.when(cnt == full, sty.cast("double") / F.lit(float(st2))).alias("_slope"),
+        F.when(cnt == full, sy.cast("double") / F.lit(float(full))).alias("_icept"),
+    )
+    return out.select(
+        F.col("_k").alias(key_col),
+        F.col("_o").alias(order_col),
+        F.col("_x").alias(value_col),
+        F.col("_n").cast("long").alias("n_win"),
+        F.round("_slope", 6).alias("slope"),
+        F.round("_icept", 6).alias("icept"),
+    )

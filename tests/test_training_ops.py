@@ -2872,3 +2872,50 @@ def test_gopher_rules_hand_cases(spark):
 
     with _pytest.raises(ValueError):
         gopher_rules(df, "doc_id", "text", max_symbol_ratio=(2, 0))
+
+
+def test_trending_topk_matches_decay_model(spark):
+    """Scores match the exact integer bucketed-decay model; a recent
+    burst outranks a larger stale count; ranks are deterministic with
+    the (score desc, item asc) tie-break; negative ages raise."""
+    import pytest as _pytest
+
+    from osmflat_rs_spark.operators.sketch import DECAY_T4, trending_topk
+
+    FP, HL = 10**12, 100
+
+    def w_model(age):
+        k = (age * 4) // HL
+        if k // 4 > 42:
+            return 0
+        return (FP * DECAY_T4[k % 4]) >> (k // 4 + 20)
+
+    rows = []
+    rows += [("g", "stale", 500) for _ in range(100)]   # 100 events, 5 half-lives old
+    rows += [("g", "burst", 10) for _ in range(20)]     # 20 events, fresh
+    rows += [("g", "mid", 100) for _ in range(30)]
+    rows += [("h", "only", 0) for _ in range(3)]
+    df = spark.createDataFrame(rows, "g string, item string, age long")
+    got = {(r["g"], r["item"]): r.asDict() for r in
+           trending_topk(df, "g", "item", "age", n=10, half_life=HL, fp=FP).collect()}
+    from collections import Counter
+
+    scores = Counter()
+    counts = Counter()
+    for g, it, age in rows:
+        scores[(g, it)] += w_model(age)
+        counts[(g, it)] += 1
+    for key, sfp in scores.items():
+        assert got[key]["score"] == round(sfp / FP, 6), key
+        assert got[key]["n_events"] == counts[key]
+    # fresh burst beats the big stale pile: 20*2^-0.4... vs 100*2^-20
+    assert got[("g", "burst")]["rk"] == 1
+    assert got[("g", "stale")]["rk"] == 3
+    assert got[("h", "only")]["rk"] == 1
+    with _pytest.raises(ValueError):
+        trending_topk(
+            spark.createDataFrame([("g", "x", -1)], "g string, item string, age long"),
+            "g", "item", "age",
+        )
+    with _pytest.raises(ValueError):
+        trending_topk(df, "g", "item", "age", n=0)

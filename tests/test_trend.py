@@ -369,3 +369,37 @@ def test_decompose_recovers_planted_seasonality(spark):
 
     with _pytest.raises(ValueError):
         decompose(df, "k", "t", "x", period=1)
+
+
+def test_rolling_ols_matches_polyfit(spark):
+    """Windowed slope/intercept equal numpy polyfit over each full
+    window; a pure linear series returns its exact slope everywhere;
+    edges are NULL; params validated."""
+    import numpy as np
+
+    from osmflat_rs_spark.operators.trend import rolling_ols
+
+    rng = np.random.default_rng(283)
+    xs = [int(5 * t + rng.integers(-10, 11)) for t in range(80)]
+    lin = [int(7 * t + 3) for t in range(40)]
+    rows = [("a", t, v) for t, v in enumerate(xs)] + [("b", t, v) for t, v in enumerate(lin)]
+    df = spark.createDataFrame(rows, "k string, t long, x long")
+    H = 5
+    got = {(r["k"], r["t"]): r.asDict() for r in rolling_ols(df, "k", "t", "x", half_window=H).collect()}
+    for t in range(80):
+        r = got[("a", t)]
+        if t < H or t >= 80 - H:
+            assert r["slope"] is None and r["icept"] is None
+        else:
+            win = np.array(xs[t - H : t + H + 1], dtype=float)
+            off = np.arange(-H, H + 1, dtype=float)
+            sl, ic = np.polyfit(off, win, 1)
+            assert abs(r["slope"] - sl) < 1e-6
+            assert abs(r["icept"] - ic) < 1e-6
+    for t in range(H, 40 - H):
+        assert got[("b", t)]["slope"] == 7.0
+        assert got[("b", t)]["icept"] == float(7 * t + 3)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rolling_ols(df, "k", "t", "x", half_window=0)
