@@ -1528,6 +1528,20 @@ def q_trending_events(spark, sf_dir):
     return trending_topk(j, "event_type", "bucket", "age", n=10, half_life=2000)
 
 
+def q_eb_events(spark, sf_dir):
+    """Empirical-Bayes beta-binomial shrinkage of per-user conversion
+    (cents > 500) — lattice-exact rate moments, moment-matched prior
+    broadcast back, posterior-mean re-ranking."""
+    from osmflat_rs_spark.operators.sessions import eb_shrinkage
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        (F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long") > 500).cast("long").alias("conv"),
+        F.lit(1).cast("long").alias("one"),
+    )
+    return eb_shrinkage(ev, "user_id", "conv", "one")
+
+
 def q_huff_events(spark, sf_dir):
     """Huff probabilistic market share at 10 facilities (the kNN gate's
     lattice, attractiveness 1..5): regularized inverse-square weight
@@ -5177,6 +5191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_attr_events": q_markov_attr_events,
         "rolling_ols_events": q_rolling_ols_events,
         "trending_events": q_trending_events,
+        "eb_events": q_eb_events,
         "simplify_events": q_simplify_events,
         "dbscan_events": q_dbscan_events,
         "knn_events": q_knn_events,
@@ -6704,6 +6719,41 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sfp AS DOUBLE) / 1000000000000.0, 6) AS score,
                    CAST(rk AS BIGINT) AS rk
             FROM r WHERE rk <= 10
+        """,
+        # EB shrinkage: same lattice moments, same pinned closed form
+        "eb_events": """
+            WITH b AS (SELECT user_id,
+                              CASE WHEN CAST(floor(value * 100 + 0.5) AS BIGINT) > 500
+                                   THEN 1 ELSE 0 END AS conv
+                       FROM events),
+            it AS (SELECT user_id AS i, SUM(conv) AS k, COUNT(*) AS n
+                   FROM b GROUP BY 1),
+            pf AS (SELECT i, k, n, (k * 1000000000000) // n AS p FROM it WHERE n > 0),
+            mom AS (SELECT COUNT(*) AS m, SUM(p) AS s1,
+                           SUM(CAST(p AS HUGEINT) * CAST(p AS HUGEINT)) AS s2
+                    FROM pf),
+            pr AS (SELECT m,
+                          CASE WHEN m > 0
+                               THEN CAST(s1 AS DOUBLE) / m / 1000000000000.0 END AS mu,
+                          CASE WHEN m > 1
+                               THEN (CAST(s2 AS DOUBLE) / 1000000000000.0 / 1000000000000.0
+                                     - m * (CAST(s1 AS DOUBLE) / m / 1000000000000.0)
+                                         * (CAST(s1 AS DOUBLE) / m / 1000000000000.0))
+                                    / (CAST(m AS DOUBLE) - 1) END AS v
+                   FROM mom),
+            nu AS (SELECT mu, v,
+                          CASE WHEN v > 0 THEN mu * (1 - mu) / v - 1 END AS nu
+                   FROM pr),
+            ab AS (SELECT CASE WHEN nu > 0 THEN mu * nu END AS alpha,
+                          CASE WHEN nu > 0 THEN (1 - mu) * nu END AS beta
+                   FROM nu)
+            SELECT i AS user_id, CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+                   round(CAST(k AS DOUBLE) / n, 6) AS rate_raw,
+                   round(CASE WHEN alpha IS NOT NULL
+                              THEN (CAST(k AS DOUBLE) + alpha) / (CAST(n AS DOUBLE) + alpha + beta)
+                              ELSE CAST(k AS DOUBLE) / n END, 6) AS rate_eb,
+                   round(alpha, 6) AS alpha, round(beta, 6) AS beta
+            FROM pf CROSS JOIN ab
         """,
         # Gini: same exact Lorenz sums
         "gini_events": """

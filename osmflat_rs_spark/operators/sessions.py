@@ -1428,3 +1428,86 @@ def markov_attribution(
     return df.sparkSession.createDataFrame(
         out_rows, "channel string, n_touches long, removal_effect double, attribution double"
     )
+
+
+def eb_shrinkage(
+    df: DataFrame,
+    item_col: str,
+    success_col: str,
+    trials_col: str,
+    min_trials: int = 1,
+    fp_scale: int = 10**12,
+):
+    """Empirical-Bayes beta-binomial shrinkage of per-item rates →
+    one row per item: (item, k, n, rate_raw, rate_eb, alpha, beta) —
+    the fix for "a 1/1 item outranks a 950/1000 item": fit a Beta
+    prior to the CORPUS of per-item rates by moment matching
+    (Robbins 1956; the baseball-batting classic), then score each
+    item by its posterior mean (k+α)/(n+α+β). Tiny-n items shrink
+    hard toward the corpus rate; well-measured items barely move —
+    exactly the ranking behavior a marketplace/CTR system needs.
+
+    Moment matching: with μ, v the mean and variance of the per-item
+    raw rates (items with n ≥ min_trials), ν = μ(1−μ)/v − 1,
+    α = μν, β = (1−μ)ν. Degenerate corpora (v ≤ 0 or v ≥ μ(1−μ):
+    fewer than 2 eligible items, all-identical or over-dispersed
+    rates) emit NULL α/β and rate_eb = rate_raw — no silent fake
+    prior.
+
+    Determinism: each raw rate snaps to the ``fp_scale`` lattice by
+    EXACT integer division ((k·scale) div n), so Σp and Σp² (the
+    latter in DECIMAL(38)) are order-free exact integers; μ, v, α, β
+    are a few pinned-order doubles from those ints, broadcast back as
+    a 1-row table; each item's posterior mean is one more division.
+    ROUND 6. One groupBy to the item table, one tiny reduce, one
+    broadcast join — nothing row-scale after the first aggregate."""
+    if min_trials < 1:
+        raise ValueError(f"min_trials must be >= 1, got {min_trials}")
+    sc = int(fp_scale)
+    items = df.groupBy(F.col(item_col).alias("_i")).agg(
+        F.sum(F.col(success_col).cast("long")).alias("k"),
+        F.sum(F.col(trials_col).cast("long")).alias("n"),
+    ).filter(F.col("n") > 0)
+    pfp = F.expr(f"(k * {sc}L) div n")
+    el = items.filter(F.col("n") >= min_trials).select(
+        pfp.alias("_p"),
+    )
+    mom = el.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("_p").alias("s1"),
+        F.sum(F.col("_p").cast("decimal(38,0)") * F.col("_p").cast("decimal(38,0)")).alias("s2"),
+    )
+    md = F.col("m").cast("double")
+    # every division guarded: ANSI mode throws DIVIDE_BY_ZERO even for
+    # doubles, so the degenerate m<=1 corpus must never reach one
+    mu = F.when(
+        F.col("m") > 0, F.col("s1").cast("double") / md / F.lit(float(sc))
+    )
+    # sample variance of the lattice rates
+    v = F.when(
+        F.col("m") > 1,
+        (F.col("s2").cast("double") / F.lit(float(sc)) / F.lit(float(sc)) - md * mu * mu)
+        / (md - 1),
+    )
+    nu = F.when(v > 0, mu * (1 - mu) / v - 1)
+    ok = nu > 0
+    prior = mom.select(
+        F.when(ok, mu * nu).alias("_alpha"),
+        F.when(ok, (1 - mu) * nu).alias("_beta"),
+    )
+    j = items.crossJoin(F.broadcast(prior))
+    raw = F.col("k").cast("double") / F.col("n").cast("double")
+    eb = F.when(
+        F.col("_alpha").isNotNull(),
+        (F.col("k").cast("double") + F.col("_alpha"))
+        / (F.col("n").cast("double") + F.col("_alpha") + F.col("_beta")),
+    ).otherwise(raw)
+    return j.select(
+        F.col("_i").alias(item_col),
+        F.col("k").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        F.round(raw, 6).alias("rate_raw"),
+        F.round(eb, 6).alias("rate_eb"),
+        F.round(F.col("_alpha"), 6).alias("alpha"),
+        F.round(F.col("_beta"), 6).alias("beta"),
+    )

@@ -960,3 +960,51 @@ def test_markov_attribution_matches_model_and_credits_driver(spark):
     # no conversions -> empty
     df0 = spark.createDataFrame([(1, 0, "A"), (1, 1, "B")], "u long, t long, c string")
     assert markov_attribution(df0, "u", "t", "c", "buy").count() == 0
+
+
+def test_eb_shrinkage_matches_model_and_reranks(spark):
+    """alpha/beta and posterior means match the exact lattice moment
+    model; the 1/1 item drops below the 950/1000 item after
+    shrinkage; a degenerate corpus passes rates through unshrunk."""
+    import numpy as np
+
+    from osmflat_rs_spark.operators.sessions import eb_shrinkage
+
+    rng = np.random.default_rng(293)
+    rows = []
+    true_p = 0.3
+    for i in range(60):
+        n = int(rng.integers(20, 400))
+        kk = int(rng.binomial(n, true_p + rng.uniform(-0.1, 0.1)))
+        rows.append((i, kk, n))
+    rows.append((100, 1, 1))       # lucky tiny item
+    rows.append((101, 950, 1000))  # well-measured strong item
+    df = spark.createDataFrame(rows, "item long, k long, n long")
+    got = {r["item"]: r.asDict() for r in eb_shrinkage(df, "item", "k", "n").collect()}
+
+    SC = 10**12
+    ps = [(kk * SC) // n for _, kk, n in rows]
+    m = len(ps)
+    s1, s2 = sum(ps), sum(p * p for p in ps)
+    mu = s1 / m / SC
+    v = (s2 / SC / SC - m * mu * mu) / (m - 1)
+    nu = mu * (1 - mu) / v - 1
+    alpha, beta = mu * nu, (1 - mu) * nu
+    for i, kk, n in rows:
+        r = got[i]
+        assert r["alpha"] == round(alpha, 6) and r["beta"] == round(beta, 6)
+        assert r["rate_raw"] == round(kk / n, 6)
+        assert r["rate_eb"] == round((kk + alpha) / (n + alpha + beta), 6)
+    # re-ranking: raw puts 1/1 on top; EB puts 950/1000 on top
+    assert got[100]["rate_raw"] > got[101]["rate_raw"]
+    assert got[101]["rate_eb"] > got[100]["rate_eb"]
+    # tiny item shrinks most of the way to the corpus mean
+    assert abs(got[100]["rate_eb"] - mu) < 0.25
+    # degenerate: single item -> passthrough, NULL prior
+    one = spark.createDataFrame([(0, 3, 10)], "item long, k long, n long")
+    r = eb_shrinkage(one, "item", "k", "n").collect()[0]
+    assert r["alpha"] is None and r["rate_eb"] == r["rate_raw"] == 0.3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        eb_shrinkage(df, "item", "k", "n", min_trials=0)
