@@ -1542,6 +1542,53 @@ def q_eb_events(spark, sf_dir):
     return eb_shrinkage(ev, "user_id", "conv", "one")
 
 
+def q_skipgram_docs(spark, sf_dir):
+    """Skip-gram pair extraction with deterministic md5 frequency
+    subsampling over documents (window 2, t = 1/1000) — the word2vec
+    training-pair generator, subsample-then-window semantics."""
+    from osmflat_rs_spark.operators.textops import skipgram_pairs
+
+    return skipgram_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        window=2, subsample_t=(1, 1000), min_count=2,
+    )
+
+
+def q_ece_events(spark, sf_dir):
+    """Reliability bins + exact-integer ECE over a synthetic
+    fixed-point score (pseudo-uniform from cents) against the
+    cents>500 label — Σ|n_pos·sc − Σscore| keeps the across-bin sum
+    order-free."""
+    from osmflat_rs_spark.operators.textops import calibration_ece
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.pmod(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long") * 7919,
+               F.lit(1000001)).alias("score_fp"),
+        (F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long") > 500).cast("int").alias("y"),
+    )
+    return calibration_ece(ev, "score_fp", "y", n_bins=10)
+
+
+def q_classreport_events(spark, sf_dir):
+    """Per-class precision/recall/F1: actual = event_type, predicted =
+    a deterministic 70%-accurate corruption (user decile gate, type
+    rotation) — full-outer per-class rollups, NULL-not-zero contracts."""
+    from osmflat_rs_spark.plans.indexing import classification_report
+
+    types = F.array(
+        F.lit("click"), F.lit("error"), F.lit("purchase"), F.lit("signup"), F.lit("view")
+    )
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("actual"),
+        F.when(
+            F.pmod(F.col("user_id"), F.lit(10)) < 7, F.col("event_type")
+        ).otherwise(
+            F.element_at(types, F.pmod(F.col("event_id"), F.lit(5)).cast("int") + 1)
+        ).alias("pred"),
+    )
+    return classification_report(ev, "actual", "pred")
+
+
 def q_huff_events(spark, sf_dir):
     """Huff probabilistic market share at 10 facilities (the kNN gate's
     lattice, attractiveness 1..5): regularized inverse-square weight
@@ -5192,6 +5239,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_ols_events": q_rolling_ols_events,
         "trending_events": q_trending_events,
         "eb_events": q_eb_events,
+        "skipgram_docs": q_skipgram_docs,
+        "ece_events": q_ece_events,
+        "classreport_events": q_classreport_events,
         "simplify_events": q_simplify_events,
         "dbscan_events": q_dbscan_events,
         "knn_events": q_knn_events,
@@ -6754,6 +6804,80 @@ def oracle_sql() -> dict[str, str]:
                               ELSE CAST(k AS DOUBLE) / n END, 6) AS rate_eb,
                    round(alpha, 6) AS alpha, round(beta, 6) AS beta
             FROM pf CROSS JOIN ab
+        """,
+        # skipgram: same tokenizer, same md5 keep rule, same windows
+        "skipgram_docs": f"""
+            WITH base AS (SELECT doc_id, {_ws_split_sql()} AS ws FROM documents),
+            toks AS (SELECT doc_id, u.i AS p, ws[u.i + 1] AS w
+                     FROM base, UNNEST(range(0, len(ws))) AS u(i)),
+            vocab AS (SELECT w, COUNT(*) AS f FROM toks GROUP BY 1),
+            nt AS (SELECT COUNT(*) AS N FROM toks),
+            kept AS (SELECT doc_id, p, w,
+                            row_number() OVER (PARTITION BY doc_id ORDER BY p) AS r
+                     FROM toks JOIN vocab USING (w) CROSS JOIN nt
+                     WHERE f >= 2
+                       AND (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                || CAST(p AS VARCHAR) || ':' || w), 1, 15) AS BIGINT) + 1)
+                           / 1152921504606846976.0
+                           < LEAST(1.0, sqrt(1.0 * N / (1000.0 * f)))),
+            pr AS (SELECT a.w AS center, b.w AS context
+                   FROM kept a JOIN kept b
+                     ON a.doc_id = b.doc_id AND a.r <> b.r AND abs(a.r - b.r) <= 2)
+            SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM pr GROUP BY 1, 2
+        """,
+        # ECE: same integer bins, same exact-integer gap sum
+        "ece_events": """
+            WITH b AS (SELECT ((CAST(floor(value * 100 + 0.5) AS BIGINT) * 7919 % 1000001)
+                               + 1000001) % 1000001 AS s,
+                              CASE WHEN CAST(floor(value * 100 + 0.5) AS BIGINT) > 500
+                                   THEN 1 ELSE 0 END AS y
+                       FROM events WHERE value IS NOT NULL),
+            g AS (SELECT LEAST(9, (s * 10) // 1000000) AS bin,
+                         COUNT(*) AS n, SUM(y) AS n_pos, SUM(s) AS ss
+                  FROM b GROUP BY 1),
+            t AS (SELECT SUM(n) AS ntot, SUM(abs(n_pos * 1000000 - ss)) AS enum FROM g)
+            SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+                   CAST(n_pos AS BIGINT) AS n_pos,
+                   round(CAST(ss AS DOUBLE) / n / 1000000.0, 6) AS conf,
+                   round(CAST(n_pos AS DOUBLE) / n, 6) AS acc,
+                   round(abs(CAST(n_pos AS DOUBLE) / n
+                             - CAST(ss AS DOUBLE) / n / 1000000.0), 6) AS gap,
+                   round(CAST(enum AS DOUBLE) / (ntot * 1000000), 6) AS ece
+            FROM g CROSS JOIN t
+        """,
+        # classification report: same confusion rollups, NULL contracts
+        "classreport_events": """
+            WITH b AS (SELECT event_type AS a,
+                              CASE WHEN ((user_id % 10) + 10) % 10 < 7 THEN event_type
+                                   ELSE (['click','error','purchase','signup','view'])
+                                        [CAST(((event_id % 5) + 5) % 5 AS INT) + 1]
+                              END AS p
+                       FROM events),
+            pairs AS (SELECT a, p, COUNT(*) AS n FROM b GROUP BY 1, 2),
+            ba AS (SELECT a AS cls, SUM(n) AS support,
+                          SUM(CASE WHEN p = a THEN n ELSE 0 END) AS tp_a
+                   FROM pairs GROUP BY 1),
+            bp AS (SELECT p AS cls, SUM(n) AS n_pred,
+                          SUM(CASE WHEN p = a THEN n ELSE 0 END) AS tp_p
+                   FROM pairs GROUP BY 1),
+            j AS (SELECT COALESCE(ba.cls, bp.cls) AS cls,
+                         COALESCE(tp_a, tp_p, 0) AS tp,
+                         COALESCE(n_pred, 0) - COALESCE(tp_p, 0) AS fp,
+                         COALESCE(support, 0) - COALESCE(tp_a, 0) AS fn,
+                         COALESCE(support, 0) AS support,
+                         COALESCE(n_pred, 0) AS n_pred
+                  FROM ba FULL OUTER JOIN bp ON ba.cls = bp.cls),
+            m AS (SELECT *,
+                         CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / n_pred END AS prec,
+                         CASE WHEN support > 0 THEN CAST(tp AS DOUBLE) / support END AS rec
+                  FROM j)
+            SELECT cls, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+                   CAST(fn AS BIGINT) AS fn, CAST(support AS BIGINT) AS support,
+                   round(prec, 6) AS precision, round(rec, 6) AS recall,
+                   round(CASE WHEN prec IS NOT NULL AND rec IS NOT NULL AND prec + rec > 0
+                              THEN 2 * prec * rec / (prec + rec) END, 6) AS f1
+            FROM m
         """,
         # Gini: same exact Lorenz sums
         "gini_events": """

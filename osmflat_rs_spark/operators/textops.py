@@ -1685,3 +1685,152 @@ def gopher_rules(
         ok_dup.alias("ok_dup_lines"),
         (ok_wc & ok_awl & ok_sym & ok_alpha & ok_dup).alias("pass_all"),
     )
+
+
+def skipgram_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 2,
+    subsample_t=(1, 1000),
+    min_count: int = 1,
+) -> DataFrame:
+    """Skip-gram (center, context) pair extraction with frequency
+    subsampling (Mikolov et al. 2013) → (center, context, n_pairs) —
+    the word2vec/SGNS training-pair generator as a corpus operator:
+    for every kept token, every neighbor within ±``window`` POSITIONS
+    OF THE KEPT SEQUENCE yields a pair (the standard implementation
+    subsamples FIRST, then windows over the survivors — distant words
+    become neighbors when the stopwords between them drop, which is
+    exactly the effect Mikolov describes).
+
+    Subsampling is DETERMINISTIC where word2vec's is random: token w
+    (corpus frequency f, corpus size N) is kept at position p iff
+    md5_60(doc:p:w) / 2^60 < min(1, sqrt(t·N/f)) — the standard keep
+    probability √(t/freq) with t = ``subsample_t`` (num/den), decided
+    by the engine-wide hash so re-runs and the SQL oracle agree
+    exactly. Tokens with corpus count < ``min_count`` drop outright.
+
+    Scale shape: ONE explode with position feeds the count reduce;
+    the keep decision joins the (word → count) table back (broadcast
+    — Heaps-bounded vocab); windows re-assemble per doc via a bounded
+    self-join on (doc, kept-rank distance ≤ window) — pairs amplify
+    ×2·window which IS the output, not overhead."""
+    if window < 1 or min_count < 1:
+        raise ValueError(f"bad window/min_count: {window}, {min_count}")
+    t_num, t_den = int(subsample_t[0]), int(subsample_t[1])
+    if not (0 < t_num <= t_den):
+        raise ValueError(f"subsample_t must be a rational in (0, 1], got {subsample_t}")
+    from pyspark.sql import Window as W
+
+    from osmflat_rs_spark.operators.dedup import md5_int60
+
+    toks = docs.select(
+        F.col(id_col).alias("_d"),
+        F.posexplode(words_expr(F.col(text_col))).alias("_p", "_w"),
+    )
+    vocab = toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_f"))
+    n_tot = toks.agg(F.count(F.lit(1)).alias("_N"))
+    kept = (
+        toks.join(F.broadcast(vocab), "_w")
+        .crossJoin(F.broadcast(n_tot))
+        .filter(F.col("_f") >= min_count)
+    )
+    u = (
+        md5_int60(
+            F.concat(
+                F.col("_d").cast("string"), F.lit(":"), F.col("_p").cast("string"),
+                F.lit(":"), F.col("_w"),
+            )
+        )
+        + F.lit(1)
+    ).cast("double") / F.lit(2.0**60)
+    keep_p = F.least(
+        F.lit(1.0),
+        F.sqrt(
+            F.lit(float(t_num)) * F.col("_N").cast("double")
+            / (F.lit(float(t_den)) * F.col("_f").cast("double"))
+        ),
+    )
+    kept = kept.filter(u < keep_p).select(
+        "_d", "_p", "_w",
+        F.row_number().over(W.partitionBy("_d").orderBy("_p")).alias("_r"),
+    )
+    a = kept.select("_d", F.col("_r").alias("_ra"), F.col("_w").alias("center"))
+    b = kept.select("_d", F.col("_r").alias("_rb"), F.col("_w").alias("context"))
+    pairs = a.join(b, "_d").filter(
+        (F.col("_rb") != F.col("_ra"))
+        & (F.abs(F.col("_rb") - F.col("_ra")) <= window)
+    )
+    return pairs.groupBy("center", "context").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+
+
+def calibration_ece(
+    df: DataFrame,
+    score_fp_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    fp_scale: int = 10**6,
+):
+    """Reliability curve + Expected Calibration Error → one row per
+    non-empty bin: (bin, n, n_pos, conf, acc, gap, ece) — "when the
+    model says 0.9, is it right 90% of the time", the standard
+    trustworthiness readout for any scoring model the pipeline
+    produces (quality scores, langid confidences, dedup
+    similarities). ECE = Σ (n_b/N)·|acc_b − conf_b| over equal-width
+    score bins, repeated on every row (single-row metrics don't
+    hash-join well; the per-bin rows are the useful part anyway).
+
+    Scores arrive as FIXED-POINT integers (``score_fp_col`` ∈
+    [0, fp_scale] — the engine's score producers already emit
+    lattices); binning is exact integer arithmetic (bin = min(n_bins−1,
+    score·n_bins div scale)), per-bin sums exact, and conf/acc/gap/ece
+    are pinned-order double divisions at the end (ROUND 6). One
+    map-side-combined groupBy of ≤ n_bins rows; a 1-row total
+    broadcast. Out-of-range scores raise (a silent clamp would hide a
+    producer bug)."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    sc = int(fp_scale)
+    base = df.select(
+        F.col(score_fp_col).cast("long").alias("_s"),
+        (F.col(label_col).cast("int") > 0).cast("long").alias("_y"),
+    ).filter(F.col("_s").isNotNull())
+    bad = base.filter((F.col("_s") < 0) | (F.col("_s") > sc)).limit(1).count()
+    if bad:
+        raise ValueError(f"scores must lie in [0, {sc}]")
+    bin_ = F.least(F.lit(n_bins - 1).cast("long"), F.expr(f"(_s * {n_bins}) div {sc}L"))
+    g = base.groupBy(bin_.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_y").alias("n_pos"),
+        F.sum("_s").alias("_ss"),
+    )
+    # ECE in exact integers: (n_b/N)·|acc−conf| = |n_pos_b·sc − ss_b| /
+    # (N·sc) — the weighted gap's numerator is an exact int64, so the
+    # across-bin Σ is order-free and ece is ONE division (a float Σ of
+    # per-bin weights would be summation-order-dependent cross-engine)
+    tot = g.agg(
+        F.sum("n").alias("_N"),
+        F.sum(F.abs(F.col("n_pos") * F.lit(sc) - F.col("_ss"))).alias("_enum"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    conf = F.col("_ss").cast("double") / F.col("n").cast("double") / F.lit(float(sc))
+    acc = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    gap = F.abs(acc - conf)
+    ece = F.col("_enum").cast("double") / (F.col("_N") * F.lit(sc)).cast("double")
+    withgap = j.select(
+        "bin", "n", "n_pos",
+        conf.alias("_conf"), acc.alias("_acc"), gap.alias("_gap"),
+        ece.alias("_ece"),
+    )
+    return withgap.select(
+        F.col("bin").cast("long").alias("bin"),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.round("_conf", 6).alias("conf"),
+        F.round("_acc", 6).alias("acc"),
+        F.round("_gap", 6).alias("gap"),
+        F.round("_ece", 6).alias("ece"),
+    )

@@ -1275,3 +1275,62 @@ def wasserstein1_two_sample(
             F.col("w1_num").cast("double") / (F.col("n_a") * F.col("n_b")).cast("double")
         ).alias("w1"),
     )
+
+
+def classification_report(
+    df,
+    actual_col: str,
+    predicted_col: str,
+):
+    """Per-class precision/recall/F1 over a (actual, predicted) pair
+    table → one row per class seen in EITHER role: (class, tp, fp,
+    fn, support, precision, recall, f1) — the model-eval staple for
+    any classifier the pipeline runs (langid vs gold, quality-filter
+    vs human labels, dedup cluster vs truth).
+
+    Shape: ONE map-side-combined groupBy on the (actual, predicted)
+    pair — the confusion matrix reduced to ≤ |classes|² rows — then
+    two tiny per-class rollups full-outer-joined (a class can appear
+    only as a prediction → support 0, precision defined, recall
+    NULL). All counts exact int64; precision/recall are single
+    divisions, f1 = 2pr/(p+r) guarded NULL when undefined rather
+    than 0 (an undefined recall is information, not a zero). ROUND 6.
+    """
+    pairs = df.select(
+        F.col(actual_col).alias("_a"), F.col(predicted_col).alias("_p")
+    ).groupBy("_a", "_p").agg(F.count(F.lit(1)).alias("n"))
+    by_actual = pairs.groupBy(F.col("_a").alias("cls")).agg(
+        F.sum("n").alias("support"),
+        F.sum(F.when(F.col("_p") == F.col("_a"), F.col("n")).otherwise(F.lit(0))).alias("tp_a"),
+    )
+    by_pred = pairs.groupBy(F.col("_p").alias("cls")).agg(
+        F.sum("n").alias("n_pred"),
+        F.sum(F.when(F.col("_p") == F.col("_a"), F.col("n")).otherwise(F.lit(0))).alias("tp_p"),
+    )
+    j = by_actual.join(by_pred, "cls", "full").select(
+        "cls",
+        F.coalesce(F.col("tp_a"), F.col("tp_p"), F.lit(0)).alias("tp"),
+        (F.coalesce(F.col("n_pred"), F.lit(0)) - F.coalesce(F.col("tp_p"), F.lit(0))).alias("fp"),
+        (F.coalesce(F.col("support"), F.lit(0)) - F.coalesce(F.col("tp_a"), F.lit(0))).alias("fn"),
+        F.coalesce(F.col("support"), F.lit(0)).alias("support"),
+        F.coalesce(F.col("n_pred"), F.lit(0)).alias("n_pred"),
+    )
+    prec = F.when(
+        F.col("n_pred") > 0, F.col("tp").cast("double") / F.col("n_pred").cast("double")
+    )
+    rec = F.when(
+        F.col("support") > 0, F.col("tp").cast("double") / F.col("support").cast("double")
+    )
+    f1 = F.when(
+        prec.isNotNull() & rec.isNotNull() & ((prec + rec) > 0), 2 * prec * rec / (prec + rec)
+    )
+    return j.select(
+        F.col("cls"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.col("support").cast("long").alias("support"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )

@@ -1028,3 +1028,33 @@ def test_wasserstein1_matches_scipy_free_model(spark):
         "v",
     ).collect()[0]
     assert r4["w1"] == 0.0
+
+
+def test_classification_report_matches_sklearn_style_model(spark):
+    """tp/fp/fn/precision/recall/f1 match the hand confusion matrix;
+    a predicted-only class has support 0 and NULL recall; an
+    actual-only class has NULL precision."""
+    rows = (
+        [("a", "a")] * 10 + [("a", "b")] * 3
+        + [("b", "b")] * 7 + [("b", "a")] * 2
+        + [("c", "a")] * 4          # c never predicted
+        + [("b", "d")] * 1          # d never actual
+    )
+    from osmflat_rs_spark.plans.indexing import classification_report
+
+    df = spark.createDataFrame(rows, "actual string, pred string")
+    got = {r["cls"]: r.asDict() for r in classification_report(df, "actual", "pred").collect()}
+    assert set(got) == {"a", "b", "c", "d"}
+    a = got["a"]
+    assert (a["tp"], a["fp"], a["fn"], a["support"]) == (10, 6, 3, 13)
+    assert a["precision"] == round(10 / 16, 6) and a["recall"] == round(10 / 13, 6)
+    p, r = 10 / 16, 10 / 13
+    assert a["f1"] == round(2 * p * r / (p + r), 6)
+    b = got["b"]
+    assert (b["tp"], b["fp"], b["fn"], b["support"]) == (7, 3, 3, 10)
+    c = got["c"]
+    assert (c["tp"], c["fp"], c["fn"], c["support"]) == (0, 0, 4, 4)
+    assert c["precision"] is None and c["recall"] == 0.0 and c["f1"] is None
+    d = got["d"]
+    assert (d["tp"], d["fp"], d["fn"], d["support"]) == (0, 1, 0, 0)
+    assert d["precision"] == 0.0 and d["recall"] is None and d["f1"] is None

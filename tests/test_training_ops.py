@@ -2919,3 +2919,98 @@ def test_trending_topk_matches_decay_model(spark):
         )
     with _pytest.raises(ValueError):
         trending_topk(df, "g", "item", "age", n=0)
+
+
+def test_skipgram_pairs_matches_model(spark):
+    """Pair counts match the exact Python model (subsample-then-window
+    semantics, same md5 keep rule); without subsampling every ±window
+    adjacency appears; params validated."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from osmflat_rs_spark.operators.textops import skipgram_pairs
+
+    docs = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat on the log"),
+        (2, "cat and dog and cat"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # no subsampling: t = 1 keeps everything (keep_p >= 1 for all)
+    got = {(r["center"], r["context"]): r["n_pairs"] for r in
+           skipgram_pairs(df, "doc_id", "text", window=2, subsample_t=(1, 1)).collect()}
+    want = Counter()
+    for _, t in docs:
+        toks = t.split()
+        for i, w in enumerate(toks):
+            for j in range(max(0, i - 2), min(len(toks), i + 3)):
+                if j != i:
+                    want[(w, toks[j])] += 1
+    assert got == dict(want)
+    # aggressive subsampling: model the exact hash decision
+    T = (1, 1000)
+    got2 = {(r["center"], r["context"]): r["n_pairs"] for r in
+            skipgram_pairs(df, "doc_id", "text", window=2, subsample_t=T).collect()}
+    vocab = Counter(w for _, t in docs for w in t.split())
+    N = sum(vocab.values())
+    want2 = Counter()
+    for d, t in docs:
+        toks = t.split()
+        keptpos = []
+        for p, w in enumerate(toks):
+            h = int(hashlib.md5(f"{d}:{p}:{w}".encode()).hexdigest()[:15], 16)
+            u = (h + 1) / 2.0**60
+            keep_p = min(1.0, math.sqrt(T[0] * N / (T[1] * vocab[w])))
+            if u < keep_p:
+                keptpos.append(w)
+        for i, w in enumerate(keptpos):
+            for j in range(max(0, i - 2), min(len(keptpos), i + 3)):
+                if j != i:
+                    want2[(w, keptpos[j])] += 1
+    assert got2 == dict(want2)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        skipgram_pairs(df, "doc_id", "text", window=0)
+    with _pytest.raises(ValueError):
+        skipgram_pairs(df, "doc_id", "text", subsample_t=(2, 1))
+
+
+def test_calibration_ece_matches_model(spark):
+    """Bin stats and ECE match the exact integer model; a perfectly
+    calibrated score has ~0 gap; out-of-range scores raise."""
+    import numpy as np
+
+    from osmflat_rs_spark.operators.textops import calibration_ece
+
+    rng = np.random.default_rng(307)
+    SC = 10**6
+    rows = []
+    for _ in range(4000):
+        s = int(rng.integers(0, SC + 1))
+        y = int(rng.random() < s / SC)  # calibrated by construction
+        rows.append((s, y))
+    df = spark.createDataFrame(rows, "s long, y int")
+    out = {r["bin"]: r.asDict() for r in calibration_ece(df, "s", "y", n_bins=10).collect()}
+    bins = {}
+    for s, y in rows:
+        b = min(9, (s * 10) // SC)
+        n, pos, ss = bins.get(b, (0, 0, 0))
+        bins[b] = (n + 1, pos + y, ss + s)
+    N = sum(n for n, _, _ in bins.values())
+    enum = sum(abs(pos * SC - ss) for _, pos, ss in bins.values())
+    ece = enum / (N * SC)
+    for b, (n, pos, ss) in bins.items():
+        r = out[b]
+        assert r["n"] == n and r["n_pos"] == pos
+        assert r["conf"] == round(ss / n / SC, 6)
+        assert r["acc"] == round(pos / n, 6)
+        assert r["ece"] == round(ece, 6)
+    assert ece < 0.05  # calibrated data
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        calibration_ece(spark.createDataFrame([(SC + 1, 1)], "s long, y int"), "s", "y")
+    with _pytest.raises(ValueError):
+        calibration_ece(df, "s", "y", n_bins=1)
