@@ -1589,6 +1589,32 @@ def q_classreport_events(spark, sf_dir):
     return classification_report(ev, "actual", "pred")
 
 
+def q_target_enc_events(spark, sf_dir):
+    """Leave-one-out target encoding of event_type against the
+    cents>500 label — all-integer numerator scaled by N, one division
+    per row, global-prior smoothing (m=10)."""
+    from osmflat_rs_spark.plans.indexing import target_encode_loo
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        (F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long") > 500).cast("long").alias("y"),
+    )
+    return target_encode_loo(ev, "event_id", "event_type", "y", prior_strength=10)
+
+
+def q_woe_events(spark, sf_dir):
+    """Weight-of-evidence / information value of the user decile
+    against the cents>500 label — one ln per bin over the exact
+    cross-multiplied rational, IV as an order-free lattice sum."""
+    from osmflat_rs_spark.plans.indexing import woe_iv
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.pmod(F.col("user_id"), F.lit(10)).alias("decile"),
+        (F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long") > 500).cast("int").alias("y"),
+    )
+    return woe_iv(ev, "decile", "y")
+
+
 def q_huff_events(spark, sf_dir):
     """Huff probabilistic market share at 10 facilities (the kNN gate's
     lattice, attractiveness 1..5): regularized inverse-square weight
@@ -5242,6 +5268,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgram_docs": q_skipgram_docs,
         "ece_events": q_ece_events,
         "classreport_events": q_classreport_events,
+        "target_enc_events": q_target_enc_events,
+        "woe_events": q_woe_events,
         "simplify_events": q_simplify_events,
         "dbscan_events": q_dbscan_events,
         "knn_events": q_knn_events,
@@ -6878,6 +6906,46 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN prec IS NOT NULL AND rec IS NOT NULL AND prec + rec > 0
                               THEN 2 * prec * rec / (prec + rec) END, 6) AS f1
             FROM m
+        """,
+        # LOO target encoding: same N-scaled integer arithmetic
+        "target_enc_events": """
+            WITH b AS (SELECT event_id, event_type,
+                              CASE WHEN CAST(floor(value * 100 + 0.5) AS BIGINT) > 500
+                                   THEN 1 ELSE 0 END AS y
+                       FROM events WHERE value IS NOT NULL),
+            c AS (SELECT event_type, COUNT(*) AS nc, SUM(y) AS sc FROM b GROUP BY 1),
+            g AS (SELECT COUNT(*) AS N, SUM(y) AS sy FROM b)
+            SELECT b.event_id, b.event_type, CAST(b.y AS BIGINT) AS y,
+                   CAST(nc AS BIGINT) AS n_cat,
+                   round(CAST(N * (sc - b.y) + 10 * sy AS DOUBLE)
+                         / CAST(N * (nc - 1 + 10) AS DOUBLE), 6) AS enc
+            FROM b JOIN c USING (event_type) CROSS JOIN g
+        """,
+        # WOE/IV: same single-ln rational, same lattice IV sum
+        "woe_events": """
+            WITH b AS (SELECT ((user_id % 10) + 10) % 10 AS decile,
+                              CASE WHEN CAST(floor(value * 100 + 0.5) AS BIGINT) > 500
+                                   THEN 1 ELSE 0 END AS y
+                       FROM events),
+            g AS (SELECT decile, SUM(y) AS n_pos, SUM(1 - y) AS n_neg FROM b GROUP BY 1),
+            t AS (SELECT SUM(n_pos) AS P, SUM(n_neg) AS Ng FROM g),
+            w AS (SELECT decile, n_pos, n_neg, P, Ng,
+                         CASE WHEN n_pos > 0 AND n_neg > 0 AND P > 0 AND Ng > 0
+                              THEN ln((CAST(n_pos AS DOUBLE) * CAST(Ng AS DOUBLE))
+                                      / (CAST(n_neg AS DOUBLE) * CAST(P AS DOUBLE))) END AS woe,
+                         CASE WHEN n_pos > 0 AND n_neg > 0 AND P > 0 AND Ng > 0
+                              THEN CAST(n_pos AS DOUBLE) / CAST(P AS DOUBLE)
+                                   - CAST(n_neg AS DOUBLE) / CAST(Ng AS DOUBLE) END AS diff
+                  FROM g CROSS JOIN t),
+            f AS (SELECT decile, n_pos, n_neg, woe,
+                         COALESCE(CAST(floor(diff * woe * 1000000000000.0 + 0.5) AS BIGINT), 0) AS tfp
+                  FROM w),
+            iv AS (SELECT SUM(tfp) AS ivfp FROM f)
+            SELECT decile, CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+                   round(woe, 6) AS woe,
+                   round(CAST(tfp AS DOUBLE) / 1000000000000.0, 6) AS iv_term,
+                   round(CAST(ivfp AS DOUBLE) / 1000000000000.0, 6) AS iv
+            FROM f CROSS JOIN iv
         """,
         # Gini: same exact Lorenz sums
         "gini_events": """

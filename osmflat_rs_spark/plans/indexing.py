@@ -1334,3 +1334,115 @@ def classification_report(
         F.round(rec, 6).alias("recall"),
         F.round(f1, 6).alias("f1"),
     )
+
+
+def target_encode_loo(
+    df,
+    key_col: str,
+    cat_col: str,
+    y_col: str,
+    prior_strength: int = 10,
+):
+    """Leave-one-out target encoding → one row per input row: (key,
+    cat, y, n_cat, enc) — the high-cardinality categorical feature
+    ("city", "domain", "sku") as a number, WITHOUT the leakage that
+    sinks naive mean encoding: each row's own label is subtracted
+    from its category's sum before the mean, and a global-prior
+    pseudo-count of ``prior_strength`` smooths rare categories,
+    enc_i = (Σ_cat y − y_i + m·ȳ) / (n_cat − 1 + m).
+
+    Exactness: category sums and the global sum are exact int64; the
+    global mean enters as the exact rational (m·Σy, N) so the
+    numerator stays ALL-INTEGER scaled by N — enc = (N·(Σ_c − y_i) +
+    m·Σy) / (N·(n_c − 1 + m)) is ONE integer-built division per row
+    (callers keep N·Σ < 2^63; ROUND 6). Singleton categories with
+    m = 0 would divide by zero — the prior floor keeps them defined
+    (they collapse to the global mean, the right answer). Scale
+    shape: one map-side reduce to the category table, broadcast back
+    onto the row stream; no window, no self-join."""
+    if prior_strength < 1:
+        raise ValueError(f"prior_strength must be >= 1, got {prior_strength}")
+    m = int(prior_strength)
+    base = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(cat_col).alias("_c"),
+        F.col(y_col).cast("long").alias("_y"),
+    ).filter(F.col("_y").isNotNull())
+    cats = base.groupBy("_c").agg(
+        F.count(F.lit(1)).alias("_nc"), F.sum("_y").alias("_sc")
+    )
+    glob = base.agg(F.count(F.lit(1)).alias("_N"), F.sum("_y").alias("_sy"))
+    j = base.join(F.broadcast(cats), "_c").crossJoin(F.broadcast(glob))
+    num = (F.col("_N") * (F.col("_sc") - F.col("_y")) + F.lit(m) * F.col("_sy")).cast(
+        "double"
+    )
+    den = (F.col("_N") * (F.col("_nc") - 1 + F.lit(m))).cast("double")
+    return j.select(
+        F.col("_k").alias(key_col),
+        F.col("_c").alias(cat_col),
+        F.col("_y").alias(y_col),
+        F.col("_nc").cast("long").alias("n_cat"),
+        F.round(num / den, 6).alias("enc"),
+    )
+
+
+def woe_iv(
+    df,
+    bin_col: str,
+    label_col: str,
+    fp_scale: int = 10**12,
+):
+    """Weight-of-evidence + information value per bin → one row per
+    bin: (bin, n_pos, n_neg, woe, iv_term, iv) — the credit-scoring /
+    feature-screening staple: woe_b = ln((pos_b/POS)/(neg_b/NEG))
+    says which way bin b votes, IV = Σ_b (pos_b/POS − neg_b/NEG)·woe_b
+    says whether the feature is worth keeping (<0.02 useless, >0.3
+    strong — Siddiqi 2006). Bins with a zero cell get NULL woe and
+    contribute 0 to IV (reported, not Laplace-hidden — smoothing
+    choices belong to the caller).
+
+    Determinism: counts are exact; woe is ONE ln over the exact
+    cross-multiplied rational (pos_b·NEG)/(neg_b·POS); each IV term
+    snaps to the ``fp_scale`` lattice BEFORE the across-bin sum, so
+    IV is an order-free int64 sum with one final division. One
+    map-side-combined groupBy of |bins| rows + a 1-row broadcast."""
+    base = df.select(
+        F.col(bin_col).alias("_b"),
+        (F.col(label_col).cast("int") > 0).cast("long").alias("_y"),
+    )
+    g = base.groupBy("_b").agg(
+        F.sum("_y").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("_y")).alias("n_neg"),
+    )
+    tot = g.agg(F.sum("n_pos").alias("_P"), F.sum("n_neg").alias("_Ng"))
+    j = g.crossJoin(F.broadcast(tot))
+    ok = (F.col("n_pos") > 0) & (F.col("n_neg") > 0) & (F.col("_P") > 0) & (F.col("_Ng") > 0)
+    woe = F.when(
+        ok,
+        F.log(
+            (F.col("n_pos").cast("double") * F.col("_Ng").cast("double"))
+            / (F.col("n_neg").cast("double") * F.col("_P").cast("double"))
+        ),
+    )
+    diff = F.when(
+        ok,
+        F.col("n_pos").cast("double") / F.col("_P").cast("double")
+        - F.col("n_neg").cast("double") / F.col("_Ng").cast("double"),
+    )
+    sc = int(fp_scale)
+    term_fp = F.coalesce(
+        F.floor(diff * woe * F.lit(float(sc)) + F.lit(0.5)).cast("long"), F.lit(0)
+    )
+    withterm = j.select(
+        "_b", "n_pos", "n_neg", woe.alias("_woe"), term_fp.alias("_tfp")
+    )
+    ivtot = withterm.agg(F.sum("_tfp").alias("_iv_fp"))
+    out = withterm.crossJoin(F.broadcast(ivtot))
+    return out.select(
+        F.col("_b").alias(bin_col),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.round("_woe", 6).alias("woe"),
+        F.round(F.col("_tfp").cast("double") / F.lit(float(sc)), 6).alias("iv_term"),
+        F.round(F.col("_iv_fp").cast("double") / F.lit(float(sc)), 6).alias("iv"),
+    )

@@ -1058,3 +1058,87 @@ def test_classification_report_matches_sklearn_style_model(spark):
     d = got["d"]
     assert (d["tp"], d["fp"], d["fn"], d["support"]) == (0, 1, 0, 0)
     assert d["precision"] == 0.0 and d["recall"] is None and d["f1"] is None
+
+
+def test_target_encode_loo_matches_model_and_blocks_leakage(spark):
+    """enc matches the exact integer-rational model; a category whose
+    only signal is the row's own label encodes to ~the global mean
+    (leakage blocked); rare categories shrink to the prior."""
+    import numpy as np
+
+    from osmflat_rs_spark.plans.indexing import target_encode_loo
+
+    rng = np.random.default_rng(311)
+    rows = []
+    rid = 0
+    for c, p in (("a", 0.8), ("b", 0.2), ("c", 0.5)):
+        for _ in range(200):
+            rows.append((rid, c, int(rng.random() < p))); rid += 1
+    rows.append((rid, "solo", 1)); rid += 1          # singleton category
+    df = spark.createDataFrame(rows, "k long, c string, y long")
+    M = 10
+    got = {r["k"]: r.asDict() for r in target_encode_loo(df, "k", "c", "y", prior_strength=M).collect()}
+    N = len(rows)
+    sy = sum(y for _, _, y in rows)
+    from collections import defaultdict
+
+    cs = defaultdict(lambda: [0, 0])
+    for _, c, y in rows:
+        cs[c][0] += 1; cs[c][1] += y
+    for k, c, y in rows:
+        nc, sc_ = cs[c]
+        want = (N * (sc_ - y) + M * sy) / (N * (nc - 1 + M))
+        assert got[k]["enc"] == round(want, 6), k
+        assert got[k]["n_cat"] == nc
+    # singleton: pure prior = global mean
+    solo = got[rid - 1]
+    assert abs(solo["enc"] - sy / N) < 1e-6  # ROUND 6 output
+    # leakage check: two rows in the same category with different labels
+    # get DIFFERENT encodings (own label excluded)
+    a1 = [got[k]["enc"] for k, c, y in rows if c == "a" and y == 1][0]
+    a0 = [got[k]["enc"] for k, c, y in rows if c == "a" and y == 0][0]
+    assert a0 > a1  # excluding a positive label lowers the mean seen by that row
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        target_encode_loo(df, "k", "c", "y", prior_strength=0)
+
+
+def test_woe_iv_matches_model(spark):
+    """woe/iv match the exact lattice model; a separating feature has
+    large IV; a useless feature has ~0; zero-cell bins go NULL and
+    contribute 0."""
+    import math
+
+    from osmflat_rs_spark.plans.indexing import woe_iv
+
+    rows = (
+        [("lo", 5), ("lo", 0)] * 0
+        + [("lo", 1)] * 10 + [("lo", 0)] * 90
+        + [("hi", 1)] * 80 + [("hi", 0)] * 20
+        + [("onlypos", 1)] * 5
+    )
+    df = spark.createDataFrame([(b, y) for b, y in rows], "b string, y int")
+    got = {r["b"]: r.asDict() for r in woe_iv(df, "b", "y").collect()}
+    P = sum(1 for _, y in rows if y)
+    Ng = sum(1 for _, y in rows if not y)
+    SC = 10**12
+    iv_fp = 0
+    for b, (pos, neg) in (("lo", (10, 90)), ("hi", (80, 20))):
+        woe = math.log((pos * Ng) / (neg * P))
+        diff = pos / P - neg / Ng
+        tfp = math.floor(diff * woe * SC + 0.5)
+        iv_fp += tfp
+        assert got[b]["woe"] == round(woe, 6)
+        assert got[b]["iv_term"] == round(tfp / SC, 6)
+    assert got["onlypos"]["woe"] is None and got["onlypos"]["iv_term"] == 0.0
+    for b in got:
+        assert got[b]["iv"] == round(iv_fp / SC, 6)
+    assert got["hi"]["iv"] > 0.3  # strongly separating feature
+    # useless feature: same rate in both bins -> IV ~ 0
+    flat = spark.createDataFrame(
+        [("x", i % 2) for i in range(200)] + [("z", i % 2) for i in range(200)],
+        "b string, y int",
+    )
+    r = woe_iv(flat, "b", "y").collect()[0]
+    assert abs(r["iv"]) < 1e-9
