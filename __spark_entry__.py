@@ -1615,6 +1615,40 @@ def q_woe_events(spark, sf_dir):
     return woe_iv(ev, "decile", "y")
 
 
+def q_gwr_events(spark, sf_dir):
+    """Geographically weighted regression of cents on a deterministic
+    covariate at 250 regression points over the synthetic lattice —
+    bisquare kernel weights snapped to a 1e9 lattice from exact int d²,
+    so the five weighted moments are order-free; the oracle is the
+    brute-force distance-filtered restatement (valid because
+    radius_join is exact)."""
+    _prep(spark)
+    from osmflat_rs_spark.operators.interpolate import gwr_local
+
+    pts = _synth_coords(_t(spark, sf_dir, "events")).select(
+        F.col("event_id").alias("node_idx"), "lat", "lon",
+        F.pmod(F.col("event_id"), F.lit(97)).alias("x"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("y"),
+    )
+    qs = _synth_coords(
+        _t(spark, sf_dir, "events").filter(F.pmod(F.col("event_id"), F.lit(40)) == 0)
+    ).select(F.col("event_id").cast("string").alias("query_id"), "lat", "lon")
+    return gwr_local(pts, qs, "x", "y", bandwidth=300_000.0)
+
+
+def q_jenks_events(spark, sf_dir):
+    """Jenks natural-breaks classification of cents into 5 classes —
+    exact 256-bin histogram reduce, Fisher DP over the bins on the
+    driver. Rows-only gate (a DP is not SQL-restatable); direct-DP
+    model parity in tests/test_interpolate_hotspot.py."""
+    from osmflat_rs_spark.operators.hotspot import jenks_breaks
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents")
+    )
+    return jenks_breaks(ev, "cents", n_classes=5)
+
+
 def q_huff_events(spark, sf_dir):
     """Huff probabilistic market share at 10 facilities (the kNN gate's
     lattice, attractiveness 1..5): regularized inverse-square weight
@@ -5270,6 +5304,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classreport_events": q_classreport_events,
         "target_enc_events": q_target_enc_events,
         "woe_events": q_woe_events,
+        "gwr_events": q_gwr_events,
+        "jenks_events": q_jenks_events,
         "simplify_events": q_simplify_events,
         "dbscan_events": q_dbscan_events,
         "knn_events": q_knn_events,
@@ -6946,6 +6982,47 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(tfp AS DOUBLE) / 1000000000000.0, 6) AS iv_term,
                    round(CAST(ivfp AS DOUBLE) / 1000000000000.0, 6) AS iv
             FROM f CROSS JOIN iv
+        """,
+        # GWR: brute-force pairs, same lattice weights, same closed form
+        "gwr_events": f"""
+            WITH p AS (SELECT event_id,
+                              CAST({LAT0} + (event_id * {A_LAT}) % {LATSPAN} AS BIGINT) AS lat,
+                              CAST({LON0} + (event_id * {A_LON}) % {LONSPAN} AS BIGINT) AS lon,
+                              ((event_id % 97) + 97) % 97 AS x,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+                       FROM events),
+            q AS (SELECT CAST(event_id AS VARCHAR) AS query_id, lat, lon
+                  FROM p WHERE event_id % 40 = 0),
+            pr AS (SELECT q.query_id, p.x, p.y,
+                          (p.lat - q.lat) * (p.lat - q.lat)
+                        + (p.lon - q.lon) * (p.lon - q.lon) AS d2
+                   FROM q JOIN p ON (p.lat - q.lat) * (p.lat - q.lat)
+                                  + (p.lon - q.lon) * (p.lon - q.lon)
+                                  <= 300000.0 * 300000.0),
+            w AS (SELECT query_id, x, y,
+                         CAST(floor((1 - CAST(d2 AS DOUBLE) / (300000.0 * 300000.0))
+                                    * (1 - CAST(d2 AS DOUBLE) / (300000.0 * 300000.0))
+                                    * 1000000000.0 + 0.5) AS BIGINT) AS wfp
+                  FROM pr),
+            g AS (SELECT query_id, COUNT(*) AS n_nbrs, SUM(wfp) AS sw,
+                         SUM(wfp * x) AS swx, SUM(wfp * y) AS swy,
+                         SUM(wfp * x * x) AS swxx, SUM(wfp * x * y) AS swxy
+                  FROM w GROUP BY 1),
+            f AS (SELECT query_id, n_nbrs, sw, swx, swy,
+                         CAST(sw AS DOUBLE) * CAST(swxy AS DOUBLE)
+                           - CAST(swx AS DOUBLE) * CAST(swy AS DOUBLE) AS num,
+                         CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)
+                           - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE) AS den
+                  FROM g),
+            o AS (SELECT query_id, n_nbrs, sw, swx, swy,
+                         CASE WHEN n_nbrs > 1 AND den > 0 THEN num / den END AS slope
+                  FROM f)
+            SELECT query_id, CAST(n_nbrs AS BIGINT) AS n_nbrs,
+                   round(slope, 6) AS slope,
+                   round(CASE WHEN slope IS NOT NULL AND sw > 0
+                              THEN (CAST(swy AS DOUBLE) - slope * CAST(swx AS DOUBLE))
+                                   / CAST(sw AS DOUBLE) END, 6) AS icept
+            FROM o
         """,
         # Gini: same exact Lorenz sums
         "gini_events": """

@@ -830,3 +830,114 @@ def spatial_mutual_information(
         F.round("_mi", 6).alias("mi"),
         F.when(den > 0, F.round(F.col("_mi") / den, 6)).alias("nmi"),
     )
+
+
+def jenks_breaks(
+    df: DataFrame,
+    value_col: str,
+    n_classes: int = 5,
+    n_bins: int = 256,
+):
+    """Jenks natural-breaks classification (Fisher 1958 / Jenks 1967 —
+    the choropleth-map default in every GIS) → one row per class:
+    (class, lo, hi, n, mean) — split the value distribution into
+    n_classes so the within-class sum of squared deviations is
+    minimal. Exact Jenks is O(n²k) in ROW count; the engine runs the
+    standard scale recipe: ONE map-side-combined reduce to an
+    equal-width ``n_bins`` histogram carrying each bin's exact int64
+    (count, Σv, Σv²), then Fisher's optimal-partition DP over the
+    BINS on the driver (O(n_bins²·k), microseconds) — so the breaks
+    are optimal at bin granularity (the declared semantics; raise
+    n_bins to tighten, the state stays bounded either way).
+
+    Determinism: the histogram is exact integer arithmetic (bin =
+    ((v−min)·n_bins) div (span+1)); the DP consumes only those exact
+    ints and breaks cost ties toward the SMALLER left class — a
+    pure function of the histogram, so re-runs and partition layouts
+    agree. Output lo/hi are the classes' exact observed min/max bin
+    VALUES (bin edges mapped back through the exact per-bin value
+    range), n and mean from the exact sums (ROUND 6). Rows-only gate
+    (a DP is not SQL-restatable); model parity in tests."""
+    if n_classes < 2 or n_bins < n_classes:
+        raise ValueError(f"bad n_classes/n_bins: {n_classes}, {n_bins}")
+    base = df.select(F.col(value_col).cast("long").alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    rng = base.agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi")).collect()[0]
+    if rng["_lo"] is None:
+        return df.sparkSession.createDataFrame(
+            [], "class long, lo long, hi long, n long, mean double"
+        )
+    lo, hi = int(rng["_lo"]), int(rng["_hi"])
+    span = hi - lo + 1
+    b = F.expr(f"((_v - {lo}L) * {int(n_bins)}L) div {span}L")
+    hist = (
+        base.groupBy(b.alias("_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_v").alias("s1"),
+            F.sum(F.col("_v").cast("decimal(38,0)") * F.col("_v").cast("decimal(38,0)")).alias("s2"),
+            F.min("_v").alias("vmin"),
+            F.max("_v").alias("vmax"),
+        )
+        .orderBy("_b")
+        .collect()
+    )  # bounded: <= n_bins rows
+    k = min(n_classes, len(hist))
+    cn = [int(r["n"]) for r in hist]
+    cs1 = [int(r["s1"]) for r in hist]
+    cs2 = [int(r["s2"]) for r in hist]
+    m = len(hist)
+    # prefix sums for O(1) segment cost
+    import itertools
+
+    pn = [0] + list(itertools.accumulate(cn))
+    p1 = [0] + list(itertools.accumulate(cs1))
+    p2 = [0] + list(itertools.accumulate(cs2))
+
+    def cost(i, j):  # bins [i, j)
+        n = pn[j] - pn[i]
+        if n == 0:
+            return 0.0
+        s1 = p1[j] - p1[i]
+        s2 = p2[j] - p2[i]
+        return float(s2) - (float(s1) * float(s1)) / n
+
+    INF = float("inf")
+    dp = [[INF] * (m + 1) for _ in range(k + 1)]
+    arg = [[0] * (m + 1) for _ in range(k + 1)]
+    dp[0][0] = 0.0
+    for c in range(1, k + 1):
+        for j in range(c, m + 1):
+            best, bi = INF, c - 1
+            for i in range(c - 1, j):
+                v = dp[c - 1][i] + cost(i, j)
+                if v < best:  # strict: ties keep the SMALLER left class
+                    best, bi = v, i
+            dp[c][j] = best
+            arg[c][j] = bi
+    # walk back the break positions
+    cuts = [m]
+    j = m
+    for c in range(k, 0, -1):
+        j = arg[c][j]
+        cuts.append(j)
+    cuts = cuts[::-1]  # [0, ..., m]
+    out_rows = []
+    for c in range(k):
+        i, j = cuts[c], cuts[c + 1]
+        seg = hist[i:j]
+        n = sum(int(r["n"]) for r in seg)
+        s1 = sum(int(r["s1"]) for r in seg)
+        out_rows.append(
+            (
+                c,
+                min(int(r["vmin"]) for r in seg),
+                max(int(r["vmax"]) for r in seg),
+                n,
+                round(s1 / n, 6),
+            )
+        )
+    return df.sparkSession.createDataFrame(
+        out_rows, "class long, lo long, hi long, n long, mean double"
+    )

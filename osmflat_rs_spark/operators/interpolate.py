@@ -466,3 +466,76 @@ def kriging_interpolate(
     return grouped.mapInPandas(
         solve_fn, "query_id string, kriged double, kvar double, n_neighbors int"
     )
+
+
+def gwr_local(
+    points: DataFrame,
+    queries: DataFrame,
+    x_col: str,
+    y_col: str,
+    bandwidth: float,
+    id_col: str = "node_idx",
+    fp_scale: int = 10**9,
+    **radius_kwargs,
+):
+    """Geographically weighted regression (Fotheringham/Brunsdon/
+    Charlton) → one row per regression point: (query_id, n_nbrs,
+    slope, icept) — the local bivariate fit y ~ x whose coefficients
+    VARY over space, the standard answer to "is this relationship the
+    same everywhere or is the global OLS averaging away opposite
+    regimes". Bisquare kernel w = (1 − (d/b)²)² inside the bandwidth
+    disk, 0 outside — so the neighborhood is exactly the engine's
+    ``radius_join`` output (sqeuclid metric: d² and b² are exact
+    int64, no cover approximation leaks into the weights).
+
+    Determinism: each pair's kernel weight is computed from the exact
+    integers (d², b²) in a pinned double expression and SNAPPED to the
+    ``fp_scale`` lattice before any aggregation, so the five weighted
+    moment sums (Σw, Σwx, Σwy, Σwx², Σwxy) are order-free exact int64
+    (contract: n_nbrs·fp·max(x)² < 2^63 — shrink ``fp_scale`` for
+    huge covariates); slope/intercept are the closed-form double
+    ratios of those sums (ROUND 6), NULL when the local design is
+    degenerate (n < 2 or zero weighted x-variance). Scale shape: the
+    radius join IS the plan (cell-cover candidates, no crossJoin);
+    after it, one map-side-combined groupBy per regression point.
+    """
+    sc = int(fp_scale)
+    b2 = float(bandwidth) * float(bandwidth)
+    from osmflat_rs_spark.operators.knn import radius_join
+
+    pts = points.select(
+        F.col(id_col), "lat", "lon",
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+    pairs = radius_join(
+        pts, queries, radius_m=float(bandwidth), metric="sqeuclid",
+        id_col=id_col, **radius_kwargs,
+    )
+    j = pairs.join(pts.select(id_col, "_x", "_y"), id_col)
+    u = F.col("dist_m").cast("double") / F.lit(b2)
+    wfp = F.floor((1 - u) * (1 - u) * F.lit(float(sc)) + F.lit(0.5)).cast("long")
+    g = j.select(
+        "query_id", wfp.alias("_w"), "_x", "_y"
+    ).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_nbrs"),
+        F.sum("_w").alias("sw"),
+        F.sum(F.col("_w") * F.col("_x")).alias("swx"),
+        F.sum(F.col("_w") * F.col("_y")).alias("swy"),
+        F.sum(F.col("_w") * F.col("_x") * F.col("_x")).alias("swxx"),
+        F.sum(F.col("_w") * F.col("_x") * F.col("_y")).alias("swxy"),
+    )
+    swd = F.col("sw").cast("double")
+    num = swd * F.col("swxy").cast("double") - F.col("swx").cast("double") * F.col("swy").cast("double")
+    den = swd * F.col("swxx").cast("double") - F.col("swx").cast("double") * F.col("swx").cast("double")
+    slope = F.when((F.col("n_nbrs") > 1) & (den > 0), num / den)
+    icept = F.when(
+        slope.isNotNull() & (F.col("sw") > 0),
+        (F.col("swy").cast("double") - slope * F.col("swx").cast("double")) / swd,
+    )
+    return g.select(
+        "query_id",
+        F.col("n_nbrs").cast("long").alias("n_nbrs"),
+        F.round(slope, 6).alias("slope"),
+        F.round(icept, 6).alias("icept"),
+    )

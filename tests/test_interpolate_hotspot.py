@@ -1136,3 +1136,131 @@ def test_spatial_mi_matches_sklearn_style_model(spark):
             hc = -sum(v / n * math.log(v / n) for v in ct.values())
             assert abs(r["nmi"] - mi / math.sqrt(hr * hc)) < 1e-5
             assert abs(r["nmi"] - 1.0) < 1e-6
+
+
+def test_gwr_recovers_spatially_varying_slope(spark):
+    """On data with slope +5 in the west and -5 in the east, GWR
+    queries near each pole recover the local sign while global OLS
+    would average to ~0; values match the exact lattice model."""
+    import numpy as np
+
+    from osmflat_rs_spark.operators.interpolate import gwr_local
+
+    rng = np.random.default_rng(331)
+    rows = []
+    for i in range(800):
+        lon = int(rng.integers(0, 200_000))
+        lat = int(rng.integers(0, 50_000))
+        x = int(rng.integers(0, 100))
+        slope = 5 if lon < 100_000 else -5
+        y = 1000 + slope * x + int(rng.integers(-20, 21))
+        rows.append((i, lat, lon, x, y))
+    pts = spark.createDataFrame(rows, "node_idx long, lat long, lon long, x long, y long")
+    qs = spark.createDataFrame(
+        [("west", 25_000, 30_000), ("east", 25_000, 170_000)],
+        "query_id string, lat long, lon long",
+    )
+    B = 60_000.0
+    got = {r["query_id"]: r.asDict() for r in
+           gwr_local(pts, qs, "x", "y", bandwidth=B, res=6).collect()}
+    # exact model
+    SC = 10**9
+    for qid, qla, qlo in (("west", 25_000, 30_000), ("east", 25_000, 170_000)):
+        sw = swx = swy = swxx = swxy = n = 0
+        for _, la, lo, x, y in rows:
+            d2 = (la - qla) ** 2 + (lo - qlo) ** 2
+            if d2 <= B * B:
+                u = d2 / (B * B)
+                w = int(np.floor((1 - u) * (1 - u) * SC + 0.5))
+                n += 1; sw += w; swx += w * x; swy += w * y
+                swxx += w * x * x; swxy += w * x * y
+        num = sw * swxy - swx * swy
+        den = sw * swxx - swx * swx
+        slope = num / den
+        icept = (swy - slope * swx) / sw
+        r = got[qid]
+        assert r["n_nbrs"] == n
+        assert r["slope"] == round(slope, 6)
+        assert r["icept"] == round(icept, 6)
+    assert got["west"]["slope"] > 4 and got["east"]["slope"] < -4
+
+
+def test_jenks_breaks_finds_natural_clusters(spark):
+    """Three well-separated value clusters are recovered exactly as
+    the three classes; results match a direct python DP on the same
+    histogram; classes partition the data; params validated."""
+    import itertools
+
+    import numpy as np
+
+    from osmflat_rs_spark.operators.hotspot import jenks_breaks
+
+    rng = np.random.default_rng(337)
+    vals = (
+        [int(v) for v in rng.integers(0, 50, 300)]
+        + [int(v) for v in rng.integers(500, 560, 200)]
+        + [int(v) for v in rng.integers(2000, 2100, 100)]
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    out = sorted(
+        (r["class"], r["lo"], r["hi"], r["n"], r["mean"])
+        for r in jenks_breaks(df, "v", n_classes=3, n_bins=128).collect()
+    )
+    assert len(out) == 3
+    # the classes recover the planted clusters
+    (c0, lo0, hi0, n0, m0), (c1, lo1, hi1, n1, m1), (c2, lo2, hi2, n2, m2) = out
+    assert n0 == 300 and n1 == 200 and n2 == 100
+    assert hi0 < 500 and lo1 >= 500 and hi1 < 2000 and lo2 >= 2000
+    assert abs(m1 - np.mean([v for v in vals if 500 <= v < 600])) < 1e-6
+    assert n0 + n1 + n2 == len(vals)
+    # model: direct DP over the same histogram must give the same cuts
+    lo, hi = min(vals), max(vals)
+    span = hi - lo + 1
+    NB = 128
+    hist = {}
+    for v in vals:
+        b = ((v - lo) * NB) // span
+        n, s1, s2, vmin, vmax = hist.get(b, (0, 0, 0, v, v))
+        hist[b] = (n + 1, s1 + v, s2 + v * v, min(vmin, v), max(vmax, v))
+    bins = [hist[b] for b in sorted(hist)]
+    m = len(bins)
+    pn = [0] + list(itertools.accumulate(x[0] for x in bins))
+    p1 = [0] + list(itertools.accumulate(x[1] for x in bins))
+    p2 = [0] + list(itertools.accumulate(x[2] for x in bins))
+
+    def cost(i, j):
+        n = pn[j] - pn[i]
+        if n == 0:
+            return 0.0
+        s1, s2 = p1[j] - p1[i], p2[j] - p2[i]
+        return float(s2) - float(s1) * float(s1) / n
+
+    INF = float("inf")
+    dp = [[INF] * (m + 1) for _ in range(4)]
+    arg = [[0] * (m + 1) for _ in range(4)]
+    dp[0][0] = 0.0
+    for c in range(1, 4):
+        for j in range(c, m + 1):
+            best, bi = INF, c - 1
+            for i in range(c - 1, j):
+                vv = dp[c - 1][i] + cost(i, j)
+                if vv < best:
+                    best, bi = vv, i
+            dp[c][j], arg[c][j] = best, bi
+    cuts = [m]
+    j = m
+    for c in range(3, 0, -1):
+        j = arg[c][j]
+        cuts.append(j)
+    cuts = cuts[::-1]
+    want = []
+    for c in range(3):
+        seg = bins[cuts[c]:cuts[c + 1]]
+        n = sum(x[0] for x in seg)
+        s1 = sum(x[1] for x in seg)
+        want.append((c, min(x[3] for x in seg), max(x[4] for x in seg), n, round(s1 / n, 6)))
+    assert out == want
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        jenks_breaks(df, "v", n_classes=1)
