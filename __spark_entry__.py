@@ -1649,6 +1649,21 @@ def q_jenks_events(spark, sf_dir):
     return jenks_breaks(ev, "cents", n_classes=5)
 
 
+def q_isochrone_graph(spark, sf_dir):
+    """Isochrone bands over the SSSP mesh from its three sources at
+    thresholds 20/40/60 — exact int distances, integer banding; the
+    oracle re-runs the bounded recursive walk and the same banding."""
+    from osmflat_rs_spark.operators.graph import isochrone_bands
+
+    edges = (
+        spark.range(SSSP_N)
+        .select(F.col("id").alias("src"), F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"))
+        .selectExpr("src", f"(src * 31 + k) % {SSSP_N} AS dst")
+        .selectExpr("src", "dst", "(src * 7 + dst * 13) % 20 + 1 AS w")
+    )
+    return isochrone_bands(edges, list(SSSP_SOURCES), [20, 40, 60], SSSP_HOPS)
+
+
 def q_huff_events(spark, sf_dir):
     """Huff probabilistic market share at 10 facilities (the kNN gate's
     lattice, attractiveness 1..5): regularized inverse-square weight
@@ -5306,6 +5321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "woe_events": q_woe_events,
         "gwr_events": q_gwr_events,
         "jenks_events": q_jenks_events,
+        "isochrone_graph": q_isochrone_graph,
         "simplify_events": q_simplify_events,
         "dbscan_events": q_dbscan_events,
         "knn_events": q_knn_events,
@@ -7023,6 +7039,26 @@ def oracle_sql() -> dict[str, str]:
                               THEN (CAST(swy AS DOUBLE) - slope * CAST(swx AS DOUBLE))
                                    / CAST(sw AS DOUBLE) END, 6) AS icept
             FROM o
+        """,
+        # isochrones: the sssp walk + the same integer banding
+        "isochrone_graph": f"""
+            WITH RECURSIVE e AS (
+              SELECT src, (src * 31 + k) % {SSSP_N} AS dst,
+                     (src * 7 + ((src * 31 + k) % {SSSP_N}) * 13) % 20 + 1 AS w
+              FROM generate_series(0, {SSSP_N - 1}) s(src), generate_series(1, 3) t(k)),
+            walk(source, node, dist, hops) AS (
+              SELECT source, source, 0, 0
+              FROM (VALUES {', '.join(f'({s})' for s in SSSP_SOURCES)}) s(source)
+              UNION
+              SELECT w.source, e.dst, w.dist + e.w, w.hops + 1
+              FROM walk w JOIN e ON e.src = w.node
+              WHERE w.hops < {SSSP_HOPS}),
+            d AS (SELECT source, node, MIN(dist) AS dist FROM walk GROUP BY 1, 2)
+            SELECT source, node, dist,
+                   CAST(CASE WHEN dist <= 20 THEN 0
+                             WHEN dist <= 40 THEN 1
+                             WHEN dist <= 60 THEN 2 END AS BIGINT) AS band
+            FROM d WHERE dist <= 60
         """,
         # Gini: same exact Lorenz sums
         "gini_events": """

@@ -1178,3 +1178,40 @@ def harmonic_centrality(
         F.col("n_reached").cast("long").alias("n_reached"),
         F.round(F.col("_h").cast("double") / F.lit(float(sc)), 6).alias("hc"),
     )
+
+
+def isochrone_bands(
+    edges: DataFrame,
+    sources: list,
+    thresholds: list,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Isochrone banding → (source, node, dist, band) — "everything
+    within 5 / 10 / 15 minutes of here", the routing product built
+    directly on the hop-bounded multi-source Bellman-Ford kernel
+    (:func:`shortest_paths`): each reached node is labeled with the
+    FIRST threshold ≥ its shortest distance (band = that threshold's
+    index, 0-based); nodes beyond the last threshold are dropped
+    (they are outside the outermost isochrone by definition).
+    Downstream, a band's polygon is the hull/contour of its nodes'
+    coordinates (``hull.convex_hull`` / ``contour`` — composition,
+    not duplication).
+
+    Exactness: distances are exact int64 path sums; the banding is a
+    pure integer comparison against the sorted thresholds, restated
+    by the SQL oracle over the same bounded recursive walk.
+    ``thresholds`` must be strictly increasing positive ints."""
+    th = [int(t) for t in thresholds]
+    if not th or any(b <= a for a, b in zip(th, th[1:])) or th[0] <= 0:
+        raise ValueError(f"thresholds must be strictly increasing positive: {thresholds}")
+    d = shortest_paths(edges, sources, max_hops, src=src, dst=dst, weight=weight)
+    # fold largest-threshold-first so the SMALLEST matching one wins
+    band = F.lit(None).cast("long")
+    for t_idx in range(len(th) - 1, -1, -1):
+        band = F.when(F.col("dist") <= F.lit(th[t_idx]), F.lit(t_idx).cast("long")).otherwise(band)
+    return d.filter(F.col("dist") <= F.lit(th[-1])).select(
+        "source", "node", "dist", band.alias("band")
+    )

@@ -602,23 +602,96 @@ def trending_topk(
         F.col(item_col).alias("_it"),
         F.col(age_col).cast("long").alias("_age"),
     ).filter(F.col("_age").isNotNull())
-    # all-integer weight: (fp · T[k mod 4]) div 2^(k div 4 + 20) — the
-    # +20 normalizes the table's 2^20 fixed point so w ≤ fp. NULL on
-    # negative age (guarded below); exactly 0 once the shift passes 62.
-    w = F.expr(
-        f"CASE WHEN _age < 0 THEN NULL "
-        f"WHEN ((_age * 4) div {int(half_life)}L) div 4 > 42 THEN 0L "
-        f"ELSE ({int(fp)}L * element_at(array({', '.join(str(t) for t in DECAY_T4)}), "
-        f"CAST(pmod((_age * 4) div {int(half_life)}L, 4) AS INT) + 1)) "
-        f"div shiftleft(1L, CAST(((_age * 4) div {int(half_life)}L) div 4 AS INT) + {_DECAY_SHIFT}) END"
-    )
-    base = base.withColumn("_w", w)
+    base = base.withColumn("_w", _decay_weight_expr(half_life, fp))
     neg = base.filter(F.col("_w").isNull()).limit(1).count()
     if neg:
         raise ValueError("trending_topk requires non-negative ages")
     g = base.groupBy("_g", "_it").agg(
         F.count(F.lit(1)).alias("n_events"), F.sum("_w").alias("_sfp")
     )
+    top = _two_phase_top_n(
+        g, ["_g"], [F.col("_sfp").desc(), F.col("_it").asc()], n, salt_buckets
+    )
+    return top.select(
+        F.col("_g").alias(group_col),
+        F.col("_it").alias(item_col),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(F.col("_sfp").cast("double") / F.lit(float(fp)), 6).alias("score"),
+        F.col("rk").cast("long").alias("rk"),
+    )
+
+
+def _decay_weight_expr(half_life: int, fp: int):
+    """The all-integer bucketed-decay weight of column ``_age``:
+    (fp · DECAY_T4[k mod 4]) div 2^(k div 4 + 20), k = (age·4) div
+    half_life — NULL on negative age, exactly 0 past shift 62.
+    Shared by the batch operator and the streaming partial builder
+    (single source of truth, the cusum_kernel discipline)."""
+    return F.expr(
+        f"CASE WHEN _age < 0 THEN NULL "
+        f"WHEN ((_age * 4) div {int(half_life)}L) div 4 > 42 THEN 0L "
+        f"ELSE ({int(fp)}L * element_at(array({', '.join(str(t) for t in DECAY_T4)}), "
+        f"CAST(pmod((_age * 4) div {int(half_life)}L, 4) AS INT) + 1)) "
+        f"div shiftleft(1L, CAST(((_age * 4) div {int(half_life)}L) div 4 AS INT) + {_DECAY_SHIFT}) END"
+    )
+
+
+def decayed_count_partial(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    age_col: str,
+    half_life: int = 1000,
+    fp: int = 10**12,
+) -> DataFrame:
+    """One micro-batch's decayed-count partial → (group, item,
+    n_events, score_fp) — the mergeable form of :func:`trending_topk`'s
+    state: per-event weights are exact integers, so a partial is just
+    their per-(group, item) sum and MERGE IS ADDITION. Feed this as
+    ``build_fn`` to ``streaming.incremental.stream_sketch_partials``
+    and the trending readout becomes an incrementally-maintained
+    summary (exactly-once by per-batch-directory idempotence, no state
+    store); read back with :func:`trending_topk_from_partials`.
+    Negative ages yield NULL weights and raise at merge time via the
+    batch operator's guard semantics (a streaming micro-batch cannot
+    raise usefully — the partial keeps the NULL row so the reader
+    fails loudly rather than undercounting silently)."""
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(item_col).alias("_it"),
+        F.col(age_col).cast("long").alias("_age"),
+    ).filter(F.col("_age").isNotNull())
+    w = _decay_weight_expr(int(half_life), int(fp))
+    return (
+        base.withColumn("_w", w)
+        .groupBy(F.col("_g").alias(group_col), F.col("_it").alias(item_col))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("_w").alias("score_fp"))
+    )
+
+
+def trending_topk_from_partials(
+    partials: DataFrame,
+    group_col: str,
+    item_col: str,
+    n: int = 10,
+    fp: int = 10**12,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Merge-on-read for :func:`decayed_count_partial` outputs →
+    identical schema/semantics to :func:`trending_topk` (same
+    tie-break, same ROUND): Σ the exact integer partials, two-phase
+    top-n. A NULL score_fp (negative-age rows upstream) fails loudly
+    here."""
+    from .sampling import _two_phase_top_n
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    bad = partials.filter(F.col("score_fp").isNull()).limit(1).count()
+    if bad:
+        raise ValueError("partials contain NULL score_fp (negative ages upstream)")
+    g = partials.groupBy(
+        F.col(group_col).alias("_g"), F.col(item_col).alias("_it")
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("score_fp").alias("_sfp"))
     top = _two_phase_top_n(
         g, ["_g"], [F.col("_sfp").desc(), F.col("_it").asc()], n, salt_buckets
     )

@@ -980,3 +980,23 @@ def test_harmonic_centrality_matches_model(spark):
     for v, (nr, h) in want.items():
         assert got[v]["n_reached"] == nr
         assert got[v]["hc"] == round(h / SC, 6)
+
+
+def test_isochrone_bands_matches_model(spark):
+    """Bands equal the first threshold >= the Bellman-Ford distance;
+    beyond-last nodes drop; thresholds validated."""
+    from osmflat_rs_spark.operators.graph import isochrone_bands
+
+    edges = [(0, 1, 3), (1, 2, 3), (2, 3, 3), (0, 4, 10), (4, 5, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {(r["source"], r["node"]): (r["dist"], r["band"]) for r in
+           isochrone_bands(df, [0], [5, 10, 15], max_hops=5).collect()}
+    want = {(0, 0): (0, 0), (0, 1): (3, 0), (0, 2): (6, 1), (0, 3): (9, 1), (0, 4): (10, 1)}
+    # node 5 at dist 20 > 15 -> dropped
+    assert got == want
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        isochrone_bands(df, [0], [5, 5], max_hops=3)
+    with _pytest.raises(ValueError):
+        isochrone_bands(df, [0], [], max_hops=3)

@@ -690,3 +690,51 @@ def test_stream_cusum_matches_batch_scan(spark, tmp_path):
     assert got == want
     # drift was planted in key 'a' after o>240: alarms fire there only
     assert any(a for k, o, v, sh, sl, a in got if k == "a")
+
+
+def test_stream_trending_partials_equal_batch(spark):
+    """Decayed-count partials streamed through stream_sketch_partials
+    and merged on read reproduce the batch trending_topk output
+    exactly — rank, count and score bit-for-bit."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from osmflat_rs_spark.operators.sketch import (
+        decayed_count_partial,
+        trending_topk,
+        trending_topk_from_partials,
+    )
+    from osmflat_rs_spark.streaming.incremental import stream_sketch_partials
+
+    rng = np.random.default_rng(347)
+    rows = [
+        ("g%d" % (i % 3), "it%02d" % int(rng.integers(0, 20)), int(rng.integers(0, 5000)))
+        for i in range(3000)
+    ]
+    sdf = spark.createDataFrame(rows, "g string, item string, age long")
+    tmp = tempfile.mkdtemp(prefix="stream_trend_")
+    src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ck"
+    try:
+        # three separate appends -> three micro-batch files
+        for lo, hi in ((0, 1000), (1000, 2000), (2000, 3000)):
+            spark.createDataFrame(rows[lo:hi], "g string, item string, age long").write.mode(
+                "append"
+            ).parquet(src)
+        q = stream_sketch_partials(
+            spark, src, "g string, item string, age long", ckpt, out,
+            lambda b: decayed_count_partial(b, "g", "item", "age", half_life=800),
+        )
+        assert q.awaitTermination(300)
+        merged = trending_topk_from_partials(
+            spark.read.parquet(out), "g", "item", n=5, fp=10**12
+        )
+        got = sorted(tuple(r) for r in merged.collect())
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    want = sorted(
+        tuple(r)
+        for r in trending_topk(sdf, "g", "item", "age", n=5, half_life=800).collect()
+    )
+    assert got == want and len(got) == 15
