@@ -1664,6 +1664,18 @@ def q_isochrone_graph(spark, sf_dir):
     return isochrone_bands(edges, list(SSSP_SOURCES), [20, 40, 60], SSSP_HOPS)
 
 
+def q_gtest_events(spark, sf_dir):
+    """G-test (likelihood-ratio chi-square) of event_type vs user
+    parity — one ln per cell over the exact cross-multiplied rational,
+    lattice-snapped terms, order-free sum."""
+    from osmflat_rs_spark.plans.indexing import g_test_independence
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.pmod(F.col("user_id"), F.lit(4)).alias("q"),
+    )
+    return g_test_independence(ev, "event_type", "q")
+
+
 def q_huff_events(spark, sf_dir):
     """Huff probabilistic market share at 10 facilities (the kNN gate's
     lattice, attractiveness 1..5): regularized inverse-square weight
@@ -5322,6 +5334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gwr_events": q_gwr_events,
         "jenks_events": q_jenks_events,
         "isochrone_graph": q_isochrone_graph,
+        "gtest_events": q_gtest_events,
         "simplify_events": q_simplify_events,
         "dbscan_events": q_dbscan_events,
         "knn_events": q_knn_events,
@@ -7059,6 +7072,26 @@ def oracle_sql() -> dict[str, str]:
                              WHEN dist <= 40 THEN 1
                              WHEN dist <= 60 THEN 2 END AS BIGINT) AS band
             FROM d WHERE dist <= 60
+        """,
+        # G-test: same single-ln rational cells, same lattice sum
+        "gtest_events": """
+            WITH b AS (SELECT event_type AS a, ((user_id % 4) + 4) % 4 AS q FROM events),
+            c AS (SELECT a, q, COUNT(*) AS o FROM b GROUP BY 1, 2),
+            ra AS (SELECT a, SUM(o) AS r FROM c GROUP BY 1),
+            cb AS (SELECT q, SUM(o) AS cc FROM c GROUP BY 1),
+            t AS (SELECT SUM(o) AS n, COUNT(DISTINCT a) AS na, COUNT(DISTINCT q) AS nb FROM c),
+            f AS (SELECT c.o, ra.r, cb.cc, t.n, t.na, t.nb,
+                         CASE WHEN c.o > 0
+                              THEN CAST(floor(CAST(c.o AS DOUBLE)
+                                   * ln((CAST(c.o AS DOUBLE) * CAST(t.n AS DOUBLE))
+                                        / (CAST(ra.r AS DOUBLE) * CAST(cb.cc AS DOUBLE)))
+                                   * 1000000000.0 + 0.5) AS BIGINT)
+                              ELSE 0 END AS tfp
+                  FROM c JOIN ra USING (a) JOIN cb USING (q) CROSS JOIN t)
+            SELECT CAST(MIN(n) AS BIGINT) AS n,
+                   CAST((MIN(na) - 1) * (MIN(nb) - 1) AS BIGINT) AS df_q,
+                   round(2 * CAST(SUM(tfp) AS DOUBLE) / 1000000000.0, 6) AS g
+            FROM f
         """,
         # Gini: same exact Lorenz sums
         "gini_events": """

@@ -1446,3 +1446,61 @@ def woe_iv(
         F.round(F.col("_tfp").cast("double") / F.lit(float(sc)), 6).alias("iv_term"),
         F.round(F.col("_iv_fp").cast("double") / F.lit(float(sc)), 6).alias("iv"),
     )
+
+
+def g_test_independence(
+    df,
+    col_a: str,
+    col_b: str,
+    fp_scale: int = 10**9,
+):
+    """G-test of independence (likelihood-ratio χ² — Sokal & Rohlf;
+    what Dunning 1993 uses for collocations) → one row: (n, df_q, g)
+    — G = 2·Σ O·ln(O/E) over the contingency cells of (col_a, col_b),
+    E = row·col/N. Preferred over Pearson's χ² when counts are small
+    or skewed (G is additive across partitions of the table — the
+    property that makes hierarchical log-linear analysis work).
+    df_q = (R−1)(C−1).
+
+    Determinism: each cell term O·ln((O·N)/(r·c)) is ONE ln over an
+    exact cross-multiplied int64 rational, snapped to the ``fp_scale``
+    lattice before the across-cell sum — order-free exact int64, one
+    division at the end (ROUND 6). Zero cells contribute exactly 0
+    (the O·ln O limit). Scale shape: one map-side-combined groupBy to
+    the contingency cells (bounded by |A|·|B|), two tiny margin
+    rollups broadcast back."""
+    base = df.select(F.col(col_a).alias("_a"), F.col(col_b).alias("_b"))
+    cells = base.groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("o"))
+    ra = cells.groupBy("_a").agg(F.sum("o").alias("_r"))
+    cb = cells.groupBy("_b").agg(F.sum("o").alias("_c"))
+    tot = cells.agg(
+        F.sum("o").alias("_n"),
+        F.count_distinct("_a").alias("_na"),
+        F.count_distinct("_b").alias("_nb"),
+    )
+    j = (
+        cells.join(F.broadcast(ra), "_a")
+        .join(F.broadcast(cb), "_b")
+        .crossJoin(F.broadcast(tot))
+    )
+    sc = int(fp_scale)
+    term = F.when(
+        F.col("o") > 0,
+        F.col("o").cast("double")
+        * F.log(
+            (F.col("o").cast("double") * F.col("_n").cast("double"))
+            / (F.col("_r").cast("double") * F.col("_c").cast("double"))
+        ),
+    ).otherwise(F.lit(0.0))
+    tfp = F.floor(term * F.lit(float(sc)) + F.lit(0.5)).cast("long")
+    agg = j.agg(
+        F.first("_n").alias("n"),
+        F.first("_na").alias("_na"),
+        F.first("_nb").alias("_nb"),
+        F.sum(tfp).alias("_gfp"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        ((F.col("_na") - 1) * (F.col("_nb") - 1)).cast("long").alias("df_q"),
+        F.round(2 * F.col("_gfp").cast("double") / F.lit(float(sc)), 6).alias("g"),
+    )

@@ -1142,3 +1142,39 @@ def test_woe_iv_matches_model(spark):
     )
     r = woe_iv(flat, "b", "y").collect()[0]
     assert abs(r["iv"]) < 1e-9
+
+
+def test_g_test_matches_model(spark):
+    """G matches the exact lattice model; strongly-dependent columns
+    give large G, independent columns give small G; zero cells
+    contribute 0."""
+    import math
+
+    import numpy as np
+
+    from osmflat_rs_spark.plans.indexing import g_test_independence
+
+    rng = np.random.default_rng(353)
+    dep = [("x" if i % 2 else "y", "p" if i % 2 else "q") for i in range(400)]
+    ind = [(["x", "y"][int(rng.integers(0, 2))], ["p", "q"][int(rng.integers(0, 2))])
+           for _ in range(400)]
+    for rows, big in ((dep, True), (ind, False)):
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = g_test_independence(df, "a", "b").collect()[0].asDict()
+        from collections import Counter
+
+        cells = Counter(rows)
+        ra = Counter(a for a, _ in rows)
+        cb = Counter(b for _, b in rows)
+        N = len(rows)
+        SC = 10**9
+        gfp = 0
+        for (a, b), o in cells.items():
+            t = o * math.log((o * N) / (ra[a] * cb[b]))
+            gfp += math.floor(t * SC + 0.5)
+        assert r["n"] == N and r["df_q"] == 1
+        assert r["g"] == round(2 * gfp / SC, 6)
+        if big:
+            assert r["g"] > 100
+        else:
+            assert r["g"] < 10
