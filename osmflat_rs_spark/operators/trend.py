@@ -621,7 +621,12 @@ def decompose(
     Scale shape: ONE window sort per key (rowsBetween ±h sum, count,
     first, last — all O(1) frame state, codegen), one map-side-
     combined groupBy for the (key, phase) means (output bounded by
-    keys × period), broadcast back. Phase = order mod period, so
+    keys × period), broadcast back. The windowed subtree feeds BOTH
+    the phase-mean aggregate and the final row output (the standard
+    aggregate-join-back shape), so it evaluates twice — fine when the
+    source is a parquet scan (the second pass re-reads, it does not
+    re-shuffle); persist the input first if it is an expensive
+    upstream pipeline. Phase = order mod period, so
     ``order_col`` must be a dense integer index per key (the
     dense-index operator produces one).
     """
