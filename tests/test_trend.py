@@ -403,3 +403,19 @@ def test_rolling_ols_matches_polyfit(spark):
 
     with _pytest.raises(ValueError):
         rolling_ols(df, "k", "t", "x", half_window=0)
+
+
+def test_acf_and_rolling_ols_single_exchange(spark):
+    """The per-key groupBy (acf) rides the window's hash(key)
+    partitioning and the rolling fit is window-only: both plans hold
+    at exactly ONE Exchange — the shape that survives a 100x
+    scale-up."""
+    from osmflat_rs_spark.operators.trend import acf, rolling_ols
+
+    df = spark.createDataFrame(
+        [("k%d" % (i % 5), i, i * 3 % 100) for i in range(500)], "k string, t long, x long"
+    )
+    for out in (acf(df, "k", "t", "x", max_lag=3), rolling_ols(df, "k", "t", "x", half_window=3)):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        n = plan.count("Exchange") - plan.count("ReusedExchange")
+        assert n == 1, f"expected 1 Exchange:\n{plan[:2000]}"
