@@ -1676,6 +1676,20 @@ def q_gtest_events(spark, sf_dir):
     return g_test_independence(ev, "event_type", "q")
 
 
+def q_forecast_acc_events(spark, sf_dir):
+    """MAE/RMSE/sMAPE/MASE of a deterministic shrunk forecast
+    (f = 0.9·cents + 50, integer arithmetic) per event_type over the
+    event order — exact numerators, lattice-snapped sMAPE terms,
+    MASE as an exact-int cross ratio."""
+    from osmflat_rs_spark.operators.trend import forecast_accuracy
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("a"),
+    ).withColumn("f", F.expr("(a * 9) div 10 + 50"))
+    return forecast_accuracy(ev, "event_type", "event_id", "a", "f")
+
+
 def q_huff_events(spark, sf_dir):
     """Huff probabilistic market share at 10 facilities (the kNN gate's
     lattice, attractiveness 1..5): regularized inverse-square weight
@@ -5335,6 +5349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jenks_events": q_jenks_events,
         "isochrone_graph": q_isochrone_graph,
         "gtest_events": q_gtest_events,
+        "forecast_acc_events": q_forecast_acc_events,
         "simplify_events": q_simplify_events,
         "dbscan_events": q_dbscan_events,
         "knn_events": q_knn_events,
@@ -7092,6 +7107,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST((MIN(na) - 1) * (MIN(nb) - 1) AS BIGINT) AS df_q,
                    round(2 * CAST(SUM(tfp) AS DOUBLE) / 1000000000.0, 6) AS g
             FROM f
+        """,
+        # forecast accuracy: same exact sums, same lattice sMAPE
+        "forecast_acc_events": """
+            WITH b AS (SELECT event_type AS k, event_id AS o,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS a
+                       FROM events WHERE value IS NOT NULL),
+            ff AS (SELECT k, o, a, (a * 9) // 10 + 50 AS f FROM b),
+            l AS (SELECT k, a, f,
+                         lag(a) OVER (PARTITION BY k ORDER BY o) AS pa
+                  FROM ff),
+            g AS (SELECT k, COUNT(*) AS n,
+                         SUM(abs(a - f)) AS se,
+                         SUM((a - f) * (a - f)) AS se2,
+                         SUM(CASE WHEN abs(a) + abs(f) > 0
+                                  THEN CAST(floor(2 * CAST(abs(a - f) AS DOUBLE)
+                                       / (abs(a) + abs(f)) * 1000000000.0 + 0.5) AS BIGINT)
+                                  ELSE 0 END) AS ssm,
+                         SUM(abs(a - pa)) AS snaive,
+                         COUNT(pa) AS nnaive
+                  FROM l GROUP BY 1)
+            SELECT k AS event_type, CAST(n AS BIGINT) AS n,
+                   round(CAST(se AS DOUBLE) / n, 6) AS mae,
+                   round(sqrt(CAST(se2 AS DOUBLE) / n), 6) AS rmse,
+                   round(CAST(ssm AS DOUBLE) / n / 1000000000.0, 6) AS smape,
+                   round(CASE WHEN nnaive > 0 AND snaive > 0
+                              THEN CAST(se * nnaive AS DOUBLE) / CAST(n * snaive AS DOUBLE)
+                         END, 6) AS mase
+            FROM g
         """,
         # Gini: same exact Lorenz sums
         "gini_events": """

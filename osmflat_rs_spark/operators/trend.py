@@ -757,3 +757,73 @@ def rolling_ols(
         F.round("_slope", 6).alias("slope"),
         F.round("_icept", 6).alias("icept"),
     )
+
+
+def forecast_accuracy(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    actual_col: str,
+    forecast_col: str,
+    fp_scale: int = 10**9,
+):
+    """Forecast accuracy per key → (key, n, mae, rmse, smape, mase) —
+    the four standard readouts, each with its documented failure mode
+    covered by the next: MAE (scale-dependent), RMSE (outlier-heavy),
+    sMAPE (scale-free but breaks at zeros), MASE (Hyndman & Koehler
+    2006 — error relative to the naive lag-1 forecast, the one safe
+    cross-series comparator: MASE < 1 beats naive).
+
+    Exactness: MAE/RMSE numerators are exact int64 Σ|e| and Σe²
+    (callers keep n·max² < 2^63); each sMAPE term 2|e|/(|a|+|f|) is a
+    per-row rational snapped to the ``fp_scale`` lattice before the
+    order-free sum (rows with |a|+|f| = 0 contribute 0 by the
+    standard convention, counted in n); MASE's denominator is the
+    key's exact naive-error sum Σ|a_t − a_{t−1}| over one lag window
+    — MAE/naiveMAE reduces to an exact-int cross ratio, one double
+    division (NULL when the naive error is 0 or n < 2). ROUND 6.
+    Scale shape: one window sort per key (the lag), one
+    map-side-combined groupBy — the groupBy rides the window's
+    hash(key) partitioning, single Exchange."""
+    from pyspark.sql import Window
+
+    sc = int(fp_scale)
+    base = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(order_col).alias("_o"),
+        F.col(actual_col).cast("long").alias("_a"),
+        F.col(forecast_col).cast("long").alias("_f"),
+    ).filter(F.col("_a").isNotNull() & F.col("_f").isNotNull())
+    w = Window.partitionBy("_k").orderBy("_o")
+    lagged = base.withColumn("_pa", F.lag("_a").over(w))
+    e = F.abs(F.col("_a") - F.col("_f"))
+    denom = F.abs(F.col("_a")) + F.abs(F.col("_f"))
+    smape_fp = F.when(
+        denom > 0,
+        F.floor(
+            (2 * e.cast("double") / denom.cast("double")) * F.lit(float(sc)) + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    g = lagged.groupBy("_k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(e).alias("_se"),
+        F.sum(e * e).alias("_se2"),
+        F.sum(smape_fp).alias("_ssm"),
+        F.sum(F.abs(F.col("_a") - F.col("_pa"))).alias("_snaive"),
+        F.count("_pa").alias("_nnaive"),
+    )
+    nd = F.col("n").cast("double")
+    mase = F.when(
+        (F.col("_nnaive") > 0) & (F.col("_snaive") > 0),
+        # MAE/naiveMAE = (se/n) / (snaive/nnaive) = se*nnaive / (n*snaive)
+        (F.col("_se") * F.col("_nnaive")).cast("double")
+        / (F.col("n") * F.col("_snaive")).cast("double"),
+    )
+    return g.select(
+        F.col("_k").alias(key_col),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("_se").cast("double") / nd, 6).alias("mae"),
+        F.round(F.sqrt(F.col("_se2").cast("double") / nd), 6).alias("rmse"),
+        F.round(F.col("_ssm").cast("double") / nd / F.lit(float(sc)), 6).alias("smape"),
+        F.round(mase, 6).alias("mase"),
+    )

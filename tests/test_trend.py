@@ -419,3 +419,56 @@ def test_acf_and_rolling_ols_single_exchange(spark):
         plan = out._jdf.queryExecution().executedPlan().toString()
         n = plan.count("Exchange") - plan.count("ReusedExchange")
         assert n == 1, f"expected 1 Exchange:\n{plan[:2000]}"
+
+
+def test_forecast_accuracy_matches_model(spark):
+    """All four metrics match the exact lattice model; a perfect
+    forecast scores 0/0/0/0; naive-equivalent forecast has MASE ~1;
+    zero-denominator sMAPE rows contribute 0."""
+    import math
+
+    import numpy as np
+
+    from osmflat_rs_spark.operators.trend import forecast_accuracy
+
+    rng = np.random.default_rng(359)
+    rows = []
+    series = {}
+    for k in ("a", "b"):
+        xs = [int(1000 + 50 * math.sin(t / 5) * (1 if k == "a" else 3) + rng.integers(-9, 10))
+              for t in range(100)]
+        series[k] = xs
+        for t, a in enumerate(xs):
+            f = a + int(rng.integers(-15, 16)) if k == "a" else (xs[t - 1] if t else a)
+            rows.append((k, t, a, f))
+    rows.append(("z", 0, 0, 0))  # |a|+|f| = 0 -> smape term 0
+    rows.append(("z", 1, 5, 5))
+    df = spark.createDataFrame(rows, "k string, t long, a long, f long")
+    got = {r["k"]: r.asDict() for r in forecast_accuracy(df, "k", "t", "a", "f").collect()}
+    SC = 10**9
+    for k in ("a", "b", "z"):
+        sub = [(t, a, f) for kk, t, a, f in rows if kk == k]
+        sub.sort()
+        n = len(sub)
+        se = sum(abs(a - f) for _, a, f in sub)
+        se2 = sum((a - f) ** 2 for _, a, f in sub)
+        ssm = sum(
+            math.floor(2 * abs(a - f) / (abs(a) + abs(f)) * SC + 0.5) if abs(a) + abs(f) > 0 else 0
+            for _, a, f in sub
+        )
+        snaive = sum(abs(sub[i][1] - sub[i - 1][1]) for i in range(1, n))
+        r = got[k]
+        assert r["n"] == n
+        assert r["mae"] == round(se / n, 6)
+        assert r["rmse"] == round(math.sqrt(se2 / n), 6)
+        assert r["smape"] == round(ssm / n / SC, 6)
+        if snaive > 0:
+            assert r["mase"] == round(se * (n - 1) / (n * snaive), 6)
+    # b's forecast IS naive lag-1 -> MASE == (n-1)/n (the off-by-one of
+    # the first row's zero-error naive term)
+    assert abs(got["b"]["mase"] - 99 / 100) < 1e-6
+    # perfect forecast
+    perf = spark.createDataFrame([("p", t, 10 + t, 10 + t) for t in range(10)],
+                                 "k string, t long, a long, f long")
+    r = forecast_accuracy(perf, "k", "t", "a", "f").collect()[0]
+    assert r["mae"] == r["rmse"] == r["smape"] == 0.0 and r["mase"] == 0.0
