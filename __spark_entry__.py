@@ -1690,6 +1690,20 @@ def q_forecast_acc_events(spark, sf_dir):
     return forecast_accuracy(ev, "event_type", "event_id", "a", "f")
 
 
+def q_sliding_distinct_events(spark, sf_dir):
+    """Exact 3-step sliding distinct users per event_type over the
+    integer event-second axis — in-row covering-window explode, one
+    two-phase distinct aggregate."""
+    from osmflat_rs_spark.operators.sessions import sliding_distinct
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "user_id",
+    ).withColumn("tick", F.expr("us div 3600000000"))
+    return sliding_distinct(ev, "event_type", "tick", "user_id", window=24, step=8)
+
+
 def q_huff_events(spark, sf_dir):
     """Huff probabilistic market share at 10 facilities (the kNN gate's
     lattice, attractiveness 1..5): regularized inverse-square weight
@@ -5350,6 +5364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isochrone_graph": q_isochrone_graph,
         "gtest_events": q_gtest_events,
         "forecast_acc_events": q_forecast_acc_events,
+        "sliding_distinct_events": q_sliding_distinct_events,
         "simplify_events": q_simplify_events,
         "dbscan_events": q_dbscan_events,
         "knn_events": q_knn_events,
@@ -7135,6 +7150,21 @@ def oracle_sql() -> dict[str, str]:
                               THEN CAST(se * nnaive AS DOUBLE) / CAST(n * snaive AS DOUBLE)
                          END, 6) AS mase
             FROM g
+        """,
+        # sliding distinct: same covering-window explode
+        "sliding_distinct_events": """
+            WITH b AS (SELECT event_type AS g,
+                              epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS tick,
+                              user_id AS u
+                       FROM events),
+            ex AS (SELECT g, u, ws.window_start
+                   FROM b, UNNEST([ (tick // 8) * 8 - 16,
+                                    (tick // 8) * 8 - 8,
+                                    (tick // 8) * 8 ]) AS ws(window_start))
+            SELECT g AS event_type, CAST(window_start AS BIGINT) AS window_start,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(DISTINCT u) AS BIGINT) AS n_distinct
+            FROM ex GROUP BY 1, 2
         """,
         # Gini: same exact Lorenz sums
         "gini_events": """

@@ -1511,3 +1511,59 @@ def eb_shrinkage(
         F.round(F.col("_alpha"), 6).alias("alpha"),
         F.round(F.col("_beta"), 6).alias("beta"),
     )
+
+
+def sliding_distinct(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    id_col: str,
+    window: int,
+    step: int,
+):
+    """Exact distinct-entity counts per sliding window → one row per
+    (group, window_start): (group, window_start, n_events,
+    n_distinct) — "7-day active users, daily" and every other rolling
+    reach metric, EXACT (the HLL sketch answers the same question
+    approximately; this is the truth it is checked against).
+    ``ts_col`` is an integer time (epoch units); windows are
+    [window_start, window_start + window) at every multiple of
+    ``step``; window must be a multiple of step (the tumbling
+    decomposition below needs aligned edges — enforced).
+
+    Scale shape — the standard explode-into-covering-windows
+    decomposition: each event belongs to exactly window/step sliding
+    windows, generated IN-ROW (one sequence, codegen) before ONE
+    map-side-combined distinct + count aggregate keyed by (group,
+    window_start). Row amplification is window/step — the price of
+    exactness, stated (keep the ratio small: 7-day/1-day = ×7; for
+    ×100s use the HLL partials instead). The count_distinct itself is
+    Spark's two-phase partial-distinct aggregate — no per-window
+    collection anywhere. All arithmetic integer-exact; the floor
+    division is explicitly negative-safe (floordiv, not truncation),
+    so pre-epoch timestamps bin correctly."""
+    if window < 1 or step < 1 or window % step != 0:
+        raise ValueError(f"window must be a positive multiple of step: {window}, {step}")
+    k = window // step
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(ts_col).cast("long").alias("_t"),
+        F.col(id_col).alias("_id"),
+    ).filter(F.col("_t").isNotNull())
+    # last window containing t starts at floor(t/step)*step; it is the
+    # k-th of the k covering windows (earliest start = that - (k-1)*step)
+    last_start = F.floor(F.col("_t") / F.lit(step)).cast("long") * F.lit(step)
+    starts = F.sequence(
+        last_start - F.lit((k - 1) * step), last_start, F.lit(step)
+    )
+    ex = base.select("_g", "_id", F.explode(starts).alias("window_start"))
+    out = ex.groupBy("_g", "window_start").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("_id").alias("n_distinct"),
+    )
+    return out.select(
+        F.col("_g").alias(group_col),
+        F.col("window_start").cast("long").alias("window_start"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+    )

@@ -1008,3 +1008,33 @@ def test_eb_shrinkage_matches_model_and_reranks(spark):
 
     with _pytest.raises(ValueError):
         eb_shrinkage(df, "item", "k", "n", min_trials=0)
+
+
+def test_sliding_distinct_matches_model(spark):
+    """Counts equal the brute-force per-window model (including
+    windows induced only by coverage); negative timestamps bin
+    correctly; params validated."""
+    import numpy as np
+
+    from osmflat_rs_spark.operators.sessions import sliding_distinct
+
+    rng = np.random.default_rng(367)
+    rows = [("g%d" % (i % 2), int(rng.integers(-50, 200)), int(rng.integers(0, 30)))
+            for i in range(600)]
+    df = spark.createDataFrame(rows, "g string, t long, u long")
+    W, S = 30, 10
+    got = {(r["g"], r["window_start"]): (r["n_events"], r["n_distinct"])
+           for r in sliding_distinct(df, "g", "t", "u", window=W, step=S).collect()}
+    from collections import defaultdict
+
+    want = defaultdict(lambda: [0, set()])
+    for g, t, u in rows:
+        last = (t // S) * S
+        for ws in range(last - W + S, last + S, S):
+            want[(g, ws)][0] += 1
+            want[(g, ws)][1].add(u)
+    assert got == {key: (n, len(s)) for key, (n, s) in want.items()}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sliding_distinct(df, "g", "t", "u", window=25, step=10)
