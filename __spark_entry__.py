@@ -1334,7 +1334,7 @@ def q_cmh_events(spark, sf_dir):
     1e6 fixed-point lattice by exact integer long division."""
     from osmflat_rs_spark.operators.sessions import cmh_odds
 
-    ev = _t(spark, sf_dir, "events").select(
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull()).select(
         F.pmod(F.col("user_id"), F.lit(8)).alias("s"),
         "event_type",
         (F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long") > 500).cast("int").alias("y"),
@@ -1608,7 +1608,7 @@ def q_woe_events(spark, sf_dir):
     cross-multiplied rational, IV as an order-free lattice sum."""
     from osmflat_rs_spark.plans.indexing import woe_iv
 
-    ev = _t(spark, sf_dir, "events").select(
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull()).select(
         F.pmod(F.col("user_id"), F.lit(10)).alias("decile"),
         (F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long") > 500).cast("int").alias("y"),
     )
@@ -6516,7 +6516,8 @@ def oracle_sql() -> dict[str, str]:
         "welch_events": """
             WITH b AS (SELECT event_type,
                               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
-                       FROM events WHERE event_type IN ('click', 'view')),
+                       FROM events
+                       WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
             g AS (SELECT event_type, COUNT(*) AS n, SUM(v) AS sx,
                          SUM(v * v) AS sxx
                   FROM b GROUP BY 1),
@@ -6646,7 +6647,8 @@ def oracle_sql() -> dict[str, str]:
             WITH b AS (SELECT ((user_id % 8) + 8) % 8 AS s, event_type,
                               CASE WHEN CAST(floor(value * 100 + 0.5) AS BIGINT) > 500
                                    THEN 1 ELSE 0 END AS y
-                       FROM events WHERE event_type IN ('click', 'view')),
+                       FROM events
+                       WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
             st AS (SELECT s,
                           SUM(CASE WHEN event_type = 'click' AND y = 1 THEN 1 ELSE 0 END) AS a,
                           SUM(CASE WHEN event_type = 'click' AND y = 0 THEN 1 ELSE 0 END) AS bb,
@@ -6709,7 +6711,8 @@ def oracle_sql() -> dict[str, str]:
             WITH b AS (SELECT event_type,
                               ((event_id % 2) + 2) % 2 AS per,
                               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
-                       FROM events WHERE event_type IN ('click', 'view')),
+                       FROM events
+                       WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
             c AS (SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS t,
                          per AS p, COUNT(*) AS n, SUM(v) AS sx, SUM(v * v) AS sxx
                   FROM b GROUP BY 1, 2),
@@ -7021,7 +7024,7 @@ def oracle_sql() -> dict[str, str]:
             WITH b AS (SELECT ((user_id % 10) + 10) % 10 AS decile,
                               CASE WHEN CAST(floor(value * 100 + 0.5) AS BIGINT) > 500
                                    THEN 1 ELSE 0 END AS y
-                       FROM events),
+                       FROM events WHERE value IS NOT NULL),
             g AS (SELECT decile, SUM(y) AS n_pos, SUM(1 - y) AS n_neg FROM b GROUP BY 1),
             t AS (SELECT SUM(n_pos) AS P, SUM(n_neg) AS Ng FROM g),
             w AS (SELECT decile, n_pos, n_neg, P, Ng,

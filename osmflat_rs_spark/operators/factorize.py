@@ -81,8 +81,11 @@ def als_item_step(
     """
     if k < 1 or k > 32:
         raise ValueError(f"k must be in [1, 32], got {k}")
-    if fp < 10 or reg < 0:
-        raise ValueError(f"bad fp/reg: {fp}, {reg}")
+    if fp < 10 or reg <= 0:
+        # reg = 0 makes A = U^T U exactly singular for items with fewer
+        # than k ratings, and np.linalg.solve then kills the whole Arrow
+        # batch (r5c review finding) — the ridge floor is mandatory
+        raise ValueError(f"fp must be >= 10 and reg > 0: {fp}, {reg}")
     base = ratings.select(
         F.col(item_col).alias("_i"),
         F.col(rating_col).cast("long").alias("_r"),

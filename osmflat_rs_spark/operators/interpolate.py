@@ -507,7 +507,7 @@ def gwr_local(
         F.col(id_col), "lat", "lon",
         F.col(x_col).cast("long").alias("_x"),
         F.col(y_col).cast("long").alias("_y"),
-    )
+    ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
     pairs = radius_join(
         pts, queries, radius_m=float(bandwidth), metric="sqeuclid",
         id_col=id_col, **radius_kwargs,

@@ -999,12 +999,17 @@ def welch_t(
 
     One aggregate of exact int64 (n, Σx, Σx²) per arm — callers keep
     n·max² < 2^63 — then closed-form double arithmetic (SAMPLE
-    variance, n−1) in a pinned op order, ROUND 6. Degenerate arms
+    variance, n−1) in a pinned op order, ROUND 6. NULL-valued rows
+    are dropped BEFORE counting (a NULL skipped by Σ but counted in n
+    would silently bias every statistic — r5c review). Degenerate arms
     (n < 2 or both variances 0) yield NULL t/df rather than ±inf.
     Scale shape: one map-side-combined groupBy of two rows; nothing
     else."""
     g = (
-        df.filter(F.col(group_col).isin([group_a, group_b]))
+        df.filter(
+            F.col(group_col).isin([group_a, group_b])
+            & F.col(value_col).isNotNull()
+        )
         .groupBy(F.col(group_col).alias("_g"))
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -1152,13 +1157,45 @@ def permutation_test(
 
 
 def _fpdiv(num, den, scale: int):
-    """floor(num·scale / den) via exact two-step integer long division
-    (num·scale can overflow int64; num div den + scaled remainder never
-    does for num < 2^53, den·scale < 2^63). num, den must be
-    non-negative int64 columns, den > 0."""
+    """floor(num·scale / den) via exact SPLIT-SCALE integer long
+    division: the remainder is scaled in two ~√scale steps so the
+    largest intermediate is den·√scale, not den·scale — tolerates den
+    up to 2^63/√scale (~9e15 at scale 1e6) where the naive two-step
+    form overflows at den ≈ 9e12 (r5c review finding). Exact: the
+    result is the true floor in every branch. num, den must be
+    non-negative int64 expressions, den > 0; num itself must fit
+    int64 (use :func:`_fpdiv_big` when it needs DECIMAL(38))."""
+    s1 = 1
+    while s1 * s1 < scale:
+        s1 *= 10
+    s2 = scale // s1
+    assert s1 * s2 == scale, f"scale must be a power of 10: {scale}"
     return F.expr(
         f"(({num}) div ({den})) * {scale}L"
-        f" + (((({num}) % ({den})) * {scale}L) div ({den}))"
+        f" + ((((({num}) % ({den})) * {s1}L) div ({den})) * {s2}L)"
+        f" + ((((({num}) % ({den})) * {s1}L) % ({den})) * {s2}L) div ({den})"
+    )
+
+
+def _fpdiv_big(num, den, scale: int):
+    """floor(num·scale / den) where the NUMERATOR needs DECIMAL(38)
+    (e.g. the CMH variance's four-way count product): quotient and
+    remainder come from decimal integer division, then the long
+    remainder is split-scaled as in :func:`_fpdiv`. Exact for den ≤
+    2^63/√scale and num < 10^38."""
+    s1 = 1
+    while s1 * s1 < scale:
+        s1 *= 10
+    s2 = scale // s1
+    assert s1 * s2 == scale, f"scale must be a power of 10: {scale}"
+    nd = f"CAST(({num}) AS DECIMAL(38,0))"
+    dd = f"CAST(({den}) AS DECIMAL(38,0))"
+    q = f"CAST(({nd}) div ({dd}) AS BIGINT)"
+    r = f"CAST(({nd}) % ({dd}) AS BIGINT)"
+    return F.expr(
+        f"({q}) * {scale}L"
+        f" + (((({r}) * {s1}L) div ({den})) * {s2}L)"
+        f" + (((({r}) * {s1}L) % ({den})) * {s2}L) div ({den})"
     )
 
 
@@ -1184,9 +1221,15 @@ def cmh_odds(
     Determinism: every per-stratum term aᵢdᵢ/nᵢ, bᵢcᵢ/nᵢ,
     E[aᵢ] = r1ᵢc1ᵢ/nᵢ and Var[aᵢ] = r1ᵢr2ᵢc1ᵢc2ᵢ/(nᵢ²(nᵢ−1)) is
     snapped to the ``scale`` fixed-point lattice by EXACT integer
-    long division (:func:`_fpdiv` — two-step div/remainder so nothing
-    overflows int64), so the across-strata sums are exact integers in
-    any order; two float divisions at the end (ROUND 6). No
+    long division (:func:`_fpdiv` split-scale form; the variance's
+    four-way count product rides DECIMAL(38) via :func:`_fpdiv_big`),
+    so the across-strata sums are exact integers in any order; two
+    float divisions at the end (ROUND 6). Strata are bounded at
+    200,000 rows each (the exactness envelope of the split-scale
+    remainder: den·√scale < 2^63) — a larger stratum raises with
+    instructions to sub-stratify rather than silently overflowing
+    (r5c review finding; Spark ANSI mode would otherwise kill the
+    job mid-flight at ~21k rows with the naive form). No
     continuity correction (the uncorrected χ² is the cross-engine-
     stable convention; document downstream if you need Yates).
     Single-cell-empty strata contribute 0 to the sums they can't
@@ -1205,6 +1248,12 @@ def cmh_odds(
         .withColumn("n", F.col("a") + F.col("b") + F.col("c") + F.col("d"))
         .filter(F.col("n") > 0)
     )
+    too_big = s.filter(F.col("n") > 200_000).limit(1).count()
+    if too_big:
+        raise ValueError(
+            "cmh_odds: a stratum exceeds 200,000 rows (the exact-arithmetic "
+            "envelope); sub-stratify (e.g. add a hash bucket to the stratum key)"
+        )
     sc = int(scale)
     agg = s.agg(
         F.count(F.lit(1)).alias("n_strata"),
@@ -1216,7 +1265,11 @@ def cmh_odds(
         F.sum(
             F.when(
                 F.col("n") > 1,
-                _fpdiv("(a + b) * (c + d) * (a + c) * (b + d)", "n * n * (n - 1)", sc),
+                _fpdiv_big(
+                    "CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d)",
+                    "n * n * (n - 1)",
+                    sc,
+                ),
             ).otherwise(F.lit(0))
         ).alias("var_fp"),
     )
@@ -1262,7 +1315,11 @@ def diff_in_diff(
     NULL se/t but the point estimate still reports when all four
     means exist. Scale shape: a four-row reduce; nothing else."""
     cells = (
-        df.filter(F.col(group_col).isin([treat, control]) & F.col(period_col).isin([pre, post]))
+        df.filter(
+            F.col(group_col).isin([treat, control])
+            & F.col(period_col).isin([pre, post])
+            & F.col(value_col).isNotNull()
+        )
         .groupBy(
             (F.col(group_col) == treat).cast("int").alias("_t"),
             (F.col(period_col) == post).cast("int").alias("_p"),
@@ -1380,6 +1437,15 @@ def markov_attribution(
         {s for s, _ in counts if s not in ("START",)}
         | {d for _, d in counts if d not in ("CONV", "NULL")}
     )
+    reserved = set(channels) & {"START", "CONV", "NULL"}
+    if reserved or any(
+        s in ("CONV", "NULL") for s, _ in counts
+    ):
+        raise ValueError(
+            "markov_attribution: a channel value collides with a reserved "
+            "state name (START/CONV/NULL) — rename it upstream (a literal "
+            "'NULL' channel would silently score as lost traffic)"
+        )
     if not channels:
         return df.sparkSession.createDataFrame(
             [], "channel string, n_touches long, removal_effect double, attribution double"

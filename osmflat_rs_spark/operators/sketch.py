@@ -665,7 +665,11 @@ def decayed_count_partial(
     return (
         base.withColumn("_w", w)
         .groupBy(F.col("_g").alias(group_col), F.col("_it").alias(item_col))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("_w").alias("score_fp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.coalesce(F.col("_w"), F.lit(0))).alias("score_fp"),
+            F.sum(F.col("_w").isNull().cast("long")).alias("n_invalid"),
+        )
     )
 
 
@@ -680,15 +684,16 @@ def trending_topk_from_partials(
     """Merge-on-read for :func:`decayed_count_partial` outputs →
     identical schema/semantics to :func:`trending_topk` (same
     tie-break, same ROUND): Σ the exact integer partials, two-phase
-    top-n. A NULL score_fp (negative-age rows upstream) fails loudly
-    here."""
+    top-n. Any ``n_invalid`` > 0 (negative-age rows upstream) fails
+    loudly here — the batch operator's guard, deferred to read
+    time."""
     from .sampling import _two_phase_top_n
 
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    bad = partials.filter(F.col("score_fp").isNull()).limit(1).count()
+    bad = partials.filter(F.col("n_invalid") > 0).limit(1).count()
     if bad:
-        raise ValueError("partials contain NULL score_fp (negative ages upstream)")
+        raise ValueError("partials contain negative-age rows (n_invalid > 0)")
     g = partials.groupBy(
         F.col(group_col).alias("_g"), F.col(item_col).alias("_it")
     ).agg(F.sum("n_events").alias("n_events"), F.sum("score_fp").alias("_sfp"))

@@ -678,7 +678,7 @@ def decompose(
         F.count(F.lit(1)).alias("_np"),
     )
     phm = (
-        ph.join(F.broadcast(ctr), "_k")
+        ph.join(F.broadcast(ctr), "_k", "left")
         .select(
             "_k", "_ph",
             F.when(
@@ -691,7 +691,11 @@ def decompose(
             ).alias("_seas"),
         )
     )
-    out = t.join(F.broadcast(phm), ["_k", "_ph"])
+    # LEFT joins end to end: a key whose whole series is shorter than
+    # the MA window has no complete window, hence no ctr row — inner
+    # joins would silently DROP its rows instead of emitting the
+    # documented NULL trend/seasonal/resid (r5c review finding)
+    out = t.join(F.broadcast(phm), ["_k", "_ph"], "left")
     return out.select(
         F.col("_k").alias(key_col),
         F.col("_o").alias(order_col),

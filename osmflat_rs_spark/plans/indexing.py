@@ -1231,7 +1231,8 @@ def wasserstein1_two_sample(
     w1 = w1_num/(n_a·n_b) is the single division. Same scale shape and
     caveat as KS: map-side (value, count) reduces, ONE global sort
     window over the distinct-value domain (pre-bucket at 10^12
-    cardinalities). NULLs drop; empty sides yield an empty result.
+    cardinalities). NULLs drop; an empty side yields NULL w1 (n_a/n_b report which —
+    ANSI mode would otherwise throw on the 0/0, r5c review finding).
     """
     from pyspark.sql import Window
 
@@ -1268,11 +1269,12 @@ def wasserstein1_two_sample(
         ).alias("w1_num"),
     )
     return out.select(
-        "n_a",
-        "n_b",
+        F.coalesce(F.col("n_a"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0)).cast("long").alias("n_b"),
         F.col("w1_num").cast("long").alias("w1_num"),
-        (
-            F.col("w1_num").cast("double") / (F.col("n_a") * F.col("n_b")).cast("double")
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.col("w1_num").cast("double") / (F.col("n_a") * F.col("n_b")).cast("double"),
         ).alias("w1"),
     )
 

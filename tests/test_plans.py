@@ -1178,3 +1178,14 @@ def test_g_test_matches_model(spark):
             assert r["g"] > 100
         else:
             assert r["g"] < 10
+
+
+def test_wasserstein1_empty_side_yields_null_not_crash(spark):
+    """An empty side must produce NULL w1 (ANSI 0/0 would otherwise
+    throw), with n_a/n_b reporting which side was empty."""
+    from osmflat_rs_spark.plans.indexing import wasserstein1_two_sample
+
+    a = spark.createDataFrame([(1,), (2,)], "v long")
+    empty = spark.createDataFrame([], "v long")
+    r = wasserstein1_two_sample(a, empty, "v").collect()[0]
+    assert r["n_a"] == 2 and r["n_b"] == 0 and r["w1"] is None

@@ -1038,3 +1038,62 @@ def test_sliding_distinct_matches_model(spark):
 
     with _pytest.raises(ValueError):
         sliding_distinct(df, "g", "t", "u", window=25, step=10)
+
+
+def test_cmh_large_stratum_exact_and_bounded(spark):
+    """A 30k-row stratum (which overflowed the naive fixed-point form
+    under ANSI mode) now computes exactly via the split-scale/decimal
+    path; a stratum past the 200k exactness envelope raises."""
+    from pyspark.sql import functions as F
+
+    from osmflat_rs_spark.operators.sessions import cmh_odds
+
+    big = spark.range(30000).select(
+        F.lit(1).alias("s"),
+        F.when(F.col("id") % 2 == 0, F.lit("A")).otherwise(F.lit("B")).alias("g"),
+        (F.col("id") % 3 == 0).cast("int").alias("y"),
+    )
+    r = cmh_odds(big, "s", "g", "y", "A", "B").collect()[0].asDict()
+    # exact single-stratum model
+    SC = 10**6
+    a = sum(1 for i in range(30000) if i % 2 == 0 and i % 3 == 0)
+    b = sum(1 for i in range(30000) if i % 2 == 0 and i % 3 != 0)
+    c = sum(1 for i in range(30000) if i % 2 == 1 and i % 3 == 0)
+    d = 30000 - a - b - c
+    n = 30000
+
+    def fpdiv(num, den):
+        q, rem = divmod(num, den)
+        return q * SC + rem * SC // den
+
+    orn, ord_ = fpdiv(a * d, n), fpdiv(b * c, n)
+    efp = fpdiv((a + b) * (a + c), n)
+    vfp = fpdiv((a + b) * (c + d) * (a + c) * (b + d), n * n * (n - 1))
+    numm = a - efp / SC
+    assert r["n"] == 30000 and r["or_mh"] == round(orn / ord_, 6)
+    assert r["chi2_cmh"] == round(numm * numm / (vfp / SC), 6)
+
+    import pytest as _pytest
+
+    huge = spark.range(250000).select(
+        F.lit(1).alias("s"),
+        F.when(F.col("id") % 2 == 0, F.lit("A")).otherwise(F.lit("B")).alias("g"),
+        (F.col("id") % 3 == 0).cast("int").alias("y"),
+    )
+    with _pytest.raises(ValueError, match="sub-stratify"):
+        cmh_odds(huge, "s", "g", "y", "A", "B")
+
+
+def test_markov_attribution_rejects_reserved_channel_names(spark):
+    """A channel literally named 'NULL' (a common stringified-missing
+    artifact) must raise instead of silently scoring as lost traffic."""
+    import pytest as _pytest
+
+    from osmflat_rs_spark.operators.sessions import markov_attribution
+
+    df = spark.createDataFrame(
+        [(1, 0, "A"), (1, 1, "NULL"), (1, 2, "buy"), (2, 0, "A")],
+        "u long, t long, c string",
+    )
+    with _pytest.raises(ValueError, match="reserved"):
+        markov_attribution(df, "u", "t", "c", "buy")

@@ -738,3 +738,23 @@ def test_stream_trending_partials_equal_batch(spark):
         for r in trending_topk(sdf, "g", "item", "age", n=5, half_life=800).collect()
     )
     assert got == want and len(got) == 15
+
+
+def test_stream_trending_partials_fail_loudly_on_negative_age(spark):
+    """A partial whose (group, item) mixes a negative age with valid
+    rows must be rejected at read time, not silently undercounted."""
+    import pytest as _pytest
+
+    from osmflat_rs_spark.operators.sketch import (
+        decayed_count_partial,
+        trending_topk_from_partials,
+    )
+
+    df = spark.createDataFrame(
+        [("g", "i", 5), ("g", "i", -1), ("g", "j", 3)], "g string, item string, age long"
+    )
+    part = decayed_count_partial(df, "g", "item", "age", half_life=100)
+    rows = {(r["g"], r["item"]): r.asDict() for r in part.collect()}
+    assert rows[("g", "i")]["n_invalid"] == 1 and rows[("g", "j")]["n_invalid"] == 0
+    with _pytest.raises(ValueError, match="n_invalid"):
+        trending_topk_from_partials(part, "g", "item", n=5)

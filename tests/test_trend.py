@@ -472,3 +472,18 @@ def test_forecast_accuracy_matches_model(spark):
                                  "k string, t long, a long, f long")
     r = forecast_accuracy(perf, "k", "t", "a", "f").collect()[0]
     assert r["mae"] == r["rmse"] == r["smape"] == 0.0 and r["mase"] == 0.0
+
+
+def test_decompose_short_series_rows_survive(spark):
+    """A key shorter than the MA window keeps ALL its rows with NULL
+    trend/seasonal/resid instead of vanishing (left-join contract)."""
+    from osmflat_rs_spark.operators.trend import decompose
+
+    rows = [("long", t, 100 + t) for t in range(30)] + [("tiny", t, 5) for t in range(3)]
+    df = spark.createDataFrame(rows, "k string, t long, x long")
+    got = decompose(df, "k", "t", "x", period=4).collect()
+    assert len(got) == 33
+    tiny = [r for r in got if r["k"] == "tiny"]
+    assert len(tiny) == 3
+    assert all(r["trend"] is None and r["seasonal"] is None and r["resid"] is None for r in tiny)
+    assert all(r["x"] == 5 for r in tiny)
