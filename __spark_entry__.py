@@ -1704,6 +1704,31 @@ def q_sliding_distinct_events(spark, sf_dir):
     return sliding_distinct(ev, "event_type", "tick", "user_id", window=24, step=8)
 
 
+def q_qn_events(spark, sf_dir):
+    """Per-event_type quantile normalization of cents — average tie
+    ranks from one sort, the (rmin+rmax−2)/(2(n−1)) exact-rational
+    form, singletons at 0.5."""
+    from osmflat_rs_spark.plans.indexing import quantile_normalize
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    return quantile_normalize(ev, "event_type", "event_id", "cents")
+
+
+def q_mde_events(spark, sf_dir):
+    """Minimum-detectable-effect readout of cents per event_type at
+    the default 5%/80% design — exact moments, closed-form doubles."""
+    from osmflat_rs_spark.operators.sessions import mde_readout
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    return mde_readout(ev, "event_type", "cents")
+
+
 def q_huff_events(spark, sf_dir):
     """Huff probabilistic market share at 10 facilities (the kNN gate's
     lattice, attractiveness 1..5): regularized inverse-square weight
@@ -5365,6 +5390,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gtest_events": q_gtest_events,
         "forecast_acc_events": q_forecast_acc_events,
         "sliding_distinct_events": q_sliding_distinct_events,
+        "qn_events": q_qn_events,
+        "mde_events": q_mde_events,
         "simplify_events": q_simplify_events,
         "dbscan_events": q_dbscan_events,
         "knn_events": q_knn_events,
@@ -7168,6 +7195,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_events,
                    CAST(COUNT(DISTINCT u) AS BIGINT) AS n_distinct
             FROM ex GROUP BY 1, 2
+        """,
+        # quantile normalize: same tie-rank rational
+        "qn_events": """
+            WITH b AS (SELECT event_type AS g, event_id AS id,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                       FROM events WHERE value IS NOT NULL),
+            r AS (SELECT g, id, v,
+                         row_number() OVER (PARTITION BY g ORDER BY v, id) AS rn,
+                         COUNT(*) OVER (PARTITION BY g) AS n
+                  FROM b),
+            t AS (SELECT g, id, v, n,
+                         MIN(rn) OVER (PARTITION BY g, v) AS rmin,
+                         MAX(rn) OVER (PARTITION BY g, v) AS rmax
+                  FROM r)
+            SELECT g AS event_type, id AS event_id, v AS cents,
+                   round(CASE WHEN n > 1
+                              THEN CAST(rmin + rmax - 2 AS DOUBLE) / (2 * (n - 1))
+                              ELSE 0.5 END, 6) AS qn
+            FROM t
+        """,
+        # MDE: same exact moments, same closed form, same z constants
+        "mde_events": """
+            WITH b AS (SELECT event_type AS g,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                       FROM events WHERE value IS NOT NULL),
+            m AS (SELECT g, COUNT(*) AS n, SUM(v) AS sx, SUM(v * v) AS sxx
+                  FROM b GROUP BY 1),
+            f AS (SELECT g, n, CAST(sx AS DOUBLE) / n AS mu,
+                         CASE WHEN n > 1
+                              THEN (CAST(sxx AS DOUBLE)
+                                    - CAST(sx AS DOUBLE) * (CAST(sx AS DOUBLE) / n))
+                                   / (CAST(n AS DOUBLE) - 1) END AS var
+                  FROM m),
+            o AS (SELECT g, n, mu, var,
+                         CASE WHEN var > 0
+                              THEN 2.801585 * sqrt(2 * var / CAST(n AS DOUBLE)) END AS mde
+                  FROM f)
+            SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+                   round(mu, 6) AS mean,
+                   round(CASE WHEN var IS NOT NULL THEN sqrt(GREATEST(var, 0.0)) END, 6) AS sd,
+                   round(mde, 6) AS mde_abs,
+                   round(CASE WHEN mde IS NOT NULL AND mu <> 0 THEN mde / mu END, 6) AS mde_rel
+            FROM o
         """,
         # Gini: same exact Lorenz sums
         "gini_events": """

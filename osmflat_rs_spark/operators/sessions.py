@@ -1633,3 +1633,52 @@ def sliding_distinct(
         F.col("n_events").cast("long").alias("n_events"),
         F.col("n_distinct").cast("long").alias("n_distinct"),
     )
+
+
+def mde_readout(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    alpha_z: float = 1.959964,
+    power_z: float = 0.841621,
+):
+    """Minimum-detectable-effect readout per arm-sizing question → one
+    row per group: (group, n, mean, sd, mde_abs, mde_rel) — "how big
+    a lift could this experiment even see": the classic two-sample
+    formula MDE = (z_{α/2} + z_{power})·√(2σ²/n) evaluated at each
+    group's OBSERVED n and variance (z defaults: two-sided 5%, 80%
+    power — pass other quantiles for other designs; they are plain
+    constants, so determinism is untouched). The pre-experiment
+    sanity check every platform runs before burning two weeks of
+    traffic on an undetectable effect.
+
+    Exact int64 (n, Σx, Σx²) per group (NULL values dropped before
+    counting), closed-form doubles in a pinned order, ROUND 6; NULL
+    mde for degenerate groups (n < 2 or zero variance), NULL mde_rel
+    additionally when the mean is 0. One map-side-combined groupBy;
+    nothing else."""
+    g = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("_g"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value_col).cast("long")).alias("sx"),
+            F.sum(F.col(value_col).cast("long") * F.col(value_col).cast("long")).alias("sxx"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    m = F.col("sx").cast("double") / nd
+    var = F.when(
+        F.col("n") > 1,
+        (F.col("sxx").cast("double") - F.col("sx").cast("double") * m) / (nd - 1),
+    )
+    z = float(alpha_z) + float(power_z)
+    mde = F.when(var > 0, F.lit(z) * F.sqrt(2 * var / nd))
+    return g.select(
+        F.col("_g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.round(m, 6).alias("mean"),
+        F.round(F.when(var.isNotNull(), F.sqrt(F.greatest(var, F.lit(0.0)))), 6).alias("sd"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(F.when(mde.isNotNull() & (m != 0), mde / m), 6).alias("mde_rel"),
+    )

@@ -1506,3 +1506,59 @@ def g_test_independence(
         ((F.col("_na") - 1) * (F.col("_nb") - 1)).cast("long").alias("df_q"),
         F.round(2 * F.col("_gfp").cast("double") / F.lit(float(sc)), 6).alias("g"),
     )
+
+
+def quantile_normalize(
+    df,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+):
+    """Per-group rank transform to [0, 1] → one row per input row:
+    (group, id, value, qn) — the distribution-free feature/metric
+    normalizer (maps any marginal onto uniform, the first step of
+    quantile-quantile mapping and copula fitting): qn =
+    (rank − 1)/(n − 1) with AVERAGE rank for ties (the convention
+    that keeps tied values identical after the transform —
+    min/max-rank would order-split them).
+
+    Exactness: average tie rank = (first_rank + last_rank)/2 comes
+    from two window functions over ONE sort; qn is one division of
+    exact ints per row — but kept as the exact rational 2·avg_rank−2
+    over 2(n−1) cross-multiplied into a single division so the .5
+    average never becomes an intermediate float. Single-row groups
+    (n = 1) emit qn = 0.5 by convention (documented, not NULL — the
+    midpoint is the information-free answer). One window sort per
+    group; O(1) frame state; ROUND 6."""
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(id_col).alias("_id"),
+        F.col(value_col).cast("long").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    w = Window.partitionBy("_g").orderBy("_v")
+    wg = Window.partitionBy("_g")
+    wv = Window.partitionBy("_g", "_v")
+    r = base.select(
+        "_g", "_id", "_v",
+        F.row_number().over(w.orderBy("_v", "_id")).alias("_rn"),
+        F.count(F.lit(1)).over(wg).alias("_n"),
+    )
+    r = r.select(
+        "_g", "_id", "_v", "_n",
+        F.min("_rn").over(wv).alias("_rmin"),
+        F.max("_rn").over(wv).alias("_rmax"),
+    )
+    # qn = (avg_rank - 1)/(n - 1) = (rmin + rmax - 2) / (2(n - 1))
+    qn = F.when(
+        F.col("_n") > 1,
+        (F.col("_rmin") + F.col("_rmax") - 2).cast("double")
+        / (2 * (F.col("_n") - 1)).cast("double"),
+    ).otherwise(F.lit(0.5))
+    return r.select(
+        F.col("_g").alias(group_col),
+        F.col("_id").alias(id_col),
+        F.col("_v").alias(value_col),
+        F.round(qn, 6).alias("qn"),
+    )

@@ -1189,3 +1189,36 @@ def test_wasserstein1_empty_side_yields_null_not_crash(spark):
     empty = spark.createDataFrame([], "v long")
     r = wasserstein1_two_sample(a, empty, "v").collect()[0]
     assert r["n_a"] == 2 and r["n_b"] == 0 and r["w1"] is None
+
+
+def test_quantile_normalize_matches_scipy_convention(spark):
+    """qn matches the average-tie-rank model; ties share one value;
+    extremes map to 0 and 1; singleton groups get 0.5."""
+    import numpy as np
+
+    from osmflat_rs_spark.plans.indexing import quantile_normalize
+
+    rng = np.random.default_rng(373)
+    rows = [("a", i, int(rng.integers(0, 50))) for i in range(200)]
+    rows += [("solo", 999, 7)]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    got = {(r["g"], r["id"]): r["qn"] for r in quantile_normalize(df, "g", "id", "v").collect()}
+    vals = sorted(v for g, _, v in rows if g == "a")
+    n = len(vals)
+    import bisect
+
+    for g, i, v in rows:
+        if g != "a":
+            continue
+        lo = bisect.bisect_left(vals, v) + 1
+        hi = bisect.bisect_right(vals, v)
+        want = (lo + hi - 2) / (2 * (n - 1))
+        assert got[("a", i)] == round(want, 6), (i, v)
+    assert got[("solo", 999)] == 0.5
+    # bounds hold; exact 0/1 only for UNTIED extremes (average-rank
+    # convention), which this draw happens not to have
+    assert min(got.values()) >= 0.0 and max(got.values()) <= 1.0
+    # untied extremes map exactly
+    u = spark.createDataFrame([("u", i, i) for i in range(5)], "g string, id long, v long")
+    gu = {r["id"]: r["qn"] for r in quantile_normalize(u, "g", "id", "v").collect()}
+    assert gu[0] == 0.0 and gu[4] == 1.0 and gu[2] == 0.5

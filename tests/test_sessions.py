@@ -1097,3 +1097,29 @@ def test_markov_attribution_rejects_reserved_channel_names(spark):
     )
     with _pytest.raises(ValueError, match="reserved"):
         markov_attribution(df, "u", "t", "c", "buy")
+
+
+def test_mde_readout_matches_closed_form(spark):
+    """mde equals the closed-form two-sample formula at the observed
+    moments; more data shrinks the MDE; degenerate groups go NULL."""
+    import numpy as np
+
+    from osmflat_rs_spark.operators.sessions import mde_readout
+
+    rng = np.random.default_rng(379)
+    rows = [("big", int(rng.normal(1000, 50))) for _ in range(2000)]
+    rows += [("small", int(rng.normal(1000, 50))) for _ in range(50)]
+    rows += [("flat", 7), ("flat", 7)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r["g"]: r.asDict() for r in mde_readout(df, "g", "v").collect()}
+    for g in ("big", "small"):
+        vs = np.array([v for gg, v in rows if gg == g], dtype=float)
+        var = vs.var(ddof=1)
+        mde = (1.959964 + 0.841621) * np.sqrt(2 * var / len(vs))
+        r = got[g]
+        assert r["n"] == len(vs)
+        assert abs(r["mean"] - vs.mean()) < 1e-6
+        assert abs(r["mde_abs"] - mde) < 1e-4
+        assert abs(r["mde_rel"] - mde / vs.mean()) < 1e-6
+    assert got["small"]["mde_abs"] > 5 * got["big"]["mde_abs"]
+    assert got["flat"]["mde_abs"] is None and got["flat"]["sd"] == 0.0
