@@ -1729,6 +1729,26 @@ def q_mde_events(spark, sf_dir):
     return mde_readout(ev, "event_type", "cents")
 
 
+def q_kappa_events(spark, sf_dir):
+    """Cohen's kappa between event_type and the classreport gate's
+    deterministic 70%-accurate corruption — the whole statistic is one
+    exact int64 cross ratio (N·Σdiag − Σr·c)/(N² − Σr·c)."""
+    from osmflat_rs_spark.plans.indexing import cohens_kappa
+
+    types = F.array(
+        F.lit("click"), F.lit("error"), F.lit("purchase"), F.lit("signup"), F.lit("view")
+    )
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("a"),
+        F.when(
+            F.pmod(F.col("user_id"), F.lit(10)) < 7, F.col("event_type")
+        ).otherwise(
+            F.element_at(types, F.pmod(F.col("event_id"), F.lit(5)).cast("int") + 1)
+        ).alias("b"),
+    )
+    return cohens_kappa(ev, "a", "b")
+
+
 def q_huff_events(spark, sf_dir):
     """Huff probabilistic market share at 10 facilities (the kNN gate's
     lattice, attractiveness 1..5): regularized inverse-square weight
@@ -5392,6 +5412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_distinct_events": q_sliding_distinct_events,
         "qn_events": q_qn_events,
         "mde_events": q_mde_events,
+        "kappa_events": q_kappa_events,
         "simplify_events": q_simplify_events,
         "dbscan_events": q_dbscan_events,
         "knn_events": q_knn_events,
@@ -7238,6 +7259,30 @@ def oracle_sql() -> dict[str, str]:
                    round(mde, 6) AS mde_abs,
                    round(CASE WHEN mde IS NOT NULL AND mu <> 0 THEN mde / mu END, 6) AS mde_rel
             FROM o
+        """,
+        # kappa: same exact integer cross ratio
+        "kappa_events": """
+            WITH b AS (SELECT event_type AS a,
+                              CASE WHEN ((user_id % 10) + 10) % 10 < 7 THEN event_type
+                                   ELSE (['click','error','purchase','signup','view'])
+                                        [CAST(((event_id % 5) + 5) % 5 AS INT) + 1]
+                              END AS p
+                       FROM events),
+            c AS (SELECT a, p, COUNT(*) AS o FROM b GROUP BY 1, 2),
+            ra AS (SELECT a, SUM(o) AS r FROM c GROUP BY 1),
+            cb AS (SELECT p, SUM(o) AS cc FROM c GROUP BY 1),
+            m AS (SELECT COALESCE(SUM(r * cc), 0) AS src
+                  FROM ra JOIN cb ON ra.a = cb.p),
+            t AS (SELECT SUM(o) AS n,
+                         SUM(CASE WHEN a = p THEN o ELSE 0 END) AS diag
+                  FROM c)
+            SELECT CAST(n AS BIGINT) AS n,
+                   round(CAST(diag AS DOUBLE) / n, 6) AS po,
+                   round(CAST(src AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+                   round(CASE WHEN n * n <> src
+                              THEN CAST(n * diag - src AS DOUBLE)
+                                   / CAST(n * n - src AS DOUBLE) END, 6) AS kappa
+            FROM t CROSS JOIN m
         """,
         # Gini: same exact Lorenz sums
         "gini_events": """

@@ -1562,3 +1562,55 @@ def quantile_normalize(
         F.col("_v").alias(value_col),
         F.round(qn, 6).alias("qn"),
     )
+
+
+def cohens_kappa(
+    df,
+    rater_a_col: str,
+    rater_b_col: str,
+):
+    """Cohen's κ inter-rater agreement → one row: (n, po, pe, kappa)
+    — "do two labelers (or a model and the gold set) agree beyond
+    chance": κ = (p_o − p_e)/(1 − p_e) with observed agreement
+    p_o = Σ diag/N and chance agreement p_e = Σ (row·col)/N². The
+    label-quality gate every annotation pipeline needs before
+    trusting its training labels (κ < 0.4 is noise, > 0.8 is solid —
+    Landis & Koch 1977).
+
+    Exactness: the whole statistic reduces to ONE division of exact
+    int64 — κ = (N·Σdiag − Σ rᵢcᵢ) / (N² − Σ rᵢcᵢ) by clearing the
+    N² denominator — so there is no intermediate float at all
+    (callers keep N² < 2^63, i.e. N ≤ 3·10⁹ pairs; beyond that,
+    stratify). p_o and p_e report as one division each. NULL kappa
+    when p_e = 1 (a single shared label — agreement is undefined,
+    not perfect). One map-side-combined groupBy to the confusion
+    cells + two margin rollups, all bounded by the label vocabulary.
+    ROUND 6."""
+    cells = df.select(
+        F.col(rater_a_col).alias("_a"), F.col(rater_b_col).alias("_b")
+    ).groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("o"))
+    ra = cells.groupBy("_a").agg(F.sum("o").alias("_r"))
+    cb = cells.groupBy("_b").agg(F.sum("o").alias("_c"))
+    marg = ra.join(cb, ra["_a"] == cb["_b"]).select(
+        (F.col("_r") * F.col("_c")).alias("_rc")
+    )
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.sum(F.when(F.col("_a") == F.col("_b"), F.col("o")).otherwise(F.lit(0))).alias("diag"),
+    )
+    pe_num = marg.agg(F.coalesce(F.sum("_rc"), F.lit(0)).alias("_src"))
+    j = tot.crossJoin(F.broadcast(pe_num))
+    nd = F.col("n").cast("double")
+    po = F.col("diag").cast("double") / nd
+    pe = F.col("_src").cast("double") / (nd * nd)
+    kappa = F.when(
+        F.col("n") * F.col("n") != F.col("_src"),
+        (F.col("n") * F.col("diag") - F.col("_src")).cast("double")
+        / (F.col("n") * F.col("n") - F.col("_src")).cast("double"),
+    )
+    return j.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round(kappa, 6).alias("kappa"),
+    )

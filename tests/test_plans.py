@@ -1222,3 +1222,39 @@ def test_quantile_normalize_matches_scipy_convention(spark):
     u = spark.createDataFrame([("u", i, i) for i in range(5)], "g string, id long, v long")
     gu = {r["id"]: r["qn"] for r in quantile_normalize(u, "g", "id", "v").collect()}
     assert gu[0] == 0.0 and gu[4] == 1.0 and gu[2] == 0.5
+
+
+def test_cohens_kappa_matches_model(spark):
+    """kappa equals the exact integer cross ratio; perfect agreement
+    gives 1; independent raters give ~0; a single shared label gives
+    NULL (undefined, not perfect)."""
+    import numpy as np
+
+    from osmflat_rs_spark.plans.indexing import cohens_kappa
+
+    rng = np.random.default_rng(383)
+    labels = ["x", "y", "z"]
+    rows = []
+    for _ in range(500):
+        a = labels[int(rng.integers(0, 3))]
+        b = a if rng.random() < 0.7 else labels[int(rng.integers(0, 3))]
+        rows.append((a, b))
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0].asDict()
+    from collections import Counter
+
+    N = len(rows)
+    diag = sum(1 for a, b in rows if a == b)
+    ra, cb = Counter(a for a, _ in rows), Counter(b for _, b in rows)
+    src = sum(ra[l] * cb[l] for l in set(ra) | set(cb))
+    assert r["n"] == N
+    assert r["po"] == round(diag / N, 6)
+    assert r["pe"] == round(src / N / N, 6)
+    assert r["kappa"] == round((N * diag - src) / (N * N - src), 6)
+    assert 0.5 < r["kappa"] < 0.9
+    # perfect agreement
+    p = spark.createDataFrame([("x", "x")] * 5 + [("y", "y")] * 5, "a string, b string")
+    assert cohens_kappa(p, "a", "b").collect()[0]["kappa"] == 1.0
+    # degenerate single label
+    d = spark.createDataFrame([("x", "x")] * 5, "a string, b string")
+    assert cohens_kappa(d, "a", "b").collect()[0]["kappa"] is None
