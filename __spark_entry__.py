@@ -1749,6 +1749,19 @@ def q_kappa_events(spark, sf_dir):
     return cohens_kappa(ev, "a", "b")
 
 
+def q_xi_events(spark, sf_dir):
+    """Chatterjee xi of cents against the synthetic longitude per
+    event_type — tie-robust all-integer numerator/denominator from two
+    window sorts, one division."""
+    from osmflat_rs_spark.plans.indexing import chatterjee_xi
+
+    ev = _synth_coords(_t(spark, sf_dir, "events")).select(
+        "event_type", "event_id", "lon",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    return chatterjee_xi(ev, "event_type", "lon", "cents", "event_id")
+
+
 def q_huff_events(spark, sf_dir):
     """Huff probabilistic market share at 10 facilities (the kNN gate's
     lattice, attractiveness 1..5): regularized inverse-square weight
@@ -5413,6 +5426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qn_events": q_qn_events,
         "mde_events": q_mde_events,
         "kappa_events": q_kappa_events,
+        "xi_events": q_xi_events,
         "simplify_events": q_simplify_events,
         "dbscan_events": q_dbscan_events,
         "knn_events": q_knn_events,
@@ -7283,6 +7297,35 @@ def oracle_sql() -> dict[str, str]:
                               THEN CAST(n * diag - src AS DOUBLE)
                                    / CAST(n * n - src AS DOUBLE) END, 6) AS kappa
             FROM t CROSS JOIN m
+        """,
+        # Chatterjee xi: same tie ranks, same integer cross ratio
+        "xi_events": f"""
+            WITH b AS (SELECT event_type AS g, event_id AS id,
+                              CAST({LON0} + (event_id * {A_LON}) % {LONSPAN} AS BIGINT) AS x,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+                       FROM events WHERE value IS NOT NULL),
+            r1 AS (SELECT g, id, x, y,
+                          row_number() OVER (PARTITION BY g ORDER BY y, id) AS ry,
+                          COUNT(*) OVER (PARTITION BY g) AS n
+                   FROM b),
+            r2 AS (SELECT g, id, x, y, n,
+                          MAX(ry) OVER (PARTITION BY g, y) AS r,
+                          n - MIN(ry) OVER (PARTITION BY g, y) + 1 AS l
+                   FROM r1),
+            r3 AS (SELECT g, n, r, l,
+                          lag(r) OVER (PARTITION BY g ORDER BY x, id) AS rprev
+                   FROM r2),
+            a AS (SELECT g, MIN(n) AS n,
+                         SUM(CASE WHEN rprev IS NOT NULL THEN abs(r - rprev) END) AS sd,
+                         SUM(l * (n - l)) AS sl
+                  FROM r3 GROUP BY 1)
+            SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+                   CAST(n * COALESCE(sd, 0) AS BIGINT) AS xi_num,
+                   CAST(2 * sl AS BIGINT) AS xi_den,
+                   round(CASE WHEN 2 * sl > 0
+                              THEN 1 - CAST(n * COALESCE(sd, 0) AS DOUBLE)
+                                       / CAST(2 * sl AS DOUBLE) END, 6) AS xi
+            FROM a
         """,
         # Gini: same exact Lorenz sums
         "gini_events": """

@@ -1614,3 +1614,70 @@ def cohens_kappa(
         F.round(pe, 6).alias("pe"),
         F.round(kappa, 6).alias("kappa"),
     )
+
+
+def chatterjee_xi(
+    df,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+):
+    """Chatterjee's ξ rank correlation (Chatterjee 2021, JASA) per
+    group → (group, n, xi_num, xi_den, xi) — the modern dependence
+    coefficient: ~0 iff Y ⫫ X, →1 iff Y is a measurable FUNCTION of X
+    — it detects any functional relationship (a parabola scores ~1
+    where Pearson and Spearman score ~0). The tie-robust form:
+
+        ξ = 1 − n·Σᵢ|r_{i+1} − r_i| / (2·Σᵢ lᵢ(n − lᵢ))
+
+    with rows in X order, r_i = #{j : y_j ≤ y_i} and l_i =
+    #{j : y_j ≥ y_i}. X ties are broken by ``id_col`` (Chatterjee
+    breaks them at random; a deterministic id gives the reproducible
+    member of that family — the declared semantics).
+
+    Exactness: r and l are MAX/MIN tie ranks from one Y-sort (the
+    quantile_normalize window machinery); the numerator lag-diff sum
+    rides the X-sort; numerator and denominator are exact int64
+    (callers keep n·Σ < 2^63, n ≤ ~3·10⁹ per group) reported raw next
+    to the single-division ξ (ROUND 6). NULL ξ for degenerate groups
+    (n < 2 or constant Y: den = 0). Two window sorts per group,
+    nothing else."""
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+        F.col(id_col).alias("_id"),
+    ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    wy = Window.partitionBy("_g").orderBy("_y", "_id")
+    wyv = Window.partitionBy("_g", "_y")
+    wg = Window.partitionBy("_g")
+    r1 = base.select(
+        "_g", "_x", "_y", "_id",
+        F.row_number().over(wy).alias("_ry"),
+        F.count(F.lit(1)).over(wg).alias("_n"),
+    )
+    r2 = r1.select(
+        "_g", "_x", "_y", "_id", "_n",
+        F.max("_ry").over(wyv).alias("_r"),   # #{y_j <= y_i}
+        (F.col("_n") - F.min("_ry").over(wyv) + 1).alias("_l"),  # #{y_j >= y_i}
+    )
+    wx = Window.partitionBy("_g").orderBy("_x", "_id")
+    r3 = r2.withColumn("_rprev", F.lag("_r").over(wx))
+    g = r3.groupBy("_g").agg(
+        F.first("_n").alias("n"),
+        F.sum(F.when(F.col("_rprev").isNotNull(), F.abs(F.col("_r") - F.col("_rprev")))).alias("_sd"),
+        F.sum(F.col("_l") * (F.col("_n") - F.col("_l"))).alias("_sl"),
+    )
+    num = F.col("n") * F.coalesce(F.col("_sd"), F.lit(0))
+    den = 2 * F.col("_sl")
+    xi = F.when(den > 0, 1 - num.cast("double") / den.cast("double"))
+    return g.select(
+        F.col("_g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        num.cast("long").alias("xi_num"),
+        den.cast("long").alias("xi_den"),
+        F.round(xi, 6).alias("xi"),
+    )

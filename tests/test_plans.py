@@ -1258,3 +1258,52 @@ def test_cohens_kappa_matches_model(spark):
     # degenerate single label
     d = spark.createDataFrame([("x", "x")] * 5, "a string, b string")
     assert cohens_kappa(d, "a", "b").collect()[0]["kappa"] is None
+
+
+def test_chatterjee_xi_detects_nonmonotone_dependence(spark):
+    """xi matches the exact integer model; a parabola (Spearman ~0)
+    scores high; independent noise scores ~0; constant Y gives NULL;
+    a tie-heavy series matches the tie-robust formula exactly."""
+    import numpy as np
+
+    from osmflat_rs_spark.plans.indexing import chatterjee_xi
+
+    rng = np.random.default_rng(389)
+    rows = []
+    for i in range(400):
+        x = int(rng.integers(-100, 101))
+        rows.append(("para", x, x * x, i))
+        rows.append(("noise", x, int(rng.integers(0, 1000)), i))
+        rows.append(("ties", x, x // 25, i))
+        rows.append(("const", x, 7, i))
+    df = spark.createDataFrame(rows, "g string, x long, y long, id long")
+    got = {r["g"]: r.asDict() for r in chatterjee_xi(df, "g", "x", "y", "id").collect()}
+
+    def model(sub):
+        sub_y = sorted((y, i) for _, x, y, i in sub)
+        n = len(sub)
+        ys = [y for _, _, y, _ in sub]
+        import bisect
+
+        ys_sorted = sorted(ys)
+        r = {}
+        l = {}
+        for _, x, y, i in sub:
+            r[i] = bisect.bisect_right(ys_sorted, y)
+            l[i] = n - bisect.bisect_left(ys_sorted, y)
+        xorder = sorted(sub, key=lambda t: (t[1], t[3]))
+        sd = sum(abs(r[xorder[k + 1][3]] - r[xorder[k][3]]) for k in range(n - 1))
+        sl = sum(l[i] * (n - l[i]) for _, _, _, i in sub)
+        num, den = n * sd, 2 * sl
+        return num, den, (1 - num / den) if den > 0 else None
+
+    for g in ("para", "noise", "ties", "const"):
+        sub = [t for t in rows if t[0] == g]
+        num, den, xi = model(sub)
+        rr = got[g]
+        assert rr["xi_num"] == num and rr["xi_den"] == den, g
+        assert rr["xi"] == (round(xi, 6) if xi is not None else None), g
+    assert got["para"]["xi"] > 0.8        # functional dependence found
+    assert abs(got["noise"]["xi"]) < 0.15  # independence ~ 0
+    assert got["const"]["xi"] is None
+    assert got["ties"]["xi"] > 0.7
