@@ -3505,9 +3505,17 @@ def q_snap_events(spark, sf_dir):
 
     pts = _synth_coords(_t(spark, sf_dir, "events"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # r6: explicit fan-out BEFORE the window (the q_raster_events
+    # pattern): AQE sizes the window shuffle on the slim pre-explode
+    # bytes and coalesces it to ~2 partitions, which would serialize the
+    # downstream ~60x cover explode + candidate join onto 2 of N cores.
+    # The keyed explicit-count repartition satisfies the window's
+    # clustering requirement, becomes the stage's only exchange, and AQE
+    # leaves it alone.
     seg = (
-        pts.select("user_id", "ts", "event_id",
-                   F.col("lat").alias("lat1"), F.col("lon").alias("lon1"))
+        pts.repartition(spark.sparkContext.defaultParallelism, "user_id")
+        .select("user_id", "ts", "event_id",
+                F.col("lat").alias("lat1"), F.col("lon").alias("lon1"))
         .withColumn("lat2", F.lead("lat1").over(w))
         .withColumn("lon2", F.lead("lon1").over(w))
         .filter(F.col("lat2").isNotNull())

@@ -10,32 +10,34 @@ this is the road-network/trajectory-crossing operation a user of that
 data model asks for next (junction discovery, trajectory conflict
 detection).
 
-Scale design, in plan order:
+Scale design, in plan order (r6 shape — one Catalyst cover, one
+exchange, one fused Python stage):
 
-1. **Cover** (`_covers`, Arrow-batched): each segment is covered by
-   every grid cell that contains any of its points. The construction is
-   the subpiece-bbox method, EXACT in int64 end-to-end: split the
-   segment at m = ceil(max(|dx|,|dy|)/cell_size) + 1 parameter
-   breakpoints (so each subpiece's bbox spans < 2 cells per axis), take
-   each subpiece's integer-floor breakpoint bbox padded by 1 unit (the
-   floor-division error bound — a line segment is coordinate-monotone,
-   so consecutive breakpoints ARE the subpiece bbox corners), and emit
-   the ≤ 3×3 cells that bbox overlaps. The union over subpieces is a
-   SUPERSET of every floor cell the segment passes through, so two
-   properly-crossing segments always share the cell containing their
-   intersection point — candidate generation is lossless with NO
-   dilation step. Cover size scales with segment length / cell_size
-   (the standard trade; ``cell_size`` is the knob).
-2. **Candidate join**: one shuffle on the packed cell key; the per-row
-   payload is the 4 fixed-width endpoint ints — bounded, unlike
+1. **Cover** (`catalyst_cover`, pure JVM codegen): each segment is
+   covered by every grid cell that contains any of its points. The
+   construction is the subpiece-bbox method: split the segment at
+   m = ceil(max(|dx|,|dy|)/cell_size) + 1 parameter breakpoints (so
+   each subpiece's bbox spans < 2 cells per axis), take each subpiece's
+   integer-floor breakpoint bbox padded by 2 units (floor bound + the
+   double-division rounding bound — a line segment is coordinate-
+   monotone, so consecutive breakpoints ARE the subpiece bbox corners),
+   and emit the cells that bbox overlaps via ``sequence`` explodes. The
+   union over subpieces is a SUPERSET of every floor cell the segment
+   passes through, so two properly-crossing segments always share the
+   cell containing their intersection point — candidate generation is
+   lossless with NO dilation step. Cover size scales with segment
+   length / cell_size (the standard trade; ``cell_size`` is the knob).
+2. **One exchange** clustering the cover by packed cell key; the
+   per-row payload is the 4 fixed-width endpoint ints — bounded, unlike
    shipping variable geometry (the r4 pip_join_shuffle ring-payload
-   lesson). Verification runs PIPELINED in the join stage (no exchange
-   between them): a pair sharing k cells is verified k times — k is
-   small and the test is vectorized arithmetic — which is strictly
-   cheaper than the alternative (dedup first = shuffling every 80-byte
-   candidate row by pair key before the filter). The final `distinct`
-   then shuffles only the SURVIVING 16-byte pairs.
-3. **Verify** (`_proper_sign`): the classic 4-orientation sign test.
+   lesson).
+3. **Fused pair + verify** (`_pair_verify_fn`): per-cell i<j pairs are
+   generated AND verified inside one NumPy stage — candidate pairs
+   exist only as transient index arrays, never as JVM rows (the r5
+   join-then-verify shape computed the cover twice, broadcast-built a
+   hashed relation over it, and Arrow-shipped every candidate pair).
+   The final `distinct` then shuffles only the SURVIVING 16-byte pairs.
+   The verification predicate is the classic 4-orientation sign test.
    Orientations are computed in float64 with a forward-error filter
    (bound 4·eps·(|ab|+|cd|)); only rows whose determinant falls inside
    the filter band are recomputed with exact arbitrary-precision
@@ -97,89 +99,129 @@ def _pack_cell(cx: np.ndarray, cy: np.ndarray) -> np.ndarray:
     return (cx.astype(np.int64) << np.int64(32)) | (cy.astype(np.int64) & np.int64(0xFFFFFFFF))
 
 
-def _cover_fn(cell_size: int):
+def catalyst_cover(slim: DataFrame, cell_size: int) -> DataFrame:
+    """The pass-through cover as PURE Catalyst codegen (r6): the
+    subpiece-bbox construction with ``sequence`` explodes instead of the
+    r5 ``mapInPandas`` form — zero Python-boundary cost (guide §4: the
+    r5 snap cover Arrow-shipped 6 int64 columns × ~4M rows per run;
+    this form never leaves the JVM).
+
+    Differences vs the r5 Python cover, both candidate-only (soundness
+    is unchanged — the emitted cell set is a SUPERSET of every floor
+    cell the segment passes through):
+
+    - breakpoints use double division + FLOOR (exact while
+      ``|Δ|·m < 2^52``; any fixed-point planet span qualifies) and the
+      bbox pad is 2 units instead of 1, absorbing the sub-ulp division
+      rounding on top of the floor bound;
+    - no per-segment (cell, sid) dedup — consumers either dedup in
+      NumPy after the cell shuffle (`segment_intersection_join`) or are
+      dedup-free by construction (snap's rank-1 collapse).
+
+    Emits (cell, sid, x1, y1, x2, y2); cells packed exactly like
+    ``_pack_cell``.
+    """
     cs = int(cell_size)
+    dx = F.col("x2") - F.col("x1")
+    dy = F.col("y2") - F.col("y1")
+    m = (F.greatest(F.abs(dx), F.abs(dy)) / F.lit(cs)).cast("long") + F.lit(1)
 
-    def _covers(batches):
-        for pdf in batches:
-            sid = pdf["sid"].to_numpy(np.int64)
-            x1 = pdf["x1"].to_numpy(np.int64)
-            y1 = pdf["y1"].to_numpy(np.int64)
-            x2 = pdf["x2"].to_numpy(np.int64)
-            y2 = pdf["y2"].to_numpy(np.int64)
-            if len(sid) == 0:
-                yield pd.DataFrame(
-                    {c: np.empty(0, np.int64) for c in ("cell", "sid", "x1", "y1", "x2", "y2")}
-                )
-                continue
-            dx, dy = x2 - x1, y2 - y1
-            m = np.maximum(np.abs(dx), np.abs(dy)) // cs + 1  # subpieces per segment
-            total = int(m.sum())
-            row = np.repeat(np.arange(len(sid)), m)  # segment index per subpiece
-            # i-th subpiece of its segment (0-based within the segment)
-            i0 = np.concatenate([[0], np.cumsum(m)[:-1]])
-            i = np.arange(total) - np.repeat(i0, m)
-            # integer breakpoints P(i/m), floor division (error in [0,1))
-            mi = m[row]
-            bx0 = x1[row] + (dx[row] * i) // mi
-            by0 = y1[row] + (dy[row] * i) // mi
-            bx1_ = x1[row] + (dx[row] * (i + 1)) // mi
-            by1_ = y1[row] + (dy[row] * (i + 1)) // mi
-            # padded subpiece bbox covers the true piece (monotone coords)
-            lox = np.minimum(bx0, bx1_) - 1
-            hix = np.maximum(bx0, bx1_) + 1
-            loy = np.minimum(by0, by1_) - 1
-            hiy = np.maximum(by0, by1_) + 1
-            cx0, cx1 = lox // cs, hix // cs
-            cy0, cy1 = loy // cs, hiy // cs
-            # bbox extent < 2·cs ⇒ at most 3 cells per axis
-            outs = []
-            for ox in range(3):
-                for oy in range(3):
-                    cx = cx0 + ox
-                    cy = cy0 + oy
-                    keep = (cx <= cx1) & (cy <= cy1)
-                    if keep.any():
-                        outs.append(
-                            np.stack([_pack_cell(cx[keep], cy[keep]), row[keep]], axis=1)
-                        )
-            cells = np.concatenate(outs)
-            # (cell, segment) dedup within batch. lexsort + consecutive
-            # mask, NOT np.unique(axis=0): unique's void-view sort on a
-            # 2-column int64 array is ~10x slower at millions of rows
-            # (measured on the snap gate's 15M-row cover)
-            order = np.lexsort((cells[:, 1], cells[:, 0]))
-            cells = cells[order]
-            keep = np.empty(len(cells), dtype=bool)
-            keep[0] = True
-            np.any(cells[1:] != cells[:-1], axis=1, out=keep[1:])
-            cells = cells[keep]
-            r = cells[:, 1]
-            yield pd.DataFrame(
-                {
-                    "cell": cells[:, 0],
-                    "sid": sid[r],
-                    "x1": x1[r],
-                    "y1": y1[r],
-                    "x2": x2[r],
-                    "y2": y2[r],
-                }
-            )
+    def _fdiv(num, den):  # floor division, exact for |num| < 2^52
+        return F.floor(num.cast("double") / den.cast("double")).cast("long")
 
-    return _covers
-
-
-def _verify(batches):
-    for pdf in batches:
-        if len(pdf) == 0:
-            yield pd.DataFrame({"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64)})
-            continue
-        keep = _proper_mask(
-            *(pdf[c].to_numpy(np.int64) for c in
-              ("ax1", "ay1", "ax2", "ay2", "bx1", "by1", "bx2", "by2"))
+    sub = (
+        slim.withColumn("_m", m)
+        .withColumn("_i", F.explode(F.sequence(F.lit(0), F.col("_m") - 1)))
+    )
+    dxc, dyc = F.col("x2") - F.col("x1"), F.col("y2") - F.col("y1")
+    bx0 = F.col("x1") + _fdiv(dxc * F.col("_i"), F.col("_m"))
+    by0 = F.col("y1") + _fdiv(dyc * F.col("_i"), F.col("_m"))
+    bx1 = F.col("x1") + _fdiv(dxc * (F.col("_i") + 1), F.col("_m"))
+    by1 = F.col("y1") + _fdiv(dyc * (F.col("_i") + 1), F.col("_m"))
+    sub = sub.select(
+        "sid", "x1", "y1", "x2", "y2",
+        _fdiv(F.least(bx0, bx1) - 2, F.lit(cs)).alias("_cx0"),
+        _fdiv(F.greatest(bx0, bx1) + 2, F.lit(cs)).alias("_cx1"),
+        _fdiv(F.least(by0, by1) - 2, F.lit(cs)).alias("_cy0"),
+        _fdiv(F.greatest(by0, by1) + 2, F.lit(cs)).alias("_cy1"),
+    )
+    return (
+        sub.withColumn("_cx", F.explode(F.sequence(F.col("_cx0"), F.col("_cx1"))))
+        .withColumn("_cy", F.explode(F.sequence(F.col("_cy0"), F.col("_cy1"))))
+        .select(
+            F.expr("shiftleft(_cx, 32) | (_cy & 4294967295)").alias("cell"),
+            "sid", "x1", "y1", "x2", "y2",
         )
-        yield pd.DataFrame({"id_a": pdf["id_a"].to_numpy(np.int64)[keep],
-                            "id_b": pdf["id_b"].to_numpy(np.int64)[keep]})
+    )
+
+
+def _pair_verify_fn(max_block_pairs: int = 4_000_000):
+    """Fused per-cell pair generation + verification (r6): consumes the
+    cell-partitioned cover, sorts it by (cell, sid) in NumPy, dedups
+    (cell, sid), generates every intra-cell i<j pair grouped by cell
+    SIZE CLASS (one ``triu_indices`` template per distinct size, applied
+    to all same-size cells at once), verifies with ``_proper_mask``, and
+    emits only surviving (id_a, id_b) rows.
+
+    Replaces the r5 shape (cover computed TWICE → broadcast hash join →
+    candidate rows Arrow-shipped into a separate ``_verify``): candidate
+    pairs now exist only as transient NumPy index arrays inside the one
+    Python stage — measured 6.05M candidate rows × 80 B that no longer
+    cross the JVM↔Python boundary at the sf0.1 gate (guide §4.2, §2.3).
+    ``max_block_pairs`` bounds the per-emission NumPy block so a hot
+    cell cannot blow task memory.
+    """
+
+    def _pairs(batches):
+        chunks = [pdf for pdf in batches if len(pdf)]
+        empty = pd.DataFrame(
+            {"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64)}
+        )
+        if not chunks:
+            yield empty
+            return
+        cell = np.concatenate([c["cell"].to_numpy(np.int64) for c in chunks])
+        sid = np.concatenate([c["sid"].to_numpy(np.int64) for c in chunks])
+        x1 = np.concatenate([c["x1"].to_numpy(np.int64) for c in chunks])
+        y1 = np.concatenate([c["y1"].to_numpy(np.int64) for c in chunks])
+        x2 = np.concatenate([c["x2"].to_numpy(np.int64) for c in chunks])
+        y2 = np.concatenate([c["y2"].to_numpy(np.int64) for c in chunks])
+        del chunks
+        order = np.lexsort((sid, cell))
+        cell, sid = cell[order], sid[order]
+        x1, y1, x2, y2 = x1[order], y1[order], x2[order], y2[order]
+        keep = np.empty(len(cell), dtype=bool)
+        keep[0] = True
+        keep[1:] = (cell[1:] != cell[:-1]) | (sid[1:] != sid[:-1])
+        cell, sid = cell[keep], sid[keep]
+        x1, y1, x2, y2 = x1[keep], y1[keep], x2[keep], y2[keep]
+        starts = np.flatnonzero(np.concatenate([[True], cell[1:] != cell[:-1]]))
+        sizes = np.diff(np.append(starts, len(cell)))
+        emitted = False
+        for n in np.unique(sizes):
+            if n < 2:
+                continue
+            gs = starts[sizes == n]
+            tri_a, tri_b = np.triu_indices(int(n), 1)
+            per = len(tri_a)
+            step = max(1, int(max_block_pairs // per))
+            for s0 in range(0, len(gs), step):
+                g = gs[s0 : s0 + step]
+                ia = (g[:, None] + tri_a[None, :]).ravel()
+                ib = (g[:, None] + tri_b[None, :]).ravel()
+                mask = _proper_mask(
+                    x1[ia], y1[ia], x2[ia], y2[ia], x1[ib], y1[ib], x2[ib], y2[ib]
+                )
+                if mask.any():
+                    emitted = True
+                    # sid ascending within a cell ⇒ id_a < id_b for free
+                    yield pd.DataFrame(
+                        {"id_a": sid[ia[mask]], "id_b": sid[ib[mask]]}
+                    )
+        if not emitted:
+            yield empty
+
+    return _pairs
 
 
 def segment_intersection_join(
@@ -207,25 +249,22 @@ def segment_intersection_join(
         F.col(x2).cast("long").alias("x2"),
         F.col(y2).cast("long").alias("y2"),
     )
-    cov = slim.mapInPandas(
-        _cover_fn(cell_size),
-        schema="cell long, sid long, x1 long, y1 long, x2 long, y2 long",
+    # r6 plan shape (guide §2.4, §4.2): one Catalyst cover (no Python),
+    # ONE exchange clustering the cover by cell, one fused Python stage
+    # that pairs + verifies inside NumPy, then distinct on the surviving
+    # 16-byte pairs. The r5 shape computed the cover twice, broadcast-
+    # built a multi-MB hashed relation over it, and Arrow-shipped every
+    # candidate pair into a separate verify stage. The explicit-count
+    # repartition keeps the pairing stage spread (AQE would coalesce the
+    # few-MB cover shuffle to 1-2 tasks and serialize the NumPy work);
+    # the count follows spark.sql.shuffle.partitions — the cluster-scale
+    # knob — not a local constant. Hot cells are governed by cell_size
+    # (candidate density is per-cell-quadratic, as before).
+    spark = segs.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    cov = catalyst_cover(slim, cell_size)
+    return (
+        cov.repartition(n_part, "cell")
+        .mapInPandas(_pair_verify_fn(), schema="id_a long, id_b long")
+        .distinct()
     )
-    a = cov.select(
-        "cell",
-        F.col("sid").alias("id_a"),
-        F.col("x1").alias("ax1"),
-        F.col("y1").alias("ay1"),
-        F.col("x2").alias("ax2"),
-        F.col("y2").alias("ay2"),
-    )
-    b = cov.select(
-        "cell",
-        F.col("sid").alias("id_b"),
-        F.col("x1").alias("bx1"),
-        F.col("y1").alias("by1"),
-        F.col("x2").alias("bx2"),
-        F.col("y2").alias("by2"),
-    )
-    cand = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b")).drop("cell")
-    return cand.mapInPandas(_verify, schema="id_a long, id_b long").distinct()

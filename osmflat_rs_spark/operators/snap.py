@@ -5,10 +5,11 @@ trajectory→network pipeline (GPS snap, address-to-street, milepost
 linear referencing); the reference ships the ingredients (resolved way
 node chains = segments, render-roads.rs walks them) but no snap surface.
 
-Scale shape — one candidate equi-join, no crossJoin, no driver loop:
+Scale shape — one candidate equi-join, no crossJoin, no driver loop,
+zero Python (the whole operator is one codegen pipeline since r6):
 - segment side: the LOSSLESS pass-through cell cover from the
-  segment-intersection join (segments._cover_fn — exact integer
-  subpiece bboxes, ±1-unit pad), fixed-width payload (two endpoints);
+  segment-intersection join (segments.catalyst_cover — exact integer
+  subpiece bboxes, padded), fixed-width payload;
 - query side: the ±radius bbox cells, generated as a pure Catalyst
   2-D `sequence` explode (no Python);
 - candidates join on the packed cell; the exact clamped-projection
@@ -51,6 +52,23 @@ def _seg_distance_cols(px, py, x1, y1, x2, y2):
     return ex * ex + ey * ey, tc, qx, qy
 
 
+def _seg_distance_cols_pre(px, py, x1, y1, dxd, dyd, len2):
+    """`_seg_distance_cols` over precomputed (dxd, dyd, len2) columns —
+    the IDENTICAL IEEE expression tree (dxd/dyd/len2 are produced by the
+    exact subexpressions the inline form re-derives), so results are
+    bit-equal; only the evaluated expression size shrinks."""
+    t = F.when(
+        len2 > 0,
+        ((px - x1).cast("double") * dxd + (py - y1).cast("double") * dyd) / len2,
+    ).otherwise(F.lit(0.0))
+    tc = F.greatest(F.lit(0.0), F.least(F.lit(1.0), t))
+    qx = x1.cast("double") + tc * dxd
+    qy = y1.cast("double") + tc * dyd
+    ex = px.cast("double") - qx
+    ey = py.cast("double") - qy
+    return ex * ex + ey * ey, tc, qx, qy
+
+
 def nearest_segment_join(
     points: DataFrame,
     segments: DataFrame,
@@ -84,7 +102,7 @@ def nearest_segment_join(
         raise ValueError(f"k must be >= 1, got {k}")
     if k > 1 and exact_fallback:
         raise ValueError("exact_fallback is a top-1 contract; use k=1")
-    from osmflat_rs_spark.operators.segments import _cover_fn
+    from osmflat_rs_spark.operators.segments import catalyst_cover
 
     cs = int(cell_size)
     seg_slim = segments.select(
@@ -94,8 +112,26 @@ def nearest_segment_join(
         F.col("lon2").cast("long").alias("x2"),
         F.col("lat2").cast("long").alias("y2"),
     )
-    seg_cells = seg_slim.mapInPandas(
-        _cover_fn(cs), schema="cell long, sid long, x1 long, y1 long, x2 long, y2 long"
+    # r6: pure-Catalyst cover (guide §4 — the r5 Python cover was
+    # the operator's dominant cost: ~4M rows × 6 int64 Arrow-shipped per
+    # run at the sf0.1 gate, 1.9 s of the 2.8 s total). No (cell, sid)
+    # dedup: duplicate candidate rows are bit-identical and collapse at
+    # rank 1 (k=1) or in the existing dropDuplicates (k>1).
+    # dxd/dyd/len2 are precomputed ONCE per cover row so the optimizer's
+    # pushdown of the d2 ≤ r² filter into the join condition references
+    # three attributes instead of re-deriving (x2-x1) etc. ~20× inside
+    # one giant expression (measured plan: the clamped-t CASE appeared
+    # 20+ times in the r5 join condition).
+    seg_cells = catalyst_cover(seg_slim, cs).select(
+        "cell", "sid", "x1", "y1",
+        (F.col("x2") - F.col("x1")).cast("double").alias("dxd"),
+        (F.col("y2") - F.col("y1")).cast("double").alias("dyd"),
+        (
+            (F.col("x2") - F.col("x1")).cast("double")
+            * (F.col("x2") - F.col("x1")).cast("double")
+            + (F.col("y2") - F.col("y1")).cast("double")
+            * (F.col("y2") - F.col("y1")).cast("double")
+        ).alias("len2"),
     )
     # query ±radius bbox cells, pure Catalyst (floor div on doubles is
     # exact here: |coord ± radius| < 2^53)
@@ -118,15 +154,16 @@ def nearest_segment_join(
             F.expr("shiftleft(ccx, 32) | (ccy & 4294967295)").alias("cell"),
         )
     )
-    # The cover side comes out of MapInPandas with NO stats — left to
-    # itself Spark broadcast-builds IT (measured: a 15M-row hashed
-    # relation, 25 s at sf0.1). Hint the query side explicitly; pass
-    # broadcast_queries=False for query sets too big to broadcast (the
-    # join degrades to a shuffle equi-join on cell, same results).
+    # The cover side is an explode fan-out with inflated size estimates —
+    # hint the query side explicitly so Spark never broadcast-builds the
+    # multi-M-row cover; pass broadcast_queries=False for query sets too
+    # big to broadcast (the join degrades to a shuffle equi-join on
+    # cell, same results).
     q_side = F.broadcast(q_cells) if broadcast_queries else q_cells
     cand = q_side.join(seg_cells, "cell")
-    d2, tc, qx, qy = _seg_distance_cols(
-        F.col("px"), F.col("py"), F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")
+    d2, tc, qx, qy = _seg_distance_cols_pre(
+        F.col("px"), F.col("py"), F.col("x1"), F.col("y1"),
+        F.col("dxd"), F.col("dyd"), F.col("len2"),
     )
     scored = cand.select(
         point_id, F.col("sid"), d2.alias("d2"), tc.alias("t"),
