@@ -170,6 +170,52 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _lit_rows(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Small constant table as PURE literal expressions (r6):
+    ``spark.range(1).select(inline(array(structs...)))`` — one JVM
+    partition, no ExistingRDD, no Python workers. The
+    ``createDataFrame(list)`` form parallelizes over
+    ``defaultParallelism`` pickle partitions, so every scan of a tiny
+    constant table (and every broadcast build over it) paid ~32 Python
+    worker round-trips (measured 6+ s of executor CPU per broadcast
+    build on the kNN gate's 10-row query table)."""
+    fields = [f.strip().rsplit(" ", 1) for f in schema.split(",")]
+    structs = [
+        F.struct(
+            *[
+                F.lit(v).cast(typ).alias(name)
+                for v, (name, typ) in zip(row, fields)
+            ]
+        )
+        for row in rows
+    ]
+    return spark.range(1).select(F.inline(F.array(*structs)))
+
+
+def _lit_polys(spark: SparkSession, rows) -> DataFrame:
+    """Single-ring polygon tables as literal expressions (same rationale
+    as ``_lit_rows``; build_polygon_index collect()s this table on every
+    pip_join call, so the pickle-RDD form cost ~32 Python tasks per
+    call). ``rows`` = [(polygon_id, [(lat, lon), ...], kind), ...]."""
+    structs = [
+        F.struct(
+            F.lit(pid).alias("polygon_id"),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(la)).cast("long").alias("lat"),
+                        F.lit(int(lo)).cast("long").alias("lon"),
+                    )
+                    for la, lo in ring
+                ]
+            ).alias("ring"),
+            F.lit(kind).alias("kind"),
+        )
+        for pid, ring, kind in rows
+    ]
+    return spark.range(1).select(F.inline(F.array(*structs)))
+
+
 def _synth_coords(events: DataFrame) -> DataFrame:
     """Deterministic fixed-point coords from event_id (exact ints)."""
     return events.withColumn(
@@ -630,11 +676,8 @@ def q_pip_events(spark, sf_dir):
     from osmflat_rs_spark.operators.spatial_join import pip_join
 
     pts = _synth_coords(_t(spark, sf_dir, "events")).select("event_id", "lat", "lon")
-    ring = [{"lat": la, "lon": lo} for lo, la in HEX_RING]
-    polys = spark.createDataFrame(
-        [("hex", [(v["lat"], v["lon"]) for v in ring], "district")],
-        schema="polygon_id string, ring array<struct<lat:long,lon:long>>, kind string",
-    )
+    # r6: literal polygon table (see _lit_polys — pip_join collect()s it)
+    polys = _lit_polys(spark, [("hex", [(la, lo) for lo, la in HEX_RING], "district")])
     return pip_join(pts, polys, point_id="event_id").select("polygon_id", "event_id")
 
 
@@ -2270,7 +2313,11 @@ def q_knn_events(spark, sf_dir):
     from osmflat_rs_spark.operators.knn import knn_join_bulk
 
     pts = _synth_coords(_t(spark, sf_dir, "events")).select("event_id", "lat", "lon")
-    q = spark.createDataFrame(KNN_QUERIES, schema="query_id string, lat long, lon long")
+    # r6: literal inline rows, not createDataFrame(list) — the list form
+    # parallelizes 10 rows over defaultParallelism pickle partitions, so
+    # every broadcast build of the query side ran ~32 Python worker
+    # tasks; the inline form is one JVM partition, zero Python.
+    q = _lit_rows(spark, KNN_QUERIES, "query_id string, lat long, lon long")
     out = knn_join_bulk(
         pts,
         q,

@@ -70,12 +70,21 @@ def _spread_bits_expr(x: Column, nbits: int = 31) -> Column:
     times, the method stays small and JITs, and the VALUES are
     bit-identical (pinned against the NumPy mirror in tests).
     """
-    tab = F.array(*[F.lit(v).cast("long") for v in _SPREAD_TAB])
+    # element_at (1-based), NOT F.get: the index is provably in [1, 256]
+    # so ANSI never throws, and element_at over a non-null literal array
+    # is NON-NULLABLE — F.get is null-producing (OOB → null), which
+    # blocked the optimizer from folding the join-key isnotnull(cell)
+    # filter and re-evaluated the whole cell expression a second time on
+    # every probe row (measured: knn gate 1.7 s → 2.3 s on F.get).
+    # ONE py4j call for the whole table: F.array(*256 lits) costs ~256
+    # driver round-trips PER SPREAD and showed up as ~2 s of plan
+    # CONSTRUCTION time on the kNN gate (bench times construction too)
+    tab = F.lit(_SPREAD_TAB).cast("array<bigint>")
     x = x.bitwiseAND(F.lit((1 << min(nbits, 31)) - 1))
-    parts = F.get(tab, (x.bitwiseAND(F.lit(0xFF))).cast("int"))
+    parts = F.element_at(tab, (x.bitwiseAND(F.lit(0xFF))).cast("int") + F.lit(1))
     for k in range(1, (min(nbits, 31) + 7) // 8):
-        byte = F.shiftright(x, 8 * k).bitwiseAND(F.lit(0xFF)).cast("int")
-        parts = parts.bitwiseOR(F.shiftleft(F.get(tab, byte), 16 * k))
+        byte = F.shiftright(x, 8 * k).bitwiseAND(F.lit(0xFF)).cast("int") + F.lit(1)
+        parts = parts.bitwiseOR(F.shiftleft(F.element_at(tab, byte), 16 * k))
     return parts
 
 
@@ -110,6 +119,23 @@ def cell_id_expr(lat_fixed: Column, lon_fixed: Column, res: int) -> Column:
     z = _spread_bits_expr(ix, res).bitwiseOR(F.shiftleft(_spread_bits_expr(iy, res), 1))
     cell = F.shiftleft(F.lit(1).cast("long"), 2 * res).bitwiseOR(z)
     return _null_if_coords_null(cell, lat_fixed, lon_fixed)
+
+
+def cell_from_grid_expr(ix: Column, iy: Column, res: int) -> Column:
+    """Cell ID from (ix, iy) grid coordinates at ``res`` — the Catalyst
+    twin of ``cell_from_grid_np`` (same table-lookup Morton spread as
+    ``cell_id_expr``). Callers guarantee 0 <= ix, iy < 2^res."""
+    assert 0 <= res <= MAX_RES
+    z = _spread_bits_expr(ix, res).bitwiseOR(F.shiftleft(_spread_bits_expr(iy, res), 1))
+    return F.shiftleft(F.lit(1).cast("long"), 2 * res).bitwiseOR(z)
+
+
+def quantize_expr(fixed: Column, axis: str, res: int) -> Column:
+    """Public quantize for one axis ('lat' | 'lon') — the exact
+    expression behind ``cell_id_expr``'s grid coordinates, for callers
+    that build cell RANGES (bbox covers) in pure Catalyst."""
+    off, span = (_LAT_OFF, _LAT_SPAN) if axis == "lat" else (_LON_OFF, _LON_SPAN)
+    return _quantize_expr(fixed, off, span, res)
 
 
 def parent_expr(cell: Column, steps: int = 1) -> Column:

@@ -178,9 +178,38 @@ def _radius_candidates(
                 out = pd.concat([out, pd.DataFrame(rows)], ignore_index=True)
             yield out
 
-    cover = queries.select("query_id", "lat", "lon").mapInPandas(
-        gen_cover, schema="query_id string, q_lat long, q_lon long, cell long"
-    )
+    if morton_fast and metric == "sqeuclid":
+        # r6: the ±r bbox cover in PURE Catalyst (guide §4 — no Python
+        # stage, no Arrow; at the 1M-query degrade design point this was
+        # a ~16M-row Arrow production). Quantize the clamped bbox corners
+        # with the exact cell_id_expr quantizer, enumerate the grid range
+        # with sequence explodes, recombine with the table-lookup Morton
+        # spread — the same cells bbox_cover_batch emits, bit-identical.
+        import math as _math
+
+        r_int = int(_math.ceil(radius_m))
+        q_lat = F.col("lat").cast("long")
+        q_lon = F.col("lon").cast("long")
+        ix0 = cells.quantize_expr(q_lon - r_int, "lon", res)
+        ix1 = cells.quantize_expr(q_lon + r_int, "lon", res)
+        iy0 = cells.quantize_expr(q_lat - r_int, "lat", res)
+        iy1 = cells.quantize_expr(q_lat + r_int, "lat", res)
+        cover = (
+            queries.select(
+                "query_id", q_lat.alias("q_lat"), q_lon.alias("q_lon"),
+                ix0.alias("_ix0"), ix1.alias("_ix1"), iy0.alias("_iy0"), iy1.alias("_iy1"),
+            )
+            .withColumn("_ix", F.explode(F.sequence(F.col("_ix0"), F.col("_ix1"))))
+            .withColumn("_iy", F.explode(F.sequence(F.col("_iy0"), F.col("_iy1"))))
+            .select(
+                "query_id", "q_lat", "q_lon",
+                cells.cell_from_grid_expr(F.col("_ix"), F.col("_iy"), res).alias("cell"),
+            )
+        )
+    else:
+        cover = queries.select("query_id", "lat", "lon").mapInPandas(
+            gen_cover, schema="query_id string, q_lat long, q_lon long, cell long"
+        )
 
     def with_dist(df: DataFrame) -> DataFrame:
         if metric == "sqeuclid":
