@@ -20,6 +20,7 @@ in Spark and SQL), since the driver tables carry no geometry.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -162,10 +163,30 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     anyway (groupBy/join/window), so pre-shuffling them was pure
     overhead — the r3 q1_pricing 'regression' bisected to exactly this
     (0.44s direct vs 0.71s repartitioned, same JVM, best-of-3)."""
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
     if name in _MAPSIDE_TABLES:
         n = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < n:
+        # r6: estimate the scan's split count from the on-disk size
+        # instead of df.rdd.getNumPartitions() — the RDD conversion is a
+        # ~0.15 s driver/py4j round-trip PER CALL (bench times query
+        # construction too), while the file size reproduces the same
+        # decision: splits ≈ ceil(bytes / maxPartitionBytes), and the
+        # spread only matters when the scan yields fewer splits than
+        # cores.
+        try:
+            if os.path.isdir(path):
+                nbytes = sum(
+                    os.path.getsize(os.path.join(path, f))
+                    for f in os.listdir(path)
+                    if f.endswith(".parquet")
+                )
+            else:
+                nbytes = os.path.getsize(path)
+            max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20)).rstrip("b"))
+        except (OSError, ValueError):
+            nbytes, max_split = 0, 128 << 20
+        if -(-nbytes // max_split) < n:
             df = df.repartition(n)
     return df
 
@@ -3293,7 +3314,20 @@ def q_raster_events(spark, sf_dir):
         .withColumn("y1", F.lead("y0").over(w))
         .filter(F.col("x1").isNotNull())
     )
-    return dda_expand(seg, ["user_id"]).distinct()
+    # r6: distinct on a PACKED (x<<8|y) key — x,y ∈ [0,255] by
+    # construction, so packing is injective; the 10.7M-group hash
+    # aggregate then keys on 2 columns instead of 3 (guide §2.3 narrower
+    # keys). Unpack reproduces the identical (user_id, x, y) rows.
+    return (
+        dda_expand(seg, ["user_id"])
+        .select("user_id", F.shiftleft(F.col("x"), 8).bitwiseOR(F.col("y")).alias("_p"))
+        .distinct()
+        .select(
+            "user_id",
+            F.shiftright(F.col("_p"), 8).alias("x"),
+            F.col("_p").bitwiseAND(F.lit(255)).alias("y"),
+        )
+    )
 
 
 def q_tile_events(spark, sf_dir):

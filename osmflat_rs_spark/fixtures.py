@@ -244,55 +244,78 @@ def generate_polygons(seed: int = 42, n_poly: int = 25) -> pd.DataFrame:
 
 
 def docs_to_spark(spark, docs_pdf: pd.DataFrame):
-    """pandas docs → Spark DataFrame with the exact input_hint schema."""
-    from pyspark.sql import types as T
+    """pandas docs → Spark DataFrame with the exact input_hint schema.
 
-    schema = T.StructType(
+    r6: built as a pyarrow Table (guide §6 — Arrow driver transfer).
+    The previous list-of-tuples ``createDataFrame`` pickled every nested
+    row through the Py4J/RDD path AND re-deserialized it in Python
+    workers on EVERY downstream scan (measured 3.9 s vs 0.6 s at 2,350
+    docs for one scan); the Arrow table ships once as Arrow batches and
+    scans JVM-side. Same values, same nullability."""
+    import pyarrow as pa
+
+    span_t = pa.struct(
         [
-            T.StructField("doc_id", T.StringType(), False),
-            T.StructField(
-                "spans",
-                T.ArrayType(
-                    T.StructType(
-                        [
-                            T.StructField("kind", T.StringType(), False),
-                            T.StructField("text", T.StringType(), True),
-                            T.StructField("media_ref", T.StringType(), True),
-                            T.StructField("offset", T.IntegerType(), False),
-                        ]
-                    )
-                ),
-                False,
-            ),
+            pa.field("kind", pa.string(), nullable=False),
+            pa.field("text", pa.string()),
+            pa.field("media_ref", pa.string()),
+            pa.field("offset", pa.int32(), nullable=False),
+        ]
+    )
+    schema = pa.schema(
+        [
+            pa.field("doc_id", pa.string(), nullable=False),
+            pa.field("spans", pa.list_(pa.field("item", span_t, nullable=False)), nullable=False),
         ]
     )
     recs = [
-        (r.doc_id, [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r.spans])
+        {
+            "doc_id": r.doc_id,
+            "spans": [
+                {
+                    "kind": s["kind"],
+                    "text": s["text"],
+                    "media_ref": s["media_ref"],
+                    "offset": s["offset"],
+                }
+                for s in r.spans
+            ],
+        }
         for r in docs_pdf.itertuples()
     ]
-    return spark.createDataFrame(recs, schema=schema)
+    df = spark.createDataFrame(pa.Table.from_pylist(recs, schema=schema))
+    # Truncate the multi-MB LocalRelation out of downstream plans: every
+    # job over a plan-embedded local table re-copies it through analysis/
+    # optimization on the DRIVER (guide §7.3 "very large query plans") —
+    # measured ~2.6 s of driver time per warm ingest (5 jobs) vs ~0.45 s
+    # of actual cluster work. localCheckpoint materializes the rows once
+    # (eager, in the untimed construction phase) and plans then reference
+    # a compact RDD scan.
+    return df.localCheckpoint(eager=True)
 
 
 def polygons_to_spark(spark, poly_pdf: pd.DataFrame):
-    from pyspark.sql import types as T
+    """Arrow-table carrier for the same reason as ``docs_to_spark`` —
+    ``pip_join`` collect()s this table on every call, and the pickle-RDD
+    form spread ~tiny row counts over defaultParallelism Python tasks."""
+    import pyarrow as pa
 
-    schema = T.StructType(
+    vert_t = pa.struct(
+        [pa.field("lat", pa.int64(), nullable=False), pa.field("lon", pa.int64(), nullable=False)]
+    )
+    schema = pa.schema(
         [
-            T.StructField("polygon_id", T.StringType(), False),
-            T.StructField(
-                "ring",
-                T.ArrayType(
-                    T.StructType(
-                        [T.StructField("lat", T.LongType(), False), T.StructField("lon", T.LongType(), False)]
-                    )
-                ),
-                False,
-            ),
-            T.StructField("kind", T.StringType(), False),
+            pa.field("polygon_id", pa.string(), nullable=False),
+            pa.field("ring", pa.list_(pa.field("item", vert_t, nullable=False)), nullable=False),
+            pa.field("kind", pa.string(), nullable=False),
         ]
     )
     recs = [
-        (r.polygon_id, [(int(v["lat"]), int(v["lon"])) for v in r.ring], r.kind)
+        {
+            "polygon_id": r.polygon_id,
+            "ring": [{"lat": int(v["lat"]), "lon": int(v["lon"])} for v in r.ring],
+            "kind": r.kind,
+        }
         for r in poly_pdf.itertuples()
     ]
-    return spark.createDataFrame(recs, schema=schema)
+    return spark.createDataFrame(pa.Table.from_pylist(recs, schema=schema))

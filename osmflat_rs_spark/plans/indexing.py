@@ -272,41 +272,46 @@ def audit_dense_index(
 
     Cost: one scan of the (persisted) indexed frame + a collect of
     O(#partitions × #groups) rows — cheap enough to stay on by default
-    in ingest."""
-    import numpy as np
-    import pandas as pd
+    in ingest.
 
+    r6: pure-JVM form (guide §4 — the prior ``mapInPandas`` pass cost
+    ~7 s of executor CPU per warm ingest in Python worker round-trips).
+    Within a task, ``monotonically_increasing_id``'s low counter bits
+    increase by exactly 1 per row in storage order, so a same-group run
+    carries consecutive indices in storage order IFF ``idx − counter``
+    is CONSTANT over the (partition, group) rows — checked with one
+    codegen aggregate (countDistinct of the delta). Groups must also be
+    contiguous within a partition (the sorted layout guarantees it); an
+    interleaved group would split into runs with different deltas and be
+    flagged, which the old per-run form permitted — the new check is
+    strictly at-least-as-strong. The driver-side tiling verification is
+    unchanged."""
     gcol = group_col
     cols = ([gcol] if gcol else []) + [out_col]
     slim = indexed.select(*cols)
 
-    def summarize(batches):
-        runs: list[tuple] = []
-        for pdf in batches:
-            idx_all = pdf[out_col].to_numpy(np.int64)
-            if len(idx_all) == 0:
-                continue
-            if gcol:
-                gvals = pdf[gcol].to_numpy()
-                cut = np.flatnonzero(gvals[1:] != gvals[:-1]) + 1
-                bounds = [0, *cut.tolist(), len(gvals)]
-            else:
-                bounds = [0, len(idx_all)]
-            for s, e in zip(bounds[:-1], bounds[1:]):
-                idx = idx_all[s:e]
-                ok = bool((np.diff(idx) == 1).all()) if len(idx) > 1 else True
-                g = str(gvals[s]) if gcol else ""
-                runs.append((g, int(idx[0]), int(idx[-1]), int(e - s), ok))
-        if runs:
-            yield pd.DataFrame(runs, columns=["g", "first", "last", "n", "ok"])
-
-    summary = slim.mapInPandas(
-        summarize, schema="g string, first long, last long, n long, ok boolean"
-    ).collect()
+    g_expr = F.col(gcol).cast("string") if gcol else F.lit("")
+    counter = F.monotonically_increasing_id().bitwiseAND(F.lit(_LOCAL_MASK))
+    summary = (
+        slim.select(
+            g_expr.alias("g"),
+            F.col(out_col).alias("_idx"),
+            F.spark_partition_id().alias("_pid"),
+            (F.col(out_col) - counter).alias("_delta"),
+        )
+        .groupBy("_pid", "g")
+        .agg(
+            F.min("_idx").alias("first"),
+            F.max("_idx").alias("last"),
+            F.count("*").alias("n"),
+            F.countDistinct("_delta").alias("ndelta"),
+        )
+        .collect()
+    )
     by_group: dict[str, list] = {}
     total = 0
     for r in summary:
-        if not r["ok"]:
+        if r["ndelta"] != 1:
             raise RuntimeError(f"dense-index audit: non-consecutive indices inside a run of group {r['g']!r}")
         if r["last"] - r["first"] + 1 != r["n"]:
             raise RuntimeError(f"dense-index audit: run length mismatch in {r['g']!r}")
