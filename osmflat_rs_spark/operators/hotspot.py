@@ -252,9 +252,13 @@ def dbscan(
     )
     deg = pairs.groupBy("a").agg(F.count(F.lit(1)).alias("_nbrs"))
     core = deg.filter(F.col("_nbrs") >= F.lit(int(min_pts) - 1)).select(F.col("a").alias("cid"))
+    # No broadcast hint on the core set (ADVICE r05): core is
+    # O(n_points) — in dense data nearly every point is core — so a
+    # forced broadcast OOMs long before the radius join is the
+    # bottleneck; AQE picks broadcast on its own when core is small.
     core_edges = (
-        pairs.join(F.broadcast(core).withColumnRenamed("cid", "a"), "a", "left_semi")
-        .join(F.broadcast(core).withColumnRenamed("cid", "b"), "b", "left_semi")
+        pairs.join(core.withColumnRenamed("cid", "a"), "a", "left_semi")
+        .join(core.withColumnRenamed("cid", "b"), "b", "left_semi")
     )
     # isolated cores label themselves via self-loops (CC contract)
     cc_in = core_edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
@@ -267,9 +271,9 @@ def dbscan(
         F.lit(True).alias("is_core"),
     )
     border = (
-        pairs.join(F.broadcast(core.withColumnRenamed("cid", "b")), "b", "left_semi")
+        pairs.join(core.withColumnRenamed("cid", "b"), "b", "left_semi")
         .join(labels.withColumnRenamed("node", "b"), "b")
-        .join(F.broadcast(core.withColumnRenamed("cid", "a")), "a", "left_anti")
+        .join(core.withColumnRenamed("cid", "a"), "a", "left_anti")
         .groupBy("a")
         .agg(F.min("component").alias("cluster"))
         .select(F.col("a").alias(id_col), "cluster", F.lit(False).alias("is_core"))

@@ -42,7 +42,18 @@ def _moment_partials(vec_col: str, scale: float):
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             v = np.floor(x * scale + 0.5).astype(np.int64)
             n, d = v.shape
-            g = v.T @ v  # exact: |v| ≤ scale, per-cell ≤ n·scale² < 2^63 per batch
+            # int64 overflow guard (ADVICE r05): numpy wraps silently on
+            # v.T @ v, so embeddings with |x| >> 1 at a fine quant would
+            # corrupt the covariance with no diagnostic. A per-cell sum
+            # is bounded by n·max|v|²; demand it stays under 2^62.
+            vmax = int(np.abs(v).max(initial=0))
+            if vmax and n > (1 << 62) // (vmax * vmax):
+                raise ValueError(
+                    f"embedding_covariance: |quantized value| up to {vmax} over a "
+                    f"{n}-row batch risks int64 overflow in the Gram accumulation — "
+                    f"use a coarser quant or lower spark.sql.execution.arrow.maxRecordsPerBatch"
+                )
+            g = v.T @ v  # exact: guarded above, per-cell ≤ n·max|v|² < 2^62
             iu, ju = np.triu_indices(d)
             out_i = np.concatenate([iu, np.arange(d), [-2]])
             out_j = np.concatenate([ju, np.full(d, _J_DIMSUM), [_J_COUNT]])

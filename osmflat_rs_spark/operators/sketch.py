@@ -532,6 +532,18 @@ def bloom_pruned_join(
     """
     if m_bits % 64 != 0:
         raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
+    # The Bloom pre-filter drops big-side rows with no small-side match
+    # BEFORE the join, which is only sound when the big side is not the
+    # preserved (or anti) side: 'left'/'full' would silently lose the
+    # null-extended big rows and 'left_anti' would remove exactly the
+    # rows it should keep (ADVICE r05). Reject instead of corrupting.
+    safe = {"inner", "semi", "left_semi", "leftsemi", "right", "right_outer", "rightouter", "cross"}
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in safe}:
+        raise ValueError(
+            f"bloom_pruned_join: how={how!r} preserves unmatched big-side rows, "
+            f"which the Bloom pre-filter on the big side would drop — use a plain "
+            f"join for {how!r} (safe: inner/semi/left_semi/right)"
+        )
     bits = [
         r["bit"]
         for r in bloom_build(small.select(key_col), key_col, m_bits, k).collect()

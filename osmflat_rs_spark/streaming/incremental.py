@@ -1109,8 +1109,14 @@ def stream_cusum(
             yield pd.DataFrame({c.name: [] for c in out_schema.fields})
             return
         pdf = pd.concat(chunks).sort_values("o", kind="mergesort")
+        # "no rows processed yet" sentinel is LONG_MIN, not -1 (ADVICE
+        # r05): a restored -1 sentinel silently dropped legitimate rows
+        # with order ids <= -1 that a fresh state would have accepted.
+        _no_rows = -(1 << 63)
         if state.exists:
             p_hi, min_hi, p_lo, min_lo, last_o = (int(x) for x in state.get)
+            if last_o == _no_rows:
+                last_o = None
         else:
             p_hi, min_hi, p_lo, min_lo, last_o = 0, 0, 0, 0, None
         rows = [
@@ -1123,7 +1129,7 @@ def stream_cusum(
         )
         if rows:
             last_o = rows[-1][0]
-        state.update((p_hi, min_hi, p_lo, min_lo, -1 if last_o is None else last_o))
+        state.update((p_hi, min_hi, p_lo, min_lo, _no_rows if last_o is None else last_o))
         yield pd.DataFrame(
             [(key[0],) + r for r in out],
             columns=[c.name for c in out_schema.fields],

@@ -55,3 +55,16 @@ def test_pca_projection_variance_order_and_recon(spark, emb):
     # deterministic sign: largest-|entry| coordinate positive
     for c in comps:
         assert c[np.argmax(np.abs(c))] > 0
+
+
+def test_gram_overflow_guard_raises(spark):
+    """ADVICE r05: huge values at a fine quant must fail loudly, not
+    wrap silently in the int64 Gram accumulation."""
+    import pandas as pd
+
+    big = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [0, 1], "embedding": [[1e9, 0.0], [0.0, 1e9]]}),
+        schema="vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="overflow"):
+        embedding_covariance(big, quant=1e-6).collect()

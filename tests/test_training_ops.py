@@ -3014,3 +3014,22 @@ def test_calibration_ece_matches_model(spark):
         calibration_ece(spark.createDataFrame([(SC + 1, 1)], "s long, y int"), "s", "y")
     with _pytest.raises(ValueError):
         calibration_ece(df, "s", "y", n_bins=1)
+
+
+def test_bloom_pruned_join_rejects_preserved_side_joins(spark):
+    """ADVICE r05: the Bloom pre-filter drops unmatched big-side rows,
+    so preserved-side / anti joins must be rejected, not silently
+    corrupted."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from osmflat_rs_spark.operators.sketch import bloom_pruned_join
+
+    big = spark.range(100).select(F.col("id").alias("key"))
+    small = spark.range(5).select(F.col("id").alias("key"))
+    for how in ("left", "left_outer", "full", "full_outer", "left_anti", "anti"):
+        with pytest.raises(ValueError, match="Bloom"):
+            bloom_pruned_join(big, small, "key", m_bits=1024, k=3, how=how)
+    # safe forms still work and stay bit-identical to the plain join
+    got = sorted(r["key"] for r in bloom_pruned_join(big, small, "key", m_bits=1024, k=3, how="left_semi").collect())
+    assert got == list(range(5))
