@@ -184,5 +184,9 @@ def concurrency_curve(
     per_t = pts.groupBy("t").agg(F.sum("d").cast("long").alias("delta")).filter(
         F.col("delta") != 0
     )
-    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
-    return per_t.withColumn("concurrent", F.sum("delta").over(w).cast("long"))
+    # r6: distributed ordered scan instead of the single-partition
+    # Window.orderBy over the distinct-endpoint table (VERDICT r05 #2);
+    # exact int deltas, bit-identical curve.
+    from osmflat_rs_spark.plans.indexing import sorted_prefix_scan
+
+    return sorted_prefix_scan(per_t, ["t"], long_sums=[("delta", "concurrent")])

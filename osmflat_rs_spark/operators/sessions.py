@@ -487,7 +487,7 @@ def kaplan_meier(
     the ln-sums carry ROUND(s, 6). Censored-only times emit rows with
     n_event = 0 and unchanged s (they still shrink later risk sets).
     """
-    from pyspark.sql import Window
+    from osmflat_rs_spark.plans.indexing import sorted_prefix_scan
 
     base = df.select(
         F.col(duration_col).cast("long").alias("t"),
@@ -496,15 +496,17 @@ def kaplan_meier(
     per_t = base.groupBy("t").agg(
         F.sum("e").cast("long").alias("n_event"),
         F.sum(F.lit(1) - F.col("e")).cast("long").alias("n_censored"),
+    ).withColumn("_c", F.col("n_event") + F.col("n_censored"))
+    # r6: distributed ordered scans instead of the single-partition
+    # Window.orderBy over the distinct-times table (VERDICT r05 #2).
+    # Risk sets are exact int cumulative counts (bit-identical); the
+    # ln-sum is a double prefix whose association differs from the
+    # window form only in the last ulp, inside the published ROUND-6.
+    sc = sorted_prefix_scan(per_t, ["t"], long_sums=[("_c", "_cc")])
+    tot = per_t.agg(F.sum("_c").cast("long").alias("_tot"))
+    r = sc.crossJoin(F.broadcast(tot)).withColumn(
+        "n_risk", (F.col("_tot") - (F.col("_cc") - F.col("_c"))).cast("long")
     )
-    w_all = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    w_before = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
-    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
-    tot = F.sum(F.col("n_event") + F.col("n_censored")).over(w_all)
-    gone_before = F.coalesce(
-        F.sum(F.col("n_event") + F.col("n_censored")).over(w_before), F.lit(0)
-    )
-    r = per_t.withColumn("n_risk", (tot - gone_before).cast("long"))
     lnterm = F.when(
         F.col("n_event") > 0,
         F.log(
@@ -512,7 +514,9 @@ def kaplan_meier(
             / F.col("n_risk").cast("double")
         ),
     ).otherwise(F.lit(0.0))
-    r = r.withColumn("s", F.round(F.exp(F.sum(lnterm).over(w_cum)), 6))
+    r = sorted_prefix_scan(
+        r.withColumn("_ln", lnterm), ["t"], double_sums=[("_ln", "_lnc")]
+    ).withColumn("s", F.round(F.exp(F.col("_lnc")), 6))
     return r.select("t", "n_risk", "n_event", "n_censored", "s")
 
 
@@ -555,11 +559,21 @@ def logrank_test(
         F.sum(F.when(F.col("g") == ga, 1).otherwise(0)).alias("ca"),
         F.count(F.lit(1)).alias("c"),
     )
-    w_all = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    w_before = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
-    na = (F.sum("ca").over(w_all) - F.coalesce(F.sum("ca").over(w_before), F.lit(0))).cast("long")
-    nn = (F.sum("c").over(w_all) - F.coalesce(F.sum("c").over(w_before), F.lit(0))).cast("long")
-    r = per.withColumn("na", na).withColumn("nn", nn).filter(F.col("d") > 0)
+    # r6: risk sets via the distributed ordered scan (exact int
+    # cumulative counts — bit-identical to the window form, without the
+    # single-partition Window.orderBy; VERDICT r05 #2).
+    from osmflat_rs_spark.plans.indexing import sorted_prefix_scan
+
+    sc = sorted_prefix_scan(per, ["t"], long_sums=[("ca", "_cca"), ("c", "_cc")])
+    tots2 = per.agg(
+        F.sum("ca").cast("long").alias("_ta"), F.sum("c").cast("long").alias("_tc")
+    )
+    r = (
+        sc.crossJoin(F.broadcast(tots2))
+        .withColumn("na", (F.col("_ta") - (F.col("_cca") - F.col("ca"))).cast("long"))
+        .withColumn("nn", (F.col("_tc") - (F.col("_cc") - F.col("c"))).cast("long"))
+        .filter(F.col("d") > 0)
+    )
     pa = F.col("na").cast("double") / F.col("nn")
     ea = F.col("d") * pa
     v = F.when(
@@ -719,13 +733,19 @@ def sprt_bernoulli(
         F.col(order_col).cast("long").alias("o"),
         (F.col(outcome_col).cast("int") > 0).cast("int").alias("x"),
     )
-    w = Window.orderBy("o").rowsBetween(Window.unboundedPreceding, 0)
+    # r6: distributed ordered scan (VERDICT r05 #2) — the row index is
+    # an exact int running count; the LLR keeps the identical per-row
+    # constant operands, with prefix association differing from the
+    # sequential window only in the last ulp (inside ROUND-6).
+    from osmflat_rs_spark.plans.indexing import sorted_prefix_scan
+
     inc = F.when(F.col("x") == 1, F.lit(w_pos)).otherwise(F.lit(w_neg))
-    r = base.select(
-        "o", "x",
-        F.sum(inc).over(w).alias("llr"),
-        F.row_number().over(Window.orderBy("o")).alias("i"),
-    )
+    r = sorted_prefix_scan(
+        base.withColumn("_one", F.lit(1)).withColumn("_inc", inc),
+        ["o"],
+        long_sums=[("_one", "i")],
+        double_sums=[("_inc", "llr")],
+    ).select("o", "x", "llr", F.col("i").cast("int").alias("i"))
     crossing = F.when(F.col("llr") >= hi, F.lit("accept_h1")).when(
         F.col("llr") <= lo, F.lit("accept_h0")
     )
@@ -785,11 +805,18 @@ def bh_fdr(
         F.col(p_den_col).cast("long").alias("_pd"),
     )
     p = F.col("_pn").cast("double") / F.col("_pd").cast("double")
-    ranked = base.select(
-        "_t", "_pn", "_pd", p.alias("_p"),
-        F.row_number().over(Window.orderBy(p.asc(), F.col("_t").asc())).alias("rank"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
-    )
+    # r6: rank via the distributed ordered scan on (p, test) and m via a
+    # broadcast scalar — replaces the single-partition rank window and
+    # the whole-table count window (VERDICT r05 #2); exact ints, same
+    # (p, _t) total order, bit-identical ranks.
+    from osmflat_rs_spark.plans.indexing import sorted_prefix_scan
+
+    mrow = base.agg(F.count(F.lit(1)).alias("m"))
+    ranked = sorted_prefix_scan(
+        base.select("_t", "_pn", "_pd", p.alias("_p"), F.lit(1).alias("_one")),
+        ["_p", "_t"],
+        long_sums=[("_one", "rank")],
+    ).drop("_one").crossJoin(F.broadcast(mrow))
     cond = (F.col("_pn") * F.col("m") * F.lit(q_den)) <= (
         F.col("rank") * F.lit(q_num) * F.col("_pd")
     )

@@ -1307,3 +1307,45 @@ def test_chatterjee_xi_detects_nonmonotone_dependence(spark):
     assert abs(got["noise"]["xi"]) < 0.15  # independence ~ 0
     assert got["const"]["xi"] is None
     assert got["ties"]["xi"] > 0.7
+
+
+def test_cdf_stats_family_has_no_single_partition_window(spark):
+    """r6 (VERDICT r05 #2): the CDF/stats operators must plan WITHOUT a
+    global Window.orderBy (which collapses the distinct-value table to
+    one task on continuous domains) — rangepartitioning + the map-only
+    prefix scan only."""
+    import pandas as pd
+
+    from osmflat_rs_spark.operators.intervals import concurrency_curve
+    from osmflat_rs_spark.operators.sessions import bh_fdr, kaplan_meier, sprt_bernoulli
+    from osmflat_rs_spark.plans.indexing import (
+        ks_two_sample,
+        mann_whitney_u,
+        wasserstein1_two_sample,
+    )
+
+    a = spark.range(2000).select((F.col("id") * 7919 % 100003).alias("v"))
+    b = spark.range(2000).select((F.col("id") * 104729 % 100003).alias("v"))
+    life = spark.range(500).select(
+        (F.col("id") % 97 + 1).alias("dur"), (F.col("id") % 3 == 0).cast("int").alias("e")
+    )
+    iv = spark.range(500).select(
+        (F.col("id") * 13 % 1000).alias("s"), (F.col("id") * 13 % 1000 + 5).alias("e")
+    )
+    tests_df = spark.range(40).select(
+        F.col("id").cast("string").alias("t"), (F.col("id") % 17 + 1).alias("pn"), F.lit(100).alias("pd_")
+    )
+    stream = spark.range(1000).select(F.col("id").alias("o"), (F.col("id") % 5 > 0).cast("int").alias("x"))
+
+    plans = {
+        "ks": _plan(ks_two_sample(a, b, "v")),
+        "mwu": _plan(mann_whitney_u(a, b, "v")),
+        "w1": _plan(wasserstein1_two_sample(a, b, "v")),
+        "km": _plan(kaplan_meier(life, "dur", "e")),
+        "sprt": _plan(sprt_bernoulli(stream, "o", "x", p0=0.5, p1=0.7)),
+        "bh": _plan(bh_fdr(tests_df, "t", "pn", "pd_")),
+        "conc": _plan(concurrency_curve(iv, "s", "e")),
+    }
+    for name, plan in plans.items():
+        assert "Window" not in plan, name
+        assert "rangepartitioning" in plan, name
