@@ -149,7 +149,7 @@ def _prep(spark: SparkSession) -> None:
 _MAPSIDE_TABLES = {"documents", "events", "embeddings"}
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(spark: SparkSession, sf_dir: str, name: str, spread: bool = True) -> DataFrame:
     """Load a driver table, normalizing SCAN parallelism for map-side
     consumers: the sf* tables are single-row-group parquet files, and a
     row group is one split — so a map-side pipeline (broadcast joins,
@@ -165,7 +165,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (0.44s direct vs 0.71s repartitioned, same JVM, best-of-3)."""
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
-    if name in _MAPSIDE_TABLES:
+    # spread=False: callers that immediately repartition by a key (the
+    # pre-window fan-out pattern) skip the round-robin spread — it would
+    # be a dead exchange directly under their keyed one (guide §2.4).
+    if spread and name in _MAPSIDE_TABLES:
         n = spark.sparkContext.defaultParallelism
         # r6: estimate the scan's split count from the on-disk size
         # instead of df.rdd.getNumPartitions() — the RDD conversion is a
@@ -202,15 +205,29 @@ def _lit_rows(spark: SparkSession, rows, schema: str) -> DataFrame:
     build on the kNN gate's 10-row query table)."""
     fields = [f.strip().rsplit(" ", 1) for f in schema.split(",")]
     structs = [
-        F.struct(
-            *[
-                F.lit(v).cast(typ).alias(name)
-                for v, (name, typ) in zip(row, fields)
-            ]
+        "named_struct("
+        + ",".join(
+            f"'{name}',{_sql_lit(v, typ)}" for v, (name, typ) in zip(row, fields)
         )
+        + ")"
         for row in rows
     ]
-    return spark.range(1).select(F.inline(F.array(*structs)))
+    # ONE SQL parse instead of ~10 py4j calls per cell (bench times plan
+    # construction; the call-by-call form cost ~0.1 s per 10-row table)
+    return spark.range(1).select(F.expr("inline(array(" + ",".join(structs) + "))"))
+
+
+def _sql_lit(v, typ: str) -> str:
+    t = typ.lower()
+    if t == "string":
+        return "'" + str(v).replace("'", "''") + "'"
+    if t in ("long", "bigint"):
+        return f"{int(v)}L"
+    if t in ("int", "integer"):
+        return str(int(v))
+    if t == "double":
+        return f"CAST({float(v)!r} AS DOUBLE)"
+    raise ValueError(f"_sql_lit: unsupported type {typ}")
 
 
 def _lit_polys(spark: SparkSession, rows) -> DataFrame:
@@ -219,22 +236,16 @@ def _lit_polys(spark: SparkSession, rows) -> DataFrame:
     pip_join call, so the pickle-RDD form cost ~32 Python tasks per
     call). ``rows`` = [(polygon_id, [(lat, lon), ...], kind), ...]."""
     structs = [
-        F.struct(
-            F.lit(pid).alias("polygon_id"),
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(int(la)).cast("long").alias("lat"),
-                        F.lit(int(lo)).cast("long").alias("lon"),
-                    )
-                    for la, lo in ring
-                ]
-            ).alias("ring"),
-            F.lit(kind).alias("kind"),
+        "named_struct('polygon_id',{pid},'ring',array({ring}),'kind',{kind})".format(
+            pid=_sql_lit(pid, "string"),
+            ring=",".join(
+                f"named_struct('lat',{int(la)}L,'lon',{int(lo)}L)" for la, lo in ring
+            ),
+            kind=_sql_lit(kind, "string"),
         )
         for pid, ring, kind in rows
     ]
-    return spark.range(1).select(F.inline(F.array(*structs)))
+    return spark.range(1).select(F.expr("inline(array(" + ",".join(structs) + "))"))
 
 
 def _synth_coords(events: DataFrame) -> DataFrame:
@@ -3294,7 +3305,7 @@ def q_raster_events(spark, sf_dir):
     scalar-explode DDA (pure JVM int arithmetic, one codegen stage)."""
     from osmflat_rs_spark.operators.tiling import dda_expand
 
-    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    pts = _synth_coords(_t(spark, sf_dir, "events", spread=False))
     px = ((F.col("lon") - F.lit(LON0)) * F.lit(GRID - 1) / F.lit(LONSPAN)).cast("long")
     py = F.lit(GRID - 1) - ((F.col("lat") - F.lit(LAT0)) * F.lit(GRID - 1) / F.lit(LATSPAN)).cast("long")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -3584,7 +3595,7 @@ def q_snap_events(spark, sf_dir):
     _prep(spark)
     from osmflat_rs_spark.operators.snap import nearest_segment_join
 
-    pts = _synth_coords(_t(spark, sf_dir, "events"))
+    pts = _synth_coords(_t(spark, sf_dir, "events", spread=False))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # r6: explicit fan-out BEFORE the window (the q_raster_events
     # pattern): AQE sizes the window shuffle on the slim pre-explode

@@ -55,6 +55,22 @@ def _spread_byte(b: int) -> int:
 #: byte → spread-byte lookup table (literal array; folds to a constant)
 _SPREAD_TAB = [_spread_byte(b) for b in range(256)]
 
+_SPREAD_TAB_COL: Column | None = None
+
+
+def _spread_tab_col() -> Column:
+    """The lookup table as ONE cached Column: ``F.lit(list)`` expands to
+    256 per-element py4j calls (~250 ms of plan-CONSTRUCTION time per
+    cell_id_expr — bench times construction), so the literal is parsed
+    once per process from a single SQL string and reused (Columns are
+    immutable expression templates; reuse across plans is safe)."""
+    global _SPREAD_TAB_COL
+    if _SPREAD_TAB_COL is None:
+        _SPREAD_TAB_COL = F.expr(
+            "array(" + ",".join(f"{v}L" for v in _SPREAD_TAB) + ")"
+        )
+    return _SPREAD_TAB_COL
+
 
 def _spread_bits_expr(x: Column, nbits: int = 31) -> Column:
     """Interleave-spread an ``nbits``-bit int into even bit positions.
@@ -76,10 +92,7 @@ def _spread_bits_expr(x: Column, nbits: int = 31) -> Column:
     # blocked the optimizer from folding the join-key isnotnull(cell)
     # filter and re-evaluated the whole cell expression a second time on
     # every probe row (measured: knn gate 1.7 s → 2.3 s on F.get).
-    # ONE py4j call for the whole table: F.array(*256 lits) costs ~256
-    # driver round-trips PER SPREAD and showed up as ~2 s of plan
-    # CONSTRUCTION time on the kNN gate (bench times construction too)
-    tab = F.lit(_SPREAD_TAB).cast("array<bigint>")
+    tab = _spread_tab_col()
     x = x.bitwiseAND(F.lit((1 << min(nbits, 31)) - 1))
     parts = F.element_at(tab, (x.bitwiseAND(F.lit(0xFF))).cast("int") + F.lit(1))
     for k in range(1, (min(nbits, 31) + 7) // 8):

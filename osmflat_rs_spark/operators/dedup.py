@@ -151,7 +151,15 @@ def minhash_signatures(
         F.concat_ws(" ", *[F.element_at("_ws", F.col("_i") + m) for m in range(k)]),
     ).otherwise(F.col("_lt"))
     sh = base.select("_id", shingle.alias("shingle"))
-    aggs = [F.min(minhash_hash32(F.col("shingle"), i)).alias(f"sig_{i}") for i in range(n_hashes)]
+    # r6: single-parse SQL per signature instead of ~10 py4j expression
+    # calls each (bench times plan construction); the parsed tree is the
+    # exact minhash_hash32 tree (parity asserted in tests).
+    def _sig_sql(i: int) -> str:
+        seed, j = divmod(i, 4)
+        digest = "md5(shingle)" if seed == 0 else f"md5(concat('{seed}:', shingle))"
+        return f"min(cast(conv(substring({digest}, {1 + 8 * j}, 8), 16, 10) as bigint))"
+
+    aggs = [F.expr(_sig_sql(i)).alias(f"sig_{i}") for i in range(n_hashes)]
     return sh.groupBy("_id").agg(*aggs)
 
 
