@@ -46,6 +46,20 @@ STAGE_RANK = {"node": 0, "way": 1, "relation": 2}
 SPAN_KINDS = ("header", "coord", "tag", "ref", "member", "media")
 
 
+#: canonical sorted-span SQL fragment (see _sorted_spans_expr)
+_SORTED_SQL = (
+    "array_sort(transform({col}, (s, i) -> named_struct("
+    "'offset', s.offset, '_apos', i, 'kind', s.kind, 'text', s.text, "
+    "'media_ref', s.media_ref)))"
+)
+#: sorted spans re-tagged with the doc-level order (rank of offset)
+_ORDERED_SQL = (
+    "transform(" + _SORTED_SQL + ", (s, i) -> named_struct("
+    "'order', cast(i as int), 'kind', s.kind, 'text', s.text, "
+    "'media_ref', s.media_ref))"
+)
+
+
 def _sorted_spans_expr(col: str = "spans"):
     """The canonical sorted-span array: array_sort over (offset, original
     array position, kind, text, media_ref) structs. The position
@@ -53,19 +67,14 @@ def _sorted_spans_expr(col: str = "spans"):
     sequence (ADVICE r01: breaking ties on kind/text silently diverged
     from the oracle's stable sort). SINGLE source of truth — parse_spans
     and _assemble_keyed must sort identically or the exploded and
-    assembled views disagree on duplicate-offset ordering."""
-    return F.array_sort(
-        F.transform(
-            col,
-            lambda s, i: F.struct(
-                s["offset"].alias("offset"),
-                i.alias("_apos"),
-                s["kind"].alias("kind"),
-                s["text"].alias("text"),
-                s["media_ref"].alias("media_ref"),
-            ),
-        )
-    )
+    assembled views disagree on duplicate-offset ordering.
+
+    r6: parsed from one SQL string — the lambda-HOF Column builders cost
+    ~12 ms of py4j round-trips EACH, and _assemble_keyed stacks seven of
+    them per call (measured 0.42 s of plan construction per call, paid
+    twice per ingest; bench times construction). The parsed trees are
+    the identical expressions."""
+    return F.expr(_SORTED_SQL.format(col=col))
 
 
 def parse_spans(docs: DataFrame) -> DataFrame:
@@ -100,12 +109,12 @@ def _keyed(docs: DataFrame) -> DataFrame:
     AFTER the shuffle, exactly once (r02 fix: the old plan assembled
     every doc twice and shuffled four derived arrays instead of the one
     raw span array)."""
-    hdr = F.get(F.filter("spans", lambda s: s["kind"] == "header"), 0)["text"]
-    return docs.select(
+    hdr = "get(filter(spans, s -> s.kind = 'header'), 0).text"
+    return docs.selectExpr(
         "doc_id",
         "spans",
-        F.substring_index(hdr, " ", 1).alias("entity_type"),
-        F.substring_index(hdr, " ", -1).cast("long").alias("osm_id"),
+        f"substring_index({hdr}, ' ', 1) AS entity_type",
+        f"cast(substring_index({hdr}, ' ', -1) AS bigint) AS osm_id",
     )
 
 
@@ -120,62 +129,55 @@ def _assemble_docs(docs: DataFrame, carrier: bool = True) -> DataFrame:
 def _assemble_keyed(keyed: DataFrame, carrier: bool = True) -> DataFrame:
     """Per-kind array assembly from a (doc_id, spans, entity_type, osm_id
     [, eidx]) row — pure in-row transforms; extra input columns pass
-    through."""
-    spans_sorted = _sorted_spans_expr("spans")
-    # attach the doc-level order (rank of offset) to each span, in-row
-    ordered = F.transform(
-        spans_sorted,
-        lambda s, i: F.struct(
-            i.cast("int").alias("order"),
-            s["kind"].alias("kind"),
-            s["text"].alias("text"),
-            s["media_ref"].alias("media_ref"),
-        ),
-    )
+    through. r6: each output column parses from ONE SQL string (the
+    lambda-HOF builders cost ~12 ms of py4j per HOF; this function
+    stacked seven — 0.42 s of plan-construction time per call, twice
+    per ingest). Identical expressions, identical values (roundtrip
+    tests unchanged)."""
+    ordered = _ORDERED_SQL.format(col="spans")
 
-    def kind_arr(kind: str):
-        return F.filter(ordered, lambda s: s["kind"] == kind)
+    def kind_arr(kind: str) -> str:
+        return f"filter({ordered}, s -> s.kind = '{kind}')"
 
-    coord = F.get(kind_arr("coord"), 0)["text"]
-    tags = F.transform(
-        kind_arr("tag"),
-        lambda s: F.struct(
-            s["order"].alias("order"),
-            F.substring_index(s["text"], "=", 1).alias("key"),
-            # value = text after the first '=' (values may contain '=')
-            F.substr(s["text"], F.instr(s["text"], "=") + 1).alias("value"),
-        ),
+    coord = f"get({kind_arr('coord')}, 0).text"
+    # value = text after the first '=' (values may contain '=')
+    tags = (
+        f"transform({kind_arr('tag')}, s -> named_struct("
+        "'order', s.order, "
+        "'key', substring_index(s.text, '=', 1), "
+        "'value', substr(s.text, instr(s.text, '=') + 1)))"
     )
-    refs = F.transform(
-        kind_arr("ref"), lambda s: F.struct(s["order"].alias("order"), s["text"].cast("long").alias("ref_osm_id"))
+    refs = (
+        f"transform({kind_arr('ref')}, s -> named_struct("
+        "'order', s.order, 'ref_osm_id', cast(s.text as bigint)))"
     )
-    members = F.transform(
-        kind_arr("member"),
-        lambda s: F.struct(
-            s["order"].alias("order"),
-            F.split(s["text"], ":", 3).getItem(0).alias("member_type"),
-            F.split(s["text"], ":", 3).getItem(1).cast("long").alias("m_osm_id"),
-            F.split(s["text"], ":", 3).getItem(2).alias("role"),
-        ),
+    members = (
+        f"transform({kind_arr('member')}, s -> named_struct("
+        "'order', s.order, "
+        "'member_type', split(s.text, ':', 3)[0], "
+        "'m_osm_id', cast(split(s.text, ':', 3)[1] as bigint), "
+        "'role', split(s.text, ':', 3)[2]))"
     )
     passthrough = [c for c in keyed.columns if c != "spans"]
     cols = [
-        *[F.col(c) for c in passthrough],
-        F.split(coord, ",").getItem(0).cast("long").alias("lat"),
-        F.split(coord, ",").getItem(1).cast("long").alias("lon"),
-        tags.alias("tags_arr"),
-        refs.alias("refs_arr"),
-        members.alias("members_arr"),
+        *passthrough,
+        f"cast(split({coord}, ',')[0] as bigint) AS lat",
+        f"cast(split({coord}, ',')[1] as bigint) AS lon",
+        f"{tags} AS tags_arr",
+        f"{refs} AS refs_arr",
+        f"{members} AS members_arr",
     ]
     if carrier:
-        media = F.transform(
-            kind_arr("media"), lambda s: F.struct(s["order"].alias("order"), s["media_ref"].alias("media_ref"))
+        media = (
+            f"transform({kind_arr('media')}, s -> named_struct("
+            "'order', s.order, 'media_ref', s.media_ref))"
         )
-        layout = F.transform(
-            ordered, lambda s: F.struct(s["order"].alias("order"), s["kind"].alias("kind"))
+        layout = (
+            f"transform({ordered}, s -> named_struct("
+            "'order', s.order, 'kind', s.kind))"
         )
-        cols += [media.alias("media_arr"), layout.alias("layout_arr")]
-    return keyed.select(*cols)
+        cols += [f"{media} AS media_arr", f"{layout} AS layout_arr"]
+    return keyed.selectExpr(*cols)
 
 
 def ingest(
@@ -304,22 +306,16 @@ def ingest(
         "way_idx",
         "osm_id",
         _strip_order("tags_arr").alias("tags"),
-        F.transform(
-            F.coalesce("resolved_refs", F.array()),
-            lambda s, i: F.struct(
-                i.cast("int").alias("pos"),
-                s["node_idx"].alias("node_idx"),
-                s["lat"].alias("lat"),
-                s["lon"].alias("lon"),
-            ),
+        F.expr(
+            "transform(coalesce(resolved_refs, array()), (s, i) -> named_struct("
+            "'pos', cast(i as int), 'node_idx', s.node_idx, 'lat', s.lat, "
+            "'lon', s.lon))"
         ).alias("refs"),
         "doc_id",
     )
     ways = ways_geo.withColumn(
         "refs",
-        F.transform(
-            "refs", lambda s: F.struct(s["pos"].alias("pos"), s["node_idx"].alias("node_idx"))
-        ),
+        F.expr("transform(refs, s -> named_struct('pos', s.pos, 'node_idx', s.node_idx))"),
     )
     way_dict = ways.select(F.col("osm_id").alias("m_osm_id"), F.col("way_idx").alias("member_idx")).withColumn(
         "member_type", F.lit("way")
@@ -365,14 +361,10 @@ def ingest(
         "relation_idx",
         "osm_id",
         _strip_order("tags_arr").alias("tags"),
-        F.transform(
-            F.coalesce("resolved_members", F.array()),
-            lambda s, i: F.struct(
-                i.cast("int").alias("pos"),
-                s["member_type"].alias("member_type"),
-                s["member_idx"].alias("member_idx"),
-                s["role"].alias("role"),
-            ),
+        F.expr(
+            "transform(coalesce(resolved_members, array()), (s, i) -> named_struct("
+            "'pos', cast(i as int), 'member_type', s.member_type, "
+            "'member_idx', s.member_idx, 'role', s.role))"
         ).alias("members"),
         "doc_id",
     )
@@ -521,17 +513,18 @@ def _build_dims(assembled: DataFrame):
 
 
 def _elem_pos_arr(kind: str):
-    """(order, elem_pos) structs for spans of one kind, in-row."""
-    return F.transform(
-        F.filter("layout_arr", lambda s: s["kind"] == kind),
-        lambda s, i: F.struct(s["order"].alias("order"), i.cast("int").alias("elem_pos")),
+    """(order, elem_pos) structs for spans of one kind, in-row (single
+    SQL parse — see _assemble_keyed's r6 construction note)."""
+    return F.expr(
+        f"transform(filter(layout_arr, s -> s.kind = '{kind}'), "
+        "(s, i) -> named_struct('order', s.order, 'elem_pos', cast(i as int)))"
     )
 
 
 def _strip_order(arr_col: str):
-    return F.transform(
-        F.coalesce(arr_col, F.array()),
-        lambda s: F.struct(s["key"].alias("key"), s["value"].alias("value")),
+    return F.expr(
+        f"transform(coalesce({arr_col}, array()), "
+        "s -> named_struct('key', s.key, 'value', s.value))"
     )
 
 
