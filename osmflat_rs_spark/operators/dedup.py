@@ -273,7 +273,17 @@ def minhash_dedup(
     join → exact jaccard verification ≥ threshold. The candidate step IS
     part of the operator semantics (banded recall), making the whole
     pipeline deterministic and SQL-reproducible."""
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes, k)
+    # r6: materialize the per-doc signature table once (guide §3.3
+    # "materialise an intermediate to truncate the plan"): the LSH
+    # band self-join consumes it twice and the verification's candidate
+    # prune re-plans the whole subtree twice more — the shingle+digest
+    # aggregate (the pipeline's dominant CPU) ran 4x per action
+    # (measured: two ~5 s-CPU broadcast-build stages at the sf0.1 gate,
+    # 66 Exchange nodes in the plan). Signatures are one 9-long row per
+    # doc — linear, the right thing to pin at any scale; localCheckpoint
+    # is per-action materialization, recomputed from the inputs on every
+    # fresh call.
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, k).localCheckpoint(eager=True)
     cand = lsh_candidate_pairs(sigs, n_hashes, n_bands)
     jac = jaccard_for_pairs(df, cand, id_col, text_col, threshold=threshold)
     return jac.filter(F.col("jaccard") >= threshold)
