@@ -3302,8 +3302,9 @@ def q_trend_events(spark, sf_dir):
 
 def q_raster_events(spark, sf_dir):
     """F7 Bresenham-family rasterization (render-roads.rs:132-155) as a
-    scalar-explode DDA (pure JVM int arithmetic, one codegen stage)."""
-    from osmflat_rs_spark.operators.tiling import dda_expand
+    fused vectorized DDA+distinct stage (one Arrow pass over the slim
+    segment rows — see dda_pixels_distinct for the r6 rationale)."""
+    from osmflat_rs_spark.operators.tiling import dda_pixels_distinct
 
     pts = _synth_coords(_t(spark, sf_dir, "events", spread=False))
     px = ((F.col("lon") - F.lit(LON0)) * F.lit(GRID - 1) / F.lit(LONSPAN)).cast("long")
@@ -3325,20 +3326,11 @@ def q_raster_events(spark, sf_dir):
         .withColumn("y1", F.lead("y0").over(w))
         .filter(F.col("x1").isNotNull())
     )
-    # r6: distinct on a PACKED (x<<8|y) key — x,y ∈ [0,255] by
-    # construction, so packing is injective; the 10.7M-group hash
-    # aggregate then keys on 2 columns instead of 3 (guide §2.3 narrower
-    # keys). Unpack reproduces the identical (user_id, x, y) rows.
-    return (
-        dda_expand(seg, ["user_id"])
-        .select("user_id", F.shiftleft(F.col("x"), 8).bitwiseOR(F.col("y")).alias("_p"))
-        .distinct()
-        .select(
-            "user_id",
-            F.shiftright(F.col("_p"), 8).alias("x"),
-            F.col("_p").bitwiseAND(F.lit(255)).alias("y"),
-        )
-    )
+    # r6: the explode + 10.7M-group distinct is fused into one NumPy
+    # stage (dedup within the user_id partitioning == global dedup); the
+    # JVM codegen form paid a 2-4x C1/JIT ramp on every fresh JVM that
+    # the vectorized form does not (see dda_pixels_distinct docstring).
+    return dda_pixels_distinct(seg, ["user_id"])
 
 
 def q_tile_events(spark, sf_dir):

@@ -112,6 +112,81 @@ def dda_expand(seg: DataFrame, id_cols: list[str], fanout_partitions: int | None
     return stepped.select(*id_cols, x.alias("x"), y.alias("y"))
 
 
+def dda_pixels_distinct(seg: DataFrame, id_cols: list[str]) -> DataFrame:
+    """Fused DDA expand + distinct as ONE vectorized Arrow stage: takes the
+    slim segment rows (id_cols + x0,y0,x1,y1), emits distinct
+    (id_cols + x, y) pixels. Same closed form as ``dda_expand`` (integer
+    DDA, p_i = p0 + sign*((2|d|i + m) div 2·max(m,1))), identical rows.
+
+    Why it exists next to the pure-JVM ``dda_expand`` + ``distinct`` form
+    (guide §4.2): the generated whole-stage loop for explode+hash-distinct
+    runs at C1/interpreted speed until HotSpot's Tier-4 backedge counters
+    trip — measured 48s task CPU on its first sf0.1 execution vs 11.5s
+    steady on the raster gate — so short-lived sessions (and the frozen
+    bench's best-of-2 protocol, whose sf0.001 warmup never reaches the
+    compile thresholds) pay 2-4× on every fresh JVM. NumPy has no such
+    ramp: first call ≈ steady state (~0.35s of task CPU for the same
+    11.8M pixels). Only the slim segment rows cross the JVM→Python
+    boundary (§4: pass only needed columns); the deduped pixels come back
+    once as Arrow batches.
+
+    Dedup scope: within the input partition. Callers must have the input
+    hash-partitioned by (a subset of) id_cols — equal (ids,x,y) tuples
+    are then co-located and per-partition dedup IS global dedup, exactly
+    the property the JVM form's exchange-free HashAggregate relies on.
+    Memory: one partition's exploded pixels live as transient int64
+    arrays (fan-out bounded by grid geometry, same class as the JVM hash
+    table); at 100 TB the id-partition count scales with the input, so
+    per-task state stays bounded.
+    """
+    import numpy as np
+
+    id_types = {f.name: f.dataType.simpleString() for f in seg.schema.fields}
+    out_schema = ", ".join([f"{c} {id_types[c]}" for c in id_cols] + ["x bigint", "y bigint"])
+    slim = seg.select(*id_cols, "x0", "y0", "x1", "y1")
+
+    def fn(batches):
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if not chunks:
+            return
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        x0 = pdf["x0"].to_numpy(np.int64)
+        y0 = pdf["y0"].to_numpy(np.int64)
+        x1 = pdf["x1"].to_numpy(np.int64)
+        y1 = pdf["y1"].to_numpy(np.int64)
+        ids = [pdf[c].to_numpy() for c in id_cols]
+        adx = np.abs(x1 - x0)
+        ady = np.abs(y1 - y0)
+        m = np.maximum(adx, ady)
+        steps = m + 1
+        first = np.concatenate(([0], np.cumsum(steps)[:-1]))
+        sidx = np.repeat(np.arange(len(pdf)), steps)
+        i = np.arange(int(steps.sum()), dtype=np.int64) - first[sidx]
+        me = m[sidx]
+        denom = 2 * np.maximum(me, 1)
+        sx = np.where(x1 >= x0, 1, -1)[sidx]
+        sy = np.where(y1 >= y0, 1, -1)[sidx]
+        x = x0[sidx] + sx * ((2 * adx[sidx] * i + me) // denom)
+        y = y0[sidx] + sy * ((2 * ady[sidx] * i + me) // denom)
+        idx = [a[sidx] for a in ids]
+        # lexsort-dedup (primary key last in the lexsort tuple)
+        order = np.lexsort(tuple([y, x] + idx[::-1]))
+        xs, ys = x[order], y[order]
+        idss = [a[order] for a in idx]
+        keep = np.ones(len(xs), dtype=bool)
+        if len(xs) > 1:
+            same = (xs[1:] == xs[:-1]) & (ys[1:] == ys[:-1])
+            for a in idss:
+                same &= a[1:] == a[:-1]
+            keep[1:] = ~same
+        out = {c: a[keep] for c, a in zip(id_cols, idss)}
+        out["x"] = xs[keep]
+        out["y"] = ys[keep]
+        yield pd.DataFrame(out)
+
+    return slim.mapInPandas(fn, out_schema)
+
+
 def _segments(coords: DataFrame, id_col: str, fanout_partitions: int | None = None) -> DataFrame:
     """(id, pos, gx, gy) → consecutive grid pairs via lead() (SURVEY W3).
 
@@ -218,8 +293,21 @@ def tile_assign_segments(
             F.col("t1.tx").alias("x1"),
             F.col("t1.ty").alias("y1"),
         )
+    if fanout_partitions:
+        # keyed fan-out → per-partition dedup IS global dedup, so the
+        # explode + distinct fuse into one vectorized Arrow stage (no
+        # JIT ramp, no 100x-exploded rows in the JVM hash-agg — see
+        # dda_pixels_distinct). Tile encode stays in JVM codegen: its
+        # float log/tan tree is the bit-pinned one.
+        pix = dda_pixels_distinct(seg.repartition(fanout_partitions, "way_idx"), ["way_idx"])
+        return pix.select(
+            "way_idx",
+            F.lit(zoom).alias("zoom"),
+            F.col("x").alias("tile_x"),
+            F.col("y").alias("tile_y"),
+        )
     return (
-        dda_expand(seg, ["way_idx"], fanout_partitions=fanout_partitions)
+        dda_expand(seg, ["way_idx"])
         .select(
             "way_idx",
             F.lit(zoom).alias("zoom"),

@@ -1075,3 +1075,32 @@ def test_weighted_overlay_matches_model(spark):
 
     with _pytest.raises(ValueError):
         weighted_overlay(df, w_density=0, w_focal=0)
+
+
+def test_dda_pixels_distinct_equals_jvm_form(spark):
+    """The fused Arrow DDA+dedup stage (r6, q_raster_events /
+    tile_assign_segments fan-out path) emits exactly the rows of the JVM
+    dda_expand + distinct form — including degenerate (m=0) segments,
+    negative coordinates, duplicate segments, and multi-id partitions."""
+    import numpy as np
+
+    from osmflat_rs_spark.operators.tiling import dda_expand, dda_pixels_distinct
+
+    rng = np.random.default_rng(41)
+    rows = []
+    for i in range(400):
+        uid = int(rng.integers(0, 7))
+        x0, y0, x1, y1 = (int(v) for v in rng.integers(-80, 80, size=4))
+        if i % 17 == 0:
+            x1, y1 = x0, y0  # degenerate single-pixel segment
+        rows.append((uid, x0, y0, x1, y1))
+    rows += rows[:25]  # duplicate segments must still dedup
+    seg = spark.createDataFrame(
+        rows, "user_id long, x0 long, y0 long, x1 long, y1 long"
+    ).repartition(4, "user_id")
+    want = sorted(
+        tuple(r) for r in dda_expand(seg, ["user_id"]).distinct().collect()
+    )
+    got = sorted(tuple(r) for r in dda_pixels_distinct(seg, ["user_id"]).collect())
+    assert len(want) > 400
+    assert got == want
