@@ -102,3 +102,33 @@ def test_validation(spark):
             spark.createDataFrame(pd.DataFrame({"sid": [1], "x1": [0], "y1": [0], "x2": [1], "y2": [1]})),
             cell_size=1,
         )
+
+
+def test_reference_point_dedup_no_duplicates_and_no_pair_shuffle(spark):
+    """Long segments cover many cells; every crossing pair must still be
+    emitted exactly once (reference-point rule replaces the distinct),
+    and the plan must end at the Python stage — no pair exchange."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n = 300
+    # long spokes through a small area -> pairs share MANY cells
+    x1 = rng.integers(0, 50_000, n)
+    y1 = rng.integers(0, 50_000, n)
+    x2 = x1 + rng.integers(-400_000, 400_001, n)
+    y2 = y1 + rng.integers(-400_000, 400_001, n)
+    pdf = pd.DataFrame(
+        {"sid": range(n), "x1": x1, "y1": y1, "x2": x2, "y2": y2}
+    )
+    out = segment_intersection_join(spark.createDataFrame(pdf), cell_size=1 << 12)
+    rows = [(r["id_a"], r["id_b"]) for r in out.collect()]
+    assert len(rows) == len(set(rows)) > 0  # exactly-once emission
+    ia, ib = np.triu_indices(n, 1)
+    mask = _proper_mask(x1[ia], y1[ia], x2[ia], y2[ia], x1[ib], y1[ib], x2[ib], y2[ib])
+    assert set(rows) == set(zip(ia[mask].tolist(), ib[mask].tolist()))
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    tree = plan.split("== Initial Plan ==")[0]
+    assert tree.count("Exchange") == 1  # the cell clustering only
+    assert "HashAggregate" not in plan  # distinct is gone
