@@ -31,6 +31,8 @@ Outputs (golden-table schemas of FIXTURES.md §3):
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -38,6 +40,38 @@ from pyspark.storagelevel import StorageLevel
 from osmflat_rs_spark.plans.indexing import assign_dense_index
 
 STAGE_RANK = {"node": 0, "way": 1, "relation": 2}
+
+#: background executor for ingest's independent validation actions (the
+#: strict-kinds probe and the dense-index audit, guide §2.6) — module
+#: scope so the two threads are reused across ingest calls; Spark's
+#: driver accepts concurrent job submission from multiple threads (FIFO
+#: back-fill is exactly the wanted behavior)
+_ASYNC_POOL = ThreadPoolExecutor(max_workers=2, thread_name_prefix="ingest-async")
+
+
+def _check_probe(probe) -> None:
+    """Raise the strict-kinds validation error from a collected probe row."""
+    problems = []
+    if probe["kinds"]:
+        problems.append(
+            f"unrecognized span kind(s) {sorted(probe['kinds'])} — the carrier "
+            f"tables represent only {list(SPAN_KINDS)}"
+        )
+    if probe["types"]:
+        problems.append(
+            f"document(s) with unusable entity type(s) {sorted(probe['types'])} — "
+            f"every doc needs a header span 'node|way|relation <osm_id>'"
+        )
+    if problems:
+        # NB: strict_kinds=False only skips THIS validation; docs
+        # without a usable header still fail later (the dense-index
+        # assignment rejects NULL group keys), just with a less
+        # specific error. Unknown span kinds are silently dropped.
+        raise ValueError(
+            "ingest: " + "; ".join(problems) + " — fix the input "
+            "(strict_kinds=False skips this check, but headerless docs "
+            "still fail in dense-index assignment)"
+        )
 
 # the six span kinds the carrier tables can represent; ingest REJECTS
 # anything else (strict_kinds) — an unrecognized kind has no entity-table
@@ -189,6 +223,14 @@ def ingest(
 ) -> dict[str, DataFrame]:
     from osmflat_rs_spark.plans.indexing import assign_dense_index_by_group, audit_dense_index
 
+    # r6: the validation probe and the dense-index audit are independent
+    # driver ACTIONS (one small job each); run them from background
+    # threads (guide §2.6 "overlap independent jobs") so their job +
+    # analysis latency overlaps the ~0.7 s of py4j plan construction the
+    # rest of ingest spends on the driver. Their exceptions surface at
+    # ingest's return (or, for the probe, as soon as the dense-index
+    # assignment fails on the same malformed input — precedence kept).
+    probe_fut = audit_fut = None
     if strict_kinds:
         # ONE validation job, ONE scan (ADVICE r03: the old form ran two
         # eager collect() jobs, each re-scanning the raw docs — one of
@@ -219,27 +261,8 @@ def ingest(
                 F.array_distinct(F.flatten(F.collect_list("bad_kinds"))).alias("kinds"),
                 F.collect_set("bad_type").alias("types"),
             )
-            .collect()[0]
         )
-        problems = []
-        if probe["kinds"]:
-            problems.append(
-                f"unrecognized span kind(s) {sorted(probe['kinds'])} — the carrier "
-                f"tables represent only {list(SPAN_KINDS)}"
-            )
-        if probe["types"]:
-            problems.append(
-                f"document(s) with unusable entity type(s) {sorted(probe['types'])} — "
-                f"every doc needs a header span 'node|way|relation <osm_id>'"
-            )
-        if problems:
-            # NB: strict_kinds=False only skips THIS validation; docs
-            # without a usable header still fail later (the dense-index
-            # assignment rejects NULL group keys), just with a less
-            # specific error. Unknown span kinds are silently dropped.
-            raise ValueError("ingest: " + "; ".join(problems) + " — fix the input "
-                             "(strict_kinds=False skips this check, but headerless docs "
-                             "still fail in dense-index assignment)")
+        probe_fut = _ASYNC_POOL.submit(lambda df=probe: df.collect()[0])
 
     # ONE range shuffle assigns all three per-type dense indices (grouped
     # two-pass scheme) — vs. one shuffle+persist per entity type. The
@@ -249,12 +272,21 @@ def ingest(
     # derived arrays, and the columnar cache encodes one nested column.
     # Per-kind arrays derive in-row (codegen'd transforms) on each read of
     # the persisted layout — CPU-cheap vs. the memory traffic they save.
-    indexed = assign_dense_index_by_group(_keyed(docs), "entity_type", ["osm_id"], "eidx")
+    try:
+        indexed = assign_dense_index_by_group(_keyed(docs), "entity_type", ["osm_id"], "eidx")
+    except Exception:
+        # same malformed input (headerless doc → NULL group) trips both
+        # the probe and the assigner; surface the probe's specific error
+        if probe_fut is not None:
+            _check_probe(probe_fut.result())
+        raise
     if audit:
         # one vectorized no-shuffle pass over the persisted layout: the
         # eidx must tile 0..n_g-1 per entity type in storage order —
         # guards the local-counter/stage-fusion invariant (indexing.py)
-        audit_dense_index(indexed, "eidx", group_col="entity_type")
+        audit_fut = _ASYNC_POOL.submit(
+            audit_dense_index, indexed, "eidx", group_col="entity_type"
+        )
     assembled = _assemble_keyed(indexed, carrier=False)
     carrier = _assemble_keyed(indexed)  # lazy: only computed if media/layout read
 
@@ -444,6 +476,11 @@ def ingest(
         )
     else:
         metrics = None
+
+    if probe_fut is not None:
+        _check_probe(probe_fut.result())
+    if audit_fut is not None:
+        audit_fut.result()
 
     return {
         "_cached": [refs_resolved, members_resolved],
