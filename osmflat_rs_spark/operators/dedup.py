@@ -196,7 +196,13 @@ def lsh_candidate_pairs(sigs: DataFrame, n_hashes: int = 8, n_bands: int = 4) ->
     left = allb.select("band", "bh", F.col("_id").alias("id_a"))
     right = allb.select("band", "bh", F.col("_id").alias("id_b"))
     return (
-        left.join(right, ["band", "bh"])
+        # SHUFFLE_HASH: AQE's broadcast choice serializes the ~n_docs x
+        # n_bands band table into a single-threaded relation build on the
+        # critical path (measured 350 ms at the sf0.1 gate); two tiny
+        # keyed exchanges + parallel per-partition hash builds are
+        # cheaper at every scale, and (band, bh) keys hash-spread evenly
+        # by construction (guide §3.1).
+        left.hint("SHUFFLE_HASH").join(right, ["band", "bh"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -423,7 +429,20 @@ def _ngram_jaccard_prefix(
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
     """Per-doc SimHash over distinct words: bit j set iff the signed vote
     Σ ±1 (sign = word-hash bit j) is positive. Pure column arithmetic."""
-    ws = doc_words(df, id_col, text_col).select("_id", "w").distinct().withColumn("h", md5_int60(F.col("w")))
+    # ONE exchange (r6): hash-partition by _id up front — partitioning by
+    # a SUBSET of the distinct key satisfies the (_id, w) clustering, and
+    # the vote groupBy(_id) then needs no shuffle either. The old shape
+    # paid two exchanges and AQE coalesced the second (1 MB of votes)
+    # onto a single task that serialized the 16-sum aggregate (guide
+    # §2.4; the explicit count follows spark.sql.shuffle.partitions).
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    ws = (
+        doc_words(df, id_col, text_col)
+        .select("_id", "w")
+        .repartition(n_part, "_id")
+        .distinct()
+        .withColumn("h", md5_int60(F.col("w")))
+    )
     votes = ws.groupBy("_id").agg(
         *[
             F.sum(
