@@ -2567,7 +2567,7 @@ def q_cell_index_events(spark, sf_dir):
     from osmflat_rs_spark.functions.cells import cell_id_expr, parent_expr
 
     pts = _synth_coords(_t(spark, sf_dir, "events"))
-    cell = cell_id_expr(F.col("lat"), F.col("lon"), CELL_RES)
+    cell = cell_id_expr("lat", "lon", CELL_RES)
     return pts.select(
         "event_id", cell.alias("cell"), parent_expr(cell, 2).alias("cell_parent2")
     )

@@ -342,6 +342,10 @@ class RowMajorBackend(CellBackend):
     def cell_expr(self, lat_fixed, lon_fixed, res):
         from pyspark.sql import functions as F
 
+        if isinstance(lat_fixed, str):
+            lat_fixed = F.col(lat_fixed)
+        if isinstance(lon_fixed, str):
+            lon_fixed = F.col(lon_fixed)
         ix = cells._quantize_expr(lon_fixed, cells._LON_OFF, cells._LON_SPAN, res)
         iy = cells._quantize_expr(lat_fixed, cells._LAT_OFF, cells._LAT_SPAN, res)
         cell = (

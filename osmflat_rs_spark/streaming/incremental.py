@@ -102,7 +102,7 @@ def stream_cell_assign(spark, docs_dir: str, schema, out_dir: str, checkpoint_di
         F.split(coord, ",").getItem(0).cast("long").alias("lat"),
         F.split(coord, ",").getItem(1).cast("long").alias("lon"),
     )
-    out = nodes.withColumn("cell", cell_id_expr(F.col("lat"), F.col("lon"), res))
+    out = nodes.withColumn("cell", cell_id_expr("lat", "lon", res))
     return (
         out.writeStream.format("parquet")
         .option("path", out_dir)
