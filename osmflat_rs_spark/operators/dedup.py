@@ -222,7 +222,12 @@ def _length_ratio_ok(threshold: float):
 
 
 def jaccard_for_pairs(
-    df: DataFrame, pairs: DataFrame, id_col: str, text_col: str, threshold: float | None = None
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float | None = None,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Exact word-set jaccard for candidate pairs → (id_a, id_b, jaccard).
 
@@ -238,17 +243,26 @@ def jaccard_for_pairs(
     dominant cost of the whole minhash pipeline: 49s of a 55s 200k-doc
     run). The corpus is semi-pruned to docs that actually appear in a
     candidate pair before carrying word arrays — at near-dup rates the
-    verification input is a tiny fraction of the corpus."""
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(words_expr(F.col(text_col))).alias("ws"),
-    ).withColumn("n", F.size("ws").cast("long"))
+    verification input is a tiny fraction of the corpus.
+
+    ``base``: an optional precomputed (_id, ws, n) tokenization (r6) —
+    callers that already materialized word arrays (the prefix path's
+    tokenize-once table) pass it to skip re-deriving them from ``df``."""
+    if base is None:
+        base = df.select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(words_expr(F.col(text_col))).alias("ws"),
+        ).withColumn("n", F.size("ws").cast("long"))
     ids = (
         pairs.select(F.col("id_a").alias("_id"))
         .unionByName(pairs.select(F.col("id_b").alias("_id")))
         .distinct()
     )
-    bp = base.join(ids, "_id", "left_semi")
+    # r6: bp (the candidate-pruned corpus with word arrays) is consumed
+    # twice (id_a and id_b sides) — materialize once per action, else the
+    # scan + array_distinct + semi-join subtree re-plans per side. At
+    # near-dup rates bp is a small fraction of the corpus by contract.
+    bp = base.join(ids, "_id", "left_semi").localCheckpoint(eager=True)
     j = pairs.join(
         bp.select(F.col("_id").alias("id_a"), F.col("ws").alias("wa"), F.col("n").alias("na")),
         "id_a",
@@ -397,31 +411,75 @@ def _ngram_jaccard_prefix(
     all-pairs form."""
     from pyspark.sql import Window
 
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(bucket_col).alias("_bk"),
-        F.array_distinct(words_expr(F.col(text_col))).alias("ws"),
-    ).withColumn("n", F.size("ws").cast("long"))
+    # r6: tokenize ONCE, distributed. The corpus parquet is few/single
+    # splits at bench scale, and a Project sits below a repartition where
+    # it was written — so word-array computation ran on the scan task
+    # (0.7 s serial, twice). Spreading the RAW text first, projecting
+    # after the exchange, and eagerly checkpointing gives one distributed
+    # tokenization that every consumer (toks, dfreq, prefix ranks, and
+    # the verification's word arrays) shares — the tokenize-once table,
+    # linear in the corpus.
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(bucket_col).alias("_bk"),
+            F.col(text_col).alias("_tx"),
+        )
+        .repartition(n_part, "_id")
+        .select(
+            "_id",
+            "_bk",
+            F.array_distinct(words_expr(F.col("_tx"))).alias("ws"),
+        )
+        .withColumn("n", F.size("ws").cast("long"))
+        .localCheckpoint(eager=True)
+    )
     toks = base.select("_id", "_bk", "n", F.explode("ws").alias("w"))
     dfreq = toks.groupBy("_bk", "w").agg(F.count("*").alias("_df"))
     # per-doc token rank in the bucket's df-ascending order (ties by
     # token text — any consistent total order preserves the guarantee)
     w_doc = Window.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("w").asc())
     prefix_len = F.col("n") - F.ceil(F.col("n") * F.lit(threshold) - F.lit(1e-9)) + 1
+    # r6: (a) explicit keyed fan-out before the per-doc window — AQE
+    # sized its exchange on ~1 MB of token bytes and ran it on ONE task
+    # (1.4 s serial); HashPartitioning(_id) satisfies the window
+    # clustering so this is the stage's only exchange. (b) eager
+    # localCheckpoint: pref is consumed by BOTH join sides (pa, pb) and
+    # again via the verification's semi-prune — un-materialized, the
+    # whole scan→explode→df-join→window subtree re-planned FOUR times
+    # (8 parquet scans in the before-plan). pref is the prefix-token
+    # table, a bounded fraction of the corpus — the linear "decision"
+    # table of guide §8; per-action materialization, recomputed per call.
     pref = (
         toks.join(dfreq, ["_bk", "w"])
+        .repartition(n_part, "_id")
         .withColumn("_rn", F.row_number().over(w_doc))
         .filter(F.col("_rn") <= prefix_len)
+        .localCheckpoint(eager=True)
     )
     pa = pref.select("_bk", "w", F.col("_id").alias("id_a"), F.col("n").alias("na"))
     pb = pref.select("_bk", "w", F.col("_id").alias("id_b"), F.col("n").alias("nb"))
+    # explicit keyed fan-out (r6): candidate pairs are tiny in BYTES but
+    # carry the whole verification CPU downstream — AQE sized the
+    # distinct's exchange on ~1 MB of pair bytes and coalesced it to 1-2
+    # tasks, serializing ~7 s of array_intersect verification at the
+    # sf0.1 gate (10.4 s wall → 2.9 s). The user-specified count is
+    # immune to coalescing, HashPartitioning(id_a, id_b) satisfies the
+    # distinct clustering (no second exchange), and the broadcast verify
+    # joins inherit the same spread (guide §2.5 — CPU-dense small
+    # shuffles must not be sized by bytes).
     cand = (
         pa.join(pb, ["_bk", "w"])
         .filter((F.col("id_a") < F.col("id_b")) & _length_ratio_ok(threshold))
         .select("id_a", "id_b")
+        .repartition(n_part, "id_a", "id_b")
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    return jaccard_for_pairs(df, cand, id_col, text_col, threshold=threshold).filter(
+    return jaccard_for_pairs(
+        df, cand, id_col, text_col, threshold=threshold, base=base.drop("_bk")
+    ).filter(
         F.col("jaccard") >= threshold
     )
 
