@@ -4,19 +4,23 @@ rest): the step every dedup pipeline needs after MinHash/SimHash/SRP
 candidate generation, and the reference has no analog for (its relations
 form a static forest resolved at build time; a dedup graph is dynamic).
 
-Algorithm: iterative MIN-LABEL PROPAGATION with POINTER JUMPING.
-Per round, each node takes the minimum label over itself and its
-neighbors (one shuffle: edges ⋈ labels → groupBy-min, map-side
-partials), then labels are compressed one hop (labels ⋈ labels on
-lbl = node — the classic pointer-jumping/path-halving step). Plain
-neighbor-min alone needs O(diameter) rounds — a pathological chain of n
-near-dup docs would need n rounds; the jumping step doubles the
-distance a label travels per round, so convergence is O(log n) rounds
-for ANY topology (each round ~2 bounded shuffles). This is the
-published two-phase recipe (Kiveris et al. 2014 "Connected Components
-in MapReduce and Beyond" — their small-star/large-star achieves the
-same bound; min-label + jumping is the simpler equivalent for
-undirected label diffusion).
+Algorithm: iterative MIN-LABEL PROPAGATION with a ROOT RELAY and
+POINTER JUMPING (the hash-to-min family — Rastogi et al. 2013 "Finding
+Connected Components in Map-Reduce"; Kiveris et al. 2014). Per round:
+(1) each node takes the minimum label over itself and its neighbors
+(one shuffle: edges ⋈ labels → groupBy-min, map-side partials);
+(2) the node proposes that minimum BOTH to itself and to its current
+label node, so label nodes accumulate the min over their whole member
+set; (3) one pointer jump (lbl ← lbl(lbl)) reads the relayed value
+back. Plain neighbor-min needs O(diameter) rounds, and neighbor-min +
+jump alone still stalls on plateau frontiers (measured r6: >45 rounds
+on a 99k-node/4.5M-edge radius graph, hundreds of labels still moving
+per round); with the root relay the label graph keeps collapsing into
+stars and the same graph converges in 8 rounds. Every proposed label
+is the id of a same-component node and every step is non-increasing,
+so the fixpoint (labels equal across all edges, component min labels
+itself) is identical to naive propagation — only the round count
+changes.
 
 Scale notes:
 - State per round is ONE (node, label) row per node — never edge-
@@ -68,25 +72,34 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
-        # neighbor minimum (self label included via union); the self row
-        # also THREADS the previous label through the aggregate (max of
-        # the null-for-neighbors column), so the convergence check below
-        # is a filter on the round's own output — no labels-vs-new
-        # comparison join, one fewer shuffle per round
-        nb = e.join(labels, e["v"] == labels["node"]).select(
-            F.col("u").alias("node"), F.col("lbl"), F.lit(None).cast("long").alias("_old")
+        # 1. neighborhood minimum m_u = min(lbl over {u} ∪ N(u)) — the
+        #    hash-min step (one edge⋈labels shuffle, map-side partials)
+        nb = e.join(labels, e["v"] == labels["node"]).select(F.col("u").alias("node"), "lbl")
+        m = labels.unionByName(nb).groupBy("node").agg(F.min("lbl").alias("m"))
+        # 2. RELAY THROUGH THE ROOT (r6 — the convergence fix): u
+        #    proposes m_u both to itself and to its CURRENT label node,
+        #    so the label node accumulates the min over everyone pointing
+        #    at it; the jump in step 3 reads it back. Neighbor-min +
+        #    one-hop jump alone advances a plateau frontier ~1 edge per
+        #    round — measured O(diameter) stall on the sf0.1 DBSCAN
+        #    radius graph (99k nodes / 4.5M edges: >45 rounds, hundreds
+        #    still changing per round); with the root relay the same
+        #    graph converges in 8 rounds (16 s). Labels proposed are
+        #    always ids of same-component nodes, each step is
+        #    non-increasing, and a fixpoint forces equal labels across
+        #    every edge — so the result (min id per component) is
+        #    unchanged, only the round count drops.
+        withlbl = m.join(labels, "node")
+        props = withlbl.select("node", "m").unionByName(
+            withlbl.select(F.col("lbl").alias("node"), "m")
         )
+        tmp = props.groupBy("node").agg(F.min("m").alias("lbl"))
+        # 3. pointer jump reading the relayed root label: lbl <- tmp(tmp)
+        hop = tmp.select(F.col("node").alias("_n2"), F.col("lbl").alias("_l2"))
         new = (
-            labels.select("node", "lbl", F.col("lbl").alias("_old"))
-            .unionByName(nb)
-            .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"), F.max("_old").alias("_old"))
-        )
-        # pointer jumping: lbl <- lbl(lbl); every label IS a node id
-        hop = new.select(F.col("node").alias("_n2"), F.col("lbl").alias("_l2"))
-        new = (
-            new.join(hop, new["lbl"] == hop["_n2"])
-            .select("node", F.col("_l2").alias("lbl"), "_old")
+            tmp.join(hop, tmp["lbl"] == hop["_n2"], "left")
+            .select("node", F.coalesce(F.col("_l2"), F.col("lbl")).alias("lbl"))
+            .join(labels.select("node", F.col("lbl").alias("_old")), "node")
             .localCheckpoint(eager=True)
         )
         changed = new.filter(F.col("lbl") != F.col("_old")).count()
