@@ -89,13 +89,23 @@ def winnow_fingerprints(
     ENTIRELY in-row (transform/slice/array_min over the shingle hash
     array — zero shuffle until the output explode), and bit-reproducible
     in ANSI SQL via list lambdas + the md5-slice hash. → (id, fp) rows,
-    distinct per doc."""
+    distinct per doc.
+
+    r6: the shingle-hash array is BOUND to a projected column before the
+    window transform. Inlined, every window's ``slice(hs, …)`` (and the
+    size/when references) re-evaluated the whole shingle+md5 tree — an
+    O(n²) md5 blowup per document, measured 1,250 s of task CPU at the
+    sf0.1 gate (23.5k docs); bound, the array materializes once per row
+    (CollapseProject keeps multi-referenced non-cheap aliases) and the
+    same gate runs in ~3 s of task CPU with identical output."""
     from osmflat_rs_spark.operators.dedup import _shingle_arr
 
-    hs = F.transform(
+    hs_expr = F.transform(
         _shingle_arr(F.col(text_col), k),
         lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
     )
+    bound = df.select(F.col(id_col).alias("_id"), hs_expr.alias("_hs"))
+    hs = F.col("_hs")
     n = F.size(hs)
     fps = F.when(
         n >= w,
@@ -106,9 +116,7 @@ def winnow_fingerprints(
             )
         ),
     ).otherwise(F.array(F.array_min(hs)))
-    return df.select(F.col(id_col).alias("_id"), F.explode(fps).alias("fp")).withColumnRenamed(
-        "_id", id_col
-    )
+    return bound.select("_id", F.explode(fps).alias("fp")).withColumnRenamed("_id", id_col)
 
 
 def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
@@ -292,43 +300,55 @@ def contamination(
         raise ValueError(f"gram size must be >= 1, got {n}")
     bench_text_col = bench_text_col or text_col
 
-    def gram_arr(text):
-        ws = words_expr(text)
-        return F.when(
-            F.size(ws) >= n,
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), F.size(ws) - n),
-                    lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
-                )
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+    # r6: the gram expression reads from a BOUND word-array column —
+    # inlined, size/when/slice references re-evaluated words_expr per
+    # window (O(n_words²) regex splits per doc: measured 18 s of task
+    # CPU per corpus branch and 28 s serially for the single-split
+    # benchmark scan at the sf0.1 gate). CollapseProject keeps the
+    # multi-referenced alias, so the split runs once per row.
+    grams_from_ws = F.when(
+        F.size("_ws") >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_ws") - n),
+                lambda i: F.array_join(F.slice(F.col("_ws"), i + 1, n), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
+    n_part = bench.sparkSession.sparkContext.defaultParallelism
     bench_grams = (
-        bench.select(F.explode(gram_arr(F.col(bench_text_col))).alias("gram"))
+        bench.select(F.col(bench_text_col).alias("_tx"))
+        .repartition(n_part)  # spread the (typically single-split) scan
+        .select(words_expr(F.col("_tx")).alias("_ws"))
+        .select(F.explode(grams_from_ws).alias("gram"))
         .distinct()
     )
-    base = docs.select(
-        F.col(id_col), gram_arr(F.col(text_col)).alias("_grams")
-    ).select(
-        F.col(id_col),
-        F.size("_grams").cast("long").alias("n_grams"),
-        F.col("_grams"),
-    )
-    hits = (
-        base.select(F.col(id_col), F.explode("_grams").alias("gram"))
-        .join(F.broadcast(bench_grams), "gram")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_hit_grams"))
+    # ONE corpus pass (r6): the old shape consumed the gram subtree in
+    # two branches (hit explode + the n_grams carrier re-joined at the
+    # end) — explode_outer keeps empty docs, the broadcast join flags
+    # hits, and a single map-side-combined aggregate yields both counts.
+    base = (
+        docs.select(F.col(id_col), words_expr(F.col(text_col)).alias("_ws"))
+        .select(F.col(id_col), grams_from_ws.alias("_grams"))
+        .select(
+            F.col(id_col),
+            F.size("_grams").cast("long").alias("n_grams"),
+            F.explode_outer("_grams").alias("gram"),
+        )
     )
     return (
-        base.drop("_grams")
-        .join(hits, id_col, "left")
+        base.join(F.broadcast(bench_grams.withColumn("_hit", F.lit(1))), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.max("n_grams").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_hit_grams"),
+        )
         .select(
             F.col(id_col),
             "n_grams",
-            F.coalesce(F.col("n_hit_grams"), F.lit(0)).cast("long").alias("n_hit_grams"),
-            (F.coalesce(F.col("n_hit_grams"), F.lit(0)) > 0).alias("contaminated"),
+            "n_hit_grams",
+            (F.col("n_hit_grams") > 0).alias("contaminated"),
         )
     )
 
