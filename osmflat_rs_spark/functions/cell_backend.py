@@ -294,6 +294,11 @@ class S2Backend(CellBackend):
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
+        if isinstance(lat_fixed, str):
+            lat_fixed = F.col(lat_fixed)
+        if isinstance(lon_fixed, str):
+            lon_fixed = F.col(lon_fixed)
+
         @F.pandas_udf(T.LongType())
         def _encode(lat: pd.Series, lon: pd.Series) -> pd.Series:
             import numpy as np
