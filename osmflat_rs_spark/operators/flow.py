@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from osmflat_rs_spark.plans.checkpoint import fresh_local_checkpoint
+
 # canonical D8 neighbor offsets (ox, oy) OF THE NEIGHBOR relative to the
 # cell, in tie-break priority order; m = 2 / d² (orthogonal 2, diagonal 1)
 # so key = drop²·m compares slopes exactly without division
@@ -154,7 +156,7 @@ def flow_accumulation_grid(
     addressed to v across all rounds."""
     if weight not in ("cells", "z"):
         raise ValueError(f"weight must be 'cells' or 'z', got {weight!r}")
-    dirs = flow_direction_grid(pts, lat, lon, res, value_col).localCheckpoint(eager=True)
+    dirs = flow_direction_grid(pts, lat, lon, res, value_col).transform(fresh_local_checkpoint)
 
     def pack(x, y):
         return F.shiftleft(x.cast("long"), 32) + y.cast("long")
@@ -163,7 +165,7 @@ def flow_accumulation_grid(
     active = (
         dirs.filter(F.col("rx").isNotNull())
         .select(pack(F.col("ix"), F.col("iy")).alias("id"), pack(F.col("rx"), F.col("ry")).alias("pid"), w0.alias("w"))
-        .localCheckpoint(eager=True)
+        .transform(fresh_local_checkpoint)
     )
     pushes: list[DataFrame] = []
     for _ in range(max_iter):
@@ -172,7 +174,7 @@ def flow_accumulation_grid(
         parents = active.select(F.col("pid").alias("_p")).distinct()
         leaves = active.join(parents, active["id"] == parents["_p"], "left_anti")
         push = (
-            leaves.groupBy("pid").agg(F.sum("w").alias("add")).localCheckpoint(eager=True)
+            leaves.groupBy("pid").agg(F.sum("w").alias("add")).transform(fresh_local_checkpoint)
         )
         if push.isEmpty():
             raise RuntimeError("flow_accumulation_grid: cycle in drainage graph (invariant broken)")
@@ -182,7 +184,7 @@ def flow_accumulation_grid(
         active = (
             rest.join(recv, "id", "left")
             .select("id", "pid", (F.col("w") + F.coalesce(F.col("_add"), F.lit(0))).alias("w"))
-            .localCheckpoint(eager=True)
+            .transform(fresh_local_checkpoint)
         )
     else:
         raise RuntimeError(f"flow_accumulation_grid: no convergence in {max_iter} rounds")

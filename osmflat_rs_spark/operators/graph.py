@@ -43,6 +43,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from osmflat_rs_spark.plans.checkpoint import fresh_local_checkpoint
+
 
 def connected_components(
     edges: DataFrame,
@@ -69,7 +71,7 @@ def connected_components(
         both.select(F.col("u").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("lbl"))
-        .localCheckpoint(eager=True)
+        .transform(fresh_local_checkpoint)
     )
     for _ in range(max_iter):
         # 1. neighborhood minimum m_u = min(lbl over {u} ∪ N(u)) — the
@@ -100,7 +102,7 @@ def connected_components(
             tmp.join(hop, tmp["lbl"] == hop["_n2"], "left")
             .select("node", F.coalesce(F.col("_l2"), F.col("lbl")).alias("lbl"))
             .join(labels.select("node", F.col("lbl").alias("_old")), "node")
-            .localCheckpoint(eager=True)
+            .transform(fresh_local_checkpoint)
         )
         changed = new.filter(F.col("lbl") != F.col("_old")).count()
         labels = new.select("node", "lbl")
@@ -155,7 +157,7 @@ def label_propagation(
         both.select(F.col("u").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("lbl"))
-        .localCheckpoint(eager=True)
+        .transform(fresh_local_checkpoint)
     )
     for _ in range(iters):
         nb = e.join(labels, e["v"] == labels["node"]).select(
@@ -173,7 +175,7 @@ def label_propagation(
         labels = (
             labels.join(win, "node", "left")
             .select("node", F.coalesce("wlbl", "lbl").alias("lbl"))
-            .localCheckpoint(eager=True)
+            .transform(fresh_local_checkpoint)
         )
     e.unpersist()
     return labels.select("node", F.col("lbl").alias("community"))
@@ -265,7 +267,7 @@ def pagerank_uniform(
                     F.lit(tele) + F.lit(d_num) * F.coalesce(F.col("_in"), F.lit(0))
                 ).cast("long").alias("r"),
             )
-            .localCheckpoint(eager=True)
+            .transform(fresh_local_checkpoint)
         )
     denom = n_nodes * base**iters
     ppb = (
@@ -561,7 +563,7 @@ def k_core(
     e = _simple_undirected(edges, src, dst)
     adj = (
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .localCheckpoint(eager=True)
+        .transform(fresh_local_checkpoint)
     )
     n_prev = adj.select("u").distinct().count()
     for _ in range(max_iter):
@@ -579,7 +581,7 @@ def k_core(
             adj.join(keep, "u")
             .join(keep.select(F.col("u").alias("v")), "v")
             .select("u", "v")
-            .localCheckpoint(eager=True)
+            .transform(fresh_local_checkpoint)
         )
         n_prev = n_now
     raise RuntimeError(f"k_core: no convergence in {max_iter} rounds")
@@ -634,7 +636,7 @@ def shortest_paths(
         raise ValueError("shortest_paths requires non-negative weights")
     dist = spark.createDataFrame(
         [(int(s), int(s), 0) for s in sources], "source long, node long, dist long"
-    ).localCheckpoint(eager=True)
+    ).transform(fresh_local_checkpoint)
     frontier = dist
     for _ in range(max_hops):
         relaxed = (
@@ -652,7 +654,7 @@ def shortest_paths(
             )
             .filter(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
             .select("source", "node", "dist")
-            .localCheckpoint(eager=True)
+            .transform(fresh_local_checkpoint)
         )
         if improved.isEmpty():
             break
@@ -660,7 +662,7 @@ def shortest_paths(
             dist.unionByName(improved)
             .groupBy("source", "node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .transform(fresh_local_checkpoint)
         )
         frontier = improved
     return dist
@@ -797,7 +799,7 @@ def hits_scores(
                 "left",
             )
             .select("node", F.coalesce(F.col("_in"), F.lit(0)).cast("long").alias("a"))
-            .localCheckpoint(eager=True)
+            .transform(fresh_local_checkpoint)
         )
         h = (
             nodes.join(
@@ -808,7 +810,7 @@ def hits_scores(
                 "left",
             )
             .select("node", F.coalesce(F.col("_out"), F.lit(0)).cast("long").alias("h"))
-            .localCheckpoint(eager=True)
+            .transform(fresh_local_checkpoint)
         )
     return h.join(a, "node").select("node", "h", F.col("a").alias("auth")).withColumnRenamed("h", "hub")
 
@@ -876,7 +878,7 @@ def random_walks(
                 F.lit(t + 1).cast("long").alias("step"),
                 F.get(F.col("_nbrs"), (h % F.size("_nbrs")).cast("int")).alias("node"),
             )
-            .localCheckpoint(eager=True)
+            .transform(fresh_local_checkpoint)
         )
         outs.append(cur)
     res = outs[0]
@@ -923,37 +925,78 @@ def boruvka_mst(
         .filter(F.col("u") != F.col("v"))
         .groupBy("u", "v")
         .agg(F.min("w").alias("w"))
-        .localCheckpoint(eager=True)
+        .transform(fresh_local_checkpoint)
     )
     nodes = e.select(F.col("u").alias("node")).unionByName(
         e.select(F.col("v").alias("node"))
     ).distinct()
-    comp = nodes.select("node", F.col("node").alias("c")).localCheckpoint(eager=True)
-    mst = None
-    for _ in range(max_rounds):
+    comp = nodes.select("node", F.col("node").alias("c")).transform(fresh_local_checkpoint)
+    mst_parts: list[DataFrame] = []
+    for rnd in range(max_rounds):
         cu = comp.select(F.col("node").alias("u"), F.col("c").alias("cu"))
         cv = comp.select(F.col("node").alias("v"), F.col("c").alias("cv"))
-        live = (
-            e.join(cu, "u").join(cv, "v")
-            .filter(F.col("cu") != F.col("cv"))
-        )
-        if live.isEmpty():
+        live = e.join(cu, "u").join(cv, "v").filter(F.col("cu") != F.col("cv"))
+        # Contract to the per-component-PAIR minimum edge (tie-break
+        # (w, u, v), the operator's total order): between two components
+        # only their min edge can ever be picked — this round or any
+        # later one, because a merged pair's min is the min of its
+        # constituent pair minima — so everything else drops NOW. This
+        # is what makes the round cost collapse: the carried edge list
+        # goes from Θ(edges) every round (r6 measurement: a dense 17M-
+        # edge sf0.1 radius graph stayed >11M live edges for 7 rounds,
+        # and the accumulated per-round checkpoint blocks GC-thrashed
+        # the driver JVM into 80s contraction calls) to Θ(component
+        # pairs), which shrinks geometrically. Round 0 skips the
+        # aggregation — components are singletons, the pair-min IS the
+        # (u, v)-deduped input.
+        if rnd == 0:
+            contracted = live.select(
+                F.least("cu", "cv").alias("pa"),
+                F.greatest("cu", "cv").alias("pb"),
+                "w", "u", "v",
+            ).transform(fresh_local_checkpoint)
+        else:
+            contracted = (
+                live.groupBy(
+                    F.least("cu", "cv").alias("pa"), F.greatest("cu", "cv").alias("pb")
+                )
+                .agg(F.min(F.struct("w", "u", "v")).alias("_b"))
+                .select("pa", "pb", F.col("_b.w").alias("w"), F.col("_b.u").alias("u"), F.col("_b.v").alias("v"))
+                .transform(fresh_local_checkpoint)
+            )
+        if contracted.isEmpty():
             break
-        # each live edge is outgoing for BOTH endpoint components; the
+        # each pair edge is outgoing for BOTH endpoint components; the
         # per-component argmin must see both orientations before the
         # min (two partial minima unioned as edges would let a
-        # component adopt a non-minimal edge and close a cycle)
-        sides = live.select(F.col("cu").alias("cc"), "w", "u", "v").unionByName(
-            live.select(F.col("cv").alias("cc"), "w", "u", "v")
+        # component adopt a non-minimal edge and close a cycle). The
+        # other endpoint's component rides along (any fixed (w, u, v)
+        # has exactly one, so the struct min still picks the same edge)
+        # and hands the contraction its supernode pairs without
+        # re-joining picked edges against the labels.
+        sides = contracted.select(
+            F.col("pa").alias("cc"), "w", "u", "v", F.col("pb").alias("other")
+        ).unionByName(
+            contracted.select(F.col("pb").alias("cc"), "w", "u", "v", F.col("pa").alias("other"))
         )
-        picked = (
+        best = (
             sides.groupBy("cc")
-            .agg(F.min(F.struct("w", "u", "v")).alias("_b"))
-            .select(F.col("_b.u").alias("u"), F.col("_b.v").alias("v"), F.col("_b.w").alias("w"))
-            .distinct()
-            .localCheckpoint(eager=True)
+            .agg(F.min(F.struct("w", "u", "v", "other")).alias("_b"))
+            .select(
+                F.col("_b.u").alias("u"),
+                F.col("_b.v").alias("v"),
+                F.col("_b.w").alias("w"),
+                F.col("cc").alias("pu"),
+                F.col("_b.other").alias("pv"),
+            )
+            .transform(fresh_local_checkpoint)
         )
-        mst = picked if mst is None else mst.unionByName(picked).distinct().localCheckpoint(eager=True)
+        # a mutual-min edge is picked by both endpoint components — one
+        # MST row (distinct is lazy over the checkpointed best; parts
+        # union once at the end, no per-round re-distinct of the
+        # accumulated forest: cross-round duplicates are impossible
+        # because a picked edge's endpoints merge that same round)
+        mst_parts.append(best.select("u", "v", "w").distinct())
         # contract INCREMENTALLY: components over the SUPERNODE graph
         # (this round's picked edges with endpoints mapped to current
         # component ids) — a pseudo-forest of components, whose
@@ -961,23 +1004,21 @@ def boruvka_mst(
         # accumulated MST instead would hand label propagation a tree
         # of ever-growing diameter (observed: non-convergence at 10k
         # points), the classic Boruvka implementation mistake.
-        comp_pairs = (
-            picked.join(cu, "u").join(cv, "v")
-            .select(F.col("cu").alias("pu"), F.col("cv").alias("pv"))
-            .filter(F.col("pu") != F.col("pv"))
-        )
-        sub = connected_components(comp_pairs, src="pu", dst="pv").select(
+        sub = connected_components(best, src="pu", dst="pv").select(
             F.col("node").alias("_oc"), F.col("component").alias("_nc")
         )
         comp = (
             comp.join(sub, comp["c"] == F.col("_oc"), "left")
             .select("node", F.coalesce(F.col("_nc"), F.col("c")).alias("c"))
-            .localCheckpoint(eager=True)
+            .transform(fresh_local_checkpoint)
         )
-    return (
-        mst if mst is not None
-        else e.filter(F.lit(False)).select("u", "v", "w")
-    )
+        e = contracted.select("u", "v", "w")
+    if not mst_parts:
+        return e.filter(F.lit(False)).select("u", "v", "w")
+    out = mst_parts[0]
+    for p in mst_parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def cooccurrence_pairs(
@@ -1081,7 +1122,7 @@ def betweenness(
     visited = spark.createDataFrame(
         [(int(s), int(s), 0, 1) for s in sources],
         "source long, node long, dist int, sigma long",
-    ).localCheckpoint(eager=True)
+    ).transform(fresh_local_checkpoint)
     frontier = visited
     max_level = 0
     for lvl in range(1, max_hops + 1):
@@ -1093,16 +1134,16 @@ def betweenness(
         new = (
             cand.join(visited.select("source", "node"), ["source", "node"], "left_anti")
             .select("source", "node", F.lit(lvl).cast("int").alias("dist"), "sigma")
-            .localCheckpoint(eager=True)
+            .transform(fresh_local_checkpoint)
         )
         if new.isEmpty():
             break
-        visited = visited.unionByName(new).localCheckpoint(eager=True)
+        visited = visited.unionByName(new).transform(fresh_local_checkpoint)
         frontier = new
         max_level = lvl
     # phase 2: dependencies, level by level backward
     delta = visited.select("source", "node", F.lit(0).cast("long").alias("dfp"))
-    delta = delta.localCheckpoint(eager=True)
+    delta = delta.transform(fresh_local_checkpoint)
     for lvl in range(max_level - 1, -1, -1):
         lower = visited.filter(F.col("dist") == lvl).select("source", "node", "sigma")
         upper = (
@@ -1144,7 +1185,7 @@ def betweenness(
                 "source", "node",
                 (F.col("dfp") + F.coalesce(F.col("_d"), F.lit(0))).alias("dfp"),
             )
-            .localCheckpoint(eager=True)
+            .transform(fresh_local_checkpoint)
         )
     out = (
         delta.filter(F.col("node") != F.col("source"))

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from osmflat_rs_spark.plans.checkpoint import fresh_local_checkpoint
+
 _P = 1 << 30  # coordinate offset: keys stay positive for |cx|,|cy| < 2^30
 _M = 1 << 31
 
@@ -84,7 +86,7 @@ def hotspot_from_cell_counts(counts: DataFrame, min_pts: int) -> DataFrame:
         # over the edge graph immediately, and the caller's final join
         # needs core again after this function returns — a persist would
         # either leak or be unpersisted before that lazy join runs
-        .localCheckpoint(eager=True)
+        .transform(fresh_local_checkpoint)
     )
     # 8-neighbor edges among core cells: explode each core cell to its
     # neighbor keys, equi-join back against the core set. Self-loops
@@ -521,8 +523,8 @@ def _censored_nn_min(
         ).filter(F.col("query_id") != F.col(id_col).cast("string"))
         m = pr.groupBy("query_id").agg(F.min("dist_m").alias("_nn"))
         if i < len(phases) - 1:
-            m = m.localCheckpoint(eager=True)
-            remaining = remaining.join(m, "query_id", "left_anti").localCheckpoint(eager=True)
+            m = m.transform(fresh_local_checkpoint)
+            remaining = remaining.join(m, "query_id", "left_anti").transform(fresh_local_checkpoint)
         mins.append(m)
     out = mins[0]
     for m in mins[1:]:

@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from osmflat_rs_spark.plans.checkpoint import fresh_local_checkpoint
+
 from osmflat_rs_spark.operators.dedup import WS, WS_INNER, words_expr
 
 # tiny deterministic stopword lists (heuristic language ID)
@@ -1412,7 +1414,7 @@ def bpe_train(
     chars = F.transform(
         F.sequence(F.lit(1), F.length("w")), lambda i: F.col("w").substr(i, F.lit(1))
     )
-    words = wf.select("freq", chars.alias("sym")).localCheckpoint(eager=True)
+    words = wf.select("freq", chars.alias("sym")).transform(fresh_local_checkpoint)
     merges = []
     for r in range(n_merges):
         n = F.size("sym")
@@ -1439,7 +1441,7 @@ def bpe_train(
         merges.append((r, a, b, c))
         words = words.select(
             "freq", _bpe_merge_expr(F.col("sym"), a, b).alias("sym")
-        ).localCheckpoint(eager=True)
+        ).transform(fresh_local_checkpoint)
     spark = df.sparkSession
     return spark.createDataFrame(
         merges, "rank int, left string, right string, freq long"
