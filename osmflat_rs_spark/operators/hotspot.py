@@ -246,14 +246,23 @@ def dbscan(
         # join; demand a real density threshold.
         raise ValueError(f"min_pts must be >= 2, got {min_pts}")
     q = points.select(F.col(id_col).cast("string").alias("query_id"), F.col(lat), F.col(lon))
+    # pairs feeds THREE consumers (degree count, core-core edges, border
+    # assignment) and core FOUR join sides — materialize each once (r6:
+    # the un-checkpointed plan re-ran the whole radius-join subtree per
+    # consumer, 3x the only O(pairs) stage)
     pairs = (
         radius_join(points, q, radius_m=float(radius), res=res, metric="sqeuclid",
                     id_col=id_col, backend=backend)
         .select(F.col("query_id").cast("long").alias("a"), F.col(id_col).alias("b"))
         .filter(F.col("a") != F.col("b"))
+        .transform(fresh_local_checkpoint)
     )
     deg = pairs.groupBy("a").agg(F.count(F.lit(1)).alias("_nbrs"))
-    core = deg.filter(F.col("_nbrs") >= F.lit(int(min_pts) - 1)).select(F.col("a").alias("cid"))
+    core = (
+        deg.filter(F.col("_nbrs") >= F.lit(int(min_pts) - 1))
+        .select(F.col("a").alias("cid"))
+        .transform(fresh_local_checkpoint)
+    )
     # No broadcast hint on the core set (ADVICE r05): core is
     # O(n_points) — in dense data nearly every point is core — so a
     # forced broadcast OOMs long before the radius join is the
