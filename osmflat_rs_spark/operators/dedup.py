@@ -618,8 +618,8 @@ def embedding_neardup_srp(
     Reference parity note: the reference has no embedding operators —
     this extends the training-data-pipeline surface (SURVEY §2.8)."""
     from osmflat_rs_spark.operators.ann import (
+        _dot,
         _srp_buckets,
-        _with_cosine,
         srp_bucket_ids_arrow,
         srp_combined_id,
     )
@@ -646,12 +646,32 @@ def embedding_neardup_srp(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
+    # verify kernel: norms precomputed ONCE per vector (the
+    # embedding_cosine_pairs discipline) so each candidate pair pays one
+    # zip_with dot instead of three — `sqrt(aa)·sqrt(bb)` here is
+    # bit-identical to _with_cosine's denom (same two sqrts, same
+    # product, same division; `na·nb > 0` ⟺ `denom > 0`), it is just
+    # not re-derived per pair (r6: the 3-dot HOF tree dominated the
+    # 1.6M-candidate verify at the 3-plane bench point)
+    vn = v.withColumn("n", F.sqrt(_dot(F.col("v"), F.col("v"))))
     pairs = (
-        cand.join(v.select(F.col("_id").alias("id_a"), F.col("v").alias("va")), "id_a")
-        .join(v.select(F.col("_id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        cand.join(
+            vn.select(F.col("_id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")),
+            "id_a",
+        )
+        .join(
+            vn.select(F.col("_id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")),
+            "id_b",
+        )
     )
     return (
-        _with_cosine(pairs)
+        pairs.withColumn(
+            "cosine",
+            F.when(
+                F.col("na") * F.col("nb") > 0,
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
