@@ -842,6 +842,14 @@ def _editdist_band(prepared: DataFrame, max_dist: int) -> DataFrame:
             F.when(F.col("_ida") < F.col("_idb"), F.col("_sa")).otherwise(F.col("_sb")).alias("_x"),
             F.when(F.col("_ida") < F.col("_idb"), F.col("_sb")).otherwise(F.col("_sa")).alias("_y"),
         )
+        # explicit keyed fan-out (guide §2.5): the banded-DP verify
+        # downstream is CPU-dense — AQE would size this exchange on
+        # bytes and run the levenshtein pass on half the cores
+        .repartition(
+            int(prepared.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")),
+            "id_a",
+            "id_b",
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     d = F.levenshtein(F.col("_x"), F.col("_y"), max_dist)
