@@ -46,11 +46,111 @@ from pyspark.sql import functions as F
 from osmflat_rs_spark.plans.checkpoint import fresh_local_checkpoint
 
 
+def _partition_spanning_forest(und: DataFrame, target_edges_per_task: int = 250_000) -> DataFrame:
+    """EXACT edge reduction for dense graphs: per partition, a
+    union-find spanning forest keeps only the edges that first connect
+    two nodes — every dropped edge closed a cycle WITHIN its partition,
+    so global connectivity (and therefore every component) is
+    unchanged. The classic filtering step of Karloff-Suri-Vassilvitskii
+    MapReduce graph algorithms: output is ≤ Σ_p (nodes_p − 1) rows, so a
+    graph with average degree d shrinks ~d/2× in one map-only pass.
+
+    Scale shape: per-task memory is O(nodes in the partition) ≤ 2×
+    ``target_edges_per_task`` — bounded by construction, independent of
+    the global node count. Input may contain duplicate edges (a
+    duplicate never connects two new roots, union-find skips it), which
+    lets the caller feed RAW candidate pairs and drop its distinct
+    exchange. Partition count derives from the edge count over the
+    per-task target (data-scale, not core-count)."""
+    import pandas as pd
+
+    def forest(it):
+        import numpy as np
+
+        us, vs = [], []
+        for pdf in it:
+            us.append(pdf["u"].to_numpy("int64"))
+            vs.append(pdf["v"].to_numpy("int64"))
+        if not us:
+            return
+        u = np.concatenate(us)
+        v = np.concatenate(vs)
+        nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+        iu, iv = inv[: len(u)], inv[len(u):]
+        parent = np.arange(len(nodes), dtype=np.int64)
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        keep = np.zeros(len(u), dtype=bool)
+        for i in range(len(u)):
+            ra, rb = find(iu[i]), find(iv[i])
+            if ra != rb:
+                parent[ra] = rb
+                keep[i] = True
+        yield pd.DataFrame({"u": u[keep], "v": v[keep]})
+
+    n_edges = und.count()
+    n_red = max(1, -(-n_edges // target_edges_per_task))
+    return und.repartition(n_red).mapInPandas(forest, "u long, v long")
+
+
+def _solve_components_one_task(red: DataFrame) -> DataFrame:
+    """Single-task union-find labeling of a (reduced) edge list →
+    (node, component=min node id). Caller guarantees the edge list is
+    bounded (≤ the reduction target); nodes present ≤ 2× edges."""
+    import pandas as pd
+
+    def solve(it):
+        import numpy as np
+
+        us, vs = [], []
+        for pdf in it:
+            us.append(pdf["u"].to_numpy("int64"))
+            vs.append(pdf["v"].to_numpy("int64"))
+        if not us:
+            return
+        u = np.concatenate(us)
+        v = np.concatenate(vs)
+        if len(u) == 0:
+            return
+        nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+        iu, iv = inv[: len(u)], inv[len(u):]
+        parent = list(range(len(nodes)))
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for i in range(len(u)):
+            ra, rb = find(int(iu[i])), find(int(iv[i]))
+            if ra != rb:
+                parent[ra] = rb
+        roots = np.array([find(i) for i in range(len(nodes))], dtype=np.int64)
+        # component label = min ORIGINAL node id per root (nodes is
+        # sorted ascending, so the min per root is its first member)
+        minid = np.full(len(nodes), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(minid, roots, nodes)
+        yield pd.DataFrame({"node": nodes, "component": minid[roots]})
+
+    return red.repartition(1).mapInPandas(solve, "node long, component long")
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 30,
+    pre_reduce: bool = False,
 ) -> DataFrame:
     """Components of the undirected graph → (node, component).
 
@@ -58,12 +158,67 @@ def connected_components(
     are exactly the ids appearing in ``edges`` (isolated ids the caller
     wants labeled can be passed as self-loops). Raises RuntimeError if
     not converged after ``max_iter`` rounds (O(log n) suffices — the
-    guard exists so a mis-wired input fails loudly, not silently)."""
+    guard exists so a mis-wired input fails loudly, not silently).
+
+    ``pre_reduce=True`` is the REDUCE-THEN-SOLVE path for graphs whose
+    NODE count fits one bounded task even when the edge count is huge
+    (the DBSCAN radius graph: 4.5M edges over 99k cores):
+    :func:`_partition_spanning_forest` rounds shrink the edges toward
+    n−1 exactly (components preserved), and once the forest fits the
+    per-task target a single union-find task emits the labels — the
+    Karloff-Suri-Vassilvitskii reduce-to-fit shape, O(1) passes
+    instead of O(log n) label-propagation rounds. (Feeding the forest
+    to label propagation instead is a TRAP, measured r6: tree diameter
+    is huge, rounds ballooned and the gate got slower.) If the forest
+    still exceeds the target after two reductions — node count too
+    large for one task — the default iterative path runs on the
+    ORIGINAL dense edge list, where propagation converges fastest.
+    Labels are identical on every path (min node id per component)."""
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     # undirected, deduped edge list (both directions, self-edges dropped)
     a = edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
     both = a.unionByName(a.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    if pre_reduce:
+        # two budgets: reduction tasks hold ≤ reduce_t edges (memory
+        # bound per task), the FINAL solve task absorbs up to solve_t
+        # (an in-memory union-find over a few-million-edge forest is
+        # seconds of one core — far cheaper than O(log n) propagation
+        # rounds over the dense graph). One forest round shrinks the
+        # edge list toward #partitions × (n − 1); since every partition
+        # of a dense graph touches most nodes, rounds stop shrinking
+        # once edges ≈ parts × n — if that floor is still above
+        # solve_t, n itself is too big for one task and the dense
+        # iterative path below takes over (same labels either way).
+        reduce_t, solve_t = 250_000, 4_000_000
+        red = fresh_local_checkpoint(
+            a.filter(F.col("u") != F.col("v")).select(
+                F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+            )
+        )
+        prev = None
+        for _ in range(3):
+            n = red.count()
+            if n <= solve_t:
+                solved = _solve_components_one_task(red)
+                nodes_all = both.select(F.col("u").alias("node")).distinct()
+                return (
+                    nodes_all.join(solved, "node", "left")
+                    .select(
+                        "node",
+                        F.coalesce(F.col("component"), F.col("node")).alias("component"),
+                    )
+                )
+            if prev is not None and 2 * n > prev:
+                # a round that shrinks < 2× means edges ≈ parts × n
+                # already — more rounds cannot reach the solve budget,
+                # stop wasting passes (bounds the at-scale overhead of
+                # a mis-guessed pre_reduce to ~one map pass)
+                break
+            prev = n
+            red = fresh_local_checkpoint(_partition_spanning_forest(red, reduce_t))
+        # forest floor above the solve budget: node count too large
+        # for one task — iterate on the original dense edges below
     e = both.filter(F.col("u") != F.col("v")).distinct().persist()
     # nodes come from the PRE-filter edge list so a self-loop registers
     # its node (the documented way to label isolated ids)
@@ -712,7 +867,7 @@ def stitch_lines(
     if weight_col is not None:
         cols.append(F.col(weight_col).cast("long").alias("_w"))
     e = segments.select(*cols)
-    cc = connected_components(e, "_a", "_b", max_iter=max_iter)
+    cc = connected_components(e, "_a", "_b", max_iter=max_iter, pre_reduce=True)
 
     seg_lab = e.join(cc.withColumnRenamed("node", "_a"), "_a")
     seg_aggs = [F.count(F.lit(1)).alias("n_segments")]
@@ -1004,7 +1159,7 @@ def boruvka_mst(
         # accumulated MST instead would hand label propagation a tree
         # of ever-growing diameter (observed: non-convergence at 10k
         # points), the classic Boruvka implementation mistake.
-        sub = connected_components(best, src="pu", dst="pv").select(
+        sub = connected_components(best, src="pu", dst="pv", pre_reduce=True).select(
             F.col("node").alias("_oc"), F.col("component").alias("_nc")
         )
         comp = (

@@ -275,7 +275,10 @@ def dbscan(
     cc_in = core_edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
         core.select(F.col("cid").alias("src"), F.col("cid").alias("dst"))
     )
-    labels = connected_components(cc_in)  # (node, component)
+    # pre_reduce: the core-core radius graph is DENSE (avg degree ≈
+    # 2·min_pts or far more), exactly the shape the spanning-forest
+    # reduction collapses before the label-propagation rounds
+    labels = connected_components(cc_in, pre_reduce=True)  # (node, component)
     cores_out = labels.select(
         F.col("node").alias(id_col),
         F.col("component").alias("cluster"),
