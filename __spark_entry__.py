@@ -1925,16 +1925,21 @@ def q_emst_events(spark, sf_dir):
         .select("event_id", "lat", "lon")
     )
     q = pts.select(F.col("event_id").cast("string").alias("query_id"), "lat", "lon")
+    # the self radius-join emits each undirected edge once per
+    # orientation with the same d2; keeping query < point halves the
+    # edge list with a free filter, so boruvka can skip its per-pair
+    # dedup aggregate (dedup_edges=False — min-struct reductions absorb
+    # duplicates exactly, the forest is unchanged)
     pairs = radius_join(
         pts, q, radius_m=KNN_RADIUS_FIXED, res=CELL_RES, metric="sqeuclid",
         id_col="event_id",
-    ).filter(F.col("query_id") != F.col("event_id").cast("string"))
+    ).filter(F.col("query_id").cast("long") < F.col("event_id"))
     edges = pairs.select(
         F.col("query_id").cast("long").alias("src"),
         F.col("event_id").alias("dst"),
         F.col("dist_m").alias("w"),
     )
-    return boruvka_mst(edges)
+    return boruvka_mst(edges, dedup_edges=False)
 
 
 def q_cramers_v_events(spark, sf_dir):
