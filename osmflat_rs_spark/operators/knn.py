@@ -822,7 +822,16 @@ def lof_scores(
         F.col("dist_m").alias("_d2"),
     )
     w = Window.partitionBy("_p").orderBy(F.col("_d2").asc(), F.col("_oid").asc())
-    pairs = pairs.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k)
+    # pairs feeds THREE consumers (k-distance, reachability, the lrd
+    # numerator) — materialize the k·n-row table once instead of
+    # re-running the whole kNN candidate pass + rank per consumer
+    from osmflat_rs_spark.plans.checkpoint import fresh_local_checkpoint
+
+    pairs = (
+        pairs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .transform(fresh_local_checkpoint)
+    )
     kd = pairs.groupBy("_p").agg(F.max("_d2").alias("kdist"))
     sc = int(fp_scale)
     reach = (
