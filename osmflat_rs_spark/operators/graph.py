@@ -43,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from osmflat_rs_spark.plans.checkpoint import fresh_local_checkpoint
+from osmflat_rs_spark.plans.checkpoint import disk_materialize, fresh_local_checkpoint
 
 
 def _partition_spanning_forest(und: DataFrame, target_edges_per_task: int = 250_000) -> DataFrame:
@@ -191,7 +191,7 @@ def connected_components(
         # solve_t, n itself is too big for one task and the dense
         # iterative path below takes over (same labels either way).
         reduce_t, solve_t = 250_000, 4_000_000
-        red = fresh_local_checkpoint(
+        red = disk_materialize(
             a.filter(F.col("u") != F.col("v")).select(
                 F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
             )
@@ -1089,7 +1089,11 @@ def boruvka_mst(
     ).filter(F.col("u") != F.col("v"))
     if dedup_edges:
         e = e.groupBy("u", "v").agg(F.min("w").alias("w"))
-    e = e.transform(fresh_local_checkpoint)
+    # disk-only: the raw edge list scales with graph density and a
+    # deserialized in-memory checkpoint OOMed the JVM at 5x the bench
+    # density; every round still reads the cached blocks, and round
+    # checkpoints truncate lineage from round 1 on
+    e = e.transform(disk_materialize)
     nodes = e.select(F.col("u").alias("node")).unionByName(
         e.select(F.col("v").alias("node"))
     ).distinct()
@@ -1113,11 +1117,12 @@ def boruvka_mst(
         # aggregation — components are singletons, the pair-min IS the
         # (u, v)-deduped input.
         if rnd == 0:
+            # same width class as e itself -> disk-only (see above)
             contracted = live.select(
                 F.least("cu", "cv").alias("pa"),
                 F.greatest("cu", "cv").alias("pb"),
                 "w", "u", "v",
-            ).transform(fresh_local_checkpoint)
+            ).transform(disk_materialize)
         else:
             contracted = (
                 live.groupBy(

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from osmflat_rs_spark.plans.checkpoint import fresh_local_checkpoint
+from osmflat_rs_spark.plans.checkpoint import disk_materialize, fresh_local_checkpoint
 
 _P = 1 << 30  # coordinate offset: keys stay positive for |cx|,|cy| < 2^30
 _M = 1 << 31
@@ -249,13 +249,16 @@ def dbscan(
     # pairs feeds THREE consumers (degree count, core-core edges, border
     # assignment) and core FOUR join sides — materialize each once (r6:
     # the un-checkpointed plan re-ran the whole radius-join subtree per
-    # consumer, 3x the only O(pairs) stage)
+    # consumer, 3x the only O(pairs) stage). Disk-only for pairs: the
+    # table scales quadratically with density and a deserialized
+    # in-memory checkpoint GCLocker-killed the JVM at 5x the bench
+    # density (see disk_materialize).
     pairs = (
         radius_join(points, q, radius_m=float(radius), res=res, metric="sqeuclid",
                     id_col=id_col, backend=backend)
         .select(F.col("query_id").cast("long").alias("a"), F.col(id_col).alias("b"))
         .filter(F.col("a") != F.col("b"))
-        .transform(fresh_local_checkpoint)
+        .transform(disk_materialize)
     )
     deg = pairs.groupBy("a").agg(F.count(F.lit(1)).alias("_nbrs"))
     core = (

@@ -37,6 +37,24 @@ except ImportError:  # pragma: no cover - Spark 3.x
     from pyspark.sql.dataframe import DataFrame as _ClassicDataFrame  # type: ignore
 
 
+def disk_materialize(df: DataFrame) -> DataFrame:
+    """Materialize a WIDE reused frame to disk-only cache (one count
+    action) instead of a local checkpoint. ``localCheckpoint`` stores
+    deserialized rows MEMORY_AND_DISK; for a pair table whose size
+    scales quadratically with density (e.g. a radius self-join) that
+    competes with execution memory and can GCLocker-kill the JVM at
+    larger scale factors (r6: 112M dbscan pairs on an 8g local driver).
+    DISK_ONLY blocks are serialized+compressed, never evicted by memory
+    pressure, and every consumer still reads them instead of re-running
+    the join. Lineage is kept (non-iterative callers only — an
+    iterative loop still needs the checkpoint's truncation)."""
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.DISK_ONLY)
+    df.count()
+    return df
+
+
 def fresh_local_checkpoint(df: DataFrame) -> DataFrame:
     """Eager ``localCheckpoint`` whose result carries DEFAULT size stats
     instead of the origin plan's multiplied-up BigInt (module doc)."""

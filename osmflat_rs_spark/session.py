@@ -48,7 +48,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local-mode default sized to the 128 GiB box (r6): iterative
+        # graph operators materialize multi-GB edge checkpoints, and an
+        # 8g heap put their storage in contention with execution memory
+        # at >bench densities (GCLocker allocation deaths). Real
+        # clusters size executors separately; env overrides stay the
+        # contract.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Align Spark's whole-stage-codegen bailout with HotSpot's actual
