@@ -486,10 +486,33 @@ def q_xtrack_events(spark, sf_dir):
     la, lo = to_degrees(F.col("lat")), to_degrees(F.col("lon"))
     a_lat, a_lon = F.lit(52.40), F.lit(13.20)
     b_lat, b_lon = F.lit(52.60), F.lit(13.60)
-    return pts.select(
+
+    # DuckDB's ROUND on doubles is IEEE sign-preserving (a negative value
+    # that rounds to zero emits -0.0); Spark's round always emits +0.0.
+    # One event sits close enough to the route for ROUND(xt*R, 2) to
+    # land on zero, and the driver's byte hash sees the sign (the r5
+    # red gate). Restore the raw sign onto rounded zeros so the engine
+    # matches the frozen oracle bit-for-bit: negative raw -> -0.0, and
+    # a raw that IS ±0.0 passes through unchanged (std::round preserves
+    # its sign bit the same way; == 0 matches both signs, no division,
+    # no ANSI hazard).
+    def _round_signed(raw, digits):
+        r = F.round(raw, digits)
+        return (
+            F.when((r == 0) & (raw < 0), F.lit(-0.0))
+            .when((r == 0) & (raw == 0), raw)
+            .otherwise(r)
+        )
+
+    raw = pts.select(
         "event_id",
-        F.round(nav.cross_track_m(la, lo, a_lat, a_lon, b_lat, b_lon), 2).alias("xtrack_m"),
-        F.round(nav.along_track_m(la, lo, a_lat, a_lon, b_lat, b_lon), 2).alias("atrack_m"),
+        nav.cross_track_m(la, lo, a_lat, a_lon, b_lat, b_lon).alias("_xt"),
+        nav.along_track_m(la, lo, a_lat, a_lon, b_lat, b_lon).alias("_at"),
+    )
+    return raw.select(
+        "event_id",
+        _round_signed(F.col("_xt"), 2).alias("xtrack_m"),
+        _round_signed(F.col("_at"), 2).alias("atrack_m"),
     )
 
 
